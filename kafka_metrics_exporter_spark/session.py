@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for correctness-determinism in tests (UTC session
+timezone, Arrow enabled) and for scale-readiness (AQE on, skew-join
+handling on).  On a real cluster the same code runs unchanged; only
+``master`` / executor sizing differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_metrics_exporter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    - AQE enabled: runtime coalescing of shuffle partitions and skew-join
+      splitting, so plans survive 100x scale-ups without manual retuning.
+    - Arrow enabled: every pandas boundary (mapInPandas / pandas_udf used
+      by llmdata + sources) moves columnar batches, not pickled rows.
+    - UTC session timezone: deterministic vs. the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
