@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the engine's query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a `noop` sink (full plan
+runs, nothing collected to the driver), matching how a cluster job
+would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from kafka_metrics_exporter_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kme-bench",
+        extra_conf={
+            # sf0.1 files are single-row-group small; split them so
+            # local[32] parallelizes the scans the way a cluster would
+            # split a 100 TB table into many input partitions
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
+
+    queries = entry_mod.queries()
+    only = set(sys.argv[1:])
+
+    # Steady-state measurement: pass 1 (untimed) pays JIT/codegen
+    # warmup, pass 2 is recorded.  Procedure documented in BASELINE.md.
+    timings: dict[str, float] = {}
+    for is_warmup in (True, False):
+        for name, fn in queries.items():
+            if only and name not in only:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if not is_warmup:
+                timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,658 @@
+"""The engine's named query suite (SURVEY.md §2) with DuckDB oracles.
+
+Each query re-expresses one operator family from the reference's
+normalization dataflow or dashboard query corpus on the driver's
+TPC-H-ish tables (TESTDATA.md): `events` stands in for the metric
+time-series (series key = ``user_id``/``event_type``, event-time =
+``ts``, numeric value = ``value``), `lineitem`/`orders` for the
+high-cardinality fact tables, the small dims for catalogs.
+
+Determinism rules (driver hashes values after sorting columns by name):
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round(x, 4)`` on both sides;
+- timestamps are emitted as ``yyyy-MM-dd HH:mm:ss`` strings;
+- every ranking/limit has a total-order tiebreaker (SURVEY §7.3).
+
+Scale notes (100 TB readiness) per query are in the docstrings; the
+common principles: aggregate before join where possible, broadcast
+dims, never collect, keep expressions JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.operators.relational import (
+    latest_per_key,
+    rate_per_second,
+    top_k_per_group,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a test table; normalize TIMESTAMP(NANOS) columns to Spark
+    timestamps.
+
+    The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects outright; `nanosAsLong` reads
+    it as raw nanos, then integer division (nanos exceed double's 2^53)
+    converts to micros — truncation identical to DuckDB's nanos→micros
+    read, so oracle comparisons stay exact.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _r4(c) -> F.Column:
+    return F.round(c, 4)
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+# ---------------------------------------------------------------------------
+# A1-A4: grouped sum/avg/max/min/count — the Kibana terms-bucket metric
+# family (reference ELK/jmx_dashboard.json:284,102,158; SURVEY §2.4).
+# ---------------------------------------------------------------------------
+@query(
+    "a1_a4_grouped_metrics",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 4)                         AS sum_qty,
+           round(SUM(l_extendedprice), 4)                    AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(AVG(l_quantity), 4)                         AS avg_qty,
+           round(MAX(l_extendedprice), 4)                    AS max_price,
+           round(MIN(l_extendedprice), 4)                    AS min_price,
+           COUNT(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_a4_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 over lineitem (TPC-H Q1 shape).
+
+    Scale: single hash-aggregate with map-side partial agg; the filter
+    and 7-column projection push into the parquet scan.  Grouping key
+    cardinality is tiny (~6), so AQE coalesces post-shuffle partitions.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.max("l_extendedprice")).alias("max_price"),
+            _r4(F.min("l_extendedprice")).alias("min_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: count-distinct — Kibana `cardinality` of topic/partition/clientId
+# (reference ELK/jmx_dashboard.json:260,414,428).
+# ---------------------------------------------------------------------------
+@query(
+    "a5_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*)                AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (oracle-checkable). At 100 TB the same query would
+    use approx_count_distinct (ES cardinality is HLL anyway) — provided
+    as a5_approx_count_distinct (rows-only check)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("a5_approx_count_distinct")  # no oracle: HLL estimate is engine-specific
+def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scale path: single-pass HLL sketch, no distinct-expand shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W4: latest-value per key — Kibana top_hits size=1 by createdDateTime
+# desc (reference ELK/jmx_dashboard.json:88,186,242,452).
+# ---------------------------------------------------------------------------
+@query(
+    "a6_latest_value",
+    """
+    SELECT event_type, user_id, round(value, 4) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a6_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest sample per series. One shuffle on the series key; at scale
+    WindowExec's rank-limit pushdown keeps per-partition state to 1 row."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(ev, ["event_type"], "ts", ["event_id"]).select(
+        "event_type",
+        "user_id",
+        _r4(F.col("value")).alias("value"),
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+    )
+
+
+@query(
+    "w4_latest_per_user",
+    """
+    SELECT user_id, event_type, round(value, 4) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w4_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id",
+        "event_type",
+        _r4(F.col("value")).alias("value"),
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: multi-key grouped tables (terms × terms × metrics drill-downs,
+# reference ELK/jmx_dashboard.json:130,186,368).
+# ---------------------------------------------------------------------------
+@query(
+    "a7_multikey_drilldown",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS n_items,
+           round(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def a7_multikey_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r4(F.sum("l_extendedprice")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: having-filter on aggregate (`sum by (...)(x) > 0`, reference
+# Kafka_Connect_Dashboard.json:656).
+# ---------------------------------------------------------------------------
+@query(
+    "a8_having",
+    """
+    SELECT o_custkey, round(SUM(o_totalprice), 4) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 300000
+    """,
+)
+def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_total") > 300000)
+        .select("o_custkey", _r4(F.col("_total")).alias("total_spend"), "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 + W3/O4: aggregate-of-aggregate + global top-k
+# (`topk(5, avg by (connector)(batch_size_avg))`, reference
+# Kafka_Connect_Dashboard.json:877).
+# ---------------------------------------------------------------------------
+@query(
+    "a9_topk_of_avg",
+    """
+    SELECT user_id, round(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY AVG(value) DESC, user_id ASC
+    LIMIT 5
+    """,
+)
+def a9_topk_of_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg stage shuffles on user_id; the global top-5 is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 5 rows),
+    no full sort at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.avg("value").alias("_avg"))
+        .orderBy(F.col("_avg").desc(), F.col("user_id").asc())
+        .limit(5)
+        .select("user_id", _r4(F.col("_avg")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: sum-without (group-complement; `sum without (instance)(...)`,
+# reference Kafka_Connect_Dashboard.json:166,481).
+# ---------------------------------------------------------------------------
+@query(
+    "a10_sum_without",
+    """
+    SELECT event_type, round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a10_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `sum without (user_id)` ≡ group by the complement of the
+    label set; the label universe here is {event_type, user_id}."""
+    ev = _t(spark, sf_dir, "events")
+    labels = {"event_type", "user_id"}
+    keep = sorted(labels - {"user_id"})
+    return ev.groupBy(*keep).agg(_r4(F.sum("value")).alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# W1: tumbling time buckets (Kibana date_histogram on createdDateTime,
+# reference ELK/jmx_dashboard.json:102,116,340).
+# ---------------------------------------------------------------------------
+@query(
+    "w1_tumbling_window",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           round(SUM(value), 4) AS sum_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window() keeps event-time semantics identical between this batch
+    plan and the streaming pipeline (same logical plan, + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(_r4(F.sum("value")).alias("sum_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("bucket_start"),
+            "event_type",
+            "sum_value",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: rate() — per-second derivative with counter-reset clamp
+# (reference Kafka_Brokers_Dashboard.json:540,949; semantics per SURVEY §7.2).
+# ---------------------------------------------------------------------------
+@query(
+    "w2_rate",
+    """
+    WITH d AS (
+      SELECT event_type, value, ts,
+             lag(value) OVER w AS pv,
+             lag(ts)    OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type,
+           round(AVG(
+             (CASE WHEN value >= pv THEN value - pv ELSE value END)
+             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS avg_rate,
+           COUNT(*) AS n_samples
+    FROM d
+    WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+    GROUP BY event_type
+    """,
+)
+def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treats each user's event stream as a counter series.  One shuffle
+    on the series key for the lag window, then a reduce-side agg; at
+    scale the series key (host × mbean) is high-cardinality, so the
+    window partitioning is well-spread."""
+    ev = _t(spark, sf_dir, "events")
+    rated = rate_per_second(
+        ev, ["user_id"], "ts", "value", tiebreakers=["event_id"]
+    )
+    return (
+        rated.filter(F.col("rate_per_sec").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            _r4(F.avg("rate_per_sec")).alias("avg_rate"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: top-k per group (PromQL topk(k, ...) by group, reference
+# Kafka_Brokers_Dashboard.json:1046).
+# ---------------------------------------------------------------------------
+@query(
+    "w3_topk_per_group",
+    """
+    WITH s AS (
+      SELECT event_type, user_id, SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, round(total, 4) AS total_value
+    FROM s
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
+    """,
+)
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sums = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
+    return top.select("event_type", "user_id", _r4(F.col("total")).alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# J1: cross join — servers × mbean-patterns catalog build
+# (reference Code/main.py:197-202, itertools.product).
+# ---------------------------------------------------------------------------
+@query(
+    "j1_cross_join",
+    """
+    SELECT r.r_name AS server_group, b.p_brand AS pattern
+    FROM region r CROSS JOIN (SELECT DISTINCT p_brand FROM part) b
+    """,
+)
+def j1_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides are catalog-small; Spark plans BroadcastNestedLoopJoin.
+    This op only ever runs on config-sized inputs (scrape catalog)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("server_group"))
+    b = _t(spark, sf_dir, "part").select(F.col("p_brand").alias("pattern")).distinct()
+    return r.crossJoin(b)
+
+
+# ---------------------------------------------------------------------------
+# J2: broadcast lookup join — URL → server_type catalog lookup
+# (reference Code/JMXScraper.py:50-52).
+# ---------------------------------------------------------------------------
+@query(
+    "j2_broadcast_lookup",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           round(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j2_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × small dim: explicit broadcast() removes the fact-side
+    shuffle — at 100 TB the orders scan streams map-side through the
+    hash join, and only the 5-row agg shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r4(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/O2: union-by-name merge of heterogeneous source lists
+# (reference Code/main.py:48-63; CLI ∪ K8s-discovered).
+# ---------------------------------------------------------------------------
+@query(
+    "j3_union_byname",
+    """
+    SELECT src, key_id, COUNT(*) AS n FROM (
+      SELECT 'orders' AS src, o_custkey AS key_id, o_orderpriority AS extra
+      FROM orders
+      UNION ALL
+      SELECT 'customer' AS src, c_custkey AS key_id, NULL AS extra
+      FROM customer
+    ) GROUP BY src, key_id
+    """,
+)
+def j3_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) reproduces the reference's
+    merge of lists with differing fields; missing columns null-fill."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        F.col("o_custkey").alias("key_id"),
+        F.col("o_orderpriority").alias("extra"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_custkey").alias("key_id")
+    )
+    u = o.unionByName(c, allowMissingColumns=True)
+    return u.groupBy("src", "key_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# J5: explode with parent columns (Connect task fan-out,
+# reference Code/ConnectRESTMetrics.py:130-139).
+# ---------------------------------------------------------------------------
+@query(
+    "j5_explode_parent_child",
+    """
+    SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def j5_explode_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() keeps parent columns (doc_id) exactly like the
+    reference's task-row denormalization keeps connector fields."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1: distinct / dedup of the scrape catalog
+# (reference Code/JMXScraper.py:41,64-67).
+# ---------------------------------------------------------------------------
+@query(
+    "o1_distinct",
+    """
+    SELECT DISTINCT event_type, user_id FROM events
+    """,
+)
+def o1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# O3: set difference / anti join — "discovered types not in known set"
+# (reference Code/main.py:65-69).
+# ---------------------------------------------------------------------------
+@query(
+    "o3_anti_join",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    """,
+)
+def o3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent orders — left_anti with the filter pushed
+    into the right-side scan; at scale AQE flips build sides if the
+    filtered side stays small."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4: sort + limit (Kibana "Top 50 Topics" terms size,
+# reference ELK/jmx_dashboard.json:410).
+# ---------------------------------------------------------------------------
+@query(
+    "o4_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o4_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _r4(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 (oracle form): ObjectName pivot on constructed mbean strings —
+# the same split/extract the normalizer does, checkable in SQL
+# (reference Code/JMXScraper.py:99-106).
+# ---------------------------------------------------------------------------
+@query(
+    "p1_objectname_pivot",
+    """
+    WITH m AS (
+      SELECT p_partkey,
+             'kafka.server:type=' || p_brand || ',name=' ||
+             replace(p_type, ' ', '') || ',part=' || CAST(p_partkey AS VARCHAR)
+             AS mbean
+      FROM part
+    )
+    SELECT p_partkey, mbean,
+           string_split(mbean, ':')[1] AS bean_domain,
+           regexp_extract(mbean, 'type=([^,]+)', 1) AS bean_type,
+           regexp_extract(mbean, 'name=([^,]+)', 1) AS bean_name
+    FROM m
+    """,
+)
+def p1_objectname_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    m = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("kafka.server:type="),
+            F.col("p_brand"),
+            F.lit(",name="),
+            F.regexp_replace("p_type", " ", ""),
+            F.lit(",part="),
+            F.col("p_partkey").cast("string"),
+        ).alias("mbean"),
+    )
+    props = F.str_to_map(
+        F.substring_index("mbean", ":", -1), F.lit(","), F.lit("=")
+    )
+    return m.select(
+        "p_partkey",
+        "mbean",
+        F.substring_index("mbean", ":", 1).alias("bean_domain"),
+        props.getItem("type").alias("bean_type"),
+        props.getItem("name").alias("bean_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar-function pack: string/json/date/math in one projection
+# (reference Code/JMXScraper.py:100-126, Code/main.py:189-217).
+# ---------------------------------------------------------------------------
+@query(
+    "p_scalar_pack",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           upper(event_type) AS event_type_u,
+           event_type || '@' || CAST(user_id AS VARCHAR) AS series_key,
+           round(value * 0.001, 6) AS value_scaled,
+           CASE WHEN regexp_matches(event_type, '^(click|view)$')
+                THEN 1 ELSE 0 END AS is_impression
+    FROM events
+    """,
+)
+def p_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.upper("event_type").alias("event_type_u"),
+        F.concat_ws("@", "event_type", F.col("user_id").cast("string")).alias(
+            "series_key"
+        ),
+        # valueFactor scaling (reference connect.yml:6-12); ×0.001 keeps
+        # the product off exact round-half boundaries (unlike /1024,
+        # which is exact in binary and trips HALF_UP-vs-half-even
+        # divergence between Spark and DuckDB)
+        F.round(F.col("value") * 0.001, 6).alias("value_scaled"),
+        F.when(F.col("event_type").rlike("^(click|view)$"), 1)
+        .otherwise(0)
+        .alias("is_impression"),
+    )

