@@ -620,6 +620,126 @@ def p1_objectname_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.7 rule-driven rewriting: the ordered first-match-wins rule compiler
+# applied to synthesized MBean match strings (rule semantics from the
+# reference's Prometheus/jmxexporter_configs/configs/kafka.yml).
+# ---------------------------------------------------------------------------
+_RULES_PERSEC = r"kafka.(\w+)<type=(.+), name=(.+)PerSec\w*><>Count"
+_RULES_PCTL = r"kafka.(\w+)<type=(.+), name=(.+), (.+)=(.*)><>(\d+)thPercentile"
+_RULES_VALUE = r"kafka.(\w+)<type=(.+), name=(.+)><>Value"
+
+
+@query(
+    "rules_rewrite",
+    f"""
+    WITH m AS (
+      SELECT p_partkey, p_size,
+        CASE CAST(p_partkey % 3 AS INT)
+          WHEN 0 THEN 'kafka.server<type=' || p_brand || ', name=' ||
+                      replace(p_type, ' ', '') || 'PerSec><>Count: ' ||
+                      CAST(p_size AS VARCHAR)
+          WHEN 1 THEN 'kafka.server<type=' || p_brand || ', name=' ||
+                      replace(p_type, ' ', '') || '><>Value: ' ||
+                      CAST(p_size AS VARCHAR)
+          ELSE 'kafka.network<type=' || p_brand || ', name=' ||
+               replace(p_type, ' ', '') || ', request=Fetch><>99thPercentile: ' ||
+               CAST(p_size AS VARCHAR)
+        END AS ms
+      FROM part
+    )
+    SELECT p_partkey,
+      CASE
+        WHEN regexp_matches(ms, '^(?:{_RULES_PERSEC})')
+        THEN lower(regexp_replace('kafka_brokers_' || regexp_extract(ms, '^(?:{_RULES_PERSEC})', 1)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_PERSEC})', 2)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_PERSEC})', 3) || '_total', '[^a-zA-Z0-9_]', '_', 'g'))
+        WHEN regexp_matches(ms, '^(?:{_RULES_PCTL})')
+        THEN lower(regexp_replace('kafka_brokers_' || regexp_extract(ms, '^(?:{_RULES_PCTL})', 1)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_PCTL})', 2)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_PCTL})', 3), '[^a-zA-Z0-9_]', '_', 'g'))
+        WHEN regexp_matches(ms, '^(?:{_RULES_VALUE})')
+        THEN lower(regexp_replace('kafka_brokers_' || regexp_extract(ms, '^(?:{_RULES_VALUE})', 1)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_VALUE})', 2)
+             || '_' || regexp_extract(ms, '^(?:{_RULES_VALUE})', 3), '[^a-zA-Z0-9_]', '_', 'g'))
+      END AS metric_name,
+      CASE
+        WHEN regexp_matches(ms, '^(?:{_RULES_PERSEC})') THEN 'COUNTER'
+        ELSE 'GAUGE'
+      END AS metric_type,
+      CASE
+        WHEN regexp_matches(ms, '^(?:{_RULES_PCTL})')
+        THEN '0.' || regexp_extract(ms, '^(?:{_RULES_PCTL})', 6)
+      END AS quantile,
+      round(CAST(p_size AS DOUBLE), 4) AS value
+    FROM m
+    """,
+)
+def rules_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins rule chain compiled to one CaseWhen expression —
+    evaluation order survives optimization, everything JVM-side.  At
+    scale this is a narrow per-row transform: no shuffle, codegen'd."""
+    from kafka_metrics_exporter_spark.rules.compiler import RewriteRule, compile_rules
+
+    rules = [
+        RewriteRule(
+            pattern=_RULES_PERSEC,
+            name_tmpl="kafka_brokers_$1_$2_$3_total",
+            metric_type="COUNTER",
+        ),
+        RewriteRule(
+            pattern=_RULES_PCTL,
+            name_tmpl="kafka_brokers_$1_$2_$3",
+            metric_type="GAUGE",
+            labels_tmpl={"$4": "$5", "quantile": "0.$6"},
+        ),
+        RewriteRule(
+            pattern=_RULES_VALUE,
+            name_tmpl="kafka_brokers_$1_$2_$3",
+            metric_type="GAUGE",
+        ),
+    ]
+    apply_rules = compile_rules(rules, lowercase=True)
+
+    p = _t(spark, sf_dir, "part")
+    fam = (F.col("p_partkey") % 3).cast("int")
+    clean_type = F.regexp_replace("p_type", " ", "")
+    size_s = F.col("p_size").cast("string")
+    ms = (
+        F.when(
+            fam == 0,
+            F.concat(
+                F.lit("kafka.server<type="), F.col("p_brand"), F.lit(", name="),
+                clean_type, F.lit("PerSec><>Count: "), size_s,
+            ),
+        )
+        .when(
+            fam == 1,
+            F.concat(
+                F.lit("kafka.server<type="), F.col("p_brand"), F.lit(", name="),
+                clean_type, F.lit("><>Value: "), size_s,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("kafka.network<type="), F.col("p_brand"), F.lit(", name="),
+                clean_type, F.lit(", request=Fetch><>99thPercentile: "), size_s,
+            )
+        )
+    )
+    out = p.select(
+        "p_partkey",
+        apply_rules(ms, F.col("p_size").cast("double")).alias("_rw"),
+    )
+    return out.select(
+        "p_partkey",
+        F.col("_rw.metric_name").alias("metric_name"),
+        F.col("_rw.metric_type").alias("metric_type"),
+        F.element_at("_rw.labels", "quantile").alias("quantile"),
+        _r4(F.col("_rw.value")).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.8 scalar-function pack: string/json/date/math in one projection
 # (reference Code/JMXScraper.py:100-126, Code/main.py:189-217).
 # ---------------------------------------------------------------------------
