@@ -153,14 +153,11 @@ def normalize_scrapes(raw: DataFrame) -> DataFrame:
     return out
 
 
-def to_json_records(metrics: DataFrame) -> Column | DataFrame:
-    """P3: serialize a metrics row back to the reference's flat JSON shape.
-
-    The reference merges MBean attributes + ObjectName key-properties +
-    injected metadata into one flat JSON document per record
-    (reference Code/JMXScraper.py:91-117).  Nested composites remain
-    nested (JSON strings re-embedded).
-    """
+def flat_json_column() -> Column:
+    """P3: Column serializing a metrics row to the reference's flat JSON
+    shape — MBean attributes + ObjectName key-properties + injected
+    metadata merged into one document (reference Code/JMXScraper.py:91-117).
+    Nested composites remain nested (JSON strings re-embedded)."""
     flat = F.map_concat(
         F.col("attributes"),
         F.col("bean_props"),
@@ -181,4 +178,9 @@ def to_json_records(metrics: DataFrame) -> Column | DataFrame:
             ),
         ),
     )
-    return metrics.select(F.to_json(flat).alias("value"))
+    return F.to_json(flat)
+
+
+def to_json_records(metrics: DataFrame) -> DataFrame:
+    """P3 as a one-column DataFrame (Kafka value shape)."""
+    return metrics.select(flat_json_column().alias("value"))

@@ -1,0 +1,192 @@
+"""Jolokia polling source (SURVEY §2.1 S1/S2) as a PySpark DataSource.
+
+The reference scatters one HTTP GET per scrape URL over a thread pool
+and gathers results into an in-memory snapshot
+(reference Code/JMXScraper.py:120-183).  Here the scrape catalog
+becomes input partitions of a custom Python DataSource (Spark 4 public
+API): each partition fetches one URL batch on an executor, so the
+thread-pool fan-out is replaced by Spark task parallelism — on a
+1000-executor cluster the same code polls 100k endpoints per trigger
+with no driver bottleneck.
+
+Batch:   spark.read.format("jolokia").option(...).load()
+Stream:  spark.readStream.format("jolokia")...  (one poll per micro-
+         batch; the reference's poll gate, Code/JMXScraper.py:186-197,
+         maps to trigger(processingTime=...)).
+
+Rows use schema.RAW_SCRAPE_SCHEMA; pipe into operators.normalize_scrapes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from kafka_metrics_exporter_spark.schema import RAW_SCRAPE_SCHEMA
+
+DEFAULT_MBEANS: dict[str, list[str]] = {
+    # per-server-type poll patterns (reference Code/main.py:144-153)
+    "ZooKeeper": ["org.apache.ZooKeeperService:*"],
+    "KafkaBroker": ["kafka.*:*"],
+    "KafkaConnect": ["kafka.*:*"],
+    "KSQL": ["kafka.*:*", "io.confluent.*:*"],
+}
+# appended for every unique host (reference Code/main.py:152-153,
+# Code/JMXScraper.py:21 default_JMX_fetch)
+DEFAULT_COMMON_MBEANS = ["java.lang:type=Memory"]
+
+
+def build_url_catalog(
+    servers: dict[str, list[str]],
+    mbeans: dict[str, list[str]] | None = None,
+    common_mbeans: list[str] | None = None,
+) -> list[tuple[str, str]]:
+    """servers × mbean-patterns → deduped scrape URL catalog.
+
+    Reproduces return_url_set's cross product (reference
+    Code/main.py:197-202, J1), the default-bean append per unique host
+    (Code/JMXScraper.py:57-67), unknown-server-type defaulting
+    (Code/main.py:65-69, O3) and the final dedupe (O1).
+
+    Returns ordered (server_type, url) pairs — catalog-sized data, built
+    driver-side exactly like the reference, then broadcast by the source.
+    """
+    mbeans = {**DEFAULT_MBEANS, **(mbeans or {})}
+    common = common_mbeans if common_mbeans is not None else DEFAULT_COMMON_MBEANS
+    out: list[tuple[str, str]] = []
+    for server_type, hosts in servers.items():
+        patterns = mbeans.get(server_type, ["kafka.*:*"])  # Discovered default
+        for host, pattern in itertools.product(hosts, patterns + common):
+            base = host if "://" in host else f"http://{host}"
+            out.append((server_type, f"{base.rstrip('/')}/jolokia/read/{pattern}"))
+    seen: set[tuple[str, str]] = set()
+    deduped = []
+    for pair in out:
+        if pair not in seen:
+            seen.add(pair)
+            deduped.append(pair)
+    return deduped
+
+
+class _UrlPartition(InputPartition):
+    def __init__(self, server_type: str, url: str, execution_ts: int):
+        self.server_type = server_type
+        self.url = url
+        self.execution_ts = execution_ts
+
+
+def _read_partition(part: _UrlPartition, fetcher_ref: str, timeout: float):
+    from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
+
+    fetcher = resolve_fetcher(fetcher_ref)
+    body = fetcher(part.url, timeout)
+    status = 200 if body is not None else 599
+    # RAW_SCRAPE_SCHEMA order: target_url, server_type, execution_ts, status, body
+    yield (part.url, part.server_type, part.execution_ts, status, body)
+
+
+class _JolokiaReaderMixin:
+    def __init__(self, options: dict):
+        self.options = options
+        catalog_json = options.get("catalog")
+        if not catalog_json:
+            raise ValueError(
+                "jolokia source requires .option('catalog', json) — "
+                "a JSON list of [server_type, url] pairs "
+                "(see build_url_catalog)"
+            )
+        self.catalog: list[tuple[str, str]] = [
+            (t, u) for t, u in json.loads(catalog_json)
+        ]
+        self.fetcher_ref = options.get(
+            "fetcher", "kafka_metrics_exporter_spark.sources.fetchers:http_fetcher"
+        )
+        self.timeout = float(options.get("timeout", "10"))
+
+    def _partitions(self, execution_ts: int):
+        return [_UrlPartition(t, u, execution_ts) for t, u in self.catalog]
+
+
+class JolokiaBatchReader(_JolokiaReaderMixin, DataSourceReader):
+    def partitions(self):
+        return self._partitions(int(time.time() * 1000))
+
+    def read(self, partition: _UrlPartition):
+        yield from _read_partition(partition, self.fetcher_ref, self.timeout)
+
+
+class JolokiaStreamReader(_JolokiaReaderMixin, DataSourceStreamReader):
+    """One poll cycle per micro-batch.  The offset is the poll counter;
+    each trigger stamps a fresh execution timestamp (the reference's
+    wall-clock stamping, Code/JMXScraper.py:96, isolated to the source
+    boundary so everything downstream is deterministic)."""
+
+    def initialOffset(self):
+        return {"poll": 0, "ts": int(time.time() * 1000)}
+
+    def latestOffset(self):
+        return {"poll": int(time.time() * 1000), "ts": int(time.time() * 1000)}
+
+    def partitions(self, start: dict, end: dict):
+        return self._partitions(int(end["ts"]))
+
+    def read(self, partition: _UrlPartition):
+        yield from _read_partition(partition, self.fetcher_ref, self.timeout)
+
+    def commit(self, end: dict):
+        pass
+
+
+class JolokiaDataSource(DataSource):
+    """spark.read/readStream.format("jolokia")
+
+    Options:
+      catalog  — JSON [[server_type, url], ...] (build_url_catalog)
+      fetcher  — "module:attr" fetcher ref (default stdlib urllib GET)
+      timeout  — per-call seconds (default 10, reference Code/main.py:117)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jolokia"
+
+    def schema(self) -> str:
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in RAW_SCRAPE_SCHEMA)
+
+    def reader(self, schema) -> JolokiaBatchReader:
+        return JolokiaBatchReader(self.options)
+
+    def streamReader(self, schema) -> JolokiaStreamReader:
+        return JolokiaStreamReader(self.options)
+
+
+def register_jolokia_source(spark: SparkSession) -> None:
+    spark.dataSource.register(JolokiaDataSource)
+
+
+def read_jolokia(
+    spark: SparkSession,
+    catalog: list[tuple[str, str]],
+    fetcher: str | None = None,
+    timeout: float = 10.0,
+    streaming: bool = False,
+) -> DataFrame:
+    register_jolokia_source(spark)
+    reader = spark.readStream if streaming else spark.read
+    r = (
+        reader.format("jolokia")
+        .option("catalog", json.dumps(list(catalog)))
+        .option("timeout", str(timeout))
+    )
+    if fetcher:
+        r = r.option("fetcher", fetcher)
+    return r.load()

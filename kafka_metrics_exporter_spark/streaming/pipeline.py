@@ -1,0 +1,99 @@
+"""Structured-Streaming pipeline wiring (SURVEY §3.1 step 5 mapping).
+
+The reference's unbounded poll loop — fetch snapshot, fan out to sinks,
+sleep POLL_WAIT (reference Code/main.py:262-287) — becomes:
+
+    readStream("jolokia") → normalize_scrapes → [persisted per batch]
+        ├─ writeStream kafka  (S5)
+        └─ foreachBatch ES bulk (S6)
+    trigger(processingTime=...)  ≙ the poll gate (Code/JMXScraper.py:186-197)
+
+Watermarking is a NEW capability (the reference is stateless and emits
+wall-clock records, SURVEY §2.5 W6): Spark requires it for state
+cleanup on windowed aggregations, and it pins the late-data policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.operators.normalize import normalize_scrapes
+from kafka_metrics_exporter_spark.sources.jolokia import read_jolokia
+
+
+def streaming_metrics(
+    spark: SparkSession,
+    catalog: list[tuple[str, str]],
+    fetcher: str | None = None,
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Streaming normalized-metrics DataFrame: one poll cycle per
+    micro-batch over the scrape catalog."""
+    raw = read_jolokia(spark, catalog, fetcher=fetcher, timeout=timeout, streaming=True)
+    return normalize_scrapes(raw)
+
+
+def windowed_rollup(
+    metrics: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    value_key: str = "Count",
+) -> DataFrame:
+    """W1 streaming form: tumbling event-time windows over a numeric
+    attribute, grouped by (server_type, host, bean domain).
+
+    Same logical plan as the batch w1_tumbling_window query — that is
+    the point of declaring everything as DataFrame ops: batch and
+    streaming share plans, only the source/trigger differ.  The
+    watermark bounds state: at 1000-executor scale the window state
+    store holds (hosts × domains × windows-in-watermark) entries, not
+    unbounded history.
+    """
+    return (
+        metrics.withWatermark("created_ts", watermark)
+        .filter(F.col("num_attributes").getItem(value_key).isNotNull())
+        .groupBy(
+            F.window("created_ts", window_duration).alias("w"),
+            F.col("server_type"),
+            F.col("host_name"),
+            F.col("bean_domain"),
+        )
+        .agg(
+            F.sum(F.col("num_attributes").getItem(value_key)).alias("sum_value"),
+            F.max(F.col("num_attributes").getItem(value_key)).alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "server_type",
+            "host_name",
+            "bean_domain",
+            "sum_value",
+            "max_value",
+            "n_samples",
+        )
+    )
+
+
+def run_pipeline_once(
+    spark: SparkSession,
+    catalog: list[tuple[str, str]],
+    output_path: str,
+    checkpoint: str,
+    fetcher: str | None = None,
+) -> None:
+    """One availableNow micro-batch through the full pipeline into the
+    parquet stand-in sink — the compose-style integration smoke
+    (SURVEY §5)."""
+    from kafka_metrics_exporter_spark.sinks.es_bulk import write_daily_parquet
+
+    metrics = streaming_metrics(spark, catalog, fetcher=fetcher)
+    q = (
+        metrics.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda df, _id: write_daily_parquet(df, output_path))
+        .start()
+    )
+    q.awaitTermination()
