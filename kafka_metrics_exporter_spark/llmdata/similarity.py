@@ -1,0 +1,314 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector — the
+  baseline.  At scale it's a single scan + TakeOrderedAndProject (heap
+  per partition, k-row driver merge): no shuffle, no collect of the
+  corpus.
+- ivf_topk: inverted-file variant — coarse centroids (trained with a
+  groupBy-mean over an assignment column or k-means-lite iterations),
+  probe the nearest `nprobe` cells, exact rerank inside.  The scan
+  prunes to nprobe/ncells of the data — the standard 100 TB ANN shape.
+- hyperplane LSH: random-hyperplane signatures; same-bucket candidates
+  then exact rerank (used for embedding near-dup in dedup flows).
+
+Vector math uses zip_with/aggregate (JVM-side, no UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_col(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_pairs_udf():
+    """Arrow-vectorized cosine over two array columns.
+
+    The zip_with/aggregate form is interpreted per element (~1 us/elem);
+    for pairwise scoring (millions of pairs x dims) the numpy batch path
+    is the documented fast lane, ~100x quicker."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype("float64")
+        B = np.stack(vb.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
+def mean_vector(emb: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Corpus mean vector (one tiny agg; used to center LSH signatures —
+    uncentered sign-bits collapse when the corpus has a dominant
+    direction)."""
+    dim = len(emb.select(vec_col).first()[vec_col])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    row = emb.select(v.alias("v")).agg(
+        *[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    return [row[f"m{i}"] for i in range(dim)]
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k; ties broken by id for determinism."""
+    q = _query_col(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- IVF ---------------------------------------------------------------------
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """K-means-lite coarse quantizer: init cells by id-hash, then
+    `iters` rounds of assign(broadcast centroids) → groupBy-mean.  Each
+    round is one scan + one tiny-key shuffle; centroids stay
+    driver-side (n_cells × dim floats — catalog-sized)."""
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        (F.xxhash64(F.col(id_col)) % n_cells).cast("int").alias("cell"),
+    ).withColumn("cell", F.abs("cell"))
+    dim = len(assigned.select("v").first()["v"])
+
+    def mean_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
+        sums = df.groupBy("cell").agg(
+            *[F.sum(F.col("v").getItem(i)).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        return [
+            (r["cell"], [r[f"s{i}"] / r["n"] for i in range(dim)])
+            for r in sums.collect()
+        ]
+
+    cents = mean_centroids(assigned)
+    for _ in range(iters):
+        assigned = assign_cells(
+            assigned.select("_id", "v"), cents, vec_col="v", id_col="_id"
+        )
+        cents = mean_centroids(assigned)
+    return sorted(cents)
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment, Arrow-batched: centroids ship as a
+    broadcast-sized numpy constant inside the closure, each batch does
+    one (batch x cells) distance matmul — the vectorized fast path for
+    per-vector math at any scale (no shuffle, no join)."""
+    from collections.abc import Iterator
+
+    cells = np.array([cell for cell, _ in centroids])
+    C = np.array([c for _, c in centroids], dtype="float64")  # (k, dim)
+    c_sq = (C * C).sum(axis=1)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"_id": [], "v": [], "cell": []})
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+            d = -2.0 * (V @ C.T) + c_sq[None, :]
+            idx = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].values,
+                    "v": [list(map(float, row)) for row in V],
+                    "cell": cells[idx],
+                }
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        go, "_id long, v array<double>, cell int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact cosine rerank inside.
+    At 100 TB the assignment is precomputed and the table partitioned by
+    cell, so the probe is partition pruning, not a scan."""
+    import math
+
+    if centroids is None:
+        centroids = train_centroids(emb, n_cells, vec_col=vec_col, id_col=id_col)
+    qv = [float(x) for x in query_vec]
+
+    def sqdist(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(qv, c))
+
+    probe = sorted(centroids, key=lambda c: sqdist(c[1]))[:nprobe]
+    probe_cells = [cell for cell, _ in probe]
+
+    assigned = assign_cells(emb, centroids, vec_col, id_col)
+    q = _query_col(qv)
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = cand.select(
+        F.col("_id").alias(id_col),
+        F.round(cosine(F.col("v"), q), 4).alias("cosine"),
+    )
+    _ = math  # keep import local & explicit
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- hyperplane LSH ------------------------------------------------------------
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (LCG, no numpy dependency in the
+    plan) for sign-bit signatures."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]], biases: list[float] | None = None
+) -> Column:
+    """Sign-bit signature; `biases` (= plane . corpus_mean) centers the
+    cuts so buckets stay balanced under a dominant corpus direction."""
+    sig = F.lit(0).cast("long")
+    bias = biases or [0.0] * len(planes)
+    for j, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(
+            dot(vec, pc) > F.lit(float(bias[j])),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(0)
+    return sig
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for cosine near-dup: bucket by hyperplane signature
+    (two 8-bit bands), exact cosine within candidate buckets."""
+    dim = len(emb.select(vec_col).first()[vec_col])
+    planes = hyperplanes(dim, n_planes)
+    mu = mean_vector(emb, vec_col)
+    biases = [sum(a * b for a, b in zip(p, mu)) for p in planes]
+    sigs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes, biases).alias("sig"),
+    )
+    banded = sigs.select(
+        "vid",
+        "v",
+        F.posexplode(
+            F.array(
+                F.col("sig").bitwiseAND(F.lit(0xFF)),
+                F.shiftright("sig", 8).bitwiseAND(F.lit(0xFF)),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = cosine_pairs_udf()
+    return (
+        pairs.withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_brute(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (oracle-parity baseline; the LSH
+    variant above is the scale path)."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_pairs_udf()
+    return (
+        pairs.withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

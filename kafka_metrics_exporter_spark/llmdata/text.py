@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language identification, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd): at 100 TB these are
+narrow per-document transforms with zero shuffle.  Each operator has a
+SQL twin generated from the SAME constants (word lists, regexes) so the
+DuckDB oracle can't drift from the Spark implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# whitespace tokens vs a BPE-ish segmentation (letters / digits /
+# single punctuation marks), shared by Spark + SQL twins
+WS_TOKEN_RE = r"\s+"
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+PUNCT_RE = "[^A-Za-z0-9\\s]"
+ALPHA_RE = "[A-Za-z]"
+
+# tiny marker-word lists for the n-gram/stopword language heuristic;
+# ties break by list order (en > de > fr > es > zh)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "los", "las", "y", "es", "un"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (split on ``\\s+`` leaves
+    a leading/trailing '' for padded text)."""
+    return F.filter(F.split(text, WS_TOKEN_RE), lambda t: t != "")
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_ws_tokens": F.size(ws_tokens(text)).cast("bigint"),
+        # idx=0: whole-match extraction (the pattern has no groups)
+        "n_bpe_tokens": F.size(
+            F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).cast("bigint"),
+    }
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword heuristics (the standard cheap
+    quality gates a pretraining pipeline runs before expensive stages)."""
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(ALPHA_RE), F.lit(0)))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": F.round(
+            (n_chars - (n_tokens - 1)) / nz(n_tokens).cast("double"), 4
+        ),
+        "alpha_ratio": F.round(n_alpha / nz(n_chars).cast("double"), 4),
+        "punct_ratio": F.round(n_punct / nz(n_chars).cast("double"), 4),
+        "stopword_ratio": F.round(n_stop / nz(n_tokens).cast("double"), 4),
+    }
+
+
+def langid_column(text: Column) -> Column:
+    """Marker-word language ID: score each language by marker hits over
+    the lowercased token set, argmax with deterministic tie order."""
+    toks = F.transform(ws_tokens(text), F.lower)
+
+    def contains(words: list[str]):
+        # single-param lambda: a 2-arg lambda would be treated as the
+        # (element, index) form by higher-order filter()
+        return lambda t: t.isin(list(words))
+
+    scores = {
+        lang: F.size(F.filter(toks, contains(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than every EARLIER lang (tie → earlier wins),
+            # greater-or-equal than every LATER lang
+            c = (
+                scores[lang] > scores[other]
+                if langs.index(other) < langs.index(lang)
+                else scores[lang] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        best = (
+            F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+        )
+    return best.otherwise(F.lit(langs[0]))
+
+
+def fingerprint_column(text: Column) -> Column:
+    """Document fingerprint: md5 over the casefolded, punctuation-
+    stripped, whitespace-collapsed text — robust to formatting noise,
+    byte-identical across engines."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), PUNCT_RE, ""), WS_TOKEN_RE, " "
+        )
+    )
+    return F.md5(normalized)
+
+
+# --- SQL twins (DuckDB) generated from the same constants -----------------
+def langid_sql(text_expr: str = "text") -> str:
+    toks = f"list_transform(list_filter(string_split_regex({text_expr}, '\\s+'), x -> x <> ''), x -> lower(x))"
+    score = lambda words: (  # noqa: E731
+        f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in words)})))"
+    )
+    langs = list(LANG_MARKERS)
+    branches = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"{score(LANG_MARKERS[lang])} {op} {score(LANG_MARKERS[other])}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[0]}' END"
+
+
+def quality_sql(text_expr: str = "text") -> dict[str, str]:
+    toks = f"list_filter(string_split_regex({text_expr}, '\\s+'), x -> x <> '')"
+    stop_in = ", ".join(repr(w) for w in STOPWORDS)
+    return {
+        "n_chars": f"CAST(length({text_expr}) AS BIGINT)",
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_token_len": (
+            f"round((length({text_expr}) - (len({toks}) - 1)) * 1.0 / "
+            f"greatest(len({toks}), 1), 4)"
+        ),
+        "alpha_ratio": (
+            f"round(len(regexp_extract_all({text_expr}, '[A-Za-z]')) * 1.0 / "
+            f"greatest(length({text_expr}), 1), 4)"
+        ),
+        "punct_ratio": (
+            f"round(len(regexp_extract_all({text_expr}, '[^A-Za-z0-9\\s]')) * 1.0 / "
+            f"greatest(length({text_expr}), 1), 4)"
+        ),
+        "stopword_ratio": (
+            f"round(len(list_filter({toks}, x -> lower(x) IN ({stop_in}))) * 1.0 / "
+            f"greatest(len({toks}), 1), 4)"
+        ),
+    }

@@ -1,0 +1,241 @@
+"""LLM-data-pipeline queries (SURVEY §7 PR 6) with DuckDB oracles where
+SQL-expressible; sketch-based ops (MinHash/SimHash/LSH/IVF) are
+rows-only here and recall-tested in tests/test_llmdata.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.llmdata import dedup, multimodal, similarity
+from kafka_metrics_exporter_spark.llmdata.text import (
+    fingerprint_column,
+    langid_column,
+    langid_sql,
+    quality_columns,
+    quality_sql,
+    token_counts,
+)
+from kafka_metrics_exporter_spark.plans.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: shuffle carries 16-byte digests, not
+    document bodies; uniform keys → no skew at any scale."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           FROM s),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (≥0.5) via the shingle inverted-index
+    self-join — pair blow-up is Σ df(shingle)², not N²; the selective
+    shingle key keeps it linear-ish on real corpora."""
+    return dedup.ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # sketch-based: rows-only driver check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) → 32×4 LSH bands → bucket-join candidates → exact
+    Jaccard verify.  The 100 TB path: candidate generation only touches
+    band-bucket collisions.  Recall vs the exact query is pinned in
+    tests/test_llmdata.py."""
+    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("dedup_simhash")  # sketch-based: rows-only driver check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash, 4×16-bit chunk candidates (pigeonhole for
+    hamming ≤ 3), bit_count(xor) verify."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "embed_near_dup_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def embed_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute pairwise cosine ≥ τ (oracle baseline).  The scale path is
+    embed_near_dup_lsh below — hyperplane buckets prune the N² pair
+    space before the exact check."""
+    return similarity.embedding_near_dup_brute(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@query("embed_near_dup_lsh")  # sketch-based: rows-only driver check
+def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "embed_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: scan + per-partition heap
+    (TakeOrderedAndProject) — no shuffle, no corpus collect."""
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+@query("embed_ivf_topk")  # training is iterative → rows-only driver check
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: k-means-lite coarse cells, probe 4/16 cells, exact rerank —
+    scan prunes to nprobe/ncells of the corpus; recall vs brute force
+    pinned in tests."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_cells=16,
+        nprobe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_QUALITY_SQL_COLS = ",\n           ".join(
+    f"{expr} AS {name}" for name, expr in quality_sql("text").items()
+)
+
+
+@query(
+    "text_metrics",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           {_QUALITY_SQL_COLS}
+    FROM documents
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tc = token_counts(F.col("text"))
+    qc = quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
+        *[c.alias(n) for n, c in qc.items()],
+    )
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang,
+           {langid_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; Spark expression and SQL twin are both
+    generated from the same word lists (llmdata.text.LANG_MARKERS)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid_column(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^A-Za-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_column(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+@query("multimodal_features")  # mapInPandas stub decode: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: wrap document text bytes as media
+    content, extract features through the Arrow-batched decode stub —
+    the exact shape a PIL/libav decoder plugs into."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(
+        d, payload_col="text", id_col="doc_id", media_type="image", source_col="source"
+    )
+    return multimodal.extract_features(media, decoder="fake")

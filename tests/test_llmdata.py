@@ -1,0 +1,188 @@
+"""LLM-data operator tests: planted near-duplicates for the sketch
+dedups (MinHash/SimHash recall vs exact Jaccard), ANN recall vs brute
+force, text analysis on constructed docs, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.llmdata import dedup, multimodal, similarity
+from kafka_metrics_exporter_spark.llmdata.text import (
+    fingerprint_column,
+    langid_column,
+    quality_columns,
+    token_counts,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """50 random-ish docs + 3 near-duplicate pairs + 1 exact pair."""
+    rows = []
+    for i in range(50):
+        words = [f"d{i}w{j}" for j in range(40)]  # disjoint vocab per doc
+        rows.append((i, " ".join(words)))
+    rows.append((100, BASE))
+    rows.append((101, BASE.replace("lazy", "sleepy")))  # near-dup of 100
+    rows.append((102, BASE + " extra tail words here"))  # near-dup of 100
+    rows.append((103, BASE))  # exact dup of 100
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(planted_docs):
+    out = dedup.exact_dedup(planted_docs).collect()
+    copies = {r["survivor_id"]: r["n_copies"] for r in out}
+    assert copies[100] == 2  # 100 + 103 share a hash
+    assert len(out) == 53  # 54 docs - 1 merged
+
+
+def test_ngram_jaccard_finds_planted_pairs(planted_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(planted_docs, threshold=0.5).collect()
+    }
+    assert pairs[(100, 103)] == 1.0
+    assert (100, 101) in pairs and (100, 102) in pairs
+    assert (101, 103) in pairs and (102, 103) in pairs
+    # unrelated docs don't pair
+    assert all(a >= 100 for a, _ in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(planted_docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_dedup(planted_docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_dedup(planted_docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verify stage guarantees no false positives
+    assert len(lsh) >= 0.8 * len(exact)  # banding recall at J≥0.5
+    assert (100, 103) in lsh  # exact dups always collide
+
+
+def test_simhash_flags_planted_near_dups(planted_docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(planted_docs, max_hamming=3).collect()
+    }
+    assert out[(100, 103)] == 0  # identical text → identical signature
+    # unrelated random docs don't collide
+    assert all(a >= 100 for a, _ in out)
+
+    # near-dup signatures are far closer than unrelated ones
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(planted_docs).collect()
+    }
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(100, 101) < 16 < ham(100, 5)
+    assert ham(100, 102) < 16
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    return _t(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_recall_vs_brute_force(embeddings):
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(embeddings, q, k=10, n_cells=8, nprobe=4).collect()
+    ]
+    assert brute[0] == 0  # the query vector itself is its own nearest
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 5  # probing half the cells keeps recall reasonable
+
+
+def test_lsh_near_dup_subset_of_brute(embeddings):
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_brute(embeddings, 0.45).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_lsh(embeddings, 0.45).collect()
+    }
+    assert lsh <= brute
+
+
+# --- text analysis -----------------------------------------------------------
+def test_langid_marker_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house is to go"),
+            (2, "der hund und die katze das ist ein haus"),
+            (3, "le chat et la maison les arbres est un jour"),
+            (4, "el perro y los gatos las casas es un dia"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", langid_column(F.col("text")).alias("p")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_quality_and_token_columns(spark):
+    df = spark.createDataFrame([(1, "The cat, the dog!")], "doc_id long, text string")
+    tc = token_counts(F.col("text"))
+    qc = quality_columns(F.col("text"))
+    row = df.select(
+        tc["n_ws_tokens"].alias("ws"),
+        tc["n_bpe_tokens"].alias("bpe"),
+        qc["punct_ratio"].alias("punct"),
+        qc["stopword_ratio"].alias("stop"),
+    ).first()
+    assert row["ws"] == 4
+    assert row["bpe"] == 6  # The cat , the dog !
+    assert row["punct"] == pytest.approx(2 / 17, abs=1e-4)
+    assert row["stop"] == pytest.approx(0.5)  # 'the' twice of 4 (case-insensitive)
+
+
+def test_fingerprint_ignores_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select("doc_id", fingerprint_column(F.col("text")).alias("f")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+# --- multimodal ---------------------------------------------------------------
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "payload-one", "s1"), (2, "payload-two", "s2")],
+                               "doc_id long, text string, source string")
+    media = multimodal.attach_binary_column(df, "text", "doc_id", "image", "source")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["meta"]["n_bytes"] == len("payload-one")
+    assert rows[1]["media_type"] == "image"
+
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert len(feats[1]["feature"]) == 8
+    assert 64 <= feats[1]["width"] < 128
+    # determinism
+    feats2 = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["checksum"] == feats2[1]["checksum"]
+
+
+def test_multimodal_real_decoders_are_gated(spark):
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    media = multimodal.attach_binary_column(df, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decoder="pil")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 224, 224)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, 10)
