@@ -398,6 +398,220 @@ def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A11: percentile surfacing — the reference ships JMX percentile attrs
+# (quantile label, kafka.yml:133-140) and Kibana averages them; the
+# self-computed analog is exact interpolated percentiles per group.
+# ---------------------------------------------------------------------------
+@query(
+    "a11_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (matches DuckDB quantile_cont).
+    At 100 TB the same query swaps percentile → approx_percentile
+    (t-digest, single-pass mergeable sketch) — same plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r4(F.percentile("l_extendedprice", 0.5)).alias("p50_price"),
+        _r4(F.percentile("l_extendedprice", 0.95)).alias("p95_price"),
+        _r4(F.percentile("l_extendedprice", 0.99)).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-time series join: PromQL binary ops join series on identical
+# label sets (`bytesin + bytesout`, reference Kafka_Brokers_Dashboard
+# .json:949; ZooKeeper_Dashboard.json:387) — pivot-then-add.
+# ---------------------------------------------------------------------------
+@query(
+    "qtj_series_arith",
+    """
+    SELECT user_id,
+           round(SUM(value) FILTER (event_type = 'click'), 4)  AS clicks_total,
+           round(SUM(value) FILTER (event_type = 'view'), 4)   AS views_total,
+           round(SUM(value) FILTER (event_type = 'click')
+                 + SUM(value) FILTER (event_type = 'view'), 4) AS combined
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(value) FILTER (event_type = 'click') IS NOT NULL
+       AND SUM(value) FILTER (event_type = 'view') IS NOT NULL
+    """,
+)
+def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `a + b` inner-join semantics: only series present on both
+    sides survive.  Pivot-then-add = one aggregate, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = F.sum(F.when(F.col("event_type") == "click", F.col("value")))
+    views = F.sum(F.when(F.col("event_type") == "view", F.col("value")))
+    return (
+        ev.groupBy("user_id")
+        .agg(clicks.alias("_c"), views.alias("_v"))
+        .filter(F.col("_c").isNotNull() & F.col("_v").isNotNull())
+        .select(
+            "user_id",
+            _r4(F.col("_c")).alias("clicks_total"),
+            _r4(F.col("_v")).alias("views_total"),
+            _r4(F.col("_c") + F.col("_v")).alias("combined"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 variant: sum of per-group top-k (`sum by (topic)(topk(3, ...))`,
+# reference Kafka_Brokers_Dashboard.json:1046) — agg over a ranking.
+# ---------------------------------------------------------------------------
+@query(
+    "a9b_sum_of_topk",
+    """
+    WITH s AS (
+      SELECT event_type, user_id, SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, total FROM s
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
+    )
+    SELECT event_type, round(SUM(total), 4) AS top3_total
+    FROM t GROUP BY event_type
+    """,
+)
+def a9b_sum_of_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sums = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
+    return top.groupBy("event_type").agg(_r4(F.sum("total")).alias("top3_total"))
+
+
+# ---------------------------------------------------------------------------
+# W7: session windows — gap-based sessionization (available free in
+# Spark; absent in the reference but part of its window family, §2.5).
+# ---------------------------------------------------------------------------
+@query(
+    "w7_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ),
+    s AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) per user.  In streaming mode the same
+    expression runs with a watermark; the oracle reproduces the gap
+    semantics with island detection (lag + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _r4(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P5 end-to-end: the normalizer itself under oracle check — Jolokia
+# envelopes are synthesized from `part` rows, pushed through
+# normalize_scrapes, and the oracle states what normalization must
+# produce, computed independently from the base columns.
+# ---------------------------------------------------------------------------
+@query(
+    "p2_normalize_pipeline",
+    """
+    SELECT 'kafka.server:type=' || p_brand || ',name=' || replace(p_type, ' ', '')
+             AS mbean_name,
+           'kafka.server' AS bean_domain,
+           'KafkaBroker' AS server_type,
+           'h' || CAST(p_partkey % 5 AS VARCHAR) || ':8778' AS host_name,
+           p_brand AS prop_type,
+           replace(p_type, ' ', '') AS prop_name,
+           CAST(p_size AS DOUBLE) AS count_value,
+           round(p_retailprice, 4) AS retail_value
+    FROM part
+    WHERE p_partkey % 97 <> 0
+    """,
+)
+def p2_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build RAW_SCRAPE_SCHEMA envelopes (exact-read shape, one per
+    part row; every 97th marked HTTP-500 to exercise the P4 drop),
+    normalize, project the pivoted fields."""
+    from kafka_metrics_exporter_spark.operators.normalize import normalize_scrapes
+
+    p = _t(spark, sf_dir, "part")
+    mbean = F.concat(
+        F.lit("kafka.server:type="),
+        F.col("p_brand"),
+        F.lit(",name="),
+        F.regexp_replace("p_type", " ", ""),
+    )
+    body = F.to_json(
+        F.struct(
+            F.struct(mbean.alias("mbean"), F.lit("read").alias("type")).alias(
+                "request"
+            ),
+            F.lit(200).alias("status"),
+            F.struct(
+                F.col("p_size").alias("Count"),
+                F.col("p_retailprice").alias("Retail"),
+            ).alias("value"),
+        )
+    )
+    raw = p.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit(":8778/jolokia/read/"),
+            mbean,
+        ).alias("target_url"),
+        F.lit("KafkaBroker").alias("server_type"),
+        F.lit(1700000000000).cast("long").alias("execution_ts"),
+        F.when(F.col("p_partkey") % 97 == 0, 500).otherwise(200).alias("http_status"),
+        body.alias("body"),
+    )
+    m = normalize_scrapes(raw)
+    return m.select(
+        "mbean_name",
+        "bean_domain",
+        "server_type",
+        "host_name",
+        F.col("bean_props").getItem("type").alias("prop_type"),
+        F.col("bean_props").getItem("name").alias("prop_name"),
+        F.col("num_attributes").getItem("Count").alias("count_value"),
+        _r4(F.col("num_attributes").getItem("Retail")).alias("retail_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1: cross join — servers × mbean-patterns catalog build
 # (reference Code/main.py:197-202, itertools.product).
 # ---------------------------------------------------------------------------

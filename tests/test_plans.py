@@ -1,0 +1,62 @@
+"""Physical-plan quality pins (SURVEY §4): pushdown, broadcast joins,
+and no accidental Python evaluation in JVM-only paths.  These are the
+properties that keep the same code fast at 100 TB; pin them so a
+refactor can't silently regress the plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kafka_metrics_exporter_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_a1_filter_and_columns_pushed(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "a1_a4_grouped_metrics")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned to the 6 needed columns — no full-row scan
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_shipdate" in read_schema
+    # partial (map-side) + final aggregate around one exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_j2_uses_broadcast_hash_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "j2_broadcast_lookup")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_o3_anti_join_pushes_date_filter(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "o3_anti_join")
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_jvm_only_queries_have_no_python_eval(spark, sf_dir):
+    for name in [
+        "a1_a4_grouped_metrics",
+        "w2_rate",
+        "rules_rewrite",
+        "p_scalar_pack",
+        "dedup_ngram_jaccard",
+        "text_langid",
+    ]:
+        p = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "a9_topk_of_avg")
+    assert "TakeOrderedAndProject" in p
