@@ -1,0 +1,151 @@
+"""Daemon entry point (SURVEY §3.1): the reference's ``python main.py
+<args>`` loop re-expressed as Structured Streaming queries.
+
+Argument surface mirrors the reference's groups (Code/main.py:90-177):
+per-type server lists × MBean patterns build the scrape catalog (J1),
+sink flags pick Kafka / Elasticsearch / parquet outputs, and the poll
+interval becomes the stream trigger (the reference's poll gate,
+Code/JMXScraper.py:186-197, incl. the 15 s floor, Code/main.py:238-239).
+At least one source and one sink are required (Code/main.py:181-187).
+
+The parquet sink is this repo's offline stand-in for Elasticsearch
+(date-partitioned like daily indexes), so the daemon is fully runnable
+without live Kafka/ES.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+SERVER_ARG_TO_TYPE = {
+    "zk_servers": "ZooKeeper",
+    "kafka_servers": "KafkaBroker",
+    "connect_servers": "KafkaConnect",
+    "ksql_servers": "KSQL",
+}
+
+JMX_POLL_FLOOR_SECS = 15  # reference Code/main.py:238-239
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spark-metrics-engine",
+        description="JMX/Jolokia metrics ETL on Spark Structured Streaming",
+    )
+    src = p.add_argument_group("sources")
+    src.add_argument("--jmx-zk-server", action="append", default=[], dest="zk_servers")
+    src.add_argument("--jmx-kafka-server", action="append", default=[], dest="kafka_servers")
+    src.add_argument("--jmx-connect-server", action="append", default=[], dest="connect_servers")
+    src.add_argument("--jmx-ksql-server", action="append", default=[], dest="ksql_servers")
+    src.add_argument(
+        "--jmx-default-bean",
+        action="append",
+        default=None,
+        dest="common_mbeans",
+        help="MBean patterns polled from every server (default java.lang:type=Memory)",
+    )
+    src.add_argument("--fetcher", default=None, help="module:attr fetcher override")
+    src.add_argument("--jmx-poll-timeout", type=float, default=10.0)
+
+    sink = p.add_argument_group("sinks")
+    sink.add_argument("--kafka-bootstrap-servers", default=None)
+    sink.add_argument("--kafka-topic", default="jmx_data_ingestion_pipeline")
+    sink.add_argument("--es-url", default=None)
+    sink.add_argument("--sink-parquet", default=None, metavar="PATH",
+                      help="date-partitioned parquet sink (offline ES stand-in)")
+
+    run = p.add_argument_group("run")
+    run.add_argument("--poll-interval", type=int, default=5)
+    run.add_argument("--checkpoint", default="/tmp/kme-checkpoint")
+    run.add_argument("--once", action="store_true",
+                     help="one availableNow cycle, then exit")
+    return p
+
+
+def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
+    from kafka_metrics_exporter_spark.sources.jolokia import build_url_catalog
+
+    servers = {
+        stype: getattr(args, attr)
+        for attr, stype in SERVER_ARG_TO_TYPE.items()
+        if getattr(args, attr)
+    }
+    if not servers:
+        raise SystemExit("at least one --jmx-*-server source is required")
+    return build_url_catalog(servers, common_mbeans=args.common_mbeans)
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    sinks_enabled = [
+        s for s in (args.kafka_bootstrap_servers, args.es_url, args.sink_parquet) if s
+    ]
+    if not sinks_enabled:
+        raise SystemExit(
+            "at least one sink is required "
+            "(--kafka-bootstrap-servers / --es-url / --sink-parquet)"
+        )
+    catalog = build_catalog(args)
+
+    if spark is None:
+        from kafka_metrics_exporter_spark.session import get_spark
+
+        spark = get_spark(app_name="spark-metrics-engine")
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import streaming_metrics
+
+    metrics = streaming_metrics(
+        spark, catalog, fetcher=args.fetcher, timeout=args.jmx_poll_timeout
+    )
+
+    interval = max(args.poll_interval, JMX_POLL_FLOOR_SECS)
+    queries = []
+
+    def trigger(writer):
+        if args.once:
+            return writer.trigger(availableNow=True)
+        return writer.trigger(processingTime=f"{interval} seconds")
+
+    if args.kafka_bootstrap_servers:
+        from kafka_metrics_exporter_spark.sinks.kafka_sink import write_stream_to_kafka
+
+        queries.append(
+            trigger(
+                write_stream_to_kafka(
+                    metrics,
+                    args.kafka_bootstrap_servers,
+                    topic=args.kafka_topic,
+                    checkpoint=f"{args.checkpoint}/kafka",
+                )
+            ).start()
+        )
+    if args.es_url:
+        from kafka_metrics_exporter_spark.sinks.es_bulk import (
+            es_bulk_foreach_batch,
+            http_bulk_poster,
+        )
+
+        writer = (
+            metrics.writeStream.foreachBatch(
+                es_bulk_foreach_batch(http_bulk_poster(args.es_url))
+            ).option("checkpointLocation", f"{args.checkpoint}/es")
+        )
+        queries.append(trigger(writer).start())
+    if args.sink_parquet:
+        from kafka_metrics_exporter_spark.sinks.es_bulk import write_daily_parquet
+
+        writer = (
+            metrics.writeStream.foreachBatch(
+                lambda df, _id: write_daily_parquet(df, args.sink_parquet)
+            ).option("checkpointLocation", f"{args.checkpoint}/parquet")
+        )
+        queries.append(trigger(writer).start())
+
+    for q in queries:
+        q.awaitTermination() if not args.once else q.awaitTermination(600)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,32 +27,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_metrics_exporter_spark.functions.scalars import (
+    host_from_url as _host_name,
+)
+from kafka_metrics_exporter_spark.functions.scalars import (
+    objectname_domain,
+    objectname_props,
+)
+from kafka_metrics_exporter_spark.functions.scalars import (
+    url_normalize_col as normalize_url,  # noqa: F401  (public re-export, P9)
+)
+
 _MAP_SS = "map<string,string>"
-
-
-def _host_name(url: Column) -> Column:
-    """`host:port` from a scrape URL (P8).
-
-    Mirrors urlparse-netloc derivation (reference
-    Code/JMXScraper.py:122-124).  A plain regexp (JVM-side, codegen'd)
-    rather than ``parse_url``: Jolokia read paths contain `:*` which
-    java.net.URI refuses to split a port out of.
-    """
-    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)", 1)
-
-
-def normalize_url(url: Column) -> Column:
-    """P9 URL normalization: default protocol + collapse duplicate slashes.
-
-    Mirrors ``url_normalize`` usage (reference Code/main.py:199):
-    scheme defaulting to http for scrape URLs, `//`→`/` outside the
-    scheme separator.
-    """
-    with_scheme = F.when(
-        url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), url
-    ).otherwise(F.concat(F.lit("http://"), url))
-    # collapse runs of '/' that are not part of '://'
-    return F.regexp_replace(with_scheme, r"(?<!:)/{2,}", "/")
 
 
 def normalize_scrapes(raw: DataFrame) -> DataFrame:
@@ -114,12 +100,8 @@ def normalize_scrapes(raw: DataFrame) -> DataFrame:
     # P1: ObjectName pivot — domain before the first ':', key-properties
     # after it as a map.  An MBean key with no ':' yields a record with
     # only injected metadata (reference Code/JMXScraper.py:107-112).
-    has_colon = F.instr("mbean_name", ":") > 0
-    bean_domain = F.when(has_colon, F.substring_index("mbean_name", ":", 1))
-    props_str = F.expr("substring(mbean_name, instr(mbean_name, ':') + 1)")
-    bean_props = F.when(has_colon, F.str_to_map(props_str, F.lit(","), F.lit("="))).otherwise(
-        F.create_map().cast(_MAP_SS)
-    )
+    bean_domain = objectname_domain(F.col("mbean_name"))
+    bean_props = objectname_props(F.col("mbean_name"))
 
     # Attribute bag: JSON objects parse to a map (nested composites stay
     # JSON strings); bare scalars become {'value': scalar}.
