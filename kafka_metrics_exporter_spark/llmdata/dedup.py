@@ -56,8 +56,12 @@ def shingles(
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
+    # spread the CPU-bound shingling across cores: a small parquet input
+    # arrives as 1-2 partitions, and AQE would otherwise keep it there
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        df.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -106,17 +110,51 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    return jaccard_pairs(shingles(df, text_col, id_col, n), threshold)
+    # the shingle relation feeds three plan branches (both join sides +
+    # set sizes): persist it, exactly as a 100 TB pipeline would
+    # materialize its shingle table before the self-join
+    sh = shingles(df, text_col, id_col, n).persist()
+    return jaccard_pairs(sh, threshold)
 
 
 # --- MinHash + LSH -----------------------------------------------------------
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _permutation_constants(num_hashes: int, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman constants: a ∈ [1, p-1], b ∈ [0, p-1]
+    for h_i = (a_i·h + b_i) mod p, p = 2^31-1."""
+    out = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (state >> 16) % (_MERSENNE_31 - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 16) % _MERSENNE_31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """H min-hash values per doc: xxhash64(seed_i, shingle) minimized
-    per seed.  One aggregate; signature rides as an array column."""
+    """H min-hash values per doc, minimized per permutation.
+
+    The shingle is hashed ONCE (xxhash64 → residue mod 2^31-1); the H
+    permutations are Carter-Wegman multiply-adds mod the same Mersenne
+    prime — products stay < 2^62, so no overflow under ANSI mode, and H
+    string hashes per shingle (~100× the work at 100 TB) are avoided."""
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)).cast("long")
+    consts = _permutation_constants(num_hashes)
     hashes = F.array(
-        *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)]
+        *[
+            F.pmod(F.lit(a).cast("long") * base + F.lit(b).cast("long"), F.lit(_MERSENNE_31))
+            for a, b in consts
+        ]
     )
-    per_shingle = sh.select("doc_id", hashes.alias("h"))
+    # hash-partition by doc_id: distributes the wide min-aggregate
+    # (AQE coalesces the upstream distinct to 1 partition otherwise) and
+    # pre-satisfies the groupBy distribution, so no further shuffle
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    per_shingle = sh.repartition(par, "doc_id").select("doc_id", hashes.alias("h"))
     mins = [
         F.min(F.col("h").getItem(i)).alias(f"_m{i}") for i in range(num_hashes)
     ]
@@ -177,9 +215,9 @@ def minhash_lsh_dedup(
     """shingle → minhash → band → bucket-join → exact-Jaccard verify.
     Output matches ngram_jaccard_dedup minus LSH false negatives
     (recall at J=0.5 with 32×4 bands ≈ 0.88; raise bands for more)."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands).persist()
     return jaccard_pairs(sh, threshold, candidates=cands)
 
 
@@ -188,7 +226,8 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """Sign-of-weighted-bit-sum signature over token hashes."""
-    toks = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.col(text_col))).alias("token"),
     ).withColumn("h", F.xxhash64("token"))
