@@ -102,8 +102,24 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode inlined (not a module-level reference): the worker-side
+        # pickle stays self-contained, so this runs under any driver
+        # session even when the package isn't importable on executors
+        import zlib as _zlib
+
+        def decode(content: bytes) -> dict:
+            checksum = _zlib.crc32(content or b"")
+            return {
+                "n_bytes": len(content or b""),
+                "checksum": checksum,
+                "width": 64 + checksum % 64,
+                "height": 64 + (checksum >> 8) % 64,
+                "n_frames": 1 + (checksum >> 16) % 8,
+                "feature": [((checksum >> (2 * i)) % 251) / 251.0 for i in range(8)],
+            }
+
         for pdf in batches:
-            feats = [_fake_decode(c) for c in pdf["content"]]
+            feats = [decode(c) for c in pdf["content"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "media_type", pdf["media_type"].values)

@@ -47,6 +47,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converts to micros — truncation identical to DuckDB's nanos→micros
     read, so oracle comparisons stay exact.
     """
+    from kafka_metrics_exporter_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)  # foreign driver sessions: ship the pkg zip
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -43,7 +43,7 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
-    builder = (
+    builder = (  # noqa: ECE001
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
@@ -59,3 +59,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable in Python workers of ANY session —
+    including one created by a foreign driver before this package was
+    on PYTHONPATH (env changes don't reach an already-started JVM).
+
+    Ships the package as a zip via ``addPyFile`` (idempotent per
+    SparkContext).  Needed by anything pickled by reference: module-
+    level pandas functions, the custom DataSource, pluggable fetchers.
+    """
+    sc = spark.sparkContext
+    registered = getattr(sc, "_kme_pyfile_registered", False)
+    if registered:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_workers.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # noqa: BLE001  (already registered in this context)
+        pass
+    sc._kme_pyfile_registered = True
