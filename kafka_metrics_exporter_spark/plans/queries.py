@@ -416,14 +416,22 @@ def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a11_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (matches DuckDB quantile_cont).
-    At 100 TB the same query swaps percentile → approx_percentile
-    (t-digest, single-pass mergeable sketch) — same plan shape."""
+    """Exact interpolated percentiles (matches DuckDB quantile_cont),
+    computed in ONE pass via the array form — three scalar percentile
+    aggregates would buffer/sort the group three times.  At 100 TB the
+    same query swaps percentile → approx_percentile (t-digest,
+    single-pass mergeable sketch) — same plan shape."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        _r4(F.percentile("l_extendedprice", 0.5)).alias("p50_price"),
-        _r4(F.percentile("l_extendedprice", 0.95)).alias("p95_price"),
-        _r4(F.percentile("l_extendedprice", 0.99)).alias("p99_price"),
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            _r4(F.col("_p").getItem(0)).alias("p50_price"),
+            _r4(F.col("_p").getItem(1)).alias("p95_price"),
+            _r4(F.col("_p").getItem(2)).alias("p99_price"),
+        )
     )
 
 
