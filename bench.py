@@ -51,6 +51,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             if not is_warmup:
                 timings[name] = round(time.perf_counter() - t0, 3)
+            # operators persist() shared intermediates; clear between
+            # queries so one query's cache doesn't skew the next
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -250,19 +250,43 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Scale path for cosine near-dup: bucket by hyperplane signature
-    (two 8-bit bands), exact cosine within candidate buckets."""
+    (two 8-bit bands), exact cosine within candidate buckets.
+
+    Signatures are computed numpy-batched ((V·Pᵀ > bias) packed to an
+    int) — one matmul per Arrow batch instead of n_planes interpreted
+    dot-aggregates per row."""
+    from collections.abc import Iterator
+
     dim = len(emb.select(vec_col).first()[vec_col])
     planes = hyperplanes(dim, n_planes)
     mu = mean_vector(emb, vec_col)
-    biases = [sum(a * b for a, b in zip(p, mu)) for p in planes]
-    sigs = emb.select(
+    P = np.array(planes, dtype="float64")  # (n_planes, dim)
+    bias = P @ np.array(mu, dtype="float64")
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def signature(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vid": [], "v": [], "sig": []})
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype("float64")
+            bits = (V @ P.T) > bias[None, :]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].values,
+                    "v": pdf["v"],
+                    "sig": (bits.astype("int64") * weights[None, :]).sum(axis=1),
+                }
+            )
+
+    base = emb.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), planes, biases).alias("sig"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    sigs = base.mapInPandas(signature, "vid long, v array<double>, sig long")
+    sigs = sigs.persist()  # feeds the band join (×2) and the vector lookups
     banded = sigs.select(
         "vid",
-        "v",
         F.posexplode(
             F.array(
                 F.col("sig").bitwiseAND(F.lit(0xFF)),
@@ -272,21 +296,21 @@ def embedding_near_dup_lsh(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # dedupe on the id pair BEFORE attaching vectors: distinct over
+    # array columns would shuffle the embeddings themselves
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
     )
+    va = sigs.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    vb = sigs.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = pair_ids.join(va, "vec_a").join(vb, "vec_b")
     cos = cosine_pairs_udf()
     return (
         pairs.withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
@@ -300,15 +324,76 @@ def embedding_near_dup_brute(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (oracle-parity baseline; the LSH
-    variant above is the scale path)."""
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_pairs_udf()
-    return (
-        pairs.withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+    """Exact all-pairs cosine near-dup via BLOCKED MATRIX MULTIPLY.
+
+    A row-pair join ships every vector ~N times through the shuffle
+    (2 GB of Arrow traffic for 2k x 64 floats); blocking replicates each
+    vector only ~n_blocks times: vectors go to the block-pair groups
+    their block participates in, and each group computes one numpy
+    A @ B.T. Exact results (oracle-parity), and the replication factor —
+    not N — is the scale knob at 100 TB.
+    """
+    from collections.abc import Iterator
+
+    nb = n_blocks
+    in_schema = "pair_key int, side int, vid long, v array<double>"
+
+    def replicate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"pair_key": [], "side": [], "vid": [], "v": []}
+            for vid, vec in zip(pdf["_id"], pdf["_v"]):
+                b = int(vid) % nb
+                vec = list(map(float, vec))
+                for other in range(nb):
+                    i, j = (b, other) if b <= other else (other, b)
+                    side = 0 if b == i else 1
+                    if i == j:
+                        side = 0  # intra-block: single side, triangle inside
+                    out["pair_key"].append(i * nb + j)
+                    out["side"].append(side)
+                    out["vid"].append(int(vid))
+                    out["v"].append(vec)
+            yield pd.DataFrame(out)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (pair_key,) = key
+        i, j = divmod(int(pair_key), nb)
+        pdf = pdf.drop_duplicates(subset=["side", "vid"])
+        A = pdf[pdf["side"] == 0]
+        ids_a = A["vid"].to_numpy()
+        MA = np.stack(A["v"].to_numpy()).astype("float64")
+        MA = MA / np.linalg.norm(MA, axis=1, keepdims=True)
+        if i == j:
+            ids_b, MB = ids_a, MA
+        else:
+            B = pdf[pdf["side"] == 1]
+            ids_b = B["vid"].to_numpy()
+            MB = np.stack(B["v"].to_numpy()).astype("float64")
+            MB = MB / np.linalg.norm(MB, axis=1, keepdims=True)
+        C = MA @ MB.T
+        ia, ib = np.where(C >= threshold)
+        va, vb = ids_a[ia], ids_b[ib]
+        if i == j:
+            # intra-block: every unordered pair appears twice (+ the
+            # self-diagonal) — keep the ordered half
+            keep = va < vb
+            va, vb, cs = va[keep], vb[keep], C[ia, ib][keep]
+        else:
+            # cross-block: each unordered pair appears exactly once, in
+            # arbitrary id orientation — canonicalize, don't filter
+            cs = C[ia, ib]
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cosine": np.round(cs, 4)}
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    replicated = base.mapInPandas(replicate, in_schema)
+    return replicated.groupBy("pair_key").applyInPandas(
+        score, "vec_a long, vec_b long, cosine double"
     )
