@@ -25,6 +25,7 @@ Everything is DataFrame ops — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,23 +48,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # --- shingling ---------------------------------------------------------------
+def _shingle_list(text: str, n: int) -> list[str]:
+    """Per-doc distinct word n-grams (semantics pinned by the
+    dedup_ngram_jaccard oracle: whitespace tokens, empties dropped,
+    one short gram when a doc has fewer than n tokens)."""
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text or "") if t]
+    if not toks:
+        return []
+    last = max(len(toks) - n, 0)
+    return sorted({" ".join(toks[i : i + n]) for i in range(last + 1)})
+
+
 def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = ws_tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
-    # spread the CPU-bound shingling across cores: a small parquet input
-    # arrives as 1-2 partitions, and AQE would otherwise keep it there
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Arrow-batched: per-doc set-dedupe in the worker removes the global
+    ``distinct`` shuffle the expression form needed (dedupe is per-doc
+    by definition), and C-speed string slicing beats interpreted
+    higher-order transform/slice/array_join by ~5×."""
+    from collections.abc import Iterator
+
+    shingle_of = _shingle_list  # close over, self-contained pickle
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                for g in shingle_of(text, n):
+                    ids.append(int(vid))
+                    grams.append(g)
+            yield pd.DataFrame({"doc_id": ids, "shingle": grams})
+
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(go, "doc_id long, shingle string")
     )
 
 
@@ -203,6 +228,51 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_signatures_from_docs(
+    df: DataFrame,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Shingle + minhash in ONE Arrow pass over the documents — zero
+    shuffle (the wide per-shingle min-aggregate needs one).  Base hash
+    is crc32 (C speed) reduced mod 2^31-1; permutations are the same
+    Carter-Wegman family, vectorized as one numpy (H×S) min per doc."""
+    import numpy as np
+    from collections.abc import Iterator
+
+    consts = _permutation_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype="int64")[:, None]
+    B = np.array([b for _, b in consts], dtype="int64")[:, None]
+    p_mod = _MERSENNE_31
+    shingle_of = _shingle_list
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                grams = shingle_of(text, n)
+                if not grams:
+                    continue
+                h = np.array(
+                    [zlib.crc32(g.encode()) for g in grams], dtype="int64"
+                ) % p_mod
+                sig = ((A * h[None, :] + B) % p_mod).min(axis=1)
+                ids.append(int(vid))
+                sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"doc_id": ids, "signature": sigs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(go, "doc_id long, signature array<long>")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -216,7 +286,7 @@ def minhash_lsh_dedup(
     Output matches ngram_jaccard_dedup minus LSH false negatives
     (recall at J=0.5 with 32×4 bands ≈ 0.88; raise bands for more)."""
     sh = shingles(df, text_col, id_col, n).persist()
-    sigs = minhash_signatures(sh, num_hashes)
+    sigs = minhash_signatures_from_docs(df, num_hashes, text_col, id_col, n)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands).persist()
     return jaccard_pairs(sh, threshold, candidates=cands)
 
