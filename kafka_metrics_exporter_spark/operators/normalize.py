@@ -166,3 +166,19 @@ def flat_json_column() -> Column:
 def to_json_records(metrics: DataFrame) -> DataFrame:
     """P3 as a one-column DataFrame (Kafka value shape)."""
     return metrics.select(flat_json_column().alias("value"))
+
+
+def composite_field(attr: str, path: str, dtype: str = "double") -> Column:
+    """Typed dotted-path extraction from a nested composite attribute.
+
+    The reference ships JMX CompositeData nested (its flattener is dead
+    code, Code/ReusableCodes.py:16-22) and dashboards query dotted paths
+    like ``HeapMemoryUsage.used`` (ELK/jmx_dashboard.json:106).  Usage:
+
+        metrics.select(composite_field("HeapMemoryUsage", "used"))
+    """
+    return (
+        F.get_json_object(F.col("attributes").getItem(attr), f"$.{path}")
+        .try_cast(dtype)
+        .alias(f"{attr}.{path}")
+    )

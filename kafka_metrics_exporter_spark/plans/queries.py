@@ -798,6 +798,28 @@ def o4_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O5: intersect — absent in the reference (SURVEY §2.6), provided for
+# set-op completeness: customers active in BOTH halves of the window.
+# ---------------------------------------------------------------------------
+@query(
+    "o5_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+# ---------------------------------------------------------------------------
 # P1 (oracle form): ObjectName pivot on constructed mbean strings —
 # the same split/extract the normalizer does, checkable in SQL
 # (reference Code/JMXScraper.py:99-106).

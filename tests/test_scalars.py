@@ -1,0 +1,64 @@
+"""Scalar helper coverage: P9 URL normalization, P8 netloc, composite
+dotted-path extraction, and the CLI poll-interval floor (W5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.app import JMX_POLL_FLOOR_SECS, build_parser
+from kafka_metrics_exporter_spark.functions import (
+    host_from_url,
+    objectname_domain,
+    objectname_props,
+    url_normalize_col,
+)
+from kafka_metrics_exporter_spark.operators.normalize import composite_field
+
+
+def _one(spark, value: str, col):
+    return spark.createDataFrame([(value,)], ["u"]).select(col(F.col("u")).alias("x")).first()["x"]
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("kafka1:49901", "http://kafka1:49901"),
+        ("http://kafka1:49901//jolokia//read", "http://kafka1:49901/jolokia/read"),
+        ("https://h:1/a/b", "https://h:1/a/b"),
+    ],
+)
+def test_url_normalize(spark, raw, expected):
+    assert _one(spark, raw, url_normalize_col) == expected
+
+
+def test_host_from_url_with_jolokia_path(spark):
+    assert (
+        _one(spark, "http://kafka1:49901/jolokia/read/kafka.*:*", host_from_url)
+        == "kafka1:49901"
+    )
+
+
+def test_objectname_helpers(spark):
+    mbean = "kafka.server:type=BrokerTopicMetrics,name=X,topic=t1"
+    assert _one(spark, mbean, objectname_domain) == "kafka.server"
+    props = _one(spark, mbean, objectname_props)
+    assert props == {"type": "BrokerTopicMetrics", "name": "X", "topic": "t1"}
+    assert _one(spark, "no-colon-here", objectname_props) == {}
+
+
+def test_composite_field_dotted_path(spark):
+    heap = json.dumps({"init": 1, "used": 42, "committed": 3, "max": 4})
+    df = spark.createDataFrame([([("HeapMemoryUsage", heap)],)], "attrs array<struct<key:string,value:string>>")
+    df = df.select(F.map_from_entries("attrs").alias("attributes"))
+    row = df.select(composite_field("HeapMemoryUsage", "used")).first()
+    assert row["HeapMemoryUsage.used"] == 42.0
+
+
+def test_poll_interval_floor():
+    args = build_parser().parse_args(
+        ["--jmx-kafka-server", "k:1", "--sink-parquet", "/tmp/x", "--poll-interval", "5"]
+    )
+    assert max(args.poll_interval, JMX_POLL_FLOOR_SECS) == 15  # reference floor
