@@ -111,11 +111,13 @@ def train_centroids(
     `iters` rounds of assign(broadcast centroids) → groupBy-mean.  Each
     round is one scan + one tiny-key shuffle; centroids stay
     driver-side (n_cells × dim floats — catalog-sized)."""
-    assigned = emb.select(
+    base = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        (F.xxhash64(F.col(id_col)) % n_cells).cast("int").alias("cell"),
-    ).withColumn("cell", F.abs("cell"))
+    ).persist()  # each training round rescans it; cache once
+    assigned = base.withColumn(
+        "cell", F.abs((F.xxhash64(F.col("_id")) % n_cells).cast("int"))
+    )
     dim = len(assigned.select("v").first()["v"])
 
     def mean_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
@@ -130,10 +132,7 @@ def train_centroids(
 
     cents = mean_centroids(assigned)
     for _ in range(iters):
-        assigned = assign_cells(
-            assigned.select("_id", "v"), cents, vec_col="v", id_col="_id"
-        )
-        cents = mean_centroids(assigned)
+        cents = mean_centroids(assign_cells(base, cents, vec_col="v", id_col="_id"))
     return sorted(cents)
 
 

@@ -60,3 +60,33 @@ def test_jvm_only_queries_have_no_python_eval(spark, sf_dir):
 def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     p = plan_of(spark, sf_dir, "a9_topk_of_avg")
     assert "TakeOrderedAndProject" in p
+
+
+def test_blocked_near_dup_has_single_shuffle(spark, sf_dir):
+    """Blocked matmul: exactly one exchange (the pair_key groupBy) —
+    vectors must not flow through a join shuffle."""
+    import kafka_metrics_exporter_spark.plans  # noqa: F401  (registers llm queries)
+
+    p = plan_of(spark, sf_dir, "embed_near_dup_cosine")
+    # repartition (input spread) + groupBy pair_key; no join exchanges
+    assert "Join" not in p
+    assert p.count("+- Exchange") <= 2  # scan-spread + pair_key groupBy
+
+
+def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
+    """Per-doc signature computation is shuffle-free apart from the
+    input-spreading repartition."""
+    from kafka_metrics_exporter_spark.llmdata.dedup import (
+        minhash_signatures_from_docs,
+    )
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    import contextlib, io
+
+    df = minhash_signatures_from_docs(_t(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "HashAggregate" not in p and "Join" not in p
+    assert p.count("+- Exchange") == 1  # only the round-robin input spread
