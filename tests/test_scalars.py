@@ -62,3 +62,11 @@ def test_poll_interval_floor():
         ["--jmx-kafka-server", "k:1", "--sink-parquet", "/tmp/x", "--poll-interval", "5"]
     )
     assert max(args.poll_interval, JMX_POLL_FLOOR_SECS) == 15  # reference floor
+
+
+def test_objectname_value_containing_equals(spark):
+    """ObjectName values may contain '=': the pivot must split each
+    key-property at the FIRST '=' only, like the reference's
+    split('=', 1) (Code/JMXScraper.py:113-115)."""
+    props = _one(spark, "d:k1=v1=extra,k2=v2", objectname_props)
+    assert props == {"k1": "v1=extra", "k2": "v2"}
