@@ -77,6 +77,34 @@ def windowed_rollup(
     )
 
 
+def latest_rollup(metrics: DataFrame) -> DataFrame:
+    """A6 streaming form: latest sample per (server, host, mbean) —
+    Kibana's pervasive top_hits size=1 (reference ELK/jmx_dashboard
+    .json:88,186,242,452) as an update-mode streaming aggregate.
+
+    ``max_by(value-struct, (ts, tiebreak))`` keeps exactly one row of
+    state per series; emit with outputMode("update") so sinks receive a
+    row whenever a series' latest changes — the live-dashboard
+    semantics.  (The batch twin is operators.latest_per_key.)
+    """
+    ordering = F.struct(F.col("created_ts"), F.col("mbean_name"))
+    payload = F.struct(
+        F.col("created_ts").alias("latest_ts"),
+        F.col("num_attributes").alias("latest_attributes"),
+    )
+    return (
+        metrics.groupBy("server_type", "host_name", "mbean_name")
+        .agg(F.max_by(payload, ordering).alias("_latest"))
+        .select(
+            "server_type",
+            "host_name",
+            "mbean_name",
+            F.col("_latest.latest_ts").alias("latest_ts"),
+            F.col("_latest.latest_attributes").alias("latest_attributes"),
+        )
+    )
+
+
 def with_connect_rest(
     metrics_batch: DataFrame,
     endpoints: list[str],
