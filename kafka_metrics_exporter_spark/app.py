@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
         dest="common_mbeans",
         help="MBean patterns polled from every server (default java.lang:type=Memory)",
     )
+    src.add_argument(
+        "--connect-rest-endpoint",
+        action="append",
+        default=[],
+        dest="connect_endpoints",
+        help="Kafka Connect REST base URL; status metrics join the stream "
+        "as synthetic JMX records (two-phase scan inside the source)",
+    )
     src.add_argument("--fetcher", default=None, help="module:attr fetcher override")
     src.add_argument("--jmx-poll-timeout", type=float, default=10.0)
 
@@ -71,8 +79,13 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
         for attr, stype in SERVER_ARG_TO_TYPE.items()
         if getattr(args, attr)
     }
+    if not servers and not args.connect_endpoints:
+        raise SystemExit(
+            "at least one source is required "
+            "(--jmx-*-server / --connect-rest-endpoint)"
+        )
     if not servers:
-        raise SystemExit("at least one --jmx-*-server source is required")
+        return []
     return build_url_catalog(servers, common_mbeans=args.common_mbeans)
 
 
@@ -96,7 +109,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from kafka_metrics_exporter_spark.streaming.pipeline import streaming_metrics
 
     metrics = streaming_metrics(
-        spark, catalog, fetcher=args.fetcher, timeout=args.jmx_poll_timeout
+        spark,
+        catalog,
+        fetcher=args.fetcher,
+        timeout=args.jmx_poll_timeout,
+        connect_endpoints=args.connect_endpoints or None,
     )
 
     interval = max(args.poll_interval, JMX_POLL_FLOOR_SECS)

@@ -133,6 +133,7 @@ def train_centroids(
     cents = mean_centroids(assigned)
     for _ in range(iters):
         cents = mean_centroids(assign_cells(base, cents, vec_col="v", id_col="_id"))
+    base.unpersist()  # centroids are collected; don't leak executor memory
     return sorted(cents)
 
 

@@ -162,6 +162,59 @@ def status_to_jmx_records(status: DataFrame) -> DataFrame:
     )
 
 
+def connect_snapshot_body(
+    endpoint: str, fetcher_ref: str, timeout: float = 10.0
+) -> str | None:
+    """One endpoint's full status snapshot as a SYNTHETIC Jolokia
+    wildcard-read body: ``{"request": {"mbean": "kafka.connect.api.
+    rest:*"}, "value": {objectname: attrs, ...}}``.
+
+    This is the reference's trick inverted at the source: REST rows are
+    re-keyed to JMX ObjectNames so ONE downstream pipeline handles both
+    sources (reference Code/ConnectRESTMetrics.py:143-169 feeding
+    Code/JMXScraper.py:166-183) — here normalize_scrapes consumes the
+    envelope with zero special-casing.  Runs inside a source task, so
+    each Connect endpoint is one partition of the polling DataSource.
+    """
+    fetcher = resolve_fetcher(fetcher_ref)
+    listing = fetcher(endpoint.rstrip("/") + "/connectors", timeout)
+    if listing is None:
+        return None
+    value: dict[str, dict] = {}
+    for name in json.loads(listing):
+        body = fetcher(f"{endpoint.rstrip('/')}/connectors/{name}/status", timeout)
+        if body is None:
+            continue
+        doc = json.loads(body)
+        conn_state = (doc.get("connector") or {}).get("state")
+        ctype = doc.get("type")
+        tasks = doc.get("tasks") or []
+        if tasks:
+            for t in tasks:
+                key = (
+                    f"{BEAN_NAME}:type={BEAN_TYPE},connector={doc.get('name', name)},"
+                    f"connector-type={ctype},task-id={t.get('id')}"
+                )
+                value[key] = {
+                    "connector-status": conn_state,
+                    "task-status": t.get("state"),
+                    "task-worker-id": t.get("worker_id"),
+                }
+        else:
+            key = (
+                f"{BEAN_NAME}:type={BEAN_TYPE},connector={doc.get('name', name)},"
+                f"connector-type={ctype}"
+            )
+            value[key] = {"connector-status": conn_state}
+    return json.dumps(
+        {
+            "request": {"mbean": f"{BEAN_NAME}:*", "type": "read"},
+            "status": 200,
+            "value": value,
+        }
+    )
+
+
 def connect_rest_scan(
     spark: SparkSession,
     endpoints: list[str],

@@ -78,17 +78,27 @@ def build_url_catalog(
 
 
 class _UrlPartition(InputPartition):
-    def __init__(self, server_type: str, url: str, execution_ts: int):
+    def __init__(self, server_type: str, url: str, execution_ts: int, kind: str = "jolokia"):
         self.server_type = server_type
         self.url = url
         self.execution_ts = execution_ts
+        self.kind = kind  # "jolokia" HTTP GET | "connect" two-phase REST
 
 
 def _read_partition(part: _UrlPartition, fetcher_ref: str, timeout: float):
-    from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
+    if part.kind == "connect":
+        # two-phase REST scan collapsed into a synthetic Jolokia body
+        # (S3/J4; reference Code/ConnectRESTMetrics.py:143-169)
+        from kafka_metrics_exporter_spark.sources.connect_rest import (
+            connect_snapshot_body,
+        )
 
-    fetcher = resolve_fetcher(fetcher_ref)
-    body = fetcher(part.url, timeout)
+        body = connect_snapshot_body(part.url, fetcher_ref, timeout)
+    else:
+        from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
+
+        fetcher = resolve_fetcher(fetcher_ref)
+        body = fetcher(part.url, timeout)
     status = 200 if body is not None else 599
     # RAW_SCRAPE_SCHEMA order: target_url, server_type, execution_ts, status, body
     yield (part.url, part.server_type, part.execution_ts, status, body)
@@ -111,9 +121,17 @@ class _JolokiaReaderMixin:
             "fetcher", "kafka_metrics_exporter_spark.sources.fetchers:http_fetcher"
         )
         self.timeout = float(options.get("timeout", "10"))
+        self.connect_endpoints: list[str] = json.loads(
+            options.get("connect_endpoints", "[]")
+        )
 
     def _partitions(self, execution_ts: int):
-        return [_UrlPartition(t, u, execution_ts) for t, u in self.catalog]
+        parts = [_UrlPartition(t, u, execution_ts) for t, u in self.catalog]
+        parts += [
+            _UrlPartition("KafkaConnect", ep, execution_ts, kind="connect")
+            for ep in self.connect_endpoints
+        ]
+        return parts
 
 
 class JolokiaBatchReader(_JolokiaReaderMixin, DataSourceReader):
@@ -179,6 +197,7 @@ def read_jolokia(
     fetcher: str | None = None,
     timeout: float = 10.0,
     streaming: bool = False,
+    connect_endpoints: list[str] | None = None,
 ) -> DataFrame:
     register_jolokia_source(spark)
     reader = spark.readStream if streaming else spark.read
@@ -189,4 +208,6 @@ def read_jolokia(
     )
     if fetcher:
         r = r.option("fetcher", fetcher)
+    if connect_endpoints:
+        r = r.option("connect_endpoints", json.dumps(list(connect_endpoints)))
     return r.load()

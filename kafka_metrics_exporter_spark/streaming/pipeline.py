@@ -27,10 +27,19 @@ def streaming_metrics(
     catalog: list[tuple[str, str]],
     fetcher: str | None = None,
     timeout: float = 10.0,
+    connect_endpoints: list[str] | None = None,
 ) -> DataFrame:
     """Streaming normalized-metrics DataFrame: one poll cycle per
-    micro-batch over the scrape catalog."""
-    raw = read_jolokia(spark, catalog, fetcher=fetcher, timeout=timeout, streaming=True)
+    micro-batch over the scrape catalog; Connect REST endpoints ride
+    as extra source partitions emitting synthetic Jolokia envelopes."""
+    raw = read_jolokia(
+        spark,
+        catalog,
+        fetcher=fetcher,
+        timeout=timeout,
+        streaming=True,
+        connect_endpoints=connect_endpoints,
+    )
     return normalize_scrapes(raw)
 
 

@@ -171,3 +171,32 @@ def test_merge_server_lists_union_and_new_types():
     )
     assert merged["KafkaBroker"] == ["http://k1:1", "http://k2:1", "http://k3:1"]
     assert merged["KSQL"] == ["http://q1:1"]
+
+
+def test_connect_endpoints_ride_the_datasource(spark):
+    """Connect REST endpoints become extra source partitions emitting a
+    synthetic Jolokia envelope that the stock normalizer consumes."""
+    from kafka_metrics_exporter_spark.sources.jolokia import read_jolokia
+
+    cat = build_url_catalog({"KafkaBroker": ["kafka1:49901"]}, common_mbeans=[])
+    raw = read_jolokia(
+        spark,
+        cat,
+        fetcher="tests.fake_connect_and_jolokia:fetch",
+        connect_endpoints=["http://connect1:8083"],
+    )
+    rows = raw.collect()
+    assert len(rows) == 2  # 1 jolokia URL + 1 connect endpoint
+    m = normalize_scrapes(raw)
+    by_domain = {}
+    for r in m.collect():
+        by_domain.setdefault(r["bean_domain"], []).append(r)
+    assert "kafka.connect.api.rest" in by_domain
+    connect_rows = by_domain["kafka.connect.api.rest"]
+    assert len(connect_rows) == 3  # 2 task rows + 1 connector-only row
+    assert all(r["server_type"] == "KafkaConnect" for r in connect_rows)
+    assert any(
+        r["bean_props"].get("task-id") == "0"
+        and r["attributes"]["task-status"] == "RUNNING"
+        for r in connect_rows
+    )
