@@ -71,16 +71,33 @@ def cosine_pairs_udf():
     return _cos
 
 
+def _partial_vec_sums(emb: DataFrame, vec_col: str) -> DataFrame:
+    """One (sum_vec, n) row per Arrow batch — the map-side combine of a
+    vector mean.  Replaces a dim-wide avg() agg whose generated code
+    (64 aggregate buffers) cost more to JIT than the data it scanned."""
+    from collections.abc import Iterator
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype("float64")
+            yield pd.DataFrame({"s": [list(V.sum(axis=0))], "n": [len(V)]})
+
+    return emb.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    ).mapInPandas(go, "s array<double>, n long")
+
+
 def mean_vector(emb: DataFrame, vec_col: str = "embedding") -> list[float]:
-    """Corpus mean vector (one tiny agg; used to center LSH signatures —
-    uncentered sign-bits collapse when the corpus has a dominant
-    direction)."""
-    dim = len(emb.select(vec_col).first()[vec_col])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    row = emb.select(v.alias("v")).agg(
-        *[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    return [row[f"m{i}"] for i in range(dim)]
+    """Corpus mean vector (used to center LSH signatures — uncentered
+    sign-bits collapse when the corpus has a dominant direction).
+    Partition partials reduce driver-side: ≤1 row per batch crosses the
+    wire, so this is one narrow scan at any corpus size."""
+    rows = _partial_vec_sums(emb, vec_col).collect()
+    S = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    n = sum(r["n"] for r in rows)
+    return [float(x) for x in S / max(n, 1)]
 
 
 def brute_force_topk(
@@ -111,6 +128,8 @@ def train_centroids(
     `iters` rounds of assign(broadcast centroids) → groupBy-mean.  Each
     round is one scan + one tiny-key shuffle; centroids stay
     driver-side (n_cells × dim floats — catalog-sized)."""
+    from collections.abc import Iterator
+
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -118,16 +137,33 @@ def train_centroids(
     assigned = base.withColumn(
         "cell", F.abs((F.xxhash64(F.col("_id")) % n_cells).cast("int"))
     )
-    dim = len(assigned.select("v").first()["v"])
+
+    def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # map-side combine: ≤n_cells rows per Arrow batch reach the
+        # driver, replacing a dim-wide sum() agg (64 codegen buffers)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype("float64")
+            cells = pdf["cell"].to_numpy()
+            out_c, out_s, out_n = [], [], []
+            for c in np.unique(cells):
+                m = cells == c
+                out_c.append(int(c))
+                out_s.append(list(V[m].sum(axis=0)))
+                out_n.append(int(m.sum()))
+            yield pd.DataFrame({"cell": out_c, "s": out_s, "n": out_n})
 
     def mean_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
-        sums = df.groupBy("cell").agg(
-            *[F.sum(F.col("v").getItem(i)).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        )
+        rows = df.select("cell", "v").mapInPandas(
+            partial_sums, "cell int, s array<double>, n long"
+        ).collect()
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in rows:
+            s, n = acc.get(r["cell"], (0.0, 0))
+            acc[r["cell"]] = (s + np.asarray(r["s"]), n + r["n"])
         return [
-            (r["cell"], [r[f"s{i}"] / r["n"] for i in range(dim)])
-            for r in sums.collect()
+            (cell, [float(x) for x in s / n]) for cell, (s, n) in acc.items()
         ]
 
     cents = mean_centroids(assigned)
@@ -257,9 +293,9 @@ def embedding_near_dup_lsh(
     dot-aggregates per row."""
     from collections.abc import Iterator
 
-    dim = len(emb.select(vec_col).first()[vec_col])
+    mu = mean_vector(emb, vec_col)  # also yields dim: one probe job, not two
+    dim = len(mu)
     planes = hyperplanes(dim, n_planes)
-    mu = mean_vector(emb, vec_col)
     P = np.array(planes, dtype="float64")  # (n_planes, dim)
     bias = P @ np.array(mu, dtype="float64")
     weights = (1 << np.arange(n_planes)).astype("int64")
