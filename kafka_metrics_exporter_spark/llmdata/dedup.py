@@ -98,7 +98,19 @@ def jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # set sizes (Jaccard denominators) come from the FULL relation …
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if candidates is not None:
+        # … but the pairwise-intersection self-join only needs shingles
+        # of docs that appear in a candidate pair — at LSH selectivity
+        # that prunes the join input by orders of magnitude before the
+        # quadratic step, which is the whole point of the sketch
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -107,6 +119,8 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
+        # docs can share shingles without sharing a band — keep only
+        # true candidate pairs
         inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
@@ -194,17 +208,17 @@ def lsh_candidate_pairs(
     """Band the signature; docs colliding in any band become candidate
     pairs.  The bucket join shuffles on (band, bucket_hash) — uniform by
     construction, so no skew mitigation needed."""
+    # multi-arg xxhash64 over getItem: pure codegen'd projection — the
+    # slice→transform→array_join form evaluated 32 interpreted
+    # higher-order chains per row (~2.5 s of the sf0.1 query)
     band_hashes = F.array(
         *[
             F.xxhash64(
                 F.lit(b),
-                F.array_join(
-                    F.transform(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                ),
+                *[
+                    F.col("signature").getItem(b * rows_per_band + i)
+                    for i in range(rows_per_band)
+                ],
             )
             for b in range(bands)
         ]
