@@ -152,6 +152,31 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scale_salted_agg",
+    """
+    SELECT event_type,
+           round(SUM(value), 4) AS sum_value,
+           COUNT(*)             AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 under key skew: two-stage salted aggregation (operators/
+    scale.py).  Stage 1 groups by (key, salt) so no reducer sees more
+    than ~1/16 of the hottest key; stage 2 recombines 16 partials per
+    key — identical results to the direct groupBy (the oracle is the
+    unsalted SQL), different shuffle shape.  The skew insurance for
+    aggregations AQE's skew-join handling doesn't cover."""
+    from kafka_metrics_exporter_spark.operators.scale import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum_count(ev, ["event_type"], "value", salt_buckets=16)
+    return out.select(
+        "event_type", F.round("sum_value", 4).alias("sum_value"), "n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6/W4: latest-value per key — Kibana top_hits size=1 by createdDateTime
 # desc (reference ELK/jmx_dashboard.json:88,186,242,452).
