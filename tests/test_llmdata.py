@@ -56,16 +56,20 @@ def test_ngram_jaccard_finds_planted_pairs(planted_docs):
 
 def test_minhash_lsh_recall_vs_exact(planted_docs):
     exact = {
-        (r["doc_a"], r["doc_b"])
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_dedup(planted_docs, threshold=0.5).collect()
     }
     lsh = {
-        (r["doc_a"], r["doc_b"])
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.minhash_lsh_dedup(planted_docs, threshold=0.5).collect()
     }
-    assert lsh <= exact  # verify stage guarantees no false positives
+    assert set(lsh) <= set(exact)  # verify stage guarantees no false positives
     assert len(lsh) >= 0.8 * len(exact)  # banding recall at J≥0.5
     assert (100, 103) in lsh  # exact dups always collide
+    # the candidate-pruned verify must compute the SAME jaccard as the
+    # full inverted-index path (set sizes come from the full relation)
+    for pair, j in lsh.items():
+        assert j == exact[pair], f"{pair}: pruned {j} != exact {exact[pair]}"
 
 
 def test_simhash_flags_planted_near_dups(planted_docs):
