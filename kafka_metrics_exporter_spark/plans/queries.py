@@ -575,6 +575,49 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w7b_sliding_window",
+    """
+    WITH x AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '12 hours', ts) AS b
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, b AS ws FROM x
+      UNION ALL
+      SELECT event_type, value, b - INTERVAL '12 hours' AS ws FROM x
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           round(SUM(value), 4) AS sum_value,
+           COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def w7b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-day width, 12-hour slide — each
+    event lands in exactly width/slide = 2 windows.  Spark's window()
+    expands the overlap before the aggregate (one explode + one
+    shuffle); the oracle replays that expansion as a 2-way UNION ALL of
+    12-hour buckets (both engines epoch-align sub-day buckets, DuckDB
+    via time_bucket's 2000-01-03 origin, a whole number of days from
+    the epoch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), F.col("event_type")
+        )
+        .agg(_r4(F.sum("value")).alias("sum_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "sum_value",
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # P1-P5 end-to-end: the normalizer itself under oracle check — Jolokia
 # envelopes are synthesized from `part` rows, pushed through
