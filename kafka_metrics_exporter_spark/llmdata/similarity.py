@@ -48,29 +48,6 @@ def _query_col(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
-def cosine_pairs_udf():
-    """Arrow-vectorized cosine over two array columns.
-
-    The zip_with/aggregate form is interpreted per element (~1 us/elem);
-    for pairwise scoring (millions of pairs x dims) the numpy batch path
-    is the documented fast lane, ~100x quicker."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(va.to_numpy()).astype("float64")
-        B = np.stack(vb.to_numpy()).astype("float64")
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, 0.0)
-        return pd.Series(out)
-
-    return _cos
-
-
 def _partial_vec_sums(emb: DataFrame, vec_col: str) -> DataFrame:
     """One (sum_vec, n) row per Arrow batch — the map-side combine of a
     vector mean.  Replaces a dim-wide avg() agg whose generated code
@@ -320,9 +297,18 @@ def embedding_near_dup_lsh(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     sigs = base.mapInPandas(signature, "vid long, v array<double>, sig long")
-    sigs = sigs.persist()  # feeds the band join (×2) and the vector lookups
+    # Each vector travels to its 2 band buckets (replication factor = the
+    # band count, NOT N), and every bucket scores itself with a single
+    # normalized matmul — the same blocked-matmul core as the brute path,
+    # but over LSH-pruned groups.  One shuffle of the vectors, one small
+    # distinct over surviving pairs; no pair-id self-join, no
+    # vector-attach joins, no per-pair Python.  At 100 TB the knob is
+    # band width (more buckets → smaller groups); a hot bucket can
+    # additionally be split by salting the group key and cross-scoring
+    # the salt blocks, exactly like embedding_near_dup_brute.
     banded = sigs.select(
         "vid",
+        "v",
         F.posexplode(
             F.array(
                 F.col("sig").bitwiseAND(F.lit(0xFF)),
@@ -330,28 +316,28 @@ def embedding_near_dup_lsh(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # dedupe on the id pair BEFORE attaching vectors: distinct over
-    # array columns would shuffle the embeddings themselves
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype("float64")
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = V @ V.T
+        ia, ib = np.where(C >= threshold)
+        keep = ids[ia] < ids[ib]  # unordered pairs once; drops the diagonal
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "cosine": np.round(C[ia, ib][keep], 4),
+            }
         )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
-        .distinct()
-    )
-    va = sigs.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
-    vb = sigs.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = pair_ids.join(va, "vec_a").join(vb, "vec_b")
-    cos = cosine_pairs_udf()
+
+    # a pair sharing both bands is emitted twice with a bit-identical
+    # cosine (same float64 inputs, same matmul) — distinct collapses it
     return (
-        pairs.withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        banded.groupBy("band", "bucket")
+        .applyInPandas(score, "vec_a long, vec_b long, cosine double")
+        .distinct()
     )
 
 
