@@ -98,19 +98,70 @@ def jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    # set sizes (Jaccard denominators) come from the FULL relation …
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if candidates is not None:
-        # … but the pairwise-intersection self-join only needs shingles
-        # of docs that appear in a candidate pair — at LSH selectivity
-        # that prunes the join input by orders of magnitude before the
-        # quadratic step, which is the whole point of the sketch
+        # LSH already named the pairs — verify them directly: collect
+        # each candidate doc's shingle-hash set (its full set survives
+        # the semi-join, so array length IS the Jaccard denominator),
+        # attach both sets to each pair, and intersect in one Arrow
+        # pass.  This replaces the shingle-level self-join + pair
+        # groupBy + two size joins with two equi-joins over the (small,
+        # LSH-pruned) pair set — the shuffle volume is candidate-degree
+        # × set bytes, not Σ shingle-frequency².
+        from collections.abc import Iterator
+
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(cand_docs, "doc_id", "left_semi")
+        doc_sets = (
+            sh.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.xxhash64("shingle")).alias("hs"))
+        )
+        pairs = candidates.join(
+            doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("_ha")),
+            "doc_a",
+        ).join(
+            doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("_hb")),
+            "doc_b",
+        )
+
+        def jac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Spark's round() is HALF_UP over the double's shortest
+            # decimal repr (BigDecimal.valueOf); Python's round() is
+            # half-even — Decimal(repr(x)) reproduces Spark bit-for-bit
+            # so the pruned path stays value-equal to the exact path
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.0001")
+
+            def r4(x: float) -> float:
+                return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+            for pdf in batches:
+                out_a, out_b, out_j = [], [], []
+                for da, db, ha, hb in zip(
+                    pdf["doc_a"], pdf["doc_b"], pdf["_ha"], pdf["_hb"]
+                ):
+                    sa, sb_ = set(ha), set(hb)
+                    n_common = len(sa & sb_)
+                    j = r4(n_common / (len(sa) + len(sb_) - n_common))
+                    if j >= threshold:
+                        out_a.append(int(da))
+                        out_b.append(int(db))
+                        out_j.append(j)
+                yield pd.DataFrame(
+                    {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}
+                )
+
+        return pairs.mapInPandas(jac, "doc_a long, doc_b long, jaccard double")
+
+    # exact path (no sketch): inverted-index self-join — the join key
+    # (shingle) is selective, so the pair blow-up is Σ freq(shingle)²,
+    # not N².  Set sizes (Jaccard denominators) come from the full
+    # relation.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -118,10 +169,6 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    if candidates is not None:
-        # docs can share shingles without sharing a band — keep only
-        # true candidate pairs
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
     return (
@@ -226,16 +273,30 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # gather each bucket's members with ONE shuffle and expand pairs
+    # in place (JVM-side nested transform) — a bucket self-join would
+    # shuffle both sides on the same key and add a join stage for the
+    # same skew profile (a hot bucket concentrates either way; bucket
+    # width, i.e. rows_per_band, is the knob that keeps buckets small)
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    F.col("ids"), lambda b: F.struct(a.alias("x"), b.alias("y"))
+                ),
+            )
+        ),
+        lambda p: p["x"] < p["y"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        members.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
         .distinct()
     )
 
@@ -297,7 +358,10 @@ def minhash_lsh_dedup(
     """shingle → minhash → band → bucket-join → exact-Jaccard verify.
     Output matches ngram_jaccard_dedup minus LSH false negatives
     (recall at J=0.5 with 32×4 bands ≈ 0.88; raise bands for more)."""
-    sh = shingles(df, text_col, id_col, n).persist()
+    # shingles feed a single consumer here (the candidate-doc set
+    # collection inside jaccard_pairs) — no persist; the candidate pair
+    # set feeds three branches (both union arms + the pair join)
+    sh = shingles(df, text_col, id_col, n)
     sigs = minhash_signatures_from_docs(df, num_hashes, text_col, id_col, n)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands).persist()
     return jaccard_pairs(sh, threshold, candidates=cands)
