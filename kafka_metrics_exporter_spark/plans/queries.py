@@ -618,6 +618,48 @@ def w7b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w8_frame_specs",
+    """
+    SELECT user_id, event_id,
+           -- DuckDB SUM(BIGINT) widens to HUGEINT (float64 via pandas);
+           -- cast back so both engines hash as int64
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq,
+           round(MAX(value) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS max3
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def w8_frame_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs beyond the reference's W2-W4 (SURVEY §2.5
+    marks them "built-in if needed"): per-series running total, row
+    sequence number, and a 3-row trailing max.  One shuffle on the
+    series key serves all three frames (same window spec → one Window
+    physical node); the event_type filter is pushed to the parquet
+    scan.  The running SUM accumulates integers (floored cents) —
+    engines disagree on float accumulation order inside sliding
+    frames, integer sums are exact in both."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(running)
+        .alias("running_cents"),
+        F.count(F.lit(1)).over(running).alias("event_seq"),
+        _r4(F.max("value").over(last3)).alias("max3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P1-P5 end-to-end: the normalizer itself under oracle check — Jolokia
 # envelopes are synthesized from `part` rows, pushed through
