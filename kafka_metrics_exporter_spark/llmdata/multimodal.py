@@ -15,7 +15,7 @@ the standard shape for CPU-bound media preprocessing on a cluster.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,7 +44,7 @@ MEDIA_SCHEMA = T.StructType(
 
 _FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, checksum long, "
-    "width int, height int, n_frames int, feature array<float>"
+    "width int, height int, n_frames int, feature array<double>"
 )
 
 
@@ -75,8 +75,13 @@ def attach_binary_column(
 def _fake_decode(content: bytes) -> dict:
     """Deterministic decode stub: real deployments replace this with
     PIL/libav; everything around it (batching, schema, partitioning)
-    is identical."""
-    checksum = zlib.crc32(content or b"")
+    is identical.
+
+    The checksum is the first 48 bits of md5(content) so an external
+    SQL oracle can reproduce every derived field:
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT`` in DuckDB.
+    """
+    checksum = int(hashlib.md5(content or b"").hexdigest()[:12], 16)
     return {
         "n_bytes": len(content or b""),
         "checksum": checksum,
@@ -105,10 +110,10 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
         # decode inlined (not a module-level reference): the worker-side
         # pickle stays self-contained, so this runs under any driver
         # session even when the package isn't importable on executors
-        import zlib as _zlib
+        import hashlib as _hashlib
 
         def decode(content: bytes) -> dict:
-            checksum = _zlib.crc32(content or b"")
+            checksum = int(_hashlib.md5(content or b"").hexdigest()[:12], 16)
             return {
                 "n_bytes": len(content or b""),
                 "checksum": checksum,

@@ -229,13 +229,50 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
-@query("multimodal_features")  # mapInPandas stub decode: rows-only check
+_MM_FEATURE_SQL = ",\n           ".join(
+    f"((checksum >> {2 * i}) % 251) / 251.0 AS f{i}" for i in range(8)
+)
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             'image' AS media_type,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS checksum
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes, checksum,
+           CAST(64 + checksum % 64 AS INT) AS width,
+           CAST(64 + (checksum >> 8) % 64 AS INT) AS height,
+           CAST(1 + (checksum >> 16) % 8 AS INT) AS n_frames,
+           {_MM_FEATURE_SQL}
+    FROM m
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: wrap document text bytes as media
     content, extract features through the Arrow-batched decode stub —
-    the exact shape a PIL/libav decoder plugs into."""
+    the exact shape a PIL/libav decoder plugs into.
+
+    The feature vector is exploded to scalar ``f0..f7`` doubles so the
+    result is hash-stable for external canonicalizers (a raw
+    ``array<double>`` cell can't be sorted/factorized by pandas); the
+    md5-derived decode stub makes every field DuckDB-expressible."""
     d = _t(spark, sf_dir, "documents")
     media = multimodal.attach_binary_column(
         d, payload_col="text", id_col="doc_id", media_type="image", source_col="source"
     )
-    return multimodal.extract_features(media, decoder="fake")
+    feats = multimodal.extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        "n_frames",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
