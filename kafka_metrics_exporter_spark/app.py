@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     sink.add_argument("--kafka-bootstrap-servers", default=None)
     sink.add_argument("--kafka-topic", default="jmx_data_ingestion_pipeline")
     sink.add_argument("--es-url", default=None)
+    sink.add_argument("--es-bulk-chunks", type=int, default=32,
+                      help="hash chunks per daily index so one bulk POST "
+                           "stays in the 5-15 MB ES sweet spot")
     sink.add_argument("--sink-parquet", default=None, metavar="PATH",
                       help="date-partitioned parquet sink (offline ES stand-in)")
 
@@ -145,7 +148,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         writer = (
             metrics.writeStream.foreachBatch(
-                es_bulk_foreach_batch(http_bulk_poster(args.es_url))
+                es_bulk_foreach_batch(
+                    http_bulk_poster(args.es_url), n_chunks=args.es_bulk_chunks
+                )
             ).option("checkpointLocation", f"{args.checkpoint}/es")
         )
         queries.append(trigger(writer).start())

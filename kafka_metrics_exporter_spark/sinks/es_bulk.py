@@ -6,10 +6,12 @@ daily index ``kafka-jmx-logs-YYYY-MM-DD`` with retry ≤10
 (reference Code/ElasticSearchAppender.py:85-112).
 
 Here the NDJSON assembly is a distributed Column expression (grouped by
-target index), and only the bulk POST is an I/O callback — pluggable,
-so tests exercise the full pipeline with a capturing poster, and the
-parquet stand-in writer partitions by ``date(created_ts)`` exactly like
-daily indexes partition the reference's data.
+target index × hash chunk, so payload size per executor row is bounded
+at any scale), and the bulk POST runs executor-side via
+``foreachPartition`` through a pluggable I/O callback — tests exercise
+the full pipeline with a capturing poster, and the parquet stand-in
+writer partitions by ``date(created_ts)`` exactly like daily indexes
+partition the reference's data.
 """
 
 from __future__ import annotations
@@ -25,12 +27,16 @@ INDEX_PREFIX = "kafka-jmx-logs-"  # reference Code/ElasticSearchAppender.py:109
 _ACTION_LINE = '{"index":{"_type":"doc"}}'  # reference :88-91
 
 
-def to_bulk_ndjson(metrics: DataFrame) -> DataFrame:
-    """metrics rows → one row per (daily index, NDJSON payload).
+def to_bulk_ndjson(metrics: DataFrame, n_chunks: int = 32) -> DataFrame:
+    """metrics rows → one row per (daily index, chunk, NDJSON payload).
 
-    The groupBy shuffles only (index_name, doc) pairs — at scale each
-    day's payload would further split by a bucket column; the per-index
-    concat is concat_ws over collect_list, all JVM-side.
+    The chunk column ``pmod(xxhash64(doc), n_chunks)`` splits each
+    day's payload across ``n_chunks`` hash buckets, so no single
+    executor row ever holds a whole day of NDJSON: per-payload bytes ≈
+    day_bytes / n_chunks (the per-doc hash balances within a few
+    percent).  Size n_chunks so that lands in the ES bulk sweet spot
+    (5-15 MB per request); the groupBy shuffles only
+    (index_name, chunk, doc) triples, all JVM-side.
     """
     docs = metrics.select(
         F.concat(F.lit(INDEX_PREFIX), F.date_format("created_ts", "yyyy-MM-dd")).alias(
@@ -38,7 +44,9 @@ def to_bulk_ndjson(metrics: DataFrame) -> DataFrame:
         ),
         flat_json_column().alias("doc"),
     )
-    return docs.groupBy("index_name").agg(
+    return docs.withColumn("chunk", F.pmod(F.xxhash64("doc"), F.lit(n_chunks))).groupBy(
+        "index_name", "chunk"
+    ).agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -77,14 +85,22 @@ def http_bulk_poster(es_url: str, timeout: float = 30.0, max_retries: int = 10):
 
 def es_bulk_foreach_batch(
     poster: Callable[[str, str], bool],
+    n_chunks: int = 32,
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch hook: assemble bulk payloads distributed, POST each
-    daily index's payload.  The collect here moves only (index, payload)
-    pairs — one row per day per batch, not per metric."""
+    """foreachBatch hook: assemble chunked bulk payloads distributed and
+    POST them from ``foreachPartition`` — the I/O happens executor-side,
+    next to the data, and no payload ever crosses to the driver.  The
+    poster callable is cloudpickled to the workers, so it must be
+    self-contained (``http_bulk_poster`` is)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        for row in to_bulk_ndjson(batch_df).collect():
-            poster(row["index_name"], row["payload"])
+        payloads = to_bulk_ndjson(batch_df, n_chunks=n_chunks)
+
+        def _post_partition(rows) -> None:
+            for row in rows:
+                poster(row["index_name"], row["payload"])
+
+        payloads.foreachPartition(_post_partition)
 
     return write
 

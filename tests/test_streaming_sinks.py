@@ -102,9 +102,10 @@ def test_windowed_rollup_batch_semantics(metrics_batch):
 
 
 def test_to_bulk_ndjson_daily_index_and_action_lines(metrics_batch):
-    rows = {r["index_name"]: r for r in to_bulk_ndjson(metrics_batch).collect()}
-    assert set(rows) == {"kafka-jmx-logs-2023-11-14"}
-    payload = rows["kafka-jmx-logs-2023-11-14"]["payload"]
+    rows = to_bulk_ndjson(metrics_batch, n_chunks=1).collect()
+    assert {r["index_name"] for r in rows} == {"kafka-jmx-logs-2023-11-14"}
+    assert len(rows) == 1  # n_chunks=1 → whole day in one payload
+    payload = rows[0]["payload"]
     lines = payload.split("\n")
     assert len(lines) == 8  # 4 docs × (action + doc)
     assert lines[0] == '{"index":{"_type":"doc"}}'
@@ -113,11 +114,51 @@ def test_to_bulk_ndjson_daily_index_and_action_lines(metrics_batch):
     assert doc["injectedServerType"] == "KafkaBroker"
 
 
-def test_es_bulk_foreach_batch_posts_per_index(metrics_batch):
-    posted = []
-    write = es_bulk_foreach_batch(lambda idx, payload: posted.append(idx) or True)
+def test_to_bulk_ndjson_chunks_bound_payload_size(spark, metrics_batch):
+    """A day never concentrates into one executor row: hash chunks split
+    the payload, docs are conserved, and every chunk carries well-formed
+    action/doc line pairs."""
+    rows = to_bulk_ndjson(metrics_batch, n_chunks=4).collect()
+    assert {r["index_name"] for r in rows} == {"kafka-jmx-logs-2023-11-14"}
+    assert len(rows) >= 2  # 4 docs spread over 4 hash buckets
+    assert sum(r["n_docs"] for r in rows) == 4
+    for r in rows:
+        lines = r["payload"].split("\n")
+        assert len(lines) == 2 * r["n_docs"]
+        assert all(line == '{"index":{"_type":"doc"}}' for line in lines[::2])
+
+
+def _dir_capture_poster(capture_dir):
+    """File-based capturing poster: es_bulk_foreach_batch POSTs from
+    executor worker processes, so a driver-side list can't observe the
+    calls — a shared directory can (local mode and tests only)."""
+
+    def post(index_name: str, payload: str) -> bool:
+        import os
+        import uuid
+
+        fname = os.path.join(capture_dir, f"{index_name}__{uuid.uuid4().hex}.ndjson")
+        with open(fname, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        return True
+
+    return post
+
+
+def test_es_bulk_foreach_batch_posts_executor_side(metrics_batch, tmp_path):
+    cap = tmp_path / "posted"
+    cap.mkdir()
+    write = es_bulk_foreach_batch(_dir_capture_poster(str(cap)), n_chunks=4)
     write(metrics_batch, 0)
-    assert posted == ["kafka-jmx-logs-2023-11-14"]
+    files = sorted(cap.glob("*.ndjson"))
+    assert len(files) >= 2  # ≥2 payload POSTs for one day: chunked, not one blob
+    assert all(f.name.startswith("kafka-jmx-logs-2023-11-14__") for f in files)
+    docs = []
+    for f in files:
+        lines = f.read_text(encoding="utf-8").split("\n")
+        docs.extend(json.loads(line) for line in lines[1::2])
+    assert len(docs) == 4  # every metric row delivered exactly once
+    assert all(d["injectedServerType"] == "KafkaBroker" for d in docs)
 
 
 def test_write_daily_parquet_partitions(metrics_batch, spark, tmp_path):
