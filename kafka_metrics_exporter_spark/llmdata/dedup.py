@@ -250,11 +250,22 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Band the signature; docs colliding in any band become candidate
     pairs.  The bucket join shuffles on (band, bucket_hash) — uniform by
-    construction, so no skew mitigation needed."""
+    construction for diverse corpora, but a boilerplate-heavy crawl can
+    concentrate a band's docs into one hot bucket, so in-place pair
+    expansion is guarded by ``bucket_cap``: buckets at most that wide
+    expand |bucket|² pair structs in one row (bounded at cap²); wider
+    buckets are salt-split into ~cap-sized blocks whose block-pair
+    cross products bound every task at ~cap² structs no matter how
+    degenerate the bucket (pair output is identical — the blocks
+    partition the bucket, and block-pair expansion enumerates exactly
+    the same unordered pairs)."""
     # multi-arg xxhash64 over getItem: pure codegen'd projection — the
     # slice→transform→array_join form evaluated 32 interpreted
     # higher-order chains per row (~2.5 s of the sf0.1 query)
@@ -276,29 +287,67 @@ def lsh_candidate_pairs(
     # gather each bucket's members with ONE shuffle and expand pairs
     # in place (JVM-side nested transform) — a bucket self-join would
     # shuffle both sides on the same key and add a join stage for the
-    # same skew profile (a hot bucket concentrates either way; bucket
-    # width, i.e. rows_per_band, is the knob that keeps buckets small)
+    # same skew profile; the member list itself is only ~8 bytes/doc,
+    # the quadratic blow-up is in the pair expansion, which is what
+    # bucket_cap bounds
     members = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda a: F.transform(
-                    F.col("ids"), lambda b: F.struct(a.alias("x"), b.alias("y"))
-                ),
-            )
-        ),
-        lambda p: p["x"] < p["y"],
-    )
-    return (
-        members.select(F.explode(pair_structs).alias("p"))
+
+    def _expand(xs, ys):
+        return F.filter(
+            F.flatten(
+                F.transform(
+                    xs,
+                    lambda a: F.transform(
+                        ys,
+                        lambda b: F.struct(
+                            F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["x"] < p["y"],
+        )
+
+    small_pairs = (
+        members.filter(F.size("ids") <= bucket_cap)
+        .select(F.explode(_expand(F.col("ids"), F.col("ids"))).alias("p"))
         .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
-        .distinct()
     )
+
+    # overflow path: re-explode hot buckets, hash members into
+    # g = ceil(|bucket|/cap) salt blocks, gather per block, and expand
+    # pairs per block-pair (i ≤ j) — the same triangle-blocking scheme
+    # embedding_near_dup_brute uses, replication factor g per member
+    blk_members = (
+        members.filter(F.size("ids") > bucket_cap)
+        .select(
+            "band",
+            "bucket",
+            F.ceil(F.size("ids") / F.lit(bucket_cap)).cast("int").alias("g"),
+            F.explode("ids").alias("doc_id"),
+        )
+        .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
+        .groupBy("band", "bucket", "blk")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
+    a = blk_members.alias("a")
+    b = blk_members.alias("b")
+    large_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(F.explode(_expand(F.col("a.ids"), F.col("b.ids"))).alias("p"))
+        .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
+    )
+
+    return small_pairs.union(large_pairs).distinct()
 
 
 def minhash_signatures_from_docs(
@@ -354,6 +403,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join → exact-Jaccard verify.
     Output matches ngram_jaccard_dedup minus LSH false negatives
@@ -363,7 +413,9 @@ def minhash_lsh_dedup(
     # set feeds three branches (both union arms + the pair join)
     sh = shingles(df, text_col, id_col, n)
     sigs = minhash_signatures_from_docs(df, num_hashes, text_col, id_col, n)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands).persist()
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, bucket_cap=bucket_cap
+    ).persist()
     return jaccard_pairs(sh, threshold, candidates=cands)
 
 

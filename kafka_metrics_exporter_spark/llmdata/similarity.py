@@ -261,13 +261,21 @@ def embedding_near_dup_lsh(
     n_planes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Scale path for cosine near-dup: bucket by hyperplane signature
     (two 8-bit bands), exact cosine within candidate buckets.
 
     Signatures are computed numpy-batched ((V·Pᵀ > bias) packed to an
     int) — one matmul per Arrow batch instead of n_planes interpreted
-    dot-aggregates per row."""
+    dot-aggregates per row.
+
+    Hot buckets (a corpus with a dominant direction can concentrate a
+    band) are salt-split into g = ceil(|bucket|/bucket_cap) blocks and
+    scored per block-pair — every task is bounded at ~2·cap vectors and
+    ~cap² scores regardless of bucket skew, with identical pair output
+    (blocks partition the bucket; block-pairs enumerate the same
+    unordered pairs)."""
     from collections.abc import Iterator
 
     mu = mean_vector(emb, vec_col)  # also yields dim: one probe job, not two
@@ -302,10 +310,10 @@ def embedding_near_dup_lsh(
     # normalized matmul — the same blocked-matmul core as the brute path,
     # but over LSH-pruned groups.  One shuffle of the vectors, one small
     # distinct over surviving pairs; no pair-id self-join, no
-    # vector-attach joins, no per-pair Python.  At 100 TB the knob is
-    # band width (more buckets → smaller groups); a hot bucket can
-    # additionally be split by salting the group key and cross-scoring
-    # the salt blocks, exactly like embedding_near_dup_brute.
+    # vector-attach joins, no per-pair Python.  At 100 TB the knobs are
+    # band width (more buckets → smaller groups) and bucket_cap (hot
+    # buckets salt-split into block-pair tasks, triangle-blocked like
+    # embedding_near_dup_brute).
     banded = sigs.select(
         "vid",
         "v",
@@ -316,26 +324,59 @@ def embedding_near_dup_lsh(
             )
         ).alias("band", "bucket"),
     )
+    # bucket sizes: ≤ 2 bands × 256 buckets of keys, always
+    # broadcast-sized → no extra shuffle of the vectors themselves;
+    # each vector explodes to its g block-pair groups (g = 1 for
+    # non-skewed buckets, so the common case stays one-task-per-bucket)
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    blocked = (
+        banded.join(F.broadcast(sizes), ["band", "bucket"])
+        .withColumn("g", F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int"))
+        .withColumn("blk", F.pmod(F.xxhash64("vid"), F.col("g")).cast("int"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+        .select(
+            "vid",
+            "v",
+            "band",
+            "bucket",
+            "blk",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+        )
+    )
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy()
-        V = np.stack(pdf["v"].to_numpy()).astype("float64")
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        C = V @ V.T
+        _band, _bucket, bi, bj = key
+        A = pdf[pdf["blk"] == bi]
+        if len(A) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids_a = A["vid"].to_numpy()
+        MA = np.stack(A["v"].to_numpy()).astype("float64")
+        MA = MA / np.linalg.norm(MA, axis=1, keepdims=True)
+        if bi == bj:
+            ids_b, MB = ids_a, MA
+        else:
+            B = pdf[pdf["blk"] == bj]
+            if len(B) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            ids_b = B["vid"].to_numpy()
+            MB = np.stack(B["v"].to_numpy()).astype("float64")
+            MB = MB / np.linalg.norm(MB, axis=1, keepdims=True)
+        C = MA @ MB.T
         ia, ib = np.where(C >= threshold)
-        keep = ids[ia] < ids[ib]  # unordered pairs once; drops the diagonal
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia][keep],
-                "vec_b": ids[ib][keep],
-                "cosine": np.round(C[ia, ib][keep], 4),
-            }
-        )
+        va, vb, cs = ids_a[ia], ids_b[ib], C[ia, ib]
+        if bi == bj:
+            keep = va < vb  # unordered pairs once; drops the diagonal
+            va, vb, cs = va[keep], vb[keep], cs[keep]
+        else:
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": np.round(cs, 4)})
 
     # a pair sharing both bands is emitted twice with a bit-identical
-    # cosine (same float64 inputs, same matmul) — distinct collapses it
+    # cosine (same float64 inputs, same per-pair dot) — distinct
+    # collapses it
     return (
-        banded.groupBy("band", "bucket")
+        blocked.groupBy("band", "bucket", "bi", "bj")
         .applyInPandas(score, "vec_a long, vec_b long, cosine double")
         .distinct()
     )

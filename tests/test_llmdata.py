@@ -122,6 +122,77 @@ def test_lsh_near_dup_subset_of_brute(embeddings):
     assert lsh <= brute
 
 
+# --- hot-bucket salting --------------------------------------------------------
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    """Boilerplate-heavy corpus: 500 near-identical docs that all land
+    in the same LSH bucket in every band — the worst case for in-bucket
+    pair expansion."""
+    rows = [(i, BASE + f" v{i % 7}") for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_preserves_pairs_on_hot_bucket(degenerate_docs):
+    """A tiny cap forces the salt-block overflow path on every bucket;
+    output must be identical to the uncapped expansion."""
+    sigs = dedup.minhash_signatures_from_docs(degenerate_docs)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_cap=10**9).collect()
+    }
+    capped_df = dedup.lsh_candidate_pairs(sigs, bucket_cap=64)
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
+    assert capped == uncapped
+    assert len(capped) > 10_000  # the corpus really is degenerate
+
+    # prove the overflow path was exercised: at least one band bucket is
+    # wider than the cap, so its pairs came from salt-block expansion
+    buckets = sigs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col("signature")[b * 4 + i] for i in range(4)])
+                    for b in range(32)
+                ]
+            )
+        ).alias("band", "bucket")
+    )
+    widest = (
+        buckets.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert widest > 64
+
+
+def test_minhash_lsh_dedup_capped_matches_uncapped(degenerate_docs):
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_dedup(
+            degenerate_docs, threshold=0.5, bucket_cap=64
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_dedup(
+            degenerate_docs, threshold=0.5, bucket_cap=10**9
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_embedding_lsh_bucket_cap_identical_output(embeddings):
+    default = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup_lsh(embeddings, 0.45).collect()
+    }
+    salted = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.embedding_near_dup_lsh(
+            embeddings, 0.45, bucket_cap=8
+        ).collect()
+    }
+    assert salted == default
+
+
 # --- text analysis -----------------------------------------------------------
 def test_langid_marker_words(spark):
     df = spark.createDataFrame(
