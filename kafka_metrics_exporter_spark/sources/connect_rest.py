@@ -32,6 +32,21 @@ from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
 BEAN_NAME = "kafka.connect.api.rest"
 BEAN_TYPE = "rest-api-metrics"
 
+def _auth_opts(
+    user: str | None, password: str | None, tls_verify: bool
+) -> dict:
+    """Connection options dict passed to the fetcher as kwargs; empty
+    when auth is off so plain ``f(url, timeout)`` fetchers keep
+    working."""
+    opts: dict = {}
+    if user is not None:
+        opts["user"] = user
+        opts["password"] = password
+    if tls_verify:
+        opts["tls_verify"] = True
+    return opts
+
+
 _STATUS_SCHEMA = (
     "endpoint string, name string, connector_type string, "
     "connector_state string, connector_worker_id string, "
@@ -40,13 +55,17 @@ _STATUS_SCHEMA = (
 
 
 def list_connectors(
-    endpoints: list[str], fetcher_ref: str, timeout: float = 10.0
+    endpoints: list[str],
+    fetcher_ref: str,
+    timeout: float = 10.0,
+    fetcher_opts: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Phase 1: (endpoint, connector_name) pairs."""
     fetcher = resolve_fetcher(fetcher_ref)
+    opts = fetcher_opts or {}
     out: list[tuple[str, str]] = []
     for ep in endpoints:
-        body = fetcher(ep.rstrip("/") + "/connectors", timeout)
+        body = fetcher(ep.rstrip("/") + "/connectors", timeout, **opts)
         if body is None:
             continue
         for name in json.loads(body):
@@ -59,9 +78,11 @@ def fetch_connector_status(
     pairs: list[tuple[str, str]],
     fetcher_ref: str,
     timeout: float = 10.0,
+    fetcher_opts: dict | None = None,
 ) -> DataFrame:
     """Phase 2: distributed status fetch → typed status rows."""
     pairs_df = spark.createDataFrame(pairs, "endpoint string, name string")
+    opts = fetcher_opts or {}
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = resolve_fetcher(fetcher_ref)
@@ -69,7 +90,7 @@ def fetch_connector_status(
             rows = []
             for ep, name in zip(pdf["endpoint"], pdf["name"]):
                 body = fetcher(
-                    f"{ep.rstrip('/')}/connectors/{name}/status", timeout
+                    f"{ep.rstrip('/')}/connectors/{name}/status", timeout, **opts
                 )
                 if body is None:
                     continue
@@ -163,7 +184,10 @@ def status_to_jmx_records(status: DataFrame) -> DataFrame:
 
 
 def connect_snapshot_body(
-    endpoint: str, fetcher_ref: str, timeout: float = 10.0
+    endpoint: str,
+    fetcher_ref: str,
+    timeout: float = 10.0,
+    fetcher_opts: dict | None = None,
 ) -> str | None:
     """One endpoint's full status snapshot as a SYNTHETIC Jolokia
     wildcard-read body: ``{"request": {"mbean": "kafka.connect.api.
@@ -177,12 +201,15 @@ def connect_snapshot_body(
     each Connect endpoint is one partition of the polling DataSource.
     """
     fetcher = resolve_fetcher(fetcher_ref)
-    listing = fetcher(endpoint.rstrip("/") + "/connectors", timeout)
+    opts = fetcher_opts or {}
+    listing = fetcher(endpoint.rstrip("/") + "/connectors", timeout, **opts)
     if listing is None:
         return None
     value: dict[str, dict] = {}
     for name in json.loads(listing):
-        body = fetcher(f"{endpoint.rstrip('/')}/connectors/{name}/status", timeout)
+        body = fetcher(
+            f"{endpoint.rstrip('/')}/connectors/{name}/status", timeout, **opts
+        )
         if body is None:
             continue
         doc = json.loads(body)
@@ -221,16 +248,26 @@ def connect_rest_scan(
     fetcher: str = "kafka_metrics_exporter_spark.sources.fetchers:http_fetcher",
     timeout: float = 10.0,
     execution_ts: int | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    tls_verify: bool = False,
 ) -> DataFrame:
     """Full S3 scan → normalized-metrics-shaped rows (METRICS_SCHEMA),
-    ready to unionByName into the Jolokia stream (J3)."""
+    ready to unionByName into the Jolokia stream (J3).
+
+    ``user``/``password``/``tls_verify`` reach every HTTP call in both
+    phases (reference Code/ConnectRESTMetrics.py:99-111: HTTPBasicAuth
+    when auth is enabled, ``session.verify`` defaulting to False) —
+    without them a secured Connect cluster is unreachable.
+    """
     import time as _time
 
+    opts = _auth_opts(user, password, tls_verify)
     ts = execution_ts if execution_ts is not None else int(_time.time() * 1000)
-    pairs = list_connectors(endpoints, fetcher, timeout)
+    pairs = list_connectors(endpoints, fetcher, timeout, fetcher_opts=opts)
     if not pairs:
         return spark.createDataFrame([], _STATUS_SCHEMA).limit(0).select()
-    status = fetch_connector_status(spark, pairs, fetcher, timeout)
+    status = fetch_connector_status(spark, pairs, fetcher, timeout, fetcher_opts=opts)
     records = status_to_jmx_records(status)
     host = F.regexp_extract(
         "endpoint", r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)", 1

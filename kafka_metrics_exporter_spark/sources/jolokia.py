@@ -85,7 +85,13 @@ class _UrlPartition(InputPartition):
         self.kind = kind  # "jolokia" HTTP GET | "connect" two-phase REST
 
 
-def _read_partition(part: _UrlPartition, fetcher_ref: str, timeout: float):
+def _read_partition(
+    part: _UrlPartition,
+    fetcher_ref: str,
+    timeout: float,
+    fetcher_opts: dict | None = None,
+):
+    opts = fetcher_opts or {}
     if part.kind == "connect":
         # two-phase REST scan collapsed into a synthetic Jolokia body
         # (S3/J4; reference Code/ConnectRESTMetrics.py:143-169)
@@ -93,12 +99,12 @@ def _read_partition(part: _UrlPartition, fetcher_ref: str, timeout: float):
             connect_snapshot_body,
         )
 
-        body = connect_snapshot_body(part.url, fetcher_ref, timeout)
+        body = connect_snapshot_body(part.url, fetcher_ref, timeout, fetcher_opts=opts)
     else:
         from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
 
         fetcher = resolve_fetcher(fetcher_ref)
-        body = fetcher(part.url, timeout)
+        body = fetcher(part.url, timeout, **opts)
     status = 200 if body is not None else 599
     # RAW_SCRAPE_SCHEMA order: target_url, server_type, execution_ts, status, body
     yield (part.url, part.server_type, part.execution_ts, status, body)
@@ -124,6 +130,14 @@ class _JolokiaReaderMixin:
         self.connect_endpoints: list[str] = json.loads(
             options.get("connect_endpoints", "[]")
         )
+        # basic auth + TLS verify (reference Code/ConnectRESTMetrics.py:
+        # 99-111: HTTPBasicAuth + session.verify, default off)
+        self.fetcher_opts: dict = {}
+        if "auth_user" in options:
+            self.fetcher_opts["user"] = options["auth_user"]
+            self.fetcher_opts["password"] = options.get("auth_password", "")
+        if options.get("tls_verify", "false").lower() in ("true", "1"):
+            self.fetcher_opts["tls_verify"] = True
 
     def _partitions(self, execution_ts: int):
         parts = [_UrlPartition(t, u, execution_ts) for t, u in self.catalog]
@@ -139,7 +153,9 @@ class JolokiaBatchReader(_JolokiaReaderMixin, DataSourceReader):
         return self._partitions(int(time.time() * 1000))
 
     def read(self, partition: _UrlPartition):
-        yield from _read_partition(partition, self.fetcher_ref, self.timeout)
+        yield from _read_partition(
+            partition, self.fetcher_ref, self.timeout, self.fetcher_opts
+        )
 
 
 class JolokiaStreamReader(_JolokiaReaderMixin, DataSourceStreamReader):
@@ -158,7 +174,9 @@ class JolokiaStreamReader(_JolokiaReaderMixin, DataSourceStreamReader):
         return self._partitions(int(end["ts"]))
 
     def read(self, partition: _UrlPartition):
-        yield from _read_partition(partition, self.fetcher_ref, self.timeout)
+        yield from _read_partition(
+            partition, self.fetcher_ref, self.timeout, self.fetcher_opts
+        )
 
     def commit(self, end: dict):
         pass
@@ -168,9 +186,13 @@ class JolokiaDataSource(DataSource):
     """spark.read/readStream.format("jolokia")
 
     Options:
-      catalog  — JSON [[server_type, url], ...] (build_url_catalog)
-      fetcher  — "module:attr" fetcher ref (default stdlib urllib GET)
-      timeout  — per-call seconds (default 10, reference Code/main.py:117)
+      catalog       — JSON [[server_type, url], ...] (build_url_catalog)
+      fetcher       — "module:attr" fetcher ref (default stdlib urllib GET)
+      timeout       — per-call seconds (default 10, reference Code/main.py:117)
+      auth_user     — basic-auth user (reference ConnectRESTMetrics.py:104-109)
+      auth_password — basic-auth password
+      tls_verify    — "true" to verify TLS certs (default false, like the
+                      reference's session.verify)
     """
 
     @classmethod
@@ -198,6 +220,9 @@ def read_jolokia(
     timeout: float = 10.0,
     streaming: bool = False,
     connect_endpoints: list[str] | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    tls_verify: bool = False,
 ) -> DataFrame:
     register_jolokia_source(spark)
     reader = spark.readStream if streaming else spark.read
@@ -210,4 +235,8 @@ def read_jolokia(
         r = r.option("fetcher", fetcher)
     if connect_endpoints:
         r = r.option("connect_endpoints", json.dumps(list(connect_endpoints)))
+    if user is not None:
+        r = r.option("auth_user", user).option("auth_password", password or "")
+    if tls_verify:
+        r = r.option("tls_verify", "true")
     return r.load()

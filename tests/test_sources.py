@@ -137,6 +137,98 @@ def test_status_to_jmx_records_explode_keeps_parent(spark):
     assert states == {"RUNNING", "FAILED"}
 
 
+# --- Basic auth + TLS options (S3 auth; reference
+# Code/ConnectRESTMetrics.py:99-111 HTTPBasicAuth + session.verify) --------
+@pytest.fixture(scope="module")
+def auth_server():
+    """Local HTTP server that 401s unless Authorization matches
+    Basic base64('scott:tiger'); serves a minimal Connect REST API."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    expected = "Basic " + base64.b64encode(b"scott:tiger").decode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.headers.get("Authorization") != expected:
+                self.send_response(401)
+                self.end_headers()
+                return
+            if self.path == "/connectors":
+                body = json.dumps(["s3-sink"])
+            elif self.path == "/connectors/s3-sink/status":
+                body = json.dumps(
+                    {
+                        "name": "s3-sink",
+                        "type": "sink",
+                        "connector": {"state": "RUNNING", "worker_id": "w1:8083"},
+                        "tasks": [
+                            {"id": 0, "state": "RUNNING", "worker_id": "w1:8083"}
+                        ],
+                    }
+                )
+            else:
+                body = json.dumps({"status": 200, "value": 1.0})
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetcher_sends_basic_auth(auth_server):
+    from kafka_metrics_exporter_spark.sources.fetchers import http_fetcher
+
+    # no creds → 401 → skip-and-continue None
+    assert http_fetcher(auth_server + "/connectors", 5.0) is None
+    body = http_fetcher(
+        auth_server + "/connectors", 5.0, user="scott", password="tiger"
+    )
+    assert json.loads(body) == ["s3-sink"]
+    # wrong password → None, not an exception
+    assert (
+        http_fetcher(auth_server + "/connectors", 5.0, user="scott", password="x")
+        is None
+    )
+
+
+def test_connect_rest_scan_with_auth(spark, auth_server):
+    scan = connect_rest_scan(
+        spark,
+        [auth_server],
+        execution_ts=1700000000000,
+        user="scott",
+        password="tiger",
+    )
+    rows = scan.collect()
+    assert len(rows) == 1
+    assert rows[0]["attributes"]["task-status"] == "RUNNING"
+    # without creds the secured cluster yields nothing (every call 401s)
+    empty = connect_rest_scan(spark, [auth_server], execution_ts=1700000000000)
+    assert empty.count() == 0
+
+
+def test_jolokia_datasource_threads_auth_options(spark, auth_server):
+    """auth_user/auth_password options reach the executor-side fetcher."""
+    cat = [("KafkaBroker", auth_server + "/jolokia/read/java.lang:type=Memory")]
+    rows = read_jolokia(
+        spark, cat, user="scott", password="tiger"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["http_status"] == 200
+    denied = read_jolokia(spark, cat).collect()
+    assert denied[0]["http_status"] == 599  # fetch failed without creds
+
+
 # --- K8s catalog -----------------------------------------------------------
 def test_pods_to_catalog_annotation_gating():
     pods = [
