@@ -99,16 +99,12 @@ def jaccard_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     if candidates is not None:
-        # LSH already named the pairs — verify them directly: collect
-        # each candidate doc's shingle-hash set (its full set survives
-        # the semi-join, so array length IS the Jaccard denominator),
-        # attach both sets to each pair, and intersect in one Arrow
-        # pass.  This replaces the shingle-level self-join + pair
-        # groupBy + two size joins with two equi-joins over the (small,
-        # LSH-pruned) pair set — the shuffle volume is candidate-degree
-        # × set bytes, not Σ shingle-frequency².
-        from collections.abc import Iterator
-
+        # LSH already named the pairs — verify them directly from each
+        # candidate doc's shingle-hash set.  This replaces the
+        # shingle-level self-join + pair groupBy + two size joins with
+        # two equi-joins over the (small, LSH-pruned) pair set — the
+        # shuffle volume is candidate-degree × set bytes, not
+        # Σ shingle-frequency².
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -119,43 +115,7 @@ def jaccard_pairs(
             .groupBy("doc_id")
             .agg(F.collect_list(F.xxhash64("shingle")).alias("hs"))
         )
-        pairs = candidates.join(
-            doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("_ha")),
-            "doc_a",
-        ).join(
-            doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("_hb")),
-            "doc_b",
-        )
-
-        def jac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # Spark's round() is HALF_UP over the double's shortest
-            # decimal repr (BigDecimal.valueOf); Python's round() is
-            # half-even — Decimal(repr(x)) reproduces Spark bit-for-bit
-            # so the pruned path stays value-equal to the exact path
-            from decimal import ROUND_HALF_UP, Decimal
-
-            q = Decimal("0.0001")
-
-            def r4(x: float) -> float:
-                return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
-
-            for pdf in batches:
-                out_a, out_b, out_j = [], [], []
-                for da, db, ha, hb in zip(
-                    pdf["doc_a"], pdf["doc_b"], pdf["_ha"], pdf["_hb"]
-                ):
-                    sa, sb_ = set(ha), set(hb)
-                    n_common = len(sa & sb_)
-                    j = r4(n_common / (len(sa) + len(sb_) - n_common))
-                    if j >= threshold:
-                        out_a.append(int(da))
-                        out_b.append(int(db))
-                        out_j.append(j)
-                yield pd.DataFrame(
-                    {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}
-                )
-
-        return pairs.mapInPandas(jac, "doc_a long, doc_b long, jaccard double")
+        return verify_jaccard_pairs(candidates, doc_sets, threshold)
 
     # exact path (no sketch): inverted-index self-join — the join key
     # (shingle) is selective, so the pair blow-up is Σ freq(shingle)²,
@@ -185,6 +145,53 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame, doc_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an LSH-named pair set given per-doc shingle-hash
+    sets ``doc_sets(doc_id, hs: array<long>)``: attach both sets to each
+    pair with two equi-joins, intersect in one Arrow pass.  The set
+    array length IS the Jaccard denominator term, so no separate size
+    relation is needed."""
+    from collections.abc import Iterator
+
+    pairs = candidates.join(
+        doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("_ha")),
+        "doc_a",
+    ).join(
+        doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("_hb")),
+        "doc_b",
+    )
+
+    def jac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Spark's round() is HALF_UP over the double's shortest
+        # decimal repr (BigDecimal.valueOf); Python's round() is
+        # half-even — Decimal(repr(x)) reproduces Spark bit-for-bit
+        # so the pruned path stays value-equal to the exact path
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+
+        def r4(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for da, db, ha, hb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["_ha"], pdf["_hb"]
+            ):
+                sa, sb_ = set(ha), set(hb)
+                n_common = len(sa & sb_)
+                j = r4(n_common / (len(sa) + len(sb_) - n_common))
+                if j >= threshold:
+                    out_a.append(int(da))
+                    out_b.append(int(db))
+                    out_j.append(j)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return pairs.mapInPandas(jac, "doc_a long, doc_b long, jaccard double")
 
 
 def ngram_jaccard_dedup(
@@ -395,6 +402,68 @@ def minhash_signatures_from_docs(
     )
 
 
+def minhash_doc_table(
+    df: DataFrame,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, hs, signature) in ONE Arrow pass over the documents:
+    ``hs`` is the doc's distinct shingle 64-bit hash set (verify input),
+    ``signature`` its minhash signature (LSH input).  Fusing the two
+    means the corpus is scanned and shingled ONCE — at 100 TB that
+    halves the dominant cost (the text scan + Python shingling) versus
+    separate shingle and signature passes, and the verify step no longer
+    needs a groupBy(collect_list) shuffle to rebuild per-doc sets.
+
+    Signature values are identical to ``minhash_signatures_from_docs``
+    (same crc32 base, same Carter-Wegman constants); ``hs`` is a
+    two-salt crc32 64-bit combo — collision-free at per-doc set sizes,
+    so Jaccard values match the xxhash64-based path bit-for-bit."""
+    import numpy as np
+    from collections.abc import Iterator
+
+    consts = _permutation_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype="int64")[:, None]
+    B = np.array([b for _, b in consts], dtype="int64")[:, None]
+    p_mod = _MERSENNE_31
+    shingle_of = _shingle_list
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ids, sets_, sigs = [], [], []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                grams = shingle_of(text, n)
+                if not grams:
+                    continue
+                enc = [g.encode() for g in grams]
+                c1 = np.fromiter(
+                    (zlib.crc32(gb) for gb in enc), dtype="uint64", count=len(enc)
+                )
+                c2 = np.fromiter(
+                    (zlib.crc32(b"\x01" + gb) for gb in enc),
+                    dtype="uint64",
+                    count=len(enc),
+                )
+                h = c1.astype("int64") % p_mod
+                sig = ((A * h[None, :] + B) % p_mod).min(axis=1)
+                hs = ((c1 << np.uint64(32)) | c2).astype("int64")
+                ids.append(int(vid))
+                sets_.append(hs.tolist())
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "hs": sets_, "signature": sigs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(go, "doc_id long, hs array<long>, signature array<long>")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -407,16 +476,28 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join → exact-Jaccard verify.
     Output matches ngram_jaccard_dedup minus LSH false negatives
-    (recall at J=0.5 with 32×4 bands ≈ 0.88; raise bands for more)."""
-    # shingles feed a single consumer here (the candidate-doc set
-    # collection inside jaccard_pairs) — no persist; the candidate pair
-    # set feeds three branches (both union arms + the pair join)
-    sh = shingles(df, text_col, id_col, n)
-    sigs = minhash_signatures_from_docs(df, num_hashes, text_col, id_col, n)
+    (recall at J=0.5 with 32×4 bands ≈ 0.88; raise bands for more).
+
+    One corpus scan total: the fused doc table carries both the LSH
+    signature and the verify shingle-hash set, so the only shuffles are
+    the band-bucket gather and the two pair-attach joins (pruned to
+    candidate docs by a doc_id-only semi-join first — at scale that
+    ships 8 bytes/doc instead of the full set arrays)."""
+    # the doc table feeds the bucket branch and the verify branch;
+    # the candidate pair set feeds three branches (both union arms +
+    # the pair join) — persist both
+    tbl = minhash_doc_table(df, num_hashes, text_col, id_col, n).persist()
     cands = lsh_candidate_pairs(
-        sigs, bands, num_hashes // bands, bucket_cap=bucket_cap
+        tbl.select("doc_id", "signature"), bands, num_hashes // bands,
+        bucket_cap=bucket_cap,
     ).persist()
-    return jaccard_pairs(sh, threshold, candidates=cands)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    doc_sets = tbl.join(cand_docs, "doc_id", "left_semi").select("doc_id", "hs")
+    return verify_jaccard_pairs(cands, doc_sets, threshold)
 
 
 # --- SimHash -----------------------------------------------------------------
