@@ -145,7 +145,10 @@ def a5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("a5_approx_count_distinct")  # no oracle: HLL estimate is engine-specific
 def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 scale path: single-pass HLL sketch, no distinct-expand shuffle."""
+    """A5 scale path: single-pass HLL sketch, no distinct-expand shuffle.
+    Accuracy evidence for the no_oracle row:
+    tests/test_queries_oracle.py::test_a5_approx_within_5pct_of_exact
+    pins |approx − exact|/exact ≤ 5% per group against the exact A5."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
@@ -658,6 +661,126 @@ def w8_frame_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(running).alias("event_seq"),
         _r4(F.max("value").over(last3)).alias("max3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9: regex label matcher composed with rate+sum — PromQL
+# `sum by(type) (rate(x{request=~"Produce|FetchConsumer|FetchFollower"}[5m]))`
+# (reference Prometheus/jmxexporter_configs/grafana/dashboards/
+# Kafka_Brokers_Dashboard.json:1304).  PromQL `=~` is fully anchored, so
+# the match is `^(?:alt1|alt2)$`, not contains.
+# ---------------------------------------------------------------------------
+@query(
+    "w9_regex_label_rate_sum",
+    """
+    WITH f AS (
+      SELECT * FROM events
+      WHERE regexp_full_match(event_type, 'click|view|purchase')
+    ), d AS (
+      SELECT event_type, value, ts,
+             lag(value) OVER w AS pv,
+             lag(ts)    OVER w AS pts
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type,
+           round(SUM(
+             (CASE WHEN value >= pv THEN value - pv ELSE value END)
+             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS sum_rate,
+           COUNT(*) AS n_samples
+    FROM d
+    WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+    GROUP BY event_type
+    """,
+)
+def w9_regex_label_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex label filter → per-series rate → sum by label.
+
+    Scale: the rlike filter is a deterministic JVM predicate evaluated
+    at the scan (no UDF), pruning the series BEFORE the lag-window
+    shuffle — at 100 TB the label filter typically keeps a small
+    fraction of series, so filtering pre-shuffle is the whole game.
+    One shuffle on the series key, then a reduce-side agg on the label.
+    """
+    ev = _t(spark, sf_dir, "events")
+    matched = ev.filter(F.col("event_type").rlike("^(?:click|view|purchase)$"))
+    rated = rate_per_second(
+        matched, ["user_id"], "ts", "value", tiebreakers=["event_id"]
+    )
+    return (
+        rated.filter(F.col("rate_per_sec").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            _r4(F.sum("rate_per_sec")).alias("sum_rate"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10: non-empty-label filter + topk-of-rate in one composed query —
+# PromQL `topk(3, sum by(topic) (rate(x{topic!=""}[5m])))` (reference
+# Kafka_Brokers_Dashboard.json:1046 filters `{topic != ""}` before
+# ranking).  The label is derived from the props JSON payload with an
+# empty band, so the non-empty filter is genuinely selective.
+# ---------------------------------------------------------------------------
+@query(
+    "w10_topk_rate_nonempty",
+    """
+    WITH lab AS (
+      SELECT *, CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                     THEN '' ELSE 'topic-' ||
+                          CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS VARCHAR)
+                END AS topic
+      FROM events
+    ), f AS (
+      SELECT * FROM lab WHERE topic <> ''
+    ), d AS (
+      SELECT topic, value, ts,
+             lag(value) OVER w AS pv,
+             lag(ts)    OVER w AS pts
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), s AS (
+      SELECT topic,
+             SUM((CASE WHEN value >= pv THEN value - pv ELSE value END)
+                 / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)) AS sum_rate
+      FROM d
+      WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+      GROUP BY topic
+    )
+    SELECT topic, round(sum_rate, 4) AS sum_rate
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY sum_rate DESC, topic ASC) <= 3
+    """,
+)
+def w10_topk_rate_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{label != ""} → rate → sum by label → topk(3).
+
+    Scale: label derivation (get_json_object) and the non-empty filter
+    are scan-side JVM expressions; the only shuffles are the series-key
+    window and the small label agg.  topk over an already-aggregated
+    label table is a TakeOrderedAndProject — no extra shuffle.  The
+    single-partition ranking window is safe because its input is the
+    label-cardinality aggregate, not the fact table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
+    lab = ev.withColumn(
+        "topic",
+        F.when(F.pmod(k, F.lit(7)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("topic-"), F.pmod(k, F.lit(7)).cast("string"))
+        ),
+    )
+    f = lab.filter(F.col("topic") != "")
+    rated = rate_per_second(f, ["user_id"], "ts", "value", tiebreakers=["event_id"])
+    sums = (
+        rated.filter(F.col("rate_per_sec").isNotNull())
+        .groupBy("topic")
+        .agg(F.sum("rate_per_sec").alias("sum_rate"))
+    )
+    top = top_k_per_group(sums, [], "sum_rate", 3, tiebreakers=["topic"])
+    return top.select("topic", _r4(F.col("sum_rate")).alias("sum_rate"))
 
 
 # ---------------------------------------------------------------------------
