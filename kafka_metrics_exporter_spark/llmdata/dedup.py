@@ -91,10 +91,23 @@ def shingles(
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, candidates: DataFrame | None = None
+    sh: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle
     (optionally restricted to a candidate pair set from LSH).
+
+    ``max_shingle_df`` caps the inverted index: shingles whose document
+    frequency exceeds the cap are dropped from the self-join (standard
+    stop-shingle pruning — the pair blow-up is Σ df(shingle)², so one
+    boilerplate shingle in 1% of 10⁹ docs alone yields 10¹⁴ pairs).
+    Set sizes still come from the FULL relation, so Jaccard values of
+    surviving pairs are exact; pairs whose every common shingle is a
+    stop-shingle are missed (recall loss is confined to pairs that
+    share only corpus-wide boilerplate — at J≥0.5 such pairs are
+    mostly boilerplate themselves).  Default None = exact, no pruning.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -122,8 +135,17 @@ def jaccard_pairs(
     # not N².  Set sizes (Jaccard denominators) come from the full
     # relation.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(keep, "shingle", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -200,12 +222,13 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     # the shingle relation feeds three plan branches (both join sides +
     # set sizes): persist it, exactly as a 100 TB pipeline would
     # materialize its shingle table before the self-join
     sh = shingles(df, text_col, id_col, n).persist()
-    return jaccard_pairs(sh, threshold)
+    return jaccard_pairs(sh, threshold, max_shingle_df=max_shingle_df)
 
 
 # --- MinHash + LSH -----------------------------------------------------------

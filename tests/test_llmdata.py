@@ -54,6 +54,52 @@ def test_ngram_jaccard_finds_planted_pairs(planted_docs):
     assert all(a >= 100 for a, _ in pairs)
 
 
+def test_ngram_df_cap_prunes_stop_shingles(spark):
+    """A boilerplate shingle shared by every doc is the Σdf² blow-up;
+    with the cap it leaves the inverted index, so pairs that shared
+    ONLY boilerplate disappear while genuinely-similar pairs keep
+    their exact Jaccard value."""
+    boiler = "terms of service apply to this document"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c " + boiler) for i in range(20)]
+    rows.append((100, BASE))
+    rows.append((101, BASE.replace("lazy", "sleepy")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(
+            docs, threshold=0.3, max_shingle_df=5
+        ).collect()
+    }
+    # boilerplate-only pairs exist uncapped (every doc shares 6 grams)
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+    # ...and are pruned by the cap (df of boiler grams = 20 > 5)
+    assert not any(a < 20 and b < 20 for a, b in capped)
+    # the genuine near-dup survives with an identical exact value
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+
+
+def test_ngram_df_cap_none_is_exact(planted_docs):
+    """Default cap=None output is byte-identical to the capped call with
+    a cap larger than any df (no silent behavior change)."""
+    base = sorted(
+        map(tuple, dedup.ngram_jaccard_dedup(planted_docs, threshold=0.5).collect())
+    )
+    hi_cap = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_dedup(
+                planted_docs, threshold=0.5, max_shingle_df=10**6
+            ).collect(),
+        )
+    )
+    assert base == hi_cap
+
+
 def test_minhash_lsh_recall_vs_exact(planted_docs):
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
