@@ -45,3 +45,20 @@ def test_entry_smoke(spark):
     assert {"event_type", "total_value", "n_events", "latest_value"} <= set(
         df.columns
     )
+
+
+def test_a5_approx_within_5pct_of_exact(spark, sf_dir):
+    """Driver-visible evidence for the no_oracle a5 row: the HLL
+    estimate (rsd=0.01) stays within 5% of the exact per-group
+    cardinality — the bound ES's own HLL `cardinality` agg documents."""
+    approx = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in QUERIES["a5_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["distinct_users"]
+        for r in QUERIES["a5_count_distinct"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
