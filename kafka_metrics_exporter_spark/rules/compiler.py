@@ -8,10 +8,11 @@ metrics.  The public jmx_exporter semantics this module reproduces:
 
 - the match input is ``domain<k1=v1, k2=v2><>attrName: value`` (bean
   properties in original ObjectName order);
-- rule patterns are Java regexes applied prefix-anchored (lookingAt):
-  a pattern ending at ``<>Count`` matches even though the input
-  continues with ``: 123``, and patterns with ``: (.+)`` capture from
-  the value;
+- rule patterns are Java regexes compiled as
+  ``^.*(?:pattern).*$`` and tested with ``matches()`` (JmxCollector) —
+  an unanchored "contains": a pattern ending at ``<>Count`` matches
+  even though the input continues with ``: 123``, and patterns with
+  ``: (.+)`` capture from the value;
 - ``$n`` substitution applies to the name template, label KEYS, label
   values, and the value template (e.g. quantile ``0.$8``,
   kafka.yml:133-140; label-name captures ``"$4": "$5"``,
@@ -52,10 +53,17 @@ class RewriteRule:
     help_tmpl: str | None = None
 
     @property
-    def anchored_pattern(self) -> str:
-        """Prefix-anchored (lookingAt) form.  The non-capturing wrapper
-        preserves $n group numbering."""
-        return "^(?:" + self.pattern + ")"
+    def compiled_pattern(self) -> str:
+        """jmx_exporter's exact compiled form: JmxCollector wraps every
+        rule pattern as ``Pattern.compile("^.*(?:" + pattern + ").*$")``
+        and tests with ``matches()`` — an unanchored "contains", not a
+        prefix match.  Equivalent for the shipped domain-anchored
+        configs, but an arbitrary mid-string pattern must select the
+        same first matching rule the exporter would.  The non-capturing
+        wrapper preserves $n group numbering; the greedy ``^.*`` prefix
+        reproduces the exporter's capture positions because Spark
+        evaluates the same Java regex engine."""
+        return "^.*(?:" + self.pattern + ").*$"
 
 
 def parse_rules_yaml(yaml_text: str) -> tuple[list[RewriteRule], bool]:
@@ -139,7 +147,7 @@ def _rule_output(
     rule: RewriteRule, match_str: Column, num_value: Column, lowercase: bool
 ) -> Column:
     """struct(metric_name, labels, value, metric_type) for one rule."""
-    anchored = rule.anchored_pattern
+    anchored = rule.compiled_pattern
     if rule.name_tmpl is not None:
         name = _safe_name(_template(rule.name_tmpl, match_str, anchored))
         if lowercase:
@@ -186,7 +194,7 @@ def compile_rules(
     def apply(match_str: Column, num_value: Column) -> Column:
         chain: Column | None = None
         for rule in rules:
-            cond = match_str.rlike(rule.anchored_pattern)
+            cond = match_str.rlike(rule.compiled_pattern)
             out = _rule_output(rule, match_str, num_value, lowercase)
             chain = F.when(cond, out) if chain is None else chain.when(cond, out)
         if chain is None:
@@ -250,19 +258,21 @@ def rewrite_metrics(
         return matched
 
     # jmx_exporter default naming for unmatched samples:
-    # safeName(domain + "_" + beanProperty values + "_" + attr)
-    default_name = F.lower(
-        F.regexp_replace(
-            F.concat_ws(
-                "_",
-                F.col("bean_domain"),
-                F.array_join(F.map_values("bean_props"), "_"),
-                F.col("attr_name"),
-            ),
-            "[^a-zA-Z0-9_]",
+    # safeName(domain + "_" + beanProperty values + "_" + attr);
+    # lowercased only when lowercaseOutputName is set, like any other
+    # metric name
+    default_name = F.regexp_replace(
+        F.concat_ws(
             "_",
-        )
+            F.col("bean_domain"),
+            F.array_join(F.map_values("bean_props"), "_"),
+            F.col("attr_name"),
+        ),
+        "[^a-zA-Z0-9_]",
+        "_",
     )
+    if lowercase:
+        default_name = F.lower(default_name)
     unmatched = applied.filter(
         F.col("_rw").isNull() & F.col("attr_value").try_cast("double").isNotNull()
     ).select(

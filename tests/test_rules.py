@@ -16,7 +16,10 @@ from kafka_metrics_exporter_spark.rules import (
     load_rules_file,
     rewrite_metrics,
 )
-from kafka_metrics_exporter_spark.rules.compiler import load_rules_file  # noqa: F811
+from kafka_metrics_exporter_spark.rules.compiler import (  # noqa: F811
+    RewriteRule,
+    load_rules_file,
+)
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
@@ -230,6 +233,69 @@ def test_rewrite_metrics_end_to_end(spark):
     # MeanRate doesn't match any Count/Value/percentile rule → default name
     assert "kafka_server_brokertopicmetrics_messagesinpersec_t1_meanrate" in with_fallback
     assert with_fallback["kafka_server_brokertopicmetrics_messagesinpersec_t1_meanrate"]["value"] == 4.2
+
+
+def test_mid_string_pattern_matches_like_jmx_exporter(spark):
+    """jmx_exporter compiles ^.*(?:p).*$ + matches() — a pattern that
+    starts mid-string (no domain anchor) must still select the rule."""
+    from kafka_metrics_exporter_spark.rules.compiler import (
+        RewriteRule,
+        compile_rules,
+    )
+
+    rules = [
+        RewriteRule(
+            pattern=r"name=(\w+)PerSec><>Count",  # no leading domain
+            name_tmpl="unanchored_$1",
+        )
+    ]
+    df = spark.createDataFrame(
+        [("kafka.server<type=BrokerTopicMetrics, name=MessagesInPerSec><>Count: 5",)],
+        ["m"],
+    )
+    row = df.withColumn(
+        "r", compile_rules(rules, lowercase=False)(F.col("m"), F.lit(5.0))
+    ).collect()[0]
+    assert row["r"] is not None
+    assert row["r"]["metric_name"] == "unanchored_MessagesIn"
+
+
+def test_unmatched_default_name_honors_lowercase_flag(spark):
+    """lowercaseOutputName=false keeps the default (unmatched) metric
+    name's original case, like every other metric name."""
+    metrics = spark.createDataFrame(
+        [
+            (
+                "java.lang:type=Memory",
+                "java.lang",
+                "KafkaBroker",
+                "b1:8778",
+                1700000000000,
+                [("type", "Memory")],
+                [("HeapUsage", "42")],
+            )
+        ],
+        "mbean_name string, bean_domain string, server_type string, host_name string,"
+        "created_ms long, props array<struct<key:string,value:string>>,"
+        "attrs array<struct<key:string,value:string>>",
+    ).select(
+        "mbean_name",
+        "bean_domain",
+        "server_type",
+        "host_name",
+        F.timestamp_millis("created_ms").alias("created_ts"),
+        F.map_from_entries("props").alias("bean_props"),
+        F.map_from_entries("attrs").alias("attributes"),
+    )
+    no_match_rules = [RewriteRule(pattern="doesnotmatchanything", name_tmpl="x")]
+    kept = rewrite_metrics(
+        metrics, no_match_rules, lowercase=False, keep_unmatched=True
+    ).collect()
+    assert [r["metric_name"] for r in kept] == ["java_lang_Memory_HeapUsage"]
+    lowered = rewrite_metrics(
+        metrics, no_match_rules, lowercase=True, keep_unmatched=True
+    ).collect()
+    assert [r["metric_name"] for r in lowered] == ["java_lang_memory_heapusage"]
 
 
 def test_rules_plan_is_pure_catalyst(spark):

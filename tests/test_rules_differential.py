@@ -1,7 +1,8 @@
 """Differential test: the compiled CaseWhen rule chain vs an
 independent Python model of jmx_exporter matching semantics
-(prefix-anchored first-match-wins, $n substitution, safeName,
-lowercase, value consts, valueFactor) over randomized ObjectNames.
+(``^.*(?:p).*$`` + matches() first-match-wins, $n substitution,
+safeName, lowercase, value consts, valueFactor) over randomized
+ObjectNames.
 
 One Spark job scores all cases; the Python model evaluates them
 independently with the stdlib `re` engine."""
@@ -33,7 +34,9 @@ def _py_safe(s: str) -> str:
 def py_rewrite(rules, lowercase, match_str, num_value):
     """Independent reference implementation of the rule semantics."""
     for rule in rules:
-        m = re.match(rule.pattern, match_str)  # re.match == lookingAt
+        # jmx_exporter: Pattern.compile("^.*(?:p).*$") + matches();
+        # re.match of the same compiled form (ending in $) is equivalent
+        m = re.match(rule.compiled_pattern, match_str)
         if not m:
             continue
         name = None
