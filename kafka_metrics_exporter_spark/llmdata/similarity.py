@@ -70,8 +70,11 @@ def mean_vector(emb: DataFrame, vec_col: str = "embedding") -> list[float]:
     """Corpus mean vector (used to center LSH signatures — uncentered
     sign-bits collapse when the corpus has a dominant direction).
     Partition partials reduce driver-side: ≤1 row per batch crosses the
-    wire, so this is one narrow scan at any corpus size."""
+    wire, so this is one narrow scan at any corpus size.  Returns []
+    on an empty relation."""
     rows = _partial_vec_sums(emb, vec_col).collect()
+    if not rows:
+        return []
     S = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     n = sum(r["n"] for r in rows)
     return [float(x) for x in S / max(n, 1)]
@@ -262,6 +265,7 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = 4096,
+    mean_sample_mod: int = 20,
 ) -> DataFrame:
     """Scale path for cosine near-dup: bucket by hyperplane signature
     (two 8-bit bands), exact cosine within candidate buckets.
@@ -278,7 +282,18 @@ def embedding_near_dup_lsh(
     unordered pairs)."""
     from collections.abc import Iterator
 
-    mu = mean_vector(emb, vec_col)  # also yields dim: one probe job, not two
+    # sampled mean: the bias only balances buckets, so a ~1/mod
+    # estimate serves — at 100 TB it replaces a full pre-pass with a
+    # sliver of one.  Hash-filter, not .sample(): content-addressed
+    # sampling is exactly deterministic across actions and task
+    # retries (observed .sample(seed=...) returning different rows on
+    # consecutive actions over the same cached relation).
+    probe = emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(mean_sample_mod)) == 0
+    )
+    mu = mean_vector(probe, vec_col)
+    if not mu:  # tiny corpus missed by the 1/mod slice: full scan
+        mu = mean_vector(emb, vec_col)
     dim = len(mu)
     planes = hyperplanes(dim, n_planes)
     P = np.array(planes, dtype="float64")  # (n_planes, dim)
@@ -304,7 +319,13 @@ def embedding_near_dup_lsh(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    sigs = base.mapInPandas(signature, "vid long, v array<double>, sig long")
+    # two consumers below (the bucket-size pre-pass and the scoring
+    # join) would each re-run the Arrow signature pass over every
+    # vector; persist so the corpus is signed once (same rationale as
+    # minhash_doc_table's persist in dedup.py)
+    sigs = base.mapInPandas(
+        signature, "vid long, v array<double>, sig long"
+    ).persist()
     # Each vector travels to its 2 band buckets (replication factor = the
     # band count, NOT N), and every bucket scores itself with a single
     # normalized matmul — the same blocked-matmul core as the brute path,
