@@ -624,3 +624,76 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- connected components (cluster dedup) ------------------------------------
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive closure over a near-dup pair graph: every vertex gets
+    the MIN vertex id reachable from it (its cluster representative).
+    Pairwise dedup alone under-merges — if A~B and B~C but A!~C, keeping
+    one doc per *pair* still keeps two of {A,B,C}; components give one
+    survivor per cluster (the standard last step of MinHash dedup
+    pipelines, e.g. the C4/RefinedWeb recipes).
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    (a) every vertex takes the min label over itself and its neighbors
+    (one shuffle join edges⋈labels + one min-groupBy), then (b) labels
+    chase their own label's label (`comp := comp[comp]`), which doubles
+    the propagation distance — convergence in O(log D) rounds rather
+    than O(D) for diameter D.  Labels only ever decrease, so
+    `sum(comp)` is a strictly-decreasing convergence witness: one
+    scalar action per round, no row-level comparison join.  Each round
+    ends in an eager localCheckpoint — without it the plan doubles
+    every iteration and Catalyst re-analyzes a 2^k-deep lineage.
+
+    At 100 TB the per-round cost is two shuffles keyed by vertex id
+    (uniform — document ids, not content keys); the alternating
+    large-star/small-star variant (Kiveris et al., MR'14) halves the
+    edge traffic for power-law graphs and slots in here unchanged if
+    profiles demand it.
+
+    Returns (id_col, component) with one row per vertex; singletons map
+    to themselves.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # materialize the (possibly expensive — e.g. an LSH pair join)
+    # edge lineage ONCE; every round re-reads it
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    prev_total = None
+    for _ in range(max_iterations):
+        nbr = sym.join(labels, sym["v"] == labels["id"]).select(
+            F.col("u").alias("id"), F.col("comp")
+        )
+        merged = (
+            labels.select("id", "comp")
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp := comp[comp] (left join — a vertex whose
+        # label is itself finds itself)
+        x, y = merged.alias("x"), merged.alias("y")
+        jumped = x.join(y, F.col("x.comp") == F.col("y.id"), "left").select(
+            F.col("x.id").alias("id"),
+            F.least(
+                F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
+            ).alias("comp"),
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        total = labels.agg(F.sum("comp")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

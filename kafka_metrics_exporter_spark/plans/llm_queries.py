@@ -71,6 +71,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           FROM s),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u WHERE r.lbl < e.v
+    )
+    SELECT u AS doc_id,
+           MIN(lbl) AS component,
+           MIN(lbl) = u AS is_survivor
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: transitive closure over the exact 3-gram
+    Jaccard pair graph (A~B, B~C ⇒ {A,B,C} one cluster), one survivor
+    (min doc_id) per component.  Spark side: O(log D) min-label
+    propagation with pointer jumping (dedup.connected_components);
+    oracle side: recursive CTE min-reachability over the same pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
 @query("dedup_minhash_lsh")  # sketch-based: rows-only driver check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) → 32×4 LSH bands → bucket-join candidates → exact

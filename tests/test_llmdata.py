@@ -307,3 +307,32 @@ def test_multimodal_real_decoders_are_gated(spark):
         multimodal.resize_images(media, 224, 224)
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(media, 10)
+
+
+# --- connected components ----------------------------------------------------
+def test_connected_components_merges_transitively(spark):
+    # chain 1-2-3 (1 and 3 NOT directly linked), isolated pair 10-11,
+    # singleton 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long"
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(edges, vertices).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 64-vertex path stresses pointer jumping: O(log D) rounds must
+    # reach the far end within the iteration cap
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = dedup.connected_components(edges, vertices).collect()
+    assert all(r["component"] == 0 for r in out)
