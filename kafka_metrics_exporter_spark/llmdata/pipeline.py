@@ -1,0 +1,150 @@
+"""Training-data pipeline plumbing: deterministic splits, stratified
+(per-domain) sampling, sequence packing, and benchmark decontamination.
+
+These are the corpus-assembly steps downstream of dedup/quality in a
+100 TB pipeline.  All selection here is CONTENT-ADDRESSED (md5 of the
+document id), never `rand()`/`.sample()`: a hash decision is
+reproducible across runs, stable under Spark task retries and
+re-partitioning, and — unlike a seeded `.sample()` — independent of
+partition layout, so the same document lands in the same split on any
+cluster.  (See similarity.py's mean probe for an observed
+`.sample(seed=...)` nondeterminism.)
+
+Every operator is pure Column expressions (JVM codegen; the one
+exception is decontamination's reuse of dedup.shingles, which is
+Arrow-batched) and every one has a DuckDB-expressible twin in
+plans/llm_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_metrics_exporter_spark.llmdata.dedup import shingles
+
+#: 16-bit bucket space — fractions resolve to 1/65536 granularity.
+N_BUCKETS = 65536
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """Uniform bucket in [0, 65536) from the md5 of the id's string
+    form.  md5 (not xxhash64) because the oracle must reproduce it:
+    DuckDB computes the identical digest, and the 4-hex-char prefix
+    converts with conv()/'0x' cast on each side."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign each row a split label by hash-bucket range.  Weights are
+    cumulative thresholds over the 16-bit bucket space, so a document's
+    split is a pure function of its id — growing the corpus never
+    reshuffles existing assignments (critical: a doc drifting from
+    train to val across dataset versions contaminates the eval)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = hash_bucket(F.col(id_col))
+    expr = None
+    acc = 0.0
+    # iterate in dict order; last split takes the remainder so the
+    # thresholds always cover the full bucket space
+    splits = list(weights.items())
+    for name, w in splits[:-1]:
+        acc += w
+        cond = b < int(acc * N_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_keep(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing downsample: keep each stratum at its target rate
+    (e.g. cap boilerplate-heavy domains, upweight rare languages).
+    Filter is a literal when-chain on the hash bucket — no join, no
+    shuffle; Catalyst pushes it into the scan."""
+    b = hash_bucket(F.col(id_col))
+    rate = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        lim = F.lit(int(frac * N_BUCKETS))
+        rate = F.when(cond, lim) if rate is None else rate.when(cond, lim)
+    rate = (
+        F.lit(int(default_fraction * N_BUCKETS))
+        if rate is None
+        else rate.otherwise(int(default_fraction * N_BUCKETS))
+    )
+    return df.filter(b < rate)
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequential context-window packing: within each partition key,
+    documents are laid end-to-end in id order and cut into chunks of
+    ~``budget`` tokens (a document starts a new chunk when the running
+    total before it has filled the current one).  This is the
+    deterministic streaming form of sequence packing — greedy best-fit
+    packs ~1% tighter but is order-dependent and unstable under
+    re-partitioning, which matters more at 100 TB than the 1%.
+
+    The window partitions by ``part_col``: parallelism = #partition
+    keys.  At scale, pack per (part_col, shard) with shard =
+    hash_bucket % K to bound any one window's row count; the chunk ids
+    then namespace by shard exactly as they namespace by lang here."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col(token_col),
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).alias("chunk_id"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a held-out
+    benchmark corpus (the standard eval-leakage sweep; 8-13-gram overlap
+    is the usual test).  The benchmark shingle set is tiny relative to
+    the corpus — broadcast it, so the sweep is one scan of the corpus
+    shingles with a map-side semi-join probe: no shuffle of the 100 TB
+    side at all."""
+    doc_sh = shingles(docs, text_col, id_col, n)
+    bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumn("is_contaminated", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        )
+    )

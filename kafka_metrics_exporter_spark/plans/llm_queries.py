@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_metrics_exporter_spark.llmdata import dedup, multimodal, similarity
+from kafka_metrics_exporter_spark.llmdata import (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+)
 from kafka_metrics_exporter_spark.llmdata.text import (
     fingerprint_column,
     langid_column,
@@ -331,3 +336,118 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: splits / mixing / packing / decontamination
+# (llmdata/pipeline.py).  Selection is content-addressed — md5 bucket
+# of the id — so both engines compute the identical assignment.
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INT)"
+
+
+@query(
+    "pipe_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 58982 THEN 'train'
+                WHEN {_BUCKET_SQL} < 62259 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 bucket of the
+    doc id — reproducible across runs/clusters and stable as the corpus
+    grows (no doc ever drifts between splits)."""
+    return pipeline.deterministic_split(
+        _t(spark, sf_dir, "documents"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+@query(
+    "pipe_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_SQL} <
+          CASE lang WHEN 'zh' THEN 65536 WHEN 'en' THEN 32768
+                    WHEN 'es' THEN 16384 WHEN 'de' THEN 16384
+                    ELSE 6553 END
+    """,
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: keep all zh, half of en, a quarter of es/de, 10%
+    of the rest — a literal when-chain on the hash bucket, pushed into
+    the scan (no join, no shuffle)."""
+    return pipeline.stratified_keep(
+        _t(spark, sf_dir, "documents"),
+        fractions={"zh": 1.0, "en": 0.5, "es": 0.25, "de": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "pipe_pack_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+    FROM t
+    """,
+)
+def pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing: per-language running token
+    total in doc-id order, cut every 512 tokens.  Window parallelism =
+    #languages here; at scale the partition key gains a hash shard (see
+    pipeline.pack_chunks docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("n_tokens", token_counts(F.col("text"))["n_ws_tokens"])
+    return pipeline.pack_chunks(d, budget=512).select(
+        "doc_id", "lang", "n_tokens", "chunk_id"
+    )
+
+
+@query(
+    "pipe_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(len(ws) - 3)) AS i, ws FROM w WHERE len(ws) >= 4),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                    AS shingle
+           FROM s),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT doc_id FROM sh
+             WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench))
+    SELECT d.doc_id, h.doc_id IS NOT NULL AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage sweep: flag training docs sharing any word n-gram
+    with the benchmark slice (doc_id % 97 = 0 stands in for a held-out
+    eval set).  Real pipelines sweep 8-13-grams; the synthetic corpus's
+    near-dup overlap window is short, so the query pins n=4 (8 hits at
+    sf0.01, ~700 at sf0.1 — enough true flags to make the hash check
+    meaningful).  The benchmark shingle set broadcasts, so the corpus
+    side is one scan + map-side semi-join — no shuffle of the big
+    side."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.decontaminate(train, bench, n=4)

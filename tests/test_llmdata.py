@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_metrics_exporter_spark.llmdata import dedup, multimodal, similarity
+from kafka_metrics_exporter_spark.llmdata import dedup, multimodal, pipeline, similarity
 from kafka_metrics_exporter_spark.llmdata.text import (
     fingerprint_column,
     langid_column,
@@ -336,3 +336,56 @@ def test_connected_components_long_path_converges(spark):
     vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     out = dedup.connected_components(edges, vertices).collect()
     assert all(r["component"] == 0 for r in out)
+
+
+# --- corpus assembly (pipeline.py) -------------------------------------------
+def test_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out1 = {r["doc_id"]: r["split"] for r in pipeline.deterministic_split(df).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in pipeline.deterministic_split(df).collect()}
+    assert out1 == out2  # pure function of the id
+    frac = sum(1 for v in out1.values() if v == "train") / len(out1)
+    assert 0.85 < frac < 0.95  # ~90% train
+    # growing the corpus never reassigns existing docs
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out3 = {r["doc_id"]: r["split"] for r in pipeline.deterministic_split(bigger).collect()}
+    assert all(out3[k] == v for k, v in out1.items())
+
+
+def test_stratified_keep_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = pipeline.stratified_keep(df, {"en": 1.0, "de": 0.25}).collect()
+    en = sum(1 for r in kept if r["lang"] == "en")
+    de = sum(1 for r in kept if r["lang"] == "de")
+    assert en == 1000  # rate 1.0 keeps everything
+    assert 150 < de < 350  # ~25% of 1000
+
+
+def test_pack_chunks_budget_respected(spark):
+    # 10 docs of 100 tokens each, one partition key → chunks of 5 docs
+    rows = [(i, "x", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = pipeline.pack_chunks(df, budget=500).collect()
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], []).append(r["doc_id"])
+    assert sorted(by_chunk) == [0, 1]
+    assert sorted(by_chunk[0]) == [0, 1, 2, 3, 4]
+    assert sorted(by_chunk[1]) == [5, 6, 7, 8, 9]
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta tail"),  # shares a 4-gram
+            (2, "completely unrelated content with other words"),
+            (3, "alpha beta gamma nope"),  # only a 3-gram — clean at n=4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["is_contaminated"] for r in pipeline.decontaminate(docs, bench, n=4).collect()}
+    assert out == {1: True, 2: False, 3: False}
