@@ -144,18 +144,118 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(_decode_batch, _FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: the real op is a mapInPandas over `content`
-    identical in shape to extract_features; unavailable without codecs."""
-    raise NotImplementedError(
-        "image resize requires a codec (PIL) not present in this environment; "
-        "see extract_features for the mapInPandas shape it plugs into"
+def _synthetic_pixels(checksum: int, h: int, w: int, frame_idx: int = 0):
+    """Deterministic single-channel pixel plane for the codec-free
+    environment: pixel(i, j) = (checksum % 251 + 7i + 13j + 17f) % 256.
+    An integer formula rather than a PRNG so an external SQL oracle can
+    reproduce every derived statistic exactly (integer sums are exact
+    in float64, so means match bit-for-bit)."""
+    import numpy as np
+
+    i = np.arange(h, dtype="int64").reshape(-1, 1)
+    j = np.arange(w, dtype="int64").reshape(1, -1)
+    return (checksum % 251 + 7 * i + 13 * j + 17 * frame_idx) % 256
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Nearest-neighbor image resize over binary media rows.
+
+    The resize itself is REAL — source dims from the decoded header,
+    row/col index maps ``src_i = dst_i * src_h // dst_h``, ndarray
+    gather, mean reduction — only the pixel DECODE is the deterministic
+    stub (this container ships no codecs; decoder="pil" is the slot a
+    real codec drops into).  One output row per image with the resized
+    mean as the verification statistic; a real pipeline would also
+    carry the resized plane forward as a binary column — same batch
+    shape either way."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: no codecs in this environment; "
+            "_synthetic_pixels is the slot a real decode fills"
+        )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        def one(content: bytes) -> dict:
+            checksum = int(_hashlib.md5(content or b"").hexdigest()[:12], 16)
+            src_w = 64 + checksum % 64
+            src_h = 64 + (checksum >> 8) % 64
+            img = (checksum % 251 + 7 * np.arange(src_h, dtype="int64").reshape(-1, 1)
+                   + 13 * np.arange(src_w, dtype="int64").reshape(1, -1)) % 256
+            ri = np.arange(height, dtype="int64") * src_h // height
+            cj = np.arange(width, dtype="int64") * src_w // width
+            resized = img[np.ix_(ri, cj)]
+            return {
+                "src_width": src_w,
+                "src_height": src_h,
+                "width": width,
+                "height": height,
+                "mean_intensity": float(resized.mean()),
+            }
+
+        for pdf in batches:
+            out = pd.DataFrame([one(c) for c in pdf["content"]])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(
+        _resize_batch,
+        "media_id long, src_width int, src_height int, width int, height int, "
+        "mean_intensity double",
     )
 
 
-def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub (same contract as resize_images)."""
-    raise NotImplementedError(
-        "video frame sampling requires libav/ffmpeg, not present here; "
-        "see extract_features for the mapInPandas shape it plugs into"
+def sample_frames(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: keep frames at indices 0, n, 2n, … and
+    emit one row per kept frame with its mean intensity.  The sampling
+    cadence, per-frame explode, and reduction are real; frame pixels
+    come from the deterministic stub (see resize_images)."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: no codecs in this environment; "
+            "_synthetic_pixels is the slot a real decode fills"
+        )
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            ws: list[int] = []
+            hs: list[int] = []
+            means: list[float] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                checksum = int(_hashlib.md5(content or b"").hexdigest()[:12], 16)
+                w = 64 + checksum % 64
+                h = 64 + (checksum >> 8) % 64
+                n_frames = 1 + (checksum >> 16) % 8
+                base = (checksum % 251 + 7 * np.arange(h, dtype="int64").reshape(-1, 1)
+                        + 13 * np.arange(w, dtype="int64").reshape(1, -1))
+                for f in range(0, n_frames, every_n):
+                    ids.append(int(mid))
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(((base + 17 * f) % 256).mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "mean_intensity": means,
+                }
+            )
+
+    return df.mapInPandas(
+        _sample_batch,
+        "media_id long, frame_idx int, width int, height int, mean_intensity double",
     )

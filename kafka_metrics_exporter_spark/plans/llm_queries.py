@@ -451,3 +451,87 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return pipeline.decontaminate(train, bench, n=4)
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, checksum,
+             CAST(64 + checksum % 64 AS INT) AS src_w,
+             CAST(64 + (checksum >> 8) % 64 AS INT) AS src_h
+      FROM m
+    ),
+    px AS (
+      SELECT media_id, src_w, src_h,
+             (checksum % 251 + 7 * ((r.ri * src_h) // 32)
+              + 13 * ((c.cj * src_w) // 32)) % 256 AS v
+      FROM dims, range(32) r(ri), range(32) c(cj)
+    )
+    SELECT media_id,
+           MIN(src_w) AS src_width, MIN(src_h) AS src_height,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           AVG(v) AS mean_intensity
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize to 32×32 over binary media rows: real
+    index-map gather + mean reduction per Arrow batch; only the pixel
+    decode is the deterministic integer-formula stub, which is why the
+    oracle can re-enumerate the resized grid cell-by-cell (integer
+    sums are float64-exact, so the means match bit-for-bit)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(
+        d, payload_col="text", id_col="doc_id", media_type="image", source_col="source"
+    )
+    return multimodal.resize_images(media, width=32, height=32)
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, checksum,
+             CAST(64 + checksum % 64 AS INT) AS w,
+             CAST(64 + (checksum >> 8) % 64 AS INT) AS h,
+             CAST(1 + (checksum >> 16) % 8 AS INT) AS n_frames
+      FROM m
+    ),
+    frames AS (
+      SELECT media_id, w, h, checksum, CAST(f.f AS INT) AS frame_idx
+      FROM dims, range(8) f(f)
+      WHERE f.f < n_frames AND f.f % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, w, h, frame_idx,
+             (checksum % 251 + 7 * r.ri + 13 * c.cj + 17 * frame_idx) % 256 AS v
+      FROM frames, range(128) r(ri), range(128) c(cj)
+      WHERE r.ri < h AND c.cj < w
+    )
+    SELECT media_id, frame_idx,
+           MIN(w) AS width, MIN(h) AS height,
+           AVG(v) AS mean_intensity
+    FROM px GROUP BY media_id, frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling at cadence 2 (frames 0, 2, 4, …): per-frame
+    explode and mean reduction are real; frame pixels come from the
+    deterministic stub so each sampled frame's statistic is
+    oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(
+        d, payload_col="text", id_col="doc_id", media_type="video", source_col="source"
+    )
+    return multimodal.sample_frames(media, every_n=2)

@@ -304,9 +304,9 @@ def test_multimodal_real_decoders_are_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decoder="pil")
     with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 224, 224)
+        multimodal.resize_images(media, 224, 224, decoder="pil")
     with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, 10)
+        multimodal.sample_frames(media, 10, decoder="libav")
 
 
 # --- connected components ----------------------------------------------------
@@ -389,3 +389,39 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     )
     out = {r["doc_id"]: r["is_contaminated"] for r in pipeline.decontaminate(docs, bench, n=4).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_multimodal_resize_matches_numpy_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    df = spark.createDataFrame([(7, "resize me please", "s")], "doc_id long, text string, source string")
+    media = multimodal.attach_binary_column(df, "text", "doc_id", "image", "source")
+    row = multimodal.resize_images(media, width=16, height=8).collect()[0]
+    checksum = int(hashlib.md5(b"resize me please").hexdigest()[:12], 16)
+    src_w, src_h = 64 + checksum % 64, 64 + (checksum >> 8) % 64
+    img = (checksum % 251 + 7 * np.arange(src_h).reshape(-1, 1) + 13 * np.arange(src_w)) % 256
+    ri = np.arange(8) * src_h // 8
+    cj = np.arange(16) * src_w // 16
+    assert row["src_width"] == src_w and row["src_height"] == src_h
+    assert row["width"] == 16 and row["height"] == 8
+    assert row["mean_intensity"] == img[np.ix_(ri, cj)].mean()
+
+
+def test_multimodal_frame_sampling_cadence(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"video number {i}", "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    media = multimodal.attach_binary_column(df, "text", "doc_id", "video", "source")
+    out = multimodal.sample_frames(media, every_n=3).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for i in range(40):
+        checksum = int(hashlib.md5(f"video number {i}".encode()).hexdigest()[:12], 16)
+        n_frames = 1 + (checksum >> 16) % 8
+        assert sorted(by_id[i]) == list(range(0, n_frames, 3)), i
