@@ -654,7 +654,12 @@ def connected_components(
     every iteration and Catalyst re-analyzes a 2^k-deep lineage.
 
     At 100 TB the per-round cost is two shuffles keyed by vertex id
-    (uniform — document ids, not content keys); the alternating
+    (uniform — document ids, not content keys), and — critically — the
+    iteration state holds only vertices that HAVE an edge: in a dedup
+    graph the overwhelming majority of documents are singletons, and
+    dragging them through every round would shuffle the whole corpus
+    per iteration for no movement.  Singletons rejoin as their own
+    component in one final left join.  The alternating
     large-star/small-star variant (Kiveris et al., MR'14) halves the
     edge traffic for power-law graphs and slots in here unchanged if
     profiles demand it.
@@ -668,12 +673,19 @@ def connected_components(
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"), F.col("u").alias("comp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     prev_total = None
     for _ in range(max_iterations):
-        nbr = sym.join(labels, sym["v"] == labels["id"]).select(
+        # joins below are self-joins of checkpointed plans; resolve by
+        # DISJOINT column names (v=id, comp=jid), never by DataFrame
+        # attribute refs — Catalyst's relation dedup rewrites attribute
+        # ids on one side and dangling refs throw
+        # `NoSuchElementException: key not found` at optimization time
+        nbr = sym.join(labels, F.expr("v = id")).select(
             F.col("u").alias("id"), F.col("comp")
         )
         merged = (
@@ -684,16 +696,31 @@ def connected_components(
         )
         # pointer jump: comp := comp[comp] (left join — a vertex whose
         # label is itself finds itself)
-        x, y = merged.alias("x"), merged.alias("y")
-        jumped = x.join(y, F.col("x.comp") == F.col("y.id"), "left").select(
-            F.col("x.id").alias("id"),
-            F.least(
-                F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
-            ).alias("comp"),
+        jumped = (
+            merged.join(
+                merged.select(
+                    F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+                ),
+                F.expr("comp = jid"),
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
         )
         labels = jumped.localCheckpoint(eager=True)
         total = labels.agg(F.sum("comp")).first()[0]
         if total == prev_total:
             break
         prev_total = total
-    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+    # singletons (no edges) never entered the loop: their component is
+    # themselves
+    return vertices.select(F.col(id_col)).join(
+        labels.select(F.col("id").alias(id_col), "comp"), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("comp", F.col(id_col)).alias("component"),
+    )
