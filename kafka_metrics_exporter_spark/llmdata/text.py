@@ -160,3 +160,42 @@ def quality_sql(text_expr: str = "text") -> dict[str, str]:
             f"greatest(len({toks}), 1), 4)"
         ),
     }
+
+
+# --- quality gate (composed keep/reject decision) --------------------------
+#: (reason, metric, op, threshold) — evaluated IN ORDER; the first
+#: failing rule names the rejection.  One spec drives both the Column
+#: chain and the SQL twin, so the engines cannot drift.
+QUALITY_GATE_RULES: list[tuple[str, str, str, float]] = [
+    ("too_short", "n_tokens", "<", 20),
+    ("too_long", "n_tokens", ">", 85),
+    ("low_alpha", "alpha_ratio", "<", 0.5),
+    ("high_punct", "punct_ratio", ">", 0.2),
+]
+
+
+def quality_gate(text: Column) -> dict[str, Column]:
+    """Keep/reject decision with the first failing rule as the reason —
+    the gate a pretraining pipeline runs between cheap metrics and
+    expensive dedup.  Ordered ``when`` chain: Catalyst guarantees
+    evaluation order, mirroring first-match-wins rule semantics."""
+    q = quality_columns(text)
+    reason = None
+    for name, metric, op, thr in QUALITY_GATE_RULES:
+        cond = q[metric] < thr if op == "<" else q[metric] > thr
+        reason = (
+            F.when(cond, F.lit(name)) if reason is None else reason.when(cond, name)
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return {"keep": reason.isNull(), "reject_reason": reason}
+
+
+def quality_gate_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB twin of quality_gate, generated from the same rule spec."""
+    q = quality_sql(text_expr)
+    branches = " ".join(
+        f"WHEN {q[metric]} {op} {thr} THEN '{name}'"
+        for name, metric, op, thr in QUALITY_GATE_RULES
+    )
+    reason = f"CASE {branches} ELSE NULL END"
+    return {"keep": f"({reason}) IS NULL", "reject_reason": reason}

@@ -18,6 +18,8 @@ from kafka_metrics_exporter_spark.llmdata.text import (
     langid_column,
     langid_sql,
     quality_columns,
+    quality_gate,
+    quality_gate_sql,
     quality_sql,
     token_counts,
 )
@@ -535,3 +537,29 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, payload_col="text", id_col="doc_id", media_type="video", source_col="source"
     )
     return multimodal.sample_frames(media, every_n=2)
+
+
+_GATE_SQL = quality_gate_sql("text")
+
+
+@query(
+    "text_quality_gate",
+    f"""
+    SELECT doc_id,
+           {_GATE_SQL["keep"]} AS keep,
+           {_GATE_SQL["reject_reason"]} AS reject_reason
+    FROM documents
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate: keep/reject with the FIRST failing rule
+    as the reason (ordered when-chain = first-match-wins), the decision
+    step between cheap per-doc metrics and expensive dedup.  Both
+    engines evaluate the same rule spec (text.QUALITY_GATE_RULES)."""
+    d = _t(spark, sf_dir, "documents")
+    gate = quality_gate(F.col("text"))
+    return d.select(
+        "doc_id",
+        gate["keep"].alias("keep"),
+        gate["reject_reason"].alias("reject_reason"),
+    )

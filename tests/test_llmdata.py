@@ -425,3 +425,26 @@ def test_multimodal_frame_sampling_cadence(spark):
         checksum = int(hashlib.md5(f"video number {i}".encode()).hexdigest()[:12], 16)
         n_frames = 1 + (checksum >> 16) % 8
         assert sorted(by_id[i]) == list(range(0, n_frames, 3)), i
+
+
+def test_quality_gate_first_match_wins(spark):
+    from kafka_metrics_exporter_spark.llmdata.text import quality_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "short text"),  # 2 tokens → too_short
+            (2, " ".join(f"w{i}" for i in range(100))),  # 100 tokens → too_long
+            (3, " ".join("####!" for _ in range(30))),  # no alpha → low_alpha first
+            (4, " ".join(f"word{i}" for i in range(30))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    g = quality_gate(F.col("text"))
+    out = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in df.select("doc_id", g["keep"].alias("keep"), g["reject_reason"].alias("reject_reason")).collect()
+    }
+    assert out[1] == (False, "too_short")
+    assert out[2] == (False, "too_long")
+    assert out[3] == (False, "low_alpha")  # fails alpha AND punct; alpha is first
+    assert out[4] == (True, None)
