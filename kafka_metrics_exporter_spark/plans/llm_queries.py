@@ -563,3 +563,79 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate["keep"].alias("keep"),
         gate["reject_reason"].alias("reject_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII-style masking + weighted sampling (round 3)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+@query(
+    "text_redact",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '[0-9]+', '<NUM>', 'g') AS redacted,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_nums
+      FROM documents
+    )
+    SELECT doc_id, md5(redacted) AS redacted_hash,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_nums AS BIGINT) AS n_nums,
+           n_emails + n_nums > 0 AS changed
+    FROM r
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking: emails then digit runs replaced with typed
+    placeholder tokens — the scrubbing step between raw crawl and
+    training corpus.  Pure regexp_replace/regexp_count Column exprs
+    (JVM codegen, no UDF); emits md5(redacted) rather than the body so
+    the checked result stays narrow at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit("[0-9]+"),
+        F.lit("<NUM>"),
+    )
+    n_emails = F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint")
+    n_nums = F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_nums"),
+        ((n_emails + n_nums) > 0).alias("changed"),
+    )
+
+
+@query(
+    "pipe_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             least(1.0, n_chars / 2000.0) AS weight
+      FROM documents
+    )
+    SELECT doc_id, round(weight, 4) AS weight
+    FROM w
+    WHERE {_BUCKET_SQL} < CAST(floor(weight * 65536) AS INT)
+    """,
+)
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-weight deterministic sampling: keep probability
+    proportional to a per-row score (here length-derived — in a real
+    pipeline, quality or source-temperature weight).  Same
+    content-addressed md5 bucket as pipe_split, so the decision is a
+    pure row-local function — no shuffle, reproducible on any cluster,
+    and the complement of the categorical stratified_keep."""
+    d = _t(spark, sf_dir, "documents")
+    weight = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    keep = pipeline.hash_bucket(F.col("doc_id")) < F.floor(weight * F.lit(65536))
+    return d.withColumn("weight", weight).filter(keep).select(
+        "doc_id", F.round("weight", 4).alias("weight")
+    )

@@ -38,22 +38,29 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table; normalize TIMESTAMP(NANOS) columns to Spark
-    timestamps.
+    """Load a test table; normalize timestamp physical types to plain
+    (UTC-instant) Spark timestamps.
 
-    The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects outright; `nanosAsLong` reads
-    it as raw nanos, then integer division (nanos exceed double's 2^53)
-    converts to micros — truncation identical to DuckDB's nanos→micros
-    read, so oracle comparisons stay exact.
+    The driver's parquet has shipped `ts` two ways across rounds:
+    TIMESTAMP(NANOS) (rejected by Spark's reader unless `nanosAsLong`
+    maps it to raw-nano bigints, which we then truncate to micros —
+    identical to DuckDB's nanos→micros read) and TIMESTAMP(MICROS)
+    without the UTC flag (read as TIMESTAMP_NTZ, which Spark refuses to
+    cast to DOUBLE for epoch math).  Both normalize to TIMESTAMP here;
+    the session timezone is pinned UTC so the NTZ→LTZ cast preserves
+    the wall-clock value and epoch casts agree with DuckDB.
     """
     from kafka_metrics_exporter_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)  # foreign driver sessions: ship the pkg zip
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -1255,4 +1262,194 @@ def p_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type").rlike("^(click|view)$"), 1)
         .otherwise(0)
         .alias("is_impression"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/J7: temporal joins (beyond reference — SURVEY §2.3 lists as-of /
+# range joins as absent there; a metrics store needs both to align
+# samples with state-change events).  Operators in operators/temporal.py.
+# ---------------------------------------------------------------------------
+@query(
+    "j6_asof_join",
+    """
+    WITH r AS (
+      SELECT user_id, ts AS pts,
+             max(event_id) AS ref_event_id,
+             round(arg_max(value, event_id), 4) AS ref_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           r.ref_event_id, r.ref_value,
+           round(epoch(l.ts) - epoch(r.pts), 4) AS asof_lag_sec
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.pts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every 'view' event gains the latest
+    'purchase' of the same user at-or-before it (the align-sample-to-
+    last-deploy/config-change pattern).
+
+    Scale: union–carry-forward (operators/temporal.py) — ONE shuffle of
+    |L|+|R| rows on user_id, no range explode, no per-key collect; the
+    right side is pre-aggregated to one row per (user_id, ts) so ties
+    are deterministic on both engines."""
+    from kafka_metrics_exporter_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.max("event_id").alias("ref_event_id"),
+            _r4(F.max_by("value", "event_id")).alias("ref_value"),
+        )
+    )
+    joined = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="pts",
+        right_cols=["ref_event_id", "ref_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "ref_event_id",
+        "ref_value",
+        _r4(F.col("ts").cast("double") - F.col("asof_ts").cast("double")).alias(
+            "asof_lag_sec"
+        ),
+    )
+
+
+@query(
+    "j7_range_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    agg AS (
+      SELECT l.event_id,
+             count(r.event_id) AS n_follow,
+             round(coalesce(sum(r.value), 0), 4) AS sum_follow
+      FROM l LEFT JOIN r
+        ON r.user_id = l.user_id
+       AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 1 HOUR
+      GROUP BY l.event_id
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           agg.n_follow, agg.sum_follow
+    FROM l JOIN agg USING (event_id)
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each 'purchase', count/sum the same user's
+    'click' events in the following hour.
+
+    Scale: bucketed equi-join (operators/temporal.py) — left rows
+    expand to exactly 2 candidate (user, hour-bucket) keys, so the join
+    is a shuffled hash join on (user_id, bucket), never the
+    BroadcastNestedLoopJoin a raw theta predicate plans as; DuckDB's
+    IEJoin oracle checks the identical semantics."""
+    from kafka_metrics_exporter_spark.operators.temporal import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    matched = range_join_bucketed(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts", window_seconds=3600
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count("r_event_id").alias("n_follow"),
+        _r4(F.sum("r_value")).alias("sum_follow"),
+    )
+    return (
+        left.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("sum_follow", F.lit(0.0)).alias("sum_follow"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12: rollup with grouping id — the multi-level drill-down the Kibana
+# dashboards express as nested terms buckets plus a dashboard-level
+# total (reference ELK/jmx_dashboard.json:130,186 drill-downs).
+# ---------------------------------------------------------------------------
+@query(
+    "a12_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp_id,
+           round(SUM(l_quantity), 4) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: rollup computes (flag, status),
+    (flag), and grand-total rows in a single partial-agg-friendly plan
+    instead of three scans + union.  grouping_id disambiguates real
+    nulls from rollup nulls (both engines put the first rollup column
+    in the most significant bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("grp_id"),
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp_id",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O6: semi join — "keep rows with a match, never duplicate" (the
+# complement of O3's anti join; reference Code/main.py:65-69 set logic).
+# ---------------------------------------------------------------------------
+@query(
+    "o6_semi_join",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def o6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order.  left_semi short-circuits on the
+    first probe hit and never multiplies rows — at scale the filtered
+    orders side stays the build side (AQE), and the priority filter is
+    pushed to the parquet scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
     )
