@@ -162,3 +162,28 @@ def run_pipeline_once(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of llmdata.dedup's
+    hash-groupBy (an ingest pipeline dedups as documents ARRIVE, not in
+    a nightly batch).  ``dropDuplicatesWithinWatermark`` keeps one row
+    per key and expires its per-key state once the watermark passes the
+    key's last sighting, so state is bounded by the dedup horizon —
+    O(keys per watermark window), not O(all keys ever) — which is what
+    makes it runnable forever on a 100 TB/day firehose.
+
+    Keys default to the md5 of the payload column ``text`` (digest
+    state, not bodies — same trick as the batch exact dedup).
+    """
+    if key_cols is None:
+        docs = docs.withColumn("text_hash", F.md5(F.col("text")))
+        key_cols = ["text_hash"]
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
