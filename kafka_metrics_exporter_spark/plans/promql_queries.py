@@ -1,0 +1,129 @@
+"""Oracle-checked queries driven through the PromQL front end
+(promql/): the reference's dashboards speak PromQL (49 expressions,
+Prometheus/jmxexporter_configs/grafana/dashboards/*.json), so these
+entries compile corpus-shaped expression STRINGS with
+promql.compile_promql and evaluate them against a metrics-shaped view
+of the events table — proving the text→plan→result path end-to-end
+against DuckDB SQL that re-implements the PromQL semantics by hand.
+
+The metrics view rolls events up to a scrape-aligned grid
+(name=event_type, label=user_id, one sample per grain): dashboards
+always query step-aligned series, and the grid gives vector arithmetic
+its cross-series ts alignment.  The sample value is the event COUNT
+per cell (a message counter, like the corpus's *_total metrics) —
+counts are exact in double, so every derived rate/sum is bit-identical
+across engines regardless of each engine's summation order (a
+SUM(value) cell sample diverged by 1 ulp and flipped a round(4)
+boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.plans.queries import _TS_FMT, _r4, _t, query
+from kafka_metrics_exporter_spark.promql import compile_promql
+
+
+def _metrics_view(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_trunc(grain, F.col("ts")).alias("ts"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+
+
+_METRICS_SQL = """
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+             date_trunc('{grain}', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2, 3
+"""
+
+_RATE_SQL = """
+      SELECT user_id, ts,
+             (CASE WHEN value >= pv THEN value - pv ELSE value END)
+               / (epoch(ts) - epoch(pts)) AS value
+      FROM (
+        SELECT user_id, ts, value,
+               lag(value) OVER w AS pv, lag(ts) OVER w AS pts
+        FROM {src} WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ) WHERE pts IS NOT NULL AND epoch(ts) > epoch(pts)
+"""
+
+
+@query(
+    "promql_topk_rate",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click' AND user_id <> ''),
+    rate AS ({_RATE_SQL.format(src="c")}),
+    tk AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY ts
+                                ORDER BY value DESC, user_id ASC) AS rn
+      FROM rate
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(SUM(value), 4) AS value
+    FROM tk WHERE rn <= 3
+    GROUP BY user_id, ts
+    """,
+)
+def promql_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (topk(3, rate(click{user_id!=""}[1m])))` — the
+    corpus's sum-of-topk-of-rate shape (reference
+    Kafka_Brokers_Dashboard.json:1046) compiled from the PromQL string.
+    The oracle hand-implements the same pinned semantics (successive-
+    delta rate with reset clamp, per-instant topk with label
+    tiebreaker)."""
+    plan = compile_promql('sum by (user_id) (topk(3, rate(click{user_id!=""}[1m])))')
+    out = plan.evaluate(_metrics_view(spark, sf_dir, "hour"))
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
+    )
+
+
+@query(
+    "promql_vector_math",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="day")}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    v AS (SELECT * FROM m WHERE name = 'view'),
+    rc AS ({_RATE_SQL.format(src="c")}),
+    rv AS ({_RATE_SQL.format(src="v")}),
+    summed AS (
+      SELECT rc.user_id, rc.ts, SUM(rc.value + rv.value) AS value
+      FROM rc JOIN rv ON rc.user_id = rv.user_id AND rc.ts = rv.ts
+      GROUP BY rc.user_id, rc.ts
+    ),
+    scaled AS (SELECT user_id, ts, value / 1024 AS value FROM summed),
+    tk AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY ts
+                                ORDER BY value DESC, user_id ASC) AS rn
+      FROM scaled
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(value, 6) AS value
+    FROM tk WHERE rn <= 5
+    """,
+)
+def promql_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk(5, sum by (user_id) (rate(click[1m]) + rate(view[1m])) /
+    1024)` — the corpus's topk-of-summed-rates-with-unit-scaling shape
+    (reference Kafka_Connect_Dashboard.json:1062).  Exercises vector-
+    vector `+` (equi-join on shared labels + ts), scalar division, agg,
+    and per-instant ranking, all compiled from the string."""
+    plan = compile_promql(
+        "topk(5, sum by (user_id) (rate(click[1m]) + rate(view[1m])) / 1024)"
+    )
+    out = plan.evaluate(_metrics_view(spark, sf_dir, "day"))
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.col("value"), 6).alias("value"),
+    )

@@ -1,0 +1,10 @@
+"""PromQL-subset front end: parse the reference's dashboard
+expressions and compile them to DataFrame plans over the engine's
+normalized metric series (SURVEY §2.4-2.5 — the 49 Grafana `"expr"`
+strings in Prometheus/jmxexporter_configs/grafana/dashboards/*.json
+are this engine's query corpus)."""
+
+from kafka_metrics_exporter_spark.promql.compiler import PromQLPlan, compile_promql
+from kafka_metrics_exporter_spark.promql.parser import parse
+
+__all__ = ["PromQLPlan", "compile_promql", "parse"]

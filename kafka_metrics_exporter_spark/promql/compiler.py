@@ -1,0 +1,252 @@
+"""PromQL-subset → DataFrame compiler.
+
+Evaluates a parsed PromQL expression (promql/parser.py) against a
+"metrics" DataFrame with the engine's normalized series shape:
+
+    name STRING, ts TIMESTAMP, value DOUBLE, <label columns STRING...>
+
+i.e. exactly what operators/normalize.py + rules/compiler.py produce
+from raw scrapes (metric name, label columns, sample).  The result of
+``compile_promql(expr).evaluate(df)`` is a DataFrame with the
+expression's output label columns plus (ts, value) — a *range* of
+instant-vector evaluations, one per sample timestamp, which is what a
+dashboard panel renders over its time window.
+
+Semantics (and the two documented divergences from a real Prometheus):
+
+- Evaluation instants are the sample timestamps present in the data —
+  no resampling onto a step grid (a dashboard step-aligns afterwards;
+  relational consumers join on `ts` directly).
+- ``rate()`` is the exact successive-sample delta (counter resets
+  clamp to the post-reset value) divided by the sample gap — the same
+  pinned semantics as the batch ``w2_rate``/streaming rate operators
+  (SURVEY §7 hard-part 2); PromQL's window extrapolation is
+  intentionally NOT replicated.
+- Label matchers treat a missing label as the empty string, exactly
+  like PromQL (`{topic != ""}` keeps only labeled series).
+
+Everything compiles to built-in Column expressions — filters push into
+the scan, aggregations are partial+final hash aggs, `topk` is one rank
+window per evaluation instant, and binary vector arithmetic is an
+equi-join on (shared labels, ts).  No UDFs anywhere, so the compiled
+plan scales exactly like the hand-written query suite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.promql.parser import (
+    Agg,
+    Bin,
+    Cmp,
+    Expr,
+    Matcher,
+    Rate,
+    Scalar,
+    Selector,
+    TopK,
+    parse,
+)
+
+_META_COLS = {"name", "ts", "value"}
+
+
+def _matcher_pred(m: Matcher) -> Column:
+    col = F.coalesce(F.col(m.label), F.lit(""))  # missing label == ""
+    if m.op == "=":
+        return col == m.value
+    if m.op == "!=":
+        return col != m.value
+    # PromQL regexes are fully anchored
+    pat = f"^(?:{m.value})$"
+    if m.op == "=~":
+        return col.rlike(pat)
+    return ~col.rlike(pat)
+
+
+@dataclass(frozen=True)
+class _Vec:
+    df: DataFrame
+    labels: frozenset[str]
+
+    def select_shape(self) -> DataFrame:
+        cols = sorted(self.labels) + ["ts", "value"]
+        return self.df.select(*cols)
+
+
+class PromQLPlan:
+    """Compiled expression; call :meth:`evaluate` with the metrics DF."""
+
+    def __init__(self, ast: Expr, source: str):
+        self.ast = ast
+        self.source = source
+
+    def evaluate(self, metrics: DataFrame) -> DataFrame:
+        label_cols = [c for c in metrics.columns if c not in _META_COLS]
+        vec = _eval(self.ast, metrics, tuple(label_cols))
+        if isinstance(vec, float):
+            raise ValueError("promql: top-level scalar expressions are not vectors")
+        return vec.select_shape()
+
+
+def compile_promql(text: str) -> PromQLPlan:
+    return PromQLPlan(parse(text), text)
+
+
+def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec | float:
+    if isinstance(node, Scalar):
+        return node.value
+    if isinstance(node, Selector):
+        return _eval_selector(node, metrics, label_cols)
+    if isinstance(node, Rate):
+        return _eval_rate(node, metrics, label_cols)
+    if isinstance(node, Agg):
+        return _eval_agg(node, metrics, label_cols)
+    if isinstance(node, TopK):
+        return _eval_topk(node, metrics, label_cols)
+    if isinstance(node, Bin):
+        return _eval_bin(node, metrics, label_cols)
+    if isinstance(node, Cmp):
+        vec = _eval(node.expr, metrics, label_cols)
+        if isinstance(vec, float):
+            raise ValueError("promql: cannot compare a scalar expression")
+        ops = {
+            ">": Column.__gt__,
+            "<": Column.__lt__,
+            ">=": Column.__ge__,
+            "<=": Column.__le__,
+            "==": Column.__eq__,
+            "!=": Column.__ne__,
+        }
+        return _Vec(vec.df.filter(ops[node.op](F.col("value"), F.lit(node.threshold))), vec.labels)
+    raise TypeError(f"promql: unknown node {node!r}")
+
+
+def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
+    df = metrics
+    labels = set(label_cols)
+    if node.name is not None:
+        df = df.filter(F.col("name") == node.name)
+        df = df.drop("name")
+    else:
+        # nameless selector: the metric name rides along as __name__
+        df = df.withColumnRenamed("name", "__name__")
+        labels.add("__name__")
+    for m in node.matchers:
+        if m.label not in labels:
+            # a matcher on an absent label: PromQL treats it as ""
+            df = df.withColumn(m.label, F.lit(""))
+            labels.add(m.label)
+        df = df.filter(_matcher_pred(m))
+    return _Vec(df, frozenset(labels))
+
+
+def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
+    vec = _eval_selector(node.selector, metrics, label_cols)
+    series = sorted(vec.labels)
+    w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    delta_v = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")  # counter reset: restart from 0
+    )
+    delta_t = F.col("ts").cast("double") - prev_ts.cast("double")
+    rated = (
+        vec.df.withColumn(
+            "__rate",
+            F.when(prev_ts.isNull() | (delta_t <= 0), F.lit(None)).otherwise(
+                delta_v / delta_t
+            ),
+        )
+        .filter(F.col("__rate").isNotNull())  # PromQL emits nothing before 2 samples
+        .withColumn("value", F.col("__rate"))
+        .drop("__rate")
+    )
+    return _Vec(rated, vec.labels)
+
+
+_AGG_FN = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(F.lit(1)),
+}
+
+
+def _eval_agg(node: Agg, metrics: DataFrame, label_cols) -> _Vec:
+    vec = _eval(node.expr, metrics, label_cols)
+    if isinstance(vec, float):
+        raise ValueError("promql: cannot aggregate a scalar")
+    if node.by is not None:
+        out_labels = list(node.by)
+    elif node.without is not None:
+        out_labels = sorted(vec.labels - set(node.without))
+    else:
+        out_labels = []
+    df = vec.df
+    for lbl in out_labels:
+        if lbl not in vec.labels:
+            df = df.withColumn(lbl, F.lit(""))  # grouping by an absent label
+    grouped = df.groupBy(*[F.col(c) for c in out_labels], F.col("ts")).agg(
+        _AGG_FN[node.op](F.col("value")).cast("double").alias("value")
+    )
+    return _Vec(grouped, frozenset(out_labels))
+
+
+def _eval_topk(node: TopK, metrics: DataFrame, label_cols) -> _Vec:
+    vec = _eval(node.expr, metrics, label_cols)
+    if isinstance(vec, float):
+        raise ValueError("promql: topk needs a vector")
+    order = [F.col("value").asc() if node.bottom else F.col("value").desc()]
+    # deterministic under value ties: break by the full label tuple
+    order += [F.col(c).asc() for c in sorted(vec.labels)]
+    w = Window.partitionBy(F.col("ts")).orderBy(*order)
+    df = (
+        vec.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= node.k)
+        .drop("__rn")
+    )
+    return _Vec(df, vec.labels)
+
+
+def _eval_bin(node: Bin, metrics: DataFrame, label_cols) -> _Vec | float:
+    left = _eval(node.left, metrics, label_cols)
+    right = _eval(node.right, metrics, label_cols)
+    py_ops = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+    if isinstance(left, float) and isinstance(right, float):
+        return py_ops[node.op](left, right)
+    if isinstance(right, float):
+        assert isinstance(left, _Vec)
+        return _Vec(
+            left.df.withColumn("value", py_ops[node.op](F.col("value"), F.lit(right))),
+            left.labels,
+        )
+    if isinstance(left, float):
+        assert isinstance(right, _Vec)
+        return _Vec(
+            right.df.withColumn("value", py_ops[node.op](F.lit(left), F.col("value"))),
+            right.labels,
+        )
+    # vector-vector: one-to-one matching on the identical label set
+    if left.labels != right.labels:
+        raise ValueError(
+            f"promql: vector arithmetic needs matching label sets "
+            f"({sorted(left.labels)} vs {sorted(right.labels)})"
+        )
+    keys = sorted(left.labels) + ["ts"]
+    lf = left.df.select(*keys, F.col("value").alias("__lv"))
+    rf = right.df.select(*keys, F.col("value").alias("__rv"))
+    joined = lf.join(rf, keys, "inner").withColumn(
+        "value", py_ops[node.op](F.col("__lv"), F.col("__rv"))
+    )
+    return _Vec(joined.drop("__lv", "__rv"), left.labels)

@@ -1,0 +1,279 @@
+"""PromQL-subset parser: tokenizer + recursive-descent AST builder.
+
+Covers exactly the grammar the reference's Grafana dashboards use
+(every `"expr"` in Prometheus/jmxexporter_configs/grafana/dashboards/
+*.json — 49 expressions): metric selectors with label matchers
+(`=`, `!=`, `=~`, `!~`), `rate(sel[dur])`, aggregations
+`sum|avg|min|max|count` with `by (...)` / `without (...)` clauses
+(clause before or after the parenthesized body), `topk(k, expr)` /
+`bottomk(k, expr)`, vector arithmetic (`+ - * /`) between compatible
+vectors or against scalar constants, and scalar comparisons
+(`> 0` filters).  No subqueries, offsets, or @-modifiers — the corpus
+has none.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Matcher:
+    label: str
+    op: str  # '=', '!=', '=~', '!~'
+    value: str
+
+
+@dataclass(frozen=True)
+class Selector:
+    name: str | None
+    matchers: tuple[Matcher, ...] = ()
+
+
+@dataclass(frozen=True)
+class Rate:
+    selector: Selector
+    window_seconds: float
+
+
+@dataclass(frozen=True)
+class Agg:
+    op: str  # sum|avg|min|max|count
+    expr: "Expr"
+    by: tuple[str, ...] | None = None
+    without: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
+class TopK:
+    k: int
+    expr: "Expr"
+    bottom: bool = False
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str  # + - * /
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class Scalar:
+    value: float
+
+
+@dataclass(frozen=True)
+class Cmp:
+    expr: "Expr"
+    op: str  # > < >= <= == !=
+    threshold: float
+
+
+Expr = Selector | Rate | Agg | TopK | Bin | Scalar | Cmp
+
+_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+
+_DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<number>\d+(?:\.\d+)?(?![\w:]))
+      | (?P<duration>\d+(?:\.\d+)?(?:ms|[smhdw]))
+      | (?P<ident>[A-Za-z_:][A-Za-z0-9_:]*)
+      | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+      | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/(){}\[\],])
+    )""",
+    re.VERBOSE,
+)
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise SyntaxError(f"promql: cannot tokenize at {text[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("number", "duration", "ident", "string", "op"):
+            val = m.group(kind)
+            if val is not None:
+                tokens.append((kind, val))
+                break
+    tokens.append(("eof", ""))
+    return tokens
+
+
+def _duration_seconds(tok: str) -> float:
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|[smhdw])", tok)
+    if not m:
+        raise SyntaxError(f"promql: bad duration {tok!r}")
+    return float(m.group(1)) * _DUR_UNITS[m.group(2)]
+
+
+@dataclass
+class _Parser:
+    tokens: list[tuple[str, str]]
+    i: int = 0
+    # labels seen anywhere in the expression (grouping clauses +
+    # matchers) — the compiler uses this to validate the base table
+    labels_seen: set[str] = field(default_factory=set)
+
+    def peek(self) -> tuple[str, str]:
+        return self.tokens[self.i]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, val: str) -> None:
+        kind, tok = self.next()
+        if tok != val:
+            raise SyntaxError(f"promql: expected {val!r}, got {tok!r}")
+
+    # expr := term (('+'|'-') term)* , with trailing comparisons bound loosest
+    def parse_expr(self) -> Expr:
+        node = self.parse_term()
+        while True:
+            kind, tok = self.peek()
+            if tok in ("+", "-"):
+                self.next()
+                node = Bin(tok, node, self.parse_term())
+            elif tok in (">", "<", ">=", "<=", "==", "!="):
+                self.next()
+                nkind, ntok = self.next()
+                if nkind != "number":
+                    raise SyntaxError("promql: comparison requires a scalar")
+                node = Cmp(node, tok, float(ntok))
+            else:
+                return node
+
+    def parse_term(self) -> Expr:
+        node = self.parse_factor()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = Bin(op, node, self.parse_factor())
+        return node
+
+    def parse_factor(self) -> Expr:
+        kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            node = self.parse_expr()
+            self.expect(")")
+            return node
+        if kind == "number":
+            self.next()
+            return Scalar(float(tok))
+        if kind == "ident":
+            if tok in _AGG_OPS:
+                return self.parse_agg()
+            if tok == "rate":
+                return self.parse_rate()
+            if tok in ("topk", "bottomk"):
+                return self.parse_topk()
+            return self.parse_selector()
+        if tok == "{":
+            return self.parse_selector()
+        raise SyntaxError(f"promql: unexpected token {tok!r}")
+
+    def parse_agg(self) -> Expr:
+        op = self.next()[1]
+        by = without = None
+        if self.peek()[1] in ("by", "without"):
+            by, without = self._grouping_clause()
+        self.expect("(")
+        inner = self.parse_expr()
+        self.expect(")")
+        if by is None and without is None and self.peek()[1] in ("by", "without"):
+            by, without = self._grouping_clause()
+        return Agg(op, inner, by=by, without=without)
+
+    def _grouping_clause(self):
+        mode = self.next()[1]
+        self.expect("(")
+        labels: list[str] = []
+        while self.peek()[1] != ")":
+            kind, tok = self.next()
+            if kind == "ident":
+                labels.append(tok)
+                self.labels_seen.add(tok)
+            elif tok != ",":
+                raise SyntaxError(f"promql: bad grouping label {tok!r}")
+        self.expect(")")
+        labels_t = tuple(labels)
+        return (labels_t, None) if mode == "by" else (None, labels_t)
+
+    def parse_rate(self) -> Expr:
+        self.next()  # 'rate'
+        self.expect("(")
+        sel = self.parse_selector()
+        self.expect("[")
+        kind, tok = self.next()
+        if kind != "duration":
+            raise SyntaxError(f"promql: expected duration, got {tok!r}")
+        window = _duration_seconds(tok)
+        self.expect("]")
+        self.expect(")")
+        return Rate(sel, window)
+
+    def parse_topk(self) -> Expr:
+        fn = self.next()[1]
+        self.expect("(")
+        kind, tok = self.next()
+        if kind != "number":
+            raise SyntaxError("promql: topk requires a literal k")
+        self.expect(",")
+        inner = self.parse_expr()
+        self.expect(")")
+        return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
+
+    def parse_selector(self) -> Selector:
+        kind, tok = self.peek()
+        name = None
+        if kind == "ident":
+            name = self.next()[1]
+        matchers: list[Matcher] = []
+        if self.peek()[1] == "{":
+            self.next()
+            while self.peek()[1] != "}":
+                lkind, label = self.next()
+                if label == ",":
+                    continue
+                if lkind != "ident":
+                    raise SyntaxError(f"promql: bad matcher label {label!r}")
+                okind, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise SyntaxError(f"promql: bad matcher op {op!r}")
+                skind, sval = self.next()
+                if skind != "string":
+                    raise SyntaxError(f"promql: matcher value must be a string")
+                matchers.append(Matcher(label, op, _unquote(sval)))
+                self.labels_seen.add(label)
+            self.expect("}")
+        if name is None and not matchers:
+            raise SyntaxError("promql: empty selector")
+        return Selector(name, tuple(matchers))
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse(text: str) -> Expr:
+    p = _Parser(tokenize(text))
+    node = p.parse_expr()
+    kind, tok = p.peek()
+    if kind != "eof":
+        raise SyntaxError(f"promql: trailing input at {tok!r}")
+    return node

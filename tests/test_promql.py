@@ -1,0 +1,215 @@
+"""PromQL front-end tests.
+
+1. Corpus conformance: every `"expr"` string in the reference's three
+   Grafana dashboards (the engine's query corpus, SURVEY §2 intro)
+   must parse, compile, and EXECUTE against a metrics DataFrame that
+   carries the corpus's label columns.
+2. Semantic pins: hand-computed fixtures for selector matchers
+   (missing-label-as-empty, anchored regex), rate (reset clamp, no
+   first-sample emission), aggregation by/without, topk per instant,
+   vector arithmetic join, comparison filters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.promql import compile_promql, parse
+
+_DASH_GLOB = "/root/reference/Prometheus/jmxexporter_configs/grafana/dashboards/*.json"
+
+
+def _corpus_exprs() -> list[str]:
+    exprs: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "expr" in node and isinstance(node["expr"], str) and node["expr"].strip():
+                exprs.append(node["expr"])
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    for path in sorted(glob.glob(_DASH_GLOB)):
+        with open(path, encoding="utf-8") as fh:
+            walk(json.load(fh))
+    return exprs
+
+
+CORPUS = _corpus_exprs()
+
+
+def test_corpus_is_the_documented_size():
+    assert len(CORPUS) == 49
+
+
+@pytest.mark.parametrize("expr", sorted(set(CORPUS)))
+def test_corpus_expr_parses(expr):
+    parse(expr)  # must not raise
+
+
+@pytest.fixture(scope="module")
+def corpus_metrics(spark):
+    """A tiny metrics table carrying every label the corpus mentions
+    and a couple of the metric names, two samples per series (so rate
+    emits rows)."""
+    labels = [
+        "job", "instance", "area", "clientId", "request", "topic",
+        "connector", "task", "gc", "quantile",
+    ]
+    names = sorted(
+        {
+            "kafka_brokers_server_brokertopicmetrics_bytesin_total",
+            "kafka_brokers_server_brokertopicmetrics_bytesout_total",
+            "kafka_brokers_server_brokertopicmetrics_messagesin_total",
+            "kafka_brokers_controller_kafkacontroller_activecontrollercount",
+            "kafka_connect_worker_connector_count",
+            "kafka_connect_connect_node_outgoing_byte_total",
+            "kafka_connect_connect_node_incoming_byte_total",
+            "jvm_memory_bytes_used",
+            "zookeeper_NodeCount",
+            "zookeeper_PacketsReceived",
+            "zookeeper_PacketsSent",
+        }
+    )
+    rows = []
+    for ni, name in enumerate(names):
+        for s in range(2):  # two series per metric
+            lab = {
+                "job": f"job{s}", "instance": f"host{s}:1234", "area": "heap",
+                "clientId": f"c{s}", "request": "Produce" if s == 0 else "Fetch",
+                "topic": f"t{s}", "connector": f"conn{s}", "task": str(s),
+                "gc": "G1", "quantile": "0.99",
+            }
+            for i in range(3):  # three samples per series
+                rows.append(
+                    (
+                        name,
+                        dt.datetime(2024, 1, 1, 0, i),
+                        float(100 * ni + 10 * s + i * i),
+                        *[lab[c] for c in labels],
+                    )
+                )
+    schema = "name string, ts timestamp, value double, " + ", ".join(
+        f"{c} string" for c in labels
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.mark.parametrize("expr", sorted(set(CORPUS)))
+def test_corpus_expr_compiles_and_runs(expr, corpus_metrics):
+    out = compile_promql(expr).evaluate(corpus_metrics)
+    assert {"ts", "value"} <= set(out.columns)
+    assert out.count() >= 0  # plan executes
+
+
+# ---------------------------------------------------------------------------
+# Semantic pins
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # name, ts, value, topic, instance
+        ("m", t0, 10.0, "a", "h1"),
+        ("m", t0 + dt.timedelta(minutes=1), 40.0, "a", "h1"),
+        ("m", t0 + dt.timedelta(minutes=2), 5.0, "a", "h1"),  # counter reset
+        ("m", t0, 100.0, "b", "h1"),
+        ("m", t0 + dt.timedelta(minutes=1), 160.0, "b", "h1"),
+        ("m", t0, 7.0, "", "h2"),  # "missing" topic label
+        ("n", t0, 1.0, "a", "h1"),
+        ("n", t0 + dt.timedelta(minutes=1), 2.0, "a", "h1"),
+    ]
+    return spark.createDataFrame(
+        rows, "name string, ts timestamp, value double, topic string, instance string"
+    )
+
+
+def _vals(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_selector_and_matchers(tiny):
+    out = compile_promql('m{topic != ""}').evaluate(tiny)
+    assert out.count() == 5  # h2's empty-topic series excluded
+    out2 = compile_promql('m{topic =~ "a|x"}').evaluate(tiny)
+    assert out2.count() == 3
+    # anchored: "a|x" must not match a hypothetical "ax" — and a full
+    # regex on instance:
+    out3 = compile_promql('m{instance =~ "h.*"}').evaluate(tiny)
+    assert out3.count() == 6
+
+
+def test_rate_reset_clamp_and_first_sample(tiny):
+    out = compile_promql("rate(m{topic = \"a\"}[1m])").evaluate(tiny)
+    got = {r["ts"].minute: r["value"] for r in out.collect()}
+    # first sample emits nothing; (40-10)/60 = 0.5; reset → 5/60
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == pytest.approx(5.0 / 60.0)
+
+
+def test_agg_by_and_without(tiny):
+    out = compile_promql("sum by (instance) (m)").evaluate(tiny)
+    got = _vals(out, "instance", "ts", "value")
+    t0 = dt.datetime(2024, 1, 1)
+    assert ("h1", t0, 110.0) in got  # 10 + 100
+    assert ("h2", t0, 7.0) in got
+    # without: drop topic → group by instance (the only other label)
+    out2 = compile_promql("sum without (topic) (m)").evaluate(tiny)
+    assert _vals(out2, "instance", "ts", "value") == got
+
+
+def test_topk_per_instant(tiny):
+    out = compile_promql("topk(1, m)").evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    got = _vals(out, "topic", "ts", "value")
+    assert ("b", t0, 100.0) in got
+    assert ("b", t0 + dt.timedelta(minutes=1), 160.0) in got
+    # at minute 2 only topic=a has a sample
+    assert ("a", t0 + dt.timedelta(minutes=2), 5.0) in got
+    assert len(got) == 3
+
+
+def test_vector_arithmetic_joins_on_labels(tiny):
+    out = compile_promql('m{topic="a"} + n{topic="a"}').evaluate(tiny)
+    got = {r["ts"].minute: r["value"] for r in out.collect()}
+    assert got == {0: 11.0, 1: 42.0}  # minute 2 has no n sample
+
+
+def test_scalar_math_and_comparison(tiny):
+    out = compile_promql('sum by (topic) (m{instance="h1"}) / 10 > 4').evaluate(tiny)
+    got = _vals(out, "topic", "value")
+    # sums per (topic, ts): a→10,40,5 b→100,160 ; /10 then >4 keeps 10,16
+    assert got == {("b", 10.0), ("b", 16.0)}
+
+
+def test_count_agg(tiny):
+    # count() with no grouping clause drops ALL labels (PromQL), so the
+    # outer sum-by-instance sees a label-less vector and groups by the
+    # empty string — the corpus's activecontrollercount panel shape.
+    out = compile_promql("sum by (instance) (count(m))").evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    got = _vals(out, "instance", "ts", "value")
+    assert got == {
+        ("", t0, 3.0),  # 3 series alive at t0
+        ("", t0 + dt.timedelta(minutes=1), 2.0),
+        ("", t0 + dt.timedelta(minutes=2), 1.0),
+    }
+    # count by (instance) keeps the label and counts series per host
+    out2 = compile_promql("count by (instance) (m)").evaluate(tiny)
+    got2 = _vals(out2, "instance", "ts", "value")
+    assert ("h1", t0, 2.0) in got2 and ("h2", t0, 1.0) in got2
+
+
+def test_parse_errors_are_syntax_errors():
+    for bad in ["sum by (", "rate(m)", "topk(x, m)", "m{topic ~ \"a\"}", ""]:
+        with pytest.raises(SyntaxError):
+            parse(bad)
