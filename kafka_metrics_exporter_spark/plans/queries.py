@@ -470,6 +470,30 @@ def a11_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a11b_approx_percentile")  # t-digest estimate is engine-specific
+def a11b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 scale path: approx_percentile (t-digest) — single-pass,
+    mergeable, O(accuracy) memory per group instead of buffering the
+    whole group like exact percentile.  Accuracy evidence for the
+    no_oracle row: tests/test_queries_oracle.py::
+    test_a11b_approx_within_tolerance_of_exact pins each estimate
+    within 1% relative error of the exact A11 per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            _r4(F.col("_p").getItem(0)).alias("p50_price"),
+            _r4(F.col("_p").getItem(1)).alias("p95_price"),
+            _r4(F.col("_p").getItem(2)).alias("p99_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Query-time series join: PromQL binary ops join series on identical
 # label sets (`bytesin + bytesout`, reference Kafka_Brokers_Dashboard

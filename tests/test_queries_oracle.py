@@ -62,3 +62,22 @@ def test_a5_approx_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, ex in exact.items():
         assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
+
+
+def test_a11b_approx_within_tolerance_of_exact(spark, sf_dir):
+    """Driver-visible evidence for the no_oracle a11b row: every
+    t-digest percentile estimate (accuracy=10000) stays within 1%
+    relative error of the exact interpolated percentile per group."""
+    cols = ["p50_price", "p95_price", "p99_price"]
+    approx = {
+        r["l_returnflag"]: [r[c] for c in cols]
+        for r in QUERIES["a11b_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: [r[c] for c in cols]
+        for r in QUERIES["a11_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) / e <= 0.01, (flag, a, e)
