@@ -213,3 +213,41 @@ def test_parse_errors_are_syntax_errors():
     for bad in ["sum by (", "rate(m)", "topk(x, m)", "m{topic ~ \"a\"}", ""]:
         with pytest.raises(SyntaxError):
             parse(bad)
+
+
+def test_selector_filters_push_into_parquet_scan(spark, tmp_path):
+    """A compiled selector's name/matcher predicates must reach the
+    parquet scan as PushedFilters — at 100 TB the matcher is the
+    difference between scanning one metric and scanning the lake."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "metrics_pq")
+    (
+        spark.range(100)
+        .select(
+            F.when(F.col("id") % 2 == 0, "m").otherwise("n").alias("name"),
+            F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("topic"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    metrics = spark.read.parquet(path)
+    out = compile_promql('m{topic = "t1"}').evaluate(metrics)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "name" in pushed and "EqualTo" in pushed
+
+
+def test_bottomk(tiny):
+    out = compile_promql("bottomk(1, m)").evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    got = _vals(out, "topic", "ts", "value")
+    assert ("", t0, 7.0) in got  # smallest at t0 is the h2 series
+    assert ("a", t0 + dt.timedelta(minutes=1), 40.0) in got
