@@ -45,6 +45,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Cmp,
     Expr,
     Matcher,
+    OverTime,
     Rate,
     Scalar,
     Selector,
@@ -104,6 +105,8 @@ def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec |
         return _eval_selector(node, metrics, label_cols)
     if isinstance(node, Rate):
         return _eval_rate(node, metrics, label_cols)
+    if isinstance(node, OverTime):
+        return _eval_over_time(node, metrics, label_cols)
     if isinstance(node, Agg):
         return _eval_agg(node, metrics, label_cols)
     if isinstance(node, TopK):
@@ -155,18 +158,34 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
         F.col("value")  # counter reset: restart from 0
     )
     delta_t = F.col("ts").cast("double") - prev_ts.cast("double")
+    # rate/irate: per-second derivative; increase: the raw clamped delta
+    out_val = delta_v if node.fn == "increase" else delta_v / delta_t
     rated = (
         vec.df.withColumn(
             "__rate",
-            F.when(prev_ts.isNull() | (delta_t <= 0), F.lit(None)).otherwise(
-                delta_v / delta_t
-            ),
+            F.when(prev_ts.isNull() | (delta_t <= 0), F.lit(None)).otherwise(out_val),
         )
         .filter(F.col("__rate").isNotNull())  # PromQL emits nothing before 2 samples
         .withColumn("value", F.col("__rate"))
         .drop("__rate")
     )
     return _Vec(rated, vec.labels)
+
+
+def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
+    """<agg>_over_time(sel[w]): per series, aggregate the samples in the
+    trailing range (t-w, t] — a real RANGE window frame over epoch
+    seconds (integer-second resolution; PromQL's left-open boundary is
+    -(w-1)..0 on whole seconds)."""
+    vec = _eval_selector(node.selector, metrics, label_cols)
+    series = sorted(vec.labels)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series])
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(int(node.window_seconds) - 1), 0)
+    )
+    agg_col = _AGG_FN[node.op](F.col("value")).over(w).cast("double")
+    return _Vec(vec.df.withColumn("value", agg_col), vec.labels)
 
 
 _AGG_FN = {

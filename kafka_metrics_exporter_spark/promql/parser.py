@@ -8,8 +8,10 @@ Covers exactly the grammar the reference's Grafana dashboards use
 (clause before or after the parenthesized body), `topk(k, expr)` /
 `bottomk(k, expr)`, vector arithmetic (`+ - * /`) between compatible
 vectors or against scalar constants, and scalar comparisons
-(`> 0` filters).  No subqueries, offsets, or @-modifiers — the corpus
-has none.
+(`> 0` filters) — plus, beyond the corpus, the counter functions
+`irate`/`increase` and the range-window family
+`sum|avg|min|max|count_over_time(sel[dur])`.  No subqueries, offsets,
+or @-modifiers — the corpus has none.
 """
 
 from __future__ import annotations
@@ -36,6 +38,15 @@ class Selector:
 
 @dataclass(frozen=True)
 class Rate:
+    selector: Selector
+    window_seconds: float
+    # 'rate'/'irate' (per-second) or 'increase' (raw clamped delta)
+    fn: str = "rate"
+
+
+@dataclass(frozen=True)
+class OverTime:
+    op: str  # avg|max|min|sum|count
     selector: Selector
     window_seconds: float
 
@@ -74,7 +85,7 @@ class Cmp:
     threshold: float
 
 
-Expr = Selector | Rate | Agg | TopK | Bin | Scalar | Cmp
+Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp
 
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
 
@@ -177,8 +188,10 @@ class _Parser:
         if kind == "ident":
             if tok in _AGG_OPS:
                 return self.parse_agg()
-            if tok == "rate":
+            if tok in ("rate", "irate", "increase"):
                 return self.parse_rate()
+            if tok.endswith("_over_time") and tok[: -len("_over_time")] in _AGG_OPS:
+                return self.parse_over_time()
             if tok in ("topk", "bottomk"):
                 return self.parse_topk()
             return self.parse_selector()
@@ -213,8 +226,7 @@ class _Parser:
         labels_t = tuple(labels)
         return (labels_t, None) if mode == "by" else (None, labels_t)
 
-    def parse_rate(self) -> Expr:
-        self.next()  # 'rate'
+    def _range_call(self) -> tuple[Selector, float]:
         self.expect("(")
         sel = self.parse_selector()
         self.expect("[")
@@ -224,7 +236,17 @@ class _Parser:
         window = _duration_seconds(tok)
         self.expect("]")
         self.expect(")")
-        return Rate(sel, window)
+        return sel, window
+
+    def parse_rate(self) -> Expr:
+        fn = self.next()[1]
+        sel, window = self._range_call()
+        return Rate(sel, window, fn=fn)
+
+    def parse_over_time(self) -> Expr:
+        fn = self.next()[1]
+        sel, window = self._range_call()
+        return OverTime(fn[: -len("_over_time")], sel, window)
 
     def parse_topk(self) -> Expr:
         fn = self.next()[1]

@@ -251,3 +251,29 @@ def test_bottomk(tiny):
     got = _vals(out, "topic", "ts", "value")
     assert ("", t0, 7.0) in got  # smallest at t0 is the h2 series
     assert ("a", t0 + dt.timedelta(minutes=1), 40.0) in got
+
+
+def test_irate_and_increase(tiny):
+    # irate == rate in this engine's pinned successive-delta semantics
+    r = compile_promql('rate(m{topic="a"}[1m])').evaluate(tiny)
+    ir = compile_promql('irate(m{topic="a"}[1m])').evaluate(tiny)
+    assert {(x["ts"], x["value"]) for x in r.collect()} == {
+        (x["ts"], x["value"]) for x in ir.collect()
+    }
+    inc = compile_promql('increase(m{topic="a"}[1m])').evaluate(tiny)
+    got = {x["ts"].minute: x["value"] for x in inc.collect()}
+    assert got == {1: 30.0, 2: 5.0}  # raw clamped deltas, not per-second
+
+
+def test_over_time_range_window(tiny):
+    # avg over the trailing 2 minutes, per series
+    out = compile_promql('avg_over_time(m{topic="a"}[2m])').evaluate(tiny)
+    got = {r["ts"].minute: r["value"] for r in out.collect()}
+    assert got[0] == pytest.approx(10.0)          # only itself
+    assert got[1] == pytest.approx(25.0)          # (10+40)/2
+    assert got[2] == pytest.approx(22.5)          # (40+5)/2 — t0 aged out
+    mx = compile_promql('max_over_time(m{topic="a"}[3m])').evaluate(tiny)
+    got_mx = {r["ts"].minute: r["value"] for r in mx.collect()}
+    assert got_mx == {0: 10.0, 1: 40.0, 2: 40.0}
+    cnt = compile_promql('count_over_time(m{topic="a"}[3m])').evaluate(tiny)
+    assert {r["ts"].minute: r["value"] for r in cnt.collect()} == {0: 1.0, 1: 2.0, 2: 3.0}
