@@ -639,3 +639,71 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("weight", weight).filter(keep).select(
         "doc_id", F.round("weight", 4).alias("weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build + LSH-pairs components (round 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_corpus_build",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+      WHERE {_GATE_SQL["keep"]}
+    ),
+    survivors AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id
+      FROM gated GROUP BY md5(text)
+    )
+    SELECT g.doc_id,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN {_BUCKET_SQL.replace('doc_id', 'g.doc_id')} < 58982 THEN 'train'
+                WHEN {_BUCKET_SQL.replace('doc_id', 'g.doc_id')} < 62259 THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated g JOIN survivors s USING (doc_id)
+    """,
+)
+def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled pipeline as ONE declarative plan: quality gate →
+    exact-dedup survivors → deterministic split → token budget, ending
+    in (doc_id, n_tokens, split).  Catalyst fuses the gate into the
+    scan, the dedup is one digest-keyed shuffle, the split/token
+    columns are row-local exprs — at 100 TB this whole corpus build is
+    two shuffles (dedup groupBy + the survivor semi-join)."""
+    from kafka_metrics_exporter_spark.llmdata.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    gate = quality_gate(F.col("text"))
+    gated = d.filter(gate["keep"])
+    survivors = exact_dedup(gated).select(F.col("survivor_id").alias("doc_id"))
+    kept = gated.join(survivors, "doc_id", "left_semi")
+    kept = kept.withColumn("n_tokens", token_counts(F.col("text"))["n_ws_tokens"])
+    out = pipeline.deterministic_split(
+        kept, weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "n_tokens", "split")
+
+
+@query("dedup_minhash_components")  # sketch-based: rows-only driver check
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale cluster dedup: MinHash-LSH candidate pairs
+    (bucketed, never all-pairs) → exact-Jaccard verify → connected
+    components → one survivor per near-dup cluster.  This is
+    dedup_components with the quadratic exact pair generation swapped
+    for the sketch path — the composition C4/RefinedWeb-style pipelines
+    run at corpus scale.  Agreement with the exact-pair components is
+    pinned in tests/test_llmdata.py (identical clusters wherever LSH
+    recalls the pair; never merges non-near-dup docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_survivor"),
+    )

@@ -448,3 +448,37 @@ def test_quality_gate_first_match_wins(spark):
     assert out[2] == (False, "too_long")
     assert out[3] == (False, "low_alpha")  # fails alpha AND punct; alpha is first
     assert out[4] == (True, None)
+
+
+def test_minhash_components_refine_exact_components(spark, sf_dir):
+    """Evidence for the no_oracle dedup_minhash_components row: LSH
+    edges are exact-Jaccard-verified, so LSH clusters must REFINE the
+    exact-pair clusters (never merge docs the exact graph keeps apart);
+    and with 32x4 bands at J=0.5 the sketch path must recover most of
+    the exact clustering (survivor counts within 5%)."""
+    from kafka_metrics_exporter_spark.llmdata import dedup
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    exact_pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.5)
+    exact = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(exact_pairs, docs).collect()
+    }
+    lsh_pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    lsh = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(lsh_pairs, docs).collect()
+    }
+    assert set(exact) == set(lsh)
+    # refinement: two docs in one LSH cluster are in one exact cluster
+    by_lsh_comp: dict[int, set[int]] = {}
+    for doc, comp in lsh.items():
+        by_lsh_comp.setdefault(comp, set()).add(exact[doc])
+    for comp, exact_comps in by_lsh_comp.items():
+        assert len(exact_comps) == 1, (comp, exact_comps)
+    # recall: survivor counts close (LSH may split a cluster it missed
+    # an edge of, never the other way)
+    n_exact = sum(1 for d, c in exact.items() if d == c)
+    n_lsh = sum(1 for d, c in lsh.items() if d == c)
+    assert n_exact <= n_lsh <= n_exact * 1.05
