@@ -259,3 +259,68 @@ def sample_frames(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> Da
         _sample_batch,
         "media_id long, frame_idx int, width int, height int, mean_intensity double",
     )
+
+
+def audio_windows(
+    df: DataFrame, window: int = 512, decoder: str = "fake"
+) -> DataFrame:
+    """Fixed-size audio windowing with per-window statistics (mean
+    absolute amplitude + peak) — the feature-extraction shape for
+    speech/audio training data (VAD, loudness filtering, silence
+    trimming all consume exactly these per-window stats).
+
+    The windowing, Arrow batching, per-row explode, and reductions are
+    real; the PCM decode is the deterministic stub (sample(s) =
+    (checksum % 251 + 11·s) % 256 − 128, sample_rate/n_samples derived
+    from the checksum) so every statistic is reproducible by a SQL
+    oracle: integer sums are float64-exact and ``window`` is a power of
+    two, so the means match bit-for-bit.  A trailing partial window is
+    dropped (deterministic, and what fixed-frame audio models do).
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: no codecs in this environment; "
+            "the sample-synthesis line is the slot a real PCM decode fills"
+        )
+
+    def _win_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            rates: list[int] = []
+            means: list[float] = []
+            peaks: list[int] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                checksum = int(_hashlib.md5(content or b"").hexdigest()[:12], 16)
+                sample_rate = 8000 + (checksum % 3) * 4000
+                n_samples = 2048 + checksum % 2048
+                n_win = n_samples // window
+                if n_win == 0:
+                    continue
+                s = np.arange(n_win * window, dtype="int64")
+                amp = np.abs((checksum % 251 + 11 * s) % 256 - 128)
+                planes = amp.reshape(n_win, window)
+                for wi in range(n_win):
+                    ids.append(int(mid))
+                    idxs.append(wi)
+                    rates.append(sample_rate)
+                    means.append(float(planes[wi].mean()))
+                    peaks.append(int(planes[wi].max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": idxs,
+                    "sample_rate": rates,
+                    "mean_abs": means,
+                    "peak": peaks,
+                }
+            )
+
+    return df.mapInPandas(
+        _win_batch,
+        "media_id long, window_idx int, sample_rate int, mean_abs double, peak long",
+    )

@@ -707,3 +707,48 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("doc_id")).alias("is_survivor"),
     )
+
+
+@query(
+    "multimodal_audio",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, checksum,
+             CAST(8000 + (checksum % 3) * 4000 AS INT) AS sample_rate,
+             CAST(2048 + checksum % 2048 AS INT) AS n_samples
+      FROM m
+    ),
+    wins AS (
+      SELECT media_id, checksum, sample_rate, CAST(w.w AS INT) AS window_idx
+      FROM dims, range(8) w(w)
+      WHERE (w.w + 1) * 512 <= n_samples
+    ),
+    sm AS (
+      SELECT media_id, sample_rate, window_idx,
+             abs((checksum % 251 + 11 * (window_idx * 512 + s.s)) % 256 - 128) AS a
+      FROM wins, range(512) s(s)
+    )
+    SELECT media_id, window_idx,
+           MIN(sample_rate) AS sample_rate,
+           AVG(a) AS mean_abs,
+           MAX(a) AS peak
+    FROM sm GROUP BY media_id, window_idx
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing over binary media rows: 512-sample windows with
+    mean-|amplitude| and peak per window.  Windowing/explode/reduction
+    are real Arrow-batch work; PCM comes from the deterministic stub so
+    the oracle re-enumerates every window sample-by-sample (integer
+    sums exact in float64; 512 is a power of two, so the mean divides
+    exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(
+        d, payload_col="text", id_col="doc_id", media_type="audio", source_col="source"
+    )
+    return multimodal.audio_windows(media, window=512)

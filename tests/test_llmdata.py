@@ -482,3 +482,30 @@ def test_minhash_components_refine_exact_components(spark, sf_dir):
     n_exact = sum(1 for d, c in exact.items() if d == c)
     n_lsh = sum(1 for d, c in lsh.items() if d == c)
     assert n_exact <= n_lsh <= n_exact * 1.05
+
+
+def test_multimodal_audio_windows_match_numpy_reference(spark):
+    import hashlib
+    import numpy as np
+    from kafka_metrics_exporter_spark.llmdata import multimodal
+
+    df = spark.createDataFrame(
+        [(i, f"audio clip {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = multimodal.attach_binary_column(
+        df, payload_col="text", id_col="doc_id", media_type="audio"
+    )
+    out = multimodal.audio_windows(media, window=512).collect()
+    by_key = {(r["media_id"], r["window_idx"]): r for r in out}
+    for i in range(20):
+        checksum = int(hashlib.md5(f"audio clip {i}".encode()).hexdigest()[:12], 16)
+        n_samples = 2048 + checksum % 2048
+        n_win = n_samples // 512
+        s = np.arange(n_win * 512, dtype="int64")
+        amp = np.abs((checksum % 251 + 11 * s) % 256 - 128).reshape(n_win, 512)
+        assert {w for (m, w) in by_key if m == i} == set(range(n_win))
+        for wi in range(n_win):
+            row = by_key[(i, wi)]
+            assert row["sample_rate"] == 8000 + (checksum % 3) * 4000
+            assert row["mean_abs"] == pytest.approx(float(amp[wi].mean()), abs=0)
+            assert row["peak"] == int(amp[wi].max())
