@@ -145,6 +145,17 @@ def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
             df = df.withColumn(m.label, F.lit(""))
             labels.add(m.label)
         df = df.filter(_matcher_pred(m))
+    if node.offset_seconds:
+        # `offset d`: the sample taken at t surfaces at evaluation
+        # instant t+d, so shifting ts FORWARD aligns it with the
+        # un-shifted series d later — `m - m offset 1d` becomes a plain
+        # equi-join on ts computing the day-over-day delta
+        df = df.withColumn(
+            "ts",
+            (F.col("ts").cast("double") + F.lit(float(node.offset_seconds))).cast(
+                "timestamp"
+            ),
+        )
     return _Vec(df, frozenset(labels))
 
 

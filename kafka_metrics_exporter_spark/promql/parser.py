@@ -9,13 +9,15 @@ Covers exactly the grammar the reference's Grafana dashboards use
 `bottomk(k, expr)`, vector arithmetic (`+ - * /`) between compatible
 vectors or against scalar constants, and scalar comparisons
 (`> 0` filters) — plus, beyond the corpus, the counter functions
-`irate`/`increase` and the range-window family
-`sum|avg|min|max|count_over_time(sel[dur])`.  No subqueries, offsets,
-or @-modifiers — the corpus has none.
+`irate`/`increase`, the range-window family
+`sum|avg|min|max|count_over_time(sel[dur])`, and the selector `offset
+<dur>` modifier (day-over-day comparisons).  No subqueries or
+@-modifiers — the corpus has none.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 
@@ -34,6 +36,9 @@ class Matcher:
 class Selector:
     name: str | None
     matchers: tuple[Matcher, ...] = ()
+    # `sel offset 1h`: evaluate the series shifted this many seconds
+    # into the past (0 = no shift)
+    offset_seconds: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -235,6 +240,13 @@ class _Parser:
             raise SyntaxError(f"promql: expected duration, got {tok!r}")
         window = _duration_seconds(tok)
         self.expect("]")
+        # canonical PromQL places offset AFTER the range: m[5m] offset 1w
+        if self.peek() == ("ident", "offset"):
+            self.next()
+            okind, otok = self.next()
+            if okind != "duration":
+                raise SyntaxError(f"promql: offset needs a duration, got {otok!r}")
+            sel = dataclasses.replace(sel, offset_seconds=_duration_seconds(otok))
         self.expect(")")
         return sel, window
 
@@ -284,7 +296,14 @@ class _Parser:
             self.expect("}")
         if name is None and not matchers:
             raise SyntaxError("promql: empty selector")
-        return Selector(name, tuple(matchers))
+        offset = 0.0
+        if self.peek() == ("ident", "offset"):
+            self.next()
+            kind, tok = self.next()
+            if kind != "duration":
+                raise SyntaxError(f"promql: offset needs a duration, got {tok!r}")
+            offset = _duration_seconds(tok)
+        return Selector(name, tuple(matchers), offset_seconds=offset)
 
 
 def _unquote(s: str) -> str:

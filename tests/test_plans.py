@@ -90,3 +90,26 @@ def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
     p = buf.getvalue()
     assert "HashAggregate" not in p and "Join" not in p
     assert p.count("+- Exchange") == 1  # only the round-robin input spread
+
+
+def test_corpus_build_is_two_shuffles(spark, sf_dir):
+    """pipe_corpus_build (gate → dedup → split) must cost exactly the
+    two shuffles its docstring claims: the dedup digest groupBy and the
+    survivor semi-join — the split/token columns are row-local."""
+    import contextlib
+    import io
+    import re
+
+    from kafka_metrics_exporter_spark.plans import QUERIES
+
+    out = QUERIES["pipe_corpus_build"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", p))
+    # broadcast of the survivor side replaces a shuffle pair; either
+    # plan shape is ≤ 2 data movements
+    assert n_exchange + n_bcast <= 3, p[:2000]
+    assert "CartesianProduct" not in p

@@ -277,3 +277,28 @@ def test_over_time_range_window(tiny):
     assert got_mx == {0: 10.0, 1: 40.0, 2: 40.0}
     cnt = compile_promql('count_over_time(m{topic="a"}[3m])').evaluate(tiny)
     assert {r["ts"].minute: r["value"] for r in cnt.collect()} == {0: 1.0, 1: 2.0, 2: 3.0}
+
+
+def test_offset_day_over_day_delta(tiny):
+    # m - m offset 1m : each instant minus the same series one minute
+    # earlier — the dashboard "compare to yesterday" pattern at minute
+    # scale.  Only instants where both sides exist emit.
+    out = compile_promql('m{topic="a"} - m{topic="a"} offset 1m').evaluate(tiny)
+    got = {r["ts"].minute: r["value"] for r in out.collect()}
+    assert got == {1: 30.0, 2: -35.0}  # 40-10, 5-40
+
+
+def test_offset_inside_rate(tiny):
+    shifted = compile_promql('rate(m{topic="a"} offset 1m[1m])').evaluate(tiny)
+    plain = compile_promql('rate(m{topic="a"}[1m])').evaluate(tiny)
+    sh = {r["ts"].minute: r["value"] for r in shifted.collect()}
+    pl = {r["ts"].minute: r["value"] for r in plain.collect()}
+    assert sh == {m + 1: v for m, v in pl.items()}  # whole series shifts
+
+
+def test_offset_after_range_is_canonical_promql(tiny):
+    canonical = compile_promql('rate(m{topic="a"}[1m] offset 1m)').evaluate(tiny)
+    lenient = compile_promql('rate(m{topic="a"} offset 1m[1m])').evaluate(tiny)
+    assert {(r["ts"], r["value"]) for r in canonical.collect()} == {
+        (r["ts"], r["value"]) for r in lenient.collect()
+    }
