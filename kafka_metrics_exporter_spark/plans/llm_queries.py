@@ -752,3 +752,51 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, payload_col="text", id_col="doc_id", media_type="audio", source_col="source"
     )
     return multimodal.audio_windows(media, window=512)
+
+
+@query(
+    "text_token_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           round(SUM(v.df) * 1.0 / COUNT(*), 4) AS mean_tok_freq,
+           MIN(v.df) AS min_tok_freq
+    FROM tok t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency scoring — the CCNet/LM-quality-filter shape
+    (score each document by how typical its tokens are; rare-token-
+    heavy docs are OCR noise or gibberish, common-token walls are
+    boilerplate).  The statistic is the mean corpus document frequency
+    of the doc's tokens plus the hapax detector min(df); integer sums
+    keep it bit-identical across engines, unlike a log-likelihood whose
+    FP summation order diverges (an intentional deterministic stand-in
+    for unigram logprob — same ranking signal under Zipf).
+
+    Scale: token explode → vocab groupBy (token-keyed shuffle, partial
+    aggs) → frequency-attach join (token-keyed — vocab of a 100 TB
+    corpus is too big to broadcast; both sides shuffle on token, AQE
+    handles the Zipf skew) → per-doc aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("df") / F.count(F.lit(1)), 4).alias("mean_tok_freq"),
+            F.min("df").alias("min_tok_freq"),
+        )
+    )

@@ -318,3 +318,61 @@ def parse(text: str) -> Expr:
     if kind != "eof":
         raise SyntaxError(f"promql: trailing input at {tok!r}")
     return node
+
+
+def to_promql(node: Expr) -> str:
+    """Render an AST back to PromQL text.  ``parse(to_promql(x)) == x``
+    for every AST this parser can produce (durations normalize to
+    seconds) — property-tested in tests/test_promql.py."""
+    if isinstance(node, Scalar):
+        return repr(node.value) if node.value != int(node.value) else str(int(node.value))
+    if isinstance(node, Selector):
+        parts = node.name or ""
+        if node.matchers:
+            ms = ", ".join(
+                f'{m.label} {m.op} "{m.value}"' for m in node.matchers
+            )
+            parts += "{" + ms + "}"
+        if node.offset_seconds:
+            parts += f" offset {_fmt_dur(node.offset_seconds)}"
+        return parts
+    if isinstance(node, Rate):
+        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
+        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
+        if node.selector.offset_seconds:
+            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        return f"{node.fn}({body})"
+    if isinstance(node, OverTime):
+        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
+        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
+        if node.selector.offset_seconds:
+            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        return f"{node.op}_over_time({body})"
+    if isinstance(node, Agg):
+        clause = ""
+        if node.by is not None:
+            clause = f" by ({', '.join(node.by)}) "
+        elif node.without is not None:
+            clause = f" without ({', '.join(node.without)}) "
+        return f"{node.op}{clause}({to_promql(node.expr)})"
+    if isinstance(node, TopK):
+        fn = "bottomk" if node.bottom else "topk"
+        return f"{fn}({node.k}, {to_promql(node.expr)})"
+    if isinstance(node, Bin):
+        # wrap each operand: comparisons bind looser than arithmetic,
+        # so a Cmp operand is only expressible with its own parens
+        return f"(({to_promql(node.left)}) {node.op} ({to_promql(node.right)}))"
+    if isinstance(node, Cmp):
+        thr = (
+            repr(node.threshold)
+            if node.threshold != int(node.threshold)
+            else str(int(node.threshold))
+        )
+        return f"({to_promql(node.expr)}) {node.op} {thr}"
+    raise TypeError(f"promql: cannot render {node!r}")
+
+
+def _fmt_dur(seconds: float) -> str:
+    if seconds == int(seconds):
+        return f"{int(seconds)}s"
+    return f"{int(seconds * 1000)}ms"

@@ -302,3 +302,98 @@ def test_offset_after_range_is_canonical_promql(tiny):
     assert {(r["ts"], r["value"]) for r in canonical.collect()} == {
         (r["ts"], r["value"]) for r in lenient.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Parser round-trip property: parse(to_promql(ast)) == ast for every
+# AST the grammar can produce.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_metrics_exporter_spark.promql import parser as pql
+
+    _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s
+        not in {
+            "by", "without", "offset", "rate", "irate", "increase",
+            "topk", "bottomk", "sum", "avg", "min", "max", "count",
+        }
+        and not s.endswith("_over_time")
+    )
+    _str_val = st.text(
+        st.characters(
+            codec="ascii", exclude_characters='"\\', exclude_categories=("Cc",)
+        ),
+        max_size=8,
+    )
+    _dur = st.sampled_from([1.0, 30.0, 60.0, 300.0, 3600.0])
+    _matcher = st.builds(
+        pql.Matcher, label=_ident, op=st.sampled_from(["=", "!=", "=~", "!~"]),
+        value=_str_val,
+    )
+    _selector = st.builds(
+        pql.Selector,
+        name=_ident,
+        matchers=st.lists(_matcher, max_size=3).map(tuple),
+        offset_seconds=st.sampled_from([0.0, 60.0, 3600.0]),
+    )
+    _leaf = st.one_of(
+        _selector,
+        st.builds(
+            pql.Rate, selector=_selector, window_seconds=_dur,
+            fn=st.sampled_from(["rate", "irate", "increase"]),
+        ),
+        st.builds(
+            pql.OverTime,
+            op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+            selector=_selector, window_seconds=_dur,
+        ),
+    )
+
+    def _compound(children):
+        grouping = st.lists(_ident, max_size=3).map(tuple)
+        return st.one_of(
+            st.builds(
+                pql.Agg,
+                op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+                expr=children,
+                by=grouping, without=st.none(),
+            ),
+            st.builds(
+                pql.Agg,
+                op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+                expr=children,
+                by=st.none(), without=grouping,
+            ),
+            st.builds(
+                pql.TopK, k=st.integers(1, 99), expr=children,
+                bottom=st.booleans(),
+            ),
+            st.builds(
+                pql.Bin, op=st.sampled_from(["+", "-", "*", "/"]),
+                left=children, right=children,
+            ),
+            st.builds(
+                pql.Bin, op=st.sampled_from(["+", "-", "*", "/"]),
+                left=children,
+                right=st.integers(1, 10000).map(lambda n: pql.Scalar(float(n))),
+            ),
+            st.builds(
+                pql.Cmp, expr=children,
+                op=st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
+                threshold=st.integers(0, 1000).map(float),
+            ),
+        )
+
+    _expr = st.recursive(_leaf, _compound, max_leaves=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_expr)
+    def test_parser_roundtrip_property(ast):
+        text = pql.to_promql(ast)
+        assert pql.parse(text) == ast, text
+
+except ImportError:  # pragma: no cover
+    pass
