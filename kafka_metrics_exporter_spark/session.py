@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level pruning: inject a bloom filter built from a
+        # selective join side into the other side's scan — at 100 TB
+        # this skips whole row groups a static plan would read.  (Kept
+        # explicit although Spark 4 defaults it on; semiJoinReduction
+        # is NOT enabled — with it set, even a trivial write hung the
+        # optimizer in this Spark build.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

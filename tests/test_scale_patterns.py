@@ -69,3 +69,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """With runtime bloom filters on (session.py), a selective
+    dimension filter joined against a big fact must inject a
+    BloomFilter/runtime filter into the fact scan — row-group pruning
+    a static plan can't do.  Requires parquet sources (the injection
+    rule only fires on file scans) and a fact side above the broadcast
+    threshold is not needed — the rule targets shuffle joins, so
+    broadcasts are disabled here."""
+    import contextlib
+    import io
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 200000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+    ).write.mode("overwrite").parquet(dim_p)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+        joined = fact.join(dim, "k").groupBy("cat").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "bloom" in p.lower() or "BloomFilter" in p, p[:3000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
