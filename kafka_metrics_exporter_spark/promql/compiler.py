@@ -205,6 +205,9 @@ _AGG_FN = {
     "min": F.min,
     "max": F.max,
     "count": lambda c: F.count(F.lit(1)),
+    # PromQL stddev/stdvar are population statistics
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
 }
 
 
@@ -222,8 +225,14 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols) -> _Vec:
     for lbl in out_labels:
         if lbl not in vec.labels:
             df = df.withColumn(lbl, F.lit(""))  # grouping by an absent label
+    if node.op == "quantile":
+        # exact interpolated percentile across the series at each
+        # instant — PromQL's quantile() semantics
+        agg_expr = F.percentile(F.col("value"), F.lit(node.param))
+    else:
+        agg_expr = _AGG_FN[node.op](F.col("value"))
     grouped = df.groupBy(*[F.col(c) for c in out_labels], F.col("ts")).agg(
-        _AGG_FN[node.op](F.col("value")).cast("double").alias("value")
+        agg_expr.cast("double").alias("value")
     )
     return _Vec(grouped, frozenset(out_labels))
 

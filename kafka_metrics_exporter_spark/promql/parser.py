@@ -58,10 +58,12 @@ class OverTime:
 
 @dataclass(frozen=True)
 class Agg:
-    op: str  # sum|avg|min|max|count
+    op: str  # sum|avg|min|max|count|stddev|stdvar|quantile
     expr: "Expr"
     by: tuple[str, ...] | None = None
     without: tuple[str, ...] | None = None
+    # quantile's φ parameter (None for the other ops)
+    param: float | None = None
 
 
 @dataclass(frozen=True)
@@ -92,7 +94,7 @@ class Cmp:
 
 Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile"}
 
 _DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
 
@@ -195,7 +197,10 @@ class _Parser:
                 return self.parse_agg()
             if tok in ("rate", "irate", "increase"):
                 return self.parse_rate()
-            if tok.endswith("_over_time") and tok[: -len("_over_time")] in _AGG_OPS:
+            if (
+                tok.endswith("_over_time")
+                and tok[: -len("_over_time")] in _AGG_OPS - {"quantile"}
+            ):
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
                 return self.parse_topk()
@@ -210,11 +215,18 @@ class _Parser:
         if self.peek()[1] in ("by", "without"):
             by, without = self._grouping_clause()
         self.expect("(")
+        param = None
+        if op == "quantile":
+            kind, tok = self.next()
+            if kind != "number":
+                raise SyntaxError("promql: quantile requires a literal φ")
+            param = float(tok)
+            self.expect(",")
         inner = self.parse_expr()
         self.expect(")")
         if by is None and without is None and self.peek()[1] in ("by", "without"):
             by, without = self._grouping_clause()
-        return Agg(op, inner, by=by, without=without)
+        return Agg(op, inner, by=by, without=without, param=param)
 
     def _grouping_clause(self):
         mode = self.next()[1]
@@ -354,7 +366,8 @@ def to_promql(node: Expr) -> str:
             clause = f" by ({', '.join(node.by)}) "
         elif node.without is not None:
             clause = f" without ({', '.join(node.without)}) "
-        return f"{node.op}{clause}({to_promql(node.expr)})"
+        param = f"{node.param!r}, " if node.param is not None else ""
+        return f"{node.op}{clause}({param}{to_promql(node.expr)})"
     if isinstance(node, TopK):
         fn = "bottomk" if node.bottom else "topk"
         return f"{fn}({node.k}, {to_promql(node.expr)})"

@@ -357,15 +357,22 @@ try:
         return st.one_of(
             st.builds(
                 pql.Agg,
-                op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+                op=st.sampled_from(["sum", "avg", "min", "max", "count", "stddev", "stdvar"]),
                 expr=children,
                 by=grouping, without=st.none(),
             ),
             st.builds(
                 pql.Agg,
-                op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+                op=st.sampled_from(["sum", "avg", "min", "max", "count", "stddev", "stdvar"]),
                 expr=children,
                 by=st.none(), without=grouping,
+            ),
+            st.builds(
+                pql.Agg,
+                op=st.just("quantile"),
+                expr=children,
+                by=grouping, without=st.none(),
+                param=st.sampled_from([0.5, 0.9, 0.99]),
             ),
             st.builds(
                 pql.TopK, k=st.integers(1, 99), expr=children,
@@ -397,3 +404,27 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_quantile_stddev_stdvar_aggs(tiny):
+    import statistics
+
+    t0 = dt.datetime(2024, 1, 1)
+    # values across series at t0: m → {10.0 (a,h1), 100.0 (b,h1), 7.0 ("",h2)}
+    q = compile_promql("quantile(0.5, m)").evaluate(tiny)
+    got_q = {r["ts"]: r["value"] for r in q.collect() if r["ts"] == t0}
+    assert got_q[t0] == pytest.approx(10.0)  # median of {7,10,100}
+    sd = compile_promql("stddev(m)").evaluate(tiny)
+    got_sd = {r["ts"]: r["value"] for r in sd.collect()}
+    assert got_sd[t0] == pytest.approx(statistics.pstdev([10.0, 100.0, 7.0]))
+    sv = compile_promql("stdvar(m)").evaluate(tiny)
+    got_sv = {r["ts"]: r["value"] for r in sv.collect()}
+    assert got_sv[t0] == pytest.approx(statistics.pvariance([10.0, 100.0, 7.0]))
+    # grouped quantile keeps the by-label
+    qb = compile_promql('quantile by (instance) (0.5, m)').evaluate(tiny)
+    got_qb = _vals(qb, "instance", "ts", "value")
+    assert ("h1", t0, 55.0) in got_qb  # median of {10, 100} interpolates
+    # stddev_over_time parses too (range form); quantile_over_time does not
+    compile_promql("stddev_over_time(m[2m])").evaluate(tiny).count()
+    with pytest.raises(SyntaxError):
+        parse("quantile_over_time(0.5, m[2m])")
