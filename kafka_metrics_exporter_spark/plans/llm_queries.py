@@ -800,3 +800,65 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("df").alias("min_tok_freq"),
         )
     )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM (SELECT doc_id, unnest(range(len(ws) - 1)) AS i, ws FROM w WHERE len(ws) >= 2)
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_gram_count
+      FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(max_gram_count AS BIGINT) AS max_gram_count,
+           round(max_gram_count * 1.0 / n_grams, 4) AS top_gram_frac
+    FROM per_doc
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the Gopher/MassiveText quality
+    signal (a high fraction of the doc being one repeated bigram marks
+    boilerplate, menus, and degenerate generations).  Per doc: total
+    bigram count, the most frequent bigram's count, and its fraction.
+    Integer counts and a single division keep both engines
+    bit-identical.
+
+    Scale: the groupBy keys are (doc_id, gram) — cardinality bounded by
+    corpus token count, uniformly distributed, partial-agg friendly; no
+    join, two aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_gram_count"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
+    )

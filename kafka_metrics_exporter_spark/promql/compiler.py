@@ -44,6 +44,8 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Bin,
     Cmp,
     Expr,
+    LabelJoin,
+    LabelReplace,
     Matcher,
     OverTime,
     Rate,
@@ -113,6 +115,8 @@ def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec |
         return _eval_topk(node, metrics, label_cols)
     if isinstance(node, Bin):
         return _eval_bin(node, metrics, label_cols)
+    if isinstance(node, (LabelReplace, LabelJoin)):
+        return _eval_label_fn(node, metrics, label_cols)
     if isinstance(node, Cmp):
         vec = _eval(node.expr, metrics, label_cols)
         if isinstance(vec, float):
@@ -251,6 +255,37 @@ def _eval_topk(node: TopK, metrics: DataFrame, label_cols) -> _Vec:
         .drop("__rn")
     )
     return _Vec(df, vec.labels)
+
+
+def _eval_label_fn(
+    node: LabelReplace | LabelJoin, metrics: DataFrame, label_cols
+) -> _Vec:
+    vec = _eval(node.expr, metrics, label_cols)
+    if isinstance(vec, float):
+        raise ValueError("promql: label functions need a vector")
+    labels = set(vec.labels)
+    df = vec.df
+    if isinstance(node, LabelReplace):
+        src = (
+            F.coalesce(F.col(node.src), F.lit(""))
+            if node.src in labels
+            else F.lit("")
+        )
+        existing = F.col(node.dst) if node.dst in labels else F.lit("")
+        pat = f"^(?:{node.regex})$"  # PromQL fully anchors the regex
+        df = df.withColumn(
+            node.dst,
+            F.when(src.rlike(pat), F.regexp_replace(src, pat, node.replacement))
+            .otherwise(existing),
+        )
+    else:
+        parts = [
+            F.coalesce(F.col(c), F.lit("")) if c in labels else F.lit("")
+            for c in node.srcs
+        ]
+        df = df.withColumn(node.dst, F.concat_ws(node.sep, *parts))
+    labels.add(node.dst)
+    return _Vec(df, frozenset(labels))
 
 
 def _eval_bin(node: Bin, metrics: DataFrame, label_cols) -> _Vec | float:

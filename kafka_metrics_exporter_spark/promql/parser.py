@@ -81,6 +81,23 @@ class Bin:
 
 
 @dataclass(frozen=True)
+class LabelReplace:
+    expr: "Expr"
+    dst: str
+    replacement: str
+    src: str
+    regex: str
+
+
+@dataclass(frozen=True)
+class LabelJoin:
+    expr: "Expr"
+    dst: str
+    sep: str
+    srcs: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class Scalar:
     value: float
 
@@ -92,7 +109,7 @@ class Cmp:
     threshold: float
 
 
-Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp
+Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp | LabelReplace | LabelJoin
 
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile"}
 
@@ -204,6 +221,8 @@ class _Parser:
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
                 return self.parse_topk()
+            if tok in ("label_replace", "label_join"):
+                return self.parse_label_fn()
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()
@@ -282,6 +301,32 @@ class _Parser:
         inner = self.parse_expr()
         self.expect(")")
         return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
+
+    def _string_arg(self) -> str:
+        self.expect(",")
+        kind, tok = self.next()
+        if kind != "string":
+            raise SyntaxError(f"promql: expected a string argument, got {tok!r}")
+        return _unquote(tok)
+
+    def parse_label_fn(self) -> Expr:
+        fn = self.next()[1]
+        self.expect("(")
+        inner = self.parse_expr()
+        if fn == "label_replace":
+            dst = self._string_arg()
+            repl = self._string_arg()
+            src = self._string_arg()
+            regex = self._string_arg()
+            self.expect(")")
+            return LabelReplace(inner, dst, repl, src, regex)
+        dst = self._string_arg()
+        sep = self._string_arg()
+        srcs = []
+        while self.peek()[1] == ",":
+            srcs.append(self._string_arg())
+        self.expect(")")
+        return LabelJoin(inner, dst, sep, tuple(srcs))
 
     def parse_selector(self) -> Selector:
         kind, tok = self.peek()
@@ -375,6 +420,14 @@ def to_promql(node: Expr) -> str:
         # wrap each operand: comparisons bind looser than arithmetic,
         # so a Cmp operand is only expressible with its own parens
         return f"(({to_promql(node.left)}) {node.op} ({to_promql(node.right)}))"
+    if isinstance(node, LabelReplace):
+        return (
+            f'label_replace({to_promql(node.expr)}, "{node.dst}", '
+            f'"{node.replacement}", "{node.src}", "{node.regex}")'
+        )
+    if isinstance(node, LabelJoin):
+        srcs = "".join(f', "{s}"' for s in node.srcs)
+        return f'label_join({to_promql(node.expr)}, "{node.dst}", "{node.sep}"{srcs})'
     if isinstance(node, Cmp):
         thr = (
             repr(node.threshold)

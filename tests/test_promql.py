@@ -428,3 +428,31 @@ def test_quantile_stddev_stdvar_aggs(tiny):
     compile_promql("stddev_over_time(m[2m])").evaluate(tiny).count()
     with pytest.raises(SyntaxError):
         parse("quantile_over_time(0.5, m[2m])")
+
+
+def test_label_replace_and_join(tiny):
+    # derive a short host label from instance via capture substitution
+    out = compile_promql(
+        'sum by (shorthost) (label_replace(m, "shorthost", "$1", "instance", "(h[0-9]+)"))'
+    ).evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    got = _vals(out, "shorthost", "ts", "value")
+    assert ("h1", t0, 110.0) in got and ("h2", t0, 7.0) in got
+    # non-matching regex leaves the series (and dst) unchanged
+    out2 = compile_promql(
+        'label_replace(m, "instance", "X", "instance", "nomatch.*")'
+    ).evaluate(tiny)
+    assert {r["instance"] for r in out2.collect()} == {"h1", "h2"}
+    # label_join concatenates sources
+    out3 = compile_promql(
+        'label_join(m, "series_key", "@", "topic", "instance")'
+    ).evaluate(tiny)
+    keys = {r["series_key"] for r in out3.collect()}
+    assert {"a@h1", "b@h1", "@h2"} == keys
+    # round-trips through the unparser
+    from kafka_metrics_exporter_spark.promql.parser import parse as _p, to_promql as _u
+    for e in [
+        'label_replace(m, "d", "$1", "instance", "(h.*)")',
+        'label_join(m, "k", "-", "topic", "instance")',
+    ]:
+        assert _p(_u(_p(e))) == _p(e)
