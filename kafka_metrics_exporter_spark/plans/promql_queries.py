@@ -127,3 +127,26 @@ def promql_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         F.round(F.col("value"), 6).alias("value"),
     )
+
+
+@query(
+    "promql_quantile_agg",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click')
+    SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(quantile_cont(value, 0.9), 4) AS value
+    FROM c GROUP BY ts
+    """,
+)
+def promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile(0.9, click)` — the cross-series percentile at each
+    instant, compiled from the string; DuckDB's quantile_cont is the
+    same interpolated definition as Spark's percentile (parity already
+    pinned by a11)."""
+    plan = compile_promql("quantile(0.9, click)")
+    out = plan.evaluate(_metrics_view(spark, sf_dir, "hour"))
+    return out.select(
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
+    )
