@@ -47,11 +47,13 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the ``right_cols`` of
-    the right row with the greatest ``right_ts`` ≤ ``left_ts`` for the
-    same ``on`` keys (null when no such row, or when it is further back
-    than ``tolerance_seconds``).
+    """As-of join: each left row gains the ``right_cols`` of the right
+    row with the greatest ``right_ts`` ≤ ``left_ts`` (direction
+    "backward", the default) or the smallest ``right_ts`` ≥ ``left_ts``
+    (direction "forward") for the same ``on`` keys — null when no such
+    row, or when it is further away than ``tolerance_seconds``.
 
     Right rows that tie on (keys, right_ts) are resolved by the ORDER of
     the union window, which is not deterministic — pre-aggregate the
@@ -85,11 +87,15 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
     ).select(*lcols, _ATS, _SIDE, _RPAY)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward/forward, got {direction!r}")
     # Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
-    # so "at-or-before" is inclusive.
+    # so the boundary is inclusive in either direction; "forward" simply
+    # walks time descending so the carry holds the NEXT right row.
+    ts_order = F.col(_ATS).asc() if direction == "backward" else F.col(_ATS).desc()
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col(_ATS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(_RPAY, ignorenulls=True).over(w)
@@ -103,9 +109,8 @@ def asof_join(
         .filter(F.col(_SIDE) == 1)
     )
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col(_ATS).cast("double") - F.col("__carried_ts").cast("double")
-        ) <= F.lit(tolerance_seconds)
+        gap = F.col(_ATS).cast("double") - F.col("__carried_ts").cast("double")
+        in_tol = (gap if direction == "backward" else -gap) <= F.lit(tolerance_seconds)
         out = out.withColumn(
             "__carried", F.when(in_tol, F.col("__carried"))
         ).withColumn("__carried_ts", F.when(in_tol, F.col("__carried_ts")))

@@ -44,6 +44,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Bin,
     Cmp,
     Expr,
+    HistogramQuantile,
     LabelJoin,
     LabelReplace,
     Matcher,
@@ -117,6 +118,8 @@ def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec |
         return _eval_bin(node, metrics, label_cols)
     if isinstance(node, (LabelReplace, LabelJoin)):
         return _eval_label_fn(node, metrics, label_cols)
+    if isinstance(node, HistogramQuantile):
+        return _eval_histogram_quantile(node, metrics, label_cols)
     if isinstance(node, Cmp):
         vec = _eval(node.expr, metrics, label_cols)
         if isinstance(vec, float):
@@ -255,6 +258,55 @@ def _eval_topk(node: TopK, metrics: DataFrame, label_cols) -> _Vec:
         .drop("__rn")
     )
     return _Vec(df, vec.labels)
+
+
+def _eval_histogram_quantile(
+    node: HistogramQuantile, metrics: DataFrame, label_cols
+) -> _Vec:
+    """histogram_quantile(φ, buckets): per (labels − le, ts) group,
+    linear interpolation inside the cumulative `le` buckets — exactly
+    Prometheus's rules: the first bucket interpolates from 0, a
+    quantile landing in the +Inf bucket returns the highest finite le.
+
+    Relational form (no collects, no UDFs): one window over the group
+    ordered by le computes the cumulative total (= the +Inf value) and
+    each bucket's predecessor, then the single bucket whose cumulative
+    count crosses φ·total is selected by filter — the group's quantile
+    is a plain projection of that row."""
+    vec = _eval(node.expr, metrics, label_cols)
+    if isinstance(vec, float):
+        raise ValueError("promql: histogram_quantile needs a vector")
+    if "le" not in vec.labels:
+        raise ValueError("promql: histogram_quantile needs an `le` label")
+    out_labels = sorted(vec.labels - {"le"})
+    grp = [*out_labels, "ts"]
+    le = F.when(
+        F.upper(F.col("le")).isin("+INF", "INF", "INFINITY"), F.lit(float("inf"))
+    ).otherwise(F.col("le").cast("double"))
+    df = vec.df.withColumn("__le", le)
+    w_all = Window.partitionBy(*[F.col(c) for c in grp])
+    w_ord = w_all.orderBy(F.col("__le").asc())
+    df = (
+        df.withColumn("__total", F.max("value").over(w_all))
+        .withColumn("__prev_le", F.coalesce(F.lag("__le").over(w_ord), F.lit(0.0)))
+        .withColumn("__prev_v", F.coalesce(F.lag("value").over(w_ord), F.lit(0.0)))
+        .withColumn("__max_fin", F.max(F.when(F.col("__le") != float("inf"), F.col("__le"))).over(w_all))
+    )
+    rank = F.lit(node.phi) * F.col("__total")
+    crossing = (F.col("value") >= rank) & (F.col("__prev_v") < rank)
+    interp = F.col("__prev_le") + (F.col("__le") - F.col("__prev_le")) * (
+        rank - F.col("__prev_v")
+    ) / (F.col("value") - F.col("__prev_v"))
+    q = F.when(F.col("__le") == float("inf"), F.col("__max_fin")).otherwise(interp)
+    picked = (
+        df.filter(F.col("__total") > 0)
+        .filter(crossing)
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter(F.col("__rn") == 1)
+        .withColumn("value", q)
+        .select(*out_labels, "ts", "value")
+    )
+    return _Vec(picked, frozenset(out_labels))
 
 
 def _eval_label_fn(

@@ -81,6 +81,12 @@ class Bin:
 
 
 @dataclass(frozen=True)
+class HistogramQuantile:
+    phi: float
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
 class LabelReplace:
     expr: "Expr"
     dst: str
@@ -109,7 +115,7 @@ class Cmp:
     threshold: float
 
 
-Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp | LabelReplace | LabelJoin
+Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp | LabelReplace | LabelJoin | HistogramQuantile
 
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile"}
 
@@ -223,6 +229,8 @@ class _Parser:
                 return self.parse_topk()
             if tok in ("label_replace", "label_join"):
                 return self.parse_label_fn()
+            if tok == "histogram_quantile":
+                return self.parse_histogram_quantile()
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()
@@ -301,6 +309,17 @@ class _Parser:
         inner = self.parse_expr()
         self.expect(")")
         return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
+
+    def parse_histogram_quantile(self) -> Expr:
+        self.next()
+        self.expect("(")
+        kind, tok = self.next()
+        if kind != "number":
+            raise SyntaxError("promql: histogram_quantile requires a literal φ")
+        self.expect(",")
+        inner = self.parse_expr()
+        self.expect(")")
+        return HistogramQuantile(float(tok), inner)
 
     def _string_arg(self) -> str:
         self.expect(",")
@@ -420,6 +439,9 @@ def to_promql(node: Expr) -> str:
         # wrap each operand: comparisons bind looser than arithmetic,
         # so a Cmp operand is only expressible with its own parens
         return f"(({to_promql(node.left)}) {node.op} ({to_promql(node.right)}))"
+    if isinstance(node, HistogramQuantile):
+        phi = repr(node.phi) if node.phi != int(node.phi) else str(int(node.phi))
+        return f"histogram_quantile({phi}, {to_promql(node.expr)})"
     if isinstance(node, LabelReplace):
         return (
             f'label_replace({to_promql(node.expr)}, "{node.dst}", '

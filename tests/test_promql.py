@@ -456,3 +456,33 @@ def test_label_replace_and_join(tiny):
         'label_join(m, "k", "-", "topic", "instance")',
     ]:
         assert _p(_u(_p(e))) == _p(e)
+
+
+def test_histogram_quantile(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("h_bucket", t0, 10.0, "0.1", "h1"),
+        ("h_bucket", t0, 40.0, "0.5", "h1"),
+        ("h_bucket", t0, 60.0, "1", "h1"),
+        ("h_bucket", t0, 100.0, "+Inf", "h1"),
+        # a second, empty histogram: no output rows
+        ("h_bucket", t0, 0.0, "0.1", "h2"),
+        ("h_bucket", t0, 0.0, "+Inf", "h2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, ts timestamp, value double, le string, instance string"
+    )
+    def q(phi):
+        out = compile_promql(f"histogram_quantile({phi}, h_bucket)").evaluate(df)
+        return {r["instance"]: r["value"] for r in out.collect()}
+
+    # rank 50 falls in the (0.5, 1] bucket: 0.5 + 0.5*(50-40)/(60-40)
+    assert q(0.5) == {"h1": pytest.approx(0.75)}
+    # rank 5 falls in the first bucket: interpolate from 0
+    assert q(0.05) == {"h1": pytest.approx(0.05)}
+    # rank 90 lands in +Inf: highest finite le
+    assert q(0.9) == {"h1": pytest.approx(1.0)}
+    # unparse round-trip
+    from kafka_metrics_exporter_spark.promql.parser import parse as _p, to_promql as _u
+    e = "histogram_quantile(0.9, sum by (le) (rate(h_bucket[5m])))"
+    assert _p(_u(_p(e))) == _p(e)

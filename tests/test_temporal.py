@@ -216,3 +216,29 @@ def test_range_join_plan_is_hash_join(spark):
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_asof_forward_direction(spark):
+    got = _asof(
+        spark,
+        [(1, 10, _ts("2024-01-01T00:10:00")), (2, 10, _ts("2024-01-01T00:31:00"))],
+        [
+            (10, _ts("2024-01-01T00:20:00"), 2.0),
+            (10, _ts("2024-01-01T00:30:00"), 3.0),
+        ],
+        direction="forward",
+    )
+    assert got[1] == (_ts("2024-01-01T00:20:00"), 2.0)  # next at-or-after
+    assert got[2] == (None, None)  # nothing after 00:31
+
+
+def test_asof_forward_tolerance_and_tie(spark):
+    got = _asof(
+        spark,
+        [(1, 10, _ts("2024-01-01T00:00:00")), (2, 10, _ts("2024-01-01T00:20:00"))],
+        [(10, _ts("2024-01-01T00:20:00"), 9.0)],
+        direction="forward",
+        tolerance_seconds=600,
+    )
+    assert got[1] == (None, None)  # 20 min ahead > 10 min tolerance
+    assert got[2] == (_ts("2024-01-01T00:20:00"), 9.0)  # tie inclusive
