@@ -46,6 +46,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Expr,
     HistogramQuantile,
     LabelJoin,
+    MathFn,
     LabelReplace,
     Matcher,
     OverTime,
@@ -120,6 +121,24 @@ def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec |
         return _eval_label_fn(node, metrics, label_cols)
     if isinstance(node, HistogramQuantile):
         return _eval_histogram_quantile(node, metrics, label_cols)
+    if isinstance(node, MathFn):
+        vec = _eval(node.expr, metrics, label_cols)
+        if isinstance(vec, float):
+            raise ValueError("promql: math functions need a vector")
+        v = F.col("value")
+        fns = {
+            "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
+            "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
+        }
+        if node.fn == "clamp_min":
+            col = F.greatest(v, F.lit(node.arg))
+        elif node.fn == "clamp_max":
+            col = F.least(v, F.lit(node.arg))
+        else:
+            col = fns[node.fn](v)
+        return _Vec(
+            vec.df.withColumn("value", col.cast("double")), vec.labels
+        )
     if isinstance(node, Cmp):
         vec = _eval(node.expr, metrics, label_cols)
         if isinstance(vec, float):

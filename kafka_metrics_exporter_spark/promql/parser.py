@@ -81,6 +81,13 @@ class Bin:
 
 
 @dataclass(frozen=True)
+class MathFn:
+    fn: str  # abs|ceil|floor|exp|ln|log2|log10|sqrt|clamp_min|clamp_max
+    expr: "Expr"
+    arg: float | None = None  # clamp bound
+
+
+@dataclass(frozen=True)
 class HistogramQuantile:
     phi: float
     expr: "Expr"
@@ -115,7 +122,13 @@ class Cmp:
     threshold: float
 
 
-Expr = Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp | LabelReplace | LabelJoin | HistogramQuantile
+Expr = (
+    Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp
+    | LabelReplace | LabelJoin | HistogramQuantile | MathFn
+)
+
+_MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
+_CLAMP_FNS = {"clamp_min", "clamp_max"}
 
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile"}
 
@@ -231,6 +244,8 @@ class _Parser:
                 return self.parse_label_fn()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
+            if tok in _MATH_FNS | _CLAMP_FNS:
+                return self.parse_math_fn()
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()
@@ -309,6 +324,20 @@ class _Parser:
         inner = self.parse_expr()
         self.expect(")")
         return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
+
+    def parse_math_fn(self) -> Expr:
+        fn = self.next()[1]
+        self.expect("(")
+        inner = self.parse_expr()
+        arg = None
+        if fn in _CLAMP_FNS:
+            self.expect(",")
+            kind, tok = self.next()
+            if kind != "number":
+                raise SyntaxError(f"promql: {fn} requires a scalar bound")
+            arg = float(tok)
+        self.expect(")")
+        return MathFn(fn, inner, arg=arg)
 
     def parse_histogram_quantile(self) -> Expr:
         self.next()
@@ -439,6 +468,11 @@ def to_promql(node: Expr) -> str:
         # wrap each operand: comparisons bind looser than arithmetic,
         # so a Cmp operand is only expressible with its own parens
         return f"(({to_promql(node.left)}) {node.op} ({to_promql(node.right)}))"
+    if isinstance(node, MathFn):
+        if node.arg is not None:
+            a = repr(node.arg) if node.arg != int(node.arg) else str(int(node.arg))
+            return f"{node.fn}({to_promql(node.expr)}, {a})"
+        return f"{node.fn}({to_promql(node.expr)})"
     if isinstance(node, HistogramQuantile):
         phi = repr(node.phi) if node.phi != int(node.phi) else str(int(node.phi))
         return f"histogram_quantile({phi}, {to_promql(node.expr)})"

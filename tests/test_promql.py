@@ -486,3 +486,27 @@ def test_histogram_quantile(spark):
     from kafka_metrics_exporter_spark.promql.parser import parse as _p, to_promql as _u
     e = "histogram_quantile(0.9, sum by (le) (rate(h_bucket[5m])))"
     assert _p(_u(_p(e))) == _p(e)
+
+
+def test_math_and_clamp_functions(tiny):
+    got = {
+        r["ts"].minute: r["value"]
+        for r in compile_promql('clamp_max(m{topic="a"}, 20)').evaluate(tiny).collect()
+    }
+    assert got == {0: 10.0, 1: 20.0, 2: 5.0}
+    got2 = {
+        r["ts"].minute: r["value"]
+        for r in compile_promql('clamp_min(m{topic="a"}, 8)').evaluate(tiny).collect()
+    }
+    assert got2 == {0: 10.0, 1: 40.0, 2: 8.0}
+    import math
+
+    got3 = {
+        r["ts"].minute: r["value"]
+        for r in compile_promql('sqrt(abs(m{topic="a"} - 14))').evaluate(tiny).collect()
+    }
+    assert got3[0] == pytest.approx(2.0)  # sqrt(|10-14|)
+    assert got3[1] == pytest.approx(math.sqrt(26.0))
+    from kafka_metrics_exporter_spark.promql.parser import parse as _p, to_promql as _u
+    for e in ["clamp_min(m, 0)", "ln(sum by (topic) (m))", "floor(m)"]:
+        assert _p(_u(_p(e))) == _p(e)
