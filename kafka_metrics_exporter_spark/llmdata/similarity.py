@@ -481,3 +481,83 @@ def embedding_near_dup_brute(
     return replicated.groupBy("pair_key").applyInPandas(
         score, "vec_a long, vec_b long, cosine double"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization: per-vector symmetric scale
+    (127 / max|x|), elements rounded half-up — the standard 4×
+    storage/bandwidth compression for a 100 TB embedding store (scan,
+    shuffle, and cache all shrink 4×; rerank on the dequantized or
+    original vectors).
+
+    Pure array expressions; max|x| is projected FIRST so the per-
+    element lambda reads a materialized column (an array_max inside the
+    transform would re-reduce the vector per element — the same
+    O(dims²) trap text_repetition hit with element_at).  Rounding is
+    floor(x·s + 0.5) — identical half-up in Spark and DuckDB, unlike
+    numpy's banker's rounding.
+
+    Output: (id, n_dims, scale_inv, qvec array<int>) — dequantize as
+    qvec · scale_inv.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_max(F.transform(v, F.abs)).alias("_maxabs"),
+    )
+    scale = F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs")).otherwise(
+        F.lit(0.0)
+    )
+    with_scale = base.select(
+        id_col, "_v", "_maxabs", scale.alias("_scale")
+    )
+    qv = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int"),
+    )
+    return with_scale.select(
+        F.col(id_col),
+        F.size("_v").alias("n_dims"),
+        (F.col("_maxabs") / F.lit(127.0)).alias("scale_inv"),
+        qv.alias("qvec"),
+        F.col("_v").alias("_orig"),
+    )
+
+
+def quantization_fidelity(q: DataFrame) -> DataFrame:
+    """Cosine between each original vector and its dequantized int8
+    form — the quality audit run after quantizing a corpus.  Array-
+    ordered sequential folds keep the FP arithmetic identical across
+    engines."""
+    deq = F.transform(
+        F.col("qvec"), lambda e: e.cast("double") * F.col("scale_inv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_orig"), deq, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_orig"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(deq, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale_inv", 6).alias("scale_inv"),
+        F.aggregate(F.col("qvec"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "sum_q"
+        ),
+        F.round(dot / F.nullif(n1 * n2, F.lit(0.0)), 4).alias("cos_deq"),
+    )

@@ -868,3 +868,45 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_gram_count"),
         F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
     )
+
+
+@query(
+    "embed_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, maxabs,
+             list_transform(
+               v,
+               x -> CAST(floor(x * (CASE WHEN maxabs > 0
+                                         THEN 127.0 / maxabs ELSE 0 END) + 0.5)
+                         AS INT)) AS qv
+      FROM m
+    ),
+    d AS (
+      SELECT vec_id, v, maxabs, qv,
+             list_transform(qv, x -> x * (maxabs / 127.0)) AS deq
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           round(maxabs / 127.0, 6) AS scale_inv,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           round(list_dot_product(v, deq) /
+                 nullif(sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(deq, deq)), 0), 4) AS cos_deq
+    FROM d
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization + fidelity audit: per-vector symmetric
+    scale, half-up rounding, and the cosine between each original and
+    its dequantized form (the 4× compression a 100 TB embedding store
+    ships with; cos_deq ≈ 0.99+ is the usual acceptance bar)."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return similarity.quantization_fidelity(q)

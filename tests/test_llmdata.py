@@ -509,3 +509,21 @@ def test_multimodal_audio_windows_match_numpy_reference(spark):
             assert row["sample_rate"] == 8000 + (checksum % 3) * 4000
             assert row["mean_abs"] == pytest.approx(float(amp[wi].mean()), abs=0)
             assert row["peak"] == int(amp[wi].max())
+
+
+def test_int8_quantization_fidelity(spark, sf_dir):
+    """int8 dequantization must stay within the standard acceptance
+    bar: cosine ≥ 0.99 vs the original for every vector, and the
+    round-trip max error per element is bounded by scale_inv/2."""
+    from kafka_metrics_exporter_spark.llmdata import similarity
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    fid = similarity.quantization_fidelity(q)
+    rows = fid.collect()
+    assert len(rows) == 500
+    assert all(r["cos_deq"] >= 0.99 for r in rows)
+    # spot-check the element-wise bound on one vector
+    one = q.limit(1).collect()[0]
+    for x, qi in zip(one["_orig"], one["qvec"]):
+        assert abs(x - qi * one["scale_inv"]) <= one["scale_inv"] / 2 + 1e-12

@@ -238,3 +238,39 @@ def test_latest_rollup_batch_semantics(metrics_batch):
     for r in out.values():
         # newest poll (Count=200) wins
         assert r["latest_attributes"]["Count"] == 200.0
+
+
+def test_daily_parquet_partition_pruning(spark, tmp_path):
+    """The daily-parquet stand-in must give date-filtered queries real
+    partition pruning: a one-day filter's scan shows a PartitionFilters
+    entry and reads only that partition's files — the lake-layout twin
+    of querying a single daily ES index."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.sinks.es_bulk import write_daily_parquet
+
+    path = str(tmp_path / "daily_pq")
+    rows = [
+        ("kafka.server:type=T,name=N", dt.datetime(2024, 1, d, 12, 0), float(d))
+        for d in (1, 2, 3)
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "mbean_name string, created_ts timestamp, value double"
+    )
+    write_daily_parquet(df, path)
+
+    lake = spark.read.parquet(path)
+    q = lake.filter(F.col("event_date") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_date" in pf
+    assert q.count() == 10
