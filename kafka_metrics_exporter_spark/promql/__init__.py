@@ -4,7 +4,11 @@ normalized metric series (SURVEY §2.4-2.5 — the 49 Grafana `"expr"`
 strings in Prometheus/jmxexporter_configs/grafana/dashboards/*.json
 are this engine's query corpus)."""
 
-from kafka_metrics_exporter_spark.promql.compiler import PromQLPlan, compile_promql
+from kafka_metrics_exporter_spark.promql.compiler import (
+    PromQLPlan,
+    compile_promql,
+    evaluate_streaming,
+)
 from kafka_metrics_exporter_spark.promql.parser import parse
 
-__all__ = ["PromQLPlan", "compile_promql", "parse"]
+__all__ = ["PromQLPlan", "compile_promql", "evaluate_streaming", "parse"]

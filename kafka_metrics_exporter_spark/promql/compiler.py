@@ -395,3 +395,71 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols) -> _Vec | float:
         "value", py_ops[node.op](F.col("__lv"), F.col("__rv"))
     )
     return _Vec(joined.drop("__lv", "__rv"), left.labels)
+
+
+def evaluate_streaming(
+    plan: PromQLPlan,
+    stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Evaluate the aggregation subset of PromQL on a STREAMING metrics
+    DataFrame: selector filters push into the source, and the instant
+    aggregation becomes a watermarked tumbling-window aggregation (the
+    dashboard's step ≙ the window duration).
+
+    Supported shapes: `agg [by/without] (selector)` with optional
+    trailing comparison — the panel queries that don't need offline
+    history.  rate()/topk()/vector arithmetic need cross-row state or
+    ranking that Structured Streaming's append mode can't express
+    directly; use streaming/stateful.py's streaming_rate for the rate
+    path and raise here so callers route explicitly.
+
+    Output columns: out labels + window_start + value, in update mode
+    semantics (aggregate per window finalized by the watermark).
+    """
+    node = plan.ast
+    cmp_node = None
+    if isinstance(node, Cmp):
+        cmp_node, node = node, node.expr
+    if not isinstance(node, Agg) or not isinstance(node.expr, Selector):
+        raise ValueError(
+            "promql streaming: only `agg [by/without] (selector)` (with an "
+            "optional comparison) is streaming-expressible; rate() is "
+            "streaming/stateful.py::streaming_rate"
+        )
+    sel = node.expr
+    label_cols = tuple(c for c in stream.columns if c not in _META_COLS)
+    vec = _eval_selector(sel, stream, label_cols)
+    if node.by is not None:
+        out_labels = list(node.by)
+    elif node.without is not None:
+        out_labels = sorted(vec.labels - set(node.without))
+    else:
+        out_labels = []
+    df = vec.df
+    for lbl in out_labels:
+        if lbl not in vec.labels:
+            df = df.withColumn(lbl, F.lit(""))
+    if node.op == "quantile":
+        agg_expr = F.percentile(F.col("value"), F.lit(node.param))
+    else:
+        agg_expr = _AGG_FN[node.op](F.col("value"))
+    out = (
+        df.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("__w"),
+            *[F.col(c) for c in out_labels],
+        )
+        .agg(agg_expr.cast("double").alias("value"))
+        .select(
+            *out_labels, F.col("__w.start").alias("window_start"), F.col("value")
+        )
+    )
+    if cmp_node is not None:
+        ops = {
+            ">": Column.__gt__, "<": Column.__lt__, ">=": Column.__ge__,
+            "<=": Column.__le__, "==": Column.__eq__, "!=": Column.__ne__,
+        }
+        out = out.filter(ops[cmp_node.op](F.col("value"), F.lit(cmp_node.threshold)))
+    return out

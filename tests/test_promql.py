@@ -510,3 +510,52 @@ def test_math_and_clamp_functions(tiny):
     from kafka_metrics_exporter_spark.promql.parser import parse as _p, to_promql as _u
     for e in ["clamp_min(m, 0)", "ln(sum by (topic) (m))", "floor(m)"]:
         assert _p(_u(_p(e))) == _p(e)
+
+
+def test_streaming_aggregation_subset(spark, tmp_path):
+    """A compiled dashboard aggregation pointed at a live stream: the
+    instant agg becomes a watermarked tumbling-window agg, per batch."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql import compile_promql, evaluate_streaming
+
+    src = tmp_path / "pql_stream"
+    src.mkdir()
+    rows = [
+        ("m", "2024-01-01 00:00:10", 5.0, "a"),
+        ("m", "2024-01-01 00:00:40", 7.0, "a"),
+        ("m", "2024-01-01 00:00:20", 100.0, "b"),
+        ("n", "2024-01-01 00:00:30", 999.0, "a"),  # other metric: filtered
+        ("m", "2024-01-01 00:01:15", 2.0, "a"),  # second window
+    ]
+    spark.createDataFrame(
+        rows, "name string, ts_s string, value double, topic string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema("name string, ts_s string, value double, topic string")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .select("name", "ts", "value", "topic")
+    )
+    plan = compile_promql("sum by (topic) (m)")
+    out = evaluate_streaming(plan, stream, window_duration="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pql_stream_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pql_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["topic"], r["window_start"].minute): r["value"]
+        for r in spark.sql("SELECT * FROM pql_stream_out").collect()
+    }
+    assert got == {("a", 0): 12.0, ("b", 0): 100.0, ("a", 1): 2.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="streaming_rate"):
+        evaluate_streaming(compile_promql("rate(m[1m])"), stream)
