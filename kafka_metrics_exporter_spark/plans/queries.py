@@ -1477,3 +1477,67 @@ def o6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+
+
+# ---------------------------------------------------------------------------
+# W11: hypertable-style rollup cascade (beyond reference) — continuous-
+# aggregate downsampling: raw → 1-minute partials → 1-hour rollup,
+# where each level RE-AGGREGATES the previous level's partials
+# (sum-of-sums, min-of-mins, count-of-counts; avg derived at read time
+# as sum/count).  This is how a metrics store keeps years of history
+# queryable: the raw tier ages out, the coarse tiers stay cheap.
+# ---------------------------------------------------------------------------
+@query(
+    "w11_rollup_cascade",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value,
+           COUNT(*)             AS n,
+           round(MIN(value), 4) AS min_value,
+           round(MAX(value), 4) AS max_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly level of the cascade, computed FROM the minute-level
+    partials — the oracle aggregates raw directly, so the hash match
+    proves re-aggregation is lossless.
+
+    Scale: the minute tier shuffles raw once on (key, minute); the hour
+    tier shuffles only minute partials (~1/60th the rows).  avg is NOT
+    carried as a partial (not re-aggregable) — it is derived sum/count
+    at the final level, the invariant that makes cascades correct."""
+    ev = _t(spark, sf_dir, "events")
+    # decimal partials: decimal addition is EXACT and associative, so
+    # the cascade's sum-of-sums equals a direct sum bit-for-bit — with
+    # double partials the two summation orders differ by an ulp and
+    # round(4) flips on boundary rows (observed: 57.1488 vs 57.1487)
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "minute_ts").alias("hour_ts")
+    ).agg(
+        F.sum("s").alias("s"),
+        F.sum("n").alias("n"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return hour.select(
+        "event_type",
+        F.date_format("hour_ts", _TS_FMT).alias("hour_s"),
+        _r4(F.col("s").cast("double")).alias("sum_value"),
+        F.col("n"),
+        _r4(F.col("mn")).alias("min_value"),
+        _r4(F.col("mx")).alias("max_value"),
+        _r4(F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    )
