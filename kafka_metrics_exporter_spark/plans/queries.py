@@ -1541,3 +1541,29 @@ def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("mx")).alias("max_value"),
         _r4(F.col("s").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O7: multiset set-ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+# cardinality (O3/O5's distinct forms collapse it), the form catalog
+# reconciliation needs when multiplicity matters.
+# ---------------------------------------------------------------------------
+@query(
+    "o7_except_all",
+    """
+    SELECT o_custkey, o_orderpriority FROM orders
+    EXCEPT ALL
+    SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def o7_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: a customer with three open urgent orders
+    and one filled keeps two copies — exceptAll preserves multiplicity
+    via a counted hash-agg under the hood (one shuffle), where a
+    distinct EXCEPT would collapse to one row."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_orderpriority"
+    )
+    return left.exceptAll(right)

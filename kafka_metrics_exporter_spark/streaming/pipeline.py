@@ -187,3 +187,58 @@ def streaming_dedup(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def cascade_rollup(
+    metrics: DataFrame,
+    value_col: str = "value",
+    key_col: str = "series",
+    ts_col: str = "ts",
+    fine: str = "1 minute",
+    coarse: str = "1 hour",
+    watermark: str = "2 minutes",
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming hypertable cascade: the fine tier aggregates raw
+    samples into re-aggregable partials (sum/count/min/max); the coarse
+    tier aggregates the FINE tier's windows via ``window_time`` —
+    Spark's chained-window support — so the expensive raw stream is
+    read once and the coarse tier's state holds only fine partials
+    (1/60th the rows at 1m→1h).  Returns (fine_df, coarse_df); avg is
+    derived sum/count at read time, the invariant that keeps cascades
+    correct (w11_rollup_cascade is the batch twin).
+
+    Sink the coarse tier in APPEND mode: chained stateful aggregations
+    are exactly the shape Spark's global-watermark correctness check
+    rejects in complete/update mode — append emits each coarse window
+    once, when the watermark passes its end."""
+    fine_df = (
+        metrics.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, fine).alias("w"), F.col(key_col))
+        .agg(
+            F.sum(value_col).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+        )
+    )
+    coarse_df = (
+        fine_df.groupBy(
+            F.window(F.window_time("w"), coarse).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            "s",
+            "n",
+            "mn",
+            "mx",
+            (F.col("s") / F.col("n")).alias("avg"),
+        )
+    )
+    return fine_df, coarse_df

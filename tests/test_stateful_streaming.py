@@ -163,3 +163,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text").collect()
     got = {r["text"]: r["n"] for r in rows}
     assert got == {"alpha": 1, "beta": 1, "gamma": 1}
+
+
+def test_streaming_cascade_rollup(spark, tmp_path):
+    """Chained-window cascade: coarse tier aggregates the fine tier's
+    windows (window_time), matching a direct aggregation of the raw."""
+    from kafka_metrics_exporter_spark.streaming.pipeline import cascade_rollup
+
+    src = tmp_path / "cascade_src"
+    src.mkdir()
+    rows = [
+        ("s1", "2024-01-01 00:00:10", 1.0),
+        ("s1", "2024-01-01 00:00:50", 3.0),
+        ("s1", "2024-01-01 00:30:00", 5.0),
+        ("s1", "2024-01-01 01:10:00", 7.0),  # second hour
+        ("s2", "2024-01-01 00:05:00", 100.0),
+        # watermark-advancing sentinel: chained windowed aggs emit in
+        # APPEND mode only once the watermark passes a window's end
+        ("sentinel", "2024-01-01 12:00:00", 0.0),
+    ]
+    spark.createDataFrame(rows, "series string, ts_s string, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("series string, ts_s string, value double")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    _, coarse = cascade_rollup(stream)
+    q = (
+        coarse.writeStream.format("memory")
+        .queryName("cascade_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cascade_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["window_start"].hour): (r["s"], r["n"], r["mn"], r["mx"], r["avg"])
+        for r in spark.sql("SELECT * FROM cascade_out").collect()
+        if r["series"] != "sentinel"
+    }
+    assert got[("s1", 0)] == (9.0, 3, 1.0, 5.0, 3.0)
+    assert got[("s1", 1)] == (7.0, 1, 7.0, 7.0, 7.0)
+    assert got[("s2", 0)] == (100.0, 1, 100.0, 100.0, 100.0)
