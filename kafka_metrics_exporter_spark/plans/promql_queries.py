@@ -150,3 +150,60 @@ def promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         _r4(F.col("value")).alias("value"),
     )
+
+
+@query(
+    "promql_histogram_quantile",
+    """
+    WITH g AS (
+      SELECT event_type, date_trunc('hour', ts) AS ts,
+             CAST(COUNT(*) FILTER (value <= 50)  AS DOUBLE) AS c50,
+             CAST(COUNT(*) FILTER (value <= 100) AS DOUBLE) AS c100,
+             CAST(COUNT(*) FILTER (value <= 200) AS DOUBLE) AS c200,
+             CAST(COUNT(*) AS DOUBLE) AS cinf
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT *, 0.9 * cinf AS rank FROM g WHERE cinf > 0)
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(CASE
+             WHEN c50 >= rank  THEN 0.0 + (50.0 - 0.0) * (rank - 0.0) / (c50 - 0.0)
+             WHEN c100 >= rank THEN 50.0 + (100.0 - 50.0) * (rank - c50) / (c100 - c50)
+             WHEN c200 >= rank THEN 100.0 + (200.0 - 100.0) * (rank - c100) / (c200 - c100)
+             ELSE 200.0
+           END, 4) AS value
+    FROM r
+    """,
+)
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram_quantile(0.9, ev_bucket)` compiled from the string
+    over cumulative le-buckets built from events (le ∈ {50,100,200,
+    +Inf} per (event_type, hour)) — the oracle hand-implements
+    Prometheus's interpolation rules as a CASE chain with the exact
+    same operand order, so the doubles match bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(
+        F.count_if(F.col("value") <= 50).cast("double").alias("c50"),
+        F.count_if(F.col("value") <= 100).cast("double").alias("c100"),
+        F.count_if(F.col("value") <= 200).cast("double").alias("c200"),
+        F.count(F.lit(1)).cast("double").alias("cinf"),
+    )
+    buckets = g.select(
+        F.lit("ev_bucket").alias("name"),
+        "ts",
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("50"), F.lit("100"), F.lit("200"), F.lit("+Inf")),
+                F.array("c50", "c100", "c200", "cinf"),
+            )
+        ).alias("le", "value"),
+    )
+    out = compile_promql("histogram_quantile(0.9, ev_bucket)").evaluate(buckets)
+    return out.select(
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
+    )
