@@ -1,0 +1,143 @@
+"""Differential test for the PromQL compiler: random expressions from
+the agg-over-selector subset are compiled to Spark AND translated to
+DuckDB SQL directly from the AST by an independent mini code
+generator; both run on the same metrics view of the events table and
+must agree row-for-row.  Complements the hand-written oracle queries
+(which pin 4 fixed shapes) with breadth across matcher/grouping
+combinations."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.promql import compile_promql
+from kafka_metrics_exporter_spark.promql.parser import Agg, Cmp, Selector, parse
+
+LABELS = ["event_type", "user_id"]
+
+_AGG_SQL = {
+    "sum": "SUM(value)",
+    "avg": "AVG(value)",
+    "min": "MIN(value)",
+    "max": "MAX(value)",
+    "count": "CAST(COUNT(*) AS DOUBLE)",
+    "stddev": "coalesce(stddev_pop(value), 0)",
+}
+
+
+def _sql_for(ast, metrics_cte: str) -> str:
+    """Independent AST → DuckDB translation for Agg(Selector) (+Cmp)."""
+    cmp_clause = ""
+    if isinstance(ast, Cmp):
+        cmp_clause = f"HAVING {_AGG_SQL[ast.expr.op]} {ast.op} {ast.threshold!r}"
+        ast = ast.expr
+    assert isinstance(ast, Agg) and isinstance(ast.expr, Selector)
+    sel = ast.expr
+    preds = [f"name = '{sel.name}'"]
+    for m in sel.matchers:
+        col = f"coalesce({m.label}, '')"
+        if m.op == "=":
+            preds.append(f"{col} = '{m.value}'")
+        elif m.op == "!=":
+            preds.append(f"{col} <> '{m.value}'")
+        elif m.op == "=~":
+            preds.append(f"regexp_matches({col}, '^(?:{m.value})$')")
+        else:
+            preds.append(f"NOT regexp_matches({col}, '^(?:{m.value})$')")
+    if ast.by is not None:
+        out = list(ast.by)
+    elif ast.without is not None:
+        out = sorted(set(LABELS) - set(ast.without))
+    else:
+        out = []  # bare agg drops every label
+    group_cols = ", ".join([*out, "ts"]) if out else "ts"
+    sel_cols = ", ".join([*out, "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s"])
+    return f"""
+    WITH m AS ({metrics_cte})
+    SELECT {sel_cols}, round({_AGG_SQL[ast.op]}, 4) AS value
+    FROM m WHERE {" AND ".join(preds)}
+    GROUP BY {group_cols} {cmp_clause}
+    """
+
+
+_METRICS_CTE = """
+  SELECT event_type AS name, event_type, CAST(user_id AS VARCHAR) AS user_id,
+         date_trunc('hour', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2, 3, 4
+"""
+
+# 24 expressions sweeping agg ops × grouping modes × matcher ops.
+# (name rides along as an `event_type` label so `by (event_type)`
+# grouping is expressible.)
+EXPRS = [
+    'sum by (user_id) (click)',
+    'avg by (user_id) (view)',
+    'min by (user_id) (error)',
+    'max by (user_id) (signup)',
+    'count by (user_id) (purchase)',
+    'stddev by (user_id) (click)',
+    'sum (click)',
+    'count (view)',
+    'sum without (user_id) (click)',
+    'sum without (event_type) (error)',
+    'sum by (user_id) (click{user_id != ""})',
+    'sum by (user_id) (click{user_id = "7"})',
+    'avg by (user_id) (view{user_id =~ "1[0-9]"})',
+    'count by (user_id) (error{user_id !~ "[0-5].*"})',
+    'max by (user_id) (signup{user_id =~ "2|4|6"})',
+    'sum by (user_id) (click) > 3',
+    'count by (user_id) (view) >= 2',
+    'sum (purchase) < 100',
+    'avg by (user_id) (click{user_id != "3"})',
+    'stddev (error)',
+    'min (signup{user_id =~ ".*1"})',
+    'sum by (event_type) (click)',
+    'count without (user_id, event_type) (view)',
+    'avg (purchase{user_id !~ "9.*"})',
+]
+
+
+@pytest.fixture(scope="module")
+def metrics_view(spark, sf_dir):
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("name"),
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_compiled_expr_matches_duckdb(expr, spark, metrics_view, duck):
+    ast = parse(expr)
+    spark_out = compile_promql(expr).evaluate(metrics_view)
+    inner = ast.expr if isinstance(ast, Cmp) else ast
+    if inner.by is not None:
+        out_labels = list(inner.by)
+    elif inner.without is not None:
+        out_labels = sorted(set(LABELS) - set(inner.without))
+    else:
+        out_labels = []
+    shaped = spark_out.select(
+        *out_labels,
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )
+    got = {tuple(r) for r in shaped.collect()}
+    want = {tuple(r) for r in duck.execute(_sql_for(ast, _METRICS_CTE)).fetchall()}
+    assert got == want, (expr, len(got), len(want))
