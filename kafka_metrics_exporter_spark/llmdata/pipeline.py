@@ -148,3 +148,41 @@ def decontaminate(
             F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    window: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    for RAG indexes and long-document training (stride < window keeps
+    boundary context in two chunks).  One row per (doc, chunk) with the
+    token offset and length; the final partial window is kept when it
+    adds ≥1 new token.
+
+    Pure array expressions: the token count projects once, then
+    ``sequence`` enumerates chunk starts — no explode of the tokens
+    themselves, so the shuffle-free row expansion is #chunks, not
+    #tokens."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_toks"))
+    n_chunks = F.when(
+        F.col("n_toks") <= window, F.lit(1)
+    ).otherwise(
+        F.ceil((F.col("n_toks") - F.lit(window)) / F.lit(stride)).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return base.select(
+        id_col,
+        "n_toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(window), F.col("n_toks") - F.col("start_tok")).alias("chunk_toks"),
+        "n_toks",
+    )

@@ -910,3 +910,36 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships with; cos_deq ≈ 0.99+ is the usual acceptance bar)."""
     q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
     return similarity.quantization_fidelity(q)
+
+
+@query(
+    "pipe_sliding_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, n_toks,
+             CASE WHEN n_toks <= 64 THEN 1
+                  ELSE CAST(ceil((n_toks - 64) / 48.0) AS INT) + 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(c.i AS INT) AS chunk_idx,
+           CAST(c.i * 48 AS INT) AS start_tok,
+           CAST(least(64, n_toks - c.i * 48) AS INT) AS chunk_toks,
+           n_toks
+    FROM n, range(64) c(i)
+    WHERE c.i < n_chunks
+    """,
+)
+def pipe_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 48 over each document —
+    RAG/long-context chunk prep; row expansion is #chunks per doc, the
+    token arrays never explode."""
+    return pipeline.sliding_chunks(
+        _t(spark, sf_dir, "documents"), window=64, stride=48
+    ).select("doc_id", "chunk_idx", "start_tok", "chunk_toks", "n_toks")

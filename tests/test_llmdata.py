@@ -527,3 +527,24 @@ def test_int8_quantization_fidelity(spark, sf_dir):
     one = q.limit(1).collect()[0]
     for x, qi in zip(one["_orig"], one["qvec"]):
         assert abs(x - qi * one["scale_inv"]) <= one["scale_inv"] / 2 + 1e-12
+
+
+def test_sliding_chunks_boundaries(spark):
+    from kafka_metrics_exporter_spark.llmdata.pipeline import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(64))),   # exactly one window
+            (2, " ".join(f"t{i}" for i in range(65))),   # 1 extra token → 2 chunks
+            (3, " ".join(f"t{i}" for i in range(100))),  # partial tail window
+            (4, "a b c"),                                  # tiny doc
+        ],
+        "doc_id long, text string",
+    )
+    out = sliding_chunks(docs, window=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["chunk_toks"]) for r in out.collect()}
+    assert {d for d, _ in rows} == {1, 2, 3, 4}
+    assert rows[(1, 0)] == (0, 64) and (1, 1) not in rows
+    assert rows[(2, 0)] == (0, 64) and rows[(2, 1)] == (48, 17)
+    assert rows[(3, 0)] == (0, 64) and rows[(3, 1)] == (48, 52)
+    assert rows[(4, 0)] == (0, 3)
