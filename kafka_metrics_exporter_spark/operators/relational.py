@@ -87,9 +87,14 @@ def rate_per_second(
     delta_v = F.when(
         F.col(value_col) >= prev_v, F.col(value_col) - prev_v
     ).otherwise(F.col(value_col))  # counter reset: restart from 0
+    # seconds via EXACT integer-micros subtraction, then ONE division —
+    # casting each timestamp to double first loses ~1e-7 s per endpoint
+    # (epoch doubles have 2.4e-7 ulp), which drifts every rate by ~1e-6
+    # relative vs an integer-exact oracle and visibly skews big sums of
+    # rates; this form matches epoch_us()-style SQL bit-for-bit
     delta_t = (
-        F.col(ts_col).cast("double") - prev_ts.cast("double")
-    )  # seconds (timestamp cast) — callers with epoch-millis pre-divide
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / F.lit(1_000_000.0)
+    )
     return df.withColumn(
         "rate_per_sec",
         F.when(prev_ts.isNull() | (delta_t <= 0), F.lit(None).cast("double")).otherwise(

@@ -715,9 +715,10 @@ def w8_frame_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )
     SELECT event_type,
-           round(SUM(
+           round(SUM(CAST(
              (CASE WHEN value >= pv THEN value - pv ELSE value END)
-             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS sum_rate,
+             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)
+             AS DECIMAL(38,18))), 4) AS sum_rate,
            COUNT(*) AS n_samples
     FROM d
     WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
@@ -738,11 +739,18 @@ def w9_regex_label_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = rate_per_second(
         matched, ["user_id"], "ts", "value", tiebreakers=["event_id"]
     )
+    # the rate doubles are bit-identical on both engines, but summing
+    # them in different orders drifts by ulps and round(4) flips on
+    # boundary rows at larger SFs — cast each rate to DECIMAL(38,18)
+    # first (tie-free: rate expansions never terminate at digit 18) so
+    # the sum is exact and associative, then round the DECIMAL
     return (
         rated.filter(F.col("rate_per_sec").isNotNull())
         .groupBy("event_type")
         .agg(
-            _r4(F.sum("rate_per_sec")).alias("sum_rate"),
+            F.round(F.sum(F.col("rate_per_sec").cast("decimal(38,18)")), 4)
+            .cast("double")
+            .alias("sum_rate"),
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
@@ -774,13 +782,14 @@ def w9_regex_label_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), s AS (
       SELECT topic,
-             SUM((CASE WHEN value >= pv THEN value - pv ELSE value END)
-                 / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)) AS sum_rate
+             SUM(CAST((CASE WHEN value >= pv THEN value - pv ELSE value END)
+                 / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)
+                 AS DECIMAL(38,18))) AS sum_rate
       FROM d
       WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
       GROUP BY topic
     )
-    SELECT topic, round(sum_rate, 4) AS sum_rate
+    SELECT topic, CAST(round(sum_rate, 4) AS DOUBLE) AS sum_rate
     FROM s
     QUALIFY row_number() OVER (ORDER BY sum_rate DESC, topic ASC) <= 3
     """,
@@ -805,13 +814,17 @@ def w10_topk_rate_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = lab.filter(F.col("topic") != "")
     rated = rate_per_second(f, ["user_id"], "ts", "value", tiebreakers=["event_id"])
+    # decimal-exact rate sum (see w9): keeps both the VALUE and the
+    # topk RANKING deterministic across summation orders
     sums = (
         rated.filter(F.col("rate_per_sec").isNotNull())
         .groupBy("topic")
-        .agg(F.sum("rate_per_sec").alias("sum_rate"))
+        .agg(F.sum(F.col("rate_per_sec").cast("decimal(38,18)")).alias("sum_rate"))
     )
     top = top_k_per_group(sums, [], "sum_rate", 3, tiebreakers=["topic"])
-    return top.select("topic", _r4(F.col("sum_rate")).alias("sum_rate"))
+    return top.select(
+        "topic", F.round("sum_rate", 4).cast("double").alias("sum_rate")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1492,12 +1505,11 @@ def o6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
-           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value,
-           COUNT(*)             AS n,
-           round(MIN(value), 4) AS min_value,
-           round(MAX(value), 4) AS max_value,
-           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           COUNT(*)   AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
     """,
@@ -1532,14 +1544,21 @@ def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
     )
+    # every double here is BIT-IDENTICAL across engines (exact decimal
+    # sums, min/max of the same set, one division of identical
+    # operands) — so emit them UNROUNDED: an in-engine round(4) is two
+    # different rounding implementations (Spark rounds the shortest
+    # decimal repr half-up; DuckDB rounds a scaled multiply) and they
+    # disagree on exact halves like 65.99125 — the comparison layer
+    # rounds both sides once with a single rule instead
     return hour.select(
         "event_type",
         F.date_format("hour_ts", _TS_FMT).alias("hour_s"),
-        _r4(F.col("s").cast("double")).alias("sum_value"),
+        F.col("s").cast("double").alias("sum_value"),
         F.col("n"),
-        _r4(F.col("mn")).alias("min_value"),
-        _r4(F.col("mx")).alias("max_value"),
-        _r4(F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
     )
 
 
