@@ -54,11 +54,15 @@ def salted_sum_count(
 ) -> DataFrame:
     """sum+count by key, skew-proof: no reducer ever sees more than
     ~1/salt_buckets of the hottest key's rows."""
+    # decimal partials: the salted two-stage summation order differs
+    # from a direct groupBy, but DECIMAL accumulation is exact and
+    # associative, so the recombined totals are bit-identical to the
+    # unsalted aggregate (the oracle) at any salt count
     return salted_agg(
         df,
         keys,
         {
-            "sum_value": F.sum(value_col),
+            "sum_value": F.sum(F.col(value_col).cast("decimal(28,10)")),
             "n": F.count(F.lit(1)),
         },
         salt_buckets,

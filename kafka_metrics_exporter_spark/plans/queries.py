@@ -78,6 +78,17 @@ def _r4(c) -> F.Column:
     return F.round(c, 4)
 
 
+def _dsum(col) -> F.Column:
+    """Order-independent double sum: exact DECIMAL(28,10) accumulation
+    (associative, so any engine/partitioning produces the identical
+    total), cast back to double UNROUNDED — the comparison layer rounds
+    both sides once with a single rule (in-engine round() disagrees
+    between Spark and DuckDB on exact halves; see w11_rollup_cascade).
+    SQL twin: CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -89,10 +100,12 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     "a1_a4_grouped_metrics",
     """
     SELECT l_returnflag, l_linestatus,
-           round(SUM(l_quantity), 4)                         AS sum_qty,
-           round(SUM(l_extendedprice), 4)                    AS sum_base_price,
-           round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(AVG(l_quantity), 4)                         AS avg_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+                                                                        AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+                                                                        AS avg_qty,
            round(MAX(l_extendedprice), 4)                    AS max_price,
            round(MIN(l_extendedprice), 4)                    AS min_price,
            COUNT(*)                                          AS count_order
@@ -113,12 +126,12 @@ def a1_a4_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("sum_disc_price"),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             _r4(F.max("l_extendedprice")).alias("max_price"),
             _r4(F.min("l_extendedprice")).alias("min_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -166,7 +179,7 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale_salted_agg",
     """
     SELECT event_type,
-           round(SUM(value), 4) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
            COUNT(*)             AS n
     FROM events GROUP BY event_type
     """,
@@ -183,7 +196,7 @@ def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = salted_sum_count(ev, ["event_type"], "value", salt_buckets=16)
     return out.select(
-        "event_type", F.round("sum_value", 4).alias("sum_value"), "n"
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n"
     )
 
 
@@ -243,7 +256,7 @@ def w4_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(year(l_shipdate) AS INT) AS ship_year,
            COUNT(*) AS n_items,
-           round(SUM(l_extendedprice), 4) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY 1, 2, 3
     """,
@@ -256,7 +269,7 @@ def a7_multikey_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        _r4(F.sum("l_extendedprice")).alias("revenue"),
+        _dsum("l_extendedprice").alias("revenue"),
     )
 
 
@@ -267,11 +280,12 @@ def a7_multikey_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a8_having",
     """
-    SELECT o_custkey, round(SUM(o_totalprice), 4) AS total_spend,
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
-    HAVING SUM(o_totalprice) > 300000
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(28,10))) > 300000
     """,
 )
 def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,11 +293,13 @@ def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sum("o_totalprice").alias("_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("_total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .filter(F.col("_total") > 300000)
-        .select("o_custkey", _r4(F.col("_total")).alias("total_spend"), "n_orders")
+        .filter(F.col("_total") > 300000)  # exact filter: no ulp flip at the bound
+        .select(
+            "o_custkey", F.col("_total").cast("double").alias("total_spend"), "n_orders"
+        )
     )
 
 
@@ -295,10 +311,12 @@ def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a9_topk_of_avg",
     """
-    SELECT user_id, round(AVG(value), 4) AS avg_value
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY user_id
-    ORDER BY AVG(value) DESC, user_id ASC
+    ORDER BY CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) DESC,
+             user_id ASC
     LIMIT 5
     """,
 )
@@ -309,10 +327,10 @@ def a9_topk_of_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.avg("value").alias("_avg"))
+        .agg((_dsum("value") / F.count(F.lit(1))).alias("_avg"))
         .orderBy(F.col("_avg").desc(), F.col("user_id").asc())
         .limit(5)
-        .select("user_id", _r4(F.col("_avg")).alias("avg_value"))
+        .select("user_id", F.col("_avg").alias("avg_value"))
     )
 
 
@@ -323,7 +341,8 @@ def a9_topk_of_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a10_sum_without",
     """
-    SELECT event_type, round(SUM(value), 4) AS total_value
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -334,7 +353,7 @@ def a10_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     labels = {"event_type", "user_id"}
     keep = sorted(labels - {"user_id"})
-    return ev.groupBy(*keep).agg(_r4(F.sum("value")).alias("total_value"))
+    return ev.groupBy(*keep).agg(_dsum("value").alias("total_value"))
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +365,7 @@ def a10_sum_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
            event_type,
-           round(SUM(value), 4) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
            COUNT(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -383,9 +402,10 @@ def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )
     SELECT event_type,
-           round(AVG(
+           CAST(SUM(CAST(
              (CASE WHEN value >= pv THEN value - pv ELSE value END)
-             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS avg_rate,
+             / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)
+             AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS avg_rate,
            COUNT(*) AS n_samples
     FROM d
     WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
@@ -405,7 +425,10 @@ def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rated.filter(F.col("rate_per_sec").isNotNull())
         .groupBy("event_type")
         .agg(
-            _r4(F.avg("rate_per_sec")).alias("avg_rate"),
+            (
+                F.sum(F.col("rate_per_sec").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_rate"),
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
@@ -419,10 +442,11 @@ def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_topk_per_group",
     """
     WITH s AS (
-      SELECT event_type, user_id, SUM(value) AS total
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(28,10))) AS total
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, user_id, round(total, 4) AS total_value
+    SELECT event_type, user_id, CAST(total AS DOUBLE) AS total_value
     FROM s
     QUALIFY row_number() OVER (
       PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
@@ -430,9 +454,13 @@ def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sums = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    sums = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("total")
+    )
     top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
-    return top.select("event_type", "user_id", _r4(F.col("total")).alias("total_value"))
+    return top.select(
+        "event_type", "user_id", F.col("total").cast("double").alias("total_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -503,10 +531,13 @@ def a11b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qtj_series_arith",
     """
     SELECT user_id,
-           round(SUM(value) FILTER (event_type = 'click'), 4)  AS clicks_total,
-           round(SUM(value) FILTER (event_type = 'view'), 4)   AS views_total,
-           round(SUM(value) FILTER (event_type = 'click')
-                 + SUM(value) FILTER (event_type = 'view'), 4) AS combined
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'click')
+                AS DOUBLE) AS clicks_total,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'view')
+                AS DOUBLE) AS views_total,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'click')
+                + SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'view')
+                AS DOUBLE) AS combined
     FROM events
     GROUP BY user_id
     HAVING SUM(value) FILTER (event_type = 'click') IS NOT NULL
@@ -517,17 +548,18 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL `a + b` inner-join semantics: only series present on both
     sides survive.  Pivot-then-add = one aggregate, no self-join."""
     ev = _t(spark, sf_dir, "events")
-    clicks = F.sum(F.when(F.col("event_type") == "click", F.col("value")))
-    views = F.sum(F.when(F.col("event_type") == "view", F.col("value")))
+    dec = F.col("value").cast("decimal(28,10)")
+    clicks = F.sum(F.when(F.col("event_type") == "click", dec))
+    views = F.sum(F.when(F.col("event_type") == "view", dec))
     return (
         ev.groupBy("user_id")
         .agg(clicks.alias("_c"), views.alias("_v"))
         .filter(F.col("_c").isNotNull() & F.col("_v").isNotNull())
         .select(
             "user_id",
-            _r4(F.col("_c")).alias("clicks_total"),
-            _r4(F.col("_v")).alias("views_total"),
-            _r4(F.col("_c") + F.col("_v")).alias("combined"),
+            F.col("_c").cast("double").alias("clicks_total"),
+            F.col("_v").cast("double").alias("views_total"),
+            (F.col("_c") + F.col("_v")).cast("double").alias("combined"),
         )
     )
 
@@ -540,7 +572,8 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9b_sum_of_topk",
     """
     WITH s AS (
-      SELECT event_type, user_id, SUM(value) AS total
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(28,10))) AS total
       FROM events GROUP BY 1, 2
     ),
     t AS (
@@ -548,15 +581,19 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (
         PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
     )
-    SELECT event_type, round(SUM(total), 4) AS top3_total
+    SELECT event_type, CAST(SUM(total) AS DOUBLE) AS top3_total
     FROM t GROUP BY event_type
     """,
 )
 def a9b_sum_of_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sums = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    sums = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("total")
+    )
     top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
-    return top.groupBy("event_type").agg(_r4(F.sum("total")).alias("top3_total"))
+    return top.groupBy("event_type").agg(
+        F.sum("total").cast("double").alias("top3_total")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,7 +623,7 @@ def a9b_sum_of_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events,
-           round(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -599,7 +636,7 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), _r4(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("sum_value"))
         .select(
             "user_id",
             F.date_format("w.start", _TS_FMT).alias("session_start"),
@@ -624,7 +661,7 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
-           round(SUM(value), 4) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
            COUNT(*) AS n
     FROM w GROUP BY 1, 2
     """,
@@ -642,7 +679,7 @@ def w7b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             F.window("ts", "1 day", "12 hours").alias("w"), F.col("event_type")
         )
-        .agg(_r4(F.sum("value")).alias("sum_value"), F.count(F.lit(1)).alias("n"))
+        .agg(_dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
             "event_type",
@@ -926,7 +963,7 @@ def j1_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_broadcast_lookup",
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-           round(SUM(o.o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -942,7 +979,7 @@ def j2_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r4(F.sum("o_totalprice")).alias("revenue"),
+            _dsum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -1375,7 +1412,8 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT l.event_id,
              count(r.event_id) AS n_follow,
-             round(coalesce(sum(r.value), 0), 4) AS sum_follow
+             CAST(coalesce(SUM(CAST(r.value AS DECIMAL(28,10))), 0) AS DOUBLE)
+               AS sum_follow
       FROM l LEFT JOIN r
         ON r.user_id = l.user_id
        AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 1 HOUR
@@ -1410,7 +1448,7 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = matched.groupBy("event_id").agg(
         F.count("r_event_id").alias("n_follow"),
-        _r4(F.sum("r_value")).alias("sum_follow"),
+        F.coalesce(_dsum("r_value"), F.lit(0.0)).alias("sum_follow"),
     )
     return (
         left.join(agg, "event_id", "left")
@@ -1435,7 +1473,7 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp_id,
-           round(SUM(l_quantity), 4) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1452,7 +1490,7 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("grp_id"),
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _dsum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
