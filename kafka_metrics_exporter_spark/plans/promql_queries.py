@@ -44,12 +44,12 @@ _METRICS_SQL = """
 _RATE_SQL = """
       SELECT user_id, ts,
              (CASE WHEN value >= pv THEN value - pv ELSE value END)
-               / (epoch(ts) - epoch(pts)) AS value
+               / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0) AS value
       FROM (
         SELECT user_id, ts, value,
                lag(value) OVER w AS pv, lag(ts) OVER w AS pts
         FROM {src} WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-      ) WHERE pts IS NOT NULL AND epoch(ts) > epoch(pts)
+      ) WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
 """
 
 

@@ -194,7 +194,12 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     delta_v = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
         F.col("value")  # counter reset: restart from 0
     )
-    delta_t = F.col("ts").cast("double") - prev_ts.cast("double")
+    # exact integer-micros subtraction, one division — per-endpoint
+    # double casts drift each rate ~1e-6 relative (see
+    # operators/relational.py rate_per_second)
+    delta_t = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    ) / F.lit(1_000_000.0)
     # rate/irate: per-second derivative; increase: the raw clamped delta
     out_val = delta_v if node.fn == "increase" else delta_v / delta_t
     rated = (
