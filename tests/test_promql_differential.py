@@ -141,3 +141,55 @@ def test_compiled_expr_matches_duckdb(expr, spark, metrics_view, duck):
     got = {tuple(r) for r in shaped.collect()}
     want = {tuple(r) for r in duck.execute(_sql_for(ast, _METRICS_CTE)).fetchall()}
     assert got == want, (expr, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
+# Rate differential: sum-by over compiled rate() vs an independent
+# epoch_us lag-window translation (bit-exact after the integer-micros
+# hardening).
+# ---------------------------------------------------------------------------
+RATE_EXPRS = [
+    ("click", '=', None),
+    ("view", None, None),
+    ("error", "!=", "7"),
+    ("purchase", "=~", "[0-4].*"),
+]
+
+
+@pytest.mark.parametrize("name,op,val", RATE_EXPRS)
+def test_compiled_rate_matches_duckdb(name, op, val, spark, metrics_view, duck):
+    matcher = ""
+    pred = ""
+    if op == "=":
+        matcher, pred = '{user_id != ""}', "AND coalesce(user_id, '') <> ''"
+    elif op == "!=":
+        matcher, pred = f'{{user_id != "{val}"}}', f"AND coalesce(user_id,'') <> '{val}'"
+    elif op == "=~":
+        matcher, pred = (
+            f'{{user_id =~ "{val}"}}',
+            f"AND regexp_matches(coalesce(user_id,''), '^(?:{val})$')",
+        )
+    expr = f"sum by (user_id) (rate({name}{matcher}[1m]))"
+    spark_out = compile_promql(expr).evaluate(metrics_view)
+    shaped = spark_out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )
+    got = {tuple(r) for r in shaped.collect()}
+    sql = f"""
+    WITH m AS ({_METRICS_CTE}),
+    f AS (SELECT * FROM m WHERE name = '{name}' {pred}),
+    d AS (
+      SELECT event_type, user_id, ts, value,
+             lag(value) OVER w AS pv, lag(ts) OVER w AS pts
+      FROM f WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(SUM((CASE WHEN value >= pv THEN value - pv ELSE value END)
+                 / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS value
+    FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+    GROUP BY user_id, ts
+    """
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, (expr, len(got), len(want))
