@@ -926,14 +926,18 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN n_toks <= 64 THEN 1
                   ELSE CAST(ceil((n_toks - 64) / 48.0) AS INT) + 1 END AS n_chunks
       FROM t
+    ),
+    x AS (
+      -- per-row unnest: exact n_chunks rows per document, no fixed cap
+      -- (a fixed range(64) silently under-enumerated long documents)
+      SELECT doc_id, n_toks, unnest(range(n_chunks)) AS i FROM n
     )
     SELECT doc_id,
-           CAST(c.i AS INT) AS chunk_idx,
-           CAST(c.i * 48 AS INT) AS start_tok,
-           CAST(least(64, n_toks - c.i * 48) AS INT) AS chunk_toks,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 48 AS INT) AS start_tok,
+           CAST(least(64, n_toks - i * 48) AS INT) AS chunk_toks,
            n_toks
-    FROM n, range(64) c(i)
-    WHERE c.i < n_chunks
+    FROM x
     """,
 )
 def pipe_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,8 @@ _METRICS_SQL = """
       FROM events GROUP BY 1, 2, 3
 """
 
+# max_gap_us mirrors the compiler's range-window guard: a successive
+# pair farther apart than the PromQL window yields no rate point.
 _RATE_SQL = """
       SELECT user_id, ts,
              (CASE WHEN value >= pv THEN value - pv ELSE value END)
@@ -50,6 +52,7 @@ _RATE_SQL = """
                lag(value) OVER w AS pv, lag(ts) OVER w AS pts
         FROM {src} WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       ) WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+        AND epoch_us(ts) - epoch_us(pts) <= {max_gap_us}
 """
 
 
@@ -58,7 +61,7 @@ _RATE_SQL = """
     f"""
     WITH m AS ({_METRICS_SQL.format(grain="hour")}),
     c AS (SELECT * FROM m WHERE name = 'click' AND user_id <> ''),
-    rate AS ({_RATE_SQL.format(src="c")}),
+    rate AS ({_RATE_SQL.format(src="c", max_gap_us=2 * 3600 * 1000000)}),
     tk AS (
       SELECT user_id, ts, value,
              row_number() OVER (PARTITION BY ts
@@ -72,13 +75,13 @@ _RATE_SQL = """
     """,
 )
 def promql_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`sum by (user_id) (topk(3, rate(click{user_id!=""}[1m])))` — the
+    """`sum by (user_id) (topk(3, rate(click{user_id!=""}[2h])))` — the
     corpus's sum-of-topk-of-rate shape (reference
     Kafka_Brokers_Dashboard.json:1046) compiled from the PromQL string.
     The oracle hand-implements the same pinned semantics (successive-
     delta rate with reset clamp, per-instant topk with label
     tiebreaker)."""
-    plan = compile_promql('sum by (user_id) (topk(3, rate(click{user_id!=""}[1m])))')
+    plan = compile_promql('sum by (user_id) (topk(3, rate(click{user_id!=""}[2h])))')
     out = plan.evaluate(_metrics_view(spark, sf_dir, "hour"))
     return out.select(
         "user_id",
@@ -93,8 +96,8 @@ def promql_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS ({_METRICS_SQL.format(grain="day")}),
     c AS (SELECT * FROM m WHERE name = 'click'),
     v AS (SELECT * FROM m WHERE name = 'view'),
-    rc AS ({_RATE_SQL.format(src="c")}),
-    rv AS ({_RATE_SQL.format(src="v")}),
+    rc AS ({_RATE_SQL.format(src="c", max_gap_us=2 * 86400 * 1000000)}),
+    rv AS ({_RATE_SQL.format(src="v", max_gap_us=2 * 86400 * 1000000)}),
     summed AS (
       SELECT rc.user_id, rc.ts, SUM(rc.value + rv.value) AS value
       FROM rc JOIN rv ON rc.user_id = rv.user_id AND rc.ts = rv.ts
@@ -113,13 +116,13 @@ def promql_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promql_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`topk(5, sum by (user_id) (rate(click[1m]) + rate(view[1m])) /
+    """`topk(5, sum by (user_id) (rate(click[2d]) + rate(view[2d])) /
     1024)` — the corpus's topk-of-summed-rates-with-unit-scaling shape
     (reference Kafka_Connect_Dashboard.json:1062).  Exercises vector-
     vector `+` (equi-join on shared labels + ts), scalar division, agg,
     and per-instant ranking, all compiled from the string."""
     plan = compile_promql(
-        "topk(5, sum by (user_id) (rate(click[1m]) + rate(view[1m])) / 1024)"
+        "topk(5, sum by (user_id) (rate(click[2d]) + rate(view[2d])) / 1024)"
     )
     out = plan.evaluate(_metrics_view(spark, sf_dir, "day"))
     return out.select(

@@ -23,7 +23,18 @@ Semantics (and the two documented divergences from a real Prometheus):
   (SURVEY §7 hard-part 2); PromQL's window extrapolation is
   intentionally NOT replicated.
 - Label matchers treat a missing label as the empty string, exactly
-  like PromQL (`{topic != ""}` keeps only labeled series).
+  like PromQL (`{topic != ""}` keeps only labeled series).  The same
+  convention holds EVERYWHERE labels are compared: selectors coalesce
+  NULL label values to "" on the way in, so binary-op join keys and
+  aggregation group keys never distinguish NULL from "" (a normalized
+  scrape can carry NULL for an absent ObjectName property).
+- ``rate``/``irate``/``increase`` honor the range window as a max
+  sample gap: a successive-sample pair farther apart than the window
+  (e.g. across a scrape outage) yields no point, matching PromQL's
+  "at least two samples inside the window" requirement.  Under
+  sample-instant evaluation the last two samples at an instant are
+  exactly the successive pair, so ``irate`` ≡ ``rate`` here by
+  construction (both are the pair's per-second delta).
 
 Everything compiles to built-in Column expressions — filters push into
 the scan, aggregations are partial+final hash aggs, `topk` is one rank
@@ -182,6 +193,10 @@ def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
                 "timestamp"
             ),
         )
+    # canonical label form: NULL ≡ "" from here on, so every downstream
+    # join/group/order on labels follows the matcher convention
+    for lbl in labels:
+        df = df.withColumn(lbl, F.coalesce(F.col(lbl), F.lit("")))
     return _Vec(df, frozenset(labels))
 
 
@@ -205,7 +220,15 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     rated = (
         vec.df.withColumn(
             "__rate",
-            F.when(prev_ts.isNull() | (delta_t <= 0), F.lit(None)).otherwise(out_val),
+            F.when(
+                prev_ts.isNull()
+                | (delta_t <= 0)
+                # the range window bounds the usable sample gap: a pair
+                # straddling a scrape outage wider than the window has
+                # <2 samples inside any window instance → no point
+                | (delta_t > F.lit(float(node.window_seconds))),
+                F.lit(None),
+            ).otherwise(out_val),
         )
         .filter(F.col("__rate").isNotNull())  # PromQL emits nothing before 2 samples
         .withColumn("value", F.col("__rate"))
@@ -217,14 +240,21 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
 def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
     """<agg>_over_time(sel[w]): per series, aggregate the samples in the
     trailing range (t-w, t] — a real RANGE window frame over epoch
-    seconds (integer-second resolution; PromQL's left-open boundary is
-    -(w-1)..0 on whole seconds)."""
+    MICROseconds, so fractional/sub-second windows (the parser accepts
+    `[500ms]`) get an exact left-open boundary instead of a silently
+    truncated integer-second frame."""
+    window_us = int(round(node.window_seconds * 1_000_000))
+    if window_us < 1:
+        raise ValueError(
+            f"promql: {node.op}_over_time window must be >= 1µs "
+            f"(got {node.window_seconds}s)"
+        )
     vec = _eval_selector(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     w = (
         Window.partitionBy(*[F.col(c) for c in series])
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-(int(node.window_seconds) - 1), 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(window_us - 1), 0)
     )
     agg_col = _AGG_FN[node.op](F.col("value")).over(w).cast("double")
     return _Vec(vec.df.withColumn("value", agg_col), vec.labels)

@@ -194,22 +194,35 @@ class _Parser:
         if tok != val:
             raise SyntaxError(f"promql: expected {val!r}, got {tok!r}")
 
-    # expr := term (('+'|'-') term)* , with trailing comparisons bound loosest
+    # expr := arith [cmp_op number] — comparisons bind loosest, as in
+    # PromQL: `a > 0 + b` means `a > (0 + b)` (a vector comparison this
+    # subset doesn't support, so it errors) rather than silently
+    # parsing as `(a > 0) + b`.  At most ONE trailing comparison.
     def parse_expr(self) -> Expr:
+        node = self.parse_arith()
+        kind, tok = self.peek()
+        if tok in (">", "<", ">=", "<=", "==", "!="):
+            self.next()
+            nkind, ntok = self.next()
+            if nkind != "number":
+                raise SyntaxError("promql: comparison requires a scalar")
+            threshold = float(ntok)
+            if self.peek()[1] in ("+", "-", "*", "/"):
+                raise SyntaxError(
+                    "promql: arithmetic after a comparison threshold is a "
+                    "vector comparison, which this subset does not support "
+                    "— parenthesize the comparison if you meant (expr > c) + x"
+                )
+            node = Cmp(node, tok, threshold)
+        return node
+
+    # arith := term (('+'|'-') term)*
+    def parse_arith(self) -> Expr:
         node = self.parse_term()
-        while True:
-            kind, tok = self.peek()
-            if tok in ("+", "-"):
-                self.next()
-                node = Bin(tok, node, self.parse_term())
-            elif tok in (">", "<", ">=", "<=", "==", "!="):
-                self.next()
-                nkind, ntok = self.next()
-                if nkind != "number":
-                    raise SyntaxError("promql: comparison requires a scalar")
-                node = Cmp(node, tok, float(ntok))
-            else:
-                return node
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = Bin(op, node, self.parse_term())
+        return node
 
     def parse_term(self) -> Expr:
         node = self.parse_factor()
