@@ -56,6 +56,8 @@ WINDOW_PRIORITY = [
     "promql_vector_math",
     "promql_quantile_agg",
     "promql_histogram_quantile",
+    # -- new in round 4 ---------------------------------------------------
+    "promql_rate_extrapolated",
     # -- changed in round 4 (new oracle / new semantics) ------------------
     "dedup_simhash",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---

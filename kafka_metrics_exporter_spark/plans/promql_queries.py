@@ -132,6 +132,108 @@ def promql_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEP_US = 1800 * 1_000_000  # 30m grid step
+_WIN_US = 7200 * 1_000_000  # [2h] range window
+
+
+@query(
+    "promql_rate_extrapolated",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT user_id, epoch_us(ts) AS s_us, value
+          FROM m WHERE name = 'click' AND user_id <> ''),
+    r AS (
+      SELECT user_id, s_us, value, lag(value) OVER w AS pv
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY s_us)
+    ),
+    cor AS (
+      SELECT user_id, s_us, value,
+             value + SUM(CASE WHEN pv IS NOT NULL AND value < pv
+                              THEN pv ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS corrected
+      FROM r
+    ),
+    b AS (
+      SELECT ((MIN(epoch_us(ts)) + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US}
+               AS g_lo,
+             (MAX(epoch_us(ts)) // {_STEP_US}) * {_STEP_US} AS g_hi
+      FROM m
+    ),
+    x AS (
+      SELECT user_id, s_us, value, corrected,
+             unnest(range(t_lo, t_hi + 1, {_STEP_US})) AS t_us
+      FROM (
+        SELECT cor.*,
+               greatest(((s_us + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US},
+                        b.g_lo) AS t_lo,
+               least(((s_us + {_WIN_US} - 1) // {_STEP_US}) * {_STEP_US},
+                     b.g_hi) AS t_hi
+        FROM cor, b
+      ) WHERE t_lo <= t_hi
+    ),
+    g AS (
+      SELECT user_id, t_us,
+             COUNT(*) AS cnt,
+             MIN(s_us) AS first_us, MAX(s_us) AS last_us,
+             arg_min(corrected, s_us) AS first_c,
+             arg_max(corrected, s_us) AS last_c,
+             arg_min(value, s_us) AS first_raw
+      FROM x GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    e AS (
+      SELECT user_id, t_us,
+             last_c - first_c AS raw_delta,
+             (last_us - first_us) / 1000000.0 AS sampled,
+             (first_us - (t_us - {_WIN_US})) / 1000000.0 AS dur_start,
+             (t_us - last_us) / 1000000.0 AS dur_end,
+             ((last_us - first_us) / 1000000.0) / CAST(cnt - 1 AS DOUBLE)
+               AS avg_dur,
+             first_raw
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, t_us, raw_delta, sampled, dur_end, avg_dur,
+             CASE WHEN raw_delta > 0 AND first_raw >= 0
+                       AND sampled * (first_raw / raw_delta) < dur_start
+                  THEN sampled * (first_raw / raw_delta)
+                  ELSE dur_start END AS dur_start2
+      FROM e
+    )
+    SELECT user_id,
+           strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           raw_delta * ((sampled
+             + (CASE WHEN dur_start2 >= avg_dur * 1.1
+                     THEN avg_dur / 2.0 ELSE dur_start2 END)
+             + (CASE WHEN dur_end >= avg_dur * 1.1
+                     THEN avg_dur / 2.0 ELSE dur_end END))
+             / sampled) / 7200.0 AS value
+    FROM f
+    """,
+)
+def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(click{user_id!=""}[2h])` in RANGE-QUERY mode (30 m step
+    grid): Prometheus's window-extrapolated counter rate — reset-
+    corrected first→last delta per ``(t-2h, t]`` window, edge
+    extrapolation with the 1.1×-average-spacing threshold and the
+    counter-zero cap, divided by the window (the semantics behind every
+    `rate(...[1m|5m])` panel in the reference's
+    Kafka_Brokers_Dashboard.json:540,949,1778).  The DuckDB twin
+    replicates the sample→instant expansion and the extrapolation
+    arithmetic operation-for-operation, so the doubles match
+    bit-for-bit before the comparison layer's rounding."""
+    plan = compile_promql('rate(click{user_id!=""}[2h])')
+    out = plan.evaluate_range(
+        _metrics_view(spark, sf_dir, "hour"), step_seconds=1800.0
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("value"),
+    )
+
+
 @query(
     "promql_quantile_agg",
     f"""

@@ -10,5 +10,12 @@ from kafka_metrics_exporter_spark.promql.compiler import (
     evaluate_streaming,
 )
 from kafka_metrics_exporter_spark.promql.parser import parse
+from kafka_metrics_exporter_spark.promql.range_eval import evaluate_range
 
-__all__ = ["PromQLPlan", "compile_promql", "evaluate_streaming", "parse"]
+__all__ = [
+    "PromQLPlan",
+    "compile_promql",
+    "evaluate_range",
+    "evaluate_streaming",
+    "parse",
+]

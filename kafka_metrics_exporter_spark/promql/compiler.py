@@ -12,7 +12,7 @@ expression's output label columns plus (ts, value) — a *range* of
 instant-vector evaluations, one per sample timestamp, which is what a
 dashboard panel renders over its time window.
 
-Semantics (and the two documented divergences from a real Prometheus):
+Semantics of the DEFAULT (sample-instant) mode:
 
 - Evaluation instants are the sample timestamps present in the data —
   no resampling onto a step grid (a dashboard step-aligns afterwards;
@@ -21,7 +21,12 @@ Semantics (and the two documented divergences from a real Prometheus):
   clamp to the post-reset value) divided by the sample gap — the same
   pinned semantics as the batch ``w2_rate``/streaming rate operators
   (SURVEY §7 hard-part 2); PromQL's window extrapolation is
-  intentionally NOT replicated.
+  intentionally not applied at sample instants.
+
+Both divergences are CLOSED by the opt-in range-query mode
+(:meth:`PromQLPlan.evaluate_range`, promql/range_eval.py): aligned
+step-grid instants, lookback selectors, and Prometheus's
+window-extrapolated rate/increase with a true two-sample irate.
 - Label matchers treat a missing label as the empty string, exactly
   like PromQL (`{topic != ""}` keeps only labeled series).  The same
   convention holds EVERYWHERE labels are compared: selectors coalesce
@@ -108,32 +113,61 @@ class PromQLPlan:
             raise ValueError("promql: top-level scalar expressions are not vectors")
         return vec.select_shape()
 
+    def evaluate_range(
+        self,
+        metrics: DataFrame,
+        step_seconds: float,
+        lookback_seconds: float | None = None,
+    ) -> DataFrame:
+        """Opt-in Prometheus range-query mode: evaluate at aligned step
+        instants with lookback selectors and window-EXTRAPOLATED
+        rate/increase (true irate) — see promql/range_eval.py."""
+        from kafka_metrics_exporter_spark.promql import range_eval
+
+        kwargs = {}
+        if lookback_seconds is not None:
+            kwargs["lookback_seconds"] = lookback_seconds
+        return range_eval.evaluate_range(self, metrics, step_seconds, **kwargs)
+
 
 def compile_promql(text: str) -> PromQLPlan:
     return PromQLPlan(parse(text), text)
 
 
-def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec | float:
+def _eval(
+    node: Expr,
+    metrics: DataFrame,
+    label_cols: tuple[str, ...],
+    leaf=None,
+) -> _Vec | float:
+    """Recursive evaluation.  ``leaf`` swaps the evaluation strategy for
+    the data-touching leaves (Selector / Rate / OverTime) — the step-grid
+    evaluator (range_eval.py) substitutes lookback / window-extrapolated
+    versions while every structural node (agg, topk, binop, math, cmp)
+    reuses this dispatch unchanged."""
     if isinstance(node, Scalar):
         return node.value
     if isinstance(node, Selector):
-        return _eval_selector(node, metrics, label_cols)
+        fn = leaf.selector if leaf is not None else _eval_selector
+        return fn(node, metrics, label_cols)
     if isinstance(node, Rate):
-        return _eval_rate(node, metrics, label_cols)
+        fn = leaf.rate if leaf is not None else _eval_rate
+        return fn(node, metrics, label_cols)
     if isinstance(node, OverTime):
-        return _eval_over_time(node, metrics, label_cols)
+        fn = leaf.over_time if leaf is not None else _eval_over_time
+        return fn(node, metrics, label_cols)
     if isinstance(node, Agg):
-        return _eval_agg(node, metrics, label_cols)
+        return _eval_agg(node, metrics, label_cols, leaf)
     if isinstance(node, TopK):
-        return _eval_topk(node, metrics, label_cols)
+        return _eval_topk(node, metrics, label_cols, leaf)
     if isinstance(node, Bin):
-        return _eval_bin(node, metrics, label_cols)
+        return _eval_bin(node, metrics, label_cols, leaf)
     if isinstance(node, (LabelReplace, LabelJoin)):
-        return _eval_label_fn(node, metrics, label_cols)
+        return _eval_label_fn(node, metrics, label_cols, leaf)
     if isinstance(node, HistogramQuantile):
-        return _eval_histogram_quantile(node, metrics, label_cols)
+        return _eval_histogram_quantile(node, metrics, label_cols, leaf)
     if isinstance(node, MathFn):
-        vec = _eval(node.expr, metrics, label_cols)
+        vec = _eval(node.expr, metrics, label_cols, leaf)
         if isinstance(vec, float):
             raise ValueError("promql: math functions need a vector")
         v = F.col("value")
@@ -151,7 +185,7 @@ def _eval(node: Expr, metrics: DataFrame, label_cols: tuple[str, ...]) -> _Vec |
             vec.df.withColumn("value", col.cast("double")), vec.labels
         )
     if isinstance(node, Cmp):
-        vec = _eval(node.expr, metrics, label_cols)
+        vec = _eval(node.expr, metrics, label_cols, leaf)
         if isinstance(vec, float):
             raise ValueError("promql: cannot compare a scalar expression")
         ops = {
@@ -272,8 +306,8 @@ _AGG_FN = {
 }
 
 
-def _eval_agg(node: Agg, metrics: DataFrame, label_cols) -> _Vec:
-    vec = _eval(node.expr, metrics, label_cols)
+def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: cannot aggregate a scalar")
     if node.by is not None:
@@ -298,8 +332,8 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols) -> _Vec:
     return _Vec(grouped, frozenset(out_labels))
 
 
-def _eval_topk(node: TopK, metrics: DataFrame, label_cols) -> _Vec:
-    vec = _eval(node.expr, metrics, label_cols)
+def _eval_topk(node: TopK, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: topk needs a vector")
     order = [F.col("value").asc() if node.bottom else F.col("value").desc()]
@@ -315,7 +349,7 @@ def _eval_topk(node: TopK, metrics: DataFrame, label_cols) -> _Vec:
 
 
 def _eval_histogram_quantile(
-    node: HistogramQuantile, metrics: DataFrame, label_cols
+    node: HistogramQuantile, metrics: DataFrame, label_cols, leaf=None
 ) -> _Vec:
     """histogram_quantile(φ, buckets): per (labels − le, ts) group,
     linear interpolation inside the cumulative `le` buckets — exactly
@@ -327,7 +361,7 @@ def _eval_histogram_quantile(
     each bucket's predecessor, then the single bucket whose cumulative
     count crosses φ·total is selected by filter — the group's quantile
     is a plain projection of that row."""
-    vec = _eval(node.expr, metrics, label_cols)
+    vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: histogram_quantile needs a vector")
     if "le" not in vec.labels:
@@ -364,9 +398,9 @@ def _eval_histogram_quantile(
 
 
 def _eval_label_fn(
-    node: LabelReplace | LabelJoin, metrics: DataFrame, label_cols
+    node: LabelReplace | LabelJoin, metrics: DataFrame, label_cols, leaf=None
 ) -> _Vec:
-    vec = _eval(node.expr, metrics, label_cols)
+    vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: label functions need a vector")
     labels = set(vec.labels)
@@ -394,9 +428,9 @@ def _eval_label_fn(
     return _Vec(df, frozenset(labels))
 
 
-def _eval_bin(node: Bin, metrics: DataFrame, label_cols) -> _Vec | float:
-    left = _eval(node.left, metrics, label_cols)
-    right = _eval(node.right, metrics, label_cols)
+def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | float:
+    left = _eval(node.left, metrics, label_cols, leaf)
+    right = _eval(node.right, metrics, label_cols, leaf)
     py_ops = {
         "+": lambda a, b: a + b,
         "-": lambda a, b: a - b,

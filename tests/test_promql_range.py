@@ -1,0 +1,146 @@
+"""Range-query (step-grid) evaluation: Prometheus window-extrapolated
+rate/increase, true two-sample irate, lookback selectors, grid
+over_time — hand-computed expectations following
+prometheus/promql/functions.go extrapolatedRate (public source).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.promql import compile_promql
+
+# epoch-second base divisible by every step used below (10/15/25/30 s):
+# the grid aligns to ABSOLUTE epoch multiples of the step, so offsets
+# in the expectations match grid instants only when the base is aligned
+BASE_US = 1_712_000_100_000_000  # 1712000100 % 150 == 0
+
+
+@pytest.fixture(scope="module")
+def counters(spark):
+    """Series a: 10 s cadence with a reset; series b: sparse (gap)."""
+    rows = []
+    vals_a = [0, 10, 20, 35, 5, 15, 30, 60, 90, 120]  # reset at idx 4
+    for i, v in enumerate(vals_a):
+        rows.append(("reqs", "a", float(v), i * 10))
+    for i, v in [(0, 0), (1, 7), (6, 50), (7, 60)]:
+        rows.append(("reqs", "b", float(v), i * 10))
+    return (
+        spark.createDataFrame(rows, "name string, job string, value double, sec long")
+        .select(
+            "name",
+            "job",
+            F.timestamp_micros(F.col("sec") * 1_000_000 + F.lit(BASE_US)).alias("ts"),
+            "value",
+        )
+    )
+
+
+def _by_key(df, *keys):
+    return {
+        tuple(getattr(r, k) for k in keys): r.value for r in df.collect()
+    }
+
+
+def _sec(r):
+    return (int(r.timestamp()) * 1_000_000 - BASE_US) // 1_000_000
+
+
+def test_extrapolated_rate_hand_computed(counters):
+    out = compile_promql("rate(reqs[30s])").evaluate_range(counters, step_seconds=10)
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # t=30: window (0,30] has samples 10s(10),20s(20),30s(35)... wait —
+    # samples are at 0,10,20,...; (0,30] excludes 0 → {10,20,35} at
+    # 10/20/30 s.  rawΔ=25, sampled=20, durStart=10, zero-cap:
+    # 20*(10/25)=8 < 10 → 8 (< thr 11 → add), durEnd=0 → ext=28,
+    # rate = 25*(28/20)/30 = 35/30
+    assert got[("a", 30)] == pytest.approx(35 / 30)
+    # reset inside window, t=60: corrected {20,35,40} → Δ=20,
+    # durStart=10 (zero-cap 20*(20/20)=20 not <10), ext=30 →
+    # 20*1.5/30 = 1.0
+    assert got[("a", 60)] == pytest.approx(1.0)
+    # left-open window: b has one sample in (20,50] → no point
+    assert ("b", 50) not in got
+    # b, t=40: samples 0s excluded? (10,40] → {10s:7, ...}; only 10s →
+    # wait b samples: 0,10,60,70 s.  (10,40] → just 10s — dropped; but
+    # (0+..] t=30: (0,30] → {10} single → dropped too.  t=10: (-20,10]
+    # → {0,7} cnt=2: rawΔ=7, sampled=10, durStart=20→zero-cap 0,
+    # durEnd=0, ext=10 → 7*(10/10)/30
+    assert got[("b", 10)] == pytest.approx(7 / 30)
+
+
+def test_increase_is_rate_times_window(counters):
+    rate = compile_promql("rate(reqs[30s])").evaluate_range(counters, 10)
+    inc = compile_promql("increase(reqs[30s])").evaluate_range(counters, 10)
+    r = {(x.job, _sec(x.ts)): x.value for x in rate.collect()}
+    i = {(x.job, _sec(x.ts)): x.value for x in inc.collect()}
+    assert set(r) == set(i)
+    for k in r:
+        assert i[k] == pytest.approx(r[k] * 30.0)
+
+
+def test_irate_uses_last_two_samples(counters):
+    out = compile_promql("irate(reqs[30s])").evaluate_range(counters, 10)
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # t=50: last two a-samples in (20,50] are 40s(5→15): (15-5)/10
+    assert got[("a", 50)] == pytest.approx(1.0)
+    # reset pair 30s(35)→40s(5): clamps to post-reset value 5/10
+    assert got[("a", 40)] == pytest.approx(0.5)
+    # b at t=70: last two are 60s(50)→70s(60)
+    assert got[("b", 70)] == pytest.approx(1.0)
+    # b at t=30: only one sample (10s) has an in-window predecessor?
+    # last sample in (0,30] is 10s; its predecessor 0s is OUTSIDE → none
+    assert ("b", 30) not in got
+
+
+def test_lookback_selector_and_agg(counters):
+    out = compile_promql("sum by (job) (reqs)").evaluate_range(
+        counters, step_seconds=15, lookback_seconds=20
+    )
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # t=45: latest a-sample in (25,45] is 40s → 5 (post-reset)
+    assert got[("a", 45)] == 5.0
+    # t=45 for b: latest in (25,45] — none (samples 0,10,60,70)
+    assert ("b", 45) not in got
+    # t=75: b's latest is 70s → 60
+    assert got[("b", 75)] == 60.0
+
+
+def test_over_time_on_grid(counters):
+    out = compile_promql("avg_over_time(reqs[30s])").evaluate_range(counters, 30)
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # t=30 for a: (0,30] → {10,20,35} → 65/3
+    assert got[("a", 30)] == pytest.approx(65 / 3)
+    # t=90 for a: (60,90] → {60,90,120} → 90
+    assert got[("a", 90)] == pytest.approx(90.0)
+
+
+def test_grid_alignment_and_bounds(counters):
+    out = compile_promql("reqs").evaluate_range(counters, step_seconds=25)
+    instants = sorted({_sec(r.ts) for r in out.collect()})
+    # grid instants are multiples of 25 s from the aligned start
+    for t in instants:
+        assert (t * 1_000_000 + BASE_US) % 25_000_000 == 0
+    # start ≥ min sample, end ≤ max sample (90 s for a / 70 s for b)
+    assert instants[0] >= 0
+    assert instants[-1] <= 90
+
+
+def test_structural_ops_compose_over_grid(counters):
+    out = compile_promql("topk(1, rate(reqs[30s])) > 0").evaluate_range(counters, 10)
+    rows = out.collect()
+    assert rows  # non-empty
+    per_ts: dict = {}
+    for r in rows:
+        per_ts.setdefault(_sec(r.ts), []).append(r)
+    for t, rs in per_ts.items():
+        assert len(rs) == 1  # topk(1) per instant
+        assert rs[0].value > 0
+
+
+def test_sub_second_step_rejected(counters):
+    with pytest.raises(ValueError, match="step"):
+        compile_promql("reqs").evaluate_range(counters, step_seconds=0.0)
