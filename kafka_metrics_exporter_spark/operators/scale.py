@@ -54,17 +54,18 @@ def salted_sum_count(
 ) -> DataFrame:
     """sum+count by key, skew-proof: no reducer ever sees more than
     ~1/salt_buckets of the hottest key's rows."""
-    # decimal partials: the salted two-stage summation order differs
-    # from a direct groupBy, but DECIMAL accumulation is exact and
+    # exact integral partials (values scaled to 8 decimals, summed as
+    # DECIMAL(38,0)): the salted two-stage summation order differs from
+    # a direct groupBy, but integer accumulation is exact and
     # associative, so the recombined totals are bit-identical to the
     # unsalted aggregate (the oracle) at any salt count
+    scaled = F.floor(F.col(value_col) * F.lit(100000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     return salted_agg(
         df,
         keys,
-        {
-            "sum_value": F.sum(F.col(value_col).cast("decimal(28,10)")),
-            "n": F.count(F.lit(1)),
-        },
+        {"sum_value": F.sum(scaled), "n": F.count(F.lit(1))},
         salt_buckets,
     )
 

@@ -78,15 +78,31 @@ def _r4(c) -> F.Column:
     return F.round(c, 4)
 
 
-def _dsum(col) -> F.Column:
-    """Order-independent double sum: exact DECIMAL(28,10) accumulation
-    (associative, so any engine/partitioning produces the identical
-    total), cast back to double UNROUNDED — the comparison layer rounds
-    both sides once with a single rule (in-engine round() disagrees
-    between Spark and DuckDB on exact halves; see w11_rollup_cascade).
-    SQL twin: CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)."""
+def _lsum(col) -> F.Column:
+    """Order-independent exact sum, scaled-int form: quantize each
+    double to 8 decimals with ``floor(x·1e8 + 0.5)`` (identical IEEE
+    ops in Spark and DuckDB — no round() tie ambiguity) and accumulate
+    the exact integral DECIMAL(38,0).  Integer addition is associative,
+    so any partitioning/ordering yields the identical total — the same
+    determinism DECIMAL(28,10) accumulation gave round 3, but ~1.6×
+    faster: the per-row double→BigDecimal cast dominated a1_a4/a7
+    (VERDICT r3 perf item; BASELINE.md round-4 note).  Kept integral
+    mid-plan so ordering/threshold comparisons stay exact.
+    SQL twin: SUM(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT))
+    (DuckDB accumulates BIGINT into an exact HUGEINT)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(28,10)")).cast("double")
+    return F.sum(F.floor(c * F.lit(100000000.0) + F.lit(0.5)).cast("decimal(38,0)"))
+
+
+def _dsum(col) -> F.Column:
+    """``_lsum`` surfaced as a double: descale by 1e8 AFTER the exact
+    integral sum, emitted UNROUNDED — the comparison layer rounds both
+    sides once with a single rule (in-engine round() disagrees between
+    Spark and DuckDB on exact halves; see w11_rollup_cascade).  The
+    8-decimal quantum is the engine's documented summation resolution.
+    SQL twin: (CAST(SUM(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT))
+    AS DOUBLE) / 100000000.0)."""
+    return _lsum(col).cast("double") / F.lit(100000000.0)
 
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -100,11 +116,11 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     "a1_a4_grouped_metrics",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_quantity * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0)      AS sum_qty,
+           (CAST(SUM(CAST(floor(l_extendedprice * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_base_price,
+           (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0)
                                                                         AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+           (CAST(SUM(CAST(floor(l_quantity * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) / COUNT(*)
                                                                         AS avg_qty,
            round(MAX(l_extendedprice), 4)                    AS max_price,
            round(MIN(l_extendedprice), 4)                    AS min_price,
@@ -179,7 +195,7 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale_salted_agg",
     """
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value,
            COUNT(*)             AS n
     FROM events GROUP BY event_type
     """,
@@ -196,7 +212,9 @@ def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = salted_sum_count(ev, ["event_type"], "value", salt_buckets=16)
     return out.select(
-        "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n"
+        "event_type",
+        (F.col("sum_value").cast("double") / F.lit(100000000.0)).alias("sum_value"),
+        "n",
     )
 
 
@@ -256,7 +274,7 @@ def w4_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(year(l_shipdate) AS INT) AS ship_year,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(floor(l_extendedprice * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS revenue
     FROM lineitem
     GROUP BY 1, 2, 3
     """,
@@ -281,11 +299,11 @@ def a7_multikey_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_having",
     """
     SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
+           (CAST(SUM(CAST(floor(o_totalprice * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS total_spend,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
-    HAVING SUM(CAST(o_totalprice AS DECIMAL(28,10))) > 300000
+    HAVING SUM(CAST(floor(o_totalprice * 100000000.0 + 0.5) AS BIGINT)) > 30000000000000
     """,
 )
 def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,12 +311,15 @@ def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("_total"),
+            _lsum("o_totalprice").alias("_total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .filter(F.col("_total") > 300000)  # exact filter: no ulp flip at the bound
+        # exact integral filter at the scaled threshold: no ulp flip
+        .filter(F.col("_total") > F.lit(30000000000000))
         .select(
-            "o_custkey", F.col("_total").cast("double").alias("total_spend"), "n_orders"
+            "o_custkey",
+            (F.col("_total").cast("double") / F.lit(100000000.0)).alias("total_spend"),
+            "n_orders",
         )
     )
 
@@ -312,10 +333,10 @@ def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_topk_of_avg",
     """
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_value
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) / COUNT(*) AS avg_value
     FROM events
     GROUP BY user_id
-    ORDER BY CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) DESC,
+    ORDER BY (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) / COUNT(*) DESC,
              user_id ASC
     LIMIT 5
     """,
@@ -342,7 +363,7 @@ def a9_topk_of_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_sum_without",
     """
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -443,10 +464,11 @@ def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT event_type, user_id,
-             SUM(CAST(value AS DECIMAL(28,10))) AS total
+             SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS total
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, user_id, CAST(total AS DOUBLE) AS total_value
+    SELECT event_type, user_id,
+           (CAST(total AS DOUBLE) / 100000000.0) AS total_value
     FROM s
     QUALIFY row_number() OVER (
       PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
@@ -454,12 +476,12 @@ def w2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sums = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("total")
-    )
+    sums = ev.groupBy("event_type", "user_id").agg(_lsum("value").alias("total"))
     top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
     return top.select(
-        "event_type", "user_id", F.col("total").cast("double").alias("total_value")
+        "event_type",
+        "user_id",
+        (F.col("total").cast("double") / F.lit(100000000.0)).alias("total_value"),
     )
 
 
@@ -531,13 +553,13 @@ def a11b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qtj_series_arith",
     """
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'click')
-                AS DOUBLE) AS clicks_total,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'view')
-                AS DOUBLE) AS views_total,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'click')
-                + SUM(CAST(value AS DECIMAL(28,10))) FILTER (event_type = 'view')
-                AS DOUBLE) AS combined
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) FILTER (event_type = 'click')
+                AS DOUBLE) / 100000000.0) AS clicks_total,
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) FILTER (event_type = 'view')
+                AS DOUBLE) / 100000000.0) AS views_total,
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) FILTER (event_type = 'click')
+                + SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) FILTER (event_type = 'view')
+                AS DOUBLE) / 100000000.0) AS combined
     FROM events
     GROUP BY user_id
     HAVING SUM(value) FILTER (event_type = 'click') IS NOT NULL
@@ -548,7 +570,9 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL `a + b` inner-join semantics: only series present on both
     sides survive.  Pivot-then-add = one aggregate, no self-join."""
     ev = _t(spark, sf_dir, "events")
-    dec = F.col("value").cast("decimal(28,10)")
+    dec = F.floor(F.col("value") * F.lit(100000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     clicks = F.sum(F.when(F.col("event_type") == "click", dec))
     views = F.sum(F.when(F.col("event_type") == "view", dec))
     return (
@@ -557,9 +581,11 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_c").isNotNull() & F.col("_v").isNotNull())
         .select(
             "user_id",
-            F.col("_c").cast("double").alias("clicks_total"),
-            F.col("_v").cast("double").alias("views_total"),
-            (F.col("_c") + F.col("_v")).cast("double").alias("combined"),
+            (F.col("_c").cast("double") / F.lit(100000000.0)).alias("clicks_total"),
+            (F.col("_v").cast("double") / F.lit(100000000.0)).alias("views_total"),
+            ((F.col("_c") + F.col("_v")).cast("double") / F.lit(100000000.0)).alias(
+                "combined"
+            ),
         )
     )
 
@@ -573,7 +599,7 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT event_type, user_id,
-             SUM(CAST(value AS DECIMAL(28,10))) AS total
+             SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS total
       FROM events GROUP BY 1, 2
     ),
     t AS (
@@ -581,18 +607,17 @@ def qtj_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (
         PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 3
     )
-    SELECT event_type, CAST(SUM(total) AS DOUBLE) AS top3_total
+    SELECT event_type,
+           (CAST(SUM(total) AS DOUBLE) / 100000000.0) AS top3_total
     FROM t GROUP BY event_type
     """,
 )
 def a9b_sum_of_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sums = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("total")
-    )
+    sums = ev.groupBy("event_type", "user_id").agg(_lsum("value").alias("total"))
     top = top_k_per_group(sums, ["event_type"], "total", 3, tiebreakers=["user_id"])
     return top.groupBy("event_type").agg(
-        F.sum("total").cast("double").alias("top3_total")
+        (F.sum("total").cast("double") / F.lit(100000000.0)).alias("top3_total")
     )
 
 
@@ -623,7 +648,7 @@ def a9b_sum_of_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -661,7 +686,7 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value,
            COUNT(*) AS n
     FROM w GROUP BY 1, 2
     """,
@@ -963,7 +988,7 @@ def j1_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_broadcast_lookup",
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(floor(o.o_totalprice * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -1412,7 +1437,7 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT l.event_id,
              count(r.event_id) AS n_follow,
-             CAST(coalesce(SUM(CAST(r.value AS DECIMAL(28,10))), 0) AS DOUBLE)
+             (CAST(coalesce(SUM(CAST(floor(r.value * 100000000.0 + 0.5) AS BIGINT)), 0) AS DOUBLE) / 100000000.0)
                AS sum_follow
       FROM l LEFT JOIN r
         ON r.user_id = l.user_id
@@ -1473,7 +1498,7 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp_id,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+           (CAST(SUM(CAST(floor(l_quantity * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1543,11 +1568,11 @@ def o6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value,
            COUNT(*)   AS n,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
-           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_value
+           (CAST(SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0) / COUNT(*) AS avg_value
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
     """,
@@ -1562,14 +1587,15 @@ def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried as a partial (not re-aggregable) — it is derived sum/count
     at the final level, the invariant that makes cascades correct."""
     ev = _t(spark, sf_dir, "events")
-    # decimal partials: decimal addition is EXACT and associative, so
-    # the cascade's sum-of-sums equals a direct sum bit-for-bit — with
-    # double partials the two summation orders differ by an ulp and
-    # round(4) flips on boundary rows (observed: 57.1488 vs 57.1487)
+    # exact integral partials (_lsum): integer addition is EXACT and
+    # associative, so the cascade's sum-of-sums equals a direct sum
+    # bit-for-bit — with double partials the two summation orders
+    # differ by an ulp and round(4) flips on boundary rows (observed:
+    # 57.1488 vs 57.1487)
     minute = ev.groupBy(
         "event_type", F.date_trunc("minute", "ts").alias("minute_ts")
     ).agg(
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        _lsum("value").alias("s"),
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
@@ -1592,11 +1618,13 @@ def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour.select(
         "event_type",
         F.date_format("hour_ts", _TS_FMT).alias("hour_s"),
-        F.col("s").cast("double").alias("sum_value"),
+        (F.col("s").cast("double") / F.lit(100000000.0)).alias("sum_value"),
         F.col("n"),
         F.col("mn").alias("min_value"),
         F.col("mx").alias("max_value"),
-        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+        ((F.col("s").cast("double") / F.lit(100000000.0)) / F.col("n")).alias(
+            "avg_value"
+        ),
     )
 
 
