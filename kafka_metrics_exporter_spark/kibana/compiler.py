@@ -1,0 +1,377 @@
+"""Kibana visState agg JSON → DataFrame compiler.
+
+The reference's ELK dashboard (ELK/jmx_dashboard.json:88-452, 27
+visualizations) drives Kibana aggregations over the flattened metric
+documents the exporter writes to Elasticsearch.  This module compiles
+exactly that agg vocabulary to Spark plans:
+
+- **bucket aggs** (schema ``bucket``/``segment``/``group``/``split``/
+  ``row``): ``terms`` (group by a field, keep the top ``size`` terms
+  per parent bucket, ordered by the term itself or by a metric),
+  ``date_histogram`` (fixed-interval time buckets; Kibana's
+  ``interval: auto`` pins to ``customInterval`` — the corpus always
+  carries one), ``filters`` (named query_string predicates; a document
+  lands in every bucket it matches).
+- **metric aggs** (schema ``metric``): ``avg``/``max``/``sum``,
+  ``cardinality`` (count-distinct; swap for approx_count_distinct at
+  scale — ES's own cardinality is HLL), and ``top_hits`` with
+  ``size: 1`` (the corpus's only size): the latest value per bucket by
+  ``sortField``/``sortOrder``, with the ``aggregate`` label
+  (average/concat/sum/max) degenerate over a single hit.
+
+Compiled output is one DataFrame: bucket key columns (aliased from
+``customLabel``) then metric columns.  Everything is built-in Column
+expressions — one hash aggregation over the bucket keys; a terms
+bucket ordered by a metric adds one aggregation at that bucket's level
+joined back (broadcast — term cardinality ≤ ``size`` per parent); a
+terms bucket ordered by ``_term`` is a rank window.  No UDFs, no
+collects, so plans scale exactly like the hand-written A*/W* suite.
+
+Determinism: ES leaves top_hits ties on equal sort values unresolved;
+this compiler breaks them by a caller-named tiebreak column
+(``tiebreak=``) so results are stable under any partitioning — the
+documented engine choice (SURVEY §7.3 total-order rule).
+
+query_string subset (the corpus uses only these): ``field: value`` →
+equality on the resolved field; a bare quoted ``"phrase"`` → substring
+match on the resolver's default search field.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET_SCHEMAS = {"bucket", "segment", "group", "split", "row"}
+
+_INTERVAL_UNITS_US = {
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60 * 1_000_000,
+    "h": 3600 * 1_000_000,
+    "d": 86400 * 1_000_000,
+    "w": 7 * 86400 * 1_000_000,
+}
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class TermsBucket:
+    field: str
+    size: int
+    order: str  # 'asc' | 'desc'
+    order_by: str  # '_term' | agg id | 'custom'
+    label: str
+    # for order_by == 'custom' (orderAgg) or a metric agg id: the
+    # ordering metric, resolved at parse time
+    order_metric: tuple[str, str] | None = None  # (op, field)
+
+
+@dataclass(frozen=True)
+class DateHistogramBucket:
+    field: str
+    interval_us: int
+    label: str
+
+
+@dataclass(frozen=True)
+class FiltersBucket:
+    filters: tuple[tuple[str, str], ...]  # (label, query_string)
+    label: str
+
+
+@dataclass(frozen=True)
+class MetricAgg:
+    op: str  # avg | max | sum | cardinality
+    field: str
+    label: str
+
+
+@dataclass(frozen=True)
+class TopHitsAgg:
+    field: str
+    aggregate: str  # average | concat | sum | max
+    sort_field: str
+    sort_order: str  # 'desc' | 'asc'
+    label: str
+
+
+Bucket = TermsBucket | DateHistogramBucket | FiltersBucket
+Metric = MetricAgg | TopHitsAgg
+
+
+@dataclass(frozen=True)
+class VisState:
+    title: str
+    vis_type: str
+    buckets: tuple[Bucket, ...]
+    metrics: tuple[Metric, ...]
+
+
+def _slug(s: str) -> str:
+    s = re.sub(r"[^A-Za-z0-9]+", "_", s.strip()).strip("_").lower()
+    return s or "col"
+
+
+def _parse_interval_us(params: dict) -> int:
+    interval = params.get("interval", "auto")
+    if interval == "auto":
+        interval = params.get("customInterval") or "1h"
+    m = re.fullmatch(r"(\d+)(ms|[smhdw])", interval)
+    if not m:
+        raise ValueError(f"kibana: unsupported date_histogram interval {interval!r}")
+    return int(m.group(1)) * _INTERVAL_UNITS_US[m.group(2)]
+
+
+def parse_vis_state(vis_state: str | dict) -> VisState:
+    """Parse a Kibana ``visState`` (JSON string or dict) into the agg
+    AST.  Disabled aggs are skipped, bucket order is preserved (it
+    defines the grouping nesting), metrics keep their declaration
+    order."""
+    state = json.loads(vis_state) if isinstance(vis_state, str) else vis_state
+    aggs = [a for a in state.get("aggs", []) if a.get("enabled", True)]
+    by_id = {a["id"]: a for a in aggs}
+    buckets: list[Bucket] = []
+    metrics: list[Metric] = []
+    for a in aggs:
+        p = a.get("params", {})
+        schema = a.get("schema", "metric")
+        label = _slug(p.get("customLabel") or f'{a["type"]}_{a["id"]}')
+        if a["type"] == "terms":
+            order_by = str(p.get("orderBy", "_term"))
+            order_metric = None
+            if order_by == "custom":
+                oa = p.get("orderAgg", {})
+                order_metric = (oa.get("type", "avg"), oa.get("params", {}).get("field"))
+            elif order_by != "_term":
+                tgt = by_id.get(order_by)
+                if tgt is None or tgt["type"] == "top_hits":
+                    raise ValueError(
+                        f"kibana: terms orderBy={order_by!r} must reference a "
+                        f"simple metric agg (avg/max/sum/cardinality)"
+                    )
+                order_metric = (tgt["type"], tgt["params"].get("field"))
+            buckets.append(
+                TermsBucket(
+                    field=p["field"],
+                    size=int(p.get("size", 5)),
+                    order=p.get("order", "desc"),
+                    order_by=order_by,
+                    label=label,
+                    order_metric=order_metric,
+                )
+            )
+        elif a["type"] == "date_histogram":
+            buckets.append(
+                DateHistogramBucket(
+                    field=p["field"],
+                    interval_us=_parse_interval_us(p),
+                    label=label,
+                )
+            )
+        elif a["type"] == "filters":
+            flt = tuple(
+                (
+                    _slug(f.get("label") or f"filter_{i}"),
+                    f["input"]["query"]["query_string"]["query"],
+                )
+                for i, f in enumerate(p.get("filters", []))
+            )
+            buckets.append(FiltersBucket(filters=flt, label=label))
+        elif a["type"] in ("avg", "max", "sum", "cardinality", "count"):
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
+            metrics.append(
+                MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
+            )
+        elif a["type"] == "top_hits":
+            if int(p.get("size", 1)) != 1:
+                raise ValueError("kibana: top_hits size != 1 is not supported")
+            metrics.append(
+                TopHitsAgg(
+                    field=p["field"],
+                    aggregate=p.get("aggregate", "average"),
+                    sort_field=p.get("sortField", "createdDateTime"),
+                    sort_order=p.get("sortOrder", "desc"),
+                    label=label,
+                )
+            )
+        else:
+            raise ValueError(f"kibana: unsupported agg type {a['type']!r}")
+    return VisState(
+        title=state.get("title", ""),
+        vis_type=state.get("type", ""),
+        buckets=tuple(buckets),
+        metrics=tuple(metrics),
+    )
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+class KibanaPlan:
+    """Compiled visualization; :meth:`evaluate` with the documents DF."""
+
+    def __init__(self, state: VisState):
+        self.state = state
+
+    def evaluate(
+        self,
+        df: DataFrame,
+        resolve=None,
+        tiebreak: str | None = None,
+        default_search_field: str | None = None,
+    ) -> DataFrame:
+        resolve = resolve or _default_resolver(df)
+        s = self.state
+
+        # 1) bucket key columns (+ filters explode)
+        key_names: list[str] = []
+        for b in s.buckets:
+            if isinstance(b, TermsBucket):
+                df = df.withColumn(b.label, resolve(b.field).cast("string"))
+            elif isinstance(b, DateHistogramBucket):
+                # fixed-interval bucketing on epoch micros (date_trunc
+                # can't express "2h"); pmod keeps it exact integer math
+                us = F.unix_micros(resolve(b.field).cast("timestamp"))
+                df = df.withColumn(
+                    b.label,
+                    F.timestamp_micros(us - F.pmod(us, F.lit(b.interval_us))),
+                )
+            elif isinstance(b, FiltersBucket):
+                # a doc lands in EVERY filter bucket it matches
+                matches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                _query_string_pred(q, resolve, df, default_search_field),
+                                F.lit(lbl),
+                            )
+                            for lbl, q in b.filters
+                        ]
+                    )
+                )
+                df = df.withColumn(b.label, F.explode(matches))
+            key_names.append(b.label)
+
+        # 2) one hash aggregation over the full bucket-key tuple.
+        # A visualization with bucket aggs only carries Kibana's
+        # implicit doc-count metric ("Count" in the UI).
+        metrics = s.metrics or (MetricAgg(op="count", field="", label="count"),)
+        agg_exprs = []
+        for m in metrics:
+            if isinstance(m, MetricAgg):
+                if m.op == "count":
+                    agg_exprs.append(F.count(F.lit(1)).alias(m.label))
+                    continue
+                val = resolve(m.field)
+                fn = {
+                    "avg": lambda c: F.avg(c.cast("double")),
+                    "max": lambda c: F.max(c.cast("double")),
+                    "sum": lambda c: F.sum(c.cast("double")),
+                    "cardinality": F.countDistinct,
+                }[m.op]
+                agg_exprs.append(fn(val).alias(m.label))
+            else:  # TopHitsAgg, size == 1
+                sort_col = resolve(m.sort_field)
+                order = F.struct(
+                    sort_col.alias("s"),
+                    *( [resolve(tiebreak).alias("t")] if tiebreak else [] ),
+                )
+                pick = F.max_by if m.sort_order == "desc" else F.min_by
+                val = resolve(m.field)
+                if m.aggregate in ("average", "sum", "max"):
+                    val = val.cast("double")
+                agg_exprs.append(pick(val, order).alias(m.label))
+        out = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_exprs)
+
+        # 3) per-level terms size/order enforcement, outermost first
+        for i, b in enumerate(s.buckets):
+            if not isinstance(b, TermsBucket):
+                continue
+            prefix = key_names[:i]
+            direction = (lambda c: c.desc()) if b.order == "desc" else (lambda c: c.asc())
+            if b.order_by == "_term":
+                order_cols = [direction(F.col(b.label))]
+            else:
+                op, fld = b.order_metric
+                # the ordering metric is computed at THIS bucket's level
+                # (over the raw docs), not from leaf partials — matches
+                # ES, and stays exact for non-decomposable ops like
+                # cardinality
+                if op == "cardinality":
+                    ord_expr = F.countDistinct(resolve(fld))
+                elif op == "count":
+                    ord_expr = F.count(F.lit(1))
+                else:
+                    ord_expr = {"avg": F.avg, "max": F.max, "sum": F.sum}[op](
+                        resolve(fld).cast("double")
+                    )
+                lvl = df.groupBy(*[F.col(c) for c in prefix + [b.label]]).agg(
+                    ord_expr.alias("__ord")
+                )
+                out = out.join(F.broadcast(lvl), prefix + [b.label], "left")
+                order_cols = [direction(F.col("__ord")), F.col(b.label).asc()]
+            w = (
+                Window.partitionBy(*[F.col(c) for c in prefix])
+                .orderBy(*order_cols)
+                if prefix
+                else Window.partitionBy(F.lit(1)).orderBy(*order_cols)
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= b.size)
+                .drop("__rn", "__ord")
+            )
+
+        return out.select(*key_names, *[m.label for m in metrics])
+
+
+def compile_visualization(saved_object: dict) -> KibanaPlan:
+    """Compile one exported visualization saved-object (the elements of
+    ELK/jmx_dashboard.json with ``_type == "visualization"``)."""
+    src = saved_object.get("_source", saved_object)
+    return KibanaPlan(parse_vis_state(src["visState"]))
+
+
+# ---------------------------------------------------------------------------
+# field resolution + query_string subset
+# ---------------------------------------------------------------------------
+def _default_resolver(df: DataFrame):
+    cols = set(df.columns)
+
+    def resolve(field: str) -> Column:
+        base = field[: -len(".keyword")] if field.endswith(".keyword") else field
+        if base in cols:
+            return F.col(f"`{base}`")
+        if "." in base:
+            root, rest = base.split(".", 1)
+            if root in cols:
+                # struct path or map lookup on a flattened-attrs column
+                return F.col(root)[rest]
+        raise ValueError(f"kibana: cannot resolve field {field!r}")
+
+    return resolve
+
+
+def _query_string_pred(
+    q: str, resolve, df: DataFrame, default_search_field: str | None
+) -> Column:
+    q = q.strip()
+    m = re.fullmatch(r'([\w.@-]+)\s*:\s*"?([^"]+)"?', q)
+    if m:
+        return resolve(m.group(1)).cast("string") == m.group(2)
+    m = re.fullmatch(r'"([^"]*)"', q)
+    if m:
+        if not default_search_field:
+            raise ValueError(
+                f"kibana: bare-phrase query_string {q!r} needs default_search_field"
+            )
+        return resolve(default_search_field).cast("string").contains(m.group(1))
+    raise ValueError(f"kibana: unsupported query_string {q!r}")

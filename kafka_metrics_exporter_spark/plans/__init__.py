@@ -20,6 +20,7 @@ from kafka_metrics_exporter_spark.plans.queries import (  # noqa: F401
 )
 from kafka_metrics_exporter_spark.plans import llm_queries  # noqa: E402,F401  (registers)
 from kafka_metrics_exporter_spark.plans import promql_queries  # noqa: E402,F401  (registers)
+from kafka_metrics_exporter_spark.plans import kibana_queries  # noqa: E402,F401  (registers)
 
 # Driver-side cap on recorded CORRECTNESS entries (observed r1-r3).
 CORRECTNESS_WINDOW = 50
@@ -58,6 +59,9 @@ WINDOW_PRIORITY = [
     "promql_histogram_quantile",
     # -- new in round 4 ---------------------------------------------------
     "promql_rate_extrapolated",
+    "kibana_terms_metrics",
+    "kibana_date_histogram",
+    "kibana_top_hits_latest",
     # -- changed in round 4 (new oracle / new semantics) ------------------
     "dedup_simhash",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---

@@ -1,0 +1,178 @@
+"""Oracle-checked queries driven through the Kibana front end
+(kibana/): the reference's ELK dashboard aggregations
+(ELK/jmx_dashboard.json:88-452, 27 saved visualizations) are compiled
+from their native visState JSON to DataFrame plans and evaluated
+against an ES-document view of the events table, with DuckDB twins
+re-implementing the same agg semantics by hand — the ES-side mirror of
+plans/promql_queries.py.
+
+Determinism: the summed/averaged metric field is ``value_i =
+floor(value)`` — integer-valued doubles sum exactly in both engines
+regardless of summation order, so avg/sum metrics are bit-identical
+(the same count-derived trick as the promql metrics view; raw ``value``
+stays available for max, which is order-independent anyway).
+top_hits ties on the sort field are broken by ``event_id`` (the
+compiler's ``tiebreak=`` hook — ES leaves them unresolved; SURVEY §7.3
+total-order rule).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.kibana import compile_visualization
+from kafka_metrics_exporter_spark.plans.queries import _TS_FMT, _t, query
+
+
+def _es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as the flattened ES documents the reference's sink writes
+    (one doc per sample: keyword fields, numeric attrs, createdDateTime)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.floor("value").alias("value_i"),
+        "value",
+        "ts",
+        "event_id",
+    )
+
+
+_ES_DOCS_SQL = """
+      SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+             floor(value) AS value_i, value, ts, event_id
+      FROM events
+"""
+
+
+def _vis(aggs: list[dict], vis_type: str = "table") -> dict:
+    return {"visState": json.dumps({"title": "t", "type": vis_type, "aggs": aggs})}
+
+
+@query(
+    "kibana_terms_metrics",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    agg AS (
+      SELECT event_type,
+             SUM(value_i) AS total_v,
+             AVG(value_i) AS avg_v,
+             MAX(value)   AS max_v,
+             COUNT(DISTINCT user_id) AS users
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, total_v, avg_v, max_v, users
+    FROM agg
+    QUALIFY row_number() OVER (ORDER BY total_v DESC, event_type ASC) <= 3
+    """,
+)
+def kibana_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms bucket ordered by a metric + the full simple-metric family
+    — the "Connect - Overall Status" / "Busy Topics" shape
+    (ELK/jmx_dashboard.json: terms orderBy=metric-id, avg/sum/max/
+    cardinality metrics), compiled from the visState JSON."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type.keyword", "size": 3,
+                             "order": "desc", "orderBy": "1",
+                             "customLabel": "event_type"}},
+                {"id": "1", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total_v"}},
+                {"id": "3", "type": "avg", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "avg_v"}},
+                {"id": "4", "type": "max", "schema": "metric",
+                 "params": {"field": "value", "customLabel": "max_v"}},
+                {"id": "5", "type": "cardinality", "schema": "metric",
+                 "params": {"field": "user_id.keyword", "customLabel": "users"}},
+            ]
+        )
+    )
+    return plan.evaluate(_es_docs(spark, sf_dir))
+
+
+@query(
+    "kibana_date_histogram",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT make_timestamp((epoch_us(ts) // 7200000000) * 7200000000) AS bucket,
+             user_id, value_i
+      FROM d
+    ),
+    agg AS (
+      SELECT bucket, user_id, AVG(value_i) AS avg_v
+      FROM b GROUP BY bucket, user_id
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS when_s, user_id, avg_v
+    FROM agg
+    QUALIFY row_number() OVER (
+      PARTITION BY bucket ORDER BY avg_v DESC, user_id ASC) <= 5
+    """,
+)
+def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram (fixed 2h interval — Kibana ``interval: auto``
+    pinned to ``customInterval: 2h``, the corpus's only setting) with a
+    nested terms series bucket ordered by the avg metric — the
+    "ZooKeeper - Heap Usage" line-chart shape, compiled from visState."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "date_histogram", "schema": "segment",
+                 "params": {"field": "ts", "interval": "auto",
+                             "customInterval": "2h", "min_doc_count": 1,
+                             "customLabel": "when"}},
+                {"id": "3", "type": "terms", "schema": "group",
+                 "params": {"field": "user_id.keyword", "size": 5,
+                             "order": "desc", "orderBy": "1",
+                             "customLabel": "user_id"}},
+                {"id": "1", "type": "avg", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "avg_v"}},
+            ],
+            vis_type="line",
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        F.date_format("when", _TS_FMT).alias("when_s"), "user_id", "avg_v"
+    )
+
+
+@query(
+    "kibana_top_hits_latest",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL})
+    SELECT event_type, value AS last_value, user_id AS last_user
+    FROM d
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits(size=1, sort createdDateTime desc) — Kibana's
+    latest-value metric (28 of the corpus's 33 top_hits aggs are this
+    exact shape) over a terms bucket, compiled from visState; ties on
+    the sort timestamp break by event_id via the ``tiebreak=`` hook."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type.keyword", "size": 100,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "1", "type": "top_hits", "schema": "metric",
+                 "params": {"field": "value", "aggregate": "average",
+                             "size": 1, "sortField": "ts",
+                             "sortOrder": "desc", "customLabel": "last_value"}},
+                {"id": "3", "type": "top_hits", "schema": "metric",
+                 "params": {"field": "user_id.keyword", "aggregate": "concat",
+                             "size": 1, "sortField": "ts",
+                             "sortOrder": "desc", "customLabel": "last_user"}},
+            ]
+        )
+    )
+    return plan.evaluate(_es_docs(spark, sf_dir), tiebreak="event_id")

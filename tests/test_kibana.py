@@ -1,0 +1,255 @@
+"""Kibana front end: corpus conformance (every visualization in the
+reference's ELK export parses, compiles, and RUNS against a metrics-
+shaped documents table) plus semantics units for each agg type.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.kibana import (
+    compile_visualization,
+    parse_vis_state,
+)
+from kafka_metrics_exporter_spark.kibana.compiler import (
+    DateHistogramBucket,
+    FiltersBucket,
+    TermsBucket,
+)
+
+_DASH = "/root/reference/ELK/jmx_dashboard.json"
+
+if not os.path.exists(_DASH):  # pragma: no cover
+    pytest.skip("reference ELK dashboard not present", allow_module_level=True)
+
+_VISES = [
+    o for o in json.load(open(_DASH)) if o.get("_type") == "visualization"
+]
+
+
+def _fields_of(state) -> set[str]:
+    fields = set()
+    for b in state.buckets:
+        if isinstance(b, (TermsBucket, DateHistogramBucket)):
+            fields.add(b.field)
+        if isinstance(b, TermsBucket) and b.order_metric:
+            fields.add(b.order_metric[1])
+    for m in state.metrics:
+        fields.add(m.field)
+        if hasattr(m, "sort_field"):
+            fields.add(m.sort_field)
+    return fields
+
+
+def test_corpus_is_the_documented_size():
+    assert len(_VISES) == 27
+
+
+@pytest.mark.parametrize(
+    "vis", _VISES, ids=[v["_source"]["title"][:40] for v in _VISES]
+)
+def test_corpus_vis_parses_compiles_runs(vis, spark):
+    """Every corpus visualization must compile and execute end-to-end
+    on a documents table carrying its fields (synthesized per-vis:
+    strings for .keyword/terms fields, doubles for metric fields,
+    timestamps for sort/histogram fields)."""
+    plan = compile_visualization(vis)
+    state = plan.state
+    if state.vis_type == "markdown":
+        # navigation panel: no aggs, nothing to query
+        assert not state.buckets and not state.metrics
+        return
+    assert state.buckets or state.metrics
+    fields = _fields_of(state)
+    ts_fields = {b.field for b in state.buckets if isinstance(b, DateHistogramBucket)}
+    ts_fields |= {m.sort_field for m in state.metrics if hasattr(m, "sort_field")}
+    cols, row0, row1 = [], {}, {}
+    for f_name in sorted(fields):
+        base = f_name[: -len(".keyword")] if f_name.endswith(".keyword") else f_name
+        if base in row0:
+            continue
+        if f_name in ts_fields:
+            row0[base], row1[base] = "2024-04-01 10:00:00", "2024-04-01 12:30:00"
+            cols.append((base, "timestamp"))
+        elif f_name.endswith(".keyword"):
+            row0[base], row1[base] = "alpha", "beta"
+            cols.append((base, "string"))
+        else:
+            row0[base], row1[base] = 1.5, 2.5
+            cols.append((base, "double"))
+    have = {n for n, _ in cols}
+    for extra, val0, val1 in (
+        ("__id", "r0", "r1"),
+        ("injectedServerType", "KafkaBroker", "KafkaBroker"),
+        ("mbean_path", "/controller", "/controller"),
+    ):
+        if extra not in have:
+            row0[extra], row1[extra] = val0, val1
+            cols.append((extra, "string"))
+    schema = ", ".join(
+        f"`{n}` {'double' if t == 'double' else 'string'}" for n, t in cols
+    )
+    data = [tuple(r.get(n) for n, _ in cols) for r in (row0, row1)]
+    df = spark.createDataFrame(data, schema)
+    for n, t in cols:
+        if t == "timestamp":
+            df = df.withColumn(n, F.col(f"`{n}`").cast("timestamp"))
+    out = plan.evaluate(
+        df, tiebreak="__id", default_search_field="mbean_path"
+    )
+    rows = out.collect()
+    assert rows  # at least one bucket row
+    # shape: bucket labels then metric labels (implicit doc-count when
+    # the vis declares no metric agg)
+    expected_metrics = [m.label for m in state.metrics] or ["count"]
+    assert list(out.columns) == [b.label for b in state.buckets] + expected_metrics
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # host, component, status, v, ts, id
+        ("h1", "broker", "RUNNING", 10.0, "2024-04-01 10:00:00", "a"),
+        ("h1", "broker", "PAUSED", 30.0, "2024-04-01 11:00:00", "b"),
+        ("h1", "connect", "RUNNING", 20.0, "2024-04-01 11:30:00", "c"),
+        ("h2", "broker", "RUNNING", 40.0, "2024-04-01 10:30:00", "d"),
+        ("h2", "zk", "RUNNING", 5.0, "2024-04-01 12:10:00", "e"),
+        ("h2", "zk", "FAILED", 7.0, "2024-04-01 12:10:00", "f"),  # ts tie
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, component string, status string, v double, ts string, id string"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_terms_metrics_semantics(docs):
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t",
+                    "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "component.keyword", "size": 2,
+                                     "order": "desc", "orderBy": "1",
+                                     "customLabel": "Component"}},
+                        {"id": "1", "type": "avg", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Avg V"}},
+                        {"id": "3", "type": "cardinality", "schema": "metric",
+                         "params": {"field": "host.keyword", "customLabel": "Hosts"}},
+                    ],
+                }
+            )
+        }
+    )
+    got = {r.component: r for r in plan.evaluate(docs).collect()}
+    # top-2 components by avg(v) desc: broker avg=26.67, connect avg=20
+    assert set(got) == {"broker", "connect"}
+    assert got["broker"].avg_v == pytest.approx(80 / 3)
+    assert got["broker"].hosts == 2
+    assert got["connect"].hosts == 1
+
+
+def test_date_histogram_2h_buckets(docs):
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t", "type": "line",
+                    "aggs": [
+                        {"id": "2", "type": "date_histogram", "schema": "segment",
+                         "params": {"field": "ts", "interval": "auto",
+                                     "customInterval": "2h", "min_doc_count": 1,
+                                     "customLabel": "When"}},
+                        {"id": "1", "type": "sum", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Total"}},
+                    ],
+                }
+            )
+        }
+    )
+    got = {str(r.when): r.total for r in plan.evaluate(docs).collect()}
+    assert got == {
+        "2024-04-01 10:00:00": 100.0,  # 10+30+20+40 (10:00-12:00)
+        "2024-04-01 12:00:00": 12.0,  # 5+7
+    }
+
+
+def test_top_hits_latest_with_tiebreak(docs):
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t", "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "host.keyword", "size": 10,
+                                     "order": "asc", "orderBy": "_term",
+                                     "customLabel": "Host"}},
+                        {"id": "1", "type": "top_hits", "schema": "metric",
+                         "params": {"field": "status.keyword", "aggregate": "concat",
+                                     "size": 1, "sortField": "ts",
+                                     "sortOrder": "desc",
+                                     "customLabel": "Last Status"}},
+                    ],
+                }
+            )
+        }
+    )
+    got = {r.host: r.last_status for r in plan.evaluate(docs, tiebreak="id").collect()}
+    # h2's latest two docs tie on ts 12:10 — tiebreak id desc-side picks 'f'
+    assert got == {"h1": "RUNNING", "h2": "FAILED"}
+
+
+def test_filters_bucket_membership(docs):
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t", "type": "metric",
+                    "aggs": [
+                        {"id": "2", "type": "filters", "schema": "group",
+                         "params": {"filters": [
+                             {"input": {"query": {"query_string": {"query": "component: broker"}}},
+                              "label": "Brokers"},
+                             {"input": {"query": {"query_string": {"query": '"RUN"'}}},
+                              "label": "Running-ish"},
+                         ]}},
+                        {"id": "1", "type": "sum", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Total"}},
+                    ],
+                }
+            )
+        }
+    )
+    got = {
+        r[0]: r.total
+        for r in plan.evaluate(docs, default_search_field="status").collect()
+    }
+    assert got["brokers"] == 80.0  # broker docs: 10+30+40
+    assert got["running_ish"] == 75.0  # status contains RUN: 10+20+40+5
+
+
+def test_terms_order_by_term_asc_size_limit(docs):
+    state = parse_vis_state(
+        json.dumps(
+            {
+                "title": "t", "type": "table",
+                "aggs": [
+                    {"id": "2", "type": "terms", "schema": "bucket",
+                     "params": {"field": "component.keyword", "size": 2,
+                                 "order": "asc", "orderBy": "_term"}},
+                ],
+            }
+        )
+    )
+    from kafka_metrics_exporter_spark.kibana import KibanaPlan
+
+    out = KibanaPlan(state).evaluate(docs).collect()
+    assert len(out) == 2
+    assert {r[0] for r in out} == {"broker", "connect"}  # first 2 asc
