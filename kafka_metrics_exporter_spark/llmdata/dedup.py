@@ -532,8 +532,11 @@ def simhash_signatures(
     Single Arrow pass, zero shuffle: the token explode + 64 conditional
     SUMs the expression form needs (a 64-wide hash-agg whose codegen
     dominated the query at ~25 s/sf0.1) collapses into one (tokens×64)
-    numpy reduction per doc.  Token hash = two salted crc32s (C speed,
-    deterministic across workers); occurrences weight via Counter."""
+    numpy reduction per doc.  Token hash = first 8 md5 digest bytes
+    little-endian — C-speed via hashlib AND expressible in DuckDB as
+    ``md5_number_upper(token)``, which makes the whole signature
+    oracle-checkable (VERDICT r3 item 6; the previous salted-crc32 pair
+    had no SQL twin, leaving dedup_simhash rows-only)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -541,8 +544,8 @@ def simhash_signatures(
     shifts = np.arange(bits, dtype="uint64")
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import re as _re
-        import zlib
         from collections import Counter
 
         for pdf in batches:
@@ -555,7 +558,7 @@ def simhash_signatures(
                 cnt = Counter(toks)
                 hs = np.fromiter(
                     (
-                        (zlib.crc32(tb) << 32) | zlib.crc32(b"\x01" + tb)
+                        int.from_bytes(hashlib.md5(tb).digest()[:8], "little")
                         for tb in (t.encode() for t in cnt)
                     ),
                     dtype="uint64",

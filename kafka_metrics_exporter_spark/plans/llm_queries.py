@@ -142,11 +142,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@query("dedup_simhash")  # sketch-based: rows-only driver check
+@query(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY 1, 2),
+    th AS (SELECT doc_id, w, md5_number_upper(tok) AS h FROM tc),
+    bits AS (SELECT doc_id, h, w, unnest(range(64)) AS b FROM th),
+    sums AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS UTINYINT)) & 1 = 1
+                      THEN w ELSE -w END) AS s
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      -- pack sign bits in the SIGNED domain (bit 63 contributes
+      -- -2^63), so the per-doc sum IS the two's-complement long the
+      -- Spark side emits
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0
+                           THEN CASE WHEN b = 63 THEN -9223372036854775808
+                                     ELSE CAST(1 AS BIGINT) << CAST(b AS INT)
+                                END
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c.i AS chunk_idx,
+             (simhash >> CAST(c.i * 16 AS INT)) & 65535 AS chunk
+      FROM sig, (SELECT unnest(range(4)) AS i) c
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash, 4×16-bit chunk candidates (pigeonhole for
-    hamming ≤ 3), bit_count(xor) verify."""
-    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    hamming ≤ 3), bit_count(xor) verify.  Token hash = first 8 md5
+    bytes little-endian ≡ DuckDB's ``md5_number_upper``, so the ENTIRE
+    signature pipeline — tokenize, weight, bit sums, sign pack, chunk
+    join, hamming — has an exact SQL twin (was rows-only with the
+    crc32 hash)."""
+    out = dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @query(
