@@ -169,7 +169,10 @@ def test_compiled_rate_matches_duckdb(name, op, val, spark, metrics_view, duck):
             f'{{user_id =~ "{val}"}}',
             f"AND regexp_matches(coalesce(user_id,''), '^(?:{val})$')",
         )
-    expr = f"sum by (user_id) (rate({name}{matcher}[1m]))"
+    # [2d] window: wide enough for the events cadence yet narrow enough
+    # that month-spanning gaps exercise the max-sample-gap null path;
+    # the oracle mirrors the same delta_t <= window bound below.
+    expr = f"sum by (user_id) (rate({name}{matcher}[2d]))"
     spark_out = compile_promql(expr).evaluate(metrics_view)
     shaped = spark_out.select(
         "user_id",
@@ -189,6 +192,7 @@ def test_compiled_rate_matches_duckdb(name, op, val, spark, metrics_view, duck):
            round(SUM((CASE WHEN value >= pv THEN value - pv ELSE value END)
                  / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0)), 4) AS value
     FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+      AND (epoch_us(ts) - epoch_us(pts)) <= 172800000000::BIGINT
     GROUP BY user_id, ts
     """
     want = {tuple(r) for r in duck.execute(sql).fetchall()}

@@ -26,8 +26,10 @@ def test_salted_agg_matches_plain_agg(spark):
         r["k"]: (round(r["s"], 6), r["n"])
         for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
     }
+    # sum_value comes back as the scaled-int64 DECIMAL partial total;
+    # unscale by the 1e8 quantum exactly as the query layer does
     salted = {
-        r["k"]: (round(r["sum_value"], 6), r["n"])
+        r["k"]: (round(float(r["sum_value"]) / 1e8, 6), r["n"])
         for r in salted_sum_count(df, ["k"], "v", salt_buckets=8).collect()
     }
     assert salted == plain
