@@ -389,8 +389,10 @@ def minhash_signatures_from_docs(
 ) -> DataFrame:
     """Shingle + minhash in ONE Arrow pass over the documents — zero
     shuffle (the wide per-shingle min-aggregate needs one).  Base hash
-    is crc32 (C speed) reduced mod 2^31-1; permutations are the same
-    Carter-Wegman family, vectorized as one numpy (H×S) min per doc."""
+    is the first 8 md5 digest bytes little-endian (C speed via hashlib,
+    ≡ DuckDB ``md5_number_upper``) reduced mod 2^31-1; permutations are
+    the same Carter-Wegman family, vectorized as one numpy (H×S) min
+    per doc — so the whole signature has an exact SQL twin."""
     import numpy as np
     from collections.abc import Iterator
 
@@ -401,7 +403,7 @@ def minhash_signatures_from_docs(
     shingle_of = _shingle_list
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
 
         for pdf in batches:
             ids, sigs = [], []
@@ -409,9 +411,15 @@ def minhash_signatures_from_docs(
                 grams = shingle_of(text, n)
                 if not grams:
                     continue
-                h = np.array(
-                    [zlib.crc32(g.encode()) for g in grams], dtype="int64"
-                ) % p_mod
+                m64 = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                        for g in grams
+                    ),
+                    dtype="uint64",
+                    count=len(grams),
+                )
+                h = (m64 % np.uint64(p_mod)).astype("int64")
                 sig = ((A * h[None, :] + B) % p_mod).min(axis=1)
                 ids.append(int(vid))
                 sigs.append([int(x) for x in sig])
@@ -441,9 +449,11 @@ def minhash_doc_table(
     needs a groupBy(collect_list) shuffle to rebuild per-doc sets.
 
     Signature values are identical to ``minhash_signatures_from_docs``
-    (same crc32 base, same Carter-Wegman constants); ``hs`` is a
-    two-salt crc32 64-bit combo — collision-free at per-doc set sizes,
-    so Jaccard values match the xxhash64-based path bit-for-bit."""
+    (same md5-derived base ≡ DuckDB ``md5_number_upper(shingle)``, same
+    Carter-Wegman constants, so dedup_minhash_lsh is oracle-checkable
+    end-to-end); ``hs`` is the full md5-64 value — collision-free at
+    per-doc set sizes, so Jaccard over ``hs`` sets equals Jaccard over
+    the shingle strings the oracle intersects."""
     import numpy as np
     from collections.abc import Iterator
 
@@ -454,7 +464,7 @@ def minhash_doc_table(
     shingle_of = _shingle_list
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
 
         for pdf in batches:
             ids, sets_, sigs = [], [], []
@@ -462,18 +472,17 @@ def minhash_doc_table(
                 grams = shingle_of(text, n)
                 if not grams:
                     continue
-                enc = [g.encode() for g in grams]
-                c1 = np.fromiter(
-                    (zlib.crc32(gb) for gb in enc), dtype="uint64", count=len(enc)
-                )
-                c2 = np.fromiter(
-                    (zlib.crc32(b"\x01" + gb) for gb in enc),
+                m64 = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                        for g in grams
+                    ),
                     dtype="uint64",
-                    count=len(enc),
+                    count=len(grams),
                 )
-                h = c1.astype("int64") % p_mod
+                h = (m64 % np.uint64(p_mod)).astype("int64")
                 sig = ((A * h[None, :] + B) % p_mod).min(axis=1)
-                hs = ((c1 << np.uint64(32)) | c2).astype("int64")
+                hs = m64.view("int64")
                 ids.append(int(vid))
                 sets_.append(hs.tolist())
                 sigs.append(sig.tolist())

@@ -64,6 +64,7 @@ WINDOW_PRIORITY = [
     "kibana_top_hits_latest",
     # -- changed in round 4 (new oracle / new semantics) ------------------
     "dedup_simhash",
+    "dedup_minhash_lsh",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---
     "a1_a4_grouped_metrics",
     "a7_multikey_drilldown",
@@ -86,7 +87,6 @@ WINDOW_PRIORITY = [
     "rules_rewrite",
     "dedup_exact",
     "dedup_components",
-    "dedup_ngram_jaccard",
 ]
 
 

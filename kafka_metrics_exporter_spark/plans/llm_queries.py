@@ -1,6 +1,8 @@
 """LLM-data-pipeline queries (SURVEY §7 PR 6) with DuckDB oracles where
-SQL-expressible; sketch-based ops (MinHash/SimHash/LSH/IVF) are
-rows-only here and recall-tested in tests/test_llmdata.py."""
+SQL-expressible.  MinHash-LSH and SimHash run on md5-derived hashes so
+even the sketch pipelines have exact SQL twins; only the truly
+non-replayable sketches (random-hyperplane LSH, trained IVF) stay
+rows-only, recall-tested in tests/test_llmdata.py."""
 
 from __future__ import annotations
 
@@ -133,12 +135,77 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # sketch-based: rows-only driver check
+# The full MinHash-LSH pipeline has an exact SQL twin because every
+# stage is deterministic arithmetic over md5-derived shingle hashes:
+# base = md5_number_upper(shingle) % (2^31-1) (≡ first 8 md5 digest
+# bytes little-endian, the Spark side's hashlib value), signature_i =
+# min over shingles of Carter-Wegman (a_i·h + b_i) mod p with the same
+# published constants, and two docs are LSH candidates iff some band's
+# 4-value signature slice is equal (the Spark side buckets on
+# xxhash64(band, slice) — equal-slice ≡ equal-hash modulo 2^-64
+# collisions).  Candidates then pass the same exact-Jaccard ≥ τ verify
+# as the ngram oracle.
+_MINHASH_A = "[" + ",".join(str(a) for a, _ in dedup._permutation_constants(128)) + "]"
+_MINHASH_B = "[" + ",".join(str(b) for _, b in dedup._permutation_constants(128)) + "]"
+
+_MINHASH_PAIRS_CTE = f"""
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           FROM s),
+    hh AS (SELECT doc_id,
+                  CAST(md5_number_upper(shingle) % 2147483647 AS BIGINT) AS h
+           FROM sh),
+    consts AS (SELECT {_MINHASH_A}::BIGINT[] AS A, {_MINHASH_B}::BIGINT[] AS B),
+    ph AS (
+      SELECT doc_id, ii.i AS i, MIN((A[ii.i + 1] * h + B[ii.i + 1]) % 2147483647) AS m
+      FROM hh, (SELECT unnest(range(128)) AS i) ii, consts
+      GROUP BY doc_id, ii.i
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM ph GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, bb.b AS b, sg[bb.b * 4 + 1 : bb.b * 4 + 4] AS sl
+      FROM sig, (SELECT unnest(range(32)) AS b) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    lsh_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"WITH {_MINHASH_PAIRS_CTE} SELECT doc_a, doc_b, jaccard FROM lsh_pairs",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) → 32×4 LSH bands → bucket-join candidates → exact
     Jaccard verify.  The 100 TB path: candidate generation only touches
     band-bucket collisions.  Recall vs the exact query is pinned in
-    tests/test_llmdata.py."""
+    tests/test_llmdata.py; since the md5-base hash switch the pipeline
+    is ALSO exactly reproduced by the SQL twin above (no more
+    rows-only driver check)."""
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -740,7 +807,24 @@ def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "split")
 
 
-@query("dedup_minhash_components")  # sketch-based: rows-only driver check
+@query(
+    "dedup_minhash_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM lsh_pairs),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u WHERE r.lbl < e.v
+    )
+    SELECT u AS doc_id,
+           MIN(lbl) AS component,
+           MIN(lbl) = u AS is_survivor
+    FROM reach GROUP BY u
+    """,
+)
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale cluster dedup: MinHash-LSH candidate pairs
     (bucketed, never all-pairs) → exact-Jaccard verify → connected
