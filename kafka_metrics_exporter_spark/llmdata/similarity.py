@@ -287,9 +287,15 @@ def embedding_near_dup_lsh(
     # sliver of one.  Hash-filter, not .sample(): content-addressed
     # sampling is exactly deterministic across actions and task
     # retries (observed .sample(seed=...) returning different rows on
-    # consecutive actions over the same cached relation).
+    # consecutive actions over the same cached relation).  The hash is
+    # an md5-hex-prefix residue rather than xxhash64 so the sample set
+    # — and with it the whole bucketing — has an exact SQL twin
+    # (DuckDB: ('0x'||substr(md5(vid::VARCHAR),1,15))::BIGINT % mod).
     probe = emb.filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(mean_sample_mod)) == 0
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mean_sample_mod
+        == 0
     )
     mu = mean_vector(probe, vec_col)
     if not mu:  # tiny corpus missed by the 1/mod slice: full scan

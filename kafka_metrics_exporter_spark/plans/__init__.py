@@ -65,6 +65,7 @@ WINDOW_PRIORITY = [
     # -- changed in round 4 (new oracle / new semantics) ------------------
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "embed_near_dup_lsh",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---
     "a1_a4_grouped_metrics",
     "a7_multikey_drilldown",
@@ -85,7 +86,6 @@ WINDOW_PRIORITY = [
     "p1_objectname_pivot",
     "p2_normalize_pipeline",
     "rules_rewrite",
-    "dedup_exact",
     "dedup_components",
 ]
 

@@ -289,8 +289,81 @@ def embed_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_near_dup_lsh")  # sketch-based: rows-only driver check
+# The hyperplane-LSH near-dup has an exact SQL twin as well: the 16
+# LCG-derived hyperplanes are data-independent constants (embedded
+# below as repr-round-tripped DOUBLE literals — bit-identical on
+# parse), the bias-centering mean is taken over an md5-residue sample
+# both engines compute the same way, and candidates are same-band
+# same-bucket signature collisions verified by exact cosine.  The only
+# cross-engine freedom left is float summation ORDER in the dot
+# products (numpy pairwise vs sequential SQL, ~1e-15 relative) — it
+# could flip a sign bit only for a vector whose projection lands
+# within ~1e-14 of a cut, vanishingly unlikely for continuous
+# embeddings and absent at the gate SFs (verified hash-equal).
+_ELSH_PLANES = "[" + ",".join(
+    "[" + ",".join(repr(x) for x in row) + "]"
+    for row in similarity.hyperplanes(64, 16)
+) + "]::DOUBLE[][]"
+
+
+@query(
+    "embed_near_dup_lsh",
+    f"""
+    WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (
+      SELECT * FROM e
+      WHERE ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT % 20 = 0
+    ),
+    mu_src AS (
+      SELECT * FROM probe
+      UNION ALL
+      SELECT * FROM e WHERE NOT EXISTS (SELECT 1 FROM probe)
+    ),
+    mu AS (
+      SELECT dd.d AS d, AVG(v[dd.d + 1]) AS m
+      FROM mu_src, (SELECT unnest(range(64)) AS d) dd
+      GROUP BY dd.d
+    ),
+    planes AS (SELECT {{_ELSH_PLANES}} AS P),
+    bias AS (
+      SELECT jj.j AS j, SUM(P[jj.j + 1][mu.d + 1] * mu.m) AS b
+      FROM mu, (SELECT unnest(range(16)) AS j) jj, planes
+      GROUP BY jj.j
+    ),
+    sig AS (
+      SELECT e.vid, e.v,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, P[bias.j + 1]) > bias.b
+                           THEN CAST(1 AS BIGINT) << CAST(bias.j AS INT)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM e, bias, planes
+      GROUP BY e.vid, e.v
+    ),
+    bands AS (
+      SELECT vid, v, bb.band AS band,
+             CASE WHEN bb.band = 0 THEN sig & 255 ELSE (sig >> 8) & 255 END AS bucket
+      FROM sig, (SELECT unnest(range(2)) AS band) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b, a.v AS x, b.v AS y
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             list_dot_product(x, y) /
+             (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(y, y))) AS c
+      FROM cand
+    )
+    SELECT vec_a, vec_b, round(c, 4) AS cosine FROM scored WHERE c >= 0.45
+    """.replace("{_ELSH_PLANES}", _ELSH_PLANES),
+)
 def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane (sign-projection) LSH near-dup: mean-centered 16-bit
+    signatures, two 8-bit bands, exact cosine within buckets.  The
+    100 TB path — replication factor 2, bucket_cap-bounded tasks —
+    now ALSO hash-verified against the SQL twin above (the sample
+    predicate switch from xxhash64 to md5-residue made the bucketing
+    replayable; was rows-only)."""
     return similarity.embedding_near_dup_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.45
     )
