@@ -324,8 +324,14 @@ class KibanaPlan:
                 if prefix
                 else Window.partitionBy(F.lit(1)).orderBy(*order_cols)
             )
+            # dense_rank, NOT row_number: the frame rows are bucket
+            # TUPLES (this term × every inner bucket), and ES's size
+            # keeps the top-N TERMS with all their children.  The order
+            # columns are constant within a term and distinct across
+            # terms (the term itself is the tiebreak), so dense_rank is
+            # exactly the term's rank repeated on each of its rows.
             out = (
-                out.withColumn("__rn", F.row_number().over(w))
+                out.withColumn("__rn", F.dense_rank().over(w))
                 .filter(F.col("__rn") <= b.size)
                 .drop("__rn", "__ord")
             )

@@ -253,3 +253,32 @@ def test_terms_order_by_term_asc_size_limit(docs):
     out = KibanaPlan(state).evaluate(docs).collect()
     assert len(out) == 2
     assert {r[0] for r in out} == {"broker", "connect"}  # first 2 asc
+
+
+def test_nested_terms_size_keeps_whole_terms(spark):
+    """ES terms size keeps the top-N TERMS with ALL their child
+    buckets; a tuple-level row_number would truncate the children
+    (regression: outer size=1 must keep every inner component row of
+    the winning host)."""
+    import json as _json
+
+    rows = [
+        ("h1", "a", 50.0), ("h1", "b", 40.0), ("h1", "c", 30.0),
+        ("h2", "a", 10.0), ("h3", "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, component string, v double")
+    vis = {"_source": {"title": "t", "visState": _json.dumps({
+        "type": "table",
+        "aggs": [
+            {"id": "1", "type": "sum", "schema": "metric",
+             "params": {"field": "v"}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "host.keyword", "size": 1,
+                        "order": "desc", "orderBy": "1"}},
+            {"id": "3", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                        "order": "asc", "orderBy": "_term"}},
+        ]})}}
+    out = compile_visualization(vis).evaluate(df)
+    got = sorted((r[0], r[1], r[2]) for r in out.collect())
+    assert got == [("h1", "a", 50.0), ("h1", "b", 40.0), ("h1", "c", 30.0)]

@@ -113,3 +113,51 @@ def test_corpus_build_is_two_shuffles(spark, sf_dir):
     # plan shape is ≤ 2 data movements
     assert n_exchange + n_bcast <= 3, p[:2000]
     assert "CartesianProduct" not in p
+
+
+def test_round4_front_end_queries_are_jvm_only(spark, sf_dir):
+    """The PromQL range mode and every compiled Kibana query must stay
+    pure Column plans — a front-end compiler that emitted Python eval
+    would silently forfeit codegen at scale."""
+    import kafka_metrics_exporter_spark.plans  # noqa: F401  (registers)
+    from kafka_metrics_exporter_spark.plans import QUERIES as ALL_Q
+
+    for name in [
+        "promql_rate_extrapolated",
+        "kibana_terms_metrics",
+        "kibana_date_histogram",
+        "kibana_top_hits_latest",
+    ]:
+        df = ALL_Q[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_kibana_terms_metrics_is_single_aggregation(spark, sf_dir):
+    """A terms+metrics table vis compiles to ONE hash aggregation over
+    the bucket keys (partial+final around one exchange), not an
+    aggregate per metric column."""
+    import kafka_metrics_exporter_spark.plans  # noqa: F401
+    from kafka_metrics_exporter_spark.plans import QUERIES as ALL_Q
+    import re
+
+    df = ALL_Q["kibana_terms_metrics"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # two-phase count-distinct (2), the metric-order level aggregation,
+    # and the terms-rank window — the documented compiler shape; the
+    # order metric must come back broadcast, never via sort-merge join
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange <= 4, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the global terms-rank window must be guarded by a map-side
+    # WindowGroupLimit: only ~size rows per partition reach the
+    # single-partition rank, so the "no partition defined" window is
+    # bounded at any scale
+    assert "WindowGroupLimit" in p
