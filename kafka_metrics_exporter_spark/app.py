@@ -71,7 +71,58 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--checkpoint", default="/tmp/kme-checkpoint")
     run.add_argument("--once", action="store_true",
                      help="one availableNow cycle, then exit")
+
+    q = p.add_argument_group(
+        "query", "ad-hoc query mode: run a dashboard expression against a "
+        "metrics table and exit (no sources/sinks needed)"
+    )
+    q.add_argument("--query-metrics", default=None, metavar="PATH",
+                   help="parquet path of the metrics table to query")
+    q.add_argument("--query-promql", default=None, metavar="EXPR",
+                   help="PromQL expression (the Grafana-corpus subset)")
+    q.add_argument("--query-step", type=float, default=None, metavar="SECS",
+                   help="evaluate --query-promql on an aligned step grid "
+                        "(Prometheus range-query semantics: lookback "
+                        "selectors, extrapolated rate)")
+    q.add_argument("--query-lookback", type=float, default=300.0,
+                   metavar="SECS", help="range-mode lookback delta")
+    q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
+                   help="Kibana saved-object JSON (one visualization) "
+                        "compiled and run against the metrics table")
+    q.add_argument("--query-limit", type=int, default=50,
+                   help="max result rows printed")
     return p
+
+
+def run_query(args: argparse.Namespace, spark) -> int:
+    """--query-* mode: compile the expression, run it, print, exit."""
+    if not args.query_metrics:
+        raise SystemExit("--query-promql/--query-kibana-vis need --query-metrics PATH")
+    df = spark.read.parquet(args.query_metrics)
+    if args.query_promql:
+        from kafka_metrics_exporter_spark.promql import compile_promql
+
+        plan = compile_promql(args.query_promql)
+        if args.query_step is not None:
+            out = plan.evaluate_range(
+                df, args.query_step, lookback_seconds=args.query_lookback
+            )
+        else:
+            out = plan.evaluate(df)
+    else:
+        import json
+
+        from kafka_metrics_exporter_spark.kibana import compile_visualization
+
+        with open(args.query_kibana_vis) as fh:
+            saved = json.load(fh)
+        if isinstance(saved, list):  # a full export: take the first vis
+            saved = next(
+                o for o in saved if o.get("_type") == "visualization"
+            )
+        out = compile_visualization(saved).evaluate(df)
+    out.show(args.query_limit, truncate=False)
+    return 0
 
 
 def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
@@ -94,6 +145,12 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.query_promql or args.query_kibana_vis:
+        if spark is None:
+            from kafka_metrics_exporter_spark.session import get_spark
+
+            spark = get_spark(app_name="spark-metrics-engine")
+        return run_query(args, spark)
     sinks_enabled = [
         s for s in (args.kafka_bootstrap_servers, args.es_url, args.sink_parquet) if s
     ]

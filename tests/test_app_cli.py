@@ -49,3 +49,64 @@ def test_once_cycle_to_parquet(spark, tmp_path):
         "kafka.server",
         "java.lang",
     }
+
+
+def test_query_mode_requires_metrics_path():
+    with pytest.raises(SystemExit):
+        main(["--query-promql", "sum(up)"])
+
+
+def test_query_mode_promql_instant_and_range(spark, tmp_path, capsys):
+    rows = [
+        ("click", "2024-01-01 00:00:00", 0.0, "u1"),
+        ("click", "2024-01-01 00:01:00", 60.0, "u1"),
+        ("click", "2024-01-01 00:02:00", 120.0, "u1"),
+    ]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    path = str(tmp_path / "metrics")
+    df.write.parquet(path)
+
+    rc = main(
+        ["--query-metrics", path, "--query-promql",
+         'sum by (user_id) (rate(click[5m]))'],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "u1" in out and "1.0" in out  # 60/min counter -> 1.0/s
+
+    rc = main(
+        ["--query-metrics", path, "--query-promql",
+         'sum by (user_id) (rate(click[2m]))', "--query-step", "60"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "u1" in out
+
+
+def test_query_mode_kibana_vis(spark, tmp_path, capsys):
+    import json as _json
+
+    rows = [("h1", 10.0), ("h1", 30.0), ("h2", 5.0)]
+    df = spark.createDataFrame(rows, "host string, v double")
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    vis = {"_type": "visualization", "_source": {"title": "t", "visState": _json.dumps({
+        "type": "table",
+        "aggs": [
+            {"id": "1", "type": "avg", "schema": "metric", "params": {"field": "v"}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "host.keyword", "size": 5,
+                        "order": "asc", "orderBy": "_term"}},
+        ]})}}
+    vis_path = tmp_path / "vis.json"
+    vis_path.write_text(_json.dumps([vis]))
+    rc = main(
+        ["--query-metrics", path, "--query-kibana-vis", str(vis_path)],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "h1" in out and "20.0" in out
