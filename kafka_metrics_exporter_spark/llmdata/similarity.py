@@ -66,6 +66,15 @@ def _partial_vec_sums(emb: DataFrame, vec_col: str) -> DataFrame:
     ).mapInPandas(go, "s array<double>, n long")
 
 
+def md5_residue(col: Column) -> Column:
+    """First 60 bits of md5(CAST(col AS STRING)) as a non-negative
+    long — the engine's content-addressed residue for deterministic
+    sampling/partition assignment, chosen over xxhash64 because it has
+    an exact SQL twin: ``('0x'||substr(md5(x::VARCHAR),1,15))::BIGINT``
+    (verified bit-equal against DuckDB in the oracle suite)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def mean_vector(emb: DataFrame, vec_col: str = "embedding") -> list[float]:
     """Corpus mean vector (used to center LSH signatures — uncentered
     sign-bits collapse when the corpus has a dominant direction).
@@ -114,8 +123,12 @@ def train_centroids(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()  # each training round rescans it; cache once
+    # md5-residue init (not xxhash64): the whole training replay —
+    # init cells, per-round means, per-round argmin assignment — then
+    # has an exact SQL twin, so even the "trained" IVF is
+    # oracle-checkable end-to-end
     assigned = base.withColumn(
-        "cell", F.abs((F.xxhash64(F.col("_id")) % n_cells).cast("int"))
+        "cell", (md5_residue(F.col("_id")) % n_cells).cast("int")
     )
 
     def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,12 +304,7 @@ def embedding_near_dup_lsh(
     # an md5-hex-prefix residue rather than xxhash64 so the sample set
     # — and with it the whole bucketing — has an exact SQL twin
     # (DuckDB: ('0x'||substr(md5(vid::VARCHAR),1,15))::BIGINT % mod).
-    probe = emb.filter(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % mean_sample_mod
-        == 0
-    )
+    probe = emb.filter(md5_residue(F.col(id_col)) % mean_sample_mod == 0)
     mu = mean_vector(probe, vec_col)
     if not mu:  # tiny corpus missed by the 1/mod slice: full scan
         mu = mean_vector(emb, vec_col)

@@ -66,6 +66,7 @@ WINDOW_PRIORITY = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "embed_near_dup_lsh",
+    "embed_ivf_topk",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---
     "a1_a4_grouped_metrics",
     "a7_multikey_drilldown",
@@ -82,7 +83,6 @@ WINDOW_PRIORITY = [
     "j6_asof_join",
     "j7_range_join",
     "o6_semi_join",
-    "o7_except_all",
     "p1_objectname_pivot",
     "p2_normalize_pipeline",
     "rules_rewrite",

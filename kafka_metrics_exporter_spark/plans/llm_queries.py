@@ -404,11 +404,85 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_ivf_topk")  # training is iterative → rows-only driver check
+def _ivf_oracle_sql(
+    n_cells: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10, dim: int = 64
+) -> str:
+    """SQL replay of the ENTIRE IVF pipeline — including the k-means
+    training.  Training is iterative but has a FIXED round count, so it
+    unrolls into chained CTEs: md5-residue init cells, then per round a
+    dim-wise AVG centroid table and a QUALIFY-row_number argmin
+    re-assignment ((dist, cell) ordering == numpy argmin's first-index
+    tie-break over the cell-sorted centroid matrix).  Probe = nprobe
+    nearest final centroids to the query vector, exact cosine rerank.
+    Cross-engine float freedom is summation order inside AVG /
+    list_dot_product (~1e-16), which could only flip an assignment for
+    a vector equidistant to two centroids at that precision — absent
+    at the gate SF (verified bit-equal) and measure-zero in general."""
+
+    def assign(prev_cent: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT a.id, a.v, cc.cell
+      FROM e a CROSS JOIN {prev_cent} cc
+      QUALIFY row_number() OVER (
+        PARTITION BY a.id
+        ORDER BY -2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c) ASC,
+                 cc.cell ASC) = 1
+    )"""
+
+    def means(assigned: str, out: str) -> str:
+        return f"""{out}_m AS (
+      SELECT cell, dd.d AS d, AVG(v[dd.d + 1]) AS m
+      FROM {assigned}, (SELECT unnest(range({dim})) AS d) dd
+      GROUP BY cell, dd.d
+    ),
+    {out} AS (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell)"""
+
+    parts = [
+        f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    a0 AS (
+      SELECT id, v,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                  % {n_cells} AS INT) AS cell
+      FROM e
+    )""",
+        means("a0", "cent0"),
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"cent{i - 1}", f"a{i}"))
+        parts.append(means(f"a{i}", f"cent{i}"))
+    fc = f"cent{iters}"
+    parts.append("q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)")
+    parts.append(f"""probe AS (
+      SELECT cc.cell
+      FROM {fc} cc, q
+      ORDER BY list_dot_product(
+                 list_transform(range(1, {dim} + 1), i -> qv[i] - cc.c[i]),
+                 list_transform(range(1, {dim} + 1), i -> qv[i] - cc.c[i])) ASC,
+               cc.cell ASC
+      LIMIT {nprobe}
+    )""")
+    parts.append(assign(fc, "fa"))
+    parts.append(f"""cand AS (SELECT fa.* FROM fa JOIN probe USING (cell)),
+    scored AS (
+      SELECT id AS vec_id,
+             round(list_dot_product(v, qv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                   4) AS cosine
+      FROM cand, q
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+@query("embed_ivf_topk", _ivf_oracle_sql())
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: k-means-lite coarse cells, probe 4/16 cells, exact rerank —
     scan prunes to nprobe/ncells of the corpus; recall vs brute force
-    pinned in tests."""
+    pinned in tests.  Since the md5-residue init switch the training
+    replay is deterministic, so even this "trained" index is
+    hash-verified against the unrolled SQL twin (was rows-only)."""
     return similarity.ivf_topk(
         _t(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
