@@ -204,6 +204,44 @@ def assign_cells(
     )
 
 
+def cluster_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Semantic (cluster-level) dedup: k-means cells over the embedding
+    space, one survivor (min id) per cell — the SemDeDup-style coarse
+    pass that removes semantically redundant documents where hash/
+    shingle dedup sees nothing shared.  Returns
+    (vec_id, cell, cell_size, is_survivor).
+
+    Scale shape: training is the shared deterministic k-means (md5
+    residue init — SQL-replayable); the final pass is one Arrow
+    assignment scan plus a count aggregate and a broadcast min-id
+    join, all keyed on the ≤n_cells cell ids."""
+    if centroids is None:
+        centroids = train_centroids(emb, n_cells, iters, vec_col, id_col)
+    assigned = assign_cells(emb, centroids, vec_col, id_col).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_size"),
+        F.min(id_col).alias("__survivor"),
+    )
+    return (
+        assigned.join(F.broadcast(per_cell), "cell")
+        .select(
+            id_col,
+            "cell",
+            "cell_size",
+            (F.col(id_col) == F.col("__survivor")).alias("is_survivor"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

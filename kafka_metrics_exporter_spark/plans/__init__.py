@@ -67,6 +67,7 @@ WINDOW_PRIORITY = [
     "dedup_minhash_lsh",
     "embed_near_dup_lsh",
     "embed_ivf_topk",
+    "embed_cluster_dedup",
     # -- round-4 regression canaries (decimal-accumulation rework etc.) ---
     "a1_a4_grouped_metrics",
     "a7_multikey_drilldown",
@@ -82,7 +83,6 @@ WINDOW_PRIORITY = [
     "j2_broadcast_lookup",
     "j6_asof_join",
     "j7_range_join",
-    "o6_semi_join",
     "p1_objectname_pivot",
     "p2_normalize_pipeline",
     "rules_rewrite",

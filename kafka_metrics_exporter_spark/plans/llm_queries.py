@@ -404,20 +404,9 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(
-    n_cells: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10, dim: int = 64
-) -> str:
-    """SQL replay of the ENTIRE IVF pipeline — including the k-means
-    training.  Training is iterative but has a FIXED round count, so it
-    unrolls into chained CTEs: md5-residue init cells, then per round a
-    dim-wise AVG centroid table and a QUALIFY-row_number argmin
-    re-assignment ((dist, cell) ordering == numpy argmin's first-index
-    tie-break over the cell-sorted centroid matrix).  Probe = nprobe
-    nearest final centroids to the query vector, exact cosine rerank.
-    Cross-engine float freedom is summation order inside AVG /
-    list_dot_product (~1e-16), which could only flip an assignment for
-    a vector equidistant to two centroids at that precision — absent
-    at the gate SF (verified bit-equal) and measure-zero in general."""
+def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """Shared unrolled k-means training CTEs (see _ivf_oracle_sql for
+    the replay rationale); returns (cte_parts, final_centroid_cte)."""
 
     def assign(prev_cent: str, out: str) -> str:
         return f"""{out} AS (
@@ -450,7 +439,27 @@ def _ivf_oracle_sql(
     for i in range(1, iters + 1):
         parts.append(assign(f"cent{i - 1}", f"a{i}"))
         parts.append(means(f"a{i}", f"cent{i}"))
-    fc = f"cent{iters}"
+    parts.append(assign(f"cent{iters}", "fa"))
+    return parts, f"cent{iters}"
+
+
+def _ivf_oracle_sql(
+    n_cells: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10, dim: int = 64
+) -> str:
+    """SQL replay of the ENTIRE IVF pipeline — including the k-means
+    training.  Training is iterative but has a FIXED round count, so it
+    unrolls into chained CTEs: md5-residue init cells, then per round a
+    dim-wise AVG centroid table and a QUALIFY-row_number argmin
+    re-assignment ((dist, cell) ordering == numpy argmin's first-index
+    tie-break over the cell-sorted centroid matrix).  Probe = nprobe
+    nearest final centroids to the query vector, exact cosine rerank.
+    Cross-engine float freedom is summation order inside AVG /
+    list_dot_product (~1e-16), which could only flip an assignment for
+    a vector equidistant to two centroids at that precision — absent
+    at the gate SF (verified bit-equal) and measure-zero in general."""
+    parts, fc = _kmeans_ctes(n_cells, iters, dim)
+    # splice the probe/rerank tail before the shared final assignment
+    fa = parts.pop()
     parts.append("q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)")
     parts.append(f"""probe AS (
       SELECT cc.cell
@@ -461,7 +470,7 @@ def _ivf_oracle_sql(
                cc.cell ASC
       LIMIT {nprobe}
     )""")
-    parts.append(assign(fc, "fa"))
+    parts.append(fa)
     parts.append(f"""cand AS (SELECT fa.* FROM fa JOIN probe USING (cell)),
     scored AS (
       SELECT id AS vec_id,
@@ -473,6 +482,26 @@ def _ivf_oracle_sql(
     return (
         "WITH " + ",\n    ".join(parts)
         + f"\n    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _cluster_dedup_oracle_sql(
+    n_cells: int = 16, iters: int = 3, dim: int = 64
+) -> str:
+    """SQL replay of embed_cluster_dedup: the shared k-means training
+    unroll, then one survivor (min id) + size per final cell."""
+    parts, _fc = _kmeans_ctes(n_cells, iters, dim)
+    parts.append("""per_cell AS (
+      SELECT cell, COUNT(*) AS cell_size, MIN(id) AS survivor
+      FROM fa GROUP BY cell
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT fa.id AS vec_id, fa.cell,
+           per_cell.cell_size,
+           fa.id = per_cell.survivor AS is_survivor
+    FROM fa JOIN per_cell USING (cell)"""
     )
 
 
@@ -489,6 +518,22 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_cells=16,
         nprobe=4,
+    )
+
+
+@query("embed_cluster_dedup", _cluster_dedup_oracle_sql())
+def embed_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (SemDeDup-style) cluster dedup: k-means cells over the
+    embedding space, one survivor per cell — removes semantically
+    redundant documents that share no bytes/shingles, the coarse pass
+    a hash dedup can't do.  Same deterministic training as
+    embed_ivf_topk, so the whole query is hash-verified against the
+    unrolled SQL replay."""
+    out = similarity.cluster_dedup(
+        _t(spark, sf_dir, "embeddings"), n_cells=16, iters=3
+    )
+    return out.select(
+        "vec_id", "cell", "cell_size", "is_survivor"
     )
 
 

@@ -548,3 +548,20 @@ def test_sliding_chunks_boundaries(spark):
     assert rows[(2, 0)] == (0, 64) and rows[(2, 1)] == (48, 17)
     assert rows[(3, 0)] == (0, 64) and rows[(3, 1)] == (48, 52)
     assert rows[(4, 0)] == (0, 3)
+
+
+def test_cluster_dedup_one_survivor_per_cell(spark, sf_dir):
+    """Semantic cluster dedup: every vector is assigned, each cell has
+    exactly one survivor and it is the cell's min id; sizes add up."""
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cluster_dedup(emb, n_cells=16, iters=3).collect()
+    assert len(out) == emb.count()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        survivors = [r["vec_id"] for r in rows if r["is_survivor"]]
+        assert survivors == [min(r["vec_id"] for r in rows)], cell
+        assert all(r["cell_size"] == len(rows) for r in rows)
