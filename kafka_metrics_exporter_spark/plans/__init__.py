@@ -28,10 +28,20 @@ CORRECTNESS_WINDOW = 50
 # Explicit first-window ordering.  Composition:
 #   - the 23 queries registered after `text_metrics` in r3 (never had a
 #     driver row: llmdata tail + promql suite);
-#   - queries whose engine code or oracle changed in round 4;
+#   - queries whose engine code or oracle changed in round 4 (new
+#     oracles for the sketch pipelines, new kibana/range front ends,
+#     embed_cluster_dedup);
 #   - core queries kept as regression canaries for this round's decimal
 #     / rate work.
 # Everything not listed keeps its definition order after these.
+#
+# ROTATION POLICY for round 5+: once CORRECTNESS_r4 lands, every query
+# in the registry has a driver row in r3 ∪ r4.  Next round, swap this
+# list: promote the 28 queries whose latest row is r3 (they sit after
+# slot 50 now) plus anything new/changed into the window, and demote
+# this round's verified set to the tail — keeping every query's most
+# recent driver row at most one round old.  test_registry_window.py
+# enforces that new/changed queries always land in-window.
 WINDOW_PRIORITY = [
     # -- never driver-verified (r3 slots 51-73) ---------------------------
     "text_langid",
