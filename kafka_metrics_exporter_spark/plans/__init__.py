@@ -69,6 +69,7 @@ WINDOW_PRIORITY = [
     "promql_histogram_quantile",
     # -- new in round 4 ---------------------------------------------------
     "promql_rate_extrapolated",
+    "promql_deriv_predict",
     "kibana_terms_metrics",
     "kibana_date_histogram",
     "kibana_top_hits_latest",
@@ -91,7 +92,6 @@ WINDOW_PRIORITY = [
     "a11_percentile",
     "a12_rollup",
     "j2_broadcast_lookup",
-    "j6_asof_join",
     "j7_range_join",
     "p1_objectname_pivot",
     "p2_normalize_pipeline",

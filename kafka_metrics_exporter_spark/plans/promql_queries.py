@@ -312,3 +312,52 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         _r4(F.col("value")).alias("value"),
     )
+
+
+@query(
+    "promql_deriv_predict",
+    """
+    WITH m AS (
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+             date_trunc('day', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (SELECT * FROM m WHERE name = 'click'),
+    x AS (
+      SELECT user_id, ts, value,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 1000000.0 AS x
+      FROM f
+    ),
+    -- textbook regression sums over the trailing 7d range, mirroring
+    -- the engine's explicit-sum formula operation for operation: on
+    -- the daily grid every sum is an exact double, so slope and the
+    -- prediction are bit-identical across engines
+    s AS (
+      SELECT user_id, ts, x,
+             COUNT(*) OVER w * 1.0 AS n,
+             SUM(x) OVER w AS sx, SUM(value) OVER w AS sy,
+             SUM(x * value) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(sy / n + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * (x + 86400.0 - sx / n), 4) AS value
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`predict_linear(click[7d], 86400)` — tomorrow's projected daily
+    click count per user from a least-squares fit over the trailing
+    week — compiled from the string.  The engine computes the slope
+    from explicit window sums (see _eval_deriv) so the DuckDB twin's
+    identical formula yields bit-identical doubles on the daily grid."""
+    m = _metrics_view(spark, sf_dir, "day")
+    out = compile_promql("predict_linear(click[7d], 86400)").evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
+    )

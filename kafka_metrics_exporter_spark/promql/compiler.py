@@ -56,6 +56,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_metrics_exporter_spark.promql.parser import (
+    Deriv,
     Agg,
     Bin,
     Cmp,
@@ -153,6 +154,9 @@ def _eval(
     if isinstance(node, Rate):
         fn = leaf.rate if leaf is not None else _eval_rate
         return fn(node, metrics, label_cols)
+    if isinstance(node, Deriv):
+        fn = leaf.deriv if leaf is not None else _eval_deriv
+        return fn(node, metrics, label_cols)
     if isinstance(node, OverTime):
         fn = leaf.over_time if leaf is not None else _eval_over_time
         return fn(node, metrics, label_cols)
@@ -240,17 +244,27 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
     prev_v = F.lag("value").over(w)
     prev_ts = F.lag("ts").over(w)
-    delta_v = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
-        F.col("value")  # counter reset: restart from 0
-    )
+    if node.fn in ("delta", "idelta"):
+        # gauge difference: NO counter-reset clamp (negatives are data)
+        delta_v = F.col("value") - prev_v
+    else:
+        delta_v = F.when(
+            F.col("value") >= prev_v, F.col("value") - prev_v
+        ).otherwise(F.col("value"))  # counter reset: restart from 0
     # exact integer-micros subtraction, one division — per-endpoint
     # double casts drift each rate ~1e-6 relative (see
     # operators/relational.py rate_per_second)
     delta_t = (
         F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     ) / F.lit(1_000_000.0)
-    # rate/irate: per-second derivative; increase: the raw clamped delta
-    out_val = delta_v if node.fn == "increase" else delta_v / delta_t
+    # rate/irate: per-second derivative; increase/delta/idelta: the raw
+    # (clamped / unclamped) difference — sample-instant mode makes
+    # idelta ≡ delta exactly as irate ≡ rate (documented above)
+    out_val = (
+        delta_v
+        if node.fn in ("increase", "delta", "idelta")
+        else delta_v / delta_t
+    )
     rated = (
         vec.df.withColumn(
             "__rate",
@@ -269,6 +283,60 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
         .drop("__rate")
     )
     return _Vec(rated, vec.labels)
+
+
+def _eval_deriv(node: Deriv, metrics: DataFrame, label_cols) -> _Vec:
+    """deriv / predict_linear: simple least-squares regression of value
+    against time over the trailing range (t-w, t], per series.
+
+    The regression x is measured from the SERIES' first sample (a
+    per-partition min), not raw epoch seconds: slope is translation-
+    invariant but epoch-magnitude x (~1.7e9) loses ~5 significant
+    digits in the x² sums; a series-relative origin keeps x small.  The
+    prediction is the line evaluated ``predict_seconds`` past the
+    current instant: avgy + slope·(x_now + horizon − avgx).  Needs ≥2
+    distinct-timestamp samples in the window, else no point (matches
+    Prometheus)."""
+    vec = _eval_selector(node.selector, metrics, label_cols)
+    series = sorted(vec.labels)
+    window_us = int(round(node.window_seconds * 1_000_000))
+    if window_us < 1:
+        raise ValueError(
+            f"promql: deriv/predict_linear window must be >= 1µs "
+            f"(got {node.window_seconds}s)"
+        )
+    us = F.unix_micros(F.col("ts"))
+    part = Window.partitionBy(*[F.col(c) for c in series])
+    x = (us - F.min(us).over(part)) / F.lit(1_000_000.0)
+    w = part.orderBy(us).rangeBetween(-(window_us - 1), 0)
+    df = vec.df.withColumn("__x", x)
+    # textbook sums, not regr_slope: the Welford-merge path inside
+    # Spark's regr_* produces order-dependent intermediates, while
+    # plain SUMs of exact products stay EXACT doubles on grid-aligned
+    # samples (integer x seconds × integer-ish values < 2^53), making
+    # the slope bit-identical to any engine using the same formula —
+    # the property the DuckDB oracle relies on.  Numerically this is
+    # fine here because x is series-relative (small), not epoch-sized.
+    xc, yc = F.col("__x"), F.col("value")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xc).over(w)
+    sy = F.sum(yc).over(w)
+    sxy = F.sum(xc * yc).over(w)
+    sxx = F.sum(xc * xc).over(w)
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den)  # NULL: <2 pts / 0 var
+    if node.predict_seconds is None:
+        val = slope
+    else:
+        val = sy / n + slope * (
+            xc + F.lit(float(node.predict_seconds)) - sx / n
+        )
+    out = (
+        df.withColumn("value", val.cast("double"))
+        .filter(F.col("value").isNotNull())
+        .drop("__x")
+    )
+    return _Vec(out, vec.labels)
 
 
 def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:

@@ -45,8 +45,21 @@ class Selector:
 class Rate:
     selector: Selector
     window_seconds: float
-    # 'rate'/'irate' (per-second) or 'increase' (raw clamped delta)
+    # 'rate'/'irate' (per-second), 'increase' (raw clamped delta), or the
+    # gauge pair 'delta'/'idelta' (raw UNclamped difference — no counter
+    # reset handling)
     fn: str = "rate"
+
+
+@dataclass(frozen=True)
+class Deriv:
+    """deriv(sel[w]) — least-squares slope of the samples in the range —
+    or predict_linear(sel[w], t) — the regression line evaluated t
+    seconds past the evaluation instant."""
+
+    selector: Selector
+    window_seconds: float
+    predict_seconds: float | None = None  # None → deriv
 
 
 @dataclass(frozen=True)
@@ -123,7 +136,7 @@ class Cmp:
 
 
 Expr = (
-    Selector | Rate | OverTime | Agg | TopK | Bin | Scalar | Cmp
+    Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | Scalar | Cmp
     | LabelReplace | LabelJoin | HistogramQuantile | MathFn
 )
 
@@ -244,8 +257,10 @@ class _Parser:
         if kind == "ident":
             if tok in _AGG_OPS:
                 return self.parse_agg()
-            if tok in ("rate", "irate", "increase"):
+            if tok in ("rate", "irate", "increase", "delta", "idelta"):
                 return self.parse_rate()
+            if tok in ("deriv", "predict_linear"):
+                return self.parse_deriv()
             if (
                 tok.endswith("_over_time")
                 and tok[: -len("_over_time")] in _AGG_OPS - {"quantile"}
@@ -298,7 +313,7 @@ class _Parser:
         labels_t = tuple(labels)
         return (labels_t, None) if mode == "by" else (None, labels_t)
 
-    def _range_call(self) -> tuple[Selector, float]:
+    def _range_call(self, close: bool = True) -> tuple[Selector, float]:
         self.expect("(")
         sel = self.parse_selector()
         self.expect("[")
@@ -314,13 +329,27 @@ class _Parser:
             if okind != "duration":
                 raise SyntaxError(f"promql: offset needs a duration, got {otok!r}")
             sel = dataclasses.replace(sel, offset_seconds=_duration_seconds(otok))
-        self.expect(")")
+        if close:
+            self.expect(")")
         return sel, window
 
     def parse_rate(self) -> Expr:
         fn = self.next()[1]
         sel, window = self._range_call()
         return Rate(sel, window, fn=fn)
+
+    def parse_deriv(self) -> Expr:
+        fn = self.next()[1]
+        if fn == "deriv":
+            sel, window = self._range_call()
+            return Deriv(sel, window)
+        sel, window = self._range_call(close=False)
+        self.expect(",")
+        kind, tok = self.next()
+        if kind != "number":
+            raise SyntaxError("promql: predict_linear requires a literal horizon")
+        self.expect(")")
+        return Deriv(sel, window, predict_seconds=float(tok))
 
     def parse_over_time(self) -> Expr:
         fn = self.next()[1]
@@ -460,6 +489,16 @@ def to_promql(node: Expr) -> str:
         if node.selector.offset_seconds:
             body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
         return f"{node.fn}({body})"
+    if isinstance(node, Deriv):
+        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
+        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
+        if node.selector.offset_seconds:
+            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        if node.predict_seconds is None:
+            return f"deriv({body})"
+        t = node.predict_seconds
+        t_s = repr(t) if t != int(t) else str(int(t))
+        return f"predict_linear({body}, {t_s})"
     if isinstance(node, OverTime):
         sel = dataclasses.replace(node.selector, offset_seconds=0.0)
         body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"

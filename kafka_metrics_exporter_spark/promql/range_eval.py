@@ -43,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_metrics_exporter_spark.promql.parser import OverTime, Rate, Selector
+from kafka_metrics_exporter_spark.promql.parser import Deriv, OverTime, Rate, Selector
 
 # Prometheus's default --query.lookback-delta
 DEFAULT_LOOKBACK_SECONDS = 300.0
@@ -146,14 +146,21 @@ class GridLeaf:
         cum_w = Window.partitionBy(*series).orderBy(
             F.unix_micros(F.col("ts"))
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # gauges (delta/idelta): the series IS the signal — no reset
+        # correction; counters: add the pre-reset value cumulatively
+        corrected = (
+            F.col("value")
+            if node.fn in ("delta", "idelta")
+            else F.col("value") + F.sum(reset).over(cum_w)
+        )
         s = (
-            vec.df.withColumn("__corrected", F.col("value") + F.sum(reset).over(cum_w))
+            vec.df.withColumn("__corrected", corrected)
             .withColumn("__prev_us", prev_us)
             .withColumn("__prev_v", prev_v)
         )
         x = _expand_instants(s, w_us, self.step_us, self.bounds)
 
-        if node.fn == "irate":
+        if node.fn in ("irate", "idelta"):
             # last two samples inside the window: the last sample's
             # successive-delta, valid only if its predecessor is also
             # inside (t - w, t]
@@ -164,16 +171,21 @@ class GridLeaf:
             )
             last_v = F.col("__last.value")
             lprev_v = F.col("__last.__prev_v")
-            delta = F.when(last_v >= lprev_v, last_v - lprev_v).otherwise(last_v)
-            dt = (F.col("__last.__s_us") - F.col("__last.__prev_us")) / F.lit(
-                1_000_000.0
-            )
+            if node.fn == "idelta":
+                # gauge difference: no reset clamp, no per-second scaling
+                val = last_v - lprev_v
+            else:
+                delta = F.when(last_v >= lprev_v, last_v - lprev_v).otherwise(last_v)
+                dt = (F.col("__last.__s_us") - F.col("__last.__prev_us")) / F.lit(
+                    1_000_000.0
+                )
+                val = delta / dt
             out = (
                 g.filter(
                     F.col("__last.__prev_us").isNotNull()
                     & (F.col("__last.__prev_us") > F.col("__t_us") - F.lit(w_us))
                 )
-                .withColumn("value", delta / dt)
+                .withColumn("value", val)
                 .drop("__last")
             )
             return _Vec(_finish(out, series), vec.labels)
@@ -188,7 +200,11 @@ class GridLeaf:
         )
         g = g.filter(F.col("__cnt") >= 2)
         # Prometheus extrapolatedRate, operation for operation (same
-        # arithmetic order in the DuckDB oracle → bit-identical doubles)
+        # arithmetic order in the DuckDB oracle → bit-identical doubles).
+        # For the gauge fn `delta` the corrected values equal the raw
+        # values minus a shared cumulative-reset offset — WRONG for
+        # gauges, so delta re-derives the raw difference and skips the
+        # counter-zero cap (Prometheus extrapolatedRate isCounter=false).
         raw_delta = F.col("__last_c") - F.col("__first_c")
         sampled = (F.col("__last_us") - F.col("__first_us")) / F.lit(1_000_000.0)
         dur_start = (
@@ -197,11 +213,14 @@ class GridLeaf:
         dur_end = (F.col("__t_us") - F.col("__last_us")) / F.lit(1_000_000.0)
         avg_dur = sampled / (F.col("__cnt") - F.lit(1)).cast("double")
         # counter-zero cap: don't extrapolate below the counter's zero
-        dur_zero = sampled * (F.col("__first_raw") / raw_delta)
-        dur_start = F.when(
-            (raw_delta > 0) & (F.col("__first_raw") >= 0) & (dur_zero < dur_start),
-            dur_zero,
-        ).otherwise(dur_start)
+        if node.fn == "delta":
+            pass  # gauges: no counter-zero cap
+        else:
+            dur_zero = sampled * (F.col("__first_raw") / raw_delta)
+            dur_start = F.when(
+                (raw_delta > 0) & (F.col("__first_raw") >= 0) & (dur_zero < dur_start),
+                dur_zero,
+            ).otherwise(dur_start)
         threshold = avg_dur * F.lit(1.1)
         ext = (
             sampled
@@ -212,6 +231,42 @@ class GridLeaf:
         if node.fn == "rate":
             val = val / F.lit(float(node.window_seconds))
         out = g.withColumn("value", val).select(*series, "__t_us", "value")
+        return _Vec(_finish(out, series), vec.labels)
+
+    # -- deriv / predict_linear (grid) ------------------------------------
+    def deriv(self, node: Deriv, metrics: DataFrame, label_cols):
+        """Least-squares regression over the samples in (t - w, t],
+        with x measured FROM THE INSTANT t (Prometheus's interceptTime
+        convention, exactly — x is small and the intercept at x = 0 is
+        the regression value at the evaluation instant).  predict =
+        intercept + slope · horizon."""
+        from kafka_metrics_exporter_spark.promql.compiler import (
+            _Vec,
+            _eval_selector,
+        )
+
+        vec = _eval_selector(node.selector, metrics, label_cols)
+        series = sorted(vec.labels)
+        x = _expand_instants(
+            vec.df, _us(node.window_seconds), self.step_us, self.bounds
+        ).withColumn(
+            "__x", (F.col("__s_us") - F.col("__t_us")) / F.lit(1_000_000.0)
+        )
+        g = x.groupBy(*series, "__t_us").agg(
+            F.regr_slope(F.col("value"), F.col("__x")).alias("__slope"),
+            F.regr_avgx(F.col("value"), F.col("__x")).alias("__ax"),
+            F.regr_avgy(F.col("value"), F.col("__x")).alias("__ay"),
+        )
+        if node.predict_seconds is None:
+            val = F.col("__slope")
+        else:
+            intercept = F.col("__ay") - F.col("__slope") * F.col("__ax")
+            val = intercept + F.col("__slope") * F.lit(float(node.predict_seconds))
+        out = (
+            g.withColumn("value", val.cast("double"))
+            .filter(F.col("value").isNotNull())  # <2 samples → no point
+            .drop("__slope", "__ax", "__ay")
+        )
         return _Vec(_finish(out, series), vec.labels)
 
     # -- <agg>_over_time --------------------------------------------------

@@ -318,6 +318,7 @@ try:
         lambda s: s
         not in {
             "by", "without", "offset", "rate", "irate", "increase",
+            "delta", "idelta", "deriv", "predict_linear",
             "topk", "bottomk", "sum", "avg", "min", "max", "count",
         }
         and not s.endswith("_over_time")
@@ -343,7 +344,11 @@ try:
         _selector,
         st.builds(
             pql.Rate, selector=_selector, window_seconds=_dur,
-            fn=st.sampled_from(["rate", "irate", "increase"]),
+            fn=st.sampled_from(["rate", "irate", "increase", "delta", "idelta"]),
+        ),
+        st.builds(
+            pql.Deriv, selector=_selector, window_seconds=_dur,
+            predict_seconds=st.sampled_from([None, 60.0, 600.0, 3600.0]),
         ),
         st.builds(
             pql.OverTime,
@@ -559,3 +564,83 @@ def test_streaming_aggregation_subset(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="streaming_rate"):
         evaluate_streaming(compile_promql("rate(m[1m])"), stream)
+
+
+def test_delta_and_idelta_unclamped(tiny):
+    """Gauge difference: negatives pass through (no counter-reset
+    clamp), unlike increase on the same data."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    out = {
+        (r["user_id"], str(r["ts"])): r["value"]
+        for r in compile_promql('delta(click[2h])').evaluate(tiny).collect()
+    }
+    inc = {
+        (r["user_id"], str(r["ts"])): r["value"]
+        for r in compile_promql('increase(click[2h])').evaluate(tiny).collect()
+    }
+    assert out.keys() == inc.keys()
+    assert any(v < 0 for v in out.values()) or all(
+        out[k] == inc[k] for k in out
+    )
+    # idelta ≡ delta in sample-instant mode (documented, like irate≡rate)
+    ide = {
+        (r["user_id"], str(r["ts"])): r["value"]
+        for r in compile_promql('idelta(click[2h])').evaluate(tiny).collect()
+    }
+    assert ide == out
+
+
+def test_deriv_matches_numpy_lstsq(spark):
+    """deriv = least-squares slope over the trailing window; checked
+    against numpy polyfit on a hand-built series."""
+    import numpy as np
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [("m", f"2024-01-01 00:0{i}:00", float(v), "u")
+            for i, v in enumerate([0.0, 2.0, 3.0, 7.0, 8.0])]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    got = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("deriv(m[10m])").evaluate(df).collect()
+    }
+    # at the last sample the window holds all 5 points
+    xs = np.array([0.0, 60.0, 120.0, 180.0, 240.0])
+    ys = np.array([0.0, 2.0, 3.0, 7.0, 8.0])
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert abs(got["2024-01-01 00:04:00"] - slope) < 1e-9
+    # first sample alone: no regression point emitted
+    assert "2024-01-01 00:00:00" not in got
+
+
+def test_predict_linear_extends_the_line(spark):
+    """predict_linear(sel[w], t) = regression value at now + t; on a
+    perfectly linear series it is exact."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [("m", f"2024-01-01 00:0{i}:00", 10.0 + 5.0 * i, "u")
+            for i in range(5)]  # slope 5 per minute
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    got = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("predict_linear(m[10m], 600)").evaluate(df).collect()
+    }
+    # at 00:04 the value is 30; +600s at slope 5/60 per sec -> 30 + 50
+    assert abs(got["2024-01-01 00:04:00"] - 80.0) < 1e-9
+
+
+def test_deriv_grid_mode(spark):
+    """Grid-mode deriv: slope over (t-w, t] at aligned instants; on a
+    linear series every instant with ≥2 samples reports the slope."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [("m", f"2024-01-01 00:0{i}:00", 10.0 + 3.0 * i, "u")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    out = compile_promql("deriv(m[3m])").evaluate_range(df, 60.0).collect()
+    assert out, "no grid points"
+    for r in out:
+        assert abs(r["value"] - 3.0 / 60.0) < 1e-9, r
