@@ -70,6 +70,7 @@ WINDOW_PRIORITY = [
     # -- new in round 4 ---------------------------------------------------
     "promql_rate_extrapolated",
     "promql_deriv_predict",
+    "promql_resets_changes",
     "kibana_terms_metrics",
     "kibana_date_histogram",
     "kibana_top_hits_latest",
@@ -90,7 +91,6 @@ WINDOW_PRIORITY = [
     "w2_rate",
     "a5_count_distinct",
     "a11_percentile",
-    "a12_rollup",
     "j2_broadcast_lookup",
     "j7_range_join",
     "p1_objectname_pivot",

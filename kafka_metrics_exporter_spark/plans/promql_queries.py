@@ -361,3 +361,58 @@ def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         _r4(F.col("value")).alias("value"),
     )
+
+
+@query(
+    "promql_resets_changes",
+    """
+    WITH m AS (
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+             date_trunc('hour', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (SELECT * FROM m WHERE name = 'click'),
+    p AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pus
+      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ),
+    -- instant-mode convention: a pair counts when its later endpoint is
+    -- in the frame and its own gap <= window (see _eval_resets_changes)
+    flagged AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN pus IS NOT NULL
+                       AND pus > epoch_us(ts) - 172800000000::BIGINT
+                       AND value < pv THEN 1 ELSE 0 END AS r_hit,
+             CASE WHEN pus IS NOT NULL
+                       AND pus > epoch_us(ts) - 172800000000::BIGINT
+                       AND value <> pv THEN 1 ELSE 0 END AS c_hit
+      FROM p
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(SUM(r_hit) OVER w AS DOUBLE) AS n_resets,
+           CAST(SUM(c_hit) OVER w AS DOUBLE) AS n_changes
+    FROM flagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 172799999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`resets(click[2d])` and `changes(click[2d])` compiled from the
+    strings and joined on (series, instant) — counter-stability
+    diagnostics over the hourly grid.  Exact integer counts: zero
+    cross-engine float freedom, so the oracle is bit-trivial."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    r = compile_promql("resets(click[2d])").evaluate(m).select(
+        "user_id", "ts", F.col("value").alias("n_resets")
+    )
+    c = compile_promql("changes(click[2d])").evaluate(m).select(
+        "user_id", "ts", F.col("value").alias("n_changes")
+    )
+    out = r.join(c, ["user_id", "ts"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "n_resets",
+        "n_changes",
+    )

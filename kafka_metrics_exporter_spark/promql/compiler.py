@@ -152,7 +152,10 @@ def _eval(
         fn = leaf.selector if leaf is not None else _eval_selector
         return fn(node, metrics, label_cols)
     if isinstance(node, Rate):
-        fn = leaf.rate if leaf is not None else _eval_rate
+        if node.fn in ("resets", "changes"):
+            fn = leaf.resets_changes if leaf is not None else _eval_resets_changes
+        else:
+            fn = leaf.rate if leaf is not None else _eval_rate
         return fn(node, metrics, label_cols)
     if isinstance(node, Deriv):
         fn = leaf.deriv if leaf is not None else _eval_deriv
@@ -283,6 +286,50 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
         .drop("__rate")
     )
     return _Vec(rated, vec.labels)
+
+
+def _eval_resets_changes(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
+    """resets(sel[w]) / changes(sel[w]): per series, how many successive-
+    sample drops (resets) or value changes occur in the trailing range.
+    Exact integer counts — both engines agree bit-for-bit, no float
+    freedom at all.
+
+    Instant-mode convention (documented divergence, mirrored by the
+    oracle): a pair counts at instant t when its LATER endpoint is in
+    (t-w, t] and its own gap is ≤ w; Prometheus additionally requires
+    the earlier endpoint inside the window, so a pair straddling the
+    left edge counts here but not there.  The step-grid evaluator
+    implements the exact both-endpoints-inside semantics."""
+    vec = _eval_selector(node.selector, metrics, label_cols)
+    series = sorted(vec.labels)
+    window_us = int(round(node.window_seconds * 1_000_000))
+    if window_us < 1:
+        raise ValueError(
+            f"promql: {node.fn} window must be >= 1µs (got {node.window_seconds}s)"
+        )
+    us = F.unix_micros(F.col("ts"))
+    ord_w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(us)
+    prev_v = F.lag("value").over(ord_w)
+    prev_us = F.lag(us).over(ord_w)
+    # a pair counts only when BOTH endpoints are inside the window at
+    # evaluation time; since the frame is trailing, that is exactly
+    # "the predecessor is also within (t - w, t]" for each frame row
+    hit = F.col("value") < prev_v if node.fn == "resets" else F.col("value") != prev_v
+    pair = F.when(
+        prev_us.isNotNull() & hit, F.lit(1)
+    ).otherwise(F.lit(0))
+    df = vec.df.withColumn("__pair_hit", pair).withColumn("__p_us", prev_us)
+    w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(us).rangeBetween(
+        -(window_us - 1), 0
+    )
+    # only pairs whose predecessor is inside the window count
+    in_win = F.when(
+        F.col("__p_us") > us - F.lit(window_us), F.col("__pair_hit")
+    ).otherwise(F.lit(0))
+    df = df.withColumn("__in_win", in_win)
+    val = F.sum(F.col("__in_win")).over(w).cast("double")
+    out = df.withColumn("value", val).drop("__pair_hit", "__p_us", "__in_win")
+    return _Vec(out, vec.labels)
 
 
 def _eval_deriv(node: Deriv, metrics: DataFrame, label_cols) -> _Vec:

@@ -45,9 +45,11 @@ class Selector:
 class Rate:
     selector: Selector
     window_seconds: float
-    # 'rate'/'irate' (per-second), 'increase' (raw clamped delta), or the
+    # 'rate'/'irate' (per-second), 'increase' (raw clamped delta), the
     # gauge pair 'delta'/'idelta' (raw UNclamped difference — no counter
-    # reset handling)
+    # reset handling), or the counting pair 'resets'/'changes' (number
+    # of counter resets / value changes between successive samples in
+    # the range)
     fn: str = "rate"
 
 
@@ -257,7 +259,8 @@ class _Parser:
         if kind == "ident":
             if tok in _AGG_OPS:
                 return self.parse_agg()
-            if tok in ("rate", "irate", "increase", "delta", "idelta"):
+            if tok in ("rate", "irate", "increase", "delta", "idelta",
+                       "resets", "changes"):
                 return self.parse_rate()
             if tok in ("deriv", "predict_linear"):
                 return self.parse_deriv()

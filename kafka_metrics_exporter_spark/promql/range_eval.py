@@ -233,6 +233,40 @@ class GridLeaf:
         out = g.withColumn("value", val).select(*series, "__t_us", "value")
         return _Vec(_finish(out, series), vec.labels)
 
+    # -- resets / changes (grid) ------------------------------------------
+    def resets_changes(self, node: Rate, metrics: DataFrame, label_cols):
+        """Exact Prometheus semantics: count successive pairs with BOTH
+        endpoints inside (t - w, t] — each sample row carries its
+        predecessor, so within the instant explosion the predecessor-
+        inside check is a row-level filter (same shape as irate)."""
+        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_selector
+
+        vec = _eval_selector(node.selector, metrics, label_cols)
+        series = sorted(vec.labels)
+        w_us = _us(node.window_seconds)
+        ord_w = Window.partitionBy(*series).orderBy(F.unix_micros(F.col("ts")))
+        prev_v = F.lag("value").over(ord_w)
+        prev_us = F.lag(F.unix_micros(F.col("ts"))).over(ord_w)
+        s = vec.df.withColumn("__prev_v", prev_v).withColumn("__prev_us", prev_us)
+        x = _expand_instants(s, w_us, self.step_us, self.bounds)
+        hit_val = F.col("value") < F.col("__prev_v") if node.fn == "resets" else (
+            F.col("value") != F.col("__prev_v")
+        )
+        hit = F.when(
+            F.col("__prev_us").isNotNull()
+            & (F.col("__prev_us") > F.col("__t_us") - F.lit(w_us))
+            & hit_val,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        out = x.groupBy(*series, "__t_us").agg(
+            F.sum(hit).cast("double").alias("value"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        # an instant with no samples in the window emits nothing (the
+        # groupBy already guarantees ≥1 sample)
+        out = out.drop("__n")
+        return _Vec(_finish(out, series), vec.labels)
+
     # -- deriv / predict_linear (grid) ------------------------------------
     def deriv(self, node: Deriv, metrics: DataFrame, label_cols):
         """Least-squares regression over the samples in (t - w, t],

@@ -318,7 +318,7 @@ try:
         lambda s: s
         not in {
             "by", "without", "offset", "rate", "irate", "increase",
-            "delta", "idelta", "deriv", "predict_linear",
+            "delta", "idelta", "deriv", "predict_linear", "resets", "changes",
             "topk", "bottomk", "sum", "avg", "min", "max", "count",
         }
         and not s.endswith("_over_time")
@@ -344,7 +344,9 @@ try:
         _selector,
         st.builds(
             pql.Rate, selector=_selector, window_seconds=_dur,
-            fn=st.sampled_from(["rate", "irate", "increase", "delta", "idelta"]),
+            fn=st.sampled_from(
+                ["rate", "irate", "increase", "delta", "idelta", "resets", "changes"]
+            ),
         ),
         st.builds(
             pql.Deriv, selector=_selector, window_seconds=_dur,
@@ -644,3 +646,52 @@ def test_deriv_grid_mode(spark):
     assert out, "no grid points"
     for r in out:
         assert abs(r["value"] - 3.0 / 60.0) < 1e-9, r
+
+
+def test_resets_and_changes_counts(spark):
+    """resets counts successive drops; changes counts any value change;
+    both windowed and exact-integer."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    vals = [1.0, 3.0, 2.0, 2.0, 5.0, 0.0]   # drops at idx 2 and 5; changes at 1,2,4,5
+    rows = [("m", f"2024-01-01 00:0{i}:00", v, "u") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    res = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("resets(m[10m])").evaluate(df).collect()
+    }
+    chg = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("changes(m[10m])").evaluate(df).collect()
+    }
+    assert res["2024-01-01 00:05:00"] == 2.0
+    assert chg["2024-01-01 00:05:00"] == 4.0
+    assert res["2024-01-01 00:01:00"] == 0.0 and chg["2024-01-01 00:01:00"] == 1.0
+    # narrow window: at 00:05 only pairs (03,04),(04,05) fit in 2m+ε
+    res2 = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("resets(m[2m])").evaluate(df).collect()
+    }
+    assert res2["2024-01-01 00:05:00"] == 1.0  # only the 5.0 -> 0.0 drop
+
+
+def test_resets_grid_mode_exact_window(spark):
+    """Grid mode requires BOTH pair endpoints inside (t-w, t]."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    vals = [5.0, 1.0, 2.0, 1.0]  # drops between (0,1) and (2,3)
+    rows = [("m", f"2024-01-01 00:0{i}:00", v, "u") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    out = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("resets(m[2m])").evaluate_range(df, 60.0).collect()
+    }
+    # at 00:03 the window (00:01, 00:03] holds samples 01,02,03: the
+    # 2.0 -> 1.0 drop is fully inside
+    assert out["2024-01-01 00:03:00"] == 1.0
+    # at 00:02 the window (00:00, 00:02] EXCLUDES the left boundary, so
+    # the 5.0 -> 1.0 pair (earlier endpoint exactly at 00:00) does NOT
+    # count — the left-open both-endpoints rule, unlike instant mode
+    assert out["2024-01-01 00:02:00"] == 0.0
