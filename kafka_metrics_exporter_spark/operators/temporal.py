@@ -79,6 +79,10 @@ def asof_join(
         )
         .alias(_RPAY),
     )
+    # a right row with an unknown timestamp can never be "the latest
+    # prior/next row" — drop it, or its payload would be carried from
+    # wherever nulls happen to sort
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
@@ -92,7 +96,15 @@ def asof_join(
     # Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
     # so the boundary is inclusive in either direction; "forward" simply
     # walks time descending so the carry holds the NEXT right row.
-    ts_order = F.col(_ATS).asc() if direction == "backward" else F.col(_ATS).desc()
+    # nulls FIRST under either direction: a null timestamp must sort
+    # before every right row so it carries nothing (plain .desc() puts
+    # nulls LAST, where a null left_ts would wrongly match the earliest
+    # right row)
+    ts_order = (
+        F.col(_ATS).asc_nulls_first()
+        if direction == "backward"
+        else F.col(_ATS).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(ts_order, F.col(_SIDE).asc())
@@ -145,6 +157,10 @@ def range_join_bucketed(
     rb = F.floor(F.col(right_ts).cast("double") / F.lit(window_seconds)).alias("__bucket")
 
     l2 = left.withColumn("__bucket", F.explode(F.array(lb, lb + 1)))
+    # a right row with an unknown timestamp can never be "the latest
+    # prior/next row" — drop it, or its payload would be carried from
+    # wherever nulls happen to sort
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *[F.col(k).alias(f"__rk_{k}") for k in keys],
         rb,

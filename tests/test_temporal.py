@@ -242,3 +242,33 @@ def test_asof_forward_tolerance_and_tie(spark):
     )
     assert got[1] == (None, None)  # 20 min ahead > 10 min tolerance
     assert got[2] == (_ts("2024-01-01T00:20:00"), 9.0)  # tie inclusive
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """A null left_ts matches nothing in EITHER direction, and a null
+    right_ts row is never carried (regression: .desc() sorted null
+    left_ts last, where it matched the earliest right row; a null
+    right_ts payload was carried from wherever nulls sorted)."""
+    from kafka_metrics_exporter_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:05:00"), ("k", None)],
+        "k string, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:01:00", 1.0), ("k", None, 99.0)],
+        "k string, rts string, payload double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    for direction in ("backward", "forward"):
+        out = {
+            (r["k"], str(r["lts"])): r["payload"]
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+        assert out[("k", "None")] is None, direction
+        # the null-ts right row must never be the carried payload
+        assert out[("k", "2024-01-01 00:05:00")] in (1.0, None)
+        if direction == "backward":
+            assert out[("k", "2024-01-01 00:05:00")] == 1.0
