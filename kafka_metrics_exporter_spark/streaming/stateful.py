@@ -10,8 +10,9 @@ including the first sample of each batch against the carried state —
 the semantics PromQL's counter rate has over a live scrape stream.
 
 Counter resets clamp like the batch twin (delta = post-reset value).
-State size: one (long, double) pair per live series; with a timeout it
-expires for series that stop reporting.
+State size: one (long, double) pair per live series; pass
+``idle_timeout_ms`` to expire the carry for series that stop
+reporting.
 """
 
 from __future__ import annotations
@@ -29,41 +30,58 @@ _OUTPUT_SCHEMA = (
 _STATE_SCHEMA = "last_ts_us long, last_value double"
 
 
-def _rate_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (series,) = key
-    if state.exists:
-        last_ts_us, last_value = state.get
-    else:
-        last_ts_us, last_value = None, None
+def _make_rate_fn(idle_timeout_ms: int):
+    """Build the stateful rate function with the timeout captured in a
+    CLOSURE — a module global would reset to its default when executors
+    re-import the module (local mode hides that; a cluster would
+    silently never expire state)."""
 
-    frames = [pdf for pdf in pdfs if len(pdf)]
-    if not frames:
-        return
-    batch = pd.concat(frames).sort_values(["ts", "value"], kind="mergesort")
-
-    out_rows = []
-    for _, row in batch.iterrows():
-        ts_us = int(row["ts"].value // 1000)  # pandas ns → µs
-        value = float(row["value"])
-        if last_ts_us is None or ts_us <= last_ts_us:
-            rate = None
+    def _rate_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        if state.hasTimedOut:
+            # series went quiet past the idle timeout: drop its carry
+            # so a later revival starts fresh (first sample → null
+            # rate), exactly like a brand-new series
+            state.remove()
+            return
+        if state.exists:
+            last_ts_us, last_value = state.get
         else:
-            delta = value - last_value if value >= last_value else value
-            rate = delta / ((ts_us - last_ts_us) / 1_000_000.0)
-        out_rows.append(
-            {"series": series, "ts": row["ts"], "value": value, "rate_per_sec": rate}
-        )
-        # late (out-of-order) samples emit a null rate but must not
-        # rewind the carried state
-        if last_ts_us is None or ts_us > last_ts_us:
-            last_ts_us, last_value = ts_us, value
+            last_ts_us, last_value = None, None
 
-    state.update((last_ts_us, last_value))
-    yield pd.DataFrame(out_rows)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["ts", "value"], kind="mergesort")
+
+        out_rows = []
+        for _, row in batch.iterrows():
+            ts_us = int(row["ts"].value // 1000)  # pandas ns → µs
+            value = float(row["value"])
+            if last_ts_us is None or ts_us <= last_ts_us:
+                rate = None
+            else:
+                delta = value - last_value if value >= last_value else value
+                rate = delta / ((ts_us - last_ts_us) / 1_000_000.0)
+            out_rows.append(
+                {"series": series, "ts": row["ts"], "value": value,
+                 "rate_per_sec": rate}
+            )
+            # late (out-of-order) samples emit a null rate but must not
+            # rewind the carried state
+            if last_ts_us is None or ts_us > last_ts_us:
+                last_ts_us, last_value = ts_us, value
+
+        state.update((last_ts_us, last_value))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out_rows)
+
+    return _rate_fn
 
 
 def streaming_rate(
@@ -71,9 +89,13 @@ def streaming_rate(
     series_col: str = "series",
     ts_col: str = "ts",
     value_col: str = "value",
+    idle_timeout_ms: int = 0,
 ) -> DataFrame:
     """Attach the stateful rate operator to a streaming DataFrame with
-    columns (series, ts, value)."""
+    columns (series, ts, value).  ``idle_timeout_ms`` > 0 expires the
+    per-series carry after that much processing-time silence — state
+    stays O(live series), not O(ever-seen series), on a long-running
+    stream with churning series (the 100 TB-stream hygiene knob)."""
     from pyspark.sql import functions as F
 
     shaped = events.select(
@@ -82,11 +104,15 @@ def streaming_rate(
         F.col(value_col).cast("double").alias("value"),
     )
     return shaped.groupBy("series").applyInPandasWithState(
-        _rate_fn,
+        _make_rate_fn(int(idle_timeout_ms)),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
