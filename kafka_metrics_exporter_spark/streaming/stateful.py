@@ -56,7 +56,13 @@ def _make_rate_fn(idle_timeout_ms: int):
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
             return
-        batch = pd.concat(frames).sort_values(["ts", "value"], kind="mergesort")
+        # NaT guard: a null timestamp's pandas sentinel (-2^63 ns) would
+        # poison the carried state as an enormous negative instant
+        batch = (
+            pd.concat(frames)
+            .dropna(subset=["ts"])
+            .sort_values(["ts", "value"], kind="mergesort")
+        )
 
         out_rows = []
         for _, row in batch.iterrows():
@@ -146,7 +152,7 @@ def _asof_fn(
     # Within a batch, replay rows in event order; reference rows sort
     # before samples at an equal timestamp (inclusive at-or-before),
     # mirroring the batch union window's (_ATS, _SIDE) order.
-    batch = pd.concat(frames)
+    batch = pd.concat(frames).dropna(subset=["ts"])  # NaT guard, as above
     batch["_side"] = (batch["tag"] != "r").astype(int)  # refs first on ties
     batch = batch.sort_values(["ts", "_side"], kind="mergesort")
 
