@@ -71,6 +71,7 @@ WINDOW_PRIORITY = [
     "promql_rate_extrapolated",
     "promql_deriv_predict",
     "promql_resets_changes",
+    "promql_quantile_last_over_time",
     "kibana_terms_metrics",
     "kibana_date_histogram",
     "kibana_top_hits_latest",
@@ -89,7 +90,6 @@ WINDOW_PRIORITY = [
     "w7_session_window",
     "w11_rollup_cascade",
     "w2_rate",
-    "a5_count_distinct",
     "a11_percentile",
     "j2_broadcast_lookup",
     "j7_range_join",

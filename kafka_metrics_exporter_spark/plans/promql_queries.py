@@ -416,3 +416,43 @@ def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resets",
         "n_changes",
     )
+
+
+@query(
+    "promql_quantile_last_over_time",
+    """
+    WITH m AS (
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+             date_trunc('hour', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (SELECT user_id, ts, epoch_us(ts) AS us, value FROM m WHERE name = 'click')
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(quantile_cont(value, 0.9) OVER w, 4) AS q90,
+           max_by(value, us) OVER w AS last_value
+    FROM f
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 172799999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def promql_quantile_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile_over_time(0.9, click[2d])` and
+    `last_over_time(click[2d])` compiled from the strings and joined on
+    (series, instant).  quantile_over_time is percentile_cont over the
+    trailing range (linear interpolation — the same cross-engine
+    convention a11_percentile pins); last_over_time picks the newest
+    sample in the window."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    q = compile_promql("quantile_over_time(0.9, click[2d])").evaluate(m).select(
+        "user_id", "ts", _r4(F.col("value")).alias("q90")
+    )
+    last = compile_promql("last_over_time(click[2d])").evaluate(m).select(
+        "user_id", "ts", F.col("value").alias("last_value")
+    )
+    out = q.join(last, ["user_id", "ts"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "q90",
+        "last_value",
+    )

@@ -405,7 +405,13 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-(window_us - 1), 0)
     )
-    agg_col = _AGG_FN[node.op](F.col("value")).over(w).cast("double")
+    if node.op == "quantile":
+        # PromQL quantile_over_time = linear interpolation over the
+        # sorted samples — exactly SQL percentile_cont semantics
+        agg = F.percentile(F.col("value"), F.lit(float(node.param)))
+    else:
+        agg = _AGG_FN[node.op](F.col("value"))
+    agg_col = agg.over(w).cast("double")
     return _Vec(vec.df.withColumn("value", agg_col), vec.labels)
 
 
@@ -418,6 +424,8 @@ _AGG_FN = {
     # PromQL stddev/stdvar are population statistics
     "stddev": F.stddev_pop,
     "stdvar": F.var_pop,
+    # the window frame is time-ordered, so last == the newest sample
+    "last": lambda c: F.last(c, ignorenulls=True),
 }
 
 

@@ -66,9 +66,10 @@ class Deriv:
 
 @dataclass(frozen=True)
 class OverTime:
-    op: str  # avg|max|min|sum|count
+    op: str  # avg|max|min|sum|count|stddev|stdvar|last|quantile
     selector: Selector
     window_seconds: float
+    param: float | None = None  # quantile_over_time's φ
 
 
 @dataclass(frozen=True)
@@ -266,7 +267,7 @@ class _Parser:
                 return self.parse_deriv()
             if (
                 tok.endswith("_over_time")
-                and tok[: -len("_over_time")] in _AGG_OPS - {"quantile"}
+                and tok[: -len("_over_time")] in _AGG_OPS | {"last"}
             ):
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
@@ -356,8 +357,36 @@ class _Parser:
 
     def parse_over_time(self) -> Expr:
         fn = self.next()[1]
+        op = fn[: -len("_over_time")]
+        if op == "quantile":
+            # quantile_over_time(φ, sel[w])
+            self.expect("(")
+            kind, tok = self.next()
+            if kind != "number":
+                raise SyntaxError("promql: quantile_over_time requires a literal φ")
+            phi = float(tok)
+            self.expect(",")
+            sel = self.parse_selector()
+            self.expect("[")
+            dkind, dtok = self.next()
+            if dkind != "duration":
+                raise SyntaxError(f"promql: expected duration, got {dtok!r}")
+            window = _duration_seconds(dtok)
+            self.expect("]")
+            if self.peek() == ("ident", "offset"):
+                self.next()
+                okind, otok = self.next()
+                if okind != "duration":
+                    raise SyntaxError(
+                        f"promql: offset needs a duration, got {otok!r}"
+                    )
+                sel = dataclasses.replace(
+                    sel, offset_seconds=_duration_seconds(otok)
+                )
+            self.expect(")")
+            return OverTime(op, sel, window, param=phi)
         sel, window = self._range_call()
-        return OverTime(fn[: -len("_over_time")], sel, window)
+        return OverTime(op, sel, window)
 
     def parse_topk(self) -> Expr:
         fn = self.next()[1]
@@ -507,6 +536,8 @@ def to_promql(node: Expr) -> str:
         body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
         if node.selector.offset_seconds:
             body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        if node.op == "quantile":
+            return f"quantile_over_time({node.param!r}, {body})"
         return f"{node.op}_over_time({body})"
     if isinstance(node, Agg):
         clause = ""

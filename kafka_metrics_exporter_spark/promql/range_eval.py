@@ -314,9 +314,15 @@ class GridLeaf:
         vec = _eval_selector(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         x = _expand_instants(vec.df, _us(node.window_seconds), self.step_us, self.bounds)
-        out = x.groupBy(*series, "__t_us").agg(
-            _AGG_FN[node.op](F.col("value")).cast("double").alias("value")
-        )
+        if node.op == "last":
+            # groupBy has no frame order — pick the newest sample by its
+            # timestamp explicitly (F.last would be partition-order luck)
+            agg = F.max_by(F.col("value"), F.col("__s_us"))
+        elif node.op == "quantile":
+            agg = F.percentile(F.col("value"), F.lit(float(node.param)))
+        else:
+            agg = _AGG_FN[node.op](F.col("value"))
+        out = x.groupBy(*series, "__t_us").agg(agg.cast("double").alias("value"))
         return _Vec(_finish(out, series), vec.labels)
 
 

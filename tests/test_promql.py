@@ -354,8 +354,16 @@ try:
         ),
         st.builds(
             pql.OverTime,
-            op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+            op=st.sampled_from(
+                ["sum", "avg", "min", "max", "count", "stddev", "stdvar", "last"]
+            ),
             selector=_selector, window_seconds=_dur,
+        ),
+        st.builds(
+            pql.OverTime,
+            op=st.just("quantile"),
+            selector=_selector, window_seconds=_dur,
+            param=st.sampled_from([0.5, 0.9, 0.99]),
         ),
     )
 
@@ -431,10 +439,9 @@ def test_quantile_stddev_stdvar_aggs(tiny):
     qb = compile_promql('quantile by (instance) (0.5, m)').evaluate(tiny)
     got_qb = _vals(qb, "instance", "ts", "value")
     assert ("h1", t0, 55.0) in got_qb  # median of {10, 100} interpolates
-    # stddev_over_time parses too (range form); quantile_over_time does not
+    # stddev_over_time parses too (range form); quantile_over_time is
+    # covered by test_quantile_and_last_over_time
     compile_promql("stddev_over_time(m[2m])").evaluate(tiny).count()
-    with pytest.raises(SyntaxError):
-        parse("quantile_over_time(0.5, m[2m])")
 
 
 def test_label_replace_and_join(tiny):
@@ -695,3 +702,34 @@ def test_resets_grid_mode_exact_window(spark):
     # the 5.0 -> 1.0 pair (earlier endpoint exactly at 00:00) does NOT
     # count — the left-open both-endpoints rule, unlike instant mode
     assert out["2024-01-01 00:02:00"] == 0.0
+
+
+def test_quantile_and_last_over_time(spark):
+    """quantile_over_time = percentile_cont over the trailing window;
+    last_over_time = the newest sample in it (instant + grid modes)."""
+    import numpy as np
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    vals = [1.0, 9.0, 5.0, 3.0, 7.0]
+    rows = [("m", f"2024-01-01 00:0{i}:00", v, "u") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "name string, ts string, value double, user_id string")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    q = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("quantile_over_time(0.5, m[10m])").evaluate(df).collect()
+    }
+    assert q["2024-01-01 00:04:00"] == float(np.percentile(vals, 50))
+    assert q["2024-01-01 00:01:00"] == 5.0  # median of [1, 9]
+    last = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("last_over_time(m[10m])").evaluate(df).collect()
+    }
+    # instant mode: the newest sample in a trailing window ending at a
+    # sample IS that sample
+    assert [last[f"2024-01-01 00:0{i}:00"] for i in range(5)] == vals
+    # grid mode picks the newest sample inside each (t-w, t]
+    g = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("last_over_time(m[2m])").evaluate_range(df, 60.0).collect()
+    }
+    assert g["2024-01-01 00:03:00"] == 3.0
