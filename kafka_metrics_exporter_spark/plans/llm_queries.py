@@ -55,9 +55,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       FROM documents
     ),
-    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    -- one short gram for sub-n-token docs, exactly like _shingle_list
+    -- (list_slice clamps; a fixed len>=n filter silently dropped them)
+    s AS (SELECT doc_id, unnest(range(greatest(len(ws) - 2, 1))) AS i, ws
+          FROM w WHERE len(ws) >= 1),
     sh AS (SELECT DISTINCT doc_id,
-                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+                  array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS shingle
            FROM s),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -88,9 +91,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       FROM documents
     ),
-    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    -- one short gram for sub-n-token docs, exactly like _shingle_list
+    -- (list_slice clamps; a fixed len>=n filter silently dropped them)
+    s AS (SELECT doc_id, unnest(range(greatest(len(ws) - 2, 1))) AS i, ws
+          FROM w WHERE len(ws) >= 1),
     sh AS (SELECT DISTINCT doc_id,
-                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+                  array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS shingle
            FROM s),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -154,9 +160,12 @@ _MINHASH_PAIRS_CTE = f"""
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       FROM documents
     ),
-    s AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+    -- one short gram for sub-n-token docs, exactly like _shingle_list
+    -- (list_slice clamps; a fixed len>=n filter silently dropped them)
+    s AS (SELECT doc_id, unnest(range(greatest(len(ws) - 2, 1))) AS i, ws
+          FROM w WHERE len(ws) >= 1),
     sh AS (SELECT DISTINCT doc_id,
-                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+                  array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS shingle
            FROM s),
     hh AS (SELECT doc_id,
                   CAST(md5_number_upper(shingle) % 2147483647 AS BIGINT) AS h
@@ -737,10 +746,10 @@ def pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
       FROM documents
     ),
-    s AS (SELECT doc_id, unnest(range(len(ws) - 3)) AS i, ws FROM w WHERE len(ws) >= 4),
+    s AS (SELECT doc_id, unnest(range(greatest(len(ws) - 3, 1))) AS i, ws
+          FROM w WHERE len(ws) >= 1),
     sh AS (SELECT DISTINCT doc_id,
-                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
-                    AS shingle
+                  array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS shingle
            FROM s),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
     hits AS (SELECT DISTINCT doc_id FROM sh

@@ -565,3 +565,28 @@ def test_cluster_dedup_one_survivor_per_cell(spark, sf_dir):
         survivors = [r["vec_id"] for r in rows if r["is_survivor"]]
         assert survivors == [min(r["vec_id"] for r in rows)], cell
         assert all(r["cell_size"] == len(rows) for r in rows)
+
+
+def test_short_doc_shingles_match_oracle_convention(spark):
+    """Sub-n-token documents emit ONE short gram (engine _shingle_list);
+    the oracle CTEs reproduce that with clamped list_slice — a doc pair
+    sharing only a short gram must dedup identically in both engines."""
+    import duckdb
+
+    rows = [(1, "x y"), (2, "x y"), (3, "a b c d"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_dedup(docs, threshold=0.5).collect()
+    )
+    assert got == [(1, 2, 1.0)]
+
+    from kafka_metrics_exporter_spark.plans import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLE_SQL["dedup_ngram_jaccard"]).fetchall()
+    )
+    assert [tuple(map(float, w[:2])) + (w[2],) for w in want] == [(1.0, 2.0, 1.0)]
