@@ -144,3 +144,30 @@ def test_structural_ops_compose_over_grid(counters):
 def test_sub_second_step_rejected(counters):
     with pytest.raises(ValueError, match="step"):
         compile_promql("reqs").evaluate_range(counters, step_seconds=0.0)
+
+
+def test_grid_delta_is_unclamped_and_uncorrected(counters):
+    """delta() on the grid: Prometheus extrapolation with
+    isCounter=false — raw first/last difference (no reset correction,
+    no zero-cap), not divided by the window."""
+    out = compile_promql("delta(reqs[30s])").evaluate_range(counters, step_seconds=10)
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # a, t=60: window (30,60] → samples 40s(5), 50s(15), 60s(30).
+    # RAW Δ = 30-5 = 25 (the counter-corrected rate path saw 20),
+    # sampled=20, durStart=10 (<thr 11, no zero-cap for gauges),
+    # durEnd=0 → ext=30 → delta = 25·(30/20) = 37.5
+    assert got[("a", 60)] == pytest.approx(37.5)
+    # a, t=50: (20,50] → 30s(35), 40s(5), 50s(15): raw Δ = 15-35 = -20
+    # — negatives pass through; ext = 20+10+0=30 → -20·1.5 = -30
+    assert got[("a", 50)] == pytest.approx(-30.0)
+
+
+def test_grid_idelta_last_two_samples(counters):
+    out = compile_promql("idelta(reqs[30s])").evaluate_range(counters, step_seconds=10)
+    got = {(r.job, _sec(r.ts)): r.value for r in out.collect()}
+    # last two samples in (30,60]: 50s(15) → 60s(30)
+    assert got[("a", 60)] == pytest.approx(15.0)
+    # last two in (10,40]: 30s(35) → 40s(5): unclamped negative
+    assert got[("a", 40)] == pytest.approx(-30.0)
+    # b at t=10: (−20,10] holds 0s(0) and 10s(7)
+    assert got[("b", 10)] == pytest.approx(7.0)
