@@ -124,6 +124,9 @@ def test_round4_front_end_queries_are_jvm_only(spark, sf_dir):
 
     for name in [
         "promql_rate_extrapolated",
+        "promql_deriv_predict",
+        "promql_resets_changes",
+        "promql_quantile_last_over_time",
         "kibana_terms_metrics",
         "kibana_date_histogram",
         "kibana_top_hits_latest",
