@@ -377,31 +377,50 @@ def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pus
       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
     ),
-    -- instant-mode convention: a pair counts when its later endpoint is
-    -- in the frame and its own gap <= window (see _eval_resets_changes)
+    -- exact Prometheus semantics (both endpoints inside (t-w, t]): a
+    -- qualifying pair is "active" for t in [s_us, p_us + w), counted
+    -- with a +1/-1 event sweep, exactly mirroring _eval_resets_changes
     flagged AS (
-      SELECT user_id, ts, epoch_us(ts) AS us,
+      SELECT user_id, ts, epoch_us(ts) AS us, pus,
              CASE WHEN pus IS NOT NULL
-                       AND pus > epoch_us(ts) - 172800000000::BIGINT
+                       AND epoch_us(ts) - pus < 172800000000::BIGINT
                        AND value < pv THEN 1 ELSE 0 END AS r_hit,
              CASE WHEN pus IS NOT NULL
-                       AND pus > epoch_us(ts) - 172800000000::BIGINT
+                       AND epoch_us(ts) - pus < 172800000000::BIGINT
                        AND value <> pv THEN 1 ELSE 0 END AS c_hit
       FROM p
+    ),
+    ev AS (
+      SELECT user_id, NULL::TIMESTAMP AS ts, us AS e_us,
+             r_hit AS dr, c_hit AS dc, 0 AS is_base
+      FROM flagged WHERE r_hit = 1 OR c_hit = 1
+      UNION ALL
+      SELECT user_id, NULL::TIMESTAMP, pus + 172800000000::BIGINT,
+             -r_hit, -c_hit, 0
+      FROM flagged WHERE r_hit = 1 OR c_hit = 1
+      UNION ALL
+      SELECT user_id, ts, us, 0, 0, 1 FROM flagged
+    ),
+    c AS (
+      SELECT user_id, ts, is_base,
+             SUM(dr) OVER w AS nr, SUM(dc) OVER w AS nc
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY e_us, is_base
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           CAST(SUM(r_hit) OVER w AS DOUBLE) AS n_resets,
-           CAST(SUM(c_hit) OVER w AS DOUBLE) AS n_changes
-    FROM flagged
-    WINDOW w AS (PARTITION BY user_id ORDER BY us
-                 RANGE BETWEEN 172799999999 PRECEDING AND CURRENT ROW)
+           CAST(nr AS DOUBLE) AS n_resets,
+           CAST(nc AS DOUBLE) AS n_changes
+    FROM c WHERE is_base = 1
     """,
 )
 def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`resets(click[2d])` and `changes(click[2d])` compiled from the
     strings and joined on (series, instant) — counter-stability
-    diagnostics over the hourly grid.  Exact integer counts: zero
-    cross-engine float freedom, so the oracle is bit-trivial."""
+    diagnostics over the hourly grid.  Exact Prometheus both-endpoints
+    window semantics (instant and grid mode agree since round 5).
+    Exact integer counts: zero cross-engine float freedom, so the
+    oracle is bit-trivial."""
     m = _metrics_view(spark, sf_dir, "hour")
     r = compile_promql("resets(click[2d])").evaluate(m).select(
         "user_id", "ts", F.col("value").alias("n_resets")

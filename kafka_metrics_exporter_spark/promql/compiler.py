@@ -294,12 +294,15 @@ def _eval_resets_changes(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     Exact integer counts — both engines agree bit-for-bit, no float
     freedom at all.
 
-    Instant-mode convention (documented divergence, mirrored by the
-    oracle): a pair counts at instant t when its LATER endpoint is in
-    (t-w, t] and its own gap is ≤ w; Prometheus additionally requires
-    the earlier endpoint inside the window, so a pair straddling the
-    left edge counts here but not there.  The step-grid evaluator
-    implements the exact both-endpoints-inside semantics."""
+    Exact Prometheus semantics (both modes agree since round 5): a pair
+    counts at instant t iff BOTH endpoints are inside (t - w, t] —
+    i.e. t ∈ [s_us, p_us + w).  A windowed sum can't reference the
+    frame's anchor instant, so the pair intervals are counted with the
+    classic sweep: each qualifying pair emits a +1 event at s_us and a
+    -1 event at p_us + w, and the count at instant t is the running sum
+    of events with e_us ≤ t.  Pairs with gap ≥ w have an empty interval
+    and are dropped up front.  One lag window + one cumulative window,
+    both per-series — same shuffle shape as the old single-window form."""
     vec = _eval_selector(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     window_us = int(round(node.window_seconds * 1_000_000))
@@ -311,24 +314,63 @@ def _eval_resets_changes(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     ord_w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(us)
     prev_v = F.lag("value").over(ord_w)
     prev_us = F.lag(us).over(ord_w)
-    # a pair counts only when BOTH endpoints are inside the window at
-    # evaluation time; since the frame is trailing, that is exactly
-    # "the predecessor is also within (t - w, t]" for each frame row
     hit = F.col("value") < prev_v if node.fn == "resets" else F.col("value") != prev_v
-    pair = F.when(
-        prev_us.isNotNull() & hit, F.lit(1)
-    ).otherwise(F.lit(0))
-    df = vec.df.withColumn("__pair_hit", pair).withColumn("__p_us", prev_us)
-    w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(us).rangeBetween(
-        -(window_us - 1), 0
+    flagged = vec.df.select(
+        *series,
+        F.col("ts"),
+        us.alias("__us"),
+        prev_us.alias("__p_us"),
+        F.when(prev_us.isNotNull() & hit, F.lit(1)).otherwise(F.lit(0)).alias("__hit"),
     )
-    # only pairs whose predecessor is inside the window count
-    in_win = F.when(
-        F.col("__p_us") > us - F.lit(window_us), F.col("__pair_hit")
-    ).otherwise(F.lit(0))
-    df = df.withColumn("__in_win", in_win)
-    val = F.sum(F.col("__in_win")).over(w).cast("double")
-    out = df.withColumn("value", val).drop("__pair_hit", "__p_us", "__in_win")
+    eligible = (F.col("__hit") == 1) & (
+        F.col("__us") - F.col("__p_us") < F.lit(window_us)
+    )
+    events = (
+        flagged.filter(eligible)
+        .select(
+            *series,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__us").alias("e_us"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        (F.col("__p_us") + F.lit(window_us)).alias("e_us"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("__ev"),
+        )
+        .select(
+            *series,
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.col("__ev.e_us").alias("__e_us"),
+            F.col("__ev.d").alias("__d"),
+            F.lit(0).alias("__is_base"),
+        )
+    )
+    base = flagged.select(
+        *series,
+        F.col("ts"),
+        F.col("__us").alias("__e_us"),
+        F.lit(0).alias("__d"),
+        F.lit(1).alias("__is_base"),
+    )
+    # events sort before the instants that share their timestamp (both
+    # event kinds apply at t = e_us); base rows carry delta 0, so frame
+    # splits among equal-key peers cannot change any base row's sum —
+    # the cumulative ROWS frame is deterministic
+    cum = (
+        Window.partitionBy(*[F.col(c) for c in series])
+        .orderBy(F.col("__e_us").asc(), F.col("__is_base").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        base.unionByName(events)
+        .withColumn("value", F.sum("__d").over(cum).cast("double"))
+        .filter(F.col("__is_base") == 1)
+        .select(*series, "ts", "value")
+    )
     return _Vec(out, vec.labels)
 
 
@@ -409,6 +451,23 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
         # PromQL quantile_over_time = linear interpolation over the
         # sorted samples — exactly SQL percentile_cont semantics
         agg = F.percentile(F.col("value"), F.lit(float(node.param)))
+    elif node.op == "last":
+        # deterministic newest-sample pick: max over (ts, value) structs
+        # orders by timestamp first, value second, so duplicate-timestamp
+        # peers resolve to the max value instead of partition-order luck
+        # (getField AFTER .over — the window must wrap the aggregate)
+        agg_col = (
+            F.max(
+                F.struct(
+                    F.unix_micros(F.col("ts")).alias("__o_us"),
+                    F.col("value").alias("__o_v"),
+                )
+            )
+            .over(w)
+            .getField("__o_v")
+            .cast("double")
+        )
+        return _Vec(vec.df.withColumn("value", agg_col), vec.labels)
     else:
         agg = _AGG_FN[node.op](F.col("value"))
     agg_col = agg.over(w).cast("double")

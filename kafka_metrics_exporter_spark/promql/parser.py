@@ -210,6 +210,21 @@ class _Parser:
         if tok != val:
             raise SyntaxError(f"promql: expected {val!r}, got {tok!r}")
 
+    def signed_number(self, what: str) -> float:
+        """A numeric literal with an optional leading sign — PromQL
+        scalar arguments may be negative (`predict_linear(m[1h], -600)`
+        projects into the past) or explicitly positive."""
+        sign = 1.0
+        kind, tok = self.peek()
+        if tok in ("+", "-"):
+            self.next()
+            sign = -1.0 if tok == "-" else 1.0
+            kind, tok = self.peek()
+        if kind != "number":
+            raise SyntaxError(f"promql: {what} requires a numeric literal")
+        self.next()
+        return sign * float(tok)
+
     # expr := arith [cmp_op number] — comparisons bind loosest, as in
     # PromQL: `a > 0 + b` means `a > (0 + b)` (a vector comparison this
     # subset doesn't support, so it errors) rather than silently
@@ -219,10 +234,7 @@ class _Parser:
         kind, tok = self.peek()
         if tok in (">", "<", ">=", "<=", "==", "!="):
             self.next()
-            nkind, ntok = self.next()
-            if nkind != "number":
-                raise SyntaxError("promql: comparison requires a scalar")
-            threshold = float(ntok)
+            threshold = self.signed_number("comparison")
             if self.peek()[1] in ("+", "-", "*", "/"):
                 raise SyntaxError(
                     "promql: arithmetic after a comparison threshold is a "
@@ -291,10 +303,7 @@ class _Parser:
         self.expect("(")
         param = None
         if op == "quantile":
-            kind, tok = self.next()
-            if kind != "number":
-                raise SyntaxError("promql: quantile requires a literal φ")
-            param = float(tok)
+            param = self.signed_number("quantile φ")
             self.expect(",")
         inner = self.parse_expr()
         self.expect(")")
@@ -349,11 +358,9 @@ class _Parser:
             return Deriv(sel, window)
         sel, window = self._range_call(close=False)
         self.expect(",")
-        kind, tok = self.next()
-        if kind != "number":
-            raise SyntaxError("promql: predict_linear requires a literal horizon")
+        horizon = self.signed_number("predict_linear horizon")
         self.expect(")")
-        return Deriv(sel, window, predict_seconds=float(tok))
+        return Deriv(sel, window, predict_seconds=horizon)
 
     def parse_over_time(self) -> Expr:
         fn = self.next()[1]
@@ -361,10 +368,7 @@ class _Parser:
         if op == "quantile":
             # quantile_over_time(φ, sel[w])
             self.expect("(")
-            kind, tok = self.next()
-            if kind != "number":
-                raise SyntaxError("promql: quantile_over_time requires a literal φ")
-            phi = float(tok)
+            phi = self.signed_number("quantile_over_time φ")
             self.expect(",")
             sel = self.parse_selector()
             self.expect("[")
@@ -406,23 +410,18 @@ class _Parser:
         arg = None
         if fn in _CLAMP_FNS:
             self.expect(",")
-            kind, tok = self.next()
-            if kind != "number":
-                raise SyntaxError(f"promql: {fn} requires a scalar bound")
-            arg = float(tok)
+            arg = self.signed_number(f"{fn} bound")
         self.expect(")")
         return MathFn(fn, inner, arg=arg)
 
     def parse_histogram_quantile(self) -> Expr:
         self.next()
         self.expect("(")
-        kind, tok = self.next()
-        if kind != "number":
-            raise SyntaxError("promql: histogram_quantile requires a literal φ")
+        phi = self.signed_number("histogram_quantile φ")
         self.expect(",")
         inner = self.parse_expr()
         self.expect(")")
-        return HistogramQuantile(float(tok), inner)
+        return HistogramQuantile(phi, inner)
 
     def _string_arg(self) -> str:
         self.expect(",")

@@ -105,6 +105,16 @@ def _finish(df: DataFrame, series: list[str]) -> DataFrame:
     )
 
 
+def _latest_value() -> Column:
+    """Newest sample's value, deterministically: max over (ts, value)
+    structs orders by timestamp then value, so duplicate-timestamp peers
+    resolve to the larger value instead of whichever row an executor
+    happened to see last (ADVICE r4: max_by(value, __s_us) ties)."""
+    return F.max(
+        F.struct(F.col("__s_us").alias("__o_us"), F.col("value").alias("__o_v"))
+    ).getField("__o_v")
+
+
 @dataclass(frozen=True)
 class GridLeaf:
     """Leaf strategy handed to the instant compiler's ``_eval``:
@@ -122,9 +132,7 @@ class GridLeaf:
         vec = _eval_selector(node, metrics, label_cols)
         series = sorted(vec.labels)
         x = _expand_instants(vec.df, self.lookback_us, self.step_us, self.bounds)
-        out = x.groupBy(*series, "__t_us").agg(
-            F.max_by("value", "__s_us").alias("value")
-        )
+        out = x.groupBy(*series, "__t_us").agg(_latest_value().alias("value"))
         return _Vec(_finish(out, series), vec.labels)
 
     # -- rate / increase (extrapolated) and irate ------------------------
@@ -317,7 +325,7 @@ class GridLeaf:
         if node.op == "last":
             # groupBy has no frame order — pick the newest sample by its
             # timestamp explicitly (F.last would be partition-order luck)
-            agg = F.max_by(F.col("value"), F.col("__s_us"))
+            agg = _latest_value()
         elif node.op == "quantile":
             agg = F.percentile(F.col("value"), F.lit(float(node.param)))
         else:

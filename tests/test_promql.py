@@ -681,6 +681,10 @@ def test_resets_and_changes_counts(spark):
         for r in compile_promql("resets(m[2m])").evaluate(df).collect()
     }
     assert res2["2024-01-01 00:05:00"] == 1.0  # only the 5.0 -> 0.0 drop
+    # both-endpoints rule (Prometheus-exact, aligned with grid mode in
+    # round 5): at 00:03 the 3.0 -> 2.0 drop's earlier endpoint sits
+    # exactly on the left edge 00:01 — the left-open window excludes it
+    assert res2["2024-01-01 00:03:00"] == 0.0
 
 
 def test_resets_grid_mode_exact_window(spark):
@@ -733,3 +737,77 @@ def test_quantile_and_last_over_time(spark):
         for r in compile_promql("last_over_time(m[2m])").evaluate_range(df, 60.0).collect()
     }
     assert g["2024-01-01 00:03:00"] == 3.0
+
+
+def test_signed_scalar_literals_parse():
+    """ADVICE r4: predict_linear's horizon and the other scalar literal
+    slots accept an optional leading sign (Prometheus allows projecting
+    into the past with a negative horizon)."""
+    from kafka_metrics_exporter_spark.promql.parser import (
+        Cmp,
+        Deriv,
+        HistogramQuantile,
+        MathFn,
+        OverTime,
+        parse,
+    )
+
+    n = parse("predict_linear(m[1h], -600)")
+    assert isinstance(n, Deriv) and n.predict_seconds == -600.0
+    n = parse("predict_linear(m[1h], +600)")
+    assert n.predict_seconds == 600.0
+    n = parse("quantile_over_time(-0.5, m[1h])")
+    assert isinstance(n, OverTime) and n.param == -0.5
+    n = parse("m > -5")
+    assert isinstance(n, Cmp) and n.threshold == -5.0
+    n = parse("clamp_min(m, -1.5)")
+    assert isinstance(n, MathFn) and n.arg == -1.5
+    n = parse("histogram_quantile(-1, b)")
+    assert isinstance(n, HistogramQuantile) and n.phi == -1.0
+
+
+def test_predict_linear_negative_horizon_projects_backward(spark):
+    """On an exact line, predict_linear(sel[w], -60) equals the value
+    one minute ago — the regression line evaluated behind the instant."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [("m", f"2024-01-01 00:0{i}:00", 10.0 + 3.0 * i, "u")
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("predict_linear(m[10m], -60)").evaluate(df).collect()
+    }
+    assert abs(got["2024-01-01 00:04:00"] - (10.0 + 3.0 * 3)) < 1e-9
+
+
+def test_last_over_time_duplicate_timestamp_is_deterministic(spark):
+    """ADVICE r4: with duplicate (series, ts) samples the newest-sample
+    pick must not depend on partition order — the (ts, value) struct-max
+    tie-break resolves to the larger value in BOTH evaluation modes."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [
+        ("m", "2024-01-01 00:01:00", 4.0, "u"),
+        ("m", "2024-01-01 00:02:00", 9.0, "u"),
+        ("m", "2024-01-01 00:02:00", 2.0, "u"),  # duplicate ts
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(8)
+    inst = {
+        r["value"]
+        for r in compile_promql("last_over_time(m[10m])").evaluate(df).collect()
+        if str(r["ts"]) == "2024-01-01 00:02:00"
+    }
+    # both duplicate-ts rows report the deterministic winner 9.0
+    assert inst == {9.0}
+    grid = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("last_over_time(m[5m])")
+        .evaluate_range(df, 60.0)
+        .collect()
+    }
+    assert grid["2024-01-01 00:02:00"] == 9.0
