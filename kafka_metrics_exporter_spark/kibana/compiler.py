@@ -13,8 +13,11 @@ exactly that agg vocabulary to Spark plans:
   carries one), ``filters`` (named query_string predicates; a document
   lands in every bucket it matches).
 - **metric aggs** (schema ``metric``): ``avg``/``max``/``sum``,
-  ``cardinality`` (count-distinct; swap for approx_count_distinct at
-  scale — ES's own cardinality is HLL), and ``top_hits`` with
+  ``cardinality`` (exact countDistinct by default for oracle parity;
+  ``evaluate(..., approx_cardinality=True)`` switches every
+  cardinality — metric and terms-ordering — to HLL
+  ``approx_count_distinct``, which is what ES itself computes and what
+  a 100 TB deployment should run), and ``top_hits`` with
   ``size: 1`` (the corpus's only size): the latest value per bucket by
   ``sortField``/``sortOrder``, with the ``aggregate`` label
   (average/concat/sum/max) degenerate over a single hit.
@@ -227,9 +230,19 @@ class KibanaPlan:
         resolve=None,
         tiebreak: str | None = None,
         default_search_field: str | None = None,
+        approx_cardinality: bool = False,
+        cardinality_rsd: float = 0.01,
     ) -> DataFrame:
         resolve = resolve or _default_resolver(df)
         s = self.state
+        # ES's cardinality agg IS a HyperLogLog sketch; the exact form
+        # is the default here so results hash-match the DuckDB oracle,
+        # the approx form is the scale path (one pass, fixed memory,
+        # mergeable partials — tolerance-pinned like a5_approx)
+        if approx_cardinality:
+            count_distinct = lambda c: F.approx_count_distinct(c, rsd=cardinality_rsd)  # noqa: E731
+        else:
+            count_distinct = F.countDistinct
 
         # 1) bucket key columns (+ filters explode)
         key_names: list[str] = []
@@ -275,7 +288,7 @@ class KibanaPlan:
                     "avg": lambda c: F.avg(c.cast("double")),
                     "max": lambda c: F.max(c.cast("double")),
                     "sum": lambda c: F.sum(c.cast("double")),
-                    "cardinality": F.countDistinct,
+                    "cardinality": count_distinct,
                 }[m.op]
                 agg_exprs.append(fn(val).alias(m.label))
             else:  # TopHitsAgg, size == 1
@@ -306,7 +319,7 @@ class KibanaPlan:
                 # ES, and stays exact for non-decomposable ops like
                 # cardinality
                 if op == "cardinality":
-                    ord_expr = F.countDistinct(resolve(fld))
+                    ord_expr = count_distinct(resolve(fld))
                 elif op == "count":
                     ord_expr = F.count(F.lit(1))
                 else:

@@ -282,3 +282,45 @@ def test_nested_terms_size_keeps_whole_terms(spark):
     out = compile_visualization(vis).evaluate(df)
     got = sorted((r[0], r[1], r[2]) for r in out.collect())
     assert got == [("h1", "a", 50.0), ("h1", "b", 40.0), ("h1", "c", 30.0)]
+
+
+def test_cardinality_approx_mode_matches_exact_small(docs):
+    """VERDICT r4 item 7: `evaluate(..., approx_cardinality=True)` maps
+    every cardinality agg (metric AND terms ordering) to the HLL
+    approx_count_distinct ES itself computes — on small cardinalities
+    the estimate is exact, and at scale it is the one-pass fixed-memory
+    form (tolerance-pinned like a5_approx)."""
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t",
+                    "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "component.keyword", "size": 3,
+                                     "order": "desc", "orderBy": "1",
+                                     "customLabel": "Component"}},
+                        {"id": "1", "type": "cardinality", "schema": "metric",
+                         "params": {"field": "host.keyword",
+                                    "customLabel": "Hosts"}},
+                    ],
+                }
+            )
+        }
+    )
+    exact = {r.component: r.hosts for r in plan.evaluate(docs).collect()}
+    approx = {
+        r.component: r.hosts
+        for r in plan.evaluate(docs, approx_cardinality=True).collect()
+    }
+    assert set(exact) == set(approx) == {"broker", "connect", "zk"}
+    # HLL is exact at these cardinalities (1-2 distinct hosts)
+    assert approx == exact
+    # and the approx plan really is the sketch, not a rename: its
+    # physical plan has no expensive exact distinct expansion
+    explained = (
+        plan.evaluate(docs, approx_cardinality=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "approx_count_distinct" in explained
