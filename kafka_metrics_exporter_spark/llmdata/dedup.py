@@ -646,6 +646,7 @@ def connected_components(
     dst_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Transitive closure over a near-dup pair graph: every vertex gets
     the MIN vertex id reachable from it (its cluster representative).
@@ -671,14 +672,29 @@ def connected_components(
     graph the overwhelming majority of documents are singletons, and
     dragging them through every round would shuffle the whole corpus
     per iteration for no movement.  Singletons rejoin as their own
-    component in one final left join.  The alternating
-    large-star/small-star variant (Kiveris et al., MR'14) halves the
-    edge traffic for power-law graphs and slots in here unchanged if
-    profiles demand it.
+    component in one final left join.
+
+    ``algorithm="star"`` switches to the alternating large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — see
+    :func:`_connected_components_star`.  It rewrites the EDGE set
+    instead of propagating labels, which cuts per-round traffic on
+    power-law pair graphs (the hot vertex's edges collapse onto the
+    component minimum after one large-star).  Both algorithms return
+    identical components (property-tested in tests/test_llmdata.py).
 
     Returns (id_col, component) with one row per vertex; singletons map
     to themselves.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, vertices, src_col, dst_col, id_col, max_iterations
+        )
+    if algorithm != "label_prop":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            f"(expected 'label_prop' or 'star')"
+        )
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     # materialize the (possibly expensive — e.g. an LSH pair join)
     # edge lineage ONCE; every round re-reads it
@@ -735,4 +751,101 @@ def connected_components(
     ).select(
         F.col(id_col),
         F.coalesce("comp", F.col(id_col)).alias("component"),
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str,
+    dst_col: str,
+    id_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., SoCC'14): each round rewrites the edge set so
+    every vertex's neighborhood collapses toward the neighborhood
+    minimum, converging to per-component stars centered on the
+    component's min vertex id.
+
+    - **large-star(u)**: with m = min(Γ(u) ∪ {u}), re-point every
+      STRICTLY LARGER neighbor v > u at m — high-degree vertices shed
+      their big neighbors in one round, which is why this variant wins
+      on power-law pair graphs (the minhash hot-bucket shape).
+    - **small-star(u)**: re-point every neighbor v ≤ u, and u itself,
+      at m — folds the small side onto the center.
+
+    Each phase is one min-groupBy over the symmetric edge list plus one
+    join back — edge-count-linear shuffles keyed by vertex id, no label
+    table to carry, and the edge set SHRINKS monotonically toward one
+    edge per non-center vertex (min-label propagation instead re-joins
+    the full edge set against labels every round).  Convergence: the
+    canonical directed edge multiset (child > parent) is stable — an
+    order-free count + xxhash64-sum scalar per round, O(1) bytes to the
+    driver.  At convergence ``comp(child) = parent`` and centers /
+    singletons map to themselves.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # canonical child > parent form; self-loops dropped
+    directed = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        sym = directed.select("a", "b").unionByName(
+            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: m(u) over the full neighborhood, larger neighbors
+        # re-pointed at it
+        m = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the large-star output
+        sym2 = large.select("a", "b").unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m2 = sym2.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        small = (
+            sym2.join(m2, "a")
+            .filter(F.col("b") <= F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .distinct()
+        )
+        directed = small.localCheckpoint(eager=True)
+        sig = directed.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-free AND overflow-free under ANSI
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged stars: every child points at its component min; centers
+    # and edge-less singletons are their own component
+    labels = directed.groupBy("a").agg(F.min("b").alias("comp"))
+    return (
+        vertices.select(F.col(id_col))
+        .join(
+            labels.select(F.col("a").alias(id_col), "comp"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("component"),
+        )
     )

@@ -83,9 +83,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@query(
-    "dedup_components",
-    """
+# Shared by dedup_components (min-label propagation) and
+# dedup_components_star (large-star/small-star): both algorithms must
+# produce the identical component labeling this recursive-CTE
+# min-reachability oracle computes.
+_CC_ORACLE_SQL = """
     WITH RECURSIVE w AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
@@ -123,8 +125,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(lbl) AS component,
            MIN(lbl) = u AS is_survivor
     FROM reach GROUP BY u
-    """,
-)
+    """
+
+
+@query("dedup_components", _CC_ORACLE_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: transitive closure over the exact 3-gram
     Jaccard pair graph (A~B, B~C ⇒ {A,B,C} one cluster), one survivor
@@ -134,6 +138,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.5)
     labels = dedup.connected_components(pairs, docs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+@query("dedup_components_star", _CC_ORACLE_SQL)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_components but via the alternating
+    large-star/small-star edge-rewrite algorithm (Kiveris et al.,
+    SoCC'14; dedup._connected_components_star) — the power-law-graph
+    lever named since round 3.  Identical oracle: both algorithms must
+    agree bit-for-bit on the component labeling."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs, algorithm="star")
     return labels.select(
         "doc_id",
         "component",

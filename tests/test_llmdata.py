@@ -590,3 +590,63 @@ def test_short_doc_shingles_match_oracle_convention(spark):
         tuple(r) for r in con.execute(ORACLE_SQL["dedup_ngram_jaccard"]).fetchall()
     )
     assert [tuple(map(float, w[:2])) + (w[2],) for w in want] == [(1.0, 2.0, 1.0)]
+
+
+def test_star_cc_matches_label_prop_on_random_graphs(spark):
+    """VERDICT r4 item 6: the large-star/small-star variant must produce
+    the identical component labeling as min-label propagation — checked
+    on seeded random graphs spanning sparse, power-law-ish (hub), path,
+    and dense shapes."""
+    import random
+
+    def gen(seed, n, m, hub=False):
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < m:
+            if hub and rng.random() < 0.5:
+                a = rng.randrange(5)  # few hot vertices
+            else:
+                a = rng.randrange(n)
+            b = rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        return sorted(edges)
+
+    cases = [
+        gen(1, 40, 15),           # sparse, many components
+        gen(2, 40, 80, hub=True), # power-law-ish hubs
+        [(i, i + 1) for i in range(50)],  # long path (depth stress)
+        gen(3, 20, 120),          # dense, one giant component
+    ]
+    for edges in cases:
+        e = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        n = max(max(b for _, b in edges), max(a for a, _ in edges)) + 1
+        v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        lp = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(e, v).collect()
+        }
+        star = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(e, v, algorithm="star").collect()
+        }
+        assert star == lp, f"divergence on {len(edges)}-edge graph"
+
+
+def test_star_cc_on_star_heavy_hub(spark):
+    """A pure star graph (the worst case for label propagation's
+    re-join of the hot vertex's edges) converges in few rounds and
+    labels every leaf with the hub's component min."""
+    hub = 500
+    edges = spark.createDataFrame(
+        [(hub, i) for i in range(200)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(hub,)], "doc_id long"
+    )
+    out = dedup.connected_components(
+        edges, vertices, algorithm="star", max_iterations=8
+    ).collect()
+    assert all(r["component"] == 0 for r in out)
