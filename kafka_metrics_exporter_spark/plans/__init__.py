@@ -25,78 +25,91 @@ from kafka_metrics_exporter_spark.plans import kibana_queries  # noqa: E402,F401
 # Driver-side cap on recorded CORRECTNESS entries (observed r1-r3).
 CORRECTNESS_WINDOW = 50
 
-# Explicit first-window ordering.  Composition:
-#   - the 23 queries registered after `text_metrics` in r3 (never had a
-#     driver row: llmdata tail + promql suite);
-#   - queries whose engine code or oracle changed in round 4 (new
-#     oracles for the sketch pipelines, new kibana/range front ends,
-#     embed_cluster_dedup);
-#   - core queries kept as regression canaries for this round's decimal
-#     / rate work.
-# Everything not listed keeps its definition order after these.
+# Explicit first-window ordering for ROUND 5.  Composition (the r4
+# verdict's rotation ask, executed):
+#   - the 31 queries whose latest driver row is r3 (they sat after slot
+#     50 in the r4 window) — promoted so no query's driver row is more
+#     than one round old;
+#   - queries NEW this round (grid-mode composites, star CC);
+#   - queries whose engine semantics or oracle CHANGED this round
+#     (resets/changes both-endpoints rule, last_over_time determinism);
+#   - r4-verified canaries filling the window to 50 (front-end and
+#     dedup paths touched by this round's refactors).
+# Everything not listed keeps definition order after these (all have
+# green r4 rows).
 #
-# ROTATION POLICY for round 5+: once CORRECTNESS_r4 lands, every query
-# in the registry has a driver row in r3 ∪ r4.  Next round, swap this
-# list: promote the 28 queries whose latest row is r3 (they sit after
-# slot 50 now) plus anything new/changed into the window, and demote
-# this round's verified set to the tail — keeping every query's most
-# recent driver row at most one round old.  test_registry_window.py
-# enforces that new/changed queries always land in-window.
+# ROTATION POLICY for round 6+: swap again — promote the r4-latest set
+# (now sitting after slot 50) plus NEW_THIS_ROUND/CHANGED_THIS_ROUND,
+# demote this round's verified set.  test_registry_window.py enforces
+# that never-verified and changed queries always land in-window.
+
+# Queries first registered this round — must be in-window.
+NEW_THIS_ROUND = [
+    "promql_topk_rate_grid",
+    "promql_histogram_quantile_grid",
+    "dedup_components_star",
+]
+
+# Queries whose engine semantics or oracle SQL changed this round —
+# must be re-verified by the driver even though they have green rows
+# (ADVICE r4: the r4 window dropped changed queries; now pinned by
+# test_registry_window.py::test_changed_queries_land_in_window).
+CHANGED_THIS_ROUND = [
+    "promql_resets_changes",  # both-endpoints window rule + new oracle
+    "promql_quantile_last_over_time",  # deterministic last tie-break
+]
+
 WINDOW_PRIORITY = [
-    # -- never driver-verified (r3 slots 51-73) ---------------------------
-    "text_langid",
-    "doc_fingerprint",
-    "multimodal_features",
-    "pipe_split",
-    "pipe_stratified_sample",
-    "pipe_pack_chunks",
-    "pipe_decontaminate",
-    "multimodal_resize",
-    "multimodal_frames",
-    "text_quality_gate",
-    "text_redact",
-    "pipe_weighted_sample",
-    "pipe_corpus_build",
-    "dedup_minhash_components",
-    "multimodal_audio",
-    "text_token_rarity",
-    "text_repetition",
-    "embed_quantize",
-    "pipe_sliding_chunks",
-    "promql_topk_rate",
-    "promql_vector_math",
-    "promql_quantile_agg",
-    "promql_histogram_quantile",
-    # -- new in round 4 ---------------------------------------------------
-    "promql_rate_extrapolated",
-    "promql_deriv_predict",
-    "promql_resets_changes",
-    "promql_quantile_last_over_time",
+    # -- latest driver row is r3 (31 queries) -----------------------------
+    "a5_count_distinct",
+    "a5_approx_count_distinct",
+    "a6_latest_value",
+    "w4_latest_per_user",
+    "a9_topk_of_avg",
+    "a10_sum_without",
+    "w1_tumbling_window",
+    "w3_topk_per_group",
+    "a11b_approx_percentile",
+    "a9b_sum_of_topk",
+    "w7b_sliding_window",
+    "w8_frame_specs",
+    "w9_regex_label_rate_sum",
+    "w10_topk_rate_nonempty",
+    "j1_cross_join",
+    "j3_union_byname",
+    "j5_explode_parent_child",
+    "o1_distinct",
+    "o3_anti_join",
+    "o4_sort_limit",
+    "o5_intersect",
+    "p_scalar_pack",
+    "j6_asof_join",
+    "a12_rollup",
+    "o6_semi_join",
+    "o7_except_all",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embed_near_dup_cosine",
+    "embed_cosine_topk",
+    "text_metrics",
+    # -- new / changed in round 5 -----------------------------------------
+    *NEW_THIS_ROUND,
+    *CHANGED_THIS_ROUND,
+    # -- r4-verified canaries on this round's touched paths ---------------
     "kibana_terms_metrics",
-    "kibana_date_histogram",
-    "kibana_top_hits_latest",
-    # -- changed in round 4 (new oracle / new semantics) ------------------
-    "dedup_simhash",
+    "promql_rate_extrapolated",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_minhash_components",
     "embed_near_dup_lsh",
     "embed_ivf_topk",
-    "embed_cluster_dedup",
-    # -- round-4 regression canaries (decimal-accumulation rework etc.) ---
     "a1_a4_grouped_metrics",
-    "a7_multikey_drilldown",
-    "a8_having",
-    "scale_salted_agg",
-    "qtj_series_arith",
-    "w7_session_window",
-    "w11_rollup_cascade",
     "w2_rate",
-    "a11_percentile",
-    "j2_broadcast_lookup",
-    "j7_range_join",
-    "p1_objectname_pivot",
     "p2_normalize_pipeline",
+    "a11_percentile",
     "rules_rewrite",
-    "dedup_components",
+    "p1_objectname_pivot",
 ]
 
 

@@ -10,7 +10,9 @@ import json
 import os
 
 from kafka_metrics_exporter_spark.plans import (
+    CHANGED_THIS_ROUND,
     CORRECTNESS_WINDOW,
+    NEW_THIS_ROUND,
     ORACLE_SQL,
     QUERIES,
     WINDOW_PRIORITY,
@@ -18,12 +20,13 @@ from kafka_metrics_exporter_spark.plans import (
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Names that had a green (or rows-only) row in CORRECTNESS_r03.json —
-# frozen here so the assertion doesn't drift when the driver writes
-# newer CORRECTNESS files into the repo.
-_R3_VERIFIED = {
+# Names with a driver CORRECTNESS row in any completed round — frozen
+# to the specific files so the assertion doesn't drift when the driver
+# writes newer CORRECTNESS files into the repo.
+_VERIFIED = {
     json_name
-    for json_name in json.load(open(os.path.join(REPO, "CORRECTNESS_r03.json")))
+    for fname in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    for json_name in json.load(open(os.path.join(REPO, fname)))
 }
 
 
@@ -42,15 +45,39 @@ def test_priority_prefix_is_respected():
 
 
 def test_unverified_queries_land_in_window():
-    """Any query without a prior driver row (new this round, or pushed
-    out of the r3 window) must sit in the first CORRECTNESS_WINDOW
-    slots so the driver verifies it this round."""
+    """Any query without a prior driver row (new this round) must sit
+    in the first CORRECTNESS_WINDOW slots so the driver verifies it
+    this round."""
     window = set(list(QUERIES)[:CORRECTNESS_WINDOW])
-    never_verified = [n for n in QUERIES if n not in _R3_VERIFIED]
+    never_verified = [n for n in QUERIES if n not in _VERIFIED]
     outside = [n for n in never_verified if n not in window]
     assert not outside, (
         f"queries with no driver CORRECTNESS row are outside the "
         f"first-{CORRECTNESS_WINDOW} window: {outside}"
+    )
+    # and the declared new-query list is complete: a query the driver
+    # has never seen MUST be declared NEW_THIS_ROUND
+    undeclared = [
+        n for n in never_verified if n not in NEW_THIS_ROUND
+    ]
+    assert not undeclared, (
+        f"queries with no driver row missing from NEW_THIS_ROUND: "
+        f"{undeclared}"
+    )
+
+
+def test_changed_queries_land_in_window():
+    """ADVICE r4: queries whose engine semantics or oracle changed this
+    round must be re-verified by the driver — being green in an OLD
+    round does not cover new code.  The changed list is maintained in
+    plans/__init__.py next to the window."""
+    window = set(list(QUERIES)[:CORRECTNESS_WINDOW])
+    missing = [
+        n for n in NEW_THIS_ROUND + CHANGED_THIS_ROUND if n not in window
+    ]
+    assert not missing, (
+        f"new/changed queries outside the first-{CORRECTNESS_WINDOW} "
+        f"window: {missing}"
     )
 
 
