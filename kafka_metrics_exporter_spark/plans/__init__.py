@@ -48,6 +48,8 @@ NEW_THIS_ROUND = [
     "promql_topk_rate_grid",
     "promql_histogram_quantile_grid",
     "dedup_components_star",
+    "promql_vector_matching",
+    "promql_set_ops",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -108,8 +110,6 @@ WINDOW_PRIORITY = [
     "w2_rate",
     "p2_normalize_pipeline",
     "a11_percentile",
-    "rules_rewrite",
-    "p1_objectname_pivot",
 ]
 
 

@@ -619,3 +619,106 @@ def promql_histogram_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         _r4(F.col("value")).alias("value"),
     )
+
+
+_METRICS2_SQL = """
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+             CAST(user_id % 5 AS VARCHAR) AS region,
+             date_trunc('hour', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+def _metrics2_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-label series frame (user_id + derived region) — the shape
+    vector matching needs: the sides of the join carry different label
+    sets."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("string").alias("user_id"),
+        (F.col("user_id") % 5).cast("string").alias("region"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+
+
+@query(
+    "promql_vector_matching",
+    f"""
+    WITH m AS ({_METRICS2_SQL}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    v AS (SELECT region, ts, SUM(value) AS rv
+          FROM m WHERE name = 'view' GROUP BY 1, 2)
+    SELECT c.user_id, c.region,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(c.value / v.rv, 6) AS value
+    FROM c JOIN v ON c.region = v.region AND c.ts = v.ts
+    """,
+)
+def promql_vector_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`click / on(region) group_left sum by (region) (view)` — each
+    user's clicks as a fraction of their region's total views at the
+    same instant: PromQL many-to-one vector matching (`group_left`)
+    compiled to an equi-join on (region, ts) where the many side keeps
+    its full label set.  Exact count arithmetic → bit-identical
+    doubles; the oracle is the same two-relation join."""
+    plan = compile_promql("click / on(region) group_left sum by (region) (view)")
+    out = plan.evaluate(_metrics2_view(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "region",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+@query(
+    "promql_set_ops",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT user_id, ts, value FROM m WHERE name = 'click'),
+    v AS (SELECT user_id, ts, value FROM m WHERE name = 'view'),
+    in_both AS (
+      SELECT c.* FROM c WHERE EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.ts = c.ts)
+    ),
+    only_click AS (
+      SELECT c.* FROM c WHERE NOT EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.ts = c.ts)
+    ),
+    merged AS (
+      SELECT * FROM c
+      UNION ALL
+      SELECT v.* FROM v WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = v.user_id AND c.ts = v.ts)
+    )
+    SELECT 'and' AS op, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value FROM in_both
+    UNION ALL
+    SELECT 'unless', user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), value
+    FROM only_click
+    UNION ALL
+    SELECT 'or', user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), value FROM merged
+    """,
+)
+def promql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three PromQL set operators over the same pair of series,
+    stacked into one frame tagged by `op`: `click and view` (instants
+    where the user also viewed — left-semi join), `click unless view`
+    (left-anti join), `click or view` (left wins, right fills the
+    gaps).  Values are exact counts, so every engine agrees
+    bit-for-bit; the oracle mirrors each operator with EXISTS / NOT
+    EXISTS / union-anti SQL."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    parts = []
+    for op in ("and", "unless", "or"):
+        out = compile_promql(f"click {op} view").evaluate(m)
+        parts.append(
+            out.select(
+                F.lit(op).alias("op"),
+                "user_id",
+                F.date_format("ts", _TS_FMT).alias("ts_s"),
+                "value",
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -70,7 +70,9 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Rate,
     Scalar,
     Selector,
+    SetOp,
     TopK,
+    VectorMatch,
     parse,
 )
 
@@ -169,6 +171,8 @@ def _eval(
         return _eval_topk(node, metrics, label_cols, leaf)
     if isinstance(node, Bin):
         return _eval_bin(node, metrics, label_cols, leaf)
+    if isinstance(node, SetOp):
+        return _eval_setop(node, metrics, label_cols, leaf)
     if isinstance(node, (LabelReplace, LabelJoin)):
         return _eval_label_fn(node, metrics, label_cols, leaf)
     if isinstance(node, HistogramQuantile):
@@ -633,11 +637,15 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
             right.df.withColumn("value", py_ops[node.op](F.lit(left), F.col("value"))),
             right.labels,
         )
-    # vector-vector: one-to-one matching on the identical label set
+    # vector-vector
+    if node.match is not None:
+        return _eval_matched_bin(node, left, right, py_ops[node.op])
+    # default: one-to-one matching on the identical label set
     if left.labels != right.labels:
         raise ValueError(
             f"promql: vector arithmetic needs matching label sets "
-            f"({sorted(left.labels)} vs {sorted(right.labels)})"
+            f"({sorted(left.labels)} vs {sorted(right.labels)}) — "
+            f"use on(...)/ignoring(...) to match on a subset"
         )
     keys = sorted(left.labels) + ["ts"]
     lf = left.df.select(*keys, F.col("value").alias("__lv"))
@@ -646,6 +654,106 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
         "value", py_ops[node.op](F.col("__lv"), F.col("__rv"))
     )
     return _Vec(joined.drop("__lv", "__rv"), left.labels)
+
+
+def _match_keys(match: VectorMatch, left: _Vec, right: _Vec) -> list[str]:
+    """The label columns both sides are joined on: ``on`` names them
+    outright; ``ignoring`` means every label either side carries except
+    the ignored ones (the engine's NULL ≡ "" canon makes a label absent
+    on one side behave exactly like the empty string, as PromQL
+    specifies)."""
+    if match.on is not None:
+        return sorted(set(match.on))
+    return sorted((left.labels | right.labels) - set(match.ignoring or ()))
+
+
+def _with_labels(df: DataFrame, have: frozenset[str], need: list[str]) -> DataFrame:
+    for lbl in need:
+        if lbl not in have:
+            df = df.withColumn(lbl, F.lit(""))
+    return df
+
+
+def _eval_matched_bin(node: Bin, left: _Vec, right: _Vec, op) -> _Vec:
+    """``on``/``ignoring`` vector matching:
+
+    - one-to-one (no group modifier): equi-join on (match keys, ts);
+      the result carries exactly the match keys, like PromQL.  (PromQL
+      errors at runtime on duplicate matches; relationally a duplicate
+      simply fans out — the caller owns key uniqueness, documented.)
+    - ``group_left(extra...)`` — many(left)-to-one(right): the left
+      side keeps ALL its labels; ``extra`` labels are copied from the
+      right (one) side.  ``group_right`` mirrors it.
+    """
+    keys = _match_keys(node.match, left, right)
+    lf = _with_labels(left.df, left.labels, keys)
+    rf = _with_labels(right.df, right.labels, keys)
+    if node.match.group is None:
+        lf = lf.select(*keys, "ts", F.col("value").alias("__lv"))
+        rf = rf.select(*keys, "ts", F.col("value").alias("__rv"))
+        out = lf.join(rf, keys + ["ts"], "inner").withColumn(
+            "value", op(F.col("__lv"), F.col("__rv"))
+        )
+        return _Vec(out.drop("__lv", "__rv"), frozenset(keys))
+    # many-to-one: `many` keeps its labels, `one` contributes value +
+    # the include labels
+    include = list(node.match.include)
+    if node.match.group == "left":
+        many_vec, many_df, one_vec, one_df = left, lf, right, rf
+    else:
+        many_vec, many_df, one_vec, one_df = right, rf, left, lf
+    one_df = _with_labels(one_df, one_vec.labels, include)
+    one_cols = [
+        *keys,
+        "ts",
+        F.col("value").alias("__ov"),
+        *[F.col(c).alias(f"__inc_{c}") for c in include],
+    ]
+    one_df = one_df.select(*one_cols)
+    many_keep = sorted(many_vec.labels | set(keys))
+    many_df = many_df.select(*many_keep, "ts", F.col("value").alias("__mv"))
+    joined = many_df.join(one_df, keys + ["ts"], "inner")
+    # operand order is the SYNTACTIC order, not many-vs-one
+    lv = F.col("__mv") if node.match.group == "left" else F.col("__ov")
+    rv = F.col("__ov") if node.match.group == "left" else F.col("__mv")
+    joined = joined.withColumn("value", op(lv, rv))
+    # include labels overwrite any same-named label on the many side
+    for c in include:
+        joined = joined.withColumn(c, F.col(f"__inc_{c}"))
+    out_labels = frozenset(many_vec.labels | set(keys) | set(include))
+    out = joined.select(*sorted(out_labels), "ts", "value")
+    return _Vec(out, out_labels)
+
+
+def _eval_setop(node: SetOp, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    """``and`` / ``or`` / ``unless``: instant-vector set operators.
+    Matching is on the FULL label set (or the on/ignoring subset) plus
+    the evaluation instant — relationally a left-semi join (and), a
+    left-anti join (unless), and a union-with-anti-join (or: left rows
+    win, right rows fill the instants/series left lacks).  Values and
+    labels come from the winning side, exactly PromQL's rule."""
+    left = _eval(node.left, metrics, label_cols, leaf)
+    right = _eval(node.right, metrics, label_cols, leaf)
+    if isinstance(left, float) or isinstance(right, float):
+        raise ValueError(f"promql: {node.op} needs vector operands")
+    if node.match is not None:
+        keys = _match_keys(node.match, left, right)
+    else:
+        keys = sorted(left.labels | right.labels)
+    lf = _with_labels(left.df, left.labels, keys)
+    rf = _with_labels(right.df, right.labels, keys)
+    if node.op in ("and", "unless"):
+        how = "left_semi" if node.op == "and" else "left_anti"
+        out = lf.join(rf.select(*keys, "ts").distinct(), keys + ["ts"], how)
+        return _Vec(out, left.labels)
+    # or: all of left, plus right rows whose (keys, ts) have no left row
+    out_labels = left.labels | right.labels
+    lf = _with_labels(lf, left.labels | set(keys), sorted(out_labels))
+    rf = _with_labels(rf, right.labels | set(keys), sorted(out_labels))
+    cols = [*sorted(out_labels), "ts", "value"]
+    extra = rf.join(lf.select(*keys, "ts").distinct(), keys + ["ts"], "left_anti")
+    out = lf.select(*cols).unionByName(extra.select(*cols))
+    return _Vec(out, frozenset(out_labels))
 
 
 def evaluate_streaming(

@@ -90,10 +90,33 @@ class TopK:
 
 
 @dataclass(frozen=True)
+class VectorMatch:
+    """``on(...)`` / ``ignoring(...)`` with optional ``group_left(...)``
+    / ``group_right(...)`` — PromQL's vector-matching modifier."""
+
+    on: tuple[str, ...] | None = None  # mutually exclusive with ignoring
+    ignoring: tuple[str, ...] | None = None
+    group: str | None = None  # 'left' | 'right' | None (one-to-one)
+    include: tuple[str, ...] = ()  # extra labels copied from the one side
+
+
+@dataclass(frozen=True)
 class Bin:
     op: str  # + - * /
     left: "Expr"
     right: "Expr"
+    match: VectorMatch | None = None
+
+
+@dataclass(frozen=True)
+class SetOp:
+    """``and`` / ``or`` / ``unless`` — instant-vector set operators
+    (match on the full label set unless a VectorMatch narrows it)."""
+
+    op: str  # and | or | unless
+    left: "Expr"
+    right: "Expr"
+    match: VectorMatch | None = None
 
 
 @dataclass(frozen=True)
@@ -139,8 +162,8 @@ class Cmp:
 
 
 Expr = (
-    Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | Scalar | Cmp
-    | LabelReplace | LabelJoin | HistogramQuantile | MathFn
+    Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
+    | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
@@ -225,11 +248,34 @@ class _Parser:
         self.next()
         return sign * float(tok)
 
-    # expr := arith [cmp_op number] — comparisons bind loosest, as in
-    # PromQL: `a > 0 + b` means `a > (0 + b)` (a vector comparison this
-    # subset doesn't support, so it errors) rather than silently
-    # parsing as `(a > 0) + b`.  At most ONE trailing comparison.
+    # PromQL precedence, loosest to tightest:
+    #   or  <  and/unless  <  comparisons  <  + -  <  * /
+    # expr := or_expr
     def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        node = self.parse_and()
+        while self.peek() == ("ident", "or"):
+            self.next()
+            match = self._vector_match()
+            node = SetOp("or", node, self.parse_and(), match=match)
+        return node
+
+    def parse_and(self) -> Expr:
+        node = self.parse_cmp()
+        while self.peek()[0] == "ident" and self.peek()[1] in ("and", "unless"):
+            op = self.next()[1]
+            match = self._vector_match()
+            node = SetOp(op, node, self.parse_cmp(), match=match)
+        return node
+
+    # cmp := arith [cmp_op number] — comparisons bind looser than
+    # arithmetic, as in PromQL: `a > 0 + b` means `a > (0 + b)` (a
+    # vector comparison this subset doesn't support, so it errors)
+    # rather than silently parsing as `(a > 0) + b`.  At most ONE
+    # trailing comparison per arithmetic chain.
+    def parse_cmp(self) -> Expr:
         node = self.parse_arith()
         kind, tok = self.peek()
         if tok in (">", "<", ">=", "<=", "==", "!="):
@@ -244,20 +290,59 @@ class _Parser:
             node = Cmp(node, tok, threshold)
         return node
 
-    # arith := term (('+'|'-') term)*
+    # arith := term (('+'|'-') [match] term)*
     def parse_arith(self) -> Expr:
         node = self.parse_term()
         while self.peek()[1] in ("+", "-"):
             op = self.next()[1]
-            node = Bin(op, node, self.parse_term())
+            match = self._vector_match()
+            node = Bin(op, node, self.parse_term(), match=match)
         return node
 
     def parse_term(self) -> Expr:
         node = self.parse_factor()
         while self.peek()[1] in ("*", "/"):
             op = self.next()[1]
-            node = Bin(op, node, self.parse_factor())
+            match = self._vector_match()
+            node = Bin(op, node, self.parse_factor(), match=match)
         return node
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.expect("(")
+        labels: list[str] = []
+        while self.peek()[1] != ")":
+            kind, tok = self.next()
+            if tok == ",":
+                continue
+            if kind != "ident":
+                raise SyntaxError(f"promql: bad label {tok!r} in label list")
+            labels.append(tok)
+            self.labels_seen.add(tok)
+        self.expect(")")
+        return tuple(labels)
+
+    def _vector_match(self) -> VectorMatch | None:
+        """Optional ``on(...)``/``ignoring(...)`` [+ ``group_left``/
+        ``group_right`` [(include...)]] after a binary operator."""
+        kind, tok = self.peek()
+        if kind != "ident" or tok not in ("on", "ignoring"):
+            return None
+        self.next()
+        labels = self._label_list()
+        group = None
+        include: tuple[str, ...] = ()
+        gkind, gtok = self.peek()
+        if gkind == "ident" and gtok in ("group_left", "group_right"):
+            self.next()
+            group = "left" if gtok == "group_left" else "right"
+            if self.peek()[1] == "(":
+                include = self._label_list()
+        return VectorMatch(
+            on=labels if tok == "on" else None,
+            ignoring=labels if tok == "ignoring" else None,
+            group=group,
+            include=include,
+        )
 
     def parse_factor(self) -> Expr:
         kind, tok = self.peek()
@@ -313,17 +398,7 @@ class _Parser:
 
     def _grouping_clause(self):
         mode = self.next()[1]
-        self.expect("(")
-        labels: list[str] = []
-        while self.peek()[1] != ")":
-            kind, tok = self.next()
-            if kind == "ident":
-                labels.append(tok)
-                self.labels_seen.add(tok)
-            elif tok != ",":
-                raise SyntaxError(f"promql: bad grouping label {tok!r}")
-        self.expect(")")
-        labels_t = tuple(labels)
+        labels_t = self._label_list()
         return (labels_t, None) if mode == "by" else (None, labels_t)
 
     def _range_call(self, close: bool = True) -> tuple[Selector, float]:
@@ -552,7 +627,11 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, Bin):
         # wrap each operand: comparisons bind looser than arithmetic,
         # so a Cmp operand is only expressible with its own parens
-        return f"(({to_promql(node.left)}) {node.op} ({to_promql(node.right)}))"
+        mod = _fmt_match(node.match)
+        return f"(({to_promql(node.left)}) {node.op}{mod} ({to_promql(node.right)}))"
+    if isinstance(node, SetOp):
+        mod = _fmt_match(node.match)
+        return f"(({to_promql(node.left)}) {node.op}{mod} ({to_promql(node.right)}))"
     if isinstance(node, MathFn):
         if node.arg is not None:
             a = repr(node.arg) if node.arg != int(node.arg) else str(int(node.arg))
@@ -577,6 +656,18 @@ def to_promql(node: Expr) -> str:
         )
         return f"({to_promql(node.expr)}) {node.op} {thr}"
     raise TypeError(f"promql: cannot render {node!r}")
+
+
+def _fmt_match(m: "VectorMatch | None") -> str:
+    if m is None:
+        return ""
+    if m.on is not None:
+        s = f" on({', '.join(m.on)})"
+    else:
+        s = f" ignoring({', '.join(m.ignoring)})"
+    if m.group is not None:
+        s += f" group_{m.group}({', '.join(m.include)})"
+    return s
 
 
 def _fmt_dur(seconds: float) -> str:

@@ -822,3 +822,92 @@ def test_corpus_expr_runs_in_range_mode(expr, corpus_metrics):
     out = compile_promql(expr).evaluate_range(corpus_metrics, 60.0)
     assert {"ts", "value"} <= set(out.columns)
     assert out.count() >= 0  # plan executes on the grid
+
+
+# ---------------------------------------------------------------------------
+# Vector matching + set operators (beyond the corpus: on/ignoring,
+# group_left/group_right, and/or/unless)
+# ---------------------------------------------------------------------------
+def test_vector_match_parses_and_roundtrips():
+    from kafka_metrics_exporter_spark.promql.parser import (
+        Bin,
+        SetOp,
+        to_promql,
+    )
+
+    n = parse("a / on(region) b")
+    assert isinstance(n, Bin) and n.match.on == ("region",) and n.match.group is None
+    n = parse("a * ignoring(host) group_left(dc) b")
+    assert n.match.ignoring == ("host",)
+    assert n.match.group == "left" and n.match.include == ("dc",)
+    n = parse("a and on(x) b or c unless b")
+    # precedence: ((a and on(x) b) or (c unless b))
+    assert isinstance(n, SetOp) and n.op == "or"
+    assert n.left.op == "and" and n.right.op == "unless"
+    for src in (
+        "a / on(region) b",
+        "a * ignoring(host) group_left(dc) b",
+        "(a and b) or (c unless on(x) b)",
+    ):
+        assert to_promql(parse(to_promql(parse(src)))) == to_promql(parse(src))
+
+
+@pytest.fixture(scope="module")
+def two_sided(spark):
+    """requests per (instance, path) + capacity per instance — the
+    classic many-to-one shape."""
+    t0 = dt.datetime(2024, 1, 1)
+    req = [
+        ("req", t0, 30.0, "h1", "/a"),
+        ("req", t0, 10.0, "h1", "/b"),
+        ("req", t0, 40.0, "h2", "/a"),
+    ]
+    cap = [
+        ("cap", t0, 100.0, "h1", ""),
+        ("cap", t0, 200.0, "h2", ""),
+        ("cap", t0, 50.0, "h3", ""),  # no requests on h3
+    ]
+    return spark.createDataFrame(
+        req + cap,
+        "name string, ts timestamp, value double, instance string, path string",
+    )
+
+
+def test_on_one_to_one_keeps_match_keys(two_sided):
+    # per-instance request total / capacity: one-to-one on(instance)
+    out = compile_promql(
+        "sum by (instance) (req) / on(instance) cap"
+    ).evaluate(two_sided)
+    got = {r["instance"]: r["value"] for r in out.collect()}
+    assert got == {"h1": 0.4, "h2": 0.2}  # (30+10)/100, 40/200
+    assert set(out.columns) == {"instance", "ts", "value"}
+
+
+def test_group_left_many_to_one(two_sided):
+    # per-path utilization: many(req) to one(cap), left keeps path
+    out = compile_promql("req / on(instance) group_left cap").evaluate(two_sided)
+    got = {(r["instance"], r["path"]): r["value"] for r in out.collect()}
+    assert got == {("h1", "/a"): 0.3, ("h1", "/b"): 0.1, ("h2", "/a"): 0.2}
+    # group_right mirrors: syntactic order preserved (cap / req)
+    out2 = compile_promql("cap / on(instance) group_right req").evaluate(two_sided)
+    got2 = {(r["instance"], r["path"]): r["value"] for r in out2.collect()}
+    assert got2[("h1", "/a")] == pytest.approx(100.0 / 30.0)
+
+
+def test_set_operators(two_sided):
+    # and: instances that have capacity (all do) — with on()
+    both = compile_promql(
+        "sum by (instance) (req) and on(instance) cap"
+    ).evaluate(two_sided)
+    assert {r["instance"] for r in both.collect()} == {"h1", "h2"}
+    # unless: capacity rows with no requests
+    spare = compile_promql(
+        "cap unless on(instance) req"
+    ).evaluate(two_sided)
+    assert {r["instance"] for r in spare.collect()} == {"h3"}
+    # or: left wins on collision, right fills the gaps
+    merged = compile_promql(
+        "sum by (instance) (req) or on(instance) sum by (instance) (cap)"
+    ).evaluate(two_sided)
+    got = {r["instance"]: r["value"] for r in merged.collect()}
+    assert got == {"h1": 40.0, "h2": 40.0, "h3": 50.0}
