@@ -164,3 +164,35 @@ def test_kibana_terms_metrics_is_single_aggregation(spark, sf_dir):
     # single-partition rank, so the "no partition defined" window is
     # bounded at any scale
     assert "WindowGroupLimit" in p
+
+
+def test_round5_matching_setop_queries_are_jvm_only(spark, sf_dir):
+    """Vector matching and set operators compile to pure join plans —
+    no Python eval, no cartesian product; the set-op semi/anti joins
+    must be real semi/anti joins."""
+    import re
+
+    import kafka_metrics_exporter_spark.plans  # noqa: F401  (registers)
+    from kafka_metrics_exporter_spark.plans import QUERIES as ALL_Q
+
+    for name in [
+        "promql_vector_matching",
+        "promql_set_ops",
+        "promql_topk_rate_grid",
+        "promql_histogram_quantile_grid",
+    ]:
+        df = ALL_Q[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+    df = ALL_Q["promql_set_ops"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"LeftSemi", p), "and must compile to a semi join"
+    assert re.search(r"LeftAnti", p), "unless/or must compile to anti joins"

@@ -911,3 +911,17 @@ def test_set_operators(two_sided):
     ).evaluate(two_sided)
     got = {r["instance"]: r["value"] for r in merged.collect()}
     assert got == {"h1": 40.0, "h2": 40.0, "h3": 50.0}
+
+
+def test_set_ops_and_matching_work_in_range_mode(two_sided):
+    """SetOp/matched-Bin are structural nodes: they compose over grid-
+    evaluated lookback leaves exactly like agg/topk do."""
+    out = compile_promql(
+        "sum by (instance) (req) / on(instance) cap"
+    ).evaluate_range(two_sided, 60.0)
+    got = {r["instance"]: r["value"] for r in out.collect()}
+    assert got == {"h1": 0.4, "h2": 0.2}
+    spare = compile_promql("cap unless on(instance) req").evaluate_range(
+        two_sided, 60.0
+    )
+    assert {r["instance"] for r in spare.collect()} == {"h3"}
