@@ -477,7 +477,9 @@ def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     window semantics (instant and grid mode agree since round 5).
     Exact integer counts: zero cross-engine float freedom, so the
     oracle is bit-trivial."""
-    m = _metrics_view(spark, sf_dir, "hour")
+    # two compiled plans share the view — persist so the events scan +
+    # hourly aggregation run once, not per operand
+    m = _metrics_view(spark, sf_dir, "hour").persist()
     r = compile_promql("resets(click[2d])").evaluate(m).select(
         "user_id", "ts", F.col("value").alias("n_resets")
     )
@@ -517,7 +519,7 @@ def promql_quantile_last_over_time(spark: SparkSession, sf_dir: str) -> DataFram
     trailing range (linear interpolation — the same cross-engine
     convention a11_percentile pins); last_over_time picks the newest
     sample in the window."""
-    m = _metrics_view(spark, sf_dir, "hour")
+    m = _metrics_view(spark, sf_dir, "hour").persist()
     q = compile_promql("quantile_over_time(0.9, click[2d])").evaluate(m).select(
         "user_id", "ts", _r4(F.col("value")).alias("q90")
     )
@@ -708,8 +710,14 @@ def promql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left-anti join), `click or view` (left wins, right fills the
     gaps).  Values are exact counts, so every engine agrees
     bit-for-bit; the oracle mirrors each operator with EXISTS / NOT
-    EXISTS / union-anti SQL."""
-    m = _metrics_view(spark, sf_dir, "hour")
+    EXISTS / union-anti SQL.
+
+    The shared metrics view is persisted: the three operators reference
+    the click/view series six times, and without the cache each branch
+    re-scans and re-aggregates the events table (6× the scan cost for
+    identical partials — at 100 TB the difference between one pass and
+    six)."""
+    m = _metrics_view(spark, sf_dir, "hour").persist()
     parts = []
     for op in ("and", "unless", "or"):
         out = compile_promql(f"click {op} view").evaluate(m)
