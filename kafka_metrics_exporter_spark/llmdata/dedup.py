@@ -279,6 +279,27 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     )
 
 
+def band_hash_array(bands: int, rows_per_band: int) -> F.Column:
+    """One 64-bit bucket key per LSH band over the ``signature`` array
+    column: multi-arg xxhash64 over getItem — a pure codegen'd
+    projection (the slice→transform→array_join form evaluated 32
+    interpreted higher-order chains per row, ~2.5 s of the sf0.1
+    query).  Shared by the self-join dedup and the cross-corpus
+    decontamination probe."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col("signature").getItem(b * rows_per_band + i)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
@@ -296,23 +317,9 @@ def lsh_candidate_pairs(
     degenerate the bucket (pair output is identical — the blocks
     partition the bucket, and block-pair expansion enumerates exactly
     the same unordered pairs)."""
-    # multi-arg xxhash64 over getItem: pure codegen'd projection — the
-    # slice→transform→array_join form evaluated 32 interpreted
-    # higher-order chains per row (~2.5 s of the sf0.1 query)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col("signature").getItem(b * rows_per_band + i)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = signatures.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+        "doc_id",
+        F.posexplode(band_hash_array(bands, rows_per_band)).alias("band", "bucket"),
     )
     # gather each bucket's members with ONE shuffle and expand pairs
     # in place (JVM-side nested transform) — a bucket self-join would

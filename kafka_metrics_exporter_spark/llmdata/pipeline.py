@@ -150,6 +150,103 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate eval-leakage sweep: flag training documents whose
+    n-gram Jaccard against ANY benchmark document reaches ``threshold``
+    — the fuzzy complement of :func:`decontaminate`, which only catches
+    verbatim n-gram overlap and misses reformatted/partially-edited
+    leaks (the standard recipe in LLM training reports: 13-gram exact
+    sweep + MinHash near-dup sweep).
+
+    Scale design: the benchmark side (eval sets — thousands of docs,
+    not billions) is tiny, so its band-bucket table and shingle-hash
+    sets are BROADCAST.  The training corpus is scanned ONCE through
+    the fused Arrow shingle+minhash pass, probes the broadcast buckets
+    map-side, and verifies candidates with an in-row
+    ``array_intersect`` — the only shuffle of training-side data is the
+    final per-doc max over the (tiny) verified-candidate set.  No
+    self-join, no shuffle of the 100 TB side.
+
+    Output: one row per training doc — (id, is_contaminated,
+    max_jaccard, matched_bench) with NULL jaccard/match for clean docs;
+    ties on jaccard resolve to the smallest benchmark id
+    (deterministic under any partitioning).
+    """
+    from kafka_metrics_exporter_spark.llmdata.dedup import (
+        band_hash_array,
+        minhash_doc_table,
+    )
+
+    rows_per_band = num_hashes // bands
+    bench_tbl = minhash_doc_table(benchmark, num_hashes, text_col, id_col, n)
+    bench_buckets = bench_tbl.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("hs").alias("_bhs"),
+        F.posexplode(band_hash_array(bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
+    )
+    train_tbl = minhash_doc_table(docs, num_hashes, text_col, id_col, n)
+    train_buckets = train_tbl.select(
+        "doc_id",
+        "hs",
+        F.posexplode(band_hash_array(bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = train_buckets.join(
+        F.broadcast(bench_buckets), ["band", "bucket"], "inner"
+    )
+    # a (doc, bench) pair colliding in k bands appears k times; verify
+    # is recomputed per collision (bounded by `bands`) instead of
+    # paying a dedup shuffle — the per-doc max collapses duplicates
+    inter = F.size(F.array_intersect("hs", "_bhs")).cast("double")
+    jac = inter / (
+        F.size("hs") + F.size("_bhs") - F.size(F.array_intersect("hs", "_bhs"))
+    ).cast("double")
+    ver = (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_id", "bench_id", "jaccard")
+    )
+    best = (
+        ver.groupBy("doc_id")
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("bench_id")).alias("nb"),
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "doc_id",
+            "max_jaccard",
+            (-F.col("_best.nb")).alias("matched_bench"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("max_jaccard").isNotNull().alias("is_contaminated"),
+            "max_jaccard",
+            "matched_bench",
+        )
+    )
+
+
 def sliding_chunks(
     df: DataFrame,
     window: int = 256,

@@ -50,6 +50,7 @@ NEW_THIS_ROUND = [
     "dedup_components_star",
     "promql_vector_matching",
     "promql_set_ops",
+    "pipe_fuzzy_decontaminate",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -109,7 +110,6 @@ WINDOW_PRIORITY = [
     "a1_a4_grouped_metrics",
     "w2_rate",
     "p2_normalize_pipeline",
-    "a11_percentile",
 ]
 
 

@@ -175,7 +175,9 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_A = "[" + ",".join(str(a) for a, _ in dedup._permutation_constants(128)) + "]"
 _MINHASH_B = "[" + ",".join(str(b) for _, b in dedup._permutation_constants(128)) + "]"
 
-_MINHASH_PAIRS_CTE = f"""
+# Shared replay of the engine's shingle→md5-base-hash→Carter-Wegman→
+# band pipeline, through the per-doc band slices (relation ``bands``).
+_MINHASH_BANDS_CTE = f"""
     w AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
@@ -201,7 +203,10 @@ _MINHASH_PAIRS_CTE = f"""
     bands AS (
       SELECT doc_id, bb.b AS b, sg[bb.b * 4 + 1 : bb.b * 4 + 4] AS sl
       FROM sig, (SELECT unnest(range(32)) AS b) bb
-    ),
+    )
+"""
+
+_MINHASH_PAIRS_CTE = f"""{_MINHASH_BANDS_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
@@ -1304,3 +1309,64 @@ def pipe_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.sliding_chunks(
         _t(spark, sf_dir, "documents"), window=64, stride=48
     ).select("doc_id", "chunk_idx", "start_tok", "chunk_toks", "n_toks")
+
+
+@query(
+    "pipe_fuzzy_decontaminate",
+    f"""
+    WITH {_MINHASH_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands t JOIN bands b ON t.b = b.b AND t.sl = b.sl
+      WHERE t.doc_id % 29 <> 0 AND b.doc_id % 29 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.bench_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id
+      JOIN sh b2 ON b2.doc_id = c.bench_id AND b2.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.doc_id, i.bench_id,
+             n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_id = sa.doc_id
+      JOIN sizes sb ON i.bench_id = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    agg AS (SELECT doc_id, MAX(jaccard) AS mj FROM ver GROUP BY doc_id),
+    mt AS (
+      SELECT v.doc_id, a.mj, MIN(v.bench_id) AS mb
+      FROM ver v JOIN agg a ON v.doc_id = a.doc_id AND v.jaccard = a.mj
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           (mt.doc_id IS NOT NULL) AS is_contaminated,
+           round(mt.mj, 4) AS max_jaccard,
+           mt.mb AS matched_bench
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+    LEFT JOIN mt ON d.doc_id = mt.doc_id
+    """,
+)
+def pipe_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH NEAR-duplicate decontamination of a training split
+    against a benchmark split (doc_id % 29 == 0 plays the eval set):
+    flags training docs with 3-gram Jaccard ≥ 0.5 against any
+    benchmark doc, reporting the best-matching benchmark id.  The
+    benchmark band buckets + shingle sets are broadcast, so the
+    training side is one fused Arrow scan with a map-side probe — no
+    shuffle of the big side (llmdata/pipeline.py::fuzzy_decontaminate).
+    Exact SQL twin via the shared md5/Carter-Wegman band replay; ties
+    resolve to the smallest benchmark id in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    out = pipeline.fuzzy_decontaminate(train, bench, threshold=0.5)
+    return out.select(
+        "doc_id",
+        "is_contaminated",
+        F.round("max_jaccard", 4).alias("max_jaccard"),
+        "matched_bench",
+    )

@@ -650,3 +650,38 @@ def test_star_cc_on_star_heavy_hub(spark):
         edges, vertices, algorithm="star", max_iterations=8
     ).collect()
     assert all(r["component"] == 0 for r in out)
+
+
+def test_fuzzy_decontaminate_flags_near_dup_leaks(spark):
+    """Near-duplicate leakage: an edited copy of a benchmark doc (no
+    verbatim 8-gram overlap needed) must be flagged with its matching
+    benchmark id; unrelated docs must pass clean."""
+    bench = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2000, "completely different benchmark prompt about kafka brokers and lag"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # near-dup of bench 1000 (one word changed)
+            (1, "the quick brown fox jumps over the lazy cat again and again today"),
+            # clean
+            (2, "unrelated training document with entirely distinct vocabulary here"),
+            # verbatim copy of bench 2000
+            (3, "completely different benchmark prompt about kafka brokers and lag"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pipeline.fuzzy_decontaminate(
+            train, bench, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["matched_bench"] == 1000
+    assert 0.5 <= out[1]["max_jaccard"] < 1.0
+    assert not out[2]["is_contaminated"] and out[2]["max_jaccard"] is None
+    assert out[3]["is_contaminated"] and out[3]["max_jaccard"] == 1.0
+    assert out[3]["matched_bench"] == 2000
