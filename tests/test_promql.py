@@ -367,6 +367,23 @@ try:
         ),
     )
 
+    _match_labels = st.lists(_ident, max_size=3).map(tuple)
+    _vmatch = st.one_of(
+        st.builds(
+            pql.VectorMatch, on=_match_labels, ignoring=st.none(),
+            group=st.none(), include=st.just(()),
+        ),
+        st.builds(
+            pql.VectorMatch, on=st.none(), ignoring=_match_labels,
+            group=st.none(), include=st.just(()),
+        ),
+        st.builds(
+            pql.VectorMatch, on=_match_labels, ignoring=st.none(),
+            group=st.sampled_from(["left", "right"]),
+            include=st.lists(_ident, max_size=2).map(tuple),
+        ),
+    )
+
     def _compound(children):
         grouping = st.lists(_ident, max_size=3).map(tuple)
         return st.one_of(
@@ -406,6 +423,15 @@ try:
                 pql.Cmp, expr=children,
                 op=st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
                 threshold=st.integers(0, 1000).map(float),
+            ),
+            st.builds(
+                pql.Bin, op=st.sampled_from(["+", "-", "*", "/"]),
+                left=children, right=children, match=_vmatch,
+            ),
+            st.builds(
+                pql.SetOp, op=st.sampled_from(["and", "or", "unless"]),
+                left=children, right=children,
+                match=st.one_of(st.none(), _vmatch),
             ),
         )
 
