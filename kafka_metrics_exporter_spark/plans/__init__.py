@@ -51,6 +51,7 @@ NEW_THIS_ROUND = [
     "promql_vector_matching",
     "promql_set_ops",
     "pipe_fuzzy_decontaminate",
+    "promql_count_values",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -106,7 +107,6 @@ WINDOW_PRIORITY = [
     "dedup_components",
     "dedup_minhash_components",
     "embed_near_dup_lsh",
-    "embed_ivf_topk",
     "a1_a4_grouped_metrics",
     "w2_rate",
     "p2_normalize_pipeline",

@@ -730,3 +730,30 @@ def promql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
+    "promql_count_values",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click')
+    SELECT CAST(CAST(value AS BIGINT) AS VARCHAR) AS n_events,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM c GROUP BY 1, 2
+    """,
+)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`count_values("n_events", click)` — the per-instant histogram of
+    sample values (how many users clicked exactly k times each hour):
+    the value itself becomes a label, formatted Prometheus-style
+    (integral doubles print without the trailing .0, which is exactly
+    the oracle's double→BIGINT→VARCHAR chain on these count-valued
+    samples).  Exact integer counts — zero float freedom."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql('count_values("n_events", click)').evaluate(m)
+    return out.select(
+        "n_events",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )

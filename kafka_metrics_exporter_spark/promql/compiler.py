@@ -56,6 +56,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_metrics_exporter_spark.promql.parser import (
+    Absent,
     Deriv,
     Agg,
     Bin,
@@ -173,6 +174,8 @@ def _eval(
         return _eval_bin(node, metrics, label_cols, leaf)
     if isinstance(node, SetOp):
         return _eval_setop(node, metrics, label_cols, leaf)
+    if isinstance(node, Absent):
+        return _eval_absent(node, metrics, label_cols, leaf)
     if isinstance(node, (LabelReplace, LabelJoin)):
         return _eval_label_fn(node, metrics, label_cols, leaf)
     if isinstance(node, HistogramQuantile):
@@ -506,6 +509,22 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     for lbl in out_labels:
         if lbl not in vec.labels:
             df = df.withColumn(lbl, F.lit(""))  # grouping by an absent label
+    if node.op == "count_values":
+        # count_values("lbl", v): how many series carry each distinct
+        # sample value at each instant — the value itself becomes a new
+        # label, formatted Prometheus-style (integral doubles print
+        # without the trailing .0; try_cast guards the > 2^63 range)
+        big = F.col("value").try_cast("bigint")
+        val_str = F.when(
+            big.isNotNull() & (big.cast("double") == F.col("value")),
+            big.cast("string"),
+        ).otherwise(F.col("value").cast("string"))
+        df = df.withColumn(node.value_label, val_str)
+        keys = [*out_labels, node.value_label]
+        grouped = df.groupBy(*[F.col(c) for c in keys], F.col("ts")).agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        )
+        return _Vec(grouped, frozenset(keys))
     if node.op == "quantile":
         # exact interpolated percentile across the series at each
         # instant — PromQL's quantile() semantics
@@ -723,6 +742,29 @@ def _eval_matched_bin(node: Bin, left: _Vec, right: _Vec, op) -> _Vec:
     out_labels = frozenset(many_vec.labels | set(keys) | set(include))
     out = joined.select(*sorted(out_labels), "ts", "value")
     return _Vec(out, out_labels)
+
+
+def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    """``absent(v)``: 1 at every evaluation instant where ``v`` has no
+    samples, nothing elsewhere.  The instant universe is the engine's
+    evaluation-instant set: the base frame's distinct sample timestamps
+    in instant mode, the aligned step grid in range mode — a label-less
+    anti-join, no new shapes."""
+    vec = _eval(node.expr, metrics, label_cols, leaf)
+    if isinstance(vec, float):
+        raise ValueError("promql: absent needs a vector")
+    if leaf is not None and hasattr(leaf, "step_us"):
+        instants = leaf.bounds.select(
+            F.explode(
+                F.sequence(F.col("__g_lo"), F.col("__g_hi"), F.lit(leaf.step_us))
+            ).alias("__t_us")
+        ).select(F.timestamp_micros(F.col("__t_us")).alias("ts"))
+    else:
+        instants = metrics.select("ts").distinct()
+    out = instants.join(
+        vec.df.select("ts").distinct(), "ts", "left_anti"
+    ).withColumn("value", F.lit(1.0))
+    return _Vec(out, frozenset())
 
 
 def _eval_setop(node: SetOp, metrics: DataFrame, label_cols, leaf=None) -> _Vec:

@@ -74,12 +74,22 @@ class OverTime:
 
 @dataclass(frozen=True)
 class Agg:
-    op: str  # sum|avg|min|max|count|stddev|stdvar|quantile
+    op: str  # sum|avg|min|max|count|stddev|stdvar|quantile|count_values
     expr: "Expr"
     by: tuple[str, ...] | None = None
     without: tuple[str, ...] | None = None
     # quantile's φ parameter (None for the other ops)
     param: float | None = None
+    # count_values' output label name (None for the other ops)
+    value_label: str | None = None
+
+
+@dataclass(frozen=True)
+class Absent:
+    """``absent(expr)``: 1 at every evaluation instant where the inner
+    vector has no samples (the alerting staple)."""
+
+    expr: "Expr"
 
 
 @dataclass(frozen=True)
@@ -163,13 +173,16 @@ class Cmp:
 
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
-    | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn
+    | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
 _CLAMP_FNS = {"clamp_min", "clamp_max"}
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile"}
+_AGG_OPS = {
+    "sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile",
+    "count_values",
+}
 
 _DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
 
@@ -375,6 +388,12 @@ class _Parser:
                 return self.parse_histogram_quantile()
             if tok in _MATH_FNS | _CLAMP_FNS:
                 return self.parse_math_fn()
+            if tok == "absent":
+                self.next()
+                self.expect("(")
+                inner = self.parse_expr()
+                self.expect(")")
+                return Absent(inner)
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()
@@ -387,14 +406,27 @@ class _Parser:
             by, without = self._grouping_clause()
         self.expect("(")
         param = None
+        value_label = None
         if op == "quantile":
             param = self.signed_number("quantile φ")
+            self.expect(",")
+        elif op == "count_values":
+            kind, tok = self.next()
+            if kind != "string":
+                raise SyntaxError(
+                    "promql: count_values requires a string label name"
+                )
+            value_label = _unquote(tok)
+            self.labels_seen.add(value_label)
             self.expect(",")
         inner = self.parse_expr()
         self.expect(")")
         if by is None and without is None and self.peek()[1] in ("by", "without"):
             by, without = self._grouping_clause()
-        return Agg(op, inner, by=by, without=without, param=param)
+        return Agg(
+            op, inner, by=by, without=without, param=param,
+            value_label=value_label,
+        )
 
     def _grouping_clause(self):
         mode = self.next()[1]
@@ -619,8 +651,15 @@ def to_promql(node: Expr) -> str:
             clause = f" by ({', '.join(node.by)}) "
         elif node.without is not None:
             clause = f" without ({', '.join(node.without)}) "
-        param = f"{node.param!r}, " if node.param is not None else ""
+        if node.value_label is not None:
+            param = f'"{node.value_label}", '
+        elif node.param is not None:
+            param = f"{node.param!r}, "
+        else:
+            param = ""
         return f"{node.op}{clause}({param}{to_promql(node.expr)})"
+    if isinstance(node, Absent):
+        return f"absent({to_promql(node.expr)})"
     if isinstance(node, TopK):
         fn = "bottomk" if node.bottom else "topk"
         return f"{fn}({node.k}, {to_promql(node.expr)})"

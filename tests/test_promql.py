@@ -951,3 +951,33 @@ def test_set_ops_and_matching_work_in_range_mode(two_sided):
         two_sided, 60.0
     )
     assert {r["instance"] for r in spare.collect()} == {"h3"}
+
+
+def test_count_values_and_absent(tiny):
+    from kafka_metrics_exporter_spark.promql.parser import Absent, Agg, to_promql
+
+    n = parse('count_values("v", m)')
+    assert isinstance(n, Agg) and n.op == "count_values" and n.value_label == "v"
+    assert parse(to_promql(n)) == n
+    assert isinstance(parse("absent(m)"), Absent)
+
+    t0 = dt.datetime(2024, 1, 1)
+    cv = compile_promql('count_values("v", m)').evaluate(tiny)
+    got = {(r["v"], r["ts"]): r["value"] for r in cv.collect()}
+    # t0 sample values across series: 10.0, 100.0, 7.0 — one series each,
+    # formatted without the trailing .0
+    assert got[("10", t0)] == 1.0 and got[("100", t0)] == 1.0
+    assert got[("7", t0)] == 1.0
+    assert ("10.0", t0) not in got
+
+    # absent: missing selector lights up every instant, present → empty
+    ab = compile_promql('absent(m{topic="zzz"})').evaluate(tiny)
+    rows = ab.collect()
+    assert {str(r["ts"]) for r in rows} == {
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"
+    }
+    assert all(r["value"] == 1.0 for r in rows)
+    assert compile_promql("absent(m)").evaluate(tiny).count() == 0
+    # range mode: the instant universe is the step grid
+    abr = compile_promql('absent(m{topic="zzz"})').evaluate_range(tiny, 60.0)
+    assert abr.count() == 3 and all(r["value"] == 1.0 for r in abr.collect())
