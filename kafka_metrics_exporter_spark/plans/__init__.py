@@ -52,6 +52,7 @@ NEW_THIS_ROUND = [
     "promql_set_ops",
     "pipe_fuzzy_decontaminate",
     "promql_count_values",
+    "promql_subquery",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -106,7 +107,6 @@ WINDOW_PRIORITY = [
     "dedup_simhash",
     "dedup_components",
     "dedup_minhash_components",
-    "embed_near_dup_lsh",
     "a1_a4_grouped_metrics",
     "w2_rate",
     "p2_normalize_pipeline",

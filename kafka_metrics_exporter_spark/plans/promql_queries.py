@@ -757,3 +757,40 @@ def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "value",
     )
+
+
+@query(
+    "promql_subquery",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    -- inner sum(click) on the 1 h subquery grid: hour-truncated sample
+    -- timestamps are exactly grid-aligned and the 5 m default lookback
+    -- only reaches the sample's own instant, so the grid evaluation
+    -- degenerates to the plain hourly sum (hand-derived; the engine
+    -- computes it through the generic lookback expansion)
+    inner_g AS (
+      SELECT epoch_us(ts) AS t_us, SUM(value) AS value
+      FROM c GROUP BY ts
+    )
+    SELECT strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           MAX(value) OVER (ORDER BY t_us
+                            RANGE BETWEEN 172799999999 PRECEDING
+                                      AND CURRENT ROW) AS value
+    FROM inner_g
+    """,
+)
+def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(sum(click)[2d:1h])` — a Prometheus SUBQUERY: the
+    inner aggregate is evaluated on its own aligned 1 h step grid
+    (lookback selectors, range_eval.GridLeaf) and the resulting
+    synthetic samples feed the outer trailing-2d max exactly like
+    selector samples.  On hour-truncated data the inner grid evaluation
+    reduces to the plain hourly sum, which the oracle replays with a
+    window MAX; every value is an exact integer count."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql("max_over_time(sum(click)[2d:1h])").evaluate(m)
+    return out.select(
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )

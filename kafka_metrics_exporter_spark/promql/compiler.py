@@ -72,6 +72,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Scalar,
     Selector,
     SetOp,
+    Subquery,
     TopK,
     VectorMatch,
     parse,
@@ -176,6 +177,11 @@ def _eval(
         return _eval_setop(node, metrics, label_cols, leaf)
     if isinstance(node, Absent):
         return _eval_absent(node, metrics, label_cols, leaf)
+    if isinstance(node, Subquery):
+        raise ValueError(
+            "promql: a subquery (expr[range:step]) is a range vector — "
+            "wrap it in a range function (rate, <agg>_over_time, ...)"
+        )
     if isinstance(node, (LabelReplace, LabelJoin)):
         return _eval_label_fn(node, metrics, label_cols, leaf)
     if isinstance(node, HistogramQuantile):
@@ -248,8 +254,43 @@ def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
     return _Vec(df, frozenset(labels))
 
 
+def _eval_range_operand(
+    sel: "Selector | Subquery", metrics: DataFrame, label_cols
+) -> _Vec:
+    """The sample frame a range function windows over: a selector's
+    rows, or — for a subquery — the inner expression evaluated on its
+    own aligned step grid (range_eval.GridLeaf with the default
+    lookback), whose synthetic samples then feed the enclosing window
+    exactly like selector samples.  Evaluation instants downstream are
+    the subquery's grid instants, matching Prometheus's grid-aligned
+    subquery evaluation."""
+    if isinstance(sel, Subquery):
+        from kafka_metrics_exporter_spark.promql.range_eval import (
+            DEFAULT_LOOKBACK_SECONDS,
+            GridLeaf,
+            _grid_bounds,
+            _us,
+        )
+
+        step_us = _us(sel.step_seconds)
+        if step_us < 1:
+            raise ValueError(
+                f"promql: subquery step must be >= 1µs (got {sel.step_seconds}s)"
+            )
+        inner_leaf = GridLeaf(
+            step_us=step_us,
+            lookback_us=_us(DEFAULT_LOOKBACK_SECONDS),
+            bounds=_grid_bounds(metrics, step_us),
+        )
+        vec = _eval(sel.expr, metrics, label_cols, inner_leaf)
+        if isinstance(vec, float):
+            raise ValueError("promql: subquery needs a vector expression")
+        return vec
+    return _eval_selector(sel, metrics, label_cols)
+
+
 def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
-    vec = _eval_selector(node.selector, metrics, label_cols)
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
     prev_v = F.lag("value").over(w)
@@ -310,7 +351,7 @@ def _eval_resets_changes(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     of events with e_us ≤ t.  Pairs with gap ≥ w have an empty interval
     and are dropped up front.  One lag window + one cumulative window,
     both per-series — same shuffle shape as the old single-window form."""
-    vec = _eval_selector(node.selector, metrics, label_cols)
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     window_us = int(round(node.window_seconds * 1_000_000))
     if window_us < 1:
@@ -393,7 +434,7 @@ def _eval_deriv(node: Deriv, metrics: DataFrame, label_cols) -> _Vec:
     current instant: avgy + slope·(x_now + horizon − avgx).  Needs ≥2
     distinct-timestamp samples in the window, else no point (matches
     Prometheus)."""
-    vec = _eval_selector(node.selector, metrics, label_cols)
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     window_us = int(round(node.window_seconds * 1_000_000))
     if window_us < 1:
@@ -447,7 +488,7 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
             f"promql: {node.op}_over_time window must be >= 1µs "
             f"(got {node.window_seconds}s)"
         )
-    vec = _eval_selector(node.selector, metrics, label_cols)
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     w = (
         Window.partitionBy(*[F.col(c) for c in series])

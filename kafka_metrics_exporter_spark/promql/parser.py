@@ -42,8 +42,21 @@ class Selector:
 
 
 @dataclass(frozen=True)
+class Subquery:
+    """``expr[range:step]`` — evaluate ``expr`` on an aligned ``step``
+    grid; the resulting synthetic samples feed the enclosing
+    range-vector function exactly like selector samples do.  The step
+    must be explicit (Prometheus defaults it to the evaluation
+    interval, which a relational engine has no ambient value for)."""
+
+    expr: "Expr"
+    range_seconds: float
+    step_seconds: float
+
+
+@dataclass(frozen=True)
 class Rate:
-    selector: Selector
+    selector: "Selector | Subquery"
     window_seconds: float
     # 'rate'/'irate' (per-second), 'increase' (raw clamped delta), the
     # gauge pair 'delta'/'idelta' (raw UNclamped difference — no counter
@@ -59,7 +72,7 @@ class Deriv:
     or predict_linear(sel[w], t) — the regression line evaluated t
     seconds past the evaluation instant."""
 
-    selector: Selector
+    selector: "Selector | Subquery"
     window_seconds: float
     predict_seconds: float | None = None  # None → deriv
 
@@ -67,7 +80,7 @@ class Deriv:
 @dataclass(frozen=True)
 class OverTime:
     op: str  # avg|max|min|sum|count|stddev|stdvar|last|quantile
-    selector: Selector
+    selector: "Selector | Subquery"
     window_seconds: float
     param: float | None = None  # quantile_over_time's φ
 
@@ -174,6 +187,7 @@ class Cmp:
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
     | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
+    | Subquery
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
@@ -433,15 +447,33 @@ class _Parser:
         labels_t = self._label_list()
         return (labels_t, None) if mode == "by" else (None, labels_t)
 
-    def _range_call(self, close: bool = True) -> tuple[Selector, float]:
-        self.expect("(")
-        sel = self.parse_selector()
+    def _range_suffix(self, inner: Expr) -> tuple["Selector | Subquery", float]:
+        """``[dur]`` (classic range selector, optional trailing offset)
+        or ``[dur:step]`` (subquery — the colon-led step rides in an
+        ident token because metric names may contain colons)."""
         self.expect("[")
         kind, tok = self.next()
         if kind != "duration":
             raise SyntaxError(f"promql: expected duration, got {tok!r}")
         window = _duration_seconds(tok)
+        step = None
+        skind, stok = self.peek()
+        if skind == "ident" and stok.startswith(":"):
+            if len(stok) == 1:
+                raise SyntaxError(
+                    "promql: subquery needs an explicit step — expr[range:step]"
+                )
+            self.next()
+            step = _duration_seconds(stok[1:])
         self.expect("]")
+        if step is not None or not isinstance(inner, Selector):
+            if step is None:
+                raise SyntaxError(
+                    "promql: a range over a non-selector expression is a "
+                    "subquery and needs an explicit step — expr[range:step]"
+                )
+            return Subquery(inner, window, step), window
+        sel = inner
         # canonical PromQL places offset AFTER the range: m[5m] offset 1w
         if self.peek() == ("ident", "offset"):
             self.next()
@@ -449,9 +481,15 @@ class _Parser:
             if okind != "duration":
                 raise SyntaxError(f"promql: offset needs a duration, got {otok!r}")
             sel = dataclasses.replace(sel, offset_seconds=_duration_seconds(otok))
+        return sel, window
+
+    def _range_call(self, close: bool = True) -> tuple["Selector | Subquery", float]:
+        self.expect("(")
+        inner = self.parse_expr()
+        operand, window = self._range_suffix(inner)
         if close:
             self.expect(")")
-        return sel, window
+        return operand, window
 
     def parse_rate(self) -> Expr:
         fn = self.next()[1]
@@ -477,25 +515,10 @@ class _Parser:
             self.expect("(")
             phi = self.signed_number("quantile_over_time φ")
             self.expect(",")
-            sel = self.parse_selector()
-            self.expect("[")
-            dkind, dtok = self.next()
-            if dkind != "duration":
-                raise SyntaxError(f"promql: expected duration, got {dtok!r}")
-            window = _duration_seconds(dtok)
-            self.expect("]")
-            if self.peek() == ("ident", "offset"):
-                self.next()
-                okind, otok = self.next()
-                if okind != "duration":
-                    raise SyntaxError(
-                        f"promql: offset needs a duration, got {otok!r}"
-                    )
-                sel = dataclasses.replace(
-                    sel, offset_seconds=_duration_seconds(otok)
-                )
+            inner = self.parse_expr()
+            operand, window = self._range_suffix(inner)
             self.expect(")")
-            return OverTime(op, sel, window, param=phi)
+            return OverTime(op, operand, window, param=phi)
         sel, window = self._range_call()
         return OverTime(op, sel, window)
 
@@ -621,27 +644,23 @@ def to_promql(node: Expr) -> str:
         if node.offset_seconds:
             parts += f" offset {_fmt_dur(node.offset_seconds)}"
         return parts
+    if isinstance(node, Subquery):
+        return (
+            f"({to_promql(node.expr)})"
+            f"[{_fmt_dur(node.range_seconds)}:{_fmt_dur(node.step_seconds)}]"
+        )
     if isinstance(node, Rate):
-        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
-        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
-        if node.selector.offset_seconds:
-            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        body = _range_body(node.selector, node.window_seconds)
         return f"{node.fn}({body})"
     if isinstance(node, Deriv):
-        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
-        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
-        if node.selector.offset_seconds:
-            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        body = _range_body(node.selector, node.window_seconds)
         if node.predict_seconds is None:
             return f"deriv({body})"
         t = node.predict_seconds
         t_s = repr(t) if t != int(t) else str(int(t))
         return f"predict_linear({body}, {t_s})"
     if isinstance(node, OverTime):
-        sel = dataclasses.replace(node.selector, offset_seconds=0.0)
-        body = f"{to_promql(sel)}[{_fmt_dur(node.window_seconds)}]"
-        if node.selector.offset_seconds:
-            body += f" offset {_fmt_dur(node.selector.offset_seconds)}"
+        body = _range_body(node.selector, node.window_seconds)
         if node.op == "quantile":
             return f"quantile_over_time({node.param!r}, {body})"
         return f"{node.op}_over_time({body})"
@@ -695,6 +714,19 @@ def to_promql(node: Expr) -> str:
         )
         return f"({to_promql(node.expr)}) {node.op} {thr}"
     raise TypeError(f"promql: cannot render {node!r}")
+
+
+def _range_body(operand: "Selector | Subquery", window_seconds: float) -> str:
+    """Render a range-function operand: a subquery carries its own
+    ``[range:step]`` brackets; a selector gets the classic ``[dur]``
+    with any offset re-attached after it."""
+    if isinstance(operand, Subquery):
+        return to_promql(operand)
+    sel = dataclasses.replace(operand, offset_seconds=0.0)
+    body = f"{to_promql(sel)}[{_fmt_dur(window_seconds)}]"
+    if operand.offset_seconds:
+        body += f" offset {_fmt_dur(operand.offset_seconds)}"
+    return body
 
 
 def _fmt_match(m: "VectorMatch | None") -> str:

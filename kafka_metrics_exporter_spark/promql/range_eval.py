@@ -127,7 +127,10 @@ class GridLeaf:
 
     # -- instant selector with lookback ----------------------------------
     def selector(self, node: Selector, metrics: DataFrame, label_cols):
-        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_selector
+        from kafka_metrics_exporter_spark.promql.compiler import (
+            _Vec,
+            _eval_selector,
+        )
 
         vec = _eval_selector(node, metrics, label_cols)
         series = sorted(vec.labels)
@@ -137,9 +140,9 @@ class GridLeaf:
 
     # -- rate / increase (extrapolated) and irate ------------------------
     def rate(self, node: Rate, metrics: DataFrame, label_cols):
-        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_selector
+        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_range_operand
 
-        vec = _eval_selector(node.selector, metrics, label_cols)
+        vec = _eval_range_operand(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         w_us = _us(node.window_seconds)
         ord_w = Window.partitionBy(*series).orderBy(F.unix_micros(F.col("ts")))
@@ -247,9 +250,9 @@ class GridLeaf:
         endpoints inside (t - w, t] — each sample row carries its
         predecessor, so within the instant explosion the predecessor-
         inside check is a row-level filter (same shape as irate)."""
-        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_selector
+        from kafka_metrics_exporter_spark.promql.compiler import _Vec, _eval_range_operand
 
-        vec = _eval_selector(node.selector, metrics, label_cols)
+        vec = _eval_range_operand(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         w_us = _us(node.window_seconds)
         ord_w = Window.partitionBy(*series).orderBy(F.unix_micros(F.col("ts")))
@@ -284,10 +287,10 @@ class GridLeaf:
         intercept + slope · horizon."""
         from kafka_metrics_exporter_spark.promql.compiler import (
             _Vec,
-            _eval_selector,
+            _eval_range_operand,
         )
 
-        vec = _eval_selector(node.selector, metrics, label_cols)
+        vec = _eval_range_operand(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         x = _expand_instants(
             vec.df, _us(node.window_seconds), self.step_us, self.bounds
@@ -316,10 +319,10 @@ class GridLeaf:
         from kafka_metrics_exporter_spark.promql.compiler import (
             _AGG_FN,
             _Vec,
-            _eval_selector,
+            _eval_range_operand,
         )
 
-        vec = _eval_selector(node.selector, metrics, label_cols)
+        vec = _eval_range_operand(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         x = _expand_instants(vec.df, _us(node.window_seconds), self.step_us, self.bounds)
         if node.op == "last":

@@ -981,3 +981,62 @@ def test_count_values_and_absent(tiny):
     # range mode: the instant universe is the step grid
     abr = compile_promql('absent(m{topic="zzz"})').evaluate_range(tiny, 60.0)
     assert abr.count() == 3 and all(r["value"] == 1.0 for r in abr.collect())
+
+
+def test_subquery_parses_and_roundtrips():
+    from kafka_metrics_exporter_spark.promql.parser import (
+        Agg,
+        OverTime,
+        Rate,
+        Subquery,
+        to_promql,
+    )
+
+    n = parse("max_over_time(sum(m)[1h:5m])")
+    assert isinstance(n, OverTime) and n.window_seconds == 3600.0
+    assert isinstance(n.selector, Subquery)
+    assert n.selector.step_seconds == 300.0
+    assert isinstance(n.selector.expr, Agg)
+    assert parse(to_promql(n)) == n
+    n2 = parse("rate(m[1h:5m])")  # subquery over a bare selector
+    assert isinstance(n2, Rate) and isinstance(n2.selector, Subquery)
+    with pytest.raises(SyntaxError):
+        parse("max_over_time(sum(m)[1h])")  # non-selector range needs a step
+
+
+def test_subquery_over_time_semantics(tiny):
+    """max_over_time(sum(m)[10m:1m]): the inner sum is evaluated on a
+    1 m grid with lookback (hand-computed: 117, 207, 172 at minutes
+    0-2), then the outer window takes the trailing max of those
+    synthetic samples — in BOTH evaluation modes."""
+    expected = {
+        "2024-01-01 00:00:00": 117.0,
+        "2024-01-01 00:01:00": 207.0,
+        "2024-01-01 00:02:00": 207.0,
+    }
+    inst = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("max_over_time(sum(m)[10m:1m])")
+        .evaluate(tiny)
+        .collect()
+    }
+    assert inst == expected
+    grid = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("max_over_time(sum(m)[10m:1m])")
+        .evaluate_range(tiny, 60.0)
+        .collect()
+    }
+    assert grid == expected
+
+
+def test_subquery_rate_over_aggregate(tiny):
+    """rate over a subquery: the inner sum's grid samples act as the
+    counter series (117 → 207 → 172 with a reset clamp at minute 2)."""
+    out = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("rate(sum(m)[10m:1m])").evaluate(tiny).collect()
+    }
+    assert out["2024-01-01 00:01:00"] == pytest.approx((207.0 - 117.0) / 60.0)
+    # 172 < 207 → counter reset: rate restarts from the post-reset value
+    assert out["2024-01-01 00:02:00"] == pytest.approx(172.0 / 60.0)
