@@ -97,6 +97,26 @@ class MetricAgg:
 
 
 @dataclass(frozen=True)
+class PercentilesAgg:
+    """ES ``percentiles`` metric: one output column per percent,
+    ``<label>_p<percent>``.  Exact interpolated percentiles by default
+    (ES computes a t-digest approximation; the exact form hash-matches
+    oracles and the ``approx_percentile`` swap is the documented scale
+    path, same pattern as the a11/a11b pair)."""
+
+    field: str
+    percents: tuple[float, ...]
+    label: str
+
+    def column_names(self) -> list[str]:
+        def fmt(p: float) -> str:
+            s = f"{p:g}".replace(".", "_")
+            return f"{self.label}_p{s}"
+
+        return [fmt(p) for p in self.percents]
+
+
+@dataclass(frozen=True)
 class TopHitsAgg:
     field: str
     aggregate: str  # average | concat | sum | max
@@ -106,7 +126,7 @@ class TopHitsAgg:
 
 
 Bucket = TermsBucket | DateHistogramBucket | FiltersBucket
-Metric = MetricAgg | TopHitsAgg
+Metric = MetricAgg | TopHitsAgg | PercentilesAgg
 
 
 @dataclass(frozen=True)
@@ -187,6 +207,16 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 for i, f in enumerate(p.get("filters", []))
             )
             buckets.append(FiltersBucket(filters=flt, label=label))
+        elif a["type"] == "percentiles":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: percentiles cannot be a bucket agg")
+            percents = tuple(
+                float(pc)
+                for pc in p.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            )
+            metrics.append(
+                PercentilesAgg(field=p["field"], percents=percents, label=label)
+            )
         elif a["type"] in ("avg", "max", "sum", "cardinality", "count"):
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
@@ -279,6 +309,16 @@ class KibanaPlan:
         metrics = s.metrics or (MetricAgg(op="count", field="", label="count"),)
         agg_exprs = []
         for m in metrics:
+            if isinstance(m, PercentilesAgg):
+                # one exact interpolated percentile sketch per agg; the
+                # array is unpacked into per-percent columns at the end
+                agg_exprs.append(
+                    F.percentile(
+                        resolve(m.field).cast("double"),
+                        F.array(*[F.lit(p / 100.0) for p in m.percents]),
+                    ).alias(m.label)
+                )
+                continue
             if isinstance(m, MetricAgg):
                 if m.op == "count":
                     agg_exprs.append(F.count(F.lit(1)).alias(m.label))
@@ -349,7 +389,16 @@ class KibanaPlan:
                 .drop("__rn", "__ord")
             )
 
-        return out.select(*key_names, *[m.label for m in metrics])
+        final_cols: list[Column] = [F.col(k) for k in key_names]
+        for m in metrics:
+            if isinstance(m, PercentilesAgg):
+                final_cols.extend(
+                    F.col(m.label).getItem(i).alias(name)
+                    for i, name in enumerate(m.column_names())
+                )
+            else:
+                final_cols.append(F.col(m.label))
+        return out.select(*final_cols)
 
 
 def compile_visualization(saved_object: dict) -> KibanaPlan:

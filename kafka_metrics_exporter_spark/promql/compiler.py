@@ -73,6 +73,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Selector,
     SetOp,
     Subquery,
+    Time,
     TopK,
     VectorMatch,
     parse,
@@ -216,7 +217,33 @@ def _eval(
             "==": Column.__eq__,
             "!=": Column.__ne__,
         }
-        return _Vec(vec.df.filter(ops[node.op](F.col("value"), F.lit(node.threshold))), vec.labels)
+        pred = ops[node.op](F.col("value"), F.lit(node.threshold))
+        if node.bool_mode:
+            # `> bool c`: keep every element, value becomes 1.0/0.0
+            return _Vec(
+                vec.df.withColumn(
+                    "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+                ),
+                vec.labels,
+            )
+        return _Vec(vec.df.filter(pred), vec.labels)
+    if isinstance(node, Time):
+        # the evaluation timestamp, per instant: a label-less vector
+        # over the instant universe (sample timestamps / step grid)
+        if leaf is not None and hasattr(leaf, "step_us"):
+            inst = leaf.bounds.select(
+                F.explode(
+                    F.sequence(
+                        F.col("__g_lo"), F.col("__g_hi"), F.lit(leaf.step_us)
+                    )
+                ).alias("__t_us")
+            ).select(F.timestamp_micros(F.col("__t_us")).alias("ts"))
+        else:
+            inst = metrics.select("ts").distinct()
+        out = inst.withColumn(
+            "value", (F.unix_micros(F.col("ts")) / F.lit(1_000_000.0))
+        )
+        return _Vec(out, frozenset())
     raise TypeError(f"promql: unknown node {node!r}")
 
 
@@ -903,5 +930,11 @@ def evaluate_streaming(
             ">": Column.__gt__, "<": Column.__lt__, ">=": Column.__ge__,
             "<=": Column.__le__, "==": Column.__eq__, "!=": Column.__ne__,
         }
-        out = out.filter(ops[cmp_node.op](F.col("value"), F.lit(cmp_node.threshold)))
+        pred = ops[cmp_node.op](F.col("value"), F.lit(cmp_node.threshold))
+        if cmp_node.bool_mode:
+            out = out.withColumn(
+                "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+            )
+        else:
+            out = out.filter(pred)
     return out

@@ -182,12 +182,21 @@ class Cmp:
     expr: "Expr"
     op: str  # > < >= <= == !=
     threshold: float
+    # `> bool 5`: keep every element, value 1.0/0.0 (alert math)
+    bool_mode: bool = False
+
+
+@dataclass(frozen=True)
+class Time:
+    """``time()`` — the evaluation timestamp in epoch seconds, as a
+    label-less vector over the evaluation-instant universe (Prometheus
+    returns a scalar; relationally the instant is a column)."""
 
 
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
     | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
-    | Subquery
+    | Subquery | Time
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
@@ -307,6 +316,10 @@ class _Parser:
         kind, tok = self.peek()
         if tok in (">", "<", ">=", "<=", "==", "!="):
             self.next()
+            bool_mode = False
+            if self.peek() == ("ident", "bool"):
+                self.next()
+                bool_mode = True
             threshold = self.signed_number("comparison")
             if self.peek()[1] in ("+", "-", "*", "/"):
                 raise SyntaxError(
@@ -314,7 +327,7 @@ class _Parser:
                     "vector comparison, which this subset does not support "
                     "— parenthesize the comparison if you meant (expr > c) + x"
                 )
-            node = Cmp(node, tok, threshold)
+            node = Cmp(node, tok, threshold, bool_mode=bool_mode)
         return node
 
     # arith := term (('+'|'-') [match] term)*
@@ -408,6 +421,11 @@ class _Parser:
                 inner = self.parse_expr()
                 self.expect(")")
                 return Absent(inner)
+            if tok == "time" and self.tokens[self.i + 1][1] == "(":
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return Time()
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()
@@ -712,7 +730,10 @@ def to_promql(node: Expr) -> str:
             if node.threshold != int(node.threshold)
             else str(int(node.threshold))
         )
-        return f"({to_promql(node.expr)}) {node.op} {thr}"
+        b = "bool " if node.bool_mode else ""
+        return f"({to_promql(node.expr)}) {node.op} {b}{thr}"
+    if isinstance(node, Time):
+        return "time()"
     raise TypeError(f"promql: cannot render {node!r}")
 
 

@@ -324,3 +324,36 @@ def test_cardinality_approx_mode_matches_exact_small(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "approx_count_distinct" in explained
+
+
+def test_percentiles_metric_agg(docs, spark):
+    """ES `percentiles` metric: one `<label>_p<percent>` column per
+    requested percent, exact interpolated percentiles (numpy twin)."""
+    import numpy as np
+
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t",
+                    "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "component.keyword", "size": 5,
+                                     "order": "asc", "orderBy": "_term",
+                                     "customLabel": "Component"}},
+                        {"id": "1", "type": "percentiles", "schema": "metric",
+                         "params": {"field": "v", "percents": [50, 95],
+                                    "customLabel": "V"}},
+                    ],
+                }
+            )
+        }
+    )
+    out = plan.evaluate(docs)
+    assert set(out.columns) == {"component", "v_p50", "v_p95"}
+    got = {r["component"]: (r["v_p50"], r["v_p95"]) for r in out.collect()}
+    broker = [10.0, 30.0, 40.0]
+    assert got["broker"][0] == pytest.approx(float(np.percentile(broker, 50)))
+    assert got["broker"][1] == pytest.approx(float(np.percentile(broker, 95)))
+    assert got["zk"] == (pytest.approx(6.0), pytest.approx(6.9))  # {5, 7}

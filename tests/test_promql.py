@@ -1040,3 +1040,29 @@ def test_subquery_rate_over_aggregate(tiny):
     assert out["2024-01-01 00:01:00"] == pytest.approx((207.0 - 117.0) / 60.0)
     # 172 < 207 → counter reset: rate restarts from the post-reset value
     assert out["2024-01-01 00:02:00"] == pytest.approx(172.0 / 60.0)
+
+
+def test_bool_modifier_and_time(tiny):
+    from kafka_metrics_exporter_spark.promql.parser import Cmp, Time, to_promql
+
+    n = parse("m > bool 50")
+    assert isinstance(n, Cmp) and n.bool_mode and n.threshold == 50.0
+    assert parse(to_promql(n)) == n
+    assert isinstance(parse("time()"), Time)
+
+    # bool keeps every element with value 1/0 (vs the filtering form)
+    out = compile_promql("m > bool 50").evaluate(tiny)
+    rows = out.collect()
+    assert len(rows) == 6  # all m samples survive
+    got = {(r["topic"], r["instance"], str(r["ts"])): r["value"] for r in rows}
+    assert got[("b", "h1", "2024-01-01 00:00:00")] == 1.0  # 100 > 50
+    assert got[("a", "h1", "2024-01-01 00:00:00")] == 0.0  # 10 <= 50
+    assert compile_promql("m > 50").evaluate(tiny).count() == 2
+
+    # time(): epoch seconds per instant, joinable against vectors
+    t = {r["value"] for r in compile_promql("time()").evaluate(tiny).collect()}
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert t == {base, base + 60.0, base + 120.0}
+    # grid mode shares the universe logic
+    tg = compile_promql("time()").evaluate_range(tiny, 60.0)
+    assert tg.count() == 3
