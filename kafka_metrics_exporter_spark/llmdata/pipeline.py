@@ -237,7 +237,10 @@ def fuzzy_decontaminate(
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(best, "doc_id", "left")
+        # flagged docs are a sliver of the corpus (leaks are the
+        # exception) — broadcast the verdicts so the final attach is
+        # map-side too: the training side is never shuffled at all
+        .join(F.broadcast(best), "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
             F.col("max_jaccard").isNotNull().alias("is_contaminated"),

@@ -196,3 +196,42 @@ def test_round5_matching_setop_queries_are_jvm_only(spark, sf_dir):
     p = buf.getvalue()
     assert re.search(r"LeftSemi", p), "and must compile to a semi join"
     assert re.search(r"LeftAnti", p), "unless/or must compile to anti joins"
+
+
+def test_fuzzy_decontaminate_broadcasts_the_benchmark_side(spark, sf_dir):
+    """The 100 TB claim in llmdata/pipeline.py::fuzzy_decontaminate:
+    the benchmark band buckets come in as a BROADCAST join (no shuffle
+    of the training side for candidate generation), no Python eval
+    outside the two Arrow signature scans, no cartesian product."""
+    import re
+
+    import kafka_metrics_exporter_spark.plans  # noqa: F401  (registers)
+    from kafka_metrics_exporter_spark.plans import QUERIES as ALL_Q
+
+    df = ALL_Q["pipe_fuzzy_decontaminate"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # EVERY join is broadcast — the training corpus is never shuffled
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # the only Python stages are the fused Arrow shingle+minhash scans
+    # (one per corpus side) — nothing row-at-a-time
+    assert "BatchEvalPython" not in p
+
+
+def test_subquery_and_count_values_are_jvm_only(spark, sf_dir):
+    import kafka_metrics_exporter_spark.plans  # noqa: F401  (registers)
+    from kafka_metrics_exporter_spark.plans import QUERIES as ALL_Q
+
+    for name in ["promql_subquery", "promql_count_values"]:
+        df = ALL_Q[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
