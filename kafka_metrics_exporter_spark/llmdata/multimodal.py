@@ -324,3 +324,29 @@ def audio_windows(
         _win_batch,
         "media_id long, window_idx int, sample_rate int, mean_abs double, peak long",
     )
+
+
+def channel_stats(
+    features: DataFrame, feature_col: str = "feature"
+) -> DataFrame:
+    """Per-channel corpus statistics over a feature-array column — the
+    dataset-normalization pass every vision/audio pipeline runs before
+    training (channel means/stds for the normalize transform).
+
+    posexplode + one hash aggregation on the (tiny) channel key space:
+    map-side partial aggregation reduces each partition to
+    #channels rows before the single all-to-8-keys shuffle, so the cost
+    at 100 TB is one pass over the feature column and a few KB of
+    shuffle traffic.  Output: (channel, n, mean, std, min, max) with
+    population std (the normalization convention).
+    """
+    x = features.select(
+        F.posexplode(F.col(feature_col)).alias("channel", "__v")
+    )
+    return x.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__v").alias("mean"),
+        F.stddev_pop("__v").alias("std"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+    )

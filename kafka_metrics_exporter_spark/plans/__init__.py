@@ -53,6 +53,7 @@ NEW_THIS_ROUND = [
     "pipe_fuzzy_decontaminate",
     "promql_count_values",
     "promql_subquery",
+    "multimodal_channel_stats",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -106,7 +107,6 @@ WINDOW_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_components",
-    "dedup_minhash_components",
     "a1_a4_grouped_metrics",
     "w2_rate",
     "p2_normalize_pipeline",

@@ -1370,3 +1370,62 @@ def pipe_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_jaccard", 4).alias("max_jaccard"),
         "matched_bench",
     )
+
+
+@query(
+    "multimodal_channel_stats",
+    """
+    WITH m AS (
+      SELECT ('0x' || substr(md5(text), 1, 12))::BIGINT AS checksum
+      FROM documents
+    ),
+    x AS (
+      SELECT ch.i AS channel,
+             (checksum >> CAST(2 * ch.i AS INT)) % 251 AS k
+      FROM m, (SELECT unnest(range(8)) AS i) ch
+    )
+    SELECT CAST(channel AS INT) AS channel,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k * k) AS BIGINT) AS sumsq_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           round(SUM(k) * 1.0 / COUNT(*), 6) AS mean_k
+    FROM x GROUP BY channel
+    """,
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-normalization statistics per feature channel
+    (multimodal.channel_stats over the decode stub's 8-dim features),
+    emitted in the exact-integer domain: the stub's feature values are
+    k/251 with k an md5-derived integer, so round(v·251) recovers k
+    exactly and every aggregate (counts, sums, min/max, and the
+    sum/count mean — a division of exact integers) is bit-identical
+    across engines with no float-summation freedom."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(
+        d, payload_col="text", id_col="doc_id", media_type="image"
+    )
+    feats = multimodal.extract_features(media, decoder="fake")
+    x = feats.select(
+        F.posexplode("feature").alias("channel", "v")
+    ).withColumn("k", F.round(F.col("v") * 251).cast("long"))
+    return (
+        x.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("k") * F.col("k")).alias("sumsq_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "channel",
+            "n",
+            "sum_k",
+            "sumsq_k",
+            "min_k",
+            "max_k",
+            F.round(F.col("sum_k") / F.col("n"), 6).alias("mean_k"),
+        )
+    )

@@ -685,3 +685,24 @@ def test_fuzzy_decontaminate_flags_near_dup_leaks(spark):
     assert not out[2]["is_contaminated"] and out[2]["max_jaccard"] is None
     assert out[3]["is_contaminated"] and out[3]["max_jaccard"] == 1.0
     assert out[3]["matched_bench"] == 2000
+
+
+def test_channel_stats_matches_numpy(spark):
+    """channel_stats = the dataset-normalization pass: per-channel
+    mean/std/min/max over feature arrays, checked against numpy on a
+    hand-built frame."""
+    import numpy as np
+
+    arrs = [[0.1, 0.5], [0.3, 0.9], [0.2, 0.1]]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrs)],
+        "media_id long, feature array<double>",
+    )
+    out = {r["channel"]: r for r in multimodal.channel_stats(df).collect()}
+    m = np.array(arrs)
+    for ch in (0, 1):
+        assert out[ch]["n"] == 3
+        assert out[ch]["mean"] == pytest.approx(m[:, ch].mean())
+        assert out[ch]["std"] == pytest.approx(m[:, ch].std())  # population
+        assert out[ch]["min"] == m[:, ch].min()
+        assert out[ch]["max"] == m[:, ch].max()
