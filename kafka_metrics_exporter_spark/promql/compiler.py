@@ -124,15 +124,22 @@ class PromQLPlan:
         metrics: DataFrame,
         step_seconds: float,
         lookback_seconds: float | None = None,
+        start=None,
+        end=None,
     ) -> DataFrame:
         """Opt-in Prometheus range-query mode: evaluate at aligned step
         instants with lookback selectors and window-EXTRAPOLATED
-        rate/increase (true irate) — see promql/range_eval.py."""
+        rate/increase (true irate) — see promql/range_eval.py.
+        ``start``/``end`` (datetimes or epoch seconds) pin the grid to
+        a dashboard's request range; omitted, the grid spans the data."""
         from kafka_metrics_exporter_spark.promql import range_eval
 
         kwargs = {}
         if lookback_seconds is not None:
             kwargs["lookback_seconds"] = lookback_seconds
+        if start is not None or end is not None:
+            kwargs["start"] = start
+            kwargs["end"] = end
         return range_eval.evaluate_range(self, metrics, step_seconds, **kwargs)
 
 

@@ -337,24 +337,60 @@ class GridLeaf:
         return _Vec(_finish(out, series), vec.labels)
 
 
+def _literal_bounds(
+    spark, start, end, step_us: int
+) -> DataFrame:
+    """1-row bounds frame from an explicit request range — the grid a
+    dashboard passes (`start`/`end` as datetimes or epoch seconds):
+    first aligned instant ≥ start, last aligned instant ≤ end."""
+    import datetime as _dt
+
+    def to_us(x) -> int:
+        if isinstance(x, _dt.datetime):
+            if x.tzinfo is None:
+                x = x.replace(tzinfo=_dt.timezone.utc)
+            return int(round(x.timestamp() * 1_000_000))
+        return int(round(float(x) * 1_000_000))
+
+    lo, hi = to_us(start), to_us(end)
+    if hi < lo:
+        raise ValueError("promql range: end must be >= start")
+    g_lo = ((lo + step_us - 1) // step_us) * step_us
+    g_hi = (hi // step_us) * step_us
+    return spark.range(1).select(
+        F.lit(g_lo).alias("__g_lo"), F.lit(g_hi).alias("__g_hi")
+    )
+
+
 def evaluate_range(
     plan,
     metrics: DataFrame,
     step_seconds: float,
     lookback_seconds: float = DEFAULT_LOOKBACK_SECONDS,
+    start=None,
+    end=None,
 ) -> DataFrame:
     """Range-query evaluation of a compiled plan: instants are the
-    aligned step grid spanning the metrics' time extent."""
+    aligned step grid over the explicit ``[start, end]`` request range
+    (datetimes or epoch seconds — what a dashboard panel passes), or,
+    when omitted, the grid spanning the metrics' time extent (the
+    self-contained form the oracles mirror)."""
     from kafka_metrics_exporter_spark.promql.compiler import _META_COLS, _eval
 
     step_us = _us(step_seconds)
     if step_us < 1:
         raise ValueError(f"promql range: step must be >= 1µs (got {step_seconds}s)")
+    if (start is None) != (end is None):
+        raise ValueError("promql range: pass both start and end, or neither")
+    if start is not None:
+        bounds = _literal_bounds(metrics.sparkSession, start, end, step_us)
+    else:
+        bounds = _grid_bounds(metrics, step_us)
     label_cols = [c for c in metrics.columns if c not in _META_COLS]
     leaf = GridLeaf(
         step_us=step_us,
         lookback_us=_us(lookback_seconds),
-        bounds=_grid_bounds(metrics, step_us),
+        bounds=bounds,
     )
     vec = _eval(plan.ast, metrics, tuple(label_cols), leaf)
     if isinstance(vec, float):

@@ -171,3 +171,39 @@ def test_grid_idelta_last_two_samples(counters):
     assert got[("a", 40)] == pytest.approx(-30.0)
     # b at t=10: (−20,10] holds 0s(0) and 10s(7)
     assert got[("b", 10)] == pytest.approx(7.0)
+
+
+def test_explicit_request_range(spark):
+    """evaluate_range(start=, end=) pins the grid to a dashboard's
+    request window instead of the data extent: instants outside the
+    range are absent, inside the lookback still resolves samples."""
+    import datetime as dt
+
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    rows = [("m", f"2024-01-01 00:0{i}:00", float(i), "u") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = compile_promql("m").evaluate_range(
+        df,
+        60.0,
+        start=dt.datetime(2024, 1, 1, 0, 2, tzinfo=dt.timezone.utc),
+        end=dt.datetime(2024, 1, 1, 0, 4, tzinfo=dt.timezone.utc),
+    )
+    got = {str(r["ts"]): r["value"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 00:02:00": 2.0,
+        "2024-01-01 00:03:00": 3.0,
+        "2024-01-01 00:04:00": 4.0,
+    }
+    # epoch-seconds form, unaligned ends snap inward to the grid
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    out2 = compile_promql("m").evaluate_range(
+        df, 60.0, start=base + 90, end=base + 250
+    )
+    assert {str(r["ts"]) for r in out2.collect()} == {
+        "2024-01-01 00:02:00", "2024-01-01 00:03:00", "2024-01-01 00:04:00"
+    }
+    with pytest.raises(ValueError):
+        compile_promql("m").evaluate_range(df, 60.0, start=base)
