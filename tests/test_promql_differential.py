@@ -197,3 +197,100 @@ def test_compiled_rate_matches_duckdb(name, op, val, spark, metrics_view, duck):
     """
     want = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == want, (expr, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
+# Set-operator + vector-matching differential: compiled plans vs
+# independent EXISTS / join translations over the same sides.
+# ---------------------------------------------------------------------------
+SETOP_CASES = [
+    ("sum by (user_id) (click)", "and", "sum by (user_id) (view)"),
+    ("sum by (user_id) (click)", "unless", "sum by (user_id) (purchase)"),
+    ("sum by (user_id) (error)", "or", "sum by (user_id) (signup)"),
+]
+
+
+@pytest.mark.parametrize("l,op,r", SETOP_CASES)
+def test_setop_matches_duckdb(l, op, r, spark, metrics_view, duck):
+    expr = f"({l}) {op} ({r})"
+    spark_out = compile_promql(expr).evaluate(metrics_view)
+    shaped = spark_out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )
+    got = {tuple(rr) for rr in shaped.collect()}
+    lsql = f"({_sql_for(parse(l), _METRICS_CTE)})"
+    rsql = f"({_sql_for(parse(r), _METRICS_CTE)})"
+    if op == "and":
+        sql = f"""SELECT a.* FROM {lsql} a WHERE EXISTS (
+            SELECT 1 FROM {rsql} b
+            WHERE b.user_id = a.user_id AND b.ts_s = a.ts_s)"""
+    elif op == "unless":
+        sql = f"""SELECT a.* FROM {lsql} a WHERE NOT EXISTS (
+            SELECT 1 FROM {rsql} b
+            WHERE b.user_id = a.user_id AND b.ts_s = a.ts_s)"""
+    else:
+        sql = f"""SELECT a.* FROM {lsql} a
+            UNION ALL
+            SELECT b.* FROM {rsql} b WHERE NOT EXISTS (
+              SELECT 1 FROM {lsql} a2
+              WHERE a2.user_id = b.user_id AND a2.ts_s = b.ts_s)"""
+    want = {tuple(rr) for rr in duck.execute(sql).fetchall()}
+    assert got == want, (expr, len(got), len(want))
+
+
+def test_vector_matching_matches_duckdb(spark, metrics_view, duck):
+    """One-to-one on(user_id) and many-to-one group_left against the
+    same independent join translation (left side keeps event_type as a
+    constant extra label, so group_left genuinely carries a column the
+    match keys do not)."""
+    l = "sum by (event_type, user_id) (click)"
+    r = "sum by (user_id) (view)"
+    lsql = f"({_sql_for(parse(l), _METRICS_CTE)})"
+    rsql = f"({_sql_for(parse(r), _METRICS_CTE)})"
+
+    one = compile_promql(f"({l}) / on(user_id) ({r})").evaluate(metrics_view)
+    got = {
+        tuple(rr)
+        for rr in one.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        ).collect()
+    }
+    want = {
+        tuple(rr)
+        for rr in duck.execute(
+            f"""SELECT a.user_id, a.ts_s, round(a.value / b.value, 4)
+            FROM {lsql} a JOIN {rsql} b
+            ON a.user_id = b.user_id AND a.ts_s = b.ts_s"""
+        ).fetchall()
+    }
+    assert got == want and got
+
+    # group_left() with the explicit empty include list: a bare
+    # `group_left (expr)` would grab the parens as the include list
+    # (the same ambiguity Prometheus's own grammar has)
+    many = compile_promql(
+        f"({l}) / on(user_id) group_left() ({r})"
+    ).evaluate(metrics_view)
+    got2 = {
+        tuple(rr)
+        for rr in many.select(
+            "event_type",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        ).collect()
+    }
+    want2 = {
+        tuple(rr)
+        for rr in duck.execute(
+            f"""SELECT a.event_type, a.user_id, a.ts_s,
+                   round(a.value / b.value, 4)
+            FROM {lsql} a JOIN {rsql} b
+            ON a.user_id = b.user_id AND a.ts_s = b.ts_s"""
+        ).fetchall()
+    }
+    assert got2 == want2 and got2
