@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "selectors, extrapolated rate)")
     q.add_argument("--query-lookback", type=float, default=300.0,
                    metavar="SECS", help="range-mode lookback delta")
+    q.add_argument("--query-start", type=float, default=None, metavar="EPOCH",
+                   help="range-mode request start (epoch seconds; "
+                        "with --query-end pins the grid to the request "
+                        "window instead of the data extent)")
+    q.add_argument("--query-end", type=float, default=None, metavar="EPOCH",
+                   help="range-mode request end (epoch seconds)")
     q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
                    help="Kibana saved-object JSON (one visualization) "
                         "compiled and run against the metrics table")
@@ -105,7 +111,11 @@ def run_query(args: argparse.Namespace, spark) -> int:
         plan = compile_promql(args.query_promql)
         if args.query_step is not None:
             out = plan.evaluate_range(
-                df, args.query_step, lookback_seconds=args.query_lookback
+                df,
+                args.query_step,
+                lookback_seconds=args.query_lookback,
+                start=args.query_start,
+                end=args.query_end,
             )
         else:
             out = plan.evaluate(df)

@@ -110,3 +110,34 @@ def test_query_mode_kibana_vis(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "h1" in out and "20.0" in out
+
+
+def test_query_mode_range_with_request_window(spark, tmp_path, capsys):
+    import datetime as dt
+
+    rows = [
+        ("click", f"2024-01-01 00:0{i}:00", float(i), "u1") for i in range(6)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "metrics_rw")
+    df.write.parquet(path)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    rc = main(
+        [
+            "--query-metrics", path,
+            "--query-promql", "click",
+            "--query-step", "60",
+            "--query-start", str(base + 120),
+            "--query-end", str(base + 180),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # only the two requested instants appear
+    assert "00:02:00" in out and "00:03:00" in out
+    assert "00:01:00" not in out and "00:04:00" not in out
