@@ -54,6 +54,7 @@ NEW_THIS_ROUND = [
     "promql_count_values",
     "promql_subquery",
     "multimodal_channel_stats",
+    "text_corpus_report",
 ]
 
 # Queries whose engine semantics or oracle SQL changed this round —
@@ -105,7 +106,6 @@ WINDOW_PRIORITY = [
     "kibana_terms_metrics",
     "promql_rate_extrapolated",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_components",
     "a1_a4_grouped_metrics",
     "w2_rate",

@@ -1429,3 +1429,59 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_k") / F.col("n"), 6).alias("mean_k"),
         )
     )
+
+
+@query(
+    "text_corpus_report",
+    f"""
+    WITH x AS (
+      SELECT {langid_sql('text')} AS lang,
+             source,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS n_toks,
+             CASE WHEN {quality_gate_sql('text')['keep']} THEN 1 ELSE 0 END
+               AS keep
+      FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_toks, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_toks, 0.95), 4) AS p95_tokens,
+           MIN(n_toks) AS min_tokens,
+           MAX(n_toks) AS max_tokens
+    FROM x GROUP BY lang, source
+    """,
+)
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard in ONE plan: per detected language quality-gate pass counts, the token budget, and interpolated
+    token-length percentiles — the summary a data team reads before
+    committing a corpus to training.  Composes langid + token counting
+    + the quality gate + exact percentiles in a single scan and one
+    hash aggregation on the (tiny) language key; both the langid CASE
+    chain and the gate SQL are GENERATED from the same rule constants
+    the Column implementation uses, so the twin can't drift."""
+    from kafka_metrics_exporter_spark.llmdata.text import (
+        langid_column as _lang,
+        quality_gate as _gate,
+        token_counts as _tc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = d.select(
+        _lang(t).alias("lang"),
+        F.col("source"),
+        _tc(t)["n_ws_tokens"].alias("n_toks"),
+        _gate(t)["keep"].cast("int").alias("keep"),
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.percentile(F.col("n_toks"), F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile(F.col("n_toks"), F.lit(0.95)), 4).alias("p95_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )
