@@ -344,7 +344,18 @@ class KibanaPlan:
                 agg_exprs.append(pick(val, order).alias(m.label))
         out = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_exprs)
 
-        # 3) per-level terms size/order enforcement, outermost first
+        # 3) per-level terms size/order enforcement, outermost first.
+        # A TOP-LEVEL terms bucket never uses a window: the windowed
+        # relation would be the term × inner-bucket TUPLE table and
+        # `Window.partitionBy(F.lit(1))` constant-folds to an EMPTY
+        # partition spec — Spark moves the whole relation to one task
+        # ("No Partition Defined for Window operation").  Instead the
+        # top-N TERMS are picked from the one-row-per-term relation with
+        # orderBy().limit() (TakeOrderedAndProject — ≤ size rows, no
+        # shuffle concentration) and semi-joined back (broadcast: the
+        # survivor side is ≤ size rows by construction).  Nested terms
+        # keep the window — its partition spec (the parent bucket keys)
+        # is real, so the rank distributes.
         for i, b in enumerate(s.buckets):
             if not isinstance(b, TermsBucket):
                 continue
@@ -352,6 +363,12 @@ class KibanaPlan:
             direction = (lambda c: c.desc()) if b.order == "desc" else (lambda c: c.asc())
             if b.order_by == "_term":
                 order_cols = [direction(F.col(b.label))]
+                if not prefix:
+                    top_terms = (
+                        out.select(b.label).distinct().orderBy(*order_cols).limit(b.size)
+                    )
+                    out = out.join(F.broadcast(top_terms), [b.label], "left_semi")
+                    continue
             else:
                 op, fld = b.order_metric
                 # the ordering metric is computed at THIS bucket's level
@@ -369,14 +386,13 @@ class KibanaPlan:
                 lvl = df.groupBy(*[F.col(c) for c in prefix + [b.label]]).agg(
                     ord_expr.alias("__ord")
                 )
-                out = out.join(F.broadcast(lvl), prefix + [b.label], "left")
                 order_cols = [direction(F.col("__ord")), F.col(b.label).asc()]
-            w = (
-                Window.partitionBy(*[F.col(c) for c in prefix])
-                .orderBy(*order_cols)
-                if prefix
-                else Window.partitionBy(F.lit(1)).orderBy(*order_cols)
-            )
+                if not prefix:
+                    top_terms = lvl.orderBy(*order_cols).limit(b.size).select(b.label)
+                    out = out.join(F.broadcast(top_terms), [b.label], "left_semi")
+                    continue
+                out = out.join(F.broadcast(lvl), prefix + [b.label], "left")
+            w = Window.partitionBy(*[F.col(c) for c in prefix]).orderBy(*order_cols)
             # dense_rank, NOT row_number: the frame rows are bucket
             # TUPLES (this term × every inner bucket), and ES's size
             # keeps the top-N TERMS with all their children.  The order

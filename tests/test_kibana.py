@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -49,21 +50,10 @@ def test_corpus_is_the_documented_size():
     assert len(_VISES) == 27
 
 
-@pytest.mark.parametrize(
-    "vis", _VISES, ids=[v["_source"]["title"][:40] for v in _VISES]
-)
-def test_corpus_vis_parses_compiles_runs(vis, spark):
-    """Every corpus visualization must compile and execute end-to-end
-    on a documents table carrying its fields (synthesized per-vis:
-    strings for .keyword/terms fields, doubles for metric fields,
+def _synth_frame(spark, state):
+    """A 2-row documents table carrying the visualization's fields
+    (strings for .keyword/terms fields, doubles for metric fields,
     timestamps for sort/histogram fields)."""
-    plan = compile_visualization(vis)
-    state = plan.state
-    if state.vis_type == "markdown":
-        # navigation panel: no aggs, nothing to query
-        assert not state.buckets and not state.metrics
-        return
-    assert state.buckets or state.metrics
     fields = _fields_of(state)
     ts_fields = {b.field for b in state.buckets if isinstance(b, DateHistogramBucket)}
     ts_fields |= {m.sort_field for m in state.metrics if hasattr(m, "sort_field")}
@@ -98,6 +88,23 @@ def test_corpus_vis_parses_compiles_runs(vis, spark):
     for n, t in cols:
         if t == "timestamp":
             df = df.withColumn(n, F.col(f"`{n}`").cast("timestamp"))
+    return df
+
+
+@pytest.mark.parametrize(
+    "vis", _VISES, ids=[v["_source"]["title"][:40] for v in _VISES]
+)
+def test_corpus_vis_parses_compiles_runs(vis, spark):
+    """Every corpus visualization must compile and execute end-to-end
+    on a documents table carrying its fields."""
+    plan = compile_visualization(vis)
+    state = plan.state
+    if state.vis_type == "markdown":
+        # navigation panel: no aggs, nothing to query
+        assert not state.buckets and not state.metrics
+        return
+    assert state.buckets or state.metrics
+    df = _synth_frame(spark, state)
     out = plan.evaluate(
         df, tiebreak="__id", default_search_field="mbean_path"
     )
@@ -357,3 +364,32 @@ def test_percentiles_metric_agg(docs, spark):
     assert got["broker"][0] == pytest.approx(float(np.percentile(broker, 50)))
     assert got["broker"][1] == pytest.approx(float(np.percentile(broker, 95)))
     assert got["zk"] == (pytest.approx(6.0), pytest.approx(6.9))  # {5, 7}
+
+
+_UNPARTITIONED_WINDOW = re.compile(
+    # a windowspecdefinition whose FIRST argument is already an order
+    # column (`col#N ASC|DESC ...`) has an EMPTY partition spec — Spark
+    # moves the whole relation to one task ("No Partition Defined for
+    # Window operation").  A partitioned spec leads with bare partition
+    # columns (`col#N, ...`) instead.
+    r"windowspecdefinition\(\w+#\d+\w* (?:ASC|DESC)"
+)
+
+
+@pytest.mark.parametrize(
+    "vis", _VISES, ids=[v["_source"]["title"][:40] for v in _VISES]
+)
+def test_corpus_plans_have_no_single_partition_window(vis, spark):
+    """VERDICT r5 item 1: a top-level ordered-terms bucket must rank
+    the one-row-per-term aggregate with orderBy().limit() + broadcast
+    semi-join, NEVER a window over an empty partition spec (the
+    constant-folded `partitionBy(lit(1))` WindowExec that serialized
+    every top-level terms visualization onto one task)."""
+    plan = compile_visualization(vis)
+    state = plan.state
+    if state.vis_type == "markdown":
+        return
+    df = _synth_frame(spark, state)
+    out = plan.evaluate(df, tiebreak="__id", default_search_field="mbean_path")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert not _UNPARTITIONED_WINDOW.search(p), p[:3000]
