@@ -300,35 +300,28 @@ def band_hash_array(bands: int, rows_per_band: int) -> F.Column:
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 32,
-    rows_per_band: int = 4,
-    bucket_cap: int = 1024,
+def capped_bucket_pairs(
+    buckets: DataFrame, key_cols: list[str], bucket_cap: int = 1024
 ) -> DataFrame:
-    """Band the signature; docs colliding in any band become candidate
-    pairs.  The bucket join shuffles on (band, bucket_hash) — uniform by
-    construction for diverse corpora, but a boilerplate-heavy crawl can
-    concentrate a band's docs into one hot bucket, so in-place pair
-    expansion is guarded by ``bucket_cap``: buckets at most that wide
-    expand |bucket|² pair structs in one row (bounded at cap²); wider
-    buckets are salt-split into ~cap-sized blocks whose block-pair
-    cross products bound every task at ~cap² structs no matter how
-    degenerate the bucket (pair output is identical — the blocks
-    partition the bucket, and block-pair expansion enumerates exactly
-    the same unordered pairs)."""
-    buckets = signatures.select(
-        "doc_id",
-        F.posexplode(band_hash_array(bands, rows_per_band)).alias("band", "bucket"),
-    )
-    # gather each bucket's members with ONE shuffle and expand pairs
-    # in place (JVM-side nested transform) — a bucket self-join would
-    # shuffle both sides on the same key and add a join stage for the
-    # same skew profile; the member list itself is only ~8 bytes/doc,
-    # the quadratic blow-up is in the pair expansion, which is what
-    # bucket_cap bounds
+    """Distinct unordered candidate pairs (doc_a < doc_b) of documents
+    sharing a bucket key, with the hot-bucket guard every candidate
+    generator in this package uses.
+
+    Input: (key_cols..., doc_id) rows.  Each bucket's members are
+    gathered with ONE shuffle and pairs expand in place (JVM-side
+    nested transform) — a bucket self-join would shuffle both sides on
+    the same key and add a join stage for the same skew profile; the
+    member list itself is only ~8 bytes/doc, the quadratic blow-up is
+    in the pair expansion, which is what ``bucket_cap`` bounds: buckets
+    at most that wide expand |bucket|² pair structs in one row (bounded
+    at cap²); wider buckets are salt-split into ~cap-sized blocks whose
+    block-pair cross products bound every task at ~cap² structs no
+    matter how degenerate the bucket (pair output is identical — the
+    blocks partition the bucket, and block-pair expansion enumerates
+    exactly the same unordered pairs)."""
+    keys = [F.col(c) for c in key_cols]
     members = (
-        buckets.groupBy("band", "bucket")
+        buckets.groupBy(*keys)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -362,29 +355,45 @@ def lsh_candidate_pairs(
     blk_members = (
         members.filter(F.size("ids") > bucket_cap)
         .select(
-            "band",
-            "bucket",
+            *keys,
             F.ceil(F.size("ids") / F.lit(bucket_cap)).cast("int").alias("g"),
             F.explode("ids").alias("doc_id"),
         )
         .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
-        .groupBy("band", "bucket", "blk")
+        .groupBy(*keys, "blk")
         .agg(F.collect_list("doc_id").alias("ids"))
     )
     a = blk_members.alias("a")
     b = blk_members.alias("b")
+    same_bucket = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+    cond = same_bucket[0]
+    for c in same_bucket[1:]:
+        cond = cond & c
     large_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.blk") <= F.col("b.blk")),
-        )
+        a.join(b, cond & (F.col("a.blk") <= F.col("b.blk")))
         .select(F.explode(_expand(F.col("a.ids"), F.col("b.ids"))).alias("p"))
         .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
     )
 
     return small_pairs.union(large_pairs).distinct()
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Band the signature; docs colliding in any band become candidate
+    pairs.  The bucket join shuffles on (band, bucket_hash) — uniform by
+    construction for diverse corpora, but a boilerplate-heavy crawl can
+    concentrate a band's docs into one hot bucket, so pair expansion is
+    guarded by :func:`capped_bucket_pairs`'s ``bucket_cap`` salt-split."""
+    buckets = signatures.select(
+        "doc_id",
+        F.posexplode(band_hash_array(bands, rows_per_band)).alias("band", "bucket"),
+    )
+    return capped_bucket_pairs(buckets, ["band", "bucket"], bucket_cap)
 
 
 def minhash_signatures_from_docs(
@@ -603,13 +612,25 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Candidates via 4×16-bit chunk equality (pigeonhole for ≤3 bit
-    flips), verified with bit_count(xor) — both joins/filters JVM-side."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    flips), verified with bit_count(xor) — all joins/filters JVM-side.
+
+    Candidate generation goes through :func:`capped_bucket_pairs` on
+    (chunk_idx, chunk) buckets (VERDICT r5 item 2): a template-heavy or
+    near-empty-doc-heavy shard puts thousands of docs on one chunk
+    value (e.g. simhash 0) and an uncapped chunk-equality self-join
+    goes quadratic in the hot bucket — the same salt-split overflow
+    guard as the MinHash and embedding LSH pipelines bounds every task
+    at ~cap² pair structs.  The pair SET is unchanged (docs sharing ≥1
+    chunk), so results are identical to the uncapped join."""
+    # the signature table feeds the chunk bucketing AND both sides of
+    # the signature re-attach — persist so the Arrow signature pass
+    # runs once
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunks = sigs.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -619,25 +640,23 @@ def simhash_near_dups(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
+    cands = capped_bucket_pairs(chunks, ["chunk_idx", "chunk"], bucket_cap)
+    # attach both signatures (doc-keyed equi-joins, uniform keys) and
+    # verify the hamming distance
     return (
-        cands.withColumn(
+        cands.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
