@@ -499,16 +499,19 @@ def minhash_doc_table(
                 h = (m64 % np.uint64(p_mod)).astype("int64")
                 sig = ((A * h[None, :] + B) % p_mod).min(axis=1)
                 hs = m64.view("int64")
-                ids.append(int(vid))
+                ids.append(vid)
                 sets_.append(hs.tolist())
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"doc_id": ids, "hs": sets_, "signature": sigs})
 
+    # the id column keeps ITS OWN type (string eval-set names are the
+    # common case on the decontamination benchmark side)
+    id_type = dict(df.dtypes)[id_col]
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par)
         .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(go, "doc_id long, hs array<long>, signature array<long>")
+        .mapInPandas(go, f"doc_id {id_type}, hs array<long>, signature array<long>")
     )
 
 

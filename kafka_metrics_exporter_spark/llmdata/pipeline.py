@@ -218,22 +218,19 @@ def fuzzy_decontaminate(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_id", "bench_id", "jaccard")
     )
-    best = (
-        ver.groupBy("doc_id")
-        .agg(
-            F.max("jaccard").alias("max_jaccard"),
-            F.max(
-                F.struct(
-                    F.col("jaccard").alias("j"),
-                    (-F.col("bench_id")).alias("nb"),
-                )
-            ).alias("_best"),
-        )
-        .select(
-            "doc_id",
-            "max_jaccard",
-            (-F.col("_best.nb")).alias("matched_bench"),
-        )
+    # deterministic winner: max jaccard, ties broken by the SMALLEST
+    # bench id — argmin over (-jaccard, bench_id) struct ordering, so
+    # the tie-break works for any orderable id type (ADVICE r5: the
+    # previous arithmetic bench-id negation failed analysis for
+    # non-numeric id columns); jaccard itself is always a double
+    best = ver.groupBy("doc_id").agg(
+        F.max("jaccard").alias("max_jaccard"),
+        F.min_by(
+            "bench_id",
+            F.struct(
+                (-F.col("jaccard")).alias("nj"), F.col("bench_id").alias("b")
+            ),
+        ).alias("matched_bench"),
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -26,6 +26,20 @@ from kafka_metrics_exporter_spark.plans.queries import _TS_FMT, _r4, _t, query
 from kafka_metrics_exporter_spark.promql import compile_promql
 
 
+def _finish_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the (small) final frame once with an eager
+    localCheckpoint, then release the shared persisted views backing it
+    (ADVICE r5: queries that persist()'d their metrics view leaked the
+    cache into executor memory for the rest of the 91-query suite —
+    unpersisting before materialization would instead discard the
+    shared-scan benefit).  The checkpoint blocks are result-sized and
+    reclaimed by the ContextCleaner once the frame is dropped."""
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def _metrics_view(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -487,11 +501,14 @@ def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("value").alias("n_changes")
     )
     out = r.join(c, ["user_id", "ts"])
-    return out.select(
-        "user_id",
-        F.date_format("ts", _TS_FMT).alias("ts_s"),
-        "n_resets",
-        "n_changes",
+    return _finish_cached(
+        out.select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "n_resets",
+            "n_changes",
+        ),
+        m,
     )
 
 
@@ -527,11 +544,14 @@ def promql_quantile_last_over_time(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "ts", F.col("value").alias("last_value")
     )
     out = q.join(last, ["user_id", "ts"])
-    return out.select(
-        "user_id",
-        F.date_format("ts", _TS_FMT).alias("ts_s"),
-        "q90",
-        "last_value",
+    return _finish_cached(
+        out.select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "q90",
+            "last_value",
+        ),
+        m,
     )
 
 
@@ -729,7 +749,9 @@ def promql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value",
             )
         )
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return _finish_cached(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), m
+    )
 
 
 @query(

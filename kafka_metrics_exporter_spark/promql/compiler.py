@@ -237,21 +237,31 @@ def _eval(
     if isinstance(node, Time):
         # the evaluation timestamp, per instant: a label-less vector
         # over the instant universe (sample timestamps / step grid)
-        if leaf is not None and hasattr(leaf, "step_us"):
-            inst = leaf.bounds.select(
-                F.explode(
-                    F.sequence(
-                        F.col("__g_lo"), F.col("__g_hi"), F.lit(leaf.step_us)
-                    )
-                ).alias("__t_us")
-            ).select(F.timestamp_micros(F.col("__t_us")).alias("ts"))
-        else:
-            inst = metrics.select("ts").distinct()
+        inst = _instant_universe(metrics, leaf)
         out = inst.withColumn(
             "value", (F.unix_micros(F.col("ts")) / F.lit(1_000_000.0))
         )
         return _Vec(out, frozenset())
     raise TypeError(f"promql: unknown node {node!r}")
+
+
+def _instant_universe(metrics: DataFrame, leaf) -> DataFrame:
+    """The engine's evaluation-instant set as a 1-column ``ts`` frame:
+    the aligned step grid in range mode, the distinct sample timestamps
+    in sample-instant mode.  The grid sequence is guarded exactly like
+    ``_expand_instants``: an empty aligned grid (data span or request
+    window shorter than one step → ``__g_lo > __g_hi``) yields zero
+    instants instead of Spark's 'Illegal sequence boundaries' error
+    (ADVICE r5)."""
+    if leaf is not None and hasattr(leaf, "step_us"):
+        seq = F.when(
+            F.col("__g_lo") <= F.col("__g_hi"),
+            F.sequence(F.col("__g_lo"), F.col("__g_hi"), F.lit(leaf.step_us)),
+        ).otherwise(F.array().cast("array<long>"))
+        return leaf.bounds.select(F.explode(seq).alias("__t_us")).select(
+            F.timestamp_micros(F.col("__t_us")).alias("ts")
+        )
+    return metrics.select("ts").distinct()
 
 
 def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
@@ -589,6 +599,14 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         # sample value at each instant — the value itself becomes a new
         # label, formatted Prometheus-style (integral doubles print
         # without the trailing .0; try_cast guards the > 2^63 range)
+        if node.value_label in set(out_labels) | {"ts", "value", "name"}:
+            # Prometheus rejects conflicting label names; silently
+            # clobbering a grouping key or a reserved column would
+            # corrupt the result shape (ADVICE r5)
+            raise ValueError(
+                f"promql: count_values label {node.value_label!r} conflicts "
+                f"with a grouping label or a reserved column (ts/value/name)"
+            )
         big = F.col("value").try_cast("bigint")
         val_str = F.when(
             big.isNotNull() & (big.cast("double") == F.col("value")),
@@ -731,6 +749,28 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
             right.df.withColumn("value", py_ops[node.op](F.lit(left), F.col("value"))),
             right.labels,
         )
+    # time() is a SCALAR in Prometheus: it combines with any vector by
+    # the evaluation instant alone, keeping the vector's labels — the
+    # common `time() - m` / `m - time()` idioms must not demand
+    # matching label sets (ADVICE r5).  Joining on ts only (the time
+    # side carries no labels by construction); syntactic operand order
+    # is preserved.
+    if (isinstance(node.left, Time) != isinstance(node.right, Time)) and (
+        node.match is None
+    ):
+        time_is_left = isinstance(node.left, Time)
+        tvec = left if time_is_left else right
+        ovec = right if time_is_left else left
+        assert isinstance(tvec, _Vec) and isinstance(ovec, _Vec)
+        tf = tvec.df.select("ts", F.col("value").alias("__tv"))
+        lv = F.col("__tv") if time_is_left else F.col("value")
+        rv = F.col("value") if time_is_left else F.col("__tv")
+        out = (
+            ovec.df.join(tf, "ts", "inner")
+            .withColumn("value", py_ops[node.op](lv, rv))
+            .drop("__tv")
+        )
+        return _Vec(out, ovec.labels)
     # vector-vector
     if node.match is not None:
         return _eval_matched_bin(node, left, right, py_ops[node.op])
@@ -828,14 +868,7 @@ def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Ve
     vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: absent needs a vector")
-    if leaf is not None and hasattr(leaf, "step_us"):
-        instants = leaf.bounds.select(
-            F.explode(
-                F.sequence(F.col("__g_lo"), F.col("__g_hi"), F.lit(leaf.step_us))
-            ).alias("__t_us")
-        ).select(F.timestamp_micros(F.col("__t_us")).alias("ts"))
-    else:
-        instants = metrics.select("ts").distinct()
+    instants = _instant_universe(metrics, leaf)
     out = instants.join(
         vec.df.select("ts").distinct(), "ts", "left_anti"
     ).withColumn("value", F.lit(1.0))

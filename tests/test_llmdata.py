@@ -727,6 +727,30 @@ def test_fuzzy_decontaminate_flags_near_dup_leaks(spark):
     assert out[3]["matched_bench"] == 2000
 
 
+def test_fuzzy_decontaminate_string_bench_ids(spark):
+    """ADVICE r5: the tie-break must not negate bench_id arithmetically
+    — string benchmark ids (the common case: eval-set names) must work,
+    with ties on equal jaccard broken by the smallest id."""
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    bench = spark.createDataFrame(
+        # two IDENTICAL benchmark docs under different string ids: both
+        # tie at jaccard 1.0 against train doc 1
+        [("mmlu/b", text), ("mmlu/a", text)],
+        "doc_id string, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, text), (2, "unrelated training document with distinct words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pipeline.fuzzy_decontaminate(train, bench, threshold=0.5).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["max_jaccard"] == 1.0
+    assert out[1]["matched_bench"] == "mmlu/a"  # smallest id wins the tie
+    assert not out[2]["is_contaminated"]
+
+
 def test_channel_stats_matches_numpy(spark):
     """channel_stats = the dataset-normalization pass: per-channel
     mean/std/min/max over feature arrays, checked against numpy on a

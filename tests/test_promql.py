@@ -983,6 +983,39 @@ def test_count_values_and_absent(tiny):
     assert abr.count() == 3 and all(r["value"] == 1.0 for r in abr.collect())
 
 
+def test_time_combines_with_vectors_as_scalar(tiny):
+    """ADVICE r5: Prometheus treats time() as a SCALAR — `time() - m`
+    and `m - time()` must work without an explicit on() modifier,
+    joining on the evaluation instant and keeping the vector's
+    labels."""
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    out = compile_promql('time() - m{topic="a"}').evaluate(tiny)
+    got = {(r["topic"], r["instance"], str(r["ts"])): r["value"] for r in out.collect()}
+    assert got[("a", "h1", "2024-01-01 00:00:00")] == pytest.approx(t0 - 10.0)
+    assert got[("a", "h1", "2024-01-01 00:01:00")] == pytest.approx(t0 + 60 - 40.0)
+    # syntactic order preserved on the other side
+    rev = compile_promql('m{topic="a"} - time()').evaluate(tiny)
+    rgot = {str(r["ts"]): r["value"] for r in rev.collect()}
+    assert rgot["2024-01-01 00:00:00"] == pytest.approx(10.0 - t0)
+    # labels survive: aggregating the combination still sees them
+    agg = compile_promql('sum by (instance) (m - time())').evaluate(tiny)
+    assert {r["instance"] for r in agg.collect()} == {"h1", "h2"}
+
+
+def test_count_values_rejects_conflicting_label(tiny):
+    """ADVICE r5: a count_values output label that collides with a
+    grouping label or a reserved column must raise, as Prometheus
+    rejects conflicting label names."""
+    for bad in (
+        'count_values by (topic) ("topic", m)',
+        'count_values("ts", m)',
+        'count_values("value", m)',
+        'count_values("name", m)',
+    ):
+        with pytest.raises(ValueError, match="conflicts"):
+            compile_promql(bad).evaluate(tiny)
+
+
 def test_subquery_parses_and_roundtrips():
     from kafka_metrics_exporter_spark.promql.parser import (
         Agg,

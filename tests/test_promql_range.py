@@ -207,3 +207,28 @@ def test_explicit_request_range(spark):
     }
     with pytest.raises(ValueError):
         compile_promql("m").evaluate_range(df, 60.0, start=base)
+
+
+def test_empty_grid_yields_empty_not_crash(spark):
+    """ADVICE r5: a request window shorter than one step produces an
+    empty aligned grid (g_lo > g_hi); absent() and time() must return
+    zero instants like every other node, not throw Spark's 'Illegal
+    sequence boundaries'."""
+    import datetime as dt
+
+    rows = [("m", "2024-01-01 00:01:30", 1.0, "u")]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    # (base+10, base+50) contains no multiple of 60 -> empty grid
+    for expr in ('absent(m{user_id="zzz"})', "time()"):
+        out = compile_promql(expr).evaluate_range(
+            df, 60.0, start=base + 10, end=base + 50
+        )
+        assert out.count() == 0, expr
+    # data-span grid shorter than one step behaves the same way: the
+    # single sample at 90 s past the hour gives g_lo=3600 > g_hi=0
+    for expr in ('absent(m{user_id="zzz"})', "time()"):
+        out = compile_promql(expr).evaluate_range(df, 3600.0)
+        assert out.count() == 0, expr
