@@ -816,3 +816,79 @@ def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "value",
     )
+
+
+@query(
+    "promql_at_offset",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    u AS (SELECT DISTINCT ts FROM m),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    -- @ T with T = the click series' newest hour: each user's value
+    -- as of T (the newest sample at or before T)
+    snap AS (
+      SELECT user_id, max_by(value, ts) AS pin
+      FROM c
+      WHERE ts <= (SELECT max(ts) FROM c)
+      GROUP BY user_id
+    ),
+    -- offset -1d: the sample taken at t surfaces at instant t - 1d
+    off AS (SELECT user_id, ts - INTERVAL 1 DAY AS ts, value FROM c)
+    SELECT o.user_id,
+           strftime(o.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           o.value - s.pin AS value
+    FROM off o
+    JOIN snap s USING (user_id)
+    JOIN u USING (ts)
+    """,
+)
+def promql_at_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`click offset -1d - click @ T` — the round-6 grammar additions
+    working together: a NEGATIVE offset (the forward-looking comparison
+    idiom — tomorrow's sample surfaces at today's instant) minus the
+    per-user value pinned at fixed time T via the `@` modifier
+    (Prometheus's fixed-evaluation-time semantics: one snapshot per
+    series broadcast across the whole instant universe).  T is the
+    click series' newest hour, derived from the data so the query is
+    self-contained at any SF; a dashboard would pass its own epoch
+    literal.  Values are exact integer-count differences — no float
+    freedom."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    t_max = (
+        m.filter(F.col("name") == "click")
+        .agg(F.max(F.unix_micros(F.col("ts"))))
+        .first()[0]
+    )
+    expr = f"click offset -1d - click @ {t_max // 1_000_000}"
+    out = compile_promql(expr).evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )
+
+
+@query(
+    "promql_clamp_sort",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click')
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           LEAST(GREATEST(value * 3, 4), 5) AS value
+    FROM c
+    """,
+)
+def promql_clamp_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_desc(clamp(click * 3, 4, 5))` — two-sided clamp (both
+    bounds bite on the 1-or-2-count hourly data scaled by 3) under
+    sort_desc, Prometheus's display ordering (an ORDER BY on the final
+    frame; the driver's comparison is order-insensitive, so the oracle
+    pins the values and the sort exercises the compiled plan path)."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql("sort_desc(clamp(click * 3, 4, 5))").evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )

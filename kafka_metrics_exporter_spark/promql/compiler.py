@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from kafka_metrics_exporter_spark.promql.parser import (
     Absent,
+    At,
     Deriv,
     Agg,
     Bin,
@@ -72,6 +73,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Scalar,
     Selector,
     SetOp,
+    Sort,
     Subquery,
     Time,
     TopK,
@@ -185,6 +187,20 @@ def _eval(
         return _eval_setop(node, metrics, label_cols, leaf)
     if isinstance(node, Absent):
         return _eval_absent(node, metrics, label_cols, leaf)
+    if isinstance(node, At):
+        return _eval_at(node, metrics, label_cols, leaf)
+    if isinstance(node, Sort):
+        vec = _eval(node.expr, metrics, label_cols, leaf)
+        if isinstance(vec, float):
+            raise ValueError("promql: sort needs a vector")
+        # per-instant value ordering with a full label tiebreak —
+        # a presentation op on the FINAL (small) frame, so the global
+        # sort is one TakeOrdered-sized pass, not a data-path shuffle
+        val = F.col("value").desc() if node.desc else F.col("value").asc()
+        order = [F.col("ts").asc(), val] + [
+            F.col(c).asc() for c in sorted(vec.labels)
+        ]
+        return _Vec(vec.df.orderBy(*order), vec.labels)
     if isinstance(node, Subquery):
         raise ValueError(
             "promql: a subquery (expr[range:step]) is a range vector — "
@@ -207,6 +223,13 @@ def _eval(
             col = F.greatest(v, F.lit(node.arg))
         elif node.fn == "clamp_max":
             col = F.least(v, F.lit(node.arg))
+        elif node.fn == "clamp":
+            # Prometheus: clamp(v, min, max) with min > max is NaN for
+            # every element (promql/functions.go funcClamp)
+            if node.arg > node.arg2:
+                col = F.lit(float("nan"))
+            else:
+                col = F.least(F.greatest(v, F.lit(node.arg)), F.lit(node.arg2))
         else:
             col = fns[node.fn](v)
         return _Vec(
@@ -873,6 +896,45 @@ def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Ve
         vec.df.select("ts").distinct(), "ts", "left_anti"
     ).withColumn("value", F.lit(1.0))
     return _Vec(out, frozenset())
+
+
+def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    """``expr @ t``: evaluate the inner expression on its own instants,
+    pin each series' value AS OF t (the newest point at or before t —
+    bounded by the lookback window in range mode, unbounded in the
+    sample-instant mode, consistent with each mode's selector
+    semantics), and broadcast that one point per series across the
+    whole evaluation-instant universe — Prometheus's fixed-evaluation-
+    time semantics.  The snapshot is one hash aggregation keyed by the
+    series labels; the instant expansion is a crossJoin against the
+    broadcast 1-column instants frame (|series| × |instants| rows, the
+    semantic result size)."""
+    vec = _eval(node.expr, metrics, label_cols, leaf)
+    if isinstance(vec, float):
+        raise ValueError("promql: @ needs a vector expression")
+    at_us = int(round(node.at_seconds * 1_000_000))
+    series = sorted(vec.labels)
+    snap = vec.df.filter(F.unix_micros(F.col("ts")) <= F.lit(at_us))
+    if leaf is not None and hasattr(leaf, "lookback_us"):
+        snap = snap.filter(
+            F.unix_micros(F.col("ts")) > F.lit(at_us - leaf.lookback_us)
+        )
+    picked = snap.groupBy(*[F.col(c) for c in series]).agg(
+        F.max(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("__o_us"),
+                F.col("value").alias("__o_v"),
+            )
+        )
+        .getField("__o_v")
+        .alias("value")
+    )
+    # a label-less inner vector aggregates globally: one all-NULL row
+    # when no sample precedes t — drop it (no point, like PromQL)
+    picked = picked.filter(F.col("value").isNotNull())
+    instants = _instant_universe(metrics, leaf)
+    out = picked.crossJoin(F.broadcast(instants)).select(*series, "ts", "value")
+    return _Vec(out, vec.labels)
 
 
 def _eval_setop(node: SetOp, metrics: DataFrame, label_cols, leaf=None) -> _Vec:

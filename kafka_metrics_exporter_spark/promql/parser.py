@@ -144,9 +144,37 @@ class SetOp:
 
 @dataclass(frozen=True)
 class MathFn:
-    fn: str  # abs|ceil|floor|exp|ln|log2|log10|sqrt|clamp_min|clamp_max
+    fn: str  # abs|ceil|floor|exp|ln|log2|log10|sqrt|clamp_min|clamp_max|clamp
     expr: "Expr"
-    arg: float | None = None  # clamp bound
+    arg: float | None = None  # clamp bound (clamp: the min bound)
+    arg2: float | None = None  # clamp's max bound
+
+
+@dataclass(frozen=True)
+class Sort:
+    """``sort(v)`` / ``sort_desc(v)`` — order the output elements by
+    value (Prometheus's instant-query display ordering).  Relational
+    result sets are unordered, so this compiles to an ORDER BY on the
+    final frame: (ts, value, labels) — per-instant value order with a
+    deterministic label tiebreak."""
+
+    expr: "Expr"
+    desc: bool = False
+
+
+@dataclass(frozen=True)
+class At:
+    """``expr @ t`` — pin the expression's value as of evaluation time
+    ``t`` (epoch seconds) across the whole evaluation-instant universe.
+    The parser produces it for ``m @ t`` and for range calls like
+    ``rate(m[5m] @ t)`` (wrapping the Rate node, so the inner
+    expression is evaluated once and its as-of-t point broadcasts to
+    every instant — Prometheus's fixed-evaluation-time semantics).
+    ``@ start()`` / ``@ end()`` are not supported: the sample-instant
+    engine has no ambient request range."""
+
+    expr: "Expr"
+    at_seconds: float
 
 
 @dataclass(frozen=True)
@@ -196,7 +224,7 @@ class Time:
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
     | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
-    | Subquery | Time
+    | Subquery | Time | Sort | At
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
@@ -215,7 +243,7 @@ _TOKEN_RE = re.compile(
       | (?P<duration>\d+(?:\.\d+)?(?:ms|[smhdw]))
       | (?P<ident>[A-Za-z_:][A-Za-z0-9_:]*)
       | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-      | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/(){}\[\],])
+      | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/(){}\[\],@])
     )""",
     re.VERBOSE,
 )
@@ -268,6 +296,34 @@ class _Parser:
         kind, tok = self.next()
         if tok != val:
             raise SyntaxError(f"promql: expected {val!r}, got {tok!r}")
+
+    def _offset_duration(self, what: str = "offset") -> float:
+        """A duration with an optional leading sign — ``offset -5m``
+        looks INTO THE FUTURE (PromQL's negative offset)."""
+        sign = 1.0
+        if self.peek()[1] in ("+", "-"):
+            sign = -1.0 if self.next()[1] == "-" else 1.0
+        kind, tok = self.next()
+        if kind != "duration":
+            raise SyntaxError(f"promql: {what} needs a duration, got {tok!r}")
+        return sign * _duration_seconds(tok)
+
+    def _modifiers(self, offset: float, at: float | None) -> tuple[float, float | None]:
+        """Trailing selector modifiers in either order: ``offset <dur>``
+        and/or ``@ <epoch-seconds>`` (each at most once)."""
+        seen_offset = seen_at = False
+        while True:
+            kind, tok = self.peek()
+            if tok == "offset" and kind == "ident" and not seen_offset:
+                self.next()
+                offset = self._offset_duration()
+                seen_offset = True
+            elif tok == "@" and not seen_at:
+                self.next()
+                at = self.signed_number("@ modifier")
+                seen_at = True
+            else:
+                return offset, at
 
     def signed_number(self, what: str) -> float:
         """A numeric literal with an optional leading sign — PromQL
@@ -413,8 +469,14 @@ class _Parser:
                 return self.parse_label_fn()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
-            if tok in _MATH_FNS | _CLAMP_FNS:
+            if tok in _MATH_FNS | _CLAMP_FNS | {"clamp"}:
                 return self.parse_math_fn()
+            if tok in ("sort", "sort_desc"):
+                fn = self.next()[1]
+                self.expect("(")
+                inner = self.parse_expr()
+                self.expect(")")
+                return Sort(inner, desc=(fn == "sort_desc"))
             if tok == "absent":
                 self.next()
                 self.expect("(")
@@ -465,10 +527,16 @@ class _Parser:
         labels_t = self._label_list()
         return (labels_t, None) if mode == "by" else (None, labels_t)
 
-    def _range_suffix(self, inner: Expr) -> tuple["Selector | Subquery", float]:
-        """``[dur]`` (classic range selector, optional trailing offset)
-        or ``[dur:step]`` (subquery — the colon-led step rides in an
-        ident token because metric names may contain colons)."""
+    def _range_suffix(
+        self, inner: Expr
+    ) -> tuple["Selector | Subquery", float, float | None]:
+        """``[dur]`` (classic range selector, optional trailing
+        ``offset``/``@`` modifiers in either order) or ``[dur:step]``
+        (subquery — the colon-led step rides in an ident token because
+        metric names may contain colons).  Returns (operand, window,
+        at_seconds|None); the CALLER wraps its range-function node in
+        :class:`At` — ``rate(m[5m] @ t)`` pins the whole rate
+        evaluation at t, not just the selector."""
         self.expect("[")
         kind, tok = self.next()
         if kind != "duration":
@@ -490,40 +558,44 @@ class _Parser:
                     "promql: a range over a non-selector expression is a "
                     "subquery and needs an explicit step — expr[range:step]"
                 )
-            return Subquery(inner, window, step), window
+            return Subquery(inner, window, step), window, None
         sel = inner
-        # canonical PromQL places offset AFTER the range: m[5m] offset 1w
-        if self.peek() == ("ident", "offset"):
-            self.next()
-            okind, otok = self.next()
-            if okind != "duration":
-                raise SyntaxError(f"promql: offset needs a duration, got {otok!r}")
-            sel = dataclasses.replace(sel, offset_seconds=_duration_seconds(otok))
-        return sel, window
+        # canonical PromQL places the modifiers AFTER the range:
+        # m[5m] offset 1w @ 1712000000
+        offset, at = self._modifiers(sel.offset_seconds, None)
+        if offset != sel.offset_seconds:
+            sel = dataclasses.replace(sel, offset_seconds=offset)
+        return sel, window, at
 
-    def _range_call(self, close: bool = True) -> tuple["Selector | Subquery", float]:
+    def _range_call(
+        self, close: bool = True
+    ) -> tuple["Selector | Subquery", float, float | None]:
         self.expect("(")
         inner = self.parse_expr()
-        operand, window = self._range_suffix(inner)
+        operand, window, at = self._range_suffix(inner)
         if close:
             self.expect(")")
-        return operand, window
+        return operand, window, at
+
+    @staticmethod
+    def _wrap_at(node: Expr, at: float | None) -> Expr:
+        return At(node, at) if at is not None else node
 
     def parse_rate(self) -> Expr:
         fn = self.next()[1]
-        sel, window = self._range_call()
-        return Rate(sel, window, fn=fn)
+        sel, window, at = self._range_call()
+        return self._wrap_at(Rate(sel, window, fn=fn), at)
 
     def parse_deriv(self) -> Expr:
         fn = self.next()[1]
         if fn == "deriv":
-            sel, window = self._range_call()
-            return Deriv(sel, window)
-        sel, window = self._range_call(close=False)
+            sel, window, at = self._range_call()
+            return self._wrap_at(Deriv(sel, window), at)
+        sel, window, at = self._range_call(close=False)
         self.expect(",")
         horizon = self.signed_number("predict_linear horizon")
         self.expect(")")
-        return Deriv(sel, window, predict_seconds=horizon)
+        return self._wrap_at(Deriv(sel, window, predict_seconds=horizon), at)
 
     def parse_over_time(self) -> Expr:
         fn = self.next()[1]
@@ -534,11 +606,11 @@ class _Parser:
             phi = self.signed_number("quantile_over_time φ")
             self.expect(",")
             inner = self.parse_expr()
-            operand, window = self._range_suffix(inner)
+            operand, window, at = self._range_suffix(inner)
             self.expect(")")
-            return OverTime(op, operand, window, param=phi)
-        sel, window = self._range_call()
-        return OverTime(op, sel, window)
+            return self._wrap_at(OverTime(op, operand, window, param=phi), at)
+        sel, window, at = self._range_call()
+        return self._wrap_at(OverTime(op, sel, window), at)
 
     def parse_topk(self) -> Expr:
         fn = self.next()[1]
@@ -555,12 +627,17 @@ class _Parser:
         fn = self.next()[1]
         self.expect("(")
         inner = self.parse_expr()
-        arg = None
+        arg = arg2 = None
         if fn in _CLAMP_FNS:
             self.expect(",")
             arg = self.signed_number(f"{fn} bound")
+        elif fn == "clamp":
+            self.expect(",")
+            arg = self.signed_number("clamp min")
+            self.expect(",")
+            arg2 = self.signed_number("clamp max")
         self.expect(")")
-        return MathFn(fn, inner, arg=arg)
+        return MathFn(fn, inner, arg=arg, arg2=arg2)
 
     def parse_histogram_quantile(self) -> Expr:
         self.next()
@@ -597,7 +674,7 @@ class _Parser:
         self.expect(")")
         return LabelJoin(inner, dst, sep, tuple(srcs))
 
-    def parse_selector(self) -> Selector:
+    def parse_selector(self) -> "Selector | At":
         kind, tok = self.peek()
         name = None
         if kind == "ident":
@@ -622,14 +699,9 @@ class _Parser:
             self.expect("}")
         if name is None and not matchers:
             raise SyntaxError("promql: empty selector")
-        offset = 0.0
-        if self.peek() == ("ident", "offset"):
-            self.next()
-            kind, tok = self.next()
-            if kind != "duration":
-                raise SyntaxError(f"promql: offset needs a duration, got {tok!r}")
-            offset = _duration_seconds(tok)
-        return Selector(name, tuple(matchers), offset_seconds=offset)
+        offset, at = self._modifiers(0.0, None)
+        sel = Selector(name, tuple(matchers), offset_seconds=offset)
+        return At(sel, at) if at is not None else sel
 
 
 def _unquote(s: str) -> str:
@@ -709,10 +781,31 @@ def to_promql(node: Expr) -> str:
         mod = _fmt_match(node.match)
         return f"(({to_promql(node.left)}) {node.op}{mod} ({to_promql(node.right)}))"
     if isinstance(node, MathFn):
-        if node.arg is not None:
-            a = repr(node.arg) if node.arg != int(node.arg) else str(int(node.arg))
-            return f"{node.fn}({to_promql(node.expr)}, {a})"
-        return f"{node.fn}({to_promql(node.expr)})"
+        args = "".join(
+            f", {_fmt_num(a)}" for a in (node.arg, node.arg2) if a is not None
+        )
+        return f"{node.fn}({to_promql(node.expr)}{args})"
+    if isinstance(node, Sort):
+        fn = "sort_desc" if node.desc else "sort"
+        return f"{fn}({to_promql(node.expr)})"
+    if isinstance(node, At):
+        inner = node.expr
+        if isinstance(inner, Selector):
+            return f"{to_promql(inner)} @ {_fmt_num(node.at_seconds)}"
+        if isinstance(inner, Rate):
+            body = _range_body(inner.selector, inner.window_seconds, node.at_seconds)
+            return f"{inner.fn}({body})"
+        if isinstance(inner, Deriv):
+            body = _range_body(inner.selector, inner.window_seconds, node.at_seconds)
+            if inner.predict_seconds is None:
+                return f"deriv({body})"
+            return f"predict_linear({body}, {_fmt_num(inner.predict_seconds)})"
+        if isinstance(inner, OverTime):
+            body = _range_body(inner.selector, inner.window_seconds, node.at_seconds)
+            if inner.op == "quantile":
+                return f"quantile_over_time({inner.param!r}, {body})"
+            return f"{inner.op}_over_time({body})"
+        raise TypeError(f"promql: cannot render @ over {inner!r}")
     if isinstance(node, HistogramQuantile):
         phi = repr(node.phi) if node.phi != int(node.phi) else str(int(node.phi))
         return f"histogram_quantile({phi}, {to_promql(node.expr)})"
@@ -737,16 +830,26 @@ def to_promql(node: Expr) -> str:
     raise TypeError(f"promql: cannot render {node!r}")
 
 
-def _range_body(operand: "Selector | Subquery", window_seconds: float) -> str:
+def _fmt_num(x: float) -> str:
+    return repr(x) if x != int(x) else str(int(x))
+
+
+def _range_body(
+    operand: "Selector | Subquery",
+    window_seconds: float,
+    at_seconds: float | None = None,
+) -> str:
     """Render a range-function operand: a subquery carries its own
     ``[range:step]`` brackets; a selector gets the classic ``[dur]``
-    with any offset re-attached after it."""
+    with any offset / ``@`` modifiers re-attached after it."""
     if isinstance(operand, Subquery):
         return to_promql(operand)
     sel = dataclasses.replace(operand, offset_seconds=0.0)
     body = f"{to_promql(sel)}[{_fmt_dur(window_seconds)}]"
     if operand.offset_seconds:
         body += f" offset {_fmt_dur(operand.offset_seconds)}"
+    if at_seconds is not None:
+        body += f" @ {_fmt_num(at_seconds)}"
     return body
 
 

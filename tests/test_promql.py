@@ -320,6 +320,9 @@ try:
             "by", "without", "offset", "rate", "irate", "increase",
             "delta", "idelta", "deriv", "predict_linear", "resets", "changes",
             "topk", "bottomk", "sum", "avg", "min", "max", "count",
+            "sort", "sort_desc", "clamp", "clamp_min", "clamp_max",
+            "absent", "time", "histogram_quantile", "label_replace",
+            "label_join",
         }
         and not s.endswith("_over_time")
     )
@@ -338,10 +341,20 @@ try:
         pql.Selector,
         name=_ident,
         matchers=st.lists(_matcher, max_size=3).map(tuple),
-        offset_seconds=st.sampled_from([0.0, 60.0, 3600.0]),
+        offset_seconds=st.sampled_from([0.0, 60.0, 3600.0, -60.0, -3600.0]),
     )
+    _at_ts = st.sampled_from([0.0, 100.0, 1712000000.0, 1712000000.5])
     _leaf = st.one_of(
         _selector,
+        st.builds(pql.At, expr=_selector, at_seconds=_at_ts),
+        st.builds(
+            pql.At,
+            expr=st.builds(
+                pql.Rate, selector=_selector, window_seconds=_dur,
+                fn=st.sampled_from(["rate", "increase", "delta"]),
+            ),
+            at_seconds=_at_ts,
+        ),
         st.builds(
             pql.Rate, selector=_selector, window_seconds=_dur,
             fn=st.sampled_from(
@@ -432,6 +445,12 @@ try:
                 pql.SetOp, op=st.sampled_from(["and", "or", "unless"]),
                 left=children, right=children,
                 match=st.one_of(st.none(), _vmatch),
+            ),
+            st.builds(pql.Sort, expr=children, desc=st.booleans()),
+            st.builds(
+                pql.MathFn, fn=st.just("clamp"), expr=children,
+                arg=st.sampled_from([0.0, -5.0, 2.5]),
+                arg2=st.sampled_from([10.0, 100.0]),
             ),
         )
 
@@ -1014,6 +1033,71 @@ def test_count_values_rejects_conflicting_label(tiny):
     ):
         with pytest.raises(ValueError, match="conflicts"):
             compile_promql(bad).evaluate(tiny)
+
+
+def test_at_modifier_pins_value_across_instants(tiny):
+    """`m @ t`: each series' value as of t, constant across the whole
+    evaluation-instant universe (Prometheus's fixed-evaluation-time
+    semantics)."""
+    at = dt.datetime(2024, 1, 1, 0, 1, tzinfo=dt.timezone.utc).timestamp()
+    out = compile_promql(f"m @ {int(at)}").evaluate(tiny)
+    rows = out.collect()
+    instants = {str(r["ts"]) for r in rows}
+    assert instants == {
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"
+    }
+    by_series = {}
+    for r in rows:
+        by_series.setdefault((r["topic"], r["instance"]), set()).add(r["value"])
+    # value pinned at t = 00:01 for every instant
+    assert by_series[("a", "h1")] == {40.0}
+    assert by_series[("b", "h1")] == {160.0}
+    assert by_series[("", "h2")] == {7.0}
+    # range calls: the whole rate evaluation is pinned at t
+    r_out = compile_promql(f"increase(m[2m] @ {int(at)})").evaluate(tiny)
+    got = {
+        (r["topic"], r["instance"]): {r["value"]}
+        for r in r_out.collect()
+        if (r["topic"], r["instance"]) == ("a", "h1")
+    }
+    assert got[("a", "h1")] == {30.0}  # 40 - 10, pinned everywhere
+    # grid mode shares the semantics over the step grid
+    g = compile_promql(f"m @ {int(at)}").evaluate_range(tiny, 60.0)
+    gvals = {r["value"] for r in g.collect() if r["topic"] == "b"}
+    assert gvals == {160.0}
+
+
+def test_negative_offset_looks_into_the_future(tiny):
+    """`offset -1m` surfaces the sample taken at t+1m at instant t —
+    PromQL's negative offset (the forward-looking comparison idiom)."""
+    out = compile_promql('m{topic="a"} offset -1m').evaluate(tiny)
+    got = {str(r["ts"]): r["value"] for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == 40.0  # the 00:01 sample
+    assert got["2024-01-01 00:01:00"] == 5.0  # the 00:02 sample
+    # day-over-tomorrow delta: m - m offset -1m at 00:00 = 10 - 40
+    d = compile_promql('m{topic="a"} - m{topic="a"} offset -1m').evaluate(tiny)
+    dgot = {str(r["ts"]): r["value"] for r in d.collect()}
+    assert dgot["2024-01-01 00:00:00"] == -30.0
+
+
+def test_sort_and_clamp(tiny):
+    """sort/sort_desc order the output by (ts, value, labels);
+    clamp(v, min, max) pins both bounds, NaN when min > max."""
+    out = compile_promql('sort_desc(m{instance="h1"})').evaluate(tiny)
+    rows = out.collect()
+    t0 = dt.datetime(2024, 1, 1)
+    first_instant = [r["value"] for r in rows if r["ts"] == t0]
+    assert first_instant == [100.0, 10.0]  # desc within the instant
+    asc = compile_promql('sort(m{instance="h1"})').evaluate(tiny).collect()
+    assert [r["value"] for r in asc if r["ts"] == t0] == [10.0, 100.0]
+
+    c = compile_promql('clamp(m{instance="h1"}, 20, 120)').evaluate(tiny)
+    cgot = sorted(r["value"] for r in c.collect())
+    assert cgot == [20.0, 20.0, 40.0, 100.0, 120.0]
+    import math
+
+    nan = compile_promql("clamp(m, 5, 1)").evaluate(tiny).collect()
+    assert nan and all(math.isnan(r["value"]) for r in nan)
 
 
 def test_subquery_parses_and_roundtrips():
