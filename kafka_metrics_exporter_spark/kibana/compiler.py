@@ -81,6 +81,10 @@ class DateHistogramBucket:
     field: str
     interval_us: int
     label: str
+    # the panel declared ``interval: "auto"`` — interval_us holds the
+    # customInterval/1h fallback; evaluate(auto_interval_buckets=N)
+    # re-derives the interval from the time range, like ES/Kibana
+    auto: bool = False
 
 
 @dataclass(frozen=True)
@@ -142,14 +146,52 @@ def _slug(s: str) -> str:
     return s or "col"
 
 
-def _parse_interval_us(params: dict) -> int:
+def _parse_interval_us(params: dict) -> tuple[int, bool]:
     interval = params.get("interval", "auto")
-    if interval == "auto":
+    auto = interval == "auto"
+    if auto:
         interval = params.get("customInterval") or "1h"
     m = re.fullmatch(r"(\d+)(ms|[smhdw])", interval)
     if not m:
         raise ValueError(f"kibana: unsupported date_histogram interval {interval!r}")
-    return int(m.group(1)) * _INTERVAL_UNITS_US[m.group(2)]
+    return int(m.group(1)) * _INTERVAL_UNITS_US[m.group(2)], auto
+
+
+# Kibana's auto-interval ladder (calculate_auto_time_expression): the
+# "nice" fixed intervals the UI rounds to.  Calendar units (month/year)
+# are excluded — fixed-interval epoch bucketing can't express them, and
+# the corpus never reaches spans where they'd win.
+_AUTO_LADDER_US = [
+    1_000,  # 1ms
+    10_000,
+    100_000,
+    500_000,
+    1_000_000,  # 1s
+    5_000_000,
+    10_000_000,
+    30_000_000,
+    60_000_000,  # 1m
+    5 * 60_000_000,
+    10 * 60_000_000,
+    30 * 60_000_000,
+    3_600_000_000,  # 1h
+    3 * 3_600_000_000,
+    12 * 3_600_000_000,
+    86_400_000_000,  # 1d
+    7 * 86_400_000_000,  # 1w
+]
+
+
+def auto_interval_us(span_us: int, target_buckets: int) -> int:
+    """ES/Kibana auto-interval: the smallest ladder interval that fits
+    the time span into at most ``target_buckets`` buckets (Kibana
+    targets ~50 per panel)."""
+    if target_buckets < 1:
+        raise ValueError("kibana: auto interval needs target_buckets >= 1")
+    for iv in _AUTO_LADDER_US:
+        if span_us <= iv * target_buckets:
+            return iv
+    return _AUTO_LADDER_US[-1]
 
 
 def parse_vis_state(vis_state: str | dict) -> VisState:
@@ -191,11 +233,13 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             )
         elif a["type"] == "date_histogram":
+            interval_us, auto = _parse_interval_us(p)
             buckets.append(
                 DateHistogramBucket(
                     field=p["field"],
-                    interval_us=_parse_interval_us(p),
+                    interval_us=interval_us,
                     label=label,
+                    auto=auto,
                 )
             )
         elif a["type"] == "filters":
@@ -262,6 +306,8 @@ class KibanaPlan:
         default_search_field: str | None = None,
         approx_cardinality: bool = False,
         cardinality_rsd: float = 0.01,
+        auto_interval_buckets: int | None = None,
+        auto_range: "tuple | None" = None,
     ) -> DataFrame:
         resolve = resolve or _default_resolver(df)
         s = self.state
@@ -283,9 +329,27 @@ class KibanaPlan:
                 # fixed-interval bucketing on epoch micros (date_trunc
                 # can't express "2h"); pmod keeps it exact integer math
                 us = F.unix_micros(resolve(b.field).cast("timestamp"))
+                interval_us = b.interval_us
+                if b.auto and auto_interval_buckets is not None:
+                    # real ES auto-interval semantics (opt-in): derive
+                    # the interval from the request time range — or, if
+                    # none was passed, from the data span (one 1-row
+                    # min/max agg, what Kibana reads off its time
+                    # picker).  The default (no opt-in) keeps the
+                    # documented customInterval pin, so existing
+                    # compiled results are unchanged.
+                    if auto_range is not None:
+                        lo, hi = (_to_us(x) for x in auto_range)
+                    else:
+                        row = df.agg(
+                            F.min(us).alias("lo"), F.max(us).alias("hi")
+                        ).first()
+                        lo, hi = row["lo"], row["hi"]
+                    span = max(0, (hi or 0) - (lo or 0))
+                    interval_us = auto_interval_us(span, auto_interval_buckets)
                 df = df.withColumn(
                     b.label,
-                    F.timestamp_micros(us - F.pmod(us, F.lit(b.interval_us))),
+                    F.timestamp_micros(us - F.pmod(us, F.lit(interval_us))),
                 )
             elif isinstance(b, FiltersBucket):
                 # a doc lands in EVERY filter bucket it matches
@@ -415,6 +479,17 @@ class KibanaPlan:
             else:
                 final_cols.append(F.col(m.label))
         return out.select(*final_cols)
+
+
+def _to_us(x) -> int:
+    """Epoch micros from a datetime or epoch-seconds number."""
+    import datetime as _dt
+
+    if isinstance(x, _dt.datetime):
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=_dt.timezone.utc)
+        return int(round(x.timestamp() * 1_000_000))
+    return int(round(float(x) * 1_000_000))
 
 
 def compile_visualization(saved_object: dict) -> KibanaPlan:
