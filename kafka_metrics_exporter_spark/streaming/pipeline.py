@@ -164,6 +164,51 @@ def run_pipeline_once(
     q.awaitTermination()
 
 
+def promql_panels(
+    stream: DataFrame,
+    exprs: dict[str, str],
+    emit,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Grafana-on-live-stream: evaluate compiled PromQL panel
+    expressions over each micro-batch of the normalized metrics stream
+    (reference: the Grafana dashboards in Prometheus/jmxexporter_configs
+    rendered over the exporter's live series).
+
+    The full instant-mode grammar applies per micro-batch — foreachBatch
+    hands a BATCH DataFrame to each panel plan, so rate/topk/vector
+    matching (the shapes ``evaluate_streaming`` cannot express in a
+    single watermarked aggregation) all work, evaluated over the poll
+    cycle's snapshot exactly as a dashboard refresh would.  Expressions
+    are compiled ONCE at wiring time (parse errors surface before the
+    query starts); the batch is persisted across panels so the scrape
+    scan runs once per cycle, not once per panel, and unpersisted
+    before the next trigger.
+
+    ``emit(name, result_df, batch_id)`` receives each panel's result —
+    a sink adapter (ES bulk, Kafka, parquet) in production, a collector
+    in tests.  Returns the started StreamingQuery."""
+    from kafka_metrics_exporter_spark.promql import compile_promql
+
+    plans = {name: compile_promql(text) for name, text in exprs.items()}
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            for name, plan in plans.items():
+                emit(name, plan.evaluate(df), batch_id)
+        finally:
+            df.unpersist()
+
+    return (
+        stream.writeStream.trigger(**(trigger or {"availableNow": True}))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn)
+        .start()
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     key_cols: list[str] | None = None,

@@ -211,3 +211,74 @@ def test_streaming_cascade_rollup(spark, tmp_path):
     assert got[("s1", 0)] == (9.0, 3, 1.0, 5.0, 3.0)
     assert got[("s1", 1)] == (7.0, 1, 7.0, 7.0, 7.0)
     assert got[("s2", 0)] == (100.0, 1, 100.0, 100.0, 100.0)
+
+
+def test_promql_panels_per_microbatch(spark, tmp_path):
+    """VERDICT r5 item 7 (Grafana-on-live-stream): corpus PromQL panel
+    expressions evaluated inside foreachBatch, once per micro-batch,
+    with pinned per-batch results — the full instant-mode grammar
+    (rate, agg, comparison) over each poll cycle's snapshot."""
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import promql_panels
+
+    src = tmp_path / "metrics"
+    src.mkdir()
+    batches = [
+        [  # poll cycle 1
+            ("kafka_brokers_log_log_totalsize", "2024-01-01 00:00:00", 100.0, "t1", "KafkaBrokers"),
+            ("kafka_brokers_log_log_totalsize", "2024-01-01 00:00:00", 0.0, "t2", "KafkaBrokers"),
+            ("jvm_gc_collection_seconds_sum", "2024-01-01 00:00:00", 1.0, "", "KafkaBrokers"),
+            ("jvm_gc_collection_seconds_sum", "2024-01-01 00:00:30", 4.0, "", "KafkaBrokers"),
+        ],
+        [  # poll cycle 2
+            ("kafka_brokers_log_log_totalsize", "2024-01-01 00:01:00", 150.0, "t1", "KafkaBrokers"),
+            ("kafka_brokers_log_log_totalsize", "2024-01-01 00:01:00", 50.0, "t2", "KafkaBrokers"),
+            ("jvm_gc_collection_seconds_sum", "2024-01-01 00:01:00", 4.0, "", "KafkaBrokers"),
+            ("jvm_gc_collection_seconds_sum", "2024-01-01 00:01:30", 10.0, "", "KafkaBrokers"),
+        ],
+    ]
+    schema_s = "name string, ts_s string, value double, topic string, job string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema_s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema_s)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got: list[tuple[str, int, list]] = []
+
+    def emit(name, df, batch_id):
+        got.append((name, batch_id, df.collect()))
+
+    q = promql_panels(
+        stream,
+        {
+            # both verbatim corpus expressions (Grafana dashboards)
+            "log_size": "sum by (topic) (kafka_brokers_log_log_totalsize) > 0",
+            "gc_rate": 'rate(jvm_gc_collection_seconds_sum{job="KafkaBrokers"}[1m])',
+        },
+        emit,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    by_panel_batch = {(n, b): rows for n, b, rows in got}
+    assert set(by_panel_batch) == {
+        ("log_size", 0), ("log_size", 1), ("gc_rate", 0), ("gc_rate", 1)
+    }
+    # panel 1: per-topic totals with the > 0 filter per cycle
+    ls0 = {r["topic"]: r["value"] for r in by_panel_batch[("log_size", 0)]}
+    assert ls0 == {"t1": 100.0}  # t2's 0.0 filtered by > 0
+    ls1 = {r["topic"]: r["value"] for r in by_panel_batch[("log_size", 1)]}
+    assert ls1 == {"t1": 150.0, "t2": 50.0}
+    # panel 2: rate over the cycle's two samples
+    gr0 = [r["value"] for r in by_panel_batch[("gc_rate", 0)]]
+    assert gr0 == [pytest.approx((4.0 - 1.0) / 30.0)]
+    gr1 = [r["value"] for r in by_panel_batch[("gc_rate", 1)]]
+    assert gr1 == [pytest.approx((10.0 - 4.0) / 30.0)]
