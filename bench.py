@@ -50,13 +50,23 @@ def main() -> None:
     # query per suite run (BASELINE.md), and min-of-2 keeps that noise
     # out of the recorded steady-state cost.  Cache is cleared between
     # queries, so every measurement is still a COLD run of that query.
+    from kafka_metrics_exporter_spark.plans.fingerprint import plan_fingerprint
+
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for is_warmup in (True, False, False):
         for name, fn in queries.items():
             if only and name not in only:
                 continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            if is_warmup:
+                # plan-shape inventory (VERDICT r5 item 8): join
+                # strategies, shuffle counts, window partitioning —
+                # PLANS.json diffs catch plan regressions between
+                # rounds that wall-clock noise hides
+                plans[name] = plan_fingerprint(df)
+            df.write.format("noop").mode("overwrite").save()
             if not is_warmup:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
@@ -85,6 +95,8 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    with open(os.path.join(REPO, "PLANS.json"), "w") as f:
+        f.write(json.dumps(plans, separators=(",", ":"), sort_keys=True) + "\n")
     slim = {
         "metric": "suite_wall_clock",
         "value": total,

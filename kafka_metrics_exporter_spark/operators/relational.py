@@ -52,10 +52,19 @@ def top_k_per_group(
     k·groups, matching PromQL topk.  The rank window shuffles once on
     ``group_cols``; Spark's WindowExec applies a per-partition top-k
     (rank limit) pushdown when the filter is on ``row_number``.
+
+    An EMPTY ``group_cols`` (global top-k) never uses a window: the
+    partition spec would be empty and Spark moves the whole relation to
+    one task; ``orderBy().limit(k)`` gives the identical row set as a
+    TakeOrderedAndProject — per-partition top-k partials merged on the
+    driver, no shuffle concentration (same rule as the Kibana
+    compiler's top-level ordered terms).
     """
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     order = [oc.desc() if descending else oc.asc()]
     order += [F.col(t).asc() for t in tiebreakers]
+    if not group_cols:
+        return df.orderBy(*order).limit(k)
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -1,0 +1,65 @@
+"""Physical-plan fingerprints (VERDICT r5 item 8).
+
+A fingerprint is a small dict of plan-shape counters (join strategies,
+shuffle count, window partitioning, Python eval nodes) extracted from a
+DataFrame's executed-plan string.  Two consumers:
+
+- ``bench.py`` records one fingerprint per registry query into
+  PLANS.json next to BENCH.json, so a plan regression (a join strategy
+  flip, a constant-folded window partition spec, an accidental
+  cartesian) shows up as a one-line diff instead of log archaeology.
+- ``tests/test_plan_inventory.py`` asserts the suite-wide invariants:
+  no empty-partition Window anywhere, no CartesianProduct outside the
+  intentional J1 cross join, no BroadcastNestedLoopJoin outside the
+  known broadcast-tiny-side expansions, no row-at-a-time Python eval.
+
+The plan is captured BEFORE execution (AdaptiveSparkPlan's initial
+plan): AQE may still re-plan exchanges at runtime, but the properties
+pinned here — partition specs, join-ability, Python eval — are decided
+at planning time.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# a windowspecdefinition whose FIRST argument is already an order column
+# (`col#N ASC|DESC ...`) has an EMPTY partition spec — Spark moves the
+# whole relation to one task ("No Partition Defined for Window
+# operation").  A partitioned spec leads with bare partition columns.
+_UNPARTITIONED_WINDOW = re.compile(
+    r"windowspecdefinition\(\w+#\d+\w* (?:ASC|DESC)"
+)
+
+_TOKENS = {
+    "exchange": "Exchange",
+    "broadcast_exchange": "BroadcastExchange",
+    "broadcast_hash_join": "BroadcastHashJoin",
+    "sort_merge_join": "SortMergeJoin",
+    "shuffled_hash_join": "ShuffledHashJoin",
+    "bnl_join": "BroadcastNestedLoopJoin",
+    "cartesian": "CartesianProduct",
+    "window": "Window",
+    "take_ordered": "TakeOrderedAndProject",
+    "batch_eval_python": "BatchEvalPython",
+    "arrow_eval_python": "ArrowEvalPython",
+}
+
+
+def plan_string(df: DataFrame) -> str:
+    # eagerly-checkpointed results stash their pre-checkpoint frame —
+    # fingerprint the plan that actually executed, not the RDD scan
+    df = getattr(df, "_pre_checkpoint", df)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    p = plan_string(df)
+    fp = {
+        key: len(re.findall(rf"\b{tok}\b", p)) for key, tok in _TOKENS.items()
+    }
+    fp["unpartitioned_window"] = len(_UNPARTITIONED_WINDOW.findall(p))
+    fp["python_eval"] = fp.pop("batch_eval_python") + fp.pop("arrow_eval_python")
+    return fp

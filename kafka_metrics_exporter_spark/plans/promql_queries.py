@@ -34,10 +34,14 @@ def _finish_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
     unpersisting before materialization would instead discard the
     shared-scan benefit).  The checkpoint blocks are result-sized and
     reclaimed by the ContextCleaner once the frame is dropped."""
-    out = out.localCheckpoint(eager=True)
+    checkpointed = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
-    return out
+    # the checkpoint scan hides the real plan from post-hoc explain —
+    # stash the logical frame so plan pins / PLANS.json fingerprint the
+    # plan that actually executed
+    checkpointed._pre_checkpoint = out
+    return checkpointed
 
 
 def _metrics_view(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:

@@ -1,0 +1,56 @@
+"""Suite-wide executed-plan invariants (VERDICT r5 item 8): every
+registry query's physical plan is fingerprinted and checked against the
+anti-pattern list — plan regressions (a constant-folded window
+partition spec, an accidental cartesian, a Python eval node in a JVM
+path) fail here as a named assertion instead of surfacing as a 100×
+slowdown at scale.  ``bench.py`` records the same fingerprints to
+PLANS.json for round-over-round diffing."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_metrics_exporter_spark.plans import QUERIES
+from kafka_metrics_exporter_spark.plans.fingerprint import plan_fingerprint
+
+# The intentional catalog-build cross join (J1): its broadcast
+# nested-loop / cartesian is the operator's semantics.
+CROSS_JOIN_OK = {"j1_cross_join"}
+
+# BroadcastNestedLoopJoin with a KNOWN broadcast-tiny side:
+# - grid-mode PromQL: the 1-row grid-bounds aggregate crossJoin
+#   (promql/range_eval.py _expand_instants)
+# - the @-modifier instant expansion: per-series snapshot × broadcast
+#   instants frame (promql/compiler.py _eval_at)
+BNLJ_OK = CROSS_JOIN_OK | {
+    "promql_topk_rate_grid",
+    "promql_histogram_quantile_grid",
+    "promql_subquery",
+    "promql_rate_extrapolated",
+    "promql_at_offset",
+}
+
+# A Window whose partition spec is empty. Only acceptable when the
+# windowed relation is bounded by something other than the data size:
+# - promql_subquery: max_over_time over a LABEL-LESS subquery vector —
+#   one logical series whose rows are the subquery's step grid
+#   (time-span / step rows, not fact rows); a trailing range-frame over
+#   a single series is inherently sequential, and its input is the
+#   already-aggregated grid.
+UNPARTITIONED_WINDOW_OK = {"promql_subquery"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_invariants(spark, sf_dir, name):
+    fp = plan_fingerprint(QUERIES[name](spark, sf_dir))
+    spark.catalog.clearCache()
+    if name not in UNPARTITIONED_WINDOW_OK:
+        assert fp["unpartitioned_window"] == 0, fp
+    if name not in CROSS_JOIN_OK:
+        assert fp["cartesian"] == 0, fp
+    if name not in BNLJ_OK:
+        assert fp["bnl_join"] == 0, fp
+    # no row-at-a-time / expression-level Python anywhere: Python only
+    # ever appears at Arrow map boundaries (MapInPandas), never as
+    # BatchEvalPython/ArrowEvalPython expression eval
+    assert fp["python_eval"] == 0, fp

@@ -153,17 +153,19 @@ def test_kibana_terms_metrics_is_single_aggregation(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     p = buf.getvalue()
-    # two-phase count-distinct (2), the metric-order level aggregation,
-    # and the terms-rank window — the documented compiler shape; the
-    # order metric must come back broadcast, never via sort-merge join
+    # two-phase count-distinct (2) and the metric-order level
+    # aggregation — the documented compiler shape; the order metric
+    # must come back broadcast, never via sort-merge join
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchange <= 4, p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
-    # the global terms-rank window must be guarded by a map-side
-    # WindowGroupLimit: only ~size rows per partition reach the
-    # single-partition rank, so the "no partition defined" window is
-    # bounded at any scale
-    assert "WindowGroupLimit" in p
+    # round 6 (VERDICT r5 item 1): the top-level terms pick is a
+    # TakeOrderedAndProject over the one-row-per-term aggregate plus a
+    # broadcast LeftSemi join back — NO window at all (the previous
+    # WindowGroupLimit-guarded single-partition rank is gone)
+    assert "TakeOrderedAndProject" in p
+    assert not re.search(r"\bWindow\b", p), p
+    assert "LeftSemi" in p
 
 
 def test_round5_matching_setop_queries_are_jvm_only(spark, sf_dir):
@@ -182,6 +184,8 @@ def test_round5_matching_setop_queries_are_jvm_only(spark, sf_dir):
         "promql_histogram_quantile_grid",
     ]:
         df = ALL_Q[name](spark, sf_dir)
+        # eagerly-checkpointed results stash the executed plan
+        df = getattr(df, "_pre_checkpoint", df)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -190,6 +194,7 @@ def test_round5_matching_setop_queries_are_jvm_only(spark, sf_dir):
         assert "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
     df = ALL_Q["promql_set_ops"](spark, sf_dir)
+    df = getattr(df, "_pre_checkpoint", df)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
