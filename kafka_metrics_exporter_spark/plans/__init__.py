@@ -25,91 +25,90 @@ from kafka_metrics_exporter_spark.plans import kibana_queries  # noqa: E402,F401
 # Driver-side cap on recorded CORRECTNESS entries (observed r1-r3).
 CORRECTNESS_WINDOW = 50
 
-# Explicit first-window ordering for ROUND 5.  Composition (the r4
+# Explicit first-window ordering for ROUND 6.  Composition (the r5
 # verdict's rotation ask, executed):
-#   - the 31 queries whose latest driver row is r3 (they sat after slot
-#     50 in the r4 window) — promoted so no query's driver row is more
+#   - the 41 queries whose latest driver row is r4 (they sat after slot
+#     50 in the r5 window) — promoted so no query's driver row is more
 #     than one round old;
-#   - queries NEW this round (grid-mode composites, star CC);
-#   - queries whose engine semantics or oracle CHANGED this round
-#     (resets/changes both-endpoints rule, last_over_time determinism);
-#   - r4-verified canaries filling the window to 50 (front-end and
-#     dedup paths touched by this round's refactors).
+#   - queries NEW this round (the PromQL @-modifier / negative-offset /
+#     clamp+sort grammar additions);
+#   - queries whose implementation CHANGED this round (Kibana top-level
+#     terms plan, capped simhash/LSH candidate generation,
+#     fuzzy-decontaminate tie-break, the checkpointed promql trio,
+#     global top-k TakeOrdered).
 # Everything not listed keeps definition order after these (all have
-# green r4 rows).
+# green r5 rows).
 #
-# ROTATION POLICY for round 6+: swap again — promote the r4-latest set
+# ROTATION POLICY for round 7+: swap again — promote the r5-latest set
 # (now sitting after slot 50) plus NEW_THIS_ROUND/CHANGED_THIS_ROUND,
 # demote this round's verified set.  test_registry_window.py enforces
 # that never-verified and changed queries always land in-window.
 
 # Queries first registered this round — must be in-window.
 NEW_THIS_ROUND = [
-    "promql_topk_rate_grid",
-    "promql_histogram_quantile_grid",
-    "dedup_components_star",
-    "promql_vector_matching",
-    "promql_set_ops",
-    "pipe_fuzzy_decontaminate",
-    "promql_count_values",
-    "promql_subquery",
-    "multimodal_channel_stats",
-    "text_corpus_report",
+    "promql_at_offset",
+    "promql_clamp_sort",
 ]
 
-# Queries whose engine semantics or oracle SQL changed this round —
-# must be re-verified by the driver even though they have green rows
-# (ADVICE r4: the r4 window dropped changed queries; now pinned by
-# test_registry_window.py::test_changed_queries_land_in_window).
+# Queries whose engine semantics, plan shape, or oracle SQL changed
+# this round — must be re-verified by the driver even though they have
+# green rows (pinned by test_registry_window.py).
 CHANGED_THIS_ROUND = [
-    "promql_resets_changes",  # both-endpoints window rule + new oracle
-    "promql_quantile_last_over_time",  # deterministic last tie-break
+    "kibana_terms_metrics",  # top-level ordered-terms limit+semi-join plan
+    "w10_topk_rate_nonempty",  # global top-k now TakeOrdered, not window
+    "dedup_minhash_lsh",  # capped_bucket_pairs refactor
+    "pipe_fuzzy_decontaminate",  # min_by struct tie-break
+    "promql_resets_changes",  # _finish_cached checkpoint wrapper
+    "promql_quantile_last_over_time",  # _finish_cached checkpoint wrapper
+    "promql_set_ops",  # _finish_cached checkpoint wrapper
 ]
 
 WINDOW_PRIORITY = [
-    # -- latest driver row is r3 (31 queries) -----------------------------
-    "a5_count_distinct",
-    "a5_approx_count_distinct",
-    "a6_latest_value",
-    "w4_latest_per_user",
-    "a9_topk_of_avg",
-    "a10_sum_without",
-    "w1_tumbling_window",
-    "w3_topk_per_group",
-    "a11b_approx_percentile",
-    "a9b_sum_of_topk",
-    "w7b_sliding_window",
-    "w8_frame_specs",
-    "w9_regex_label_rate_sum",
-    "w10_topk_rate_nonempty",
-    "j1_cross_join",
-    "j3_union_byname",
-    "j5_explode_parent_child",
-    "o1_distinct",
-    "o3_anti_join",
-    "o4_sort_limit",
-    "o5_intersect",
-    "p_scalar_pack",
-    "j6_asof_join",
-    "a12_rollup",
-    "o6_semi_join",
-    "o7_except_all",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embed_near_dup_cosine",
-    "embed_cosine_topk",
-    "text_metrics",
-    # -- new / changed in round 5 -----------------------------------------
+    # -- latest driver row is r4 (41 queries) -----------------------------
+    "scale_salted_agg",
+    "a7_multikey_drilldown",
+    "a8_having",
+    "a11_percentile",
+    "qtj_series_arith",
+    "w7_session_window",
+    "j2_broadcast_lookup",
+    "p1_objectname_pivot",
+    "rules_rewrite",
+    "j7_range_join",
+    "w11_rollup_cascade",
+    "dedup_simhash",
+    "embed_near_dup_lsh",
+    "embed_ivf_topk",
+    "embed_cluster_dedup",
+    "text_langid",
+    "doc_fingerprint",
+    "multimodal_features",
+    "pipe_split",
+    "pipe_stratified_sample",
+    "pipe_pack_chunks",
+    "pipe_decontaminate",
+    "multimodal_resize",
+    "multimodal_frames",
+    "text_quality_gate",
+    "text_redact",
+    "pipe_weighted_sample",
+    "pipe_corpus_build",
+    "dedup_minhash_components",
+    "multimodal_audio",
+    "text_token_rarity",
+    "text_repetition",
+    "embed_quantize",
+    "pipe_sliding_chunks",
+    "promql_topk_rate",
+    "promql_vector_math",
+    "promql_quantile_agg",
+    "promql_histogram_quantile",
+    "promql_deriv_predict",
+    "kibana_date_histogram",
+    "kibana_top_hits_latest",
+    # -- new / changed in round 6 -----------------------------------------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- r4-verified canaries on this round's touched paths ---------------
-    "kibana_terms_metrics",
-    "promql_rate_extrapolated",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "a1_a4_grouped_metrics",
-    "w2_rate",
-    "p2_normalize_pipeline",
 ]
 
 

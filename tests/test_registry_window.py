@@ -25,7 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # writes newer CORRECTNESS files into the repo.
 _VERIFIED = {
     json_name
-    for fname in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    for fname in (
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
+    )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
 
