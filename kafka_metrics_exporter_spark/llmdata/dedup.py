@@ -301,17 +301,25 @@ def band_hash_array(bands: int, rows_per_band: int) -> F.Column:
 
 
 def capped_bucket_pairs(
-    buckets: DataFrame, key_cols: list[str], bucket_cap: int = 1024
+    buckets: DataFrame,
+    key_cols: list[str],
+    bucket_cap: int = 1024,
+    element_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct unordered candidate pairs (doc_a < doc_b) of documents
+    """Distinct unordered candidate pairs (doc_a < doc_b) of elements
     sharing a bucket key, with the hot-bucket guard every candidate
     generator in this package uses.
 
-    Input: (key_cols..., doc_id) rows.  Each bucket's members are
+    Input: (key_cols..., element) rows; the element is any orderable
+    column — a doc id, or a STRUCT whose first field is the id (a
+    caller that needs per-doc payload in the pair output, e.g. the
+    simhash signature, packs it into the struct instead of paying two
+    re-attach joins afterwards; struct ordering is field-lexicographic,
+    so pair ordering still follows the id).  Each bucket's members are
     gathered with ONE shuffle and pairs expand in place (JVM-side
     nested transform) — a bucket self-join would shuffle both sides on
     the same key and add a join stage for the same skew profile; the
-    member list itself is only ~8 bytes/doc, the quadratic blow-up is
+    member list itself is only bytes/doc, the quadratic blow-up is
     in the pair expansion, which is what ``bucket_cap`` bounds: buckets
     at most that wide expand |bucket|² pair structs in one row (bounded
     at cap²); wider buckets are salt-split into ~cap-sized blocks whose
@@ -322,7 +330,7 @@ def capped_bucket_pairs(
     keys = [F.col(c) for c in key_cols]
     members = (
         buckets.groupBy(*keys)
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.collect_list(element_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
 
@@ -357,11 +365,11 @@ def capped_bucket_pairs(
         .select(
             *keys,
             F.ceil(F.size("ids") / F.lit(bucket_cap)).cast("int").alias("g"),
-            F.explode("ids").alias("doc_id"),
+            F.explode("ids").alias("__elem"),
         )
-        .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
+        .withColumn("blk", F.pmod(F.xxhash64("__elem"), F.col("g")).cast("int"))
         .groupBy(*keys, "blk")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.collect_list("__elem").alias("ids"))
     )
     a = blk_members.alias("a")
     b = blk_members.alias("b")
@@ -627,13 +635,17 @@ def simhash_near_dups(
     goes quadratic in the hot bucket — the same salt-split overflow
     guard as the MinHash and embedding LSH pipelines bounds every task
     at ~cap² pair structs.  The pair SET is unchanged (docs sharing ≥1
-    chunk), so results are identical to the uncapped join."""
-    # the signature table feeds the chunk bucketing AND both sides of
-    # the signature re-attach — persist so the Arrow signature pass
-    # runs once
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    chunk), so results are identical to the uncapped join.
+
+    The pair element is the (doc_id, simhash) STRUCT — the signature
+    rides through the bucket gather (struct ordering is id-first, so
+    pair ordering is unchanged), which removes the two doc-keyed
+    signature re-attach joins and the signature-table persist the first
+    capped version paid (isolated re-measure showed them costing ~2×
+    ratio-to-control at sf0.1)."""
+    sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
-        "doc_id",
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("elem"),
         F.posexplode(
             F.array(
                 *[
@@ -643,27 +655,22 @@ def simhash_near_dups(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    cands = capped_bucket_pairs(chunks, ["chunk_idx", "chunk"], bucket_cap)
-    # attach both signatures (doc-keyed equi-joins, uniform keys) and
-    # verify the hamming distance
+    cands = capped_bucket_pairs(
+        chunks, ["chunk_idx", "chunk"], bucket_cap, element_col="elem"
+    )
     return (
-        cands.join(
-            sigs.select(
-                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+        cands.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("doc_a.simhash").bitwiseXOR(F.col("doc_b.simhash"))
             ),
-            "doc_a",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            "hamming",
+        )
     )
 
 

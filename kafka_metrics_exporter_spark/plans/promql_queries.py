@@ -896,3 +896,31 @@ def promql_clamp_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "value",
     )
+
+
+@query(
+    "promql_round_scalar",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    tot AS (SELECT ts, SUM(value) AS tot FROM c GROUP BY ts)
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           floor(c.value / t.tot / 0.0001 + 0.5) * 0.0001 AS value
+    FROM c JOIN tot t ON c.ts = t.ts
+    """,
+)
+def promql_round_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`round(click / scalar(sum(click)), 0.0001)` — each user's share
+    of the hour's total clicks via Prometheus's scalar() (a
+    single-element vector as a per-instant scalar, combining with any
+    vector by the evaluation instant alone) under round()'s
+    half-up-to-nearest-multiple rule.  Identical division/floor order
+    in the oracle keeps the doubles bit-identical."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql("round(click / scalar(sum(click)), 0.0001)").evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )

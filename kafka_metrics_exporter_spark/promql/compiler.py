@@ -71,6 +71,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     OverTime,
     Rate,
     Scalar,
+    Scalarize,
     Selector,
     SetOp,
     Sort,
@@ -78,6 +79,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Time,
     TopK,
     VectorMatch,
+    Vectorize,
     parse,
 )
 
@@ -189,6 +191,36 @@ def _eval(
         return _eval_absent(node, metrics, label_cols, leaf)
     if isinstance(node, At):
         return _eval_at(node, metrics, label_cols, leaf)
+    if isinstance(node, Scalarize):
+        # scalar(v): the single-element vector's value per instant, NaN
+        # where the vector has 0 or >1 elements — over the FULL instant
+        # universe, like Prometheus's scalar()
+        vec = _eval(node.expr, metrics, label_cols, leaf)
+        if isinstance(vec, float):
+            raise ValueError("promql: scalar() needs a vector argument")
+        g = vec.df.groupBy("ts").agg(
+            F.count(F.lit(1)).alias("__n"), F.max("value").alias("__v")
+        )
+        inst = _instant_universe(metrics, leaf)
+        out = (
+            inst.join(g, "ts", "left")
+            .withColumn(
+                "value",
+                F.when(F.col("__n") == 1, F.col("__v")).otherwise(
+                    F.lit(float("nan"))
+                ),
+            )
+            .drop("__n", "__v")
+        )
+        return _Vec(out, frozenset())
+    if isinstance(node, Vectorize):
+        # vector(s): a scalar as a label-less vector over the instant
+        # universe — the `or vector(0)` default idiom
+        val = _eval(node.expr, metrics, label_cols, leaf)
+        if not isinstance(val, float):
+            raise ValueError("promql: vector() needs a scalar argument")
+        inst = _instant_universe(metrics, leaf)
+        return _Vec(inst.withColumn("value", F.lit(float(val))), frozenset())
     if isinstance(node, Sort):
         vec = _eval(node.expr, metrics, label_cols, leaf)
         if isinstance(vec, float):
@@ -218,6 +250,7 @@ def _eval(
         fns = {
             "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
             "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
+            "sgn": F.signum,
         }
         if node.fn == "clamp_min":
             col = F.greatest(v, F.lit(node.arg))
@@ -230,6 +263,11 @@ def _eval(
                 col = F.lit(float("nan"))
             else:
                 col = F.least(F.greatest(v, F.lit(node.arg)), F.lit(node.arg2))
+        elif node.fn == "round":
+            # nearest multiple of to_nearest, halves UP (funcRound
+            # computes floor(v/n + 0.5) * n)
+            n = float(node.arg)
+            col = F.floor(v / F.lit(n) + F.lit(0.5)) * F.lit(n)
         else:
             col = fns[node.fn](v)
         return _Vec(
@@ -555,6 +593,15 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
             f"promql: {node.op}_over_time window must be >= 1µs "
             f"(got {node.window_seconds}s)"
         )
+    if node.op == "absent":
+        # an instant with no sample in (t-w, t] emits 1 — but the
+        # sample-instant universe IS the sample timestamps, so every
+        # instant trivially has its own sample in-window; the function
+        # only means something on an independent step grid
+        raise ValueError(
+            "promql: absent_over_time needs range (step-grid) mode — "
+            "use evaluate_range()"
+        )
     vec = _eval_range_operand(node.selector, metrics, label_cols)
     series = sorted(vec.labels)
     w = (
@@ -772,16 +819,18 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
             right.df.withColumn("value", py_ops[node.op](F.lit(left), F.col("value"))),
             right.labels,
         )
-    # time() is a SCALAR in Prometheus: it combines with any vector by
-    # the evaluation instant alone, keeping the vector's labels — the
-    # common `time() - m` / `m - time()` idioms must not demand
-    # matching label sets (ADVICE r5).  Joining on ts only (the time
+    # time() and scalar(v) are SCALARS in Prometheus: they combine with
+    # any vector by the evaluation instant alone, keeping the vector's
+    # labels — `time() - m` / `m / scalar(total)` must not demand
+    # matching label sets (ADVICE r5).  Joining on ts only (the scalar
     # side carries no labels by construction); syntactic operand order
     # is preserved.
-    if (isinstance(node.left, Time) != isinstance(node.right, Time)) and (
-        node.match is None
-    ):
-        time_is_left = isinstance(node.left, Time)
+    _scalar_nodes = (Time, Scalarize)
+    if (
+        isinstance(node.left, _scalar_nodes)
+        != isinstance(node.right, _scalar_nodes)
+    ) and node.match is None:
+        time_is_left = isinstance(node.left, _scalar_nodes)
         tvec = left if time_is_left else right
         ovec = right if time_is_left else left
         assert isinstance(tvec, _Vec) and isinstance(ovec, _Vec)
@@ -912,13 +961,37 @@ def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: @ needs a vector expression")
-    at_us = int(round(node.at_seconds * 1_000_000))
     series = sorted(vec.labels)
-    snap = vec.df.filter(F.unix_micros(F.col("ts")) <= F.lit(at_us))
-    if leaf is not None and hasattr(leaf, "lookback_us"):
-        snap = snap.filter(
-            F.unix_micros(F.col("ts")) > F.lit(at_us - leaf.lookback_us)
+    if isinstance(node.at_seconds, str):
+        # @ start() / @ end(): the evaluation range's first/last
+        # instant — the grid bounds in range mode (which carry any
+        # explicit request range), the data's min/max sample instant
+        # in sample-instant mode.  The bound is a 1-row broadcast
+        # (column comparison, not a literal).
+        if leaf is not None and hasattr(leaf, "bounds"):
+            src = "__g_lo" if node.at_seconds == "start" else "__g_hi"
+            at_bound = leaf.bounds.select(F.col(src).alias("__at_us"))
+        else:
+            agg = F.min if node.at_seconds == "start" else F.max
+            at_bound = metrics.agg(
+                agg(F.unix_micros(F.col("ts"))).alias("__at_us")
+            )
+        snap = vec.df.crossJoin(F.broadcast(at_bound)).filter(
+            F.unix_micros(F.col("ts")) <= F.col("__at_us")
         )
+        if leaf is not None and hasattr(leaf, "lookback_us"):
+            snap = snap.filter(
+                F.unix_micros(F.col("ts"))
+                > F.col("__at_us") - F.lit(leaf.lookback_us)
+            )
+        snap = snap.drop("__at_us")
+    else:
+        at_us = int(round(node.at_seconds * 1_000_000))
+        snap = vec.df.filter(F.unix_micros(F.col("ts")) <= F.lit(at_us))
+        if leaf is not None and hasattr(leaf, "lookback_us"):
+            snap = snap.filter(
+                F.unix_micros(F.col("ts")) > F.lit(at_us - leaf.lookback_us)
+            )
     picked = snap.groupBy(*[F.col(c) for c in series]).agg(
         F.max(
             F.struct(

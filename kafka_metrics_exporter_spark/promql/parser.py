@@ -165,16 +165,36 @@ class Sort:
 @dataclass(frozen=True)
 class At:
     """``expr @ t`` — pin the expression's value as of evaluation time
-    ``t`` (epoch seconds) across the whole evaluation-instant universe.
-    The parser produces it for ``m @ t`` and for range calls like
+    ``t`` across the whole evaluation-instant universe.  The parser
+    produces it for ``m @ t`` and for range calls like
     ``rate(m[5m] @ t)`` (wrapping the Rate node, so the inner
     expression is evaluated once and its as-of-t point broadcasts to
     every instant — Prometheus's fixed-evaluation-time semantics).
-    ``@ start()`` / ``@ end()`` are not supported: the sample-instant
-    engine has no ambient request range."""
+    ``at_seconds`` is an epoch-seconds float, or the string ``"start"``
+    / ``"end"`` for ``@ start()`` / ``@ end()`` — the evaluation
+    range's first/last instant (the grid bounds in range mode, the
+    data's first/last sample instant in sample-instant mode)."""
 
     expr: "Expr"
-    at_seconds: float
+    at_seconds: "float | str"
+
+
+@dataclass(frozen=True)
+class Scalarize:
+    """``scalar(v)`` — the single-element vector's value as a scalar
+    per evaluation instant; NaN at instants where the vector has zero
+    or multiple elements (Prometheus scalar())."""
+
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
+class Vectorize:
+    """``vector(s)`` — a scalar expression as a label-less instant
+    vector over the evaluation-instant universe (the `or vector(0)`
+    default idiom)."""
+
+    expr: "Expr"
 
 
 @dataclass(frozen=True)
@@ -224,10 +244,10 @@ class Time:
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
     | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
-    | Subquery | Time | Sort | At
+    | Subquery | Time | Sort | At | Scalarize | Vectorize
 )
 
-_MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt"}
+_MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
 _CLAMP_FNS = {"clamp_min", "clamp_max"}
 
 _AGG_OPS = {
@@ -308,7 +328,9 @@ class _Parser:
             raise SyntaxError(f"promql: {what} needs a duration, got {tok!r}")
         return sign * _duration_seconds(tok)
 
-    def _modifiers(self, offset: float, at: float | None) -> tuple[float, float | None]:
+    def _modifiers(
+        self, offset: float, at: "float | str | None"
+    ) -> "tuple[float, float | str | None]":
         """Trailing selector modifiers in either order: ``offset <dur>``
         and/or ``@ <epoch-seconds>`` (each at most once)."""
         seen_offset = seen_at = False
@@ -320,7 +342,14 @@ class _Parser:
                 seen_offset = True
             elif tok == "@" and not seen_at:
                 self.next()
-                at = self.signed_number("@ modifier")
+                pk, pt = self.peek()
+                if pk == "ident" and pt in ("start", "end"):
+                    self.next()
+                    self.expect("(")
+                    self.expect(")")
+                    at = pt
+                else:
+                    at = self.signed_number("@ modifier")
                 seen_at = True
             else:
                 return offset, at
@@ -460,7 +489,7 @@ class _Parser:
                 return self.parse_deriv()
             if (
                 tok.endswith("_over_time")
-                and tok[: -len("_over_time")] in _AGG_OPS | {"last"}
+                and tok[: -len("_over_time")] in _AGG_OPS | {"last", "absent"}
             ):
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
@@ -477,6 +506,14 @@ class _Parser:
                 inner = self.parse_expr()
                 self.expect(")")
                 return Sort(inner, desc=(fn == "sort_desc"))
+            if tok == "round":
+                return self.parse_round()
+            if tok in ("scalar", "vector"):
+                fn = self.next()[1]
+                self.expect("(")
+                inner = self.parse_expr()
+                self.expect(")")
+                return Scalarize(inner) if fn == "scalar" else Vectorize(inner)
             if tok == "absent":
                 self.next()
                 self.expect("(")
@@ -622,6 +659,21 @@ class _Parser:
         inner = self.parse_expr()
         self.expect(")")
         return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
+
+    def parse_round(self) -> Expr:
+        """``round(v[, to_nearest])`` — nearest multiple of to_nearest
+        (default 1), halves rounded UP (Prometheus funcRound)."""
+        self.next()
+        self.expect("(")
+        inner = self.parse_expr()
+        arg = 1.0
+        if self.peek()[1] == ",":
+            self.next()
+            arg = self.signed_number("round to_nearest")
+            if arg == 0:
+                raise SyntaxError("promql: round to_nearest must be non-zero")
+        self.expect(")")
+        return MathFn("round", inner, arg=arg)
 
     def parse_math_fn(self) -> Expr:
         fn = self.next()[1]
@@ -788,10 +840,14 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, Sort):
         fn = "sort_desc" if node.desc else "sort"
         return f"{fn}({to_promql(node.expr)})"
+    if isinstance(node, Scalarize):
+        return f"scalar({to_promql(node.expr)})"
+    if isinstance(node, Vectorize):
+        return f"vector({to_promql(node.expr)})"
     if isinstance(node, At):
         inner = node.expr
         if isinstance(inner, Selector):
-            return f"{to_promql(inner)} @ {_fmt_num(node.at_seconds)}"
+            return f"{to_promql(inner)} @ {_fmt_at(node.at_seconds)}"
         if isinstance(inner, Rate):
             body = _range_body(inner.selector, inner.window_seconds, node.at_seconds)
             return f"{inner.fn}({body})"
@@ -834,6 +890,10 @@ def _fmt_num(x: float) -> str:
     return repr(x) if x != int(x) else str(int(x))
 
 
+def _fmt_at(at: "float | str") -> str:
+    return f"{at}()" if isinstance(at, str) else _fmt_num(at)
+
+
 def _range_body(
     operand: "Selector | Subquery",
     window_seconds: float,
@@ -849,7 +909,7 @@ def _range_body(
     if operand.offset_seconds:
         body += f" offset {_fmt_dur(operand.offset_seconds)}"
     if at_seconds is not None:
-        body += f" @ {_fmt_num(at_seconds)}"
+        body += f" @ {_fmt_at(at_seconds)}"
     return body
 
 

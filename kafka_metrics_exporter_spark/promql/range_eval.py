@@ -325,6 +325,25 @@ class GridLeaf:
         vec = _eval_range_operand(node.selector, metrics, label_cols)
         series = sorted(vec.labels)
         x = _expand_instants(vec.df, _us(node.window_seconds), self.step_us, self.bounds)
+        if node.op == "absent":
+            # absent_over_time(sel[w]): 1 at every grid instant whose
+            # trailing window holds NO sample of the selector — the
+            # instant expansion names every covered instant, so the
+            # result is a label-less anti-join of the grid against the
+            # covered-instant set (labels from equality matchers are
+            # not reconstructed — documented divergence, like absent())
+            seq = F.when(
+                F.col("__g_lo") <= F.col("__g_hi"),
+                F.sequence(
+                    F.col("__g_lo"), F.col("__g_hi"), F.lit(self.step_us)
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+            grid = self.bounds.select(F.explode(seq).alias("__t_us"))
+            covered = x.select("__t_us").distinct()
+            out = grid.join(covered, "__t_us", "left_anti").withColumn(
+                "value", F.lit(1.0)
+            )
+            return _Vec(_finish(out, []), frozenset())
         if node.op == "last":
             # groupBy has no frame order — pick the newest sample by its
             # timestamp explicitly (F.last would be partition-order luck)

@@ -1100,6 +1100,97 @@ def test_sort_and_clamp(tiny):
     assert nan and all(math.isnan(r["value"]) for r in nan)
 
 
+def test_sgn_round_scalar_vector(tiny):
+    """Round-6 function pack: sgn, round(v, n) with half-up rule,
+    scalar() as a per-instant scalar in binops, and the `or vector(0)`
+    default idiom."""
+    t0 = dt.datetime(2024, 1, 1)
+    s = compile_promql("sgn(m - 10)").evaluate(tiny)
+    sgot = {(r["topic"], r["instance"], r["ts"]): r["value"] for r in s.collect()}
+    assert sgot[("a", "h1", t0)] == 0.0  # 10 - 10
+    assert sgot[("b", "h1", t0)] == 1.0
+    assert sgot[("", "h2", t0)] == -1.0
+
+    r = compile_promql("round(m / 3)").evaluate(tiny)
+    rgot = {(r_["topic"], r_["ts"]): r_["value"] for r_ in r.collect()}
+    assert rgot[("a", t0)] == 3.0  # 10/3 = 3.33 -> 3
+    # half-up: 5/2 = 2.5 -> 3 (Python's bankers rounding would give 2)
+    r2 = compile_promql("round(m / 2)").evaluate(tiny)
+    r2got = {(x["topic"], x["ts"]): x["value"] for x in r2.collect()}
+    assert r2got[("a", t0 + dt.timedelta(minutes=2))] == 3.0  # 5/2 -> 2.5 -> 3
+    # to_nearest: round to nearest 50
+    r3 = compile_promql("round(m, 50)").evaluate(tiny)
+    r3got = {(x["topic"], x["ts"]): x["value"] for x in r3.collect()}
+    assert r3got[("b", t0)] == 100.0
+    assert r3got[("a", t0 + dt.timedelta(minutes=1))] == 50.0  # 40 -> 50
+
+    # scalar(): per-instant share of the total, vector/scalar binop
+    # keeps the vector's labels
+    share = compile_promql("m / scalar(sum(m))").evaluate(tiny)
+    total_t0 = 10.0 + 100.0 + 7.0 + 1.0  # m@t0: 10,100,7 ; n@t0: wait
+    # sum(m) at t0: the selector keeps only name m -> 10 + 100 + 7
+    got = {
+        (r_["topic"], r_["instance"]): r_["value"]
+        for r_ in share.collect()
+        if r_["ts"] == t0
+    }
+    assert got[("a", "h1")] == pytest.approx(10.0 / 117.0)
+    assert got[("b", "h1")] == pytest.approx(100.0 / 117.0)
+    # scalar() of a multi-element vector is NaN; of a single-element
+    # vector it's the element (m has 3 series at t0, 2 at 00:01, and
+    # only topic=a at 00:02)
+    import math
+
+    sc = compile_promql("m / scalar(m)").evaluate(tiny).collect()
+    assert sc
+    for x in sc:
+        if x["ts"] == t0 + dt.timedelta(minutes=2):
+            assert x["value"] == 1.0  # 5 / scalar({5}) = 1
+        else:
+            assert math.isnan(x["value"])
+
+    # `or vector(0)`: an empty selector falls back to 0 at every instant
+    fb = compile_promql('sum(m{topic="zzz"}) or vector(0)').evaluate(tiny)
+    fgot = {str(r_["ts"]): r_["value"] for r_ in fb.collect()}
+    assert set(fgot) == {
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"
+    }
+    assert all(v == 0.0 for v in fgot.values())
+
+
+def test_at_start_end_and_absent_over_time(tiny):
+    """`@ start()` / `@ end()` pin at the evaluation range's first/last
+    instant; absent_over_time lights up empty trailing windows on the
+    step grid (and rejects sample-instant mode, where it is vacuous)."""
+    end = compile_promql('m{topic="a"} @ end()').evaluate(tiny)
+    evals = {r["value"] for r in end.collect()}
+    assert evals == {5.0}  # the 00:02 sample pinned everywhere
+    assert end.count() == 3
+    start = compile_promql('m{topic="a"} @ start()').evaluate(tiny)
+    assert {r["value"] for r in start.collect()} == {10.0}
+    # range mode: @ end() resolves against the grid bounds
+    g = compile_promql('m{topic="a"} @ end()').evaluate_range(tiny, 60.0)
+    assert {r["value"] for r in g.collect()} == {5.0}
+
+    with pytest.raises(ValueError, match="range"):
+        compile_promql("absent_over_time(m[2m])").evaluate(tiny)
+    # grid: topic=b has samples at 00:00 and 00:01 only; with a 90s
+    # window the 00:02 instant's window (00:00:30, 00:02] still holds
+    # the 00:01 sample -> absent nowhere; a 30s window leaves 00:02
+    # uncovered... use a selector with no matches: every instant absent
+    ab = compile_promql('absent_over_time(m{topic="zzz"}[2m])').evaluate_range(
+        tiny, 60.0
+    )
+    assert ab.count() == 3 and all(r["value"] == 1.0 for r in ab.collect())
+    ab2 = compile_promql('absent_over_time(m{topic="b"}[1m])').evaluate_range(
+        tiny, 60.0
+    )
+    # b's samples: 00:00, 00:01 — windows (t-1m, t]: t=00:00 covered,
+    # t=00:01 covered, t=00:02 holds nothing -> absent only at 00:02
+    got = {str(r["ts"]) for r in ab2.collect()}
+    assert got == {"2024-01-01 00:02:00"}
+
+
 def test_subquery_parses_and_roundtrips():
     from kafka_metrics_exporter_spark.promql.parser import (
         Agg,
