@@ -150,6 +150,124 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    num_bits: int = 1 << 23,
+    num_probes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`decontaminate` behind a BLOOM pre-filter — identical
+    output (the exact verify removes every false positive), different
+    scale shape: at 100 TB even the benchmark's distinct-shingle TABLE
+    can be too big to ship as a broadcast hash join (a few hundred
+    million 8-grams ≈ multi-GB hash relation per executor), while the
+    same membership set fits a ~100 MB bitmap.  The corpus-side probe
+    is FUSED into the Arrow shingling pass — each worker tests every
+    gram against the broadcast bitmap with one vectorized numpy lookup
+    and emits only bloom-positive (doc_id, gram) rows, so the 99%+
+    negative grams never leave the scan: no join, no shuffle, no
+    materialized corpus shingle table.  Survivors (a sliver) then pass
+    the exact broadcast semi-join verify, which removes bloom false
+    positives — the flags are exactly ``decontaminate``'s.
+
+    Gram hashing is the engine's standard md5-low-8-bytes (DuckDB twin:
+    ``md5_number_upper``); the k probe positions derive from the one
+    64-bit hash by Kirsch-Mitzenmacher double hashing.
+    """
+    import numpy as np
+
+    spark = docs.sparkSession
+    # benchmark side: distinct gram hashes to the driver (the eval set
+    # is small BY DEFINITION — this is the same cardinality the plain
+    # broadcast join ships, collected once instead of per-executor)
+    bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    grams = [r[0] for r in bench_sh.collect()]
+    import hashlib
+
+    m = int(num_bits)
+    k = int(num_probes)
+    if m < 64 or k < 1:
+        raise ValueError("bloom_decontaminate: need num_bits >= 64, num_probes >= 1")
+    bitmap = np.zeros(m // 64 + 1, dtype=np.uint64)
+    if grams:
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                for g in grams
+            ),
+            dtype="uint64",
+            count=len(grams),
+        )
+        lo = hs & np.uint64(0xFFFFFFFF)
+        hi = hs >> np.uint64(32)
+        for i in range(k):
+            pos = (lo + np.uint64(i) * hi) % np.uint64(m)
+            np.bitwise_or.at(
+                bitmap,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    bc = spark.sparkContext.broadcast(bitmap)
+    from kafka_metrics_exporter_spark.llmdata.dedup import _shingle_list
+
+    shingle_of = _shingle_list
+
+    def probe(batches):
+        import pandas as pd
+
+        bm = bc.value
+        for pdf in batches:
+            ids, out_grams = [], []
+            for vid, text in zip(pdf[id_col], pdf[text_col]):
+                gs = shingle_of(text, n)
+                if not gs:
+                    continue
+                h = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                        for g in gs
+                    ),
+                    dtype="uint64",
+                    count=len(gs),
+                )
+                glo = h & np.uint64(0xFFFFFFFF)
+                ghi = h >> np.uint64(32)
+                hit = np.ones(len(gs), dtype=bool)
+                for i in range(k):
+                    pos = (glo + np.uint64(i) * ghi) % np.uint64(m)
+                    word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+                    hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+                for j in np.flatnonzero(hit):
+                    ids.append(vid)
+                    out_grams.append(gs[j])
+            yield pd.DataFrame({"doc_id": ids, "shingle": out_grams})
+
+    par = spark.sparkContext.defaultParallelism
+    candidates = (
+        docs.repartition(par)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(probe, f"doc_id {dict(docs.dtypes)[id_col]}, shingle string")
+    )
+    # exact verify: bloom false positives die here, so the flags are
+    # bit-identical to the plain exact sweep
+    hits = (
+        candidates.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumn("is_contaminated", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
 def fuzzy_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -49,21 +49,21 @@ NEW_THIS_ROUND = [
     "promql_at_offset",
     "promql_clamp_sort",
     "promql_round_scalar",
+    "pipe_bloom_decontaminate",
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
 # this round — must be re-verified by the driver even though they have
 # green rows (pinned by test_registry_window.py).  The _finish_cached
-# wrapper touched three queries; two ride as in-window canaries and
-# promql_quantile_last_over_time stays covered by GOLDEN.json + the
-# pytest oracle replay (its slot went to the NEW promql_round_scalar).
+# wrapper touched three queries; promql_resets_changes rides as the
+# in-window canary and the other two stay covered by GOLDEN.json + the
+# pytest oracle replay (their slots went to NEW grammar/bloom queries).
 CHANGED_THIS_ROUND = [
     "kibana_terms_metrics",  # top-level ordered-terms limit+semi-join plan
     "w10_topk_rate_nonempty",  # global top-k now TakeOrdered, not window
     "dedup_minhash_lsh",  # capped_bucket_pairs refactor
     "pipe_fuzzy_decontaminate",  # min_by struct tie-break
     "promql_resets_changes",  # _finish_cached checkpoint wrapper
-    "promql_set_ops",  # _finish_cached checkpoint wrapper
 ]
 
 WINDOW_PRIORITY = [

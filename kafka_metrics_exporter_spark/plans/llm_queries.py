@@ -1485,3 +1485,39 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_toks").alias("min_tokens"),
         F.max("n_toks").alias("max_tokens"),
     )
+
+
+@query(
+    "pipe_bloom_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(greatest(len(ws) - 3, 1))) AS i, ws
+          FROM w WHERE len(ws) >= 1),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS shingle
+           FROM s),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT doc_id FROM sh
+             WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench))
+    SELECT d.doc_id, h.doc_id IS NOT NULL AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def pipe_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe_decontaminate's exact flags through the BLOOM pre-filter
+    path (llmdata/pipeline.py::bloom_decontaminate): the benchmark
+    shingle set becomes a broadcast BITMAP probed inside the Arrow
+    shingling pass — bloom-negative grams (the overwhelming majority)
+    never leave the scan — and the sliver of positives passes the exact
+    broadcast semi-join verify, which kills bloom false positives.  The
+    oracle is therefore the SAME exact-overlap SQL: identical flags by
+    construction, different (bitmap-not-hash-table) 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.bloom_decontaminate(train, bench, n=4)

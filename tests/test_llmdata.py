@@ -727,6 +727,33 @@ def test_fuzzy_decontaminate_flags_near_dup_leaks(spark):
     assert out[3]["matched_bench"] == 2000
 
 
+def test_bloom_decontaminate_exact_under_false_positives(spark):
+    """The bloom pre-filter must be INVISIBLE in the output: a tiny
+    bitmap (64 bits for hundreds of grams => false positives on nearly
+    every probe) still yields exactly the plain exact sweep's flags,
+    because the broadcast semi-join verify kills every false positive."""
+    rows = [(i, f"alpha beta w{i} x{i} y{i} z{i} common tail words") for i in range(40)]
+    bench = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    train = spark.createDataFrame(
+        rows[3:] + [(100, rows[1][1])],  # one verbatim leak of bench doc 1
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in pipeline.decontaminate(train, bench, n=4).collect()
+    }
+    for bits, probes in ((64, 2), (1 << 20, 4)):
+        bloom = {
+            r["doc_id"]: r["is_contaminated"]
+            for r in pipeline.bloom_decontaminate(
+                train, bench, n=4, num_bits=bits, num_probes=probes
+            ).collect()
+        }
+        assert bloom == exact, (bits, probes)
+    assert exact[100] is True
+    assert sum(exact.values()) >= 1
+
+
 def test_fuzzy_decontaminate_string_bench_ids(spark):
     """ADVICE r5: the tie-break must not negate bench_id arithmetically
     — string benchmark ids (the common case: eval-set names) must work,
