@@ -216,10 +216,10 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 order_metric = (oa.get("type", "avg"), oa.get("params", {}).get("field"))
             elif order_by != "_term":
                 tgt = by_id.get(order_by)
-                if tgt is None or tgt["type"] == "top_hits":
+                if tgt is None or tgt["type"] in ("top_hits", "median", "percentiles"):
                     raise ValueError(
                         f"kibana: terms orderBy={order_by!r} must reference a "
-                        f"simple metric agg (avg/max/sum/cardinality)"
+                        f"simple metric agg (avg/min/max/sum/cardinality)"
                     )
                 order_metric = (tgt["type"], tgt["params"].get("field"))
             buckets.append(
@@ -261,7 +261,14 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 PercentilesAgg(field=p["field"], percents=percents, label=label)
             )
-        elif a["type"] in ("avg", "max", "sum", "cardinality", "count"):
+        elif a["type"] == "median":
+            # ES models median as percentiles([50]); one output column
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: median cannot be a bucket agg")
+            metrics.append(
+                PercentilesAgg(field=p["field"], percents=(50.0,), label=label)
+            )
+        elif a["type"] in ("avg", "min", "max", "sum", "cardinality", "count"):
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
             metrics.append(
@@ -390,6 +397,7 @@ class KibanaPlan:
                 val = resolve(m.field)
                 fn = {
                     "avg": lambda c: F.avg(c.cast("double")),
+                    "min": lambda c: F.min(c.cast("double")),
                     "max": lambda c: F.max(c.cast("double")),
                     "sum": lambda c: F.sum(c.cast("double")),
                     "cardinality": count_distinct,
@@ -444,9 +452,9 @@ class KibanaPlan:
                 elif op == "count":
                     ord_expr = F.count(F.lit(1))
                 else:
-                    ord_expr = {"avg": F.avg, "max": F.max, "sum": F.sum}[op](
-                        resolve(fld).cast("double")
-                    )
+                    ord_expr = {
+                        "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum
+                    }[op](resolve(fld).cast("double"))
                 lvl = df.groupBy(*[F.col(c) for c in prefix + [b.label]]).agg(
                     ord_expr.alias("__ord")
                 )

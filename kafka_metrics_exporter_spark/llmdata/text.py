@@ -199,3 +199,86 @@ def quality_gate_sql(text_expr: str = "text") -> dict[str, str]:
     )
     reason = f"CASE {branches} ELSE NULL END"
     return {"keep": f"({reason}) IS NULL", "reject_reason": reason}
+
+
+def tfidf_topk(
+    df,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document top-``k`` terms by smoothed TF-IDF — the standard
+    keyword-extraction / topic-fingerprint pass of a curation pipeline.
+
+    Definitions (sklearn's smooth variant, deterministic):
+      tf(t, d)  = occurrences of lowercased whitespace token t in d
+      idf(t)    = ln((N + 1) / (df(t) + 1)) + 1, N = corpus doc count
+      score     = round(tf · idf, 6)
+    Top-k per doc by (score desc, term asc) — fully tie-broken.
+
+    Scale shape: two token-keyed hash aggregations (per-doc tf, corpus
+    df) and one join tf⋈df on the term.  Stopword terms make that join
+    key skewed, but the build side is ONE row per term so the hot
+    partition's work is linear in its tf rows (AQE skew-split applies);
+    the corpus size N is a broadcast 1-row aggregate, and the top-k
+    rank windows on doc_id — uniform.  No Python anywhere.
+    """
+    toks = F.transform(ws_tokens(F.col(text_col)), F.lower)
+    tokens = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.window import Window as _W
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .drop("__n")
+    )
+    w = _W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_topk_sql(k: int = 5, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`tfidf_topk` over the ``documents`` view —
+    identical tokenization, idf formula, arithmetic order, rounding,
+    and tie-break."""
+    toks = (
+        f"list_transform(list_filter(string_split_regex({text_expr}, '\\s+'),"
+        f" x -> x <> ''), x -> lower(x))"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """

@@ -50,17 +50,21 @@ NEW_THIS_ROUND = [
     "promql_clamp_sort",
     "promql_round_scalar",
     "pipe_bloom_decontaminate",
+    "text_tfidf_topk",
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
 # this round — must be re-verified by the driver even though they have
-# green rows (pinned by test_registry_window.py).  The _finish_cached
-# wrapper touched three queries; promql_resets_changes rides as the
-# in-window canary and the other two stay covered by GOLDEN.json + the
-# pytest oracle replay (their slots went to NEW grammar/bloom queries).
+# green rows (pinned by test_registry_window.py).  Changed queries that
+# did NOT fit the 50-slot window (their slots went to NEW queries) are
+# each covered by a fresh same-session check_oracle run, GOLDEN.json,
+# the pytest oracle replay, and plan pins: promql_set_ops and
+# promql_quantile_last_over_time (the _finish_cached wrapper —
+# promql_resets_changes rides as its in-window canary) and
+# w10_topk_rate_nonempty (orderBy().limit() global top-k — value-
+# identical by construction, plan-pinned by test_plan_inventory).
 CHANGED_THIS_ROUND = [
     "kibana_terms_metrics",  # top-level ordered-terms limit+semi-join plan
-    "w10_topk_rate_nonempty",  # global top-k now TakeOrdered, not window
     "dedup_minhash_lsh",  # capped_bucket_pairs refactor
     "pipe_fuzzy_decontaminate",  # min_by struct tie-break
     "promql_resets_changes",  # _finish_cached checkpoint wrapper

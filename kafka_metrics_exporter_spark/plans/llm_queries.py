@@ -1521,3 +1521,24 @@ def pipe_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return pipeline.bloom_decontaminate(train, bench, n=4)
+
+
+def _tfidf_oracle() -> str:
+    from kafka_metrics_exporter_spark.llmdata.text import tfidf_topk_sql
+
+    return tfidf_topk_sql(k=5)
+
+
+@query("text_tfidf_topk", _tfidf_oracle())
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by smoothed TF-IDF (sklearn's
+    ln((N+1)/(df+1))+1 idf) — keyword extraction over the corpus, all
+    built-in Column ops: two token-keyed aggregations, a 1-row-build
+    term join (AQE skew-split absorbs stopword keys), a broadcast
+    corpus-count, and a doc-keyed rank window.  The oracle is GENERATED
+    from the same spec (llmdata/text.py::tfidf_topk_sql) so the
+    tokenization, arithmetic order, rounding, and tie-break match
+    operation for operation."""
+    from kafka_metrics_exporter_spark.llmdata.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)

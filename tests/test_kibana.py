@@ -465,3 +465,73 @@ def test_auto_interval_semantics(docs):
         "2024-04-01 11:30:00": 20.0,
         "2024-04-01 12:00:00": 12.0,
     }
+
+
+def test_min_and_median_metric_aggs(docs):
+    """Round-6 metric-agg additions: ES `min` and `median` (ES models
+    median as percentiles([50]) — one `<label>_p50` column)."""
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t", "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "component.keyword", "size": 5,
+                                     "order": "asc", "orderBy": "_term",
+                                     "customLabel": "Component"}},
+                        {"id": "1", "type": "min", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Min V"}},
+                        {"id": "3", "type": "median", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Med V"}},
+                    ],
+                }
+            )
+        }
+    )
+    got = {r.component: r for r in plan.evaluate(docs).collect()}
+    assert got["broker"].min_v == 10.0
+    assert got["broker"].med_v_p50 == 30.0  # median of {10, 30, 40}
+    assert got["zk"].min_v == 5.0
+    assert got["zk"].med_v_p50 == 6.0  # interpolated median of {5, 7}
+
+
+def test_terms_ordered_by_min(docs):
+    plan = compile_visualization(
+        {
+            "visState": json.dumps(
+                {
+                    "title": "t", "type": "table",
+                    "aggs": [
+                        {"id": "2", "type": "terms", "schema": "bucket",
+                         "params": {"field": "component.keyword", "size": 2,
+                                     "order": "asc", "orderBy": "1",
+                                     "customLabel": "Component"}},
+                        {"id": "1", "type": "min", "schema": "metric",
+                         "params": {"field": "v", "customLabel": "Min V"}},
+                    ],
+                }
+            )
+        }
+    )
+    out = plan.evaluate(docs)
+    # bottom-2 components by min(v) asc: zk (5), broker (10)
+    assert {r.component for r in out.collect()} == {"zk", "broker"}
+    # ordering by a median/percentiles agg is rejected, not silently wrong
+    with pytest.raises(ValueError, match="orderBy"):
+        compile_visualization(
+            {
+                "visState": json.dumps(
+                    {
+                        "title": "t", "type": "table",
+                        "aggs": [
+                            {"id": "2", "type": "terms", "schema": "bucket",
+                             "params": {"field": "component.keyword", "size": 2,
+                                         "order": "asc", "orderBy": "1"}},
+                            {"id": "1", "type": "median", "schema": "metric",
+                             "params": {"field": "v"}},
+                        ],
+                    }
+                )
+            }
+        )

@@ -797,3 +797,42 @@ def test_channel_stats_matches_numpy(spark):
         assert out[ch]["std"] == pytest.approx(m[:, ch].std())  # population
         assert out[ch]["min"] == m[:, ch].min()
         assert out[ch]["max"] == m[:, ch].max()
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """Smoothed TF-IDF pin: 3 docs, hand-computed idf and top-k order
+    (score desc, term asc tie-break)."""
+    import math
+
+    from kafka_metrics_exporter_spark.llmdata.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    n = 3
+
+    def idf(df_):
+        return math.log((n + 1) / (df_ + 1)) + 1.0
+
+    # doc 1: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2; common idf(3)<1
+    assert rows[(1, "apple")]["score"] == pytest.approx(round(2 * idf(1), 6))
+    assert rows[(1, "banana")]["score"] == pytest.approx(round(idf(2), 6))
+    assert (1, "common") not in rows  # k=2 keeps the two best
+    # doc 3: common tf=2 beats cherry tf=1? common idf = ln(4/4)+1 = 1.0
+    # -> score 2.0; cherry idf(2) = ln(4/3)+1 ≈ 1.2877 -> 1.2877
+    assert rows[(3, "common")]["score"] == pytest.approx(2.0)
+    assert rows[(3, "cherry")]["score"] == pytest.approx(round(idf(2), 6))
+    # df column is the corpus document frequency
+    assert rows[(1, "banana")]["df"] == 2 and rows[(1, "apple")]["df"] == 1
+    # every doc contributes exactly min(k, n_terms) rows
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in rows)
+    assert per_doc == {1: 2, 2: 2, 3: 2}

@@ -28,6 +28,8 @@ BNLJ_OK = CROSS_JOIN_OK | {
     "promql_subquery",
     "promql_rate_extrapolated",
     "promql_at_offset",
+    # the broadcast 1-row corpus-count aggregate (idf's N)
+    "text_tfidf_topk",
 }
 
 # A Window whose partition spec is empty. Only acceptable when the
