@@ -58,12 +58,14 @@ from pyspark.sql import functions as F
 from kafka_metrics_exporter_spark.promql.parser import (
     Absent,
     At,
+    DateFn,
     Deriv,
     Agg,
     Bin,
     Cmp,
     Expr,
     HistogramQuantile,
+    HoltWinters,
     LabelJoin,
     MathFn,
     LabelReplace,
@@ -179,6 +181,9 @@ def _eval(
     if isinstance(node, OverTime):
         fn = leaf.over_time if leaf is not None else _eval_over_time
         return fn(node, metrics, label_cols)
+    if isinstance(node, HoltWinters):
+        fn = leaf.holt_winters if leaf is not None else _eval_holt_winters
+        return fn(node, metrics, label_cols)
     if isinstance(node, Agg):
         return _eval_agg(node, metrics, label_cols, leaf)
     if isinstance(node, TopK):
@@ -221,6 +226,44 @@ def _eval(
             raise ValueError("promql: vector() needs a scalar argument")
         inst = _instant_universe(metrics, leaf)
         return _Vec(inst.withColumn("value", F.lit(float(val))), frozenset())
+    if isinstance(node, DateFn):
+        if node.fn == "timestamp":
+            # each element's own sample timestamp becomes its value
+            vec = _eval(node.expr, metrics, label_cols, leaf)
+            if isinstance(vec, float):
+                raise ValueError("promql: timestamp() needs a vector")
+            out = vec.df.withColumn(
+                "value", F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+            )
+            return _Vec(out, vec.labels)
+        if node.expr is None:
+            # hour() ≡ hour(vector(time())): the instant itself
+            inst = _instant_universe(metrics, leaf)
+            vec = _Vec(
+                inst.withColumn(
+                    "value", F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+                ),
+                frozenset(),
+            )
+        else:
+            vec = _eval(node.expr, metrics, label_cols, leaf)
+            if isinstance(vec, float):
+                raise ValueError(f"promql: {node.fn}() needs a vector")
+        # the VALUE is a UTC epoch; truncate to whole seconds like
+        # Prometheus (values are commonly time()-derived doubles)
+        t = F.timestamp_seconds(F.floor(F.col("value")).cast("long"))
+        cal = {
+            "minute": F.minute,
+            "hour": F.hour,
+            # Prometheus: 0 = Sunday; Spark dayofweek: 1 = Sunday
+            "day_of_week": lambda c: F.dayofweek(c) - F.lit(1),
+            "day_of_month": F.dayofmonth,
+            "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
+            "month": F.month,
+            "year": F.year,
+        }[node.fn]
+        out = vec.df.withColumn("value", cal(t).cast("double"))
+        return _Vec(out, vec.labels)
     if isinstance(node, Sort):
         vec = _eval(node.expr, metrics, label_cols, leaf)
         if isinstance(vec, float):
@@ -634,6 +677,77 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
         agg = _AGG_FN[node.op](F.col("value"))
     agg_col = agg.over(w).cast("double")
     return _Vec(vec.df.withColumn("value", agg_col), vec.labels)
+
+
+def holt_winters_fold(arr: Column, sf: float, tf: float) -> Column:
+    """Prometheus funcHoltWinters over a time-ordered array of sample
+    structs (fields ``__o_us``, ``__o_v``) as a JVM-side
+    ``F.aggregate`` fold — no Python, no per-row state outside the
+    accumulator struct.  Replicates promql/functions.go operation for
+    operation: level s0 = x0; trend b inits from x1 − x0 (the trend
+    update is skipped on that first step, calcTrendValue(0) = b);
+    thereafter s1 = sf·x + (1−sf)·(s + b), b = tf·(s1 − s) + (1−tf)·b.
+    NULL (no point) with fewer than 2 samples."""
+    a, d = float(sf), float(tf)
+
+    def step(acc, e):
+        x = e["__o_v"]
+        first = acc["i"] == 0
+        second = acc["i"] == 1
+        b0 = x - acc["s"]
+        s1_second = F.lit(a) * x + F.lit(1 - a) * (acc["s"] + b0)
+        s1_later = F.lit(a) * x + F.lit(1 - a) * (acc["s"] + acc["b"])
+        b_later = F.lit(d) * (s1_later - acc["s"]) + F.lit(1 - d) * acc["b"]
+        return F.struct(
+            F.when(first, x)
+            .when(second, s1_second)
+            .otherwise(s1_later)
+            .alias("s"),
+            F.when(first, F.lit(None).cast("double"))
+            .when(second, b0)
+            .otherwise(b_later)
+            .alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("s"),
+        F.lit(None).cast("double").alias("b"),
+        F.lit(0).alias("i"),
+    )
+    res = F.aggregate(arr, init, step)
+    return F.when(res["i"] >= 2, res["s"])
+
+
+def _eval_holt_winters(node: HoltWinters, metrics: DataFrame, label_cols) -> _Vec:
+    """Sample-instant mode: at each instant, fold the time-ordered
+    samples in the trailing range (t−w, t] — a collect_list RANGE
+    window per series, sorted, folded (the list is bounded by the
+    window's sample count, the same bound every *_over_time frame
+    carries)."""
+    window_us = int(round(node.window_seconds * 1_000_000))
+    if window_us < 1:
+        raise ValueError("promql: holt_winters window must be >= 1µs")
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
+    series = sorted(vec.labels)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series])
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(window_us - 1), 0)
+    )
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("__o_us"),
+                F.col("value").alias("__o_v"),
+            )
+        ).over(w)
+    )
+    out = (
+        vec.df.withColumn("value", holt_winters_fold(arr, node.sf, node.tf))
+        .filter(F.col("value").isNotNull())
+    )
+    return _Vec(out, vec.labels)
 
 
 _AGG_FN = {

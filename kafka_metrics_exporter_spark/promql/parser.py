@@ -86,6 +86,19 @@ class OverTime:
 
 
 @dataclass(frozen=True)
+class HoltWinters:
+    """``holt_winters(sel[w], sf, tf)`` (Prometheus ≥3 name:
+    ``double_exponential_smoothing``) — double exponential smoothing of
+    the samples in the trailing range: level factor ``sf``, trend
+    factor ``tf``, both in (0, 1); needs ≥2 samples in the window."""
+
+    selector: "Selector | Subquery"
+    window_seconds: float
+    sf: float
+    tf: float
+
+
+@dataclass(frozen=True)
 class Agg:
     op: str  # sum|avg|min|max|count|stddev|stdvar|quantile|count_values
     expr: "Expr"
@@ -180,6 +193,19 @@ class At:
 
 
 @dataclass(frozen=True)
+class DateFn:
+    """Prometheus date/time functions: ``timestamp(v)`` (each element's
+    sample timestamp as its value) and the calendar family
+    ``minute|hour|day_of_week|day_of_month|days_in_month|month|year``,
+    which interpret the vector's VALUES as UTC epoch seconds; called
+    with no argument they default to ``vector(time())`` (the common
+    business-hours-alert idiom)."""
+
+    fn: str
+    expr: "Expr | None" = None  # None → vector(time()); timestamp() requires one
+
+
+@dataclass(frozen=True)
 class Scalarize:
     """``scalar(v)`` — the single-element vector's value as a scalar
     per evaluation instant; NaN at instants where the vector has zero
@@ -244,10 +270,15 @@ class Time:
 Expr = (
     Selector | Rate | Deriv | OverTime | Agg | TopK | Bin | SetOp | Scalar
     | Cmp | LabelReplace | LabelJoin | HistogramQuantile | MathFn | Absent
-    | Subquery | Time | Sort | At | Scalarize | Vectorize
+    | Subquery | Time | Sort | At | Scalarize | Vectorize | DateFn
+    | HoltWinters
 )
 
 _MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
+_DATE_FNS = {
+    "timestamp", "minute", "hour", "day_of_week", "day_of_month",
+    "days_in_month", "month", "year",
+}
 _CLAMP_FNS = {"clamp_min", "clamp_max"}
 
 _AGG_OPS = {
@@ -487,6 +518,19 @@ class _Parser:
                 return self.parse_rate()
             if tok in ("deriv", "predict_linear"):
                 return self.parse_deriv()
+            if tok in ("holt_winters", "double_exponential_smoothing"):
+                self.next()
+                sel, window, at = self._range_call(close=False)
+                self.expect(",")
+                sf = self.signed_number("holt_winters smoothing factor")
+                self.expect(",")
+                tf = self.signed_number("holt_winters trend factor")
+                self.expect(")")
+                if not (0 < sf < 1) or not (0 < tf < 1):
+                    raise SyntaxError(
+                        "promql: holt_winters factors must be in (0, 1)"
+                    )
+                return self._wrap_at(HoltWinters(sel, window, sf, tf), at)
             if (
                 tok.endswith("_over_time")
                 and tok[: -len("_over_time")] in _AGG_OPS | {"last", "absent"}
@@ -514,6 +558,16 @@ class _Parser:
                 inner = self.parse_expr()
                 self.expect(")")
                 return Scalarize(inner) if fn == "scalar" else Vectorize(inner)
+            if tok in _DATE_FNS and self.tokens[self.i + 1][1] == "(":
+                fn = self.next()[1]
+                self.expect("(")
+                inner = None
+                if self.peek()[1] != ")":
+                    inner = self.parse_expr()
+                self.expect(")")
+                if fn == "timestamp" and inner is None:
+                    raise SyntaxError("promql: timestamp() requires a vector")
+                return DateFn(fn, inner)
             if tok == "absent":
                 self.next()
                 self.expect("(")
@@ -806,6 +860,9 @@ def to_promql(node: Expr) -> str:
         if node.op == "quantile":
             return f"quantile_over_time({node.param!r}, {body})"
         return f"{node.op}_over_time({body})"
+    if isinstance(node, HoltWinters):
+        body = _range_body(node.selector, node.window_seconds)
+        return f"holt_winters({body}, {node.sf!r}, {node.tf!r})"
     if isinstance(node, Agg):
         clause = ""
         if node.by is not None:
@@ -844,6 +901,9 @@ def to_promql(node: Expr) -> str:
         return f"scalar({to_promql(node.expr)})"
     if isinstance(node, Vectorize):
         return f"vector({to_promql(node.expr)})"
+    if isinstance(node, DateFn):
+        inner = to_promql(node.expr) if node.expr is not None else ""
+        return f"{node.fn}({inner})"
     if isinstance(node, At):
         inner = node.expr
         if isinstance(inner, Selector):
@@ -861,6 +921,9 @@ def to_promql(node: Expr) -> str:
             if inner.op == "quantile":
                 return f"quantile_over_time({inner.param!r}, {body})"
             return f"{inner.op}_over_time({body})"
+        if isinstance(inner, HoltWinters):
+            body = _range_body(inner.selector, inner.window_seconds, node.at_seconds)
+            return f"holt_winters({body}, {inner.sf!r}, {inner.tf!r})"
         raise TypeError(f"promql: cannot render @ over {inner!r}")
     if isinstance(node, HistogramQuantile):
         phi = repr(node.phi) if node.phi != int(node.phi) else str(int(node.phi))

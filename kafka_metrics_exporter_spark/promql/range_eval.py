@@ -314,6 +314,39 @@ class GridLeaf:
         )
         return _Vec(_finish(out, series), vec.labels)
 
+    # -- holt_winters (grid) ----------------------------------------------
+    def holt_winters(self, node, metrics: DataFrame, label_cols):
+        """Double exponential smoothing per (series, grid instant):
+        instant expansion → one hash aggregation collecting the sorted
+        sample list → the shared JVM fold (compiler.holt_winters_fold)."""
+        from kafka_metrics_exporter_spark.promql.compiler import (
+            _Vec,
+            _eval_range_operand,
+            holt_winters_fold,
+        )
+
+        vec = _eval_range_operand(node.selector, metrics, label_cols)
+        series = sorted(vec.labels)
+        x = _expand_instants(
+            vec.df, _us(node.window_seconds), self.step_us, self.bounds
+        )
+        g = x.groupBy(*series, "__t_us").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__s_us").alias("__o_us"),
+                        F.col("value").alias("__o_v"),
+                    )
+                )
+            ).alias("__arr")
+        )
+        out = (
+            g.withColumn("value", holt_winters_fold(F.col("__arr"), node.sf, node.tf))
+            .filter(F.col("value").isNotNull())
+            .drop("__arr")
+        )
+        return _Vec(_finish(out, series), vec.labels)
+
     # -- <agg>_over_time --------------------------------------------------
     def over_time(self, node: OverTime, metrics: DataFrame, label_cols):
         from kafka_metrics_exporter_spark.promql.compiler import (

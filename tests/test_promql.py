@@ -1191,6 +1191,83 @@ def test_at_start_end_and_absent_over_time(tiny):
     assert got == {"2024-01-01 00:02:00"}
 
 
+def test_date_functions(tiny):
+    """Prometheus date/time family: timestamp(v) (the element's sample
+    timestamp), and the calendar functions over values-as-UTC-epochs,
+    defaulting to vector(time()).  2024-01-01 is a Monday."""
+    from kafka_metrics_exporter_spark.promql.parser import DateFn, to_promql
+
+    n = parse("day_of_week()")
+    assert isinstance(n, DateFn) and n.expr is None
+    assert parse(to_promql(n)) == n
+    assert parse(to_promql(parse("hour(m)"))) == parse("hour(m)")
+    with pytest.raises(SyntaxError):
+        parse("timestamp()")
+    # a selector NAMED like a date fn still parses as a selector
+    from kafka_metrics_exporter_spark.promql.parser import Selector
+
+    assert isinstance(parse('hour{topic="a"}'), Selector)
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts_out = compile_promql('timestamp(m{topic="a"})').evaluate(tiny)
+    epoch0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    got = {str(r["ts"]): r["value"] for r in ts_out.collect()}
+    assert got["2024-01-01 00:00:00"] == epoch0
+    assert got["2024-01-01 00:01:00"] == epoch0 + 60
+
+    for expr, want in [
+        ("day_of_week()", 1.0),  # Monday
+        ("day_of_month()", 1.0),
+        ("days_in_month()", 31.0),
+        ("month()", 1.0),
+        ("year()", 2024.0),
+        ("hour()", 0.0),
+    ]:
+        out = compile_promql(expr).evaluate(tiny)
+        vals = {r["value"] for r in out.collect() if r["ts"] == t0}
+        assert vals == {want}, expr
+    # minute() over the instant universe varies with the instant
+    mins = {
+        str(r["ts"]): r["value"]
+        for r in compile_promql("minute()").evaluate(tiny).collect()
+    }
+    assert mins["2024-01-01 00:02:00"] == 2.0
+    # calendar fn over an arbitrary vector's VALUES: m's values are
+    # small epochs (1970-01-01), so year(m) is 1970 everywhere
+    yr = compile_promql("year(m)").evaluate(tiny)
+    assert {r["value"] for r in yr.collect()} == {1970.0}
+
+
+def test_holt_winters_hand_computed(tiny):
+    """Double exponential smoothing, Prometheus funcHoltWinters rules:
+    topic=a samples 10, 40, 5; sf=0.5, tf=0.3.
+    t=00:01 {10,40}: s0=10, b=30, s1=.5*40+.5*40=40.
+    t=00:02 {10,40,5}: then s1=.5*5+.5*(40+30)=37.5 (b -> 20.25)."""
+    expr = 'holt_winters(m{topic="a"}[3m], 0.5, 0.3)'
+    out = compile_promql(expr).evaluate(tiny)
+    got = {str(r["ts"]): r["value"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 00:01:00": 40.0,
+        "2024-01-01 00:02:00": 37.5,
+    }  # the single-sample t0 instant emits nothing
+    g = compile_promql(expr).evaluate_range(tiny, 60.0)
+    ggot = {str(r["ts"]): r["value"] for r in g.collect()}
+    assert ggot["2024-01-01 00:01:00"] == 40.0
+    assert ggot["2024-01-01 00:02:00"] == 37.5
+
+    from kafka_metrics_exporter_spark.promql.parser import to_promql
+
+    n = parse(expr)
+    assert parse(to_promql(n)) == n
+    # Prometheus 3 renamed it; both spellings parse to the same AST
+    assert parse("double_exponential_smoothing(m[1m], 0.2, 0.4)") == parse(
+        "holt_winters(m[1m], 0.2, 0.4)"
+    )
+    for bad in ("holt_winters(m[1m], 0, 0.5)", "holt_winters(m[1m], 0.5, 1)"):
+        with pytest.raises(SyntaxError):
+            parse(bad)
+
+
 def test_subquery_parses_and_roundtrips():
     from kafka_metrics_exporter_spark.promql.parser import (
         Agg,
