@@ -93,6 +93,11 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
     }
+    if only:
+        # a filtered run (isolated re-measures) must not clobber the
+        # committed full-suite records — print the subset inline instead
+        print(json.dumps(full, separators=(",", ":")), flush=True)
+        return
     with open(os.path.join(REPO, "BENCH.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
     with open(os.path.join(REPO, "PLANS.json"), "w") as f:

@@ -67,26 +67,29 @@ def shingles(
     Arrow-batched: per-doc set-dedupe in the worker removes the global
     ``distinct`` shuffle the expression form needed (dedupe is per-doc
     by definition), and C-speed string slicing beats interpreted
-    higher-order transform/slice/array_join by ~5×."""
+    higher-order transform/slice/array_join by ~5×.  The id column
+    keeps ITS OWN type (string eval-set names on decontamination
+    benchmark sides, same rule as minhash_doc_table)."""
     from collections.abc import Iterator
 
     shingle_of = _shingle_list  # close over, self-contained pickle
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
+            ids = []
             grams: list[str] = []
             for vid, text in zip(pdf[id_col], pdf[text_col]):
                 for g in shingle_of(text, n):
-                    ids.append(int(vid))
+                    ids.append(vid)
                     grams.append(g)
             yield pd.DataFrame({"doc_id": ids, "shingle": grams})
 
+    id_type = dict(df.dtypes)[id_col]
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par)
         .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(go, "doc_id long, shingle string")
+        .mapInPandas(go, f"doc_id {id_type}, shingle string")
     )
 
 

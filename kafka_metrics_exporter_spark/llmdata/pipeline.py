@@ -137,7 +137,7 @@ def decontaminate(
     bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .select("doc_id")
+        .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
     return (
@@ -180,40 +180,61 @@ def bloom_decontaminate(
     import numpy as np
 
     spark = docs.sparkSession
-    # benchmark side: distinct gram hashes to the driver (the eval set
-    # is small BY DEFINITION — this is the same cardinality the plain
-    # broadcast join ships, collected once instead of per-executor)
-    bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
-    grams = [r[0] for r in bench_sh.collect()]
-    import hashlib
-
     m = int(num_bits)
     k = int(num_probes)
     if m < 64 or k < 1:
         raise ValueError("bloom_decontaminate: need num_bits >= 64, num_probes >= 1")
-    bitmap = np.zeros(m // 64 + 1, dtype=np.uint64)
-    if grams:
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-                for g in grams
-            ),
-            dtype="uint64",
-            count=len(grams),
-        )
-        lo = hs & np.uint64(0xFFFFFFFF)
-        hi = hs >> np.uint64(32)
-        for i in range(k):
-            pos = (lo + np.uint64(i) * hi) % np.uint64(m)
-            np.bitwise_or.at(
-                bitmap,
-                (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-    bc = spark.sparkContext.broadcast(bitmap)
+    n_words = m // 64 + 1
+    # benchmark side: each partition builds its own bitmap over its
+    # grams (bit-set is idempotent, so no distinct pass is needed) and
+    # the driver ORs the per-partition bitmaps — the driver receives
+    # numPartitions × m/8 bytes, NEVER the gram strings themselves
+    # (collecting the distinct grams would ship the same multi-GB
+    # relation the bloom exists to avoid)
     from kafka_metrics_exporter_spark.llmdata.dedup import _shingle_list
 
     shingle_of = _shingle_list
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        bm = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            for _vid, text in zip(pdf[id_col], pdf[text_col]):
+                gs = shingle_of(text, n)
+                if not gs:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                        for g in gs
+                    ),
+                    dtype="uint64",
+                    count=len(gs),
+                )
+                lo = hs & np.uint64(0xFFFFFFFF)
+                hi = hs >> np.uint64(32)
+                for i in range(k):
+                    pos = (lo + np.uint64(i) * hi) % np.uint64(m)
+                    np.bitwise_or.at(
+                        bm,
+                        (pos >> np.uint64(6)).astype(np.int64),
+                        np.uint64(1) << (pos & np.uint64(63)),
+                    )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = (
+        benchmark.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(build, "bm binary")
+        .collect()
+    )
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(bitmap)
+    import hashlib
 
     def probe(batches):
         import pandas as pd
@@ -252,10 +273,15 @@ def bloom_decontaminate(
         .mapInPandas(probe, f"doc_id {dict(docs.dtypes)[id_col]}, shingle string")
     )
     # exact verify: bloom false positives die here, so the flags are
-    # bit-identical to the plain exact sweep
+    # bit-identical to the plain exact sweep.  The left side is the
+    # bloom-positive SLIVER; no broadcast hint — AQE picks broadcast
+    # when the benchmark shingle relation is small and a shuffle
+    # semi-join when it is exactly the multi-GB case the bitmap exists
+    # for (the sliver side shuffles cheaply either way).
+    bench_sh = shingles(benchmark, text_col, id_col, n).select("shingle")
     hits = (
-        candidates.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .select("doc_id")
+        candidates.join(bench_sh, "shingle", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
     return (

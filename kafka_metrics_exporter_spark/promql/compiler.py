@@ -105,6 +105,13 @@ def _matcher_pred(m: Matcher) -> Column:
 class _Vec:
     df: DataFrame
     labels: frozenset[str]
+    # PromQL SCALAR-typed expressions (time(), scalar(v), and
+    # arithmetic over them) are represented relationally as label-less
+    # per-instant frames; this flag carries the scalar TYPE so binary
+    # ops match them against any vector by the evaluation instant
+    # alone, one nesting level deep or more — deciding syntactically on
+    # the direct operand loses the type under `scalar(v) * 2` shapes.
+    scalar: bool = False
 
     def select_shape(self) -> DataFrame:
         cols = sorted(self.labels) + ["ts", "value"]
@@ -217,18 +224,60 @@ def _eval(
             )
             .drop("__n", "__v")
         )
-        return _Vec(out, frozenset())
+        return _Vec(out, frozenset(), scalar=True)
     if isinstance(node, Vectorize):
         # vector(s): a scalar as a label-less vector over the instant
-        # universe — the `or vector(0)` default idiom
+        # universe — the `or vector(0)` default idiom.  A scalar-TYPED
+        # expression (time(), scalar(v), arithmetic over them) is
+        # already a per-instant frame: vector() just strips the scalar
+        # typing.
         val = _eval(node.expr, metrics, label_cols, leaf)
-        if not isinstance(val, float):
-            raise ValueError("promql: vector() needs a scalar argument")
+        if isinstance(val, _Vec):
+            if not val.scalar:
+                raise ValueError("promql: vector() needs a scalar argument")
+            return _Vec(val.df, frozenset())
         inst = _instant_universe(metrics, leaf)
         return _Vec(inst.withColumn("value", F.lit(float(val))), frozenset())
     if isinstance(node, DateFn):
         if node.fn == "timestamp":
-            # each element's own sample timestamp becomes its value
+            # each element's own sample timestamp becomes its value.
+            # In grid mode a SELECTOR's elements are lookback-resolved
+            # samples, and GridLeaf.selector rewrites ts to the grid
+            # instant — so the selector case re-expands here keeping
+            # the SAMPLE's epoch as the value (Prometheus returns the
+            # underlying sample timestamp, not the evaluation instant).
+            # Derived vectors (aggregates, rates) are synthesized AT
+            # the instant, so their ts is the right answer.  The
+            # documented divergence: an offset selector reports its
+            # evaluation-aligned (shifted) timestamp in both engines'
+            # modes here.
+            if (
+                leaf is not None
+                and hasattr(leaf, "step_us")
+                and isinstance(node.expr, Selector)
+            ):
+                from kafka_metrics_exporter_spark.promql.range_eval import (
+                    _expand_instants,
+                    _finish,
+                )
+
+                svec = _eval_selector(node.expr, metrics, label_cols)
+                series = sorted(svec.labels)
+                x = _expand_instants(
+                    svec.df, leaf.lookback_us, leaf.step_us, leaf.bounds
+                )
+                out = x.groupBy(*series, "__t_us").agg(
+                    (
+                        F.max(
+                            F.struct(
+                                F.col("__s_us").alias("__o_us"),
+                                F.col("value").alias("__o_v"),
+                            )
+                        ).getField("__o_us")
+                        / F.lit(1_000_000.0)
+                    ).alias("value")
+                )
+                return _Vec(_finish(out, series), svec.labels)
             vec = _eval(node.expr, metrics, label_cols, leaf)
             if isinstance(vec, float):
                 raise ValueError("promql: timestamp() needs a vector")
@@ -275,7 +324,7 @@ def _eval(
         order = [F.col("ts").asc(), val] + [
             F.col(c).asc() for c in sorted(vec.labels)
         ]
-        return _Vec(vec.df.orderBy(*order), vec.labels)
+        return _Vec(vec.df.orderBy(*order), vec.labels, scalar=vec.scalar)
     if isinstance(node, Subquery):
         raise ValueError(
             "promql: a subquery (expr[range:step]) is a range vector — "
@@ -314,7 +363,9 @@ def _eval(
         else:
             col = fns[node.fn](v)
         return _Vec(
-            vec.df.withColumn("value", col.cast("double")), vec.labels
+            vec.df.withColumn("value", col.cast("double")),
+            vec.labels,
+            scalar=vec.scalar,
         )
     if isinstance(node, Cmp):
         vec = _eval(node.expr, metrics, label_cols, leaf)
@@ -336,16 +387,17 @@ def _eval(
                     "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
                 ),
                 vec.labels,
+                scalar=vec.scalar,
             )
-        return _Vec(vec.df.filter(pred), vec.labels)
+        return _Vec(vec.df.filter(pred), vec.labels, scalar=vec.scalar)
     if isinstance(node, Time):
-        # the evaluation timestamp, per instant: a label-less vector
+        # the evaluation timestamp, per instant: a label-less SCALAR
         # over the instant universe (sample timestamps / step grid)
         inst = _instant_universe(metrics, leaf)
         out = inst.withColumn(
             "value", (F.unix_micros(F.col("ts")) / F.lit(1_000_000.0))
         )
-        return _Vec(out, frozenset())
+        return _Vec(out, frozenset(), scalar=True)
     raise TypeError(f"promql: unknown node {node!r}")
 
 
@@ -926,28 +978,26 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
         return _Vec(
             left.df.withColumn("value", py_ops[node.op](F.col("value"), F.lit(right))),
             left.labels,
+            scalar=left.scalar,
         )
     if isinstance(left, float):
         assert isinstance(right, _Vec)
         return _Vec(
             right.df.withColumn("value", py_ops[node.op](F.lit(left), F.col("value"))),
             right.labels,
+            scalar=right.scalar,
         )
-    # time() and scalar(v) are SCALARS in Prometheus: they combine with
-    # any vector by the evaluation instant alone, keeping the vector's
-    # labels — `time() - m` / `m / scalar(total)` must not demand
-    # matching label sets (ADVICE r5).  Joining on ts only (the scalar
-    # side carries no labels by construction); syntactic operand order
-    # is preserved.
-    _scalar_nodes = (Time, Scalarize)
-    if (
-        isinstance(node.left, _scalar_nodes)
-        != isinstance(node.right, _scalar_nodes)
-    ) and node.match is None:
-        time_is_left = isinstance(node.left, _scalar_nodes)
+    # time() and scalar(v) — and any arithmetic OVER them — are
+    # SCALAR-typed in Prometheus: they combine with any vector by the
+    # evaluation instant alone, keeping the vector's labels
+    # (`time() - m`, `m / (scalar(total) * 2)` must not demand matching
+    # label sets).  The typing rides on the evaluated _Vec's `scalar`
+    # flag, so it survives nesting; syntactic operand order is
+    # preserved.  scalar ∘ scalar stays scalar (a plain ts join).
+    if left.scalar != right.scalar and node.match is None:
+        time_is_left = left.scalar
         tvec = left if time_is_left else right
         ovec = right if time_is_left else left
-        assert isinstance(tvec, _Vec) and isinstance(ovec, _Vec)
         tf = tvec.df.select("ts", F.col("value").alias("__tv"))
         lv = F.col("__tv") if time_is_left else F.col("value")
         rv = F.col("value") if time_is_left else F.col("__tv")
@@ -957,6 +1007,16 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
             .drop("__tv")
         )
         return _Vec(out, ovec.labels)
+    if left.scalar and right.scalar:
+        keys = ["ts"]
+        lf = left.df.select(*keys, F.col("value").alias("__lv"))
+        rf = right.df.select(*keys, F.col("value").alias("__rv"))
+        out = (
+            lf.join(rf, keys, "inner")
+            .withColumn("value", py_ops[node.op](F.col("__lv"), F.col("__rv")))
+            .drop("__lv", "__rv")
+        )
+        return _Vec(out, frozenset(), scalar=True)
     # vector-vector
     if node.match is not None:
         return _eval_matched_bin(node, left, right, py_ops[node.op])

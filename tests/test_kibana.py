@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -366,13 +365,11 @@ def test_percentiles_metric_agg(docs, spark):
     assert got["zk"] == (pytest.approx(6.0), pytest.approx(6.9))  # {5, 7}
 
 
-_UNPARTITIONED_WINDOW = re.compile(
-    # a windowspecdefinition whose FIRST argument is already an order
-    # column (`col#N ASC|DESC ...`) has an EMPTY partition spec — Spark
-    # moves the whole relation to one task ("No Partition Defined for
-    # Window operation").  A partitioned spec leads with bare partition
-    # columns (`col#N, ...`) instead.
-    r"windowspecdefinition\(\w+#\d+\w* (?:ASC|DESC)"
+# the one source of truth for the empty-partition-window heuristic —
+# imported so this corpus pin and the suite-wide plan-invariants test
+# can never drift apart
+from kafka_metrics_exporter_spark.plans.fingerprint import (  # noqa: E402
+    _UNPARTITIONED_WINDOW,
 )
 
 

@@ -836,3 +836,22 @@ def test_tfidf_topk_hand_computed(spark):
 
     per_doc = Counter(d for d, _ in rows)
     assert per_doc == {1: 2, 2: 2, 3: 2}
+
+
+def test_decontaminate_custom_id_col_and_string_ids(spark):
+    """Code-review r6: both decontamination paths must honor a custom
+    id column name and non-long id types end-to-end."""
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    bench = spark.createDataFrame(
+        [("eval/a", text)], "id string, text string"
+    )
+    train = spark.createDataFrame(
+        [("tr/1", text), ("tr/2", "totally unrelated words in this one here")],
+        "id string, text string",
+    )
+    for fn in (pipeline.decontaminate, pipeline.bloom_decontaminate):
+        out = {
+            r["id"]: r["is_contaminated"]
+            for r in fn(train, bench, n=4, id_col="id").collect()
+        }
+        assert out == {"tr/1": True, "tr/2": False}, fn.__name__

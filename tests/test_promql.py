@@ -1351,3 +1351,61 @@ def test_bool_modifier_and_time(tiny):
     # grid mode shares the universe logic
     tg = compile_promql("time()").evaluate_range(tiny, 60.0)
     assert tg.count() == 3
+
+
+def test_scalar_typing_survives_nesting(tiny):
+    """Code-review r6: scalar-ness is a semantic TYPE, not a syntactic
+    check on the direct operand — arithmetic over time()/scalar() stays
+    scalar and still combines with any vector by instant."""
+    t0 = dt.datetime(2024, 1, 1)
+    out = compile_promql("m / (scalar(sum(m)) * 2)").evaluate(tiny)
+    got = {
+        (r["topic"], r["instance"]): r["value"]
+        for r in out.collect()
+        if r["ts"] == t0
+    }
+    assert got[("a", "h1")] == pytest.approx(10.0 / (117.0 * 2))
+    # time() arithmetic one level deep
+    epoch0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    d = compile_promql("time() + 60 - m").evaluate(tiny)
+    dgot = {
+        (r["topic"], r["instance"]): r["value"]
+        for r in d.collect()
+        if r["ts"] == t0
+    }
+    assert dgot[("a", "h1")] == pytest.approx(epoch0 + 60 - 10.0)
+    # scalar ∘ scalar stays scalar, and vector() accepts scalar-typed
+    # expressions like vector(time())
+    vt = compile_promql("vector(time() / 60)").evaluate(tiny)
+    vgot = {str(r["ts"]): r["value"] for r in vt.collect()}
+    assert vgot["2024-01-01 00:01:00"] == pytest.approx((epoch0 + 60) / 60)
+    assert list(vt.columns) == ["ts", "value"]
+
+
+def test_timestamp_grid_mode_returns_sample_ts(spark):
+    """Code-review r6: in range mode, timestamp(selector) must return
+    the underlying SAMPLE's timestamp at every lookback-covered
+    instant, not the grid instant."""
+    rows = [("m", "2024-01-01 00:00:30", 7.0, "u")]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    out = compile_promql("timestamp(m)").evaluate_range(
+        df, 60.0, start=base, end=base + 180
+    )
+    got = {str(r["ts"]): r["value"] for r in out.collect()}
+    # the 00:00:30 sample covers instants 00:01..00:03 via lookback and
+    # reports ITS OWN epoch everywhere
+    assert got == {
+        "2024-01-01 00:01:00": base + 30,
+        "2024-01-01 00:02:00": base + 30,
+        "2024-01-01 00:03:00": base + 30,
+    }
+    # a DERIVED vector's elements are synthesized at the instant, so
+    # the instant is their timestamp
+    s = compile_promql("timestamp(sum(m))").evaluate_range(
+        df, 60.0, start=base, end=base + 120
+    )
+    sgot = {str(r["ts"]): r["value"] for r in s.collect()}
+    assert sgot["2024-01-01 00:02:00"] == base + 120
