@@ -855,3 +855,28 @@ def test_decontaminate_custom_id_col_and_string_ids(spark):
             for r in fn(train, bench, n=4, id_col="id").collect()
         }
         assert out == {"tr/1": True, "tr/2": False}, fn.__name__
+
+
+def test_tfidf_topk_under_stopword_skew(spark):
+    """The tf⋈df term join's hottest keys are stopwords shared by every
+    doc; the result must stay exact under that skew (values pinned by
+    construction: the hot term's idf is ln((N+1)/(N+1))+1 = 1)."""
+    from kafka_metrics_exporter_spark.llmdata.text import tfidf_topk
+
+    n = 200
+    rows = [(i, f"the the the rare{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = r
+    assert len(by_doc) == n
+    import math
+
+    rare_score = round(math.log((n + 1) / 2) + 1.0, 6)
+    for i in (0, 57, n - 1):
+        d = by_doc[i]
+        # rare term wins (tf=1, df=1); the stopword scores tf*1.0 = 3
+        assert d[f"rare{i}"]["score"] == pytest.approx(rare_score)
+        assert d["the"]["score"] == pytest.approx(3.0)
+        assert d["the"]["df"] == n
