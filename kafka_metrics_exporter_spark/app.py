@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
                    help="Kibana saved-object JSON (one visualization) "
                         "compiled and run against the metrics table")
+    q.add_argument("--query-auto-interval", type=int, default=None,
+                   metavar="BUCKETS",
+                   help="opt a Kibana 'interval: auto' date_histogram "
+                        "into real ES auto-interval semantics targeting "
+                        "this many buckets (range from --query-start/"
+                        "--query-end when given, else the data span)")
     q.add_argument("--query-limit", type=int, default=50,
                    help="max result rows printed")
     return p
@@ -130,7 +136,12 @@ def run_query(args: argparse.Namespace, spark) -> int:
             saved = next(
                 o for o in saved if o.get("_type") == "visualization"
             )
-        out = compile_visualization(saved).evaluate(df)
+        kw = {}
+        if args.query_auto_interval is not None:
+            kw["auto_interval_buckets"] = args.query_auto_interval
+            if args.query_start is not None and args.query_end is not None:
+                kw["auto_range"] = (args.query_start, args.query_end)
+        out = compile_visualization(saved).evaluate(df, **kw)
     out.show(args.query_limit, truncate=False)
     return 0
 

@@ -141,3 +141,51 @@ def test_query_mode_range_with_request_window(spark, tmp_path, capsys):
     # only the two requested instants appear
     assert "00:02:00" in out and "00:03:00" in out
     assert "00:01:00" not in out and "00:04:00" not in out
+
+
+def test_query_mode_kibana_auto_interval(spark, tmp_path, capsys):
+    """--query-auto-interval opts an interval:auto panel into real ES
+    auto-interval semantics; with --query-start/--query-end the grid
+    derives from the request range (1 day @ 50 buckets -> 30m)."""
+    import datetime as dt
+    import json as _json
+
+    rows = [
+        ("2024-04-01 10:00:00", 10.0),
+        ("2024-04-01 10:40:00", 30.0),
+        ("2024-04-01 12:10:00", 5.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    vis = {"_type": "visualization", "_source": {"title": "t", "visState": _json.dumps({
+        "type": "line",
+        "aggs": [
+            {"id": "2", "type": "date_histogram", "schema": "segment",
+             "params": {"field": "ts", "interval": "auto",
+                         "customInterval": "2h", "customLabel": "When"}},
+            {"id": "1", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "Total"}},
+        ]})}}
+    vis_path = tmp_path / "vis.json"
+    vis_path.write_text(_json.dumps([vis]))
+    base = dt.datetime(2024, 4, 1, tzinfo=dt.timezone.utc).timestamp()
+    rc = main(
+        [
+            "--query-metrics", path,
+            "--query-kibana-vis", str(vis_path),
+            "--query-auto-interval", "50",
+            "--query-start", str(base),
+            "--query-end", str(base + 86400),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 30m buckets: 10:00 (10), 10:30 (30), 12:00 (5) — NOT the 2h pin
+    assert "2024-04-01 10:30:00" in out
+    assert "2024-04-01 12:00:00" in out
