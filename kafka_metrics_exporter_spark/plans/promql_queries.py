@@ -906,7 +906,7 @@ def promql_clamp_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT ts, SUM(value) AS tot FROM c GROUP BY ts)
     SELECT c.user_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           floor(c.value / t.tot / 0.0001 + 0.5) * 0.0001 AS value
+           floor(c.value / t.tot * (1.0 / 0.0001) + 0.5) / (1.0 / 0.0001) AS value
     FROM c JOIN tot t ON c.ts = t.ts
     """,
 )
@@ -915,8 +915,9 @@ def promql_round_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hour's total clicks via Prometheus's scalar() (a
     single-element vector as a per-instant scalar, combining with any
     vector by the evaluation instant alone) under round()'s
-    half-up-to-nearest-multiple rule.  Identical division/floor order
-    in the oracle keeps the doubles bit-identical."""
+    half-up-to-nearest-multiple rule.  Both sides use Prometheus
+    funcRound's reciprocal form floor(v*(1/n)+0.5)/(1/n) (ADVICE r6)
+    so the doubles stay bit-identical."""
     m = _metrics_view(spark, sf_dir, "hour")
     out = compile_promql("round(click / scalar(sum(click)), 0.0001)").evaluate(m)
     return out.select(

@@ -349,17 +349,21 @@ def _eval(
         elif node.fn == "clamp_max":
             col = F.least(v, F.lit(node.arg))
         elif node.fn == "clamp":
-            # Prometheus: clamp(v, min, max) with min > max is NaN for
-            # every element (promql/functions.go funcClamp)
+            # Prometheus: clamp(v, min, max) with min > max returns an
+            # EMPTY vector ("Returns an empty vector if min > max" —
+            # promql/functions.go funcClamp), not NaN elements.
             if node.arg > node.arg2:
-                col = F.lit(float("nan"))
-            else:
-                col = F.least(F.greatest(v, F.lit(node.arg)), F.lit(node.arg2))
+                return _Vec(
+                    vec.df.filter(F.lit(False)), vec.labels, scalar=vec.scalar
+                )
+            col = F.least(F.greatest(v, F.lit(node.arg)), F.lit(node.arg2))
         elif node.fn == "round":
-            # nearest multiple of to_nearest, halves UP (funcRound
-            # computes floor(v/n + 0.5) * n)
-            n = float(node.arg)
-            col = F.floor(v / F.lit(n) + F.lit(0.5)) * F.lit(n)
+            # nearest multiple of to_nearest, halves UP.  funcRound uses
+            # the RECIPROCAL form floor(v*(1/n) + 0.5) / (1/n) to reduce
+            # float error for to_nearest values like 0.1 — mirror it
+            # bit-for-bit.
+            inv = 1.0 / float(node.arg)
+            col = F.floor(v * F.lit(inv) + F.lit(0.5)) / F.lit(inv)
         else:
             col = fns[node.fn](v)
         return _Vec(
@@ -1136,6 +1140,16 @@ def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     if isinstance(vec, float):
         raise ValueError("promql: @ needs a vector expression")
     series = sorted(vec.labels)
+    # DOCUMENTED DIVERGENCE (ADVICE r6, like the timestamp()/offset
+    # note): Prometheus evaluates the inner expression at EXACTLY t —
+    # range windows like rate(m[5m] @ t) end precisely at t.  This
+    # engine instead pins the newest ALREADY-EVALUATED instant <= t, so
+    # in grid mode a non-grid-aligned t can shift range windows by up
+    # to one step, and in sample-instant mode the look-back to the
+    # snapshot instant is unbounded (consistent with that mode's
+    # selector semantics, which have no lookback delta either).  Exact
+    # at-t anchoring would need a second evaluation pass with a
+    # one-instant grid; dashboards align @ to the step in practice.
     if isinstance(node.at_seconds, str):
         # @ start() / @ end(): the evaluation range's first/last
         # instant — the grid bounds in range mode (which carry any

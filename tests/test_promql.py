@@ -1082,7 +1082,8 @@ def test_negative_offset_looks_into_the_future(tiny):
 
 def test_sort_and_clamp(tiny):
     """sort/sort_desc order the output by (ts, value, labels);
-    clamp(v, min, max) pins both bounds, NaN when min > max."""
+    clamp(v, min, max) pins both bounds, EMPTY vector when min > max
+    (Prometheus funcClamp; ADVICE r6)."""
     out = compile_promql('sort_desc(m{instance="h1"})').evaluate(tiny)
     rows = out.collect()
     t0 = dt.datetime(2024, 1, 1)
@@ -1094,10 +1095,8 @@ def test_sort_and_clamp(tiny):
     c = compile_promql('clamp(m{instance="h1"}, 20, 120)').evaluate(tiny)
     cgot = sorted(r["value"] for r in c.collect())
     assert cgot == [20.0, 20.0, 40.0, 100.0, 120.0]
-    import math
-
-    nan = compile_promql("clamp(m, 5, 1)").evaluate(tiny).collect()
-    assert nan and all(math.isnan(r["value"]) for r in nan)
+    empty = compile_promql("clamp(m, 5, 1)").evaluate(tiny).collect()
+    assert empty == []  # min > max -> empty vector, not NaN elements
 
 
 def test_sgn_round_scalar_vector(tiny):
@@ -1123,6 +1122,12 @@ def test_sgn_round_scalar_vector(tiny):
     r3got = {(x["topic"], x["ts"]): x["value"] for x in r3.collect()}
     assert r3got[("b", t0)] == 100.0
     assert r3got[("a", t0 + dt.timedelta(minutes=1))] == 50.0  # 40 -> 50
+    # funcRound's reciprocal form (ADVICE r6): 5*0.03 = 0.15 with
+    # to_nearest 0.1 rounds to 0.2; the naive floor(v/n+0.5)*n form
+    # would give 0.1 because 0.15/0.1 < 1.5 in doubles.
+    r4 = compile_promql("round(m * 0.03, 0.1)").evaluate(tiny)
+    r4got = {(x["topic"], x["ts"]): x["value"] for x in r4.collect()}
+    assert r4got[("a", t0 + dt.timedelta(minutes=2))] == 0.2
 
     # scalar(): per-instant share of the total, vector/scalar binop
     # keeps the vector's labels
