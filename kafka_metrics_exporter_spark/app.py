@@ -95,11 +95,19 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
                    help="Kibana saved-object JSON (one visualization) "
                         "compiled and run against the metrics table")
+    q.add_argument("--query-var", action="append", default=[],
+                   metavar="NAME=VALUE", dest="query_vars",
+                   help="bind a Grafana template variable before "
+                        "compiling --query-promql (repeat the flag with "
+                        "the same NAME for a multi-value variable, "
+                        "rendered as a regex alternation; VALUE "
+                        "'$__all' means the All option '.*')")
     q.add_argument("--query-auto-interval", type=int, default=None,
                    metavar="BUCKETS",
-                   help="opt a Kibana 'interval: auto' date_histogram "
-                        "into real ES auto-interval semantics targeting "
-                        "this many buckets (range from --query-start/"
+                   help="target bucket count for a Kibana "
+                        "'interval: auto' date_histogram (default 50, "
+                        "real ES semantics; 0 opts out to the legacy "
+                        "customInterval pin; range from --query-start/"
                         "--query-end when given, else the data span)")
     q.add_argument("--query-limit", type=int, default=50,
                    help="max result rows printed")
@@ -114,7 +122,21 @@ def run_query(args: argparse.Namespace, spark) -> int:
     if args.query_promql:
         from kafka_metrics_exporter_spark.promql import compile_promql
 
-        plan = compile_promql(args.query_promql)
+        variables: dict[str, object] = {}
+        for binding in args.query_vars:
+            name, eq, value = binding.partition("=")
+            if not eq or not name:
+                raise SystemExit(f"--query-var needs NAME=VALUE, got {binding!r}")
+            if name in variables:  # repeated NAME -> multi-value
+                prev = variables[name]
+                variables[name] = (
+                    list(prev) + [value]
+                    if isinstance(prev, list)
+                    else [prev, value]
+                )
+            else:
+                variables[name] = value
+        plan = compile_promql(args.query_promql, variables=variables)
         if args.query_step is not None:
             out = plan.evaluate_range(
                 df,
@@ -138,9 +160,10 @@ def run_query(args: argparse.Namespace, spark) -> int:
             )
         kw = {}
         if args.query_auto_interval is not None:
-            kw["auto_interval_buckets"] = args.query_auto_interval
-            if args.query_start is not None and args.query_end is not None:
-                kw["auto_range"] = (args.query_start, args.query_end)
+            # 0 opts out to the legacy customInterval pin
+            kw["auto_interval_buckets"] = args.query_auto_interval or None
+        if args.query_start is not None and args.query_end is not None:
+            kw["auto_range"] = (args.query_start, args.query_end)
         out = compile_visualization(saved).evaluate(df, **kw)
     out.show(args.query_limit, truncate=False)
     return 0

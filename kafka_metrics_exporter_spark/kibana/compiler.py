@@ -82,8 +82,10 @@ class DateHistogramBucket:
     interval_us: int
     label: str
     # the panel declared ``interval: "auto"`` — interval_us holds the
-    # customInterval/1h fallback; evaluate(auto_interval_buckets=N)
-    # re-derives the interval from the time range, like ES/Kibana
+    # customInterval/1h fallback.  Since round 7 evaluate() derives the
+    # interval from the time range BY DEFAULT (real ES/Kibana
+    # semantics, ~50 target buckets); auto_interval_buckets=None
+    # restores the legacy customInterval pin.
     auto: bool = False
 
 
@@ -313,7 +315,7 @@ class KibanaPlan:
         default_search_field: str | None = None,
         approx_cardinality: bool = False,
         cardinality_rsd: float = 0.01,
-        auto_interval_buckets: int | None = None,
+        auto_interval_buckets: int | None = 50,
         auto_range: "tuple | None" = None,
     ) -> DataFrame:
         resolve = resolve or _default_resolver(df)
@@ -338,13 +340,16 @@ class KibanaPlan:
                 us = F.unix_micros(resolve(b.field).cast("timestamp"))
                 interval_us = b.interval_us
                 if b.auto and auto_interval_buckets is not None:
-                    # real ES auto-interval semantics (opt-in): derive
-                    # the interval from the request time range — or, if
-                    # none was passed, from the data span (one 1-row
-                    # min/max agg, what Kibana reads off its time
-                    # picker).  The default (no opt-in) keeps the
-                    # documented customInterval pin, so existing
-                    # compiled results are unchanged.
+                    # real ES auto-interval semantics (the DEFAULT
+                    # since round 7 — the corpus's six date_histograms
+                    # all say interval:"auto", which real Kibana
+                    # resolves from the time picker, never from the
+                    # unused customInterval field): derive the interval
+                    # from the request time range — or, if none was
+                    # passed, from the data span (one 1-row min/max
+                    # agg, what Kibana reads off its time picker).
+                    # auto_interval_buckets=None opts back into the
+                    # legacy customInterval pin.
                     if auto_range is not None:
                         lo, hi = (_to_us(x) for x in auto_range)
                     else:

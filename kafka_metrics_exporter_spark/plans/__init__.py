@@ -25,95 +25,115 @@ from kafka_metrics_exporter_spark.plans import kibana_queries  # noqa: E402,F401
 # Driver-side cap on recorded CORRECTNESS entries (observed r1-r3).
 CORRECTNESS_WINDOW = 50
 
-# Explicit first-window ordering for ROUND 6.  Composition (the r5
+# The round this registry state targets.  tools/record_golden.py stamps
+# this into GOLDEN.json, and tests/test_registry_window.py asserts the
+# stamp matches — so every out-of-window exemption below is backed by a
+# GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
+# exemptions must not be comment-only).
+CURRENT_ROUND = 7
+
+# Explicit first-window ordering for ROUND 7.  Composition (the r6
 # verdict's rotation ask, executed):
-#   - the 41 queries whose latest driver row is r4 (they sat after slot
-#     50 in the r5 window) — promoted so no query's driver row is more
-#     than one round old;
-#   - queries NEW this round (the PromQL @-modifier / negative-offset /
-#     clamp+sort grammar additions);
-#   - queries whose implementation CHANGED this round (Kibana top-level
-#     terms plan, capped simhash/LSH candidate generation,
-#     fuzzy-decontaminate tie-break, the checkpointed promql trio,
-#     global top-k TakeOrdered).
+#   - the 46 queries whose latest driver row is r5 (they sat after slot
+#     50 in the r6 window) — promoted so no query's driver row is more
+#     than one round old — MINUS the one STALE_OUT_OF_WINDOW demotion
+#     the slot arithmetic forces (46 + 3 new + 2 changed = 51 > 50);
+#   - queries NEW this round (holt_winters, the calendar family,
+#     Kibana median/percentiles — the r6 library-level additions that
+#     had no registry slot);
+#   - queries whose results or oracle CHANGED this round
+#     (funcRound reciprocal form; real ES auto-interval as the
+#     date_histogram default).
 # Everything not listed keeps definition order after these (all have
-# green r5 rows).
+# green r6 rows).
 #
-# ROTATION POLICY for round 7+: swap again — promote the r5-latest set
+# ROTATION POLICY for round 8+: swap again — promote the r6-latest set
 # (now sitting after slot 50) plus NEW_THIS_ROUND/CHANGED_THIS_ROUND,
 # demote this round's verified set.  test_registry_window.py enforces
-# that never-verified and changed queries always land in-window.
+# that never-verified and changed queries always land in-window, and
+# that every *_OUT_OF_WINDOW exemption has a CURRENT_ROUND GOLDEN row.
 
 # Queries first registered this round — must be in-window.
 NEW_THIS_ROUND = [
-    "promql_at_offset",
-    "promql_clamp_sort",
-    "promql_round_scalar",
-    "pipe_bloom_decontaminate",
-    "text_tfidf_topk",
+    "promql_holt_winters",
+    "promql_calendar",
+    "kibana_median",
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
 # this round — must be re-verified by the driver even though they have
-# green rows (pinned by test_registry_window.py).  Changed queries that
-# did NOT fit the 50-slot window (their slots went to NEW queries) are
-# each covered by a fresh same-session check_oracle run, GOLDEN.json,
-# the pytest oracle replay, and plan pins: promql_set_ops and
-# promql_quantile_last_over_time (the _finish_cached wrapper —
-# promql_resets_changes rides as its in-window canary) and
-# w10_topk_rate_nonempty (orderBy().limit() global top-k — value-
-# identical by construction, plan-pinned by test_plan_inventory).
+# green rows (pinned by test_registry_window.py).
 CHANGED_THIS_ROUND = [
-    "kibana_terms_metrics",  # top-level ordered-terms limit+semi-join plan
-    "dedup_minhash_lsh",  # capped_bucket_pairs refactor
-    "pipe_fuzzy_decontaminate",  # min_by struct tie-break
-    "promql_resets_changes",  # _finish_cached checkpoint wrapper
+    "promql_round_scalar",  # funcRound reciprocal form (ADVICE r6)
+    "kibana_date_histogram",  # real ES auto-interval is now the default
+]
+
+# Changed queries that did NOT fit the 50-slot window.  Exemption
+# criteria: the change cannot alter THIS query's compiled plan or
+# values (verified by the CURRENT_ROUND GOLDEN re-record plus the
+# pytest oracle replay).  promql_clamp_sort: the clamp() min>max branch
+# became an empty vector, but this query's bounds are min<max, so its
+# compiled expression is identical.
+CHANGED_OUT_OF_WINDOW = [
+    "promql_clamp_sort",
+]
+
+# r5-latest queries demoted to make the slot arithmetic fit (their
+# driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
+# re-record and the pytest oracle replay cover them, machine-checked).
+# o1_distinct: trivial DISTINCT, code untouched since r1.
+STALE_OUT_OF_WINDOW = [
+    "o1_distinct",
 ]
 
 WINDOW_PRIORITY = [
-    # -- latest driver row is r4 (41 queries) -----------------------------
-    "scale_salted_agg",
-    "a7_multikey_drilldown",
-    "a8_having",
-    "a11_percentile",
-    "qtj_series_arith",
-    "w7_session_window",
-    "j2_broadcast_lookup",
-    "p1_objectname_pivot",
-    "rules_rewrite",
-    "j7_range_join",
-    "w11_rollup_cascade",
-    "dedup_simhash",
-    "embed_near_dup_lsh",
-    "embed_ivf_topk",
-    "embed_cluster_dedup",
-    "text_langid",
-    "doc_fingerprint",
-    "multimodal_features",
-    "pipe_split",
-    "pipe_stratified_sample",
-    "pipe_pack_chunks",
-    "pipe_decontaminate",
-    "multimodal_resize",
-    "multimodal_frames",
-    "text_quality_gate",
-    "text_redact",
-    "pipe_weighted_sample",
-    "pipe_corpus_build",
-    "dedup_minhash_components",
-    "multimodal_audio",
-    "text_token_rarity",
-    "text_repetition",
-    "embed_quantize",
-    "pipe_sliding_chunks",
-    "promql_topk_rate",
-    "promql_vector_math",
-    "promql_quantile_agg",
-    "promql_histogram_quantile",
-    "promql_deriv_predict",
-    "kibana_date_histogram",
-    "kibana_top_hits_latest",
-    # -- new / changed in round 6 -----------------------------------------
+    # -- latest driver row is r5 (46 queries minus the one demotion) ------
+    "a5_count_distinct",
+    "a5_approx_count_distinct",
+    "a6_latest_value",
+    "w4_latest_per_user",
+    "a9_topk_of_avg",
+    "a10_sum_without",
+    "w1_tumbling_window",
+    "w3_topk_per_group",
+    "a11b_approx_percentile",
+    "a9b_sum_of_topk",
+    "w7b_sliding_window",
+    "w8_frame_specs",
+    "w9_regex_label_rate_sum",
+    "w10_topk_rate_nonempty",
+    "j1_cross_join",
+    "j3_union_byname",
+    "j5_explode_parent_child",
+    "o3_anti_join",
+    "o4_sort_limit",
+    "o5_intersect",
+    "p_scalar_pack",
+    "j6_asof_join",
+    "a12_rollup",
+    "o6_semi_join",
+    "o7_except_all",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embed_near_dup_cosine",
+    "embed_cosine_topk",
+    "text_metrics",
+    "promql_topk_rate_grid",
+    "promql_histogram_quantile_grid",
+    "dedup_components_star",
+    "promql_vector_matching",
+    "promql_set_ops",
+    "promql_count_values",
+    "promql_subquery",
+    "multimodal_channel_stats",
+    "text_corpus_report",
+    "promql_quantile_last_over_time",
+    "promql_rate_extrapolated",
+    "dedup_components",
+    "a1_a4_grouped_metrics",
+    "w2_rate",
+    "p2_normalize_pipeline",
+    # -- new / changed in round 7 -----------------------------------------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
 ]

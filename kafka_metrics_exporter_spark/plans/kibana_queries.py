@@ -52,6 +52,22 @@ def _vis(aggs: list[dict], vis_type: str = "table") -> dict:
     return {"visState": json.dumps({"title": "t", "type": vis_type, "aggs": aggs})}
 
 
+# ES/Kibana auto-interval ladder (kibana/compiler.py _AUTO_LADDER_US)
+# as a SQL CASE: the smallest "nice" interval that fits the span into
+# at most 50 buckets — the oracle twin of auto_interval_us(span, 50).
+_LADDER_US = [
+    1_000, 10_000, 100_000, 500_000, 1_000_000, 5_000_000, 10_000_000,
+    30_000_000, 60_000_000, 300_000_000, 600_000_000, 1_800_000_000,
+    3_600_000_000, 10_800_000_000, 43_200_000_000, 86_400_000_000,
+    604_800_000_000,
+]
+_LADDER_CASE = (
+    "CASE "
+    + " ".join(f"WHEN sp <= {iv * 50} THEN {iv}" for iv in _LADDER_US[:-1])
+    + f" ELSE {_LADDER_US[-1]} END"
+)
+
+
 @query(
     "kibana_terms_metrics",
     f"""
@@ -99,10 +115,14 @@ def kibana_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kibana_date_histogram",
     f"""
     WITH d AS ({_ES_DOCS_SQL}),
+    span AS (
+      SELECT MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS sp FROM d
+    ),
+    iv AS (SELECT {_LADDER_CASE} AS iv FROM span),
     b AS (
-      SELECT make_timestamp((epoch_us(ts) // 7200000000) * 7200000000) AS bucket,
+      SELECT make_timestamp((epoch_us(d.ts) // i.iv) * i.iv) AS bucket,
              user_id, value_i
-      FROM d
+      FROM d, iv i
     ),
     agg AS (
       SELECT bucket, user_id, AVG(value_i) AS avg_v
@@ -115,10 +135,15 @@ def kibana_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date_histogram (fixed 2h interval — Kibana ``interval: auto``
-    pinned to ``customInterval: 2h``, the corpus's only setting) with a
+    """date_histogram with ``interval: "auto"`` under the REAL ES
+    auto-interval semantics (the round-7 default: the smallest "nice"
+    ladder interval fitting the data span into ≤50 buckets — real
+    Kibana resolves auto from the time picker and never reads the
+    customInterval field the corpus leaves at its 2h default) with a
     nested terms series bucket ordered by the avg metric — the
-    "ZooKeeper - Heap Usage" line-chart shape, compiled from visState."""
+    "ZooKeeper - Heap Usage" line-chart shape, compiled from visState.
+    The oracle derives the interval from the same span with the same
+    ladder (one 1-row min/max agg on each side)."""
     plan = compile_visualization(
         _vis(
             [
@@ -176,3 +201,48 @@ def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return plan.evaluate(_es_docs(spark, sf_dir), tiebreak="event_id")
+
+
+@query(
+    "kibana_median",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL})
+    SELECT event_type,
+           round(quantile_cont(value_i, 0.5), 4) AS med_p50,
+           round(quantile_cont(value, 0.25), 4) AS pct_p25,
+           round(quantile_cont(value, 0.75), 4) AS pct_p75,
+           round(quantile_cont(value, 0.95), 4) AS pct_p95
+    FROM d GROUP BY event_type
+    """,
+)
+def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median`` (modelled as percentiles([50]), one output column
+    — kibana/compiler.py's round-6 addition) plus a multi-percent
+    ``percentiles`` agg over a terms bucket, compiled from visState.
+    The engine computes exact interpolated percentiles in ONE
+    F.percentile array pass per agg (matching DuckDB quantile_cont);
+    ES itself would t-digest — the approx_percentile swap is the
+    documented 100 TB path, same plan shape (a11/a11b pattern)."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type.keyword", "size": 100,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "1", "type": "median", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "med"}},
+                {"id": "3", "type": "percentiles", "schema": "metric",
+                 "params": {"field": "value", "percents": [25, 75, 95],
+                             "customLabel": "pct"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.round(F.col("med_p50"), 4).alias("med_p50"),
+        F.round(F.col("pct_p25"), 4).alias("pct_p25"),
+        F.round(F.col("pct_p75"), 4).alias("pct_p75"),
+        F.round(F.col("pct_p95"), 4).alias("pct_p95"),
+    )

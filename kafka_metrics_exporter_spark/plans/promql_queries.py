@@ -925,3 +925,117 @@ def promql_round_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "value",
     )
+
+
+@query(
+    "promql_holt_winters",
+    f"""
+    WITH RECURSIVE m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    samples AS (
+      SELECT w.user_id, w.ts AS wts, s.ts, s.value,
+             row_number() OVER (PARTITION BY w.user_id, w.ts
+                                ORDER BY s.ts) AS i,
+             COUNT(*) OVER (PARTITION BY w.user_id, w.ts) AS n
+      FROM c w JOIN c s ON s.user_id = w.user_id
+       AND epoch_us(s.ts) > epoch_us(w.ts) - 14400000000
+       AND s.ts <= w.ts
+    ),
+    fold AS (
+      SELECT user_id, wts, i, n, value AS s, CAST(NULL AS DOUBLE) AS b
+      FROM samples WHERE i = 1
+      UNION ALL
+      SELECT f.user_id, f.wts, x.i, x.n,
+             CASE WHEN x.i = 2
+                  THEN 0.3 * x.value + 0.7 * (f.s + (x.value - f.s))
+                  ELSE 0.3 * x.value + 0.7 * (f.s + f.b) END,
+             CASE WHEN x.i = 2
+                  THEN x.value - f.s
+                  ELSE 0.6 * ((0.3 * x.value + 0.7 * (f.s + f.b)) - f.s)
+                       + 0.4 * f.b END
+      FROM fold f
+      JOIN samples x ON x.user_id = f.user_id AND x.wts = f.wts
+                    AND x.i = f.i + 1
+    )
+    SELECT user_id, strftime(wts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(s, 6) AS value
+    FROM fold WHERE i = n AND n >= 2
+    """,
+)
+def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`holt_winters(click[4h], 0.3, 0.6)` — double exponential
+    smoothing over each sample's trailing (t-4h, t] window (Prometheus
+    funcHoltWinters; the round-6 JVM-side F.aggregate fold at
+    promql/compiler.py holt_winters_fold).  The oracle replays the
+    identical recursion per window with a recursive CTE in the SAME
+    floating-point op order (level s0=x0; trend inits from x1-x0 with
+    the trend update skipped on that step; thereafter
+    s1 = sf*x + (1-sf)*(s+b), b = tf*(s1-s) + (1-tf)*b), and windows
+    with < 2 samples yield no point on both sides.  Scale: the engine
+    side is one RANGE window collect_list + a codegen'd fold — no
+    Python, no self-join; the oracle's O(w^2) self-join exists only to
+    make the fold SQL-replayable."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql("holt_winters(click[4h], 0.3, 0.6)").evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+@query(
+    "promql_calendar",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click')
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(epoch_us(ts) / 1000000.0 AS DOUBLE) AS epoch_s,
+           CAST(EXTRACT(hour FROM ts) * 10000
+                + dayofweek(ts) * 100
+                + EXTRACT(day FROM ts) AS DOUBLE) AS cal,
+           CAST((EXTRACT(year FROM ts) - 2000) * 10000
+                + EXTRACT(month FROM ts) * 100
+                + EXTRACT(day FROM last_day(ts)) AS DOUBLE) AS ym
+    FROM c
+    """,
+)
+def promql_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 calendar family end-to-end: ``timestamp()`` (each
+    element's sample epoch as its value) plus
+    ``hour/day_of_week/day_of_month`` and
+    ``year/month/days_in_month`` applied to timestamp()-valued vectors
+    (Prometheus's v=vector(time()) convention: the VALUE is a UTC
+    epoch), packed into digit fields via scalar arithmetic and
+    label-matched vector addition.  day_of_week is 0=Sunday in both
+    Prometheus and DuckDB's dayofweek(); Spark's 1=Sunday is shifted in
+    the compiler.  Three compiled expressions joined on (user_id, ts)
+    — the join is on the same hourly click frame, broadcast-sized at
+    test SF and key-partitioned at scale."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    epoch = compile_promql("timestamp(click)").evaluate(m)
+    cal = compile_promql(
+        "hour(timestamp(click)) * 10000"
+        " + day_of_week(timestamp(click)) * 100"
+        " + day_of_month(timestamp(click))"
+    ).evaluate(m)
+    ym = compile_promql(
+        "(year(timestamp(click)) - 2000) * 10000"
+        " + month(timestamp(click)) * 100"
+        " + days_in_month(timestamp(click))"
+    ).evaluate(m)
+    out = (
+        epoch.select("user_id", "ts", F.col("value").alias("epoch_s"))
+        .join(cal.select("user_id", "ts", F.col("value").alias("cal")),
+              ["user_id", "ts"])
+        .join(ym.select("user_id", "ts", F.col("value").alias("ym")),
+              ["user_id", "ts"])
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "epoch_s",
+        "cal",
+        "ym",
+    )

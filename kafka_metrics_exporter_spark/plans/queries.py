@@ -179,15 +179,42 @@ def a5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a5_approx_count_distinct")  # no oracle: HLL estimate is engine-specific
+@query(
+    "a5_approx_count_distinct",
+    """
+    SELECT event_type, 1 AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 scale path: single-pass HLL sketch, no distinct-expand shuffle.
-    Accuracy evidence for the no_oracle row:
+    """A5 scale path: single-pass HLL sketch — in production approx-only
+    (no distinct-expand shuffle).  The HLL estimate itself is
+    engine-specific, so the DRIVER row pins the bounded-relative-error
+    contract instead (VERDICT r6 item 3): the query emits, per group,
+    whether |approx − exact|/exact ≤ 5%, and the oracle asserts that
+    bound holds by emitting constant 1 — a deterministic hash-checkable
+    row (the exact side is itself hash-verified by a5_count_distinct).
     tests/test_queries_oracle.py::test_a5_approx_within_5pct_of_exact
-    pins |approx − exact|/exact ≤ 5% per group against the exact A5."""
+    keeps the tighter per-group pytest pin."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+            F.countDistinct("user_id").alias("_exact"),
+        )
+        .select(
+            "event_type",
+            F.when(
+                F.abs(F.col("_approx") - F.col("_exact"))
+                / F.col("_exact").cast("double")
+                <= F.lit(0.05),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("within_tol"),
+        )
     )
 
 
@@ -520,27 +547,40 @@ def a11_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a11b_approx_percentile")  # t-digest estimate is engine-specific
+@query(
+    "a11b_approx_percentile",
+    """
+    SELECT l_returnflag, 1 AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a11b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 scale path: approx_percentile (t-digest) — single-pass,
     mergeable, O(accuracy) memory per group instead of buffering the
-    whole group like exact percentile.  Accuracy evidence for the
-    no_oracle row: tests/test_queries_oracle.py::
-    test_a11b_approx_within_tolerance_of_exact pins each estimate
-    within 1% relative error of the exact A11 per group."""
+    whole group like exact percentile.  The t-digest estimate is
+    engine-specific, so the DRIVER row pins the bounded-relative-error
+    contract instead (VERDICT r6 item 3): the query emits, per group,
+    whether every estimate is within 1% of the exact percentile
+    computed in the same pass, and the oracle asserts the bound holds
+    by emitting constant 1 (the exact side is itself hash-verified by
+    a11_percentile).  tests/test_queries_oracle.py::
+    test_a11b_approx_within_tolerance_of_exact keeps the per-estimate
+    pytest pin."""
     li = _t(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    probs = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", probs, 10000).alias("_a"),
+        F.percentile("l_extendedprice", probs).alias("_e"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("_p"))
-        .select(
-            "l_returnflag",
-            _r4(F.col("_p").getItem(0)).alias("p50_price"),
-            _r4(F.col("_p").getItem(1)).alias("p95_price"),
-            _r4(F.col("_p").getItem(2)).alias("p99_price"),
-        )
+    relerr = F.zip_with(
+        F.col("_a"), F.col("_e"), lambda a, e: F.abs(a - e) / F.abs(e)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.when(F.array_max(relerr) <= F.lit(0.01), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("within_tol"),
     )
 
 

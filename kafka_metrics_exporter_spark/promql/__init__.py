@@ -11,11 +11,13 @@ from kafka_metrics_exporter_spark.promql.compiler import (
 )
 from kafka_metrics_exporter_spark.promql.parser import parse
 from kafka_metrics_exporter_spark.promql.range_eval import evaluate_range
+from kafka_metrics_exporter_spark.promql.variables import interpolate_variables
 
 __all__ = [
     "PromQLPlan",
     "compile_promql",
     "evaluate_range",
     "evaluate_streaming",
+    "interpolate_variables",
     "parse",
 ]

@@ -156,7 +156,16 @@ class PromQLPlan:
         return range_eval.evaluate_range(self, metrics, step_seconds, **kwargs)
 
 
-def compile_promql(text: str) -> PromQLPlan:
+def compile_promql(text: str, variables: dict | None = None) -> PromQLPlan:
+    """Compile a PromQL string; ``variables`` binds Grafana template
+    variables ($var / ${var} / [[var]], see promql/variables.py) before
+    parse — what Grafana does client-side when replaying a dashboard."""
+    if variables:
+        from kafka_metrics_exporter_spark.promql.variables import (
+            interpolate_variables,
+        )
+
+        text = interpolate_variables(text, variables)
     return PromQLPlan(parse(text), text)
 
 

@@ -179,7 +179,9 @@ def test_date_histogram_2h_buckets(docs):
             )
         }
     )
-    got = {str(r.when): r.total for r in plan.evaluate(docs).collect()}
+    # legacy customInterval pin (explicit opt-out of real auto since r7)
+    got = {str(r.when): r.total
+           for r in plan.evaluate(docs, auto_interval_buckets=None).collect()}
     assert got == {
         "2024-04-01 10:00:00": 100.0,  # 10+30+20+40 (10:00-12:00)
         "2024-04-01 12:00:00": 12.0,  # 5+7
@@ -393,10 +395,11 @@ def test_corpus_plans_have_no_single_partition_window(vis, spark):
 
 
 def test_auto_interval_semantics(docs):
-    """VERDICT r5 item 4: `interval: "auto"` keeps the documented
-    customInterval pin by default, and evaluate(auto_interval_buckets=N)
-    opts into ES's real auto-interval — the smallest "nice" interval
-    fitting the time range into at most N buckets."""
+    """`interval: "auto"` resolves to ES's REAL auto-interval by
+    default since round 7 (the smallest "nice" interval fitting the
+    time range into at most ~50 buckets, range = data span unless an
+    explicit auto_range is passed); auto_interval_buckets=None opts
+    back into the legacy customInterval pin."""
     import datetime as dt
 
     from kafka_metrics_exporter_spark.kibana.compiler import auto_interval_us
@@ -427,17 +430,17 @@ def test_auto_interval_semantics(docs):
     plan = compile_visualization(vis)
     assert plan.state.buckets[0].auto is True
 
-    # default: the documented customInterval pin (existing rows unmoved)
-    default = {str(r.when): r.total for r in plan.evaluate(docs).collect()}
-    assert default == {
+    # explicit opt-out: the legacy customInterval pin
+    pinned = {str(r.when): r.total for r in plan.evaluate(
+        docs, auto_interval_buckets=None
+    ).collect()}
+    assert pinned == {
         "2024-04-01 10:00:00": 100.0,
         "2024-04-01 12:00:00": 12.0,
     }
 
-    # opt-in, range from the data: span 10:00..12:10 = 2h10m -> 5m grid
-    auto = {str(r.when): r.total for r in plan.evaluate(
-        docs, auto_interval_buckets=50
-    ).collect()}
+    # DEFAULT, range from the data: span 10:00..12:10 = 2h10m -> 5m grid
+    auto = {str(r.when): r.total for r in plan.evaluate(docs).collect()}
     assert auto == {
         "2024-04-01 10:00:00": 10.0,
         "2024-04-01 10:30:00": 40.0,

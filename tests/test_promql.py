@@ -110,6 +110,100 @@ def test_corpus_expr_compiles_and_runs(expr, corpus_metrics):
     assert out.count() >= 0  # plan executes
 
 
+def test_variable_interpolation_forms():
+    """Grafana template-variable pre-pass (VERDICT r6 item 2): all
+    three occurrence syntaxes, single/multi/All value rendering,
+    builtin $__all, unknown-variable passthrough."""
+    from kafka_metrics_exporter_spark.promql import interpolate_variables
+
+    v = {"ServerName": "zk1:7000"}
+    assert (
+        interpolate_variables('m{instance=~"$ServerName"}', v)
+        == 'm{instance=~"zk1:7000"}'
+    )
+    assert (
+        interpolate_variables('m{instance=~"${ServerName}"}', v)
+        == 'm{instance=~"zk1:7000"}'
+    )
+    assert (
+        interpolate_variables('m{instance=~"[[ServerName]]"}', v)
+        == 'm{instance=~"zk1:7000"}'
+    )
+    # multi-value: regex alternation with escaping (the '.' in host
+    # names must not match any character)
+    multi = interpolate_variables(
+        "$v", {"v": ["zk1.example:7000", "zk2.example:7000"]}
+    )
+    assert multi == r"(zk1\.example:7000|zk2\.example:7000)"
+    # All option: None, the literal $__all value, an empty multi, and
+    # the builtin $__all token
+    assert interpolate_variables("$v", {"v": None}) == ".*"
+    assert interpolate_variables("$v", {"v": "$__all"}) == ".*"
+    assert interpolate_variables("$v", {"v": []}) == ".*"
+    assert interpolate_variables("$__all", {}) == ".*"
+    # unknown variables pass through (pre-r7 corpus behavior)
+    assert interpolate_variables("$Unknown + $v", {"v": "1"}) == "$Unknown + 1"
+
+
+def test_corpus_variable_panels_execute_with_binding(corpus_metrics):
+    """VERDICT r6 item 2: the ZooKeeper dashboard's six $ServerName
+    panels, replayed as a USER would — with the template variable bound
+    — select exactly the bound instance(s); unbound, the literal
+    '$ServerName' regex matches nothing (the documented pre-r7
+    behavior, still valid PromQL)."""
+    var_exprs = sorted({e for e in CORPUS if "$ServerName" in e})
+    assert len(var_exprs) == 6  # the corpus's variable-bearing panels
+    h0, h1 = "host0:1234", "host1:1234"
+    packets = next(e for e in var_exprs if "PacketsReceived" in e)
+    for expr in var_exprs:
+        # single-value binding: only host0's series qualify
+        one = compile_promql(expr, variables={"ServerName": h0}).evaluate(
+            corpus_metrics
+        )
+        got = {r["instance"] for r in one.select("instance").distinct().collect()}
+        assert got <= {h0}
+        # multi-value binding: both hosts
+        both = compile_promql(
+            expr, variables={"ServerName": [h0, h1]}
+        ).evaluate(corpus_metrics)
+        gotb = {r["instance"] for r in both.select("instance").distinct().collect()}
+        # metrics absent from the fixture yield empty frames; present
+        # ones must cover both instances
+        assert gotb in (set(), {h0, h1})
+        # unbound: literal $ServerName matches no instance
+        assert compile_promql(expr).evaluate(corpus_metrics).count() == 0
+    # value pin on the PacketsReceived + PacketsSent panel: the vector
+    # addition joins the two metrics on (instance-led) shared labels
+    out = compile_promql(packets, variables={"ServerName": h0}).evaluate(
+        corpus_metrics
+    )
+    rows = out.collect()
+    assert rows, "bound panel must produce samples"
+    names = sorted(
+        {
+            "kafka_brokers_server_brokertopicmetrics_bytesin_total",
+            "kafka_brokers_server_brokertopicmetrics_bytesout_total",
+            "kafka_brokers_server_brokertopicmetrics_messagesin_total",
+            "kafka_brokers_controller_kafkacontroller_activecontrollercount",
+            "kafka_connect_worker_connector_count",
+            "kafka_connect_connect_node_outgoing_byte_total",
+            "kafka_connect_connect_node_incoming_byte_total",
+            "jvm_memory_bytes_used",
+            "zookeeper_NodeCount",
+            "zookeeper_PacketsReceived",
+            "zookeeper_PacketsSent",
+        }
+    )
+    ni_recv = names.index("zookeeper_PacketsReceived")
+    ni_sent = names.index("zookeeper_PacketsSent")
+    expected = {
+        i: float(100 * ni_recv + i * i) + float(100 * ni_sent + i * i)
+        for i in range(3)
+    }
+    got_vals = {r["ts"].minute: r["value"] for r in rows}
+    assert got_vals == expected
+
+
 # ---------------------------------------------------------------------------
 # Semantic pins
 # ---------------------------------------------------------------------------

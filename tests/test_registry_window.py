@@ -10,11 +10,14 @@ import json
 import os
 
 from kafka_metrics_exporter_spark.plans import (
+    CHANGED_OUT_OF_WINDOW,
     CHANGED_THIS_ROUND,
     CORRECTNESS_WINDOW,
+    CURRENT_ROUND,
     NEW_THIS_ROUND,
     ORACLE_SQL,
     QUERIES,
+    STALE_OUT_OF_WINDOW,
     WINDOW_PRIORITY,
 )
 
@@ -29,6 +32,7 @@ _VERIFIED = {
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
@@ -88,3 +92,45 @@ def test_changed_queries_land_in_window():
 def test_oracle_order_mirrors_queries():
     qs = [n for n in QUERIES if n in ORACLE_SQL]
     assert qs == list(ORACLE_SQL)
+
+
+def test_rotation_promotes_stale_rows():
+    """The rotation policy itself, machine-checked: every query whose
+    latest driver row is one round old (present in r(N-2)'s file but
+    not r(N-1)'s) must be promoted into this round's window — except
+    the declared STALE_OUT_OF_WINDOW demotions."""
+    prev = set(
+        json.load(open(os.path.join(REPO, f"CORRECTNESS_r0{CURRENT_ROUND - 1}.json")))
+    )
+    prev2 = set(
+        json.load(open(os.path.join(REPO, f"CORRECTNESS_r0{CURRENT_ROUND - 2}.json")))
+    )
+    stale = (prev2 - prev) & set(QUERIES)
+    window = set(list(QUERIES)[:CORRECTNESS_WINDOW])
+    missing = sorted(stale - window - set(STALE_OUT_OF_WINDOW))
+    assert not missing, (
+        f"queries with a two-round-old driver row neither promoted nor "
+        f"declared STALE_OUT_OF_WINDOW: {missing}"
+    )
+
+
+def test_out_of_window_exemptions_have_fresh_golden():
+    """ADVICE r6: out-of-window exemptions must be machine-checked, not
+    comment-only.  Every CHANGED_OUT_OF_WINDOW / STALE_OUT_OF_WINDOW
+    query must have a GOLDEN.json row recorded from THIS round's code —
+    GOLDEN carries the round stamp written by tools/record_golden.py,
+    so bumping CURRENT_ROUND without re-recording fails here."""
+    exempt = CHANGED_OUT_OF_WINDOW + STALE_OUT_OF_WINDOW
+    if not exempt:
+        return
+    golden = json.load(open(os.path.join(REPO, "GOLDEN.json")))
+    assert golden.get("round") == CURRENT_ROUND, (
+        f"GOLDEN.json round stamp {golden.get('round')!r} != "
+        f"CURRENT_ROUND {CURRENT_ROUND}: re-run tools/record_golden.py "
+        f"so the out-of-window exemptions are pinned by this round's code"
+    )
+    missing = [n for n in exempt if n not in golden["queries"]]
+    assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
+    # exemptions are exceptional: they must not silently grow past the
+    # slot arithmetic that forced them
+    assert len(exempt) <= 2, exempt

@@ -34,8 +34,15 @@ def main() -> None:
         golden[name] = {"rows": len(pdf), "hash": value_hash(pdf)}
         print(f"{name}: rows={len(pdf)} hash={golden[name]['hash']}")
         spark.catalog.clearCache()
+    from kafka_metrics_exporter_spark.plans import CURRENT_ROUND
+
     with open(GOLDEN_PATH, "w", encoding="utf-8") as fh:
-        json.dump({"sf_dir": SF_DIR, "queries": golden}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {"sf_dir": SF_DIR, "round": CURRENT_ROUND, "queries": golden},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(f"\nwrote {GOLDEN_PATH} ({len(golden)} queries)")
 
 
