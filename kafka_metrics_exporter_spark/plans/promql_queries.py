@@ -34,14 +34,18 @@ def _finish_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
     unpersisting before materialization would instead discard the
     shared-scan benefit).  The checkpoint blocks are result-sized and
     reclaimed by the ContextCleaner once the frame is dropped."""
+    from kafka_metrics_exporter_spark.plans.fingerprint import (
+        stash_pre_checkpoint,
+    )
+
     checkpointed = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
     # the checkpoint scan hides the real plan from post-hoc explain —
     # stash the logical frame so plan pins / PLANS.json fingerprint the
-    # plan that actually executed
-    checkpointed._pre_checkpoint = out
-    return checkpointed
+    # plan that actually executed (best-effort helper, falls back to
+    # the checkpointed frame's plan if the attribute can't be set)
+    return stash_pre_checkpoint(checkpointed, out)
 
 
 def _metrics_view(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:

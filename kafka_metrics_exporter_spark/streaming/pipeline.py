@@ -170,34 +170,79 @@ def promql_panels(
     emit,
     checkpoint: str,
     trigger: dict | None = None,
+    step_seconds: float | None = None,
+    range_seconds: float | None = None,
+    lookback_seconds: float | None = None,
 ):
     """Grafana-on-live-stream: evaluate compiled PromQL panel
     expressions over each micro-batch of the normalized metrics stream
     (reference: the Grafana dashboards in Prometheus/jmxexporter_configs
     rendered over the exporter's live series).
 
-    The full instant-mode grammar applies per micro-batch — foreachBatch
-    hands a BATCH DataFrame to each panel plan, so rate/topk/vector
-    matching (the shapes ``evaluate_streaming`` cannot express in a
-    single watermarked aggregation) all work, evaluated over the poll
-    cycle's snapshot exactly as a dashboard refresh would.  Expressions
-    are compiled ONCE at wiring time (parse errors surface before the
+    The full grammar applies per micro-batch — foreachBatch hands a
+    BATCH DataFrame to each panel plan, so rate/topk/vector matching
+    (the shapes ``evaluate_streaming`` cannot express in a single
+    watermarked aggregation) all work, evaluated over the poll cycle's
+    snapshot exactly as a dashboard refresh would.  Expressions are
+    compiled ONCE at wiring time (parse errors surface before the
     query starts); the batch is persisted across panels so the scrape
     scan runs once per cycle, not once per panel, and unpersisted
     before the next trigger.
 
+    Two evaluation modes (VERDICT r6 item 4):
+
+    - ``step_seconds=None`` (default): instant mode — each panel over
+      the batch's own sample instants.
+    - ``step_seconds`` set: RANGE mode, what Grafana actually issues on
+      refresh — an aligned step grid over the trailing
+      ``range_seconds`` window anchored at the batch's event-time
+      high-water mark (its max sample ts, the stream's watermark
+      proxy; one 1-row agg per batch).  Late rows older than the
+      window fall off the grid — the same drop a real Grafana refresh
+      applies, pinned in tests.  With ``range_seconds=None`` the grid
+      spans the batch's own time extent instead (the self-contained
+      form).  ``lookback_seconds`` is the staleness window per grid
+      instant (Prometheus's 5m default).
+
     ``emit(name, result_df, batch_id)`` receives each panel's result —
     a sink adapter (ES bulk, Kafka, parquet) in production, a collector
     in tests.  Returns the started StreamingQuery."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
     from kafka_metrics_exporter_spark.promql import compile_promql
 
     plans = {name: compile_promql(text) for name, text in exprs.items()}
 
+    def _range_kwargs(df: DataFrame) -> dict | None:
+        kw: dict = {}
+        if lookback_seconds is not None:
+            kw["lookback_seconds"] = lookback_seconds
+        if range_seconds is not None:
+            hi = df.agg(F.max("ts").alias("hi")).first()["hi"]
+            if hi is None:  # empty batch: nothing to anchor, no grid
+                return None
+            kw["start"] = hi - dt.timedelta(seconds=range_seconds)
+            kw["end"] = hi
+        return kw
+
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         df = df.persist()
         try:
+            if step_seconds is None:
+                for name, plan in plans.items():
+                    emit(name, plan.evaluate(df), batch_id)
+                return
+            kw = _range_kwargs(df)
+            if kw is None:
+                return
             for name, plan in plans.items():
-                emit(name, plan.evaluate(df), batch_id)
+                emit(
+                    name,
+                    plan.evaluate_range(df, step_seconds, **kw),
+                    batch_id,
+                )
         finally:
             df.unpersist()
 

@@ -240,3 +240,43 @@ def test_subquery_and_count_values_are_jvm_only(spark, sf_dir):
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_stash_pre_checkpoint_with_and_without_attribute(spark):
+    """VERDICT r6 item 7: the _pre_checkpoint hand-off lives behind
+    stash_pre_checkpoint and plan_string falls back to the frame's own
+    plan when the attribute is absent — fingerprinting works either
+    way, and a frame that rejects attribute assignment degrades
+    instead of crashing."""
+    from kafka_metrics_exporter_spark.plans.fingerprint import (
+        plan_fingerprint,
+        plan_string,
+        stash_pre_checkpoint,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+    ck = df.localCheckpoint(eager=True)
+
+    # without the stash: the checkpoint scan's own plan (no aggregate)
+    assert "HashAggregate" not in plan_string(ck)
+    fp_plain = plan_fingerprint(ck)
+
+    # with the stash: the executed plan is recovered
+    stashed = stash_pre_checkpoint(ck, df)
+    assert stashed is ck
+    assert "HashAggregate" in plan_string(stashed)
+    assert plan_fingerprint(stashed)["exchange"] >= 1 >= fp_plain["exchange"]
+
+    # a frame-like object that rejects attribute assignment: silently
+    # skipped, fingerprint falls back to its own plan
+    class Slotted:
+        __slots__ = ("_jdf",)
+
+        def __init__(self, jdf):
+            self._jdf = jdf
+
+    s = Slotted(ck._jdf)
+    assert stash_pre_checkpoint(s, df) is s
+    assert "HashAggregate" not in plan_string(s)

@@ -282,3 +282,70 @@ def test_promql_panels_per_microbatch(spark, tmp_path):
     assert gr0 == [pytest.approx((4.0 - 1.0) / 30.0)]
     gr1 = [r["value"] for r in by_panel_batch[("gc_rate", 1)]]
     assert gr1 == [pytest.approx((10.0 - 4.0) / 30.0)]
+
+
+def test_promql_panels_grid_mode_per_microbatch(spark, tmp_path):
+    """VERDICT r6 item 4: Grafana-on-live-stream issues RANGE queries —
+    promql_panels(step_seconds=...) evaluates each micro-batch on an
+    aligned step grid over the trailing range_seconds window anchored
+    at the batch's event-time high-water mark.  Pins, across 2 batches:
+    the grid instants, lookback resolution per instant, and late-data
+    behavior (a sample within lookback of a grid instant surfaces
+    there; one older than the window+lookback horizon is dropped)."""
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import promql_panels
+
+    src = tmp_path / "gmetrics"
+    src.mkdir()
+    batches = [
+        [  # poll cycle 1: samples at :00 :30 :60
+            ("m", "2024-01-01 00:00:00", 10.0, "t1", "j"),
+            ("m", "2024-01-01 00:00:30", 20.0, "t1", "j"),
+            ("m", "2024-01-01 00:01:00", 40.0, "t1", "j"),
+        ],
+        [  # poll cycle 2: hi = 00:02:30 -> window [00:01:30, 00:02:30]
+            ("m", "2024-01-01 00:02:00", 50.0, "t1", "j"),
+            ("m", "2024-01-01 00:02:30", 70.0, "t1", "j"),
+            # late but within lookback of grid instant 00:01:30
+            ("m", "2024-01-01 00:01:20", 30.0, "t1", "j"),
+            # too late: outside window + lookback of every instant
+            ("m", "2024-01-01 00:00:10", 999.0, "t1", "j"),
+        ],
+    ]
+    schema_s = "name string, ts_s string, value double, topic string, job string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema_s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema_s)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got: list[tuple[str, int, list]] = []
+
+    q = promql_panels(
+        stream,
+        {"panel": "m"},
+        lambda name, df, bid: got.append((name, bid, df.collect())),
+        checkpoint=str(tmp_path / "gckpt"),
+        step_seconds=30.0,
+        range_seconds=60.0,
+        lookback_seconds=30.0,
+    )
+    q.awaitTermination(120)
+
+    by_batch = {b: rows for _, b, rows in got}
+    assert set(by_batch) == {0, 1}
+    g0 = {(r["ts"].minute, r["ts"].second): r["value"] for r in by_batch[0]}
+    # batch 0: hi=00:01:00, window [00:00:00, 00:01:00], 3 instants
+    assert g0 == {(0, 0): 10.0, (0, 30): 20.0, (1, 0): 40.0}
+    g1 = {(r["ts"].minute, r["ts"].second): r["value"] for r in by_batch[1]}
+    # batch 1: grid 00:01:30/00:02:00/00:02:30; the 00:01:20 straggler
+    # resolves at 00:01:30 via lookback; the 00:00:10 row is dropped
+    assert g1 == {(1, 30): 30.0, (2, 0): 50.0, (2, 30): 70.0}
+    assert 999.0 not in g1.values()
