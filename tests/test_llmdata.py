@@ -279,6 +279,57 @@ def test_embedding_lsh_bucket_cap_identical_output(embeddings):
     assert salted == default
 
 
+def test_embedding_lsh_cap_preserves_pairs_on_degenerate_corpus(spark):
+    """VERDICT r6 item 5 — the hyperplane-LSH mirror of
+    test_lsh_bucket_cap_preserves_pairs_on_hot_bucket: a corpus whose
+    embeddings all share one direction lands EVERY vector in the same
+    bucket of both bands (the worst case for in-bucket pair
+    expansion).  A tiny cap forces the salt-split block-pair path on
+    that hot bucket; the pair set (and cosines) must be identical to
+    the uncapped expansion.  The measured wall-clock form of this case
+    is recorded in BASELINE.md (round-7 skew stress)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, base) for i in range(300)]  # one shared direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+        for r in similarity.embedding_near_dup_lsh(
+            emb, 0.45, bucket_cap=10**9
+        ).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+        for r in similarity.embedding_near_dup_lsh(
+            emb, 0.45, bucket_cap=32
+        ).collect()
+    }
+    assert capped == uncapped
+    # scaled copies of one vector: cosine 1 for every unordered pair
+    assert len(capped) == 300 * 299 // 2
+
+    # prove the overflow path was exercised: the widest band bucket is
+    # far beyond the cap, so its pairs came from block-pair tasks
+    probe = emb.filter(similarity.md5_residue(F.col("vec_id")) % 20 == 0)
+    mu = similarity.mean_vector(probe, "embedding")
+    P = np.array(similarity.hyperplanes(len(mu)), dtype="float64")
+    bias = P @ np.array(mu)
+    V = np.stack([np.array(base, dtype="float64")] * 300)
+    sigs = ((V @ P.T) > bias[None, :]).astype("int64") @ (
+        1 << np.arange(16)
+    ).astype("int64")
+    from collections import Counter
+
+    widest = max(
+        max(Counter(sigs & 0xFF).values()),
+        max(Counter(sigs >> 8 & 0xFF).values()),
+    )
+    assert widest > 32
+
+
 # --- text analysis -----------------------------------------------------------
 def test_langid_marker_words(spark):
     df = spark.createDataFrame(
