@@ -58,6 +58,7 @@ NEW_THIS_ROUND = [
     "promql_holt_winters",
     "promql_calendar",
     "kibana_median",
+    "promql_trig_group",
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -81,9 +82,10 @@ CHANGED_OUT_OF_WINDOW = [
 # r5-latest queries demoted to make the slot arithmetic fit (their
 # driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
 # re-record and the pytest oracle replay cover them, machine-checked).
-# o1_distinct: trivial DISTINCT, code untouched since r1.
+# o1_distinct / o5_intersect: trivial set ops, code untouched since r1.
 STALE_OUT_OF_WINDOW = [
     "o1_distinct",
+    "o5_intersect",
 ]
 
 WINDOW_PRIORITY = [
@@ -107,7 +109,6 @@ WINDOW_PRIORITY = [
     "j5_explode_parent_child",
     "o3_anti_join",
     "o4_sort_limit",
-    "o5_intersect",
     "p_scalar_pack",
     "j6_asof_join",
     "a12_rollup",

@@ -1043,3 +1043,35 @@ def promql_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cal",
         "ym",
     )
+
+
+@query(
+    "promql_trig_group",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT * FROM m WHERE name = 'click')
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(atan(sin(value / 7) * cos(value / 3)) + pi(), 6) AS value
+    FROM c
+    """,
+)
+def promql_trig_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`atan(sin(click / 7) * cos(click / 3)) + group by (user_id)
+    (click) * pi()` — the round-7 grammar additions end-to-end: the
+    trigonometric function family (element-wise, vector×vector label
+    join between the sin/cos terms), pi() as a scalar literal, and
+    group() as an existence aggregate (1.0 per populated group, so the
+    oracle's `+ pi()` is exact).  round(…, 6) on both sides absorbs
+    any last-ulp libm-vs-java.lang.Math divergence in the trig
+    kernels."""
+    m = _metrics_view(spark, sf_dir, "hour")
+    out = compile_promql(
+        "atan(sin(click / 7) * cos(click / 3))"
+        " + group by (user_id) (click) * pi()"
+    ).evaluate(m)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.col("value"), 6).alias("value"),
+    )

@@ -352,6 +352,12 @@ def _eval(
             "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
             "ln": F.log, "log2": F.log2, "log10": F.log10, "sqrt": F.sqrt,
             "sgn": F.signum,
+            # trigonometric family (funcAcos..funcTanh, funcDeg/funcRad)
+            "acos": F.acos, "acosh": F.acosh, "asin": F.asin,
+            "asinh": F.asinh, "atan": F.atan, "atanh": F.atanh,
+            "cos": F.cos, "cosh": F.cosh, "sin": F.sin, "sinh": F.sinh,
+            "tan": F.tan, "tanh": F.tanh,
+            "deg": F.degrees, "rad": F.radians,
         }
         if node.fn == "clamp_min":
             col = F.greatest(v, F.lit(node.arg))
@@ -826,6 +832,11 @@ _AGG_FN = {
     "stdvar": F.var_pop,
     # the window frame is time-ordered, so last == the newest sample
     "last": lambda c: F.last(c, ignorenulls=True),
+    # group(): 1 for every populated group; present_over_time: 1 at
+    # every instant whose trailing window holds any sample — both are
+    # "existence" aggregates, value pinned to 1.0
+    "group": lambda c: F.max(F.lit(1.0)),
+    "present": lambda c: F.max(F.lit(1.0)),
 }
 
 

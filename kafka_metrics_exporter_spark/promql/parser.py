@@ -274,7 +274,13 @@ Expr = (
     | HoltWinters
 )
 
-_MATH_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
+_MATH_FNS = {
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    # the Prometheus trigonometric family (funcAcos..funcTanh, plus the
+    # degree/radian converters) — element-wise on the sample value
+    "acos", "acosh", "asin", "asinh", "atan", "atanh",
+    "cos", "cosh", "sin", "sinh", "tan", "tanh", "deg", "rad",
+}
 _DATE_FNS = {
     "timestamp", "minute", "hour", "day_of_week", "day_of_month",
     "days_in_month", "month", "year",
@@ -283,7 +289,7 @@ _CLAMP_FNS = {"clamp_min", "clamp_max"}
 
 _AGG_OPS = {
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "quantile",
-    "count_values",
+    "count_values", "group",
 }
 
 _DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
@@ -533,7 +539,12 @@ class _Parser:
                 return self._wrap_at(HoltWinters(sel, window, sf, tf), at)
             if (
                 tok.endswith("_over_time")
-                and tok[: -len("_over_time")] in _AGG_OPS | {"last", "absent"}
+                and tok[: -len("_over_time")]
+                # count_values/group have no *_over_time form in
+                # Prometheus; present_over_time/last_over_time exist
+                # without a matching top-level aggregation
+                in (_AGG_OPS - {"count_values", "group"})
+                | {"last", "absent", "present"}
             ):
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
@@ -579,6 +590,13 @@ class _Parser:
                 self.expect("(")
                 self.expect(")")
                 return Time()
+            if tok == "pi" and self.tokens[self.i + 1][1] == "(":
+                import math
+
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                return Scalar(math.pi)
             return self.parse_selector()
         if tok == "{":
             return self.parse_selector()

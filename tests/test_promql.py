@@ -1508,3 +1508,46 @@ def test_timestamp_grid_mode_returns_sample_ts(spark):
     )
     sgot = {str(r["ts"]): r["value"] for r in s.collect()}
     assert sgot["2024-01-01 00:02:00"] == base + 120
+
+
+def test_trig_family_group_and_present(tiny):
+    """Round-7 function pack: the trigonometric family (element-wise on
+    the sample value), pi(), deg/rad, group() as an existence
+    aggregate, and present_over_time in both evaluation modes."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = compile_promql("round(sin(m) + pi(), 0.0001)").evaluate(tiny)
+    got = {(r["topic"], r["instance"], r["ts"]): r["value"] for r in s.collect()}
+    exp = round(math.sin(10.0) + math.pi, 4)
+    assert got[("a", "h1", t0)] == pytest.approx(exp)
+
+    # deg(rad(v)) is the identity up to float error
+    ident = compile_promql("round(deg(rad(m)), 0.0001)").evaluate(tiny)
+    vals = {r["value"] for r in ident.collect()}
+    raw = {r["value"] for r in compile_promql("m").evaluate(tiny).collect()}
+    assert vals == raw
+
+    # inverse pairs: atan(tan(x)) == x for |x| < pi/2 (max sample is
+    # 160, so /200 keeps every scaled value inside the branch)
+    at = compile_promql("round(atan(tan(m / 200)) * 200, 0.0001)").evaluate(tiny)
+    assert {r["value"] for r in at.collect()} == raw
+
+    # group(): every populated (topic, ts) group exists with value 1
+    g = compile_promql("group by (topic) (m)").evaluate(tiny)
+    grows = g.collect()
+    assert grows and all(r["value"] == 1.0 for r in grows)
+    cnt = compile_promql("count by (topic) (m)").evaluate(tiny)
+    assert len(grows) == cnt.count()  # same group universe
+
+    # present_over_time: 1 wherever the trailing window has any sample
+    pr = compile_promql("present_over_time(m[5m])").evaluate(tiny)
+    assert all(r["value"] == 1.0 for r in pr.collect())
+    assert pr.count() == compile_promql("m").evaluate(tiny).count()
+
+    # grammar edges: no group_over_time / count_values_over_time /
+    # bare present()
+    for bad in ["group_over_time(m[5m])", "count_values_over_time(m[5m])",
+                "present(m)"]:
+        with pytest.raises(SyntaxError):
+            parse(bad)
