@@ -36,11 +36,13 @@ CURRENT_ROUND = 7
 # verdict's rotation ask, executed):
 #   - the 46 queries whose latest driver row is r5 (they sat after slot
 #     50 in the r6 window) — promoted so no query's driver row is more
-#     than one round old — MINUS the one STALE_OUT_OF_WINDOW demotion
-#     the slot arithmetic forces (46 + 3 new + 2 changed = 51 > 50);
-#   - queries NEW this round (holt_winters, the calendar family,
-#     Kibana median/percentiles — the r6 library-level additions that
-#     had no registry slot);
+#     than one round old — MINUS the two STALE_OUT_OF_WINDOW demotions
+#     the slot arithmetic forces (46 + 4 new + 2 changed = 52 > 50, so
+#     44 promote);
+#   - queries NEW this round (holt_winters / the calendar family /
+#     Kibana median+percentiles — the r6 library-level additions that
+#     had no registry slot — plus promql_trig_group for the r7
+#     trig/pi/group grammar);
 #   - queries whose results or oracle CHANGED this round
 #     (funcRound reciprocal form; real ES auto-interval as the
 #     date_histogram default).

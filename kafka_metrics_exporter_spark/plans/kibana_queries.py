@@ -52,15 +52,14 @@ def _vis(aggs: list[dict], vis_type: str = "table") -> dict:
     return {"visState": json.dumps({"title": "t", "type": vis_type, "aggs": aggs})}
 
 
-# ES/Kibana auto-interval ladder (kibana/compiler.py _AUTO_LADDER_US)
-# as a SQL CASE: the smallest "nice" interval that fits the span into
-# at most 50 buckets — the oracle twin of auto_interval_us(span, 50).
-_LADDER_US = [
-    1_000, 10_000, 100_000, 500_000, 1_000_000, 5_000_000, 10_000_000,
-    30_000_000, 60_000_000, 300_000_000, 600_000_000, 1_800_000_000,
-    3_600_000_000, 10_800_000_000, 43_200_000_000, 86_400_000_000,
-    604_800_000_000,
-]
+# ES/Kibana auto-interval ladder as a SQL CASE: the smallest "nice"
+# interval that fits the span into at most 50 buckets — the oracle
+# twin of auto_interval_us(span, 50).  Imported from the compiler so
+# the oracle can never drift from the engine's ladder.
+from kafka_metrics_exporter_spark.kibana.compiler import (  # noqa: E402
+    _AUTO_LADDER_US as _LADDER_US,
+)
+
 _LADDER_CASE = (
     "CASE "
     + " ".join(f"WHEN sp <= {iv * 50} THEN {iv}" for iv in _LADDER_US[:-1])

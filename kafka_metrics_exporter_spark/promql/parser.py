@@ -517,6 +517,17 @@ class _Parser:
             self.next()
             return Scalar(float(tok))
         if kind == "ident":
+            # Prometheus reserves only the AGGREGATION keywords (sum,
+            # avg, …, topk) — every FUNCTION name doubles as a valid
+            # metric name when not followed by "(", so each function
+            # branch below peeks one token ahead and otherwise falls
+            # through to parse_selector (a metric literally named
+            # `rate`, `sin` or `deg` stays selectable).
+            called = self.tokens[self.i + 1][1] == "("
+            if tok in _AGG_OPS or tok in ("topk", "bottomk"):
+                pass  # reserved keywords: always aggregation syntax
+            elif not called:
+                return self.parse_selector()
             if tok in _AGG_OPS:
                 return self.parse_agg()
             if tok in ("rate", "irate", "increase", "delta", "idelta",

@@ -41,7 +41,10 @@ def _render(value) -> str:
     if value is None or value == "$__all":
         return ".*"
     if isinstance(value, (list, tuple)):
-        if not value:
+        # Grafana stores an All selection on a MULTI-value variable as
+        # ["$__all"] — the sentinel must win even inside a list (and a
+        # repeated --query-var always produces a list)
+        if not value or "$__all" in value:
             return ".*"
         return "(" + "|".join(re.escape(str(v)) for v in value) + ")"
     return str(value)

@@ -1551,3 +1551,36 @@ def test_trig_family_group_and_present(tiny):
                 "present(m)"]:
         with pytest.raises(SyntaxError):
             parse(bad)
+
+
+def test_function_named_metrics_parse_as_selectors():
+    """Prometheus reserves only the aggregation keywords — every
+    function name doubles as a metric name when not followed by '('
+    (code-review r7): `sin`, `deg`, `rate{...}` are selectors, while
+    called forms keep their function meaning and aggregation keywords
+    stay reserved."""
+    from kafka_metrics_exporter_spark.promql import parser as pql
+
+    for name in ["sin", "deg", "rad", "rate", "absent", "hour",
+                 "avg_over_time", "holt_winters", "scalar", "pi"]:
+        node = parse(name)
+        assert isinstance(node, pql.Selector) and node.name == name, name
+    sel = parse('rate{topic="a"}')
+    assert isinstance(sel, pql.Selector) and sel.name == "rate"
+    assert isinstance(parse("sin(m)"), pql.MathFn)
+    assert isinstance(parse("rate(m[1m])"), pql.Rate)
+    # aggregation keywords are reserved in Prometheus too
+    with pytest.raises(SyntaxError):
+        parse("sum")
+    with pytest.raises(SyntaxError):
+        parse("topk")
+
+
+def test_all_variable_in_multi_value_list():
+    """Grafana stores an All selection on a multi-value variable as
+    ["$__all"] (code-review r7): the sentinel must render .* from
+    inside a list too."""
+    from kafka_metrics_exporter_spark.promql import interpolate_variables
+
+    assert interpolate_variables("$v", {"v": ["$__all"]}) == ".*"
+    assert interpolate_variables("$v", {"v": ["a", "$__all"]}) == ".*"

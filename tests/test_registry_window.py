@@ -100,10 +100,14 @@ def test_rotation_promotes_stale_rows():
     not r(N-1)'s) must be promoted into this round's window — except
     the declared STALE_OUT_OF_WINDOW demotions."""
     prev = set(
-        json.load(open(os.path.join(REPO, f"CORRECTNESS_r0{CURRENT_ROUND - 1}.json")))
+        json.load(
+            open(os.path.join(REPO, f"CORRECTNESS_r{CURRENT_ROUND - 1:02d}.json"))
+        )
     )
     prev2 = set(
-        json.load(open(os.path.join(REPO, f"CORRECTNESS_r0{CURRENT_ROUND - 2}.json")))
+        json.load(
+            open(os.path.join(REPO, f"CORRECTNESS_r{CURRENT_ROUND - 2:02d}.json"))
+        )
     )
     stale = (prev2 - prev) & set(QUERIES)
     window = set(list(QUERIES)[:CORRECTNESS_WINDOW])
