@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
                    help="Kibana saved-object JSON (one visualization) "
                         "compiled and run against the metrics table")
+    q.add_argument("--query-dashboard", default=None, metavar="FILE",
+                   help="Grafana dashboard JSON: compile EVERY panel "
+                        "target (binding --query-var variables) and "
+                        "run each against the metrics table — instant "
+                        "mode, or the step grid with --query-step")
     q.add_argument("--query-var", action="append", default=[],
                    metavar="NAME=VALUE", dest="query_vars",
                    help="bind a Grafana template variable before "
@@ -114,28 +119,59 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_query_vars(bindings: list[str]) -> dict[str, object]:
+    variables: dict[str, object] = {}
+    for binding in bindings:
+        name, eq, value = binding.partition("=")
+        if not eq or not name:
+            raise SystemExit(f"--query-var needs NAME=VALUE, got {binding!r}")
+        if name in variables:  # repeated NAME -> multi-value
+            prev = variables[name]
+            variables[name] = (
+                list(prev) + [value] if isinstance(prev, list) else [prev, value]
+            )
+        else:
+            variables[name] = value
+    return variables
+
+
 def run_query(args: argparse.Namespace, spark) -> int:
     """--query-* mode: compile the expression, run it, print, exit."""
     if not args.query_metrics:
         raise SystemExit("--query-promql/--query-kibana-vis need --query-metrics PATH")
     df = spark.read.parquet(args.query_metrics)
+    if args.query_dashboard:
+        import json
+
+        from kafka_metrics_exporter_spark.promql import (
+            compile_dashboard,
+            dashboard_variables,
+        )
+
+        with open(args.query_dashboard) as fh:
+            dash = json.load(fh)
+        variables = _parse_query_vars(args.query_vars)
+        unbound = [v for v in dashboard_variables(dash) if v not in variables]
+        if unbound:
+            print(f"# unbound template variables (literal passthrough): {unbound}")
+        for key, plan in compile_dashboard(dash, variables=variables).items():
+            print(f"== {key}: {plan.source}")
+            if args.query_step is not None:
+                out = plan.evaluate_range(
+                    df,
+                    args.query_step,
+                    lookback_seconds=args.query_lookback,
+                    start=args.query_start,
+                    end=args.query_end,
+                )
+            else:
+                out = plan.evaluate(df)
+            out.show(args.query_limit, truncate=False)
+        return 0
     if args.query_promql:
         from kafka_metrics_exporter_spark.promql import compile_promql
 
-        variables: dict[str, object] = {}
-        for binding in args.query_vars:
-            name, eq, value = binding.partition("=")
-            if not eq or not name:
-                raise SystemExit(f"--query-var needs NAME=VALUE, got {binding!r}")
-            if name in variables:  # repeated NAME -> multi-value
-                prev = variables[name]
-                variables[name] = (
-                    list(prev) + [value]
-                    if isinstance(prev, list)
-                    else [prev, value]
-                )
-            else:
-                variables[name] = value
+        variables = _parse_query_vars(args.query_vars)
         plan = compile_promql(args.query_promql, variables=variables)
         if args.query_step is not None:
             out = plan.evaluate_range(
@@ -189,7 +225,7 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.query_promql or args.query_kibana_vis:
+    if args.query_promql or args.query_kibana_vis or args.query_dashboard:
         if spark is None:
             from kafka_metrics_exporter_spark.session import get_spark
 

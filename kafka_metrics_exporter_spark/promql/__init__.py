@@ -9,13 +9,21 @@ from kafka_metrics_exporter_spark.promql.compiler import (
     compile_promql,
     evaluate_streaming,
 )
+from kafka_metrics_exporter_spark.promql.dashboard import (
+    compile_dashboard,
+    dashboard_targets,
+    dashboard_variables,
+)
 from kafka_metrics_exporter_spark.promql.parser import parse
 from kafka_metrics_exporter_spark.promql.range_eval import evaluate_range
 from kafka_metrics_exporter_spark.promql.variables import interpolate_variables
 
 __all__ = [
     "PromQLPlan",
+    "compile_dashboard",
     "compile_promql",
+    "dashboard_targets",
+    "dashboard_variables",
     "evaluate_range",
     "evaluate_streaming",
     "interpolate_variables",

@@ -1,0 +1,100 @@
+"""Whole-dashboard replay: compile every panel of a Grafana dashboard
+JSON into PromQL plans (round 7).
+
+The reference ships three dashboards
+(Prometheus/jmxexporter_configs/grafana/dashboards/*.json, 49 `expr`
+targets total); the corpus tests prove each expression individually —
+this module is the user-facing composition: load the dashboard, bind
+its template variables, get one compiled plan per panel target, ready
+for ``evaluate`` / ``evaluate_range`` or the streaming
+``promql_panels`` wiring.  Panels nest (Grafana rows carry a
+``panels`` list), targets carry ``refId``; a panel key is
+``"<title> [<refId>]"`` with the refId dropped when a title has only
+one target.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from kafka_metrics_exporter_spark.promql.compiler import (
+    PromQLPlan,
+    compile_promql,
+)
+
+
+@dataclass(frozen=True)
+class PanelTarget:
+    title: str
+    ref_id: str
+    expr: str
+
+    @property
+    def key(self) -> str:
+        return f"{self.title} [{self.ref_id}]"
+
+
+def _load(dashboard) -> dict:
+    if isinstance(dashboard, str):
+        return json.loads(dashboard)
+    return dashboard
+
+
+def dashboard_targets(dashboard) -> list[PanelTarget]:
+    """Every (panel, target) pair carrying a non-empty ``expr``, in
+    panel order, recursing into row panels."""
+    d = _load(dashboard)
+    out: list[PanelTarget] = []
+
+    def walk(panels):
+        for p in panels or []:
+            title = p.get("title") or p.get("type", "panel")
+            for t in p.get("targets", []):
+                expr = (t.get("expr") or "").strip()
+                if expr:
+                    out.append(
+                        PanelTarget(
+                            title=title,
+                            ref_id=str(t.get("refId", chr(ord("A") + len(out)))),
+                            expr=expr,
+                        )
+                    )
+            walk(p.get("panels"))
+
+    walk(d.get("panels"))
+    return out
+
+
+def dashboard_variables(dashboard) -> list[str]:
+    """Names of the dashboard's declared template variables
+    (``templating.list``) — what a caller must bind (or accept
+    literal-regex passthrough for, the documented unbound behavior)."""
+    d = _load(dashboard)
+    return [
+        v["name"]
+        for v in d.get("templating", {}).get("list", [])
+        if v.get("name")
+    ]
+
+
+def compile_dashboard(
+    dashboard, variables: dict | None = None
+) -> dict[str, PromQLPlan]:
+    """Compile every panel target to a :class:`PromQLPlan`, binding
+    Grafana template variables first (promql/variables.py rules).
+
+    Keys are panel titles, suffixed with ``[refId]`` only where a
+    title has several targets — stable, human-readable, and unique.
+    """
+    targets = dashboard_targets(dashboard)
+    multi = {
+        t.title for t in targets if sum(x.title == t.title for x in targets) > 1
+    }
+    plans: dict[str, PromQLPlan] = {}
+    for t in targets:
+        key = t.key if t.title in multi else t.title
+        if key in plans:  # duplicate title+refId: disambiguate by index
+            key = f"{key} #{len(plans)}"
+        plans[key] = compile_promql(t.expr, variables=variables)
+    return plans

@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime as dt
 import glob
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1584,3 +1585,68 @@ def test_all_variable_in_multi_value_list():
 
     assert interpolate_variables("$v", {"v": ["$__all"]}) == ".*"
     assert interpolate_variables("$v", {"v": ["a", "$__all"]}) == ".*"
+
+
+_DASH_DIR = os.path.join(
+    "/root/reference/Prometheus/jmxexporter_configs/grafana/dashboards"
+)
+
+
+def test_compile_dashboard_covers_all_reference_panels():
+    """Round-7 whole-dashboard replay: every panel target of all three
+    reference dashboards (25 + 16 + 8 = the 49-expr corpus) extracts,
+    compiles, and keys uniquely; declared template variables are
+    surfaced."""
+    from kafka_metrics_exporter_spark.promql import (
+        compile_dashboard,
+        dashboard_targets,
+        dashboard_variables,
+    )
+
+    expected = {
+        "Kafka_Brokers_Dashboard.json": 25,
+        "Kafka_Connect_Dashboard.json": 16,
+        "ZooKeeper_Dashboard.json": 8,
+    }
+    total = 0
+    for fname, n in expected.items():
+        with open(os.path.join(_DASH_DIR, fname)) as fh:
+            dash = json.load(fh)
+        targets = dashboard_targets(dash)
+        assert len(targets) == n, (fname, len(targets))
+        total += n
+        plans = compile_dashboard(
+            dash, variables={"ServerName": "host0:1234"}
+        )
+        assert len(plans) == n  # unique keys, nothing dropped
+        for key, plan in plans.items():
+            assert plan.ast is not None, key
+    assert total == 49  # the documented corpus size
+    with open(os.path.join(_DASH_DIR, "ZooKeeper_Dashboard.json")) as fh:
+        zk = json.load(fh)
+    assert "ServerName" in dashboard_variables(zk)
+
+
+def test_zookeeper_dashboard_replay_end_to_end(corpus_metrics):
+    """The ZooKeeper dashboard replayed panel-by-panel with ServerName
+    bound: every panel executes, and the variable-bearing ones return
+    only the bound instance."""
+    from kafka_metrics_exporter_spark.promql import compile_dashboard
+
+    with open(os.path.join(_DASH_DIR, "ZooKeeper_Dashboard.json")) as fh:
+        dash = json.load(fh)
+    plans = compile_dashboard(dash, variables={"ServerName": "host0:1234"})
+    assert len(plans) == 8
+    nonempty = 0
+    for key, plan in plans.items():
+        out = plan.evaluate(corpus_metrics)
+        rows = out.collect()
+        # panels that HAD a $ServerName matcher (now the bound value in
+        # their compiled source) must select only that instance; the
+        # unfiltered panels (e.g. zookeeper_NodeCount) keep all hosts
+        if "host0:1234" in plan.source and "instance" in out.columns and rows:
+            assert {r["instance"] for r in rows} == {"host0:1234"}, key
+        nonempty += bool(rows)
+    # the fixture carries jvm_memory_bytes_used, PacketsReceived/Sent,
+    # NodeCount — several panels must actually produce samples
+    assert nonempty >= 3
