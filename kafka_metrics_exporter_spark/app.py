@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query-kibana-vis", default=None, metavar="FILE",
                    help="Kibana saved-object JSON (one visualization) "
                         "compiled and run against the metrics table")
+    q.add_argument("--query-kibana-dashboard", default=None, metavar="TITLE",
+                   help="with --query-kibana-vis pointing at a FULL "
+                        "saved-objects export: compile and run EVERY "
+                        "visualization of the dashboard with this "
+                        "title ('*' = all visualizations in the export)")
     q.add_argument("--query-dashboard", default=None, metavar="FILE",
                    help="Grafana dashboard JSON: compile EVERY panel "
                         "target (binding --query-var variables) and "
@@ -190,16 +195,27 @@ def run_query(args: argparse.Namespace, spark) -> int:
 
         with open(args.query_kibana_vis) as fh:
             saved = json.load(fh)
-        if isinstance(saved, list):  # a full export: take the first vis
-            saved = next(
-                o for o in saved if o.get("_type") == "visualization"
-            )
         kw = {}
         if args.query_auto_interval is not None:
             # 0 opts out to the legacy customInterval pin
             kw["auto_interval_buckets"] = args.query_auto_interval or None
         if args.query_start is not None and args.query_end is not None:
             kw["auto_range"] = (args.query_start, args.query_end)
+        if args.query_kibana_dashboard is not None:
+            from kafka_metrics_exporter_spark.kibana import compile_export
+
+            title = args.query_kibana_dashboard
+            plans = compile_export(
+                saved, dashboard=None if title == "*" else title
+            )
+            for key, plan in plans.items():
+                print(f"== {key}")
+                plan.evaluate(df, **kw).show(args.query_limit, truncate=False)
+            return 0
+        if isinstance(saved, list):  # a full export: take the first vis
+            saved = next(
+                o for o in saved if o.get("_type") == "visualization"
+            )
         out = compile_visualization(saved).evaluate(df, **kw)
     out.show(args.query_limit, truncate=False)
     return 0

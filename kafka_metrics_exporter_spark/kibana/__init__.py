@@ -6,8 +6,14 @@ compile their own queries."""
 
 from kafka_metrics_exporter_spark.kibana.compiler import (
     KibanaPlan,
+    compile_export,
     compile_visualization,
     parse_vis_state,
 )
 
-__all__ = ["KibanaPlan", "compile_visualization", "parse_vis_state"]
+__all__ = [
+    "KibanaPlan",
+    "compile_export",
+    "compile_visualization",
+    "parse_vis_state",
+]

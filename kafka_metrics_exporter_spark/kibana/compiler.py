@@ -547,3 +547,51 @@ def _query_string_pred(
             )
         return resolve(default_search_field).cast("string").contains(m.group(1))
     raise ValueError(f"kibana: unsupported query_string {q!r}")
+
+
+def compile_export(
+    saved_objects: "list | dict", dashboard: str | None = None
+) -> "dict[str, KibanaPlan]":
+    """Compile every visualization of a Kibana saved-objects EXPORT
+    (the shape of ELK/jmx_dashboard.json: a list of ``_type ==
+    "visualization"`` / ``"dashboard"`` objects) — the whole-dashboard
+    twin of promql.compile_dashboard (round 7).
+
+    ``dashboard`` narrows to one dashboard's panels (matched by its
+    ``_source.title``; panel membership comes from the dashboard
+    object's ``panelsJSON`` id list).  Markdown/navigation panels (no
+    aggs) are skipped — they carry nothing to query.  Keys are the
+    visualization titles, suffixed ``#<n>`` on duplicates.
+    """
+    import json as _json
+
+    objs = saved_objects if isinstance(saved_objects, list) else [saved_objects]
+    wanted_ids = None
+    if dashboard is not None:
+        dash_obj = next(
+            (
+                o
+                for o in objs
+                if o.get("_type") == "dashboard"
+                and o.get("_source", {}).get("title") == dashboard
+            ),
+            None,
+        )
+        if dash_obj is None:
+            raise ValueError(f"kibana: no dashboard titled {dashboard!r} in export")
+        panels = _json.loads(dash_obj["_source"].get("panelsJSON", "[]"))
+        wanted_ids = {p.get("id") for p in panels}
+    plans: dict[str, KibanaPlan] = {}
+    for o in objs:
+        if o.get("_type") != "visualization":
+            continue
+        if wanted_ids is not None and o.get("_id") not in wanted_ids:
+            continue
+        plan = compile_visualization(o)
+        if not plan.state.buckets and not plan.state.metrics:
+            continue  # markdown/navigation panel
+        key = o.get("_source", {}).get("title") or o.get("_id", "vis")
+        if key in plans:
+            key = f"{key} #{sum(1 for k in plans if k.startswith(key))}"
+        plans[key] = plan
+    return plans

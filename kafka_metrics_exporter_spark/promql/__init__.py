@@ -11,6 +11,7 @@ from kafka_metrics_exporter_spark.promql.compiler import (
 )
 from kafka_metrics_exporter_spark.promql.dashboard import (
     compile_dashboard,
+    dashboard_exprs,
     dashboard_targets,
     dashboard_variables,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "PromQLPlan",
     "compile_dashboard",
     "compile_promql",
+    "dashboard_exprs",
     "dashboard_targets",
     "dashboard_variables",
     "evaluate_range",

@@ -78,6 +78,22 @@ def dashboard_variables(dashboard) -> list[str]:
     ]
 
 
+def dashboard_exprs(dashboard, variables: dict | None = None) -> dict[str, str]:
+    """Panel key → interpolated expression TEXT — the input shape
+    ``streaming.pipeline.promql_panels`` takes, so a dashboard drops
+    onto a live stream in one line:
+
+        promql_panels(stream, dashboard_exprs(dash, vars), emit, ckpt)
+    """
+    # compile_dashboard interpolates before parse, and PromQLPlan keeps
+    # the post-interpolation text as .source — also proving each text
+    # parses before it reaches a stream
+    return {
+        key: plan.source
+        for key, plan in compile_dashboard(dashboard, variables=variables).items()
+    }
+
+
 def compile_dashboard(
     dashboard, variables: dict | None = None
 ) -> dict[str, PromQLPlan]:

@@ -535,3 +535,32 @@ def test_terms_ordered_by_min(docs):
                 )
             }
         )
+
+
+def test_compile_export_whole_dashboards():
+    """Round-7 whole-export replay (the ES twin of
+    promql.compile_dashboard): every aggs-bearing visualization of the
+    reference export compiles under a unique title key, and the
+    ``dashboard=`` filter narrows to each dashboard's panelsJSON
+    membership."""
+    from kafka_metrics_exporter_spark.kibana import compile_export
+
+    objs = json.load(open(_DASH))
+    plans = compile_export(objs)
+    # 27 visualizations minus the markdown navigation panel
+    assert len(plans) == 26
+    assert all(p.state.buckets or p.state.metrics for p in plans.values())
+
+    per_dash = {
+        "Confluent Platform Kafka Consumer Dashboard": 1,
+        "Confluent Platform Overall Dashboard": 6,
+        "Confluent Platform ZooKeeper Dashboard": 6,
+        "Confluent Platform Kafka Broker Dashboard": 9,
+        "Confluent Platform Kafka Connect Dashboard": 4,
+    }
+    for title, n in per_dash.items():
+        sub = compile_export(objs, dashboard=title)
+        assert len(sub) == n, (title, len(sub))
+        assert set(sub) <= set(plans)
+    with pytest.raises(ValueError):
+        compile_export(objs, dashboard="No Such Dashboard")

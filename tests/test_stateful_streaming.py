@@ -349,3 +349,68 @@ def test_promql_panels_grid_mode_per_microbatch(spark, tmp_path):
     # resolves at 00:01:30 via lookback; the 00:00:10 row is dropped
     assert g1 == {(1, 30): 30.0, (2, 0): 50.0, (2, 30): 70.0}
     assert 999.0 not in g1.values()
+
+
+def test_dashboard_panels_on_live_stream(spark, tmp_path):
+    """Round-7 composition: a REAL reference dashboard (ZooKeeper, 8
+    panel targets) dropped onto a live stream via dashboard_exprs →
+    promql_panels — every panel evaluates per micro-batch, the
+    $ServerName-bound panels select only the bound instance."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.promql import dashboard_exprs
+    from kafka_metrics_exporter_spark.streaming.pipeline import promql_panels
+
+    with open(
+        "/root/reference/Prometheus/jmxexporter_configs/grafana/dashboards/"
+        "ZooKeeper_Dashboard.json"
+    ) as fh:
+        dash = json.load(fh)
+    exprs = dashboard_exprs(dash, variables={"ServerName": "zk1:7000"})
+    assert len(exprs) == 8
+
+    src = tmp_path / "dashstream"
+    src.mkdir()
+    names = ["zookeeper_PacketsReceived", "zookeeper_PacketsSent",
+             "zookeeper_NumAliveConnections", "zookeeper_NodeCount"]
+    for b in range(2):
+        rows = [
+            (n, f"2024-01-01 00:0{b}:00", float(10 * s + b), f"zk{s}:7000", "heap")
+            for n in names for s in (1, 2)
+        ]
+        spark.createDataFrame(
+            rows, "name string, ts_s string, value double, instance string, area string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+
+    stream = (
+        spark.readStream.schema(
+            "name string, ts_s string, value double, instance string, area string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got: list[tuple[str, int, list]] = []
+    q = promql_panels(
+        stream,
+        exprs,
+        lambda name, df, bid: got.append((name, bid, df.collect())),
+        checkpoint=str(tmp_path / "dashckpt"),
+    )
+    q.awaitTermination(120)
+
+    per_batch = {}
+    for name, bid, rows in got:
+        per_batch.setdefault(bid, {})[name] = rows
+    assert set(per_batch) == {0, 1}
+    for bid, panels in per_batch.items():
+        assert len(panels) == 8
+        # bound panels: only zk1 rows wherever the panel has data
+        conns = panels["Number of Alive Connections"]
+        assert conns and {r["instance"] for r in conns} == {"zk1:7000"}
+        # Packets Tx+Rx sums the two bound series
+        tx = panels["Network Packet Tx/Rx"]
+        assert [r["value"] for r in tx] == [20.0 + 2 * bid]
