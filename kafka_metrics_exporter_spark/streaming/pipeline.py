@@ -254,6 +254,49 @@ def promql_panels(
     )
 
 
+def kibana_panels(
+    stream: "DataFrame",
+    visualizations: dict,
+    emit,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **evaluate_kwargs,
+):
+    """Kibana-on-live-stream — the ES-side twin of :func:`promql_panels`
+    (round 7): compiled visualization plans evaluated over each
+    micro-batch of the documents stream, exactly what a Kibana
+    dashboard refresh computes against the continuously-written index.
+
+    ``visualizations`` maps panel key → saved-object dict (or a whole
+    ``kibana.compile_export`` result of already-compiled KibanaPlans).
+    Compilation happens ONCE at wiring time; ``evaluate_kwargs``
+    (tiebreak=, default_search_field=, auto_interval_buckets=, ...)
+    pass through to every panel's evaluate.  ``emit(name, result_df,
+    batch_id)`` receives each panel's aggregation table per batch."""
+    from kafka_metrics_exporter_spark.kibana import compile_visualization
+    from kafka_metrics_exporter_spark.kibana.compiler import KibanaPlan
+
+    plans = {
+        name: vis if isinstance(vis, KibanaPlan) else compile_visualization(vis)
+        for name, vis in visualizations.items()
+    }
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            for name, plan in plans.items():
+                emit(name, plan.evaluate(df, **evaluate_kwargs), batch_id)
+        finally:
+            df.unpersist()
+
+    return (
+        stream.writeStream.trigger(**(trigger or {"availableNow": True}))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn)
+        .start()
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     key_cols: list[str] | None = None,

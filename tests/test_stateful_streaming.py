@@ -414,3 +414,57 @@ def test_dashboard_panels_on_live_stream(spark, tmp_path):
         # Packets Tx+Rx sums the two bound series
         tx = panels["Network Packet Tx/Rx"]
         assert [r["value"] for r in tx] == [20.0 + 2 * bid]
+
+
+def test_kibana_panels_on_live_stream(spark, tmp_path):
+    """kibana_panels — the ES-side twin of promql_panels: a real
+    corpus visualization (terms + avg) evaluated per micro-batch of a
+    documents stream, values pinned across 2 batches."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    vis = {
+        "visState": json.dumps(
+            {
+                "title": "t", "type": "table",
+                "aggs": [
+                    {"id": "2", "type": "terms", "schema": "bucket",
+                     "params": {"field": "component.keyword", "size": 10,
+                                 "order": "asc", "orderBy": "_term",
+                                 "customLabel": "component"}},
+                    {"id": "1", "type": "avg", "schema": "metric",
+                     "params": {"field": "v", "customLabel": "avg_v"}},
+                ],
+            }
+        )
+    }
+    src = tmp_path / "kibstream"
+    src.mkdir()
+    for b in range(2):
+        rows = [("broker", 10.0 + b), ("broker", 20.0 + b), ("zk", 5.0 + b)]
+        spark.createDataFrame(rows, "component string, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("component string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got: list[tuple[str, int, dict]] = []
+    q = kibana_panels(
+        stream,
+        {"overview": vis},
+        lambda name, df, bid: got.append(
+            (name, bid, {r["component"]: r["avg_v"] for r in df.collect()})
+        ),
+        checkpoint=str(tmp_path / "kibckpt"),
+    )
+    q.awaitTermination(120)
+    per_batch = {bid: vals for _, bid, vals in got}
+    assert per_batch == {
+        0: {"broker": 15.0, "zk": 5.0},
+        1: {"broker": 16.0, "zk": 6.0},
+    }
