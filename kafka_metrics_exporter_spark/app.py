@@ -143,7 +143,15 @@ def _parse_query_vars(bindings: list[str]) -> dict[str, object]:
 def run_query(args: argparse.Namespace, spark) -> int:
     """--query-* mode: compile the expression, run it, print, exit."""
     if not args.query_metrics:
-        raise SystemExit("--query-promql/--query-kibana-vis need --query-metrics PATH")
+        raise SystemExit(
+            "--query-promql/--query-dashboard/--query-kibana-vis need "
+            "--query-metrics PATH"
+        )
+    if args.query_kibana_dashboard is not None and not args.query_kibana_vis:
+        raise SystemExit(
+            "--query-kibana-dashboard needs --query-kibana-vis pointing at "
+            "the saved-objects export FILE"
+        )
     df = spark.read.parquet(args.query_metrics)
     if args.query_dashboard:
         import json
@@ -241,7 +249,8 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.query_promql or args.query_kibana_vis or args.query_dashboard:
+    if (args.query_promql or args.query_kibana_vis or args.query_dashboard
+            or args.query_kibana_dashboard):
         if spark is None:
             from kafka_metrics_exporter_spark.session import get_spark
 

@@ -580,7 +580,25 @@ def compile_export(
         if dash_obj is None:
             raise ValueError(f"kibana: no dashboard titled {dashboard!r} in export")
         panels = _json.loads(dash_obj["_source"].get("panelsJSON", "[]"))
-        wanted_ids = {p.get("id") for p in panels}
+        # legacy exports embed the vis id per panel; newer (7.x+)
+        # exports carry panelRefName entries resolved through the
+        # object-level references list
+        refs = {
+            r.get("name"): r.get("id")
+            for r in dash_obj.get("references", [])
+            if r.get("type") == "visualization"
+        }
+        wanted_ids = set()
+        for p in panels:
+            vid = p.get("id") or refs.get(p.get("panelRefName"))
+            if vid is not None:
+                wanted_ids.add(vid)
+        if panels and not wanted_ids:
+            raise ValueError(
+                f"kibana: dashboard {dashboard!r} has {len(panels)} panels "
+                f"but none resolve to a visualization id (unsupported "
+                f"panelsJSON shape?)"
+            )
     plans: dict[str, KibanaPlan] = {}
     for o in objs:
         if o.get("_type") != "visualization":
@@ -591,7 +609,12 @@ def compile_export(
         if not plan.state.buckets and not plan.state.metrics:
             continue  # markdown/navigation panel
         key = o.get("_source", {}).get("title") or o.get("_id", "vis")
+        # duplicate titles: first unused "#<n>" suffix (never clobbers
+        # an existing plan, even if a title literally ends in "#<n>")
         if key in plans:
-            key = f"{key} #{sum(1 for k in plans if k.startswith(key))}"
+            n = 2
+            while f"{key} #{n}" in plans:
+                n += 1
+            key = f"{key} #{n}"
         plans[key] = plan
     return plans

@@ -43,26 +43,34 @@ def _load(dashboard) -> dict:
 
 def dashboard_targets(dashboard) -> list[PanelTarget]:
     """Every (panel, target) pair carrying a non-empty ``expr``, in
-    panel order, recursing into row panels."""
+    panel order, recursing into row panels — both the modern top-level
+    ``panels`` list and the legacy (schemaVersion < 16)
+    ``rows[].panels`` layout."""
     d = _load(dashboard)
     out: list[PanelTarget] = []
 
     def walk(panels):
         for p in panels or []:
             title = p.get("title") or p.get("type", "panel")
-            for t in p.get("targets", []):
+            for i, t in enumerate(p.get("targets", [])):
                 expr = (t.get("expr") or "").strip()
                 if expr:
+                    # refId fallback letters by PANEL-local position, so
+                    # keys are stable against unrelated panel edits
                     out.append(
                         PanelTarget(
                             title=title,
-                            ref_id=str(t.get("refId", chr(ord("A") + len(out)))),
+                            ref_id=str(
+                                t.get("refId", chr(ord("A") + (i % 26)))
+                            ),
                             expr=expr,
                         )
                     )
             walk(p.get("panels"))
 
     walk(d.get("panels"))
+    for row in d.get("rows") or []:  # legacy layout
+        walk(row.get("panels"))
     return out
 
 
@@ -110,7 +118,13 @@ def compile_dashboard(
     plans: dict[str, PromQLPlan] = {}
     for t in targets:
         key = t.key if t.title in multi else t.title
-        if key in plans:  # duplicate title+refId: disambiguate by index
-            key = f"{key} #{len(plans)}"
+        # duplicate title+refId: first unused "#<n>" suffix (never
+        # clobbers an existing plan, even if a title literally ends
+        # in "#<n>")
+        if key in plans:
+            n = 2
+            while f"{key} #{n}" in plans:
+                n += 1
+            key = f"{key} #{n}"
         plans[key] = compile_promql(t.expr, variables=variables)
     return plans

@@ -564,3 +564,36 @@ def test_compile_export_whole_dashboards():
         assert set(sub) <= set(plans)
     with pytest.raises(ValueError):
         compile_export(objs, dashboard="No Such Dashboard")
+
+
+def test_compile_export_panel_ref_name_resolution():
+    """Code-review r7 hardening: newer exports reference panels via
+    panelRefName + an object-level references list; unresolvable
+    panelsJSON raises instead of silently compiling nothing."""
+    from kafka_metrics_exporter_spark.kibana import compile_export
+
+    vis = {
+        "_id": "vis-1", "_type": "visualization",
+        "_source": {"title": "Terms", "visState": json.dumps({
+            "title": "Terms", "type": "table",
+            "aggs": [{"id": "1", "type": "count", "schema": "metric",
+                       "params": {"customLabel": "n"}}],
+        })},
+    }
+    dash = {
+        "_id": "dash-1", "_type": "dashboard",
+        "_source": {"title": "D",
+                    "panelsJSON": json.dumps([{"panelRefName": "panel_0"}])},
+        "references": [{"name": "panel_0", "type": "visualization",
+                         "id": "vis-1"}],
+    }
+    plans = compile_export([vis, dash], dashboard="D")
+    assert list(plans) == ["Terms"]
+
+    bad_dash = {
+        "_id": "dash-2", "_type": "dashboard",
+        "_source": {"title": "Bad",
+                    "panelsJSON": json.dumps([{"panelRefName": "panel_9"}])},
+    }
+    with pytest.raises(ValueError):
+        compile_export([vis, bad_dash], dashboard="Bad")

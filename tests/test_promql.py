@@ -1650,3 +1650,30 @@ def test_zookeeper_dashboard_replay_end_to_end(corpus_metrics):
     # the fixture carries jvm_memory_bytes_used, PacketsReceived/Sent,
     # NodeCount — several panels must actually produce samples
     assert nonempty >= 3
+
+
+def test_dashboard_targets_legacy_rows_and_dup_keys():
+    """Code-review r7 hardening: legacy (schemaVersion < 16) dashboards
+    store panels under rows[].panels; duplicate title+refId keys get
+    first-unused #n suffixes without clobbering."""
+    from kafka_metrics_exporter_spark.promql import (
+        compile_dashboard,
+        dashboard_targets,
+    )
+
+    dash = {
+        "rows": [
+            {"panels": [
+                {"title": "CPU", "targets": [{"expr": "m", "refId": "A"}]},
+            ]},
+            {"panels": [
+                {"title": "CPU", "targets": [{"expr": "n", "refId": "A"}]},
+                {"title": "CPU", "targets": [{"expr": "m + n", "refId": "A"}]},
+            ]},
+        ]
+    }
+    targets = dashboard_targets(dash)
+    assert [t.expr for t in targets] == ["m", "n", "m + n"]
+    plans = compile_dashboard(dash)
+    assert len(plans) == 3  # nothing clobbered
+    assert sorted(plans) == ["CPU [A]", "CPU [A] #2", "CPU [A] #3"]
