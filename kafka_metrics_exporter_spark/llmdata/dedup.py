@@ -888,3 +888,153 @@ def _connected_components_star(
             F.coalesce("comp", F.col(id_col)).alias("component"),
         )
     )
+
+
+# --- passage-level exact dedup ----------------------------------------------
+def passage_table(
+    docs: DataFrame,
+    passage_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Each document's token stream cut into fixed non-overlapping
+    ``passage_tokens``-token passages: one row per (doc, passage index)
+    with the passage's md5.  The span-level unit of C4/RefinedWeb-style
+    dedup — when documents carry no structural paragraph breaks (the
+    synthetic corpus is a flat word stream), a fixed token window IS
+    the passage.
+
+    All codegen array expressions (split → sliced concat → md5), no
+    Python; the per-doc expansion factor is ceil(tokens/passage_tokens),
+    and only the 16-byte digest leaves the scan — the passage TEXT
+    never shuffles."""
+    if passage_tokens < 1:
+        raise ValueError("llmdata: passage_tokens must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n_passages = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_passages - 1))
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"), idx.alias("p_idx"))
+        .select(
+            id_col,
+            "p_idx",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_toks"),
+                        F.col("p_idx") * passage_tokens + 1,
+                        passage_tokens,
+                    ),
+                )
+            ).alias("p_hash"),
+        )
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    passage_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document passage-duplication audit: total passages and how
+    many of them also occur in ANOTHER document (cross-document span
+    duplication — boilerplate, licenses, templated intros).
+
+    Plan: one hash aggregation keyed by passage digest (doc-distinct
+    counts), joined back to the passage rows — both sides keyed by the
+    uniform 128-bit digest, so no skew; at 100 TB the digest-frequency
+    side is |distinct passages| rows of 20 bytes."""
+    p = passage_table(docs, passage_tokens, text_col, id_col)
+    freq = p.groupBy("p_hash").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    return (
+        p.join(freq, "p_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_passages"),
+        )
+    )
+
+
+def drop_duplicated_passages(
+    docs: DataFrame,
+    passage_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document keeping, for every cross-document-
+    duplicated passage, only its globally-first occurrence (min
+    (doc_id, p_idx) — the C4 rule of keeping one copy of a repeated
+    span).  Output: (id, cleaned text, n_kept, n_dropped).
+
+    The keeper election is a min_by over the same digest-keyed
+    aggregation passage_dup_stats uses; reconstruction re-concatenates
+    the surviving passages in index order with concat_ws over a
+    sort_array'd struct collect — per-doc state bounded by the doc's
+    own passage count."""
+    p = passage_table(docs, passage_tokens, text_col, id_col)
+    keeper = p.groupBy("p_hash").agg(
+        F.min_by(
+            F.struct(F.col(id_col).alias("kid"), F.col("p_idx").alias("kidx")),
+            F.struct(F.col(id_col), F.col("p_idx")),
+        ).alias("_k"),
+        F.countDistinct(id_col).alias("_docs"),
+    )
+    keep = (
+        p.join(keeper, "p_hash")
+        .filter(
+            (F.col("_docs") == 1)
+            | ((F.col("_k.kid") == F.col(id_col)) & (F.col("_k.kidx") == F.col("p_idx")))
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    passages = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    )
+    kept_text = (
+        keep.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("p_idx"), F.col("p_hash")))
+            ).alias("_kept"),
+        )
+    )
+    # re-slice the original token array for each kept index (join back
+    # to the doc's tokens; the passage text itself never shuffled)
+    rebuilt = (
+        kept_text.join(passages, id_col)
+        .select(
+            id_col,
+            "n_kept",
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.col("_kept"),
+                        lambda k: F.slice(
+                            F.col("_toks"),
+                            k["p_idx"] * passage_tokens + 1,
+                            passage_tokens,
+                        ),
+                    )
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    total = passage_table(docs, passage_tokens, text_col, id_col).groupBy(
+        id_col
+    ).agg(F.count(F.lit(1)).alias("_total"))
+    return rebuilt.join(total, id_col).select(
+        id_col,
+        "clean_text",
+        "n_kept",
+        (F.col("_total") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+    )

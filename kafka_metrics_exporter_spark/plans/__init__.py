@@ -36,13 +36,14 @@ CURRENT_ROUND = 7
 # verdict's rotation ask, executed):
 #   - the 46 queries whose latest driver row is r5 (they sat after slot
 #     50 in the r6 window) — promoted so no query's driver row is more
-#     than one round old — MINUS the two STALE_OUT_OF_WINDOW demotions
-#     the slot arithmetic forces (46 + 4 new + 2 changed = 52 > 50, so
-#     44 promote);
+#     than one round old — MINUS the three STALE_OUT_OF_WINDOW
+#     demotions the slot arithmetic forces (46 + 5 new + 2 changed =
+#     53 > 50, so 43 promote);
 #   - queries NEW this round (holt_winters / the calendar family /
 #     Kibana median+percentiles — the r6 library-level additions that
 #     had no registry slot — plus promql_trig_group for the r7
-#     trig/pi/group grammar);
+#     trig/pi/group grammar and dedup_passage for the r7 span-dedup
+#     family);
 #   - queries whose results or oracle CHANGED this round
 #     (funcRound reciprocal form; real ES auto-interval as the
 #     date_histogram default).
@@ -61,6 +62,7 @@ NEW_THIS_ROUND = [
     "promql_calendar",
     "kibana_median",
     "promql_trig_group",
+    "dedup_passage",
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -84,10 +86,12 @@ CHANGED_OUT_OF_WINDOW = [
 # r5-latest queries demoted to make the slot arithmetic fit (their
 # driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
 # re-record and the pytest oracle replay cover them, machine-checked).
-# o1_distinct / o5_intersect: trivial set ops, code untouched since r1.
+# o1_distinct / o5_intersect: trivial set ops, code untouched since
+# r1; o4_sort_limit: trivial TakeOrdered, additionally plan-pinned.
 STALE_OUT_OF_WINDOW = [
     "o1_distinct",
     "o5_intersect",
+    "o4_sort_limit",
 ]
 
 WINDOW_PRIORITY = [
@@ -110,7 +114,6 @@ WINDOW_PRIORITY = [
     "j3_union_byname",
     "j5_explode_parent_child",
     "o3_anti_join",
-    "o4_sort_limit",
     "p_scalar_pack",
     "j6_asof_join",
     "a12_rollup",

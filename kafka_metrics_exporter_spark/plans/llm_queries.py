@@ -1542,3 +1542,44 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_metrics_exporter_spark.llmdata.text import tfidf_topk
 
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "dedup_passage",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, CAST(u.i AS INT) AS p_idx,
+             md5(array_to_string(
+               list_slice(toks, CAST(u.i AS BIGINT) * 20 + 1,
+                          CAST(u.i AS BIGINT) * 20 + 20), ' ')) AS p_hash
+      FROM t, UNNEST(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+    ),
+    freq AS (
+      SELECT p_hash, COUNT(DISTINCT doc_id) AS docs FROM p GROUP BY p_hash
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN freq.docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages
+    FROM p JOIN freq USING (p_hash)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (fixed 20-token window) cross-document span
+    duplication audit — the C4/RefinedWeb span-dedup unit when docs
+    carry no structural paragraphs (llmdata/dedup.py passage_dup_stats;
+    drop_duplicated_passages is the destructive form, pytest-pinned).
+    Scale: passages shuffle as 16-byte digests only (the passage text
+    never leaves the scan); both the frequency agg and the join back
+    are keyed by the uniform digest — no skew.  The oracle replays the
+    identical chunking with list_slice/md5 in SQL."""
+    out = dedup.passage_dup_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_passages").cast("bigint").alias("n_passages"),
+        "n_dup_passages",
+    )

@@ -931,3 +931,45 @@ def test_tfidf_topk_under_stopword_skew(spark):
         assert d[f"rare{i}"]["score"] == pytest.approx(rare_score)
         assert d["the"]["score"] == pytest.approx(3.0)
         assert d["the"]["df"] == n
+
+
+# --- passage-level dedup -----------------------------------------------------
+def test_passage_dup_stats_and_drop(spark):
+    """Fixed-window passage dedup (round 7): cross-document duplicated
+    spans are counted per doc, and drop_duplicated_passages keeps only
+    the globally-first occurrence (min (doc_id, p_idx)) of each
+    duplicated passage, rebuilding the text in index order."""
+    w = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    shared = w(100, 105)  # a 5-token boilerplate passage
+    docs = spark.createDataFrame(
+        [
+            (1, w(0, 5) + " " + shared),          # P0 unique, P1 = shared
+            (2, shared + " " + w(10, 15)),        # P0 = shared, P1 unique
+            (3, w(20, 25)),                        # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"])
+        for r in dedup.passage_dup_stats(docs, passage_tokens=5).collect()
+    }
+    assert stats == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+    clean = {
+        r["doc_id"]: r
+        for r in dedup.drop_duplicated_passages(docs, passage_tokens=5).collect()
+    }
+    # doc 1 holds the first occurrence (doc 1, idx 1) -> keeps both
+    assert clean[1]["clean_text"] == w(0, 5) + " " + shared
+    assert (clean[1]["n_kept"], clean[1]["n_dropped"]) == (2, 0)
+    # doc 2's copy of the shared passage is dropped
+    assert clean[2]["clean_text"] == w(10, 15)
+    assert (clean[2]["n_kept"], clean[2]["n_dropped"]) == (1, 1)
+    assert clean[3]["clean_text"] == w(20, 25)
+
+    # a doc shorter than the window still forms one (short) passage
+    short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    srow = dedup.passage_dup_stats(short, passage_tokens=5).collect()[0]
+    assert (srow["n_passages"], srow["n_dup_passages"]) == (1, 0)
+    with pytest.raises(ValueError):
+        dedup.passage_table(short, passage_tokens=0)
