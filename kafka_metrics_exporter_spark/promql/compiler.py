@@ -986,6 +986,34 @@ def _eval_label_fn(
     return _Vec(df, frozenset(labels))
 
 
+def _bin_mod(a, b):
+    # Prometheus % is Go math.Mod: TRUNCATED modulo, sign of the
+    # dividend (-5 % 4 == -1).  Python's float % is floored (sign of
+    # divisor), so the pure-scalar path needs math.fmod; Spark's double
+    # Remainder is the Java %, already truncated.
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        return math.fmod(a, b)
+    return a % b
+
+
+def _bin_pow(a, b):
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        return math.pow(a, b)
+    return F.pow(a, b)
+
+
+def _bin_atan2(a, b):
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        return math.atan2(a, b)
+    return F.atan2(a, b)
+
+
 def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | float:
     left = _eval(node.left, metrics, label_cols, leaf)
     right = _eval(node.right, metrics, label_cols, leaf)
@@ -994,6 +1022,9 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
         "/": lambda a, b: a / b,
+        "%": _bin_mod,
+        "^": _bin_pow,
+        "atan2": _bin_atan2,
     }
     if isinstance(left, float) and isinstance(right, float):
         return py_ops[node.op](left, right)

@@ -300,7 +300,7 @@ _TOKEN_RE = re.compile(
       | (?P<duration>\d+(?:\.\d+)?(?:ms|[smhdw]))
       | (?P<ident>[A-Za-z_:][A-Za-z0-9_:]*)
       | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-      | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/(){}\[\],@])
+      | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/%^(){}\[\],@])
     )""",
     re.VERBOSE,
 )
@@ -443,7 +443,7 @@ class _Parser:
                 self.next()
                 bool_mode = True
             threshold = self.signed_number("comparison")
-            if self.peek()[1] in ("+", "-", "*", "/"):
+            if self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
                 raise SyntaxError(
                     "promql: arithmetic after a comparison threshold is a "
                     "vector comparison, which this subset does not support "
@@ -462,11 +462,27 @@ class _Parser:
         return node
 
     def parse_term(self) -> Expr:
-        node = self.parse_factor()
-        while self.peek()[1] in ("*", "/"):
+        # * / % atan2 share a precedence level in PromQL; atan2 is a
+        # keyword OPERATOR only in infix position (a metric named
+        # atan2 still selects at factor position)
+        node = self.parse_power()
+        while self.peek()[1] in ("*", "/", "%") or self.peek() == (
+            "ident",
+            "atan2",
+        ):
             op = self.next()[1]
             match = self._vector_match()
-            node = Bin(op, node, self.parse_factor(), match=match)
+            node = Bin(op, node, self.parse_power(), match=match)
+        return node
+
+    def parse_power(self) -> Expr:
+        # ^ binds tightest of the binary ops and is RIGHT-associative
+        # (2 ^ 3 ^ 2 == 2 ^ (3 ^ 2)), per the Prometheus operator table
+        node = self.parse_factor()
+        if self.peek()[1] == "^":
+            self.next()
+            match = self._vector_match()
+            node = Bin("^", node, self.parse_power(), match=match)
         return node
 
     def _label_list(self) -> tuple[str, ...]:

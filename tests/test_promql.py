@@ -1677,3 +1677,42 @@ def test_dashboard_targets_legacy_rows_and_dup_keys():
     plans = compile_dashboard(dash)
     assert len(plans) == 3  # nothing clobbered
     assert sorted(plans) == ["CPU [A]", "CPU [A] #2", "CPU [A] #3"]
+
+
+def test_modulo_power_atan2_operators(tiny):
+    """Round-7 binary-operator completion: % (Go math.Mod — TRUNCATED,
+    sign of the dividend), ^ (right-associative, binds tightest), and
+    the atan2 keyword operator (infix only — a metric named atan2
+    still selects)."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = {(r["topic"], r["instance"], r["ts"]): r["value"]
+         for r in compile_promql("m").evaluate(tiny).collect()}
+
+    mod = {(r["topic"], r["instance"], r["ts"]): r["value"]
+           for r in compile_promql("(m - 12) % 4").evaluate(tiny).collect()}
+    for k, v in m.items():
+        assert mod[k] == math.fmod(v - 12, 4), (k, v)
+    # the sign case that separates truncated from floored modulo
+    assert mod[("", "h2", t0)] == math.fmod(7.0 - 12, 4) == -1.0
+
+    pw = {(r["topic"], r["instance"], r["ts"]): r["value"]
+          for r in compile_promql("m ^ 2").evaluate(tiny).collect()}
+    assert pw[("a", "h1", t0)] == 100.0
+    # right associativity: m ^ 2 ^ 3 == m ^ 8 (scalar exponent folds)
+    pw8 = {(r["topic"], r["instance"], r["ts"]): r["value"]
+           for r in compile_promql("m ^ 2 ^ 3").evaluate(tiny).collect()}
+    assert pw8[("a", "h1", t0)] == 10.0 ** 8
+    # precedence: ^ over *, * over +
+    both = {(r["topic"], r["instance"], r["ts"]): r["value"]
+            for r in compile_promql("m + m * m ^ 2").evaluate(tiny).collect()}
+    assert both[("a", "h1", t0)] == 10.0 + 10.0 * 100.0
+
+    at = {(r["topic"], r["instance"], r["ts"]): r["value"]
+          for r in compile_promql("m atan2 (m + 5)").evaluate(tiny).collect()}
+    assert at[("a", "h1", t0)] == math.atan2(10.0, 15.0)
+
+    from kafka_metrics_exporter_spark.promql import parser as pql
+
+    assert isinstance(parse("atan2"), pql.Selector)  # factor position
