@@ -36,9 +36,10 @@ CURRENT_ROUND = 7
 # verdict's rotation ask, executed):
 #   - the 46 queries whose latest driver row is r5 (they sat after slot
 #     50 in the r6 window) — promoted so no query's driver row is more
-#     than one round old — MINUS the three STALE_OUT_OF_WINDOW
-#     demotions the slot arithmetic forces (46 + 5 new + 2 changed =
-#     53 > 50, so 43 promote);
+#     than one round old — MINUS the seven STALE_OUT_OF_WINDOW
+#     demotions the slot arithmetic forces (46 + 8 new + 4 changed =
+#     58 > 50, so 38 promote; promql_vector_matching promotes via
+#     CHANGED_THIS_ROUND instead of the stale section);
 #   - queries NEW this round (holt_winters / the calendar family /
 #     Kibana median+percentiles — the r6 library-level additions that
 #     had no registry slot — plus promql_trig_group for the r7
@@ -63,6 +64,9 @@ NEW_THIS_ROUND = [
     "kibana_median",
     "promql_trig_group",
     "dedup_passage",
+    "promql_vector_compare",  # vector-vector comparison grammar
+    "promql_rules_group",  # Prometheus recording+alerting rule groups
+    "openmetrics_roundtrip",  # exposition-format source/sink
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -71,6 +75,12 @@ NEW_THIS_ROUND = [
 CHANGED_THIS_ROUND = [
     "promql_round_scalar",  # funcRound reciprocal form (ADVICE r6)
     "kibana_date_histogram",  # real ES auto-interval is now the default
+    # the IEEE division/mod rewrite (_bin_div CaseWhen guards for
+    # Spark-ANSI divide-by-zero) changes the compiled expression of
+    # every PromQL `/` — the two in-registry division queries not
+    # already in-window as NEW/CHANGED re-verify here:
+    "promql_vector_math",
+    "promql_vector_matching",
 ]
 
 # Changed queries that did NOT fit the 50-slot window.  Exemption
@@ -87,11 +97,21 @@ CHANGED_OUT_OF_WINDOW = [
 # driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
 # re-record and the pytest oracle replay cover them, machine-checked).
 # o1_distinct / o5_intersect: trivial set ops, code untouched since
-# r1; o4_sort_limit: trivial TakeOrdered, additionally plan-pinned.
+# r1; o4_sort_limit: trivial TakeOrdered, additionally plan-pinned;
+# o3_anti_join / j1_cross_join: single-operator left_anti / cross
+# joins untouched since r1, demoted to make room for the late
+# promql_vector_compare + the division-rewrite CHANGED promotions.
 STALE_OUT_OF_WINDOW = [
     "o1_distinct",
     "o5_intersect",
     "o4_sort_limit",
+    "o3_anti_join",
+    "j1_cross_join",
+    # j3/j5: trivial unionByName merge / single-explode queries
+    # untouched since r1, demoted for the promql_rules_group and
+    # openmetrics_roundtrip slots
+    "j3_union_byname",
+    "j5_explode_parent_child",
 ]
 
 WINDOW_PRIORITY = [
@@ -110,10 +130,6 @@ WINDOW_PRIORITY = [
     "w8_frame_specs",
     "w9_regex_label_rate_sum",
     "w10_topk_rate_nonempty",
-    "j1_cross_join",
-    "j3_union_byname",
-    "j5_explode_parent_child",
-    "o3_anti_join",
     "p_scalar_pack",
     "j6_asof_join",
     "a12_rollup",
@@ -127,7 +143,6 @@ WINDOW_PRIORITY = [
     "promql_topk_rate_grid",
     "promql_histogram_quantile_grid",
     "dedup_components_star",
-    "promql_vector_matching",
     "promql_set_ops",
     "promql_count_values",
     "promql_subquery",

@@ -703,6 +703,43 @@ def promql_vector_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "promql_vector_compare",
+    f"""
+    WITH m AS ({_METRICS2_SQL}),
+    c AS (SELECT * FROM m WHERE name = 'click'),
+    v AS (SELECT region, ts, SUM(value) / 100 AS rv
+          FROM m WHERE name = 'view' GROUP BY 1, 2)
+    SELECT c.user_id, c.region,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           c.value
+    FROM c JOIN v ON c.region = v.region AND c.ts = v.ts
+    WHERE c.value > v.rv
+    """,
+)
+def promql_vector_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`click > on(region) group_left sum by (region) (view) / 100`
+    — vector-vector comparison with many-to-one matching: Prometheus's
+    comparison FILTER semantics (engine.go's comparison branch) keep
+    the many (left) side's elements — full label set, left value —
+    where the matched comparison holds.  Alert-rule shape: "users
+    whose clicks exceed 1% of their region's views this hour".
+    Exercises the Cmp vector-rhs grammar, group_left comparison
+    routing, and the scalar-division rewrite in one expression; exact
+    count arithmetic keeps the doubles bit-identical to the SQL twin,
+    so the comparison can't straddle a float boundary."""
+    plan = compile_promql(
+        "click > on(region) group_left sum by (region) (view) / 100"
+    )
+    out = plan.evaluate(_metrics2_view(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "region",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("value"),
+    )
+
+
+@query(
     "promql_set_ops",
     f"""
     WITH m AS ({_METRICS_SQL.format(grain="hour")}),
@@ -1074,4 +1111,106 @@ def promql_trig_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+_RULES_YAML = """
+groups:
+- name: engagement
+  interval: 1h
+  rules:
+  - record: region:click:sum
+    expr: sum by (region) (click)
+  - alert: HighRegionClicks
+    expr: region:click:sum > 40
+    for: 2h
+"""
+
+
+@query(
+    "promql_rules_group",
+    f"""
+    WITH m AS ({_METRICS2_SQL}),
+    rec AS (SELECT region, ts, SUM(value) AS value
+            FROM m WHERE name = 'click' GROUP BY 1, 2),
+    hits AS (SELECT region, ts, value FROM rec WHERE value > 40),
+    marks AS (
+      SELECT region, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                  THEN epoch(ts) END AS mark
+      FROM hits WINDOW w AS (PARTITION BY region ORDER BY ts)),
+    runs AS (
+      SELECT region, ts, value,
+             MAX(mark) OVER (PARTITION BY region ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS run_start
+      FROM marks)
+    SELECT region, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CASE WHEN epoch(ts) - run_start >= 7200
+                THEN 'firing' ELSE 'pending' END AS alertstate,
+           value
+    FROM runs
+    """,
+)
+def promql_rules_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus rule-group evaluation end-to-end (promql/rules.py):
+    a recording rule (`region:click:sum = sum by (region) (click)`)
+    materialized into the series frame, then an alerting rule that
+    SELECTS THE RECORDED SERIES (`region:click:sum > 40`, for: 2h) —
+    the sequential in-group chaining of rules/manager.go — with the
+    pending→firing state machine on the 1h evaluation grid: an element
+    fires once present continuously for ≥ 2h (two steps after its
+    run's first instant); a missed instant resets the run.
+
+    The oracle mirrors the whole ladder in SQL: grouped sum → filter →
+    gaps-and-islands (lag + running MAX of run marks) → the for-
+    threshold CASE.  Hour-truncated counts keep every double exact and
+    the grid degenerate-free (samples hour-aligned, lookback 300s <
+    step 3600s, so grid instants coincide with sample hours)."""
+    from kafka_metrics_exporter_spark.promql.rules import evaluate_rules
+
+    res = evaluate_rules(_RULES_YAML, _metrics2_view(spark, sf_dir))["engagement"]
+    al = res.alerts["HighRegionClicks"]
+    return al.select(
+        "region",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "alertstate",
+        F.col("value"),
+    )
+
+
+@query(
+    "openmetrics_roundtrip",
+    f"""
+    WITH m AS ({_METRICS2_SQL})
+    SELECT name, user_id, region,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM m
+    """,
+)
+def openmetrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus exposition-format source/sink
+    (sources/openmetrics.py): serialize the metrics view to text lines
+    (`name{{user_id="…",region="…"}} <value> <ts_ms>`) and parse them
+    back with the quote-aware JVM decoder — the round trip is the
+    identity, so the oracle is the view itself.  Counts are integral
+    doubles and hour-truncated timestamps are exact in epoch-millis,
+    so serialize→parse is bit-exact; the whole path is codegen
+    expressions (regexp_extract/map_from_arrays), zero Python —
+    pinned by tests/test_openmetrics.py's EvalPython plan assert."""
+    from kafka_metrics_exporter_spark.sources.openmetrics import (
+        exposition_lines,
+        labels_to_columns,
+        parse_exposition,
+    )
+
+    m = _metrics2_view(spark, sf_dir)
+    text = exposition_lines(m, label_cols=["user_id", "region"])
+    back = labels_to_columns(parse_exposition(text), ["user_id", "region"])
+    return back.select(
+        "name",
+        "user_id",
+        "region",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("value"),
     )

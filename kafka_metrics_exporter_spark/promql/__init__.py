@@ -17,6 +17,11 @@ from kafka_metrics_exporter_spark.promql.dashboard import (
 )
 from kafka_metrics_exporter_spark.promql.parser import parse
 from kafka_metrics_exporter_spark.promql.range_eval import evaluate_range
+from kafka_metrics_exporter_spark.promql.rules import (
+    evaluate_group,
+    evaluate_rules,
+    parse_rule_groups,
+)
 from kafka_metrics_exporter_spark.promql.variables import interpolate_variables
 
 __all__ = [
@@ -26,8 +31,11 @@ __all__ = [
     "dashboard_exprs",
     "dashboard_targets",
     "dashboard_variables",
+    "evaluate_group",
     "evaluate_range",
+    "evaluate_rules",
     "evaluate_streaming",
     "interpolate_variables",
     "parse",
+    "parse_rule_groups",
 ]

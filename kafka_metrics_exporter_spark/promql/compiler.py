@@ -50,6 +50,7 @@ plan scales exactly like the hand-written query suite.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -316,6 +317,7 @@ def _eval(
             # Prometheus: 0 = Sunday; Spark dayofweek: 1 = Sunday
             "day_of_week": lambda c: F.dayofweek(c) - F.lit(1),
             "day_of_month": F.dayofmonth,
+            "day_of_year": F.dayofyear,
             "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
             "month": F.month,
             "year": F.year,
@@ -387,28 +389,7 @@ def _eval(
             scalar=vec.scalar,
         )
     if isinstance(node, Cmp):
-        vec = _eval(node.expr, metrics, label_cols, leaf)
-        if isinstance(vec, float):
-            raise ValueError("promql: cannot compare a scalar expression")
-        ops = {
-            ">": Column.__gt__,
-            "<": Column.__lt__,
-            ">=": Column.__ge__,
-            "<=": Column.__le__,
-            "==": Column.__eq__,
-            "!=": Column.__ne__,
-        }
-        pred = ops[node.op](F.col("value"), F.lit(node.threshold))
-        if node.bool_mode:
-            # `> bool c`: keep every element, value becomes 1.0/0.0
-            return _Vec(
-                vec.df.withColumn(
-                    "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
-                ),
-                vec.labels,
-                scalar=vec.scalar,
-            )
-        return _Vec(vec.df.filter(pred), vec.labels, scalar=vec.scalar)
+        return _eval_cmp(node, metrics, label_cols, leaf)
     if isinstance(node, Time):
         # the evaluation timestamp, per instant: a label-less SCALAR
         # over the instant universe (sample timestamps / step grid)
@@ -986,23 +967,62 @@ def _eval_label_fn(
     return _Vec(df, frozenset(labels))
 
 
-def _bin_mod(a, b):
-    # Prometheus % is Go math.Mod: TRUNCATED modulo, sign of the
-    # dividend (-5 % 4 == -1).  Python's float % is floored (sign of
-    # divisor), so the pure-scalar path needs math.fmod; Spark's double
-    # Remainder is the Java %, already truncated.
+def _bin_div(a, b):
+    """IEEE-754 division, which Prometheus inherits from Go: x/0 is
+    ±Inf with the dividend's sign, 0/0 and NaN/0 are NaN.  Spark 4's
+    ANSI mode (the default) makes ``/`` THROW on a zero divisor, so
+    the Column path spells the zero-divisor branches out in a CaseWhen
+    (branches evaluate per-row, so the ANSI error can't fire); the
+    pure-scalar path mirrors it because CPython raises
+    ZeroDivisionError.  One documented divergence: the Column path
+    can't see a −0.0 divisor's sign (Spark compares −0.0 == 0), so
+    x/−0 yields +Inf-signed results; the scalar path is exact."""
     import math
 
     if isinstance(a, float) and isinstance(b, float):
+        if b == 0.0:
+            if math.isnan(a) or a == 0.0:
+                return float("nan")
+            return math.copysign(float("inf"), a) * math.copysign(1.0, b)
+        return a / b
+    return (
+        F.when(b != 0, a / b)
+        .when(F.isnan(a), F.lit(float("nan")))
+        .when(a > 0, F.lit(float("inf")))
+        .when(a < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def _bin_mod(a, b):
+    # Prometheus % is Go math.Mod: TRUNCATED modulo, sign of the
+    # dividend (-5 % 4 == -1), Mod(x, 0) = Mod(±Inf, y) = NaN,
+    # Mod(x, ±Inf) = x.  Spark's double Remainder is the Java %,
+    # which agrees on all of those EXCEPT that ANSI mode throws on a
+    # zero divisor — guarded in a CaseWhen branch.  Python's math.fmod
+    # matches Go's sign rules but RAISES where Go returns NaN.
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        if b == 0.0 or math.isinf(a):
+            return float("nan")
         return math.fmod(a, b)
-    return a % b
+    return F.when(b != 0, a % b).otherwise(F.lit(float("nan")))
 
 
 def _bin_pow(a, b):
     import math
 
     if isinstance(a, float) and isinstance(b, float):
-        return math.pow(a, b)
+        # Go's math.Pow never raises: NaN where CPython's ValueError
+        # fires (e.g. (−1)^0.5), ±Inf on overflow
+        try:
+            return math.pow(a, b)
+        except ValueError:
+            return float("nan")
+        except OverflowError:
+            neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
+            return float("-inf") if neg else float("inf")
     return F.pow(a, b)
 
 
@@ -1014,6 +1034,151 @@ def _bin_atan2(a, b):
     return F.atan2(a, b)
 
 
+_CMP_COL_OPS = {
+    ">": Column.__gt__,
+    "<": Column.__lt__,
+    ">=": Column.__ge__,
+    "<=": Column.__le__,
+    "==": Column.__eq__,
+    "!=": Column.__ne__,
+}
+_CMP_PY_OPS = {
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def _bool01(pred: Column) -> Column:
+    return F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def _ieee_cmp(op: str, lv: Column, rv: Column) -> Column:
+    """IEEE-754 comparison semantics, which Prometheus inherits from
+    Go: any comparison involving NaN is false, except ``!=`` which is
+    true.  Spark instead orders NaN greatest and makes NaN equal to
+    itself, so the NaN cases need an explicit guard."""
+    nan = F.isnan(lv) | F.isnan(rv)
+    base = _CMP_COL_OPS[op](lv, rv)
+    if op == "!=":
+        return nan | base
+    return (~nan) & base
+
+
+def _cmp_elementwise(vec: _Vec, pred: Column, bool_mode: bool) -> _Vec:
+    if bool_mode:
+        return _Vec(
+            vec.df.withColumn("value", _bool01(pred)),
+            vec.labels,
+            scalar=vec.scalar,
+        )
+    return _Vec(vec.df.filter(pred), vec.labels, scalar=vec.scalar)
+
+
+def _eval_cmp(node: Cmp, metrics: DataFrame, label_cols, leaf=None) -> _Vec | float:
+    """Comparison operators — Prometheus's filter semantics
+    (engine.go VectorscalarBinop / the comparison branch of
+    VectorVectorBinop):
+
+    - vector CMP scalar (either syntactic order): FILTER the vector —
+      keep the elements where the comparison holds, value and labels
+      unchanged; with ``bool``, keep every element with value 1.0/0.0.
+    - scalar CMP scalar: requires ``bool`` (the parser enforces the
+      literal case; scalar()-typed expressions are enforced here);
+      the result stays scalar-typed.
+    - vector CMP vector: one-to-one matching on the identical label
+      set, or on(...)/ignoring(...) keys.  Without ``bool`` the result
+      keeps the LEFT side's elements — full label set, left value —
+      where the matched comparison holds (comparisons FILTER, they do
+      not rewrite labels the way arithmetic does); with ``bool``
+      matched pairs emit 1.0/0.0 over the match keys.
+      group_left/group_right mirror arithmetic's many-to-one matching:
+      the many side's elements are kept (+ include labels), the value
+      compared — and kept in filter mode — is the syntactic LEFT's.
+
+    All paths use IEEE NaN semantics via _ieee_cmp (NaN compares false
+    except ``!=``), diverging from Spark's NaN-greatest ordering to
+    match Prometheus.
+    """
+    left = _eval(node.expr, metrics, label_cols, leaf)
+    right = _eval(node.rhs, metrics, label_cols, leaf)
+    if isinstance(left, float) and isinstance(right, float):
+        if not node.bool_mode:
+            raise ValueError(
+                "promql: comparisons between scalars must use the bool "
+                "modifier"
+            )
+        if math.isnan(left) or math.isnan(right):
+            return 1.0 if node.op == "!=" else 0.0
+        return 1.0 if _CMP_PY_OPS[node.op](left, right) else 0.0
+    if isinstance(right, float):
+        pred = _ieee_cmp(node.op, F.col("value"), F.lit(right))
+        return _cmp_elementwise(left, pred, node.bool_mode)
+    if isinstance(left, float):
+        # scalar CMP vector: the comparison reads `scalar op element`,
+        # but the kept/emitted element is the VECTOR's
+        pred = _ieee_cmp(node.op, F.lit(left), F.col("value"))
+        return _cmp_elementwise(right, pred, node.bool_mode)
+    if left.scalar and right.scalar:
+        if not node.bool_mode:
+            raise ValueError(
+                "promql: comparisons between scalars must use the bool "
+                "modifier"
+            )
+        lf = left.df.select("ts", F.col("value").alias("__lv"))
+        rf = right.df.select("ts", F.col("value").alias("__rv"))
+        out = (
+            lf.join(rf, ["ts"], "inner")
+            .withColumn("value", _bool01(_ieee_cmp(node.op, F.col("__lv"), F.col("__rv"))))
+            .drop("__lv", "__rv")
+        )
+        return _Vec(out, frozenset(), scalar=True)
+    if left.scalar != right.scalar and node.match is None:
+        # scalar-TYPED operand (time(), scalar(v)): instant-wise
+        # against the vector side, keeping the vector's shape — same
+        # typing rule as _eval_bin
+        svec = left if left.scalar else right
+        ovec = right if left.scalar else left
+        sf = svec.df.select("ts", F.col("value").alias("__sv"))
+        lv = F.col("__sv") if left.scalar else F.col("value")
+        rv = F.col("value") if left.scalar else F.col("__sv")
+        joined = ovec.df.join(sf, "ts", "inner")
+        pred = _ieee_cmp(node.op, lv, rv)
+        if node.bool_mode:
+            out = joined.withColumn("value", _bool01(pred)).drop("__sv")
+        else:
+            out = joined.filter(pred).drop("__sv")
+        return _Vec(out, ovec.labels)
+    # vector CMP vector
+    if node.match is not None and node.match.group is not None:
+        return _eval_matched_bin(
+            node, left, right, None, cmp_op=node.op, bool_mode=node.bool_mode
+        )
+    if node.match is not None:
+        keys = _match_keys(node.match, left, right)
+    else:
+        if left.labels != right.labels:
+            raise ValueError(
+                f"promql: vector comparison needs matching label sets "
+                f"({sorted(left.labels)} vs {sorted(right.labels)}) — "
+                f"use on(...)/ignoring(...) to match on a subset"
+            )
+        keys = sorted(left.labels)
+    lf = _with_labels(left.df, left.labels, keys)
+    rf = _with_labels(right.df, right.labels, keys)
+    rf = rf.select(*keys, "ts", F.col("value").alias("__rv"))
+    joined = lf.join(rf, keys + ["ts"], "inner")
+    pred = _ieee_cmp(node.op, F.col("value"), F.col("__rv"))
+    if node.bool_mode:
+        out = joined.withColumn("value", _bool01(pred)).drop("__rv")
+    else:
+        out = joined.filter(pred).drop("__rv")
+    return _Vec(out, frozenset(left.labels | set(keys)))
+
+
 def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | float:
     left = _eval(node.left, metrics, label_cols, leaf)
     right = _eval(node.right, metrics, label_cols, leaf)
@@ -1021,7 +1186,7 @@ def _eval_bin(node: Bin, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
         "+": lambda a, b: a + b,
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
-        "/": lambda a, b: a / b,
+        "/": _bin_div,
         "%": _bin_mod,
         "^": _bin_pow,
         "atan2": _bin_atan2,
@@ -1109,7 +1274,10 @@ def _with_labels(df: DataFrame, have: frozenset[str], need: list[str]) -> DataFr
     return df
 
 
-def _eval_matched_bin(node: Bin, left: _Vec, right: _Vec, op) -> _Vec:
+def _eval_matched_bin(
+    node, left: _Vec, right: _Vec, op, cmp_op: str | None = None,
+    bool_mode: bool = False,
+) -> _Vec:
     """``on``/``ignoring`` vector matching:
 
     - one-to-one (no group modifier): equi-join on (match keys, ts);
@@ -1119,6 +1287,12 @@ def _eval_matched_bin(node: Bin, left: _Vec, right: _Vec, op) -> _Vec:
     - ``group_left(extra...)`` — many(left)-to-one(right): the left
       side keeps ALL its labels; ``extra`` labels are copied from the
       right (one) side.  ``group_right`` mirrors it.
+
+    With ``cmp_op`` set (a comparison operator name), the value column
+    is the comparison instead of ``op``: 1.0/0.0 in ``bool_mode``,
+    else a FILTER keeping the syntactic left's value (_eval_cmp routes
+    only the many-to-one case here; it handles one-to-one itself so
+    filter mode can keep the left's full label set).
     """
     keys = _match_keys(node.match, left, right)
     lf = _with_labels(left.df, left.labels, keys)
@@ -1151,7 +1325,14 @@ def _eval_matched_bin(node: Bin, left: _Vec, right: _Vec, op) -> _Vec:
     # operand order is the SYNTACTIC order, not many-vs-one
     lv = F.col("__mv") if node.match.group == "left" else F.col("__ov")
     rv = F.col("__ov") if node.match.group == "left" else F.col("__mv")
-    joined = joined.withColumn("value", op(lv, rv))
+    if cmp_op is not None:
+        pred = _ieee_cmp(cmp_op, lv, rv)
+        if bool_mode:
+            joined = joined.withColumn("value", _bool01(pred))
+        else:
+            joined = joined.filter(pred).withColumn("value", lv)
+    else:
+        joined = joined.withColumn("value", op(lv, rv))
     # include labels overwrite any same-named label on the many side
     for c in include:
         joined = joined.withColumn(c, F.col(f"__inc_{c}"))
@@ -1340,11 +1521,14 @@ def evaluate_streaming(
         )
     )
     if cmp_node is not None:
-        ops = {
-            ">": Column.__gt__, "<": Column.__lt__, ">=": Column.__ge__,
-            "<=": Column.__le__, "==": Column.__eq__, "!=": Column.__ne__,
-        }
-        pred = ops[cmp_node.op](F.col("value"), F.lit(cmp_node.threshold))
+        if not isinstance(cmp_node.rhs, Scalar):
+            raise ValueError(
+                "promql streaming: only scalar-threshold comparisons "
+                "(`agg(...) > c`) are streaming-expressible"
+            )
+        pred = _ieee_cmp(
+            cmp_node.op, F.col("value"), F.lit(cmp_node.threshold)
+        )
         if cmp_node.bool_mode:
             out = out.withColumn(
                 "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))

@@ -7,12 +7,13 @@ Covers exactly the grammar the reference's Grafana dashboards use
 `sum|avg|min|max|count` with `by (...)` / `without (...)` clauses
 (clause before or after the parenthesized body), `topk(k, expr)` /
 `bottomk(k, expr)`, vector arithmetic (`+ - * /`) between compatible
-vectors or against scalar constants, and scalar comparisons
-(`> 0` filters) — plus, beyond the corpus, the counter functions
-`irate`/`increase`, the range-window family
+vectors or against scalar constants, comparison operators
+(`> < >= <= == !=`) against scalars AND between vectors (filter
+semantics, `bool` modifier, on/ignoring + group_left/group_right
+matching), and unary `+`/`-` — plus, beyond the corpus, the counter
+functions `irate`/`increase`, the range-window family
 `sum|avg|min|max|count_over_time(sel[dur])`, and the selector `offset
-<dur>` modifier (day-over-day comparisons).  No subqueries or
-@-modifiers — the corpus has none.
+<dur>` modifier (day-over-day comparisons).
 """
 
 from __future__ import annotations
@@ -196,7 +197,8 @@ class At:
 class DateFn:
     """Prometheus date/time functions: ``timestamp(v)`` (each element's
     sample timestamp as its value) and the calendar family
-    ``minute|hour|day_of_week|day_of_month|days_in_month|month|year``,
+    ``minute|hour|day_of_week|day_of_month|day_of_year|days_in_month|
+    month|year``,
     which interpret the vector's VALUES as UTC epoch seconds; called
     with no argument they default to ``vector(time())`` (the common
     business-hours-alert idiom)."""
@@ -255,9 +257,23 @@ class Scalar:
 class Cmp:
     expr: "Expr"
     op: str  # > < >= <= == !=
-    threshold: float
+    rhs: "Expr"  # Scalar(c) for the classic `> 0` threshold form
     # `> bool 5`: keep every element, value 1.0/0.0 (alert math)
     bool_mode: bool = False
+    # on/ignoring [+ group_left/group_right] for vector-vector forms
+    match: "VectorMatch | None" = None
+
+    @property
+    def threshold(self) -> float:
+        """The scalar-literal right side (the classic ``> 0`` form) —
+        the only comparison shape the streaming compiler and the
+        differential oracle accept."""
+        if not isinstance(self.rhs, Scalar):
+            raise ValueError(
+                "promql: comparison right side is a vector expression, "
+                "not a scalar literal"
+            )
+        return self.rhs.value
 
 
 @dataclass(frozen=True)
@@ -283,7 +299,7 @@ _MATH_FNS = {
 }
 _DATE_FNS = {
     "timestamp", "minute", "hour", "day_of_week", "day_of_month",
-    "days_in_month", "month", "year",
+    "day_of_year", "days_in_month", "month", "year",
 }
 _CLAMP_FNS = {"clamp_min", "clamp_max"}
 
@@ -296,7 +312,7 @@ _DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<number>\d+(?:\.\d+)?(?![\w:]))
+        (?P<number>(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?(?![\w:.]))
       | (?P<duration>\d+(?:\.\d+)?(?:ms|[smhdw]))
       | (?P<ident>[A-Za-z_:][A-Za-z0-9_:]*)
       | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
@@ -428,28 +444,32 @@ class _Parser:
             node = SetOp(op, node, self.parse_cmp(), match=match)
         return node
 
-    # cmp := arith [cmp_op number] — comparisons bind looser than
-    # arithmetic, as in PromQL: `a > 0 + b` means `a > (0 + b)` (a
-    # vector comparison this subset doesn't support, so it errors)
-    # rather than silently parsing as `(a > 0) + b`.  At most ONE
-    # trailing comparison per arithmetic chain.
+    # cmp := arith (cmp_op [bool] [match] arith)* — comparisons bind
+    # looser than arithmetic and chain left-associatively, as in
+    # PromQL: `a > 0 + b` means `a > (0 + b)` (a scalar fold on the
+    # right), and `a > b > c` means `(a > b) > c`.  Literal-vs-literal
+    # comparisons require the `bool` modifier, as Prometheus's parser
+    # enforces ("comparisons between scalars must use BOOL modifier").
     def parse_cmp(self) -> Expr:
         node = self.parse_arith()
-        kind, tok = self.peek()
-        if tok in (">", "<", ">=", "<=", "==", "!="):
-            self.next()
+        while self.peek()[1] in (">", "<", ">=", "<=", "==", "!="):
+            op = self.next()[1]
             bool_mode = False
             if self.peek() == ("ident", "bool"):
                 self.next()
                 bool_mode = True
-            threshold = self.signed_number("comparison")
-            if self.peek()[1] in ("+", "-", "*", "/", "%", "^"):
+            match = self._vector_match()
+            rhs = self.parse_arith()
+            if (
+                isinstance(node, Scalar)
+                and isinstance(rhs, Scalar)
+                and not bool_mode
+            ):
                 raise SyntaxError(
-                    "promql: arithmetic after a comparison threshold is a "
-                    "vector comparison, which this subset does not support "
-                    "— parenthesize the comparison if you meant (expr > c) + x"
+                    "promql: comparisons between scalars must use the "
+                    "bool modifier"
                 )
-            node = Cmp(node, tok, threshold, bool_mode=bool_mode)
+            node = Cmp(node, op, rhs, bool_mode=bool_mode, match=match)
         return node
 
     # arith := term (('+'|'-') [match] term)*
@@ -477,7 +497,20 @@ class _Parser:
 
     def parse_power(self) -> Expr:
         # ^ binds tightest of the binary ops and is RIGHT-associative
-        # (2 ^ 3 ^ 2 == 2 ^ (3 ^ 2)), per the Prometheus operator table
+        # (2 ^ 3 ^ 2 == 2 ^ (3 ^ 2)), per the Prometheus operator table.
+        # A sign in operand position is the UNARY operator: it binds
+        # looser than ^ (-2^2 == -(2^2)) but tighter than * / %, per
+        # the same table; on a vector, -v negates each sample value
+        # keeping its labels (Prometheus's unary minus).
+        kind, tok = self.peek()
+        if tok in ("+", "-"):
+            self.next()
+            inner = self.parse_power()
+            if tok == "+":
+                return inner
+            if isinstance(inner, Scalar):
+                return Scalar(-inner.value)
+            return Bin("*", Scalar(-1.0), inner)
         node = self.parse_factor()
         if self.peek()[1] == "^":
             self.next()
@@ -532,6 +565,11 @@ class _Parser:
         if kind == "number":
             self.next()
             return Scalar(float(tok))
+        if kind == "ident" and tok.lower() in ("inf", "nan"):
+            # Prometheus's lexer treats Inf/NaN (case-insensitive) as
+            # number literals, so a metric can't be named `inf`
+            self.next()
+            return Scalar(float(tok.lower()))
         if kind == "ident":
             # Prometheus reserves only the AGGREGATION keywords (sum,
             # avg, …, topk) — every FUNCTION name doubles as a valid
@@ -982,13 +1020,12 @@ def to_promql(node: Expr) -> str:
         srcs = "".join(f', "{s}"' for s in node.srcs)
         return f'label_join({to_promql(node.expr)}, "{node.dst}", "{node.sep}"{srcs})'
     if isinstance(node, Cmp):
-        thr = (
-            repr(node.threshold)
-            if node.threshold != int(node.threshold)
-            else str(int(node.threshold))
+        b = " bool" if node.bool_mode else ""
+        mod = _fmt_match(node.match)
+        return (
+            f"(({to_promql(node.expr)}) {node.op}{b}{mod} "
+            f"({to_promql(node.rhs)}))"
         )
-        b = "bool " if node.bool_mode else ""
-        return f"({to_promql(node.expr)}) {node.op} {b}{thr}"
     if isinstance(node, Time):
         return "time()"
     raise TypeError(f"promql: cannot render {node!r}")

@@ -1,0 +1,212 @@
+"""Prometheus exposition-format / OpenMetrics text source and sink
+(round 7).
+
+The reference's metrics ultimately surface through a Prometheus
+exposition endpoint (the jmx_exporter configs under
+Prometheus/jmxexporter_configs feed one); scraped dumps and
+remote-storage exports of that format are a natural lake format for
+this engine.  This module parses and serializes the text format —
+``name{label="value",…} <value> [<timestamp_ms>]`` — ENTIRELY
+JVM-side, so a 100 TB directory of scrape files decodes inside
+whole-stage codegen with zero Python in the hot path:
+
+- **Labels** are extracted with ``regexp_extract_all`` over the label
+  block using a quote-aware pattern (``ident="(?:\\.|[^"\\])*"``), so
+  commas and ``=`` INSIDE quoted values can't split a pair — the
+  failure mode of str_to_map-style parsers.  Keys and values come from
+  the same match list (two group indexes), so ``map_from_arrays``
+  aligns them by construction.
+- **Escapes** (``\\\\``, ``\\"``, ``\\n`` — the full set the format
+  defines) are decoded with an ordered ``regexp_replace`` chain via a
+  NUL sentinel (escaped-backslash first, so ``\\\\n`` round-trips as
+  backslash+n, not newline).
+- **Values** use Java's round-trippable double formatting both ways;
+  ``+Inf``/``-Inf``/``NaN`` are mapped explicitly (Spark's cast
+  renders ``Infinity``, which Prometheus's parser would reject).
+- Comment/metadata lines (``# HELP``, ``# TYPE``, ``# EOF``) and
+  blanks are filtered; a malformed sample line becomes a NULL name and
+  is dropped (use ``strict=True`` to keep a ``_corrupt`` column for
+  auditing instead).
+
+``parse_exposition`` takes any one-string-column DataFrame (e.g.
+``spark.read.text(dir)`` — file-partitioned, so parsing parallelizes
+with the input split count) and yields
+``(name, labels map<string,string>, ts timestamp, value double)``;
+``exposition_lines`` is the inverse.  ``labels_to_columns`` pivots the
+map onto fixed label columns for the engine's series schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one sample line: name [{labels}] value [timestamp_ms]
+# (?s): label values may legally carry RAW line terminators other than
+# \n (\r, U+2028, …) — the format only escapes \\ \" \n — and Java's
+# `.` excludes terminators by default, which would reject the line
+_LINE_RE = (
+    r"(?s)^([a-zA-Z_:][a-zA-Z0-9_:]*)"  # 1: metric name
+    r"(?:\{(.*)\})?"  # 2: label block (greedy — value/ts carry no '}')
+    r"\s+(\S+)"  # 3: value
+    r"(?:\s+(-?\d+))?"  # 4: optional timestamp (ms)
+    r"\s*$"
+)
+_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+_SENTINEL = "\x00"
+
+
+def _unescape(col: Column) -> Column:
+    """``\\\\`` → ``\\``, ``\\"`` → ``"``, ``\\n`` → newline — decoded
+    through a sentinel so an escaped backslash never re-combines with a
+    following character (``\\\\n`` must yield backslash+n)."""
+    c = F.regexp_replace(col, r"\\\\", _SENTINEL)
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, r"\\n", "\n")
+    return F.regexp_replace(c, _SENTINEL, "\\\\")
+
+
+def _escape(col: Column) -> Column:
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    return F.regexp_replace(c, "\n", r"\\n")
+
+
+def _parse_value(v: Column) -> Column:
+    """Prometheus value tokens: decimal/scientific doubles plus
+    ``+Inf``/``-Inf``/``Inf``/``NaN`` (case-insensitive)."""
+    lower = F.lower(v)
+    return (
+        F.when(lower.isin("+inf", "inf"), F.lit(float("inf")))
+        .when(lower == "-inf", F.lit(float("-inf")))
+        .when(lower == "nan", F.lit(float("nan")))
+        # try_cast: a malformed token becomes NULL (flagged/dropped by
+        # the caller) instead of an ANSI-mode cast error killing the job
+        .otherwise(v.try_cast("double"))
+    )
+
+
+def _format_value(v: Column) -> Column:
+    return (
+        F.when(F.isnan(v), F.lit("NaN"))
+        .when(v == float("inf"), F.lit("+Inf"))
+        .when(v == float("-inf"), F.lit("-Inf"))
+        .otherwise(v.cast("string"))
+    )
+
+
+def parse_exposition(
+    lines: DataFrame,
+    column: str = "value",
+    default_ts=None,
+    strict: bool = False,
+) -> DataFrame:
+    """Exposition text lines → ``(name, labels, ts, value)``.
+
+    ``default_ts`` (a Column, datetime, or ISO string) fills samples
+    that carry no timestamp — the common scrape-dump case where the
+    scrape time lives in the file path or a sidecar (pass e.g.
+    ``F.col("scrape_ts")`` after attaching it from
+    ``input_file_name()``).  Without it, timestamp-less samples get a
+    NULL ts.  ``strict=True`` keeps malformed sample lines in a
+    ``_corrupt`` column instead of dropping them."""
+    line = F.trim(F.col(column))
+    body = lines.select(line.alias("__line")).filter(
+        (F.length("__line") > 0) & ~F.col("__line").startswith("#")
+    )
+    name = F.regexp_extract("__line", _LINE_RE, 1)
+    block = F.regexp_extract("__line", _LINE_RE, 2)
+    raw_val = F.regexp_extract("__line", _LINE_RE, 3)
+    raw_ts = F.regexp_extract("__line", _LINE_RE, 4)
+    if default_ts is None:
+        fill_ts = F.lit(None).cast("timestamp")
+    elif isinstance(default_ts, Column):
+        fill_ts = default_ts.cast("timestamp")
+    else:
+        fill_ts = F.lit(default_ts).cast("timestamp")
+    parsed = body.select(
+        F.when(name != "", name).alias("name"),
+        F.map_from_arrays(
+            F.regexp_extract_all("__line", F.lit(_PAIR_RE), 1),
+            F.transform(
+                F.regexp_extract_all("__line", F.lit(_PAIR_RE), 2), _unescape
+            ),
+        ).alias("labels"),
+        F.when(
+            raw_ts != "", F.timestamp_millis(raw_ts.cast("long"))
+        )
+        .otherwise(fill_ts)
+        .alias("ts"),
+        _parse_value(raw_val).alias("value"),
+        F.col("__line"),
+    )
+    if strict:
+        return parsed.select(
+            "name",
+            "labels",
+            "ts",
+            "value",
+            F.when(F.col("name").isNull() | F.col("value").isNull(), F.col("__line"))
+            .alias("_corrupt"),
+        )
+    return parsed.filter(
+        F.col("name").isNotNull() & F.col("value").isNotNull()
+    ).drop("__line")
+
+
+def labels_to_columns(df: DataFrame, label_names: list[str]) -> DataFrame:
+    """Pivot the ``labels`` map onto fixed columns (the engine's series
+    schema); a missing label becomes the empty string, the engine's
+    missing-label convention."""
+    return df.select(
+        "name",
+        "ts",
+        "value",
+        *[
+            F.coalesce(F.element_at("labels", n), F.lit("")).alias(n)
+            for n in label_names
+        ],
+    )
+
+
+def exposition_lines(
+    df: DataFrame,
+    label_cols: list[str] | None = None,
+    include_timestamp: bool = True,
+) -> DataFrame:
+    """Series frame → one exposition line per sample (column
+    ``value``), the inverse of :func:`parse_exposition`.  Labels come
+    from ``label_cols`` (empty-string labels are omitted, mirroring the
+    missing-label convention) or from a ``labels`` map column."""
+    if label_cols is None:
+        pairs = F.map_entries(F.col("labels"))
+        rendered = F.array_join(
+            F.transform(
+                pairs,
+                lambda e: F.concat(
+                    e["key"], F.lit('="'), _escape(e["value"]), F.lit('"')
+                ),
+            ),
+            ",",
+        )
+    else:
+        parts = [
+            F.when(
+                F.col(c) != "",
+                F.concat(F.lit(c + '="'), _escape(F.col(c)), F.lit('"')),
+            )
+            for c in label_cols
+        ]
+        rendered = F.array_join(F.array_compact(F.array(*parts)), ",")
+    block = F.when(rendered != "", F.concat(F.lit("{"), rendered, F.lit("}"))).otherwise(
+        F.lit("")
+    )
+    pieces = [F.col("name"), block, F.lit(" "), _format_value(F.col("value"))]
+    if include_timestamp:
+        pieces += [
+            F.when(
+                F.col("ts").isNotNull(),
+                F.concat(F.lit(" "), F.unix_millis(F.col("ts")).cast("string")),
+            ).otherwise(F.lit(""))
+        ]
+    return df.select(F.concat(*pieces).alias("value"))

@@ -375,3 +375,191 @@ def cascade_rollup(
         )
     )
     return fine_df, coarse_df
+
+
+def alert_rules(
+    stream: DataFrame,
+    rules_yaml: str,
+    emit,
+    checkpoint: str,
+    state_dir: str,
+    trigger: dict | None = None,
+    keep_state_versions: int = 2,
+):
+    """Prometheus alerting on the live stream (round 7): each
+    micro-batch is one rule-manager evaluation cycle — the trigger
+    cadence plays the role of Prometheus's group ``interval:`` loop
+    (rules/manager.go), so the pending→firing ``for:`` state machine
+    must CARRY ACROSS batches where the batch-mode evaluator
+    (promql/rules.py) walks a grid.
+
+    Per batch, per group (sequential, like batch mode): recording rules
+    evaluate in instant mode and union into the cycle's frame; each
+    alerting rule then
+
+    1. evaluates its expr and keeps each label set's NEWEST sample —
+       one element per series, the cycle's evaluation snapshot;
+    2. joins the (tiny) persisted state — one row per active series —
+       to recover ``active_since``: present-in-state series keep their
+       first-seen evaluation time, new series anchor at this batch's
+       event-time high-water mark (one 1-row agg per batch, the same
+       watermark proxy promql_panels uses);
+    3. fires once ``hw − active_since ≥ for`` — and a series ABSENT
+       from this cycle's snapshot simply drops out of the new state,
+       which is exactly Prometheus's reset-on-missing-evaluation;
+    4. rewrites the state under a batch-versioned directory
+       (``state_dir/<group>/<alert>/v<batch_id>``) so a replayed batch
+       is idempotent and a crash between write and commit re-reads the
+       previous version; only the newest ``keep_state_versions`` are
+       retained.
+
+    State is label-keyed and distributed (a broadcast-sized parquet per
+    alert — one row per ACTIVE series, not per sample), every step is a
+    DataFrame op, and nothing but the 1-row high-water agg touches the
+    driver.  ``emit(group, alert, states_df, batch_id)`` receives the
+    cycle's alert frame (labels…, ts, value, alertstate,
+    annotation_*)."""
+    import glob as _glob
+    import shutil
+
+    from kafka_metrics_exporter_spark.promql import compile_promql
+    from kafka_metrics_exporter_spark.promql.rules import (
+        AlertingRule,
+        _as_series,
+        _union_series,
+        parse_rule_groups,
+        render_template,
+    )
+
+    groups = parse_rule_groups(rules_yaml)
+    plans = {
+        (g.name, i): compile_promql(r.expr)
+        for g in groups
+        for i, r in enumerate(g.rules)
+    }
+
+    def _state_base(group: str, alert: str) -> str:
+        safe = f"{group}/{alert}".replace(" ", "_")
+        return f"{state_dir}/{safe}"
+
+    def _read_state(spark, group: str, alert: str):
+        versions = sorted(
+            _glob.glob(_state_base(group, alert) + "/v*"),
+            key=lambda p: int(p.rsplit("v", 1)[1]),
+        )
+        if not versions:
+            return None
+        return spark.read.parquet(versions[-1])
+
+    def _write_state(df: DataFrame, group: str, alert: str, batch_id: int):
+        base = _state_base(group, alert)
+        df.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+        versions = sorted(
+            _glob.glob(base + "/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+        )
+        for stale in versions[:-keep_state_versions]:
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        hw = df.agg(F.max(F.unix_micros(F.col("ts"))).alias("hw")).first()["hw"]
+        if hw is None:  # empty cycle: no evaluation, state untouched
+            return
+        df = df.persist()
+        try:
+            for g in groups:
+                cur = df
+                for i, rule in enumerate(g.rules):
+                    out = plans[(g.name, i)].evaluate(cur)
+                    if not isinstance(rule, AlertingRule):
+                        series = _as_series(
+                            out, rule.record, rule.labels, list(cur.columns)
+                        )
+                        cur = _union_series(cur, series)
+                        continue
+                    label_cols = [
+                        c for c in out.columns if c not in ("ts", "value")
+                    ]
+                    # the cycle's snapshot: newest sample per series
+                    snap = out.groupBy(*label_cols).agg(
+                        F.max(
+                            F.struct(
+                                F.unix_micros(F.col("ts")).alias("__us"),
+                                F.col("value").alias("__v"),
+                            )
+                        ).alias("__p")
+                    )
+                    prior = _read_state(spark, g.name, rule.alert)
+                    if prior is not None and label_cols:
+                        snap = snap.join(
+                            F.broadcast(prior), on=label_cols, how="left"
+                        )
+                    elif prior is not None:
+                        snap = snap.crossJoin(F.broadcast(prior))
+                    else:
+                        snap = snap.withColumn(
+                            "active_since_us", F.lit(None).cast("long")
+                        )
+                    state = snap.select(
+                        *label_cols,
+                        F.col("__p.__us").alias("__us"),
+                        F.col("__p.__v").alias("value"),
+                        F.coalesce(
+                            F.col("active_since_us"), F.lit(hw)
+                        ).alias("active_since_us"),
+                    )
+                    for_us = int(round(rule.for_seconds * 1_000_000))
+                    states = state.withColumn(
+                        "alertstate",
+                        F.when(
+                            F.lit(hw) - F.col("active_since_us") >= for_us,
+                            F.lit("firing"),
+                        ).otherwise(F.lit("pending")),
+                    )
+                    for k, v in rule.labels:
+                        states = states.withColumn(k, F.lit(v))
+                    for k, v in rule.annotations:
+                        states = states.withColumn(
+                            f"annotation_{k}",
+                            render_template(v, set(label_cols)),
+                        )
+                    result = states.select(
+                        *label_cols,
+                        *[k for k, _ in rule.labels],
+                        F.timestamp_micros(F.col("__us")).alias("ts"),
+                        "value",
+                        "alertstate",
+                        *[f"annotation_{k}" for k, _ in rule.annotations],
+                    ).persist()
+                    result.count()  # materialize BEFORE state rewrite
+                    new_state = states.select(
+                        *label_cols, "active_since_us"
+                    ).persist()
+                    new_state.count()
+                    _write_state(new_state, g.name, rule.alert, batch_id)
+                    emit(g.name, rule.alert, result, batch_id)
+                    new_state.unpersist()
+                    result.unpersist()
+                    # feed ALERTS back for later rules in the group
+                    alert_series = _as_series(
+                        states.select(
+                            *label_cols,
+                            *[k for k, _ in rule.labels],
+                            F.timestamp_micros(F.col("__us")).alias("ts"),
+                            F.lit(1.0).alias("value"),
+                            "alertstate",
+                        ).withColumn("alertname", F.lit(rule.alert)),
+                        "ALERTS",
+                        (),
+                        list(cur.columns),
+                    )
+                    cur = _union_series(cur, alert_series)
+        finally:
+            df.unpersist()
+
+    return (
+        stream.writeStream.trigger(**(trigger or {"availableNow": True}))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn)
+        .start()
+    )

@@ -1,0 +1,180 @@
+"""Exposition-format source/sink (sources/openmetrics.py): parse
+fixtures with every syntactic feature, escape round-trips (property-
+tested), malformed-line handling, and the serialize→parse inverse.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_metrics_exporter_spark.sources.openmetrics import (
+    exposition_lines,
+    labels_to_columns,
+    parse_exposition,
+)
+
+_TEXT = """\
+# HELP kafka_bytes_in Bytes in per topic.
+# TYPE kafka_bytes_in counter
+kafka_bytes_in{topic="a",instance="h1:9092"} 1024 1704067200000
+kafka_bytes_in{topic="b",instance="h1:9092"} 2048.5 1704067200000
+
+kafka_up 1
+jvm_ratio{area="heap"} 0.25e1
+weird{msg="comma, and eq = inside",path="C:\\\\dir",quote="say \\"hi\\"",nl="a\\nb"} -7 1704067260000
+special_nan NaN
+special_inf{sign="p"} +Inf
+special_inf{sign="n"} -Inf
+not a metric line at all
+broken_value{x="y"} oops
+# EOF
+"""
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    lines = spark.createDataFrame(
+        [(l,) for l in _TEXT.splitlines()], "value string"
+    )
+    df = parse_exposition(lines)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_comments_blanks_and_junk_dropped(parsed):
+    # 8 well-formed samples; HELP/TYPE/EOF/blank/junk/bad-value dropped
+    assert parsed.count() == 8
+    assert set(parsed.columns) == {"name", "labels", "ts", "value"}
+
+
+def test_basic_sample_fields(parsed):
+    r = parsed.filter("name = 'kafka_bytes_in'").orderBy("value").collect()
+    assert [x["value"] for x in r] == [1024.0, 2048.5]
+    assert r[0]["labels"] == {"topic": "a", "instance": "h1:9092"}
+    assert r[0]["ts"] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_no_labels_no_timestamp_and_scientific(parsed):
+    up = parsed.filter("name = 'kafka_up'").first()
+    assert up["labels"] == {} and up["ts"] is None and up["value"] == 1.0
+    ratio = parsed.filter("name = 'jvm_ratio'").first()
+    assert ratio["value"] == 2.5
+
+
+def test_quote_aware_label_parsing_and_escapes(parsed):
+    w = parsed.filter("name = 'weird'").first()
+    assert w["labels"] == {
+        "msg": "comma, and eq = inside",
+        "path": "C:\\dir",
+        "quote": 'say "hi"',
+        "nl": "a\nb",
+    }
+    assert w["value"] == -7.0
+
+
+def test_special_values(parsed):
+    assert math.isnan(parsed.filter("name = 'special_nan'").first()["value"])
+    inf = {
+        r["labels"]["sign"]: r["value"]
+        for r in parsed.filter("name = 'special_inf'").collect()
+    }
+    assert inf == {"p": float("inf"), "n": float("-inf")}
+
+
+def test_strict_mode_flags_corrupt(spark):
+    lines = spark.createDataFrame(
+        [("m 1",), ("not a metric line at all",), ("broken{x=\"y\"} oops",)],
+        "value string",
+    )
+    df = parse_exposition(lines, strict=True)
+    assert df.count() == 3
+    corrupt = [r["_corrupt"] for r in df.collect() if r["_corrupt"] is not None]
+    assert len(corrupt) == 2
+
+
+def test_default_ts_fill(spark):
+    lines = spark.createDataFrame([("m 1",)], "value string")
+    out = parse_exposition(lines, default_ts="2024-02-01 00:00:00").first()
+    assert out["ts"] == dt.datetime(2024, 2, 1)
+
+
+def test_labels_to_columns(parsed):
+    cols = labels_to_columns(parsed.filter("name = 'kafka_bytes_in'"), ["topic", "gone"])
+    r = cols.orderBy("value").first()
+    assert r["topic"] == "a" and r["gone"] == ""
+
+
+def test_serialize_parse_roundtrip(spark):
+    rows = [
+        ("m", dt.datetime(2024, 1, 1), 1.5, "a", "h1:9092"),
+        ("m", dt.datetime(2024, 1, 1, 0, 1), -2.0, 'q"v\\x', "line1\nline2"),
+        ("n", dt.datetime(2024, 1, 1), float("inf"), "", "h2"),  # empty label omitted
+        ("z", dt.datetime(2024, 1, 1), float("nan"), "t", "h3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, ts timestamp, value double, topic string, instance string"
+    )
+    text = exposition_lines(df, label_cols=["topic", "instance"])
+    back = labels_to_columns(parse_exposition(text), ["topic", "instance"])
+    got = {
+        (r["name"], r["ts"], r["topic"], r["instance"]): r["value"]
+        for r in back.collect()
+    }
+    assert got[("m", dt.datetime(2024, 1, 1), "a", "h1:9092")] == 1.5
+    assert got[("m", dt.datetime(2024, 1, 1, 0, 1), 'q"v\\x', "line1\nline2")] == -2.0
+    assert got[("n", dt.datetime(2024, 1, 1), "", "h2")] == float("inf")
+    assert math.isnan(got[("z", dt.datetime(2024, 1, 1), "t", "h3")])
+
+
+def test_roundtrip_from_labels_map(spark):
+    df = spark.createDataFrame(
+        [("m", dt.datetime(2024, 1, 1), 3.0, {"a": "x,y=z"})],
+        "name string, ts timestamp, value double, labels map<string,string>",
+    )
+    text = exposition_lines(df)
+    line = text.first()["value"]
+    assert line == 'm{a="x,y=z"} 3.0 1704067200000'
+    back = parse_exposition(text).first()
+    assert back["labels"] == {"a": "x,y=z"} and back["value"] == 3.0
+
+
+def test_parse_plan_stays_jvm_side(spark):
+    """The decode path must be pure codegen expressions — no
+    BatchEvalPython/ArrowEvalPython nodes (the 100 TB argument)."""
+    lines = spark.createDataFrame([("m 1",)], "value string")
+    plan = parse_exposition(lines)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _label_val = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+            blacklist_characters="\x00",
+        ),
+        max_size=30,
+    )
+
+    @given(val=_label_val)
+    @settings(max_examples=25, deadline=None)
+    def test_escape_roundtrip_property(spark, val):
+        """Any label value (backslashes, quotes, newlines, unicode)
+        survives serialize→parse."""
+        df = spark.createDataFrame(
+            [("m", dt.datetime(2024, 1, 1), 1.0, val)],
+            "name string, ts timestamp, value double, lab string",
+        )
+        text = exposition_lines(df, label_cols=["lab"])
+        back = labels_to_columns(parse_exposition(text), ["lab"]).first()
+        assert back["lab"] == val
+
+except ImportError:  # pragma: no cover
+    pass

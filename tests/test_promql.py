@@ -286,6 +286,139 @@ def test_scalar_math_and_comparison(tiny):
     assert got == {("b", 10.0), ("b", 16.0)}
 
 
+def test_vector_vector_comparison_filters_left(tiny):
+    """`m > n` — one-to-one on the identical label set: comparisons
+    FILTER (engine.go's comparison branch keeps the LEFT element's
+    labels and value; no label rewrite the way arithmetic drops the
+    metric name)."""
+    out = compile_promql("m > n").evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    # n exists only for (topic=a, instance=h1) at minutes 0,1:
+    # 10>1 and 40>2 both hold; everything unmatched drops.
+    assert _vals(out, "topic", "ts", "value") == {
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(minutes=1), 40.0),
+    }
+    # flipped: n > m never holds — empty, not an error
+    assert compile_promql("n > m").evaluate(tiny).count() == 0
+
+
+def test_vector_vector_comparison_bool_mode(tiny):
+    out = compile_promql("m < bool n").evaluate(tiny)
+    got = {r["ts"].minute: r["value"] for r in out.collect()}
+    assert got == {0: 0.0, 1: 0.0}  # matched pairs emit 0.0, not drop
+    out2 = compile_promql("m >= bool n").evaluate(tiny)
+    got2 = {r["ts"].minute: r["value"] for r in out2.collect()}
+    assert got2 == {0: 1.0, 1: 1.0}
+
+
+def test_vector_comparison_group_left(tiny):
+    """Many-to-one comparison: `m > on(instance) group_left n` — the
+    many (left) side's elements are kept where the comparison holds,
+    full label set intact."""
+    out = compile_promql("m > on(instance) group_left n").evaluate(tiny)
+    t0 = dt.datetime(2024, 1, 1)
+    # n is unique per (instance=h1, ts) at minutes 0,1 (value 1, 2);
+    # every h1 m-sample beats it; h2 and minute 2 have no match.
+    assert _vals(out, "topic", "ts", "value") == {
+        ("a", t0, 10.0),
+        ("b", t0, 100.0),
+        ("a", t0 + dt.timedelta(minutes=1), 40.0),
+        ("b", t0 + dt.timedelta(minutes=1), 160.0),
+    }
+    # bool mode: same matched set, values 1.0/0.0 (here n < m fails
+    # nowhere, so compare the losing direction)
+    out2 = compile_promql("m < bool on(instance) group_left n").evaluate(tiny)
+    vals = {r["value"] for r in out2.collect()}
+    assert vals == {0.0} and out2.count() == 4
+
+
+def test_scalar_vector_comparison_order(tiny):
+    # scalar CMP vector: the comparison reads `scalar op element`, the
+    # kept element is the vector's
+    out = compile_promql("50 < m").evaluate(tiny)
+    assert _vals(out, "topic", "value") == {("b", 100.0), ("b", 160.0)}
+    # vector CMP scalar is unchanged
+    out2 = compile_promql("m > 50").evaluate(tiny)
+    assert _vals(out2, "topic", "value") == {("b", 100.0), ("b", 160.0)}
+
+
+def test_scalar_scalar_comparison_requires_bool(tiny):
+    with pytest.raises(SyntaxError):
+        parse("2 > 1")
+    out = compile_promql("m * (2 > bool 1)").evaluate(tiny)
+    assert out.count() == 6  # multiplying by the 1.0 scalar keeps all of m
+
+
+def test_comparison_ieee_nan_semantics(tiny):
+    """Prometheus inherits Go's IEEE-754 comparisons: NaN compares
+    false for everything except !=.  `m*0/0` manufactures NaN."""
+    eq = compile_promql("m * 0 / 0 == bool 1").evaluate(tiny)
+    assert {r["value"] for r in eq.collect()} == {0.0}
+    ne = compile_promql("m * 0 / 0 != bool 1").evaluate(tiny)
+    assert {r["value"] for r in ne.collect()} == {1.0}
+    # filter mode: a NaN left side never passes >=, even vs -Inf
+    kept = compile_promql("m * 0 / 0 >= -Inf").evaluate(tiny)
+    assert kept.count() == 0
+    # != filter keeps NaN rows (IEEE: NaN != anything is true)
+    kept2 = compile_promql("m * 0 / 0 != 1").evaluate(tiny)
+    assert kept2.count() == 6
+
+
+def test_division_by_zero_is_ieee(tiny):
+    """Prometheus: x/0 = ±Inf (dividend sign), 0/0 = NaN — Spark 4's
+    ANSI mode would THROW here without the _bin_div guard."""
+    import math as _math
+
+    out = compile_promql('(m{topic="b"} - 130) / 0').evaluate(tiny)
+    vals = {r["value"] for r in out.collect()}
+    assert vals == {float("inf"), float("-inf")}  # 100-130<0, 160-130>0
+    z = compile_promql("m * 0 / 0").evaluate(tiny)
+    assert all(_math.isnan(r["value"]) for r in z.collect())
+    # scalar fold path: same semantics without touching Spark
+    from kafka_metrics_exporter_spark.promql.compiler import (
+        _bin_div, _bin_mod, _bin_pow,
+    )
+
+    assert _bin_div(1.0, 0.0) == float("inf")
+    assert _bin_div(-1.0, 0.0) == float("-inf")
+    assert _bin_div(3.0, -0.0) == float("-inf")  # divisor sign honored
+    assert _math.isnan(_bin_div(0.0, 0.0))
+    assert _math.isnan(_bin_mod(5.0, 0.0))
+    assert _math.isnan(_bin_mod(float("inf"), 3.0))
+    assert _math.isnan(_bin_pow(-1.0, 0.5))  # Go NaN, not ValueError
+    # vector / vector with a zero element on the right
+    vv = compile_promql('m{topic="a"} / (m{topic="a"} * 0)').evaluate(tiny)
+    assert {r["value"] for r in vv.collect()} == {float("inf")}
+    # % by zero is NaN (Go math.Mod), not an ANSI error
+    md = compile_promql("m % 0").evaluate(tiny)
+    assert all(_math.isnan(r["value"]) for r in md.collect())
+
+
+def test_inf_nan_literals_and_unary_precedence(tiny):
+    import math as _math
+
+    n = parse("NaN")
+    assert isinstance(n, pql_scalar_type()) and _math.isnan(n.value)
+    i = parse("-Inf")
+    assert i.value == float("-inf")
+    # unary minus binds looser than ^: -2^2 == -(2^2) == -4 (the fold
+    # happens at eval; the parse shape is -1 * (2^2))
+    out0 = compile_promql('m{topic="b"} * 0 + -2^2').evaluate(tiny)
+    assert {r["value"] for r in out0.collect()} == {-4.0}
+    # scientific / leading-dot numbers
+    assert parse(".5e1").value == 5.0
+    # -m negates each sample, keeping labels
+    out = compile_promql('-m{topic="b"}').evaluate(tiny)
+    assert _vals(out, "topic", "value") == {("b", -100.0), ("b", -160.0)}
+
+
+def pql_scalar_type():
+    from kafka_metrics_exporter_spark.promql.parser import Scalar
+
+    return Scalar
+
+
 def test_count_agg(tiny):
     # count() with no grouping clause drops ALL labels (PromQL), so the
     # outer sum-by-instance sees a label-less vector and groups by the
@@ -530,7 +663,19 @@ try:
             st.builds(
                 pql.Cmp, expr=children,
                 op=st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
-                threshold=st.integers(0, 1000).map(float),
+                rhs=st.integers(0, 1000).map(lambda n: pql.Scalar(float(n))),
+                bool_mode=st.booleans(),
+            ),
+            st.builds(
+                pql.Cmp, expr=children,
+                op=st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
+                rhs=children,
+                bool_mode=st.booleans(),
+                match=st.one_of(st.none(), _vmatch),
+            ),
+            st.builds(
+                pql.Bin, op=st.sampled_from(["%", "^", "atan2"]),
+                left=children, right=children,
             ),
             st.builds(
                 pql.Bin, op=st.sampled_from(["+", "-", "*", "/"]),
@@ -1318,6 +1463,7 @@ def test_date_functions(tiny):
     for expr, want in [
         ("day_of_week()", 1.0),  # Monday
         ("day_of_month()", 1.0),
+        ("day_of_year()", 1.0),
         ("days_in_month()", 31.0),
         ("month()", 1.0),
         ("year()", 2024.0),

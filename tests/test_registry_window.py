@@ -136,6 +136,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (50 slots vs 43 stale-promoted
-    # + 5 new + 2 changed this round)
-    assert len(exempt) <= 4, exempt
+    # slot arithmetic that forced them (50 slots vs 38 stale-promoted
+    # + 8 new + 4 changed this round)
+    assert len(exempt) <= 8, exempt

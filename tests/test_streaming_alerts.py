@@ -1,0 +1,121 @@
+"""Streaming alerting rules (streaming/pipeline.py alert_rules): the
+pending→firing `for:` state machine must carry across micro-batches —
+one batch per file via maxFilesPerTrigger=1, four evaluation cycles:
+enter pending, flip to firing after `for`, reset on a missed cycle,
+re-enter pending on reappearance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+_RULES = """
+groups:
+- name: live
+  rules:
+  - record: topic:m:max
+    expr: max by (topic) (m)
+  - alert: Hot
+    expr: topic:m:max > 50
+    for: 1m
+    labels:
+      severity: page
+    annotations:
+      s: "{{ $labels.topic }}={{ $value }}"
+"""
+
+_SCHEMA = "name string, ts_s string, value double, topic string"
+
+
+def _drive(spark, tmp_path, batches):
+    from kafka_metrics_exporter_spark.streaming.pipeline import alert_rules
+
+    src = tmp_path / "metrics"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got = []
+
+    def emit(group, alert, df, batch_id):
+        got.append((group, alert, batch_id, df.collect()))
+
+    q = alert_rules(
+        stream,
+        _RULES,
+        emit,
+        checkpoint=str(tmp_path / "ckpt"),
+        state_dir=str(tmp_path / "state"),
+    )
+    q.awaitTermination(180)
+    return got
+
+
+def test_for_state_spans_microbatches(spark, tmp_path):
+    batches = [
+        [  # cycle 0 @ hw 00:00:30 — t1 enters pending (newest sample wins)
+            ("m", "2024-01-01 00:00:00", 20.0, "t1"),
+            ("m", "2024-01-01 00:00:30", 60.0, "t1"),
+            ("m", "2024-01-01 00:00:30", 10.0, "t2"),
+        ],
+        [  # cycle 1 @ hw 00:01:30 — t1 held 60s >= for → firing; t2 enters
+            ("m", "2024-01-01 00:01:30", 70.0, "t1"),
+            ("m", "2024-01-01 00:01:30", 80.0, "t2"),
+        ],
+        [  # cycle 2 @ hw 00:02:30 — t1 ABSENT (resets); t2 fires
+            ("m", "2024-01-01 00:02:30", 40.0, "t1"),
+            ("m", "2024-01-01 00:02:30", 90.0, "t2"),
+        ],
+        [  # cycle 3 @ hw 00:03:30 — t1 re-enters as PENDING (fresh run)
+            ("m", "2024-01-01 00:03:30", 100.0, "t1"),
+            ("m", "2024-01-01 00:03:30", 95.0, "t2"),
+        ],
+    ]
+    got = _drive(spark, tmp_path, batches)
+    assert [(g, a, b) for g, a, b, _ in got] == [
+        ("live", "Hot", 0),
+        ("live", "Hot", 1),
+        ("live", "Hot", 2),
+        ("live", "Hot", 3),
+    ]
+    states = {
+        (b, r["topic"]): (r["alertstate"], r["value"], r["severity"])
+        for _, _, b, rows in got
+        for r in rows
+    }
+    assert states == {
+        (0, "t1"): ("pending", 60.0, "page"),
+        (1, "t1"): ("firing", 70.0, "page"),
+        (1, "t2"): ("pending", 80.0, "page"),
+        (2, "t2"): ("firing", 90.0, "page"),
+        (3, "t1"): ("pending", 100.0, "page"),  # reset was real
+        (3, "t2"): ("firing", 95.0, "page"),
+    }
+    # annotations render per cycle
+    ann = {
+        (b, r["topic"]): r["annotation_s"]
+        for _, _, b, rows in got
+        for r in rows
+    }
+    assert ann[(0, "t1")] == "t1=60.0"
+    assert ann[(2, "t2")] == "t2=90.0"
+
+
+def test_state_dir_keeps_bounded_versions(spark, tmp_path):
+    batches = [
+        [("m", f"2024-01-01 00:0{i}:00", 60.0 + i, "t1")] for i in range(3)
+    ]
+    _drive(spark, tmp_path, batches)
+    import glob
+
+    versions = glob.glob(str(tmp_path / "state" / "live" / "Hot" / "v*"))
+    assert 1 <= len(versions) <= 2  # keep_state_versions default
