@@ -9,8 +9,10 @@ exactly that agg vocabulary to Spark plans:
   ``row``): ``terms`` (group by a field, keep the top ``size`` terms
   per parent bucket, ordered by the term itself or by a metric),
   ``date_histogram`` (fixed-interval time buckets; Kibana's
-  ``interval: auto`` pins to ``customInterval`` — the corpus always
-  carries one), ``filters`` (named query_string predicates; a document
+  ``interval: auto`` derives the bucket width from the data's time
+  span exactly as ES does — see ``DateHistogramBucket`` — with
+  ``customInterval`` honored when the panel pins one), ``filters``
+  (named query_string predicates; a document
   lands in every bucket it matches).
 - **metric aggs** (schema ``metric``): ``avg``/``max``/``sum``,
   ``cardinality`` (exact countDistinct by default for oracle parity;

@@ -78,4 +78,65 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
     }
     fp["unpartitioned_window"] = len(_UNPARTITIONED_WINDOW.findall(p))
     fp["python_eval"] = fp.pop("batch_eval_python") + fp.pop("arrow_eval_python")
+    fp["bnl_join_onerow"] = _count_onerow_bnl(p)
     return fp
+
+
+# One indentation unit in SparkPlan.toString()'s tree rendering: each
+# nesting level adds exactly three characters drawn from ":- " / "+- "
+# (child markers) or ":  " / "   " (continuation under an earlier
+# sibling).
+_PREFIX_UNIT = re.compile(r"^(?:[:+]- |:  |   )")
+
+# A global (no grouping keys) aggregate — at most one output row.
+_GLOBAL_AGG = re.compile(r"\b(?:Hash|Sort|Object(?:Hash)?)Aggregate\(keys?=\[\]")
+
+
+def _parse_tree(p: str) -> list[tuple[int, str]]:
+    nodes = []
+    for line in p.splitlines():
+        depth, rest = 0, line
+        while _PREFIX_UNIT.match(rest):
+            depth += 1
+            rest = rest[3:]
+        nodes.append((depth, rest))
+    return nodes
+
+
+def _count_onerow_bnl(p: str) -> int:
+    """Count BroadcastNestedLoopJoins whose BROADCAST side is a global
+    aggregate (``keys=[]`` — at most one row).  This is the structural
+    signature of the grid-bounds expansion (``promql/range_eval.py
+    _expand_instants``: fact rows × broadcast 1-row min/max-ts frame)
+    and of 1-row scalar broadcasts like tf-idf's corpus count N — a
+    deliberately-chosen O(rows) plan, not an accidental O(rows²) one.
+    ``tests/test_plan_inventory.py`` exempts these BNLJs structurally
+    instead of per-query allowlisting (VERDICT r7 item 1)."""
+    nodes = _parse_tree(p)
+    count = 0
+    for i, (d, text) in enumerate(nodes):
+        if "BroadcastNestedLoopJoin" not in text:
+            continue
+        build_last = "BuildLeft" not in text  # BuildRight (default) = last child
+        children = []
+        for j in range(i + 1, len(nodes)):
+            dj, _ = nodes[j]
+            if dj <= d:
+                break
+            if dj == d + 1:
+                children.append(j)
+        if not children:
+            continue
+        b = children[-1] if build_last else children[0]
+        bd, btext = nodes[b]
+        if "BroadcastExchange" not in btext:
+            continue
+        # subtree of the build side: until the next node at depth <= bd
+        for j in range(b + 1, len(nodes)):
+            dj, tj = nodes[j]
+            if dj <= bd:
+                break
+            if _GLOBAL_AGG.search(tj):
+                count += 1
+                break
+    return count

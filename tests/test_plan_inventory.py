@@ -17,19 +17,19 @@ from kafka_metrics_exporter_spark.plans.fingerprint import plan_fingerprint
 # nested-loop / cartesian is the operator's semantics.
 CROSS_JOIN_OK = {"j1_cross_join"}
 
-# BroadcastNestedLoopJoin with a KNOWN broadcast-tiny side:
-# - grid-mode PromQL: the 1-row grid-bounds aggregate crossJoin
-#   (promql/range_eval.py _expand_instants)
-# - the @-modifier instant expansion: per-series snapshot × broadcast
-#   instants frame (promql/compiler.py _eval_at)
+# BroadcastNestedLoopJoin with a KNOWN broadcast-tiny side that is NOT
+# a global aggregate (those are recognized structurally by the
+# ``bnl_join_onerow`` fingerprint counter — VERDICT r7 item 1: the
+# grid-bounds expansions in promql/range_eval.py _expand_instants, the
+# tf-idf corpus-count N, and promql_rules_group's per-rule bounds all
+# have a ``keys=[]`` aggregate under the BroadcastExchange, so they no
+# longer need per-query entries here):
+# - promql_at_offset: the @-modifier expansion broadcasts the step-grid
+#   instants frame (promql/compiler.py _eval_at) — a sequence-literal
+#   projection of the 1-row bounds, bounded by span/step, but not
+#   itself a keys=[] aggregate node.
 BNLJ_OK = CROSS_JOIN_OK | {
-    "promql_topk_rate_grid",
-    "promql_histogram_quantile_grid",
-    "promql_subquery",
-    "promql_rate_extrapolated",
     "promql_at_offset",
-    # the broadcast 1-row corpus-count aggregate (idf's N)
-    "text_tfidf_topk",
 }
 
 # A Window whose partition spec is empty. Only acceptable when the
@@ -51,7 +51,9 @@ def test_plan_invariants(spark, sf_dir, name):
     if name not in CROSS_JOIN_OK:
         assert fp["cartesian"] == 0, fp
     if name not in BNLJ_OK:
-        assert fp["bnl_join"] == 0, fp
+        # one-row-broadcast BNLJs (grid bounds, scalar counts) are
+        # structurally fine — O(rows), not O(rows²)
+        assert fp["bnl_join"] - fp["bnl_join_onerow"] == 0, fp
     # no row-at-a-time / expression-level Python anywhere: Python only
     # ever appears at Arrow map boundaries (MapInPandas), never as
     # BatchEvalPython/ArrowEvalPython expression eval
