@@ -1032,9 +1032,14 @@ def drop_duplicated_passages(
     total = passage_table(docs, passage_tokens, text_col, id_col).groupBy(
         id_col
     ).agg(F.count(F.lit(1)).alias("_total"))
-    return rebuilt.join(total, id_col).select(
+    # LEFT join from total (ADVICE r7): a document whose EVERY passage
+    # is a non-keeper duplicate has no `keep` rows — it must still be
+    # emitted as (id, '', 0, n) so full deduplication stays auditable
+    # instead of silently vanishing from the output.
+    kept_n = F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+    return total.join(rebuilt, id_col, "left").select(
         id_col,
-        "clean_text",
-        "n_kept",
-        (F.col("_total") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        kept_n.alias("n_kept"),
+        (F.col("_total") - kept_n).cast("bigint").alias("n_dropped"),
     )

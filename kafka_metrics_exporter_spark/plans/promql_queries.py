@@ -1122,7 +1122,7 @@ groups:
   - record: region:click:sum
     expr: sum by (region) (click)
   - alert: HighRegionClicks
-    expr: region:click:sum > 40
+    expr: region:click:sum > 1
     for: 2h
 """
 
@@ -1133,7 +1133,7 @@ groups:
     WITH m AS ({_METRICS2_SQL}),
     rec AS (SELECT region, ts, SUM(value) AS value
             FROM m WHERE name = 'click' GROUP BY 1, 2),
-    hits AS (SELECT region, ts, value FROM rec WHERE value > 40),
+    hits AS (SELECT region, ts, value FROM rec WHERE value > 1),
     marks AS (
       SELECT region, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -1156,11 +1156,15 @@ def promql_rules_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus rule-group evaluation end-to-end (promql/rules.py):
     a recording rule (`region:click:sum = sum by (region) (click)`)
     materialized into the series frame, then an alerting rule that
-    SELECTS THE RECORDED SERIES (`region:click:sum > 40`, for: 2h) —
+    SELECTS THE RECORDED SERIES (`region:click:sum > 1`, for: 2h) —
     the sequential in-group chaining of rules/manager.go — with the
     pending→firing state machine on the 1h evaluation grid: an element
     fires once present continuously for ≥ 2h (two steps after its
-    run's first instant); a missed instant resets the run.
+    run's first instant); a missed instant resets the run.  The
+    threshold is sized to the test data (ADVICE r7: `> 40` made the
+    golden row EMPTY at sf0.01, verifying nothing): `> 1` emits both
+    pending and firing rows at sf0.01+, so the driver differential
+    actually exercises the state machine.
 
     The oracle mirrors the whole ladder in SQL: grouped sum → filter →
     gaps-and-islands (lag + running MAX of run marks) → the for-

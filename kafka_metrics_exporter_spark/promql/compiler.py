@@ -1023,7 +1023,19 @@ def _bin_pow(a, b):
         except OverflowError:
             neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
             return float("-inf") if neg else float("inf")
-    return F.pow(a, b)
+    # Column path (ADVICE r7): Java's Math.pow returns NaN for
+    # Pow(±1, ±Inf) and Pow(1, NaN) where Go (and IEEE 754 pow) return
+    # 1 — guard those cases so vector `^` agrees with the scalar path
+    ca = a if isinstance(a, Column) else F.lit(float(a))
+    cb = b if isinstance(b, Column) else F.lit(float(b))
+    return (
+        F.when(ca == F.lit(1.0), F.lit(1.0))
+        .when(
+            (ca == F.lit(-1.0)) & (F.abs(cb) == F.lit(float("inf"))),
+            F.lit(1.0),
+        )
+        .otherwise(F.pow(ca, cb))
+    )
 
 
 def _bin_atan2(a, b):
@@ -1173,9 +1185,15 @@ def _eval_cmp(node: Cmp, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
     joined = lf.join(rf, keys + ["ts"], "inner")
     pred = _ieee_cmp(node.op, F.col("value"), F.col("__rv"))
     if node.bool_mode:
-        out = joined.withColumn("value", _bool01(pred)).drop("__rv")
-    else:
-        out = joined.filter(pred).drop("__rv")
+        # bool mode follows ARITHMETIC label semantics (ADVICE r7): the
+        # one-to-one result drops to the match keys only — `a == bool
+        # on(region) b` must not keep user_id etc., or downstream
+        # matching sees wrong label sets.  (Without on()/ignoring(),
+        # keys == the full shared label set, so this is a no-op.)
+        out = joined.select(*keys, "ts", _bool01(pred).alias("value"))
+        return _Vec(out, frozenset(keys))
+    # filter mode emits the LEFT element unchanged, full label set kept
+    out = joined.filter(pred).drop("__rv")
     return _Vec(out, frozenset(left.labels | set(keys)))
 
 

@@ -27,6 +27,12 @@ whole-stage codegen with zero Python in the hot path:
   blanks are filtered; a malformed sample line becomes a NULL name and
   is dropped (use ``strict=True`` to keep a ``_corrupt`` column for
   auditing instead).
+- **Timestamps** accept both dialects (ADVICE r7): integer or float
+  tokens, decoded per ``timestamp_unit`` — ``"ms"`` (Prometheus text
+  format, the default) or ``"s"`` (OpenMetrics float seconds).
+  OpenMetrics **exemplar** suffixes (``# {trace_id="…"} 0.67 [ts]``)
+  are stripped rather than rejecting the line, and their labelsets
+  stay out of the sample's ``labels`` map.
 
 ``parse_exposition`` takes any one-string-column DataFrame (e.g.
 ``spark.read.text(dir)`` — file-partitioned, so parsing parallelizes
@@ -41,15 +47,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# one sample line: name [{labels}] value [timestamp_ms]
+# one sample line: name [{labels}] value [timestamp] [# {exemplar} …]
 # (?s): label values may legally carry RAW line terminators other than
 # \n (\r, U+2028, …) — the format only escapes \\ \" \n — and Java's
-# `.` excludes terminators by default, which would reject the line
+# `.` excludes terminators by default, which would reject the line.
+# The timestamp accepts integers AND floats (ADVICE r7: Prometheus
+# text format uses integer ms, OpenMetrics-proper float seconds — the
+# old integer-only group silently dropped every OpenMetrics-timestamped
+# line); the units are the caller's ``timestamp_unit``.  An OpenMetrics
+# exemplar suffix (``# {trace_id="…"} 0.67 [ts]``) is matched and
+# DISCARDED — the label block is non-greedy so the exemplar's labelset
+# can't bleed into group 2.
 _LINE_RE = (
     r"(?s)^([a-zA-Z_:][a-zA-Z0-9_:]*)"  # 1: metric name
-    r"(?:\{(.*)\})?"  # 2: label block (greedy — value/ts carry no '}')
-    r"\s+(\S+)"  # 3: value
-    r"(?:\s+(-?\d+))?"  # 4: optional timestamp (ms)
+    # 2: label block — quote-aware (bare chars or quoted strings), so a
+    # ``}`` INSIDE a quoted value doesn't close the block and the
+    # block's real closing brace stops BEFORE an exemplar's ``{``
+    r'(?:\{((?:[^"{}]|"(?:\\.|[^"\\])*")*)\})?'
+    r"\s+([^\s#]+)"  # 3: value (never contains '#')
+    r"(?:\s+(-?\d+(?:\.\d+)?))?"  # 4: optional timestamp (int or float)
+    r"(?:\s+#\s+\{.*)?"  # exemplar suffix: stripped
     r"\s*$"
 )
 _PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
@@ -100,6 +117,7 @@ def parse_exposition(
     column: str = "value",
     default_ts=None,
     strict: bool = False,
+    timestamp_unit: str = "ms",
 ) -> DataFrame:
     """Exposition text lines → ``(name, labels, ts, value)``.
 
@@ -109,7 +127,21 @@ def parse_exposition(
     ``F.col("scrape_ts")`` after attaching it from
     ``input_file_name()``).  Without it, timestamp-less samples get a
     NULL ts.  ``strict=True`` keeps malformed sample lines in a
-    ``_corrupt`` column instead of dropping them."""
+    ``_corrupt`` column instead of dropping them.
+
+    ``timestamp_unit`` (ADVICE r7): the two text formats disagree —
+    Prometheus exposition timestamps are **milliseconds** (``"ms"``,
+    the default, matching :func:`exposition_lines`), OpenMetrics-proper
+    are **float seconds** (``"s"``).  Either unit accepts integer AND
+    fractional tokens (decoded at microsecond precision — exact
+    through year ~2250 within double's 53-bit mantissa).  OpenMetrics
+    exemplar suffixes (``# {trace_id="…"} 0.67``) are recognized and
+    stripped; their labelsets never reach the ``labels`` map."""
+    scale = {"ms": 1_000, "s": 1_000_000}
+    if timestamp_unit not in scale:
+        raise ValueError(
+            f"timestamp_unit must be 'ms' or 's', got {timestamp_unit!r}"
+        )
     line = F.trim(F.col(column))
     body = lines.select(line.alias("__line")).filter(
         (F.length("__line") > 0) & ~F.col("__line").startswith("#")
@@ -126,14 +158,23 @@ def parse_exposition(
         fill_ts = F.lit(default_ts).cast("timestamp")
     parsed = body.select(
         F.when(name != "", name).alias("name"),
+        # pairs come from the captured label BLOCK, not the whole line:
+        # an exemplar's labelset must not bleed into the sample's map
         F.map_from_arrays(
-            F.regexp_extract_all("__line", F.lit(_PAIR_RE), 1),
+            F.regexp_extract_all(block, F.lit(_PAIR_RE), 1),
             F.transform(
-                F.regexp_extract_all("__line", F.lit(_PAIR_RE), 2), _unescape
+                F.regexp_extract_all(block, F.lit(_PAIR_RE), 2), _unescape
             ),
         ).alias("labels"),
         F.when(
-            raw_ts != "", F.timestamp_millis(raw_ts.cast("long"))
+            raw_ts != "",
+            F.timestamp_micros(
+                # round, don't truncate: 0.123s is inexact in binary,
+                # and truncation would turn …123000µs into …122999µs
+                F.round(
+                    raw_ts.try_cast("double") * scale[timestamp_unit]
+                ).cast("long")
+            ),
         )
         .otherwise(fill_ts)
         .alias("ts"),
@@ -173,11 +214,19 @@ def exposition_lines(
     df: DataFrame,
     label_cols: list[str] | None = None,
     include_timestamp: bool = True,
+    timestamp_unit: str = "ms",
 ) -> DataFrame:
     """Series frame → one exposition line per sample (column
     ``value``), the inverse of :func:`parse_exposition`.  Labels come
     from ``label_cols`` (empty-string labels are omitted, mirroring the
-    missing-label convention) or from a ``labels`` map column."""
+    missing-label convention) or from a ``labels`` map column.
+    ``timestamp_unit="ms"`` renders Prometheus integer milliseconds;
+    ``"s"`` renders OpenMetrics float seconds (millisecond-precision
+    plain decimal, never scientific notation)."""
+    if timestamp_unit not in ("ms", "s"):
+        raise ValueError(
+            f"timestamp_unit must be 'ms' or 's', got {timestamp_unit!r}"
+        )
     if label_cols is None:
         pairs = F.map_entries(F.col("labels"))
         rendered = F.array_join(
@@ -203,10 +252,22 @@ def exposition_lines(
     )
     pieces = [F.col("name"), block, F.lit(" "), _format_value(F.col("value"))]
     if include_timestamp:
+        ms = F.unix_millis(F.col("ts"))
+        if timestamp_unit == "ms":
+            ts_txt = ms.cast("string")
+        else:
+            # floor-consistent split so pre-epoch instants render
+            # correctly: ms == sec*1000 + frac with frac in [0, 1000)
+            sec = F.floor(ms / F.lit(1000.0)).cast("long")
+            frac = F.pmod(ms, F.lit(1000)).cast("int")
+            ts_txt = F.concat(
+                sec.cast("string"),
+                F.lit("."),
+                F.lpad(frac.cast("string"), 3, "0"),
+            )
         pieces += [
             F.when(
-                F.col("ts").isNotNull(),
-                F.concat(F.lit(" "), F.unix_millis(F.col("ts")).cast("string")),
+                F.col("ts").isNotNull(), F.concat(F.lit(" "), ts_txt)
             ).otherwise(F.lit(""))
         ]
     return df.select(F.concat(*pieces).alias("value"))

@@ -967,6 +967,23 @@ def test_passage_dup_stats_and_drop(spark):
     assert (clean[2]["n_kept"], clean[2]["n_dropped"]) == (1, 1)
     assert clean[3]["clean_text"] == w(20, 25)
 
+    # ADVICE r7: a doc whose EVERY passage is a dropped duplicate must
+    # still be emitted — (id, '', 0, n), not silently vanish
+    docs4 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    clean4 = {
+        r["doc_id"]: r
+        for r in dedup.drop_duplicated_passages(docs4, passage_tokens=5).collect()
+    }
+    assert set(clean4) == {1, 2}
+    assert clean4[1]["clean_text"] == shared
+    assert (clean4[2]["clean_text"], clean4[2]["n_kept"], clean4[2]["n_dropped"]) == (
+        "",
+        0,
+        1,
+    )
+
     # a doc shorter than the window still forms one (short) passage
     short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
     srow = dedup.passage_dup_stats(short, passage_tokens=5).collect()[0]

@@ -143,6 +143,67 @@ def test_roundtrip_from_labels_map(spark):
     assert back["labels"] == {"a": "x,y=z"} and back["value"] == 3.0
 
 
+def test_openmetrics_float_seconds_and_exemplars(spark):
+    """ADVICE r7: OpenMetrics-proper lines — float-second timestamps
+    and exemplar suffixes — must parse instead of silently dropping."""
+    lines = spark.createDataFrame(
+        [
+            ("m{a=\"x\"} 1 1704067200.250",),  # float seconds
+            ("m{a=\"y\"} 2 1704067200",),  # integer seconds
+            # exemplar after the timestamp: stripped, labels untouched
+            ('h_bucket{le="0.5"} 4 1704067200 # {trace_id="abc"} 0.4',),
+            # exemplar with no sample timestamp
+            ('h_bucket{le="1"} 7 # {trace_id="def",span="s}x"} 0.9 1704067200.5',),
+            # a '}' inside a quoted label value still parses (block is
+            # quote-aware, not non-greedy)
+            ('braces{v="a}b"} 5 1704067201',),
+        ],
+        "value string",
+    )
+    out = parse_exposition(lines, timestamp_unit="s")
+    got = {
+        (r["name"], tuple(sorted(r["labels"].items()))): (r["ts"], r["value"])
+        for r in out.collect()
+    }
+    t0 = dt.datetime(2024, 1, 1)
+    assert got[("m", (("a", "x"),))] == (
+        t0 + dt.timedelta(milliseconds=250),
+        1.0,
+    )
+    assert got[("m", (("a", "y"),))] == (t0, 2.0)
+    assert got[("h_bucket", (("le", "0.5"),))] == (t0, 4.0)
+    # exemplar-only suffix: sample has NO timestamp → NULL ts; the
+    # exemplar's trace_id/span labels must not leak into the map
+    assert got[("h_bucket", (("le", "1"),))] == (None, 7.0)
+    assert got[("braces", (("v", "a}b"),))] == (
+        t0 + dt.timedelta(seconds=1),
+        5.0,
+    )
+
+
+def test_float_ms_timestamps_parse_in_ms_mode(spark):
+    lines = spark.createDataFrame(
+        [("m 1 1704067200000.5",)], "value string"
+    )
+    r = parse_exposition(lines).first()
+    assert r["ts"] == dt.datetime(2024, 1, 1, 0, 0, 0, 500)
+
+
+def test_serialize_float_seconds_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("m", dt.datetime(2024, 1, 1, 0, 0, 0, 250000), 3.0, {"a": "x"})],
+        "name string, ts timestamp, value double, labels map<string,string>",
+    )
+    text = exposition_lines(df, timestamp_unit="s")
+    assert text.first()["value"] == 'm{a="x"} 3.0 1704067200.250'
+    back = parse_exposition(text, timestamp_unit="s").first()
+    assert back["ts"] == dt.datetime(2024, 1, 1, 0, 0, 0, 250000)
+    with pytest.raises(ValueError):
+        parse_exposition(text, timestamp_unit="us")
+    with pytest.raises(ValueError):
+        exposition_lines(df, timestamp_unit="ns")
+
+
 def test_parse_plan_stays_jvm_side(spark):
     """The decode path must be pure codegen expressions — no
     BatchEvalPython/ArrowEvalPython nodes (the 100 TB argument)."""

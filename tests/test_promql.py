@@ -312,6 +312,26 @@ def test_vector_vector_comparison_bool_mode(tiny):
     assert got2 == {0: 1.0, 1: 1.0}
 
 
+def test_bool_on_drops_to_match_keys(tiny):
+    """ADVICE r7: one-to-one bool comparison with on() follows
+    ARITHMETIC label semantics — the result vector carries the match
+    keys only (`a == bool on(region) b` must not keep user_id etc.),
+    while filter mode keeps the left element's full label set."""
+    out = compile_promql('m{topic="a"} >= bool on(instance) n').evaluate(tiny)
+    assert set(out.columns) == {"instance", "ts", "value"}
+    got = {(r["instance"], r["ts"].minute, r["value"]) for r in out.collect()}
+    assert got == {("h1", 0, 1.0), ("h1", 1, 1.0)}
+    # filter mode: left labels intact
+    outf = compile_promql('m{topic="a"} >= on(instance) n').evaluate(tiny)
+    assert "topic" in outf.columns
+    # and the reduced label set participates in downstream matching
+    comp = compile_promql(
+        '(m{topic="a"} >= bool on(instance) n) * on(instance) group_left n'
+    ).evaluate(tiny)
+    got2 = {(r["ts"].minute, r["value"]) for r in comp.collect()}
+    assert got2 == {(0, 1.0), (1, 2.0)}
+
+
 def test_vector_comparison_group_left(tiny):
     """Many-to-one comparison: `m > on(instance) group_left n` — the
     many (left) side's elements are kept where the comparison holds,
@@ -1862,3 +1882,20 @@ def test_modulo_power_atan2_operators(tiny):
     from kafka_metrics_exporter_spark.promql import parser as pql
 
     assert isinstance(parse("atan2"), pql.Selector)  # factor position
+
+
+def test_pow_one_with_infinite_exponent(tiny):
+    """ADVICE r7: vector `^` must follow Go/IEEE pow semantics where
+    Java's Math.pow returns NaN — Pow(±1, ±Inf) == 1."""
+    # m/m == 1 per element; (m/m) ^ +Inf must be 1, not NaN
+    out = compile_promql("(m / m) ^ (1 / 0)").evaluate(tiny)
+    assert {r["value"] for r in out.collect()} == {1.0}
+    # base -1 via (m/m) * -1, exponent -Inf
+    out2 = compile_promql("((m / m) * -1) ^ (-1 / 0)").evaluate(tiny)
+    assert {r["value"] for r in out2.collect()} == {1.0}
+    # base 1 with NaN exponent: Go Pow(1, NaN) == 1
+    out3 = compile_promql("(m / m) ^ (0 / 0)").evaluate(tiny)
+    assert {r["value"] for r in out3.collect()} == {1.0}
+    # and the ordinary path is untouched
+    out4 = compile_promql("(m / m * 2) ^ (1 / 0)").evaluate(tiny)
+    assert {r["value"] for r in out4.collect()} == {float("inf")}
