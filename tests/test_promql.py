@@ -1818,6 +1818,47 @@ def test_zookeeper_dashboard_replay_end_to_end(corpus_metrics):
     assert nonempty >= 3
 
 
+def test_dashboard_with_label_replace_panel(tiny):
+    """VERDICT r7 missing item 1 follow-through: a dashboard panel
+    using label_replace — the most common relabeling function in
+    real-world Grafana dashboards — compiles and executes through
+    compile_dashboard, including a $var inside the replacement
+    arguments."""
+    from kafka_metrics_exporter_spark.promql import compile_dashboard
+
+    dash = {
+        "templating": {"list": [{"name": "src", "query": "instance"}]},
+        "panels": [
+            {
+                "title": "Short host",
+                "targets": [
+                    {
+                        "expr": 'sum by (short) (label_replace('
+                                'm, "short", "$1", "$src", "(h[0-9]+)"))',
+                        "refId": "A",
+                    }
+                ],
+            },
+            {
+                "title": "Key",
+                "targets": [
+                    {
+                        "expr": 'label_join(m, "k", "/", "topic", "instance")',
+                        "refId": "A",
+                    }
+                ],
+            },
+        ],
+    }
+    plans = compile_dashboard(dash, variables={"src": "instance"})
+    assert len(plans) == 2
+    out = plans["Short host"].evaluate(tiny)
+    got = {(r["short"], r["ts"].minute): r["value"] for r in out.collect()}
+    assert got[("h1", 0)] == 110.0 and got[("h2", 0)] == 7.0
+    out2 = plans["Key"].evaluate(tiny)
+    assert {r["k"] for r in out2.collect()} == {"a/h1", "b/h1", "/h2"}
+
+
 def test_dashboard_targets_legacy_rows_and_dup_keys():
     """Code-review r7 hardening: legacy (schemaVersion < 16) dashboards
     store panels under rows[].panels; duplicate title+refId keys get
