@@ -7,6 +7,8 @@ re-enter pending on reappearance.
 
 from __future__ import annotations
 
+import pathlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -28,7 +30,7 @@ groups:
 _SCHEMA = "name string, ts_s string, value double, topic string"
 
 
-def _drive(spark, tmp_path, batches):
+def _drive(spark, tmp_path, batches, state_dir=None, **kwargs):
     from kafka_metrics_exporter_spark.streaming.pipeline import alert_rules
 
     src = tmp_path / "metrics"
@@ -54,10 +56,19 @@ def _drive(spark, tmp_path, batches):
         _RULES,
         emit,
         checkpoint=str(tmp_path / "ckpt"),
-        state_dir=str(tmp_path / "state"),
+        state_dir=state_dir or str(tmp_path / "state"),
+        **kwargs,
     )
     q.awaitTermination(180)
     return got
+
+
+def _states(got):
+    return {
+        (b, r["topic"]): (r["alertstate"], r["value"])
+        for _, _, b, rows in got
+        for r in rows
+    }
 
 
 def test_for_state_spans_microbatches(spark, tmp_path):
@@ -119,3 +130,88 @@ def test_state_dir_keeps_bounded_versions(spark, tmp_path):
 
     versions = glob.glob(str(tmp_path / "state" / "live" / "Hot" / "v*"))
     assert 1 <= len(versions) <= 2  # keep_state_versions default
+
+
+_TWO_CYCLES = [
+    [("m", "2024-01-01 00:00:30", 60.0, "t1")],  # pending
+    [("m", "2024-01-01 00:01:30", 70.0, "t1")],  # held 60s >= for → firing
+]
+
+
+def _register_mockfs(spark, tmp_path):
+    """Compile and register a ``mockfs:`` Hadoop FileSystem (a
+    RawLocalFileSystem subclass whose URI reports the mock scheme —
+    plain RawLocalFileSystem rejects non-``file:`` paths in
+    ``checkPath``), resolved through ``fs.mockfs.impl`` exactly how a
+    cluster resolves ``hdfs://``/``s3a://``.  Driver-side resolution
+    goes through the conf's classloader; executor-side (the state
+    parquet write tasks) through ``addJar``."""
+    import subprocess
+
+    jdir = tmp_path / "mockfs"
+    jdir.mkdir()
+    (jdir / "MockRawFs.java").write_text(
+        "package enginetest;\n"
+        "import java.net.URI;\n"
+        "import org.apache.hadoop.fs.RawLocalFileSystem;\n"
+        "public class MockRawFs extends RawLocalFileSystem {\n"
+        "  @Override public URI getUri() { return URI.create(\"mockfs:///\"); }\n"
+        "}\n"
+    )
+    import pyspark
+
+    hadoop_api = next(
+        (pathlib.Path(pyspark.__file__).parent / "jars").glob(
+            "hadoop-client-api-*.jar"
+        )
+    )
+    subprocess.run(
+        ["javac", "-cp", str(hadoop_api), "-d", str(jdir), str(jdir / "MockRawFs.java")],
+        check=True,
+    )
+    jar = jdir / "mockfs.jar"
+    subprocess.run(
+        ["jar", "cf", str(jar), "-C", str(jdir), "enginetest"], check=True
+    )
+    spark._jsc.sc().addJar(str(jar))
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    urls = gw.new_array(jvm.java.net.URL, 1)
+    urls[0] = jvm.java.net.URL(f"file:{jar}")
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.setClassLoader(jvm.java.net.URLClassLoader(urls, hconf.getClassLoader()))
+    hconf.set("fs.mockfs.impl", "enginetest.MockRawFs")
+
+
+def test_state_io_nonlocal_scheme(spark, tmp_path):
+    """VERDICT r7 item 4: state listing/pruning goes through the Hadoop
+    FileSystem API, so a non-``file:`` scheme works end-to-end."""
+    _register_mockfs(spark, tmp_path)
+    got = _drive(
+        spark, tmp_path, _TWO_CYCLES, state_dir=f"mockfs:{tmp_path}/state"
+    )
+    assert _states(got) == {
+        (0, "t1"): ("pending", 60.0),
+        (1, "t1"): ("firing", 70.0),
+    }
+    # versions landed on disk (RawLocalFileSystem backs mockfs:) with
+    # the v<batch>-<rows> count suffix the broadcast guard reads
+    import glob
+
+    names = sorted(
+        p.rsplit("/", 1)[1]
+        for p in glob.glob(str(tmp_path / "state" / "live" / "Hot" / "v*"))
+    )
+    assert names == ["v0-1", "v1-1"]
+
+
+def test_broadcast_guard_shuffle_fallback(spark, tmp_path):
+    """The cardinality guard's fallback path (prior state above
+    ``max_broadcast_state_rows`` joins WITHOUT the broadcast hint) must
+    be result-identical to the broadcast path — forced here with a 0
+    threshold so every cycle takes the shuffle join."""
+    got = _drive(spark, tmp_path, _TWO_CYCLES, max_broadcast_state_rows=0)
+    assert _states(got) == {
+        (0, "t1"): ("pending", 60.0),
+        (1, "t1"): ("firing", 70.0),
+    }
