@@ -1669,6 +1669,72 @@ def w11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W12: the STREAMING cascade's own chained-window shape (VERDICT r7
+# item 7) — w11 above proves hour-from-minute re-aggregation with
+# date_trunc keys; this row drives streaming/pipeline.py's
+# cascade_rollup FUNCTION itself (F.window → F.window_time → F.window,
+# Spark's chained-window support) in batch mode, so the exact operator
+# the streaming tier runs gets a driver-verified differential row, not
+# just a pytest pin.
+# ---------------------------------------------------------------------------
+@query(
+    "w12_window_time_cascade",
+    """
+    WITH scaled AS (
+      SELECT event_type, ts,
+             CAST(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+               AS sv
+      FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           SUM(sv) / 100000000.0 AS sum_value,
+           COUNT(*) AS n,
+           MIN(sv) / 100000000.0 AS min_value,
+           MAX(sv) / 100000000.0 AS max_value,
+           (SUM(sv) / COUNT(*)) / 100000000.0 AS avg_value
+    FROM scaled
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def w12_window_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cascade_rollup`` (streaming/pipeline.py) applied to the events
+    table as a batch frame (``withWatermark`` is a no-op on batch):
+    raw → 1-minute ``F.window`` partials → 1-hour window OVER
+    ``F.window_time`` of the fine tier — the chained-window plan the
+    streaming hypertable cascade executes, where the coarse state
+    holds only fine partials (1/60th the rows).  The oracle aggregates
+    raw directly per hour, so the hash match proves the chained
+    windows land every sample in the same hour bucket AND that the
+    re-aggregation (sum-of-sums, min-of-mins, derived avg) is
+    lossless.
+
+    Exactness: values are pre-scaled to integral doubles (exact,
+    associative addition below 2^53 — per-group sums reach ~1e13 at
+    sf0.1), and the oracle mirrors the avg's division order
+    ``(s / n) / scale`` so every double is bit-identical."""
+    from kafka_metrics_exporter_spark.streaming.pipeline import cascade_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.col("event_type").alias("series"),
+        F.floor(F.col("value") * 100000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("value"),
+    )
+    _, coarse = cascade_rollup(ev)
+    return coarse.select(
+        F.col("series").alias("event_type"),
+        F.date_format("window_start", _TS_FMT).alias("hour_s"),
+        (F.col("s") / F.lit(100000000.0)).alias("sum_value"),
+        F.col("n"),
+        (F.col("mn") / F.lit(100000000.0)).alias("min_value"),
+        (F.col("mx") / F.lit(100000000.0)).alias("max_value"),
+        ((F.col("s") / F.col("n")) / F.lit(100000000.0)).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O7: multiset set-ops — EXCEPT ALL / INTERSECT ALL keep duplicate
 # cardinality (O3/O5's distinct forms collapse it), the form catalog
 # reconciliation needs when multiplicity matters.

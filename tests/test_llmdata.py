@@ -984,6 +984,63 @@ def test_passage_dup_stats_and_drop(spark):
         1,
     )
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        corpus=st.lists(
+            st.lists(st.integers(0, 5), min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_drop_duplicated_passages_model_property(spark, corpus):
+        """Functional twin of the round-8 passage-dedup skew-stress
+        record (BASELINE.md): random corpora built from whole passages
+        — including dominant shared digests and fully-duplicated docs
+        — must match a pure-Python first-global-occurrence model:
+        only CROSS-document duplicates drop, the keeper is min
+        (doc_id, p_idx), and within-doc-only repeats all survive."""
+        pt = 3
+        passage = lambda p: " ".join(f"p{p}t{j}" for j in range(pt))  # noqa: E731
+        docs = spark.createDataFrame(
+            [(i, " ".join(passage(p) for p in ps)) for i, ps in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        occ_docs: dict[int, set[int]] = {}
+        keeper: dict[int, tuple[int, int]] = {}
+        for d, ps in enumerate(corpus):
+            for idx, p in enumerate(ps):
+                occ_docs.setdefault(p, set()).add(d)
+                if p not in keeper or (d, idx) < keeper[p]:
+                    keeper[p] = (d, idx)
+        expected = {}
+        for d, ps in enumerate(corpus):
+            kept = [
+                p
+                for idx, p in enumerate(ps)
+                if len(occ_docs[p]) == 1 or keeper[p] == (d, idx)
+            ]
+            expected[d] = (
+                " ".join(passage(p) for p in kept),
+                len(kept),
+                len(ps) - len(kept),
+            )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in dedup.drop_duplicated_passages(
+                docs, passage_tokens=pt
+            ).collect()
+        }
+        assert got == expected
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_passage_dedup_short_doc(spark):
     # a doc shorter than the window still forms one (short) passage
     short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
     srow = dedup.passage_dup_stats(short, passage_tokens=5).collect()[0]

@@ -212,6 +212,81 @@ def test_parse_plan_stays_jvm_side(spark):
     assert "EvalPython" not in plan
 
 
+def test_lake_replay_dashboard_e2e(spark, tmp_path):
+    """VERDICT r7 item 6 — the scrape-dump-directory-as-a-lake story
+    end-to-end: serialize an hourly series view to exposition text
+    files, read them back with ``spark.read.text`` + parse_exposition
+    + labels_to_columns, and replay a full reference dashboard over
+    the round-tripped series.  Every panel must produce EXACTLY the
+    rows it produces over the original frame (the round trip is the
+    identity), mirroring tests/test_promql_pipeline.py's
+    text-to-result thread for the Jolokia path."""
+    import json
+    import os
+
+    from kafka_metrics_exporter_spark.promql import compile_dashboard
+
+    labels = [
+        "job", "instance", "area", "clientId", "request", "topic",
+        "connector", "task", "gc", "quantile",
+    ]
+    names = [
+        "zookeeper_NodeCount",
+        "zookeeper_PacketsReceived",
+        "zookeeper_PacketsSent",
+        "jvm_memory_bytes_used",
+    ]
+    rows = []
+    for ni, name in enumerate(names):
+        for s in range(2):
+            lab = {
+                "job": f"job{s}", "instance": f"host{s}:1234",
+                "area": "heap", "clientId": f"c{s}",
+                "request": "Produce" if s == 0 else "Fetch",
+                "topic": f"t{s}", "connector": f"conn{s}", "task": str(s),
+                "gc": "G1", "quantile": "0.99",
+            }
+            for i in range(3):  # three hourly samples per series
+                rows.append(
+                    (
+                        name,
+                        dt.datetime(2024, 1, 1, i),
+                        float(100 * ni + 10 * s + i * i),
+                        *[lab[c] for c in labels],
+                    )
+                )
+    schema = "name string, ts timestamp, value double, " + ", ".join(
+        f"{c} string" for c in labels
+    )
+    series = spark.createDataFrame(rows, schema)
+
+    lake = str(tmp_path / "lake")
+    exposition_lines(series, label_cols=labels).write.text(lake)
+    back = labels_to_columns(
+        parse_exposition(spark.read.text(lake)), labels
+    )
+    cols = ["name", "ts", "value", *labels]
+    orig_rows = {tuple(r[c] for c in cols) for r in series.collect()}
+    back_rows = {tuple(r[c] for c in cols) for r in back.collect()}
+    assert orig_rows == back_rows  # the lake round trip is the identity
+
+    with open(
+        "/root/reference/Prometheus/jmxexporter_configs/grafana/dashboards/"
+        "ZooKeeper_Dashboard.json"
+    ) as fh:
+        zk = json.load(fh)
+    plans = compile_dashboard(zk, variables={"ServerName": "host0:1234"})
+    assert len(plans) == 8
+    nonempty = 0
+    key_of = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    for key, plan in plans.items():
+        a = sorted(map(key_of, plan.evaluate(series).collect()))
+        b = sorted(map(key_of, plan.evaluate(back).collect()))
+        assert a == b, key
+        nonempty += bool(b)
+    assert nonempty >= 3
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
