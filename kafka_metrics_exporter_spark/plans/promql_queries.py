@@ -1262,3 +1262,143 @@ def promql_label_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         F.col("value"),
     )
+
+
+@query(
+    "promql_over_time_pack",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT user_id, ts, value FROM m WHERE name = 'click'),
+    win AS (
+      SELECT user_id, ts,
+             list_sort(list(value) OVER w3) AS ls,
+             struct_extract(
+               max(struct_pack(v := value, u := epoch_us(ts))) OVER w3,
+               'u') AS umax,
+             struct_extract(
+               min(struct_pack(u := epoch_us(ts), v := value)) OVER w2,
+               'v') AS first_v
+      FROM c
+      WINDOW
+        w3 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 10799999999 PRECEDING AND CURRENT ROW),
+        w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)
+    ),
+    med AS (
+      SELECT user_id, ts, ls, umax, first_v,
+             (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2.0 AS m0
+      FROM win
+    ),
+    dev AS (
+      SELECT user_id, ts, umax, first_v,
+             list_sort(list_transform(ls, x -> abs(x - m0))) AS ds
+      FROM med
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           (ds[(len(ds) + 1) // 2] + ds[len(ds) // 2 + 1]) / 2.0 AS mad_v,
+           umax / 1000000.0 AS tsmax_s,
+           first_v
+    FROM dev
+    """,
+)
+def promql_over_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 Prometheus-3.x *_over_time family over the hourly
+    click series: ``mad_over_time(click[3h])`` (median absolute
+    deviation — sort_array/transform/element_at codegen, no UDFs),
+    ``ts_of_max_over_time(click[3h])`` (float epoch seconds of the
+    last sample carrying the window max), and
+    ``first_over_time(click[2h])``, joined on (user_id, ts).
+
+    The oracle replays each kernel with DuckDB list/struct windows:
+    the same trailing left-open RANGE frame, list_sort + two-middle
+    interpolation for both medians, lexicographic struct max/min for
+    the argmax picks.  Counts are integral so every median/deviation
+    lands on an exact .25 grid and the argmax seconds are whole —
+    bit-identical doubles, no rounding."""
+    m = _metrics_view(spark, sf_dir, "hour").persist()
+    mad = compile_promql("mad_over_time(click[3h])").evaluate(m)
+    tmax = compile_promql("ts_of_max_over_time(click[3h])").evaluate(m)
+    fst = compile_promql("first_over_time(click[2h])").evaluate(m)
+    out = (
+        mad.select("user_id", "ts", F.col("value").alias("mad_v"))
+        .join(
+            tmax.select("user_id", "ts", F.col("value").alias("tsmax_s")),
+            ["user_id", "ts"],
+        )
+        .join(
+            fst.select("user_id", "ts", F.col("value").alias("first_v")),
+            ["user_id", "ts"],
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "mad_v",
+            "tsmax_s",
+            "first_v",
+        )
+    )
+    return _finish_cached(out, m)
+
+
+@query(
+    "promql_limit_sample",
+    f"""
+    WITH m AS ({_METRICS_SQL.format(grain="hour")}),
+    c AS (SELECT user_id, ts, value FROM m WHERE name = 'click'),
+    h AS (
+      SELECT user_id, ts, value,
+             ('0x' || substr(md5(user_id), 1, 8))::BIGINT / 4294967296.0
+               AS hv
+      FROM c
+    ),
+    rk AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY ts ORDER BY user_id) AS rn
+      FROM c
+    )
+    SELECT 'in' AS part, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM h WHERE hv < 0.5
+    UNION ALL
+    SELECT 'out', user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), value
+    FROM h WHERE hv >= 0.5
+    UNION ALL
+    SELECT 'k', user_id, strftime(ts, '%Y-%m-%d %H:%M:%S'), value
+    FROM rk WHERE rn <= 3
+    """,
+)
+def promql_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``limit_ratio(0.5, click)`` / ``limit_ratio(-0.5, click)`` /
+    ``limitk(3, sort_by_label(click, "user_id"))`` stacked into one
+    frame tagged by ``part`` — the Prometheus-3.x sampling
+    aggregations with their deterministic engine semantics fully
+    replayed by SQL: the ratio hash is the first-8-hex-chars of
+    md5(label tuple) over 2^32 (both engines compute the identical
+    value), so the in/out parts are an EXACT partition of the series
+    (the Prometheus r / r−1 pair property); limitk keeps the 3 first
+    series per instant in label order (row_number twin).
+    sort_by_label wraps the limitk operand to pin the presentation op
+    inside a larger compiled plan (ordering itself is invisible to the
+    hash compare, which sorts rows).
+
+    Scale: limit_ratio is a scan-local predicate — zero shuffle, the
+    100 TB way to sample a series universe; limitk is one rank window
+    partitioned by ts."""
+    m = _metrics_view(spark, sf_dir, "hour").persist()
+    parts = []
+    for tag, expr in (
+        ("in", "limit_ratio(0.5, click)"),
+        ("out", "limit_ratio(-0.5, click)"),
+        ("k", 'limitk(3, sort_by_label(click, "user_id"))'),
+    ):
+        out = compile_promql(expr).evaluate(m)
+        parts.append(
+            out.select(
+                F.lit(tag).alias("part"),
+                "user_id",
+                F.date_format("ts", _TS_FMT).alias("ts_s"),
+                "value",
+            )
+        )
+    return _finish_cached(parts[0].unionByName(parts[1]).unionByName(parts[2]), m)

@@ -68,6 +68,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     HistogramQuantile,
     HoltWinters,
     LabelJoin,
+    LimitK,
     MathFn,
     LabelReplace,
     Matcher,
@@ -205,6 +206,8 @@ def _eval(
         return _eval_agg(node, metrics, label_cols, leaf)
     if isinstance(node, TopK):
         return _eval_topk(node, metrics, label_cols, leaf)
+    if isinstance(node, LimitK):
+        return _eval_limitk(node, metrics, label_cols, leaf)
     if isinstance(node, Bin):
         return _eval_bin(node, metrics, label_cols, leaf)
     if isinstance(node, SetOp):
@@ -328,13 +331,28 @@ def _eval(
         vec = _eval(node.expr, metrics, label_cols, leaf)
         if isinstance(vec, float):
             raise ValueError("promql: sort needs a vector")
-        # per-instant value ordering with a full label tiebreak —
-        # a presentation op on the FINAL (small) frame, so the global
-        # sort is one TakeOrdered-sized pass, not a data-path shuffle
-        val = F.col("value").desc() if node.desc else F.col("value").asc()
-        order = [F.col("ts").asc(), val] + [
-            F.col(c).asc() for c in sorted(vec.labels)
-        ]
+        # per-instant ordering — a presentation op on the FINAL (small)
+        # frame, so the global sort is one TakeOrdered-sized pass, not
+        # a data-path shuffle
+        if node.by_labels is not None:
+            # sort_by_label(_desc): order by the given label STRINGS
+            # (a missing label sorts as "", the engine's convention),
+            # remaining labels as the deterministic tiebreak
+            keys = [
+                F.col(l) if l in vec.labels else F.lit("")
+                for l in node.by_labels
+            ]
+            order = [F.col("ts").asc()] + [
+                k.desc() if node.desc else k.asc() for k in keys
+            ] + [
+                F.col(c).asc()
+                for c in sorted(vec.labels - set(node.by_labels))
+            ]
+        else:
+            val = F.col("value").desc() if node.desc else F.col("value").asc()
+            order = [F.col("ts").asc(), val] + [
+                F.col(c).asc() for c in sorted(vec.labels)
+            ]
         return _Vec(vec.df.orderBy(*order), vec.labels, scalar=vec.scalar)
     if isinstance(node, Subquery):
         raise ValueError(
@@ -704,6 +722,12 @@ def _eval_over_time(node: OverTime, metrics: DataFrame, label_cols) -> _Vec:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-(window_us - 1), 0)
     )
+    special = _over_time_special(node.op)
+    if special is not None:
+        core, post = special
+        return _Vec(
+            vec.df.withColumn("value", post(core.over(w))), vec.labels
+        )
     if node.op == "quantile":
         # PromQL quantile_over_time = linear interpolation over the
         # sorted samples — exactly SQL percentile_cont semantics
@@ -885,6 +909,101 @@ def _eval_topk(node: TopK, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         .drop("__rn")
     )
     return _Vec(df, vec.labels)
+
+
+def _eval_limitk(node: LimitK, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    """``limitk`` / ``limit_ratio`` (Prometheus 3.x experimental
+    sampling aggregations).  limitk keeps the k FIRST series per
+    instant in label order (deterministic; Prometheus's pick is
+    arbitrary — ours is a valid answer and stable across runs).
+    limit_ratio hashes the label tuple to [0, 1) (md5-derived, so any
+    engine replays it) and keeps h < r for r ≥ 0, h ≥ 1+r for r < 0 —
+    preserving Prometheus's documented pair-splitting property:
+    ``limit_ratio(r, v)`` and ``limit_ratio(r-1, v)`` partition v
+    exactly.  Both are one filter over the input's existing shuffle
+    shape — limitk's rank window partitions by ts, limit_ratio is a
+    scan-local predicate with no shuffle at all."""
+    vec = _eval(node.expr, metrics, label_cols, leaf)
+    if isinstance(vec, float):
+        raise ValueError("promql: limitk/limit_ratio need a vector")
+    series = sorted(vec.labels)
+    if not node.ratio:
+        order = [F.col(c).asc() for c in series] or [F.lit(1).asc()]
+        w = Window.partitionBy(F.col("ts")).orderBy(*order)
+        df = (
+            vec.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(node.param))
+            .drop("__rn")
+        )
+        return _Vec(df, vec.labels)
+    r = float(node.param)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(c) for c in series])), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 32))
+    keep = (h < F.lit(r)) if r >= 0 else (h >= F.lit(1.0 + r))
+    return _Vec(vec.df.filter(keep), vec.labels)
+
+
+def _median_of_sorted(arr: Column) -> Column:
+    """Linear-interpolated median of a SORTED double array — the
+    midpoint of the two middle elements, exactly percentile_cont(0.5)
+    (integer index arithmetic: 1-based lower middle ⌊(n+1)/2⌋, upper
+    middle ⌊n/2⌋+1; equal for odd n)."""
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    hi = F.element_at(arr, (n / F.lit(2) + F.lit(1)).cast("int"))
+    return (lo + hi) / F.lit(2.0)
+
+
+def _mad_from_sorted(arr: Column) -> Column:
+    """``mad_over_time`` kernel: median absolute deviation —
+    median(|x − median(x)|) — over a sorted sample array, entirely as
+    codegen array expressions (sort_array + transform + element_at),
+    no UDFs, state bounded by the window's sample count like every
+    other *_over_time frame."""
+    m = _median_of_sorted(arr)
+    devs = F.sort_array(F.transform(arr, lambda x: F.abs(x - m)))
+    return F.when(F.size(arr) > 0, _median_of_sorted(devs))
+
+
+def _over_time_special(op: str):
+    """The round-8 *_over_time additions (Prometheus 3.x experimental
+    family), shared by instant mode (wrap core in ``.over(w)``) and
+    grid mode (core as a groupBy aggregate): returns
+    ``(core_aggregate, post)`` or None for the classic ops.
+
+    - ``first``: earliest sample's value (min over (ts, value) structs
+      — dup-timestamp peers resolve deterministically to the min
+      value, mirroring last_over_time's max pick).
+    - ``ts_of_max``/``ts_of_min``/``ts_of_last``: the TIMESTAMP (float
+      epoch seconds, like timestamp()) of the last sample carrying the
+      window's max/min value, resp. the newest sample.  NaN samples
+      order greatest under Spark's comparator (documented divergence:
+      Go's engine never lets NaN win a max unless all-NaN).
+    - ``mad``: median absolute deviation (see _mad_from_sorted)."""
+    ts_us = F.unix_micros(F.col("ts"))
+    v = F.col("value")
+    if op == "first":
+        core = F.min(F.struct(ts_us.alias("__o_us"), v.alias("__o_v")))
+        return core, lambda c: c.getField("__o_v").cast("double")
+    if op == "ts_of_last":
+        return F.max(ts_us), lambda c: (c / F.lit(1e6)).cast("double")
+    if op == "ts_of_max":
+        core = F.max(F.struct(v.alias("__o_v"), ts_us.alias("__o_us")))
+        return core, lambda c: (c.getField("__o_us") / F.lit(1e6)).cast("double")
+    if op == "ts_of_min":
+        core = F.max(F.struct((-v).alias("__o_v"), ts_us.alias("__o_us")))
+        return core, lambda c: (c.getField("__o_us") / F.lit(1e6)).cast("double")
+    if op == "mad":
+        # core must be the bare window/groupBy aggregate (``.over`` in
+        # instant mode attaches to collect_list itself); sorting is a
+        # row-level post step
+        return F.collect_list(v), lambda c: _mad_from_sorted(F.sort_array(c))
+    return None
 
 
 def _eval_histogram_quantile(

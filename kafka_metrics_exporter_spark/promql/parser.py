@@ -127,6 +127,23 @@ class TopK:
 
 
 @dataclass(frozen=True)
+class LimitK:
+    """``limitk(k, v)`` / ``limit_ratio(r, v)`` — the Prometheus 3.x
+    experimental sampling aggregations.  ``limitk`` keeps (up to) k
+    elements per instant; Prometheus's pick is arbitrary, this engine
+    deterministically keeps the k FIRST series in label order (a valid
+    limitk answer, and stable across runs).  ``limit_ratio`` keeps a
+    deterministic label-hash sample: elements whose hash ∈ [0,1) falls
+    below r (r ≥ 0), or the COMPLEMENT set for negative r — so
+    ``limit_ratio(0.2, v)`` and ``limit_ratio(-0.8, v)`` partition the
+    input exactly, Prometheus's documented pair-splitting property."""
+
+    param: float
+    expr: "Expr"
+    ratio: bool = False
+
+
+@dataclass(frozen=True)
 class VectorMatch:
     """``on(...)`` / ``ignoring(...)`` with optional ``group_left(...)``
     / ``group_right(...)`` — PromQL's vector-matching modifier."""
@@ -170,10 +187,15 @@ class Sort:
     value (Prometheus's instant-query display ordering).  Relational
     result sets are unordered, so this compiles to an ORDER BY on the
     final frame: (ts, value, labels) — per-instant value order with a
-    deterministic label tiebreak."""
+    deterministic label tiebreak.
+
+    ``sort_by_label(v, "l1", …)`` / ``sort_by_label_desc`` (Prometheus
+    3.x experimental) set ``by_labels``: ordering is by those label
+    STRINGS instead of the value, remaining labels as tiebreak."""
 
     expr: "Expr"
     desc: bool = False
+    by_labels: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -609,23 +631,42 @@ class _Parser:
                 # Prometheus; present_over_time/last_over_time exist
                 # without a matching top-level aggregation
                 in (_AGG_OPS - {"count_values", "group"})
-                | {"last", "absent", "present"}
+                | {
+                    "last", "absent", "present", "first", "mad",
+                    "ts_of_max", "ts_of_min", "ts_of_last",
+                }
             ):
                 return self.parse_over_time()
             if tok in ("topk", "bottomk"):
                 return self.parse_topk()
+            if tok in ("limitk", "limit_ratio"):
+                return self.parse_limitk()
             if tok in ("label_replace", "label_join"):
                 return self.parse_label_fn()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
             if tok in _MATH_FNS | _CLAMP_FNS | {"clamp"}:
                 return self.parse_math_fn()
-            if tok in ("sort", "sort_desc"):
+            if tok in (
+                "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
+            ):
                 fn = self.next()[1]
                 self.expect("(")
                 inner = self.parse_expr()
+                by_labels = None
+                if fn.startswith("sort_by_label"):
+                    labels = []
+                    while self.peek()[1] == ",":
+                        labels.append(self._string_arg())
+                    if not labels:
+                        raise SyntaxError(
+                            "promql: sort_by_label needs at least one label"
+                        )
+                    by_labels = tuple(labels)
                 self.expect(")")
-                return Sort(inner, desc=(fn == "sort_desc"))
+                return Sort(
+                    inner, desc=fn.endswith("_desc"), by_labels=by_labels
+                )
             if tok == "round":
                 return self.parse_round()
             if tok in ("scalar", "vector"):
@@ -797,6 +838,25 @@ class _Parser:
         self.expect(")")
         return TopK(int(float(tok)), inner, bottom=(fn == "bottomk"))
 
+    def parse_limitk(self) -> Expr:
+        fn = self.next()[1]
+        self.expect("(")
+        if fn == "limitk":
+            kind, tok = self.next()
+            if kind != "number":
+                raise SyntaxError("promql: limitk requires a literal k")
+            param = float(tok)
+            if param != int(param) or param < 0:
+                raise SyntaxError("promql: limitk k must be a non-negative integer")
+        else:
+            param = self.signed_number("limit_ratio r")
+            if not (-1.0 <= param <= 1.0):
+                raise SyntaxError("promql: limit_ratio r must be in [-1, 1]")
+        self.expect(",")
+        inner = self.parse_expr()
+        self.expect(")")
+        return LimitK(param, inner, ratio=(fn == "limit_ratio"))
+
     def parse_round(self) -> Expr:
         """``round(v[, to_nearest])`` — nearest multiple of to_nearest
         (default 1), halves rounded UP (Prometheus funcRound)."""
@@ -964,6 +1024,10 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, TopK):
         fn = "bottomk" if node.bottom else "topk"
         return f"{fn}({node.k}, {to_promql(node.expr)})"
+    if isinstance(node, LimitK):
+        if node.ratio:
+            return f"limit_ratio({_fmt_num(node.param)}, {to_promql(node.expr)})"
+        return f"limitk({int(node.param)}, {to_promql(node.expr)})"
     if isinstance(node, Bin):
         # wrap each operand: comparisons bind looser than arithmetic,
         # so a Cmp operand is only expressible with its own parens
@@ -978,6 +1042,10 @@ def to_promql(node: Expr) -> str:
         )
         return f"{node.fn}({to_promql(node.expr)}{args})"
     if isinstance(node, Sort):
+        if node.by_labels is not None:
+            fn = "sort_by_label_desc" if node.desc else "sort_by_label"
+            labels = "".join(f', "{l}"' for l in node.by_labels)
+            return f"{fn}({to_promql(node.expr)}{labels})"
         fn = "sort_desc" if node.desc else "sort"
         return f"{fn}({to_promql(node.expr)})"
     if isinstance(node, Scalarize):

@@ -377,6 +377,17 @@ class GridLeaf:
                 "value", F.lit(1.0)
             )
             return _Vec(_finish(out, []), frozenset())
+        from kafka_metrics_exporter_spark.promql.compiler import (
+            _over_time_special,
+        )
+
+        special = _over_time_special(node.op)
+        if special is not None:
+            core, post = special
+            out = x.groupBy(*series, "__t_us").agg(core.alias("__c")).select(
+                *series, "__t_us", post(F.col("__c")).alias("value")
+            )
+            return _Vec(_finish(out, series), vec.labels)
         if node.op == "last":
             # groupBy has no frame order — pick the newest sample by its
             # timestamp explicitly (F.last would be partition-order luck)

@@ -1925,6 +1925,112 @@ def test_modulo_power_atan2_operators(tiny):
     assert isinstance(parse("atan2"), pql.Selector)  # factor position
 
 
+def test_round8_over_time_family(tiny):
+    """Prometheus 3.x experimental *_over_time additions, hand-computed
+    over the tiny fixture: first (earliest sample), mad (median
+    absolute deviation), ts_of_max/min/last (float epoch seconds of
+    the winning sample)."""
+    t0 = dt.datetime(2024, 1, 1)
+    e0 = t0.replace(tzinfo=dt.timezone.utc).timestamp()
+
+    def vals(expr):
+        out = compile_promql(expr).evaluate(tiny)
+        return {
+            (r["topic"], r["ts"].minute): r["value"]
+            for r in out.filter("instance = 'h1'").collect()
+        }
+
+    first = vals("first_over_time(m[2m])")
+    assert first[("a", 1)] == 10.0 and first[("a", 2)] == 40.0
+    mad = vals("mad_over_time(m[3m])")
+    # a@2: {10,40,5} → med 10, |dev| {0,30,5} → mad 5; b@1: {100,160} → 30
+    assert mad[("a", 1)] == 15.0 and mad[("a", 2)] == 5.0
+    assert mad[("b", 1)] == 30.0 and mad[("a", 0)] == 0.0
+    tmax = vals("ts_of_max_over_time(m[3m])")
+    assert tmax[("a", 2)] == e0 + 60.0  # max 40 @ minute 1
+    tmin = vals("ts_of_min_over_time(m[3m])")
+    assert tmin[("a", 2)] == e0 + 120.0  # min 5 @ minute 2
+    tlast = vals("ts_of_last_over_time(m[2m])")
+    assert tlast[("a", 2)] == e0 + 120.0
+
+    # grid mode takes the same kernels through the instant expansion
+    g = {
+        r["ts"]: r["value"]
+        for r in compile_promql('mad_over_time(m{topic="a"}[3m])')
+        .evaluate_range(tiny, 60.0)
+        .collect()
+    }
+    assert g[t0 + dt.timedelta(minutes=2)] == 5.0
+    gf = {
+        r["ts"]: r["value"]
+        for r in compile_promql('first_over_time(m{topic="a"}[2m])')
+        .evaluate_range(tiny, 60.0)
+        .collect()
+    }
+    assert gf[t0 + dt.timedelta(minutes=2)] == 40.0
+
+
+def test_sort_by_label_and_limit_aggregations(tiny):
+    """sort_by_label(_desc) orders the final frame by label strings;
+    limitk keeps a deterministic k-subset per instant; limit_ratio's
+    r / r−1 pair partitions the input exactly (the Prometheus
+    documented property)."""
+    out = compile_promql('sort_by_label(m, "topic")').evaluate(tiny)
+    t0_rows = [r for r in out.collect() if r["ts"].minute == 0]
+    assert [r["topic"] for r in t0_rows] == sorted(r["topic"] for r in t0_rows)
+    out_d = compile_promql(
+        'sort_by_label_desc(m, "topic", "instance")'
+    ).evaluate(tiny)
+    d_rows = [r for r in out_d.collect() if r["ts"].minute == 0]
+    assert [r["topic"] for r in d_rows] == sorted(
+        (r["topic"] for r in d_rows), reverse=True
+    )
+
+    lk = compile_promql("limitk(2, m)").evaluate(tiny)
+    by_ts = {}
+    for r in lk.collect():
+        by_ts.setdefault(r["ts"], []).append((r["instance"], r["topic"]))
+    full = compile_promql("m").evaluate(tiny)
+    universe = {}
+    for r in full.collect():
+        universe.setdefault(r["ts"], []).append((r["instance"], r["topic"]))
+    for ts, keys in by_ts.items():
+        assert len(keys) == min(2, len(universe[ts]))
+        # deterministic: the k FIRST series in (instance, topic) order
+        assert sorted(keys) == sorted(universe[ts])[: len(keys)]
+
+    a = compile_promql("limit_ratio(0.4, m)").evaluate(tiny).collect()
+    b = compile_promql("limit_ratio(-0.6, m)").evaluate(tiny).collect()
+    key = lambda r: (r["ts"], r["instance"], r["topic"])  # noqa: E731
+    assert sorted(map(key, a)) + sorted(map(key, b)) and not (
+        set(map(key, a)) & set(map(key, b))
+    )
+    assert sorted(list(map(key, a)) + list(map(key, b))) == sorted(
+        map(key, full.collect())
+    )
+    # limit_ratio(1) keeps everything
+    assert compile_promql("limit_ratio(1, m)").evaluate(tiny).count() == 6
+
+    # round-trips through the unparser
+    from kafka_metrics_exporter_spark.promql.parser import parse as _p
+    from kafka_metrics_exporter_spark.promql.parser import to_promql as _u
+
+    for e in [
+        'sort_by_label(m, "topic", "instance")',
+        'sort_by_label_desc(m, "topic")',
+        "limitk(3, m)",
+        "limit_ratio(-0.25, m)",
+        "mad_over_time(m[5m])",
+        "ts_of_max_over_time(m[5m])",
+        "first_over_time(m[1h])",
+    ]:
+        assert _p(_u(_p(e))) == _p(e)
+    with pytest.raises(SyntaxError):
+        parse("limit_ratio(1.5, m)")
+    with pytest.raises(SyntaxError):
+        parse('sort_by_label(m)')
+
+
 def test_pow_one_with_infinite_exponent(tiny):
     """ADVICE r7: vector `^` must follow Go/IEEE pow semantics where
     Java's Math.pow returns NaN — Pow(±1, ±Inf) == 1."""
