@@ -133,8 +133,68 @@ class TopHitsAgg:
     label: str
 
 
-Bucket = TermsBucket | DateHistogramBucket | FiltersBucket
-Metric = MetricAgg | TopHitsAgg | PercentilesAgg
+@dataclass(frozen=True)
+class HistogramBucket:
+    """ES ``histogram`` bucket (round 8): numeric fixed-interval
+    bucketing — key = floor(value / interval) · interval, ES's exact
+    formula (negative values land in the bucket BELOW zero, which
+    truncation would get wrong)."""
+
+    field: str
+    interval: float
+    label: str
+
+
+@dataclass(frozen=True)
+class RangeBucket:
+    """ES ``range`` bucket (round 8): half-open [from, to) ranges; a
+    document lands in EVERY range that contains it (ES allows
+    overlaps), so compilation explodes the match array like
+    FiltersBucket.  Missing ``from``/``to`` are open ends; keys follow
+    ES's ``from-to`` convention (``*`` for an open end) unless the
+    range declares a ``key``."""
+
+    field: str
+    ranges: tuple[tuple[str, float | None, float | None], ...]  # (key, lo, hi)
+    label: str
+
+
+@dataclass(frozen=True)
+class StatsAgg:
+    """ES ``stats`` / ``extended_stats`` metric: one aggregation pass
+    emitting count/min/max/avg/sum columns (extended adds
+    sum_of_squares, variance and std_deviation — POPULATION statistics,
+    ES's definition)."""
+
+    field: str
+    label: str
+    extended: bool = False
+
+    def column_names(self) -> list[str]:
+        names = ["count", "min", "max", "avg", "sum"]
+        if self.extended:
+            names += ["sum_of_squares", "variance", "std_deviation"]
+        return [f"{self.label}_{n}" for n in names]
+
+
+@dataclass(frozen=True)
+class PipelineAgg:
+    """ES parent pipeline aggs (round 8): ``derivative``,
+    ``cumulative_sum``, ``moving_avg``/``moving_fn`` over the buckets
+    of the INNERMOST histogram/date_histogram, per outer bucket.
+    ``source_label`` names the sibling metric column the buckets_path
+    resolved to.  moving_avg's window follows ES moving_fn shift=0:
+    the ``window`` buckets BEFORE the current one, exclusive — the
+    first bucket emits NULL, like derivative."""
+
+    op: str  # derivative | cumulative_sum | moving_avg
+    source_label: str
+    label: str
+    window: int = 5
+
+
+Bucket = TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket | RangeBucket
+Metric = MetricAgg | TopHitsAgg | PercentilesAgg | StatsAgg
 
 
 @dataclass(frozen=True)
@@ -143,6 +203,7 @@ class VisState:
     vis_type: str
     buckets: tuple[Bucket, ...]
     metrics: tuple[Metric, ...]
+    pipelines: tuple[PipelineAgg, ...] = ()
 
 
 def _slug(s: str) -> str:
@@ -208,6 +269,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     by_id = {a["id"]: a for a in aggs}
     buckets: list[Bucket] = []
     metrics: list[Metric] = []
+    pipelines_raw: list[tuple[str, str, str, int]] = []  # (op, path, label, window)
     for a in aggs:
         p = a.get("params", {})
         schema = a.get("schema", "metric")
@@ -290,13 +352,98 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     label=label,
                 )
             )
+        elif a["type"] == "histogram":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: histogram must be a bucket agg")
+            interval = float(p.get("interval", 1))
+            if interval <= 0:
+                raise ValueError("kibana: histogram interval must be > 0")
+            buckets.append(
+                HistogramBucket(field=p["field"], interval=interval, label=label)
+            )
+        elif a["type"] == "range":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: range must be a bucket agg")
+
+            def _end(r, k):
+                return float(r[k]) if r.get(k) is not None else None
+
+            def _key(r):
+                # range keys are bucket VALUES, not column names — no
+                # slugging, keep ES's literal `from-to` form
+                if r.get("key"):
+                    return str(r["key"])
+                lo, hi = r.get("from"), r.get("to")
+                return (
+                    f"{'*' if lo is None else f'{float(lo):g}'}-"
+                    f"{'*' if hi is None else f'{float(hi):g}'}"
+                )
+
+            ranges = tuple(
+                (_key(r), _end(r, "from"), _end(r, "to"))
+                for r in p.get("ranges", [])
+            )
+            if not ranges:
+                raise ValueError("kibana: range agg needs at least one range")
+            buckets.append(RangeBucket(field=p["field"], ranges=ranges, label=label))
+        elif a["type"] in ("stats", "extended_stats"):
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
+            metrics.append(
+                StatsAgg(
+                    field=p["field"],
+                    label=label,
+                    extended=(a["type"] == "extended_stats"),
+                )
+            )
+        elif a["type"] in ("derivative", "cumulative_sum", "moving_avg", "moving_fn"):
+            op = "moving_avg" if a["type"] == "moving_fn" else a["type"]
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            pipelines_raw.append(
+                (op, path, label, int(p.get("window", 5)))
+            )
         else:
             raise ValueError(f"kibana: unsupported agg type {a['type']!r}")
+    pipelines: list[PipelineAgg] = []
+    if pipelines_raw:
+        label_of = {}
+        for m in metrics:
+            label_of[m.label] = m.label
+        for a in aggs:
+            lbl = _slug(
+                a.get("params", {}).get("customLabel") or f'{a["type"]}_{a["id"]}'
+            )
+            label_of.setdefault(a["id"], lbl)
+        if any(path == "_count" for _, path, _, _ in pipelines_raw):
+            # the implicit doc-count metric, materialized only when a
+            # buckets_path actually references it
+            if not any(
+                isinstance(m, MetricAgg) and m.op == "count" for m in metrics
+            ):
+                metrics.append(MetricAgg(op="count", field="", label="count"))
+            label_of["_count"] = next(
+                m.label
+                for m in metrics
+                if isinstance(m, MetricAgg) and m.op == "count"
+            )
+        for op, path, label, window in pipelines_raw:
+            src = label_of.get(path)
+            if src is None or not any(m.label == src for m in metrics):
+                raise ValueError(
+                    f"kibana: pipeline buckets_path {path!r} does not "
+                    f"resolve to a sibling metric agg"
+                )
+            if window < 1:
+                raise ValueError("kibana: moving window must be >= 1")
+            pipelines.append(
+                PipelineAgg(op=op, source_label=src, label=label, window=window)
+            )
     return VisState(
         title=state.get("title", ""),
         vis_type=state.get("type", ""),
         buckets=tuple(buckets),
         metrics=tuple(metrics),
+        pipelines=tuple(pipelines),
     )
 
 
@@ -379,6 +526,38 @@ class KibanaPlan:
                     )
                 )
                 df = df.withColumn(b.label, F.explode(matches))
+            elif isinstance(b, HistogramBucket):
+                # ES: key = floor(value / interval) * interval (floor,
+                # not truncation — negatives bucket downward)
+                v = resolve(b.field).cast("double")
+                df = df.withColumn(
+                    b.label,
+                    F.floor(v / F.lit(b.interval)).cast("double")
+                    * F.lit(b.interval),
+                )
+            elif isinstance(b, RangeBucket):
+                # half-open [from, to); a doc lands in EVERY matching
+                # range (ES allows overlaps) — same explode shape as
+                # FiltersBucket
+                v = resolve(b.field).cast("double")
+
+                def _in_range(lo, hi):
+                    pred = F.lit(True)
+                    if lo is not None:
+                        pred = pred & (v >= F.lit(lo))
+                    if hi is not None:
+                        pred = pred & (v < F.lit(hi))
+                    return pred
+
+                matches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(_in_range(lo, hi), F.lit(key))
+                            for key, lo, hi in b.ranges
+                        ]
+                    )
+                )
+                df = df.withColumn(b.label, F.explode(matches))
             key_names.append(b.label)
 
         # 2) one hash aggregation over the full bucket-key tuple.
@@ -395,6 +574,22 @@ class KibanaPlan:
                         resolve(m.field).cast("double"),
                         F.array(*[F.lit(p / 100.0) for p in m.percents]),
                     ).alias(m.label)
+                )
+                continue
+            if isinstance(m, StatsAgg):
+                v = resolve(m.field).cast("double")
+                names = m.column_names()
+                exprs = [
+                    F.count(v),
+                    F.min(v),
+                    F.max(v),
+                    F.avg(v),
+                    F.sum(v),
+                ]
+                if m.extended:
+                    exprs.append(F.sum(v * v))
+                agg_exprs.extend(
+                    e.alias(n) for e, n in zip(exprs, names)
                 )
                 continue
             if isinstance(m, MetricAgg):
@@ -422,6 +617,21 @@ class KibanaPlan:
                     val = val.cast("double")
                 agg_exprs.append(pick(val, order).alias(m.label))
         out = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_exprs)
+        for m in metrics:
+            if isinstance(m, StatsAgg) and m.extended:
+                # ES's DOCUMENTED definition: variance =
+                # sum_of_squares/count − mean² (population), std = √var
+                # — derived here from the exact partials instead of
+                # var_pop, so on integral inputs the doubles are
+                # bit-identical to any engine replaying the formula
+                # (Welford-style var_pop aggregates diverge by ulps)
+                cnt = F.col(f"{m.label}_count")
+                tot = F.col(f"{m.label}_sum")
+                ss = F.col(f"{m.label}_sum_of_squares")
+                var = ss / cnt - (tot / cnt) * (tot / cnt)
+                out = out.withColumn(f"{m.label}_variance", var).withColumn(
+                    f"{m.label}_std_deviation", F.sqrt(var)
+                )
 
         # 3) per-level terms size/order enforcement, outermost first.
         # A TOP-LEVEL terms bucket never uses a window: the windowed
@@ -484,6 +694,42 @@ class KibanaPlan:
                 .drop("__rn", "__ord")
             )
 
+        # 4) parent pipeline aggs (round 8): sequence over the
+        # INNERMOST histogram/date_histogram buckets, one window per
+        # outer-bucket group.  When outer buckets exist the window
+        # partitions by them; a bare histogram's window relation is the
+        # already-aggregated bucket table (time-span / interval rows,
+        # not docs) — the same bounded-by-construction argument as
+        # promql_subquery's grid window.
+        if s.pipelines:
+            seq = [
+                b.label
+                for b in s.buckets
+                if isinstance(b, (DateHistogramBucket, HistogramBucket))
+            ]
+            if not seq:
+                raise ValueError(
+                    "kibana: pipeline aggs need a histogram or "
+                    "date_histogram bucket"
+                )
+            seq_label = seq[-1]
+            outer = [k for k in key_names if k != seq_label]
+            w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
+                F.col(seq_label).asc()
+            )
+            for pl in s.pipelines:
+                src = F.col(pl.source_label).cast("double")
+                if pl.op == "derivative":
+                    expr = src - F.lag(src).over(w)
+                elif pl.op == "cumulative_sum":
+                    expr = F.sum(src).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                else:  # moving_avg — ES moving_fn shift=0: the window
+                    # buckets BEFORE the current one, exclusive
+                    expr = F.avg(src).over(w.rowsBetween(-pl.window, -1))
+                out = out.withColumn(pl.label, expr)
+
         final_cols: list[Column] = [F.col(k) for k in key_names]
         for m in metrics:
             if isinstance(m, PercentilesAgg):
@@ -491,8 +737,11 @@ class KibanaPlan:
                     F.col(m.label).getItem(i).alias(name)
                     for i, name in enumerate(m.column_names())
                 )
+            elif isinstance(m, StatsAgg):
+                final_cols.extend(F.col(n) for n in m.column_names())
             else:
                 final_cols.append(F.col(m.label))
+        final_cols.extend(F.col(pl.label) for pl in s.pipelines)
         return out.select(*final_cols)
 
 

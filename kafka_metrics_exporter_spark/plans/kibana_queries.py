@@ -245,3 +245,131 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pct_p75"), 4).alias("pct_p75"),
         F.round(F.col("pct_p95"), 4).alias("pct_p95"),
     )
+
+
+@query(
+    "kibana_histogram_stats",
+    """
+    WITH r(k, lo, hi) AS (
+      VALUES ('*-10', NULL, 10.0), ('10-26', 10.0, 26.0), ('25-*', 25.0, NULL)
+    ),
+    b AS (
+      SELECT r.k AS qty_range,
+             floor(l.l_extendedprice / 10000) * 10000 AS price_b,
+             l.l_quantity AS q
+      FROM lineitem l, r
+      WHERE (r.lo IS NULL OR l.l_quantity >= r.lo)
+        AND (r.hi IS NULL OR l.l_quantity < r.hi)
+    )
+    SELECT qty_range, price_b,
+           COUNT(q) AS qty_count,
+           MIN(q) AS qty_min,
+           MAX(q) AS qty_max,
+           AVG(q) AS qty_avg,
+           SUM(q) AS qty_sum,
+           SUM(q * q) AS qty_sum_of_squares,
+           SUM(q * q) / COUNT(q) - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q))
+             AS qty_variance,
+           sqrt(SUM(q * q) / COUNT(q)
+                - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q)))
+             AS qty_std_deviation
+    FROM b GROUP BY 1, 2
+    """,
+)
+def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 ES bucket/metric additions in one visState: a
+    ``range`` bucket over l_quantity (half-open [from, to), with an
+    OVERLAPPING pair so a 25-quantity line lands in two buckets — ES's
+    multi-match explode), a nested numeric ``histogram`` over
+    l_extendedprice (floor(v/10000)·10000, ES's exact formula), and an
+    ``extended_stats`` metric.  Variance is ES's documented
+    sum_of_squares/count − mean² (population) derived from the exact
+    partials — l_quantity is integral, so count/min/max/sum/sum_sq are
+    exact and the derived avg/variance/stddev divisions are
+    bit-identical to the oracle replaying the same formula."""
+    li = _t(spark, sf_dir, "lineitem")
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "range", "schema": "bucket",
+                 "params": {"field": "l_quantity", "customLabel": "qty_range",
+                             "ranges": [
+                                 {"to": 10}, {"from": 10, "to": 26},
+                                 {"from": 25},
+                             ]}},
+                {"id": "2", "type": "histogram", "schema": "bucket",
+                 "params": {"field": "l_extendedprice", "interval": 10000,
+                             "customLabel": "price_b"}},
+                {"id": "3", "type": "extended_stats", "schema": "metric",
+                 "params": {"field": "l_quantity", "customLabel": "qty"}},
+            ]
+        )
+    )
+    return plan.evaluate(li)
+
+
+@query(
+    "kibana_pipeline",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+               AS day
+      FROM d
+    ),
+    agg AS (
+      SELECT event_type, day, COUNT(*) AS count FROM b GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s, count,
+           CAST(count AS DOUBLE) - lag(CAST(count AS DOUBLE)) OVER w
+             AS d_count,
+           SUM(CAST(count AS DOUBLE)) OVER (
+             w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_count,
+           AVG(CAST(count AS DOUBLE)) OVER (
+             w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m_count
+    FROM agg
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent pipeline aggregations (round 8): a terms × daily
+    date_histogram bucket tree whose implicit doc-count feeds
+    ``derivative``, ``cumulative_sum``, and ``moving_avg`` (ES
+    moving_fn shift=0 semantics: the 3 buckets BEFORE the current one,
+    exclusive) — the classic "requests per day, day-over-day change,
+    running total, smoothed trend" Kibana panel.  The pipeline windows
+    partition by the terms bucket and order by the histogram key, so
+    the sequence op runs over the already-aggregated bucket table
+    (days × types rows), never the raw docs.  Counts are integral:
+    lag-subtraction, running sums, and the ≤3-term averages are all
+    exact, hash-identical to the SQL window twin."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type", "size": 10,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "2", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "interval": "1d",
+                             "customLabel": "day"}},
+                {"id": "3", "type": "derivative", "schema": "metric",
+                 "params": {"metricAgg": "_count", "customLabel": "d_count"}},
+                {"id": "4", "type": "cumulative_sum", "schema": "metric",
+                 "params": {"metricAgg": "_count", "customLabel": "c_count"}},
+                {"id": "5", "type": "moving_avg", "schema": "metric",
+                 "params": {"metricAgg": "_count", "window": 3,
+                             "customLabel": "m_count"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.date_format("day", _TS_FMT).alias("day_s"),
+        "count",
+        "d_count",
+        "c_count",
+        "m_count",
+    )

@@ -597,3 +597,178 @@ def test_compile_export_panel_ref_name_resolution():
     }
     with pytest.raises(ValueError):
         compile_export([vis, bad_dash], dashboard="Bad")
+
+
+# ---------------------------------------------------------------- round 8:
+# histogram / range buckets, stats / extended_stats metrics, parent
+# pipeline aggs (derivative, cumulative_sum, moving_avg).
+
+
+def _vis8(aggs):
+    return {"visState": json.dumps({"title": "t", "type": "table", "aggs": aggs})}
+
+
+def test_histogram_bucket_floors_negatives(spark):
+    """ES histogram key = floor(v/interval)*interval — a negative value
+    must bucket DOWNWARD (-3 with interval 5 → -5, not 0)."""
+    df = spark.createDataFrame(
+        [(-3.0,), (-0.1,), (0.0,), (4.9,), (5.0,), (12.0,)], "v double"
+    )
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "histogram", "schema": "bucket",
+             "params": {"field": "v", "interval": 5, "customLabel": "b"}},
+        ])
+    )
+    got = {r.b: r["count"] for r in plan.evaluate(df).collect()}
+    assert got == {-5.0: 2, 0.0: 2, 5.0: 1, 10.0: 1}
+
+
+def test_range_bucket_overlap_open_ends_and_keys(spark):
+    """[from, to) half-open; overlapping ranges duplicate the doc into
+    every matching bucket; missing ends are open; explicit `key` wins
+    over the `from-to` name."""
+    df = spark.createDataFrame([(5.0,), (10.0,), (25.0,), (40.0,)], "v double")
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "range", "schema": "bucket",
+             "params": {"field": "v",
+                         "ranges": [
+                             {"to": 10},
+                             {"from": 10, "to": 26},
+                             {"from": 25, "key": "big"},
+                         ],
+                         "customLabel": "r"}},
+        ])
+    )
+    got = {r.r: r["count"] for r in plan.evaluate(df).collect()}
+    # 5 → *-10 only; 10 → 10-26 (half-open excludes it from *-10);
+    # 25 → BOTH 10-26 and big (overlap); 40 → big
+    assert got == {"*-10": 1, "10-26": 2, "big": 2}
+
+
+def test_stats_and_extended_stats_columns(docs):
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "2", "type": "stats", "schema": "metric",
+             "params": {"field": "v", "customLabel": "s"}},
+            {"id": "3", "type": "extended_stats", "schema": "metric",
+             "params": {"field": "v", "customLabel": "x"}},
+        ])
+    )
+    out = plan.evaluate(docs)
+    assert out.columns == [
+        "c",
+        "s_count", "s_min", "s_max", "s_avg", "s_sum",
+        "x_count", "x_min", "x_max", "x_avg", "x_sum",
+        "x_sum_of_squares", "x_variance", "x_std_deviation",
+    ]
+    got = {r.c: r for r in out.collect()}
+    b = got["broker"]  # v = 10, 30, 40
+    assert (b.s_count, b.s_min, b.s_max, b.s_sum) == (3, 10.0, 40.0, 80.0)
+    assert b.s_avg == pytest.approx(80 / 3)
+    assert b.x_sum_of_squares == pytest.approx(100 + 900 + 1600)
+    # ES population variance: ss/n - mean^2
+    assert b.x_variance == pytest.approx(2600 / 3 - (80 / 3) ** 2)
+    assert b.x_std_deviation == pytest.approx((2600 / 3 - (80 / 3) ** 2) ** 0.5)
+
+
+def test_pipeline_aggs_semantics(spark):
+    """derivative = lag diff (first bucket null); cumulative_sum =
+    running total; moving_avg = mean of the `window` buckets BEFORE the
+    current one, exclusive (ES moving_fn shift=0)."""
+    rows = [
+        ("a", "2024-04-01 00:30:00"),
+        ("a", "2024-04-02 00:30:00"), ("a", "2024-04-02 01:00:00"),
+        ("a", "2024-04-03 00:30:00"), ("a", "2024-04-03 01:00:00"),
+        ("a", "2024-04-03 02:00:00"),
+        ("b", "2024-04-01 00:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "k", "size": 10, "order": "asc",
+                         "orderBy": "_term", "customLabel": "k"}},
+            {"id": "2", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "interval": "1d", "customLabel": "d"}},
+            {"id": "3", "type": "derivative", "schema": "metric",
+             "params": {"metricAgg": "_count", "customLabel": "deriv"}},
+            {"id": "4", "type": "cumulative_sum", "schema": "metric",
+             "params": {"metricAgg": "_count", "customLabel": "cum"}},
+            {"id": "5", "type": "moving_avg", "schema": "metric",
+             "params": {"metricAgg": "_count", "window": 2,
+                         "customLabel": "mov"}},
+        ])
+    )
+    out = plan.evaluate(df)
+    a = sorted((r for r in out.collect() if r.k == "a"), key=lambda r: r.d)
+    assert [r["count"] for r in a] == [1, 2, 3]
+    assert [r.deriv for r in a] == [None, 1.0, 1.0]
+    assert [r.cum for r in a] == [1.0, 3.0, 6.0]
+    # moving window=2, exclusive: [None, avg(1), avg(1,2)]
+    assert [r.mov for r in a] == [None, 1.0, 1.5]
+    b = [r for r in out.collect() if r.k == "b"]
+    assert len(b) == 1 and b[0].deriv is None and b[0].cum == 1.0
+
+
+def test_pipeline_buckets_path_resolves_metric_id(docs):
+    """buckets_path can name a sibling metric by agg id, not just
+    _count."""
+    plan = compile_visualization(
+        _vis8([
+            {"id": "2", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "interval": "1h", "customLabel": "h"}},
+            {"id": "1", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "sv"}},
+            {"id": "3", "type": "cumulative_sum", "schema": "metric",
+             "params": {"metricAgg": "1", "customLabel": "run"}},
+        ])
+    )
+    out = plan.evaluate(docs)
+    rows = sorted(out.collect(), key=lambda r: r.h)
+    # hourly sums: 10:00→10+40=50, 11:00→30+20=50, 12:00→5+7=12
+    assert [r.sv for r in rows] == [50.0, 50.0, 12.0]
+    assert [r.run for r in rows] == [50.0, 100.0, 112.0]
+
+
+def test_pipeline_validation_errors(docs):
+    with pytest.raises(ValueError, match="histogram"):
+        compile_visualization(
+            _vis8([
+                {"id": "1", "type": "terms", "schema": "bucket",
+                 "params": {"field": "component.keyword", "size": 5,
+                             "order": "asc", "orderBy": "_term"}},
+                {"id": "2", "type": "derivative", "schema": "metric",
+                 "params": {"metricAgg": "_count"}},
+            ])
+        ).evaluate(docs)
+    with pytest.raises(ValueError, match="buckets_path"):
+        parse_vis_state(
+            _vis8([
+                {"id": "1", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "interval": "1h"}},
+                {"id": "2", "type": "derivative", "schema": "metric",
+                 "params": {"metricAgg": "99"}},
+            ])["visState"]
+        )
+    with pytest.raises(ValueError, match="interval"):
+        parse_vis_state(
+            _vis8([
+                {"id": "1", "type": "histogram", "schema": "bucket",
+                 "params": {"field": "v", "interval": 0}},
+            ])["visState"]
+        )
+    with pytest.raises(ValueError, match="range"):
+        parse_vis_state(
+            _vis8([
+                {"id": "1", "type": "range", "schema": "bucket",
+                 "params": {"field": "v", "ranges": []}},
+            ])["visState"]
+        )
