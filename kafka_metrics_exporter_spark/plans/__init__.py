@@ -30,28 +30,30 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
-# Explicit first-window ordering for ROUND 7.  Composition (the r6
+# Explicit first-window ordering for ROUND 8.  Composition (the r7
 # verdict's rotation ask, executed):
-#   - the 46 queries whose latest driver row is r5 (they sat after slot
-#     50 in the r6 window) — promoted so no query's driver row is more
-#     than one round old — MINUS the seven STALE_OUT_OF_WINDOW
-#     demotions the slot arithmetic forces (46 + 8 new + 4 changed =
-#     58 > 50, so 38 promote; promql_vector_matching promotes via
-#     CHANGED_THIS_ROUND instead of the stale section);
-#   - queries NEW this round (holt_winters / the calendar family /
-#     Kibana median+percentiles — the r6 library-level additions that
-#     had no registry slot — plus promql_trig_group for the r7
-#     trig/pi/group grammar and dedup_passage for the r7 span-dedup
-#     family);
+#   - the 7 queries whose latest driver row is r5 (the r7
+#     STALE_OUT_OF_WINDOW demotions — their rows would go three rounds
+#     old this round, so they promote first);
+#   - 35 of the 47 queries whose latest driver row is r6 (they sat
+#     after slot 50 in the r7 window); the slot arithmetic forces 12
+#     demotions (7 + 47 + 6 new + 2 changed = 62 > 50), listed in
+#     STALE_OUT_OF_WINDOW with their per-query justification;
+#   - queries NEW this round (the PromQL label-function /
+#     over-time-pack / limit-sample registry rows, the w12
+#     chained-window cascade, and the two Kibana bucket/pipeline
+#     queries);
 #   - queries whose results or oracle CHANGED this round
-#     (funcRound reciprocal form; real ES auto-interval as the
-#     date_histogram default).
+#     (promql_rules_group: alert threshold re-sized so the driver
+#     differential exercises pending AND firing rows — ADVICE r7;
+#     openmetrics_roundtrip: quote-aware label parsing +
+#     timestamp_unit on the parse path).
 # Everything not listed keeps definition order after these (all have
-# green r6 rows).
+# green r7 rows).
 #
-# ROTATION POLICY for round 8+: swap again — promote the r6-latest set
+# ROTATION POLICY for round 9+: swap again — promote the r7-latest set
 # (now sitting after slot 50) plus NEW_THIS_ROUND/CHANGED_THIS_ROUND,
 # demote this round's verified set.  test_registry_window.py enforces
 # that never-verified and changed queries always land in-window, and
@@ -59,102 +61,114 @@ CURRENT_ROUND = 7
 
 # Queries first registered this round — must be in-window.
 NEW_THIS_ROUND = [
-    "promql_holt_winters",
-    "promql_calendar",
-    "kibana_median",
-    "promql_trig_group",
-    "dedup_passage",
-    "promql_vector_compare",  # vector-vector comparison grammar
-    "promql_rules_group",  # Prometheus recording+alerting rule groups
-    "openmetrics_roundtrip",  # exposition-format source/sink
+    "promql_label_functions",  # label_replace / label_join (VERDICT r7)
+    "promql_over_time_pack",  # Prometheus 3.x over-time function pack
+    "promql_limit_sample",  # limitk / limit_ratio experimental aggs
+    "w12_window_time_cascade",  # chained-window cascade (VERDICT r7 item 7)
+    "kibana_histogram_stats",  # range x histogram x extended_stats
+    "kibana_pipeline",  # derivative / cumulative_sum / moving_avg
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
 # this round — must be re-verified by the driver even though they have
-# green rows (pinned by test_registry_window.py).
+# green rows (pinned by test_registry_window.py).  NOT listed, with
+# reasons: promql_vector_compare uses filter-mode comparisons only —
+# the ADVICE r7 bool-mode label fix rewrote the bool branch of
+# _eval_cmp and left the filter branch byte-identical; dedup_passage
+# calls passage_dup_stats — the ADVICE r7 fix touched only
+# drop_duplicated_passages (pytest-pinned, not in this query's path);
+# no registry query compiles `^`, so the Pow(±1, ±Inf) guard reaches
+# no driver row (pytest-pinned in test_promql.py).
 CHANGED_THIS_ROUND = [
-    "promql_round_scalar",  # funcRound reciprocal form (ADVICE r6)
-    "kibana_date_histogram",  # real ES auto-interval is now the default
-    # the IEEE division/mod rewrite (_bin_div CaseWhen guards for
-    # Spark-ANSI divide-by-zero) changes the compiled expression of
-    # every PromQL `/` — the two in-registry division queries not
-    # already in-window as NEW/CHANGED re-verify here:
-    "promql_vector_math",
-    "promql_vector_matching",
+    "promql_rules_group",  # alert threshold >40 -> >1 (ADVICE r7): the
+    # r7 row compared empty-vs-empty; re-verify with 373 real rows
+    "openmetrics_roundtrip",  # parse path rewritten: quote-aware label
+    # block, exemplar stripping, float timestamps via timestamp_unit
 ]
 
-# Changed queries that did NOT fit the 50-slot window.  Exemption
-# criteria: the change cannot alter THIS query's compiled plan or
-# values (verified by the CURRENT_ROUND GOLDEN re-record plus the
-# pytest oracle replay).  promql_clamp_sort: the clamp() min>max branch
-# became an empty vector, but this query's bounds are min<max, so its
-# compiled expression is identical.
-CHANGED_OUT_OF_WINDOW = [
-    "promql_clamp_sort",
-]
+# Changed queries that did NOT fit the 50-slot window (none this
+# round — both changed queries are in-window above).
+CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r5-latest queries demoted to make the slot arithmetic fit (their
+# r6-latest queries demoted to make the slot arithmetic fit (their
 # driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
 # re-record and the pytest oracle replay cover them, machine-checked).
-# o1_distinct / o5_intersect: trivial set ops, code untouched since
-# r1; o4_sort_limit: trivial TakeOrdered, additionally plan-pinned;
-# o3_anti_join / j1_cross_join: single-operator left_anti / cross
-# joins untouched since r1, demoted to make room for the late
-# promql_vector_compare + the division-rewrite CHANGED promotions.
+# Selection criteria: code untouched since their last green row AND a
+# second non-driver pin (plan pin, property test, or composition of
+# independently verified stages).
 STALE_OUT_OF_WINDOW = [
-    "o1_distinct",
-    "o5_intersect",
-    "o4_sort_limit",
-    "o3_anti_join",
-    "j1_cross_join",
-    # j3/j5: trivial unionByName merge / single-explode queries
-    # untouched since r1, demoted for the promql_rules_group and
-    # openmetrics_roundtrip slots
-    "j3_union_byname",
-    "j5_explode_parent_child",
+    # untouched since r3; bit-identical-to-unsalted property pin
+    "scale_salted_agg",
+    # r7's CHANGED_OUT_OF_WINDOW entry: compiled expression proven
+    # identical then, untouched since
+    "promql_clamp_sort",
+    # deterministic fake-codec paths untouched since r4/r5; each is
+    # pytest-pinned and the Arrow plumbing is shared with
+    # multimodal_channel_stats (green r7)
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_audio",
+    # scan-local hash expressions untouched since r4; zero-shuffle
+    # plans pinned in PLANS.json
+    "pipe_split",
+    "pipe_stratified_sample",
+    "pipe_weighted_sample",
+    # narrow md5 projection untouched since r3
+    "doc_fingerprint",
+    # single BroadcastHashJoin untouched since r1, plan-pinned
+    "j2_broadcast_lookup",
+    # composition of dedup_minhash_lsh (promoted this round) and the
+    # connected-components stages (green r7 as dedup_components/_star)
+    "dedup_minhash_components",
 ]
 
 WINDOW_PRIORITY = [
-    # -- latest driver row is r5 (46 queries minus the one demotion) ------
-    "a5_count_distinct",
-    "a5_approx_count_distinct",
-    "a6_latest_value",
-    "w4_latest_per_user",
-    "a9_topk_of_avg",
-    "a10_sum_without",
-    "w1_tumbling_window",
-    "w3_topk_per_group",
-    "a11b_approx_percentile",
-    "a9b_sum_of_topk",
-    "w7b_sliding_window",
-    "w8_frame_specs",
-    "w9_regex_label_rate_sum",
-    "w10_topk_rate_nonempty",
-    "p_scalar_pack",
-    "j6_asof_join",
-    "a12_rollup",
-    "o6_semi_join",
-    "o7_except_all",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embed_near_dup_cosine",
-    "embed_cosine_topk",
-    "text_metrics",
-    "promql_topk_rate_grid",
-    "promql_histogram_quantile_grid",
-    "dedup_components_star",
-    "promql_set_ops",
-    "promql_count_values",
-    "promql_subquery",
-    "multimodal_channel_stats",
-    "text_corpus_report",
-    "promql_quantile_last_over_time",
-    "promql_rate_extrapolated",
-    "dedup_components",
-    "a1_a4_grouped_metrics",
-    "w2_rate",
-    "p2_normalize_pipeline",
-    # -- new / changed in round 7 -----------------------------------------
+    # -- latest driver row is r5 (the 7 r7 demotions, promoted first) --
+    "j1_cross_join",
+    "j3_union_byname",
+    "j5_explode_parent_child",
+    "o1_distinct",
+    "o3_anti_join",
+    "o4_sort_limit",
+    "o5_intersect",
+    # -- latest driver row is r6 (35 of 47; 12 demoted above) ---------
+    "a7_multikey_drilldown",
+    "a8_having",
+    "a11_percentile",
+    "qtj_series_arith",
+    "w7_session_window",
+    "p1_objectname_pivot",
+    "rules_rewrite",
+    "j7_range_join",
+    "w11_rollup_cascade",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_near_dup_lsh",
+    "embed_ivf_topk",
+    "embed_cluster_dedup",
+    "text_langid",
+    "pipe_pack_chunks",
+    "pipe_decontaminate",
+    "text_quality_gate",
+    "text_redact",
+    "pipe_corpus_build",
+    "text_token_rarity",
+    "text_repetition",
+    "embed_quantize",
+    "pipe_sliding_chunks",
+    "pipe_fuzzy_decontaminate",
+    "pipe_bloom_decontaminate",
+    "text_tfidf_topk",
+    "promql_topk_rate",
+    "promql_quantile_agg",
+    "promql_histogram_quantile",
+    "promql_deriv_predict",
+    "promql_resets_changes",
+    "promql_at_offset",
+    "kibana_terms_metrics",
+    "kibana_top_hits_latest",
+    # -- new / changed in round 8 -----------------------------------------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
 ]

@@ -33,6 +33,7 @@ _VERIFIED = {
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
@@ -136,6 +137,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (50 slots vs 38 stale-promoted
-    # + 8 new + 4 changed this round)
-    assert len(exempt) <= 8, exempt
+    # slot arithmetic that forced them (round 8: 50 slots vs 42
+    # stale-promoted + 6 new + 2 changed = 12 forced demotions)
+    assert len(exempt) <= 12, exempt
