@@ -187,10 +187,32 @@ class PipelineAgg:
     the ``window`` buckets BEFORE the current one, exclusive — the
     first bucket emits NULL, like derivative."""
 
-    op: str  # derivative | cumulative_sum | moving_avg
+    op: str  # derivative | cumulative_sum | moving_avg | *_bucket
     source_label: str
     label: str
     window: int = 5
+
+
+#: sibling pipeline ops — aggregate a metric ACROSS the innermost
+#: bucket level, per outer bucket (ES avg_bucket & friends).  Unlike
+#: the parent sequence ops above they need no ordering, so they run as
+#: one grouped aggregation joined back, never a window.
+SIBLING_OPS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+               "min_bucket": F.min, "max_bucket": F.max}
+
+
+@dataclass(frozen=True)
+class BucketSortAgg:
+    """ES ``bucket_sort`` pipeline (round 8): order the innermost
+    buckets per outer bucket by a sibling metric (or ``_key``, the
+    bucket key itself) and truncate to ``[from_, from_ + size)``.
+    Truncation is response-shaping only — sibling aggs at the same
+    level are computed over the FULL bucket list first, matching ES."""
+
+    sort_label: str  # resolved metric column, or "_key"
+    order: str  # asc | desc
+    size: int
+    from_: int = 0
 
 
 Bucket = TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket | RangeBucket
@@ -204,6 +226,7 @@ class VisState:
     buckets: tuple[Bucket, ...]
     metrics: tuple[Metric, ...]
     pipelines: tuple[PipelineAgg, ...] = ()
+    bucket_sort: BucketSortAgg | None = None
 
 
 def _slug(s: str) -> str:
@@ -270,6 +293,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     buckets: list[Bucket] = []
     metrics: list[Metric] = []
     pipelines_raw: list[tuple[str, str, str, int]] = []  # (op, path, label, window)
+    bucket_sort_raw: tuple[str, str, int, int] | None = None  # (path, order, size, from)
     for a in aggs:
         p = a.get("params", {})
         schema = a.get("schema", "metric")
@@ -402,10 +426,27 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             pipelines_raw.append(
                 (op, path, label, int(p.get("window", 5)))
             )
+        elif a["type"] in SIBLING_OPS:
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            pipelines_raw.append((a["type"], path, label, 0))
+        elif a["type"] == "bucket_sort":
+            if bucket_sort_raw is not None:
+                raise ValueError("kibana: at most one bucket_sort per vis")
+            size = int(p.get("size", 10))
+            from_ = int(p.get("from", 0))
+            if size < 1 or from_ < 0:
+                raise ValueError("kibana: bucket_sort needs size >= 1, from >= 0")
+            bucket_sort_raw = (
+                str(p.get("sortField") or p.get("buckets_path") or "_key"),
+                str(p.get("order", "desc")),
+                size,
+                from_,
+            )
         else:
             raise ValueError(f"kibana: unsupported agg type {a['type']!r}")
     pipelines: list[PipelineAgg] = []
-    if pipelines_raw:
+    bucket_sort: BucketSortAgg | None = None
+    if pipelines_raw or bucket_sort_raw:
         label_of = {}
         for m in metrics:
             label_of[m.label] = m.label
@@ -414,7 +455,10 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 a.get("params", {}).get("customLabel") or f'{a["type"]}_{a["id"]}'
             )
             label_of.setdefault(a["id"], lbl)
-        if any(path == "_count" for _, path, _, _ in pipelines_raw):
+        needs_count = any(path == "_count" for _, path, _, _ in pipelines_raw) or (
+            bucket_sort_raw is not None and bucket_sort_raw[0] == "_count"
+        )
+        if needs_count:
             # the implicit doc-count metric, materialized only when a
             # buckets_path actually references it
             if not any(
@@ -433,10 +477,28 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     f"kibana: pipeline buckets_path {path!r} does not "
                     f"resolve to a sibling metric agg"
                 )
-            if window < 1:
+            if op == "moving_avg" and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
                 PipelineAgg(op=op, source_label=src, label=label, window=window)
+            )
+        if bucket_sort_raw is not None:
+            path, order, size, from_ = bucket_sort_raw
+            if path == "_key":
+                sort_label = "_key"
+            else:
+                sort_label = label_of.get(path)
+                if sort_label is None or not any(
+                    m.label == sort_label for m in metrics
+                ):
+                    raise ValueError(
+                        f"kibana: bucket_sort sortField {path!r} does not "
+                        f"resolve to a sibling metric agg"
+                    )
+            if order not in ("asc", "desc"):
+                raise ValueError("kibana: bucket_sort order must be asc|desc")
+            bucket_sort = BucketSortAgg(
+                sort_label=sort_label, order=order, size=size, from_=from_
             )
     return VisState(
         title=state.get("title", ""),
@@ -444,6 +506,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
         buckets=tuple(buckets),
         metrics=tuple(metrics),
         pipelines=tuple(pipelines),
+        bucket_sort=bucket_sort,
     )
 
 
@@ -701,7 +764,9 @@ class KibanaPlan:
         # already-aggregated bucket table (time-span / interval rows,
         # not docs) — the same bounded-by-construction argument as
         # promql_subquery's grid window.
-        if s.pipelines:
+        parents = [pl for pl in s.pipelines if pl.op not in SIBLING_OPS]
+        siblings = [pl for pl in s.pipelines if pl.op in SIBLING_OPS]
+        if parents:
             seq = [
                 b.label
                 for b in s.buckets
@@ -717,7 +782,7 @@ class KibanaPlan:
             w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
                 F.col(seq_label).asc()
             )
-            for pl in s.pipelines:
+            for pl in parents:
                 src = F.col(pl.source_label).cast("double")
                 if pl.op == "derivative":
                     expr = src - F.lag(src).over(w)
@@ -729,6 +794,71 @@ class KibanaPlan:
                     # buckets BEFORE the current one, exclusive
                     expr = F.avg(src).over(w.rowsBetween(-pl.window, -1))
                 out = out.withColumn(pl.label, expr)
+
+        # 4b) sibling pipeline aggs: aggregate a metric ACROSS the
+        # innermost bucket level, one value per outer bucket, repeated
+        # on each inner row.  Grouped aggregation + broadcast join-back
+        # (the sibling side is one row per OUTER bucket — small by
+        # construction), never a window: with no outer bucket a window
+        # would constant-fold to an empty partition spec and move the
+        # whole relation into one task; the global-agg + one-row
+        # broadcast shape stays distributed (bnl_join_onerow).
+        if siblings:
+            if not key_names:
+                raise ValueError("kibana: sibling pipeline aggs need a bucket agg")
+            outer = key_names[:-1]
+            aggs_ = [
+                SIBLING_OPS[pl.op](F.col(pl.source_label).cast("double")).alias(
+                    pl.label
+                )
+                for pl in siblings
+            ]
+            if outer:
+                sib = out.groupBy(*[F.col(c) for c in outer]).agg(*aggs_)
+                out = out.join(F.broadcast(sib), outer, "left")
+            else:
+                out = out.crossJoin(F.broadcast(out.agg(*aggs_)))
+
+        # 4c) bucket_sort: order the innermost buckets per outer bucket
+        # and keep [from_, from_+size).  Computed AFTER sibling aggs —
+        # ES's truncation is response-shaping only.  Nested: row_number
+        # over the outer partition (distributed, one rank per outer
+        # group).  Top-level: TakeOrdered limit(from+size) — never a
+        # global window over the full relation — then a rank over the
+        # ≤ from+size survivors only when an offset must be dropped.
+        if s.bucket_sort is not None:
+            bs = s.bucket_sort
+            if not key_names:
+                raise ValueError("kibana: bucket_sort needs a bucket agg")
+            inner_label = key_names[-1]
+            sort_col = (
+                F.col(inner_label) if bs.sort_label == "_key"
+                else F.col(bs.sort_label)
+            )
+            direction = sort_col.desc() if bs.order == "desc" else sort_col.asc()
+            order_cols = [direction, F.col(inner_label).asc()]
+            outer = key_names[:-1]
+            if outer:
+                w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
+                    *order_cols
+                )
+                out = (
+                    out.withColumn("__bs", F.row_number().over(w))
+                    .filter(
+                        (F.col("__bs") > bs.from_)
+                        & (F.col("__bs") <= bs.from_ + bs.size)
+                    )
+                    .drop("__bs")
+                )
+            else:
+                out = out.orderBy(*order_cols).limit(bs.from_ + bs.size)
+                if bs.from_:
+                    w = Window.orderBy(*order_cols)
+                    out = (
+                        out.withColumn("__bs", F.row_number().over(w))
+                        .filter(F.col("__bs") > bs.from_)
+                        .drop("__bs")
+                    )
 
         final_cols: list[Column] = [F.col(k) for k in key_names]
         for m in metrics:

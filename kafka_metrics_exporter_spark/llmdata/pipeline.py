@@ -427,3 +427,39 @@ def sliding_chunks(
         F.least(F.lit(window), F.col("n_toks") - F.col("start_tok")).alias("chunk_toks"),
         "n_toks",
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization
+    (round 8): every row gets a ``shard`` (its output file) and ``pos``
+    (its rank within the shard), both pure functions of (seed, id).
+
+    Why not ``orderBy(rand(seed))``: a seeded rand() is a function of
+    partition layout — two clusters (or one cluster before/after AQE
+    coalescing) produce different orders from the same seed, so the
+    "same" training run isn't.  A content-addressed residue gives the
+    identical permutation on any cluster, any partitioning, any retry.
+
+    Scale shape: the residue is a scan-local md5 projection; the ONLY
+    shuffle is the window's hash partitioning on ``shard`` (n_shards
+    groups, each ~rows/n_shards — the residue is uniform, so no skew),
+    matching exactly the layout a sharded write wants: one sorted
+    partition per output shard, zero extra exchanges.  Epoch N+1 is
+    ``seed+1`` — a full reshuffle with zero state carried between
+    epochs.
+    """
+    from kafka_metrics_exporter_spark.llmdata.similarity import md5_residue
+
+    r = md5_residue(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__r", r).withColumn(
+        "shard", (F.col("__r") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__r").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("__r")

@@ -282,3 +282,93 @@ def tfidf_topk_sql(k: int = 5, text_expr: str = "text") -> str:
       FROM scored
     ) WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------- round 8:
+# URL canonicalization (CommonCrawl-style URL dedup key).
+
+#: query params dropped before comparison — tracking/session noise that
+#: makes byte-identical pages look distinct (the classic CC dedup trap).
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|sessionid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute URL for exact URL-level dedup —
+    the first dedup pass of a web-crawl pipeline (cheaper than any
+    content hash: no document bytes touched, just the key column).
+
+    Steps (each a JVM regexp/string expression, RE2-compatible so the
+    DuckDB twin below replays them verbatim):
+
+    - trim, drop the ``#fragment``;
+    - lowercase scheme and authority (path/query stay case-sensitive —
+      ``/Page`` and ``/page`` are different resources);
+    - strip a leading ``www.`` and the scheme's default port
+      (``:80`` http, ``:443`` https);
+    - collapse ``//`` runs in the path, drop a trailing slash
+      (``/a/b/`` ≡ ``/a/b``; bare authority keeps no slash);
+    - drop tracking params (``utm_*``, ``gclid``, ``fbclid``, ``ref``,
+      ``sessionid``), then SORT the survivors — param order is
+      transport noise.
+
+    Malformed input (no ``scheme://``) passes through trimmed and
+    de-fragmented only, never null — a dedup key must be total.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(pathq, r"\?.*$", "")
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonicalize_url_sql(url_expr: str = "url") -> str:
+    """DuckDB twin of :func:`canonicalize_url` — the same RE2 regexp
+    chain, step for step, so the oracle verifies the canonicalization
+    semantics (not just the dedup arithmetic)."""
+    u = f"regexp_replace(trim({url_expr}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
+    auth0 = f"regexp_replace(lower(regexp_extract({rest}, '^([^/?]*)', 1)), '^www\\.', '')"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '') "
+        f"ELSE {auth0} END"
+    )
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path = (
+        f"regexp_replace(regexp_replace(regexp_replace({pathq}, '\\?.*$', ''),"
+        f" '/{{2,}}', '/', 'g'), '/$', '')"
+    )
+    q = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
+    qs = (
+        f"array_to_string(list_sort(list_filter(string_split({q}, '&'),"
+        f" x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE "
+        f"{scheme} || '://' || {auth} || {path} || "
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END END"
+    )

@@ -37,9 +37,9 @@ CURRENT_ROUND = 8
 #   - the 7 queries whose latest driver row is r5 (the r7
 #     STALE_OUT_OF_WINDOW demotions — their rows would go three rounds
 #     old this round, so they promote first);
-#   - 35 of the 47 queries whose latest driver row is r6 (they sat
-#     after slot 50 in the r7 window); the slot arithmetic forces 12
-#     demotions (7 + 47 + 6 new + 2 changed = 62 > 50), listed in
+#   - 32 of the 47 queries whose latest driver row is r6 (they sat
+#     after slot 50 in the r7 window); the slot arithmetic forces 15
+#     demotions (7 + 47 + 9 new + 2 changed = 65 > 50), listed in
 #     STALE_OUT_OF_WINDOW with their per-query justification;
 #   - queries NEW this round (the PromQL label-function /
 #     over-time-pack / limit-sample registry rows, the w12
@@ -67,6 +67,9 @@ NEW_THIS_ROUND = [
     "w12_window_time_cascade",  # chained-window cascade (VERDICT r7 item 7)
     "kibana_histogram_stats",  # range x histogram x extended_stats
     "kibana_pipeline",  # derivative / cumulative_sum / moving_avg
+    "dedup_url",  # URL canonicalization + exact dedup (crawl first pass)
+    "pipe_global_shuffle",  # deterministic seeded shard+rank shuffle
+    "kibana_sibling_sort",  # avg/max_bucket siblings + bucket_sort
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -121,6 +124,15 @@ STALE_OUT_OF_WINDOW = [
     # composition of dedup_minhash_lsh (promoted this round) and the
     # connected-components stages (green r7 as dedup_components/_star)
     "dedup_minhash_components",
+    # pure column exprs untouched since r3; langid_sql differential
+    # pytest twin re-runs every session
+    "text_langid",
+    # chunk-count-only expansion untouched since r6; shares the
+    # running-sum machinery with pipe_pack_chunks (promoted this round)
+    "pipe_sliding_chunks",
+    # deterministic quantization arithmetic untouched since r6,
+    # pytest-pinned round-trip error bounds
+    "embed_quantize",
 ]
 
 WINDOW_PRIORITY = [
@@ -147,7 +159,6 @@ WINDOW_PRIORITY = [
     "embed_near_dup_lsh",
     "embed_ivf_topk",
     "embed_cluster_dedup",
-    "text_langid",
     "pipe_pack_chunks",
     "pipe_decontaminate",
     "text_quality_gate",
@@ -155,8 +166,6 @@ WINDOW_PRIORITY = [
     "pipe_corpus_build",
     "text_token_rarity",
     "text_repetition",
-    "embed_quantize",
-    "pipe_sliding_chunks",
     "pipe_fuzzy_decontaminate",
     "pipe_bloom_decontaminate",
     "text_tfidf_topk",

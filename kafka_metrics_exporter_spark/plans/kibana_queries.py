@@ -373,3 +373,73 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_count",
         "m_count",
     )
+
+
+@query(
+    "kibana_sibling_sort",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+             value_i
+      FROM d
+    ),
+    agg AS (
+      SELECT event_type, day, SUM(value_i) AS sv FROM b GROUP BY 1, 2
+    ),
+    sib AS (
+      SELECT event_type, day, sv,
+             AVG(CAST(sv AS DOUBLE)) OVER (PARTITION BY event_type) AS avg_sv,
+             MAX(CAST(sv AS DOUBLE)) OVER (PARTITION BY event_type) AS max_sv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY sv DESC, day ASC) AS rn
+      FROM agg
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s,
+           sv, avg_sv, max_sv
+    FROM sib WHERE rn <= 3
+    """,
+)
+def kibana_sibling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs + bucket_sort (round 8): per event_type,
+    the daily sum of value_i, its across-days avg_bucket / max_bucket
+    (computed over ALL days — ES computes siblings before bucket_sort's
+    response-shaping truncation), then bucket_sort keeps each type's
+    top-3 days by that sum.  The "busiest days vs the average day"
+    panel.  value_i is integral so the sums and the ≤150-term averages
+    are exact in both engines.
+
+    Scale shape: one hash agg (type × day), sibling = one grouped agg
+    over ~types rows broadcast-joined back, bucket_sort = row_number
+    over the per-type partition of the already-aggregated bucket table
+    — no window ever touches raw events."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type", "size": 10,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "2", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "interval": "1d",
+                             "customLabel": "day"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "sv"}},
+                {"id": "4", "type": "avg_bucket", "schema": "metric",
+                 "params": {"metricAgg": "3", "customLabel": "avg_sv"}},
+                {"id": "5", "type": "max_bucket", "schema": "metric",
+                 "params": {"metricAgg": "3", "customLabel": "max_sv"}},
+                {"id": "6", "type": "bucket_sort", "schema": "metric",
+                 "params": {"sortField": "3", "order": "desc", "size": 3}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.date_format("day", _TS_FMT).alias("day_s"),
+        "sv",
+        "avg_sv",
+        "max_sv",
+    )

@@ -1583,3 +1583,108 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_passages").cast("bigint").alias("n_passages"),
         "n_dup_passages",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: URL-level dedup and deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL synthesis over documents: three raw variants
+# per canonical target (uppercase host + default port + tracking param /
+# plain / double-slash + trailing slash + fragment), so the dedup is
+# only correct if the canonicalizer actually normalizes every step.
+# Replayed verbatim in the oracle.
+_URL_SPARK = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat('HTTPS://WWW.', source, '.Example.COM:443/p/', "
+    "CAST(doc_id % 40 AS STRING), '?utm_source=feed&q=', CAST(doc_id % 7 AS STRING)) "
+    "WHEN 1 THEN concat('https://', source, '.example.com/p/', "
+    "CAST(doc_id % 40 AS STRING), '?q=', CAST(doc_id % 7 AS STRING)) "
+    "ELSE concat('https://', source, '.example.com//p//', "
+    "CAST(doc_id % 40 AS STRING), '/?q=', CAST(doc_id % 7 AS STRING), '#sec') "
+    "END"
+)
+_URL_DUCK = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/' || "
+    "CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&q=' || CAST(doc_id % 7 AS VARCHAR) "
+    "WHEN 1 THEN 'https://' || source || '.example.com/p/' || "
+    "CAST(doc_id % 40 AS VARCHAR) || '?q=' || CAST(doc_id % 7 AS VARCHAR) "
+    "ELSE 'https://' || source || '.example.com//p//' || "
+    "CAST(doc_id % 40 AS VARCHAR) || '/?q=' || CAST(doc_id % 7 AS VARCHAR) || '#sec' "
+    "END"
+)
+
+
+def _dedup_url_oracle() -> str:
+    from kafka_metrics_exporter_spark.llmdata.text import canonicalize_url_sql
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_DUCK} AS url FROM documents
+    ),
+    c AS (SELECT doc_id, {canonicalize_url_sql("url")} AS canonical_url FROM u)
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM c GROUP BY 1
+    """
+
+
+@query("dedup_url", _dedup_url_oracle())
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (round 8): canonicalize the URL column
+    (llmdata/text.py canonicalize_url — scheme/host lowering, default
+    ports, www., slash runs, tracking params, param sort), then keep
+    min(doc_id) per canonical form.  The crawl pipeline's FIRST dedup
+    pass: a pure key-column groupBy, no document bytes touched.
+
+    100 TB: one hash aggregation keyed by the canonical URL (uniform —
+    hosts shard across the keyspace); the canonicalizer is a scan-local
+    regexp chain inside codegen, so the only shuffle is the final
+    groupBy.  Reference parity: URL normalization per
+    Code/KafkaMetrics.py:61-70's metric-path normalization, promoted to
+    the web-crawl key domain."""
+    from kafka_metrics_exporter_spark.llmdata.text import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    c = u.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "pipe_global_shuffle",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS res
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, CAST(res % 8 AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY res % 8 ORDER BY res, doc_id) AS pos
+      FROM r
+    )
+    SELECT shard, pos, doc_id, lang FROM s
+    """,
+)
+def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering
+    (round 8): shard + within-shard rank as pure functions of
+    (seed, doc_id) via the md5 residue — identical permutation on any
+    cluster/partitioning/retry, unlike orderBy(rand(seed)) which
+    depends on partition layout.  Epoch N+1 = seed+1, zero state.
+
+    100 TB: scan-local residue projection; the single shuffle is the
+    window's hash partitioning on shard — n_shards groups sized
+    rows/n_shards (uniform residue, no skew), which is exactly the
+    layout a sharded training-file write wants (one sorted partition
+    per output file, zero extra exchanges)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = pipeline.seeded_shuffle(docs, id_col="doc_id", seed=7, n_shards=8)
+    return out.select("shard", "pos", "doc_id", "lang")

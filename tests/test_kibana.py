@@ -772,3 +772,139 @@ def test_pipeline_validation_errors(docs):
                  "params": {"field": "v", "ranges": []}},
             ])["visState"]
         )
+
+
+def test_sibling_bucket_aggs(docs):
+    """avg/max_bucket: one value per OUTER bucket computed across the
+    inner buckets, repeated on each inner row."""
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "2", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "interval": "1h", "customLabel": "h"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "sv"}},
+            {"id": "4", "type": "avg_bucket", "schema": "metric",
+             "params": {"metricAgg": "3", "customLabel": "avg_sv"}},
+            {"id": "5", "type": "max_bucket", "schema": "metric",
+             "params": {"metricAgg": "_count", "customLabel": "max_n"}},
+        ])
+    )
+    out = plan.evaluate(docs)
+    rows = [r for r in out.collect() if r.c == "broker"]
+    # broker hours: 10:00 sum=50 (10+40, n=2), 11:00 sum=30 (n=1)
+    assert len(rows) == 2
+    for r in rows:
+        assert r.avg_sv == pytest.approx(40.0)  # avg(50, 30)
+        assert r.max_n == 2.0
+    zk = [r for r in out.collect() if r.c == "zk"]
+    assert all(r.avg_sv == pytest.approx(12.0) for r in zk)  # single hour 5+7
+
+
+def test_sibling_global_one_row_broadcast(docs):
+    """With a single bucket level the sibling agg is a global
+    aggregate cross-joined back — never a single-task window."""
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "2", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "sv"}},
+            {"id": "3", "type": "sum_bucket", "schema": "metric",
+             "params": {"metricAgg": "2", "customLabel": "total"}},
+        ])
+    )
+    out = plan.evaluate(docs)
+    # fingerprint BEFORE execution: the invariant suite pins the
+    # planned shape; AQE's final plan renders materialized stages with
+    # duplicated subtrees
+    from kafka_metrics_exporter_spark.plans.fingerprint import plan_fingerprint
+    fp = plan_fingerprint(out)
+    assert fp["unpartitioned_window"] == 0
+    assert fp["bnl_join"] == fp["bnl_join_onerow"]
+    got = {r.c: r for r in out.collect()}
+    assert got["broker"].sv == 80.0 and got["broker"].total == 112.0
+    assert got["zk"].total == 112.0
+    # share-of-total is THE use case: sv/total must be consistent
+    assert sum(r.sv / r.total for r in got.values()) == pytest.approx(1.0)
+
+
+def test_bucket_sort_nested_and_top_level(docs):
+    nested = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "host.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "hst"}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "sv"}},
+            {"id": "4", "type": "bucket_sort", "schema": "metric",
+             "params": {"sortField": "3", "order": "desc", "size": 1}},
+        ])
+    )
+    got = {(r.hst, r.c): r.sv for r in nested.evaluate(docs).collect()}
+    # per host keep the single top component by sum(v)
+    assert got == {("h1", "broker"): 40.0, ("h2", "broker"): 40.0}
+
+    top = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "2", "type": "bucket_sort", "schema": "metric",
+             "params": {"sortField": "_count", "order": "desc",
+                         "size": 2, "from": 1}},
+        ])
+    )
+    rows = top.evaluate(docs).collect()
+    # counts: broker 3, zk 2, connect 1 -> from=1 size=2 keeps zk, connect
+    assert {(r.c, r["count"]) for r in rows} == {("zk", 2), ("connect", 1)}
+
+
+def test_bucket_sort_by_key(docs):
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "component.keyword", "size": 10,
+                         "order": "asc", "orderBy": "_term",
+                         "customLabel": "c"}},
+            {"id": "2", "type": "bucket_sort", "schema": "metric",
+             "params": {"order": "desc", "size": 1}},
+        ])
+    )
+    rows = plan.evaluate(docs).collect()
+    assert [r.c for r in rows] == ["zk"]
+
+
+def test_sibling_and_sort_validation(docs):
+    with pytest.raises(ValueError, match="bucket_sort"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "c", "size": 5, "order": "asc",
+                         "orderBy": "_term"}},
+            {"id": "2", "type": "bucket_sort", "schema": "metric",
+             "params": {"size": 0}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="sortField"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "c", "size": 5, "order": "asc",
+                         "orderBy": "_term"}},
+            {"id": "2", "type": "bucket_sort", "schema": "metric",
+             "params": {"sortField": "99", "size": 1}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="sibling"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "avg_bucket", "schema": "metric",
+             "params": {"metricAgg": "_count"}},
+        ])).evaluate(docs)

@@ -137,6 +137,7 @@ def test_out_of_window_exemptions_have_fresh_golden():
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (round 8: 50 slots vs 42
-    # stale-promoted + 6 new + 2 changed = 12 forced demotions)
-    assert len(exempt) <= 12, exempt
+    # slot arithmetic that forced them (round 8: 50 slots vs 54
+    # stale-promotion candidates + 9 new + 2 changed = 15 forced
+    # demotions)
+    assert len(exempt) <= 15, exempt
