@@ -372,3 +372,77 @@ def canonicalize_url_sql(url_expr: str = "url") -> str:
         f"{scheme} || '://' || {auth} || {path} || "
         f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END END"
     )
+
+
+# ---------------------------------------------------------------- round 8:
+# Gopher repetition/format rules (Rae et al. 2021, §A1.1 — the public
+# line-based quality filters; complements quality_columns' char/token
+# heuristics with the LINE-level signals they can't see).
+
+#: symbols whose density flags boilerplate/markup (Gopher: "#" and
+#: ellipsis vs words).
+_GOPHER_SYMBOL_RE = r"(#|\.\.\.|…)"
+_GOPHER_BULLET_RE = r"^\s*([-*•‣▪]|\d+[.)])\s"
+_GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_columns(text: Column) -> dict[str, Column]:
+    """Line- and word-level Gopher quality metrics, all JVM array/regexp
+    expressions over one ``split('\\n')`` — no shuffle, no Python:
+
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio``: fraction of
+      lines starting with a bullet / ending with an ellipsis;
+    - ``dup_line_ratio``: 1 − distinct/total lines (the cheap exact
+      form of Gopher's duplicate-line filter);
+    - ``symbol_word_ratio``: ``#``/ellipsis occurrences per word;
+    - ``alpha_word_ratio``: fraction of words containing at least one
+      alphabetic character.
+    """
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    toks = ws_tokens(text)
+    n_words = F.size(toks)
+    nz = lambda c: F.greatest(c, F.lit(1)).cast("double")  # noqa: E731
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(_GOPHER_BULLET_RE)))
+    n_ellip = F.size(F.filter(lines, lambda ln: ln.rlike(_GOPHER_ELLIPSIS_RE)))
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(_GOPHER_SYMBOL_RE), F.lit(0)))
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return {
+        "n_lines": n_lines.cast("bigint"),
+        "bullet_line_ratio": F.round(n_bullet / nz(n_lines), 4),
+        "ellipsis_line_ratio": F.round(n_ellip / nz(n_lines), 4),
+        "dup_line_ratio": F.round(
+            (n_lines - F.size(F.array_distinct(lines))) / nz(n_lines), 4
+        ),
+        "symbol_word_ratio": F.round(n_sym / nz(n_words), 4),
+        "alpha_word_ratio": F.round(n_alpha_w / nz(n_words), 4),
+    }
+
+
+def gopher_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB twin of :func:`gopher_columns` (same RE2 patterns)."""
+    lines = (
+        f"list_filter(string_split({text_expr}, chr(10)), ln -> trim(ln) <> '')"
+    )
+    toks = f"list_filter(string_split_regex({text_expr}, '\\s+'), t -> t <> '')"
+    n_lines = f"len({lines})"
+    n_words = f"len({toks})"
+    nz = lambda c: f"CAST(greatest({c}, 1) AS DOUBLE)"  # noqa: E731
+    n_bullet = (
+        f"len(list_filter({lines}, ln -> regexp_matches(ln, '{_GOPHER_BULLET_RE}')))"
+    )
+    n_ellip = (
+        f"len(list_filter({lines}, ln -> regexp_matches(ln, '{_GOPHER_ELLIPSIS_RE}')))"
+    )
+    n_sym = f"len(regexp_extract_all({text_expr}, '{_GOPHER_SYMBOL_RE}'))"
+    n_alpha_w = f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))"
+    return {
+        "n_lines": f"CAST({n_lines} AS BIGINT)",
+        "bullet_line_ratio": f"round({n_bullet} / {nz(n_lines)}, 4)",
+        "ellipsis_line_ratio": f"round({n_ellip} / {nz(n_lines)}, 4)",
+        "dup_line_ratio": (
+            f"round(({n_lines} - len(list_distinct({lines}))) / {nz(n_lines)}, 4)"
+        ),
+        "symbol_word_ratio": f"round({n_sym} / {nz(n_words)}, 4)",
+        "alpha_word_ratio": f"round({n_alpha_w} / {nz(n_words)}, 4)",
+    }

@@ -37,9 +37,9 @@ CURRENT_ROUND = 8
 #   - the 7 queries whose latest driver row is r5 (the r7
 #     STALE_OUT_OF_WINDOW demotions — their rows would go three rounds
 #     old this round, so they promote first);
-#   - 32 of the 47 queries whose latest driver row is r6 (they sat
-#     after slot 50 in the r7 window); the slot arithmetic forces 15
-#     demotions (7 + 47 + 9 new + 2 changed = 65 > 50), listed in
+#   - 31 of the 47 queries whose latest driver row is r6 (they sat
+#     after slot 50 in the r7 window); the slot arithmetic forces 16
+#     demotions (7 + 47 + 10 new + 2 changed = 66 > 50), listed in
 #     STALE_OUT_OF_WINDOW with their per-query justification;
 #   - queries NEW this round (the PromQL label-function /
 #     over-time-pack / limit-sample registry rows, the w12
@@ -70,6 +70,7 @@ NEW_THIS_ROUND = [
     "dedup_url",  # URL canonicalization + exact dedup (crawl first pass)
     "pipe_global_shuffle",  # deterministic seeded shard+rank shuffle
     "kibana_sibling_sort",  # avg/max_bucket siblings + bucket_sort
+    "text_gopher_quality",  # Gopher line-based repetition/format rules
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -133,6 +134,10 @@ STALE_OUT_OF_WINDOW = [
     # deterministic quantization arithmetic untouched since r6,
     # pytest-pinned round-trip error bounds
     "embed_quantize",
+    # pure column exprs untouched since r6; same line/word-repetition
+    # family as the new text_gopher_quality row (in-window), pytest
+    # oracle replay re-runs every session
+    "text_repetition",
 ]
 
 WINDOW_PRIORITY = [
@@ -165,7 +170,6 @@ WINDOW_PRIORITY = [
     "text_redact",
     "pipe_corpus_build",
     "text_token_rarity",
-    "text_repetition",
     "pipe_fuzzy_decontaminate",
     "pipe_bloom_decontaminate",
     "text_tfidf_topk",

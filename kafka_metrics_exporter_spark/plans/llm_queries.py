@@ -1688,3 +1688,36 @@ def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = pipeline.seeded_shuffle(docs, id_col="doc_id", seed=7, n_shards=8)
     return out.select("shard", "pos", "doc_id", "lang")
+
+
+def _text_gopher_oracle() -> str:
+    from kafka_metrics_exporter_spark.llmdata.text import gopher_sql
+
+    lined = "replace(text, 'batch ', 'batch' || chr(10))"
+    cols = gopher_sql(lined)
+    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"SELECT doc_id, lang, {sel} FROM documents"
+
+
+@query("text_gopher_quality", _text_gopher_oracle())
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/format rules (Rae et al. 2021 §A1.1) as a
+    registry row (round 8): bullet/ellipsis line fractions, exact
+    duplicate-line fraction, symbol-per-word and alphabetic-word
+    ratios.  The synthetic corpus is single-line, so the query derives
+    deterministic multi-line text first (newline after every 'batch '
+    token — plain replace, replayed verbatim by the oracle), which
+    makes n_lines and dup_line_ratio genuinely non-trivial: repeated
+    'batch batch' runs produce duplicate lines.
+
+    Scale shape: pure scan-local array/regexp expressions inside
+    codegen — zero shuffles, zero Python; the line split never leaves
+    the row."""
+    from kafka_metrics_exporter_spark.llmdata.text import gopher_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit("batch "), F.lit("batch\n"))
+    cols = gopher_columns(lined)
+    return docs.select(
+        "doc_id", "lang", *[c.alias(n) for n, c in cols.items()]
+    )

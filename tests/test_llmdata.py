@@ -1047,3 +1047,53 @@ def test_passage_dedup_short_doc(spark):
     assert (srow["n_passages"], srow["n_dup_passages"]) == (1, 0)
     with pytest.raises(ValueError):
         dedup.passage_table(short, passage_tokens=0)
+
+
+def test_gopher_columns_semantics_and_sql_twin(spark):
+    """Gopher line metrics on crafted docs, Spark vs the generated
+    DuckDB twin (round 8)."""
+    import duckdb
+
+    from kafka_metrics_exporter_spark.llmdata.text import (
+        gopher_columns,
+        gopher_sql,
+    )
+
+    docs = [
+        # 4 lines: 2 bullets (one numbered), 1 ellipsis ending, 1 dup
+        "- first point\n1) second point\nwait for it...\nwait for it...",
+        # blank lines dropped; ### symbols; no alpha in '123' or '###'
+        "title\n\n\n### section\nbody 123 body",
+        "single line no frills",
+        "",
+    ]
+    sdf = spark.createDataFrame([(d,) for d in docs], "text string")
+    cols = gopher_columns(F.col("text"))
+    out = (
+        sdf.select("text", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("text")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    sqls = gopher_sql("text")
+    vals = ", ".join("('" + d.replace("'", "''").replace("\n", "' || chr(10) || '") + "')" for d in docs)
+    sel = ", ".join(f"{e} AS {n}" for n, e in sqls.items())
+    exp = con.execute(
+        f"SELECT text, {sel} FROM (VALUES {vals}) t(text) ORDER BY text"
+    ).fetchall()
+    got = [tuple(r) for r in out]
+    assert got == [tuple(r) for r in exp]
+
+    by_text = {r.text: r for r in out}
+    r = by_text[docs[0]]
+    assert r.n_lines == 4
+    assert r.bullet_line_ratio == 0.5
+    assert r.ellipsis_line_ratio == 0.5
+    assert r.dup_line_ratio == 0.25
+    r2 = by_text[docs[1]]
+    assert r2.n_lines == 3  # blanks dropped
+    assert r2.symbol_word_ratio == pytest.approx(3 / 6)
+    assert r2.alpha_word_ratio == pytest.approx(4 / 6, abs=1e-4)
+    r3 = by_text[""]
+    assert r3.n_lines == 0 and r3.dup_line_ratio == 0.0
