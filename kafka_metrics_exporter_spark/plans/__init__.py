@@ -37,9 +37,9 @@ CURRENT_ROUND = 8
 #   - the 7 queries whose latest driver row is r5 (the r7
 #     STALE_OUT_OF_WINDOW demotions — their rows would go three rounds
 #     old this round, so they promote first);
-#   - 31 of the 47 queries whose latest driver row is r6 (they sat
-#     after slot 50 in the r7 window); the slot arithmetic forces 16
-#     demotions (7 + 47 + 10 new + 2 changed = 66 > 50), listed in
+#   - 30 of the 47 queries whose latest driver row is r6 (they sat
+#     after slot 50 in the r7 window); the slot arithmetic forces 17
+#     demotions (7 + 47 + 11 new + 2 changed = 67 > 50), listed in
 #     STALE_OUT_OF_WINDOW with their per-query justification;
 #   - queries NEW this round (the PromQL label-function /
 #     over-time-pack / limit-sample registry rows, the w12
@@ -71,6 +71,7 @@ NEW_THIS_ROUND = [
     "pipe_global_shuffle",  # deterministic seeded shard+rank shuffle
     "kibana_sibling_sort",  # avg/max_bucket siblings + bucket_sort
     "text_gopher_quality",  # Gopher line-based repetition/format rules
+    "promql_time_macros",  # Grafana $__interval/$__rate_interval/$__range
 ]
 
 # Queries whose engine semantics, plan shape, or oracle SQL changed
@@ -138,6 +139,12 @@ STALE_OUT_OF_WINDOW = [
     # family as the new text_gopher_quality row (in-window), pytest
     # oracle replay re-runs every session
     "text_repetition",
+    # least-squares deriv/predict_linear kernel untouched since r6;
+    # its grid-expansion machinery (range_eval instant expansion) is
+    # re-exercised in-window by promql_time_macros and
+    # promql_rate_extrapolated; pytest oracle replay re-runs every
+    # session
+    "promql_deriv_predict",
 ]
 
 WINDOW_PRIORITY = [
@@ -176,7 +183,6 @@ WINDOW_PRIORITY = [
     "promql_topk_rate",
     "promql_quantile_agg",
     "promql_histogram_quantile",
-    "promql_deriv_predict",
     "promql_resets_changes",
     "promql_at_offset",
     "kibana_terms_metrics",

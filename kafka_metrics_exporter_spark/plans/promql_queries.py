@@ -1402,3 +1402,43 @@ def promql_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return _finish_cached(parts[0].unionByName(parts[1]).unionByName(parts[2]), m)
+
+
+@query(
+    "promql_time_macros",
+    _xrate_ctes(3600 * 1_000_000, 4 * 3600 * 1_000_000)
+    + """
+    SELECT user_id,
+           strftime(make_timestamp(t_us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value
+    FROM xr
+    """,
+)
+def promql_time_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana built-in time macros end-to-end (round 8):
+    `rate(click{user_id!=""}[$__rate_interval])` with the macro bound
+    by promql/variables.py time_macros(step=1h, scrape=1h — an
+    hourly-rollup lake's effective scrape cadence) — Grafana's
+    documented `max(step + scrape, 4 × scrape)` resolves to a [4h]
+    window, interpolated textually before parse exactly as the
+    frontend does, then range-evaluated on the matching 1 h grid.  The
+    oracle replays the extrapolated-rate arithmetic at (3600 s,
+    14400 s) — a different (step, window) pair from
+    promql_rate_extrapolated's (1800 s, 7200 s), so the macro
+    arithmetic is what's under test, not a cached shape."""
+    from kafka_metrics_exporter_spark.promql.variables import time_macros
+
+    macros = time_macros(
+        range_seconds=86400.0, step_seconds=3600.0, scrape_interval_seconds=3600.0
+    )
+    plan = compile_promql(
+        'rate(click{user_id!=""}[$__rate_interval])', variables=macros
+    )
+    out = plan.evaluate_range(
+        _metrics_view(spark, sf_dir, "hour"), step_seconds=3600.0
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("value"),
+    )

@@ -103,14 +103,35 @@ def dashboard_exprs(dashboard, variables: dict | None = None) -> dict[str, str]:
 
 
 def compile_dashboard(
-    dashboard, variables: dict | None = None
+    dashboard,
+    variables: dict | None = None,
+    time_range: tuple[float, float, float] | None = None,
+    scrape_interval_seconds: float = 15.0,
 ) -> dict[str, PromQLPlan]:
     """Compile every panel target to a :class:`PromQLPlan`, binding
     Grafana template variables first (promql/variables.py rules).
 
+    ``time_range`` = (start_epoch_s, end_epoch_s, step_seconds) binds
+    the built-in time macros ($__interval, $__rate_interval, $__range,
+    _s/_ms forms) exactly as Grafana's frontend does before the query
+    ships — pass the same (start, end, step) to ``evaluate_range`` so
+    the macro values and the evaluation grid agree.  Explicit
+    ``variables`` entries win over macros (test hook; the ``__``
+    namespace is Grafana-reserved).
+
     Keys are panel titles, suffixed with ``[refId]`` only where a
     title has several targets — stable, human-readable, and unique.
     """
+    if time_range is not None:
+        from kafka_metrics_exporter_spark.promql.variables import time_macros
+
+        start, end, step = time_range
+        variables = {
+            **time_macros(
+                float(end) - float(start), float(step), scrape_interval_seconds
+            ),
+            **(variables or {}),
+        }
     targets = dashboard_targets(dashboard)
     multi = {
         t.title for t in targets if sum(x.title == t.title for x in targets) > 1

@@ -2046,3 +2046,79 @@ def test_pow_one_with_infinite_exponent(tiny):
     # and the ordinary path is untouched
     out4 = compile_promql("(m / m * 2) ^ (1 / 0)").evaluate(tiny)
     assert {r["value"] for r in out4.collect()} == {float("inf")}
+
+
+# ---------------------------------------------------------------- round 8:
+# Grafana built-in time macros.
+
+
+def test_render_duration_forms():
+    from kafka_metrics_exporter_spark.promql.variables import render_duration
+
+    assert render_duration(75) == "1m15s"
+    assert render_duration(21600) == "6h"
+    assert render_duration(0.5) == "500ms"
+    assert render_duration(90.25) == "1m30s250ms"
+    assert render_duration(7 * 86400) == "1w"
+    assert render_duration(365 * 86400 + 3600) == "1y1h"
+    assert render_duration(0) == "0s"
+    assert render_duration(-5) == "0s"
+    assert render_duration(0.0001) == "0s"  # sub-ms rounds away
+
+
+def test_time_macros_formula_and_interpolation():
+    from kafka_metrics_exporter_spark.promql.variables import (
+        interpolate_variables,
+        time_macros,
+    )
+
+    m = time_macros(21600, 900, 450)
+    # max(step + scrape, 4*scrape) = max(1350, 1800)
+    assert m["__rate_interval"] == "30m"
+    m2 = time_macros(21600, 3600, 15)
+    # step-dominated: 3600 + 15
+    assert m2["__rate_interval"] == "1h15s"
+    assert m2["__interval"] == "1h"
+    assert m2["__range"] == "6h"
+    assert m2["__range_s"] == "21600"
+    out = interpolate_variables(
+        "sum(rate(x[$__rate_interval])) / $__range_s + avg_over_time(x[${__interval}])",
+        m2,
+    )
+    assert out == "sum(rate(x[1h15s])) / 21600 + avg_over_time(x[1h])"
+
+
+def test_compile_dashboard_time_range_binds_macros(corpus_metrics):
+    import json as _json
+
+    from kafka_metrics_exporter_spark.promql import compile_dashboard
+
+    dash = {
+        "title": "d",
+        "panels": [
+            {
+                "title": "req rate",
+                "type": "timeseries",
+                "targets": [{"expr": 'rate(click{user_id!=""}[$__rate_interval])',
+                             "refId": "A"}],
+            }
+        ],
+    }
+    # 6h range, 1h step, 1h scrape -> rate window 4h
+    plans = compile_dashboard(dash, time_range=(0, 21600, 3600),
+                              scrape_interval_seconds=3600)
+    plan = plans["req rate"]
+    assert "[4h]" in plan.source
+    out = plan.evaluate_range(corpus_metrics, step_seconds=3600.0)
+    assert {"ts", "value"} <= set(out.columns)
+    out.count()  # executes
+    # explicit variable overrides the builtin (test hook)
+    plans2 = compile_dashboard(
+        dash, variables={"__rate_interval": "2h"}, time_range=(0, 21600, 3600)
+    )
+    assert "[2h]" in plans2["req rate"].source
+    # without time_range the macro stays untouched -> parse error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compile_dashboard(dash)

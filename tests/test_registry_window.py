@@ -138,6 +138,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 8: 50 slots vs 54
-    # stale-promotion candidates + 10 new + 2 changed = 16 forced
+    # stale-promotion candidates + 11 new + 2 changed = 17 forced
     # demotions)
-    assert len(exempt) <= 16, exempt
+    assert len(exempt) <= 17, exempt
