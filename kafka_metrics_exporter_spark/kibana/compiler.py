@@ -160,6 +160,20 @@ class RangeBucket:
 
 
 @dataclass(frozen=True)
+class DateRangeBucket:
+    """ES ``date_range`` bucket (round 8): half-open [from, to) ranges
+    over a timestamp field; like :class:`RangeBucket`, a document lands
+    in EVERY matching range.  Endpoints are ISO date/datetime strings
+    (date math is not supported — the replay engine evaluates fixed
+    exports); keys follow ES's ``from-to`` convention unless the range
+    declares a ``key``."""
+
+    field: str
+    ranges: tuple[tuple[str, str | None, str | None], ...]  # (key, lo, hi)
+    label: str
+
+
+@dataclass(frozen=True)
 class StatsAgg:
     """ES ``stats`` / ``extended_stats`` metric: one aggregation pass
     emitting count/min/max/avg/sum columns (extended adds
@@ -215,7 +229,8 @@ class BucketSortAgg:
     from_: int = 0
 
 
-Bucket = TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket | RangeBucket
+Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
+          | RangeBucket | DateRangeBucket)
 Metric = MetricAgg | TopHitsAgg | PercentilesAgg | StatsAgg
 
 
@@ -410,6 +425,29 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if not ranges:
                 raise ValueError("kibana: range agg needs at least one range")
             buckets.append(RangeBucket(field=p["field"], ranges=ranges, label=label))
+        elif a["type"] == "date_range":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: date_range must be a bucket agg")
+
+            def _dkey(r):
+                if r.get("key"):
+                    return str(r["key"])
+                lo, hi = r.get("from"), r.get("to")
+                return f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+
+            dranges = tuple(
+                (
+                    _dkey(r),
+                    str(r["from"]) if r.get("from") is not None else None,
+                    str(r["to"]) if r.get("to") is not None else None,
+                )
+                for r in p.get("ranges", [])
+            )
+            if not dranges:
+                raise ValueError("kibana: date_range agg needs at least one range")
+            buckets.append(
+                DateRangeBucket(field=p["field"], ranges=dranges, label=label)
+            )
         elif a["type"] in ("stats", "extended_stats"):
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
@@ -621,6 +659,28 @@ class KibanaPlan:
                     )
                 )
                 df = df.withColumn(b.label, F.explode(matches))
+            elif isinstance(b, DateRangeBucket):
+                # half-open [from, to) over timestamps, overlap-explode
+                # like RangeBucket; endpoints parse once as literals
+                tv = resolve(b.field).cast("timestamp")
+
+                def _in_drange(lo, hi):
+                    pred = tv.isNotNull()
+                    if lo is not None:
+                        pred = pred & (tv >= F.lit(lo).cast("timestamp"))
+                    if hi is not None:
+                        pred = pred & (tv < F.lit(hi).cast("timestamp"))
+                    return pred
+
+                dmatches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(_in_drange(lo, hi), F.lit(key))
+                            for key, lo, hi in b.ranges
+                        ]
+                    )
+                )
+                df = df.withColumn(b.label, F.explode(dmatches))
             key_names.append(b.label)
 
         # 2) one hash aggregation over the full bucket-key tuple.

@@ -463,3 +463,32 @@ def seeded_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__r").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("__r")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 16,
+    format: str = "json",
+) -> None:
+    """Materialize :func:`seeded_shuffle` as training-ready shard files:
+    ``path/shard=K/`` holds shard K's rows in shuffle order.
+
+    One exchange end-to-end: ``repartition(n_shards, shard)`` feeds the
+    same hash partitioning the rank window needs AND the partitionBy
+    writer — each task sorts its own shard locally (``sortWithinPartitions``
+    re-uses the window's sort, no second exchange) and writes exactly
+    one file per shard directory.  A trainer streams ``shard=K``
+    sequentially and gets the deterministic (seed, id) order back.
+    """
+    out = seeded_shuffle(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(format)
+        .save(path)
+    )

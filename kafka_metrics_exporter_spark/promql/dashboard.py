@@ -86,19 +86,33 @@ def dashboard_variables(dashboard) -> list[str]:
     ]
 
 
-def dashboard_exprs(dashboard, variables: dict | None = None) -> dict[str, str]:
+def dashboard_exprs(
+    dashboard,
+    variables: dict | None = None,
+    time_range: tuple[float, float, float] | None = None,
+    scrape_interval_seconds: float = 15.0,
+) -> dict[str, str]:
     """Panel key → interpolated expression TEXT — the input shape
     ``streaming.pipeline.promql_panels`` takes, so a dashboard drops
     onto a live stream in one line:
 
         promql_panels(stream, dashboard_exprs(dash, vars), emit, ckpt)
+
+    ``time_range``/``scrape_interval_seconds`` bind the Grafana
+    built-in time macros exactly as :func:`compile_dashboard` does —
+    a streamed dashboard using ``$__rate_interval`` needs them too.
     """
     # compile_dashboard interpolates before parse, and PromQLPlan keeps
     # the post-interpolation text as .source — also proving each text
     # parses before it reaches a stream
     return {
         key: plan.source
-        for key, plan in compile_dashboard(dashboard, variables=variables).items()
+        for key, plan in compile_dashboard(
+            dashboard,
+            variables=variables,
+            time_range=time_range,
+            scrape_interval_seconds=scrape_interval_seconds,
+        ).items()
     }
 
 

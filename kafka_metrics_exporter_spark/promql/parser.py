@@ -330,12 +330,13 @@ _AGG_OPS = {
     "count_values", "group",
 }
 
-_DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
+_DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+              "w": 604800.0, "y": 31536000.0}
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<number>(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?(?![\w:.]))
-      | (?P<duration>\d+(?:\.\d+)?(?:ms|[smhdw]))
+      | (?P<duration>(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))+)
       | (?P<ident>[A-Za-z_:][A-Za-z0-9_:]*)
       | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
       | (?P<op>=~|!~|==|!=|>=|<=|[=<>+\-*/%^(){}\[\],@])
@@ -365,10 +366,17 @@ def tokenize(text: str) -> list[tuple[str, str]]:
 
 
 def _duration_seconds(tok: str) -> float:
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|[smhdw])", tok)
-    if not m:
+    """Prometheus duration literal, including COMPOUND forms
+    (``1h30m``, ``1m15s``, ``1m30s250ms`` — what Grafana's
+    ``$__rate_interval`` interpolates for non-round values).  Accepts
+    any unit order/repetition (a superset of Prometheus's
+    descending-unit rule — never rejects a valid literal)."""
+    if not re.fullmatch(r"(?:\d+(?:\.\d+)?(?:ms|[smhdwy]))+", tok):
         raise SyntaxError(f"promql: bad duration {tok!r}")
-    return float(m.group(1)) * _DUR_UNITS[m.group(2)]
+    return sum(
+        float(n) * _DUR_UNITS[u]
+        for n, u in re.findall(r"(\d+(?:\.\d+)?)(ms|[smhdwy])", tok)
+    )
 
 
 @dataclass

@@ -908,3 +908,31 @@ def test_sibling_and_sort_validation(docs):
             {"id": "1", "type": "avg_bucket", "schema": "metric",
              "params": {"metricAgg": "_count"}},
         ])).evaluate(docs)
+
+
+def test_date_range_bucket(docs):
+    """date_range: half-open [from, to) over timestamps, overlap
+    duplication, open ends, key override, null ts dropped."""
+    plan = compile_visualization(
+        _vis8([
+            {"id": "1", "type": "date_range", "schema": "bucket",
+             "params": {"field": "ts",
+                         "ranges": [
+                             {"to": "2024-04-01 11:00:00"},
+                             {"from": "2024-04-01 10:30:00",
+                              "to": "2024-04-01 12:00:00", "key": "mid"},
+                             {"from": "2024-04-01 12:00:00"},
+                         ],
+                         "customLabel": "r"}},
+        ])
+    )
+    got = {r.r: r["count"] for r in plan.evaluate(docs).collect()}
+    # docs ts: 10:00(a) 11:00(b) 11:30(c) 10:30(d) 12:10(e,f)
+    # *-11:00 -> a, d ; mid [10:30,12:00) -> b, c, d ; 12:00-* -> e, f
+    assert got == {"*-2024-04-01 11:00:00": 2, "mid": 3,
+                   "2024-04-01 12:00:00-*": 2}
+    with pytest.raises(ValueError, match="date_range"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "date_range", "schema": "bucket",
+             "params": {"field": "ts", "ranges": []}},
+        ])["visState"])

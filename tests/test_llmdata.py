@@ -1097,3 +1097,42 @@ def test_gopher_columns_semantics_and_sql_twin(spark):
     assert r2.alpha_word_ratio == pytest.approx(4 / 6, abs=1e-4)
     r3 = by_text[""]
     assert r3.n_lines == 0 and r3.dup_line_ratio == 0.0
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """write_training_shards: one directory per shard, rows inside a
+    shard ordered by pos, content = exactly the seeded_shuffle
+    assignment (round 8)."""
+    import glob
+    import json as _json
+    import os
+
+    from kafka_metrics_exporter_spark.llmdata.pipeline import (
+        seeded_shuffle,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    dest = str(tmp_path / "shards")
+    write_training_shards(docs, dest, seed=11, n_shards=4)
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(dest + "/shard=*"))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    expect = {
+        (r.shard, r.pos): r.doc_id
+        for r in seeded_shuffle(docs, seed=11, n_shards=4).collect()
+    }
+    total = 0
+    for d in dirs:
+        shard = int(d.split("=")[1])
+        rows = []
+        for f in sorted(glob.glob(f"{dest}/{d}/part-*")):
+            with open(f) as fh:
+                rows += [_json.loads(line) for line in fh if line.strip()]
+        # in-file order IS shuffle order
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+        for r in rows:
+            assert expect[(shard, r["pos"])] == r["doc_id"]
+        total += len(rows)
+    assert total == 400

@@ -2122,3 +2122,22 @@ def test_compile_dashboard_time_range_binds_macros(corpus_metrics):
 
     with _pytest.raises(Exception):
         compile_dashboard(dash)
+
+
+def test_compound_duration_literals():
+    """Prometheus compound durations (1h30m, 1m15s — what
+    $__rate_interval renders for non-round values) parse in selectors,
+    offsets, and subqueries; the y unit exists (round 8)."""
+    from kafka_metrics_exporter_spark.promql.parser import (
+        _duration_seconds,
+        parse,
+    )
+
+    assert _duration_seconds("1m15s") == 75.0
+    assert _duration_seconds("1h30m") == 5400.0
+    assert _duration_seconds("1m30s250ms") == 90.25
+    assert _duration_seconds("1y") == 31536000.0
+    parse("rate(click[1m15s])")
+    parse("sum(rate(click[1h30m] offset 1h15m))")
+    with pytest.raises(SyntaxError):
+        parse("rate(click[15q])")
