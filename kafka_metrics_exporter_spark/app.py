@@ -119,9 +119,34 @@ def build_parser() -> argparse.ArgumentParser:
                         "real ES semantics; 0 opts out to the legacy "
                         "customInterval pin; range from --query-start/"
                         "--query-end when given, else the data span)")
+    q.add_argument("--query-scrape-interval", type=float, default=15.0,
+                   metavar="SECS",
+                   help="scrape interval feeding the Grafana built-in "
+                        "time macros ($__interval, $__rate_interval, "
+                        "$__range): bound whenever --query-step, "
+                        "--query-start and --query-end are all given")
     q.add_argument("--query-limit", type=int, default=50,
                    help="max result rows printed")
     return p
+
+
+def _time_macro_vars(args) -> dict[str, str]:
+    """Grafana built-in time macros when the CLI pins the full request
+    window (start+end+step) — the same binding compile_dashboard's
+    time_range performs."""
+    if (
+        args.query_step is None
+        or args.query_start is None
+        or args.query_end is None
+    ):
+        return {}
+    from kafka_metrics_exporter_spark.promql.variables import time_macros
+
+    return time_macros(
+        args.query_end - args.query_start,
+        args.query_step,
+        args.query_scrape_interval,
+    )
 
 
 def _parse_query_vars(bindings: list[str]) -> dict[str, object]:
@@ -163,7 +188,7 @@ def run_query(args: argparse.Namespace, spark) -> int:
 
         with open(args.query_dashboard) as fh:
             dash = json.load(fh)
-        variables = _parse_query_vars(args.query_vars)
+        variables = {**_time_macro_vars(args), **_parse_query_vars(args.query_vars)}
         unbound = [v for v in dashboard_variables(dash) if v not in variables]
         if unbound:
             print(f"# unbound template variables (literal passthrough): {unbound}")
@@ -184,7 +209,7 @@ def run_query(args: argparse.Namespace, spark) -> int:
     if args.query_promql:
         from kafka_metrics_exporter_spark.promql import compile_promql
 
-        variables = _parse_query_vars(args.query_vars)
+        variables = {**_time_macro_vars(args), **_parse_query_vars(args.query_vars)}
         plan = compile_promql(args.query_promql, variables=variables)
         if args.query_step is not None:
             out = plan.evaluate_range(

@@ -189,3 +189,52 @@ def test_query_mode_kibana_auto_interval(spark, tmp_path, capsys):
     # 30m buckets: 10:00 (10), 10:30 (30), 12:00 (5) — NOT the 2h pin
     assert "2024-04-01 10:30:00" in out
     assert "2024-04-01 12:00:00" in out
+
+
+def test_query_mode_time_macros(spark, tmp_path, capsys):
+    """--query-start/--query-end/--query-step bind the Grafana built-in
+    time macros (round 8): $__rate_interval resolves via
+    max(step + scrape, 4 x scrape) before parse."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("click", "2024-01-01 00:%02d:00" % m, float(m * 60), "u1")
+        for m in range(0, 10)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, ts string, value double, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "metrics")
+    df.write.parquet(path)
+    start = df.agg(F.min("ts")).collect()[0][0].timestamp()
+
+    rc = main(
+        ["--query-metrics", path,
+         "--query-promql", 'sum by (user_id) (rate(click[$__rate_interval]))',
+         "--query-step", "60", "--query-start", str(start),
+         "--query-end", str(start + 540), "--query-scrape-interval", "60"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "u1" in out and "1.0" in out  # 60/min counter -> 1.0/s
+
+    # dashboard path binds the same macros
+    dash = {"title": "d", "panels": [
+        {"title": "p", "type": "timeseries",
+         "targets": [{"expr": "rate(click[$__rate_interval])", "refId": "A"}]},
+    ]}
+    dpath = str(tmp_path / "dash.json")
+    with open(dpath, "w") as fh:
+        _json.dump(dash, fh)
+    rc = main(
+        ["--query-metrics", path, "--query-dashboard", dpath,
+         "--query-step", "60", "--query-start", str(start),
+         "--query-end", str(start + 540), "--query-scrape-interval", "60"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rate(click[4m])" in out  # max(60+60, 240) = 4m, shown in == line

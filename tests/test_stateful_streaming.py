@@ -468,3 +468,70 @@ def test_kibana_panels_on_live_stream(spark, tmp_path):
         0: {"broker": 15.0, "zk": 5.0},
         1: {"broker": 16.0, "zk": 6.0},
     }
+
+
+def test_kibana_pipeline_aggs_on_live_stream(spark, tmp_path):
+    """Round 8: the new pipeline aggs (cumulative_sum over a
+    date_histogram, sibling sum_bucket) compose with kibana_panels —
+    each batch recomputes the bucket sequence over its own documents,
+    the Kibana-refresh semantics."""
+    import json
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    vis = {
+        "visState": json.dumps(
+            {
+                "title": "t", "type": "table",
+                "aggs": [
+                    {"id": "1", "type": "date_histogram", "schema": "bucket",
+                     "params": {"field": "ts", "interval": "1h",
+                                 "customLabel": "h"}},
+                    {"id": "2", "type": "cumulative_sum", "schema": "metric",
+                     "params": {"metricAgg": "_count", "customLabel": "cum"}},
+                    {"id": "3", "type": "sum_bucket", "schema": "metric",
+                     "params": {"metricAgg": "_count", "customLabel": "tot"}},
+                ],
+            }
+        )
+    }
+    src = tmp_path / "kibpipe"
+    src.mkdir()
+    batches = [
+        [("2024-04-01 10:10:00",), ("2024-04-01 10:20:00",),
+         ("2024-04-01 11:10:00",)],
+        [("2024-04-01 10:30:00",), ("2024-04-01 12:05:00",)],
+    ]
+    from pyspark.sql import functions as F
+
+    for b, rows in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "ts string")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+        )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got = []
+    q = kibana_panels(
+        stream,
+        {"p": vis},
+        lambda name, df, bid: got.append(
+            (bid, sorted((str(r.h), r["count"], r.cum, r.tot)
+                         for r in df.collect()))
+        ),
+        checkpoint=str(tmp_path / "kibpipeckpt"),
+    )
+    q.awaitTermination(120)
+    per_batch = dict(got)
+    assert per_batch[0] == [
+        ("2024-04-01 10:00:00", 2, 2.0, 3.0),
+        ("2024-04-01 11:00:00", 1, 3.0, 3.0),
+    ]
+    assert per_batch[1] == [
+        ("2024-04-01 10:00:00", 1, 1.0, 2.0),
+        ("2024-04-01 12:00:00", 1, 2.0, 2.0),
+    ]
