@@ -492,3 +492,201 @@ def write_training_shards(
         .format(format)
         .save(path)
     )
+
+
+def _gram_list(text: Column) -> Column:
+    """Lowercased unigrams + space-joined bigrams — the hashed feature
+    space of DSIR (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"); the paper uses hashed uni+bigrams."""
+    from kafka_metrics_exporter_spark.llmdata.text import ws_tokens
+
+    toks = F.transform(ws_tokens(text), F.lower)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-derived feature bucket, reproducible in DuckDB as
+    ``('0x' || substr(md5(gram), 1, 15))::BIGINT % n_buckets``."""
+    return (F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % n_buckets)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): score every raw
+    document by how much more likely its hashed n-gram features are
+    under a small high-quality TARGET corpus than under the raw corpus
+    itself, then draw ``k`` documents via deterministic Gumbel-top-k —
+    sampling proportional to the importance weight without ever
+    materializing a global sample.
+
+    Per feature bucket ``b`` (md5(gram) % n_buckets):
+      ``lp(b) = ln((c[b] + 1) / (T + n_buckets))``  (add-one smoothing)
+    Per document: ``score = Σ_b n_b · (lp_target(b) − lp_source(b))``,
+    i.e. the log importance weight of the doc's gram multiset.
+
+    Determinism across engines: the per-bucket terms are each ONE
+    IEEE expression, and the per-doc sum folds the terms in bucket
+    order (``array_sort`` + ``aggregate`` here ≡ ``list_sort`` +
+    ``list_reduce`` in the DuckDB twin), so the doubles are
+    bit-identical — float Σ is order-sensitive, an unordered SUM()
+    diverges between engines.  The Gumbel key derives its uniform from
+    the doc id's md5 (content-addressed like every sampler in this
+    module), never rand().
+
+    Scale shape: one gram-keyed explode feeding two hash aggregations
+    (per-doc-bucket counts, per-bucket corpus counts); the bucket
+    table is ``n_buckets`` rows → broadcast join; totals are 1-row
+    broadcasts.  The only non-broadcast shuffle carries (doc, bucket)
+    pairs — bounded by n_buckets per doc, uniform keys.  No Python.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_gram_list(F.col(text_col))).alias("gram"),
+    ).withColumn("b", _gram_bucket(F.col("gram"), n_buckets))
+    tgrams = target.select(
+        F.explode(_gram_list(F.col(text_col))).alias("gram")
+    ).withColumn("b", _gram_bucket(F.col("gram"), n_buckets))
+
+    src_counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt_counts = tgrams.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    totals = (
+        src_counts.agg(F.sum("c_s").alias("t_s"))
+        .crossJoin(tgt_counts.agg(F.sum("c_t").alias("t_t")))
+    )
+    buckets = (
+        src_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_t") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("c_s") + 1).cast("double")
+                    / (F.col("t_s") + n_buckets).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+
+    per_doc_bucket = (
+        grams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(buckets), "b")
+        .select("doc_id", "b", (F.col("n").cast("double") * F.col("lr")).alias("term"), "n")
+    )
+    folded = per_doc_bucket.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "term"))),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("raw_score"),
+    )
+    # Gumbel-top-k: key = log-weight + Gumbel(0,1); uniform from the
+    # 52-bit md5 residue of the doc id, shifted into (0, 1) open.
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+         .cast("double") + 1.0)
+        / float((1 << 52) + 2)
+    )
+    keyed = folded.select(
+        "doc_id",
+        "n_grams",
+        F.round("raw_score", 6).alias("score"),
+        F.round(F.col("raw_score") - F.log(-F.log(u)), 6).alias("sample_key"),
+    )
+    # TakeOrdered (sort + limit fuses driver-side over per-partition
+    # top-k) bounds the relation to k rows BEFORE ranking, so the
+    # unpartitioned row_number window sorts k rows, never the corpus.
+    topk = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_grams", "score", "sample_key", "rank"
+    )
+
+
+def dsir_importance_sql(
+    n_buckets: int = 4096,
+    k: int = 50,
+    target_pred: str = "source = 'src0'",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance`, generated from the same
+    spec so tokenization, smoothing arithmetic, fold order, rounding,
+    and tie-breaks match operation for operation."""
+    grams = f"""
+      SELECT doc_id, source, unnest(list_concat(ws,
+               list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM {table})
+    """
+    return f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % {n_buckets} AS b
+      FROM ({grams})
+    ),
+    sc AS (SELECT b, COUNT(*) AS c_s FROM g WHERE NOT ({target_pred}) GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS c_t FROM g WHERE {target_pred} GROUP BY b),
+    tot AS (SELECT (SELECT SUM(c_s) FROM sc) AS t_s,
+                   (SELECT SUM(c_t) FROM tc) AS t_t),
+    lr AS (
+      SELECT sc.b,
+             ln(CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE)
+                / CAST(t_t + {n_buckets} AS DOUBLE))
+             - ln(CAST(sc.c_s + 1 AS DOUBLE)
+                  / CAST(t_s + {n_buckets} AS DOUBLE)) AS lr
+      FROM sc LEFT JOIN tc USING (b), tot
+    ),
+    db AS (
+      SELECT doc_id, b, COUNT(*) AS n FROM g WHERE NOT ({target_pred})
+      GROUP BY doc_id, b
+    ),
+    folded AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+             -- list_prepend(0.0) makes the left fold start 0.0 + t1,
+             -- matching Spark's F.aggregate zero exactly (0.0 + x ≡ x
+             -- in IEEE, but the fold ORDER is load-bearing)
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list((b, CAST(n AS DOUBLE) * lr))),
+                   x -> CAST(x[2] AS DOUBLE))),
+               (acc, x) -> acc + x) AS raw_score
+      FROM db JOIN lr USING (b) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, round(raw_score, 6) AS score,
+             round(raw_score - ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1.0) / {float((1 << 52) + 2)!r})), 6)
+               AS sample_key
+      FROM folded
+    )
+    SELECT doc_id, n_grams, score, sample_key,
+           CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM keyed
+    QUALIFY rank <= {k}
+    """

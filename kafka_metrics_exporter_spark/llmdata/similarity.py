@@ -613,3 +613,67 @@ def quantization_fidelity(q: DataFrame) -> DataFrame:
         ),
         F.round(dot / F.nullif(n1 * n2, F.lit(0.0)), 4).alias("cos_deq"),
     )
+
+
+def embedding_decontaminate(
+    emb: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every corpus vector
+    whose cosine against ANY held-out benchmark vector reaches
+    ``threshold``, reporting the best-matching benchmark id (max
+    cosine; exact ties resolve to the smallest id).  The n-gram sweeps
+    (pipeline.decontaminate / bloom) catch verbatim leakage; this pass
+    catches paraphrased eval items that share no 8-gram.
+
+    Scale shape: the benchmark is an EVAL SET — thousands of vectors by
+    construction, never corpus-sized — so it collects once into a
+    normalized numpy matrix and broadcasts to every task; the corpus is
+    then ONE Arrow-batched scan (batch_rows × dim @ dim × |bench|
+    matmul per batch), zero shuffles, nothing corpus-sized leaves the
+    executors.  The collect is O(|bench|), same class as the broadcast
+    shingle set in pipeline.decontaminate.
+
+    Cross-engine float caveat (same as embedding_near_dup_brute): numpy
+    pairwise summation vs the oracle's sequential fold differ by
+    ~1e-15 relative — enough to flip a pair only when its cosine lands
+    within 1e-14 of the threshold or two benchmark matches tie to
+    1e-15, absent for continuous embeddings at the gate SFs
+    (hash-verified equal)."""
+    from collections.abc import Iterator
+
+    rows = bench.select(id_col, vec_col).collect()
+    bids = np.array([int(r[0]) for r in rows], dtype="int64")
+    order = np.argsort(bids)  # argmax returns the FIRST max -> min id on ties
+    bids = bids[order]
+    M = np.stack([np.asarray(rows[i][1], dtype="float64") for i in order])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((bids, M))
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            C = X @ b_mat.T
+            j = np.argmax(C, axis=1)
+            best = C[np.arange(len(C)), j]
+            keep = best >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"].to_numpy()[keep],
+                    "bench_id": b_ids[j[keep]],
+                    "cosine": best[keep],
+                }
+            )
+
+    out = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(go, "vec_id long, bench_id long, cosine double")
+    return out.select("vec_id", "bench_id", F.round("cosine", 4).alias("cosine"))

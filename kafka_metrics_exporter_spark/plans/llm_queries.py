@@ -1721,3 +1721,92 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", *[c.alias(n) for n, c in cols.items()]
     )
+
+
+def _dsir_oracle() -> str:
+    from kafka_metrics_exporter_spark.llmdata.pipeline import (
+        dsir_importance_sql,
+    )
+
+    return dsir_importance_sql(n_buckets=4096, k=50)
+
+
+@query("pipe_dsir_resample", _dsir_oracle())
+def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) as a registry row
+    (round 9): score raw documents by the log likelihood ratio of
+    their hashed uni+bigram features under a high-quality target slice
+    (source = 'src0' plays the Wikipedia-like target) vs the raw
+    corpus, then sample 50 docs by deterministic Gumbel-top-k.  The
+    oracle is GENERATED from the same spec
+    (llmdata/pipeline.py::dsir_importance_sql) so tokenization,
+    smoothing arithmetic, FOLD ORDER (the per-doc float sum is an
+    ordered fold — an unordered SUM() diverges between engines),
+    rounding, and tie-breaks match operation for operation.
+
+    Scale shape: one gram explode into two hash aggregations; the
+    bucket likelihood table is 4096 rows → broadcast; totals are 1-row
+    broadcasts; the only data-sized shuffle carries (doc, bucket)
+    pairs.  Top-k is TakeOrdered; the rank window sees k rows, never
+    the corpus."""
+    from kafka_metrics_exporter_spark.llmdata.pipeline import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=4096,
+        k=50,
+    )
+
+
+@query(
+    "embed_decontaminate",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (
+      SELECT * FROM e
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 23 = 0
+    ),
+    corpus AS (
+      SELECT * FROM e
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 23 <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS bench_id,
+             list_dot_product(c.v, b.v) /
+             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cs
+      FROM corpus c JOIN bench b ON true
+    ),
+    best AS (
+      SELECT vec_id, bench_id, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, bench_id ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bench_id, round(cs, 4) AS cosine
+    FROM best WHERE rn = 1 AND cs >= 0.30
+    """,
+)
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination (round 9):
+    the md5-residue %23 slice of the embeddings table plays the held-out
+    eval set; every other vector is flagged when its best benchmark
+    cosine reaches 0.30, reported with the best-matching benchmark id.
+    Complements the verbatim n-gram sweeps (pipe_decontaminate /
+    _bloom): paraphrased leakage shares no 8-gram but stays close in
+    embedding space.
+
+    Scale shape: the eval set collects ONCE into a normalized numpy
+    matrix (O(|bench|), eval sets are small by definition) and
+    broadcasts; the corpus is one Arrow-batched scan doing a
+    batch × |bench| matmul — zero shuffles, zero corpus-sized
+    movement.  See similarity.embedding_decontaminate for the
+    cross-engine float-tie caveat (same class as
+    embed_near_dup_cosine's)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = similarity.md5_residue(F.col("vec_id")) % 23 == 0
+    return similarity.embedding_decontaminate(
+        emb.filter(~pred), emb.filter(pred), threshold=0.30
+    )

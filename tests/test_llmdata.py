@@ -292,7 +292,16 @@ def test_embedding_lsh_cap_preserves_pairs_on_degenerate_corpus(spark):
 
     rng = np.random.default_rng(7)
     base = [float(x) for x in rng.normal(size=16)]
-    rows = [(i, base) for i in range(300)]  # one shared direction
+    # ONE strong off-direction outlier whose id (348) lands in the
+    # md5-residue mean probe: with identical-only copies the centered
+    # projection is exactly zero (every vector IS the mean), so each
+    # sign bit is decided by ±1-ulp BLAS noise that varies with Arrow
+    # batch shape — observed round 9 as a 296/4 bucket split on a
+    # different batch layout.  The outlier pulls the bias robustly off
+    # the shared direction (|P·(v−μ)| ≈ |P·w|/6 ≫ ulp), making the
+    # one-hot-bucket premise deterministic instead of knife-edge.
+    w = [float(50.0 * x) for x in rng.normal(size=16)]
+    rows = [(i, base) for i in range(300)] + [(348, w)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     uncapped = {
@@ -308,8 +317,12 @@ def test_embedding_lsh_cap_preserves_pairs_on_degenerate_corpus(spark):
         ).collect()
     }
     assert capped == uncapped
-    # scaled copies of one vector: cosine 1 for every unordered pair
-    assert len(capped) == 300 * 299 // 2
+    # identical copies of one vector: cosine 1 for every unordered pair
+    # (the outlier's own pairs, if any, are excluded from the count —
+    # its cosine against the shared direction is a random-direction
+    # draw, not part of the all-pairs premise)
+    copy_pairs = {p for p in capped if p[0] < 300 and p[1] < 300}
+    assert len(copy_pairs) == 300 * 299 // 2
 
     # prove the overflow path was exercised: the widest band bucket is
     # far beyond the cap, so its pairs came from block-pair tasks

@@ -39,7 +39,11 @@ BNLJ_OK = CROSS_JOIN_OK | {
 #   (time-span / step rows, not fact rows); a trailing range-frame over
 #   a single series is inherently sequential, and its input is the
 #   already-aggregated grid.
-UNPARTITIONED_WINDOW_OK = {"promql_subquery"}
+# - pipe_dsir_resample: the Gumbel-top-k rank window runs AFTER a
+#   TakeOrdered limit(k=50), so the windowed relation is k rows by
+#   construction — the corpus-sized relation only ever feeds the
+#   TakeOrdered, never the window.
+UNPARTITIONED_WINDOW_OK = {"promql_subquery", "pipe_dsir_resample"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
