@@ -1442,3 +1442,84 @@ def promql_time_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         F.col("value"),
     )
+
+
+def _metrics_info_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics frame with Prometheus-convention IDENTIFYING labels
+    (instance/job) plus a ``target_info`` info metric carrying data
+    labels (env, version) — the shape the 3.x ``info()`` function
+    joins.  user_id plays the instance; instances with user_id % 7 = 0
+    deliberately have NO target_info series, exercising the
+    enrichment's pass-through path."""
+    ev = _t(spark, sf_dir, "events")
+    samples = (
+        ev.groupBy(
+            F.col("event_type").alias("name"),
+            F.col("user_id").cast("string").alias("instance"),
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("job", F.lit("events"))
+        .withColumn("env", F.lit(None).cast("string"))
+        .withColumn("version", F.lit(None).cast("string"))
+    )
+    info = (
+        ev.filter(F.col("user_id") % 7 != 0)
+        .select(
+            F.lit("target_info").alias("name"),
+            F.col("user_id").cast("string").alias("instance"),
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+            F.lit("events").alias("job"),
+            (F.col("user_id") % 3).cast("string").alias("env"),
+            F.concat(F.lit("v"), (F.col("user_id") % 2).cast("string")).alias(
+                "version"
+            ),
+        )
+        .distinct()
+        .withColumn("value", F.lit(1.0))
+    )
+    return samples.select(info.columns).unionByName(info)
+
+
+@query(
+    "promql_info_join",
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS instance,
+             date_trunc('hour', ts) AS ts, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    i AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS instance,
+             date_trunc('hour', ts) AS ts,
+             CAST(user_id % 3 AS VARCHAR) AS env,
+             'v' || CAST(user_id % 2 AS VARCHAR) AS version
+      FROM events WHERE user_id % 7 <> 0
+    )
+    SELECT COALESCE(i.env, '') AS env, COALESCE(i.version, '') AS version,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           SUM(c.value) AS value
+    FROM c LEFT JOIN i ON c.instance = i.instance AND c.ts = i.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus 3.x ``info()`` (experimental, funcInfo): click
+    samples enriched with target_info's data labels then aggregated by
+    them — `sum by (env, version) (info(click))`.  Instances without a
+    target_info series pass through with env/version absent ("" under
+    the engine's canonical form) and aggregate into their own group:
+    info() is an ENRICHMENT (left join), not a filter.  Exact count
+    arithmetic → bit-identical sums.
+
+    Scale shape: the info side is one row per scrape target per
+    instant — catalog-sized, broadcast — so enrichment adds no shuffle
+    of the sample side; the only data shuffle is the final sum-by."""
+    plan = compile_promql("sum by (env, version) (info(click))")
+    out = plan.evaluate(_metrics_info_view(spark, sf_dir))
+    return out.select(
+        "env",
+        "version",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("value"),
+    )

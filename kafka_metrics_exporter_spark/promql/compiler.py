@@ -67,6 +67,7 @@ from kafka_metrics_exporter_spark.promql.parser import (
     Expr,
     HistogramQuantile,
     HoltWinters,
+    Info,
     LabelJoin,
     LimitK,
     MathFn,
@@ -361,6 +362,8 @@ def _eval(
         )
     if isinstance(node, (LabelReplace, LabelJoin)):
         return _eval_label_fn(node, metrics, label_cols, leaf)
+    if isinstance(node, Info):
+        return _eval_info(node, metrics, label_cols, leaf)
     if isinstance(node, HistogramQuantile):
         return _eval_histogram_quantile(node, metrics, label_cols, leaf)
     if isinstance(node, MathFn):
@@ -1053,6 +1056,72 @@ def _eval_histogram_quantile(
         .select(*out_labels, "ts", "value")
     )
     return _Vec(picked, frozenset(out_labels))
+
+
+def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
+    """``info(v[, {sel}])`` — Prometheus 3.x experimental info-metric
+    join (promql/functions.go funcInfo, flag
+    --enable-feature=promql-experimental-functions): for each sample of
+    ``v``, find the ``target_info`` series sharing the IDENTIFYING
+    labels (``instance``/``job``) at the same instant and add its DATA
+    labels.  The optional data-label selector filters the info series
+    AND restricts the added labels to the ones it names.
+
+    Relational reading (and the documented divergences):
+
+    - ENRICHMENT, never a filter: samples with no matching info series
+      pass through with the data labels absent ("" under the engine's
+      canonical form) — a LEFT join, mirroring the ``* on(instance,
+      job) group_left(...) target_info`` idiom this function replaces
+      without its inner-join sample drop.
+    - Several info series matching one identity merge by per-label
+      max() (a deterministic union); Prometheus errors on CONFLICTING
+      data-label values — at one instant a scrape target has one
+      target_info sample, so the case is degenerate in practice.
+    - A data label already present and non-empty on v's sample wins
+      (Prometheus keeps the original label too).
+
+    Scale shape: the info side is one row per scrape TARGET per
+    instant — catalog-sized by construction, broadcast — so the join
+    adds no shuffle of the sample side."""
+    vec = _eval(node.expr, metrics, label_cols, leaf)
+    if isinstance(vec, float):
+        raise ValueError("promql: info() needs a vector")
+    info = _eval(Selector("target_info"), metrics, label_cols, leaf)
+    identifying = [l for l in ("instance", "job") if l in info.labels]
+    if not identifying:
+        raise ValueError(
+            "promql: info() needs instance/job identifying labels in "
+            "the metrics frame"
+        )
+    data = sorted(info.labels - set(identifying))
+    idf = info.df
+    if node.matchers:
+        for m in node.matchers:
+            if m.label not in info.labels:
+                idf = idf.withColumn(m.label, F.lit(""))
+            idf = idf.filter(_matcher_pred(m))
+        data = sorted({m.label for m in node.matchers} & set(info.labels))
+    # union-merge info series per identity+instant (see docstring)
+    agg = idf.groupBy(*identifying, "ts").agg(
+        *[F.max(d).alias(f"__info_{d}") for d in data]
+    )
+    left = vec.df
+    for l in identifying:
+        if l not in vec.labels:
+            left = left.withColumn(l, F.lit(""))
+    out = left.join(F.broadcast(agg), identifying + ["ts"], "left")
+    for d in data:
+        added = F.coalesce(F.col(f"__info_{d}"), F.lit(""))
+        if d in vec.labels:
+            out = out.withColumn(
+                d, F.when(F.col(d) != "", F.col(d)).otherwise(added)
+            )
+        else:
+            out = out.withColumn(d, added)
+    out = out.drop(*[f"__info_{d}" for d in data])
+    return _Vec(out, frozenset(vec.labels) | set(identifying) | set(data))
+
 
 
 def _eval_label_fn(

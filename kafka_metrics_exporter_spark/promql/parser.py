@@ -271,6 +271,18 @@ class LabelJoin:
 
 
 @dataclass(frozen=True)
+class Info:
+    """``info(v[, {data-label-selector}])`` — Prometheus 3.x
+    (experimental): join the matching ``target_info`` series' DATA
+    labels (everything but the identifying ``instance``/``job``) onto
+    each sample of ``v``.  The optional selector both filters the info
+    series and RESTRICTS the added labels to the ones it names."""
+
+    expr: "Expr"
+    matchers: tuple[Matcher, ...] = ()
+
+
+@dataclass(frozen=True)
 class Scalar:
     value: float
 
@@ -651,6 +663,8 @@ class _Parser:
                 return self.parse_limitk()
             if tok in ("label_replace", "label_join"):
                 return self.parse_label_fn()
+            if tok == "info":
+                return self.parse_info()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
             if tok in _MATH_FNS | _CLAMP_FNS | {"clamp"}:
@@ -931,29 +945,52 @@ class _Parser:
         self.expect(")")
         return LabelJoin(inner, dst, sep, tuple(srcs))
 
+    def parse_info(self) -> Expr:
+        self.next()
+        self.expect("(")
+        inner = self.parse_expr()
+        matchers: tuple[Matcher, ...] = ()
+        if self.peek()[1] == ",":
+            self.next()
+            matchers = self._matcher_block()
+            if not matchers:
+                raise SyntaxError(
+                    "promql: info() data-label selector needs at least "
+                    "one matcher"
+                )
+        self.expect(")")
+        return Info(inner, matchers)
+
+    def _matcher_block(self) -> tuple[Matcher, ...]:
+        """The ``{label op "value", ...}`` block shared by selectors
+        and info()'s data-label selector."""
+        matchers: list[Matcher] = []
+        self.expect("{")
+        while self.peek()[1] != "}":
+            lkind, label = self.next()
+            if label == ",":
+                continue
+            if lkind != "ident":
+                raise SyntaxError(f"promql: bad matcher label {label!r}")
+            okind, op = self.next()
+            if op not in ("=", "!=", "=~", "!~"):
+                raise SyntaxError(f"promql: bad matcher op {op!r}")
+            skind, sval = self.next()
+            if skind != "string":
+                raise SyntaxError(f"promql: matcher value must be a string")
+            matchers.append(Matcher(label, op, _unquote(sval)))
+            self.labels_seen.add(label)
+        self.expect("}")
+        return tuple(matchers)
+
     def parse_selector(self) -> "Selector | At":
         kind, tok = self.peek()
         name = None
         if kind == "ident":
             name = self.next()[1]
-        matchers: list[Matcher] = []
+        matchers: tuple[Matcher, ...] = ()
         if self.peek()[1] == "{":
-            self.next()
-            while self.peek()[1] != "}":
-                lkind, label = self.next()
-                if label == ",":
-                    continue
-                if lkind != "ident":
-                    raise SyntaxError(f"promql: bad matcher label {label!r}")
-                okind, op = self.next()
-                if op not in ("=", "!=", "=~", "!~"):
-                    raise SyntaxError(f"promql: bad matcher op {op!r}")
-                skind, sval = self.next()
-                if skind != "string":
-                    raise SyntaxError(f"promql: matcher value must be a string")
-                matchers.append(Matcher(label, op, _unquote(sval)))
-                self.labels_seen.add(label)
-            self.expect("}")
+            matchers = self._matcher_block()
         if name is None and not matchers:
             raise SyntaxError("promql: empty selector")
         offset, at = self._modifiers(0.0, None)
@@ -1095,6 +1132,13 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, LabelJoin):
         srcs = "".join(f', "{s}"' for s in node.srcs)
         return f'label_join({to_promql(node.expr)}, "{node.dst}", "{node.sep}"{srcs})'
+    if isinstance(node, Info):
+        if node.matchers:
+            ms = ", ".join(
+                f'{m.label}{m.op}"{m.value}"' for m in node.matchers
+            )
+            return f"info({to_promql(node.expr)}, {{{ms}}})"
+        return f"info({to_promql(node.expr)})"
     if isinstance(node, Cmp):
         b = " bool" if node.bool_mode else ""
         mod = _fmt_match(node.match)

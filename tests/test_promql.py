@@ -2141,3 +2141,67 @@ def test_compound_duration_literals():
     parse("sum(rate(click[1h30m] offset 1h15m))")
     with pytest.raises(SyntaxError):
         parse("rate(click[15q])")
+
+
+def test_info_function(spark):
+    """Prometheus 3.x info() (funcInfo, experimental): data-label
+    enrichment from target_info by identifying labels at the same
+    instant — filter+restrict selector form, pass-through for
+    identities with no info series, and existing-label precedence."""
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = t0 + dt.timedelta(hours=1)
+    rows = [
+        # name, instance, job, env, version, ts, value
+        ("m", "a", "app", None, None, t0, 10.0),
+        ("m", "b", "app", None, None, t0, 20.0),
+        ("m", "c", "app", None, None, t0, 5.0),   # no target_info
+        ("m", "a", "app", None, None, t1, 11.0),
+        # a sample that already carries env: the existing label wins
+        ("m", "d", "app", "keep", None, t0, 7.0),
+        ("target_info", "a", "app", "prod", "v1", t0, 1.0),
+        ("target_info", "a", "app", "prod", "v1", t1, 1.0),
+        ("target_info", "b", "app", "dev", "v2", t0, 1.0),
+        ("target_info", "d", "app", "ignored", "v9", t0, 1.0),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "name string, instance string, job string, env string, "
+        "version string, ts timestamp, value double",
+    )
+    out = compile_promql("info(m)").evaluate(m)
+    got = _vals(out, "instance", "env", "version", "value")
+    assert ("a", "prod", "v1", 10.0) in got
+    assert ("b", "dev", "v2", 20.0) in got
+    # enrichment, not a filter: no info series -> labels stay absent
+    assert ("c", "", "", 5.0) in got
+    # a non-empty label already on the sample wins over the info value
+    assert ("d", "keep", "v9", 7.0) in got
+
+    # selector form: filters the info series AND restricts the added
+    # labels to the named ones (version is NOT added here)
+    sel = compile_promql('info(m, {env=~"prod"})').evaluate(m)
+    got_sel = _vals(sel, "instance", "env", "version", "value")
+    assert ("a", "prod", "", 10.0) in got_sel
+    assert ("b", "", "", 20.0) in got_sel  # dev filtered out -> no env
+
+    # aggregation over added labels composes
+    agg = compile_promql("sum by (env) (info(m))").evaluate(m)
+    got_agg = _vals(agg, "env", "value")
+    assert ("prod", 10.0) in got_agg and ("", 5.0) in got_agg
+
+    # range (step-grid) mode: the info side goes through the same
+    # lookback leaf as every selector, so enrichment lands on grid
+    # instants too
+    rng = compile_promql("info(m)").evaluate_range(m, step_seconds=3600.0)
+    got_rng = _vals(rng, "instance", "env", "ts", "value")
+    assert ("a", "prod", t1, 11.0) in got_rng
+
+    # identifying labels must exist in the frame
+    bare = m.select("name", "ts", "value", F.col("env").alias("zone"))
+    with pytest.raises(ValueError):
+        compile_promql("info(m)").evaluate(bare)
+
+    # round-trip
+    from kafka_metrics_exporter_spark.promql.parser import parse, to_promql
+
+    assert to_promql(parse('info(m, {env=~"p.*"})')) == 'info(m, {env=~"p.*"})'
