@@ -216,6 +216,120 @@ SIBLING_OPS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
 
 
 @dataclass(frozen=True)
+class BucketScriptAgg:
+    """ES ``bucket_script`` / ``bucket_selector`` pipelines (round 9):
+    evaluate a painless ARITHMETIC script over sibling metric values
+    per bucket — script adds a computed column, selector FILTERS the
+    buckets where the (boolean) script is false.  The supported script
+    subset is the expression grammar ES documents for these aggs:
+    ``params.X`` path variables, numeric literals, ``+ - * / %``,
+    comparisons, ``&& || !`` and parentheses (no loops/defs — those
+    never appear in bucket scripts).  Nulls propagate like ES
+    ``gap_policy: skip``: a bucket missing any input yields null
+    (script) / is dropped (selector)."""
+
+    op: str  # bucket_script | bucket_selector
+    paths: tuple[tuple[str, str], ...]  # (param name, resolved metric label)
+    script: str
+    label: str
+
+
+_SCRIPT_TOKEN_RE = re.compile(
+    r"\s*(params\.\w+|\d+\.\d+|\d+|>=|<=|==|!=|&&|\|\||[()+\-*/%!><])"
+)
+
+
+def compile_bucket_script(script: str, binding: dict[str, str]) -> Column:
+    """Compile the painless expression subset to ONE Column expression
+    (precedence: ``||`` < ``&&`` < ``== !=`` < ``> >= < <=`` <
+    ``+ -`` < ``* / %`` < unary ``- !``).  ``binding`` maps param
+    names to resolved metric column names; every reference casts to
+    double so integer metric columns divide like painless doubles."""
+    toks: list[str] = []
+    i = 0
+    while i < len(script):
+        m = _SCRIPT_TOKEN_RE.match(script, i)
+        if m is None:
+            if script[i:].strip():
+                raise ValueError(
+                    f"kibana: unsupported bucket script token at "
+                    f"{script[i:]!r}"
+                )
+            break
+        toks.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def eat() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def primary() -> Column:
+        t = peek()
+        if t is None:
+            raise ValueError(f"kibana: truncated bucket script {script!r}")
+        if t == "(":
+            eat()
+            e = or_()
+            if peek() != ")":
+                raise ValueError(f"kibana: unbalanced parens in {script!r}")
+            eat()
+            return e
+        if t == "-":
+            eat()
+            return -primary()
+        if t == "!":
+            eat()
+            return ~primary().cast("boolean")
+        eat()
+        if t.startswith("params."):
+            name = t[len("params."):]
+            if name not in binding:
+                raise ValueError(
+                    f"kibana: script references params.{name} with no "
+                    f"buckets_path entry"
+                )
+            return F.col(binding[name]).cast("double")
+        return F.lit(float(t))
+
+    def binop(sub, ops):
+        def go() -> Column:
+            left = sub()
+            while peek() in ops:
+                op = eat()
+                left = ops[op](left, sub())
+            return left
+
+        return go
+
+    mul = binop(primary, {
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+        "%": lambda a, b: a % b,
+    })
+    add = binop(mul, {"+": lambda a, b: a + b, "-": lambda a, b: a - b})
+    cmp_ = binop(add, {
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    })
+    eq = binop(cmp_, {"==": lambda a, b: a == b, "!=": lambda a, b: a != b})
+    and_ = binop(eq, {"&&": lambda a, b: a & b})
+    or_ = binop(and_, {"||": lambda a, b: a | b})
+
+    out = or_()
+    if pos != len(toks):
+        raise ValueError(
+            f"kibana: trailing script input {toks[pos:]!r} in {script!r}"
+        )
+    return out
+
+
+@dataclass(frozen=True)
 class BucketSortAgg:
     """ES ``bucket_sort`` pipeline (round 8): order the innermost
     buckets per outer bucket by a sibling metric (or ``_key``, the
@@ -242,6 +356,7 @@ class VisState:
     metrics: tuple[Metric, ...]
     pipelines: tuple[PipelineAgg, ...] = ()
     bucket_sort: BucketSortAgg | None = None
+    scripts: tuple[BucketScriptAgg, ...] = ()
 
 
 def _slug(s: str) -> str:
@@ -309,6 +424,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     metrics: list[Metric] = []
     pipelines_raw: list[tuple[str, str, str, int]] = []  # (op, path, label, window)
     bucket_sort_raw: tuple[str, str, int, int] | None = None  # (path, order, size, from)
+    scripts_raw: list[tuple[str, dict, str, str]] = []  # (op, paths, script, label)
     for a in aggs:
         p = a.get("params", {})
         schema = a.get("schema", "metric")
@@ -467,6 +583,18 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
         elif a["type"] in SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append((a["type"], path, label, 0))
+        elif a["type"] in ("bucket_script", "bucket_selector"):
+            script = p.get("script")
+            if isinstance(script, dict):
+                script = script.get("source")
+            if not isinstance(script, str) or not script.strip():
+                raise ValueError(f"kibana: {a['type']} needs a script")
+            paths = p.get("buckets_path")
+            if not isinstance(paths, dict) or not paths:
+                raise ValueError(
+                    f"kibana: {a['type']} needs a buckets_path map"
+                )
+            scripts_raw.append((a["type"], dict(paths), script, label))
         elif a["type"] == "bucket_sort":
             if bucket_sort_raw is not None:
                 raise ValueError("kibana: at most one bucket_sort per vis")
@@ -484,7 +612,8 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             raise ValueError(f"kibana: unsupported agg type {a['type']!r}")
     pipelines: list[PipelineAgg] = []
     bucket_sort: BucketSortAgg | None = None
-    if pipelines_raw or bucket_sort_raw:
+    scripts: list[BucketScriptAgg] = []
+    if pipelines_raw or bucket_sort_raw or scripts_raw:
         label_of = {}
         for m in metrics:
             label_of[m.label] = m.label
@@ -493,8 +622,14 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 a.get("params", {}).get("customLabel") or f'{a["type"]}_{a["id"]}'
             )
             label_of.setdefault(a["id"], lbl)
-        needs_count = any(path == "_count" for _, path, _, _ in pipelines_raw) or (
-            bucket_sort_raw is not None and bucket_sort_raw[0] == "_count"
+        needs_count = (
+            any(path == "_count" for _, path, _, _ in pipelines_raw)
+            or (bucket_sort_raw is not None and bucket_sort_raw[0] == "_count")
+            or any(
+                p == "_count"
+                for _, paths, _, _ in scripts_raw
+                for p in paths.values()
+            )
         )
         if needs_count:
             # the implicit doc-count metric, materialized only when a
@@ -519,6 +654,24 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
                 PipelineAgg(op=op, source_label=src, label=label, window=window)
+            )
+        for op, paths, script, label in scripts_raw:
+            resolved = []
+            for param, path in paths.items():
+                src = label_of.get(str(path))
+                if src is None or not any(m.label == src for m in metrics):
+                    raise ValueError(
+                        f"kibana: {op} buckets_path {path!r} does not "
+                        f"resolve to a sibling metric agg"
+                    )
+                resolved.append((param, src))
+            # compile eagerly so a bad script fails at parse time, not
+            # mid-evaluation (the Column is rebuilt per-evaluate below)
+            compile_bucket_script(script, dict(resolved))
+            scripts.append(
+                BucketScriptAgg(
+                    op=op, paths=tuple(resolved), script=script, label=label
+                )
             )
         if bucket_sort_raw is not None:
             path, order, size, from_ = bucket_sort_raw
@@ -545,6 +698,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
         metrics=tuple(metrics),
         pipelines=tuple(pipelines),
         bucket_sort=bucket_sort,
+        scripts=tuple(scripts),
     )
 
 
@@ -879,6 +1033,24 @@ class KibanaPlan:
             else:
                 out = out.crossJoin(F.broadcast(out.agg(*aggs_)))
 
+        # 4b') bucket_script / bucket_selector: per-bucket painless
+        # arithmetic over sibling metric values — scripts add columns
+        # FIRST (ES resolves them before selectors can reference the
+        # response), then selectors filter.  Pure Column expressions:
+        # scan-local, no shuffle, no Python.
+        if s.scripts:
+            for sc in s.scripts:
+                if sc.op == "bucket_script":
+                    out = out.withColumn(
+                        sc.label,
+                        compile_bucket_script(sc.script, dict(sc.paths)),
+                    )
+            for sc in s.scripts:
+                if sc.op == "bucket_selector":
+                    # gap_policy skip: null script inputs drop the bucket
+                    pred = compile_bucket_script(sc.script, dict(sc.paths))
+                    out = out.filter(pred.cast("boolean"))
+
         # 4c) bucket_sort: order the innermost buckets per outer bucket
         # and keep [from_, from_+size).  Computed AFTER sibling aggs —
         # ES's truncation is response-shaping only.  Nested: row_number
@@ -932,6 +1104,9 @@ class KibanaPlan:
             else:
                 final_cols.append(F.col(m.label))
         final_cols.extend(F.col(pl.label) for pl in s.pipelines)
+        final_cols.extend(
+            F.col(sc.label) for sc in s.scripts if sc.op == "bucket_script"
+        )
         return out.select(*final_cols)
 
 

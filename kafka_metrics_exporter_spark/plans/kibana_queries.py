@@ -443,3 +443,67 @@ def kibana_sibling_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_sv",
         "max_sv",
     )
+
+
+@query(
+    "kibana_bucket_script",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    agg AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+               AS day,
+             SUM(value_i) AS total, COUNT(*) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s,
+           total, n,
+           (CAST(total AS DOUBLE) + 1) / (CAST(n AS DOUBLE) * 2) AS rate
+    FROM agg
+    WHERE CAST(n AS DOUBLE) >= 3 AND CAST(total AS DOUBLE) / CAST(n AS DOUBLE) > 1
+    """,
+)
+def kibana_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` pipelines (round 9):
+    a terms × daily date_histogram bucket tree where a painless script
+    computes a smoothed per-doc rate ``(total + 1) / (n * 2)`` per
+    bucket and a selector keeps only buckets with ``n >= 3 &&
+    total / n > 1`` — the canonical "derived ratio + drop sparse
+    buckets" ES response shaping.  The script compiles to ONE Column
+    expression (kibana/compiler.py::compile_bucket_script): scan-local
+    arithmetic over the already-aggregated bucket table, no Python, no
+    extra shuffle.  value_i is integral so the divisions are single
+    IEEE ops — bit-identical to the SQL twin."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type", "size": 10,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "2", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "interval": "1d",
+                             "customLabel": "day"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+                {"id": "4", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+                {"id": "5", "type": "bucket_script", "schema": "metric",
+                 "params": {"buckets_path": {"t": "3", "c": "4"},
+                             "script": "(params.t + 1) / (params.c * 2)",
+                             "customLabel": "rate"}},
+                {"id": "6", "type": "bucket_selector", "schema": "metric",
+                 "params": {"buckets_path": {"t": "3", "c": "4"},
+                             "script":
+                             "params.c >= 3 && params.t / params.c > 1"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.date_format("day", _TS_FMT).alias("day_s"),
+        "total",
+        "n",
+        "rate",
+    )

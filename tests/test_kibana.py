@@ -936,3 +936,75 @@ def test_date_range_bucket(docs):
             {"id": "1", "type": "date_range", "schema": "bucket",
              "params": {"field": "ts", "ranges": []}},
         ])["visState"])
+
+
+def test_bucket_script_and_selector(docs):
+    """ES bucket_script adds a painless-computed column per bucket;
+    bucket_selector drops buckets whose script is false (round 9)."""
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "host", "size": 10, "orderBy": "_term",
+                    "customLabel": "host"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+        {"id": "3", "type": "bucket_script", "schema": "metric",
+         "params": {"buckets_path": {"t": "2", "c": "_count"},
+                    "script": {"source": "params.t / params.c"},
+                    "customLabel": "per_doc"}},
+        {"id": "4", "type": "bucket_selector", "schema": "metric",
+         "params": {"buckets_path": {"c": "_count"},
+                    "script": "params.c >= 3"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(docs).collect()
+    got = {r["host"]: (r["total"], r["per_doc"]) for r in out}
+    # h1: 60/3 docs = 20; h2: 52/3... both have 3 docs -> both kept
+    assert got == {"h1": (60.0, 20.0), "h2": (52.0, 52.0 / 3.0)}
+
+    # selector drops h2 when thresholding on the sum
+    aggs[3]["params"] = {"buckets_path": {"t": "2"},
+                         "script": "params.t > 55 && !(params.t == 52)"}
+    out2 = compile_visualization(_vis8(aggs)).evaluate(docs).collect()
+    assert [r["host"] for r in out2] == ["h1"]
+
+    # precedence: * binds over +, % works, unary minus
+    aggs[2]["params"] = {"buckets_path": {"t": "2"},
+                         "script": "-(params.t + 2 * 10) % 7",
+                         "customLabel": "mix"}
+    aggs[3]["params"] = {"buckets_path": {"t": "2"}, "script": "1 < 2"}
+    out3 = compile_visualization(_vis8(aggs)).evaluate(docs).collect()
+    got3 = {r["host"]: r["mix"] for r in out3}
+    # Spark % keeps the dividend sign (like painless/Java, unlike
+    # Python): -80 % 7 = -3, -72 % 7 = -2
+    assert got3 == {"h1": -3.0, "h2": -2.0}
+
+
+def test_bucket_script_errors():
+    base = [
+        {"id": "1", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "host", "size": 5, "orderBy": "_term"}},
+    ]
+    with pytest.raises(ValueError, match="buckets_path map"):
+        compile_visualization(_vis8(base + [
+            {"id": "3", "type": "bucket_script", "schema": "metric",
+             "params": {"script": "params.x"}}]))
+    with pytest.raises(ValueError, match="does not resolve"):
+        compile_visualization(_vis8(base + [
+            {"id": "3", "type": "bucket_script", "schema": "metric",
+             "params": {"buckets_path": {"x": "99"},
+                        "script": "params.x"}}]))
+    with pytest.raises(ValueError, match="no buckets_path entry"):
+        compile_visualization(_vis8(base + [
+            {"id": "3", "type": "bucket_script", "schema": "metric",
+             "params": {"buckets_path": {"x": "1"},
+                        "script": "params.y + 1"}}]))
+    with pytest.raises(ValueError, match="unsupported bucket script"):
+        compile_visualization(_vis8(base + [
+            {"id": "3", "type": "bucket_script", "schema": "metric",
+             "params": {"buckets_path": {"x": "1"},
+                        "script": "doc['f'].value"}}]))
+    with pytest.raises(ValueError, match="needs a script"):
+        compile_visualization(_vis8(base + [
+            {"id": "3", "type": "bucket_selector", "schema": "metric",
+             "params": {"buckets_path": {"x": "1"}}}]))
