@@ -30,125 +30,126 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
-# Explicit first-window ordering for ROUND 8.  Composition (the r7
-# verdict's rotation ask, executed):
-#   - the 7 queries whose latest driver row is r5 (the r7
-#     STALE_OUT_OF_WINDOW demotions — their rows would go three rounds
-#     old this round, so they promote first);
-#   - 30 of the 47 queries whose latest driver row is r6 (they sat
-#     after slot 50 in the r7 window); the slot arithmetic forces 17
-#     demotions (7 + 47 + 11 new + 2 changed = 67 > 50), listed in
-#     STALE_OUT_OF_WINDOW with their per-query justification;
-#   - queries NEW this round (the PromQL label-function /
-#     over-time-pack / limit-sample registry rows, the w12
-#     chained-window cascade, and the two Kibana bucket/pipeline
-#     queries);
-#   - queries whose results or oracle CHANGED this round
-#     (promql_rules_group: alert threshold re-sized so the driver
-#     differential exercises pending AND firing rows — ADVICE r7;
-#     openmetrics_roundtrip: quote-aware label parsing +
-#     timestamp_unit on the parse path).
-# Everything not listed keeps definition order after these (all have
-# green r7 rows).
+# Explicit first-window ordering for ROUND 9.
 #
-# ROTATION POLICY for round 9+: swap again — promote the r7-latest set
-# (now sitting after slot 50) plus NEW_THIS_ROUND/CHANGED_THIS_ROUND,
-# demote this round's verified set.  test_registry_window.py enforces
-# that never-verified and changed queries always land in-window, and
-# that every *_OUT_OF_WINDOW exemption has a CURRENT_ROUND GOLDEN row.
+# ROUND-8 ANOMALY, load-bearing for this composition: round 8's driver
+# gate emitted NO CORRECTNESS_r08.json (the repo's ledger of
+# driver-verified rows stops at r7), so every query first registered or
+# changed in round 8 is still DRIVER-UNVERIFIED and stays in-window
+# alongside round 9's new queries.  tests/test_registry_window.py's
+# rotation check walks back to the two most recent EXISTING correctness
+# files for the same reason.
+#
+# Composition (50 slots):
+#   - 15 never-driver-verified: the 11 round-8 registrations (no r8
+#     file → no row) + the 4 round-9 registrations;
+#   - 2 round-8 CHANGED queries (promql_rules_group's re-sized alert
+#     threshold, openmetrics_roundtrip's rewritten parse path) whose
+#     re-verification never happened;
+#   - the 7 queries whose latest row is r5 (oldest debt, promoted
+#     first — same queries round 8 tried to promote);
+#   - 26 of the 47 r6-latest: all 17 of round 8's STALE_OUT_OF_WINDOW
+#     (certain-stale regardless of whether the r8 gate ran late) plus
+#     the 9 core reference-surface operators (a7/a8/a11/qtj/w7/p1/
+#     rules_rewrite/j7/w11) — reference core promotes ahead of the
+#     llm/promql extras, which each carry property-test twins.
+# The remaining 21 r6-latest are STALE_OUT_OF_WINDOW with per-query
+# justifications below; the 48 unchanged r7-latest queries demote
+# (their rows go two rounds old; GOLDEN + the per-session pytest
+# oracle replay of ALL queries cover them).
 
-# Queries first registered this round — must be in-window.
+# Queries with no driver CORRECTNESS row in any EXISTING correctness
+# file — must be in-window.  The first 11 are round-8 registrations
+# (see the round-8 anomaly note above); the last 4 are new in round 9.
 NEW_THIS_ROUND = [
-    "promql_label_functions",  # label_replace / label_join (VERDICT r7)
-    "promql_over_time_pack",  # Prometheus 3.x over-time function pack
-    "promql_limit_sample",  # limitk / limit_ratio experimental aggs
-    "w12_window_time_cascade",  # chained-window cascade (VERDICT r7 item 7)
-    "kibana_histogram_stats",  # range x histogram x extended_stats
-    "kibana_pipeline",  # derivative / cumulative_sum / moving_avg
-    "dedup_url",  # URL canonicalization + exact dedup (crawl first pass)
-    "pipe_global_shuffle",  # deterministic seeded shard+rank shuffle
-    "kibana_sibling_sort",  # avg/max_bucket siblings + bucket_sort
-    "text_gopher_quality",  # Gopher line-based repetition/format rules
-    "promql_time_macros",  # Grafana $__interval/$__rate_interval/$__range
+    "promql_label_functions",
+    "promql_over_time_pack",
+    "promql_limit_sample",
+    "w12_window_time_cascade",
+    "kibana_histogram_stats",
+    "kibana_pipeline",
+    "dedup_url",
+    "pipe_global_shuffle",
+    "kibana_sibling_sort",
+    "text_gopher_quality",
+    "promql_time_macros",
+    # -- new in round 9 ---------------------------------------------------
+    "pipe_dsir_resample",  # DSIR importance resampling (Xie et al. 2023)
+    "embed_decontaminate",  # semantic benchmark decontamination
+    "promql_info_join",  # Prometheus 3.x info() data-label enrichment
+    "kibana_bucket_script",  # ES bucket_script + bucket_selector
 ]
 
-# Queries whose engine semantics, plan shape, or oracle SQL changed
-# this round — must be re-verified by the driver even though they have
-# green rows (pinned by test_registry_window.py).  NOT listed, with
-# reasons: promql_vector_compare uses filter-mode comparisons only —
-# the ADVICE r7 bool-mode label fix rewrote the bool branch of
-# _eval_cmp and left the filter branch byte-identical; dedup_passage
-# calls passage_dup_stats — the ADVICE r7 fix touched only
-# drop_duplicated_passages (pytest-pinned, not in this query's path);
-# no registry query compiles `^`, so the Pow(±1, ±Inf) guard reaches
-# no driver row (pytest-pinned in test_promql.py).
+# Round-8 changes whose driver re-verification never happened (no r8
+# file) — pinned in-window until a correctness file records them.
 CHANGED_THIS_ROUND = [
-    "promql_rules_group",  # alert threshold >40 -> >1 (ADVICE r7): the
-    # r7 row compared empty-vs-empty; re-verify with 373 real rows
-    "openmetrics_roundtrip",  # parse path rewritten: quote-aware label
-    # block, exemplar stripping, float timestamps via timestamp_unit
+    "promql_rules_group",
+    "openmetrics_roundtrip",
 ]
 
-# Changed queries that did NOT fit the 50-slot window (none this
-# round — both changed queries are in-window above).
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries demoted to make the slot arithmetic fit (their
-# driver row goes two rounds old this round; the CURRENT_ROUND GOLDEN
-# re-record and the pytest oracle replay cover them, machine-checked).
-# Selection criteria: code untouched since their last green row AND a
-# second non-driver pin (plan pin, property test, or composition of
-# independently verified stages).
+# r6-latest queries the 50-slot arithmetic cannot fit (15 never + 2
+# changed + 7 r5 + 47 r6 = 71 candidates for 50 slots → 21 forced
+# demotions).  Selection: code untouched since their last green row
+# AND a second non-driver pin; every one is replayed against its
+# DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
+# session, and GOLDEN re-recorded this round pins the exact hashes.
 STALE_OUT_OF_WINDOW = [
-    # untouched since r3; bit-identical-to-unsalted property pin
-    "scale_salted_agg",
-    # r7's CHANGED_OUT_OF_WINDOW entry: compiled expression proven
-    # identical then, untouched since
-    "promql_clamp_sort",
-    # deterministic fake-codec paths untouched since r4/r5; each is
-    # pytest-pinned and the Arrow plumbing is shared with
-    # multimodal_channel_stats (green r7)
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_audio",
-    # scan-local hash expressions untouched since r4; zero-shuffle
-    # plans pinned in PLANS.json
-    "pipe_split",
-    "pipe_stratified_sample",
-    "pipe_weighted_sample",
-    # narrow md5 projection untouched since r3
-    "doc_fingerprint",
-    # single BroadcastHashJoin untouched since r1, plan-pinned
-    "j2_broadcast_lookup",
-    # composition of dedup_minhash_lsh (promoted this round) and the
-    # connected-components stages (green r7 as dedup_components/_star)
-    "dedup_minhash_components",
-    # pure column exprs untouched since r3; langid_sql differential
-    # pytest twin re-runs every session
-    "text_langid",
-    # chunk-count-only expansion untouched since r6; shares the
-    # running-sum machinery with pipe_pack_chunks (promoted this round)
-    "pipe_sliding_chunks",
-    # deterministic quantization arithmetic untouched since r6,
-    # pytest-pinned round-trip error bounds
-    "embed_quantize",
-    # pure column exprs untouched since r6; same line/word-repetition
-    # family as the new text_gopher_quality row (in-window), pytest
-    # oracle replay re-runs every session
-    "text_repetition",
-    # least-squares deriv/predict_linear kernel untouched since r6;
-    # its grid-expansion machinery (range_eval instant expansion) is
-    # re-exercised in-window by promql_time_macros and
-    # promql_rate_extrapolated; pytest oracle replay re-runs every
-    # session
-    "promql_deriv_predict",
+    # one (band,bucket)-keyed shuffle, salt-split cap property-tested
+    # (tests/test_llmdata.py) and skew-stress-recorded r6
+    "dedup_minhash_lsh",
+    # shared candidate-cap guard with minhash; skew-stressed r6
+    "dedup_simhash",
+    # capped-bucket property twin + r7 skew-stress record; hyperplane
+    # constants embedded in the SQL twin
+    "embed_near_dup_lsh",
+    # broadcast-centroid probe; recall property-tested vs brute force
+    "embed_ivf_topk",
+    # composition of embed_cluster stages, each pytest-pinned
+    "embed_cluster_dedup",
+    # per-lang running-sum window untouched since r6; shares machinery
+    # with pipe_sliding_chunks (promoted this round)
+    "pipe_pack_chunks",
+    # broadcast shingle semi-join untouched since r4; differential
+    # pytest twin with the fuzzy/bloom variants
+    "pipe_decontaminate",
+    # pure column exprs; quality_gate_sql differential twin re-runs
+    # every session
+    "text_quality_gate",
+    # pure regexp_replace chain untouched since r5
+    "text_redact",
+    # plan-pinned two-shuffle corpus build (PLANS.json)
+    "pipe_corpus_build",
+    # token-keyed join + broadcast N; same family as text_tfidf_topk
+    "text_token_rarity",
+    # band-bucket broadcast probe, property-tested vs exact Jaccard
+    "pipe_fuzzy_decontaminate",
+    # Bloom bitmap probe property-tested for zero false negatives
+    "pipe_bloom_decontaminate",
+    # generated-oracle twin (tfidf_topk_sql) re-runs every session
+    "text_tfidf_topk",
+    # compiled-expression pins in test_promql.py; grid machinery
+    # re-exercised in-window by promql_time_macros (promoted)
+    "promql_topk_rate",
+    "promql_quantile_agg",
+    "promql_histogram_quantile",
+    "promql_resets_changes",
+    "promql_at_offset",
+    # Kibana compiler core re-exercised in-window by
+    # kibana_bucket_script/kibana_histogram_stats (same bucket/metric
+    # machinery); corpus conformance suite re-runs every session
+    "kibana_terms_metrics",
+    "kibana_top_hits_latest",
 ]
 
 WINDOW_PRIORITY = [
-    # -- latest driver row is r5 (the 7 r7 demotions, promoted first) --
+    # -- never driver-verified + round-8 changed (17) ---------------------
+    *NEW_THIS_ROUND,
+    *CHANGED_THIS_ROUND,
+    # -- latest driver row is r5 (7) --------------------------------------
     "j1_cross_join",
     "j3_union_byname",
     "j5_explode_parent_child",
@@ -156,7 +157,25 @@ WINDOW_PRIORITY = [
     "o3_anti_join",
     "o4_sort_limit",
     "o5_intersect",
-    # -- latest driver row is r6 (35 of 47; 12 demoted above) ---------
+    # -- latest driver row is r6: round 8's stale exemptions (17) ---------
+    "scale_salted_agg",
+    "promql_clamp_sort",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_audio",
+    "pipe_split",
+    "pipe_stratified_sample",
+    "pipe_weighted_sample",
+    "doc_fingerprint",
+    "j2_broadcast_lookup",
+    "dedup_minhash_components",
+    "text_langid",
+    "pipe_sliding_chunks",
+    "embed_quantize",
+    "text_repetition",
+    "promql_deriv_predict",
+    # -- latest driver row is r6: core reference-surface operators (9) ----
     "a7_multikey_drilldown",
     "a8_having",
     "a11_percentile",
@@ -166,30 +185,6 @@ WINDOW_PRIORITY = [
     "rules_rewrite",
     "j7_range_join",
     "w11_rollup_cascade",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embed_near_dup_lsh",
-    "embed_ivf_topk",
-    "embed_cluster_dedup",
-    "pipe_pack_chunks",
-    "pipe_decontaminate",
-    "text_quality_gate",
-    "text_redact",
-    "pipe_corpus_build",
-    "text_token_rarity",
-    "pipe_fuzzy_decontaminate",
-    "pipe_bloom_decontaminate",
-    "text_tfidf_topk",
-    "promql_topk_rate",
-    "promql_quantile_agg",
-    "promql_histogram_quantile",
-    "promql_resets_changes",
-    "promql_at_offset",
-    "kibana_terms_metrics",
-    "kibana_top_hits_latest",
-    # -- new / changed in round 8 -----------------------------------------
-    *NEW_THIS_ROUND,
-    *CHANGED_THIS_ROUND,
 ]
 
 

@@ -97,17 +97,30 @@ def test_oracle_order_mirrors_queries():
 
 def test_rotation_promotes_stale_rows():
     """The rotation policy itself, machine-checked: every query whose
-    latest driver row is one round old (present in r(N-2)'s file but
-    not r(N-1)'s) must be promoted into this round's window — except
-    the declared STALE_OUT_OF_WINDOW demotions."""
+    latest driver row is one gate-run old (present in the
+    second-most-recent correctness file but not the most recent one)
+    must be promoted into this round's window — except the declared
+    STALE_OUT_OF_WINDOW demotions.
+
+    The ledger walks back to the two most recent EXISTING files rather
+    than assuming r(N-1)/r(N-2): round 8's driver gate emitted no
+    CORRECTNESS_r08.json, so at round 9 the comparison is r07 vs r06 —
+    a skipped gate must not crash the check, and a query's row is only
+    as fresh as the last gate that actually RAN."""
+    existing = sorted(
+        int(f[len("CORRECTNESS_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    assert len(existing) >= 2, "rotation check needs two correctness files"
     prev = set(
         json.load(
-            open(os.path.join(REPO, f"CORRECTNESS_r{CURRENT_ROUND - 1:02d}.json"))
+            open(os.path.join(REPO, f"CORRECTNESS_r{existing[-1]:02d}.json"))
         )
     )
     prev2 = set(
         json.load(
-            open(os.path.join(REPO, f"CORRECTNESS_r{CURRENT_ROUND - 2:02d}.json"))
+            open(os.path.join(REPO, f"CORRECTNESS_r{existing[-2]:02d}.json"))
         )
     )
     stale = (prev2 - prev) & set(QUERIES)
@@ -137,7 +150,8 @@ def test_out_of_window_exemptions_have_fresh_golden():
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (round 8: 50 slots vs 54
-    # stale-promotion candidates + 11 new + 2 changed = 17 forced
+    # slot arithmetic that forced them (round 9: 50 slots vs 15 never-
+    # verified + 2 changed + 7 r5-latest + 47 r6-latest = 71 candidates
+    # — the doubled debt of round 8's skipped gate — forcing 21
     # demotions)
-    assert len(exempt) <= 17, exempt
+    assert len(exempt) <= 21, exempt
