@@ -146,10 +146,28 @@ def parse_exposition(
     body = lines.select(line.alias("__line")).filter(
         (F.length("__line") > 0) & ~F.col("__line").startswith("#")
     )
-    name = F.regexp_extract("__line", _LINE_RE, 1)
+    # ONE evaluation of the (quote-aware, backtracking-priced) line
+    # regex yields name+value+ts sentinel-joined — groups whose legal
+    # charsets ([a-zA-Z0-9_:], [^\s#], digits) can never contain the
+    # \x01 sentinel — and a SECOND yields the label block (which may
+    # legally contain anything, so it can't ride the sentinel join).
+    # This replaces four per-group regexp_extract evaluations of the
+    # same pattern (observed 1.68× on the roundtrip bench after the r8
+    # quote-aware rewrite made each evaluation pricier).  A line the
+    # pattern does NOT match passes through regexp_replace unchanged →
+    # the name re-check below (or the value try_cast) nulls it out,
+    # same outcome as regexp_extract's empty-string miss.
+    head = F.split(
+        F.regexp_replace("__line", _LINE_RE, "$1\x01$3\x01$4"), "\x01"
+    )
+    raw_name = F.get(head, 0)
+    name = F.when(
+        (F.size(head) == 3) & raw_name.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"),
+        raw_name,
+    )
     block = F.regexp_extract("__line", _LINE_RE, 2)
-    raw_val = F.regexp_extract("__line", _LINE_RE, 3)
-    raw_ts = F.regexp_extract("__line", _LINE_RE, 4)
+    raw_val = F.coalesce(F.get(head, 1), F.lit(""))
+    raw_ts = F.coalesce(F.get(head, 2), F.lit(""))
     if default_ts is None:
         fill_ts = F.lit(None).cast("timestamp")
     elif isinstance(default_ts, Column):
