@@ -559,7 +559,19 @@ def dsir_importance(
         F.explode(_gram_list(F.col(text_col))).alias("gram")
     ).withColumn("b", _gram_bucket(F.col("gram"), n_buckets))
 
-    src_counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    # ONE explode+md5 pass over the corpus: the per-(doc, bucket)
+    # aggregation both feeds the per-doc scoring AND rolls up into the
+    # per-bucket corpus counts (Σ_doc n = c_s) — re-deriving c_s from
+    # the raw grams would scan and hash the whole corpus a second time
+    # (measured ~2× on the sf0.1 bench).
+    # persisted: two consumers (the bucket-count rollup builds its own
+    # broadcast job, then the scoring join re-reads it) would otherwise
+    # each re-run the explode; bench.py clears the cache between suite
+    # queries, the established pattern for shared dedup intermediates
+    doc_bucket = (
+        grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    src_counts = doc_bucket.groupBy("b").agg(F.sum("n").alias("c_s"))
     tgt_counts = tgrams.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
     totals = (
         src_counts.agg(F.sum("c_s").alias("t_s"))
@@ -583,11 +595,11 @@ def dsir_importance(
         )
     )
 
-    per_doc_bucket = (
-        grams.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(buckets), "b")
-        .select("doc_id", "b", (F.col("n").cast("double") * F.col("lr")).alias("term"), "n")
+    per_doc_bucket = doc_bucket.join(F.broadcast(buckets), "b").select(
+        "doc_id",
+        "b",
+        (F.col("n").cast("double") * F.col("lr")).alias("term"),
+        "n",
     )
     folded = per_doc_bucket.groupBy("doc_id").agg(
         F.sum("n").alias("n_grams"),
