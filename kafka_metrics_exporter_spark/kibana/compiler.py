@@ -201,10 +201,23 @@ class PipelineAgg:
     the ``window`` buckets BEFORE the current one, exclusive — the
     first bucket emits NULL, like derivative."""
 
-    op: str  # derivative | cumulative_sum | moving_avg | *_bucket
+    op: str  # derivative | cumulative_sum | moving_avg | serial_diff | *_bucket
     source_label: str
     label: str
-    window: int = 5
+    window: int = 5  # moving_avg window / serial_diff lag
+    percents: tuple[float, ...] = ()  # percentiles_bucket only
+
+    def column_names(self) -> list[str]:
+        if self.op == "stats_bucket":
+            return [
+                f"{self.label}_{n}" for n in ("count", "min", "max", "avg", "sum")
+            ]
+        if self.op == "percentiles_bucket":
+            return [
+                f"{self.label}_p{f'{p:g}'.replace('.', '_')}"
+                for p in self.percents
+            ]
+        return [self.label]
 
 
 #: sibling pipeline ops — aggregate a metric ACROSS the innermost
@@ -213,6 +226,13 @@ class PipelineAgg:
 #: one grouped aggregation joined back, never a window.
 SIBLING_OPS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                "min_bucket": F.min, "max_bucket": F.max}
+
+#: multi-column sibling ops (round 9): ``stats_bucket`` emits the five
+#: stats columns, ``percentiles_bucket`` one column per percent (exact
+#: interpolated percentiles — ES computes them exactly here too, since
+#: the bucket list is response-sized, unlike the t-digest `percentiles`
+#: metric).  Same grouped-aggregation-joined-back shape as SIBLING_OPS.
+MULTI_SIBLING_OPS = {"stats_bucket", "percentiles_bucket"}
 
 
 @dataclass(frozen=True)
@@ -578,11 +598,29 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             op = "moving_avg" if a["type"] == "moving_fn" else a["type"]
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append(
-                (op, path, label, int(p.get("window", 5)))
+                (op, path, label, int(p.get("window", 5)), ())
             )
+        elif a["type"] == "serial_diff":
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            lag = int(p.get("lag", 1))
+            if lag < 1:
+                raise ValueError("kibana: serial_diff lag must be >= 1")
+            pipelines_raw.append(("serial_diff", path, label, lag, ()))
         elif a["type"] in SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
-            pipelines_raw.append((a["type"], path, label, 0))
+            pipelines_raw.append((a["type"], path, label, 0, ()))
+        elif a["type"] in MULTI_SIBLING_OPS:
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            percents: tuple[float, ...] = ()
+            if a["type"] == "percentiles_bucket":
+                percents = tuple(
+                    float(x) for x in p.get("percents", (1, 5, 25, 50, 75, 95, 99))
+                )
+                if not percents or not all(0 <= x <= 100 for x in percents):
+                    raise ValueError(
+                        "kibana: percentiles_bucket percents must be in [0, 100]"
+                    )
+            pipelines_raw.append((a["type"], path, label, 0, percents))
         elif a["type"] in ("bucket_script", "bucket_selector"):
             script = p.get("script")
             if isinstance(script, dict):
@@ -623,7 +661,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             )
             label_of.setdefault(a["id"], lbl)
         needs_count = (
-            any(path == "_count" for _, path, _, _ in pipelines_raw)
+            any(path == "_count" for _, path, _, _, _ in pipelines_raw)
             or (bucket_sort_raw is not None and bucket_sort_raw[0] == "_count")
             or any(
                 p == "_count"
@@ -643,7 +681,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 for m in metrics
                 if isinstance(m, MetricAgg) and m.op == "count"
             )
-        for op, path, label, window in pipelines_raw:
+        for op, path, label, window, percents in pipelines_raw:
             src = label_of.get(path)
             if src is None or not any(m.label == src for m in metrics):
                 raise ValueError(
@@ -653,7 +691,10 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if op == "moving_avg" and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
-                PipelineAgg(op=op, source_label=src, label=label, window=window)
+                PipelineAgg(
+                    op=op, source_label=src, label=label, window=window,
+                    percents=percents,
+                )
             )
         for op, paths, script, label in scripts_raw:
             resolved = []
@@ -978,8 +1019,9 @@ class KibanaPlan:
         # already-aggregated bucket table (time-span / interval rows,
         # not docs) — the same bounded-by-construction argument as
         # promql_subquery's grid window.
-        parents = [pl for pl in s.pipelines if pl.op not in SIBLING_OPS]
-        siblings = [pl for pl in s.pipelines if pl.op in SIBLING_OPS]
+        _sib_ops = SIBLING_OPS.keys() | MULTI_SIBLING_OPS
+        parents = [pl for pl in s.pipelines if pl.op not in _sib_ops]
+        siblings = [pl for pl in s.pipelines if pl.op in _sib_ops]
         if parents:
             seq = [
                 b.label
@@ -1000,6 +1042,11 @@ class KibanaPlan:
                 src = F.col(pl.source_label).cast("double")
                 if pl.op == "derivative":
                     expr = src - F.lag(src).over(w)
+                elif pl.op == "serial_diff":
+                    # ES serial_diff: value minus the value `lag`
+                    # buckets earlier (lag=1 ≡ derivative); the first
+                    # `lag` buckets emit NULL
+                    expr = src - F.lag(src, pl.window).over(w)
                 elif pl.op == "cumulative_sum":
                     expr = F.sum(src).over(
                         w.rowsBetween(Window.unboundedPreceding, 0)
@@ -1021,12 +1068,25 @@ class KibanaPlan:
             if not key_names:
                 raise ValueError("kibana: sibling pipeline aggs need a bucket agg")
             outer = key_names[:-1]
-            aggs_ = [
-                SIBLING_OPS[pl.op](F.col(pl.source_label).cast("double")).alias(
-                    pl.label
-                )
-                for pl in siblings
-            ]
+            aggs_ = []
+            for pl in siblings:
+                src = F.col(pl.source_label).cast("double")
+                if pl.op == "stats_bucket":
+                    names = pl.column_names()
+                    aggs_ += [
+                        F.count(src).alias(names[0]),
+                        F.min(src).alias(names[1]),
+                        F.max(src).alias(names[2]),
+                        F.avg(src).alias(names[3]),
+                        F.sum(src).alias(names[4]),
+                    ]
+                elif pl.op == "percentiles_bucket":
+                    aggs_ += [
+                        F.percentile(src, F.lit(p / 100.0)).alias(n)
+                        for p, n in zip(pl.percents, pl.column_names())
+                    ]
+                else:
+                    aggs_.append(SIBLING_OPS[pl.op](src).alias(pl.label))
             if outer:
                 sib = out.groupBy(*[F.col(c) for c in outer]).agg(*aggs_)
                 out = out.join(F.broadcast(sib), outer, "left")
@@ -1103,7 +1163,9 @@ class KibanaPlan:
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:
                 final_cols.append(F.col(m.label))
-        final_cols.extend(F.col(pl.label) for pl in s.pipelines)
+        final_cols.extend(
+            F.col(n) for pl in s.pipelines for n in pl.column_names()
+        )
         final_cols.extend(
             F.col(sc.label) for sc in s.scripts if sc.op == "bucket_script"
         )

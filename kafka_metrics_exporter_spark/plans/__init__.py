@@ -80,6 +80,7 @@ NEW_THIS_ROUND = [
     "embed_decontaminate",  # semantic benchmark decontamination
     "promql_info_join",  # Prometheus 3.x info() data-label enrichment
     "kibana_bucket_script",  # ES bucket_script + bucket_selector
+    "kibana_serial_stats",  # ES serial_diff + stats/percentiles_bucket
 ]
 
 # Round-8 changes whose driver re-verification never happened (no r8
@@ -91,8 +92,8 @@ CHANGED_THIS_ROUND = [
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries the 50-slot arithmetic cannot fit (15 never + 2
-# changed + 7 r5 + 47 r6 = 71 candidates for 50 slots → 21 forced
+# r6-latest queries the 50-slot arithmetic cannot fit (16 never + 2
+# changed + 7 r5 + 47 r6 = 72 candidates for 50 slots → 22 forced
 # demotions).  Selection: code untouched since their last green row
 # AND a second non-driver pin; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -143,6 +144,11 @@ STALE_OUT_OF_WINDOW = [
     # machinery); corpus conformance suite re-runs every session
     "kibana_terms_metrics",
     "kibana_top_hits_latest",
+    # single having-filter over a verified aggregation; plan trivially
+    # pinned, pytest oracle replay every session — demoted to make room
+    # for kibana_serial_stats (never-verified queries outrank a
+    # twice-verified filter)
+    "a8_having",
 ]
 
 WINDOW_PRIORITY = [
@@ -175,9 +181,8 @@ WINDOW_PRIORITY = [
     "embed_quantize",
     "text_repetition",
     "promql_deriv_predict",
-    # -- latest driver row is r6: core reference-surface operators (9) ----
+    # -- latest driver row is r6: core reference-surface operators (8) ----
     "a7_multikey_drilldown",
-    "a8_having",
     "a11_percentile",
     "qtj_series_arith",
     "w7_session_window",

@@ -507,3 +507,82 @@ def kibana_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "rate",
     )
+
+
+@query(
+    "kibana_serial_stats",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    agg AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+               AS day,
+             SUM(value_i) AS total
+      FROM d GROUP BY 1, 2
+    ),
+    sd AS (
+      SELECT event_type, day, total,
+             CAST(total AS DOUBLE)
+               - lag(CAST(total AS DOUBLE), 2) OVER w AS sd2
+      FROM agg WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    sib AS (
+      SELECT event_type,
+             CAST(COUNT(CAST(total AS DOUBLE)) AS BIGINT) AS st_count,
+             MIN(CAST(total AS DOUBLE)) AS st_min,
+             MAX(CAST(total AS DOUBLE)) AS st_max,
+             AVG(CAST(total AS DOUBLE)) AS st_avg,
+             SUM(CAST(total AS DOUBLE)) AS st_sum,
+             quantile_cont(CAST(total AS DOUBLE), 0.50) AS pb_p50,
+             quantile_cont(CAST(total AS DOUBLE), 0.95) AS pb_p95
+      FROM agg GROUP BY 1
+    )
+    SELECT sd.event_type, strftime(sd.day, '%Y-%m-%d %H:%M:%S') AS day_s,
+           sd.total, sd.sd2, sib.st_count, sib.st_min, sib.st_max,
+           sib.st_avg, sib.st_sum, sib.pb_p50, sib.pb_p95
+    FROM sd JOIN sib USING (event_type)
+    """,
+)
+def kibana_serial_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``serial_diff`` + ``stats_bucket`` + ``percentiles_bucket``
+    pipelines (round 9): per event type, the daily sum's 2-bucket
+    serial difference (seasonality-adjusted change; the first 2
+    buckets are NULL like ES) alongside the five stats-bucket columns
+    and exact interpolated 50/95 bucket percentiles computed ACROSS
+    the days and repeated per row — the ES response shape.
+
+    Scale shape: serial_diff is a lag window over the already-
+    aggregated bucket table partitioned by the terms bucket; the
+    sibling stats are ONE grouped aggregation joined back broadcast
+    (one row per outer bucket).  Sums of integral value_i → exact
+    doubles; percentile_cont ≡ quantile_cont interpolation."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "terms", "schema": "bucket",
+                 "params": {"field": "event_type", "size": 10,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "event_type"}},
+                {"id": "2", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "interval": "1d",
+                             "customLabel": "day"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+                {"id": "4", "type": "serial_diff", "schema": "metric",
+                 "params": {"metricAgg": "3", "lag": 2,
+                             "customLabel": "sd2"}},
+                {"id": "5", "type": "stats_bucket", "schema": "metric",
+                 "params": {"metricAgg": "3", "customLabel": "st"}},
+                {"id": "6", "type": "percentiles_bucket", "schema": "metric",
+                 "params": {"metricAgg": "3", "percents": [50, 95],
+                             "customLabel": "pb"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.date_format("day", _TS_FMT).alias("day_s"),
+        "total", "sd2", "st_count", "st_min", "st_max", "st_avg",
+        "st_sum", "pb_p50", "pb_p95",
+    )

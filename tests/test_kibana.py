@@ -1008,3 +1008,57 @@ def test_bucket_script_errors():
         compile_visualization(_vis8(base + [
             {"id": "3", "type": "bucket_selector", "schema": "metric",
              "params": {"buckets_path": {"x": "1"}}}]))
+
+
+def test_serial_diff_stats_and_percentiles_bucket(spark):
+    """ES serial_diff (lag-N parent pipeline) + stats_bucket /
+    percentiles_bucket (multi-column siblings) — round 9."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(60):
+        rows.append((f"t{i % 2}", t0 + dt.timedelta(days=i % 5), float(i % 7), i))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 10, "orderBy": "_term",
+                    "customLabel": "et"}},
+        {"id": "2", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "interval": "1d", "customLabel": "day"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value", "customLabel": "total"}},
+        {"id": "4", "type": "serial_diff", "schema": "metric",
+         "params": {"metricAgg": "3", "lag": 2, "customLabel": "sd2"}},
+        {"id": "5", "type": "stats_bucket", "schema": "metric",
+         "params": {"metricAgg": "3", "customLabel": "st"}},
+        {"id": "6", "type": "percentiles_bucket", "schema": "metric",
+         "params": {"metricAgg": "3", "percents": [50, 95],
+                    "customLabel": "pb"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    rows_out = sorted(out.collect(), key=lambda r: (r["et"], r["day"]))
+    t0rows = [r for r in rows_out if r["et"] == "t0"]
+    # totals per day for t0: [17, 18, 15, 16, 20]
+    assert [r["total"] for r in t0rows] == [17.0, 18.0, 15.0, 16.0, 20.0]
+    # serial_diff lag=2: first two NULL, then total[i] - total[i-2]
+    assert [r["sd2"] for r in t0rows] == [None, None, -2.0, -2.0, 5.0]
+    # stats_bucket across the 5 day-buckets, repeated per row
+    r = t0rows[0]
+    assert (r["st_count"], r["st_min"], r["st_max"], r["st_sum"]) == (
+        5, 15.0, 20.0, 86.0
+    )
+    assert r["st_avg"] == pytest.approx(17.2)
+    # percentiles_bucket: exact interpolation over sorted [15,16,17,18,20]
+    assert r["pb_p50"] == 17.0 and r["pb_p95"] == pytest.approx(19.6)
+
+    with pytest.raises(ValueError, match="lag must be >= 1"):
+        compile_visualization(_vis8(aggs[:3] + [
+            {"id": "7", "type": "serial_diff", "schema": "metric",
+             "params": {"metricAgg": "3", "lag": 0}}]))
+    with pytest.raises(ValueError, match="percents must be"):
+        compile_visualization(_vis8(aggs[:3] + [
+            {"id": "7", "type": "percentiles_bucket", "schema": "metric",
+             "params": {"metricAgg": "3", "percents": [150]}}]))
