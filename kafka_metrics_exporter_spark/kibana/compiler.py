@@ -327,10 +327,19 @@ def compile_bucket_script(script: str, binding: dict[str, str]) -> Column:
 
         return go
 
+    # painless arithmetic is Java double arithmetic: x/0 → ±Inf, 0/0 →
+    # NaN, x%0 → NaN — but Spark 4 ANSI mode THROWS on a zero divisor
+    # even for doubles (found by the bucket-script property test), so
+    # / and % reuse the PromQL compiler's CaseWhen-guarded IEEE forms
+    from kafka_metrics_exporter_spark.promql.compiler import (
+        _bin_div,
+        _bin_mod,
+    )
+
     mul = binop(primary, {
         "*": lambda a, b: a * b,
-        "/": lambda a, b: a / b,
-        "%": lambda a, b: a % b,
+        "/": _bin_div,
+        "%": _bin_mod,
     })
     add = binop(mul, {"+": lambda a, b: a + b, "-": lambda a, b: a - b})
     cmp_ = binop(add, {

@@ -1062,3 +1062,70 @@ def test_serial_diff_stats_and_percentiles_bucket(spark):
         compile_visualization(_vis8(aggs[:3] + [
             {"id": "7", "type": "percentiles_bucket", "schema": "metric",
              "params": {"metricAgg": "3", "percents": [150]}}]))
+
+
+def test_bucket_script_property_matches_python_eval(spark):
+    """Property: for random well-formed arithmetic scripts, the
+    compiled Column agrees with a reference Python evaluation of the
+    same expression tree (Java-sign %, NaN/Inf on zero divisors).
+    Catches precedence/associativity drift in the precedence-climbing
+    parser."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        compile_bucket_script,
+    )
+
+    leaf = st.sampled_from(["params.a", "params.b", "2", "3.5", "7"])
+    ops = st.sampled_from(["+", "-", "*", "/", "%"])
+    trees = st.recursive(
+        leaf, lambda kids: st.tuples(ops, kids, kids), max_leaves=10
+    )
+
+    def render(tree):
+        if isinstance(tree, str):
+            return tree
+        op, l_, r_ = tree
+        return f"({render(l_)} {op} {render(r_)})"
+
+    def py_eval(tree, a, b):
+        if isinstance(tree, str):
+            if tree == "params.a":
+                return a
+            if tree == "params.b":
+                return b
+            return float(tree)
+        op, l_, r_ = tree
+        x, y = py_eval(l_, a, b), py_eval(r_, a, b)
+        if op == "+":
+            return x + y
+        if op == "-":
+            return x - y
+        if op == "*":
+            return x * y
+        if not math.isfinite(x) or not math.isfinite(y) or (
+            op in "/%" and y == 0
+        ):
+            return float("nan")  # Spark double math yields NaN/Inf chains
+        if op == "/":
+            return x / y
+        # Java % keeps the dividend sign (math.fmod does too)
+        return math.fmod(x, y)
+
+    @settings(max_examples=30, deadline=None)
+    @given(trees, st.floats(1.0, 9.0), st.floats(1.0, 9.0))
+    def check(tree, a, b):
+        script = render(tree)
+        col = compile_bucket_script(script, {"a": "a", "b": "b"})
+        df = spark.createDataFrame([(a, b)], "a double, b double")
+        got = df.select(col.alias("v")).first()["v"]
+        want = py_eval(tree, a, b)
+        if got is None or not math.isfinite(want):
+            assert got is None or not math.isfinite(got)
+            return
+        assert got == pytest.approx(want, rel=1e-12)
+
+    check()
