@@ -2205,3 +2205,37 @@ def test_info_function(spark):
     from kafka_metrics_exporter_spark.promql.parser import parse, to_promql
 
     assert to_promql(parse('info(m, {env=~"p.*"})')) == 'info(m, {env=~"p.*"})'
+
+
+def test_dashboard_panel_with_info_function(spark):
+    """A Grafana panel whose target uses the 3.x info() function
+    compiles through whole-dashboard replay and enriches at grid
+    instants (the dashboard path always evaluates range-mode)."""
+    from kafka_metrics_exporter_spark.promql import compile_dashboard
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(3):
+        ts = t0 + dt.timedelta(hours=h)
+        rows.append(("m", "a", "app", None, ts, 10.0 + h))
+        rows.append(("target_info", "a", "app", "prod", ts, 1.0))
+    m = spark.createDataFrame(
+        rows,
+        "name string, instance string, job string, env string, "
+        "ts timestamp, value double",
+    )
+    dash = {
+        "panels": [
+            {
+                "title": "By env",
+                "targets": [
+                    {"expr": 'sum by (env) (info(m, {env=~"$env"}))',
+                     "refId": "A"},
+                ],
+            }
+        ]
+    }
+    plans = compile_dashboard(dash, variables={"env": "prod.*"})
+    out = plans["By env"].evaluate_range(m, step_seconds=3600.0)
+    got = {(r["env"], r["ts"].hour): r["value"] for r in out.collect()}
+    assert got[("prod", 0)] == 10.0 and got[("prod", 2)] == 12.0
