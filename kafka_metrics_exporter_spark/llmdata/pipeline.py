@@ -702,3 +702,94 @@ def dsir_importance_sql(
     FROM keyed
     QUALIFY rank <= {k}
     """
+
+
+def domain_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Token-budget corpus mixing: per domain, take documents in the
+    content-addressed shuffle order until the domain's token budget is
+    reached — the "data mixing" step that turns per-domain sampling
+    weights into an actual training corpus.  A document is kept while
+    the running token total BEFORE it is under budget, so the first
+    document to cross the line is included (budgets are met, never
+    starved by one long doc).  Domains without a budget entry are
+    excluded.
+
+    Selection is a pure function of (seed, id) — the same
+    content-addressing contract as every sampler in this module — so
+    growing the corpus never reshuffles which documents an existing
+    budget selects until the budget line itself moves.
+
+    Scale shape: the naive form is a running-sum window over EACH
+    WHOLE DOMAIN — one reducer per domain, useless at 100 TB with a
+    handful of domains.  Instead the shuffle order is sharded
+    (``md5(seed, id) % n_shards``): within-(domain, shard) running
+    sums distribute across n_shards× domain tasks, and each shard's
+    global offset comes from a (domains × n_shards)-row total frame —
+    catalog-sized, windowed and broadcast back.  Global running sum =
+    shard offset + within-shard running sum, exactly, because the
+    global order IS (shard, residue, id)."""
+    from kafka_metrics_exporter_spark.llmdata.similarity import md5_residue
+    from kafka_metrics_exporter_spark.llmdata.text import token_counts
+
+    if not budgets:
+        raise ValueError("domain_mix: budgets must name at least one domain")
+    r = md5_residue(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    budget_expr = None
+    for dom, b in budgets.items():
+        cond = F.col(domain_col) == dom
+        budget_expr = (
+            F.when(cond, int(b))
+            if budget_expr is None
+            else budget_expr.when(cond, int(b))
+        )
+    base = (
+        docs.withColumn("__r", r)
+        .withColumn("__shard", (F.col("__r") % n_shards).cast("int"))
+        .withColumn("__n_tokens", token_counts(F.col(text_col))["n_ws_tokens"])
+        .withColumn("__budget", budget_expr)
+        .filter(F.col("__budget").isNotNull())
+    )
+    w_in = Window.partitionBy(domain_col, "__shard").orderBy(
+        F.col("__r").asc(), F.col(id_col).asc()
+    )
+    within = base.withColumn(
+        "__cum_in",
+        F.sum("__n_tokens").over(
+            w_in.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    shard_totals = base.groupBy(domain_col, "__shard").agg(
+        F.sum("__n_tokens").alias("__shard_sum")
+    )
+    w_sh = Window.partitionBy(domain_col).orderBy(F.col("__shard").asc())
+    offsets = shard_totals.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__shard_sum").over(
+                w_sh.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(domain_col, "__shard", "__offset")
+    joined = within.join(F.broadcast(offsets), [domain_col, "__shard"])
+    out = joined.withColumn(
+        "cum_tokens", F.col("__offset") + F.col("__cum_in")
+    ).filter(
+        F.col("cum_tokens") - F.col("__n_tokens") < F.col("__budget")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("__n_tokens").alias("n_tokens"),
+        F.col("cum_tokens"),
+    )

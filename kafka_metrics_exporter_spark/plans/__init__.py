@@ -81,6 +81,7 @@ NEW_THIS_ROUND = [
     "promql_info_join",  # Prometheus 3.x info() data-label enrichment
     "kibana_bucket_script",  # ES bucket_script + bucket_selector
     "kibana_serial_stats",  # ES serial_diff + stats/percentiles_bucket
+    "pipe_domain_mix",  # token-budget corpus mixing (shard-offset cumsum)
 ]
 
 # Round-8 changes whose driver re-verification never happened (no r8
@@ -92,8 +93,8 @@ CHANGED_THIS_ROUND = [
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries the 50-slot arithmetic cannot fit (16 never + 2
-# changed + 7 r5 + 47 r6 = 72 candidates for 50 slots → 22 forced
+# r6-latest queries the 50-slot arithmetic cannot fit (17 never + 2
+# changed + 7 r5 + 47 r6 = 73 candidates for 50 slots → 23 forced
 # demotions).  Selection: code untouched since their last green row
 # AND a second non-driver pin; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -149,6 +150,11 @@ STALE_OUT_OF_WINDOW = [
     # for kibana_serial_stats (never-verified queries outrank a
     # twice-verified filter)
     "a8_having",
+    # deterministic fake-codec frame-sampling path untouched since r5,
+    # pytest-pinned; its Arrow plumbing is shared with
+    # multimodal_channel_stats (green r7) and the features/resize/audio
+    # siblings promoted this round — demoted for pipe_domain_mix
+    "multimodal_frames",
 ]
 
 WINDOW_PRIORITY = [
@@ -168,7 +174,6 @@ WINDOW_PRIORITY = [
     "promql_clamp_sort",
     "multimodal_features",
     "multimodal_resize",
-    "multimodal_frames",
     "multimodal_audio",
     "pipe_split",
     "pipe_stratified_sample",

@@ -1810,3 +1810,47 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_decontaminate(
         emb.filter(~pred), emb.filter(pred), threshold=0.30
     )
+
+
+@query(
+    "pipe_domain_mix",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS r,
+             CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 2000
+                       WHEN 'zh' THEN 1500 END AS budget
+      FROM documents
+    ),
+    f AS (SELECT *, r % 1024 AS shard FROM base WHERE budget IS NOT NULL),
+    c AS (
+      SELECT doc_id, lang, n_tokens, budget,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY shard, r, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM f
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < budget
+    """,
+)
+def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (round 9): per language, take
+    documents in content-addressed shuffle order until the domain's
+    token budget fills (en 8000 / de 2000 / zh 1500; fr and es carry
+    no budget and are excluded) — the data-mixing step that turns
+    sampling weights into an actual training corpus.  The running sum
+    is computed as shard-offset + within-(lang, shard) running sum —
+    see llmdata/pipeline.py::domain_mix for why the naive
+    one-window-per-domain form would serialize each domain into a
+    single task at 100 TB.  The oracle's single global window is the
+    SAME total order (shard, residue, id), so the integer token sums
+    are hash-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.domain_mix(
+        docs, budgets={"en": 8000, "de": 2000, "zh": 1500}, seed=0
+    )

@@ -1149,3 +1149,53 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
             assert expect[(shard, r["pos"])] == r["doc_id"]
         total += len(rows)
     assert total == 400
+
+
+def test_domain_mix_budget_semantics(spark):
+    """domain_mix: per-domain token budgets cut in content-addressed
+    order; the doc crossing the budget line is KEPT; unbudgeted
+    domains are excluded; shard-offset cumsum equals a global cumsum."""
+    from kafka_metrics_exporter_spark.llmdata.pipeline import domain_mix
+
+    rows = [(i, "en", "tok " * (10 * (1 + i % 3))) for i in range(30)]
+    rows += [(100 + i, "de", "wort " * 5) for i in range(10)]
+    rows += [(200 + i, "fr", "mot " * 5) for i in range(10)]  # no budget
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out = domain_mix(df, budgets={"en": 100, "de": 10**9}, n_shards=8)
+    got = out.collect()
+    langs = {r["lang"] for r in got}
+    assert langs == {"en", "de"}  # fr excluded
+    # de: budget never fills -> all 10 docs kept, cum ends at 50
+    de = sorted((r["cum_tokens"] for r in got if r["lang"] == "de"))
+    assert len(de) == 10 and de[-1] == 50
+    # en: running sums strictly increase in selection order and every
+    # kept doc started under budget; exactly one doc may cross it
+    en = sorted(r["cum_tokens"] for r in got if r["lang"] == "en")
+    starts = sorted(
+        r["cum_tokens"] - r["n_tokens"] for r in got if r["lang"] == "en"
+    )
+    assert all(s < 100 for s in starts)
+    assert en[-1] >= 100  # the crossing doc is kept, budget is met
+    assert sum(1 for c in en if c >= 100) == 1
+
+    # determinism: same seed -> same selection; a different seed picks
+    # (almost surely) different docs against the same budget
+    picked = {r["doc_id"] for r in got}
+    again = {r["doc_id"] for r in domain_mix(
+        df, budgets={"en": 100, "de": 10**9}, n_shards=8).collect()}
+    assert again == picked
+    other = {r["doc_id"] for r in domain_mix(
+        df, budgets={"en": 100, "de": 10**9}, n_shards=8, seed=7).collect()}
+    assert other != picked
+
+    # a different shard count reorders the walk (shard-major order) but
+    # the budget invariants must hold all the same
+    alt = domain_mix(df, budgets={"en": 100}, n_shards=2).collect()
+    astarts = [r["cum_tokens"] - r["n_tokens"] for r in alt]
+    assert all(s < 100 for s in astarts)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one domain"):
+        domain_mix(df, budgets={})
