@@ -79,6 +79,25 @@ class TermsBucket:
 
 
 @dataclass(frozen=True)
+class SignificantTermsBucket:
+    """ES ``significant_terms`` (round 9): terms of ``field`` whose
+    frequency in a FOREGROUND document set is anomalously high vs the
+    whole relation (the background), scored with ES's default JLH:
+    ``(fg% − bg%) · (fg% / bg%)``, keeping only positively-scored terms
+    with ``doc_count ≥ min_doc_count`` (ES default 3), top ``size`` by
+    score.  Kibana derives the foreground from the dashboard's search
+    bar; a relational engine has no ambient query, so the foreground
+    query_string is an explicit ``foreground`` param — same subset
+    grammar as the ``filters`` bucket."""
+
+    field: str
+    size: int
+    foreground: str  # query_string defining the foreground set
+    label: str
+    min_doc_count: int = 3
+
+
+@dataclass(frozen=True)
 class DateHistogramBucket:
     field: str
     interval_us: int
@@ -373,7 +392,7 @@ class BucketSortAgg:
 
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
-          | RangeBucket | DateRangeBucket)
+          | RangeBucket | DateRangeBucket | SignificantTermsBucket)
 Metric = MetricAgg | TopHitsAgg | PercentilesAgg | StatsAgg
 
 
@@ -480,6 +499,24 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     order_by=order_by,
                     label=label,
                     order_metric=order_metric,
+                )
+            )
+        elif a["type"] == "significant_terms":
+            fg = p.get("foreground") or p.get("fg")
+            if not isinstance(fg, str) or not fg.strip():
+                raise ValueError(
+                    "kibana: significant_terms needs an explicit "
+                    "'foreground' query_string param (Kibana derives the "
+                    "foreground from the dashboard search bar; this "
+                    "engine has no ambient query)"
+                )
+            buckets.append(
+                SignificantTermsBucket(
+                    field=p["field"],
+                    size=int(p.get("size", 5)),
+                    foreground=fg,
+                    label=label,
+                    min_doc_count=int(p.get("min_doc_count", 3)),
                 )
             )
         elif a["type"] == "date_histogram":
@@ -761,6 +798,79 @@ class KibanaPlan:
     def __init__(self, state: VisState):
         self.state = state
 
+    def _evaluate_significant(
+        self,
+        df: DataFrame,
+        b: SignificantTermsBucket,
+        resolve,
+        count_distinct,
+        default_search_field,
+    ) -> DataFrame:
+        """significant_terms: ONE scan computes both frequencies (each
+        row carries a foreground flag, so fg doc_count = sum(flag) and
+        bg_count = count(*) come out of the same term-keyed hash agg);
+        set sizes are a 1-row broadcast, scoring is row-local
+        arithmetic over exact integers, and the top-``size`` cut is a
+        TakeOrdered — no second pass over the documents, no
+        term-keyed re-shuffle.  Metric aggs evaluate over the
+        FOREGROUND rows per term (ES nests them under each bucket) via
+        conditional aggregation in the same pass."""
+        s = self.state
+        fg = _query_string_pred(
+            b.foreground, resolve, df, default_search_field
+        )
+        base = df.withColumn(b.label, resolve(b.field).cast("string")).withColumn(
+            "__fg", fg
+        )
+        metric_aggs = []
+        for m in s.metrics:
+            if not isinstance(m, MetricAgg):
+                raise ValueError(
+                    "kibana: significant_terms supports simple metric "
+                    "aggs only (count/avg/sum/min/max/cardinality)"
+                )
+            col = F.when(F.col("__fg"), resolve(m.field)) if m.field else None
+            if m.op == "count":
+                metric_aggs.append(
+                    F.sum(F.col("__fg").cast("long")).alias(m.label)
+                )
+            elif m.op == "cardinality":
+                metric_aggs.append(count_distinct(col).alias(m.label))
+            elif m.op in ("avg", "sum", "min", "max"):
+                fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[
+                    m.op
+                ]
+                metric_aggs.append(fn(col).alias(m.label))
+            else:
+                raise ValueError(
+                    f"kibana: significant_terms does not support the "
+                    f"{m.op!r} metric"
+                )
+        per_term = base.groupBy(b.label).agg(
+            F.sum(F.col("__fg").cast("long")).alias("doc_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+            *metric_aggs,
+        )
+        totals = base.agg(
+            F.sum(F.col("__fg").cast("long")).alias("__subset"),
+            F.count(F.lit(1)).alias("__superset"),
+        )
+        kept = per_term.filter(
+            F.col("doc_count") >= max(int(b.min_doc_count), 1)
+        ).crossJoin(F.broadcast(totals))
+        fgp = F.col("doc_count").cast("double") / F.col("__subset").cast("double")
+        bgp = F.col("bg_count").cast("double") / F.col("__superset").cast("double")
+        scored = kept.withColumn("score", (fgp - bgp) * (fgp / bgp)).filter(
+            F.col("score") > 0  # ES keeps only positively-significant terms
+        )
+        out = scored.orderBy(
+            F.col("score").desc(), F.col(b.label).asc()
+        ).limit(b.size)
+        return out.select(
+            b.label, "doc_count", "bg_count", "score",
+            *[m.label for m in s.metrics],
+        )
+
     def evaluate(
         self,
         df: DataFrame,
@@ -782,6 +892,21 @@ class KibanaPlan:
             count_distinct = lambda c: F.approx_count_distinct(c, rsd=cardinality_rsd)  # noqa: E731
         else:
             count_distinct = F.countDistinct
+
+        sig = [b for b in s.buckets if isinstance(b, SignificantTermsBucket)]
+        if sig:
+            if len(s.buckets) != 1:
+                raise ValueError(
+                    "kibana: significant_terms must be the only bucket agg"
+                )
+            if s.pipelines or s.scripts or s.bucket_sort is not None:
+                raise ValueError(
+                    "kibana: significant_terms does not compose with "
+                    "pipeline aggs"
+                )
+            return self._evaluate_significant(
+                df, sig[0], resolve, count_distinct, default_search_field
+            )
 
         # 1) bucket key columns (+ filters explode)
         key_names: list[str] = []

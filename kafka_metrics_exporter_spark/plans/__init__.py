@@ -82,6 +82,7 @@ NEW_THIS_ROUND = [
     "kibana_bucket_script",  # ES bucket_script + bucket_selector
     "kibana_serial_stats",  # ES serial_diff + stats/percentiles_bucket
     "pipe_domain_mix",  # token-budget corpus mixing (shard-offset cumsum)
+    "kibana_significant_terms",  # ES significant_terms (JLH scoring)
 ]
 
 # Round-8 changes whose driver re-verification never happened (no r8
@@ -93,8 +94,8 @@ CHANGED_THIS_ROUND = [
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries the 50-slot arithmetic cannot fit (17 never + 2
-# changed + 7 r5 + 47 r6 = 73 candidates for 50 slots → 23 forced
+# r6-latest queries the 50-slot arithmetic cannot fit (18 never + 2
+# changed + 7 r5 + 47 r6 = 74 candidates for 50 slots → 24 forced
 # demotions).  Selection: code untouched since their last green row
 # AND a second non-driver pin; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -152,9 +153,12 @@ STALE_OUT_OF_WINDOW = [
     "a8_having",
     # deterministic fake-codec frame-sampling path untouched since r5,
     # pytest-pinned; its Arrow plumbing is shared with
-    # multimodal_channel_stats (green r7) and the features/resize/audio
+    # multimodal_channel_stats (green r7) and the features/audio
     # siblings promoted this round — demoted for pipe_domain_mix
     "multimodal_frames",
+    # same fake-codec family and pins as multimodal_frames — demoted
+    # for kibana_significant_terms
+    "multimodal_resize",
 ]
 
 WINDOW_PRIORITY = [
@@ -173,7 +177,6 @@ WINDOW_PRIORITY = [
     "scale_salted_agg",
     "promql_clamp_sort",
     "multimodal_features",
-    "multimodal_resize",
     "multimodal_audio",
     "pipe_split",
     "pipe_stratified_sample",

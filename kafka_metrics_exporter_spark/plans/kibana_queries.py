@@ -586,3 +586,74 @@ def kibana_serial_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total", "sd2", "st_count", "st_min", "st_max", "st_avg",
         "st_sum", "pb_p50", "pb_p95",
     )
+
+
+@query(
+    "kibana_significant_terms",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(user_id % 13 AS VARCHAR) AS cohort,
+             floor(value) AS value_i
+      FROM events
+    ),
+    t AS (
+      SELECT cohort,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS doc_count,
+             COUNT(*) AS bg_count,
+             AVG(CASE WHEN event_type = 'click' THEN value_i END) AS avg_vi
+      FROM d GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS subset,
+             COUNT(*) AS superset
+      FROM d
+    ),
+    scored AS (
+      SELECT cohort, CAST(doc_count AS BIGINT) AS doc_count,
+             CAST(bg_count AS BIGINT) AS bg_count,
+             (CAST(doc_count AS DOUBLE) / CAST(subset AS DOUBLE)
+              - CAST(bg_count AS DOUBLE) / CAST(superset AS DOUBLE))
+             * ((CAST(doc_count AS DOUBLE) / CAST(subset AS DOUBLE))
+                / (CAST(bg_count AS DOUBLE) / CAST(superset AS DOUBLE)))
+               AS score,
+             avg_vi
+      FROM t, tot WHERE doc_count >= 3
+    )
+    SELECT cohort, doc_count, bg_count, round(score, 6) AS score, avg_vi
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, cohort ASC LIMIT 5
+    """,
+)
+def kibana_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` (round 9): user cohorts (user_id % 13)
+    whose share of click events is anomalously high vs the whole event
+    stream, ES's default JLH score ``(fg% − bg%) · (fg% / bg%)`` with
+    min_doc_count 3, top 5, plus a per-cohort avg metric over the
+    FOREGROUND rows.  The foreground is the engine's explicit
+    ``foreground`` query_string param (Kibana derives it from the
+    dashboard search bar — a relational engine has no ambient query).
+
+    Scale shape: ONE term-keyed hash agg computes fg and bg counts
+    together (each row carries a boolean flag), set sizes are a 1-row
+    broadcast, the top-5 cut is TakeOrdered.  Exact integer counts →
+    single-IEEE-op score, bit-identical to the twin."""
+    docs = _es_docs(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id").cast("long") % 13).cast("string")
+    )
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "significant_terms", "schema": "bucket",
+                 "params": {"field": "cohort", "size": 5,
+                             "foreground": "event_type: click",
+                             "customLabel": "cohort"}},
+                {"id": "2", "type": "avg", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "avg_vi"}},
+            ]
+        )
+    )
+    out = plan.evaluate(docs)
+    return out.select(
+        "cohort", "doc_count", "bg_count",
+        F.round("score", 6).alias("score"), "avg_vi",
+    )

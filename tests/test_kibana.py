@@ -1129,3 +1129,55 @@ def test_bucket_script_property_matches_python_eval(spark):
         assert got == pytest.approx(want, rel=1e-12)
 
     check()
+
+
+def test_significant_terms_jlh_and_errors(spark):
+    """ES significant_terms: JLH scoring against the background,
+    min_doc_count gate, foreground-scoped metrics, error shapes."""
+    rows = []
+    i = 0
+    for term, n_ok, n_failed in (("disk", 40, 20), ("net", 40, 2), ("cpu", 40, 2)):
+        for _ in range(n_ok):
+            rows.append((i, term, "OK", float(i % 5))); i += 1
+        for _ in range(n_failed):
+            rows.append((i, term, "FAILED", float(i % 5))); i += 1
+    df = spark.createDataFrame(
+        rows, "id long, component string, status string, v double"
+    )
+    aggs = [
+        {"id": "1", "type": "significant_terms", "schema": "bucket",
+         "params": {"field": "component", "size": 5,
+                    "foreground": "status: FAILED", "customLabel": "comp"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "avg_v"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).collect()
+    # only disk is significant: fg 20/24 vs bg 60/144; net/cpu fail
+    # min_doc_count=3 (2 fg docs each)
+    assert [r["comp"] for r in out] == ["disk"]
+    r = out[0]
+    fgp, bgp = 20 / 24, 60 / 144
+    assert r["doc_count"] == 20 and r["bg_count"] == 60
+    assert r["score"] == pytest.approx((fgp - bgp) * (fgp / bgp))
+    # avg over the FOREGROUND disk rows only
+    fg_vals = [row[3] for row in rows if row[1] == "disk" and row[2] == "FAILED"]
+    assert r["avg_v"] == pytest.approx(sum(fg_vals) / len(fg_vals))
+
+    with pytest.raises(ValueError, match="explicit 'foreground'"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "significant_terms", "schema": "bucket",
+             "params": {"field": "component", "size": 5}}]))
+    with pytest.raises(ValueError, match="only bucket agg"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "significant_terms", "schema": "bucket",
+             "params": {"field": "component", "foreground": "status: OK"}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "status", "size": 3, "orderBy": "_term"}},
+        ])).evaluate(df)
+    with pytest.raises(ValueError, match="simple metric"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "significant_terms", "schema": "bucket",
+             "params": {"field": "component", "foreground": "status: OK"}},
+            {"id": "2", "type": "median", "schema": "metric",
+             "params": {"field": "v"}},
+        ])).evaluate(df)
