@@ -98,6 +98,24 @@ class SignificantTermsBucket:
 
 
 @dataclass(frozen=True)
+class CompositeBucket:
+    """ES ``composite`` aggregation (round 9): paginate ALL buckets of
+    a multi-source key tuple in deterministic key order — the agg ES
+    users reach for when a terms agg's ``size`` cap makes full exports
+    lossy.  Each source is a (field, kind) pair, kind ``terms`` or
+    ``date_histogram`` (with ``interval``); pages advance with
+    ``after`` = the last key tuple of the previous page, compared
+    lexicographically (every source ascending, ES's default order).
+    This is an ES API-level agg (not exposed in classic visState);
+    the param shape here mirrors the ES request body."""
+
+    sources: tuple[tuple[str, str, str, int], ...]  # (name, field, kind, interval_us)
+    size: int
+    label: str
+    after: tuple | None = None
+
+
+@dataclass(frozen=True)
 class DateHistogramBucket:
     field: str
     interval_us: int
@@ -392,7 +410,8 @@ class BucketSortAgg:
 
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
-          | RangeBucket | DateRangeBucket | SignificantTermsBucket)
+          | RangeBucket | DateRangeBucket | SignificantTermsBucket
+          | CompositeBucket)
 Metric = MetricAgg | TopHitsAgg | PercentilesAgg | StatsAgg
 
 
@@ -499,6 +518,59 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     order_by=order_by,
                     label=label,
                     order_metric=order_metric,
+                )
+            )
+        elif a["type"] == "composite":
+            raw_sources = p.get("sources")
+            if not isinstance(raw_sources, list) or not raw_sources:
+                raise ValueError(
+                    "kibana: composite needs a non-empty 'sources' list"
+                )
+            srcs = []
+            for src in raw_sources:
+                # ES-proper source shape: {name: {kind: {...}}}
+                if not isinstance(src, dict) or len(src) != 1:
+                    raise ValueError(
+                        f"kibana: composite source must be a one-entry "
+                        f"{{name: {{kind: ...}}}} dict, got {src!r}"
+                    )
+                sname, body = next(iter(src.items()))
+                if not isinstance(body, dict) or len(body) != 1:
+                    raise ValueError(
+                        f"kibana: bad composite source body {body!r}"
+                    )
+                kind, spec = next(iter(body.items()))
+                if kind == "terms":
+                    srcs.append((sname, str(spec["field"]), "terms", 0))
+                elif kind == "date_histogram":
+                    iv, auto = _parse_interval_us(
+                        {"interval": spec.get("interval", "1h")}
+                    )
+                    if auto:
+                        raise ValueError(
+                            "kibana: composite date_histogram needs a "
+                            "fixed interval (no ambient time picker)"
+                        )
+                    srcs.append((sname, str(spec["field"]), "date_histogram", iv))
+                else:
+                    raise ValueError(
+                        f"kibana: unsupported composite source kind {kind!r}"
+                    )
+            after = p.get("after")
+            if after is not None:
+                if not isinstance(after, (list, tuple)) or len(after) != len(srcs):
+                    raise ValueError(
+                        "kibana: composite 'after' must list one value "
+                        "per source (the last key tuple of the previous "
+                        "page)"
+                    )
+                after = tuple(after)
+            buckets.append(
+                CompositeBucket(
+                    sources=tuple(srcs),
+                    size=int(p.get("size", 10)),
+                    label=label,
+                    after=after,
                 )
             )
         elif a["type"] == "significant_terms":
@@ -798,6 +870,74 @@ class KibanaPlan:
     def __init__(self, state: VisState):
         self.state = state
 
+    def _evaluate_composite(
+        self,
+        df: DataFrame,
+        b: CompositeBucket,
+        resolve,
+        count_distinct,
+    ) -> DataFrame:
+        """composite: group by the full source-key tuple, page in
+        lexicographic key order from the ``after`` tuple.  The
+        after-predicate pushes BELOW the aggregation (it's a pure
+        function of the grouping keys), so each page scans only the
+        keys past the cursor, and the page cut itself is a TakeOrdered
+        — pagination over a 100 TB relation never materializes more
+        than ``size`` buckets per request.  Docs with a null source
+        key drop (ES ``missing_bucket: false``, the default)."""
+        s = self.state
+        key_cols: list[tuple[str, Column]] = []
+        for name, field, kind, interval_us in b.sources:
+            col = resolve(field)
+            if kind == "terms":
+                key_cols.append((name, col.cast("string")))
+            else:
+                us = F.unix_micros(col.cast("timestamp"))
+                key_cols.append(
+                    (name, F.timestamp_micros(us - F.pmod(us, interval_us)))
+                )
+        for name, col in key_cols:
+            df = df.withColumn(name, col)
+        for name, _ in key_cols:
+            df = df.filter(F.col(name).isNotNull())
+        if b.after is not None:
+            # strictly-after, lexicographic over the source order:
+            # (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ...
+            pred = None
+            for i, (name, _) in enumerate(key_cols):
+                clause = F.col(name) > F.lit(b.after[i])
+                for j in range(i):
+                    pname = key_cols[j][0]
+                    clause = (F.col(pname) == F.lit(b.after[j])) & clause
+                pred = clause if pred is None else pred | clause
+            df = df.filter(pred)
+        names = [n for n, _ in key_cols]
+        aggs_, metric_labels = [], []
+        metrics = list(s.metrics) or [MetricAgg(op="count", field="", label="count")]
+        for m in metrics:
+            if not isinstance(m, MetricAgg):
+                raise ValueError(
+                    "kibana: composite supports simple metric aggs only"
+                )
+            if m.op == "count":
+                aggs_.append(F.count(F.lit(1)).alias(m.label))
+            elif m.op == "cardinality":
+                aggs_.append(count_distinct(resolve(m.field)).alias(m.label))
+            elif m.op in ("avg", "sum", "min", "max"):
+                fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[m.op]
+                # double like the generic metric path (ES numerics are
+                # doubles; a long sum would also hash-diverge from the
+                # SQL twin)
+                aggs_.append(fn(resolve(m.field).cast("double")).alias(m.label))
+            else:
+                raise ValueError(
+                    f"kibana: composite does not support the {m.op!r} metric"
+                )
+            metric_labels.append(m.label)
+        out = df.groupBy(*[F.col(n) for n in names]).agg(*aggs_)
+        out = out.orderBy(*[F.col(n).asc() for n in names]).limit(b.size)
+        return out.select(*names, *metric_labels)
+
     def _evaluate_significant(
         self,
         df: DataFrame,
@@ -840,7 +980,10 @@ class KibanaPlan:
                 fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[
                     m.op
                 ]
-                metric_aggs.append(fn(col).alias(m.label))
+                # double like the generic metric path (ES numerics are
+                # doubles); cardinality keeps the raw type — it may
+                # legitimately count strings
+                metric_aggs.append(fn(col.cast("double")).alias(m.label))
             else:
                 raise ValueError(
                     f"kibana: significant_terms does not support the "
@@ -892,6 +1035,19 @@ class KibanaPlan:
             count_distinct = lambda c: F.approx_count_distinct(c, rsd=cardinality_rsd)  # noqa: E731
         else:
             count_distinct = F.countDistinct
+
+        comp = [b for b in s.buckets if isinstance(b, CompositeBucket)]
+        if comp:
+            if len(s.buckets) != 1:
+                raise ValueError(
+                    "kibana: composite must be the only bucket agg (ES "
+                    "forbids nesting it)"
+                )
+            if s.pipelines or s.scripts or s.bucket_sort is not None:
+                raise ValueError(
+                    "kibana: composite does not compose with pipeline aggs"
+                )
+            return self._evaluate_composite(df, comp[0], resolve, count_distinct)
 
         sig = [b for b in s.buckets if isinstance(b, SignificantTermsBucket)]
         if sig:

@@ -83,6 +83,7 @@ NEW_THIS_ROUND = [
     "kibana_serial_stats",  # ES serial_diff + stats/percentiles_bucket
     "pipe_domain_mix",  # token-budget corpus mixing (shard-offset cumsum)
     "kibana_significant_terms",  # ES significant_terms (JLH scoring)
+    "kibana_composite",  # ES composite agg (after-key pagination)
 ]
 
 # Round-8 changes whose driver re-verification never happened (no r8
@@ -94,8 +95,8 @@ CHANGED_THIS_ROUND = [
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries the 50-slot arithmetic cannot fit (18 never + 2
-# changed + 7 r5 + 47 r6 = 74 candidates for 50 slots → 24 forced
+# r6-latest queries the 50-slot arithmetic cannot fit (19 never + 2
+# changed + 7 r5 + 47 r6 = 75 candidates for 50 slots → 25 forced
 # demotions).  Selection: code untouched since their last green row
 # AND a second non-driver pin; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -159,6 +160,10 @@ STALE_OUT_OF_WINDOW = [
     # same fake-codec family and pins as multimodal_frames — demoted
     # for kibana_significant_terms
     "multimodal_resize",
+    # scan-local hash expression untouched since r4, zero-shuffle plan
+    # pinned; shares hash_bucket with pipe_split (promoted) — demoted
+    # for kibana_composite
+    "pipe_stratified_sample",
 ]
 
 WINDOW_PRIORITY = [
@@ -179,7 +184,6 @@ WINDOW_PRIORITY = [
     "multimodal_features",
     "multimodal_audio",
     "pipe_split",
-    "pipe_stratified_sample",
     "pipe_weighted_sample",
     "doc_fingerprint",
     "j2_broadcast_lookup",

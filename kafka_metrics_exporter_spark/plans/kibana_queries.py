@@ -657,3 +657,63 @@ def kibana_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "doc_count", "bg_count",
         F.round("score", 6).alias("score"), "avg_vi",
     )
+
+
+@query(
+    "kibana_composite",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    agg AS (
+      SELECT event_type AS etype,
+             make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+               AS slot,
+             SUM(value_i) AS total, COUNT(*) AS n
+      FROM d
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT etype, strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_s, total, n
+    FROM agg
+    WHERE etype > 'click' OR (etype = 'click' AND slot > TIMESTAMP '2024-01-20 06:00:00')
+    ORDER BY etype ASC, slot ASC LIMIT 25
+    """,
+)
+def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation (round 9): one page of the
+    (event_type × 6h slot) bucket space, resumed from an ``after``
+    cursor — the agg ES users reach for when a terms ``size`` cap
+    makes exports lossy.  The after-predicate is a pure function of
+    the grouping keys so it pushes below the aggregation (each page
+    scans only keys past the cursor) and the page cut is a
+    TakeOrdered: pagination over a 100 TB relation never materializes
+    more than one page of buckets.  The cursor lands mid-span
+    (2024-01-20 inside the table's January data) so the
+    same-key-later-slot branch of the lexicographic predicate is
+    genuinely exercised at the gate SFs.  Integral sums → exact."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "composite", "schema": "bucket",
+                 "params": {
+                     "sources": [
+                         {"etype": {"terms": {"field": "event_type"}}},
+                         {"slot": {"date_histogram": {"field": "ts",
+                                                      "interval": "6h"}}},
+                     ],
+                     "size": 25,
+                     "after": ["click", "2024-01-20 06:00:00"],
+                 }},
+                {"id": "2", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+                {"id": "3", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select(
+        "etype",
+        F.date_format("slot", _TS_FMT).alias("slot_s"),
+        "total",
+        "n",
+    )

@@ -1181,3 +1181,68 @@ def test_significant_terms_jlh_and_errors(spark):
             {"id": "2", "type": "median", "schema": "metric",
              "params": {"field": "v"}},
         ])).evaluate(df)
+
+
+def test_composite_pagination_covers_all_buckets(spark):
+    """ES composite: successive after-cursors walk EVERY bucket exactly
+    once in lexicographic key order — the lossless-export contract that
+    distinguishes composite from a size-capped terms agg."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(50):
+        rows.append((f"t{i % 4}", t0 + dt.timedelta(minutes=37 * i), float(i), i))
+    rows.append((None, t0, 99.0, 99))  # null key doc drops (missing_bucket=false)
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+
+    def page(after):
+        aggs = [
+            {"id": "1", "type": "composite", "schema": "bucket", "params": {
+                "sources": [
+                    {"etype": {"terms": {"field": "event_type"}}},
+                    {"slot": {"date_histogram": {"field": "ts",
+                                                 "interval": "6h"}}},
+                ],
+                "size": 7,
+                **({"after": after} if after else {}),
+            }},
+            {"id": "2", "type": "sum", "schema": "metric",
+             "params": {"field": "value", "customLabel": "total"}},
+        ]
+        return compile_visualization(_vis8(aggs)).evaluate(df).collect()
+
+    seen, after, pages = [], None, 0
+    while True:
+        rows_out = page(after)
+        if not rows_out:
+            break
+        seen += [(r["etype"], r["slot"], r["total"]) for r in rows_out]
+        after = [rows_out[-1]["etype"], str(rows_out[-1]["slot"])]
+        pages += 1
+        assert pages < 20  # terminates
+    # exhaustive, ordered, no dup, no null-key bucket
+    assert len(seen) == len(set(seen)) and len(seen) >= 8
+    assert seen == sorted(seen, key=lambda x: (x[0], x[1]))
+    assert all(k[0] is not None for k in seen)
+    # equals the unpaginated groupBy
+    direct = df.filter(F.col("event_type").isNotNull()).groupBy(
+        "event_type",
+        F.timestamp_micros(
+            F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), 21600000000)
+        ).alias("slot"),
+    ).agg(F.sum("value").alias("total")).collect()
+    assert {(r["event_type"], r["slot"], r["total"]) for r in direct} == set(seen)
+
+    with pytest.raises(ValueError, match="one value per source"):
+        page(["t0"])
+    with pytest.raises(ValueError, match="only bucket agg"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "composite", "schema": "bucket", "params": {
+                "sources": [{"e": {"terms": {"field": "event_type"}}}]}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "event_type", "size": 3,
+                        "orderBy": "_term"}},
+        ])).evaluate(df)

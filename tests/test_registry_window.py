@@ -150,8 +150,8 @@ def test_out_of_window_exemptions_have_fresh_golden():
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (round 9: 50 slots vs 18 never-
-    # verified + 2 changed + 7 r5-latest + 47 r6-latest = 74 candidates
-    # — the doubled debt of round 8's skipped gate — forcing 24
+    # slot arithmetic that forced them (round 9: 50 slots vs 19 never-
+    # verified + 2 changed + 7 r5-latest + 47 r6-latest = 75 candidates
+    # — the doubled debt of round 8's skipped gate — forcing 25
     # demotions)
-    assert len(exempt) <= 24, exempt
+    assert len(exempt) <= 25, exempt
