@@ -55,10 +55,17 @@ CURRENT_ROUND = 9
 #     the 9 core reference-surface operators (a7/a8/a11/qtj/w7/p1/
 #     rules_rewrite/j7/w11) — reference core promotes ahead of the
 #     llm/promql extras, which each carry property-test twins.
-# The remaining 21 r6-latest are STALE_OUT_OF_WINDOW with per-query
+# The remaining r6-latest are STALE_OUT_OF_WINDOW with per-query
 # justifications below; the 48 unchanged r7-latest queries demote
 # (their rows go two rounds old; GOLDEN + the per-session pytest
 # oracle replay of ALL queries cover them).
+#
+# ROTATION POLICY for round 10+: promote the r7-latest set (48
+# queries, their rows two gate-runs old after this round) plus
+# NEW/CHANGED_THIS_ROUND, demote this round's verified 50.  If the r9
+# gate also fails to emit CORRECTNESS_r09.json, keep THIS window
+# (it already holds every never-verified query); the rotation test's
+# most-recent-existing-files fallback handles either case.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.  The first 11 are round-8 registrations
