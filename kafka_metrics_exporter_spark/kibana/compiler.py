@@ -367,16 +367,27 @@ def compile_bucket_script(script: str, binding: dict[str, str]) -> Column:
     # painless arithmetic is Java double arithmetic: x/0 → ±Inf, 0/0 →
     # NaN, x%0 → NaN — but Spark 4 ANSI mode THROWS on a zero divisor
     # even for doubles (found by the bucket-script property test), so
-    # / and % reuse the PromQL compiler's CaseWhen-guarded IEEE forms
+    # / and % reuse the PromQL compiler's CaseWhen-guarded IEEE forms.
+    # A NULL input short-circuits FIRST: the guards' fall-through
+    # branches would otherwise turn x/null into ±Inf instead of the
+    # null the gap_policy:skip contract promises (code-review r9).
     from kafka_metrics_exporter_spark.promql.compiler import (
         _bin_div,
         _bin_mod,
     )
 
+    def _null_prop(fn):
+        def go(a: Column, b: Column) -> Column:
+            return F.when(
+                a.isNull() | b.isNull(), F.lit(None).cast("double")
+            ).otherwise(fn(a, b))
+
+        return go
+
     mul = binop(primary, {
         "*": lambda a, b: a * b,
-        "/": _bin_div,
-        "%": _bin_mod,
+        "/": _null_prop(_bin_div),
+        "%": _null_prop(_bin_mod),
     })
     add = binop(mul, {"+": lambda a, b: a + b, "-": lambda a, b: a - b})
     cmp_ = binop(add, {
@@ -799,13 +810,28 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 for m in metrics
                 if isinstance(m, MetricAgg) and m.op == "count"
             )
-        for op, path, label, window, percents in pipelines_raw:
-            src = label_of.get(path)
-            if src is None or not any(m.label == src for m in metrics):
+        def _resolve_path(op: str, path: str) -> str:
+            """buckets_path → the SINGLE materialized metric column it
+            names.  Multi-column metrics (stats/extended_stats,
+            percentiles, top_hits) reject at parse time — without this
+            the eager validation passes on the agg's LABEL and the
+            evaluation crashes later with UNRESOLVED_COLUMN
+            (code-review r9)."""
+            src = label_of.get(str(path))
+            single = src is not None and any(
+                isinstance(m, MetricAgg) and m.label == src for m in metrics
+            )
+            if not single:
                 raise ValueError(
-                    f"kibana: pipeline buckets_path {path!r} does not "
-                    f"resolve to a sibling metric agg"
+                    f"kibana: {op} buckets_path {path!r} does not "
+                    f"resolve to a single-column sibling metric agg "
+                    f"(stats/percentiles/top_hits sub-paths are not "
+                    f"supported)"
                 )
+            return src
+
+        for op, path, label, window, percents in pipelines_raw:
+            src = _resolve_path(op, path)
             if op == "moving_avg" and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
@@ -815,15 +841,10 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             )
         for op, paths, script, label in scripts_raw:
-            resolved = []
-            for param, path in paths.items():
-                src = label_of.get(str(path))
-                if src is None or not any(m.label == src for m in metrics):
-                    raise ValueError(
-                        f"kibana: {op} buckets_path {path!r} does not "
-                        f"resolve to a sibling metric agg"
-                    )
-                resolved.append((param, src))
+            resolved = [
+                (param, _resolve_path(op, path))
+                for param, path in paths.items()
+            ]
             # compile eagerly so a bad script fails at parse time, not
             # mid-evaluation (the Column is rebuilt per-evaluate below)
             compile_bucket_script(script, dict(resolved))
@@ -870,6 +891,27 @@ class KibanaPlan:
     def __init__(self, state: VisState):
         self.state = state
 
+    @staticmethod
+    def _simple_metric_expr(m, value_col, count_expr: Column, count_distinct):
+        """The simple-metric subset (count/cardinality/avg/sum/min/max)
+        shared by the composite and significant_terms paths — ONE place
+        for the op→expression mapping and the cast-to-double rule (ES
+        numerics are doubles; a long sum also hash-diverges from the
+        SQL twins).  ``value_col`` is the (possibly foreground-gated)
+        input column; cardinality keeps the raw type — it may
+        legitimately count strings."""
+        if m.op == "count":
+            return count_expr.alias(m.label)
+        if m.op == "cardinality":
+            return count_distinct(value_col).alias(m.label)
+        if m.op in ("avg", "sum", "min", "max"):
+            fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[m.op]
+            return fn(value_col.cast("double")).alias(m.label)
+        raise ValueError(
+            f"kibana: this bucket agg supports simple metric aggs only "
+            f"(count/avg/sum/min/max/cardinality), not {m.op!r}"
+        )
+
     def _evaluate_composite(
         self,
         df: DataFrame,
@@ -901,14 +943,26 @@ class KibanaPlan:
         for name, _ in key_cols:
             df = df.filter(F.col(name).isNotNull())
         if b.after is not None:
+            # after values normalize per source kind: ES returns
+            # date_histogram keys as EPOCH-MILLIS numbers in the
+            # after_key, and a bare number vs a timestamp column is an
+            # AnalysisException (code-review r9); ISO strings cast.
+            def _after_lit(i: int) -> Column:
+                val = b.after[i]
+                if b.sources[i][2] == "date_histogram":
+                    if isinstance(val, (int, float)):
+                        return F.timestamp_millis(F.lit(int(val)))
+                    return F.lit(val).cast("timestamp")
+                return F.lit(val)
+
             # strictly-after, lexicographic over the source order:
             # (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ...
             pred = None
             for i, (name, _) in enumerate(key_cols):
-                clause = F.col(name) > F.lit(b.after[i])
+                clause = F.col(name) > _after_lit(i)
                 for j in range(i):
                     pname = key_cols[j][0]
-                    clause = (F.col(pname) == F.lit(b.after[j])) & clause
+                    clause = (F.col(pname) == _after_lit(j)) & clause
                 pred = clause if pred is None else pred | clause
             df = df.filter(pred)
         names = [n for n, _ in key_cols]
@@ -919,20 +973,14 @@ class KibanaPlan:
                 raise ValueError(
                     "kibana: composite supports simple metric aggs only"
                 )
-            if m.op == "count":
-                aggs_.append(F.count(F.lit(1)).alias(m.label))
-            elif m.op == "cardinality":
-                aggs_.append(count_distinct(resolve(m.field)).alias(m.label))
-            elif m.op in ("avg", "sum", "min", "max"):
-                fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[m.op]
-                # double like the generic metric path (ES numerics are
-                # doubles; a long sum would also hash-diverge from the
-                # SQL twin)
-                aggs_.append(fn(resolve(m.field).cast("double")).alias(m.label))
-            else:
-                raise ValueError(
-                    f"kibana: composite does not support the {m.op!r} metric"
+            aggs_.append(
+                self._simple_metric_expr(
+                    m,
+                    resolve(m.field) if m.field else F.lit(None),
+                    F.count(F.lit(1)),
+                    count_distinct,
                 )
+            )
             metric_labels.append(m.label)
         out = df.groupBy(*[F.col(n) for n in names]).agg(*aggs_)
         out = out.orderBy(*[F.col(n).asc() for n in names]).limit(b.size)
@@ -969,34 +1017,28 @@ class KibanaPlan:
                     "kibana: significant_terms supports simple metric "
                     "aggs only (count/avg/sum/min/max/cardinality)"
                 )
-            col = F.when(F.col("__fg"), resolve(m.field)) if m.field else None
-            if m.op == "count":
-                metric_aggs.append(
-                    F.sum(F.col("__fg").cast("long")).alias(m.label)
+            col = (
+                F.when(F.col("__fg"), resolve(m.field))
+                if m.field
+                else F.lit(None)
+            )
+            metric_aggs.append(
+                self._simple_metric_expr(
+                    m, col, F.sum(F.col("__fg").cast("long")), count_distinct
                 )
-            elif m.op == "cardinality":
-                metric_aggs.append(count_distinct(col).alias(m.label))
-            elif m.op in ("avg", "sum", "min", "max"):
-                fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[
-                    m.op
-                ]
-                # double like the generic metric path (ES numerics are
-                # doubles); cardinality keeps the raw type — it may
-                # legitimately count strings
-                metric_aggs.append(fn(col.cast("double")).alias(m.label))
-            else:
-                raise ValueError(
-                    f"kibana: significant_terms does not support the "
-                    f"{m.op!r} metric"
-                )
+            )
         per_term = base.groupBy(b.label).agg(
             F.sum(F.col("__fg").cast("long")).alias("doc_count"),
             F.count(F.lit(1)).alias("bg_count"),
             *metric_aggs,
         )
-        totals = base.agg(
-            F.sum(F.col("__fg").cast("long")).alias("__subset"),
-            F.count(F.lit(1)).alias("__superset"),
+        # set sizes roll up from the catalog-sized per-term table (the
+        # term partition is exhaustive), not from a second corpus scan
+        # (code-review r9: an independent base.agg() re-scanned the
+        # documents and re-evaluated the foreground predicate)
+        totals = per_term.agg(
+            F.sum("doc_count").alias("__subset"),
+            F.sum("bg_count").alias("__superset"),
         )
         kept = per_term.filter(
             F.col("doc_count") >= max(int(b.min_doc_count), 1)

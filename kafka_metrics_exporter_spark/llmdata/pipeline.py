@@ -752,12 +752,24 @@ def domain_mix(
             if budget_expr is None
             else budget_expr.when(cond, int(b))
         )
+    # NARROW projection (id/domain/residue/tokens/budget — the text
+    # never survives the select) persisted once: the running-sum window
+    # and the shard-totals rollup are two consumers, and an unpersisted
+    # lineage would re-scan and re-tokenize the corpus for each
+    # (code-review r9; same two-consumer rationale as dsir_importance's
+    # doc_bucket persist — bench.py clears the cache between queries)
     base = (
-        docs.withColumn("__r", r)
-        .withColumn("__shard", (F.col("__r") % n_shards).cast("int"))
-        .withColumn("__n_tokens", token_counts(F.col(text_col))["n_ws_tokens"])
-        .withColumn("__budget", budget_expr)
+        docs.withColumn("__budget", budget_expr)
         .filter(F.col("__budget").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            r.alias("__r"),
+            (r % n_shards).cast("int").alias("__shard"),
+            token_counts(F.col(text_col))["n_ws_tokens"].alias("__n_tokens"),
+            F.col("__budget"),
+        )
+        .persist()
     )
     w_in = Window.partitionBy(domain_col, "__shard").orderBy(
         F.col("__r").asc(), F.col(id_col).asc()

@@ -42,20 +42,23 @@ CURRENT_ROUND = 9
 # rotation check walks back to the two most recent EXISTING correctness
 # files for the same reason.
 #
-# Composition (50 slots):
-#   - 15 never-driver-verified: the 11 round-8 registrations (no r8
-#     file → no row) + the 4 round-9 registrations;
+# Composition (50 slots; final after the round's 8 registrations):
+#   - 19 never-driver-verified: the 11 round-8 registrations (no r8
+#     file → no row) + the 8 round-9 registrations;
 #   - 2 round-8 CHANGED queries (promql_rules_group's re-sized alert
 #     threshold, openmetrics_roundtrip's rewritten parse path) whose
 #     re-verification never happened;
 #   - the 7 queries whose latest row is r5 (oldest debt, promoted
 #     first — same queries round 8 tried to promote);
-#   - 26 of the 47 r6-latest: all 17 of round 8's STALE_OUT_OF_WINDOW
-#     (certain-stale regardless of whether the r8 gate ran late) plus
-#     the 9 core reference-surface operators (a7/a8/a11/qtj/w7/p1/
-#     rules_rewrite/j7/w11) — reference core promotes ahead of the
-#     llm/promql extras, which each carry property-test twins.
-# The remaining r6-latest are STALE_OUT_OF_WINDOW with per-query
+#   - 22 of the 47 r6-latest: 14 of round 8's 17 STALE_OUT_OF_WINDOW
+#     (certain-stale regardless of whether the r8 gate ran late;
+#     multimodal_frames/resize and pipe_stratified_sample re-demote —
+#     each slot traded for one round-9 registration, justifications on
+#     their entries below) plus 8 core reference-surface operators
+#     (a7/a11/qtj/w7/p1/rules_rewrite/j7/w11; a8_having demoted) —
+#     reference core promotes ahead of the llm/promql extras, which
+#     each carry property-test twins.
+# The remaining 25 r6-latest are STALE_OUT_OF_WINDOW with per-query
 # justifications below; the 48 unchanged r7-latest queries demote
 # (their rows go two rounds old; GOLDEN + the per-session pytest
 # oracle replay of ALL queries cover them).
@@ -69,7 +72,7 @@ CURRENT_ROUND = 9
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.  The first 11 are round-8 registrations
-# (see the round-8 anomaly note above); the last 4 are new in round 9.
+# (see the round-8 anomaly note above); the last 8 are new in round 9.
 NEW_THIS_ROUND = [
     "promql_label_functions",
     "promql_over_time_pack",

@@ -153,16 +153,27 @@ def parse_exposition(
     # legally contain anything, so it can't ride the sentinel join).
     # This replaces four per-group regexp_extract evaluations of the
     # same pattern (observed 1.68× on the roundtrip bench after the r8
-    # quote-aware rewrite made each evaluation pricier).  A line the
-    # pattern does NOT match passes through regexp_replace unchanged →
-    # the name re-check below (or the value try_cast) nulls it out,
-    # same outcome as regexp_extract's empty-string miss.
-    head = F.split(
-        F.regexp_replace("__line", _LINE_RE, "$1\x01$3\x01$4"), "\x01"
+    # quote-aware rewrite made each evaluation pricier).
+    #
+    # Match detection (code-review r9): the replacement is prefixed
+    # with a \x02 marker, so a line the pattern does NOT match passes
+    # through unchanged and fails `startswith(\x02)` — without the
+    # marker, garbage input that already CONTAINS raw \x01 bytes could
+    # split into three plausible fields and fabricate a sample.  A raw
+    # line that itself starts with \x02 is rejected up front (a legal
+    # sample line starts with a name character), closing the remaining
+    # spoof: no accepted line can both carry the marker and have
+    # bypassed the regex.
+    replaced = F.regexp_replace("__line", _LINE_RE, "\x02$1\x01$3\x01$4")
+    matched = replaced.startswith("\x02") & ~F.col("__line").startswith(
+        "\x02"
     )
+    head = F.split(F.substr(replaced, F.lit(2)), "\x01")
     raw_name = F.get(head, 0)
     name = F.when(
-        (F.size(head) == 3) & raw_name.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"),
+        matched
+        & (F.size(head) == 3)
+        & raw_name.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"),
         raw_name,
     )
     block = F.regexp_extract("__line", _LINE_RE, 2)

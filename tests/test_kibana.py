@@ -1246,3 +1246,77 @@ def test_composite_pagination_covers_all_buckets(spark):
              "params": {"field": "event_type", "size": 3,
                         "orderBy": "_term"}},
         ])).evaluate(df)
+
+
+def test_bucket_script_null_inputs_follow_gap_policy_skip(spark):
+    """Code-review r9: a bucket whose script input is null must yield a
+    null script value (and be DROPPED by a selector), not ±Inf/NaN from
+    the zero-divisor guards' fall-through branches."""
+    rows = [("a", 1.0), ("a", None), ("b", None)]  # b: all-null metric
+    df = spark.createDataFrame(rows, "k string, v double")
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "k", "size": 5, "orderBy": "_term",
+                    "customLabel": "k"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "a"}},
+        {"id": "3", "type": "bucket_script", "schema": "metric",
+         "params": {"buckets_path": {"x": "2", "c": "_count"},
+                    "script": "params.c / params.x",
+                    "customLabel": "per"}},
+    ]
+    got = {r["k"]: r["per"]
+           for r in compile_visualization(_vis8(aggs)).evaluate(df).collect()}
+    assert got["a"] == 2.0 and got["b"] is None
+    # selector drops the null-input bucket instead of keeping an Inf
+    aggs[2] = {"id": "3", "type": "bucket_selector", "schema": "metric",
+               "params": {"buckets_path": {"x": "2"},
+                          "script": "params.x / params.x >= 0"}}
+    kept = [r["k"] for r in
+            compile_visualization(_vis8(aggs)).evaluate(df).collect()]
+    assert kept == ["a"]
+
+
+def test_composite_numeric_after_key_for_date_histogram(spark):
+    """Code-review r9: ES returns date_histogram after-keys as
+    epoch-millis numbers — they must compare against the timestamp key
+    instead of raising DATATYPE_MISMATCH."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=6 * i), float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    after_ms = int((t0 + dt.timedelta(hours=6)).timestamp() * 1000)
+    aggs = [
+        {"id": "1", "type": "composite", "schema": "bucket", "params": {
+            "sources": [
+                {"k": {"terms": {"field": "k"}}},
+                {"slot": {"date_histogram": {"field": "ts",
+                                             "interval": "6h"}}},
+            ],
+            "size": 10, "after": ["a", after_ms],
+        }},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).collect()
+    assert [r["slot"].hour for r in out] == [12, 18]
+
+
+def test_bucket_script_path_to_stats_metric_rejects_at_parse(spark):
+    """Code-review r9: a buckets_path naming a multi-column metric
+    (stats/percentiles) must fail at parse time, not UNRESOLVED_COLUMN
+    mid-evaluation."""
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "k", "size": 5, "orderBy": "_term"}},
+        {"id": "2", "type": "extended_stats", "schema": "metric",
+         "params": {"field": "v", "customLabel": "st"}},
+        {"id": "3", "type": "bucket_script", "schema": "metric",
+         "params": {"buckets_path": {"x": "2"}, "script": "params.x"}},
+    ]
+    with pytest.raises(ValueError, match="single-column sibling"):
+        compile_visualization(_vis8(aggs))
+    # same guard on the window pipelines
+    aggs[2] = {"id": "3", "type": "derivative", "schema": "metric",
+               "params": {"metricAgg": "2"}}
+    with pytest.raises(ValueError, match="single-column sibling"):
+        compile_visualization(_vis8(aggs))

@@ -314,3 +314,29 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_raw_sentinel_bytes_cannot_fabricate_samples(spark):
+    """Code-review r9: garbage lines already containing the \\x01/\\x02
+    join bytes must stay corrupt — without the match marker, a line
+    like 'abc\\x011\\x01' split into three plausible fields and parsed
+    as (abc, 1.0)."""
+    from kafka_metrics_exporter_spark.sources.openmetrics import (
+        parse_exposition,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("abc\x011\x01",),
+            ("\x02abc\x011\x01",),
+            ("xyz\x019\x017\x02",),
+            ('ok{l="\x01 legal raw byte"} 4 7',),  # \x01 INSIDE a quoted
+            # label value is legal input and must still parse
+        ],
+        "value string",
+    )
+    out = parse_exposition(lines).collect()
+    assert [(r["name"], r["value"]) for r in out] == [("ok", 4.0)]
+    strict = parse_exposition(lines, strict=True).collect()
+    corrupt = [r["_corrupt"] for r in strict if r["_corrupt"] is not None]
+    assert len(corrupt) == 3

@@ -2239,3 +2239,19 @@ def test_dashboard_panel_with_info_function(spark):
     out = plans["By env"].evaluate_range(m, step_seconds=3600.0)
     got = {(r["env"], r["ts"].hour): r["value"] for r in out.collect()}
     assert got[("prod", 0)] == 10.0 and got[("prod", 2)] == 12.0
+
+
+def test_metric_named_info_stays_selectable():
+    """A metric literally named `info` is valid PromQL — only
+    `info(` enters the function branch (the `called` peek), matching
+    Prometheus's disambiguation.  Pinned after code-review r9 raised
+    it (verified a non-issue, kept as a regression pin)."""
+    from kafka_metrics_exporter_spark.promql.parser import (
+        Info,
+        Selector,
+        parse,
+    )
+
+    assert isinstance(parse('info{job="x"}'), Selector)
+    assert isinstance(parse("sum(info)").expr, Selector)
+    assert isinstance(parse("info(m)"), Info)
