@@ -725,6 +725,25 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             )
         elif a["type"] in ("derivative", "cumulative_sum", "moving_avg", "moving_fn"):
             op = "moving_avg" if a["type"] == "moving_fn" else a["type"]
+            if a["type"] == "moving_fn":
+                # honor the MovingFunctions script instead of silently
+                # averaging (code-review r9: a max() panel replayed as
+                # a mean with no error).  No script keeps ES's
+                # unweightedAvg default.
+                script = p.get("script") or ""
+                if isinstance(script, dict):
+                    script = script.get("source", "")
+                m = re.search(r"MovingFunctions\.(\w+)\s*\(", script)
+                fn = m.group(1) if m else ("unweightedAvg" if not script.strip() else None)
+                mapped = {"unweightedAvg": "moving_avg", "max": "moving_max",
+                          "min": "moving_min", "sum": "moving_sum"}
+                if fn not in mapped:
+                    raise ValueError(
+                        f"kibana: unsupported moving_fn script {script!r} "
+                        f"(supported: MovingFunctions.unweightedAvg/max/"
+                        f"min/sum)"
+                    )
+                op = mapped[fn]
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append(
                 (op, path, label, int(p.get("window", 5)), ())
@@ -804,12 +823,23 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if not any(
                 isinstance(m, MetricAgg) and m.op == "count" for m in metrics
             ):
-                metrics.append(MetricAgg(op="count", field="", label="count"))
+                # first unused name: a metric or bucket customLabel'd
+                # 'count' would otherwise produce two columns aliased
+                # 'count' and an AMBIGUOUS_REFERENCE at evaluate time
+                # (code-review r9)
+                taken = {m.label for m in metrics} | {b.label for b in buckets}
+                cname = "count"
+                n = 2
+                while cname in taken:
+                    cname = f"count_{n}"
+                    n += 1
+                metrics.append(MetricAgg(op="count", field="", label=cname))
             label_of["_count"] = next(
                 m.label
                 for m in metrics
                 if isinstance(m, MetricAgg) and m.op == "count"
             )
+
         def _resolve_path(op: str, path: str) -> str:
             """buckets_path → the SINGLE materialized metric column it
             names.  Multi-column metrics (stats/extended_stats,
@@ -832,7 +862,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
 
         for op, path, label, window, percents in pipelines_raw:
             src = _resolve_path(op, path)
-            if op == "moving_avg" and window < 1:
+            if op.startswith("moving_") and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
                 PipelineAgg(
@@ -1156,9 +1186,12 @@ class KibanaPlan:
                 df = df.withColumn(b.label, F.explode(matches))
             elif isinstance(b, HistogramBucket):
                 # ES: key = floor(value / interval) * interval (floor,
-                # not truncation — negatives bucket downward)
+                # not truncation — negatives bucket downward); docs
+                # missing the field drop, like the range/date_range
+                # buckets (code-review r9: a NULL key used to survive
+                # into a bucket row ES never emits)
                 v = resolve(b.field).cast("double")
-                df = df.withColumn(
+                df = df.filter(v.isNotNull()).withColumn(
                     b.label,
                     F.floor(v / F.lit(b.interval)).cast("double")
                     * F.lit(b.interval),
@@ -1383,9 +1416,11 @@ class KibanaPlan:
                     expr = F.sum(src).over(
                         w.rowsBetween(Window.unboundedPreceding, 0)
                     )
-                else:  # moving_avg — ES moving_fn shift=0: the window
+                else:  # moving_* — ES moving_fn shift=0: the window
                     # buckets BEFORE the current one, exclusive
-                    expr = F.avg(src).over(w.rowsBetween(-pl.window, -1))
+                    mfn = {"moving_avg": F.avg, "moving_max": F.max,
+                           "moving_min": F.min, "moving_sum": F.sum}[pl.op]
+                    expr = mfn(src).over(w.rowsBetween(-pl.window, -1))
                 out = out.withColumn(pl.label, expr)
 
         # 4b) sibling pipeline aggs: aggregate a metric ACROSS the

@@ -434,6 +434,7 @@ def seeded_shuffle(
     id_col: str = "doc_id",
     seed: int = 0,
     n_shards: int = 16,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for training-order randomization
     (round 8): every row gets a ``shard`` (its output file) and ``pos``
@@ -461,6 +462,15 @@ def seeded_shuffle(
     out = df.withColumn("__r", r).withColumn(
         "shard", (F.col("__r") % n_shards).cast("int")
     )
+    if n_partitions is not None:
+        # pre-partition on shard BEFORE the rank window: the window's
+        # required ClusteredDistribution(shard) is then already
+        # satisfied, so the rank reuses this one exchange instead of
+        # adding its own — write_training_shards passes n_shards here
+        # so its whole plan really is ONE exchange (code-review r9:
+        # the old repartition AFTER the window paid a second
+        # full-data shuffle, doubling shuffle I/O at scale)
+        out = out.repartition(n_partitions, F.col("shard"))
     w = Window.partitionBy("shard").orderBy(F.col("__r").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("__r")
 
@@ -483,10 +493,12 @@ def write_training_shards(
     one file per shard directory.  A trainer streams ``shard=K``
     sequentially and gets the deterministic (seed, id) order back.
     """
-    out = seeded_shuffle(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    out = seeded_shuffle(
+        df, id_col=id_col, seed=seed, n_shards=n_shards,
+        n_partitions=n_shards,
+    )
     (
-        out.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+        out.sortWithinPartitions("shard", "pos")
         .write.partitionBy("shard")
         .mode("overwrite")
         .format(format)

@@ -1378,6 +1378,12 @@ def _eval_cmp(node: Cmp, metrics: DataFrame, label_cols, leaf=None) -> _Vec | fl
         # on(region) b` must not keep user_id etc., or downstream
         # matching sees wrong label sets.  (Without on()/ignoring(),
         # keys == the full shared label set, so this is a no-op.)
+        # Same documented divergence as _eval_matched_bin's one-to-one:
+        # PromQL ERRORS when several series share a match group
+        # ("found duplicate series for the match group"); relationally
+        # the duplicates fan out as repeated (keys, ts) rows — the
+        # caller owns key uniqueness, exactly as for arithmetic
+        # on()/ignoring() (code-review r9).
         out = joined.select(*keys, "ts", _bool01(pred).alias("value"))
         return _Vec(out, frozenset(keys))
     # filter mode emits the LEFT element unchanged, full label set kept

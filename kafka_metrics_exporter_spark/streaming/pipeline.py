@@ -477,11 +477,17 @@ def alert_rules(
         versions.sort(key=lambda t: t[0])
         return fs, versions
 
-    def _read_state(spark, group: str, alert: str):
-        """Newest state version → ``(DataFrame, row_count)`` or
-        ``(None, 0)``.  A legacy unnamed-count version pays one tiny
+    def _read_state(spark, group: str, alert: str, batch_id: int):
+        """Newest state version STRICTLY BEFORE ``batch_id`` →
+        ``(DataFrame, row_count)`` or ``(None, 0)``.  The bound makes a
+        replayed micro-batch idempotent: without it, a batch that
+        crashed after writing its state but before the checkpoint
+        commit would re-run READING ITS OWN pre-crash output as the
+        prior state, double-advancing the pending→firing clocks
+        (code-review r9).  A legacy unnamed-count version pays one tiny
         counting job; the normal path is metadata-only."""
         _, versions = _list_versions(spark, _state_base(group, alert))
+        versions = [v for v in versions if v[0] < batch_id]
         if not versions:
             return None, 0
         _, rows, path = versions[-1]
@@ -493,10 +499,18 @@ def alert_rules(
     ):
         spark = df.sparkSession
         base = _state_base(group, alert)
-        df.write.mode("overwrite").parquet(f"{base}/v{batch_id}-{rows}")
         fs, versions = _list_versions(spark, base)
         jvm = spark._jvm
-        # a replayed batch overwrote its own version; prune the rest
+        # a REPLAYED batch replaces its own version: a pre-crash
+        # attempt with a different row count lands in a different dir
+        # name (v<batch>-<rows>), and a same-bid sibling would tie in
+        # the version sort nondeterministically while consuming the
+        # prune budget (code-review r9)
+        for bid, _, path in versions:
+            if bid == batch_id:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        df.write.mode("overwrite").parquet(f"{base}/v{batch_id}-{rows}")
+        fs, versions = _list_versions(spark, base)
         keep = {v[0] for v in versions[-keep_state_versions:]}
         for bid, _, path in versions:
             if bid not in keep:
@@ -531,7 +545,9 @@ def alert_rules(
                             )
                         ).alias("__p")
                     )
-                    prior, prior_rows = _read_state(spark, g.name, rule.alert)
+                    prior, prior_rows = _read_state(
+                        spark, g.name, rule.alert, batch_id
+                    )
                     if prior is not None and label_cols:
                         # cardinality guard: the active-series set is
                         # broadcast-tiny for sane alerts but unbounded

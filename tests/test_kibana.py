@@ -1320,3 +1320,76 @@ def test_bucket_script_path_to_stats_metric_rejects_at_parse(spark):
                "params": {"metricAgg": "2"}}
     with pytest.raises(ValueError, match="single-column sibling"):
         compile_visualization(_vis8(aggs))
+
+
+def test_moving_fn_scripts_and_histogram_null_docs(spark):
+    """Code-review r9 (round-8 surface): MovingFunctions scripts must
+    be honored (max/min/sum — a max panel silently replayed as a
+    mean), unsupported scripts must raise, and histogram buckets drop
+    docs missing the field like the range buckets do."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(days=i), v)
+            for i, v in enumerate([1.0, 5.0, 2.0, 8.0])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def mk(script):
+        return _vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "interval": "1d",
+                        "customLabel": "day"}},
+            {"id": "2", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "s"}},
+            {"id": "3", "type": "moving_fn", "schema": "metric",
+             "params": {"metricAgg": "2", "window": 2,
+                        "script": script, "customLabel": "m"}},
+        ])
+
+    got = [r["m"] for r in compile_visualization(
+        mk("MovingFunctions.max(values)")).evaluate(df)
+        .orderBy("day").collect()]
+    # trailing-2 exclusive max over [1,5,2,8]
+    assert got == [None, 1.0, 5.0, 5.0]
+    got_sum = [r["m"] for r in compile_visualization(
+        mk({"source": "MovingFunctions.sum(values)"})).evaluate(df)
+        .orderBy("day").collect()]
+    assert got_sum == [None, 1.0, 6.0, 7.0]
+    with pytest.raises(ValueError, match="unsupported moving_fn script"):
+        compile_visualization(mk("MovingFunctions.holt(values, 0.3, 0.1)"))
+
+    # histogram bucket: a doc with a NULL field must not create a
+    # null-key bucket row
+    hdf = spark.createDataFrame(
+        [(1.0,), (3.0,), (None,)], "x double"
+    )
+    hv = _vis8([
+        {"id": "1", "type": "histogram", "schema": "bucket",
+         "params": {"field": "x", "interval": 2,
+                    "customLabel": "bin"}},
+    ])
+    bins = [r["bin"] for r in compile_visualization(hv).evaluate(hdf).collect()]
+    assert None not in bins and sorted(bins) == [0.0, 2.0]
+
+
+def test_implicit_count_label_collision_uniquified(spark):
+    """Code-review r9 (round-8 surface): a metric customLabel'd 'count'
+    plus a _count buckets_path used to alias two columns 'count' and
+    crash with AMBIGUOUS_REFERENCE."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(days=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "interval": "1d", "customLabel": "day"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "count"}},  # collides
+        {"id": "3", "type": "cumulative_sum", "schema": "metric",
+         "params": {"metricAgg": "_count", "customLabel": "running"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).orderBy("day")
+    got = out.collect()
+    assert [r["running"] for r in got] == [1.0, 2.0, 3.0]  # doc counts
+    assert [r["count"] for r in got] == [0.0, 1.0, 2.0]  # the avg metric

@@ -1199,3 +1199,24 @@ def test_domain_mix_budget_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least one domain"):
         domain_mix(df, budgets={})
+
+
+def test_seeded_shuffle_prepartitioned_single_exchange(spark):
+    """Code-review r9 (round-8 surface): with n_partitions set (the
+    write_training_shards path), the rank window must REUSE the
+    pre-partitioning on shard — one hash exchange end-to-end, and the
+    permutation identical to the unpartitioned form."""
+    import re
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = pipeline.seeded_shuffle(
+        df, n_shards=8, n_partitions=8
+    ).sortWithinPartitions("shard", "pos")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in pipeline.seeded_shuffle(df, n_shards=8).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in pipeline.seeded_shuffle(
+             df, n_shards=8, n_partitions=8).collect()}
+    assert a == b

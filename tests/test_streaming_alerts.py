@@ -215,3 +215,43 @@ def test_broadcast_guard_shuffle_fallback(spark, tmp_path):
         (0, "t1"): ("pending", 60.0),
         (1, "t1"): ("firing", 70.0),
     }
+
+
+def test_state_versions_replace_same_batch_siblings(spark, tmp_path):
+    """Code-review r9: a replayed micro-batch must REPLACE its own
+    state version — a pre-crash attempt with a different row count
+    lands in a different v<batch>-<rows> dir, and a surviving sibling
+    would tie nondeterministically in the version sort while consuming
+    the prune budget.  Also pins the read bound: a batch reads only
+    versions strictly BEFORE its own id, so replays never consume
+    their own pre-crash output."""
+    import os
+
+    t = "2024-01-01 00:{m:02d}:00"
+    batches = [
+        [("m", t.format(m=0), 80.0, "a")],
+        [("m", t.format(m=2), 81.0, "a")],
+    ]
+    state_dir = str(tmp_path / "state")
+    # simulate a pre-crash attempt of batch 1: a same-bid sibling with
+    # a bogus row count, written before the engine replays batch 1
+    alert_base = pathlib.Path(state_dir) / "live" / "Hot"
+    alert_base.mkdir(parents=True)
+    spark.createDataFrame(
+        [("zzz", 1)], "topic string, active_since_us long"
+    ).write.parquet(str(alert_base / "v1-999"))
+
+    got = _drive(spark, tmp_path, batches, state_dir=state_dir)
+    versions = sorted(
+        d for d in os.listdir(alert_base) if d.startswith("v")
+    )
+    bids = [v[1:].partition("-")[0] for v in versions]
+    # exactly one version per batch id — the planted v1-999 sibling
+    # was replaced by batch 1's own write
+    assert len(bids) == len(set(bids)), versions
+    assert "v1-999" not in versions
+    # the planted ghost series never leaked into batch 1's output
+    assert all(r["topic"] != "zzz" for *_, rows in got for r in rows)
+    # the real state machine still advanced: batch 1 fired after `for:`
+    st = _states(got)
+    assert st[(1, "a")][0] == "firing"
