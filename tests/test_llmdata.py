@@ -1220,3 +1220,116 @@ def test_seeded_shuffle_prepartitioned_single_exchange(spark):
          for r in pipeline.seeded_shuffle(
              df, n_shards=8, n_partitions=8).collect()}
     assert a == b
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The whole curation story composed over the real testdata tables
+    — the path a user of this engine actually runs: quality gate →
+    exact dedup survivors → n-gram + semantic decontamination → DSIR
+    selection → token-budget domain mix → deterministic split → pack →
+    seeded shuffle → sharded write.  Asserts the stage invariants
+    (monotone shrinkage, no contaminated survivor, budget cuts,
+    deterministic replay) rather than values — each stage's values are
+    oracle-pinned by its own registry row."""
+    import pathlib
+
+    from kafka_metrics_exporter_spark.llmdata.dedup import exact_dedup
+    from kafka_metrics_exporter_spark.llmdata.pipeline import (
+        decontaminate,
+        deterministic_split,
+        domain_mix,
+        dsir_importance,
+        pack_chunks,
+        write_training_shards,
+    )
+    from kafka_metrics_exporter_spark.llmdata.text import (
+        quality_gate,
+        token_counts,
+    )
+    from kafka_metrics_exporter_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1) quality gate (scan-local)
+    gated = docs.filter(quality_gate(F.col("text"))["keep"])
+    n1 = gated.count()
+    assert 0 < n1 <= n0
+
+    # 2) exact dedup survivors
+    surv = exact_dedup(gated).select(F.col("survivor_id").alias("doc_id"))
+    kept = gated.join(surv, "doc_id", "left_semi")
+    n2 = kept.count()
+    assert 0 < n2 <= n1
+
+    # 3) verbatim decontamination vs a benchmark slice
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = decontaminate(kept, bench, n=8)
+    clean = kept.join(
+        flags.filter(~F.col("is_contaminated")), "doc_id", "left_semi"
+    )
+    n3 = clean.count()
+    assert 0 < n3 <= n2
+    # no contaminated doc survived
+    bad = clean.join(
+        flags.filter(F.col("is_contaminated")), "doc_id", "left_semi"
+    ).count()
+    assert bad == 0
+
+    # 4) DSIR selection toward the src0 target distribution
+    picked = dsir_importance(
+        clean.filter(F.col("source") != "src0"),
+        clean.filter(F.col("source") == "src0"),
+        n_buckets=512,
+        k=min(100, n3),
+    )
+    sel = clean.join(picked.select("doc_id"), "doc_id", "left_semi")
+    n4 = sel.count()
+    assert 0 < n4 <= min(100, n3)
+
+    # 5) token-budget domain mix (en capped tight, others open)
+    mixed = domain_mix(sel, budgets={"en": 500, "de": 10**9, "zh": 10**9})
+    starts = mixed.select(
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("s"), "lang"
+    ).collect()
+    assert all(r["s"] < 500 for r in starts if r["lang"] == "en")
+
+    # 6) split → pack → shuffled sharded write
+    final = sel.join(mixed.select("doc_id"), "doc_id", "left_semi")
+    final = deterministic_split(final).withColumn(
+        "n_tokens", token_counts(F.col("text"))["n_ws_tokens"]
+    )
+    packed = pack_chunks(
+        final.select("doc_id", "lang", "n_tokens"), budget=256
+    )
+    assert packed.filter(F.col("chunk_id") < 0).count() == 0
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(
+        final.select("doc_id", "lang", "split"), out_dir, n_shards=4
+    )
+    shards = sorted(
+        p.name for p in pathlib.Path(out_dir).iterdir()
+        if p.name.startswith("shard=")
+    )
+    assert shards and len(shards) <= 4
+    back = spark.read.format("json").load(out_dir)
+    assert back.count() == final.count()
+
+    # 7) the WHOLE composition replays identically (content-addressed
+    # selection end-to-end: no rand(), no partition dependence)
+    again = domain_mix(
+        clean.join(
+            dsir_importance(
+                clean.filter(F.col("source") != "src0"),
+                clean.filter(F.col("source") == "src0"),
+                n_buckets=512,
+                k=min(100, n3),
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ),
+        budgets={"en": 500, "de": 10**9, "zh": 10**9},
+    )
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in mixed.collect()
+    }
