@@ -535,3 +535,55 @@ def test_kibana_pipeline_aggs_on_live_stream(spark, tmp_path):
         ("2024-04-01 10:00:00", 1, 1.0, 2.0),
         ("2024-04-01 12:00:00", 1, 2.0, 2.0),
     ]
+
+
+def test_promql_panels_info_enrichment_on_stream(spark, tmp_path):
+    """info() (round 9) inside a live panel: each micro-batch's samples
+    enrich from the cycle's own target_info scrape — the
+    metadata-join-on-stream shape the 3.x function exists for."""
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import promql_panels
+
+    src = tmp_path / "metrics"
+    src.mkdir()
+    schema_s = (
+        "name string, ts_s string, value double, instance string, "
+        "job string, env string"
+    )
+    batches = [
+        [
+            ("m", "2024-01-01 00:00:00", 5.0, "a", "app", None),
+            ("target_info", "2024-01-01 00:00:00", 1.0, "a", "app", "prod"),
+        ],
+        [
+            # env flips between scrapes: batch 1 must see the NEW value
+            ("m", "2024-01-01 00:01:00", 7.0, "a", "app", None),
+            ("target_info", "2024-01-01 00:01:00", 1.0, "a", "app", "canary"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema_s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema_s)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got = []
+
+    def emit(name, df, batch_id):
+        got.append((batch_id, df.collect()))
+
+    q = promql_panels(
+        stream,
+        {"by_env": "sum by (env) (info(m))"},
+        emit,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    by_batch = {b: {r["env"]: r["value"] for r in rows} for b, rows in got}
+    assert by_batch == {0: {"prod": 5.0}, 1: {"canary": 7.0}}
