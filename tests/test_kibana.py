@@ -1393,3 +1393,73 @@ def test_implicit_count_label_collision_uniquified(spark):
     got = out.collect()
     assert [r["running"] for r in got] == [1.0, 2.0, 3.0]  # doc counts
     assert [r["count"] for r in got] == [0.0, 1.0, 2.0]  # the avg metric
+
+
+def test_compile_export_with_round9_aggs(spark):
+    """A saved-objects export whose panels use the round-9 agg
+    vocabulary (bucket_script/selector, serial_diff, stats_bucket,
+    significant_terms, composite) compiles and runs through the
+    whole-export replay path end-to-end."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(f"t{i % 2}", t0 + dt.timedelta(days=i % 4), float(i % 7), i)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+
+    def vis_obj(vid, title, aggs):
+        return {
+            "_id": vid, "_type": "visualization",
+            "_source": {
+                "title": title,
+                "visState": json.dumps(
+                    {"title": title, "type": "table", "aggs": aggs}
+                ),
+            },
+        }
+
+    export = [
+        vis_obj("v1", "ratio panel", [
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "event_type", "size": 5,
+                        "orderBy": "_term", "customLabel": "et"}},
+            {"id": "2", "type": "sum", "schema": "metric",
+             "params": {"field": "value", "customLabel": "total"}},
+            {"id": "3", "type": "bucket_script", "schema": "metric",
+             "params": {"buckets_path": {"t": "2", "c": "_count"},
+                        "script": "params.t / params.c",
+                        "customLabel": "ratio"}},
+        ]),
+        vis_obj("v2", "sig panel", [
+            {"id": "1", "type": "significant_terms", "schema": "bucket",
+             "params": {"field": "event_type", "size": 5,
+                        "min_doc_count": 1,
+                        "foreground": "event_type: t0",
+                        "customLabel": "term"}},
+        ]),
+        vis_obj("v3", "composite panel", [
+            {"id": "1", "type": "composite", "schema": "bucket",
+             "params": {"sources": [
+                 {"et": {"terms": {"field": "event_type"}}},
+                 {"day": {"date_histogram": {"field": "ts",
+                                             "interval": "1d"}}},
+             ], "size": 4}},
+        ]),
+    ]
+    from kafka_metrics_exporter_spark.kibana.compiler import compile_export
+
+    plans = compile_export(export)
+    assert set(plans) == {"ratio panel", "sig panel", "composite panel"}
+    ratio = {r["et"]: r["ratio"]
+             for r in plans["ratio panel"].evaluate(df).collect()}
+    assert set(ratio) == {"t0", "t1"} and all(v > 0 for v in ratio.values())
+    sig = plans["sig panel"].evaluate(df).collect()
+    assert [r["term"] for r in sig] == ["t0"]  # fg == t0 docs only
+    comp = plans["composite panel"].evaluate(df).collect()
+    assert len(comp) == 4  # one page
+    # lexicographic walk: t0 (even i) spans days 0/2, t1 days 1/3
+    assert [(r["et"], r["day"].day) for r in comp] == [
+        ("t0", 1), ("t0", 3), ("t1", 2), ("t1", 4)
+    ]
