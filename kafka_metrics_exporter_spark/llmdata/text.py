@@ -446,3 +446,83 @@ def gopher_sql(text_expr: str = "text") -> dict[str, str]:
         "symbol_word_ratio": f"round({n_sym} / {nz(n_words)}, 4)",
         "alpha_word_ratio": f"round({n_alpha_w} / {nz(n_words)}, 4)",
     }
+
+
+def c4_clean_lines(
+    text: Column, min_words: int = 5
+) -> dict[str, Column]:
+    """C4's line-level cleanup (Raffel et al. 2020 §2.2) as pure
+    column expressions — the CLEANING counterpart of the Gopher
+    FILTERS above: instead of scoring the document, rewrite it.
+
+    Per line, keep only lines that
+      - end in terminal punctuation (. ! ? or a closing quote after
+        one),
+      - have at least ``min_words`` whitespace words,
+      - don't contain "lorem ipsum" or the word "javascript"
+        (case-insensitive), and
+      - don't contain a curly brace (code);
+    then drop EXACT duplicate lines within the document, keeping the
+    first occurrence (C4 dedups three-sentence spans across the corpus
+    — that pass is dedup_passage/drop_duplicated_passages; this is the
+    in-document rule).
+
+    Returns ``clean_text`` plus audit columns.  Everything is
+    scan-local array algebra (split → filter → first-occurrence filter
+    → rejoin): zero shuffles, zero Python; the within-doc
+    first-occurrence dedup is ``array_position(l, x) == index`` —
+    order-preserving, unlike a sort-based distinct.
+    """
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike('[.!?]["”’]?\\s*$')
+            & (F.size(ws_tokens(ln)) >= min_words)
+            & ~F.lower(ln).contains("lorem ipsum")
+            & ~F.lower(ln).rlike("\\bjavascript\\b")
+            & ~ln.contains("{")
+            & ~ln.contains("}")
+        ),
+    )
+    deduped = F.filter(
+        kept,
+        lambda ln, i: F.array_position(kept, ln) == i + F.lit(1),
+    )
+    return {
+        "clean_text": F.array_join(deduped, "\n"),
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": F.size(deduped).cast("bigint"),
+        "n_dropped_rule": (F.size(lines) - F.size(kept)).cast("bigint"),
+        "n_dropped_dup": (F.size(kept) - F.size(deduped)).cast("bigint"),
+    }
+
+
+def c4_clean_lines_sql(
+    text_expr: str = "text", min_words: int = 5
+) -> dict[str, str]:
+    """DuckDB twin of :func:`c4_clean_lines`, generated from the same
+    rule spec so the line predicates, first-occurrence dedup, and
+    rejoin match operation for operation."""
+    lines = f"string_split({text_expr}, chr(10))"
+    pred = (
+        "regexp_matches(ln, '[.!?][\"”’]?\\s*$') "
+        "AND len(list_filter(string_split_regex(ln, '\\s+'), "
+        f"w -> w <> '')) >= {min_words} "
+        "AND NOT contains(lower(ln), 'lorem ipsum') "
+        "AND NOT regexp_matches(lower(ln), '\\bjavascript\\b') "
+        "AND NOT contains(ln, '{') AND NOT contains(ln, '}')"
+    )
+    kept = f"list_filter({lines}, ln -> {pred})"
+    dedup = (
+        f"list_filter({kept}, (ln, i) -> list_position({kept}, ln) = i)"
+    )
+    return {
+        # COALESCE: DuckDB's array_to_string yields NULL for an empty
+        # list where Spark's array_join yields ''
+        "clean_text": f"COALESCE(array_to_string({dedup}, chr(10)), '')",
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "n_kept_lines": f"CAST(len({dedup}) AS BIGINT)",
+        "n_dropped_rule": f"CAST(len({lines}) - len({kept}) AS BIGINT)",
+        "n_dropped_dup": f"CAST(len({kept}) - len({dedup}) AS BIGINT)",
+    }

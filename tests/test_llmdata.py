@@ -1333,3 +1333,63 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in mixed.collect()
     }
+
+
+def test_c4_clean_lines_differential_vs_duckdb(spark):
+    """c4_clean_lines (Raffel et al. 2020 §2.2 line rules + in-doc
+    first-occurrence line dedup): the Spark columns and the generated
+    DuckDB twin must agree byte-for-byte on crafted docs covering every
+    rule — terminal punctuation, min-words, lorem ipsum, javascript,
+    curly braces, duplicate lines, empty text."""
+    import duckdb
+
+    from kafka_metrics_exporter_spark.llmdata.text import (
+        c4_clean_lines,
+        c4_clean_lines_sql,
+    )
+
+    docs = [
+        (1, "Good sentence with enough words here.\nshort line.\n"
+            "Good sentence with enough words here.\n"
+            "Another proper long sentence ends right.\n"
+            "no terminal punct at all\n"
+            "this has javascript inside it okay.\n"
+            "code { block } here today fine."),
+        (2, "Lorem ipsum dolor sit amet consectetur.\n"
+            "A second wholly valid line stays put."),
+        (3, ""),
+        (4, 'He said “stop right there” and left again.”\n'
+            "Question lines count as terminal too?\n"
+            "Exclamations also count as terminal here!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = c4_clean_lines(F.col("text"))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept_lines"],
+                      r["n_dropped_rule"], r["n_dropped_dup"])
+        for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create table documents as select * from (values "
+        + ",".join(f"({i}, ?)" for i, _ in docs) + ") t(doc_id, text)",
+        [t for _, t in docs],
+    )
+    sqlc = c4_clean_lines_sql()
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            "select doc_id, "
+            + ", ".join(f"{e} AS {n}" for n, e in sqlc.items())
+            + " from documents"
+        ).fetchall()
+    }
+    assert got == want
+    # rule semantics spot-checks
+    clean1 = got[1][0].split("\n")
+    assert clean1 == ["Good sentence with enough words here.",
+                      "Another proper long sentence ends right."]
+    assert got[1][4] == 1  # the duplicate good line dropped once
+    assert got[4][0].count("\n") == 2  # quotes/?/! all terminal
+    assert got[3] == ("", 1, 0, 1, 0)  # empty text: engines agree on ''
