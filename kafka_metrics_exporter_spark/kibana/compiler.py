@@ -1580,9 +1580,26 @@ def _default_resolver(df: DataFrame):
 def _query_string_pred(
     q: str, resolve, df: DataFrame, default_search_field: str | None
 ) -> Column:
+    """Lucene query_string subset → one boolean Column.
+
+    The two original forms match FIRST, verbatim (``field: value`` with
+    the value running to end-of-string — multi-word unquoted values
+    keep working — and a bare ``"phrase"`` against the default search
+    field); anything else parses as the boolean grammar added in
+    round 9: ``AND``/``OR``/``NOT``/parentheses over terms
+    ``field:value``, ``field:"exact phrase"``, ``field:prefix*``,
+    ``field:*`` (existence), ``field:>n / >=n / <n / <=n`` (numeric),
+    and ``field:[a TO b]`` (inclusive range) — the operators real
+    Kibana search bars (and significant_terms foregrounds) use."""
     q = q.strip()
     m = re.fullmatch(r'([\w.@-]+)\s*:\s*"?([^"]+)"?', q)
-    if m:
+    if (
+        m
+        and not re.search(r"\b(AND|OR|NOT)\b|[()]", q)
+        # range/comparison/wildcard/existence values belong to the
+        # grammar, not the legacy literal-equality fast path
+        and not re.fullmatch(r"\[.*\]|[<>]=?.*|\*|.*\*", m.group(2).strip())
+    ):
         return resolve(m.group(1)).cast("string") == m.group(2)
     m = re.fullmatch(r'"([^"]*)"', q)
     if m:
@@ -1591,7 +1608,112 @@ def _query_string_pred(
                 f"kibana: bare-phrase query_string {q!r} needs default_search_field"
             )
         return resolve(default_search_field).cast("string").contains(m.group(1))
-    raise ValueError(f"kibana: unsupported query_string {q!r}")
+    return _qs_parse(q, resolve, default_search_field)
+
+
+_QS_TOKEN_RE = re.compile(
+    r"\s*(\(|\)|AND\b|OR\b|NOT\b"
+    r'|[\w.@-]+\s*:\s*(?:"[^"]*"|\[[^\]]+\]|[^\s()]+)'
+    r'|"[^"]*")'
+)
+
+
+def _qs_term(term: str, resolve, default_search_field) -> Column:
+    if term.startswith('"'):
+        if not default_search_field:
+            raise ValueError(
+                f"kibana: bare-phrase query_string {term!r} needs "
+                f"default_search_field"
+            )
+        return (
+            resolve(default_search_field).cast("string").contains(term[1:-1])
+        )
+    field, _, val = term.partition(":")
+    col = resolve(field.strip())
+    val = val.strip()
+    if val.startswith('"') and val.endswith('"'):
+        return col.cast("string") == val[1:-1]
+    if val == "*":
+        return col.isNotNull()
+    m = re.fullmatch(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", val, re.IGNORECASE)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        c = col.cast("double")
+        pred = F.lit(True)
+        if lo != "*":
+            pred = pred & (c >= float(lo))
+        if hi != "*":
+            pred = pred & (c <= float(hi))
+        return pred
+    m = re.fullmatch(r"(>=|<=|>|<)(-?\d+(?:\.\d+)?)", val)
+    if m:
+        c = col.cast("double")
+        op, num = m.group(1), float(m.group(2))
+        return {">": c > num, ">=": c >= num,
+                "<": c < num, "<=": c <= num}[op]
+    if val.endswith("*") and "*" not in val[:-1]:
+        return col.cast("string").startswith(val[:-1])
+    return col.cast("string") == val
+
+
+def _qs_parse(q: str, resolve, default_search_field) -> Column:
+    toks: list[str] = []
+    i = 0
+    while i < len(q):
+        m = _QS_TOKEN_RE.match(q, i)
+        if m is None:
+            if q[i:].strip():
+                raise ValueError(f"kibana: unsupported query_string {q!r}")
+            break
+        toks.append(m.group(1).strip())
+        i = m.end()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def primary() -> Column:
+        t = peek()
+        if t is None:
+            raise ValueError(f"kibana: truncated query_string {q!r}")
+        if t == "(":
+            eat()
+            e = or_()
+            if peek() != ")":
+                raise ValueError(f"kibana: unbalanced parens in {q!r}")
+            eat()
+            return e
+        if t == "NOT":
+            eat()
+            return ~primary()
+        if t in ("AND", "OR", ")"):
+            raise ValueError(f"kibana: unexpected {t!r} in {q!r}")
+        return _qs_term(eat(), resolve, default_search_field)
+
+    def and_() -> Column:
+        left = primary()
+        while peek() == "AND":
+            eat()
+            left = left & primary()
+        return left
+
+    def or_() -> Column:
+        left = and_()
+        while peek() == "OR":
+            eat()
+            left = left | and_()
+        return left
+
+    out = or_()
+    if pos != len(toks):
+        raise ValueError(f"kibana: trailing query_string input in {q!r}")
+    return out
 
 
 def compile_export(

@@ -1463,3 +1463,65 @@ def test_compile_export_with_round9_aggs(spark):
     assert [(r["et"], r["day"].day) for r in comp] == [
         ("t0", 1), ("t0", 3), ("t1", 2), ("t1", 4)
     ]
+
+
+def test_query_string_boolean_grammar(spark):
+    """Round 9: the Lucene query_string subset grows
+    AND/OR/NOT/parens, exact phrases, prefix wildcards, existence,
+    numeric comparisons and [a TO b] ranges — driven through the
+    filters bucket and a significant_terms foreground; the two legacy
+    forms (multi-word unquoted value, bare phrase) stay verbatim."""
+    rows = [
+        ("h1", "broker", "RUNNING", 10.0, "a"),
+        ("h1", "connect", "FAILED", 30.0, "b"),
+        ("h2", "broker", "FAILED", 40.0, "c"),
+        ("h2", "zk", None, 5.0, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, comp string, status string, v double, id string"
+    )
+
+    def filt(queries):
+        aggs = [
+            {"id": "1", "type": "filters", "schema": "bucket",
+             "params": {"filters": [
+                 {"label": f"f{i}",
+                  "input": {"query": {"query_string": {"query": qq}}}}
+                 for i, qq in enumerate(queries)
+             ]}},
+        ]
+        out = compile_visualization(_vis8(aggs)).evaluate(
+            df, default_search_field="comp"
+        )
+        return {r["filters_1"]: r["count"] for r in out.collect()}
+
+    got = filt([
+        "status: FAILED AND host: h1",
+        "comp: broker OR comp: zk",
+        "NOT status: RUNNING AND v: >=30",
+        "(host: h1 OR host: h2) AND comp: brok*",
+        "v: [10 TO 40]",
+        "status: *",
+    ])
+    assert got["f0"] == 1  # only the h1 FAILED row
+    assert got["f1"] == 3
+    assert got["f2"] == 2  # two FAILED rows >= 30 (NULL status drops)
+    assert got["f3"] == 2  # prefix wildcard
+    assert got["f4"] == 3  # inclusive numeric range
+    assert got["f5"] == 3  # existence drops the NULL status row
+
+    # errors stay loud
+    with pytest.raises(ValueError, match="unbalanced parens"):
+        filt(["(status: FAILED"])
+    with pytest.raises(ValueError, match="unexpected"):
+        filt(["AND status: FAILED"])
+
+    # legacy single-term form keeps end-of-string value semantics
+    aggs = [
+        {"id": "1", "type": "significant_terms", "schema": "bucket",
+         "params": {"field": "host", "size": 5, "min_doc_count": 1,
+                    "foreground": "status: FAILED AND comp: broker",
+                    "customLabel": "host"}},
+    ]
+    sig = compile_visualization(_vis8(aggs)).evaluate(df).collect()
+    assert [r["host"] for r in sig] == ["h2"]
