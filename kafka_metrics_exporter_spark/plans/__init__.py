@@ -30,188 +30,115 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
-# Explicit first-window ordering for ROUND 9.
+# Explicit first-window ordering for ROUND 10.
 #
-# ROUND-8 ANOMALY, load-bearing for this composition: round 8's driver
-# gate emitted NO CORRECTNESS_r08.json (the repo's ledger of
-# driver-verified rows stops at r7), so every query first registered or
-# changed in round 8 is still DRIVER-UNVERIFIED and stays in-window
-# alongside round 9's new queries.  tests/test_registry_window.py's
-# rotation check walks back to the two most recent EXISTING correctness
-# files for the same reason.
+# The r9 gate RAN (CORRECTNESS_r09.json: 50/50 green), so the rotation
+# planned at round 9 executes exactly as documented there:
+#   - the 48 queries whose latest driver row is r7 (two gate-runs old,
+#     enumerated by test_rotation_promotes_stale_rows as r07-minus-r09)
+#     all PROMOTE into the window;
+#   - the 50 queries verified fresh in r9 all DEMOTE (their rows are
+#     one gate-run old — the youngest debt in the ledger);
+#   - the 2 remaining free slots (50 - 48) go to the oldest-debt
+#     sketch anchors dedup_minhash_lsh / dedup_simhash (latest row r6,
+#     three gate-runs old — VERDICT r9 item 2 asks for exactly these).
+# Round-10 registrations and ADVICE-driven semantic changes claim
+# window slots as they land, each trading one demotion of an
+# r7-latest query into STALE_OUT_OF_WINDOW with a per-query
+# justification (the cap in test_registry_window.py tracks the
+# arithmetic).
 #
-# Composition (50 slots; final after the round's 8 registrations):
-#   - 19 never-driver-verified: the 11 round-8 registrations (no r8
-#     file → no row) + the 8 round-9 registrations;
-#   - 2 round-8 CHANGED queries (promql_rules_group's re-sized alert
-#     threshold, openmetrics_roundtrip's rewritten parse path) whose
-#     re-verification never happened;
-#   - the 7 queries whose latest row is r5 (oldest debt, promoted
-#     first — same queries round 8 tried to promote);
-#   - 22 of the 47 r6-latest: 14 of round 8's 17 STALE_OUT_OF_WINDOW
-#     (certain-stale regardless of whether the r8 gate ran late;
-#     multimodal_frames/resize and pipe_stratified_sample re-demote —
-#     each slot traded for one round-9 registration, justifications on
-#     their entries below) plus 8 core reference-surface operators
-#     (a7/a11/qtj/w7/p1/rules_rewrite/j7/w11; a8_having demoted) —
-#     reference core promotes ahead of the llm/promql extras, which
-#     each carry property-test twins.
-# The remaining 25 r6-latest are STALE_OUT_OF_WINDOW with per-query
-# justifications below; the 48 unchanged r7-latest queries demote
-# (their rows go two rounds old; GOLDEN + the per-session pytest
-# oracle replay of ALL queries cover them).
-#
-# ROTATION POLICY for round 10+: promote the r7-latest set (48
-# queries, their rows two gate-runs old after this round) plus
-# NEW/CHANGED_THIS_ROUND, demote this round's verified 50.  If the r9
-# gate also fails to emit CORRECTNESS_r09.json, keep THIS window
-# (it already holds every never-verified query); the rotation test's
-# most-recent-existing-files fallback handles either case.
+# Out-of-window debt after this rotation: the 50 r9-verified (1 run
+# old), the 23 remaining r6-latest (3 runs old; all re-attested this
+# round via tools/check_oracle.py at sf0.1 — see BASELINE.md round-10
+# addendum) — every one carries a per-session pytest oracle replay at
+# sf0.001 plus a GOLDEN.json hash pin recorded from this round's code.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
-# file — must be in-window.  The first 11 are round-8 registrations
-# (see the round-8 anomaly note above); the last 8 are new in round 9.
-NEW_THIS_ROUND = [
-    "promql_label_functions",
-    "promql_over_time_pack",
-    "promql_limit_sample",
-    "w12_window_time_cascade",
-    "kibana_histogram_stats",
-    "kibana_pipeline",
-    "dedup_url",
-    "pipe_global_shuffle",
-    "kibana_sibling_sort",
-    "text_gopher_quality",
-    "promql_time_macros",
-    # -- new in round 9 ---------------------------------------------------
-    "pipe_dsir_resample",  # DSIR importance resampling (Xie et al. 2023)
-    "embed_decontaminate",  # semantic benchmark decontamination
-    "promql_info_join",  # Prometheus 3.x info() data-label enrichment
-    "kibana_bucket_script",  # ES bucket_script + bucket_selector
-    "kibana_serial_stats",  # ES serial_diff + stats/percentiles_bucket
-    "pipe_domain_mix",  # token-budget corpus mixing (shard-offset cumsum)
-    "kibana_significant_terms",  # ES significant_terms (JLH scoring)
-    "kibana_composite",  # ES composite agg (after-key pagination)
-]
+# file — must be in-window.  Round-10 registrations append here as
+# they land.
+NEW_THIS_ROUND: list[str] = []
 
-# Round-8 changes whose driver re-verification never happened (no r8
-# file) — pinned in-window until a correctness file records them.
-CHANGED_THIS_ROUND = [
-    "promql_rules_group",
-    "openmetrics_roundtrip",
-]
+# Queries whose engine semantics changed this round — re-verification
+# required even though an older row is green (ADVICE r4).
+CHANGED_THIS_ROUND: list[str] = []
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r6-latest queries the 50-slot arithmetic cannot fit (19 never + 2
-# changed + 7 r5 + 47 r6 = 75 candidates for 50 slots → 25 forced
-# demotions).  Selection: code untouched since their last green row
-# AND a second non-driver pin; every one is replayed against its
-# DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
-# session, and GOLDEN re-recorded this round pins the exact hashes.
-STALE_OUT_OF_WINDOW = [
-    # one (band,bucket)-keyed shuffle, salt-split cap property-tested
-    # (tests/test_llmdata.py) and skew-stress-recorded r6
-    "dedup_minhash_lsh",
-    # shared candidate-cap guard with minhash; skew-stressed r6
-    "dedup_simhash",
-    # capped-bucket property twin + r7 skew-stress record; hyperplane
-    # constants embedded in the SQL twin
-    "embed_near_dup_lsh",
-    # broadcast-centroid probe; recall property-tested vs brute force
-    "embed_ivf_topk",
-    # composition of embed_cluster stages, each pytest-pinned
-    "embed_cluster_dedup",
-    # per-lang running-sum window untouched since r6; shares machinery
-    # with pipe_sliding_chunks (promoted this round)
-    "pipe_pack_chunks",
-    # broadcast shingle semi-join untouched since r4; differential
-    # pytest twin with the fuzzy/bloom variants
-    "pipe_decontaminate",
-    # pure column exprs; quality_gate_sql differential twin re-runs
-    # every session
-    "text_quality_gate",
-    # pure regexp_replace chain untouched since r5
-    "text_redact",
-    # plan-pinned two-shuffle corpus build (PLANS.json)
-    "pipe_corpus_build",
-    # token-keyed join + broadcast N; same family as text_tfidf_topk
-    "text_token_rarity",
-    # band-bucket broadcast probe, property-tested vs exact Jaccard
-    "pipe_fuzzy_decontaminate",
-    # Bloom bitmap probe property-tested for zero false negatives
-    "pipe_bloom_decontaminate",
-    # generated-oracle twin (tfidf_topk_sql) re-runs every session
-    "text_tfidf_topk",
-    # compiled-expression pins in test_promql.py; grid machinery
-    # re-exercised in-window by promql_time_macros (promoted)
-    "promql_topk_rate",
-    "promql_quantile_agg",
-    "promql_histogram_quantile",
-    "promql_resets_changes",
-    "promql_at_offset",
-    # Kibana compiler core re-exercised in-window by
-    # kibana_bucket_script/kibana_histogram_stats (same bucket/metric
-    # machinery); corpus conformance suite re-runs every session
-    "kibana_terms_metrics",
-    "kibana_top_hits_latest",
-    # single having-filter over a verified aggregation; plan trivially
-    # pinned, pytest oracle replay every session — demoted to make room
-    # for kibana_serial_stats (never-verified queries outrank a
-    # twice-verified filter)
-    "a8_having",
-    # deterministic fake-codec frame-sampling path untouched since r5,
-    # pytest-pinned; its Arrow plumbing is shared with
-    # multimodal_channel_stats (green r7) and the features/audio
-    # siblings promoted this round — demoted for pipe_domain_mix
-    "multimodal_frames",
-    # same fake-codec family and pins as multimodal_frames — demoted
-    # for kibana_significant_terms
-    "multimodal_resize",
-    # scan-local hash expression untouched since r4, zero-shuffle plan
-    # pinned; shares hash_bucket with pipe_split (promoted) — demoted
-    # for kibana_composite
-    "pipe_stratified_sample",
-]
+# r7-latest queries the 50-slot arithmetic cannot fit once round-10
+# registrations + changes claimed their slots (48 promotions + 4 new +
+# 2 changed + 2 anchor promotions = 56 candidates for 50 slots → 6
+# demotions).  Selection: code untouched since their green r7 row AND
+# an in-window sibling exercising the same machinery; every one is
+# replayed against its DuckDB oracle at sf0.001 by
+# tests/test_queries_oracle.py EVERY session, re-attested at sf0.1 via
+# tools/check_oracle.py this round, and hash-pinned by the round-10
+# GOLDEN re-record.
+STALE_OUT_OF_WINDOW: list[str] = []
 
 WINDOW_PRIORITY = [
-    # -- never driver-verified + round-8 changed (17) ---------------------
+    # -- round-10 registrations + semantic changes claim slots here -------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r5 (7) --------------------------------------
-    "j1_cross_join",
-    "j3_union_byname",
-    "j5_explode_parent_child",
-    "o1_distinct",
-    "o3_anti_join",
-    "o4_sort_limit",
-    "o5_intersect",
-    # -- latest driver row is r6: round 8's stale exemptions (17) ---------
-    "scale_salted_agg",
-    "promql_clamp_sort",
-    "multimodal_features",
-    "multimodal_audio",
-    "pipe_split",
-    "pipe_weighted_sample",
-    "doc_fingerprint",
-    "j2_broadcast_lookup",
-    "dedup_minhash_components",
-    "text_langid",
-    "pipe_sliding_chunks",
-    "embed_quantize",
-    "text_repetition",
-    "promql_deriv_predict",
-    # -- latest driver row is r6: core reference-surface operators (8) ----
-    "a7_multikey_drilldown",
-    "a11_percentile",
-    "qtj_series_arith",
-    "w7_session_window",
-    "p1_objectname_pivot",
-    "rules_rewrite",
-    "j7_range_join",
-    "w11_rollup_cascade",
+    # -- latest driver row is r6 (3 gate-runs old): sketch anchors (2) -----
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # -- latest driver row is r7 (2 gate-runs old): the 48 promotions ------
+    # reference-surface aggregations/windows/joins/set-ops
+    "a1_a4_grouped_metrics",
+    "a5_count_distinct",
+    "a5_approx_count_distinct",
+    "a6_latest_value",
+    "a9_topk_of_avg",
+    "a9b_sum_of_topk",
+    "a10_sum_without",
+    "a11b_approx_percentile",
+    "a12_rollup",
+    "w1_tumbling_window",
+    "w2_rate",
+    "w3_topk_per_group",
+    "w4_latest_per_user",
+    "w7b_sliding_window",
+    "w8_frame_specs",
+    "w9_regex_label_rate_sum",
+    "w10_topk_rate_nonempty",
+    "j6_asof_join",
+    "o6_semi_join",
+    "o7_except_all",
+    "p2_normalize_pipeline",
+    "p_scalar_pack",
+    # dedup / embedding family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_passage",
+    "dedup_components",
+    "dedup_components_star",
+    "embed_cosine_topk",
+    "embed_near_dup_cosine",
+    # text + multimodal
+    "text_metrics",
+    "text_corpus_report",
+    "multimodal_channel_stats",
+    # PromQL surface
+    "promql_calendar",
+    "promql_count_values",
+    "promql_histogram_quantile_grid",
+    "promql_holt_winters",
+    "promql_quantile_last_over_time",
+    "promql_rate_extrapolated",
+    "promql_round_scalar",
+    "promql_set_ops",
+    "promql_subquery",
+    "promql_topk_rate_grid",
+    "promql_trig_group",
+    "promql_vector_compare",
+    "promql_vector_matching",
+    "promql_vector_math",
+    # Kibana surface
+    "kibana_date_histogram",
+    "kibana_median",
 ]
 
 
