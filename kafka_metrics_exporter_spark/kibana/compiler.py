@@ -265,10 +265,12 @@ SIBLING_OPS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                "min_bucket": F.min, "max_bucket": F.max}
 
 #: multi-column sibling ops (round 9): ``stats_bucket`` emits the five
-#: stats columns, ``percentiles_bucket`` one column per percent (exact
-#: interpolated percentiles — ES computes them exactly here too, since
-#: the bucket list is response-sized, unlike the t-digest `percentiles`
-#: metric).  Same grouped-aggregation-joined-back shape as SIBLING_OPS.
+#: stats columns, ``percentiles_bucket`` one column per percent.  ES
+#: percentiles_bucket is exact but does NOT interpolate — it returns
+#: the sorted bucket value at index round(p/100·(n-1)) (nearest rank;
+#: unlike the t-digest `percentiles` metric, which approximates AND
+#: interpolates).  Same grouped-aggregation-joined-back shape as
+#: SIBLING_OPS, with the sorted value array selected post-join.
 MULTI_SIBLING_OPS = {"stats_bucket", "percentiles_bucket"}
 
 
@@ -1070,8 +1072,13 @@ class KibanaPlan:
             F.sum("doc_count").alias("__subset"),
             F.sum("bg_count").alias("__superset"),
         )
+        # ES drops docs missing the field from term buckets but still
+        # counts them in the subset/superset set sizes (ADVICE r9) —
+        # totals above roll up ALL per_term rows including the
+        # NULL-key group; only the bucket OUTPUT excludes it.
         kept = per_term.filter(
-            F.col("doc_count") >= max(int(b.min_doc_count), 1)
+            F.col(b.label).isNotNull()
+            & (F.col("doc_count") >= max(int(b.min_doc_count), 1))
         ).crossJoin(F.broadcast(totals))
         fgp = F.col("doc_count").cast("double") / F.col("__subset").cast("double")
         bgp = F.col("bg_count").cast("double") / F.col("__superset").cast("double")
@@ -1436,6 +1443,7 @@ class KibanaPlan:
                 raise ValueError("kibana: sibling pipeline aggs need a bucket agg")
             outer = key_names[:-1]
             aggs_ = []
+            pb_extract: list[tuple[str, str, float]] = []
             for pl in siblings:
                 src = F.col(pl.source_label).cast("double")
                 if pl.op == "stats_bucket":
@@ -1448,8 +1456,22 @@ class KibanaPlan:
                         F.sum(src).alias(names[4]),
                     ]
                 elif pl.op == "percentiles_bucket":
-                    aggs_ += [
-                        F.percentile(src, F.lit(p / 100.0)).alias(n)
+                    # ES percentiles_bucket does NOT interpolate: it
+                    # returns the nearest input value, picked from the
+                    # sorted bucket values at index
+                    # round(p/100 * (n-1)) (ADVICE r9; the previous
+                    # F.percentile linear interpolation could emit
+                    # values ES never produces).  Collect the sorted
+                    # value array per outer bucket (bounded by the
+                    # inner bucket count — sibling inputs are already
+                    # aggregated buckets, not raw rows) and select
+                    # after the join-back.
+                    arr_name = f"__pbarr_{pl.label}"
+                    aggs_.append(
+                        F.array_sort(F.collect_list(src)).alias(arr_name)
+                    )
+                    pb_extract += [
+                        (arr_name, n, p)
                         for p, n in zip(pl.percents, pl.column_names())
                     ]
                 else:
@@ -1459,12 +1481,32 @@ class KibanaPlan:
                 out = out.join(F.broadcast(sib), outer, "left")
             else:
                 out = out.crossJoin(F.broadcast(out.agg(*aggs_)))
+            for arr_name, col_name, p in pb_extract:
+                arr = F.col(arr_name)
+                # floor(x + 0.5) is Java's Math.round — the exact ES
+                # index formula, identical IEEE ops in the SQL twin
+                idx = F.floor(
+                    F.lit(p / 100.0) * (F.size(arr) - 1).cast("double")
+                    + F.lit(0.5)
+                ).cast("int")
+                out = out.withColumn(col_name, F.get(arr, idx))
+            out = out.drop(*{a for a, _, _ in pb_extract})
 
         # 4b') bucket_script / bucket_selector: per-bucket painless
         # arithmetic over sibling metric values — scripts add columns
         # FIRST (ES resolves them before selectors can reference the
         # response), then selectors filter.  Pure Column expressions:
         # scan-local, no shuffle, no Python.
+        #
+        # KNOWN DIVERGENCE (ADVICE r9): ES reduces same-level pipeline
+        # aggs in REQUEST order, so a bucket_selector declared before a
+        # sibling agg (stats_bucket/percentiles_bucket/avg_bucket...)
+        # filters that sibling's input.  This engine's order is fixed:
+        # ALL sibling aggs compute over the unfiltered buckets (4b
+        # above), then scripts, then selectors — siblings always see
+        # buckets a later-declared selector would have dropped.
+        # Request orderings that interleave selectors before siblings
+        # are not expressible here.
         if s.scripts:
             for sc in s.scripts:
                 if sc.op == "bucket_script":
@@ -1590,15 +1632,38 @@ def _query_string_pred(
     ``field:value``, ``field:"exact phrase"``, ``field:prefix*``,
     ``field:*`` (existence), ``field:>n / >=n / <n / <=n`` (numeric),
     and ``field:[a TO b]`` (inclusive range) — the operators real
-    Kibana search bars (and significant_terms foregrounds) use."""
+    Kibana search bars (and significant_terms foregrounds) use.
+
+    Round 10 completes the Lucene term syntax:
+
+    - **wildcards** anywhere in the value (``foo*bar``, ``fo?o``,
+      ``*log``): ``*``/``?`` compile to an anchored regex — a
+      non-trailing ``*`` previously fell through to silent literal
+      equality (ADVICE r9); leading wildcards are allowed, matching
+      query_string's ``allow_leading_wildcard`` default;
+    - **fuzzy** ``value~`` / ``value~N`` (N ≤ 2, Lucene's cap): edit
+      distance on the whole keyword value, like every term match in
+      this subset.  KNOWN DIVERGENCE: plain Levenshtein, not Lucene's
+      Damerau-Levenshtein — an adjacent transposition costs 2 edits
+      here but 1 in Lucene, so ``ab~1`` does not match ``ba``;
+    - **proximity** ``"w1 w2"~N``: the phrase words in order with at
+      most N intervening words (regex-compiled, so it stays a
+      scan-local JVM predicate); for two-word phrases with N ≥ 2 the
+      reversed order also matches with N-2 remaining slop — Lucene's
+      sloppy-phrase transposition cost.  KNOWN DIVERGENCE: phrases of
+      3+ words match in declared order only;
+    - **boost** ``term^2``: parsed and DROPPED.  In a filter context
+      ES computes no scores, so ignoring the boost is the exact
+      behavior, not an approximation.  Boosts on parenthesized groups
+      are not lexed (errors loudly)."""
     q = q.strip()
     m = re.fullmatch(r'([\w.@-]+)\s*:\s*"?([^"]+)"?', q)
     if (
         m
         and not re.search(r"\b(AND|OR|NOT)\b|[()]", q)
-        # range/comparison/wildcard/existence values belong to the
-        # grammar, not the legacy literal-equality fast path
-        and not re.fullmatch(r"\[.*\]|[<>]=?.*|\*|.*\*", m.group(2).strip())
+        # range/comparison/wildcard/fuzzy/boost/existence values belong
+        # to the grammar, not the legacy literal-equality fast path
+        and not re.fullmatch(r"\[.*\]|[<>]=?.*|.*[*?~^].*", m.group(2).strip())
     ):
         return resolve(m.group(1)).cast("string") == m.group(2)
     m = re.fullmatch(r'"([^"]*)"', q)
@@ -1611,28 +1676,73 @@ def _query_string_pred(
     return _qs_parse(q, resolve, default_search_field)
 
 
+_QS_SUFFIX = r"(?:~\d*)?(?:\^\d+(?:\.\d+)?)?"
 _QS_TOKEN_RE = re.compile(
     r"\s*(\(|\)|AND\b|OR\b|NOT\b"
-    r'|[\w.@-]+\s*:\s*(?:"[^"]*"|\[[^\]]+\]|[^\s()]+)'
-    r'|"[^"]*")'
+    r'|[\w.@-]+\s*:\s*(?:"[^"]*"' + _QS_SUFFIX + r"|\[[^\]]+\]|[^\s()]+)"
+    r'|"[^"]*"' + _QS_SUFFIX + r")"
 )
 
 
+def _qs_wildcard_regex(val: str) -> str:
+    """Lucene wildcard value → anchored regex (``*`` → ``.*``, ``?`` →
+    ``.``, everything else escaped).  The tokens used here (escapes,
+    ``.*``, anchors) mean the same thing to Spark's rlike
+    (java.util.regex) and DuckDB's regexp_matches (RE2), so oracle
+    twins replay the identical pattern."""
+    out = ["^"]
+    for ch in val:
+        out.append(".*" if ch == "*" else "." if ch == "?" else re.escape(ch))
+    out.append("$")
+    return "".join(out)
+
+
+def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
+    """Sloppy phrase ``"w1 w2"~N``: the words in order with at most
+    ``slop`` intervening words (the standard proximity-as-regex
+    encoding — one scan-local rlike, no tokenizer state).  Two-word
+    phrases additionally match reversed with ``slop - 2`` remaining
+    gap: in Lucene's sloppy-phrase matcher a transposition costs 2.
+    Phrases of 3+ words match in declared order only (documented
+    divergence in _query_string_pred)."""
+    words = [re.escape(w) for w in phrase.split()]
+    if not words:
+        raise ValueError("kibana: empty proximity phrase")
+    if len(words) == 1:
+        return strcol.contains(phrase.strip())
+    gap = rf"\W+(?:\w+\W+){{0,{slop}}}"
+    pred = strcol.rlike(gap.join(words))
+    if len(words) == 2 and slop >= 2:
+        rev_gap = rf"\W+(?:\w+\W+){{0,{slop - 2}}}"
+        pred = pred | strcol.rlike(words[1] + rev_gap + words[0])
+    return pred
+
+
 def _qs_term(term: str, resolve, default_search_field) -> Column:
+    # boost ^N binds last and only affects scoring; filters score
+    # nothing, so stripping it is exact (see _query_string_pred)
+    m = re.fullmatch(r"(.+?)\^\d+(?:\.\d+)?", term, re.DOTALL)
+    if m:
+        term = m.group(1)
     if term.startswith('"'):
         if not default_search_field:
             raise ValueError(
                 f"kibana: bare-phrase query_string {term!r} needs "
                 f"default_search_field"
             )
-        return (
-            resolve(default_search_field).cast("string").contains(term[1:-1])
-        )
+        strcol = resolve(default_search_field).cast("string")
+        m = re.fullmatch(r'"([^"]*)"~(\d*)', term)
+        if m:
+            return _qs_proximity(strcol, m.group(1), int(m.group(2) or 0))
+        return strcol.contains(term[1:-1])
     field, _, val = term.partition(":")
     col = resolve(field.strip())
     val = val.strip()
-    if val.startswith('"') and val.endswith('"'):
-        return col.cast("string") == val[1:-1]
+    m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', val)
+    if m:
+        if m.group(2) is None:
+            return col.cast("string") == m.group(1)
+        return _qs_proximity(col.cast("string"), m.group(1), int(m.group(2)))
     if val == "*":
         return col.isNotNull()
     m = re.fullmatch(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", val, re.IGNORECASE)
@@ -1651,8 +1761,34 @@ def _qs_term(term: str, resolve, default_search_field) -> Column:
         op, num = m.group(1), float(m.group(2))
         return {">": c > num, ">=": c >= num,
                 "<": c < num, "<=": c <= num}[op]
-    if val.endswith("*") and "*" not in val[:-1]:
+    m = re.fullmatch(r"([^~\s]+)~(\d*)", val)
+    if m:
+        word, n = m.group(1), m.group(2)
+        max_edits = int(n) if n else 2  # bare ~ is Lucene's default 2
+        if max_edits > 2:
+            raise ValueError(
+                f"kibana: fuzzy distance {max_edits} in {term!r} — Lucene "
+                f"caps fuzzy queries at 2 edits"
+            )
+        if "*" in word or "?" in word:
+            raise ValueError(
+                f"kibana: wildcard inside fuzzy term {term!r} is not "
+                f"valid Lucene syntax"
+            )
+        # the threshold form early-exits the edit-distance DP and
+        # returns -1 above the cap — banded O(k·len) per row, not
+        # full quadratic
+        return F.levenshtein(col.cast("string"), F.lit(word), max_edits) >= 0
+    if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
         return col.cast("string").startswith(val[:-1])
+    if "*" in val or "?" in val:
+        return col.cast("string").rlike(_qs_wildcard_regex(val))
+    if "~" in val or "^" in val:
+        raise ValueError(
+            f"kibana: unsupported '~'/'^' placement in query_string "
+            f"term {term!r} (fuzzy is value~N with numeric N ≤ 2; boost "
+            f"is a trailing ^N)"
+        )
     return col.cast("string") == val
 
 

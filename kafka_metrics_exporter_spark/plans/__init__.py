@@ -59,11 +59,21 @@ CURRENT_ROUND = 10
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.  Round-10 registrations append here as
 # they land.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND = [
+    # full Lucene query_string grammar: fuzzy/proximity/boost/wildcards
+    "kibana_query_string",
+]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND = [
+    # ADVICE r9: percentiles_bucket switched from linear interpolation
+    # to ES's documented nearest-rank selection — values change.
+    "kibana_serial_stats",
+    # ADVICE r9: NULL-keyed groups (docs missing the field) are now
+    # excluded from significant_terms bucket output, matching ES.
+    "kibana_significant_terms",
+]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
@@ -76,7 +86,19 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # tests/test_queries_oracle.py EVERY session, re-attested at sf0.1 via
 # tools/check_oracle.py this round, and hash-pinned by the round-10
 # GOLDEN re-record.
-STALE_OUT_OF_WINDOW: list[str] = []
+STALE_OUT_OF_WINDOW = [
+    # single exact groupBy+countDistinct; its HLL sibling
+    # a5_approx_count_distinct stays in-window with the exact-leg
+    # attestation — demoted for kibana_query_string
+    "a5_count_distinct",
+    # composition of w2_rate + w3_topk machinery, both in-window —
+    # demoted for kibana_serial_stats (changed)
+    "w10_topk_rate_nonempty",
+    # pure column expressions; text_corpus_report (in-window)
+    # aggregates the same metric columns — demoted for
+    # kibana_significant_terms (changed)
+    "text_metrics",
+]
 
 WINDOW_PRIORITY = [
     # -- round-10 registrations + semantic changes claim slots here -------
@@ -88,7 +110,6 @@ WINDOW_PRIORITY = [
     # -- latest driver row is r7 (2 gate-runs old): the 48 promotions ------
     # reference-surface aggregations/windows/joins/set-ops
     "a1_a4_grouped_metrics",
-    "a5_count_distinct",
     "a5_approx_count_distinct",
     "a6_latest_value",
     "a9_topk_of_avg",
@@ -103,7 +124,6 @@ WINDOW_PRIORITY = [
     "w7b_sliding_window",
     "w8_frame_specs",
     "w9_regex_label_rate_sum",
-    "w10_topk_rate_nonempty",
     "j6_asof_join",
     "o6_semi_join",
     "o7_except_all",
@@ -118,7 +138,6 @@ WINDOW_PRIORITY = [
     "embed_cosine_topk",
     "embed_near_dup_cosine",
     # text + multimodal
-    "text_metrics",
     "text_corpus_report",
     "multimodal_channel_stats",
     # PromQL surface

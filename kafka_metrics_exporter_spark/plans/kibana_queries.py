@@ -533,8 +533,12 @@ def kibana_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CAST(total AS DOUBLE)) AS st_max,
              AVG(CAST(total AS DOUBLE)) AS st_avg,
              SUM(CAST(total AS DOUBLE)) AS st_sum,
-             quantile_cont(CAST(total AS DOUBLE), 0.50) AS pb_p50,
-             quantile_cont(CAST(total AS DOUBLE), 0.95) AS pb_p95
+             list_extract(list_sort(list(CAST(total AS DOUBLE))),
+               CAST(floor(0.50 * (COUNT(*) - 1) + 0.5) AS INTEGER) + 1)
+               AS pb_p50,
+             list_extract(list_sort(list(CAST(total AS DOUBLE))),
+               CAST(floor(0.95 * (COUNT(*) - 1) + 0.5) AS INTEGER) + 1)
+               AS pb_p95
       FROM agg GROUP BY 1
     )
     SELECT sd.event_type, strftime(sd.day, '%Y-%m-%d %H:%M:%S') AS day_s,
@@ -548,14 +552,17 @@ def kibana_serial_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines (round 9): per event type, the daily sum's 2-bucket
     serial difference (seasonality-adjusted change; the first 2
     buckets are NULL like ES) alongside the five stats-bucket columns
-    and exact interpolated 50/95 bucket percentiles computed ACROSS
-    the days and repeated per row — the ES response shape.
+    and nearest-rank 50/95 bucket percentiles computed ACROSS the days
+    and repeated per row — the ES response shape.
 
     Scale shape: serial_diff is a lag window over the already-
     aggregated bucket table partitioned by the terms bucket; the
     sibling stats are ONE grouped aggregation joined back broadcast
     (one row per outer bucket).  Sums of integral value_i → exact
-    doubles; percentile_cont ≡ quantile_cont interpolation."""
+    doubles; percentiles select the sorted bucket value at index
+    round(p/100·(n-1)) — ES percentiles_bucket does not interpolate
+    (ADVICE r10 fix); the twin replays the identical floor(x+0.5)
+    index arithmetic over a sorted DuckDB list."""
     plan = compile_visualization(
         _vis(
             [
@@ -717,3 +724,78 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         "n",
     )
+
+
+@query(
+    "kibana_query_string",
+    r"""
+    WITH d AS (SELECT * FROM documents)
+    SELECT 'fuzzy_src' AS qs, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM d WHERE levenshtein(source, 'src5') <= 1
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'wild_mid', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE regexp_matches(source, '^src.*2$')
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'prox', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE regexp_matches(text, 'data\W+(?:\w+\W+){0,2}window')
+              OR regexp_matches(text, 'window\W+(?:\w+\W+){0,0}data')
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'boosted_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE CAST(n_chars AS DOUBLE) >= 200
+             AND CAST(n_chars AS DOUBLE) <= 300 AND lang = 'en'
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'complex', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE (lang = 'en' OR lang = 'de') AND source LIKE 'src1%'
+    HAVING COUNT(*) > 0
+    """,
+)
+def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The completed Lucene ``query_string`` grammar (round 10) driven
+    end-to-end through a filters-bucket visualization over the
+    documents table: fuzzy (``source: src5~1`` → Levenshtein ≤ 1),
+    interior wildcard (``source: src*2`` → anchored regex), phrase
+    proximity (``"data window"~2`` → ordered-gap regex plus the
+    slop-2 transposition), a boosted term inside a boolean+range
+    clause (``^2`` parsed and dropped — filters score nothing), and
+    prefix wildcard under parenthesized OR.  Reference parity:
+    ELK dashboards express search-bar filters as query_string inputs
+    (ELK/jmx_dashboard.json filters buckets); this exercises the
+    grammar beyond the corpus subset.
+
+    Scale shape: every predicate compiles to a scan-local JVM
+    expression (levenshtein with an early-exit threshold, rlike,
+    range) — one explode over matched labels, one hash aggregation on
+    the label key; no Python, no second corpus pass.  The twin replays
+    the identical regexes (java.util.regex and RE2 agree on this
+    token subset) and DuckDB's levenshtein."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = {
+        "fuzzy_src": "source: src5~1",
+        "wild_mid": "source: src*2",
+        "prox": 'text: "data window"~2',
+        "boosted_en": "n_chars: [200 TO 300] AND lang: en^2",
+        "complex": "(lang: en OR lang: de) AND source: src1*",
+    }
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "filters", "schema": "bucket",
+                 "params": {"customLabel": "qs", "filters": [
+                     {"label": lbl,
+                      "input": {"query": {"query_string": {"query": q}}}}
+                     for lbl, q in qs.items()
+                 ]}},
+                {"id": "2", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n_docs"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "n_chars", "customLabel": "sum_chars"}},
+            ]
+        )
+    )
+    out = plan.evaluate(docs)
+    return out.select("qs", "n_docs", F.col("sum_chars").cast("long").alias("sum_chars"))

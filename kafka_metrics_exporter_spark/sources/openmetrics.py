@@ -147,10 +147,13 @@ def parse_exposition(
         (F.length("__line") > 0) & ~F.col("__line").startswith("#")
     )
     # ONE evaluation of the (quote-aware, backtracking-priced) line
-    # regex yields name+value+ts sentinel-joined — groups whose legal
-    # charsets ([a-zA-Z0-9_:], [^\s#], digits) can never contain the
-    # \x01 sentinel — and a SECOND yields the label block (which may
-    # legally contain anything, so it can't ride the sentinel join).
+    # regex yields name+value+ts sentinel-joined, and a SECOND yields
+    # the label block (which may legally contain anything, so it can't
+    # ride the sentinel join).  The name/ts charsets ([a-zA-Z0-9_:],
+    # digits) cannot contain the \x01 sentinel, but the value group
+    # ([^\s#]) CAN — such lines split into more than three fields and
+    # are rejected by the size(head)==3 guard below (ADVICE r9; before
+    # that guard they parsed and were dropped at the value cast).
     # This replaces four per-group regexp_extract evaluations of the
     # same pattern (observed 1.68× on the roundtrip bench after the r8
     # quote-aware rewrite made each evaluation pricier).

@@ -1051,8 +1051,11 @@ def test_serial_diff_stats_and_percentiles_bucket(spark):
         5, 15.0, 20.0, 86.0
     )
     assert r["st_avg"] == pytest.approx(17.2)
-    # percentiles_bucket: exact interpolation over sorted [15,16,17,18,20]
-    assert r["pb_p50"] == 17.0 and r["pb_p95"] == pytest.approx(19.6)
+    # percentiles_bucket: ES returns the NEAREST sorted input value
+    # (no interpolation): over [15,16,17,18,20] the index is
+    # round(p/100*(n-1)) → p50 = idx 2 = 17, p95 = idx 4 = 20 (a
+    # linear interpolation would fabricate 19.6 — ADVICE r9)
+    assert r["pb_p50"] == 17.0 and r["pb_p95"] == 20.0
 
     with pytest.raises(ValueError, match="lag must be >= 1"):
         compile_visualization(_vis8(aggs[:3] + [
@@ -1181,6 +1184,36 @@ def test_significant_terms_jlh_and_errors(spark):
             {"id": "2", "type": "median", "schema": "metric",
              "params": {"field": "v"}},
         ])).evaluate(df)
+
+
+def test_significant_terms_drops_null_field_docs_but_counts_them(spark):
+    """ADVICE r9: docs missing the term field never form a bucket in
+    ES, but they DO count toward the subset/superset set sizes.  A
+    NULL-keyed group that passes min_doc_count must not be emitted,
+    and the kept terms' scores must reflect totals that include the
+    missing-field docs."""
+    rows = []
+    i = 0
+    for term, n_failed, n_ok in (("disk", 10, 10), (None, 5, 5), ("net", 2, 18)):
+        for _ in range(n_failed):
+            rows.append((i, term, "FAILED")); i += 1
+        for _ in range(n_ok):
+            rows.append((i, term, "OK")); i += 1
+    df = spark.createDataFrame(rows, "id long, component string, status string")
+    aggs = [
+        {"id": "1", "type": "significant_terms", "schema": "bucket",
+         "params": {"field": "component", "size": 5,
+                    "foreground": "status: FAILED", "customLabel": "comp"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).collect()
+    # the NULL group (5 fg docs ≥ min_doc_count=3) is dropped; net
+    # fails min_doc_count (2 fg docs); only disk is emitted
+    assert [r["comp"] for r in out] == ["disk"]
+    # subset=17 FAILED docs and superset=50 docs INCLUDE the 10
+    # missing-field docs — ES set sizes, not bucket-only totals
+    fgp, bgp = 10 / 17, 20 / 50
+    assert out[0]["doc_count"] == 10 and out[0]["bg_count"] == 20
+    assert out[0]["score"] == pytest.approx((fgp - bgp) * (fgp / bgp))
 
 
 def test_composite_pagination_covers_all_buckets(spark):
@@ -1525,3 +1558,71 @@ def test_query_string_boolean_grammar(spark):
     ]
     sig = compile_visualization(_vis8(aggs)).evaluate(df).collect()
     assert [r["host"] for r in sig] == ["h2"]
+
+
+def test_query_string_fuzzy_proximity_boost_wildcards(spark):
+    """Round 10 completes the Lucene term syntax: fuzzy ``~N``,
+    proximity ``"a b"~N``, boost ``^N`` (dropped — filters score
+    nothing), and wildcards anywhere in the value.  A non-trailing
+    ``*`` used to silently compile to literal equality (ADVICE r9) —
+    now it matches like Lucene."""
+    rows = [
+        ("broker", "/tmp/a/log", "error while reading disk", 1),
+        ("brokers", "/tmp/a/logs", "disk error", 2),
+        ("brokre", "/var/b/log", "all good here", 3),
+        ("zk", "/tmp/deep/x/log", "error without the d word", 4),
+    ]
+    df = spark.createDataFrame(rows, "name string, path string, msg string, id int")
+
+    def filt(queries):
+        aggs = [
+            {"id": "1", "type": "filters", "schema": "bucket",
+             "params": {"filters": [
+                 {"label": f"f{i}",
+                  "input": {"query": {"query_string": {"query": qq}}}}
+                 for i, qq in enumerate(queries)
+             ]}},
+        ]
+        out = compile_visualization(_vis8(aggs)).evaluate(
+            df, default_search_field="msg"
+        )
+        return {r["filters_1"]: r["count"] for r in out.collect()}
+
+    got = filt([
+        "name: broker~1",     # broker, brokers (1 edit); brokre is 2
+        "name: broker~",      # bare ~ = 2 edits: + brokre
+        "name: broker~0",     # exact only
+        "path: /tmp/*/log",   # interior wildcard, anchored both ends
+        "path: /tmp/?/log",   # ? = exactly one char
+        "path: *log",         # leading wildcard (allow_leading_wildcard)
+        'msg: "error disk"~2',  # ≤2 intervening words, in order
+        'msg: "error disk"~1',  # 'while reading' = 2 intervening: no
+        'msg: "disk error"~0',  # adjacent, ordered
+        'msg: "error disk"~2 OR name: zk',  # reversal costs 2 slop
+        "name: broker^2",     # boost is scoring-only: plain equality
+        'name: broker~1^3',   # boost composes after fuzzy
+    ])
+    assert got["f0"] == 2
+    assert got["f1"] == 3
+    assert got["f2"] == 1
+    # Lucene * spans ANY characters (including '/'): /tmp/a/log and
+    # /tmp/deep/x/log both match; /tmp/a/logs fails the end anchor
+    assert got["f3"] == 2
+    assert got["f4"] == 1
+    assert got["f5"] == 3   # both /tmp logs + /var/b/log
+    # 'error while reading disk' (ordered, 2 intervening) AND
+    # 'disk error' — a transposition costs exactly 2 slop in Lucene,
+    # handled by the reversed-order branch
+    assert got["f6"] == 2
+    assert got.get("f7", 0) == 0  # empty buckets emit no row
+    assert got["f8"] == 1   # 'disk error'
+    assert got["f9"] == 3   # the two f6 rows + the zk row
+    assert got["f10"] == 1
+    assert got["f11"] == 2
+
+    with pytest.raises(ValueError, match="caps fuzzy"):
+        filt(["name: broker~3"])
+    with pytest.raises(ValueError, match="wildcard inside fuzzy"):
+        filt(["name: brok*r~1"])
+    with pytest.raises(ValueError, match="placement"):
+        filt(["name: a~b"])

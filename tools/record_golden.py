@@ -5,7 +5,11 @@ seeded hashes, fixed constants).  tests/test_golden.py replays this, so
 any refactor that shifts results — even for rows-only queries — fails
 loudly instead of drifting between rounds.
 
-Usage: python tools/record_golden.py   (rewrites GOLDEN.json)
+Usage: python tools/record_golden.py [query ...]
+  With no args, rewrites GOLDEN.json from scratch.  With query names,
+  re-records ONLY those rows (identical computation) and keeps the
+  rest — for adding/refreshing a few queries without a full replay.
+  The round stamp is always refreshed from plans.CURRENT_ROUND.
 """
 
 from __future__ import annotations
@@ -28,8 +32,16 @@ def main() -> None:
     from kafka_metrics_exporter_spark.session import get_spark
 
     spark = get_spark(app_name="record-golden", master="local[8]", shuffle_partitions=8)
+    only = set(sys.argv[1:])
     golden: dict[str, dict] = {}
+    if only and os.path.exists(GOLDEN_PATH):
+        prior = json.load(open(GOLDEN_PATH, encoding="utf-8"))
+        # keep only rows for queries that still exist
+        live = set(entry_mod.queries())
+        golden = {n: v for n, v in prior["queries"].items() if n in live}
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
         pdf = canon(fn(spark, SF_DIR).toPandas())
         golden[name] = {"rows": len(pdf), "hash": value_hash(pdf)}
         print(f"{name}: rows={len(pdf)} hash={golden[name]['hash']}")
