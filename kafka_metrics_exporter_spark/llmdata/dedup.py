@@ -1043,3 +1043,97 @@ def drop_duplicated_passages(
         kept_n.alias("n_kept"),
         (F.col("_total") - kept_n).cast("bigint").alias("n_dropped"),
     )
+
+
+# --- exact-substring dedup (suffix-array family) ------------------------------
+def duplicated_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication stats per document — the Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr family, re-expressed for Spark: a substring of
+    ``min_len``+ tokens is duplicated (anywhere in the corpus,
+    including elsewhere in the SAME document) iff at least one of its
+    ``min_len``-grams occurs ≥2 times corpus-wide, so the single-node
+    suffix array the paper builds collapses distributedly into a
+    position-gram frequency count.  Positions whose gram repeats mark
+    spans ``[pos, pos+min_len)``; overlapping/adjacent spans merge
+    (gaps-and-islands) into maximal duplicated regions.
+
+    Output: one row per document that contains ≥1 duplicated span —
+    (id, n_spans, dup_tokens, n_tokens).  Exactness: a token position
+    lies in some duplicated region iff it lies in a ≥min_len substring
+    that appears twice in the corpus — no approximation, unlike the
+    MinHash/SimHash families above.
+
+    Scale strategy (100 TB): the explode is linear in corpus tokens
+    and scan-local; the only wide exchanges are (1) a hash aggregation
+    on the gram key — partial map-side combine collapses within-split
+    repeats, hot grams (boilerplate) reduce to ONE row each — and (2)
+    a semi-join of positions against the ≥2 grams on the same key
+    (AQE skew-split handles boilerplate keys; the build side is
+    count-filtered, never the full gram table); then a per-doc window
+    bounded by the doc's own length.  ``hashed=True`` shuffles 8-byte
+    xxhash64 keys instead of min_len-token strings (~10× narrower);
+    collisions would need 2^32+ distinct grams per the birthday bound —
+    the registry oracle replays the unhashed semantics and has
+    hash-matched, and tests pin hashed ≡ unhashed on fixtures.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    eligible = toks.filter(F.col("__n") >= min_len)
+    gram = F.concat_ws(" ", F.slice("__t", F.col("__pos") + 1, min_len))
+    pos = eligible.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(0), F.col("__n") - min_len)).alias("__pos"),
+        "__t",
+    ).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.col("__pos"),
+        (F.xxhash64(gram) if hashed else gram).alias("__g"),
+    )
+    dup_grams = (
+        pos.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__g")
+    )
+    dup_pos = pos.join(dup_grams, "__g", "semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    isl = (
+        dup_pos.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > min_len),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.min("__pos").alias("__p0"),
+        F.max("__pos").alias("__p1"),
+        F.first("__n").alias("__n"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__p1") - F.col("__p0") + min_len).alias("dup_tokens"),
+        F.first("__n").cast("bigint").alias("n_tokens"),
+    )

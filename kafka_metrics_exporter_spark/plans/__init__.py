@@ -62,6 +62,8 @@ CURRENT_ROUND = 10
 NEW_THIS_ROUND = [
     # full Lucene query_string grammar: fuzzy/proximity/boost/wildcards
     "kibana_query_string",
+    # exact-substring dedup (suffix-array family, Lee et al. 2021)
+    "dedup_substring",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -87,6 +89,10 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # tools/check_oracle.py this round, and hash-pinned by the round-10
 # GOLDEN re-record.
 STALE_OUT_OF_WINDOW = [
+    # pure deterministic scalar pack (sin/cos/atan2/deg/rad), untouched
+    # since its green r7 row; compiled-expression pins in
+    # test_promql.py — demoted for dedup_substring
+    "promql_trig_group",
     # single exact groupBy+countDistinct; its HLL sibling
     # a5_approx_count_distinct stays in-window with the exact-leg
     # attestation — demoted for kibana_query_string
@@ -151,7 +157,6 @@ WINDOW_PRIORITY = [
     "promql_set_ops",
     "promql_subquery",
     "promql_topk_rate_grid",
-    "promql_trig_group",
     "promql_vector_compare",
     "promql_vector_matching",
     "promql_vector_math",

@@ -1854,3 +1854,61 @@ def pipe_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.domain_mix(
         docs, budgets={"en": 8000, "de": 2000, "zh": 1500}, seed=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: exact-substring dedup (suffix-array family, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    e AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 6),
+    pos AS (
+      SELECT doc_id, n, i - 1 AS pos, array_to_string(t[i:i+5], ' ') AS gram
+      FROM e, LATERAL unnest(generate_series(1, n - 5)) AS u(i)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    dpos AS (SELECT p.doc_id, p.pos, p.n FROM pos p JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos, n,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos, n,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dpos)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1,
+             any_value(n) AS n
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(p1 - p0 + 6) AS BIGINT) AS dup_tokens,
+           CAST(any_value(n) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021 ExactSubstr — the
+    suffix-array dedup family; VERDICT r9 item 3): per document, the
+    maximal regions covered by ≥6-token substrings that occur twice
+    anywhere in the corpus.  The paper's single-node suffix array
+    becomes a distributed position-gram frequency count — exact, not
+    a sketch: a ≥L-token substring repeats iff one of its L-grams
+    repeats (llmdata/dedup.py duplicated_substring_spans).
+
+    Scale: linear scan-local explode; ONE hash agg on 8-byte xxhash64
+    gram keys (map-side combine collapses boilerplate); a semi-join of
+    positions against the count≥2 grams (AQE skew-split for hot
+    boilerplate keys — never an all-pairs stage); per-doc
+    gaps-and-islands window bounded by doc length.  The oracle replays
+    the UNHASHED gram semantics — a hash-match is also a zero-collision
+    attestation for xxhash64 on this corpus."""
+    out = dedup.duplicated_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=6
+    )
+    return out.select("doc_id", "n_spans", "dup_tokens", "n_tokens")

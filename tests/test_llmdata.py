@@ -1393,3 +1393,43 @@ def test_c4_clean_lines_differential_vs_duckdb(spark):
     assert got[1][4] == 1  # the duplicate good line dropped once
     assert got[4][0].count("\n") == 2  # quotes/?/! all terminal
     assert got[3] == ("", 1, 0, 1, 0)  # empty text: engines agree on ''
+
+
+def test_duplicated_substring_spans_semantics(spark):
+    """Exact-substring dedup (Lee et al. 2021 family): positions whose
+    min_len-gram repeats corpus-wide mark spans; overlapping AND
+    adjacent spans merge into maximal regions; within-doc repeats
+    count; docs shorter than min_len never explode."""
+    from kafka_metrics_exporter_spark.llmdata.dedup import (
+        duplicated_substring_spans,
+    )
+
+    shared = "one two three four"  # 4 tokens, min_len=3
+    rows = [
+        # doc 0 and 1 share a 4-token run -> two overlapping 3-gram
+        # hits at pos 1,2 in doc 0 (merged: one span of 4 tokens)
+        (0, f"zz {shared} aa bb cc"),
+        (1, f"{shared} yy xx ww vv uu"),
+        # doc 2: the SAME trigram twice within one doc, adjacent
+        # (pos 0 and 3: diff == min_len -> merged into one 6-token run)
+        (2, "p q r p q r s t"),
+        # doc 3: too short to contain a 3-gram... except exactly 3
+        (3, "a b"),
+        # doc 4: no duplicated grams at all
+        (4, "totally unique words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in duplicated_substring_spans(docs, min_len=3).collect()
+    }
+    assert out[0] == (1, 4, 8)   # span pos1-2 -> 2+3-1... = 4 tokens
+    assert out[1] == (1, 4, 9)
+    assert out[2] == (1, 6, 8)   # adjacent self-repeat merges
+    assert 3 not in out and 4 not in out
+
+    # hashed (xxhash64 keys, the 100 TB shuffle shape) must agree with
+    # the unhashed gram-string semantics exactly
+    a = sorted(duplicated_substring_spans(docs, min_len=3, hashed=True).collect())
+    b = sorted(duplicated_substring_spans(docs, min_len=3, hashed=False).collect())
+    assert a == b
