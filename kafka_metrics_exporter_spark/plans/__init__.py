@@ -64,6 +64,8 @@ NEW_THIS_ROUND = [
     "kibana_query_string",
     # exact-substring dedup (suffix-array family, Lee et al. 2021)
     "dedup_substring",
+    # Prometheus 3.x native histograms (count/sum/avg/quantile/fraction)
+    "promql_native_histogram",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -93,6 +95,10 @@ STALE_OUT_OF_WINDOW = [
     # since its green r7 row; compiled-expression pins in
     # test_promql.py — demoted for dedup_substring
     "promql_trig_group",
+    # and/or/unless set ops, untouched since r7;
+    # promql_vector_matching (in-window) exercises the same match-key
+    # machinery — demoted for promql_native_histogram
+    "promql_set_ops",
     # single exact groupBy+countDistinct; its HLL sibling
     # a5_approx_count_distinct stays in-window with the exact-leg
     # attestation — demoted for kibana_query_string
@@ -154,7 +160,6 @@ WINDOW_PRIORITY = [
     "promql_quantile_last_over_time",
     "promql_rate_extrapolated",
     "promql_round_scalar",
-    "promql_set_ops",
     "promql_subquery",
     "promql_topk_rate_grid",
     "promql_vector_compare",

@@ -254,6 +254,24 @@ class HistogramQuantile:
 
 
 @dataclass(frozen=True)
+class HistogramFn:
+    """histogram_count / histogram_sum / histogram_avg over a
+    native-histogram vector (Prometheus 3.x)."""
+
+    fn: str
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
+class HistogramFraction:
+    """histogram_fraction(lo, hi, v) over a native-histogram vector."""
+
+    lo: float
+    hi: float
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
 class LabelReplace:
     expr: "Expr"
     dst: str
@@ -667,6 +685,22 @@ class _Parser:
                 return self.parse_info()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
+            if tok in ("histogram_count", "histogram_sum", "histogram_avg"):
+                fn = self.next()[1]
+                self.expect("(")
+                inner = self.parse_expr()
+                self.expect(")")
+                return HistogramFn(fn[len("histogram_"):], inner)
+            if tok == "histogram_fraction":
+                self.next()
+                self.expect("(")
+                lo = self.signed_number("histogram_fraction lower")
+                self.expect(",")
+                hi = self.signed_number("histogram_fraction upper")
+                self.expect(",")
+                inner = self.parse_expr()
+                self.expect(")")
+                return HistogramFraction(lo, hi, inner)
             if tok in _MATH_FNS | _CLAMP_FNS | {"clamp"}:
                 return self.parse_math_fn()
             if tok in (
@@ -1124,6 +1158,15 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, HistogramQuantile):
         phi = repr(node.phi) if node.phi != int(node.phi) else str(int(node.phi))
         return f"histogram_quantile({phi}, {to_promql(node.expr)})"
+    if isinstance(node, HistogramFn):
+        return f"histogram_{node.fn}({to_promql(node.expr)})"
+    if isinstance(node, HistogramFraction):
+        def _num(x: float) -> str:
+            return repr(x) if x != int(x) else str(int(x))
+        return (
+            f"histogram_fraction({_num(node.lo)}, {_num(node.hi)}, "
+            f"{to_promql(node.expr)})"
+        )
     if isinstance(node, LabelReplace):
         return (
             f'label_replace({to_promql(node.expr)}, "{node.dst}", '

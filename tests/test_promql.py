@@ -2255,3 +2255,116 @@ def test_metric_named_info_stays_selectable():
     assert isinstance(parse('info{job="x"}'), Selector)
     assert isinstance(parse("sum(info)").expr, Selector)
     assert isinstance(parse("info(m)"), Info)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Prometheus 3.x native histograms
+# ---------------------------------------------------------------------------
+def _native_frame(spark, values, zt=0.1):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    df = spark.createDataFrame(
+        [("req", "a", t0, float(v)) for v in values],
+        "name string, job string, ts timestamp, value double",
+    )
+    return native_histogram_table(df, ["name", "job"], zero_threshold=zt)
+
+
+def test_native_histogram_functions(spark):
+    """count/sum/avg/quantile/fraction over a hand-checkable sketch:
+    values [0.05, 0.5, 1.5, 3, 3.5, 7] with zero_threshold 0.1 →
+    zero bucket holds 0.05; schema-0 buckets (¼,½](1), (1,2](1),
+    (2,4](2), (4,8](1)."""
+    m = _native_frame(spark, [0.05, 0.5, 1.5, 3.0, 3.5, 7.0])
+
+    def one(q):
+        rows = compile_promql(q).evaluate(m).collect()
+        assert len(rows) == 1 and rows[0]["job"] == "a"
+        return rows[0]["value"]
+
+    assert one("histogram_count(req)") == 6.0
+    assert one("histogram_sum(req)") == pytest.approx(15.55)
+    assert one("histogram_avg(req)") == pytest.approx(15.55 / 6)
+    # rank 3 crosses (1,2] at cumulative 3: 1 + (2-1)*(3-2)/1 = 2
+    assert one("histogram_quantile(0.5, req)") == 2.0
+    # (1,2] and (2,4] lie fully inside [1,4]: 3 of 6 observations
+    assert one("histogram_fraction(1, 4, req)") == 0.5
+    # φ=0 lands in the zero bucket at rank 0 → lower edge 0
+    assert one("histogram_quantile(0, req)") == 0.0
+    # φ=1 → the highest populated bucket's upper bound
+    assert one("histogram_quantile(1, req)") == 8.0
+    # φ outside [0,1] → ±Inf, like Prometheus
+    import math
+
+    assert one("histogram_quantile(1.5, req)") == math.inf
+    assert one("histogram_quantile(-0.5, req)") == -math.inf
+    # partial-bucket interpolation: [3, 4] covers half of (2,4] → 1
+    # observation of 6
+    assert one("histogram_fraction(3, 4, req)") == pytest.approx(1 / 6)
+    # zero-bucket interpolation: rank 0.6 ≤ zero_count 1 → 0.1·0.6/1
+    assert one("histogram_quantile(0.1, req)") == pytest.approx(0.06)
+
+
+def test_native_histogram_classic_dispatch_untouched(spark):
+    """histogram_quantile still serves classic le-bucket series; the
+    native branch only fires on a `hist` column, and a frame with
+    neither errors loudly."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        ("lat_bucket", "0.5", t0, 4.0),
+        ("lat_bucket", "1", t0, 9.0),
+        ("lat_bucket", "+Inf", t0, 10.0),
+    ]
+    m = spark.createDataFrame(rows, "name string, le string, ts timestamp, value double")
+    out = compile_promql("histogram_quantile(0.5, lat_bucket)").evaluate(m).collect()
+    assert len(out) == 1  # classic path produced one group
+    # rank 5 crosses le=1 (cum 9, prev 4): 0.5 + 0.5*(5-4)/(9-4)
+    assert out[0]["value"] == pytest.approx(0.6)
+    plain = spark.createDataFrame(
+        [("x", t0, 1.0)], "name string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="`le` label .*or a `hist`"):
+        compile_promql("histogram_quantile(0.5, x)").evaluate(plain).collect()
+    with pytest.raises(ValueError, match="native-histogram samples"):
+        compile_promql("histogram_count(x)").evaluate(plain).collect()
+
+
+def test_native_histogram_builder_edges(spark):
+    """Zero-threshold-only cells quantile to the zero bucket; negative
+    observations below -zt raise; parse/render roundtrip for the new
+    functions."""
+    m = _native_frame(spark, [0.01, 0.02, 0.05])
+    out = compile_promql("histogram_quantile(0.5, req)").evaluate(m).collect()
+    # rank 1.5 within zero_count 3 → 0.1 * 1.5/3 = 0.05
+    assert out[0]["value"] == pytest.approx(0.05)
+
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    bad = spark.createDataFrame(
+        [("req", "a", _dt.datetime(2024, 1, 1), -5.0)],
+        "name string, job string, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="negative buckets"):
+        native_histogram_table(bad, ["name", "job"], zero_threshold=0.1).collect()
+
+    from kafka_metrics_exporter_spark.promql.parser import to_promql
+
+    for q in (
+        "histogram_count(req)",
+        "histogram_sum(req{job=\"a\"})",
+        "histogram_avg(req)",
+        "histogram_fraction(1, 64, req)",
+        "histogram_fraction(0.5, 2.5, req)",
+    ):
+        assert to_promql(parse(to_promql(parse(q)))) == to_promql(parse(q))
