@@ -66,6 +66,8 @@ NEW_THIS_ROUND = [
     "dedup_substring",
     # Prometheus 3.x native histograms (count/sum/avg/quantile/fraction)
     "promql_native_histogram",
+    # real Structured Streaming replay, driver-verified vs a batch twin
+    "streaming_state_replay",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -95,6 +97,9 @@ STALE_OUT_OF_WINDOW = [
     # since its green r7 row; compiled-expression pins in
     # test_promql.py — demoted for dedup_substring
     "promql_trig_group",
+    # same scalar family as promql_trig_group (round/scalar/abs),
+    # untouched since r7 — demoted for streaming_state_replay
+    "promql_round_scalar",
     # and/or/unless set ops, untouched since r7;
     # promql_vector_matching (in-window) exercises the same match-key
     # machinery — demoted for promql_native_histogram
@@ -159,7 +164,6 @@ WINDOW_PRIORITY = [
     "promql_holt_winters",
     "promql_quantile_last_over_time",
     "promql_rate_extrapolated",
-    "promql_round_scalar",
     "promql_subquery",
     "promql_topk_rate_grid",
     "promql_vector_compare",

@@ -587,3 +587,39 @@ def test_promql_panels_info_enrichment_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     by_batch = {b: {r["env"]: r["value"] for r in rows} for b, rows in got}
     assert by_batch == {0: {"prod": 5.0}, 1: {"canary": 7.0}}
+
+
+def test_replay_windowed_rollup_slicing_independent(spark):
+    """The replay's contract: the finalized-window set depends only on
+    the data, never on the micro-batch slicing — 1, 2 and 4 batches
+    must produce identical results, and the late-cut must drop exactly
+    the windows newer than max_ts − delay."""
+    import datetime as dt
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_windowed_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        for i in range(4):
+            rows.append(
+                ("a" if i % 2 else "b",
+                 t0 + dt.timedelta(days=d, hours=6 * i), i + 1)
+            )
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value_i long")
+    outs = [
+        sorted(
+            replay_windowed_rollup(spark, ev, n_batches=n).collect(),
+            key=lambda r: (r["event_type"], r["window_start"]),
+        )
+        for n in (1, 2, 4)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # max ts = day 4 18:00; watermark = that − 1 h → day-4's window
+    # (ends day 5 00:00) must NOT be emitted, days 0-3 must
+    days = {r["window_start"].day for r in outs[0]}
+    assert days == {1, 2, 3, 4}
+    a_day1 = [r for r in outs[0] if r["event_type"] == "a" and r["window_start"].day == 1]
+    assert a_day1[0]["n"] == 2 and a_day1[0]["total"] == 2 + 4
