@@ -1083,10 +1083,28 @@ def duplicated_substring_spans(
     the registry oracle replays the unhashed semantics and has
     hash-matched, and tests pin hashed ≡ unhashed on fixtures.
     """
-    toks = docs.select(
+    spans = _substring_spans(docs, min_len, text_col, id_col, hashed)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__p1") - F.col("__p0") + min_len).alias("dup_tokens"),
+        F.first("__n").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("__t"),
     ).withColumn("__n", F.size("__t"))
+
+
+def _substring_spans(
+    docs: DataFrame, min_len: int, text_col: str, id_col: str, hashed: bool
+) -> DataFrame:
+    """Shared core of the exact-substring family: one row per maximal
+    duplicated region — (id, __isl, __p0, __p1, __n); see
+    duplicated_substring_spans for semantics and the scale argument."""
+    toks = _doc_tokens(docs, text_col, id_col)
     eligible = toks.filter(F.col("__n") >= min_len)
     gram = F.concat_ws(" ", F.slice("__t", F.col("__pos") + 1, min_len))
     pos = eligible.select(
@@ -1127,13 +1145,54 @@ def duplicated_substring_spans(
             ),
         )
     )
-    spans = isl.groupBy(id_col, "__isl").agg(
+    return isl.groupBy(id_col, "__isl").agg(
         F.min("__pos").alias("__p0"),
         F.max("__pos").alias("__p1"),
         F.first("__n").alias("__n"),
     )
-    return spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("__p1") - F.col("__p0") + min_len).alias("dup_tokens"),
-        F.first("__n").cast("bigint").alias("n_tokens"),
+
+
+def drop_duplicated_substrings(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """The destructive form of the exact-substring family: rebuild each
+    document with every duplicated region REMOVED — Lee et al. 2021's
+    actual ExactSubstr cut, which (unlike the keep-one-copy C4 rule in
+    drop_duplicated_passages) drops ALL occurrences of a duplicated
+    ≥min_len-token substring, including the first.
+
+    Output: (id, clean_text, n_tokens, n_dropped) for EVERY document —
+    docs with no duplicated spans (or too short to hold a min_len-gram)
+    pass through unchanged, fully-duplicated docs emit '' and stay
+    auditable (the drop_duplicated_passages left-join rule); NULL text
+    emits ('', NULL, NULL) — null in, null counts out.
+
+    Scale: the span pipeline is duplicated_substring_spans's (linear
+    explode, one gram-keyed agg, semi-join, per-doc window); the
+    reconstruction joins the per-doc span LIST (bounded by the doc's
+    own length) back to the token arrays and filters token positions
+    scan-locally — the document body never shuffles with the grams."""
+    spans = _substring_spans(docs, min_len, text_col, id_col, hashed)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("__p0").alias("a"),
+                     (F.col("__p1") + min_len - 1).alias("b"))
+        ).alias("__spans"),
+    )
+    toks = _doc_tokens(docs, text_col, id_col)
+    joined = toks.join(span_arr, id_col, "left")
+    sp = F.coalesce(F.col("__spans"), F.array())
+    kept = F.filter(
+        F.transform(F.col("__t"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(sp, lambda s: (x["i"] >= s["a"]) & (x["i"] <= s["b"])),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("clean_text"),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("bigint").alias("n_dropped"),
     )

@@ -1573,6 +1573,26 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (upper - lower) * c * 100000000.0 + 0.5) AS BIGINT))
                AS DOUBLE) / 100000000.0 AS inside
       FROM pos GROUP BY 1, 2
+    ),
+    stdv AS (
+      -- Prometheus funcHistogramStdDev: observations at the bucket's
+      -- GEOMETRIC midpoint (0 for the zero bucket); accumulated in idx
+      -- order via list_reduce to mirror the engine's fold order
+      SELECT p.etype, p.ts,
+             list_reduce(
+               list_prepend(
+                 cell.zc * (0.0 - cell.vsum / cell.cnt)
+                         * (0.0 - cell.vsum / cell.cnt),
+                 list(p.c
+                      * (sqrt(power(2.0, p.idx) * power(2.0, p.idx - 1))
+                           - cell.vsum / cell.cnt)
+                      * (sqrt(power(2.0, p.idx) * power(2.0, p.idx - 1))
+                           - cell.vsum / cell.cnt)
+                      ORDER BY p.idx)),
+               (a, b) -> a + b) / cell.cnt AS stdvar
+      FROM per p JOIN cell USING (etype, ts)
+      WHERE p.idx IS NOT NULL
+      GROUP BY p.etype, p.ts, cell.zc, cell.vsum, cell.cnt
     )
     SELECT cell.etype,
            strftime(cell.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -1581,22 +1601,28 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN 0.9 * cell.cnt <= cell.zc AND cell.zc > 0
                 THEN 0.1 * (0.9 * cell.cnt) / cell.zc
                 ELSE pick.qv END AS q90,
-           COALESCE(frac.inside, 0.0) / cell.cnt AS frac_1_64
+           COALESCE(frac.inside, 0.0) / cell.cnt AS frac_1_64,
+           sqrt(COALESCE(stdv.stdvar,
+                         cell.zc * (0.0 - cell.vsum / cell.cnt)
+                                 * (0.0 - cell.vsum / cell.cnt)
+                           / cell.cnt)) AS stddev_v
     FROM cell
     LEFT JOIN pick USING (etype, ts)
     LEFT JOIN frac USING (etype, ts)
+    LEFT JOIN stdv USING (etype, ts)
     """,
 )
 def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus 3.x native histograms end-to-end (VERDICT r9 item 4):
     events roll up into one sparse-exponential-bucket histogram SAMPLE
     per (event_type, day) — schema 0, zero_threshold 0.1, so the
-    0.01-valued observations exercise the zero bucket — and the four
+    0.01-valued observations exercise the zero bucket — and the
     native-histogram PromQL functions evaluate over the sketch through
     the real front end: histogram_count, histogram_avg (sum/count),
     histogram_quantile(0.9, ·) dispatched on the `hist` column (the
     same function name serves classic `le` series elsewhere in the
-    suite), and histogram_fraction(1, 64, ·).
+    suite), histogram_fraction(1, 64, ·), and histogram_stddev
+    (geometric-midpoint estimator, funcHistogramStdDev).
 
     Scale shape: the builder is two hash aggregations (obs →
     (cell, idx) counts → per-cell arrays); every function is a
@@ -1626,6 +1652,7 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_v": "histogram_avg(jmx_latency)",
         "q90": "histogram_quantile(0.9, jmx_latency)",
         "frac_1_64": "histogram_fraction(1, 64, jmx_latency)",
+        "stddev_v": "histogram_stddev(jmx_latency)",
     }
     out = None
     for alias, text in exprs.items():
@@ -1638,6 +1665,6 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.select(
         "etype",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
-        "n_obs", "avg_v", "q90", "frac_1_64",
+        "n_obs", "avg_v", "q90", "frac_1_64", "stddev_v",
     )
     return _finish_cached(out, ht)

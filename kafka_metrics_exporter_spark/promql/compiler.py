@@ -1115,6 +1115,8 @@ def _eval_histogram_fn(
             "count": nh.hist_count,
             "sum": nh.hist_sum,
             "avg": nh.hist_avg,
+            "stddev": nh.hist_stddev,
+            "stdvar": nh.hist_stdvar,
         }[node.fn](h)
     out_labels = sorted(vec.labels)
     df = vec.df.withColumn("value", value).select(*out_labels, "ts", "value")

@@ -180,6 +180,30 @@ def hist_quantile(h: Column, phi: float) -> Column:
     return F.when(count > 0, F.coalesce(folded["q"], folded["lu"]))
 
 
+def hist_stdvar(h: Column) -> Column:
+    """histogram_stdvar: Prometheus's native-histogram variance
+    estimator (promql/functions.go funcHistogramStdDev/StdVar) — every
+    observation in a bucket is assumed at the bucket's GEOMETRIC
+    midpoint ``sqrt(lower·upper)`` (0 for the zero bucket), variance =
+    Σ cnt·(mid − mean)² / count.  Prometheus Kahan-sums the
+    accumulation; this fold adds in idx order — the same order the
+    oracle twin replays, so results are engine-identical (and within
+    float error of Kahan on metric-sized histograms)."""
+    count, zc, mean = h["count"], h["zero_count"], h["sum"] / h["count"]
+    pairs = F.arrays_zip(h["idx"].alias("i"), h["cnt"].alias("c"))
+    zero_term = zc * (F.lit(0.0) - mean) * (F.lit(0.0) - mean)
+
+    def step(acc, b):
+        mid = F.sqrt(_pow2(b["i"], h["schema"]) * _pow2(b["i"] - 1, h["schema"]))
+        return acc + b["c"] * (mid - mean) * (mid - mean)
+
+    return F.when(count > 0, F.aggregate(pairs, zero_term, step) / count)
+
+
+def hist_stddev(h: Column) -> Column:
+    return F.sqrt(hist_stdvar(h))
+
+
 def hist_fraction(h: Column, lo: float, hi: float) -> Column:
     """histogram_fraction(lo, hi, v): estimated fraction of
     observations in [lo, hi] — per-bucket linear overlap (effective

@@ -685,7 +685,10 @@ class _Parser:
                 return self.parse_info()
             if tok == "histogram_quantile":
                 return self.parse_histogram_quantile()
-            if tok in ("histogram_count", "histogram_sum", "histogram_avg"):
+            if tok in (
+                "histogram_count", "histogram_sum", "histogram_avg",
+                "histogram_stddev", "histogram_stdvar",
+            ):
                 fn = self.next()[1]
                 self.expect("(")
                 inner = self.parse_expr()

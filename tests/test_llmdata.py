@@ -1433,3 +1433,75 @@ def test_duplicated_substring_spans_semantics(spark):
     a = sorted(duplicated_substring_spans(docs, min_len=3, hashed=True).collect())
     b = sorted(duplicated_substring_spans(docs, min_len=3, hashed=False).collect())
     assert a == b
+
+
+def test_drop_duplicated_substrings_differential(spark, sf_dir):
+    """Byte-for-byte differential of the destructive exact-substring
+    cut (Lee et al. 2021: ALL occurrences of a duplicated span drop)
+    against a hand-written DuckDB twin on the real documents table —
+    the same pytest-differential contract as c4_clean_lines."""
+    import duckdb
+
+    from kafka_metrics_exporter_spark.llmdata.dedup import (
+        drop_duplicated_substrings,
+    )
+
+    L = 6
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+        for r in drop_duplicated_substrings(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), min_len=L
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ),
+        e AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {L}),
+        pos AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(t[i:i+{L - 1}], ' ') AS gram
+          FROM e, LATERAL unnest(generate_series(1, n - {L - 1})) AS u(i)
+        ),
+        dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+        dpos AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > {L}
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                FROM dpos)
+        ),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS a, MAX(pos) + {L} - 1 AS b
+          FROM isl GROUP BY doc_id, island
+        ),
+        tokpos AS (
+          SELECT doc_id, u.i - 1 AS i, t[u.i] AS tok, len(t) AS n
+          FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        ),
+        kept AS (
+          SELECT tp.* FROM tokpos tp
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tp.doc_id AND tp.i BETWEEN s.a AND s.b)
+        )
+        SELECT tp.doc_id,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+               any_value(tp.n) AS n_tokens,
+               any_value(tp.n) - COUNT(k.i) AS n_dropped
+        FROM (SELECT DISTINCT doc_id, n FROM tokpos) tp
+        LEFT JOIN kept k USING (doc_id)
+        GROUP BY tp.doc_id
+    """).fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in want}
+    assert set(got) == set(want)
+    mismatches = [d for d in got if got[d] != want[d]]
+    assert not mismatches, (mismatches[:3], [got[d] for d in mismatches[:1]],
+                            [want[d] for d in mismatches[:1]])
+    assert any(v[2] > 0 for v in got.values())  # the cut actually fires

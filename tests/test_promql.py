@@ -2309,6 +2309,17 @@ def test_native_histogram_functions(spark):
     # zero-bucket interpolation: rank 0.6 ≤ zero_count 1 → 0.1·0.6/1
     assert one("histogram_quantile(0.1, req)") == pytest.approx(0.06)
 
+    # stddev/stdvar: geometric bucket midpoints (funcHistogramStdDev),
+    # zero bucket at 0 — hand-computed over the same sketch
+    import math as _m
+
+    mean = 15.55 / 6
+    mids = [(_m.sqrt(0.25 * 0.5), 1), (_m.sqrt(1 * 2), 1),
+            (_m.sqrt(2 * 4), 2), (_m.sqrt(4 * 8), 1), (0.0, 1)]
+    var = sum(c * (v - mean) ** 2 for v, c in mids) / 6
+    assert one("histogram_stdvar(req)") == pytest.approx(var)
+    assert one("histogram_stddev(req)") == pytest.approx(_m.sqrt(var))
+
 
 def test_native_histogram_classic_dispatch_untouched(spark):
     """histogram_quantile still serves classic le-bucket series; the
