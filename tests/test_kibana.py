@@ -1620,6 +1620,24 @@ def test_query_string_fuzzy_proximity_boost_wildcards(spark):
     assert got["f10"] == 1
     assert got["f11"] == 2
 
+    # fuzzy in a significant_terms FOREGROUND (VERDICT r9 item 5): the
+    # ~1 matches FAILED and FAILeD but not FINE, so the foreground set
+    # is exactly the failure rows
+    sig_rows = []
+    for i, (comp, status) in enumerate(
+        [("disk", "FAILED")] * 5 + [("disk", "FAILeD")] * 2
+        + [("net", "FINE")] * 10 + [("disk", "FINE")] * 2
+    ):
+        sig_rows.append((i, comp, status))
+    sdf = spark.createDataFrame(sig_rows, "id long, comp string, status string")
+    aggs = [
+        {"id": "1", "type": "significant_terms", "schema": "bucket",
+         "params": {"field": "comp", "size": 5, "min_doc_count": 1,
+                    "foreground": "status: FAILED~1", "customLabel": "c"}},
+    ]
+    sig = compile_visualization(_vis8(aggs)).evaluate(sdf).collect()
+    assert [(r["c"], r["doc_count"]) for r in sig] == [("disk", 7)]
+
     with pytest.raises(ValueError, match="caps fuzzy"):
         filt(["name: broker~3"])
     with pytest.raises(ValueError, match="wildcard inside fuzzy"):
