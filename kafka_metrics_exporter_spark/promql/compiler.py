@@ -518,6 +518,8 @@ def _eval_range_operand(
 
 def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     vec = _eval_range_operand(node.selector, metrics, label_cols)
+    if _HIST_COL in vec.df.columns and not isinstance(node.selector, Subquery):
+        return _eval_hist_rate(node, vec)
     series = sorted(vec.labels)
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
     prev_v = F.lag("value").over(w)
@@ -559,6 +561,48 @@ def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
         .filter(F.col("__rate").isNotNull())  # PromQL emits nothing before 2 samples
         .withColumn("value", F.col("__rate"))
         .drop("__rate")
+    )
+    return _Vec(rated, vec.labels)
+
+
+def _eval_hist_rate(node: Rate, vec: _Vec) -> _Vec:
+    """rate/irate/increase/delta/idelta over NATIVE-HISTOGRAM series
+    (Prometheus 3.x: counter histograms subtract field- and
+    bucket-wise, and the result is again a histogram sample that
+    histogram_count/sum/avg/stddev/quantile/fraction consume
+    unchanged — `histogram_quantile(0.9, rate(m[5m]))`).
+
+    Same adjacent-sample batch semantics, gap bound, and counter-reset
+    clamp as the scalar branch below (w2_rate's documented contract);
+    the sketch arithmetic is native_hist.hist_delta — one lag window
+    per series, everything else scan-local.  The sample's `value`
+    column carries the rate histogram's count (the series' observation
+    rate) so shape-level consumers and select_shape stay meaningful;
+    the `hist` column carries the full sketch for the histogram_*
+    wrappers."""
+    from kafka_metrics_exporter_spark.promql.native_hist import hist_delta
+
+    series = sorted(vec.labels)
+    w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
+    h = F.col(_HIST_COL)
+    prev_h = F.lag(_HIST_COL).over(w)
+    prev_ts = F.lag("ts").over(w)
+    delta_t = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    ) / F.lit(1_000_000.0)
+    per_second = node.fn in ("rate", "irate")
+    clamp = node.fn in ("rate", "irate", "increase")
+    scale = (F.lit(1.0) / delta_t) if per_second else F.lit(1.0)
+    rated = (
+        vec.df.withColumn("__ok", prev_ts.isNotNull() & (delta_t > 0)
+                          & (delta_t <= F.lit(float(node.window_seconds))))
+        .withColumn(
+            _HIST_COL,
+            F.when(F.col("__ok"), hist_delta(h, prev_h, scale, clamp)),
+        )
+        .filter(F.col("__ok"))
+        .drop("__ok")
+        .withColumn("value", F.col(_HIST_COL)["count"])
     )
     return _Vec(rated, vec.labels)
 

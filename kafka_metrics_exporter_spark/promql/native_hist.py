@@ -1,8 +1,12 @@
 """Prometheus 3.x native histograms (VERDICT r9 item 4): the
 sparse-exponential-bucket histogram type and the PromQL functions that
 consume it — ``histogram_count`` / ``histogram_sum`` /
-``histogram_avg`` / ``histogram_fraction(lo, hi, v)`` and the
-native-schema branch of ``histogram_quantile(φ, v)``.
+``histogram_avg`` / ``histogram_stddev`` / ``histogram_stdvar`` /
+``histogram_fraction(lo, hi, v)``, the native-schema branch of
+``histogram_quantile(φ, v)``, and the sketch arithmetic behind
+``rate()``/``increase()``/``delta()`` over histogram series
+(``hist_delta`` — the result is again a histogram sample, so
+``histogram_quantile(0.9, rate(m[5m]))`` composes).
 
 Representation.  A native-histogram sample is ONE row whose ``hist``
 struct column carries the sketch (instead of one series per ``le``
@@ -236,3 +240,53 @@ def hist_fraction(h: Column, lo: float, hi: float) -> Column:
         + F.floor(zero_part * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
     )
     return F.when(count > 0, total / count)
+
+
+def hist_delta(cur: Column, prev: Column, scale: Column, clamp: bool) -> Column:
+    """Bucket-wise difference of two native-histogram samples of ONE
+    series (consecutive scrapes), times ``scale`` — the sketch behind
+    rate()/increase()/delta() over native histograms: Prometheus
+    subtracts histograms field-wise and bucket-wise, yielding a
+    histogram of (fractional) per-second observation rates that the
+    histogram_* functions consume unchanged.
+
+    ``clamp=True`` is the counter rule, mirroring the engine's scalar
+    rate: a count DECREASE marks a counter reset and the delta restarts
+    from ``cur`` (Prometheus's native-histogram reset detection also
+    triggers on schema/threshold shrink; this builder emits constant
+    schema/threshold, so count is the complete signal here).
+    ``clamp=False`` (delta/idelta) subtracts verbatim — negatives are
+    data, as for scalar gauges.
+
+    The bucket union is a map_zip_with over the sparse (idx → cnt)
+    maps; zero-delta buckets drop so the result stays sparse.  All
+    scan-local — rate adds ONE lag window over the series, nothing
+    else."""
+    reset = (prev["count"] > cur["count"]) if clamp else F.lit(False)
+    merged = F.map_zip_with(
+        F.map_from_arrays(cur["idx"], cur["cnt"]),
+        F.map_from_arrays(prev["idx"], prev["cnt"]),
+        lambda _, a, b: F.coalesce(a, F.lit(0.0)) - F.coalesce(b, F.lit(0.0)),
+    )
+    entries = F.filter(
+        F.array_sort(F.map_entries(merged)), lambda e: e["value"] != 0
+    )
+    d_idx = F.when(reset, cur["idx"]).otherwise(
+        F.transform(entries, lambda e: e["key"])
+    )
+    d_cnt = F.when(reset, cur["cnt"]).otherwise(
+        F.transform(entries, lambda e: e["value"])
+    )
+
+    def field(name: str) -> Column:
+        return F.when(reset, cur[name]).otherwise(cur[name] - prev[name]) * scale
+
+    return F.struct(
+        field("count").alias("count"),
+        field("sum").alias("sum"),
+        field("zero_count").alias("zero_count"),
+        cur["zero_threshold"].alias("zero_threshold"),
+        cur["schema"].alias("schema"),
+        d_idx.alias("idx"),
+        F.transform(d_cnt, lambda c: c * scale).alias("cnt"),
+    )

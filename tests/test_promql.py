@@ -2379,3 +2379,55 @@ def test_native_histogram_builder_edges(spark):
         "histogram_fraction(0.5, 2.5, req)",
     ):
         assert to_promql(parse(to_promql(parse(q)))) == to_promql(parse(q))
+
+
+def test_native_histogram_rate_and_reset(spark):
+    """rate/increase/delta over native-histogram series: field- and
+    bucket-wise adjacent-sample differences (scaled per-second for
+    rate), counter resets restarting from the current sample, and the
+    result composing with every histogram_* consumer."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [("m", "j", t0, v) for v in (1.5, 3.0)]
+    rows += [("m", "j", t0 + _dt.timedelta(seconds=10), v)
+             for v in (1.5, 3.0, 3.5, 7.0, 0.5)]
+    rows += [("m", "k", t0, v) for v in (1.0, 1.0, 1.0)]
+    rows += [("m", "k", t0 + _dt.timedelta(seconds=10), 2.0)]
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    ht = native_histogram_table(df, ["name", "job"], zero_threshold=0.1)
+
+    def by_job(q):
+        return {
+            r["job"]: r["value"]
+            for r in compile_promql(q).evaluate(ht).collect()
+        }
+
+    # j: 3 new observations over 10 s; k RESETS (count 3 -> 1), so the
+    # delta restarts from the current sample
+    assert by_job("histogram_count(rate(m[1m]))") == pytest.approx(
+        {"j": 0.3, "k": 0.1}
+    )
+    assert by_job("histogram_sum(increase(m[1m]))") == pytest.approx(
+        {"j": 15.5 - 4.5, "k": 2.0}
+    )
+    # rate histogram quantile: rank 0.15 crosses (2,4] at cum 0.2
+    assert by_job("histogram_quantile(0.5, rate(m[1m]))") == pytest.approx(
+        {"j": 3.0, "k": 1.5}
+    )
+    # 2 of the 3 added observations lie in (2, 8]
+    assert by_job("histogram_fraction(2, 8, increase(m[1m]))") == pytest.approx(
+        {"j": 2 / 3, "k": 0.0}
+    )
+    # delta (gauge rule): NO reset clamp — k's count delta goes negative
+    assert by_job("histogram_count(delta(m[1m]))") == pytest.approx(
+        {"j": 3.0, "k": -2.0}
+    )
+    # the window gap bound still applies: a 1s window emits nothing
+    assert by_job("histogram_count(rate(m[1s]))") == {}
