@@ -162,6 +162,28 @@ class PercentilesAgg:
 
 
 @dataclass(frozen=True)
+class PercentileRanksAgg:
+    """ES ``percentile_ranks`` metric: for each probe value, the
+    percentage of observations ≤ that value — one output column per
+    probe, ``<label>_r<value>``.  Computed as the EXACT empirical CDF
+    (100·count(x ≤ v)/count(x)); ES's t-digest additionally
+    interpolates between centroids, so tiny divergences are possible
+    near sparse value gaps — same exact-over-sketch trade the
+    ``percentiles`` metric documents."""
+
+    field: str
+    values: tuple[float, ...]
+    label: str
+
+    def column_names(self) -> list[str]:
+        def fmt(v: float) -> str:
+            s = f"{v:g}".replace(".", "_").replace("-", "m")
+            return f"{self.label}_r{s}"
+
+        return [fmt(v) for v in self.values]
+
+
+@dataclass(frozen=True)
 class TopHitsAgg:
     field: str
     aggregate: str  # average | concat | sum | max
@@ -425,7 +447,7 @@ class BucketSortAgg:
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | CompositeBucket)
-Metric = MetricAgg | TopHitsAgg | PercentilesAgg | StatsAgg
+Metric = MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg | StatsAgg
 
 
 @dataclass(frozen=True)
@@ -632,6 +654,20 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             )
             metrics.append(
                 PercentilesAgg(field=p["field"], percents=percents, label=label)
+            )
+        elif a["type"] == "percentile_ranks":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: percentile_ranks cannot be a bucket agg"
+                )
+            if not p.get("values"):
+                raise ValueError("kibana: percentile_ranks needs 'values'")
+            metrics.append(
+                PercentileRanksAgg(
+                    field=p["field"],
+                    values=tuple(float(v) for v in p["values"]),
+                    label=label,
+                )
             )
         elif a["type"] == "median":
             # ES models median as percentiles([50]); one output column
@@ -1266,6 +1302,20 @@ class KibanaPlan:
                     ).alias(m.label)
                 )
                 continue
+            if isinstance(m, PercentileRanksAgg):
+                # exact empirical CDF per probe value; counts ignore
+                # missing-field docs like every ES metric
+                v = resolve(m.field).cast("double")
+                agg_exprs.extend(
+                    (
+                        F.count(F.when(v <= F.lit(val), F.lit(1)))
+                        .cast("double")
+                        / F.count(v)
+                        * F.lit(100.0)
+                    ).alias(n)
+                    for val, n in zip(m.values, m.column_names())
+                )
+                continue
             if isinstance(m, StatsAgg):
                 v = resolve(m.field).cast("double")
                 names = m.column_names()
@@ -1568,7 +1618,7 @@ class KibanaPlan:
                     F.col(m.label).getItem(i).alias(name)
                     for i, name in enumerate(m.column_names())
                 )
-            elif isinstance(m, StatsAgg):
+            elif isinstance(m, (StatsAgg, PercentileRanksAgg)):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:
                 final_cols.append(F.col(m.label))

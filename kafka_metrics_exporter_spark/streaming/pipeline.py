@@ -684,22 +684,36 @@ def replay_windowed_rollup(
     )
     span = (hi - lo) or 1.0
     ts_d = F.col(ts_col).cast("double")
+    # ONE pass writes every slice: the slice id is a pure function of
+    # event time, repartition-by-value co-locates each slice in one
+    # task, and partitionBy emits exactly one file per slice dir —
+    # n_batches filter+coalesce jobs collapse into a single scan
+    slice_id = F.least(
+        F.floor((ts_d - F.lit(lo)) / F.lit(span) * n_batches).cast("int"),
+        F.lit(n_batches - 1),
+    )
+    stage = os.path.join(base, "stage")
+    (
+        events.withColumn("__slice", slice_id)
+        .repartition(n_batches, "__slice")
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    n_files = 0
     for i in range(n_batches):
-        a = lo + span * i / n_batches
-        b = hi if i == n_batches - 1 else lo + span * (i + 1) / n_batches
-        part = events.filter(
-            (ts_d >= F.lit(a)) & (ts_d <= F.lit(b) if i == n_batches - 1 else ts_d < F.lit(b))
-        )
-        stage = os.path.join(base, f"stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        src = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-        assert len(src) == 1, src
+        sdir = os.path.join(stage, f"__slice={i}")
+        if not os.path.isdir(sdir):
+            continue  # degenerate data (e.g. single-instant): empty slice
+        src = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(src) == 1, (i, src)
         dst = os.path.join(in_dir, f"b{i}.parquet")
-        os.rename(os.path.join(stage, src[0]), dst)
+        os.rename(os.path.join(sdir, src[0]), dst)
         # ascending mtimes pin the file-source processing order to the
         # event-time order, keeping event time monotone across batches
         t = _time.time() + i - n_batches
         os.utime(dst, (t, t))
+        n_files += 1
     agg = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -728,7 +742,7 @@ def replay_windowed_rollup(
     )
     q.awaitTermination()
     n_progress = len(q.recentProgress)
-    assert n_progress >= n_batches, (
-        f"replay ran {n_progress} micro-batches, expected >= {n_batches}"
+    assert n_progress >= n_files, (
+        f"replay ran {n_progress} micro-batches, expected >= {n_files}"
     )
     return spark.read.parquet(out_dir)

@@ -1644,3 +1644,37 @@ def test_query_string_fuzzy_proximity_boost_wildcards(spark):
         filt(["name: brok*r~1"])
     with pytest.raises(ValueError, match="placement"):
         filt(["name: a~b"])
+
+
+def test_percentile_ranks_exact_cdf(spark):
+    """ES percentile_ranks: per probe value, the percentage of
+    observations ≤ that value — exact empirical CDF here (t-digest
+    divergence documented on the dataclass), missing-field docs
+    excluded, per terms bucket."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+            ("b", 10.0), ("b", 20.0), ("b", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "grp", "size": 5, "orderBy": "_term",
+                    "customLabel": "grp"}},
+        {"id": "2", "type": "percentile_ranks", "schema": "metric",
+         "params": {"field": "v", "values": [2, 15],
+                    "customLabel": "pr"}},
+    ]
+    out = {r["grp"]: r for r in
+           compile_visualization(_vis8(aggs)).evaluate(df).collect()}
+    assert out["a"]["pr_r2"] == pytest.approx(50.0)    # 2 of 4 <= 2
+    assert out["a"]["pr_r15"] == pytest.approx(100.0)
+    assert out["b"]["pr_r2"] == pytest.approx(0.0)
+    # the NULL v doc drops from the denominator: 1 of 2 <= 15
+    assert out["b"]["pr_r15"] == pytest.approx(50.0)
+
+    with pytest.raises(ValueError, match="needs 'values'"):
+        compile_visualization(_vis8([
+            {"id": "2", "type": "percentile_ranks", "schema": "metric",
+             "params": {"field": "v"}}]))
+    with pytest.raises(ValueError, match="cannot be a bucket agg"):
+        compile_visualization(_vis8([
+            {"id": "2", "type": "percentile_ranks", "schema": "bucket",
+             "params": {"field": "v", "values": [1]}}]))
