@@ -1304,14 +1304,19 @@ class KibanaPlan:
                 continue
             if isinstance(m, PercentileRanksAgg):
                 # exact empirical CDF per probe value; counts ignore
-                # missing-field docs like every ES metric
+                # missing-field docs like every ES metric.  The
+                # denominator guard matters under Spark 4 ANSI: a
+                # bucket whose docs all miss the field has count 0 and
+                # an unguarded division THROWS (code-review r10) — ES
+                # emits null there
                 v = resolve(m.field).cast("double")
                 agg_exprs.extend(
-                    (
+                    F.when(
+                        F.count(v) > 0,
                         F.count(F.when(v <= F.lit(val), F.lit(1)))
                         .cast("double")
                         / F.count(v)
-                        * F.lit(100.0)
+                        * F.lit(100.0),
                     ).alias(n)
                     for val, n in zip(m.values, m.column_names())
                 )
@@ -1747,24 +1752,52 @@ def _qs_wildcard_regex(val: str) -> str:
     return "".join(out)
 
 
+def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
+    """Ordered sloppy-phrase regex with a TOTAL intervening-word budget
+    shared across all gaps — Lucene's slop is one phrase-wide budget,
+    not a per-gap allowance (code-review r10: `"a b c"~1` must NOT
+    match 'a x b y c', which spends 2).  The first k-2 gaps enumerate
+    exact counts (alternation over the compositions of the budget) and
+    the last gap takes the remainder as a {0,rest} range; for two-word
+    phrases this degenerates to the single-branch {0,budget} form."""
+    from itertools import product
+
+    n_gaps = len(words) - 1
+    branches = []
+    for lead in product(range(budget + 1), repeat=n_gaps - 1):
+        used = sum(lead)
+        if used > budget:
+            continue
+        gaps = [rf"\W+(?:\w+\W+){{{g}}}" for g in lead]
+        gaps.append(rf"\W+(?:\w+\W+){{0,{budget - used}}}")
+        branches.append("".join(w + g for w, g in zip(words, gaps)) + words[-1])
+    if len(branches) > 500:
+        raise ValueError(
+            f"kibana: proximity phrase of {len(words)} words with slop "
+            f"{budget} expands past the supported regex size"
+        )
+    return "|".join(branches) if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
+
+
 def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
     """Sloppy phrase ``"w1 w2"~N``: the words in order with at most
-    ``slop`` intervening words (the standard proximity-as-regex
-    encoding — one scan-local rlike, no tokenizer state).  Two-word
-    phrases additionally match reversed with ``slop - 2`` remaining
-    gap: in Lucene's sloppy-phrase matcher a transposition costs 2.
-    Phrases of 3+ words match in declared order only (documented
-    divergence in _query_string_pred)."""
+    ``slop`` TOTAL intervening words across the whole phrase (exact
+    Lucene budget semantics via _qs_ordered_slop_regex — one scan-local
+    rlike, no tokenizer state).  Two-word phrases additionally match
+    reversed with ``slop - 2`` remaining budget: in Lucene's
+    sloppy-phrase matcher a transposition costs 2.  Phrases of 3+
+    words match in declared order only (documented divergence in
+    _query_string_pred)."""
     words = [re.escape(w) for w in phrase.split()]
     if not words:
         raise ValueError("kibana: empty proximity phrase")
     if len(words) == 1:
         return strcol.contains(phrase.strip())
-    gap = rf"\W+(?:\w+\W+){{0,{slop}}}"
-    pred = strcol.rlike(gap.join(words))
+    pred = strcol.rlike(_qs_ordered_slop_regex(words, slop))
     if len(words) == 2 and slop >= 2:
-        rev_gap = rf"\W+(?:\w+\W+){{0,{slop - 2}}}"
-        pred = pred | strcol.rlike(words[1] + rev_gap + words[0])
+        pred = pred | strcol.rlike(
+            _qs_ordered_slop_regex([words[1], words[0]], slop - 2)
+        )
     return pred
 
 
@@ -1788,11 +1821,14 @@ def _qs_term(term: str, resolve, default_search_field) -> Column:
     field, _, val = term.partition(":")
     col = resolve(field.strip())
     val = val.strip()
-    m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', val)
+    # \d* not \d+: bare `f:"a b"~` means slop 0, exactly like the
+    # default-field form below (code-review r10: the two spellings of
+    # the same Lucene input diverged — one parsed, one raised)
+    m = re.fullmatch(r'"([^"]*)"(?:~(\d*))?', val)
     if m:
         if m.group(2) is None:
             return col.cast("string") == m.group(1)
-        return _qs_proximity(col.cast("string"), m.group(1), int(m.group(2)))
+        return _qs_proximity(col.cast("string"), m.group(1), int(m.group(2) or 0))
     if val == "*":
         return col.isNotNull()
     m = re.fullmatch(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", val, re.IGNORECASE)

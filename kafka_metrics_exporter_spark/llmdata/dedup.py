@@ -1082,6 +1082,15 @@ def duplicated_substring_spans(
     collisions would need 2^32+ distinct grams per the birthday bound —
     the registry oracle replays the unhashed semantics and has
     hash-matched, and tests pin hashed ≡ unhashed on fixtures.
+
+    DELIBERATE double-scan: the position table feeds both the gram
+    frequency aggregation and the semi-join probe, so its lineage
+    (tokenize + explode) evaluates twice.  At corpus scale the
+    explode output is token-count-sized — materializing it (persist /
+    checkpoint) would write the whole corpus's gram table to
+    cache/disk, which costs more than the second scan-local pass; the
+    two consumers pipeline independently (code-review r10: counted
+    here so the scale paragraph covers scans, not just exchanges).
     """
     spans = _substring_spans(docs, min_len, text_col, id_col, hashed)
     return spans.groupBy(id_col).agg(

@@ -519,7 +519,28 @@ def _eval_range_operand(
 def _eval_rate(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
     vec = _eval_range_operand(node.selector, metrics, label_cols)
     if _HIST_COL in vec.df.columns and not isinstance(node.selector, Subquery):
-        return _eval_hist_rate(node, vec)
+        if "value" not in vec.df.columns:
+            return _eval_hist_rate(node, vec)
+        # a frame can carry BOTH sample types (scalar counters with a
+        # NULL hist payload alongside native-histogram series) — the
+        # dispatch is per-SAMPLE, like Prometheus's type-directed
+        # evaluation: frame-wide dispatch silently nulled the scalar
+        # series' rates (code-review r10).  Each partition keeps its
+        # own series whole (a series is one type), so the lag windows
+        # stay correct on both sides.
+        h = F.col(_HIST_COL)
+        hist_dtype = vec.df.schema[_HIST_COL].dataType
+        hpart = _eval_hist_rate(
+            node, _Vec(vec.df.filter(h.isNotNull()), vec.labels)
+        ).df
+        spart = _eval_scalar_rate(
+            node, _Vec(vec.df.filter(h.isNull()).drop(_HIST_COL), vec.labels)
+        ).df.withColumn(_HIST_COL, F.lit(None).cast(hist_dtype))
+        return _Vec(hpart.unionByName(spart), vec.labels)
+    return _eval_scalar_rate(node, vec)
+
+
+def _eval_scalar_rate(node: Rate, vec: _Vec) -> _Vec:
     series = sorted(vec.labels)
     w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(F.col("ts").asc())
     prev_v = F.lag("value").over(w)

@@ -89,6 +89,11 @@ def native_histogram_table(
     factor = float(2**schema)
     idx = F.ceil(F.log2(v) * F.lit(factor)).cast("int")
     zt = float(zero_threshold)
+    # NULL observations DROP (a scrape sample that failed to parse —
+    # Prometheus discards it); without this filter a NULL falls through
+    # both when-branches into the negative-bucket raise with a
+    # misleading message (code-review r10)
+    df = df.filter(v.isNotNull())
     bucket = (
         F.when(v > F.lit(zt), idx)
         .when(v >= F.lit(-zt), F.lit(None).cast("int"))
@@ -251,26 +256,37 @@ def hist_delta(cur: Column, prev: Column, scale: Column, clamp: bool) -> Column:
     histogram_* functions consume unchanged.
 
     ``clamp=True`` is the counter rule, mirroring the engine's scalar
-    rate: a count DECREASE marks a counter reset and the delta restarts
-    from ``cur`` (Prometheus's native-histogram reset detection also
-    triggers on schema/threshold shrink; this builder emits constant
-    schema/threshold, so count is the complete signal here).
-    ``clamp=False`` (delta/idelta) subtracts verbatim — negatives are
-    data, as for scalar gauges.
+    rate: the delta restarts from ``cur`` when ANY monotone component
+    decreased — total count, zero_count, sum, or any individual bucket
+    (Prometheus's detectReset checks every bucket, not just the total:
+    a restart that re-accrues FASTER than the old total, e.g. prev
+    {idx2: 3} → cur {idx1: 4}, has count 4 > 3 but a negative bucket
+    delta — code-review r10; schema/threshold shrink, the remaining
+    Prometheus signals, cannot occur under this module's constant-
+    schema builder).  ``clamp=False`` (delta/idelta) subtracts
+    verbatim — negatives are data, as for scalar gauges.
 
     The bucket union is a map_zip_with over the sparse (idx → cnt)
     maps; zero-delta buckets drop so the result stays sparse.  All
     scan-local — rate adds ONE lag window over the series, nothing
     else."""
-    reset = (prev["count"] > cur["count"]) if clamp else F.lit(False)
     merged = F.map_zip_with(
         F.map_from_arrays(cur["idx"], cur["cnt"]),
         F.map_from_arrays(prev["idx"], prev["cnt"]),
         lambda _, a, b: F.coalesce(a, F.lit(0.0)) - F.coalesce(b, F.lit(0.0)),
     )
-    entries = F.filter(
-        F.array_sort(F.map_entries(merged)), lambda e: e["value"] != 0
+    raw_entries = F.array_sort(F.map_entries(merged))
+    reset = (
+        (
+            (prev["count"] > cur["count"])
+            | (prev["zero_count"] > cur["zero_count"])
+            | (prev["sum"] > cur["sum"])
+            | F.exists(raw_entries, lambda e: e["value"] < 0)
+        )
+        if clamp
+        else F.lit(False)
     )
+    entries = F.filter(raw_entries, lambda e: e["value"] != 0)
     d_idx = F.when(reset, cur["idx"]).otherwise(
         F.transform(entries, lambda e: e["key"])
     )

@@ -639,7 +639,6 @@ def replay_windowed_rollup(
     n_batches: int = 3,
     window: str = "1 day",
     delay: str = "1 hour",
-    delay_ms: int = 3_600_000,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value_i",

@@ -1678,3 +1678,49 @@ def test_percentile_ranks_exact_cdf(spark):
         compile_visualization(_vis8([
             {"id": "2", "type": "percentile_ranks", "schema": "bucket",
              "params": {"field": "v", "values": [1]}}]))
+
+
+def test_percentile_ranks_all_null_bucket(spark):
+    """Code-review r10: a bucket whose docs all miss the field must
+    emit NULL ranks, not throw DIVIDE_BY_ZERO under ANSI."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "grp string, v double"
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "grp", "size": 5, "orderBy": "_term",
+                    "customLabel": "grp"}},
+        {"id": "2", "type": "percentile_ranks", "schema": "metric",
+         "params": {"field": "v", "values": [5], "customLabel": "pr"}},
+    ]
+    out = {r["grp"]: r["pr_r5"] for r in
+           compile_visualization(_vis8(aggs)).evaluate(df).collect()}
+    assert out["a"] == pytest.approx(100.0)
+    assert out["b"] is None
+
+
+def test_proximity_total_slop_budget(spark):
+    """Code-review r10: Lucene slop is ONE phrase-wide budget — 'a b
+    c'~1 must not match 'a x b y c' (2 intervening total), and
+    field-scoped bare ~ means slop 0 like the default-field form."""
+    rows = [(1, "a x b y c"), (2, "a x b c"), (3, "a b c"), (4, "c b a")]
+    df = spark.createDataFrame(rows, "id int, msg string")
+
+    def n(q):
+        from kafka_metrics_exporter_spark.kibana.compiler import (
+            _query_string_pred, _default_resolver,
+        )
+        return df.filter(
+            _query_string_pred(q, _default_resolver(df), df, "msg")
+        ).count()
+
+    assert n('msg: "a b c"~0') == 1   # only the adjacent phrase
+    assert n('msg: "a b c"~1') == 2   # one budgeted gap, either side
+    assert n('msg: "a b c"~2') == 3   # both gaps spent
+    assert n('msg: "a c"~1') == 1     # only 'a b c' has <= 1 between
+    # slop 3 covers every ordered row AND 'c b a' reversed (cost 2,
+    # one word of budget left)
+    assert n('msg: "a c"~3') == 4
+    # field-scoped bare ~ parses as slop 0 (only 'a b c' has adjacent
+    # 'a b') instead of raising like it did pre-fix
+    assert n('msg: "a b"~') == 1

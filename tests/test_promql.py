@@ -2431,3 +2431,60 @@ def test_native_histogram_rate_and_reset(spark):
     )
     # the window gap bound still applies: a 1s window emits nothing
     assert by_job("histogram_count(rate(m[1s]))") == {}
+
+
+def test_native_histogram_reset_on_bucket_decrease(spark):
+    """Code-review r10: a counter restart that re-accrues FASTER than
+    the old total (count increases but a bucket decreases) must still
+    be detected as a reset — Prometheus checks every bucket."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    # prev: 3 obs in (2,4]; cur (after restart): 4 obs in (1,2]
+    rows = [("m", "j", t0, 3.0)] * 3
+    rows += [("m", "j", t0 + _dt.timedelta(seconds=10), 1.5)] * 4
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    ht = native_histogram_table(df, ["name", "job"])
+    got = compile_promql("histogram_count(increase(m[1m]))").evaluate(ht).collect()
+    # reset -> restart from cur: 4 observations, not 4-3=1 with a
+    # phantom -3 bucket
+    assert got[0]["value"] == 4.0
+    q = compile_promql("histogram_quantile(1, increase(m[1m]))").evaluate(ht).collect()
+    assert q[0]["value"] == 2.0  # all mass in (1,2] — no negative bucket
+
+
+def test_rate_dispatch_mixed_scalar_and_histogram_frame(spark):
+    """Code-review r10: one frame carrying scalar counters (hist NULL)
+    AND native-histogram series must rate() both — frame-wide dispatch
+    silently nulled the scalar rates."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    hrows = [("h", "j", t0, 1.5), ("h", "j", t0 + _dt.timedelta(seconds=10), 1.5)]
+    hrows += [("h", "j", t0 + _dt.timedelta(seconds=10), 3.0)]
+    hdf = spark.createDataFrame(
+        hrows, "name string, job string, ts timestamp, value double"
+    )
+    ht = native_histogram_table(hdf, ["name", "job"])
+    scalars = spark.createDataFrame(
+        [("s", "j", t0, 10.0), ("s", "j", t0 + _dt.timedelta(seconds=10), 30.0)],
+        "name string, job string, ts timestamp, value double",
+    )
+    mixed = ht.unionByName(
+        scalars.withColumn("hist", F.lit(None).cast(ht.schema["hist"].dataType)),
+        allowMissingColumns=True,
+    )
+    s = compile_promql("rate(s[1m])").evaluate(mixed).collect()
+    assert [r["value"] for r in s] == [pytest.approx(2.0)]
+    h = compile_promql("histogram_count(rate(h[1m]))").evaluate(mixed).collect()
+    assert [r["value"] for r in h] == [pytest.approx(0.1)]
