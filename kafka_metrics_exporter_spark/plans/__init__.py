@@ -68,6 +68,8 @@ NEW_THIS_ROUND = [
     "promql_native_histogram",
     # real Structured Streaming replay, driver-verified vs a batch twin
     "streaming_state_replay",
+    # session-window streaming replay (cross-batch session merging)
+    "streaming_session_replay",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -84,8 +86,8 @@ CHANGED_THIS_ROUND = [
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r7-latest queries the 50-slot arithmetic cannot fit once round-10
-# registrations + changes claimed their slots (48 promotions + 4 new +
-# 2 changed + 2 anchor promotions = 56 candidates for 50 slots → 6
+# registrations + changes claimed their slots (48 promotions + 5 new +
+# 2 changed + 2 anchor promotions = 57 candidates for 50 slots → 7
 # demotions).  Selection: code untouched since their green r7 row AND
 # an in-window sibling exercising the same machinery; every one is
 # replayed against its DuckDB oracle at sf0.001 by
@@ -100,6 +102,10 @@ STALE_OUT_OF_WINDOW = [
     # same scalar family as promql_trig_group (round/scalar/abs),
     # untouched since r7 — demoted for streaming_state_replay
     "promql_round_scalar",
+    # pure deterministic calendar scalars (minute/hour/day_of_*/...),
+    # untouched since r7; compiled-expression pins in test_promql.py —
+    # demoted for streaming_session_replay
+    "promql_calendar",
     # and/or/unless set ops, untouched since r7;
     # promql_vector_matching (in-window) exercises the same match-key
     # machinery — demoted for promql_native_histogram
@@ -158,7 +164,6 @@ WINDOW_PRIORITY = [
     "text_corpus_report",
     "multimodal_channel_stats",
     # PromQL surface
-    "promql_calendar",
     "promql_count_values",
     "promql_histogram_quantile_grid",
     "promql_holt_winters",

@@ -1823,3 +1823,74 @@ def streaming_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
+
+
+@query(
+    "streaming_session_replay",
+    """
+    WITH e AS (
+      SELECT CAST(user_id % 25 AS BIGINT) AS skey, ts,
+             CAST(floor(value) AS BIGINT) AS value_i
+      FROM events
+    ),
+    wm AS (
+      SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM e
+    ),
+    d AS (
+      SELECT skey, ts, value_i,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY skey ORDER BY ts)
+    ),
+    i AS (
+      SELECT skey, ts, value_i,
+             SUM(brk) OVER (PARTITION BY skey ORDER BY ts) AS isl
+      FROM d
+    ),
+    s AS (
+      SELECT skey, MIN(ts) AS session_start, MAX(ts) AS last_ev,
+             COUNT(*) AS n, CAST(SUM(value_i) AS BIGINT) AS total
+      FROM i GROUP BY skey, isl
+    )
+    SELECT skey,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start_s,
+           strftime(last_ev + INTERVAL 2 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS session_end_s,
+           n, total
+    FROM s, wm
+    WHERE epoch_us(last_ev) + 7200000000 <= wm.wm_us
+    """,
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows through the real streaming engine (the W7
+    streaming form, driver-verified like streaming_state_replay):
+    per 25-way user cohort, events closer than 2 h merge into one
+    session; the replay runs three time-ordered micro-batches, so
+    Spark's session-MERGING state (unlike tumbling windows, sessions
+    grown in different micro-batches must coalesce) executes for real,
+    and append mode emits each session when the watermark passes its
+    end (last event + 2 h — Spark merges at exactly gap distance,
+    boundary pinned in the harness tests).
+
+    Twin: batch gaps-and-islands sessionization (break when the
+    successive gap EXCEEDS 2 h) filtered to sessions whose end ≤ max
+    event time (ms) − 1 h — the same slicing-independence argument as
+    the tumbling replay.  Counts and integral sums exact."""
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_session_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).cast("long").alias("skey"),
+        "ts",
+        F.floor("value").cast("long").alias("value_i"),
+    )
+    out = replay_session_rollup(spark, ev, gap="2 hours", delay="1 hour")
+    return out.select(
+        "skey",
+        F.date_format("session_start", _TS_FMT).alias("session_start_s"),
+        F.date_format("session_end", _TS_FMT).alias("session_end_s"),
+        "n",
+        "total",
+    )

@@ -668,6 +668,34 @@ def replay_windowed_rollup(
     Scale: the replay IS the production plan — per-key-and-window
     state bounded by the watermark horizon, append finalization; only
     the file-split scaffolding is test-harness."""
+    stream = _replayed_stream(spark, events, n_batches, ts_col)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("window_start"),
+            "n",
+            "total",
+        )
+    )
+    return _run_replay(spark, agg, stream)
+
+
+def _replayed_stream(
+    spark: SparkSession, events: DataFrame, n_batches: int, ts_col: str
+) -> DataFrame:
+    """The replay harness' source half: range-split ``events`` by event
+    time into ``n_batches`` files with ascending mtimes (one
+    repartition-by-value pass) and open them as a file-source stream
+    with ``maxFilesPerTrigger=1`` — each file becomes one micro-batch,
+    in event-time order, so event time is monotone across batches and
+    a trailing watermark never drops a row.  The written file count
+    rides on the returned frame for _run_replay's progress assertion."""
     import os
     import tempfile
     import time as _time
@@ -713,35 +741,79 @@ def replay_windowed_rollup(
         t = _time.time() + i - n_batches
         os.utime(dst, (t, t))
         n_files += 1
-    agg = (
+    stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
-        .withWatermark(ts_col, delay)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+    )
+    stream.__dict__["_kme_replay"] = {"base": base, "n_files": n_files}
+    return stream
+
+
+def _run_replay(spark: SparkSession, agg: DataFrame, stream: DataFrame) -> DataFrame:
+    """The replay harness' sink half: drive the aggregated stream to a
+    parquet sink with Trigger.AvailableNow in append mode and return
+    what the sink received."""
+    import os
+
+    meta = stream.__dict__["_kme_replay"]
+    out_dir = os.path.join(meta["base"], "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(meta["base"], "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_progress = len(q.recentProgress)
+    assert n_progress >= meta["n_files"], (
+        f"replay ran {n_progress} micro-batches, expected >= {meta['n_files']}"
+    )
+    return spark.read.parquet(out_dir)
+
+
+def replay_session_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    n_batches: int = 3,
+    gap: str = "2 hours",
+    delay: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "skey",
+    value_col: str = "value_i",
+) -> DataFrame:
+    """Deterministic micro-batch replay of SESSION windows (the W7
+    streaming form): per key, events closer than ``gap`` merge into
+    one session; Spark's session-window state MERGES sessions across
+    micro-batches and append mode finalizes a session once the
+    watermark passes its end (last event + gap — the instant it can no
+    longer be extended).
+
+    Same determinism argument as replay_windowed_rollup: time-ordered
+    batches keep event time monotone, so nothing is late and the
+    emitted set is exactly the sessions of a BATCH sessionization
+    (gaps-and-islands) whose end ≤ final watermark = max event time
+    (ms) − delay — independent of the micro-batch slicing, hence
+    twin-checkable in SQL.  Output: (key, session_start, n, total,
+    session_end)."""
+    stream = _replayed_stream(spark, events, n_batches, ts_col)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(value_col).alias("total"),
         )
         .select(
             F.col(key_col),
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
             "n",
             "total",
         )
     )
-    out_dir = os.path.join(base, "out")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(base, "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    n_progress = len(q.recentProgress)
-    assert n_progress >= n_files, (
-        f"replay ran {n_progress} micro-batches, expected >= {n_files}"
-    )
-    return spark.read.parquet(out_dir)
+    return _run_replay(spark, agg, stream)

@@ -623,3 +623,41 @@ def test_replay_windowed_rollup_slicing_independent(spark):
     assert days == {1, 2, 3, 4}
     a_day1 = [r for r in outs[0] if r["event_type"] == "a" and r["window_start"].day == 1]
     assert a_day1[0]["n"] == 2 and a_day1[0]["total"] == 2 + 4
+
+
+def test_replay_session_rollup_merges_across_batches(spark):
+    """Session replay: sessions spanning micro-batch boundaries MERGE
+    (the state machinery tumbling windows never exercise), the result
+    is slicing-independent, and only watermark-closed sessions emit."""
+    import datetime as dt
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_session_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # key a: one 3-event session at minutes 0/10/20, a second at 300/310
+    for m in (0, 10, 20, 300, 310):
+        rows.append(("a", t0 + dt.timedelta(minutes=m), 1))
+    # key b: a 7-event chain spanning every batch boundary (60m gaps)
+    for m in (0, 60, 120, 180, 240, 300, 360):
+        rows.append(("b", t0 + dt.timedelta(minutes=m), 2))
+    # far-future anchor so the watermark passes everything above; its
+    # own session stays open and must NOT emit
+    rows.append(("c", t0 + dt.timedelta(days=2), 5))
+    ev = spark.createDataFrame(rows, "skey string, ts timestamp, value_i long")
+    outs = [
+        sorted(
+            replay_session_rollup(
+                spark, ev, n_batches=n, gap="2 hours", delay="1 hour"
+            ).collect(),
+            key=lambda r: (r["skey"], r["session_start"]),
+        )
+        for n in (1, 3, 5)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    got = [(r["skey"], r["n"], r["total"]) for r in outs[0]]
+    assert got == [("a", 3, 3), ("a", 2, 2), ("b", 7, 14)]
+    # session end = last event + gap
+    assert outs[0][0]["session_end"] == t0 + dt.timedelta(minutes=20, hours=2)
