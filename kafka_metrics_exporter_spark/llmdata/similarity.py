@@ -677,3 +677,132 @@ def embedding_decontaminate(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).mapInPandas(go, "vec_id long, bench_id long, cosine double")
     return out.select("vec_id", "bench_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --- product quantization (PQ) -------------------------------------------------
+def train_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace k-means codebooks (Jégou et al. 2011 product
+    quantization): the D-dim space splits into ``m_sub`` contiguous
+    subspaces and each trains its own ``n_codes``-centroid quantizer —
+    the SAME deterministic k-means-lite as the IVF coarse quantizer
+    (md5-residue init, fixed rounds), run on the sliced vectors, so
+    the whole trained index replays in SQL like embed_ivf_topk's.
+
+    Returns ``m_sub`` codebooks of (code, centroid) lists.  Driver
+    footprint m_sub × n_codes × (dim/m_sub) floats — catalog-sized."""
+    if dim % m_sub:
+        raise ValueError(f"pq: dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    books = []
+    for s in range(m_sub):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * d_sub + 1,
+                d_sub,
+            ).alias(vec_col),
+        )
+        books.append(
+            train_centroids(
+                sliced, n_cells=n_codes, iters=iters,
+                vec_col=vec_col, id_col=id_col,
+            )
+        )
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate nearest neighbours: encode every vector as
+    ``m_sub`` codebook codes, rank candidates by the ASYMMETRIC
+    distance Σ_s ||q_s − c_{s,code_s}||² (each term a driver-computed
+    per-code constant — the classic ADC lookup table, here an array
+    literal indexed by the code column, scan-local), keep the top
+    ``rerank`` by approximate distance, then exact-cosine rerank to
+    the final k.
+
+    Scale shape: encoding is one Arrow assignment scan per subspace
+    (no shuffle — at 100 TB the codes are precomputed table columns
+    and the scan reads m_sub bytes per vector instead of the
+    embedding); the ADC cut is a TakeOrdered; only ``rerank``
+    candidates ever touch the full vectors again."""
+    dim = len(query_vec)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, m_sub, n_codes, iters, dim, vec_col, id_col
+        )
+    d_sub = dim // m_sub
+    qv = [float(x) for x in query_vec]
+
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # encode all subspaces in ONE Arrow pass (per-subspace assign_cells
+    # calls would each rescan and then need an id-keyed join to zip the
+    # codes back together)
+    from collections.abc import Iterator
+
+    mats = [
+        np.array([c for _, c in book], dtype="float64") for book in codebooks
+    ]
+    codes_arr = [np.array([cell for cell, _ in book]) for book in codebooks]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype("float64")
+            out = {"_id": pdf["_id"].values}
+            for s in range(m_sub):
+                S = V[:, s * d_sub : (s + 1) * d_sub]
+                C = mats[s]
+                d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+                out[f"code{s}"] = codes_arr[s][d.argmin(axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "_id long, " + ", ".join(f"code{s} int" for s in range(m_sub))
+    coded = base.mapInPandas(encode, schema)
+
+    # ADC lookup tables as array literals indexed by the code columns —
+    # ||q_s - c||² per code, computed once on the driver
+    approx = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        q_s = qv[s * d_sub : (s + 1) * d_sub]
+        by_code = {
+            cell: sum((a - b) ** 2 for a, b in zip(q_s, c)) for cell, c in book
+        }
+        table = F.array(
+            *[F.lit(by_code.get(code, float("inf"))) for code in range(n_codes)]
+        )
+        approx = approx + F.get(table, F.col(f"code{s}"))
+    cand = (
+        coded.withColumn("__adc", approx)
+        .orderBy(F.col("__adc").asc(), F.col("_id").asc())
+        .limit(rerank)
+    )
+    q = _query_col(qv)
+    rer = cand.join(base, "_id").select(
+        F.col("_id").alias(id_col),
+        F.round(cosine(F.col("v"), q), 4).alias("cosine"),
+    )
+    return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

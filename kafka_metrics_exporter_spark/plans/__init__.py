@@ -70,6 +70,8 @@ NEW_THIS_ROUND = [
     "streaming_state_replay",
     # session-window streaming replay (cross-batch session merging)
     "streaming_session_replay",
+    # product-quantization ANN (Jégou et al. 2011), SQL-replayable training
+    "embed_pq_topk",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -86,8 +88,8 @@ CHANGED_THIS_ROUND = [
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r7-latest queries the 50-slot arithmetic cannot fit once round-10
-# registrations + changes claimed their slots (48 promotions + 5 new +
-# 2 changed + 2 anchor promotions = 57 candidates for 50 slots → 7
+# registrations + changes claimed their slots (48 promotions + 6 new +
+# 2 changed + 2 anchor promotions = 58 candidates for 50 slots → 8
 # demotions).  Selection: code untouched since their green r7 row AND
 # an in-window sibling exercising the same machinery; every one is
 # replayed against its DuckDB oracle at sf0.001 by
@@ -106,6 +108,10 @@ STALE_OUT_OF_WINDOW = [
     # untouched since r7; compiled-expression pins in test_promql.py —
     # demoted for streaming_session_replay
     "promql_calendar",
+    # single sum-without-one-key aggregation, untouched since r7;
+    # a1_a4/a12 exercise the same grouped-agg machinery in-window —
+    # demoted for embed_pq_topk
+    "a10_sum_without",
     # and/or/unless set ops, untouched since r7;
     # promql_vector_matching (in-window) exercises the same match-key
     # machinery — demoted for promql_native_histogram
@@ -137,7 +143,6 @@ WINDOW_PRIORITY = [
     "a6_latest_value",
     "a9_topk_of_avg",
     "a9b_sum_of_topk",
-    "a10_sum_without",
     "a11b_approx_percentile",
     "a12_rollup",
     "w1_tumbling_window",

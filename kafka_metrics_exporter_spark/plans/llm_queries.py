@@ -1912,3 +1912,126 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), min_len=6
     )
     return out.select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: product quantization ANN (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+def _pq_oracle_sql(
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 100,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """SQL replay of the ENTIRE PQ pipeline — the per-subspace k-means
+    training (the embed_ivf_topk unroll run on each vector slice),
+    the code assignment, the ADC ranking (per-code ||q_s − c||²
+    constants summed in subspace order — the same accumulation order
+    the engine's driver-side lookup tables use), the top-``rerank``
+    cut, and the exact-cosine rerank.  Float freedom is the k-means
+    AVG summation order, the freedom embed_ivf_topk's oracle documents
+    and the gate verifies bit-equal."""
+    d_sub = dim // m_sub
+    parts = [
+        "ef AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+    ]
+
+    def assign(pfx: str, prev_cent: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT a.id, a.v, cc.cell
+      FROM e{pfx} a CROSS JOIN {prev_cent} cc
+      QUALIFY row_number() OVER (
+        PARTITION BY a.id
+        ORDER BY -2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c) ASC,
+                 cc.cell ASC) = 1
+    )"""
+
+    def means(pfx: str, assigned: str, out: str) -> str:
+        return f"""{out}_m AS (
+      SELECT cell, dd.d AS d, AVG(v[dd.d + 1]) AS m
+      FROM {assigned}, (SELECT unnest(range({d_sub})) AS d) dd
+      GROUP BY cell, dd.d
+    ),
+    {out} AS (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell)"""
+
+    for s in range(m_sub):
+        pfx = f"s{s}"
+        lo = s * d_sub + 1
+        parts.append(
+            f"e{pfx} AS (SELECT id, v[{lo}:{lo + d_sub - 1}] AS v FROM ef)"
+        )
+        parts.append(f"""a0{pfx} AS (
+      SELECT id, v,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                  % {n_codes} AS INT) AS cell
+      FROM e{pfx}
+    )""")
+        parts.append(means(pfx, f"a0{pfx}", f"cent0{pfx}"))
+        for i in range(1, iters + 1):
+            parts.append(assign(pfx, f"cent{i - 1}{pfx}", f"a{i}{pfx}"))
+            parts.append(means(pfx, f"a{i}{pfx}", f"cent{i}{pfx}"))
+        parts.append(assign(pfx, f"cent{iters}{pfx}", f"fa{pfx}"))
+        # the subspace's ADC term: ||q_s - c||² of the ASSIGNED code
+        parts.append(f"""d{pfx} AS (
+      SELECT fa{pfx}.id,
+             list_dot_product(
+               list_transform(range(1, {d_sub} + 1),
+                              i -> qv[{lo} - 1 + i] - cc.c[i]),
+               list_transform(range(1, {d_sub} + 1),
+                              i -> qv[{lo} - 1 + i] - cc.c[i])) AS d
+      FROM fa{pfx} JOIN cent{iters}{pfx} cc USING (cell), q
+    )""")
+    # per-subspace ADC terms join on id and sum in subspace order —
+    # the accumulation order the engine's F.get-table chain uses
+    adc_sum = " + ".join(f"ds{s}.d" for s in range(m_sub))
+    join_tail = " ".join(
+        f"JOIN ds{s} USING (id)" for s in range(1, m_sub)
+    )
+    parts.append(f"""cand AS (
+      SELECT ds0.id
+      FROM ds0 {join_tail}
+      ORDER BY {adc_sum} ASC, ds0.id ASC
+      LIMIT {rerank}
+    )""")
+    parts.append(f"""scored AS (
+      SELECT ef.id AS vec_id,
+             round(list_dot_product(ef.v, qv) /
+                   (sqrt(list_dot_product(ef.v, ef.v)) *
+                    sqrt(list_dot_product(qv, qv))), 4) AS cosine
+      FROM cand JOIN ef USING (id), q
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cosine FROM scored "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+@query("embed_pq_topk", _pq_oracle_sql())
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; the FAISS PQ/ADC
+    family): 8 per-subspace 16-code k-means codebooks encode each
+    64-dim vector as 8 bytes; candidates rank by the asymmetric
+    distance (per-code lookup constants summed in subspace order,
+    scan-local) and the top 100 rerank by exact cosine
+    (llmdata/similarity.py train_pq_codebooks/pq_topk).  Recall@10 vs
+    brute force pinned ≥ 0.7 in tests (measured 1.0 at the gate SF).
+
+    Scale: encoding is one Arrow matmul scan (at 100 TB the codes are
+    precomputed columns — the ANN scan reads 8 BYTES per vector, an
+    8× compression over even the int8-quantized embeddings); the ADC
+    cut is a TakeOrdered; only the rerank set touches full vectors.
+    Deterministic md5-residue training makes the ENTIRE trained index
+    SQL-replayable — same contract as embed_ivf_topk."""
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        m_sub=8,
+        n_codes=16,
+        iters=2,
+        rerank=100,
+    )

@@ -1505,3 +1505,22 @@ def test_drop_duplicated_substrings_differential(spark, sf_dir):
     assert not mismatches, (mismatches[:3], [got[d] for d in mismatches[:1]],
                             [want[d] for d in mismatches[:1]])
     assert any(v[2] > 0 for v in got.values())  # the cut actually fires
+
+
+def test_pq_recall_and_determinism(embeddings):
+    """PQ-ADC (Jégou et al. 2011): recall@10 vs brute force holds with
+    8-byte codes + top-100 rerank, and retraining is bit-deterministic
+    (md5-residue init, fixed rounds) so reruns agree exactly."""
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    a = similarity.pq_topk(embeddings, q, k=10, m_sub=8, n_codes=16, rerank=100).collect()
+    b = similarity.pq_topk(embeddings, q, k=10, m_sub=8, n_codes=16, rerank=100).collect()
+    assert a == b
+    pq_ids = [r["vec_id"] for r in a]
+    assert pq_ids[0] == 0  # the query vector survives encoding+rerank
+    assert len(set(brute) & set(pq_ids)) >= 7
+    # dim not divisible by m_sub errors loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(embeddings, m_sub=7, dim=64)

@@ -152,6 +152,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 10: 50 slots vs 48
-    # r7-latest promotions + 2 r6 sketch anchors + 5 new + 2 changed
-    # = 57 candidates, forcing 7 demotions)
-    assert len(exempt) <= 7, exempt
+    # r7-latest promotions + 2 r6 sketch anchors + 6 new + 2 changed
+    # = 58 candidates, forcing 8 demotions)
+    assert len(exempt) <= 8, exempt
