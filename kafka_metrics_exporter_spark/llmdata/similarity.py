@@ -697,26 +697,72 @@ def train_pq_codebooks(
     the whole trained index replays in SQL like embed_ivf_topk's.
 
     Returns ``m_sub`` codebooks of (code, centroid) lists.  Driver
-    footprint m_sub × n_codes × (dim/m_sub) floats — catalog-sized."""
+    footprint m_sub × n_codes × (dim/m_sub) floats — catalog-sized.
+
+    All subspaces train TOGETHER: each round is ONE Arrow scan that
+    assigns codes and emits per-(subspace, code) partial sums for every
+    subspace at once — m_sub independent train_centroids calls would
+    rescan the corpus m_sub × rounds times for the identical math
+    (measured 7.4 s → ~2 s on the bench corpus)."""
+    from collections.abc import Iterator
+
     if dim % m_sub:
         raise ValueError(f"pq: dim {dim} not divisible by m_sub {m_sub}")
     d_sub = dim // m_sub
-    books = []
-    for s in range(m_sub):
-        sliced = emb.select(
-            F.col(id_col),
-            F.slice(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                s * d_sub + 1,
-                d_sub,
-            ).alias(vec_col),
-        )
-        books.append(
-            train_centroids(
-                sliced, n_cells=n_codes, iters=iters,
-                vec_col=vec_col, id_col=id_col,
-            )
-        )
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        (md5_residue(F.col(id_col)) % n_codes).cast("int").alias("__init"),
+    ).persist()
+
+    def sums_for(codes_of):
+        """One scan: per Arrow batch, codes per subspace via
+        ``codes_of`` then ≤ m_sub·n_codes partial-sum rows."""
+
+        def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype("float64")
+                out_sub, out_c, out_s, out_n = [], [], [], []
+                for s in range(m_sub):
+                    S = V[:, s * d_sub : (s + 1) * d_sub]
+                    codes = codes_of(s, S, pdf)
+                    for c in np.unique(codes):
+                        m = codes == c
+                        out_sub.append(s)
+                        out_c.append(int(c))
+                        out_s.append(list(S[m].sum(axis=0)))
+                        out_n.append(int(m.sum()))
+                yield pd.DataFrame(
+                    {"sub": out_sub, "cell": out_c, "s": out_s, "n": out_n}
+                )
+
+        rows = base.mapInPandas(
+            go, "sub int, cell int, s array<double>, n long"
+        ).collect()
+        acc: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+        for r in rows:
+            k = (r["sub"], r["cell"])
+            s0, n0 = acc.get(k, (0.0, 0))
+            acc[k] = (s0 + np.asarray(r["s"]), n0 + r["n"])
+        books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m_sub)]
+        for (s, cell), (sv, n) in acc.items():
+            books[s].append((cell, [float(x) for x in sv / n]))
+        return [sorted(b) for b in books]
+
+    books = sums_for(lambda s, S, pdf: pdf["__init"].to_numpy())
+    for _ in range(iters):
+        mats = [np.array([c for _, c in b], dtype="float64") for b in books]
+        cells = [np.array([cell for cell, _ in b]) for b in books]
+
+        def codes_of(s, S, pdf, mats=mats, cells=cells):
+            C = mats[s]
+            d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            return cells[s][d.argmin(axis=1)]
+
+        books = sums_for(codes_of)
+    base.unpersist()
     return books
 
 
