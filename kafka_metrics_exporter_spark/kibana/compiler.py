@@ -665,7 +665,11 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 PercentileRanksAgg(
                     field=p["field"],
-                    values=tuple(float(v) for v in p["values"]),
+                    # order-preserving dedupe: ES accepts duplicate
+                    # probe values and dedupes the response keys; a
+                    # duplicate output alias would make the final
+                    # select ambiguous (code-review r10)
+                    values=tuple(dict.fromkeys(float(v) for v in p["values"])),
                     label=label,
                 )
             )
@@ -1763,6 +1767,16 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
     from itertools import product
 
     n_gaps = len(words) - 1
+    # bound the expansion ARITHMETICALLY before enumerating — the loop
+    # over (budget+1)^(n_gaps-1) lead tuples must not run at all for a
+    # hostile slop (code-review r10: 'a b c'~1e8 hung the driver at
+    # compile time building ~1e8 branch strings before the old
+    # post-hoc length check)
+    if (budget + 1) ** max(n_gaps - 1, 0) > 500:
+        raise ValueError(
+            f"kibana: proximity phrase of {len(words)} words with slop "
+            f"{budget} expands past the supported regex size"
+        )
     branches = []
     for lead in product(range(budget + 1), repeat=n_gaps - 1):
         used = sum(lead)
@@ -1771,11 +1785,6 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
         gaps = [rf"\W+(?:\w+\W+){{{g}}}" for g in lead]
         gaps.append(rf"\W+(?:\w+\W+){{0,{budget - used}}}")
         branches.append("".join(w + g for w, g in zip(words, gaps)) + words[-1])
-    if len(branches) > 500:
-        raise ValueError(
-            f"kibana: proximity phrase of {len(words)} words with slop "
-            f"{budget} expands past the supported regex size"
-        )
     return "|".join(branches) if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
 
 

@@ -166,6 +166,16 @@ def train_centroids(
     return sorted(cents)
 
 
+def _nearest_codes(V: "np.ndarray", C: "np.ndarray", cells: "np.ndarray"):
+    """THE nearest-centroid kernel, shared by IVF assignment, PQ
+    training and PQ encoding (code-review r10: three copies risked the
+    argmin-first-index tie-break — part of the SQL-replay contract —
+    drifting apart): ||v−c||² ranking via −2·V·Cᵀ + ||c||², numpy
+    argmin's first-index tie-break over the cell-sorted matrix."""
+    d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    return cells[d.argmin(axis=1)]
+
+
 def assign_cells(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -180,7 +190,6 @@ def assign_cells(
 
     cells = np.array([cell for cell, _ in centroids])
     C = np.array([c for _, c in centroids], dtype="float64")  # (k, dim)
-    c_sq = (C * C).sum(axis=1)
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,14 +197,12 @@ def assign_cells(
                 yield pd.DataFrame({"_id": [], "v": [], "cell": []})
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
-            d = -2.0 * (V @ C.T) + c_sq[None, :]
-            idx = d.argmin(axis=1)
+            idx_cells = _nearest_codes(V, C, cells)
             yield pd.DataFrame(
                 {
                     "_id": pdf[id_col].values,
                     "v": [list(map(float, row)) for row in V],
-                    "cell": cells[idx],
+                    "cell": idx_cells,
                 }
             )
 
@@ -757,9 +764,7 @@ def train_pq_codebooks(
         cells = [np.array([cell for cell, _ in b]) for b in books]
 
         def codes_of(s, S, pdf, mats=mats, cells=cells):
-            C = mats[s]
-            d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
-            return cells[s][d.argmin(axis=1)]
+            return _nearest_codes(S, mats[s], cells[s])
 
         books = sums_for(codes_of)
     base.unpersist()
@@ -792,11 +797,26 @@ def pq_topk(
     embedding); the ADC cut is a TakeOrdered; only ``rerank``
     candidates ever touch the full vectors again."""
     dim = len(query_vec)
+    if dim % m_sub:
+        raise ValueError(f"pq: dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
     if codebooks is None:
         codebooks = train_pq_codebooks(
             emb, m_sub, n_codes, iters, dim, vec_col, id_col
         )
-    d_sub = dim // m_sub
+    # supplied codebooks must cover every subspace at the right width —
+    # a silent mismatch truncates dimensions (code-review r10)
+    if len(codebooks) != m_sub:
+        raise ValueError(
+            f"pq: {len(codebooks)} codebooks for m_sub={m_sub} subspaces"
+        )
+    for s, book in enumerate(codebooks):
+        bad = [len(c) for _, c in book if len(c) != d_sub]
+        if bad:
+            raise ValueError(
+                f"pq: subspace {s} codebook centroid width {bad[0]} != "
+                f"dim/m_sub = {d_sub}"
+            )
     qv = [float(x) for x in query_vec]
 
     base = emb.select(
@@ -821,9 +841,7 @@ def pq_topk(
             out = {"_id": pdf["_id"].values}
             for s in range(m_sub):
                 S = V[:, s * d_sub : (s + 1) * d_sub]
-                C = mats[s]
-                d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
-                out[f"code{s}"] = codes_arr[s][d.argmin(axis=1)]
+                out[f"code{s}"] = _nearest_codes(S, mats[s], codes_arr[s])
             yield pd.DataFrame(out)
 
     schema = "_id long, " + ", ".join(f"code{s} int" for s in range(m_sub))

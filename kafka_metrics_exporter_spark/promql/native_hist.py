@@ -89,11 +89,15 @@ def native_histogram_table(
     factor = float(2**schema)
     idx = F.ceil(F.log2(v) * F.lit(factor)).cast("int")
     zt = float(zero_threshold)
-    # NULL observations DROP (a scrape sample that failed to parse —
-    # Prometheus discards it); without this filter a NULL falls through
-    # both when-branches into the negative-bucket raise with a
-    # misleading message (code-review r10)
-    df = df.filter(v.isNotNull())
+    # NULL and NaN observations DROP (unparseable/poisoned scrape
+    # samples); without this filter they fall through the when-chain —
+    # NULL into the misleading negative-bucket raise, NaN into the
+    # positive branch where ceil(log2(NaN)) hits an ANSI cast error
+    # (code-review r10 twice).  KNOWN DIVERGENCE: Prometheus keeps a
+    # NaN observation in count and poisons sum — the exact-integral
+    # sum representation here cannot carry a NaN, so the sample drops
+    # whole instead.
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     bucket = (
         F.when(v > F.lit(zt), idx)
         .when(v >= F.lit(-zt), F.lit(None).cast("int"))

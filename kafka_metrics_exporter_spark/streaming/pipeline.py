@@ -668,7 +668,7 @@ def replay_windowed_rollup(
     Scale: the replay IS the production plan — per-key-and-window
     state bounded by the watermark horizon, append finalization; only
     the file-split scaffolding is test-harness."""
-    stream = _replayed_stream(spark, events, n_batches, ts_col)
+    stream, meta = _replayed_stream(spark, events, n_batches, ts_col)
     agg = (
         stream.withWatermark(ts_col, delay)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
@@ -683,7 +683,7 @@ def replay_windowed_rollup(
             "total",
         )
     )
-    return _run_replay(spark, agg, stream)
+    return _run_replay(spark, agg, meta)
 
 
 def _replayed_stream(
@@ -746,17 +746,19 @@ def _replayed_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    stream.__dict__["_kme_replay"] = {"base": base, "n_files": n_files}
-    return stream
+    return stream, {"base": base, "n_files": n_files}
 
 
-def _run_replay(spark: SparkSession, agg: DataFrame, stream: DataFrame) -> DataFrame:
+def _run_replay(spark: SparkSession, agg: DataFrame, meta: dict) -> DataFrame:
     """The replay harness' sink half: drive the aggregated stream to a
     parquet sink with Trigger.AvailableNow in append mode and return
-    what the sink received."""
+    what the sink received.  A replay that finalizes nothing (every
+    window/session still open at the final watermark) returns an EMPTY
+    frame with the aggregation's schema — the bare parquet read would
+    fail schema inference on a data-less sink directory
+    (code-review r10)."""
     import os
 
-    meta = stream.__dict__["_kme_replay"]
     out_dir = os.path.join(meta["base"], "out")
     q = (
         agg.writeStream.outputMode("append")
@@ -771,6 +773,11 @@ def _run_replay(spark: SparkSession, agg: DataFrame, stream: DataFrame) -> DataF
     assert n_progress >= meta["n_files"], (
         f"replay ran {n_progress} micro-batches, expected >= {meta['n_files']}"
     )
+    has_data = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    )
+    if not has_data:
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(out_dir)
 
 
@@ -796,9 +803,9 @@ def replay_session_rollup(
     emitted set is exactly the sessions of a BATCH sessionization
     (gaps-and-islands) whose end ≤ final watermark = max event time
     (ms) − delay — independent of the micro-batch slicing, hence
-    twin-checkable in SQL.  Output: (key, session_start, n, total,
-    session_end)."""
-    stream = _replayed_stream(spark, events, n_batches, ts_col)
+    twin-checkable in SQL.  Output: (key, session_start, session_end,
+    n, total)."""
+    stream, meta = _replayed_stream(spark, events, n_batches, ts_col)
     agg = (
         stream.withWatermark(ts_col, delay)
         .groupBy(
@@ -816,4 +823,4 @@ def replay_session_rollup(
             "total",
         )
     )
-    return _run_replay(spark, agg, stream)
+    return _run_replay(spark, agg, meta)

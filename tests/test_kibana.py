@@ -1724,3 +1724,29 @@ def test_proximity_total_slop_budget(spark):
     # field-scoped bare ~ parses as slop 0 (only 'a b c' has adjacent
     # 'a b') instead of raising like it did pre-fix
     assert n('msg: "a b"~') == 1
+
+
+def test_proximity_slop_bound_and_duplicate_rank_values(spark):
+    """Code-review r10: hostile slop values are rejected arithmetically
+    BEFORE regex expansion, and duplicate percentile_ranks probe values
+    dedupe like ES response keys instead of producing ambiguous
+    columns."""
+    df = spark.createDataFrame([(1, "a b c", 2.0)], "id int, msg string, v double")
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+    with pytest.raises(ValueError, match="expands past"):
+        _query_string_pred(
+            'msg: "a b c"~100000000', _default_resolver(df), df, "msg"
+        )
+    # two-word phrases stay O(1) regardless of slop
+    pred = _query_string_pred('msg: "a c"~100000000', _default_resolver(df), df, "msg")
+    assert df.filter(pred).count() == 1
+
+    aggs = [
+        {"id": "1", "type": "percentile_ranks", "schema": "metric",
+         "params": {"field": "v", "values": [2, 2.0, 3], "customLabel": "pr"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).collect()[0]
+    assert out["pr_r2"] == pytest.approx(100.0)
+    assert out["pr_r3"] == pytest.approx(100.0)

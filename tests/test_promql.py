@@ -2488,3 +2488,23 @@ def test_rate_dispatch_mixed_scalar_and_histogram_frame(spark):
     assert [r["value"] for r in s] == [pytest.approx(2.0)]
     h = compile_promql("histogram_count(rate(h[1m]))").evaluate(mixed).collect()
     assert [r["value"] for r in h] == [pytest.approx(0.1)]
+
+
+def test_native_histogram_builder_drops_nan(spark):
+    """Code-review r10: NaN observations drop (documented divergence —
+    the exact-integral sum cannot be NaN-poisoned) instead of dying in
+    an ANSI cast inside the positive-bucket branch."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    rows = [("m", "j", _dt.datetime(2024, 1, 1), v)
+            for v in (1.5, float("nan"), 3.0)]
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    ht = native_histogram_table(df, ["name", "job"])
+    h = ht.first()["hist"]
+    assert h["count"] == 2.0 and h["sum"] == pytest.approx(4.5)

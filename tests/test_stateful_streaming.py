@@ -661,3 +661,23 @@ def test_replay_session_rollup_merges_across_batches(spark):
     assert got == [("a", 3, 3), ("a", 2, 2), ("b", 7, 14)]
     # session end = last event + gap
     assert outs[0][0]["session_end"] == t0 + dt.timedelta(minutes=20, hours=2)
+
+
+def test_replay_empty_emission_returns_empty_frame(spark):
+    """Code-review r10: a replay where nothing finalizes (the whole
+    span sits inside the watermark delay) must return an empty frame
+    with the aggregation schema, not crash on schema inference."""
+    import datetime as dt
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_windowed_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("a", t0, 1), ("a", t0 + dt.timedelta(minutes=5), 2)],
+        "event_type string, ts timestamp, value_i long",
+    )
+    out = replay_windowed_rollup(spark, ev, n_batches=2, delay="1 hour")
+    assert out.count() == 0
+    assert out.columns == ["event_type", "window_start", "n", "total"]
