@@ -30,158 +30,127 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
-# Explicit first-window ordering for ROUND 10.
+# Explicit first-window ordering for ROUND 11.
 #
-# The r9 gate RAN (CORRECTNESS_r09.json: 50/50 green), so the rotation
-# planned at round 9 executes exactly as documented there:
-#   - the 48 queries whose latest driver row is r7 (two gate-runs old,
-#     enumerated by test_rotation_promotes_stale_rows as r07-minus-r09)
+# The r10 gate RAN (CORRECTNESS_r10.json: 50/50 green), so the rotation
+# planned at round 10 executes exactly as documented there:
+#   - the 48 queries whose latest driver row is r9 (two gate-runs old,
+#     enumerated by test_rotation_promotes_stale_rows as r09-minus-r10)
 #     all PROMOTE into the window;
-#   - the 50 queries verified fresh in r9 all DEMOTE (their rows are
+#   - the 50 queries verified fresh in r10 all DEMOTE (their rows are
 #     one gate-run old — the youngest debt in the ledger);
-#   - the 2 remaining free slots (50 - 48) go to the oldest-debt
-#     sketch anchors dedup_minhash_lsh / dedup_simhash (latest row r6,
-#     three gate-runs old — VERDICT r9 item 2 asks for exactly these).
-# Round-10 registrations and ADVICE-driven semantic changes claim
-# window slots as they land, each trading one demotion of an
-# r7-latest query into STALE_OUT_OF_WINDOW with a per-query
-# justification (the cap in test_registry_window.py tracks the
-# arithmetic).
+#   - the 2 remaining free slots (50 - 48) go to the oldest-debt r6
+#     embedding-sketch rows embed_near_dup_lsh / embed_ivf_topk
+#     (latest row r6, four gate-runs old — VERDICT r10 item 2 names
+#     exactly these).
+# Round-11 registrations and semantic changes claim window slots as
+# they land, each trading one demotion of an r9-latest query into
+# STALE_OUT_OF_WINDOW with a per-query justification (the cap in
+# test_registry_window.py tracks the arithmetic).
 #
-# Out-of-window debt after this rotation: the 50 r9-verified (1 run
-# old), the 23 remaining r6-latest (3 runs old; all re-attested this
-# round via tools/check_oracle.py at sf0.1 — see BASELINE.md round-10
-# addendum) — every one carries a per-session pytest oracle replay at
-# sf0.001 plus a GOLDEN.json hash pin recorded from this round's code.
+# Out-of-window debt after this rotation: the 50 r10-verified (1 run
+# old), the 8 r7-latest (3 runs old) and the 21 remaining r6-latest
+# (4 runs old) — every one re-attested this round via
+# tools/check_oracle.py at sf0.1 (see BASELINE.md round-11 addendum)
+# and carrying a per-session pytest oracle replay at sf0.001 plus a
+# GOLDEN.json hash pin recorded from this round's code.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
-# file — must be in-window.  Round-10 registrations append here as
+# file — must be in-window.  Round-11 registrations append here as
 # they land.
-NEW_THIS_ROUND = [
-    # full Lucene query_string grammar: fuzzy/proximity/boost/wildcards
-    "kibana_query_string",
-    # exact-substring dedup (suffix-array family, Lee et al. 2021)
-    "dedup_substring",
-    # Prometheus 3.x native histograms (count/sum/avg/quantile/fraction)
-    "promql_native_histogram",
-    # real Structured Streaming replay, driver-verified vs a batch twin
-    "streaming_state_replay",
-    # session-window streaming replay (cross-batch session merging)
-    "streaming_session_replay",
-    # product-quantization ANN (Jégou et al. 2011), SQL-replayable training
-    "embed_pq_topk",
+NEW_THIS_ROUND: list[str] = [
+    # (round-11 registrations append here as they land:
+    #  streaming_alerts_replay, embed_ivfpq_topk)
 ]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
-CHANGED_THIS_ROUND = [
-    # ADVICE r9: percentiles_bucket switched from linear interpolation
-    # to ES's documented nearest-rank selection — values change.
-    "kibana_serial_stats",
-    # ADVICE r9: NULL-keyed groups (docs missing the field) are now
-    # excluded from significant_terms bucket output, matching ES.
-    "kibana_significant_terms",
+CHANGED_THIS_ROUND: list[str] = [
+    # (round-11 semantic changes append here as they land:
+    #  kibana_query_string, promql_native_histogram)
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r7-latest queries the 50-slot arithmetic cannot fit once round-10
-# registrations + changes claimed their slots (48 promotions + 6 new +
-# 2 changed + 2 anchor promotions = 58 candidates for 50 slots → 8
-# demotions).  Selection: code untouched since their green r7 row AND
-# an in-window sibling exercising the same machinery; every one is
-# replayed against its DuckDB oracle at sf0.001 by
-# tests/test_queries_oracle.py EVERY session, re-attested at sf0.1 via
-# tools/check_oracle.py this round, and hash-pinned by the round-10
-# GOLDEN re-record.
-STALE_OUT_OF_WINDOW = [
-    # pure deterministic scalar pack (sin/cos/atan2/deg/rad), untouched
-    # since its green r7 row; compiled-expression pins in
-    # test_promql.py — demoted for dedup_substring
-    "promql_trig_group",
-    # same scalar family as promql_trig_group (round/scalar/abs),
-    # untouched since r7 — demoted for streaming_state_replay
-    "promql_round_scalar",
-    # pure deterministic calendar scalars (minute/hour/day_of_*/...),
-    # untouched since r7; compiled-expression pins in test_promql.py —
-    # demoted for streaming_session_replay
-    "promql_calendar",
-    # single sum-without-one-key aggregation, untouched since r7;
-    # a1_a4/a12 exercise the same grouped-agg machinery in-window —
-    # demoted for embed_pq_topk
-    "a10_sum_without",
-    # and/or/unless set ops, untouched since r7;
-    # promql_vector_matching (in-window) exercises the same match-key
-    # machinery — demoted for promql_native_histogram
-    "promql_set_ops",
-    # single exact groupBy+countDistinct; its HLL sibling
-    # a5_approx_count_distinct stays in-window with the exact-leg
-    # attestation — demoted for kibana_query_string
-    "a5_count_distinct",
-    # composition of w2_rate + w3_topk machinery, both in-window —
-    # demoted for kibana_serial_stats (changed)
-    "w10_topk_rate_nonempty",
-    # pure column expressions; text_corpus_report (in-window)
-    # aggregates the same metric columns — demoted for
-    # kibana_significant_terms (changed)
-    "text_metrics",
+# r9-latest queries the 50-slot arithmetic cannot fit once round-11
+# registrations + changes + the r6-debt promotions claimed their slots
+# (48 r9-latest promotions + 3 r6-debt promotions + 2 new + 2 changed
+# = 55 candidates for 50 slots → 5 demotions).  Selection: code
+# untouched since their green r9 row AND an in-window sibling
+# exercising the same machinery; every one is replayed against its
+# DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
+# session, re-attested at sf0.1 via tools/check_oracle.py this round,
+# and hash-pinned by the round-11 GOLDEN re-record.
+STALE_OUT_OF_WINDOW: list[str] = [
+    # (round-11 demotions land here with the feature that forces them;
+    #  planned: promql_time_macros, promql_clamp_sort, o4_sort_limit,
+    #  o1_distinct, doc_fingerprint)
 ]
 
 WINDOW_PRIORITY = [
-    # -- round-10 registrations + semantic changes claim slots here -------
+    # -- round-11 registrations + semantic changes claim slots here -------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r6 (3 gate-runs old): sketch anchors (2) -----
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # -- latest driver row is r7 (2 gate-runs old): the 48 promotions ------
-    # reference-surface aggregations/windows/joins/set-ops
-    "a1_a4_grouped_metrics",
-    "a5_approx_count_distinct",
-    "a6_latest_value",
-    "a9_topk_of_avg",
-    "a9b_sum_of_topk",
-    "a11b_approx_percentile",
-    "a12_rollup",
-    "w1_tumbling_window",
-    "w2_rate",
-    "w3_topk_per_group",
-    "w4_latest_per_user",
-    "w7b_sliding_window",
-    "w8_frame_specs",
-    "w9_regex_label_rate_sum",
-    "j6_asof_join",
-    "o6_semi_join",
-    "o7_except_all",
-    "p2_normalize_pipeline",
-    "p_scalar_pack",
+    # -- latest driver row is r6 (4 gate-runs old): oldest-debt rows (3) --
+    "embed_near_dup_lsh",
+    "embed_ivf_topk",
+    # (pipe_fuzzy_decontaminate promotes when a demotion frees a slot)
+    # -- latest driver row is r9 (2 gate-runs old): the 48 promotions -----
+    # reference-surface pivots/joins/set-ops/aggregations/windows
+    "p1_objectname_pivot",
+    "a7_multikey_drilldown",
+    "a11_percentile",
+    "j1_cross_join",
+    "o1_distinct",
+    "o4_sort_limit",
+    "j2_broadcast_lookup",
+    "j3_union_byname",
+    "j5_explode_parent_child",
+    "j7_range_join",
+    "o3_anti_join",
+    "o5_intersect",
+    "w7_session_window",
+    "w11_rollup_cascade",
+    "w12_window_time_cascade",
+    "qtj_series_arith",
+    "doc_fingerprint",
+    "rules_rewrite",
+    "scale_salted_agg",
+    "openmetrics_roundtrip",
     # dedup / embedding family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_passage",
-    "dedup_components",
-    "dedup_components_star",
-    "embed_cosine_topk",
-    "embed_near_dup_cosine",
-    # text + multimodal
-    "text_corpus_report",
-    "multimodal_channel_stats",
+    "dedup_url",
+    "dedup_minhash_components",
+    "embed_decontaminate",
+    "embed_quantize",
+    # text + multimodal + pipeline
+    "text_gopher_quality",
+    "text_langid",
+    "text_repetition",
+    "multimodal_audio",
+    "multimodal_features",
+    "pipe_domain_mix",
+    "pipe_dsir_resample",
+    "pipe_global_shuffle",
+    "pipe_sliding_chunks",
+    "pipe_split",
+    "pipe_weighted_sample",
     # PromQL surface
-    "promql_count_values",
-    "promql_histogram_quantile_grid",
-    "promql_holt_winters",
-    "promql_quantile_last_over_time",
-    "promql_rate_extrapolated",
-    "promql_subquery",
-    "promql_topk_rate_grid",
-    "promql_vector_compare",
-    "promql_vector_matching",
-    "promql_vector_math",
+    "promql_clamp_sort",
+    "promql_deriv_predict",
+    "promql_info_join",
+    "promql_label_functions",
+    "promql_limit_sample",
+    "promql_over_time_pack",
+    "promql_rules_group",
+    "promql_time_macros",
     # Kibana surface
-    "kibana_date_histogram",
-    "kibana_median",
+    "kibana_bucket_script",
+    "kibana_composite",
+    "kibana_histogram_stats",
+    "kibana_pipeline",
+    "kibana_sibling_sort",
 ]
 
 

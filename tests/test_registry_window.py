@@ -35,6 +35,7 @@ _VERIFIED = {
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r09.json",
+        "CORRECTNESS_r10.json",
     )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
@@ -137,21 +138,29 @@ def test_out_of_window_exemptions_have_fresh_golden():
     """ADVICE r6: out-of-window exemptions must be machine-checked, not
     comment-only.  Every CHANGED_OUT_OF_WINDOW / STALE_OUT_OF_WINDOW
     query must have a GOLDEN.json row recorded from THIS round's code —
-    GOLDEN carries the round stamp written by tools/record_golden.py,
-    so bumping CURRENT_ROUND without re-recording fails here."""
+    each row carries its own round stamp (ADVICE r10: the file-level
+    stamp attests only the last FULL record; a partial re-record no
+    longer freshens carried-forward hashes), so bumping CURRENT_ROUND
+    without re-recording fails here per query."""
     exempt = CHANGED_OUT_OF_WINDOW + STALE_OUT_OF_WINDOW
     if not exempt:
         return
     golden = json.load(open(os.path.join(REPO, "GOLDEN.json")))
-    assert golden.get("round") == CURRENT_ROUND, (
-        f"GOLDEN.json round stamp {golden.get('round')!r} != "
-        f"CURRENT_ROUND {CURRENT_ROUND}: re-run tools/record_golden.py "
-        f"so the out-of-window exemptions are pinned by this round's code"
-    )
     missing = [n for n in exempt if n not in golden["queries"]]
     assert not missing, f"exempt queries missing from GOLDEN.json: {missing}"
+    stale_stamp = [
+        n
+        for n in exempt
+        if golden["queries"][n].get("round", golden.get("round"))
+        != CURRENT_ROUND
+    ]
+    assert not stale_stamp, (
+        f"out-of-window exemptions whose GOLDEN row was not re-recorded "
+        f"under CURRENT_ROUND {CURRENT_ROUND}: {stale_stamp} — re-run "
+        f"tools/record_golden.py"
+    )
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (round 10: 50 slots vs 48
-    # r7-latest promotions + 2 r6 sketch anchors + 6 new + 2 changed
-    # = 58 candidates, forcing 8 demotions)
-    assert len(exempt) <= 8, exempt
+    # slot arithmetic that forced them (round 11: 50 slots vs 48
+    # r9-latest promotions + 3 r6-debt promotions + 2 new + 2 changed
+    # = 55 candidates, forcing 5 demotions)
+    assert len(exempt) <= 5, exempt
