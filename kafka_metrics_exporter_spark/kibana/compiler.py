@@ -51,6 +51,8 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_metrics_exporter_spark.functions.scalars import osa_distance
+
 _BUCKET_SCHEMAS = {"bucket", "segment", "group", "split", "row"}
 
 _INTERVAL_UNITS_US = {
@@ -1702,15 +1704,21 @@ def _query_string_pred(
       query_string's ``allow_leading_wildcard`` default;
     - **fuzzy** ``value~`` / ``value~N`` (N ≤ 2, Lucene's cap): edit
       distance on the whole keyword value, like every term match in
-      this subset.  KNOWN DIVERGENCE: plain Levenshtein, not Lucene's
-      Damerau-Levenshtein — an adjacent transposition costs 2 edits
-      here but 1 in Lucene, so ``ab~1`` does not match ``ba``;
-    - **proximity** ``"w1 w2"~N``: the phrase words in order with at
-      most N intervening words (regex-compiled, so it stays a
-      scan-local JVM predicate); for two-word phrases with N ≥ 2 the
-      reversed order also matches with N-2 remaining slop — Lucene's
-      sloppy-phrase transposition cost.  KNOWN DIVERGENCE: phrases of
-      3+ words match in declared order only;
+      this subset.  Round 11: restricted Damerau-Levenshtein (optimal
+      string alignment — adjacent transposition costs 1), the metric
+      Lucene's fuzzy automata implement, so ``ab~1`` matches ``ba``;
+      see ``functions.scalars.osa_distance``;
+    - **proximity** ``"w1 w2"~N``: sloppy-phrase match with ONE
+      phrase-wide slop budget (regex-compiled, so it stays a
+      scan-local JVM predicate).  Round 11: out-of-order matches for
+      phrases up to 4 words — each permutation of the words costs its
+      total displacement (Σ|position moved|; an adjacent transposition
+      costs 2, Lucene's documented sloppy-phrase cost) and may spend
+      the remaining budget on intervening words.  Words match on
+      token boundaries (``\\b``), not raw substrings (ADVICE r10:
+      ``"error disk"~1`` must not match ``terror disk``).  KNOWN
+      DIVERGENCE: phrases of 5+ words match in declared order only
+      (the permutation expansion is capped, like the slop bound);
     - **boost** ``term^2``: parsed and DROPPED.  In a filter context
       ES computes no scores, so ignoring the boost is the exact
       behavior, not an approximation.  Boosts on parenthesized groups
@@ -1731,7 +1739,12 @@ def _query_string_pred(
             raise ValueError(
                 f"kibana: bare-phrase query_string {q!r} needs default_search_field"
             )
-        return resolve(default_search_field).cast("string").contains(m.group(1))
+        # token-boundary phrase match, slop 0 (round 11, ADVICE r10 —
+        # Lucene analyzes phrases into tokens; '"RUN"' must not match
+        # 'RUNNING' as a raw substring)
+        return _qs_proximity(
+            resolve(default_search_field).cast("string"), m.group(1), 0
+        )
     return _qs_parse(q, resolve, default_search_field)
 
 
@@ -1756,6 +1769,22 @@ def _qs_wildcard_regex(val: str) -> str:
     return "".join(out)
 
 
+def _qs_boundary(word: str, side: str) -> str:
+    """Token-boundary assertion for one edge of an escaped word —
+    ``\\b`` only binds when the edge character is a word character
+    (``\\b`` before a symbol would invert the test).  ADVICE r10:
+    without this, phrase words matched as raw substrings
+    ('error disk' inside 'terror disk').  ``\\b`` means the same ASCII
+    word boundary to java.util.regex and RE2, so oracle twins replay
+    the identical pattern."""
+    raw = re.sub(r"\\(.)", r"\1", word)  # unescape to inspect edges
+    if not raw:
+        return word
+    if side == "left":
+        return (r"\b" + word) if re.match(r"\w", raw[0]) else word
+    return (word + r"\b") if re.match(r"\w", raw[-1]) else word
+
+
 def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
     """Ordered sloppy-phrase regex with a TOTAL intervening-word budget
     shared across all gaps — Lucene's slop is one phrase-wide budget,
@@ -1763,9 +1792,19 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
     match 'a x b y c', which spends 2).  The first k-2 gaps enumerate
     exact counts (alternation over the compositions of the budget) and
     the last gap takes the remainder as a {0,rest} range; for two-word
-    phrases this degenerates to the single-branch {0,budget} form."""
+    phrases this degenerates to the single-branch {0,budget} form.
+    The first and last words carry token-boundary assertions; interior
+    word edges are already bounded by the mandatory ``\\W+`` gap
+    separators."""
     from itertools import product
 
+    words = [
+        _qs_boundary(w, "left") if k == 0 else w for k, w in enumerate(words)
+    ]
+    words = [
+        _qs_boundary(w, "right") if k == len(words) - 1 else w
+        for k, w in enumerate(words)
+    ]
     n_gaps = len(words) - 1
     # bound the expansion ARITHMETICALLY before enumerating — the loop
     # over (budget+1)^(n_gaps-1) lead tuples must not run at all for a
@@ -1789,24 +1828,49 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
 
 
 def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
-    """Sloppy phrase ``"w1 w2"~N``: the words in order with at most
-    ``slop`` TOTAL intervening words across the whole phrase (exact
-    Lucene budget semantics via _qs_ordered_slop_regex — one scan-local
-    rlike, no tokenizer state).  Two-word phrases additionally match
-    reversed with ``slop - 2`` remaining budget: in Lucene's
-    sloppy-phrase matcher a transposition costs 2.  Phrases of 3+
-    words match in declared order only (documented divergence in
-    _query_string_pred)."""
+    """Sloppy phrase ``"w1 w2"~N`` with ONE phrase-wide slop budget
+    (exact Lucene budget semantics via _qs_ordered_slop_regex —
+    scan-local rlikes, no tokenizer state).
+
+    Round 11 — out-of-order matching: for phrases of ≤ 4 words, every
+    permutation of the words may match; a permutation σ (the declared
+    index of the word at each document position) first pays its total
+    displacement ``Σ_k |σ[k] - k|`` out of the budget and may spend
+    the remainder on intervening words.  For an adjacent transposition
+    the cost is 2 — Lucene's documented sloppy-phrase transposition
+    cost ("ab"~2 matches "ba"), which this formula generalizes (full
+    3-word reversal costs 4).  Permutations whose residual budget is
+    negative generate no branch, so small slops stay a handful of
+    rlikes.  Phrases of 5+ words match in declared order only — the
+    permutation expansion is capped like the slop expansion bound
+    (documented divergence in _query_string_pred).  Duplicate words
+    make distinct permutations collide on the same regex; branches
+    dedupe on the pattern string."""
+    from itertools import permutations
+
     words = [re.escape(w) for w in phrase.split()]
     if not words:
         raise ValueError("kibana: empty proximity phrase")
     if len(words) == 1:
-        return strcol.contains(phrase.strip())
-    pred = strcol.rlike(_qs_ordered_slop_regex(words, slop))
-    if len(words) == 2 and slop >= 2:
-        pred = pred | strcol.rlike(
-            _qs_ordered_slop_regex([words[1], words[0]], slop - 2)
+        return strcol.rlike(
+            _qs_boundary(_qs_boundary(words[0], "left"), "right")
         )
+    orders: list[tuple[list[str], int]] = [(words, slop)]
+    if len(words) <= 4:
+        for perm in permutations(range(len(words))):
+            cost = sum(abs(src - pos) for pos, src in enumerate(perm))
+            if cost == 0 or cost > slop:
+                continue
+            orders.append(([words[i] for i in perm], slop - cost))
+    seen: set[str] = set()
+    pred = None
+    for seq, budget in orders:
+        pattern = _qs_ordered_slop_regex(seq, budget)
+        if pattern in seen:
+            continue
+        seen.add(pattern)
+        leg = strcol.rlike(pattern)
+        pred = leg if pred is None else (pred | leg)
     return pred
 
 
@@ -1826,7 +1890,9 @@ def _qs_term(term: str, resolve, default_search_field) -> Column:
         m = re.fullmatch(r'"([^"]*)"~(\d*)', term)
         if m:
             return _qs_proximity(strcol, m.group(1), int(m.group(2) or 0))
-        return strcol.contains(term[1:-1])
+        # plain quoted phrase = slop-0 proximity (token boundaries,
+        # round 11 — see _query_string_pred)
+        return _qs_proximity(strcol, term[1:-1], 0)
     field, _, val = term.partition(":")
     col = resolve(field.strip())
     val = val.strip()
@@ -1870,10 +1936,21 @@ def _qs_term(term: str, resolve, default_search_field) -> Column:
                 f"kibana: wildcard inside fuzzy term {term!r} is not "
                 f"valid Lucene syntax"
             )
-        # the threshold form early-exits the edit-distance DP and
-        # returns -1 above the cap — banded O(k·len) per row, not
-        # full quadratic
-        return F.levenshtein(col.cast("string"), F.lit(word), max_edits) >= 0
+        # Restricted Damerau-Levenshtein (round 11) — Lucene's actual
+        # fuzzy metric credits adjacent transpositions.  Cheap legs
+        # first so the O(len²) OSA fold only evaluates on near-miss
+        # rows: a length-difference guard (|Δlen| > k can never match)
+        # then the thresholded JVM levenshtein (banded O(k·len),
+        # early-exits above the cap; lev ≥ osa so a lev hit IS an osa
+        # hit) — codegen short-circuits the disjunction left-to-right.
+        s = col.cast("string")
+        return (
+            (F.abs(F.length(s) - F.lit(len(word))) <= F.lit(max_edits))
+            & (
+                (F.levenshtein(s, F.lit(word), max_edits) >= 0)
+                | (osa_distance(s, F.lit(word)) <= F.lit(max_edits))
+            )
+        )
     if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
         return col.cast("string").startswith(val[:-1])
     if "*" in val or "?" in val:

@@ -69,7 +69,15 @@ NEW_THIS_ROUND: list[str] = [
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
     # (round-11 semantic changes append here as they land:
-    #  kibana_query_string, promql_native_histogram)
+    #  promql_native_histogram)
+    # r11: fuzzy ~N upgraded plain-Levenshtein → restricted
+    # Damerau-Levenshtein (transposition credit, Lucene's metric),
+    # 3+-word proximity gained Lucene's unordered-permutation slop
+    # budget, and phrase/proximity matching now enforces token
+    # boundaries (ADVICE r10) — matches change; two new filter
+    # branches (fuzzy_transposed, prox3) exercise exactly the new
+    # machinery.
+    "kibana_query_string",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
@@ -84,9 +92,14 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # session, re-attested at sf0.1 via tools/check_oracle.py this round,
 # and hash-pinned by the round-11 GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # (round-11 demotions land here with the feature that forces them;
-    #  planned: promql_time_macros, promql_clamp_sort, o4_sort_limit,
+    # (further round-11 demotions land here with the feature that
+    #  forces them; planned: promql_time_macros, promql_clamp_sort,
     #  o1_distinct, doc_fingerprint)
+    # single TakeOrderedAndProject (plan-pinned since r9), code
+    # untouched since its green r9 row; the same sort+limit machinery
+    # runs in-window via kibana_sibling_sort and promql_limit_sample —
+    # demoted for kibana_query_string (changed)
+    "o4_sort_limit",
 ]
 
 WINDOW_PRIORITY = [
@@ -104,7 +117,6 @@ WINDOW_PRIORITY = [
     "a11_percentile",
     "j1_cross_join",
     "o1_distinct",
-    "o4_sort_limit",
     "j2_broadcast_lookup",
     "j3_union_byname",
     "j5_explode_parent_child",

@@ -730,9 +730,19 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kibana_query_string",
     r"""
     WITH d AS (SELECT * FROM documents)
+    -- fuzzy ~1 is restricted Damerau-Levenshtein; at k=1 it is
+    -- EXACTLY levenshtein<=1 OR one-adjacent-transposition-equality
+    -- (a transposition spends the whole budget), so the oracle
+    -- enumerates the three adjacent swaps of the probe
     SELECT 'fuzzy_src' AS qs, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM d WHERE levenshtein(source, 'src5') <= 1
+              OR source IN ('rsc5', 'scr5', 'sr5c')
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'fuzzy_transposed', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE levenshtein(source, 'rsc5') <= 1
+              OR source IN ('src5', 'rcs5', 'rs5c')
     HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'wild_mid', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
@@ -740,8 +750,15 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'prox', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(text, 'data\W+(?:\w+\W+){0,2}window')
-              OR regexp_matches(text, 'window\W+(?:\w+\W+){0,0}data')
+    FROM d WHERE regexp_matches(text, '\bdata\W+(?:\w+\W+){0,2}window\b')
+              OR regexp_matches(text, '\bwindow\W+(?:\w+\W+){0,0}data\b')
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'prox3', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE regexp_matches(text,
+             '(?:\bwindow\W+(?:\w+\W+){0}data\W+(?:\w+\W+){0,2}scan\b|\bwindow\W+(?:\w+\W+){1}data\W+(?:\w+\W+){0,1}scan\b|\bwindow\W+(?:\w+\W+){2}data\W+(?:\w+\W+){0,0}scan\b)')
+              OR regexp_matches(text, '\bwindow\W+(?:\w+\W+){0}scan\W+(?:\w+\W+){0,0}data\b')
+              OR regexp_matches(text, '\bdata\W+(?:\w+\W+){0}window\W+(?:\w+\W+){0,0}scan\b')
     HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'boosted_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
@@ -755,29 +772,39 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The completed Lucene ``query_string`` grammar (round 10) driven
-    end-to-end through a filters-bucket visualization over the
-    documents table: fuzzy (``source: src5~1`` → Levenshtein ≤ 1),
+    """The completed Lucene ``query_string`` grammar (rounds 10-11)
+    driven end-to-end through a filters-bucket visualization over the
+    documents table: fuzzy (``source: src5~1`` → restricted
+    Damerau-Levenshtein ≤ 1, round 11 — ``rsc5~1`` matches ``src5``
+    purely via the transposition credit plain Levenshtein lacks),
     interior wildcard (``source: src*2`` → anchored regex), phrase
-    proximity (``"data window"~2`` → ordered-gap regex plus the
-    slop-2 transposition), a boosted term inside a boolean+range
-    clause (``^2`` parsed and dropped — filters score nothing), and
-    prefix wildcard under parenthesized OR.  Reference parity:
-    ELK dashboards express search-bar filters as query_string inputs
-    (ELK/jmx_dashboard.json filters buckets); this exercises the
-    grammar beyond the corpus subset.
+    proximity with token boundaries and out-of-order permutations
+    (``"data window"~2``, ``"window data scan"~2`` — each permutation
+    pays its displacement, the rest buys gaps), a boosted term inside
+    a boolean+range clause (``^2`` parsed and dropped — filters score
+    nothing), and prefix wildcard under parenthesized OR.  Reference
+    parity: ELK dashboards express search-bar filters as query_string
+    inputs (ELK/jmx_dashboard.json filters buckets); this exercises
+    the grammar beyond the corpus subset.
 
     Scale shape: every predicate compiles to a scan-local JVM
-    expression (levenshtein with an early-exit threshold, rlike,
-    range) — one explode over matched labels, one hash aggregation on
-    the label key; no Python, no second corpus pass.  The twin replays
-    the identical regexes (java.util.regex and RE2 agree on this
-    token subset) and DuckDB's levenshtein."""
+    expression (length guard + thresholded levenshtein short-circuit
+    before the O(len²) OSA fold, rlike, range) — one explode over
+    matched labels, one hash aggregation on the label key; no Python,
+    no second corpus pass.  The twin replays the identical regexes
+    (java.util.regex and RE2 agree on this token subset — ``\\b`` is
+    the same ASCII word boundary in both) and replays fuzzy k=1 via
+    the exact identity: OSA ≤ 1 ⟺ levenshtein ≤ 1 OR the value is one
+    adjacent transposition of the probe (a transposition spends the
+    whole budget, and unlike unrestricted Damerau nothing may land
+    inside the pair)."""
     docs = _t(spark, sf_dir, "documents")
     qs = {
         "fuzzy_src": "source: src5~1",
+        "fuzzy_transposed": "source: rsc5~1",
         "wild_mid": "source: src*2",
         "prox": 'text: "data window"~2',
+        "prox3": 'text: "window data scan"~2',
         "boosted_en": "n_chars: [200 TO 300] AND lang: en^2",
         "complex": "(lang: en OR lang: de) AND source: src1*",
     }

@@ -225,6 +225,8 @@ def test_filters_bucket_membership(docs):
                          "params": {"filters": [
                              {"input": {"query": {"query_string": {"query": "component: broker"}}},
                               "label": "Brokers"},
+                             {"input": {"query": {"query_string": {"query": '"RUNNING"'}}},
+                              "label": "Running"},
                              {"input": {"query": {"query_string": {"query": '"RUN"'}}},
                               "label": "Running-ish"},
                          ]}},
@@ -240,7 +242,11 @@ def test_filters_bucket_membership(docs):
         for r in plan.evaluate(docs, default_search_field="status").collect()
     }
     assert got["brokers"] == 80.0  # broker docs: 10+30+40
-    assert got["running_ish"] == 75.0  # status contains RUN: 10+20+40+5
+    assert got["running"] == 75.0  # whole-token phrase: 10+20+40+5
+    # round 11 (ADVICE r10): phrases match whole tokens, not raw
+    # substrings — '"RUN"' no longer matches 'RUNNING', so its bucket
+    # is empty and emits no row
+    assert "running_ish" not in got
 
 
 def test_terms_order_by_term_asc_size_limit(docs):
@@ -1589,8 +1595,10 @@ def test_query_string_fuzzy_proximity_boost_wildcards(spark):
         return {r["filters_1"]: r["count"] for r in out.collect()}
 
     got = filt([
-        "name: broker~1",     # broker, brokers (1 edit); brokre is 2
-        "name: broker~",      # bare ~ = 2 edits: + brokre
+        "name: broker~1",     # broker, brokers (1 edit), brokre
+                              # (adjacent transposition = 1 edit in
+                              # restricted Damerau-Levenshtein, r11)
+        "name: broker~",      # bare ~ = 2 edits: same three here
         "name: broker~0",     # exact only
         "path: /tmp/*/log",   # interior wildcard, anchored both ends
         "path: /tmp/?/log",   # ? = exactly one char
@@ -1602,7 +1610,7 @@ def test_query_string_fuzzy_proximity_boost_wildcards(spark):
         "name: broker^2",     # boost is scoring-only: plain equality
         'name: broker~1^3',   # boost composes after fuzzy
     ])
-    assert got["f0"] == 2
+    assert got["f0"] == 3
     assert got["f1"] == 3
     assert got["f2"] == 1
     # Lucene * spans ANY characters (including '/'): /tmp/a/log and
@@ -1618,7 +1626,7 @@ def test_query_string_fuzzy_proximity_boost_wildcards(spark):
     assert got["f8"] == 1   # 'disk error'
     assert got["f9"] == 3   # the two f6 rows + the zk row
     assert got["f10"] == 1
-    assert got["f11"] == 2
+    assert got["f11"] == 3  # same set as f0 (boost dropped)
 
     # fuzzy in a significant_terms FOREGROUND (VERDICT r9 item 5): the
     # ~1 matches FAILED and FAILeD but not FINE, so the foreground set
@@ -1750,3 +1758,95 @@ def test_proximity_slop_bound_and_duplicate_rank_values(spark):
     out = compile_visualization(_vis8(aggs)).evaluate(df).collect()[0]
     assert out["pr_r2"] == pytest.approx(100.0)
     assert out["pr_r3"] == pytest.approx(100.0)
+
+
+def test_fuzzy_damerau_transpositions(spark):
+    """Round 11 (VERDICT r10 item 3): fuzzy ``~N`` is restricted
+    Damerau-Levenshtein — an adjacent transposition costs 1 edit, like
+    Lucene's fuzzy automata, and unlike both plain Levenshtein (cost
+    2) and UNRESTRICTED Damerau-Levenshtein (which lets another edit
+    land inside the transposed pair)."""
+    rows = [("ba",), ("abc",), ("ab",), ("ca",), ("acb",), ("bca",)]
+    df = spark.createDataFrame(rows, "name string")
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+
+    def names(q):
+        pred = _query_string_pred(q, _default_resolver(df), df, None)
+        return {r["name"] for r in df.filter(pred).collect()}
+
+    # one transposition
+    assert names("name: ab~1") == {"ab", "ba", "abc", "acb"}
+    #   ab~1: 'abc' insert (1), 'ba' transpose (1), 'acb' insert 'c'
+    #   between? a_b -> acb is one insertion (1) — yes; 'ca' is 2+
+    # the restricted corner: OSA('ca','abc') = 3, unrestricted DL = 2 —
+    # Lucene (and this engine) must NOT match at ~2
+    assert "abc" not in names("name: ca~2")
+    # two disjoint transpositions cost 2
+    df2 = spark.createDataFrame([("badc",), ("abcd",)], "name string")
+    pred = _query_string_pred(
+        "name: abcd~2", _default_resolver(df2), df2, None
+    )
+    assert {r["name"] for r in df2.filter(pred).collect()} == {"abcd", "badc"}
+
+
+def test_proximity_token_boundaries(spark):
+    """ADVICE r10: phrase and proximity words must match whole tokens —
+    'msg: "error disk"~1' must not match 'terror disk', and plain
+    phrases must not match inside longer words."""
+    rows = [
+        (1, "terror disk"),
+        (2, "error disk"),
+        (3, "error on disk"),
+        (4, "diskerror"),
+        (5, "the error disks"),
+    ]
+    df = spark.createDataFrame(rows, "id int, msg string")
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+
+    def ids(q):
+        pred = _query_string_pred(q, _default_resolver(df), df, "msg")
+        return {r["id"] for r in df.filter(pred).collect()}
+
+    assert ids('msg: "error disk"~1') == {2, 3}
+    assert ids('"error disk"') == {2}        # bare phrase, slop 0
+    assert ids('"disk"') == {1, 2, 3}        # not diskerror / disks
+
+
+def test_proximity_unordered_permutations(spark):
+    """Round 11 (VERDICT r10 item 4): Lucene slop permits reordering —
+    a permutation costs its total displacement (adjacent transposition
+    = 2, Lucene's documented cost) and spends the rest on gaps."""
+    rows = [
+        (1, "a b c"),
+        (2, "b a c"),    # one adjacent swap: cost 2
+        (3, "c b a"),    # full reversal: cost 4
+        (4, "b x a c"),  # swap (2) + one intervening word (1)
+        (5, "c a b"),    # rotation: displacement |2-0|+|0-1|+|1-2| = 4
+        (6, "a c x b"),  # swap of b,c (2) + gap before b (1)
+    ]
+    df = spark.createDataFrame(rows, "id int, msg string")
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+
+    def ids(q):
+        pred = _query_string_pred(q, _default_resolver(df), df, "msg")
+        return {r["id"] for r in df.filter(pred).collect()}
+
+    assert ids('msg: "a b c"~0') == {1}
+    assert ids('msg: "a b c"~2') == {1, 2}
+    assert ids('msg: "a b c"~3') == {1, 2, 4, 6}
+    assert ids('msg: "a b c"~4') == {1, 2, 3, 4, 5, 6}
+    # 4-word phrases still enumerate; 5+ fall back to declared order
+    df5 = spark.createDataFrame(
+        [(1, "e d c b a"), (2, "a b c d e"), (3, "a x b c d e")],
+        "id int, msg string",
+    )
+    pred = _query_string_pred(
+        'msg: "a b c d e"~3', _default_resolver(df5), df5, "msg"
+    )
+    assert {r["id"] for r in df5.filter(pred).collect()} == {2, 3}

@@ -70,3 +70,55 @@ def test_objectname_value_containing_equals(spark):
     split('=', 1) (Code/JMXScraper.py:113-115)."""
     props = _one(spark, "d:k1=v1=extra,k2=v2", objectname_props)
     assert props == {"k1": "v1=extra", "k2": "v2"}
+
+
+def _osa_ref(a: str, b: str) -> int:
+    """Reference optimal-string-alignment DP (restricted
+    Damerau-Levenshtein), straight from the textbook recurrence."""
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[n][m]
+
+
+def test_osa_distance_differential(spark):
+    """The Catalyst nested-fold OSA (functions.scalars.osa_distance)
+    must agree with the reference DP on an adversarial corpus:
+    transpositions, edits inside transposed pairs (the restricted-DL
+    corner where unrestricted Damerau differs), repeats, and empties.
+    One Spark job for the whole grid keeps this fast."""
+    import itertools
+
+    from kafka_metrics_exporter_spark.functions.scalars import osa_distance
+
+    alphabet = "abc"
+    strings = [""] + [
+        "".join(t)
+        for n in (1, 2, 3, 4)
+        for t in itertools.product(alphabet, repeat=n)
+    ]
+    # full 121²-pair grid is overkill; take a deterministic slice plus
+    # the known corner cases
+    pairs = [(x, y) for x in strings[::3] for y in strings[::5]]
+    pairs += [("ca", "abc"), ("ab", "ba"), ("abcd", "badc"),
+              ("aa", "aa"), ("abab", "baba"), ("xy", "yx")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select("a", "b", osa_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    for r in got:
+        assert r["d"] == _osa_ref(r["a"], r["b"]), (r["a"], r["b"], r["d"])
