@@ -68,8 +68,15 @@ NEW_THIS_ROUND: list[str] = [
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
-    # (round-11 semantic changes append here as they land:
-    #  promql_native_histogram)
+    # r11: native-histogram schema completed with negative-observation
+    # buckets (builder + every hist_* consumer walks ONE unified
+    # value-ascending span list with the promql/quantile.go
+    # zero-bucket bound adjustment, now applied to fraction too), and
+    # mixed scalar+histogram frames drop non-histogram samples from
+    # hist_* functions (ADVICE r10) — values change; the registry
+    # query negates every third user's observations so all three
+    # bucket regions populate, and gains a negative-range fraction.
+    "promql_native_histogram",
     # r11: fuzzy ~N upgraded plain-Levenshtein → restricted
     # Damerau-Levenshtein (transposition credit, Lucene's metric),
     # 3+-word proximity gained Lucene's unordered-permutation slop
@@ -94,7 +101,11 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 STALE_OUT_OF_WINDOW: list[str] = [
     # (further round-11 demotions land here with the feature that
     #  forces them; planned: promql_time_macros, promql_clamp_sort,
-    #  o1_distinct, doc_fingerprint)
+    #  doc_fingerprint)
+    # single distinct(); the same HashAggregate-dedup exchange shape
+    # runs in-window via dedup_url (distinct-based) and o5_intersect —
+    # demoted for promql_native_histogram (changed)
+    "o1_distinct",
     # single TakeOrderedAndProject (plan-pinned since r9), code
     # untouched since its green r9 row; the same sort+limit machinery
     # runs in-window via kibana_sibling_sort and promql_limit_sample —
@@ -116,7 +127,6 @@ WINDOW_PRIORITY = [
     "a7_multikey_drilldown",
     "a11_percentile",
     "j1_cross_join",
-    "o1_distinct",
     "j2_broadcast_lookup",
     "j3_union_byname",
     "j5_explode_parent_child",

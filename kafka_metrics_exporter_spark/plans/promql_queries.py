@@ -1533,79 +1533,103 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH b AS (
       SELECT event_type AS etype, date_trunc('day', ts) AS ts,
-             CASE WHEN value > 0.1 THEN CAST(ceil(log2(value)) AS INT) END
-               AS idx,
-             value
+             CASE WHEN user_id % 3 = 0 THEN -value ELSE value END AS v
       FROM events
     ),
+    cls AS (
+      SELECT etype, ts, v,
+             CASE WHEN v > 0.1 THEN 1 WHEN v >= -0.1 THEN 0 ELSE -1 END AS sgn,
+             CASE WHEN v > 0.1 THEN CAST(ceil(log2(v)) AS INT)
+                  WHEN v < -0.1 THEN CAST(ceil(log2(-v)) AS INT) END AS idx
+      FROM b
+    ),
     per AS (
-      SELECT etype, ts, idx, CAST(COUNT(*) AS DOUBLE) AS c,
-             SUM(CAST(floor(value * 100000000.0 + 0.5) AS BIGINT)) AS sv
-      FROM b GROUP BY 1, 2, 3
+      SELECT etype, ts, sgn, idx, CAST(COUNT(*) AS DOUBLE) AS c,
+             SUM(CAST(floor(v * 100000000.0 + 0.5) AS BIGINT)) AS sv
+      FROM cls GROUP BY 1, 2, 3, 4
     ),
     cell AS (
       SELECT etype, ts, SUM(c) AS cnt,
              CAST(SUM(sv) AS DOUBLE) / 100000000.0 AS vsum,
-             SUM(CASE WHEN idx IS NULL THEN c ELSE 0 END) AS zc
+             SUM(CASE WHEN sgn = 0 THEN c ELSE 0 END) AS zc,
+             BOOL_OR(sgn = 1) AS has_pos,
+             BOOL_OR(sgn = -1) AS has_neg
       FROM per GROUP BY 1, 2
     ),
-    pos AS (
-      SELECT p.etype, p.ts, p.idx, p.c,
-             power(2.0, p.idx) AS upper,
-             greatest(power(2.0, p.idx - 1), 0.1) AS lower,
-             cell.zc + SUM(p.c) OVER w - p.c AS cum_prev,
-             0.9 * cell.cnt AS rank
+    -- ONE value-ascending span list per cell: negative buckets in
+    -- reverse idx order (bound nearest zero clamped to -zt), the zero
+    -- bucket with the promql/quantile.go bound adjustment, positive
+    -- buckets (lower clamped to zt) — the engine's _bucket_spans
+    spans AS (
+      SELECT p.etype, p.ts, p.c, p.sgn,
+             CASE WHEN p.sgn = -1 THEN -p.idx ELSE COALESCE(p.idx, 0) END AS ok,
+             CASE WHEN p.sgn = -1 THEN -power(2.0, p.idx)
+                  WHEN p.sgn = 0 THEN
+                    CASE WHEN NOT cell.has_neg AND cell.has_pos
+                         THEN 0.0 ELSE -0.1 END
+                  ELSE greatest(power(2.0, p.idx - 1), 0.1) END AS lo,
+             CASE WHEN p.sgn = -1 THEN least(-power(2.0, p.idx - 1), -0.1)
+                  WHEN p.sgn = 0 THEN
+                    CASE WHEN NOT cell.has_pos AND cell.has_neg
+                         THEN 0.0 ELSE 0.1 END
+                  ELSE power(2.0, p.idx) END AS hi
       FROM per p JOIN cell USING (etype, ts)
-      WHERE p.idx IS NOT NULL
-      WINDOW w AS (PARTITION BY p.etype, p.ts ORDER BY p.idx)
+    ),
+    walk AS (
+      SELECT s.etype, s.ts, s.lo, s.hi, s.c, s.sgn, s.ok,
+             COALESCE(SUM(s.c) OVER w, 0) - s.c AS cum_prev,
+             0.9 * cell.cnt AS rank
+      FROM spans s JOIN cell USING (etype, ts)
+      WINDOW w AS (PARTITION BY s.etype, s.ts ORDER BY s.sgn, s.ok)
     ),
     pick AS (
       SELECT etype, ts,
-             lower + (upper - lower) * (rank - cum_prev) / c AS qv
-      FROM pos
-      WHERE cum_prev + c >= rank AND cum_prev < rank
-      QUALIFY row_number() OVER (PARTITION BY etype, ts ORDER BY idx) = 1
+             lo + (hi - lo) * (rank - cum_prev) / c AS qv
+      FROM walk
+      WHERE c > 0 AND cum_prev + c >= rank
+      QUALIFY row_number() OVER (PARTITION BY etype, ts
+                                 ORDER BY sgn, ok) = 1
     ),
     frac AS (
       SELECT etype, ts,
              CAST(SUM(CAST(floor(
-               greatest(0.0, least(64.0, upper) - greatest(1.0, lower))
-                 / (upper - lower) * c * 100000000.0 + 0.5) AS BIGINT))
-               AS DOUBLE) / 100000000.0 AS inside
-      FROM pos GROUP BY 1, 2
+               greatest(0.0, least(64.0, hi) - greatest(1.0, lo))
+                 / (hi - lo) * c * 100000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100000000.0 AS inside_pos,
+             CAST(SUM(CAST(floor(
+               greatest(0.0, least(-1.0, hi) - greatest(-64.0, lo))
+                 / (hi - lo) * c * 100000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100000000.0 AS inside_neg
+      FROM spans GROUP BY 1, 2
     ),
     stdv AS (
       -- Prometheus funcHistogramStdDev: observations at the bucket's
-      -- GEOMETRIC midpoint (0 for the zero bucket); accumulated in idx
-      -- order via list_reduce to mirror the engine's fold order
-      SELECT p.etype, p.ts,
+      -- GEOMETRIC midpoint (negated on the negative side, 0 for the
+      -- zero-straddling bucket); accumulated in span order via
+      -- list_reduce to mirror the engine's fold order
+      SELECT s.etype, s.ts,
              list_reduce(
-               list_prepend(
-                 cell.zc * (0.0 - cell.vsum / cell.cnt)
-                         * (0.0 - cell.vsum / cell.cnt),
-                 list(p.c
-                      * (sqrt(power(2.0, p.idx) * power(2.0, p.idx - 1))
-                           - cell.vsum / cell.cnt)
-                      * (sqrt(power(2.0, p.idx) * power(2.0, p.idx - 1))
-                           - cell.vsum / cell.cnt)
-                      ORDER BY p.idx)),
+               list_prepend(0.0,
+                 list(s.c
+                      * (CASE WHEN s.hi <= 0 THEN -sqrt(s.lo * s.hi)
+                              WHEN s.lo >= 0 THEN sqrt(s.lo * s.hi)
+                              ELSE 0.0 END - cell.vsum / cell.cnt)
+                      * (CASE WHEN s.hi <= 0 THEN -sqrt(s.lo * s.hi)
+                              WHEN s.lo >= 0 THEN sqrt(s.lo * s.hi)
+                              ELSE 0.0 END - cell.vsum / cell.cnt)
+                      ORDER BY s.sgn, s.ok)),
                (a, b) -> a + b) / cell.cnt AS stdvar
-      FROM per p JOIN cell USING (etype, ts)
-      WHERE p.idx IS NOT NULL
-      GROUP BY p.etype, p.ts, cell.zc, cell.vsum, cell.cnt
+      FROM spans s JOIN cell USING (etype, ts)
+      GROUP BY s.etype, s.ts, cell.vsum, cell.cnt
     )
     SELECT cell.etype,
            strftime(cell.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            cell.cnt AS n_obs,
            cell.vsum / cell.cnt AS avg_v,
-           CASE WHEN 0.9 * cell.cnt <= cell.zc AND cell.zc > 0
-                THEN 0.1 * (0.9 * cell.cnt) / cell.zc
-                ELSE pick.qv END AS q90,
-           COALESCE(frac.inside, 0.0) / cell.cnt AS frac_1_64,
-           sqrt(COALESCE(stdv.stdvar,
-                         cell.zc * (0.0 - cell.vsum / cell.cnt)
-                                 * (0.0 - cell.vsum / cell.cnt)
-                           / cell.cnt)) AS stddev_v
+           pick.qv AS q90,
+           frac.inside_pos / cell.cnt AS frac_1_64,
+           frac.inside_neg / cell.cnt AS frac_neg,
+           sqrt(stdv.stdvar) AS stddev_v
     FROM cell
     LEFT JOIN pick USING (etype, ts)
     LEFT JOIN frac USING (etype, ts)
@@ -1613,36 +1637,46 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prometheus 3.x native histograms end-to-end (VERDICT r9 item 4):
-    events roll up into one sparse-exponential-bucket histogram SAMPLE
-    per (event_type, day) — schema 0, zero_threshold 0.1, so the
-    0.01-valued observations exercise the zero bucket — and the
-    native-histogram PromQL functions evaluate over the sketch through
-    the real front end: histogram_count, histogram_avg (sum/count),
+    """Prometheus 3.x native histograms end-to-end, FULL schema
+    (VERDICT r9 item 4; negative buckets round 11): events roll up
+    into one sparse-exponential-bucket histogram SAMPLE per
+    (event_type, day) — schema 0, zero_threshold 0.1, and every third
+    user's observations NEGATED so all three bucket regions populate
+    (negative buckets, the zero bucket via the 0.01-valued
+    observations, positive buckets) — and the native-histogram PromQL
+    functions evaluate over the sketch through the real front end:
+    histogram_count, histogram_avg (sum/count),
     histogram_quantile(0.9, ·) dispatched on the `hist` column (the
     same function name serves classic `le` series elsewhere in the
-    suite), histogram_fraction(1, 64, ·), and histogram_stddev
-    (geometric-midpoint estimator, funcHistogramStdDev).
+    suite), histogram_fraction over a positive range (1, 64) AND a
+    negative range (-64, -1), and histogram_stddev
+    (geometric-midpoint estimator, negated on the negative side).
 
     Scale shape: the builder is two hash aggregations (obs →
-    (cell, idx) counts → per-cell arrays); every function is a
-    scan-local F.aggregate fold over the row's own bucket arrays —
-    zero additional shuffles, no Python.  The four evaluations share
-    one persisted sketch table; the twin re-derives the same math
-    relationally (window cumulative + crossing-bucket interpolation).
+    (cell, sign, idx) counts → per-cell arrays); every function is a
+    scan-local F.aggregate fold over the row's own unified
+    value-ascending span list (_bucket_spans — negative buckets
+    reversed, zero-bucket bounds per promql/quantile.go, positive
+    buckets) — zero additional shuffles, no Python.  The five
+    evaluations share one persisted sketch table; the twin re-derives
+    the identical span list relationally (window cumulative +
+    crossing-span interpolation over the same ordering key).
     Determinism: integral bucket counts, pow(2, int) bounds, fold in
-    idx order on both engines, fraction contributions quantized to 8
+    span order on both engines, fraction contributions quantized to 8
     decimals before the order-independent integer sum."""
     from kafka_metrics_exporter_spark.promql.native_hist import (
         native_histogram_table,
     )
 
     ev = _t(spark, sf_dir, "events")
+    signed = F.when(
+        (F.col("user_id") % 3) == 0, -F.col("value")
+    ).otherwise(F.col("value"))
     samples = ev.select(
         F.lit("jmx_latency").alias("name"),
         F.col("event_type").alias("etype"),
         F.date_trunc("day", F.col("ts")).alias("ts"),
-        "value",
+        signed.alias("value"),
     )
     ht = native_histogram_table(
         samples, ["name", "etype"], zero_threshold=0.1
@@ -1652,6 +1686,7 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_v": "histogram_avg(jmx_latency)",
         "q90": "histogram_quantile(0.9, jmx_latency)",
         "frac_1_64": "histogram_fraction(1, 64, jmx_latency)",
+        "frac_neg": "histogram_fraction(-64, -1, jmx_latency)",
         "stddev_v": "histogram_stddev(jmx_latency)",
     }
     out = None
@@ -1665,6 +1700,6 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.select(
         "etype",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
-        "n_obs", "avg_v", "q90", "frac_1_64", "stddev_v",
+        "n_obs", "avg_v", "q90", "frac_1_64", "frac_neg", "stddev_v",
     )
     return _finish_cached(out, ht)

@@ -1107,9 +1107,15 @@ def _eval_histogram_quantile(
             )
 
             out_labels = sorted(vec.labels)
-            picked = vec.df.withColumn(
-                "value", hist_quantile(F.col(_HIST_COL), node.phi)
-            ).select(*out_labels, "ts", "value")
+            # a mixed scalar+histogram frame carries NULL hist payloads
+            # on the scalar rows — Prometheus drops non-histogram
+            # samples from histogram_* functions (ADVICE r10), it does
+            # not emit NULL-valued rows for them
+            picked = (
+                vec.df.filter(F.col(_HIST_COL).isNotNull())
+                .withColumn("value", hist_quantile(F.col(_HIST_COL), node.phi))
+                .select(*out_labels, "ts", "value")
+            )
             return _Vec(picked, frozenset(out_labels))
         raise ValueError(
             "promql: histogram_quantile needs an `le` label (classic "
@@ -1184,7 +1190,14 @@ def _eval_histogram_fn(
             "stdvar": nh.hist_stdvar,
         }[node.fn](h)
     out_labels = sorted(vec.labels)
-    df = vec.df.withColumn("value", value).select(*out_labels, "ts", "value")
+    # drop non-histogram samples (NULL hist payload in a mixed frame)
+    # instead of emitting NULL-value rows — Prometheus's per-sample
+    # dispatch (ADVICE r10), mirroring _eval_rate's split
+    df = (
+        vec.df.filter(h.isNotNull())
+        .withColumn("value", value)
+        .select(*out_labels, "ts", "value")
+    )
     return _Vec(df, frozenset(out_labels))
 
 

@@ -1,11 +1,11 @@
-"""Prometheus 3.x native histograms (VERDICT r9 item 4): the
-sparse-exponential-bucket histogram type and the PromQL functions that
-consume it — ``histogram_count`` / ``histogram_sum`` /
-``histogram_avg`` / ``histogram_stddev`` / ``histogram_stdvar`` /
-``histogram_fraction(lo, hi, v)``, the native-schema branch of
-``histogram_quantile(φ, v)``, and the sketch arithmetic behind
-``rate()``/``increase()``/``delta()`` over histogram series
-(``hist_delta`` — the result is again a histogram sample, so
+"""Prometheus 3.x native histograms (VERDICT r9 item 4; negative
+buckets completed round 11): the sparse-exponential-bucket histogram
+type and the PromQL functions that consume it — ``histogram_count`` /
+``histogram_sum`` / ``histogram_avg`` / ``histogram_stddev`` /
+``histogram_stdvar`` / ``histogram_fraction(lo, hi, v)``, the
+native-schema branch of ``histogram_quantile(φ, v)``, and the sketch
+arithmetic behind ``rate()``/``increase()``/``delta()`` over histogram
+series (``hist_delta`` — the result is again a histogram sample, so
 ``histogram_quantile(0.9, rate(m[5m]))`` composes).
 
 Representation.  A native-histogram sample is ONE row whose ``hist``
@@ -14,31 +14,40 @@ bucket, the classic encoding the engine already supports):
 
     hist: struct<count double, sum double,
                  zero_count double, zero_threshold double,
-                 schema int, idx array<int>, cnt array<double>>
+                 schema int, idx array<int>, cnt array<double>,
+                 nidx array<int>, ncnt array<double>>
 
-Bucket ``i`` covers ``(base^(i-1), base^i]`` with ``base =
+Positive bucket ``i`` covers ``(base^(i-1), base^i]`` and negative
+bucket ``i`` covers ``[-base^i, -base^(i-1))`` with ``base =
 2^(2^-schema)`` — the exponential mapping from the Prometheus native
 histogram spec (prometheus/prometheus model/histogram/*.go).  The
-arrays are sparse (populated buckets only) and sorted by ``idx``.
+arrays are sparse (populated buckets only) and sorted by ``idx``;
+``nidx`` ascending means ascending MAGNITUDE, so value-ascending walks
+traverse the negative arrays in reverse.
 
-Supported subset, pinned loudly:
+Semantics, pinned loudly:
 
-- POSITIVE buckets + the zero bucket.  Observations below
-  ``-zero_threshold`` would need the negative-bucket arrays; the
-  builder raises on them (raise_error inside the ordered when-chain).
-- The zero bucket counts observations with ``|v| <= zero_threshold``
-  and interpolates linearly over ``[-zt, zt]`` (quantile from 0 for
-  positive-only data).
+- The full 3.x observation domain: negative buckets, the zero bucket
+  (``|v| <= zero_threshold``), and positive buckets.  Every consuming
+  function walks ONE unified value-ascending span list
+  (``_bucket_spans``), mirroring FloatHistogram.AllBucketIterator.
+- Zero-bucket bounds follow promql/quantile.go exactly: nominally
+  ``[-zt, zt]``; clamped to ``[0, zt]`` when the sample has positive
+  but no negative buckets, to ``[-zt, 0]`` when it has negative but no
+  positive buckets (both quantile AND fraction — Prometheus applies
+  the same adjustment in histogramQuantile and histogramFraction).
 - Within-bucket LINEAR interpolation for quantile and fraction, with
-  the lowest populated bucket's effective lower bound clamped to the
-  zero threshold — the promql/quantile.go rules for classic buckets
-  carried to the exponential mapping.
+  the populated bound nearest zero clamped to ±zero_threshold — the
+  promql/quantile.go rules carried to the exponential mapping.
+- stddev/stdvar assume each observation at its bucket's GEOMETRIC
+  midpoint (negated on the negative side, 0 for a zero-straddling
+  bucket), per funcHistogramStdDev.
 
 Scale shape: the builder is two hash aggregations (events →
-(series, ts, idx) counts → per-cell arrays); every consuming function
-is a pure fold (F.aggregate) over the row's own bucket arrays —
-scan-local, zero shuffles, no Python.  Cross-engine determinism: the
-fold walks buckets in idx order on both engines, bucket bounds are
+(series, ts, sign, idx) counts → per-cell arrays); every consuming
+function is a pure fold (F.aggregate) over the row's own bucket arrays
+— scan-local, zero shuffles, no Python.  Cross-engine determinism: the
+fold walks spans in value order on both engines, bucket bounds are
 ``pow(2, int)`` (exact), counts are integral doubles, and fraction
 contributions are quantized to 8 decimals before the order-independent
 integer sum (the _lsum rule from plans/queries.py).
@@ -75,59 +84,70 @@ def native_histogram_table(
     """Roll raw observations up into one native-histogram sample per
     (series, instant) cell — the ingestion side of Prometheus 3.x
     native histograms (a scrape produces one histogram sample, not one
-    series per bucket).
+    series per bucket).  Observations above ``zero_threshold`` land in
+    positive buckets, below ``-zero_threshold`` in negative buckets
+    (round 11 — the builder previously raised on them), the rest in
+    the zero bucket.
 
     ``sum`` accumulates via the scaled-integer quantization
     (``floor(v·1e8 + 0.5)`` summed exactly, then descaled) so the
     field is identical across engines and partitionings regardless of
     float-add order.  KNOWN LIMIT: the per-row floor saturates at the
-    64-bit boundary, so observations above ~9.2e10 corrupt ``sum``
+    64-bit boundary, so observations beyond ~±9.2e10 corrupt ``sum``
     (count/quantile/fraction stay exact at any magnitude — the bucket
     index is logarithmic); metrics-domain values are orders of
     magnitude below this."""
     v = F.col(value_col)
     factor = float(2**schema)
-    idx = F.ceil(F.log2(v) * F.lit(factor)).cast("int")
     zt = float(zero_threshold)
     # NULL and NaN observations DROP (unparseable/poisoned scrape
-    # samples); without this filter they fall through the when-chain —
-    # NULL into the misleading negative-bucket raise, NaN into the
-    # positive branch where ceil(log2(NaN)) hits an ANSI cast error
-    # (code-review r10 twice).  KNOWN DIVERGENCE: Prometheus keeps a
-    # NaN observation in count and poisons sum — the exact-integral
-    # sum representation here cannot carry a NaN, so the sample drops
-    # whole instead.
+    # samples); without this filter they fall through the when-chain
+    # into the positive branch where ceil(log2(NaN)) hits an ANSI cast
+    # error (code-review r10 twice).  KNOWN DIVERGENCE: Prometheus
+    # keeps a NaN observation in count and poisons sum — the
+    # exact-integral sum representation here cannot carry a NaN, so
+    # the sample drops whole instead.
     df = df.filter(v.isNotNull() & ~F.isnan(v))
+    sign = (
+        F.when(v > F.lit(zt), F.lit(1))
+        .when(v >= F.lit(-zt), F.lit(0))
+        .otherwise(F.lit(-1))
+    )
     bucket = (
-        F.when(v > F.lit(zt), idx)
+        F.when(v > F.lit(zt), F.ceil(F.log2(v) * F.lit(factor)).cast("int"))
         .when(v >= F.lit(-zt), F.lit(None).cast("int"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "native_histogram_table: observations below "
-                    "-zero_threshold need negative buckets (unsupported)"
-                )
-            ).cast("int")
-        )
+        .otherwise(F.ceil(F.log2(-v) * F.lit(factor)).cast("int"))
     )
     scaled = F.floor(v * F.lit(1e8) + F.lit(0.5)).cast("decimal(38,0)")
     per_idx = (
-        df.select(*series_cols, F.col(ts_col).alias("ts"), bucket.alias("__idx"), scaled.alias("__sv"))
-        .groupBy(*series_cols, "ts", "__idx")
+        df.select(
+            *series_cols,
+            F.col(ts_col).alias("ts"),
+            sign.alias("__sgn"),
+            bucket.alias("__idx"),
+            scaled.alias("__sv"),
+        )
+        .groupBy(*series_cols, "ts", "__sgn", "__idx")
         .agg(
             F.count(F.lit(1)).cast("double").alias("__c"),
             F.sum("__sv").alias("__s"),
         )
     )
-    zero_cnt = F.sum(F.when(F.col("__idx").isNull(), F.col("__c")).otherwise(F.lit(0.0)))
-    pos = F.sort_array(
-        F.collect_list(
-            F.when(
-                F.col("__idx").isNotNull(),
-                F.struct(F.col("__idx").alias("i"), F.col("__c").alias("c")),
+    zero_cnt = F.sum(
+        F.when(F.col("__sgn") == 0, F.col("__c")).otherwise(F.lit(0.0))
+    )
+
+    def side(sgn: int) -> Column:
+        return F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__sgn") == sgn,
+                    F.struct(F.col("__idx").alias("i"), F.col("__c").alias("c")),
+                )
             )
         )
-    )
+
+    pos, neg = side(1), side(-1)
     return per_idx.groupBy(*series_cols, "ts").agg(
         F.struct(
             F.sum("__c").alias("count"),
@@ -137,6 +157,8 @@ def native_histogram_table(
             F.lit(int(schema)).alias("schema"),
             F.transform(pos, lambda s: s["i"]).alias("idx"),
             F.transform(pos, lambda s: s["c"]).alias("cnt"),
+            F.transform(neg, lambda s: s["i"]).alias("nidx"),
+            F.transform(neg, lambda s: s["c"]).alias("ncnt"),
         ).alias(HIST_COL)
     )
 
@@ -153,43 +175,75 @@ def hist_avg(h: Column) -> Column:
     return F.when(h["count"] > 0, h["sum"] / h["count"])
 
 
+def _bucket_spans(h: Column) -> Column:
+    """The sample's buckets as ONE value-ascending array of
+    ``struct<lo double, hi double, c double>`` — negative buckets in
+    reverse idx order (most negative first, bound nearest zero clamped
+    to ``-zt``), then the zero bucket with the promql/quantile.go
+    bound adjustment, then positive buckets (lower bound clamped to
+    ``zt``).  This mirrors FloatHistogram.AllBucketIterator, so every
+    consuming function is one uniform fold."""
+    zt = h["zero_threshold"].cast("double")
+    zc = h["zero_count"].cast("double")
+    has_pos = F.size(h["idx"]) > 0
+    has_neg = F.size(h["nidx"]) > 0
+    neg = F.transform(
+        F.reverse(F.arrays_zip(h["nidx"].alias("i"), h["ncnt"].alias("c"))),
+        lambda b: F.struct(
+            (-_pow2(b["i"], h["schema"])).alias("lo"),
+            F.least(-_pow2(b["i"] - 1, h["schema"]), -zt).alias("hi"),
+            b["c"].cast("double").alias("c"),
+        ),
+    )
+    z_lo = F.when(~has_neg & has_pos, F.lit(0.0)).otherwise(-zt)
+    z_hi = F.when(~has_pos & has_neg, F.lit(0.0)).otherwise(zt)
+    zero = F.when(
+        zc > 0,
+        F.array(F.struct(z_lo.alias("lo"), z_hi.alias("hi"), zc.alias("c"))),
+    ).otherwise(F.array().cast("array<struct<lo:double,hi:double,c:double>>"))
+    pos = F.transform(
+        F.arrays_zip(h["idx"].alias("i"), h["cnt"].alias("c")),
+        lambda b: F.struct(
+            F.greatest(_pow2(b["i"] - 1, h["schema"]), zt).alias("lo"),
+            _pow2(b["i"], h["schema"]).alias("hi"),
+            b["c"].cast("double").alias("c"),
+        ),
+    )
+    return F.concat(neg, zero, pos)
+
+
 def hist_quantile(h: Column, phi: float) -> Column:
-    """Native-schema histogram_quantile: rank = φ·count walks the zero
-    bucket then the positive buckets in idx order; linear interpolation
-    inside the crossing bucket, with the bucket's effective lower bound
-    clamped to the zero threshold.  φ outside [0, 1] returns ±Inf like
-    Prometheus; an empty histogram returns NULL."""
+    """Native-schema histogram_quantile: rank = φ·count walks the
+    unified span list (negative → zero → positive, value-ascending);
+    linear interpolation inside the crossing span.  φ outside [0, 1]
+    returns ±Inf like Prometheus; an empty histogram returns NULL."""
     if phi < 0:
         return F.lit(float("-inf"))
     if phi > 1:
         return F.lit(float("inf"))
-    count, zc, zt = h["count"], h["zero_count"], h["zero_threshold"]
+    count = h["count"]
     rank = F.lit(float(phi)) * count
-    q0 = F.when(
-        (zc > 0) & (rank <= zc),
-        zt * rank / zc,
-    ).cast("double")
     init = F.struct(
-        zc.cast("double").alias("cum"),
-        q0.alias("q"),
-        zt.cast("double").alias("lu"),  # running highest upper bound
+        F.lit(0.0).alias("cum"),
+        F.lit(None).cast("double").alias("q"),
+        F.lit(None).cast("double").alias("lu"),  # running highest upper
     )
-    pairs = F.arrays_zip(h["idx"].alias("i"), h["cnt"].alias("c"))
 
     def step(acc, b):
-        upper = _pow2(b["i"], h["schema"])
-        lower = F.greatest(_pow2(b["i"] - 1, h["schema"]), zt)
         hit = acc["q"].isNull() & (b["c"] > 0) & (acc["cum"] + b["c"] >= rank)
         q = F.when(
-            hit, lower + (upper - lower) * (rank - acc["cum"]) / b["c"]
+            hit,
+            b["lo"] + (b["hi"] - b["lo"]) * (rank - acc["cum"]) / b["c"],
         ).otherwise(acc["q"])
         return F.struct(
             (acc["cum"] + b["c"]).alias("cum"),
             q.alias("q"),
-            F.greatest(acc["lu"], upper).alias("lu"),
+            F.when(b["c"] > 0, F.greatest(F.coalesce(acc["lu"], b["hi"]), b["hi"]))
+            .otherwise(acc["lu"])
+            .alias("lu"),
         )
 
-    folded = F.aggregate(pairs, init, step)
+    folded = F.aggregate(_bucket_spans(h), init, step)
     return F.when(count > 0, F.coalesce(folded["q"], folded["lu"]))
 
 
@@ -197,20 +251,25 @@ def hist_stdvar(h: Column) -> Column:
     """histogram_stdvar: Prometheus's native-histogram variance
     estimator (promql/functions.go funcHistogramStdDev/StdVar) — every
     observation in a bucket is assumed at the bucket's GEOMETRIC
-    midpoint ``sqrt(lower·upper)`` (0 for the zero bucket), variance =
-    Σ cnt·(mid − mean)² / count.  Prometheus Kahan-sums the
-    accumulation; this fold adds in idx order — the same order the
-    oracle twin replays, so results are engine-identical (and within
-    float error of Kahan on metric-sized histograms)."""
-    count, zc, mean = h["count"], h["zero_count"], h["sum"] / h["count"]
-    pairs = F.arrays_zip(h["idx"].alias("i"), h["cnt"].alias("c"))
-    zero_term = zc * (F.lit(0.0) - mean) * (F.lit(0.0) - mean)
+    midpoint ``sqrt(lower·upper)``, negated on the negative side and 0
+    for a zero-straddling bucket, variance = Σ cnt·(mid − mean)² /
+    count.  Prometheus Kahan-sums the accumulation; this fold adds in
+    value order — the same order the oracle twin replays, so results
+    are engine-identical (and within float error of Kahan on
+    metric-sized histograms)."""
+    count, mean = h["count"], h["sum"] / h["count"]
 
     def step(acc, b):
-        mid = F.sqrt(_pow2(b["i"], h["schema"]) * _pow2(b["i"] - 1, h["schema"]))
+        mid = (
+            F.when(b["hi"] <= 0, -F.sqrt(b["lo"] * b["hi"]))
+            .when(b["lo"] >= 0, F.sqrt(b["lo"] * b["hi"]))
+            .otherwise(F.lit(0.0))
+        )
         return acc + b["c"] * (mid - mean) * (mid - mean)
 
-    return F.when(count > 0, F.aggregate(pairs, zero_term, step) / count)
+    return F.when(
+        count > 0, F.aggregate(_bucket_spans(h), F.lit(0.0), step) / count
+    )
 
 
 def hist_stddev(h: Column) -> Column:
@@ -219,34 +278,34 @@ def hist_stddev(h: Column) -> Column:
 
 def hist_fraction(h: Column, lo: float, hi: float) -> Column:
     """histogram_fraction(lo, hi, v): estimated fraction of
-    observations in [lo, hi] — per-bucket linear overlap (effective
-    lower bound clamped to the zero threshold) plus the zero bucket's
-    overlap over [-zt, zt], divided by count.  Per-bucket
+    observations in [lo, hi] — per-span linear overlap over the
+    unified span list (zero-bucket bounds adjusted exactly like
+    quantile — Prometheus applies the same rule in histogramFraction),
+    divided by count.  A zero-width span (zt = 0 zero bucket) is a
+    point mass, counted when it lies inside [lo, hi].  Per-span
     contributions quantize to 8 decimals before an exact integral sum,
     so the total is order-independent and engine-identical."""
     lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
-    count, zc, zt = h["count"], h["zero_count"], h["zero_threshold"]
-    zero_part = F.when(
-        (zc > 0) & (zt > 0),
-        F.greatest(
-            F.lit(0.0), F.least(hi_c, zt) - F.greatest(lo_c, -zt)
-        ) / (zt * 2) * zc,
-    ).otherwise(
-        # zt == 0: the zero bucket is the point mass at 0
-        F.when((zc > 0) & (lo_c <= 0) & (hi_c >= 0), zc).otherwise(F.lit(0.0))
-    )
-    pairs = F.arrays_zip(h["idx"].alias("i"), h["cnt"].alias("c"))
+    count = h["count"]
 
     def contrib(b):
-        upper = _pow2(b["i"], h["schema"])
-        lower = F.greatest(_pow2(b["i"] - 1, h["schema"]), zt)
-        ov = F.greatest(F.lit(0.0), F.least(hi_c, upper) - F.greatest(lo_c, lower))
-        return F.floor(ov / (upper - lower) * b["c"] * F.lit(1e8) + F.lit(0.5))
+        ov = F.greatest(
+            F.lit(0.0), F.least(hi_c, b["hi"]) - F.greatest(lo_c, b["lo"])
+        )
+        frac = F.when(
+            b["hi"] > b["lo"], ov / (b["hi"] - b["lo"]) * b["c"]
+        ).otherwise(
+            F.when((lo_c <= b["lo"]) & (hi_c >= b["hi"]), b["c"]).otherwise(
+                F.lit(0.0)
+            )
+        )
+        return F.floor(frac * F.lit(1e8) + F.lit(0.5))
 
     total = (
-        F.aggregate(pairs, F.lit(0.0), lambda acc, b: acc + contrib(b))
+        F.aggregate(
+            _bucket_spans(h), F.lit(0.0), lambda acc, b: acc + contrib(b)
+        )
         / F.lit(1e8)
-        + F.floor(zero_part * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
     )
     return F.when(count > 0, total / count)
 
@@ -262,41 +321,58 @@ def hist_delta(cur: Column, prev: Column, scale: Column, clamp: bool) -> Column:
     ``clamp=True`` is the counter rule, mirroring the engine's scalar
     rate: the delta restarts from ``cur`` when ANY monotone component
     decreased — total count, zero_count, sum, or any individual bucket
-    (Prometheus's detectReset checks every bucket, not just the total:
-    a restart that re-accrues FASTER than the old total, e.g. prev
-    {idx2: 3} → cur {idx1: 4}, has count 4 > 3 but a negative bucket
-    delta — code-review r10; schema/threshold shrink, the remaining
-    Prometheus signals, cannot occur under this module's constant-
-    schema builder).  ``clamp=False`` (delta/idelta) subtracts
-    verbatim — negatives are data, as for scalar gauges.
+    on EITHER side (Prometheus's detectReset checks every bucket, not
+    just the total: a restart that re-accrues FASTER than the old
+    total, e.g. prev {idx2: 3} → cur {idx1: 4}, has count 4 > 3 but a
+    negative bucket delta — code-review r10; schema/threshold shrink,
+    the remaining Prometheus signals, cannot occur under this module's
+    constant-schema builder).  NOTE: a decreasing ``sum`` is a reset
+    signal only while observations are non-negative; with negative
+    buckets in play Prometheus drops the sum test, and so does this
+    function when either sample carries negative buckets.
+    ``clamp=False`` (delta/idelta) subtracts verbatim — negatives are
+    data, as for scalar gauges.
 
     The bucket union is a map_zip_with over the sparse (idx → cnt)
-    maps; zero-delta buckets drop so the result stays sparse.  All
-    scan-local — rate adds ONE lag window over the series, nothing
-    else."""
-    merged = F.map_zip_with(
-        F.map_from_arrays(cur["idx"], cur["cnt"]),
-        F.map_from_arrays(prev["idx"], prev["cnt"]),
-        lambda _, a, b: F.coalesce(a, F.lit(0.0)) - F.coalesce(b, F.lit(0.0)),
-    )
-    raw_entries = F.array_sort(F.map_entries(merged))
+    maps, once per side; zero-delta buckets drop so the result stays
+    sparse.  All scan-local — rate adds ONE lag window over the
+    series, nothing else."""
+
+    def side_delta(pos: bool):
+        fi, fc = ("idx", "cnt") if pos else ("nidx", "ncnt")
+        merged = F.map_zip_with(
+            F.map_from_arrays(cur[fi], cur[fc]),
+            F.map_from_arrays(prev[fi], prev[fc]),
+            lambda _, a, b: F.coalesce(a, F.lit(0.0)) - F.coalesce(b, F.lit(0.0)),
+        )
+        return F.array_sort(F.map_entries(merged))
+
+    raw_pos, raw_neg = side_delta(True), side_delta(False)
+    has_negatives = (F.size(cur["nidx"]) > 0) | (F.size(prev["nidx"]) > 0)
     reset = (
         (
             (prev["count"] > cur["count"])
             | (prev["zero_count"] > cur["zero_count"])
-            | (prev["sum"] > cur["sum"])
-            | F.exists(raw_entries, lambda e: e["value"] < 0)
+            | ((prev["sum"] > cur["sum"]) & ~has_negatives)
+            | F.exists(raw_pos, lambda e: e["value"] < 0)
+            | F.exists(raw_neg, lambda e: e["value"] < 0)
         )
         if clamp
         else F.lit(False)
     )
-    entries = F.filter(raw_entries, lambda e: e["value"] != 0)
-    d_idx = F.when(reset, cur["idx"]).otherwise(
-        F.transform(entries, lambda e: e["key"])
-    )
-    d_cnt = F.when(reset, cur["cnt"]).otherwise(
-        F.transform(entries, lambda e: e["value"])
-    )
+
+    def arrays(raw, fi, fc):
+        entries = F.filter(raw, lambda e: e["value"] != 0)
+        d_idx = F.when(reset, cur[fi]).otherwise(
+            F.transform(entries, lambda e: e["key"])
+        )
+        d_cnt = F.when(reset, cur[fc]).otherwise(
+            F.transform(entries, lambda e: e["value"])
+        )
+        return d_idx, F.transform(d_cnt, lambda c: c * scale)
+
+    p_idx, p_cnt = arrays(raw_pos, "idx", "cnt")
+    n_idx, n_cnt = arrays(raw_neg, "nidx", "ncnt")
 
     def field(name: str) -> Column:
         return F.when(reset, cur[name]).otherwise(cur[name] - prev[name]) * scale
@@ -307,6 +383,8 @@ def hist_delta(cur: Column, prev: Column, scale: Column, clamp: bool) -> Column:
         field("zero_count").alias("zero_count"),
         cur["zero_threshold"].alias("zero_threshold"),
         cur["schema"].alias("schema"),
-        d_idx.alias("idx"),
-        F.transform(d_cnt, lambda c: c * scale).alias("cnt"),
+        p_idx.alias("idx"),
+        p_cnt.alias("cnt"),
+        n_idx.alias("nidx"),
+        n_cnt.alias("ncnt"),
     )

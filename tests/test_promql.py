@@ -2348,26 +2348,20 @@ def test_native_histogram_classic_dispatch_untouched(spark):
 
 
 def test_native_histogram_builder_edges(spark):
-    """Zero-threshold-only cells quantile to the zero bucket; negative
-    observations below -zt raise; parse/render roundtrip for the new
+    """Zero-threshold-only cells quantile inside the zero bucket —
+    with neither positive nor negative buckets, promql/quantile.go
+    leaves the zero bucket's bounds at [-zt, zt] (the clamps require a
+    populated side), so the median of a zero-only sample is 0, not
+    zt/2 (round 11: the exact Prometheus rule replaced the positive-
+    only simplification); parse/render roundtrip for the new
     functions."""
     m = _native_frame(spark, [0.01, 0.02, 0.05])
     out = compile_promql("histogram_quantile(0.5, req)").evaluate(m).collect()
-    # rank 1.5 within zero_count 3 → 0.1 * 1.5/3 = 0.05
-    assert out[0]["value"] == pytest.approx(0.05)
-
-    import datetime as _dt
-
-    from kafka_metrics_exporter_spark.promql.native_hist import (
-        native_histogram_table,
-    )
-
-    bad = spark.createDataFrame(
-        [("req", "a", _dt.datetime(2024, 1, 1), -5.0)],
-        "name string, job string, ts timestamp, value double",
-    )
-    with pytest.raises(Exception, match="negative buckets"):
-        native_histogram_table(bad, ["name", "job"], zero_threshold=0.1).collect()
+    # rank 1.5 of zero_count 3 over [-0.1, 0.1] → midpoint 0
+    assert out[0]["value"] == pytest.approx(0.0, abs=1e-12)
+    # quartiles interpolate linearly across the span
+    out = compile_promql("histogram_quantile(0.25, req)").evaluate(m).collect()
+    assert out[0]["value"] == pytest.approx(-0.05)
 
     from kafka_metrics_exporter_spark.promql.parser import to_promql
 
@@ -2508,3 +2502,109 @@ def test_native_histogram_builder_drops_nan(spark):
     ht = native_histogram_table(df, ["name", "job"])
     h = ht.first()["hist"]
     assert h["count"] == 2.0 and h["sum"] == pytest.approx(4.5)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: negative buckets complete the native-histogram schema
+# ---------------------------------------------------------------------------
+def test_native_histogram_negative_buckets(spark):
+    """VERDICT r10 item 5: the full 3.x observation domain.  Hand-
+    checked spans for zt=0.1 over [-8, -3, -0.05, 0.05, 2, 6]:
+    neg idx3 [-8,-4) / neg idx2 [-4,-2) / zero [-0.1,0.1] /
+    pos idx1 (1,2] / pos idx3 (4,8]."""
+    import math
+
+    m = _native_frame(spark, [-8.0, -3.0, -0.05, 0.05, 2.0, 6.0])
+
+    def v(q):
+        rows = compile_promql(q).evaluate(m).collect()
+        assert len(rows) == 1
+        return rows[0]["value"]
+
+    assert v("histogram_count(req)") == pytest.approx(6.0)
+    assert v("histogram_sum(req)") == pytest.approx(-3.0)
+    assert v("histogram_avg(req)") == pytest.approx(-0.5)
+    # rank 3 lands mid-zero-bucket: -0.1 + 0.2 * (3-2)/2 = 0
+    assert v("histogram_quantile(0.5, req)") == pytest.approx(0.0, abs=1e-12)
+    # rank 1 exhausts the most negative bucket: its upper bound -4
+    assert v("histogram_quantile(0.16666666666666666, req)") == pytest.approx(-4.0)
+    # phi=0 → the lowest populated bound
+    assert v("histogram_quantile(0, req)") == pytest.approx(-8.0)
+    assert v("histogram_quantile(1, req)") == pytest.approx(8.0)
+    # overlap: 1/4 of [-8,-4) + all of [-4,-2) + all of zero + half of
+    # (1,2] = 0.25 + 1 + 2 + 0.5 = 3.75 of 6
+    assert v("histogram_fraction(-5, 1.5, req)") == pytest.approx(0.625)
+    # geometric midpoints, negated on the negative side, 0 for zero
+    mean = -0.5
+    mids = [(-math.sqrt(32), 1), (-math.sqrt(8), 1), (0.0, 2),
+            (math.sqrt(2), 1), (math.sqrt(32), 1)]
+    want = sum(c * (mid - mean) ** 2 for mid, c in mids) / 6
+    assert v("histogram_stdvar(req)") == pytest.approx(want)
+    assert v("histogram_stddev(req)") == pytest.approx(math.sqrt(want))
+
+
+def test_native_histogram_zero_bucket_clamps(spark):
+    """promql/quantile.go bound adjustment: the zero bucket spans
+    [0, zt] when only positive buckets exist, [-zt, 0] when only
+    negative ones do, [-zt, zt] otherwise."""
+    pos_only = _native_frame(spark, [0.05, 2.0])
+    out = compile_promql("histogram_quantile(0.25, req)").evaluate(pos_only).collect()
+    assert out[0]["value"] == pytest.approx(0.05)  # 0 + 0.1 * 0.5/1
+
+    neg_only = _native_frame(spark, [-0.05, -2.0])
+    out = compile_promql("histogram_quantile(0.75, req)").evaluate(neg_only).collect()
+    assert out[0]["value"] == pytest.approx(-0.05)  # -0.1 + 0.1 * 0.5/1
+    # fraction applies the same clamp: [-0.1, 0] holds 1 of 2 obs
+    out = compile_promql("histogram_fraction(-0.1, 0, req)").evaluate(neg_only).collect()
+    assert out[0]["value"] == pytest.approx(0.5)
+    out = compile_promql("histogram_fraction(0, 0.1, req)").evaluate(neg_only).collect()
+    assert out[0]["value"] == pytest.approx(0.0)
+
+
+def test_native_histogram_negative_rate_and_reset(spark):
+    """hist_delta over negative buckets: bucket-wise union subtraction
+    on BOTH sides; a decreasing sum is NOT a reset signal once
+    negative buckets exist (Prometheus drops the sum test there), but
+    a decreasing negative bucket IS."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [("m", "j", t0, v) for v in (-3.0, 2.0)]
+    # j accrues two more observations, one negative — sum DROPS from
+    # -1 to -3 but that must not read as a restart
+    rows += [("m", "j", t0 + _dt.timedelta(seconds=10), v)
+             for v in (-3.0, -8.0, 2.0, 6.0)]
+    # k loses its negative-bucket count (2 -> 1 in idx 2): reset, the
+    # delta restarts from the current sample even though count grew
+    rows += [("m", "k", t0, v) for v in (-3.0, -3.5)]
+    rows += [("m", "k", t0 + _dt.timedelta(seconds=10), v)
+             for v in (-3.0, 5.0, 7.0)]
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    ht = native_histogram_table(df, ["name", "job"], zero_threshold=0.1)
+
+    def by_job(q):
+        return {
+            r["job"]: r["value"]
+            for r in compile_promql(q).evaluate(ht).collect()
+        }
+
+    assert by_job("histogram_count(increase(m[1m]))") == pytest.approx(
+        {"j": 2.0, "k": 3.0}
+    )
+    assert by_job("histogram_sum(increase(m[1m]))") == pytest.approx(
+        {"j": -2.0, "k": -3.0 + 5.0 + 7.0}
+    )
+    # j's increase histogram holds one obs in [-8,-4) and one in (4,8]
+    assert by_job(
+        "histogram_fraction(-10, 0, increase(m[1m]))"
+    ) == pytest.approx({"j": 0.5, "k": 1 / 3})
+    # gauge delta subtracts verbatim: k's idx2 negative bucket shrinks
+    assert by_job("histogram_count(delta(m[1m]))") == pytest.approx(
+        {"j": 2.0, "k": 1.0}
+    )
