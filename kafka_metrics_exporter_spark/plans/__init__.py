@@ -61,8 +61,11 @@ CURRENT_ROUND = 11
 # file — must be in-window.  Round-11 registrations append here as
 # they land.
 NEW_THIS_ROUND: list[str] = [
-    # (round-11 registrations append here as they land:
-    #  streaming_alerts_replay, embed_ivfpq_topk)
+    # streaming alert-rule replay (pending→firing across micro-batch
+    # evaluation cycles, driver-verified vs a gaps-and-islands twin
+    # that reconstructs the cycles from the slice function)
+    "streaming_alerts_replay",
+    # (embed_ivfpq_topk lands here next)
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -100,8 +103,12 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # and hash-pinned by the round-11 GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
     # (further round-11 demotions land here with the feature that
-    #  forces them; planned: promql_time_macros, promql_clamp_sort,
-    #  doc_fingerprint)
+    #  forces them; planned: promql_clamp_sort, doc_fingerprint)
+    # pure deterministic time()/calendar macro pack, untouched since
+    # its green r9 row; compiled-expression pins in test_promql.py and
+    # the same scalar-macro machinery feeds promql_deriv_predict
+    # (in-window) — demoted for streaming_alerts_replay (new)
+    "promql_time_macros",
     # single distinct(); the same HashAggregate-dedup exchange shape
     # runs in-window via dedup_url (distinct-based) and o5_intersect —
     # demoted for promql_native_histogram (changed)
@@ -166,7 +173,6 @@ WINDOW_PRIORITY = [
     "promql_limit_sample",
     "promql_over_time_pack",
     "promql_rules_group",
-    "promql_time_macros",
     # Kibana surface
     "kibana_bucket_script",
     "kibana_composite",

