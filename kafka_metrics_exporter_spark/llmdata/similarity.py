@@ -870,3 +870,158 @@ def pq_topk(
         F.round(cosine(F.col("v"), q), 4).alias("cosine"),
     )
     return rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN (Jégou et al. 2011; the FAISS IVFPQ layout,
+    the standard billion-scale index): the coarse quantizer
+    (`train_centroids`) partitions the corpus into ``n_cells`` cells;
+    each vector's RESIDUAL against its cell centroid is
+    product-quantized by ONE shared set of ``m_sub`` codebooks trained
+    on the residual corpus (`train_pq_codebooks` — residuals
+    concentrate near zero, so a shared codebook quantizes them far
+    better than raw vectors).  A query probes the ``nprobe`` nearest
+    cells, ranks their members by the per-cell asymmetric distance
+    ``Σ_s ||(q − cell_centroid)_s − code_centroid||²`` (driver-computed
+    lookup tables per probed cell, scan-local array literals), keeps
+    the top ``rerank``, and exact-cosine reranks to the final ``k``.
+
+    Scale shape: at 100 TB the cell assignment and the m_sub code
+    bytes are precomputed table columns and the table is partitioned
+    by cell — the probe is partition PRUNING (reads nprobe/n_cells of
+    the corpus) and the pruned scan reads m_sub bytes per vector; the
+    ADC cut is a TakeOrdered; only ``rerank`` candidates touch full
+    vectors.  Training: coarse is the shared deterministic k-means,
+    residual PQ is the single-scan all-subspace trainer — both
+    md5-residue-initialized, so the ENTIRE trained index (coarse
+    cells, residuals, codebooks, per-cell ADC) replays in SQL like
+    embed_ivf_topk's and embed_pq_topk's."""
+    from collections.abc import Iterator
+
+    dim = len(query_vec)
+    if dim % m_sub:
+        raise ValueError(f"ivfpq: dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    if centroids is None:
+        centroids = train_centroids(
+            emb, n_cells, coarse_iters, vec_col, id_col
+        )
+    # residual frame: assign each vector, subtract its cell centroid
+    # JVM-side (map literal over the catalog-sized centroid set)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in centroids]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in centroids
+            ]
+        ),
+    )
+    assigned = assign_cells(emb, centroids, vec_col, id_col)
+    resid = assigned.withColumn(
+        "r",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cmap, F.col("cell")),
+            lambda a, b: a - b,
+        ),
+    ).persist()  # PQ training rescans it per round
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            resid, m_sub, n_codes, pq_iters, dim, vec_col="r", id_col="_id"
+        )
+    qv = [float(x) for x in query_vec]
+
+    def sqdist(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(qv, c))
+
+    probe = sorted(centroids, key=lambda c: (sqdist(c[1]), c[0]))[:nprobe]
+    probe_cells = [int(cell) for cell, _ in probe]
+
+    # encode ONLY the probed cells' residuals, all subspaces in one
+    # Arrow pass (the same kernel as pq_topk, carrying the cell along
+    # for the per-cell ADC table lookup)
+    mats = [
+        np.array([c for _, c in book], dtype="float64") for book in codebooks
+    ]
+    codes_arr = [np.array([cell for cell, _ in book]) for book in codebooks]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["r"].to_numpy()).astype("float64")
+            out = {"_id": pdf["_id"].values, "cell": pdf["cell"].values}
+            for s in range(m_sub):
+                S = R[:, s * d_sub : (s + 1) * d_sub]
+                out[f"code{s}"] = _nearest_codes(S, mats[s], codes_arr[s])
+            yield pd.DataFrame(out)
+
+    schema = "_id long, cell int, " + ", ".join(
+        f"code{s} int" for s in range(m_sub)
+    )
+    cand_resid = resid.filter(F.col("cell").isin(probe_cells)).select(
+        "_id", "cell", "r"
+    )
+    coded = cand_resid.mapInPandas(encode, schema)
+
+    # per-cell ADC tables: the query's residual against each probed
+    # cell, then per-subspace ||q_res_s − code||² constants — summed in
+    # subspace order, like pq_topk's driver tables
+    cent_by_cell = dict(centroids)
+    approx = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        per_cell = {}
+        for cell in probe_cells:
+            q_res = [
+                a - b
+                for a, b in zip(
+                    qv[s * d_sub : (s + 1) * d_sub],
+                    cent_by_cell[cell][s * d_sub : (s + 1) * d_sub],
+                )
+            ]
+            by_code = {
+                code: sum((a - b) ** 2 for a, b in zip(q_res, c))
+                for code, c in book
+            }
+            per_cell[cell] = F.array(
+                *[
+                    F.lit(by_code.get(code, float("inf")))
+                    for code in range(n_codes)
+                ]
+            )
+        table_s = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in probe_cells]),
+            F.array(*[per_cell[c] for c in probe_cells]),
+        )
+        approx = approx + F.get(
+            F.element_at(table_s, F.col("cell")), F.col(f"code{s}")
+        )
+    cand = (
+        coded.withColumn("__adc", approx)
+        .orderBy(F.col("__adc").asc(), F.col("_id").asc())
+        .limit(rerank)
+    )
+    q = _query_col(qv)
+    base = resid.select("_id", "v")
+    rer = cand.join(base, "_id").select(
+        F.col("_id").alias(id_col),
+        F.round(cosine(F.col("v"), q), 4).alias("cosine"),
+    )
+    out = rer.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    return out

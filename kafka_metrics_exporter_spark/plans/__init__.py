@@ -65,7 +65,9 @@ NEW_THIS_ROUND: list[str] = [
     # evaluation cycles, driver-verified vs a gaps-and-islands twin
     # that reconstructs the cycles from the slice function)
     "streaming_alerts_replay",
-    # (embed_ivfpq_topk lands here next)
+    # IVF-PQ composed ANN (coarse cells + shared residual codebooks,
+    # Jégou et al. 2011 / FAISS IVFPQ layout), SQL-replayable training
+    "embed_ivfpq_topk",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -102,8 +104,14 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # session, re-attested at sf0.1 via tools/check_oracle.py this round,
 # and hash-pinned by the round-11 GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # (further round-11 demotions land here with the feature that
-    #  forces them; planned: promql_clamp_sort, doc_fingerprint)
+    # (one more round-11 demotion planned: doc_fingerprint, when
+    #  pipe_fuzzy_decontaminate promotes)
+    # clamp/sort_desc scalar ops, untouched since their green r9 row;
+    # sort machinery exercised in-window by promql_limit_sample
+    # (topk/limitk) and clamp is pure column algebra pinned by
+    # test_promql compiled-expression tests — demoted for
+    # embed_ivfpq_topk (new)
+    "promql_clamp_sort",
     # pure deterministic time()/calendar macro pack, untouched since
     # its green r9 row; compiled-expression pins in test_promql.py and
     # the same scalar-macro machinery feeds promql_deriv_predict
@@ -166,7 +174,6 @@ WINDOW_PRIORITY = [
     "pipe_split",
     "pipe_weighted_sample",
     # PromQL surface
-    "promql_clamp_sort",
     "promql_deriv_predict",
     "promql_info_join",
     "promql_label_functions",
