@@ -1077,11 +1077,23 @@ def duplicated_substring_spans(
     a semi-join of positions against the ≥2 grams on the same key
     (AQE skew-split handles boilerplate keys; the build side is
     count-filtered, never the full gram table); then a per-doc window
-    bounded by the doc's own length.  ``hashed=True`` shuffles 8-byte
-    xxhash64 keys instead of min_len-token strings (~10× narrower);
-    collisions would need 2^32+ distinct grams per the birthday bound —
-    the registry oracle replays the unhashed semantics and has
-    hash-matched, and tests pin hashed ≡ unhashed on fixtures.
+    bounded by the doc's own length.
+
+    ``hashed=True`` collision bound (ADVICE r10): shuffling 8-byte
+    xxhash64 keys instead of min_len-token strings is ~10× narrower,
+    but a collision FALSELY marks a span duplicated — and in
+    ``drop_duplicated_substrings`` silently DELETES non-duplicated
+    text.  By the birthday bound the expected collision count over G
+    distinct grams is ≈ G²/2^65: negligible at gate scale (the
+    registry oracle replays the UNHASHED semantics and has
+    hash-matched — a per-run zero-collision attestation) but
+    near-certain as G approaches 2^32, which a 100 TB corpus EXCEEDS
+    (~10^13 token positions).  At that scale run ``hashed=False``
+    (shuffle the gram strings; same plan shape, wider exchange) or
+    extend the key to 128 bits (e.g. two independent 64-bit hashes),
+    which pushes the expected collision count to G²/2^129 ≈ 10^-13
+    at 10^13 grams.  The destructive variant should prefer
+    ``hashed=False`` whenever the corpus size is unknown.
 
     DELIBERATE double-scan: the position table feeds both the gram
     frequency aggregation and the semi-join probe, so its lineage
@@ -1173,6 +1185,14 @@ def drop_duplicated_substrings(
     actual ExactSubstr cut, which (unlike the keep-one-copy C4 rule in
     drop_duplicated_passages) drops ALL occurrences of a duplicated
     ≥min_len-token substring, including the first.
+
+    CAUTION at corpus scale (ADVICE r10): with ``hashed=True`` a
+    64-bit gram-key collision silently deletes NON-duplicated text;
+    expected collisions ≈ G²/2^65 over G distinct grams — fine at
+    gate scale, near-certain by 2^32 grams.  For corpora anywhere
+    near that (a 100 TB corpus is ~10^13 grams), pass
+    ``hashed=False``; see duplicated_substring_spans's collision
+    paragraph for the full bound.
 
     Output: (id, clean_text, n_tokens, n_dropped) for EVERY document —
     docs with no duplicated spans (or too short to hold a min_len-gram)

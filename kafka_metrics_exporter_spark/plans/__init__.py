@@ -104,8 +104,12 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 # session, re-attested at sf0.1 via tools/check_oracle.py this round,
 # and hash-pinned by the round-11 GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # (one more round-11 demotion planned: doc_fingerprint, when
-    #  pipe_fuzzy_decontaminate promotes)
+    # rolling-hash fingerprint, pure scan-local column algebra
+    # untouched since its green r9 row; the text column-algebra family
+    # is in-window (text_langid, text_gopher_quality, text_repetition)
+    # — demoted for pipe_fuzzy_decontaminate (r6-debt promotion, the
+    # oldest driver row in the ledger at 4 gate-runs)
+    "doc_fingerprint",
     # clamp/sort_desc scalar ops, untouched since their green r9 row;
     # sort machinery exercised in-window by promql_limit_sample
     # (topk/limitk) and clamp is pure column algebra pinned by
@@ -135,7 +139,7 @@ WINDOW_PRIORITY = [
     # -- latest driver row is r6 (4 gate-runs old): oldest-debt rows (3) --
     "embed_near_dup_lsh",
     "embed_ivf_topk",
-    # (pipe_fuzzy_decontaminate promotes when a demotion frees a slot)
+    "pipe_fuzzy_decontaminate",
     # -- latest driver row is r9 (2 gate-runs old): the 48 promotions -----
     # reference-surface pivots/joins/set-ops/aggregations/windows
     "p1_objectname_pivot",
@@ -152,7 +156,6 @@ WINDOW_PRIORITY = [
     "w11_rollup_cascade",
     "w12_window_time_cascade",
     "qtj_series_arith",
-    "doc_fingerprint",
     "rules_rewrite",
     "scale_salted_agg",
     "openmetrics_roundtrip",
