@@ -1771,18 +1771,23 @@ def _qs_wildcard_regex(val: str) -> str:
 
 def _qs_boundary(word: str, side: str) -> str:
     """Token-boundary assertion for one edge of an escaped word —
-    ``\\b`` only binds when the edge character is a word character
-    (``\\b`` before a symbol would invert the test).  ADVICE r10:
-    without this, phrase words matched as raw substrings
+    ``\\b`` only binds when the edge character is an ASCII word
+    character (``\\b`` against a symbol would invert the test).
+    ADVICE r10: without this, phrase words matched as raw substrings
     ('error disk' inside 'terror disk').  ``\\b`` means the same ASCII
-    word boundary to java.util.regex and RE2, so oracle twins replay
-    the identical pattern."""
+    word boundary to java.util.regex (default, no UNICODE_CHARACTER_
+    CLASS) and RE2, so oracle twins replay the identical pattern —
+    and the emit decision must use the same ASCII ``\\w``, not
+    Python's Unicode one: 'é' is a word char to Python but NOT to the
+    evaluating engines, so \\bé would only match glued to ASCII text
+    (code-review r11).  Non-ASCII-edged words therefore match
+    leniently (no assertion) rather than never."""
     raw = re.sub(r"\\(.)", r"\1", word)  # unescape to inspect edges
     if not raw:
         return word
     if side == "left":
-        return (r"\b" + word) if re.match(r"\w", raw[0]) else word
-    return (word + r"\b") if re.match(r"\w", raw[-1]) else word
+        return (r"\b" + word) if re.match(r"[A-Za-z0-9_]", raw[0]) else word
+    return (word + r"\b") if re.match(r"[A-Za-z0-9_]", raw[-1]) else word
 
 
 def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
@@ -1850,7 +1855,12 @@ def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
 
     words = [re.escape(w) for w in phrase.split()]
     if not words:
-        raise ValueError("kibana: empty proximity phrase")
+        # Lucene's parser drops an empty phrase — in a filter context
+        # it matches NOTHING.  Raising here broke whole-dashboard
+        # compiles for a user-cleared '""' search box, and the old
+        # contains('') match-ALL was the opposite of Lucene
+        # (code-review r11).
+        return F.lit(False)
     if len(words) == 1:
         return strcol.rlike(
             _qs_boundary(_qs_boundary(words[0], "left"), "right")

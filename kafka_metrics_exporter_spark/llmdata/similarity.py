@@ -771,6 +771,61 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_check_codebooks(codebooks, m_sub: int, d_sub: int) -> None:
+    """Supplied codebooks must cover every subspace at the right width —
+    a silent mismatch truncates dimensions (code-review r10; shared by
+    pq_topk and ivfpq_topk so the two callers can't drift,
+    code-review r11)."""
+    if len(codebooks) != m_sub:
+        raise ValueError(
+            f"pq: {len(codebooks)} codebooks for m_sub={m_sub} subspaces"
+        )
+    for s, book in enumerate(codebooks):
+        bad = [len(c) for _, c in book if len(c) != d_sub]
+        if bad:
+            raise ValueError(
+                f"pq: subspace {s} codebook centroid width {bad[0]} != "
+                f"dim/m_sub = {d_sub}"
+            )
+
+
+def _pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    d_sub: int,
+    vec_field: str,
+    carry: list[tuple[str, str]],
+) -> DataFrame:
+    """THE code-assignment kernel, shared by pq_topk and ivfpq_topk
+    (code-review r11: two copies risked forking the 'identical
+    encoding' the SQL-replay contract depends on): ONE Arrow pass
+    assigns every subspace's code via _nearest_codes, carrying the
+    ``carry`` columns (name, spark-type) through unchanged."""
+    from collections.abc import Iterator
+
+    m_sub = len(codebooks)
+    mats = [
+        np.array([c for _, c in book], dtype="float64") for book in codebooks
+    ]
+    codes_arr = [np.array([cell for cell, _ in book]) for book in codebooks]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_field].to_numpy()).astype("float64")
+            out = {name: pdf[name].values for name, _ in carry}
+            for s in range(m_sub):
+                S = V[:, s * d_sub : (s + 1) * d_sub]
+                out[f"code{s}"] = _nearest_codes(S, mats[s], codes_arr[s])
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(f"{n} {t}" for n, t in carry) + ", " + ", ".join(
+        f"code{s} int" for s in range(m_sub)
+    )
+    return df.mapInPandas(encode, schema)
+
+
 def pq_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -804,19 +859,7 @@ def pq_topk(
         codebooks = train_pq_codebooks(
             emb, m_sub, n_codes, iters, dim, vec_col, id_col
         )
-    # supplied codebooks must cover every subspace at the right width —
-    # a silent mismatch truncates dimensions (code-review r10)
-    if len(codebooks) != m_sub:
-        raise ValueError(
-            f"pq: {len(codebooks)} codebooks for m_sub={m_sub} subspaces"
-        )
-    for s, book in enumerate(codebooks):
-        bad = [len(c) for _, c in book if len(c) != d_sub]
-        if bad:
-            raise ValueError(
-                f"pq: subspace {s} codebook centroid width {bad[0]} != "
-                f"dim/m_sub = {d_sub}"
-            )
+    _pq_check_codebooks(codebooks, m_sub, d_sub)
     qv = [float(x) for x in query_vec]
 
     base = emb.select(
@@ -826,26 +869,7 @@ def pq_topk(
     # encode all subspaces in ONE Arrow pass (per-subspace assign_cells
     # calls would each rescan and then need an id-keyed join to zip the
     # codes back together)
-    from collections.abc import Iterator
-
-    mats = [
-        np.array([c for _, c in book], dtype="float64") for book in codebooks
-    ]
-    codes_arr = [np.array([cell for cell, _ in book]) for book in codebooks]
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype("float64")
-            out = {"_id": pdf["_id"].values}
-            for s in range(m_sub):
-                S = V[:, s * d_sub : (s + 1) * d_sub]
-                out[f"code{s}"] = _nearest_codes(S, mats[s], codes_arr[s])
-            yield pd.DataFrame(out)
-
-    schema = "_id long, " + ", ".join(f"code{s} int" for s in range(m_sub))
-    coded = base.mapInPandas(encode, schema)
+    coded = _pq_encode(base, codebooks, d_sub, "v", [("_id", "long")])
 
     # ADC lookup tables as array literals indexed by the code columns —
     # ||q_s - c||² per code, computed once on the driver
@@ -911,8 +935,6 @@ def ivfpq_topk(
     md5-residue-initialized, so the ENTIRE trained index (coarse
     cells, residuals, codebooks, per-cell ADC) replays in SQL like
     embed_ivf_topk's and embed_pq_topk's."""
-    from collections.abc import Iterator
-
     dim = len(query_vec)
     if dim % m_sub:
         raise ValueError(f"ivfpq: dim {dim} not divisible by m_sub {m_sub}")
@@ -932,7 +954,23 @@ def ivfpq_topk(
             ]
         ),
     )
+    # weight/width sanity for caller-supplied training artifacts, the
+    # same loud failures pq_topk gives (code-review r11: a mismatched
+    # codebook silently truncated, a short centroid NULL-padded)
+    for cell, vec in centroids:
+        if len(vec) != dim:
+            raise ValueError(
+                f"ivfpq: coarse centroid for cell {cell} has width "
+                f"{len(vec)} != dim {dim}"
+            )
     assigned = assign_cells(emb, centroids, vec_col, id_col)
+    # NOT persisted: the PQ trainer persists its own projection of this
+    # frame for the training rounds, and the two query-time consumers
+    # (probed-cell encode, rerank join) each re-run one scan-local
+    # Arrow pass — cheaper than pinning a corpus-sized double copy in
+    # executor storage for the session (code-review r11; at 100 TB the
+    # cell and codes are precomputed columns and this frame never
+    # exists at query time)
     resid = assigned.withColumn(
         "r",
         F.zip_with(
@@ -940,11 +978,12 @@ def ivfpq_topk(
             F.element_at(cmap, F.col("cell")),
             lambda a, b: a - b,
         ),
-    ).persist()  # PQ training rescans it per round
+    )
     if codebooks is None:
         codebooks = train_pq_codebooks(
             resid, m_sub, n_codes, pq_iters, dim, vec_col="r", id_col="_id"
         )
+    _pq_check_codebooks(codebooks, m_sub, d_sub)
     qv = [float(x) for x in query_vec]
 
     def sqdist(c: list[float]) -> float:
@@ -954,31 +993,14 @@ def ivfpq_topk(
     probe_cells = [int(cell) for cell, _ in probe]
 
     # encode ONLY the probed cells' residuals, all subspaces in one
-    # Arrow pass (the same kernel as pq_topk, carrying the cell along
-    # for the per-cell ADC table lookup)
-    mats = [
-        np.array([c for _, c in book], dtype="float64") for book in codebooks
-    ]
-    codes_arr = [np.array([cell for cell, _ in book]) for book in codebooks]
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            R = np.stack(pdf["r"].to_numpy()).astype("float64")
-            out = {"_id": pdf["_id"].values, "cell": pdf["cell"].values}
-            for s in range(m_sub):
-                S = R[:, s * d_sub : (s + 1) * d_sub]
-                out[f"code{s}"] = _nearest_codes(S, mats[s], codes_arr[s])
-            yield pd.DataFrame(out)
-
-    schema = "_id long, cell int, " + ", ".join(
-        f"code{s} int" for s in range(m_sub)
-    )
+    # Arrow pass (THE shared kernel — _pq_encode — carrying the cell
+    # along for the per-cell ADC table lookup)
     cand_resid = resid.filter(F.col("cell").isin(probe_cells)).select(
         "_id", "cell", "r"
     )
-    coded = cand_resid.mapInPandas(encode, schema)
+    coded = _pq_encode(
+        cand_resid, codebooks, d_sub, "r", [("_id", "long"), ("cell", "int")]
+    )
 
     # per-cell ADC tables: the query's residual against each probed
     # cell, then per-subspace ||q_res_s − code||² constants — summed in

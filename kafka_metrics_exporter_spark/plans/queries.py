@@ -1922,13 +1922,25 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS INT) AS batch_id
       FROM m, b
     ),
-    hw AS (SELECT batch_id, MAX(epoch_us(ts)) AS hw_us FROM s GROUP BY 1),
-    snap AS (
-      -- one rule-manager cycle per slice: newest PASSING sample per series
-      SELECT batch_id, etype,
-             max(struct_pack(us := epoch_us(ts), v := value)) AS p
-      FROM s WHERE value > 60.0 GROUP BY 1, 2
+    -- one CYCLE per NON-EMPTY slice: the replay harness writes no file
+    -- for an empty slice, so foreachBatch renumbers batches densely —
+    -- cycle ids are the dense rank of the present slices, and the
+    -- state machine's "consecutive" means consecutive CYCLES (an
+    -- engine cycle never sees an empty frame; code-review r11)
+    cyc AS (
+      SELECT batch_id, MAX(epoch_us(ts)) AS hw_us,
+             CAST(row_number() OVER (ORDER BY batch_id) - 1 AS INT)
+               AS cycle_id
+      FROM s GROUP BY batch_id
     ),
+    snap AS (
+      -- per cycle: newest PASSING sample per series
+      SELECT c.cycle_id AS batch_id, etype,
+             max(struct_pack(us := epoch_us(ts), v := value)) AS p
+      FROM s JOIN cyc c USING (batch_id)
+      WHERE value > 60.0 GROUP BY 1, 2
+    ),
+    hw AS (SELECT cycle_id AS batch_id, hw_us FROM cyc),
     runs AS (
       -- consecutive-presence islands: a series absent from a cycle
       -- drops from state, so active_since restarts with the next run

@@ -307,3 +307,45 @@ groups:
         (3, "b"): "pending",        # only 1h into the new run
     }
     assert all(r["severity"] == "page" for r in out.collect())
+
+
+def test_replay_alert_rules_empty_slice_renumbers_cycles(spark):
+    """Code-review r11: an empty time-quarter produces NO file, so the
+    stream renumbers batches densely and the state machine sees
+    consecutive CYCLES — state carries across the wall-clock gap
+    (an engine cycle never evaluates an empty frame)."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_alert_rules,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    # samples at hours 0, 1, 3 — the [1.5h, 2.25h) quarter is EMPTY
+    rows = [
+        ("m", "a", t0 + _dt.timedelta(hours=h), 10.0) for h in (0, 1, 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    rules = """
+groups:
+- name: g
+  rules:
+  - alert: Hot
+    expr: m > 5
+    for: 90m
+    labels:
+      severity: page
+"""
+    out = replay_alert_rules(spark, df, rules, n_batches=4)
+    got = {
+        (r["batch_id"], r["job"]): r["alertstate"] for r in out.collect()
+    }
+    # three files -> cycles 0,1,2; the hour-3 cycle FIRES because the
+    # series was never absent from an evaluated cycle
+    assert got == {
+        (0, "a"): "pending",
+        (1, "a"): "pending",
+        (2, "a"): "firing",
+    }
