@@ -771,11 +771,13 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_check_codebooks(codebooks, m_sub: int, d_sub: int) -> None:
-    """Supplied codebooks must cover every subspace at the right width —
-    a silent mismatch truncates dimensions (code-review r10; shared by
-    pq_topk and ivfpq_topk so the two callers can't drift,
-    code-review r11)."""
+def _pq_check_codebooks(codebooks, m_sub: int, d_sub: int, n_codes: int) -> None:
+    """Supplied codebooks must cover every subspace at the right width
+    with in-range code ids — a silent mismatch truncates dimensions,
+    and an out-of-range code id would make the driver ADC table lookup
+    return NULL and silently exclude those rows from the rerank set
+    (code-review r10/r11; shared by pq_topk and ivfpq_topk so the two
+    callers can't drift)."""
     if len(codebooks) != m_sub:
         raise ValueError(
             f"pq: {len(codebooks)} codebooks for m_sub={m_sub} subspaces"
@@ -786,6 +788,12 @@ def _pq_check_codebooks(codebooks, m_sub: int, d_sub: int) -> None:
             raise ValueError(
                 f"pq: subspace {s} codebook centroid width {bad[0]} != "
                 f"dim/m_sub = {d_sub}"
+            )
+        out_of_range = [code for code, _ in book if not 0 <= code < n_codes]
+        if out_of_range:
+            raise ValueError(
+                f"pq: subspace {s} code id {out_of_range[0]} outside "
+                f"[0, n_codes={n_codes})"
             )
 
 
@@ -859,7 +867,7 @@ def pq_topk(
         codebooks = train_pq_codebooks(
             emb, m_sub, n_codes, iters, dim, vec_col, id_col
         )
-    _pq_check_codebooks(codebooks, m_sub, d_sub)
+    _pq_check_codebooks(codebooks, m_sub, d_sub, n_codes)
     qv = [float(x) for x in query_vec]
 
     base = emb.select(
@@ -983,7 +991,7 @@ def ivfpq_topk(
         codebooks = train_pq_codebooks(
             resid, m_sub, n_codes, pq_iters, dim, vec_col="r", id_col="_id"
         )
-    _pq_check_codebooks(codebooks, m_sub, d_sub)
+    _pq_check_codebooks(codebooks, m_sub, d_sub, n_codes)
     qv = [float(x) for x in query_vec]
 
     def sqdist(c: list[float]) -> float:
@@ -1040,7 +1048,14 @@ def ivfpq_topk(
         .limit(rerank)
     )
     q = _query_col(qv)
-    base = resid.select("_id", "v")
+    # rerank reads the PLAIN corpus projection — going through `resid`
+    # would re-run the full-corpus nearest-centroid Arrow matmul just
+    # to project (_id, v), since mapInPandas is opaque to column
+    # pruning (code-review r11)
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
     rer = cand.join(base, "_id").select(
         F.col("_id").alias(id_col),
         F.round(cosine(F.col("v"), q), 4).alias("cosine"),

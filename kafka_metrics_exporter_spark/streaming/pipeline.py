@@ -533,8 +533,24 @@ def alert_rules(
                         )
                         cur = _union_series(cur, series)
                         continue
+                    # the rule's OWN output columns replace any
+                    # same-named labels riding in from an earlier
+                    # alert's ALERTS feedback union — Prometheus
+                    # overwrites alertstate and the rule labels on the
+                    # alert's output, and keeping them in label_cols
+                    # duplicated the result columns AND put NULL-valued
+                    # feedback labels into the state key, where a plain
+                    # equi-join dropped the state every cycle
+                    # (code-review r11: alert-after-alert groups)
+                    reserved = {
+                        "alertstate",
+                        *(k for k, _ in rule.labels),
+                        *(f"annotation_{k}" for k, _ in rule.annotations),
+                    }
                     label_cols = [
-                        c for c in out.columns if c not in ("ts", "value")
+                        c
+                        for c in out.columns
+                        if c not in ("ts", "value") and c not in reserved
                     ]
                     # the cycle's snapshot: newest sample per series
                     snap = out.groupBy(*label_cols).agg(
@@ -558,7 +574,21 @@ def alert_rules(
                             if prior_rows <= max_broadcast_state_rows
                             else prior
                         )
-                        snap = snap.join(side, on=label_cols, how="left")
+                        # null-safe equality: a series may legitimately
+                        # carry NULL label values (e.g. alertname on
+                        # non-ALERTS series when the group unions
+                        # feedback) — a plain equi-join would never
+                        # match them and silently reset active_since
+                        sn, pr = snap.alias("__s"), side.alias("__pr")
+                        cond = None
+                        for c in label_cols:
+                            leg = F.col(f"__s.{c}").eqNullSafe(
+                                F.col(f"__pr.{c}")
+                            )
+                            cond = leg if cond is None else (cond & leg)
+                        snap = sn.join(pr, on=cond, how="left").select(
+                            "__s.*", F.col("__pr.active_since_us")
+                        )
                     elif prior is not None:
                         # label-less alert: state is a single row
                         snap = snap.crossJoin(F.broadcast(prior))
@@ -868,8 +898,14 @@ def replay_alert_rules(
     out_dir = os.path.join(meta["base"], "alerts")
 
     def emit(group: str, alert: str, result: DataFrame, batch_id: int) -> None:
+        # tag each frame with its rule identity — a multi-rule YAML
+        # emits every alert into this one union, and two alerts with
+        # identical label columns would otherwise be indistinguishable
+        # (code-review r11)
         (
             result.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("rule_group", F.lit(group))
+            .withColumn("alertname", F.lit(alert))
             .write.mode("append")
             .parquet(out_dir)
         )
@@ -890,4 +926,9 @@ def replay_alert_rules(
     has_data = os.path.isdir(out_dir) and any(
         f.endswith(".parquet") for f in os.listdir(out_dir)
     )
-    return spark.read.parquet(out_dir) if has_data else None
+    if not has_data:
+        return None
+    # alerts with DIFFERENT label sets append different schemas into
+    # the union dir; mergeSchema reconciles them (absent labels read
+    # as NULL) instead of silently adopting one file's schema
+    return spark.read.option("mergeSchema", "true").parquet(out_dir)

@@ -1553,3 +1553,24 @@ def test_ivfpq_recall_and_residual_parity(embeddings):
 
     with _pt.raises(ValueError, match="not divisible"):
         similarity.ivfpq_topk(embeddings, q, m_sub=7)
+
+
+def test_pq_codebook_code_id_validation(embeddings):
+    """Code-review r11: an out-of-range code id would NULL the ADC
+    lookup and silently drop candidates — both entry points reject it
+    loudly instead."""
+    import pytest as _pt
+
+    q = [0.0] * 64
+    bad = [[(code, [0.0] * 8) for code in (0, 20)] for _ in range(8)]
+    with _pt.raises(ValueError, match="outside"):
+        similarity.pq_topk(embeddings, q, m_sub=8, n_codes=16, codebooks=bad)
+    with _pt.raises(ValueError, match="outside"):
+        similarity.ivfpq_topk(
+            embeddings, q, m_sub=8, n_codes=16,
+            centroids=[(0, [0.0] * 64)], codebooks=bad,
+        )
+    with _pt.raises(ValueError, match="coarse centroid"):
+        similarity.ivfpq_topk(
+            embeddings, q, m_sub=8, n_codes=16, centroids=[(0, [0.0] * 8)]
+        )

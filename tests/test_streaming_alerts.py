@@ -349,3 +349,49 @@ groups:
         (1, "a"): "pending",
         (2, "a"): "firing",
     }
+
+
+def test_replay_alert_rules_multi_rule_tagging(spark):
+    """Code-review r11: a multi-rule YAML emits every alert into one
+    union — frames carry (rule_group, alertname) so same-label alerts
+    stay distinguishable, and mergeSchema reconciles heterogeneous
+    label sets."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import (
+        replay_alert_rules,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [("m", "a", t0 + _dt.timedelta(hours=h), 10.0) for h in (0, 1, 2)]
+    df = spark.createDataFrame(
+        rows, "name string, job string, ts timestamp, value double"
+    )
+    rules = """
+groups:
+- name: g
+  rules:
+  - alert: Hot
+    expr: m > 5
+    for: 90m
+  - alert: Warm
+    expr: m > 1
+    for: 90m
+"""
+    out = replay_alert_rules(spark, df, rules, n_batches=3)
+    got = {
+        (r["alertname"], r["batch_id"]): r["alertstate"]
+        for r in out.collect()
+    }
+    # Warm evaluates AFTER Hot in the same group, so its input frame
+    # carries the ALERTS feedback columns — its for: still matures
+    # across cycles (the state key must survive NULL feedback labels)
+    assert got == {
+        ("Hot", 0): "pending",
+        ("Hot", 1): "pending",   # 1h < 90m
+        ("Hot", 2): "firing",    # 2h >= 90m
+        ("Warm", 0): "pending",
+        ("Warm", 1): "pending",
+        ("Warm", 2): "firing",
+    }
+    assert {r["rule_group"] for r in out.collect()} == {"g"}
