@@ -439,27 +439,41 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[list[str], str]:
-    """Shared unrolled k-means training CTEs (see _ivf_oracle_sql for
-    the replay rationale); returns (cte_parts, final_centroid_cte)."""
-
-    def assign(prev_cent: str, out: str) -> str:
-        return f"""{out} AS (
+def _km_assign_sql(base: str, prev_cent: str, out: str) -> str:
+    """THE k-means assignment CTE, shared by every training-unroll
+    oracle (IVF, cluster-dedup, PQ, IVF-PQ — code-review r11: three
+    hand-maintained copies risked forking the (dist, cell) tie-break
+    that mirrors numpy argmin's first index, part of the SQL-replay
+    contract)."""
+    return f"""{out} AS (
       SELECT a.id, a.v, cc.cell
-      FROM e a CROSS JOIN {prev_cent} cc
+      FROM {base} a CROSS JOIN {prev_cent} cc
       QUALIFY row_number() OVER (
         PARTITION BY a.id
         ORDER BY -2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c) ASC,
                  cc.cell ASC) = 1
     )"""
 
-    def means(assigned: str, out: str) -> str:
-        return f"""{out}_m AS (
+
+def _km_means_sql(assigned: str, out: str, width: int) -> str:
+    """THE per-dimension AVG centroid CTE pair (see _km_assign_sql)."""
+    return f"""{out}_m AS (
       SELECT cell, dd.d AS d, AVG(v[dd.d + 1]) AS m
-      FROM {assigned}, (SELECT unnest(range({dim})) AS d) dd
+      FROM {assigned}, (SELECT unnest(range({width})) AS d) dd
       GROUP BY cell, dd.d
     ),
     {out} AS (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell)"""
+
+
+def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """Shared unrolled k-means training CTEs (see _ivf_oracle_sql for
+    the replay rationale); returns (cte_parts, final_centroid_cte)."""
+
+    def assign(prev_cent: str, out: str) -> str:
+        return _km_assign_sql("e", prev_cent, out)
+
+    def means(assigned: str, out: str) -> str:
+        return _km_means_sql(assigned, out, dim)
 
     parts = [
         f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1940,22 +1954,10 @@ def _pq_oracle_sql(
     ]
 
     def assign(pfx: str, prev_cent: str, out: str) -> str:
-        return f"""{out} AS (
-      SELECT a.id, a.v, cc.cell
-      FROM e{pfx} a CROSS JOIN {prev_cent} cc
-      QUALIFY row_number() OVER (
-        PARTITION BY a.id
-        ORDER BY -2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c) ASC,
-                 cc.cell ASC) = 1
-    )"""
+        return _km_assign_sql(f"e{pfx}", prev_cent, out)
 
     def means(pfx: str, assigned: str, out: str) -> str:
-        return f"""{out}_m AS (
-      SELECT cell, dd.d AS d, AVG(v[dd.d + 1]) AS m
-      FROM {assigned}, (SELECT unnest(range({d_sub})) AS d) dd
-      GROUP BY cell, dd.d
-    ),
-    {out} AS (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell)"""
+        return _km_means_sql(assigned, out, d_sub)
 
     for s in range(m_sub):
         pfx = f"s{s}"
@@ -2062,23 +2064,8 @@ def _ivfpq_oracle_sql(
     verifies bit-equal."""
     d_sub = dim // m_sub
 
-    def assign(base: str, prev_cent: str, out: str) -> str:
-        return f"""{out} AS (
-      SELECT a.id, a.v, cc.cell
-      FROM {base} a CROSS JOIN {prev_cent} cc
-      QUALIFY row_number() OVER (
-        PARTITION BY a.id
-        ORDER BY -2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c) ASC,
-                 cc.cell ASC) = 1
-    )"""
-
-    def means(assigned: str, out: str, width: int) -> str:
-        return f"""{out}_m AS (
-      SELECT cell, dd.d AS d, AVG(v[dd.d + 1]) AS m
-      FROM {assigned}, (SELECT unnest(range({width})) AS d) dd
-      GROUP BY cell, dd.d
-    ),
-    {out} AS (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell)"""
+    assign = _km_assign_sql
+    means = _km_means_sql
 
     parts = [
         "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
