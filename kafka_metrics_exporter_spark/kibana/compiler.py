@@ -45,7 +45,9 @@ match on the resolver's default search field.
 from __future__ import annotations
 
 import json
+import math
 import re
+import unicodedata
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1710,15 +1712,17 @@ def _query_string_pred(
       see ``functions.scalars.osa_distance``;
     - **proximity** ``"w1 w2"~N``: sloppy-phrase match with ONE
       phrase-wide slop budget (regex-compiled, so it stays a
-      scan-local JVM predicate).  Round 11: out-of-order matches for
-      phrases up to 4 words — each permutation of the words costs its
-      total displacement (Σ|position moved|; an adjacent transposition
+      scan-local JVM predicate).  Out-of-order matches for phrases of
+      ANY length (round 11 capped this at 4 words; 11.5 removed the
+      cap) — each permutation of the words costs its total
+      displacement (Σ|position moved|; an adjacent transposition
       costs 2, Lucene's documented sloppy-phrase cost) and may spend
       the remaining budget on intervening words.  Words match on
-      token boundaries (``\\b``), not raw substrings (ADVICE r10:
-      ``"error disk"~1`` must not match ``terror disk``).  KNOWN
-      DIVERGENCE: phrases of 5+ words match in declared order only
-      (the permutation expansion is capped, like the slop bound);
+      Unicode token boundaries (``[^\\p{L}\\p{N}_]`` edges — ``\\b``
+      is ASCII-only in both evaluating engines), not raw substrings
+      (ADVICE r10: ``"error disk"~1`` must not match ``terror
+      disk``).  Word-count × slop combos whose expansion passes the
+      500-branch bound raise loudly;
     - **boost** ``term^2``: parsed and DROPPED.  In a filter context
       ES computes no scores, so ignoring the boost is the exact
       behavior, not an approximation.  Boosts on parenthesized groups
@@ -1769,25 +1773,74 @@ def _qs_wildcard_regex(val: str) -> str:
     return "".join(out)
 
 
+# Unicode word-character class shared by every token-boundary and gap
+# pattern below.  java.util.regex and RE2 both spell Unicode general
+# categories \p{L} / \p{N} identically (including inside character
+# classes), so oracle twins replay the identical pattern — unlike \w /
+# \W / \b, which BOTH engines evaluate ASCII-only (the earlier round-11
+# state of this module used \b and therefore matched non-ASCII-edged
+# words leniently; this removes that divergence).  Underscore joins
+# words like Lucene's StandardTokenizer (UAX#29 ExtendNumLet).
+_QS_WORD = r"[\p{L}\p{N}_]"
+_QS_NONWORD = r"[^\p{L}\p{N}_]"
+
+
+def _qs_is_word_char(ch: str) -> bool:
+    """Mirror of _QS_WORD for the boundary-emit decision — must agree
+    with what the EVALUATING engines consider a word character, which
+    python's Unicode ``\\w`` does not quite (it admits marks the
+    \\p{L}\\p{N} class rejects)."""
+    return ch == "_" or unicodedata.category(ch)[0] in ("L", "N")
+
+
 def _qs_boundary(word: str, side: str) -> str:
     """Token-boundary assertion for one edge of an escaped word —
-    ``\\b`` only binds when the edge character is an ASCII word
-    character (``\\b`` against a symbol would invert the test).
-    ADVICE r10: without this, phrase words matched as raw substrings
-    ('error disk' inside 'terror disk').  ``\\b`` means the same ASCII
-    word boundary to java.util.regex (default, no UNICODE_CHARACTER_
-    CLASS) and RE2, so oracle twins replay the identical pattern —
-    and the emit decision must use the same ASCII ``\\w``, not
-    Python's Unicode one: 'é' is a word char to Python but NOT to the
-    evaluating engines, so \\bé would only match glued to ASCII text
-    (code-review r11).  Non-ASCII-edged words therefore match
-    leniently (no assertion) rather than never."""
+    emitted only when the edge character is a word character (a
+    boundary against a symbol edge would invert the test).  ADVICE
+    r10: without this, phrase words matched as raw substrings ('error
+    disk' inside 'terror disk').
+
+    ``\\b`` is ASCII-only in both evaluating engines (java.util.regex
+    without UNICODE_CHARACTER_CLASS, RE2 always) and RE2 has no
+    lookaround, so the boundary is a CONSUMING alternation over the
+    Unicode word class instead: ``(?:^|[^\\p{L}\\p{N}_])`` anchors or
+    eats exactly one separator character.  Consuming is safe because
+    every caller runs an unanchored substring search (rlike /
+    regexp_matches) and the assertion sits at the pattern edge, where
+    nothing else needs the consumed character."""
     raw = re.sub(r"\\(.)", r"\1", word)  # unescape to inspect edges
     if not raw:
         return word
     if side == "left":
-        return (r"\b" + word) if re.match(r"[A-Za-z0-9_]", raw[0]) else word
-    return (word + r"\b") if re.match(r"[A-Za-z0-9_]", raw[-1]) else word
+        return (
+            (f"(?:^|{_QS_NONWORD})" + word) if _qs_is_word_char(raw[0]) else word
+        )
+    return (
+        (word + f"(?:$|{_QS_NONWORD})") if _qs_is_word_char(raw[-1]) else word
+    )
+
+
+def _qs_branch_count(n_gaps: int, budget: int) -> int:
+    """Branches _qs_ordered_slop_regex emits for one word order: the
+    compositions of ≤ budget over the first n_gaps-1 gaps (the last
+    gap absorbs the remainder as a range) — stars and bars."""
+    return math.comb(budget + n_gaps - 1, max(n_gaps - 1, 0))
+
+
+def _qs_compositions(n_slots: int, budget: int):
+    """Tuples of ``n_slots`` non-negative ints with sum ≤ ``budget``,
+    in lexicographic order (the order the r10 product() enumeration
+    emitted the surviving tuples, so alternation order is stable).
+    Work is proportional to OUTPUT size — the caller bounds that
+    arithmetically via _qs_branch_count, so a hostile slop never
+    drives a (budget+1)^k loop (code-review r10: 'a b c'~1e8 hung the
+    driver building ~1e8 branch strings)."""
+    if n_slots == 0:
+        yield ()
+        return
+    for head in range(budget + 1):
+        for tail in _qs_compositions(n_slots - 1, budget - head):
+            yield (head,) + tail
 
 
 def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
@@ -1799,10 +1852,10 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
     the last gap takes the remainder as a {0,rest} range; for two-word
     phrases this degenerates to the single-branch {0,budget} form.
     The first and last words carry token-boundary assertions; interior
-    word edges are already bounded by the mandatory ``\\W+`` gap
-    separators."""
-    from itertools import product
-
+    word edges are already bounded by the mandatory Unicode-separator
+    gaps (``[^\\p{L}\\p{N}_]+``, which also makes intervening-word
+    counting tokenize non-ASCII words as ONE word, like Lucene's
+    analyzer — ASCII ``\\w``/``\\W`` counted 'héllo' as two)."""
     words = [
         _qs_boundary(w, "left") if k == 0 else w for k, w in enumerate(words)
     ]
@@ -1811,25 +1864,64 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
         for k, w in enumerate(words)
     ]
     n_gaps = len(words) - 1
-    # bound the expansion ARITHMETICALLY before enumerating — the loop
-    # over (budget+1)^(n_gaps-1) lead tuples must not run at all for a
-    # hostile slop (code-review r10: 'a b c'~1e8 hung the driver at
-    # compile time building ~1e8 branch strings before the old
-    # post-hoc length check)
-    if (budget + 1) ** max(n_gaps - 1, 0) > 500:
+    if _qs_branch_count(n_gaps, budget) > 500:
         raise ValueError(
             f"kibana: proximity phrase of {len(words)} words with slop "
             f"{budget} expands past the supported regex size"
         )
     branches = []
-    for lead in product(range(budget + 1), repeat=n_gaps - 1):
+    for lead in _qs_compositions(n_gaps - 1, budget):
         used = sum(lead)
-        if used > budget:
-            continue
-        gaps = [rf"\W+(?:\w+\W+){{{g}}}" for g in lead]
-        gaps.append(rf"\W+(?:\w+\W+){{0,{budget - used}}}")
+        gaps = [rf"{_QS_NONWORD}+(?:{_QS_WORD}+{_QS_NONWORD}+){{{g}}}" for g in lead]
+        gaps.append(
+            rf"{_QS_NONWORD}+(?:{_QS_WORD}+{_QS_NONWORD}+){{0,{budget - used}}}"
+        )
         branches.append("".join(w + g for w, g in zip(words, gaps)) + words[-1])
     return "|".join(branches) if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
+
+
+def _qs_displacement_orders(n: int, slop: int):
+    """Permutations of ``range(n)`` whose total displacement
+    ``Σ_k |σ[k] − k|`` is ≤ slop, yielded as (perm, cost) in
+    lexicographic order (identity first).  DFS assigns document
+    positions left to right; three prunes keep the walk proportional
+    to the FEASIBLE set instead of n! (which is what lets the r11
+    four-word permutation cap go away):
+
+    - a source can only land within ``slop`` of its home position;
+    - a source that has fallen ``slop+1`` behind the cursor can never
+      be placed again — dead branch;
+    - every still-unplaced source j ≤ pos owes at least ``pos+1−j``
+      future budget; the partial cost plus that floor must fit.
+    """
+    used = [False] * n
+    perm: list[int] = []
+
+    def rec(pos: int, spent: int):
+        if pos == n:
+            yield tuple(perm), spent
+            return
+        dead = pos - slop - 1
+        if dead >= 0 and not used[dead]:
+            return
+        for i in range(max(0, pos - slop), min(n, pos + slop + 1)):
+            if used[i]:
+                continue
+            cost = abs(i - pos)
+            owed = sum(
+                pos + 1 - j
+                for j in range(max(0, pos - slop), pos + 1)
+                if not used[j] and j != i
+            )
+            if spent + cost + owed > slop:
+                continue
+            used[i] = True
+            perm.append(i)
+            yield from rec(pos + 1, spent + cost)
+            perm.pop()
+            used[i] = False
+
+    yield from rec(0, 0)
 
 
 def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
@@ -1837,22 +1929,22 @@ def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
     (exact Lucene budget semantics via _qs_ordered_slop_regex —
     scan-local rlikes, no tokenizer state).
 
-    Round 11 — out-of-order matching: for phrases of ≤ 4 words, every
-    permutation of the words may match; a permutation σ (the declared
-    index of the word at each document position) first pays its total
-    displacement ``Σ_k |σ[k] - k|`` out of the budget and may spend
-    the remainder on intervening words.  For an adjacent transposition
-    the cost is 2 — Lucene's documented sloppy-phrase transposition
-    cost ("ab"~2 matches "ba"), which this formula generalizes (full
-    3-word reversal costs 4).  Permutations whose residual budget is
-    negative generate no branch, so small slops stay a handful of
-    rlikes.  Phrases of 5+ words match in declared order only — the
-    permutation expansion is capped like the slop expansion bound
-    (documented divergence in _query_string_pred).  Duplicate words
-    make distinct permutations collide on the same regex; branches
-    dedupe on the pattern string."""
-    from itertools import permutations
-
+    Out-of-order matching (round 11, word-count cap removed in 11.5):
+    every permutation of the words may match; a permutation σ (the
+    declared index of the word at each document position) first pays
+    its total displacement ``Σ_k |σ[k] - k|`` out of the budget and
+    may spend the remainder on intervening words.  For an adjacent
+    transposition the cost is 2 — Lucene's documented sloppy-phrase
+    transposition cost ("ab"~2 matches "ba"), which this formula
+    generalizes (full 3-word reversal costs 4).  The displacement
+    bound prunes the permutation walk to the feasible set, so long
+    phrases with small slops stay a handful of rlikes; the TOTAL
+    branch count across all orders is bounded arithmetically (same
+    500-branch policy and message as the per-order composition bound)
+    before any regex is built, so a hostile word-count × slop combo
+    raises loudly instead of compiling a megabyte regex.  Duplicate
+    words make distinct permutations collide on the same regex;
+    branches dedupe on the pattern string."""
     words = [re.escape(w) for w in phrase.split()]
     if not words:
         # Lucene's parser drops an empty phrase — in a filter context
@@ -1865,13 +1957,18 @@ def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
         return strcol.rlike(
             _qs_boundary(_qs_boundary(words[0], "left"), "right")
         )
-    orders: list[tuple[list[str], int]] = [(words, slop)]
-    if len(words) <= 4:
-        for perm in permutations(range(len(words))):
-            cost = sum(abs(src - pos) for pos, src in enumerate(perm))
-            if cost == 0 or cost > slop:
-                continue
-            orders.append(([words[i] for i in perm], slop - cost))
+    n_gaps = len(words) - 1
+    orders: list[tuple[list[str], int]] = []
+    total_branches = 0
+    for perm, cost in _qs_displacement_orders(len(words), slop):
+        residual = slop - cost
+        total_branches += _qs_branch_count(n_gaps, residual)
+        if total_branches > 500:
+            raise ValueError(
+                f"kibana: proximity phrase of {len(words)} words with "
+                f"slop {slop} expands past the supported regex size"
+            )
+        orders.append(([words[i] for i in perm], residual))
     seen: set[str] = set()
     pred = None
     for seq, budget in orders:

@@ -761,6 +761,25 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
               OR regexp_matches(text, '\bdata\W+(?:\w+\W+){0}window\W+(?:\w+\W+){0,0}scan\b')
     HAVING COUNT(*) > 0
     UNION ALL
+    -- prox5 is a SEMANTIC twin, not a regex replay: the probed column
+    -- is constructed from (lang, doc_id % 4) with per-variant
+    -- displacement costs 0 / 2 / 1 / 12 against the 5-word probe at
+    -- slop 2, so the ground truth is exactly lang='en' minus the
+    -- reversal variant — any Spark-side permutation/boundary/gap bug
+    -- shows up as a count drift
+    SELECT 'prox5', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE lang = 'en' AND doc_id % 4 != 3
+    HAVING COUNT(*) > 0
+    UNION ALL
+    -- unicode token boundaries: \b is ASCII-only in RE2 and
+    -- java.util.regex, so both engines spell the boundary as a
+    -- consuming [^\p{L}\p{N}_] alternation (identical syntax)
+    SELECT 'prox_unicode', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE regexp_matches(
+        regexp_replace(text, '\bdata\b', 'dätä', 'g'),
+        '(?:^|[^\p{L}\p{N}_])dätä[^\p{L}\p{N}_]+(?:[\p{L}\p{N}_]+[^\p{L}\p{N}_]+){0,1}window(?:$|[^\p{L}\p{N}_])')
+    HAVING COUNT(*) > 0
+    UNION ALL
     SELECT 'boosted_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
     FROM d WHERE CAST(n_chars AS DOUBLE) >= 200
              AND CAST(n_chars AS DOUBLE) <= 300 AND lang = 'en'
@@ -787,24 +806,56 @@ def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs (ELK/jmx_dashboard.json filters buckets); this exercises
     the grammar beyond the corpus subset.
 
+    Round 11.5 — two branches over DERIVED columns exercise the
+    removed divergences: ``prox5`` probes a 5-word phrase against a
+    column constructed from (lang, doc_id % 4) whose four variants
+    cost displacement 0 (declared order), 2 (adjacent swap), 1 (one
+    intervening word), and 12 (full reversal — out of budget) against
+    slop 2, so its twin is SEMANTIC (``lang = 'en' AND doc_id % 4 !=
+    3``) rather than a regex replay; ``prox_unicode`` rewrites the
+    token ``data`` to ``dätä`` and probes across a non-ASCII word
+    edge, exercising the Unicode token-boundary class.
+
     Scale shape: every predicate compiles to a scan-local JVM
     expression (length guard + thresholded levenshtein short-circuit
     before the O(len²) OSA fold, rlike, range) — one explode over
     matched labels, one hash aggregation on the label key; no Python,
-    no second corpus pass.  The twin replays the identical regexes
-    (java.util.regex and RE2 agree on this token subset — ``\\b`` is
-    the same ASCII word boundary in both) and replays fuzzy k=1 via
-    the exact identity: OSA ≤ 1 ⟺ levenshtein ≤ 1 OR the value is one
-    adjacent transposition of the probe (a transposition spends the
-    whole budget, and unlike unrestricted Damerau nothing may land
-    inside the pair)."""
-    docs = _t(spark, sf_dir, "documents")
+    no second corpus pass.  The twin replays identical regexes where
+    it replays regexes at all (the Unicode word class ``[\\p{L}\\p{N}
+    _]`` is spelled identically in java.util.regex and RE2; ``\\b``
+    would be ASCII-only in both) and replays fuzzy k=1 via the exact
+    identity: OSA ≤ 1 ⟺ levenshtein ≤ 1 OR the value is one adjacent
+    transposition of the probe (a transposition spends the whole
+    budget, and unlike unrestricted Damerau nothing may land inside
+    the pair)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "meta",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("lang"), F.lit(" doc from the corpus")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("doc "), F.col("lang"), F.lit(" from the corpus")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.col("lang"), F.lit(" doc x from the corpus")),
+            )
+            .otherwise(F.concat(F.lit("corpus the from doc "), F.col("lang"))),
+        )
+        .withColumn("text_u", F.regexp_replace("text", r"\bdata\b", "dätä"))
+    )
     qs = {
         "fuzzy_src": "source: src5~1",
         "fuzzy_transposed": "source: rsc5~1",
         "wild_mid": "source: src*2",
         "prox": 'text: "data window"~2',
         "prox3": 'text: "window data scan"~2',
+        "prox5": 'meta: "en doc from the corpus"~2',
+        "prox_unicode": 'text_u: "dätä window"~1',
         "boosted_en": "n_chars: [200 TO 300] AND lang: en^2",
         "complex": "(lang: en OR lang: de) AND source: src1*",
     }

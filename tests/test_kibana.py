@@ -1841,12 +1841,91 @@ def test_proximity_unordered_permutations(spark):
     assert ids('msg: "a b c"~2') == {1, 2}
     assert ids('msg: "a b c"~3') == {1, 2, 4, 6}
     assert ids('msg: "a b c"~4') == {1, 2, 3, 4, 5, 6}
-    # 4-word phrases still enumerate; 5+ fall back to declared order
+    # 5+-word phrases enumerate too (round 11.5 removed the 4-word
+    # permutation cap): an adjacent swap inside a 5-word phrase costs
+    # 2, a full 5-word reversal costs 12 and stays out of budget
     df5 = spark.createDataFrame(
-        [(1, "e d c b a"), (2, "a b c d e"), (3, "a x b c d e")],
+        [
+            (1, "e d c b a"),      # reversal: cost 12
+            (2, "a b c d e"),      # declared order
+            (3, "a x b c d e"),    # ordered + 1 intervening
+            (4, "b a c d e"),      # adjacent swap: cost 2
+            (5, "a b c x d e"),    # ordered + 1 intervening, later gap
+            (6, "b a c x d e"),    # swap (2) + intervening (1)
+        ],
+        "id int, msg string",
+    )
+
+    def ids5(q):
+        pred = _query_string_pred(q, _default_resolver(df5), df5, "msg")
+        return {r["id"] for r in df5.filter(pred).collect()}
+
+    assert ids5('msg: "a b c d e"~0') == {2}
+    assert ids5('msg: "a b c d e"~1') == {2, 3, 5}
+    assert ids5('msg: "a b c d e"~2') == {2, 3, 4, 5}
+    assert ids5('msg: "a b c d e"~3') == {2, 3, 4, 5, 6}
+
+
+def test_proximity_long_phrase_bounds(spark):
+    """Round 11.5: the displacement-bounded permutation walk keeps
+    long phrases with small slops cheap (the old code either capped at
+    4 words or, ordered-only, raised on the composition bound), while
+    word-count × slop combos past the 500-branch total still raise
+    arithmetically before any regex is built."""
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+    words = [f"w{k}" for k in range(12)]
+    text = " ".join(words)
+    swapped = " ".join(
+        words[:5] + [words[6], words[5]] + words[7:]
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, swapped), (3, " ".join(reversed(words)))],
         "id int, msg string",
     )
     pred = _query_string_pred(
-        'msg: "a b c d e"~3', _default_resolver(df5), df5, "msg"
+        f'msg: "{text}"~2', _default_resolver(df), df, "msg"
     )
-    assert {r["id"] for r in df5.filter(pred).collect()} == {2, 3}
+    assert {r["id"] for r in df.filter(pred).collect()} == {1, 2}
+    # slop 0 on a long phrase = exact adjacency, a single branch
+    pred0 = _query_string_pred(
+        f'msg: "{text}"~0', _default_resolver(df), df, "msg"
+    )
+    assert {r["id"] for r in df.filter(pred0).collect()} == {1}
+    # hostile expansion: 12 words × slop 40 blows the 500-branch total
+    with pytest.raises(ValueError, match="expands past"):
+        _query_string_pred(
+            f'msg: "{text}"~40', _default_resolver(df), df, "msg"
+        )
+
+
+def test_proximity_unicode_token_boundaries(spark):
+    """Round 11.5: token boundaries are the Unicode word class (both
+    engines evaluate \\b and \\w ASCII-only, so r11 matched
+    non-ASCII-edged words leniently — 'dätä' used to match inside
+    'xdätä').  Also: a non-ASCII intervening word counts as ONE word
+    of slop, not two."""
+    rows = [
+        (1, "big dätä here"),
+        (2, "xdätä here"),          # glued left: not a token match
+        (3, "dätäx here"),          # glued right
+        (4, "ädätä here"),          # glued Unicode letter
+        (5, "dätä"),                # whole string
+        (6, "naïve dätä"),
+        (7, "big wörld dätä"),      # one Unicode intervening word
+        (8, "big xx yy dätä"),      # two intervening words
+    ]
+    df = spark.createDataFrame(rows, "id int, msg string")
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+
+    def ids(q):
+        pred = _query_string_pred(q, _default_resolver(df), df, "msg")
+        return {r["id"] for r in df.filter(pred).collect()}
+
+    assert ids('"dätä"') == {1, 5, 6, 7, 8}
+    assert ids('msg: "big dätä"~0') == {1}
+    assert ids('msg: "big dätä"~1') == {1, 7}
+    assert ids('msg: "big dätä"~2') == {1, 7, 8}
