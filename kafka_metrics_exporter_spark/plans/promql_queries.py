@@ -1532,25 +1532,37 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promql_native_histogram",
     r"""
     WITH b AS (
+      -- NaN first: a user hit by both arms (user_id % 291 = 0) is a
+      -- NaN observation, mirroring the engine's when-chain order
       SELECT event_type AS etype, date_trunc('day', ts) AS ts,
-             CASE WHEN user_id % 3 = 0 THEN -value ELSE value END AS v
+             CASE WHEN user_id % 97 = 0 THEN 'NaN'::DOUBLE
+                  WHEN user_id % 3 = 0 THEN -value ELSE value END AS v
       FROM events
     ),
     cls AS (
+      -- sign group 2 = NaN observations (count-only; no bucket, sum
+      -- poisoned) — the isnan arm must come first: DuckDB, like
+      -- Spark, compares NaN greater than everything
       SELECT etype, ts, v,
-             CASE WHEN v > 0.1 THEN 1 WHEN v >= -0.1 THEN 0 ELSE -1 END AS sgn,
-             CASE WHEN v > 0.1 THEN CAST(ceil(log2(v)) AS INT)
+             CASE WHEN isnan(v) THEN 2
+                  WHEN v > 0.1 THEN 1 WHEN v >= -0.1 THEN 0 ELSE -1 END AS sgn,
+             CASE WHEN isnan(v) THEN NULL
+                  WHEN v > 0.1 THEN CAST(ceil(log2(v)) AS INT)
                   WHEN v < -0.1 THEN CAST(ceil(log2(-v)) AS INT) END AS idx
       FROM b
     ),
     per AS (
       SELECT etype, ts, sgn, idx, CAST(COUNT(*) AS DOUBLE) AS c,
-             SUM(CAST(floor(v * 100000000.0 + 0.5) AS BIGINT)) AS sv
+             SUM(CASE WHEN sgn = 2 THEN 0
+                      ELSE CAST(floor(v * 100000000.0 + 0.5) AS BIGINT)
+                 END) AS sv
       FROM cls GROUP BY 1, 2, 3, 4
     ),
     cell AS (
       SELECT etype, ts, SUM(c) AS cnt,
-             CAST(SUM(sv) AS DOUBLE) / 100000000.0 AS vsum,
+             CASE WHEN SUM(CASE WHEN sgn = 2 THEN c ELSE 0 END) > 0
+                  THEN 'NaN'::DOUBLE
+                  ELSE CAST(SUM(sv) AS DOUBLE) / 100000000.0 END AS vsum,
              SUM(CASE WHEN sgn = 0 THEN c ELSE 0 END) AS zc,
              BOOL_OR(sgn = 1) AS has_pos,
              BOOL_OR(sgn = -1) AS has_neg
@@ -1574,6 +1586,7 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 0.0 ELSE 0.1 END
                   ELSE power(2.0, p.idx) END AS hi
       FROM per p JOIN cell USING (etype, ts)
+      WHERE p.sgn != 2  -- NaN observations occupy no bucket
     ),
     walk AS (
       SELECT s.etype, s.ts, s.lo, s.hi, s.c, s.sgn, s.ok,
@@ -1589,6 +1602,13 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c > 0 AND cum_prev + c >= rank
       QUALIFY row_number() OVER (PARTITION BY etype, ts
                                  ORDER BY sgn, ok) = 1
+    ),
+    -- NaN observations inflate cnt without occupying a bucket, so a
+    -- rank past the bucketed mass has no crossing span: clamp to the
+    -- highest populated upper bound, like the engine's hist_quantile
+    lastb AS (
+      SELECT etype, ts, MAX(hi) AS hi_max FROM spans WHERE c > 0
+      GROUP BY 1, 2
     ),
     frac AS (
       SELECT etype, ts,
@@ -1626,12 +1646,13 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(cell.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            cell.cnt AS n_obs,
            cell.vsum / cell.cnt AS avg_v,
-           pick.qv AS q90,
+           COALESCE(pick.qv, lastb.hi_max) AS q90,
            frac.inside_pos / cell.cnt AS frac_1_64,
            frac.inside_neg / cell.cnt AS frac_neg,
            sqrt(stdv.stdvar) AS stddev_v
     FROM cell
     LEFT JOIN pick USING (etype, ts)
+    LEFT JOIN lastb USING (etype, ts)
     LEFT JOIN frac USING (etype, ts)
     LEFT JOIN stdv USING (etype, ts)
     """,
@@ -1643,7 +1664,11 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day) — schema 0, zero_threshold 0.1, and every third
     user's observations NEGATED so all three bucket regions populate
     (negative buckets, the zero bucket via the 0.01-valued
-    observations, positive buckets) — and the native-histogram PromQL
+    observations, positive buckets), and every 97th user's poisoned to
+    NaN (round 11.5 — the spec's NaN treatment: count increments, sum
+    becomes NaN, no bucket; at sf0.001 one cell is 40% NaN, pushing
+    the 0.9-rank past the bucketed mass so the quantile tail clamp is
+    genuinely exercised) — and the native-histogram PromQL
     functions evaluate over the sketch through the real front end:
     histogram_count, histogram_avg (sum/count),
     histogram_quantile(0.9, ·) dispatched on the `hist` column (the
@@ -1669,9 +1694,11 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    signed = F.when(
-        (F.col("user_id") % 3) == 0, -F.col("value")
-    ).otherwise(F.col("value"))
+    signed = (
+        F.when((F.col("user_id") % 97) == 0, F.lit(float("nan")))
+        .when((F.col("user_id") % 3) == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+    )
     samples = ev.select(
         F.lit("jmx_latency").alias("name"),
         F.col("event_type").alias("etype"),

@@ -87,7 +87,10 @@ def native_histogram_table(
     series per bucket).  Observations above ``zero_threshold`` land in
     positive buckets, below ``-zero_threshold`` in negative buckets
     (round 11 — the builder previously raised on them), the rest in
-    the zero bucket.
+    the zero bucket.  NaN observations increment ``count``, poison
+    ``sum`` to NaN, and land in no bucket (the spec's treatment; round
+    11.5) — consumers therefore see a histogram whose bucketed mass
+    can be smaller than ``count``, exactly like Prometheus.
 
     ``sum`` accumulates via the scaled-integer quantization
     (``floor(v·1e8 + 0.5)`` summed exactly, then descaled) so the
@@ -100,25 +103,34 @@ def native_histogram_table(
     v = F.col(value_col)
     factor = float(2**schema)
     zt = float(zero_threshold)
-    # NULL and NaN observations DROP (unparseable/poisoned scrape
-    # samples); without this filter they fall through the when-chain
-    # into the positive branch where ceil(log2(NaN)) hits an ANSI cast
-    # error (code-review r10 twice).  KNOWN DIVERGENCE: Prometheus
-    # keeps a NaN observation in count and poisons sum — the
-    # exact-integral sum representation here cannot carry a NaN, so
-    # the sample drops whole instead.
-    df = df.filter(v.isNotNull() & ~F.isnan(v))
+    # NULL observations DROP (an unparseable scrape sample never
+    # happened).  NaN observations follow the Prometheus native
+    # histogram spec: they increment ``count``, poison ``sum`` to NaN,
+    # and land in NO bucket — tracked here as sign group 2 (round
+    # 11.5; r11 dropped them whole, a documented divergence).  The
+    # NaN arm must be FIRST in every chain below: Spark compares NaN
+    # greater than everything, so it would otherwise fall into the
+    # positive branch where ceil(log2(NaN)) hits an ANSI cast error
+    # (code-review r10 twice).
+    df = df.filter(v.isNotNull())
+    nan = F.isnan(v)
     sign = (
-        F.when(v > F.lit(zt), F.lit(1))
+        F.when(nan, F.lit(2))
+        .when(v > F.lit(zt), F.lit(1))
         .when(v >= F.lit(-zt), F.lit(0))
         .otherwise(F.lit(-1))
     )
     bucket = (
-        F.when(v > F.lit(zt), F.ceil(F.log2(v) * F.lit(factor)).cast("int"))
+        F.when(nan, F.lit(None).cast("int"))
+        .when(v > F.lit(zt), F.ceil(F.log2(v) * F.lit(factor)).cast("int"))
         .when(v >= F.lit(-zt), F.lit(None).cast("int"))
         .otherwise(F.ceil(F.log2(-v) * F.lit(factor)).cast("int"))
     )
-    scaled = F.floor(v * F.lit(1e8) + F.lit(0.5)).cast("decimal(38,0)")
+    scaled = (
+        F.when(nan, F.lit(0.0))
+        .otherwise(F.floor(v * F.lit(1e8) + F.lit(0.5)))
+        .cast("decimal(38,0)")
+    )
     per_idx = (
         df.select(
             *series_cols,
@@ -136,6 +148,9 @@ def native_histogram_table(
     zero_cnt = F.sum(
         F.when(F.col("__sgn") == 0, F.col("__c")).otherwise(F.lit(0.0))
     )
+    nan_cnt = F.sum(
+        F.when(F.col("__sgn") == 2, F.col("__c")).otherwise(F.lit(0.0))
+    )
 
     def side(sgn: int) -> Column:
         return F.sort_array(
@@ -151,7 +166,12 @@ def native_histogram_table(
     return per_idx.groupBy(*series_cols, "ts").agg(
         F.struct(
             F.sum("__c").alias("count"),
-            (F.sum("__s").cast("double") / F.lit(1e8)).alias("sum"),
+            # any NaN observation poisons sum (the spec's NaN arithmetic),
+            # while the non-NaN mass still sums exactly via the scaled
+            # integers — partitioning-independent either way
+            F.when(nan_cnt > 0, F.lit(float("nan")))
+            .otherwise(F.sum("__s").cast("double") / F.lit(1e8))
+            .alias("sum"),
             zero_cnt.alias("zero_count"),
             F.lit(zt).alias("zero_threshold"),
             F.lit(int(schema)).alias("schema"),
@@ -216,7 +236,11 @@ def hist_quantile(h: Column, phi: float) -> Column:
     """Native-schema histogram_quantile: rank = φ·count walks the
     unified span list (negative → zero → positive, value-ascending);
     linear interpolation inside the crossing span.  φ outside [0, 1]
-    returns ±Inf like Prometheus; an empty histogram returns NULL."""
+    returns ±Inf like Prometheus; an empty histogram returns NULL.
+    NaN observations inflate ``count`` without occupying a bucket
+    (see native_histogram_table), so a rank past the bucketed mass
+    clamps to the highest populated upper bound — the same clamp an
+    over-the-top rank takes in promql/quantile.go."""
     if phi < 0:
         return F.lit(float("-inf"))
     if phi > 1:

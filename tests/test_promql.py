@@ -2375,6 +2375,53 @@ def test_native_histogram_builder_edges(spark):
         assert to_promql(parse(to_promql(parse(q)))) == to_promql(parse(q))
 
 
+def test_native_histogram_nan_observations(spark):
+    """Round 11.5 — the spec's NaN treatment (r11 dropped NaN
+    observations whole, a documented divergence): a NaN observation
+    increments count, poisons sum to NaN, and lands in NO bucket;
+    quantile ranks past the bucketed mass clamp to the highest
+    populated upper bound."""
+    import math
+
+    m = _native_frame(
+        spark, [0.5, 1.5, 3.0, float("nan"), float("nan")]
+    )
+    row = m.collect()[0]["hist"]
+    assert row["count"] == 5.0          # NaN observations counted
+    assert math.isnan(row["sum"])       # ... and poison the sum
+    assert sum(row["cnt"]) == 3.0       # ... but occupy no bucket
+    assert row["zero_count"] == 0.0
+
+    def val(q):
+        return compile_promql(q).evaluate(m).collect()[0]["value"]
+
+    assert val("histogram_count(req)") == 5.0
+    assert math.isnan(val("histogram_avg(req)"))
+    assert math.isnan(val("histogram_stddev(req)"))
+    # values [0.5, 1.5, 3] → buckets (¼,½](1), (1,2](1), (2,4](1).
+    # rank 0.5·5 = 2.5 is inside the bucketed mass: cum reaches 2
+    # after (1,2], so the crossing span is (2,4]: 2 + 2·(2.5−2)/1 = 3
+    assert val("histogram_quantile(0.5, req)") == pytest.approx(3.0)
+    # rank 0.9·5 = 4.5 exceeds the bucketed mass 3 → clamp to the
+    # highest populated upper bound (4)
+    assert val("histogram_quantile(0.9, req)") == pytest.approx(4.0)
+    # fractions divide by the full count (NaN mass is "outside" every
+    # range, like Prometheus)
+    assert val("histogram_fraction(0.25, 4, req)") == pytest.approx(3 / 5)
+
+    # an all-NaN sample: count 1, sum NaN, no populated bucket at all
+    # → quantile has neither a crossing span nor a clamp bound (NULL)
+    m2 = _native_frame(spark, [float("nan")])
+    r2 = m2.collect()[0]["hist"]
+    assert r2["count"] == 1.0 and math.isnan(r2["sum"])
+    q2 = (
+        compile_promql("histogram_quantile(0.9, req)")
+        .evaluate(m2)
+        .collect()[0]["value"]
+    )
+    assert q2 is None
+
+
 def test_native_histogram_rate_and_reset(spark):
     """rate/increase/delta over native-histogram series: field- and
     bucket-wise adjacent-sample differences (scaled per-second for
@@ -2484,24 +2531,29 @@ def test_rate_dispatch_mixed_scalar_and_histogram_frame(spark):
     assert [r["value"] for r in h] == [pytest.approx(0.1)]
 
 
-def test_native_histogram_builder_drops_nan(spark):
-    """Code-review r10: NaN observations drop (documented divergence —
-    the exact-integral sum cannot be NaN-poisoned) instead of dying in
-    an ANSI cast inside the positive-bucket branch."""
+def test_native_histogram_builder_drops_null_not_nan(spark):
+    """NULL observations drop (an unparseable scrape sample never
+    happened) without dying in an ANSI cast inside the positive-bucket
+    branch (code-review r10); NaN observations do NOT drop — they
+    follow the spec (count++, sum → NaN, no bucket; round 11.5,
+    asserted in detail by test_native_histogram_nan_observations)."""
     import datetime as _dt
+    import math
 
     from kafka_metrics_exporter_spark.promql.native_hist import (
         native_histogram_table,
     )
 
     rows = [("m", "j", _dt.datetime(2024, 1, 1), v)
-            for v in (1.5, float("nan"), 3.0)]
+            for v in (1.5, None, float("nan"), 3.0)]
     df = spark.createDataFrame(
         rows, "name string, job string, ts timestamp, value double"
     )
     ht = native_histogram_table(df, ["name", "job"])
     h = ht.first()["hist"]
-    assert h["count"] == 2.0 and h["sum"] == pytest.approx(4.5)
+    assert h["count"] == 3.0            # NULL dropped, NaN counted
+    assert math.isnan(h["sum"])
+    assert sum(h["cnt"]) == 2.0         # NaN occupies no bucket
 
 
 # ---------------------------------------------------------------------------
