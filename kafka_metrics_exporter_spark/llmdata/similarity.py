@@ -285,6 +285,143 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+# --- binary quantization (sign-bit codes + Hamming prefilter) ------------------
+def _partial_int_sums(emb: DataFrame, vec_col: str, scale: float = 1e6) -> DataFrame:
+    """One (int_sum_vec, n) row per Arrow batch — the map-side combine
+    of the binary-code thresholds.  Components quantize to
+    ``floor(v·scale + 0.5)`` int64 BEFORE summing, so the partials add
+    exactly and the total is independent of partitioning and add order
+    (the repo's scaled-integer trick; a float sum would differ from the
+    SQL twin by summation order)."""
+    from collections.abc import Iterator
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype("float64")
+            S = np.floor(V * scale + 0.5).astype("int64").sum(axis=0)
+            yield pd.DataFrame({"s": [list(S)], "n": [len(V)]})
+
+    return emb.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    ).mapInPandas(go, "s array<long>, n long")
+
+
+def binary_thresholds(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> list[float]:
+    """Per-dimension mean thresholds for the sign-bit code, computed so
+    BOTH engines get the bit-identical double: exact int64 sum of the
+    1e6-scaled components, then ONE IEEE division by ``n·1e6`` (sums
+    this size are ≪ 2^53, so the int→double conversions are exact and
+    the division is the only rounding step — same op, same result, in
+    DuckDB).  Centering on the mean keeps the bit distribution balanced
+    when the corpus has a dominant direction (same reason the LSH
+    signatures center)."""
+    rows = _partial_int_sums(emb, vec_col).collect()
+    if not rows:
+        raise ValueError("binary_thresholds: empty corpus")
+    S = [0] * dim
+    n = 0
+    for r in rows:
+        if len(r["s"]) != dim:
+            raise ValueError(
+                f"binary_thresholds: vector of {len(r['s'])} dims in a "
+                f"{dim}-dim corpus"
+            )
+        for d, x in enumerate(r["s"]):
+            S[d] += int(x)
+        n += r["n"]
+    return [s / (n * 1000000.0) for s in S]
+
+
+def binary_code_words(vec: Column, thresholds: list[float]) -> list[Column]:
+    """Sign-bit code packed into 32-bit words (bit d of word w is
+    ``v[32w+d] > thr[32w+d]``), as a Horner fold from the high bit down
+    — exact integer arithmetic, scan-local, no UDF.  32 bits per long
+    keeps every intermediate far from the int64 sign bit."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    t = F.array(*[F.lit(float(x)) for x in thresholds])
+    words = []
+    for lo in range(0, len(thresholds), 32):
+        hi = min(lo + 32, len(thresholds))
+        words.append(
+            F.aggregate(
+                F.sequence(F.lit(hi - 1), F.lit(lo), F.lit(-1)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc * 2
+                + F.when(
+                    F.element_at(v, d + 1) > F.element_at(t, d + 1), F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+        )
+    return words
+
+
+def binary_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Binary-quantization ANN: 1 bit/dim sign codes against per-dim
+    corpus-mean thresholds (32× smaller than float32), Hamming-distance
+    prefilter to ``n_candidates``, exact cosine rerank of the survivors
+    — the asymmetric two-stage layout modern vector stores default to
+    for billion-scale search.
+
+    Scale shape: thresholds are one narrow scan of exact int partials
+    (≤1 row per batch crosses the wire); the code fold, XOR, and
+    popcount are scan-local JVM column algebra; the candidate cut is a
+    per-partition top-C heap (TakeOrderedAndProject — no shuffle); the
+    exact rerank touches C rows.  At 100 TB the 16-byte codes are
+    precomputed once and scanned instead of the vectors, so the
+    prefilter reads 1/32nd of the bytes brute force would."""
+    qv = [float(x) for x in query_vec]
+    if not qv:
+        raise ValueError("binary_topk: empty query vector")
+    if thresholds is None:
+        thresholds = binary_thresholds(emb, vec_col, dim=len(qv))
+    if len(thresholds) != len(qv):
+        raise ValueError(
+            f"binary_topk: query of {len(qv)} dims vs {len(thresholds)} "
+            f"thresholds"
+        )
+    qwords: list[int] = []
+    for lo in range(0, len(qv), 32):
+        hi = min(lo + 32, len(qv))
+        w = 0
+        for d in range(hi - 1, lo - 1, -1):  # same Horner order as the fold
+            w = w * 2 + (1 if qv[d] > thresholds[d] else 0)
+        qwords.append(w)
+    words = binary_code_words(F.col(vec_col), thresholds)
+    coded = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[wc.alias(f"_w{i}") for i, wc in enumerate(words)],
+    )
+    ham: Column | None = None
+    for i, qw in enumerate(qwords):
+        leg = F.bit_count(F.col(f"_w{i}").bitwiseXOR(F.lit(qw)))
+        ham = leg if ham is None else ham + leg
+    cand = (
+        coded.withColumn("hamming", ham.cast("long"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(n_candidates)
+    )
+    q = _query_col(qv)
+    scored = cand.select(
+        F.col(id_col),
+        F.col("hamming"),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 # --- hyperplane LSH ------------------------------------------------------------
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (LCG, no numpy dependency in the

@@ -68,6 +68,10 @@ NEW_THIS_ROUND: list[str] = [
     # IVF-PQ composed ANN (coarse cells + shared residual codebooks,
     # Jégou et al. 2011 / FAISS IVFPQ layout), SQL-replayable training
     "embed_ivfpq_topk",
+    # binary-quantization ANN (sign-bit codes vs exact-arithmetic
+    # per-dim mean thresholds, Hamming prefilter + exact rerank) —
+    # round 11.5, completes the ANN family's cheap-index end
+    "embed_binary_topk",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -96,8 +100,8 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r9-latest queries the 50-slot arithmetic cannot fit once round-11
 # registrations + changes + the r6-debt promotions claimed their slots
-# (48 r9-latest promotions + 3 r6-debt promotions + 2 new + 2 changed
-# = 55 candidates for 50 slots → 5 demotions).  Selection: code
+# (48 r9-latest promotions + 3 r6-debt promotions + 3 new + 2 changed
+# = 56 candidates for 50 slots → 6 demotions).  Selection: code
 # untouched since their green r9 row AND an in-window sibling
 # exercising the same machinery; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -130,6 +134,11 @@ STALE_OUT_OF_WINDOW: list[str] = [
     # runs in-window via kibana_sibling_sort and promql_limit_sample —
     # demoted for kibana_query_string (changed)
     "o4_sort_limit",
+    # md5-residue deterministic split, code untouched since its green
+    # r9 row; the same residue machinery runs in-window via
+    # pipe_weighted_sample and the dedup family — demoted for
+    # embed_binary_topk (new, round 11.5)
+    "pipe_split",
 ]
 
 WINDOW_PRIORITY = [
@@ -174,7 +183,6 @@ WINDOW_PRIORITY = [
     "pipe_dsir_resample",
     "pipe_global_shuffle",
     "pipe_sliding_chunks",
-    "pipe_split",
     "pipe_weighted_sample",
     # PromQL surface
     "promql_deriv_predict",

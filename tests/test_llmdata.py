@@ -156,6 +156,44 @@ def test_ivf_recall_vs_brute_force(embeddings):
     assert overlap >= 5  # probing half the cells keeps recall reasonable
 
 
+def test_binary_topk_recall_and_parity(embeddings):
+    """Round 11.5: binary-quantization ANN.  Three pins: (1) with the
+    Hamming prefilter DISABLED (n_candidates = corpus size) the rerank
+    IS brute force — identical ids in identical order; (2) the
+    production prefilter (200 of the corpus) keeps recall@10 ≥ 0.7 on
+    this isotropic corpus; (3) the sign-bit encode is deterministic
+    across re-builds (exact int threshold arithmetic)."""
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n = embeddings.count()
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in similarity.binary_topk(embeddings, q, k=10, n_candidates=n).collect()
+    ]
+    assert full == brute  # no pruning → exact parity, order included
+    a = similarity.binary_topk(embeddings, q, k=10, n_candidates=200).collect()
+    b = similarity.binary_topk(embeddings, q, k=10, n_candidates=200).collect()
+    assert a == b
+    ids = [r["vec_id"] for r in a]
+    assert ids[0] == 0  # the query vector has Hamming 0 and cosine 1
+    assert len(set(brute) & set(ids)) >= 7
+    # hamming is exposed and integral-bounded by the code width
+    assert all(0 <= r["hamming"] <= 64 for r in a)
+
+
+def test_binary_topk_validation(embeddings):
+    """Mis-shaped inputs reject loudly instead of NULLing bits (same
+    policy as the PQ/IVF-PQ entry points, code-review r11)."""
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    with pytest.raises(ValueError, match="empty query"):
+        similarity.binary_topk(embeddings, [])
+    with pytest.raises(ValueError, match="dims"):
+        similarity.binary_topk(embeddings, q, thresholds=[0.0] * 8)
+    with pytest.raises(ValueError, match="dims"):
+        # corpus is 64-dim: a 8-dim query must fail threshold training
+        similarity.binary_topk(embeddings, [0.0] * 8)
+
+
 def test_lsh_near_dup_subset_of_brute(embeddings):
     brute = {
         (r["vec_a"], r["vec_b"])

@@ -161,6 +161,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     )
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 11: 50 slots vs 48
-    # r9-latest promotions + 3 r6-debt promotions + 2 new + 2 changed
-    # = 55 candidates, forcing 5 demotions)
-    assert len(exempt) <= 5, exempt
+    # r9-latest promotions + 3 r6-debt promotions + 3 new + 2 changed
+    # = 56 candidates, forcing 6 demotions)
+    assert len(exempt) <= 6, exempt
