@@ -1883,10 +1883,12 @@ def _qs_ordered_slop_regex(words: list[str], budget: int) -> str:
 def _qs_displacement_orders(n: int, slop: int):
     """Permutations of ``range(n)`` whose total displacement
     ``Σ_k |σ[k] − k|`` is ≤ slop, yielded as (perm, cost) in
-    lexicographic order (identity first).  DFS assigns document
-    positions left to right; three prunes keep the walk proportional
-    to the FEASIBLE set instead of n! (which is what lets the r11
-    four-word permutation cap go away):
+    lexicographic order (identity first).  An explicit-stack DFS (a
+    recursive one hit Python's recursion limit on 1000+-word pasted
+    phrases — code-review 11.5) assigns document positions left to
+    right; three prunes keep the walk proportional to the FEASIBLE set
+    instead of n! (which is what lets the r11 four-word permutation
+    cap go away):
 
     - a source can only land within ``slop`` of its home position;
     - a source that has fallen ``slop+1`` behind the cursor can never
@@ -1894,34 +1896,49 @@ def _qs_displacement_orders(n: int, slop: int):
     - every still-unplaced source j ≤ pos owes at least ``pos+1−j``
       future budget; the partial cost plus that floor must fit.
     """
+    if n == 0:
+        yield (), 0
+        return
     used = [False] * n
     perm: list[int] = []
+    spent = 0
 
-    def rec(pos: int, spent: int):
-        if pos == n:
-            yield tuple(perm), spent
-            return
+    def candidates(pos: int, cur_spent: int):
         dead = pos - slop - 1
         if dead >= 0 and not used[dead]:
             return
         for i in range(max(0, pos - slop), min(n, pos + slop + 1)):
             if used[i]:
                 continue
-            cost = abs(i - pos)
             owed = sum(
                 pos + 1 - j
                 for j in range(max(0, pos - slop), pos + 1)
                 if not used[j] and j != i
             )
-            if spent + cost + owed > slop:
-                continue
-            used[i] = True
-            perm.append(i)
-            yield from rec(pos + 1, spent + cost)
-            perm.pop()
-            used[i] = False
+            if cur_spent + abs(i - pos) + owed <= slop:
+                yield i
 
-    yield from rec(0, 0)
+    stack = [candidates(0, 0)]
+    while stack:
+        pos = len(stack) - 1
+        i = next(stack[-1], None)
+        if i is None:
+            stack.pop()
+            if perm:
+                last = perm.pop()
+                used[last] = False
+                spent -= abs(last - (len(perm)))
+            continue
+        used[i] = True
+        perm.append(i)
+        spent += abs(i - pos)
+        if len(perm) == n:
+            yield tuple(perm), spent
+            used[i] = False
+            perm.pop()
+            spent -= abs(i - pos)
+        else:
+            stack.append(candidates(pos + 1, spent))
 
 
 def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
@@ -1939,12 +1956,16 @@ def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
     generalizes (full 3-word reversal costs 4).  The displacement
     bound prunes the permutation walk to the feasible set, so long
     phrases with small slops stay a handful of rlikes; the TOTAL
-    branch count across all orders is bounded arithmetically (same
-    500-branch policy and message as the per-order composition bound)
+    branch count across all orders is bounded arithmetically at 5000
     before any regex is built, so a hostile word-count × slop combo
-    raises loudly instead of compiling a megabyte regex.  Duplicate
-    words make distinct permutations collide on the same regex;
-    branches dedupe on the pattern string."""
+    raises loudly instead of compiling a megabyte regex.  The total
+    bound is 10× the per-order bound so that every phrase the ordered
+    r11 engine accepted still compiles (a 4-word slop-21 phrase
+    expands to ~3k branches across its 24 orders — code-review 11.5
+    caught the first cut capping the total at 500, which silently
+    regressed those).  Duplicate words make distinct permutations
+    collide on the same regex; branches dedupe on the pattern
+    string."""
     words = [re.escape(w) for w in phrase.split()]
     if not words:
         # Lucene's parser drops an empty phrase — in a filter context
@@ -1963,7 +1984,7 @@ def _qs_proximity(strcol: Column, phrase: str, slop: int) -> Column:
     for perm, cost in _qs_displacement_orders(len(words), slop):
         residual = slop - cost
         total_branches += _qs_branch_count(n_gaps, residual)
-        if total_branches > 500:
+        if total_branches > 5000:
             raise ValueError(
                 f"kibana: proximity phrase of {len(words)} words with "
                 f"slop {slop} expands past the supported regex size"

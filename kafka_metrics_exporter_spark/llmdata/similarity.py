@@ -327,8 +327,8 @@ def binary_thresholds(
     for r in rows:
         if len(r["s"]) != dim:
             raise ValueError(
-                f"binary_thresholds: vector of {len(r['s'])} dims in a "
-                f"{dim}-dim corpus"
+                f"binary_thresholds: {dim} dims requested over a corpus "
+                f"of {len(r['s'])}-dim vectors"
             )
         for d, x in enumerate(r["s"]):
             S[d] += int(x)

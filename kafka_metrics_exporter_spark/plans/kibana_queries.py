@@ -749,16 +749,19 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d WHERE regexp_matches(source, '^src.*2$')
     HAVING COUNT(*) > 0
     UNION ALL
+    -- the boundary/gap classes replay the engine's Unicode emission
+    -- exactly (round 11.5 — ASCII \b/\w twins drifted from the stated
+    -- identical-regex contract once the engine switched)
     SELECT 'prox', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(text, '\bdata\W+(?:\w+\W+){0,2}window\b')
-              OR regexp_matches(text, '\bwindow\W+(?:\w+\W+){0,0}data\b')
+    FROM d WHERE regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0,2}window(?:$|{NW})')
+              OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')
     HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'prox3', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
     FROM d WHERE regexp_matches(text,
-             '(?:\bwindow\W+(?:\w+\W+){0}data\W+(?:\w+\W+){0,2}scan\b|\bwindow\W+(?:\w+\W+){1}data\W+(?:\w+\W+){0,1}scan\b|\bwindow\W+(?:\w+\W+){2}data\W+(?:\w+\W+){0,0}scan\b)')
-              OR regexp_matches(text, '\bwindow\W+(?:\w+\W+){0}scan\W+(?:\w+\W+){0,0}data\b')
-              OR regexp_matches(text, '\bdata\W+(?:\w+\W+){0}window\W+(?:\w+\W+){0,0}scan\b')
+             '(?:(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}data{NW}+(?:{W}+{NW}+){0,2}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){1}data{NW}+(?:{W}+{NW}+){0,1}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){2}data{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW}))')
+              OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}scan{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')
+              OR regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0}window{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW})')
     HAVING COUNT(*) > 0
     UNION ALL
     -- prox5 is a SEMANTIC twin, not a regex replay: the probed column
@@ -788,7 +791,7 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'complex', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
     FROM d WHERE (lang = 'en' OR lang = 'de') AND source LIKE 'src1%'
     HAVING COUNT(*) > 0
-    """,
+    """.replace("{W}", r"[\p{L}\p{N}_]").replace("{NW}", r"[^\p{L}\p{N}_]"),
 )
 def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The completed Lucene ``query_string`` grammar (rounds 10-11)

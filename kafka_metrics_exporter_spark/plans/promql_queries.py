@@ -1647,9 +1647,14 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            cell.cnt AS n_obs,
            cell.vsum / cell.cnt AS avg_v,
            COALESCE(pick.qv, lastb.hi_max) AS q90,
-           frac.inside_pos / cell.cnt AS frac_1_64,
-           frac.inside_neg / cell.cnt AS frac_neg,
-           sqrt(stdv.stdvar) AS stddev_v
+           -- an all-NaN cell has no spans (frac/stdv rows absent):
+           -- fraction is 0 (nothing provably inside any range) and
+           -- stddev is NaN (the mean is NaN), matching the engine's
+           -- hist_fraction/hist_stdvar contract exactly
+           COALESCE(frac.inside_pos, 0.0) / cell.cnt AS frac_1_64,
+           COALESCE(frac.inside_neg, 0.0) / cell.cnt AS frac_neg,
+           CASE WHEN isnan(cell.vsum) THEN 'NaN'::DOUBLE
+                ELSE sqrt(stdv.stdvar) END AS stddev_v
     FROM cell
     LEFT JOIN pick USING (etype, ts)
     LEFT JOIN lastb USING (etype, ts)

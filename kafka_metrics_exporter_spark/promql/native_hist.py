@@ -291,8 +291,16 @@ def hist_stdvar(h: Column) -> Column:
         )
         return acc + b["c"] * (mid - mean) * (mid - mean)
 
+    # a NaN sum (any NaN observation) poisons the mean and therefore
+    # the variance — stated explicitly because a histogram whose
+    # observations were ALL NaN has zero spans, where the fold would
+    # otherwise return its 0.0 init instead of the NaN every populated
+    # span would have produced (code-review 11.5)
     return F.when(
-        count > 0, F.aggregate(_bucket_spans(h), F.lit(0.0), step) / count
+        count > 0,
+        F.when(F.isnan(h["sum"]), F.lit(float("nan"))).otherwise(
+            F.aggregate(_bucket_spans(h), F.lit(0.0), step) / count
+        ),
     )
 
 
@@ -308,7 +316,10 @@ def hist_fraction(h: Column, lo: float, hi: float) -> Column:
     divided by count.  A zero-width span (zt = 0 zero bucket) is a
     point mass, counted when it lies inside [lo, hi].  Per-span
     contributions quantize to 8 decimals before an exact integral sum,
-    so the total is order-independent and engine-identical."""
+    so the total is order-independent and engine-identical.  NaN
+    observations sit in no bucket, so they dilute the fraction (full
+    count in the denominator); a histogram whose observations were ALL
+    NaN has fraction 0 in every range — nothing provably inside."""
     lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     count = h["count"]
 

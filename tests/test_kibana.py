@@ -1893,11 +1893,49 @@ def test_proximity_long_phrase_bounds(spark):
         f'msg: "{text}"~0', _default_resolver(df), df, "msg"
     )
     assert {r["id"] for r in df.filter(pred0).collect()} == {1}
-    # hostile expansion: 12 words × slop 40 blows the 500-branch total
+    # hostile expansion: 12 words × slop 40 blows the branch total
     with pytest.raises(ValueError, match="expands past"):
         _query_string_pred(
             f'msg: "{text}"~40', _default_resolver(df), df, "msg"
         )
+
+
+def test_proximity_enumerator_properties():
+    """The displacement-bounded permutation enumerator, pinned without
+    Spark: (1) differential vs brute force for every (n ≤ 6, slop ≤ 7);
+    (2) identity-first lexicographic order (the oracle-replay branch
+    order contract); (3) an explicit stack, so a pasted 2000-word
+    phrase at slop 0 enumerates instead of hitting Python's recursion
+    limit (code-review 11.5); (4) 4-word phrases keep compiling at the
+    slops the ordered r11 engine accepted (total-bound regression,
+    code-review 11.5)."""
+    from itertools import permutations as _perms
+
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _qs_displacement_orders, _qs_ordered_slop_regex,
+    )
+
+    for n in range(1, 7):
+        for slop in range(0, 8):
+            got = [p for p, _ in _qs_displacement_orders(n, slop)]
+            want = [
+                p for p in _perms(range(n))
+                if sum(abs(s - k) for k, s in enumerate(p)) <= slop
+            ]
+            assert got == want, (n, slop)
+    assert list(_qs_displacement_orders(2000, 0)) == [
+        (tuple(range(2000)), 0)
+    ]
+    # slop-21 four-word phrase: 24 orders, ~3k branches — compiled by
+    # the ordered r11 engine, must still compile
+    words = ["aa", "bb", "cc", "dd"]
+    orders = list(_qs_displacement_orders(4, 21))
+    assert len(orders) == 24
+    pats = [
+        _qs_ordered_slop_regex([words[i] for i in p], 21 - c)
+        for p, c in orders
+    ]
+    assert all(pats)
 
 
 def test_proximity_unicode_token_boundaries(spark):

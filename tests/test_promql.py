@@ -2410,16 +2410,20 @@ def test_native_histogram_nan_observations(spark):
     assert val("histogram_fraction(0.25, 4, req)") == pytest.approx(3 / 5)
 
     # an all-NaN sample: count 1, sum NaN, no populated bucket at all
-    # → quantile has neither a crossing span nor a clamp bound (NULL)
+    # → quantile has neither a crossing span nor a clamp bound (NULL),
+    # fraction is 0 (nothing provably inside any range), stddev is NaN
+    # (the mean is NaN — code-review 11.5: the empty fold's 0.0 init
+    # must not leak out as a variance)
     m2 = _native_frame(spark, [float("nan")])
     r2 = m2.collect()[0]["hist"]
     assert r2["count"] == 1.0 and math.isnan(r2["sum"])
-    q2 = (
-        compile_promql("histogram_quantile(0.9, req)")
-        .evaluate(m2)
-        .collect()[0]["value"]
-    )
-    assert q2 is None
+
+    def val2(q):
+        return compile_promql(q).evaluate(m2).collect()[0]["value"]
+
+    assert val2("histogram_quantile(0.9, req)") is None
+    assert val2("histogram_fraction(0, 100, req)") == pytest.approx(0.0)
+    assert math.isnan(val2("histogram_stddev(req)"))
 
 
 def test_native_histogram_rate_and_reset(spark):
