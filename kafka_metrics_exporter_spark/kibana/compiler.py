@@ -269,6 +269,7 @@ class PipelineAgg:
     label: str
     window: int = 5  # moving_avg window / serial_diff lag
     percents: tuple[float, ...] = ()  # percentiles_bucket only
+    seq: int = 0  # position in the request (same-level reduce order)
 
     def column_names(self) -> list[str]:
         if self.op == "stats_bucket":
@@ -317,6 +318,7 @@ class BucketScriptAgg:
     paths: tuple[tuple[str, str], ...]  # (param name, resolved metric label)
     script: str
     label: str
+    seq: int = 0  # position in the request (same-level reduce order)
 
 
 _SCRIPT_TOKEN_RE = re.compile(
@@ -531,7 +533,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     pipelines_raw: list[tuple[str, str, str, int]] = []  # (op, path, label, window)
     bucket_sort_raw: tuple[str, str, int, int] | None = None  # (path, order, size, from)
     scripts_raw: list[tuple[str, dict, str, str]] = []  # (op, paths, script, label)
-    for a in aggs:
+    for _seq, a in enumerate(aggs):
         p = a.get("params", {})
         schema = a.get("schema", "metric")
         label = _slug(p.get("customLabel") or f'{a["type"]}_{a["id"]}')
@@ -792,17 +794,17 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 op = mapped[fn]
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append(
-                (op, path, label, int(p.get("window", 5)), ())
+                (op, path, label, int(p.get("window", 5)), (), _seq)
             )
         elif a["type"] == "serial_diff":
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             lag = int(p.get("lag", 1))
             if lag < 1:
                 raise ValueError("kibana: serial_diff lag must be >= 1")
-            pipelines_raw.append(("serial_diff", path, label, lag, ()))
+            pipelines_raw.append(("serial_diff", path, label, lag, (), _seq))
         elif a["type"] in SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
-            pipelines_raw.append((a["type"], path, label, 0, ()))
+            pipelines_raw.append((a["type"], path, label, 0, (), _seq))
         elif a["type"] in MULTI_SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             percents: tuple[float, ...] = ()
@@ -814,7 +816,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     raise ValueError(
                         "kibana: percentiles_bucket percents must be in [0, 100]"
                     )
-            pipelines_raw.append((a["type"], path, label, 0, percents))
+            pipelines_raw.append((a["type"], path, label, 0, percents, _seq))
         elif a["type"] in ("bucket_script", "bucket_selector"):
             script = p.get("script")
             if isinstance(script, dict):
@@ -826,7 +828,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 raise ValueError(
                     f"kibana: {a['type']} needs a buckets_path map"
                 )
-            scripts_raw.append((a["type"], dict(paths), script, label))
+            scripts_raw.append((a["type"], dict(paths), script, label, _seq))
         elif a["type"] == "bucket_sort":
             if bucket_sort_raw is not None:
                 raise ValueError("kibana: at most one bucket_sort per vis")
@@ -855,11 +857,11 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             )
             label_of.setdefault(a["id"], lbl)
         needs_count = (
-            any(path == "_count" for _, path, _, _, _ in pipelines_raw)
+            any(path == "_count" for _, path, _, _, _, _ in pipelines_raw)
             or (bucket_sort_raw is not None and bucket_sort_raw[0] == "_count")
             or any(
                 p == "_count"
-                for _, paths, _, _ in scripts_raw
+                for _, paths, _, _, _ in scripts_raw
                 for p in paths.values()
             )
         )
@@ -906,17 +908,17 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             return src
 
-        for op, path, label, window, percents in pipelines_raw:
+        for op, path, label, window, percents, seq_ in pipelines_raw:
             src = _resolve_path(op, path)
             if op.startswith("moving_") and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
             pipelines.append(
                 PipelineAgg(
                     op=op, source_label=src, label=label, window=window,
-                    percents=percents,
+                    percents=percents, seq=seq_,
                 )
             )
-        for op, paths, script, label in scripts_raw:
+        for op, paths, script, label, seq_ in scripts_raw:
             resolved = [
                 (param, _resolve_path(op, path))
                 for param, path in paths.items()
@@ -926,7 +928,8 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             compile_bucket_script(script, dict(resolved))
             scripts.append(
                 BucketScriptAgg(
-                    op=op, paths=tuple(resolved), script=script, label=label
+                    op=op, paths=tuple(resolved), script=script, label=label,
+                    seq=seq_,
                 )
             )
         if bucket_sort_raw is not None:
@@ -1455,9 +1458,8 @@ class KibanaPlan:
         # not docs) — the same bounded-by-construction argument as
         # promql_subquery's grid window.
         _sib_ops = SIBLING_OPS.keys() | MULTI_SIBLING_OPS
-        parents = [pl for pl in s.pipelines if pl.op not in _sib_ops]
-        siblings = [pl for pl in s.pipelines if pl.op in _sib_ops]
-        if parents:
+
+        def _apply_parents(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
             seq = [
                 b.label
                 for b in s.buckets
@@ -1473,7 +1475,7 @@ class KibanaPlan:
             w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
                 F.col(seq_label).asc()
             )
-            for pl in parents:
+            for pl in run:
                 src = F.col(pl.source_label).cast("double")
                 if pl.op == "derivative":
                     expr = src - F.lag(src).over(w)
@@ -1492,22 +1494,24 @@ class KibanaPlan:
                            "moving_min": F.min, "moving_sum": F.sum}[pl.op]
                     expr = mfn(src).over(w.rowsBetween(-pl.window, -1))
                 out = out.withColumn(pl.label, expr)
+            return out
 
-        # 4b) sibling pipeline aggs: aggregate a metric ACROSS the
-        # innermost bucket level, one value per outer bucket, repeated
-        # on each inner row.  Grouped aggregation + broadcast join-back
-        # (the sibling side is one row per OUTER bucket — small by
-        # construction), never a window: with no outer bucket a window
-        # would constant-fold to an empty partition spec and move the
-        # whole relation into one task; the global-agg + one-row
-        # broadcast shape stays distributed (bnl_join_onerow).
-        if siblings:
+        def _apply_siblings(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
+            # sibling pipeline aggs: aggregate a metric ACROSS the
+            # innermost bucket level, one value per outer bucket,
+            # repeated on each inner row.  Grouped aggregation +
+            # broadcast join-back (the sibling side is one row per
+            # OUTER bucket — small by construction), never a window:
+            # with no outer bucket a window would constant-fold to an
+            # empty partition spec and move the whole relation into one
+            # task; the global-agg + one-row broadcast shape stays
+            # distributed (bnl_join_onerow).
             if not key_names:
                 raise ValueError("kibana: sibling pipeline aggs need a bucket agg")
             outer = key_names[:-1]
             aggs_ = []
             pb_extract: list[tuple[str, str, float]] = []
-            for pl in siblings:
+            for pl in run:
                 src = F.col(pl.source_label).cast("double")
                 if pl.op == "stats_bucket":
                     names = pl.column_names()
@@ -1553,35 +1557,61 @@ class KibanaPlan:
                     + F.lit(0.5)
                 ).cast("int")
                 out = out.withColumn(col_name, F.get(arr, idx))
-            out = out.drop(*{a for a, _, _ in pb_extract})
+            return out.drop(*{a for a, _, _ in pb_extract})
 
-        # 4b') bucket_script / bucket_selector: per-bucket painless
-        # arithmetic over sibling metric values — scripts add columns
-        # FIRST (ES resolves them before selectors can reference the
-        # response), then selectors filter.  Pure Column expressions:
-        # scan-local, no shuffle, no Python.
+        # 4) same-level pipeline reduction in REQUEST order (round
+        # 11.5 — previously a fixed parents → siblings → scripts →
+        # selectors phase order, a documented divergence since ADVICE
+        # r9): ES reduces same-level pipeline aggs in the order the
+        # request declares them, so a bucket_selector declared before
+        # a sibling agg (stats_bucket/avg_bucket/...) filters that
+        # sibling's input, and a selector before a derivative leaves
+        # gaps its lag window then skips over.  Consecutive runs of
+        # the same kind batch into one window pass / one grouped
+        # aggregation, so a request in the classic order compiles to
+        # the identical plan (and values) the fixed phases produced.
         #
-        # KNOWN DIVERGENCE (ADVICE r9): ES reduces same-level pipeline
-        # aggs in REQUEST order, so a bucket_selector declared before a
-        # sibling agg (stats_bucket/percentiles_bucket/avg_bucket...)
-        # filters that sibling's input.  This engine's order is fixed:
-        # ALL sibling aggs compute over the unfiltered buckets (4b
-        # above), then scripts, then selectors — siblings always see
-        # buckets a later-declared selector would have dropped.
-        # Request orderings that interleave selectors before siblings
-        # are not expressible here.
-        if s.scripts:
-            for sc in s.scripts:
-                if sc.op == "bucket_script":
-                    out = out.withColumn(
-                        sc.label,
-                        compile_bucket_script(sc.script, dict(sc.paths)),
-                    )
-            for sc in s.scripts:
-                if sc.op == "bucket_selector":
-                    # gap_policy skip: null script inputs drop the bucket
-                    pred = compile_bucket_script(sc.script, dict(sc.paths))
-                    out = out.filter(pred.cast("boolean"))
+        # Parent windows: sequence over the INNERMOST histogram /
+        # date_histogram buckets, one window per outer-bucket group.
+        # When outer buckets exist the window partitions by them; a
+        # bare histogram's window relation is the already-aggregated
+        # bucket table (time-span / interval rows, not docs) — the
+        # same bounded-by-construction argument as promql_subquery's
+        # grid window.
+        stages: list[tuple[str, object]] = sorted(
+            [
+                ("sibling" if pl.op in _sib_ops else "parent", pl)
+                for pl in s.pipelines
+            ]
+            + [(sc.op, sc) for sc in s.scripts],
+            key=lambda t: t[1].seq,
+        )
+        i = 0
+        while i < len(stages):
+            kind, stage = stages[i]
+            if kind in ("parent", "sibling"):
+                run = [stage]
+                while i + 1 < len(stages) and stages[i + 1][0] == kind:
+                    i += 1
+                    run.append(stages[i][1])
+                out = (
+                    _apply_parents(out, run)
+                    if kind == "parent"
+                    else _apply_siblings(out, run)
+                )
+            elif kind == "bucket_script":
+                # per-bucket painless arithmetic over sibling metric
+                # values — pure Column expression: scan-local, no
+                # shuffle, no Python
+                out = out.withColumn(
+                    stage.label,
+                    compile_bucket_script(stage.script, dict(stage.paths)),
+                )
+            else:  # bucket_selector — gap_policy skip: null script
+                # inputs drop the bucket
+                pred = compile_bucket_script(stage.script, dict(stage.paths))
+                out = out.filter(pred.cast("boolean"))
+            i += 1
 
         # 4c) bucket_sort: order the innermost buckets per outer bucket
         # and keep [from_, from_+size).  Computed AFTER sibling aggs —

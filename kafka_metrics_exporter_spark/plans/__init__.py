@@ -94,13 +94,19 @@ CHANGED_THIS_ROUND: list[str] = [
     # branches (fuzzy_transposed, prox3) exercise exactly the new
     # machinery.
     "kibana_query_string",
+    # r11.5: same-level pipeline aggs now reduce in REQUEST order
+    # (removing the ADVICE-r9 documented divergence — a
+    # bucket_selector declared before a sibling filters that
+    # sibling's input); the registry query gains a selector → sibling
+    # tail whose avg_bucket sees only the surviving buckets.
+    "kibana_pipeline",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r9-latest queries the 50-slot arithmetic cannot fit once round-11
 # registrations + changes + the r6-debt promotions claimed their slots
-# (48 r9-latest promotions + 3 r6-debt promotions + 3 new + 2 changed
+# (47 r9-latest promotions + 3 r6-debt promotions + 3 new + 3 changed
 # = 56 candidates for 50 slots → 6 demotions).  Selection: code
 # untouched since their green r9 row AND an in-window sibling
 # exercising the same machinery; every one is replayed against its
@@ -195,7 +201,6 @@ WINDOW_PRIORITY = [
     "kibana_bucket_script",
     "kibana_composite",
     "kibana_histogram_stats",
-    "kibana_pipeline",
     "kibana_sibling_sort",
 ]
 

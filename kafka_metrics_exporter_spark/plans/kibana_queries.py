@@ -320,16 +320,29 @@ def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT event_type, day, COUNT(*) AS count FROM b GROUP BY 1, 2
-    )
+    ),
+    -- parent pipelines reduce FIRST (declared before the selector),
+    -- over the full day sequence
+    win AS (
+      SELECT event_type, day, count,
+             CAST(count AS DOUBLE) - lag(CAST(count AS DOUBLE)) OVER w
+               AS d_count,
+             SUM(CAST(count AS DOUBLE)) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_count,
+             AVG(CAST(count AS DOUBLE)) OVER (
+               w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m_count
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    -- the bucket_selector declared NEXT drops odd-count days, so the
+    -- avg_bucket declared AFTER it averages only the survivors
+    -- (request-order reduction, round 11.5)
+    filt AS (SELECT * FROM win WHERE count % 2 = 0)
     SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s, count,
-           CAST(count AS DOUBLE) - lag(CAST(count AS DOUBLE)) OVER w
-             AS d_count,
-           SUM(CAST(count AS DOUBLE)) OVER (
-             w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_count,
-           AVG(CAST(count AS DOUBLE)) OVER (
-             w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m_count
-    FROM agg
-    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+           d_count, c_count, m_count,
+           AVG(CAST(count AS DOUBLE)) OVER (PARTITION BY event_type)
+             AS sel_avg
+    FROM filt
     """,
 )
 def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +356,14 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequence op runs over the already-aggregated bucket table
     (days × types rows), never the raw docs.  Counts are integral:
     lag-subtraction, running sums, and the ≤3-term averages are all
-    exact, hash-identical to the SQL window twin."""
+    exact, hash-identical to the SQL window twin.
+
+    Round 11.5 — same-level pipelines now reduce in REQUEST order
+    (removing the ADVICE-r9 documented divergence): a bucket_selector
+    declared after the parent pipelines drops odd-count days, and the
+    avg_bucket declared AFTER the selector averages only the
+    survivors (the fixed phase order would have fed it every
+    bucket)."""
     plan = compile_visualization(
         _vis(
             [
@@ -361,6 +381,12 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": "5", "type": "moving_avg", "schema": "metric",
                  "params": {"metricAgg": "_count", "window": 3,
                              "customLabel": "m_count"}},
+                {"id": "6", "type": "bucket_selector", "schema": "metric",
+                 "params": {"buckets_path": {"c": "_count"},
+                             "script": "params.c % 2 == 0"}},
+                {"id": "7", "type": "avg_bucket", "schema": "metric",
+                 "params": {"metricAgg": "_count",
+                             "customLabel": "sel_avg"}},
             ]
         )
     )
@@ -372,6 +398,7 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_count",
         "c_count",
         "m_count",
+        "sel_avg",
     )
 
 

@@ -944,6 +944,61 @@ def test_date_range_bucket(docs):
         ])["visState"])
 
 
+def test_pipeline_request_order_reduction(docs):
+    """Round 11.5 (removes the ADVICE-r9 documented divergence): ES
+    reduces same-level pipeline aggs in REQUEST order — a
+    bucket_selector declared before a sibling agg filters that
+    sibling's input, one declared after does not, and a selector
+    before a derivative leaves gaps its lag then skips over."""
+    # terms over v-buckets: sums per host are h1=60, h2=52
+    base = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "host", "size": 10, "orderBy": "_term",
+                    "customLabel": "host"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    sel = {"id": "3", "type": "bucket_selector", "schema": "metric",
+           "params": {"buckets_path": {"t": "2"}, "script": "params.t > 55"}}
+    avg = {"id": "4", "type": "avg_bucket", "schema": "metric",
+           "params": {"metricAgg": "2", "customLabel": "ab"}}
+
+    # selector BEFORE the sibling: avg over surviving buckets only
+    out = compile_visualization(_vis8(base + [sel, avg])).evaluate(docs).collect()
+    assert [r["host"] for r in out] == ["h1"]
+    assert out[0]["ab"] == pytest.approx(60.0)
+
+    # selector AFTER the sibling: avg over ALL buckets, then filter
+    out2 = compile_visualization(_vis8(base + [avg, sel])).evaluate(docs).collect()
+    assert [r["host"] for r in out2] == ["h1"]
+    assert out2[0]["ab"] == pytest.approx(56.0)  # (60 + 52) / 2
+
+    # selector before a derivative: the dropped bucket leaves a gap
+    # the lag window skips over (h1 11:00 bucket removed → the 11:30
+    # derivative is 20 − 10, not 20 − 30)
+    hist = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "interval": "30m", "customLabel": "slot"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+        {"id": "3", "type": "bucket_selector", "schema": "metric",
+         "params": {"buckets_path": {"t": "2"},
+                    "script": "params.t != 30"}},
+        {"id": "4", "type": "derivative", "schema": "metric",
+         "params": {"metricAgg": "2", "customLabel": "dv"}},
+    ]
+    h1 = docs.filter(F.col("host") == "h1")
+    out3 = compile_visualization(_vis8(hist)).evaluate(h1).collect()
+    by_slot = {str(r["slot"]): r["dv"] for r in out3}
+    assert by_slot["2024-04-01 11:30:00"] == pytest.approx(10.0)  # 20 − 10
+    # ...whereas declared the other way round the derivative computes
+    # over the full sequence first (20 − 30), then the bucket drops
+    hist2 = [hist[0], hist[1], hist[3], hist[2]]
+    out4 = compile_visualization(_vis8(hist2)).evaluate(h1).collect()
+    by_slot2 = {str(r["slot"]): r["dv"] for r in out4}
+    assert by_slot2["2024-04-01 11:30:00"] == pytest.approx(-10.0)  # 20 − 30
+
+
 def test_bucket_script_and_selector(docs):
     """ES bucket_script adds a painless-computed column per bucket;
     bucket_selector drops buckets whose script is false (round 9)."""
