@@ -94,6 +94,14 @@ CHANGED_THIS_ROUND: list[str] = [
     # branches (fuzzy_transposed, prox3) exercise exactly the new
     # machinery.
     "kibana_query_string",
+    # r11.5: exact @-anchoring — a numeric @ t now evaluates the inner
+    # expression on a one-instant grid pinned at EXACTLY t (removing
+    # the ADVICE-r6 documented divergence); the registry query gains a
+    # grid-mode branch anchored 30 minutes off the step grid whose
+    # window excludes the t_max hour the old snap-to-grid included.
+    # Also an r6-debt promotion (latest driver row r6, 4 gate-runs
+    # old) — the CHANGED slot burns the oldest ledger debt.
+    "promql_at_offset",
     # r11.5: same-level pipeline aggs now reduce in REQUEST order
     # (removing the ADVICE-r9 documented divergence — a
     # bucket_selector declared before a sibling filters that
@@ -106,8 +114,9 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r9-latest queries the 50-slot arithmetic cannot fit once round-11
 # registrations + changes + the r6-debt promotions claimed their slots
-# (47 r9-latest promotions + 3 r6-debt promotions + 3 new + 3 changed
-# = 56 candidates for 50 slots → 6 demotions).  Selection: code
+# (47 r9-latest promotions + 3 r6-debt promotions + 3 new + 4 changed
+# — one of the changed rows, promql_at_offset, is itself an r6-debt
+# promotion — = 57 candidates for 50 slots → 7 demotions).  Selection: code
 # untouched since their green r9 row AND an in-window sibling
 # exercising the same machinery; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -145,6 +154,12 @@ STALE_OUT_OF_WINDOW: list[str] = [
     # pipe_weighted_sample and the dedup family — demoted for
     # embed_binary_topk (new, round 11.5)
     "pipe_split",
+    # unionByName — a zero-exchange concatenation, code untouched
+    # since its green r9 row and exercised in-window by
+    # promql_at_offset's two-branch union (changed this round) —
+    # demoted for promql_at_offset (changed + r6-debt promotion,
+    # round 11.5)
+    "j3_union_byname",
 ]
 
 WINDOW_PRIORITY = [
@@ -162,7 +177,6 @@ WINDOW_PRIORITY = [
     "a11_percentile",
     "j1_cross_join",
     "j2_broadcast_lookup",
-    "j3_union_byname",
     "j5_explode_parent_child",
     "j7_range_join",
     "o3_anti_join",

@@ -878,13 +878,42 @@ def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     -- offset -1d: the sample taken at t surfaces at instant t - 1d
-    off AS (SELECT user_id, ts - INTERVAL 1 DAY AS ts, value FROM c)
-    SELECT o.user_id,
+    off AS (SELECT user_id, ts - INTERVAL 1 DAY AS ts, value FROM c),
+    -- grid-mode branch (round 11.5): T' = newest click hour MINUS 30
+    -- minutes, deliberately OFF the 1h step grid.  Exact @ anchoring
+    -- means sum_over_time(click[1d] @ T') sums the samples in the
+    -- exact left-open window (T'−1d, T'] — the hours t_max−24h
+    -- through t_max−1h, EXCLUDING the t_max hour itself (the r11
+    -- snap-to-grid would have included it) — per user; integral
+    -- counts, so the sum over users is exact on both engines
+    tmax AS (SELECT max(epoch_us(ts)) AS mx FROM c),
+    atw AS (
+      SELECT user_id, SUM(value) AS sv
+      FROM c, tmax
+      WHERE epoch_us(ts) >  mx - 1800000000 - 86400000000
+        AND epoch_us(ts) <= mx - 1800000000
+      GROUP BY user_id
+    ),
+    -- sum() over an EMPTY pinned vector is an empty result in PromQL,
+    -- not a NULL row — guard the cross join below
+    pinv AS (SELECT SUM(sv) AS v FROM atw),
+    -- the engine's evaluation grid: hour instants aligned over the
+    -- WHOLE metrics frame's span (all names, hour grain → both ends
+    -- already aligned)
+    grid AS (
+      SELECT unnest(generate_series((SELECT min(ts) FROM m),
+                                    (SELECT max(ts) FROM m),
+                                    INTERVAL 1 HOUR)) AS ts
+    )
+    SELECT 'off_minus_at' AS branch, o.user_id,
            strftime(o.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            o.value - s.pin AS value
     FROM off o
     JOIN snap s USING (user_id)
     JOIN u USING (ts)
+    UNION ALL
+    SELECT 'grid_at', '', strftime(grid.ts, '%Y-%m-%d %H:%M:%S'), pinv.v
+    FROM grid, pinv WHERE pinv.v IS NOT NULL
     """,
 )
 def promql_at_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,7 +926,17 @@ def promql_at_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     click series' newest hour, derived from the data so the query is
     self-contained at any SF; a dashboard would pass its own epoch
     literal.  Values are exact integer-count differences — no float
-    freedom."""
+    freedom.
+
+    Round 11.5 (CHANGED — removes the ADVICE-r6 documented
+    divergence): a second branch runs in RANGE mode with an anchor 30
+    minutes OFF the 1-hour step grid —
+    ``sum(sum_over_time(click[1d] @ T−30m))``.  Exact @ anchoring
+    evaluates the inner expression on a one-instant grid pinned at
+    exactly T−30m, so the window is the exact (T−30m−1d, T−30m] —
+    excluding the t_max hour itself; the r11 engine would have
+    snapped to the newest grid instant ≤ T−30m (t_max, grid-aligned)
+    and summed a window that INCLUDES it."""
     m = _metrics_view(spark, sf_dir, "hour")
     t_max = (
         m.filter(F.col("name") == "click")
@@ -906,11 +945,23 @@ def promql_at_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expr = f"click offset -1d - click @ {t_max // 1_000_000}"
     out = compile_promql(expr).evaluate(m)
-    return out.select(
+    branch1 = out.select(
+        F.lit("off_minus_at").alias("branch"),
         "user_id",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "value",
     )
+    t_off = t_max // 1_000_000 - 1800  # half an hour off the grid
+    g = compile_promql(
+        f"sum(sum_over_time(click[1d] @ {t_off}))"
+    ).evaluate_range(m, 3600.0)
+    branch2 = g.select(
+        F.lit("grid_at").alias("branch"),
+        F.lit("").alias("user_id"),
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        "value",
+    )
+    return branch1.unionByName(branch2)
 
 
 @query(

@@ -1723,20 +1723,57 @@ def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     series labels; the instant expansion is a crossJoin against the
     broadcast 1-column instants frame (|series| × |instants| rows, the
     semantic result size)."""
+    # Exact at-t anchoring in grid mode (round 11.5 — removes the
+    # ADVICE-r6 documented divergence): a NUMERIC ``@ t`` evaluates
+    # the inner expression on a ONE-INSTANT grid pinned at exactly t,
+    # so range windows like rate(m[5m] @ t) end precisely at t even
+    # when t is not step-aligned.  The rebased leaf keeps the lookback
+    # but sets step_us=1: _expand_instants' alignment arithmetic then
+    # degenerates to the exact left-open window (t−w, t] ∩ {t} (with
+    # the query's step, a sample between the last aligned instant and
+    # t would never expand onto the off-grid t).  ``@ start()/end()``
+    # need no rebasing — the bounds ARE grid instants, so the
+    # newest-evaluated-instant pin below is already exact; they keep
+    # resolving against the QUERY bounds inside a rebased context via
+    # query_bounds.  In sample-instant mode the snapshot pins the
+    # newest sample instant ≤ t with unbounded look-back — that mode's
+    # selector semantics (no lookback delta) applied to @, not a
+    # divergence from grid Prometheus.
+    if (
+        leaf is not None
+        and hasattr(leaf, "step_us")
+        and not isinstance(node.at_seconds, str)
+    ):
+        import dataclasses as _dc
+
+        at_us = int(round(node.at_seconds * 1_000_000))
+        one_bounds = metrics.sparkSession.range(1).select(
+            F.lit(at_us).cast("long").alias("__g_lo"),
+            F.lit(at_us).cast("long").alias("__g_hi"),
+        )
+        qb = getattr(leaf, "query_bounds", None)
+        one = _dc.replace(
+            leaf,
+            step_us=1,
+            bounds=one_bounds,
+            query_bounds=qb if qb is not None else leaf.bounds,
+        )
+        pinned = _eval(node.expr, metrics, label_cols, one)
+        if isinstance(pinned, float):
+            raise ValueError("promql: @ needs a vector expression")
+        series = sorted(pinned.labels)
+        picked = pinned.df.select(*series, "value").filter(
+            F.col("value").isNotNull()
+        )
+        instants = _instant_universe(metrics, leaf)
+        out = picked.crossJoin(F.broadcast(instants)).select(
+            *series, "ts", "value"
+        )
+        return _Vec(out, pinned.labels)
     vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: @ needs a vector expression")
     series = sorted(vec.labels)
-    # DOCUMENTED DIVERGENCE (ADVICE r6, like the timestamp()/offset
-    # note): Prometheus evaluates the inner expression at EXACTLY t —
-    # range windows like rate(m[5m] @ t) end precisely at t.  This
-    # engine instead pins the newest ALREADY-EVALUATED instant <= t, so
-    # in grid mode a non-grid-aligned t can shift range windows by up
-    # to one step, and in sample-instant mode the look-back to the
-    # snapshot instant is unbounded (consistent with that mode's
-    # selector semantics, which have no lookback delta either).  Exact
-    # at-t anchoring would need a second evaluation pass with a
-    # one-instant grid; dashboards align @ to the step in practice.
     if isinstance(node.at_seconds, str):
         # @ start() / @ end(): the evaluation range's first/last
         # instant — the grid bounds in range mode (which carry any
@@ -1745,7 +1782,10 @@ def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         # (column comparison, not a literal).
         if leaf is not None and hasattr(leaf, "bounds"):
             src = "__g_lo" if node.at_seconds == "start" else "__g_hi"
-            at_bound = leaf.bounds.select(F.col(src).alias("__at_us"))
+            qb = getattr(leaf, "query_bounds", None)
+            at_bound = (qb if qb is not None else leaf.bounds).select(
+                F.col(src).alias("__at_us")
+            )
         else:
             agg = F.min if node.at_seconds == "start" else F.max
             at_bound = metrics.agg(

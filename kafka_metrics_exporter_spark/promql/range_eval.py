@@ -124,6 +124,11 @@ class GridLeaf:
     step_us: int
     lookback_us: int
     bounds: DataFrame
+    # The original query-range bounds when ``bounds`` has been rebased
+    # (the one-instant grid an exact ``@ t`` evaluation pins — round
+    # 11.5): ``@ start()`` / ``@ end()`` refer to the QUERY range in
+    # Prometheus, never to the enclosing @ context.
+    query_bounds: DataFrame | None = None
 
     # -- instant selector with lookback ----------------------------------
     def selector(self, node: Selector, metrics: DataFrame, label_cols):

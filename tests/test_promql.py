@@ -1327,6 +1327,31 @@ def test_at_modifier_pins_value_across_instants(tiny):
     assert gvals == {160.0}
 
 
+def test_at_modifier_exact_off_grid_anchor(tiny):
+    """Round 11.5 (removes the ADVICE-r6 documented divergence): a
+    numeric ``@ t`` evaluates the inner expression at EXACTLY t, so
+    range windows end at t even when t is off the step grid.  With
+    t = 150s, ``sum_over_time(m[2m] @ 150)`` sums the samples in
+    (30s, 150s] — 40 + 5 = 45.  The r11 engine pinned the newest
+    evaluated grid instant ≤ t (120s) instead, whose window (0, 120]
+    summed 10 + 40 + 5 = 55."""
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    out = compile_promql(
+        f'sum_over_time(m{{topic="a"}}[2m] @ {t0 + 150:.0f})'
+    ).evaluate_range(tiny, 60.0)
+    rows = out.collect()
+    assert {r["value"] for r in rows} == {45.0}
+    assert len(rows) == 3  # pinned across the whole 00:00..00:02 grid
+    # count_over_time at an off-grid t sees exactly the (t−w, t] set
+    c = compile_promql(
+        f'count_over_time(m{{topic="a"}}[1m] @ {t0 + 150:.0f})'
+    ).evaluate_range(tiny, 60.0)
+    assert {r["value"] for r in c.collect()} == {1.0}  # only the 00:02 sample
+    # instant selector @ off-grid t: newest sample ≤ t within lookback
+    s = compile_promql(f'm{{topic="a"}} @ {t0 + 90:.0f}').evaluate_range(tiny, 60.0)
+    assert {r["value"] for r in s.collect()} == {40.0}
+
+
 def test_negative_offset_looks_into_the_future(tiny):
     """`offset -1m` surfaces the sample taken at t+1m at instant t —
     PromQL's negative offset (the forward-looking comparison idiom)."""

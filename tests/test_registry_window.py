@@ -161,6 +161,7 @@ def test_out_of_window_exemptions_have_fresh_golden():
     )
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 11: 50 slots vs 47
-    # r9-latest promotions + 3 r6-debt promotions + 3 new + 3 changed
-    # = 56 candidates, forcing 6 demotions)
-    assert len(exempt) <= 6, exempt
+    # r9-latest promotions + 3 r6-debt promotions + 3 new + 4 changed
+    # (one itself an r6-debt promotion) = 57 candidates, forcing 7
+    # demotions)
+    assert len(exempt) <= 7, exempt
