@@ -1696,12 +1696,36 @@ def _eval_matched_bin(
     return _Vec(out, out_labels)
 
 
+def _absent_labels(expr) -> dict[str, str]:
+    """The labels Prometheus reconstructs on an ``absent()`` /
+    ``absent_over_time()`` result (promql/functions.go
+    createLabelsForAbsentFunction): only when the argument is a plain
+    (range-)selector, only ``=`` matchers with non-empty values, never
+    the metric-name matcher, and a label matched more than once is
+    dropped again (conflicting equalities name no single value)."""
+    if not isinstance(expr, Selector):
+        return {}
+    out: dict[str, str] = {}
+    seen_twice: set[str] = set()
+    for m in expr.matchers:
+        if m.op != "=" or not m.value or m.label == "__name__":
+            continue
+        if m.label in out or m.label in seen_twice:
+            out.pop(m.label, None)
+            seen_twice.add(m.label)
+        else:
+            out[m.label] = m.value
+    return out
+
+
 def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     """``absent(v)``: 1 at every evaluation instant where ``v`` has no
-    samples, nothing elsewhere.  The instant universe is the engine's
-    evaluation-instant set: the base frame's distinct sample timestamps
-    in instant mode, the aligned step grid in range mode — a label-less
-    anti-join, no new shapes."""
+    samples, nothing elsewhere — carrying the labels Prometheus
+    reconstructs from the selector's equality matchers (round 11.5;
+    the label-less form was a documented divergence).  The instant
+    universe is the engine's evaluation-instant set: the base frame's
+    distinct sample timestamps in instant mode, the aligned step grid
+    in range mode — a label-less anti-join, no new shapes."""
     vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: absent needs a vector")
@@ -1709,7 +1733,10 @@ def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Ve
     out = instants.join(
         vec.df.select("ts").distinct(), "ts", "left_anti"
     ).withColumn("value", F.lit(1.0))
-    return _Vec(out, frozenset())
+    labels = _absent_labels(node.expr)
+    for lbl, val in labels.items():
+        out = out.withColumn(lbl, F.lit(val))
+    return _Vec(out, frozenset(labels))
 
 
 def _eval_at(node: At, metrics: DataFrame, label_cols, leaf=None) -> _Vec:

@@ -367,9 +367,14 @@ class GridLeaf:
             # absent_over_time(sel[w]): 1 at every grid instant whose
             # trailing window holds NO sample of the selector — the
             # instant expansion names every covered instant, so the
-            # result is a label-less anti-join of the grid against the
-            # covered-instant set (labels from equality matchers are
-            # not reconstructed — documented divergence, like absent())
+            # result is an anti-join of the grid against the
+            # covered-instant set, carrying the labels Prometheus
+            # reconstructs from the selector's equality matchers
+            # (round 11.5, like absent())
+            from kafka_metrics_exporter_spark.promql.compiler import (
+                _absent_labels,
+            )
+
             seq = F.when(
                 F.col("__g_lo") <= F.col("__g_hi"),
                 F.sequence(
@@ -381,7 +386,10 @@ class GridLeaf:
             out = grid.join(covered, "__t_us", "left_anti").withColumn(
                 "value", F.lit(1.0)
             )
-            return _Vec(_finish(out, []), frozenset())
+            labels = _absent_labels(node.selector)
+            for lbl, val in labels.items():
+                out = out.withColumn(lbl, F.lit(val))
+            return _Vec(_finish(out, sorted(labels)), frozenset(labels))
         from kafka_metrics_exporter_spark.promql.compiler import (
             _over_time_special,
         )

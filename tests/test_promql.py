@@ -1256,10 +1256,25 @@ def test_count_values_and_absent(tiny):
         "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"
     }
     assert all(r["value"] == 1.0 for r in rows)
+    # round 11.5: the result carries the labels Prometheus
+    # reconstructs from the selector's equality matchers
+    assert all(r["topic"] == "zzz" for r in rows)
     assert compile_promql("absent(m)").evaluate(tiny).count() == 0
     # range mode: the instant universe is the step grid
     abr = compile_promql('absent(m{topic="zzz"})').evaluate_range(tiny, 60.0)
-    assert abr.count() == 3 and all(r["value"] == 1.0 for r in abr.collect())
+    assert abr.count() == 3 and all(
+        r["value"] == 1.0 and r["topic"] == "zzz" for r in abr.collect()
+    )
+    # non-equality / repeated-equality matchers reconstruct nothing /
+    # drop the conflicting label (createLabelsForAbsentFunction)
+    ab2 = compile_promql('absent(m{topic=~"zzz.*"})').evaluate(tiny)
+    assert "topic" not in ab2.columns and ab2.count() == 3
+    ab3 = compile_promql(
+        'absent(m{topic="zzz", topic="yyy", instance="h9"})'
+    ).evaluate(tiny)
+    r3 = ab3.collect()
+    assert "topic" not in ab3.columns
+    assert all(r["instance"] == "h9" for r in r3)
 
 
 def test_time_combines_with_vectors_as_scalar(tiny):
@@ -1471,7 +1486,9 @@ def test_at_start_end_and_absent_over_time(tiny):
     ab = compile_promql('absent_over_time(m{topic="zzz"}[2m])').evaluate_range(
         tiny, 60.0
     )
-    assert ab.count() == 3 and all(r["value"] == 1.0 for r in ab.collect())
+    assert ab.count() == 3 and all(
+        r["value"] == 1.0 and r["topic"] == "zzz" for r in ab.collect()
+    )
     ab2 = compile_promql('absent_over_time(m{topic="b"}[1m])').evaluate_range(
         tiny, 60.0
     )
