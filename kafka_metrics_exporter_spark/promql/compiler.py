@@ -961,6 +961,18 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         # exact interpolated percentile across the series at each
         # instant — PromQL's quantile() semantics
         agg_expr = F.percentile(F.col("value"), F.lit(node.param))
+    elif node.op == "max":
+        # Go's aggregation max (`v > max || isNaN(max)`) never lets a
+        # NaN series win unless ALL are NaN; Spark's comparator orders
+        # NaN greatest, so key on (is-real, value) — round 11.5, same
+        # fix as max_over_time (min needs no help: NaN-greatest NaN
+        # already loses a min)
+        agg_expr = F.max(
+            F.struct(
+                (~F.isnan(F.col("value"))).cast("int").alias("__o_r"),
+                F.col("value").alias("__o_v"),
+            )
+        ).getField("__o_v")
     else:
         agg_expr = _AGG_FN[node.op](F.col("value"))
     grouped = df.groupBy(*[F.col(c) for c in out_labels], F.col("ts")).agg(
@@ -1055,22 +1067,35 @@ def _over_time_special(op: str):
       value, mirroring last_over_time's max pick).
     - ``ts_of_max``/``ts_of_min``/``ts_of_last``: the TIMESTAMP (float
       epoch seconds, like timestamp()) of the last sample carrying the
-      window's max/min value, resp. the newest sample.  NaN samples
-      order greatest under Spark's comparator (documented divergence:
-      Go's engine never lets NaN win a max unless all-NaN).
+      window's max/min value, resp. the newest sample.
+    - ``max``: routed through here (round 11.5) so NaN samples lose to
+      every real value — Go's ``v > max || isNaN(max)`` never lets NaN
+      win unless the window is all-NaN, while Spark's plain comparator
+      orders NaN greatest (``min`` needs no help: NaN-greatest means
+      NaN already loses a min; the same keying fixes ts_of_max /
+      ts_of_min, whose divergence note this replaces).
     - ``mad``: median absolute deviation (see _mad_from_sorted)."""
     ts_us = F.unix_micros(F.col("ts"))
     v = F.col("value")
+    # NaN-losing ordering key: any real value outranks every NaN (the
+    # leading flag), all-NaN groups fall back to comparing the NaNs
+    # themselves (equal — ties resolve on the next struct field)
+    real = (~F.isnan(v)).cast("int").alias("__o_r")
     if op == "first":
         core = F.min(F.struct(ts_us.alias("__o_us"), v.alias("__o_v")))
+        return core, lambda c: c.getField("__o_v").cast("double")
+    if op == "max":
+        core = F.max(F.struct(real, v.alias("__o_v")))
         return core, lambda c: c.getField("__o_v").cast("double")
     if op == "ts_of_last":
         return F.max(ts_us), lambda c: (c / F.lit(1e6)).cast("double")
     if op == "ts_of_max":
-        core = F.max(F.struct(v.alias("__o_v"), ts_us.alias("__o_us")))
+        core = F.max(F.struct(real, v.alias("__o_v"), ts_us.alias("__o_us")))
         return core, lambda c: (c.getField("__o_us") / F.lit(1e6)).cast("double")
     if op == "ts_of_min":
-        core = F.max(F.struct((-v).alias("__o_v"), ts_us.alias("__o_us")))
+        core = F.max(
+            F.struct(real, (-v).alias("__o_v"), ts_us.alias("__o_us"))
+        )
         return core, lambda c: (c.getField("__o_us") / F.lit(1e6)).cast("double")
     if op == "mad":
         # core must be the bare window/groupBy aggregate (``.over`` in

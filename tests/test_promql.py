@@ -1967,6 +1967,69 @@ def test_modulo_power_atan2_operators(tiny):
     assert isinstance(parse("atan2"), pql.Selector)  # factor position
 
 
+def test_max_never_lets_nan_win(spark):
+    """Round 11.5: Go's max (`v > max || isNaN(max)`, aggregation AND
+    max_over_time AND ts_of_max/min) never lets a NaN sample win unless
+    every sample is NaN — Spark's comparator orders NaN greatest, so
+    the engine keys these on (is-real, value).  min needs no fix: a
+    NaN-greatest NaN already loses a min."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("m", t0, 10.0, "a", "h1"),
+        ("m", t0 + dt.timedelta(minutes=1), float("nan"), "a", "h1"),
+        ("m", t0 + dt.timedelta(minutes=2), 5.0, "a", "h1"),
+        ("m", t0, float("nan"), "z", "h1"),      # all-NaN series
+        ("m", t0 + dt.timedelta(minutes=1), float("nan"), "z", "h1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, ts timestamp, value double, topic string, instance string"
+    )
+    mx = {
+        (r["topic"], r["ts"].minute): r["value"]
+        for r in compile_promql("max_over_time(m[3m])").evaluate(df).collect()
+    }
+    assert mx[("a", 1)] == 10.0   # NaN does not beat 10
+    assert mx[("a", 2)] == 10.0
+    assert math.isnan(mx[("z", 1)])  # ... unless the window is all-NaN
+    mn = {
+        (r["topic"], r["ts"].minute): r["value"]
+        for r in compile_promql("min_over_time(m[3m])").evaluate(df).collect()
+    }
+    assert mn[("a", 2)] == 5.0
+    e0 = t0.replace(tzinfo=dt.timezone.utc).timestamp()
+    tm = {
+        (r["topic"], r["ts"].minute): r["value"]
+        for r in compile_promql("ts_of_max_over_time(m[3m])")
+        .evaluate(df).collect()
+    }
+    assert tm[("a", 2)] == e0          # max 10 @ minute 0, not the NaN
+    assert tm[("z", 1)] == e0 + 60.0   # all-NaN: newest NaN's ts
+    tn = {
+        (r["topic"], r["ts"].minute): r["value"]
+        for r in compile_promql("ts_of_min_over_time(m[3m])")
+        .evaluate(df).collect()
+    }
+    assert tn[("a", 2)] == e0 + 120.0  # min 5 @ minute 2, not the NaN
+    # aggregation max across series at one instant: the NaN series
+    # loses where a real value exists (minute 0), and an all-NaN
+    # instant (minute 1: both samples NaN) stays NaN
+    agg = {
+        r["ts"].minute: r["value"]
+        for r in compile_promql("max(m)").evaluate(df).collect()
+    }
+    assert agg[0] == 10.0 and math.isnan(agg[1]) and agg[2] == 5.0
+    # grid mode shares the kernels
+    g = {
+        r["ts"].minute: r["value"]
+        for r in compile_promql('max_over_time(m{topic="a"}[3m])')
+        .evaluate_range(df, 60.0)
+        .collect()
+    }
+    assert g[1] == 10.0 and g[2] == 10.0
+
+
 def test_round8_over_time_family(tiny):
     """Prometheus 3.x experimental *_over_time additions, hand-computed
     over the tiny fixture: first (earliest sample), mad (median
