@@ -265,10 +265,17 @@ def _eval(
             # the SAMPLE's epoch as the value (Prometheus returns the
             # underlying sample timestamp, not the evaluation instant).
             # Derived vectors (aggregates, rates) are synthesized AT
-            # the instant, so their ts is the right answer.  The
-            # documented divergence: an offset selector reports its
-            # evaluation-aligned (shifted) timestamp in both engines'
-            # modes here.
+            # the instant, so their ts is the right answer.  An offset
+            # selector's frame carries the SHIFTED timestamps (that is
+            # what makes the sample surface at the right instant), so
+            # the constant offset is subtracted back out — Prometheus
+            # reports the underlying sample's original timestamp
+            # (round 11.5; previously a documented divergence).
+            _ts_off = (
+                float(node.expr.offset_seconds)
+                if isinstance(node.expr, Selector)
+                else 0.0
+            )
             if (
                 leaf is not None
                 and hasattr(leaf, "step_us")
@@ -293,6 +300,7 @@ def _eval(
                             )
                         ).getField("__o_us")
                         / F.lit(1_000_000.0)
+                        - F.lit(_ts_off)
                     ).alias("value")
                 )
                 return _Vec(_finish(out, series), svec.labels)
@@ -300,7 +308,9 @@ def _eval(
             if isinstance(vec, float):
                 raise ValueError("promql: timestamp() needs a vector")
             out = vec.df.withColumn(
-                "value", F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+                "value",
+                F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+                - F.lit(_ts_off),
             )
             return _Vec(out, vec.labels)
         if node.expr is None:

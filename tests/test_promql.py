@@ -1522,6 +1522,20 @@ def test_date_functions(tiny):
     assert got["2024-01-01 00:00:00"] == epoch0
     assert got["2024-01-01 00:01:00"] == epoch0 + 60
 
+    # round 11.5 (removes a documented divergence): an OFFSET selector
+    # reports the underlying sample's ORIGINAL timestamp — the 00:00
+    # sample surfaces at 00:01 under offset 1m but its timestamp stays
+    # epoch0, in both modes
+    off = compile_promql('timestamp(m{topic="a"} offset 1m)').evaluate(tiny)
+    ogot = {str(r["ts"]): r["value"] for r in off.collect()}
+    assert ogot["2024-01-01 00:01:00"] == epoch0
+    offg = compile_promql(
+        'timestamp(m{topic="a"} offset 1m)'
+    ).evaluate_range(tiny, 60.0)
+    oggot = {str(r["ts"]): r["value"] for r in offg.collect()}
+    assert oggot["2024-01-01 00:01:00"] == epoch0
+    assert oggot["2024-01-01 00:02:00"] == epoch0 + 60
+
     for expr, want in [
         ("day_of_week()", 1.0),  # Monday
         ("day_of_month()", 1.0),
