@@ -257,6 +257,21 @@ def _eval(
         inst = _instant_universe(metrics, leaf)
         return _Vec(inst.withColumn("value", F.lit(float(val))), frozenset())
     if isinstance(node, DateFn):
+        if node.fn == "timestamp" and isinstance(node.expr, At):
+            # timestamp(m @ t) ≡ timestamp(m) @ t: the pinned sample's
+            # ORIGINAL timestamp, constant across the instant universe
+            # (code-review 11.5 — evaluating @ first loses the sample
+            # timestamp to the pin-and-broadcast, so each instant
+            # reported itself)
+            return _eval_at(
+                At(
+                    expr=DateFn(fn="timestamp", expr=node.expr.expr),
+                    at_seconds=node.expr.at_seconds,
+                ),
+                metrics,
+                label_cols,
+                leaf,
+            )
         if node.fn == "timestamp":
             # each element's own sample timestamp becomes its value.
             # In grid mode a SELECTOR's elements are lookback-resolved
@@ -975,14 +990,9 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         # Go's aggregation max (`v > max || isNaN(max)`) never lets a
         # NaN series win unless ALL are NaN; Spark's comparator orders
         # NaN greatest, so key on (is-real, value) — round 11.5, same
-        # fix as max_over_time (min needs no help: NaN-greatest NaN
-        # already loses a min)
-        agg_expr = F.max(
-            F.struct(
-                (~F.isnan(F.col("value"))).cast("int").alias("__o_r"),
-                F.col("value").alias("__o_v"),
-            )
-        ).getField("__o_v")
+        # keying as max_over_time/ts_of_*/topk (min needs no help:
+        # NaN-greatest NaN already loses a min)
+        agg_expr = F.max(_nan_losing_max_key(F.col("value"))).getField("__o_v")
     else:
         agg_expr = _AGG_FN[node.op](F.col("value"))
     grouped = df.groupBy(*[F.col(c) for c in out_labels], F.col("ts")).agg(
@@ -995,7 +1005,16 @@ def _eval_topk(node: TopK, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     vec = _eval(node.expr, metrics, label_cols, leaf)
     if isinstance(vec, float):
         raise ValueError("promql: topk needs a vector")
-    order = [F.col("value").asc() if node.bottom else F.col("value").desc()]
+    # Prometheus's topk heap replaces a NaN with any real sample
+    # (engine.go: `heap[0].F < s.F || (isNaN(heap[0].F) &&
+    # !isNaN(s.F))`), so the descending rank keys on (is-real, value)
+    # — Spark's plain desc would rank NaN first (code-review 11.5).
+    # bottomk needs no key: ascending order puts NaN-greatest last.
+    order = [
+        F.col("value").asc()
+        if node.bottom
+        else _nan_losing_max_key(F.col("value")).desc()
+    ]
     # deterministic under value ties: break by the full label tuple
     order += [F.col(c).asc() for c in sorted(vec.labels)]
     w = Window.partitionBy(F.col("ts")).orderBy(*order)
@@ -1066,6 +1085,21 @@ def _mad_from_sorted(arr: Column) -> Column:
     return F.when(F.size(arr) > 0, _median_of_sorted(devs))
 
 
+def _is_real(v: Column) -> Column:
+    """Leading ordering flag for Go's max pattern (`v > max ||
+    isNaN(max)`): any real value outranks every NaN.  Shared by the
+    max() aggregation, max_over_time, ts_of_max/ts_of_min, and topk —
+    one keying, so the modes cannot silently diverge (code-review
+    11.5)."""
+    return (~F.isnan(v)).cast("int").alias("__o_r")
+
+
+def _nan_losing_max_key(v: Column) -> Column:
+    """(is-real, value) struct — ``F.max`` over it implements the
+    NaN-losing max; read the value back with ``getField('__o_v')``."""
+    return F.struct(_is_real(v), v.alias("__o_v"))
+
+
 def _over_time_special(op: str):
     """The round-8 *_over_time additions (Prometheus 3.x experimental
     family), shared by instant mode (wrap core in ``.over(w)``) and
@@ -1087,15 +1121,15 @@ def _over_time_special(op: str):
     - ``mad``: median absolute deviation (see _mad_from_sorted)."""
     ts_us = F.unix_micros(F.col("ts"))
     v = F.col("value")
-    # NaN-losing ordering key: any real value outranks every NaN (the
-    # leading flag), all-NaN groups fall back to comparing the NaNs
-    # themselves (equal — ties resolve on the next struct field)
-    real = (~F.isnan(v)).cast("int").alias("__o_r")
+    # NaN-losing ordering key (shared _is_real flag): any real value
+    # outranks every NaN, all-NaN groups fall back to comparing the
+    # NaNs themselves (equal — ties resolve on the next struct field)
+    real = _is_real(v)
     if op == "first":
         core = F.min(F.struct(ts_us.alias("__o_us"), v.alias("__o_v")))
         return core, lambda c: c.getField("__o_v").cast("double")
     if op == "max":
-        core = F.max(F.struct(real, v.alias("__o_v")))
+        core = F.max(_nan_losing_max_key(v))
         return core, lambda c: c.getField("__o_v").cast("double")
     if op == "ts_of_last":
         return F.max(ts_us), lambda c: (c / F.lit(1e6)).cast("double")
@@ -1733,23 +1767,39 @@ def _eval_matched_bin(
 
 def _absent_labels(expr) -> dict[str, str]:
     """The labels Prometheus reconstructs on an ``absent()`` /
-    ``absent_over_time()`` result (promql/functions.go
-    createLabelsForAbsentFunction): only when the argument is a plain
-    (range-)selector, only ``=`` matchers with non-empty values, never
-    the metric-name matcher, and a label matched more than once is
-    dropped again (conflicting equalities name no single value)."""
+    ``absent_over_time()`` result — promql/functions.go
+    createLabelsForAbsentFunction's builder walk, mirrored exactly
+    (code-review 11.5: the first cut skipped non-equality matchers
+    instead of letting them DELETE an earlier equality's label): only
+    when the argument is a plain (range-)selector; the metric-name
+    matcher never participates; an ``=`` matcher sets its label while
+    the label is still unset and not poisoned; ANY other matcher on a
+    label — a second equality, a ``!=``/regex, an empty-value
+    equality after a set — deletes it and poisons the name.  Setting
+    an empty value is a no-op (empty labels do not exist), so a later
+    equality may still claim the name."""
     if not isinstance(expr, Selector):
         return {}
     out: dict[str, str] = {}
-    seen_twice: set[str] = set()
+    poisoned: set[str] = set()
     for m in expr.matchers:
-        if m.op != "=" or not m.value or m.label == "__name__":
+        if m.label == "__name__":
             continue
-        if m.label in out or m.label in seen_twice:
-            out.pop(m.label, None)
-            seen_twice.add(m.label)
+        if m.op == "=" and m.label not in poisoned and not out.get(m.label):
+            if m.value:
+                out[m.label] = m.value
         else:
-            out[m.label] = m.value
+            out.pop(m.label, None)
+            poisoned.add(m.label)
+    # the result frame's reserved columns — a label literally named
+    # value/ts would clobber the result column the anti-join just
+    # built (the count_values hazard, ADVICE r5: validate loudly)
+    clash = sorted(set(out) & {"value", "ts"})
+    if clash:
+        raise ValueError(
+            f"promql: absent() matcher label(s) {clash} conflict with "
+            f"the engine's reserved result columns"
+        )
     return out
 
 

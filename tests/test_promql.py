@@ -1275,6 +1275,16 @@ def test_count_values_and_absent(tiny):
     r3 = ab3.collect()
     assert "topic" not in ab3.columns
     assert all(r["instance"] == "h9" for r in r3)
+    # a LATER non-equality matcher deletes an earlier equality's label
+    # (the builder's Del branch — code-review 11.5), and an empty-value
+    # equality is a no-op that leaves the name claimable
+    ab4 = compile_promql('absent(m{topic="zzz", topic!="x"})').evaluate(tiny)
+    assert "topic" not in ab4.columns and ab4.count() == 3
+    ab5 = compile_promql('absent(m{topic="", topic="zzz"})').evaluate(tiny)
+    assert all(r["topic"] == "zzz" for r in ab5.collect())
+    # a matcher label named like a reserved result column raises loudly
+    with pytest.raises(ValueError, match="reserved"):
+        compile_promql('absent(m{value="1"})').evaluate(tiny)
 
 
 def test_time_combines_with_vectors_as_scalar(tiny):
@@ -1365,6 +1375,13 @@ def test_at_modifier_exact_off_grid_anchor(tiny):
     # instant selector @ off-grid t: newest sample ≤ t within lookback
     s = compile_promql(f'm{{topic="a"}} @ {t0 + 90:.0f}').evaluate_range(tiny, 60.0)
     assert {r["value"] for r in s.collect()} == {40.0}
+    # timestamp(m @ t) commutes to (timestamp(m)) @ t: the pinned
+    # sample's ORIGINAL epoch, constant across the grid (code-review
+    # 11.5 — evaluating @ first lost the sample ts to the broadcast)
+    tsp = compile_promql(
+        f'timestamp(m{{topic="a"}} @ {t0 + 150:.0f})'
+    ).evaluate_range(tiny, 60.0)
+    assert {r["value"] for r in tsp.collect()} == {t0 + 120.0}
 
 
 def test_negative_offset_looks_into_the_future(tiny):
@@ -2042,6 +2059,19 @@ def test_max_never_lets_nan_win(spark):
         .collect()
     }
     assert g[1] == 10.0 and g[2] == 10.0
+    # topk: Prometheus's heap replaces a NaN with any real sample, so
+    # topk(1) at minute 0 ({10, NaN}) returns the real series; bottomk
+    # was already right (ascending puts NaN-greatest last)
+    tk = {
+        r["ts"].minute: r["topic"]
+        for r in compile_promql("topk(1, m)").evaluate(df).collect()
+    }
+    assert tk[0] == "a" and tk[2] == "a"
+    bk = {
+        r["ts"].minute: r["topic"]
+        for r in compile_promql("bottomk(1, m)").evaluate(df).collect()
+    }
+    assert bk[0] == "a"
 
 
 def test_round8_over_time_family(tiny):
