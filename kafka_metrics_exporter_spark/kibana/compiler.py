@@ -136,6 +136,9 @@ class DateHistogramBucket:
 class FiltersBucket:
     filters: tuple[tuple[str, str], ...]  # (label, query_string)
     label: str
+    # ES other_bucket: collect documents matching NO filter under this
+    # key (round 11.5); None = drop them, ES's default
+    other_key: "str | None" = None
 
 
 @dataclass(frozen=True)
@@ -650,7 +653,12 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
                 for i, f in enumerate(p.get("filters", []))
             )
-            buckets.append(FiltersBucket(filters=flt, label=label))
+            other_key = None
+            if p.get("other_bucket"):
+                other_key = _slug(str(p.get("other_bucket_key", "_other_")))
+            buckets.append(
+                FiltersBucket(filters=flt, label=label, other_key=other_key)
+            )
         elif a["type"] == "percentiles":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError("kibana: percentiles cannot be a bucket agg")
@@ -1225,7 +1233,9 @@ class KibanaPlan:
                     F.timestamp_micros(us - F.pmod(us, F.lit(interval_us))),
                 )
             elif isinstance(b, FiltersBucket):
-                # a doc lands in EVERY filter bucket it matches
+                # a doc lands in EVERY filter bucket it matches; with
+                # other_bucket set, a doc matching NOTHING lands in the
+                # other bucket instead of dropping (ES other_bucket)
                 matches = F.array_compact(
                     F.array(
                         *[
@@ -1237,6 +1247,10 @@ class KibanaPlan:
                         ]
                     )
                 )
+                if b.other_key is not None:
+                    matches = F.when(
+                        F.size(matches) == 0, F.array(F.lit(b.other_key))
+                    ).otherwise(matches)
                 df = df.withColumn(b.label, F.explode(matches))
             elif isinstance(b, HistogramBucket):
                 # ES: key = floor(value / interval) * interval (floor,

@@ -756,67 +756,77 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kibana_query_string",
     r"""
-    WITH d AS (SELECT * FROM documents)
-    -- fuzzy ~1 is restricted Damerau-Levenshtein; at k=1 it is
-    -- EXACTLY levenshtein<=1 OR one-adjacent-transposition-equality
-    -- (a transposition spends the whole budget), so the oracle
-    -- enumerates the three adjacent swaps of the probe
+    WITH d AS (SELECT * FROM documents),
+    -- ONE flags row per document: each branch predicate named once so
+    -- the 'other' bucket (ES other_bucket, round 11.5 — documents
+    -- matching NO filter) is the literal conjunction of negations and
+    -- cannot drift from the per-branch predicates
+    f AS (
+      SELECT n_chars,
+             -- fuzzy ~1 is restricted Damerau-Levenshtein; at k=1 it
+             -- is EXACTLY levenshtein<=1 OR one-adjacent-transposition
+             -- equality (a transposition spends the whole budget), so
+             -- the oracle enumerates the three adjacent swaps
+             (levenshtein(source, 'src5') <= 1
+                OR source IN ('rsc5', 'scr5', 'sr5c')) AS b_fuzzy_src,
+             (levenshtein(source, 'rsc5') <= 1
+                OR source IN ('src5', 'rcs5', 'rs5c')) AS b_fuzzy_transposed,
+             regexp_matches(source, '^src.*2$') AS b_wild_mid,
+             -- the boundary/gap classes replay the engine's Unicode
+             -- emission exactly (\b/\w are ASCII in both engines)
+             (regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0,2}window(?:$|{NW})')
+                OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')) AS b_prox,
+             (regexp_matches(text,
+               '(?:(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}data{NW}+(?:{W}+{NW}+){0,2}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){1}data{NW}+(?:{W}+{NW}+){0,1}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){2}data{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW}))')
+                OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}scan{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')
+                OR regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0}window{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW})')) AS b_prox3,
+             -- prox5 is a SEMANTIC twin, not a regex replay: the
+             -- probed column is constructed from (lang, doc_id % 4)
+             -- with per-variant displacement costs 0 / 2 / 1 / 12
+             -- against the 5-word probe at slop 2, so the ground
+             -- truth is exactly lang='en' minus the reversal variant
+             (lang = 'en' AND doc_id % 4 != 3) AS b_prox5,
+             regexp_matches(
+               regexp_replace(text, '\bdata\b', 'dätä', 'g'),
+               '(?:^|{NW})dätä{NW}+(?:{W}+{NW}+){0,1}window(?:$|{NW})') AS b_prox_unicode,
+             (CAST(n_chars AS DOUBLE) >= 200
+                AND CAST(n_chars AS DOUBLE) <= 300 AND lang = 'en') AS b_boosted_en,
+             ((lang = 'en' OR lang = 'de') AND source LIKE 'src1%') AS b_complex
+      FROM d
+    )
     SELECT 'fuzzy_src' AS qs, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM d WHERE levenshtein(source, 'src5') <= 1
-              OR source IN ('rsc5', 'scr5', 'sr5c')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_fuzzy_src HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'fuzzy_transposed', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE levenshtein(source, 'rsc5') <= 1
-              OR source IN ('src5', 'rcs5', 'rs5c')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_fuzzy_transposed HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'wild_mid', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(source, '^src.*2$')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_wild_mid HAVING COUNT(*) > 0
     UNION ALL
-    -- the boundary/gap classes replay the engine's Unicode emission
-    -- exactly (round 11.5 — ASCII \b/\w twins drifted from the stated
-    -- identical-regex contract once the engine switched)
     SELECT 'prox', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0,2}window(?:$|{NW})')
-              OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_prox HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'prox3', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(text,
-             '(?:(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}data{NW}+(?:{W}+{NW}+){0,2}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){1}data{NW}+(?:{W}+{NW}+){0,1}scan(?:$|{NW})|(?:^|{NW})window{NW}+(?:{W}+{NW}+){2}data{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW}))')
-              OR regexp_matches(text, '(?:^|{NW})window{NW}+(?:{W}+{NW}+){0}scan{NW}+(?:{W}+{NW}+){0,0}data(?:$|{NW})')
-              OR regexp_matches(text, '(?:^|{NW})data{NW}+(?:{W}+{NW}+){0}window{NW}+(?:{W}+{NW}+){0,0}scan(?:$|{NW})')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_prox3 HAVING COUNT(*) > 0
     UNION ALL
-    -- prox5 is a SEMANTIC twin, not a regex replay: the probed column
-    -- is constructed from (lang, doc_id % 4) with per-variant
-    -- displacement costs 0 / 2 / 1 / 12 against the 5-word probe at
-    -- slop 2, so the ground truth is exactly lang='en' minus the
-    -- reversal variant — any Spark-side permutation/boundary/gap bug
-    -- shows up as a count drift
     SELECT 'prox5', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE lang = 'en' AND doc_id % 4 != 3
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_prox5 HAVING COUNT(*) > 0
     UNION ALL
-    -- unicode token boundaries: \b is ASCII-only in RE2 and
-    -- java.util.regex, so both engines spell the boundary as a
-    -- consuming [^\p{L}\p{N}_] alternation (identical syntax)
     SELECT 'prox_unicode', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE regexp_matches(
-        regexp_replace(text, '\bdata\b', 'dätä', 'g'),
-        '(?:^|[^\p{L}\p{N}_])dätä[^\p{L}\p{N}_]+(?:[\p{L}\p{N}_]+[^\p{L}\p{N}_]+){0,1}window(?:$|[^\p{L}\p{N}_])')
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_prox_unicode HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'boosted_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE CAST(n_chars AS DOUBLE) >= 200
-             AND CAST(n_chars AS DOUBLE) <= 300 AND lang = 'en'
-    HAVING COUNT(*) > 0
+    FROM f WHERE b_boosted_en HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'complex', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM d WHERE (lang = 'en' OR lang = 'de') AND source LIKE 'src1%'
+    FROM f WHERE b_complex HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'other', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM f WHERE NOT b_fuzzy_src AND NOT b_fuzzy_transposed
+             AND NOT b_wild_mid AND NOT b_prox AND NOT b_prox3
+             AND NOT b_prox5 AND NOT b_prox_unicode
+             AND NOT b_boosted_en AND NOT b_complex
     HAVING COUNT(*) > 0
     """.replace("{W}", r"[\p{L}\p{N}_]").replace("{NW}", r"[^\p{L}\p{N}_]"),
 )
@@ -836,8 +846,11 @@ def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs (ELK/jmx_dashboard.json filters buckets); this exercises
     the grammar beyond the corpus subset.
 
-    Round 11.5 — two branches over DERIVED columns exercise the
-    removed divergences: ``prox5`` probes a 5-word phrase against a
+    Round 11.5 — ES ``other_bucket`` collects the documents matching
+    NO filter under the ``other`` key (the oracle's flags CTE makes
+    the other branch the literal conjunction of negations, so it
+    cannot drift from the per-branch predicates), and two branches
+    over DERIVED columns exercise the removed divergences: ``prox5`` probes a 5-word phrase against a
     column constructed from (lang, doc_id % 4) whose four variants
     cost displacement 0 (declared order), 2 (adjacent swap), 1 (one
     intervening word), and 12 (full reversal — out of budget) against
@@ -893,7 +906,13 @@ def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vis(
             [
                 {"id": "1", "type": "filters", "schema": "bucket",
-                 "params": {"customLabel": "qs", "filters": [
+                 "params": {"customLabel": "qs",
+                            # ES other_bucket (round 11.5): documents
+                            # matching NO filter land in 'other'
+                            # instead of dropping
+                            "other_bucket": True,
+                            "other_bucket_key": "other",
+                            "filters": [
                      {"label": lbl,
                       "input": {"query": {"query_string": {"query": q}}}}
                      for lbl, q in qs.items()

@@ -944,6 +944,44 @@ def test_date_range_bucket(docs):
         ])["visState"])
 
 
+def test_filters_other_bucket(docs):
+    """ES filters other_bucket (round 11.5): documents matching NO
+    filter land in the other bucket instead of dropping; a doc
+    matching any filter never lands there; the key is configurable and
+    defaults to '_other_' (slugged)."""
+    aggs = [
+        {"id": "1", "type": "filters", "schema": "bucket",
+         "params": {"customLabel": "b", "other_bucket": True,
+                    "other_bucket_key": "rest",
+                    "filters": [
+                        {"label": "running",
+                         "input": {"query": {"query_string":
+                                   {"query": "status: RUNNING"}}}},
+                        {"label": "broker",
+                         "input": {"query": {"query_string":
+                                   {"query": "component: broker"}}}},
+                    ]}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    got = {r["b"]: r["n"] for r in
+           compile_visualization(_vis8(aggs)).evaluate(docs).collect()}
+    # RUNNING: a,c,d,e (4); broker: a,b,d (3); neither: f (FAILED zk)
+    assert got == {"running": 4, "broker": 3, "rest": 1}
+    # without other_bucket the non-matching doc drops (ES default)
+    aggs[0]["params"].pop("other_bucket")
+    aggs[0]["params"].pop("other_bucket_key")
+    got2 = {r["b"]: r["n"] for r in
+            compile_visualization(_vis8(aggs)).evaluate(docs).collect()}
+    assert got2 == {"running": 4, "broker": 3}
+    # default key: ES's '_other_', slugged to 'other' like every
+    # bucket label in this engine
+    aggs[0]["params"]["other_bucket"] = True
+    got3 = {r["b"]: r["n"] for r in
+            compile_visualization(_vis8(aggs)).evaluate(docs).collect()}
+    assert got3.get("other") == 1
+
+
 def test_pipeline_request_order_reduction(docs):
     """Round 11.5 (removes the ADVICE-r9 documented divergence): ES
     reduces same-level pipeline aggs in REQUEST order — a
