@@ -1286,10 +1286,13 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
       canonical form) — a LEFT join, mirroring the ``* on(instance,
       job) group_left(...) target_info`` idiom this function replaces
       without its inner-join sample drop.
-    - Several info series matching one identity merge by per-label
-      max() (a deterministic union); Prometheus errors on CONFLICTING
-      data-label values — at one instant a scrape target has one
-      target_info sample, so the case is degenerate in practice.
+    - Several info series matching one identity union their
+      complementary labels; CONFLICTING non-empty values for the same
+      data label ERROR at evaluation time exactly like Prometheus
+      (round 11.5 — the merge-by-max fallback was a documented
+      divergence; at one instant a scrape target normally has one
+      target_info sample, so the error path is the anomaly signal it
+      is upstream).
     - A data label already present and non-empty on v's sample wins
       (Prometheus keeps the original label too).
 
@@ -1314,10 +1317,36 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
                 idf = idf.withColumn(m.label, F.lit(""))
             idf = idf.filter(_matcher_pred(m))
         data = sorted({m.label for m in node.matchers} & set(info.labels))
-    # union-merge info series per identity+instant (see docstring)
+    # merge info series per identity+instant: complementary labels
+    # union (one series carries env, another version), but CONFLICTING
+    # non-empty values for the same label ERROR like Prometheus
+    # (round 11.5 — previously a documented merge-by-max divergence).
+    # The assert rides inside the merged-value expression so Catalyst
+    # cannot prune it; count_distinct skips empty/absent values.
     agg = idf.groupBy(*identifying, "ts").agg(
-        *[F.max(d).alias(f"__info_{d}") for d in data]
+        *[F.max(d).alias(f"__info_{d}") for d in data],
+        *[
+            F.count_distinct(F.when(F.col(d) != "", F.col(d))).alias(
+                f"__infon_{d}"
+            )
+            for d in data
+        ],
     )
+    for d in data:
+        agg = agg.withColumn(
+            f"__info_{d}",
+            F.when(
+                F.assert_true(
+                    F.col(f"__infon_{d}") <= 1,
+                    F.lit(
+                        f"promql: info() found conflicting values for "
+                        f"data label {d!r} on one identity at one "
+                        f"instant"
+                    ),
+                ).isNull(),
+                F.col(f"__info_{d}"),
+            ),
+        ).drop(f"__infon_{d}")
     left = vec.df
     for l in identifying:
         if l not in vec.labels:
@@ -1374,9 +1403,14 @@ def _bin_div(a, b):
     the Column path spells the zero-divisor branches out in a CaseWhen
     (branches evaluate per-row, so the ANSI error can't fire); the
     pure-scalar path mirrors it because CPython raises
-    ZeroDivisionError.  One documented divergence: the Column path
-    can't see a −0.0 divisor's sign (Spark compares −0.0 == 0), so
-    x/−0 yields +Inf-signed results; the scalar path is exact."""
+    ZeroDivisionError.  The −0.0 divisor's sign — invisible to Spark's
+    comparator (−0.0 == 0) — is recovered from the value's STRING form
+    (Spark casts −0.0 to "-0.0"), so x/−0 is −Inf-signed exactly like
+    Go (round 11.5; previously the last documented arithmetic
+    divergence).  An oracle twin replaying this branch would use
+    DuckDB's signbit() — its VARCHAR cast drops the zero's sign; no
+    registry query divides by a signed zero, so the branch is
+    pytest-pinned (differential vs the scalar path)."""
     import math
 
     if isinstance(a, float) and isinstance(b, float):
@@ -1385,11 +1419,15 @@ def _bin_div(a, b):
                 return float("nan")
             return math.copysign(float("inf"), a) * math.copysign(1.0, b)
         return a / b
+    neg_zero = b.cast("string").startswith("-")
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
     return (
         F.when(b != 0, a / b)
         .when(F.isnan(a), F.lit(float("nan")))
-        .when(a > 0, F.lit(float("inf")))
-        .when(a < 0, F.lit(float("-inf")))
+        .when((a > 0) & ~neg_zero, inf)
+        .when((a > 0) & neg_zero, ninf)
+        .when((a < 0) & ~neg_zero, ninf)
+        .when((a < 0) & neg_zero, inf)
         .otherwise(F.lit(float("nan")))
     )
 

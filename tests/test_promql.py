@@ -1998,6 +1998,32 @@ def test_modulo_power_atan2_operators(tiny):
     assert isinstance(parse("atan2"), pql.Selector)  # factor position
 
 
+def test_division_by_signed_zero(spark):
+    """Round 11.5 (removes the last documented arithmetic divergence):
+    the Column division path recovers a −0.0 divisor's sign from its
+    string form (Spark's comparator treats −0.0 == 0), so x/−0 is
+    −Inf-signed exactly like Go — differential against the exact
+    scalar path on every signed-zero combination."""
+    import math
+
+    from kafka_metrics_exporter_spark.promql.compiler import _bin_div
+
+    rows = [
+        (1.0, -0.0), (1.0, 0.0), (-2.0, -0.0), (-2.0, 0.0),
+        (0.0, -0.0), (-0.0, 0.0), (float("nan"), -0.0),
+        (float("inf"), -0.0), (6.0, 3.0), (6.0, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = df.select(
+        "a", "b", _bin_div(F.col("a"), F.col("b")).alias("q")
+    ).collect()
+    for r in out:
+        want = _bin_div(float(r["a"]), float(r["b"]))
+        assert (math.isnan(r["q"]) and math.isnan(want)) or r["q"] == want, (
+            r["a"], r["b"], r["q"], want,
+        )
+
+
 def test_max_never_lets_nan_win(spark):
     """Round 11.5: Go's max (`v > max || isNaN(max)`, aggregation AND
     max_over_time AND ts_of_max/min) never lets a NaN sample win unless
@@ -2354,6 +2380,28 @@ def test_info_function(spark):
     from kafka_metrics_exporter_spark.promql.parser import parse, to_promql
 
     assert to_promql(parse('info(m, {env=~"p.*"})')) == 'info(m, {env=~"p.*"})'
+
+    # round 11.5 (removes the merge-by-max divergence): two info
+    # series on ONE identity at one instant with CONFLICTING non-empty
+    # values for a data label ERROR like Prometheus; complementary
+    # (one empty, one set) values still union
+    conflict = spark.createDataFrame(
+        rows + [("target_info", "a", "app", "staging", "v1", t0, 1.0)],
+        "name string, instance string, job string, env string, "
+        "version string, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="conflicting"):
+        compile_promql("info(m)").evaluate(conflict).collect()
+    complementary = spark.createDataFrame(
+        rows + [("target_info", "b", "app", None, None, t0, 1.0)],
+        "name string, instance string, job string, env string, "
+        "version string, ts timestamp, value double",
+    )
+    got_c = _vals(
+        compile_promql("info(m)").evaluate(complementary),
+        "instance", "env", "version", "value",
+    )
+    assert ("b", "dev", "v2", 20.0) in got_c
 
 
 def test_dashboard_panel_with_info_function(spark):
