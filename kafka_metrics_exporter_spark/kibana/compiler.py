@@ -654,8 +654,19 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 for i, f in enumerate(p.get("filters", []))
             )
             other_key = None
-            if p.get("other_bucket"):
+            # ES: setting other_bucket_key implicitly enables
+            # other_bucket (second-review 11.5)
+            if p.get("other_bucket") or p.get("other_bucket_key") is not None:
                 other_key = _slug(str(p.get("other_bucket_key", "_other_")))
+                if other_key in {lbl for lbl, _ in flt}:
+                    # ES keeps '_other_' distinct from a filter LABELED
+                    # 'other'; this engine's slugged label space cannot,
+                    # so a collision would silently merge non-matching
+                    # docs into a real bucket — reject loudly
+                    raise ValueError(
+                        f"kibana: other_bucket key {other_key!r} collides "
+                        f"with a filter label after slugging — rename one"
+                    )
             buckets.append(
                 FiltersBucket(filters=flt, label=label, other_key=other_key)
             )

@@ -822,11 +822,20 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'complex', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
     FROM f WHERE b_complex HAVING COUNT(*) > 0
     UNION ALL
+    -- COALESCE(flag, FALSE): a NULL predicate (NULL probed column)
+    -- matches nothing on the Spark side (the when() emits no label),
+    -- so under three-valued logic the doc must still land in 'other'
+    -- (second-review 11.5)
     SELECT 'other', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-    FROM f WHERE NOT b_fuzzy_src AND NOT b_fuzzy_transposed
-             AND NOT b_wild_mid AND NOT b_prox AND NOT b_prox3
-             AND NOT b_prox5 AND NOT b_prox_unicode
-             AND NOT b_boosted_en AND NOT b_complex
+    FROM f WHERE NOT COALESCE(b_fuzzy_src, FALSE)
+             AND NOT COALESCE(b_fuzzy_transposed, FALSE)
+             AND NOT COALESCE(b_wild_mid, FALSE)
+             AND NOT COALESCE(b_prox, FALSE)
+             AND NOT COALESCE(b_prox3, FALSE)
+             AND NOT COALESCE(b_prox5, FALSE)
+             AND NOT COALESCE(b_prox_unicode, FALSE)
+             AND NOT COALESCE(b_boosted_en, FALSE)
+             AND NOT COALESCE(b_complex, FALSE)
     HAVING COUNT(*) > 0
     """.replace("{W}", r"[\p{L}\p{N}_]").replace("{NW}", r"[^\p{L}\p{N}_]"),
 )

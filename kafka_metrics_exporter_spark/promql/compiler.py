@@ -1288,11 +1288,13 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
       without its inner-join sample drop.
     - Several info series matching one identity union their
       complementary labels; CONFLICTING non-empty values for the same
-      data label ERROR at evaluation time exactly like Prometheus
-      (round 11.5 — the merge-by-max fallback was a documented
-      divergence; at one instant a scrape target normally has one
-      target_info sample, so the error path is the anomaly signal it
-      is upstream).
+      data label ERROR at evaluation time like Prometheus (round 11.5
+      — the merge-by-max fallback was a documented divergence).  The
+      check is fail-CLOSED over every info identity (an eager
+      catalog-sized probe — see the inline comment for why a lazy
+      assert cannot error reliably), slightly broader than
+      Prometheus's matched-only scope: corrupt metadata on an
+      unmatched identity errors here but not upstream.
     - A data label already present and non-empty on v's sample wins
       (Prometheus keeps the original label too).
 
@@ -1321,32 +1323,42 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     # union (one series carries env, another version), but CONFLICTING
     # non-empty values for the same label ERROR like Prometheus
     # (round 11.5 — previously a documented merge-by-max divergence).
-    # The assert rides inside the merged-value expression so Catalyst
-    # cannot prune it; count_distinct skips empty/absent values.
-    agg = idf.groupBy(*identifying, "ts").agg(
-        *[F.max(d).alias(f"__info_{d}") for d in data],
-        *[
-            F.count_distinct(F.when(F.col(d) != "", F.col(d))).alias(
-                f"__infon_{d}"
-            )
+    # The check is an EAGER driver-side probe over the filtered info
+    # aggregation: a lazy in-plan assert is silently pruned whenever
+    # the merged label is not consumed downstream (Catalyst
+    # ColumnPruning — second-review 11.5), so erroring reliably needs
+    # its own action.  The info side is catalog-sized (it broadcasts
+    # below), so the probe is one tiny job.  Residual scope
+    # difference, documented: the probe is FAIL-CLOSED over every info
+    # identity, while Prometheus detects conflicts only among info
+    # series its samples actually match — corrupt metadata on an
+    # unmatched identity errors here but not upstream.
+    if data:
+        counts = [
+            F.size(
+                F.collect_set(F.when(F.col(d) != "", F.col(d)))
+            ).alias(f"__n_{d}")
             for d in data
-        ],
+        ]
+        pred = None
+        for d in data:
+            leg = F.col(f"__n_{d}") > 1
+            pred = leg if pred is None else (pred | leg)
+        bad = (
+            idf.groupBy(*identifying, "ts")
+            .agg(*counts)
+            .filter(pred)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "promql: info() found conflicting data-label values for "
+                "one identity at one instant"
+            )
+    agg = idf.groupBy(*identifying, "ts").agg(
+        *[F.max(d).alias(f"__info_{d}") for d in data]
     )
-    for d in data:
-        agg = agg.withColumn(
-            f"__info_{d}",
-            F.when(
-                F.assert_true(
-                    F.col(f"__infon_{d}") <= 1,
-                    F.lit(
-                        f"promql: info() found conflicting values for "
-                        f"data label {d!r} on one identity at one "
-                        f"instant"
-                    ),
-                ).isNull(),
-                F.col(f"__info_{d}"),
-            ),
-        ).drop(f"__infon_{d}")
     left = vec.df
     for l in identifying:
         if l not in vec.labels:

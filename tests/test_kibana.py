@@ -980,6 +980,17 @@ def test_filters_other_bucket(docs):
     got3 = {r["b"]: r["n"] for r in
             compile_visualization(_vis8(aggs)).evaluate(docs).collect()}
     assert got3.get("other") == 1
+    # ES: other_bucket_key alone implicitly enables other_bucket
+    aggs[0]["params"].pop("other_bucket")
+    aggs[0]["params"]["other_bucket_key"] = "rest"
+    got4 = {r["b"]: r["n"] for r in
+            compile_visualization(_vis8(aggs)).evaluate(docs).collect()}
+    assert got4.get("rest") == 1
+    # a key colliding with a slugged filter label would silently merge
+    # buckets — rejected loudly
+    aggs[0]["params"]["other_bucket_key"] = "Running"
+    with pytest.raises(ValueError, match="collides"):
+        compile_visualization(_vis8(aggs))
 
 
 def test_pipeline_request_order_reduction(docs):

@@ -2392,6 +2392,11 @@ def test_info_function(spark):
     )
     with pytest.raises(Exception, match="conflicting"):
         compile_promql("info(m)").evaluate(conflict).collect()
+    # the check is an EAGER probe, so it fires even when the merged
+    # label is pruned from the final plan (second-review 11.5: a lazy
+    # in-plan assert vanished under ColumnPruning for sum(info(m)))
+    with pytest.raises(Exception, match="conflicting"):
+        compile_promql("sum(info(m))").evaluate(conflict).collect()
     complementary = spark.createDataFrame(
         rows + [("target_info", "b", "app", None, None, t0, 1.0)],
         "name string, instance string, job string, env string, "
