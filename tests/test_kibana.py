@@ -1670,6 +1670,47 @@ def test_query_string_boolean_grammar(spark):
     assert [r["host"] for r in sig] == ["h2"]
 
 
+def test_query_string_fuzz_never_crashes(spark):
+    """The query_string grammar takes UNTRUSTED search-bar input: any
+    string must either compile to a Column or raise ValueError (the
+    parser's loud contract) — never an IndexError / RecursionError /
+    KeyError / regex-compile crash.  Exercises the tokenizer, the
+    precedence climber, the fuzzy/proximity/wildcard/range branches,
+    and the expansion bounds with structured-noise inputs (round 11.5;
+    the compile path is driver-side, so no Spark jobs run)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        _default_resolver, _query_string_pred,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x")], "id int, msg string, lang string"
+    )
+    resolver = _default_resolver(df)
+
+    atoms = st.sampled_from([
+        "msg:", "lang:", "AND", "OR", "NOT", "(", ")", '"a b"', '"a b c"~2',
+        "a*c", "fo?o", "ab~1", "x~", "zz~9", "[1 TO 5]", "[* TO 3]",
+        ">=2", "<7", "term", '"', "~", "^2", "msg:\"\"", '"a b c d e"~3',
+        "msg: [5 TO 1]", "🦆", "msg:*", "a\\b", "{", "}", "msg: a~1e8",
+        '"w1 w2 w3 w4 w5 w6"~40',
+    ])
+    queries = st.lists(atoms, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(queries)
+    def check(q):
+        try:
+            col = _query_string_pred(q, resolver, df, "msg")
+            assert col is not None
+        except ValueError:
+            pass  # the loud contract
+
+    check()
+
+
 def test_query_string_fuzzy_proximity_boost_wildcards(spark):
     """Round 10 completes the Lucene term syntax: fuzzy ``~N``,
     proximity ``"a b"~N``, boost ``^N`` (dropped — filters score
