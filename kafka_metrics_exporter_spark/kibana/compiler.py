@@ -142,6 +142,38 @@ class FiltersBucket:
 
 
 @dataclass(frozen=True)
+class MultiTermsBucket:
+    """ES ``multi_terms`` (round 11.5): a terms bucket over a TUPLE of
+    fields, keyed by the '|'-joined key_as_string exactly as ES renders
+    it; ordered by doc count with the joined key as tiebreak, size-cut
+    like terms.  Docs missing ANY of the fields drop (ES ignores
+    them).  ``order_by``/``order_metric`` mirror TermsBucket so the
+    shared ranking loop handles both."""
+
+    fields: tuple[str, ...]
+    size: int
+    order: str  # asc | desc (by doc count)
+    label: str
+    order_by: str = "1"  # ranking loop: metric path
+    order_metric: tuple[str, str] = ("count", "")
+
+
+@dataclass(frozen=True)
+class RareTermsBucket:
+    """ES ``rare_terms`` (round 11.5): the long-tail complement of
+    terms — keep the keys whose doc count within the parent bucket is
+    ≤ ``max_doc_count`` (ES caps it at 100).  ES computes this with a
+    CuckooFilter approximation at scale; this engine is exact, the
+    same documented exact-vs-approx stance as cardinality/percentiles.
+    Response ordering (count ascending in ES) is presentation-only —
+    the relational result is unordered."""
+
+    field: str
+    max_doc_count: int
+    label: str
+
+
+@dataclass(frozen=True)
 class MetricAgg:
     op: str  # avg | max | sum | cardinality
     field: str
@@ -455,7 +487,7 @@ class BucketSortAgg:
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
-          | CompositeBucket)
+          | CompositeBucket | MultiTermsBucket | RareTermsBucket)
 Metric = MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg | StatsAgg
 
 
@@ -643,6 +675,41 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     interval_us=interval_us,
                     label=label,
                     auto=auto,
+                )
+            )
+        elif a["type"] == "multi_terms":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: multi_terms must be a bucket agg")
+            raw_terms = p.get("terms") or p.get("fields") or []
+            flds = tuple(
+                str(t["field"]) if isinstance(t, dict) else str(t)
+                for t in raw_terms
+            )
+            if len(flds) < 2:
+                raise ValueError(
+                    "kibana: multi_terms needs at least two fields"
+                )
+            order = str(p.get("order", "desc"))
+            if order not in ("asc", "desc"):
+                raise ValueError("kibana: multi_terms order must be asc|desc")
+            buckets.append(
+                MultiTermsBucket(
+                    fields=flds, size=int(p.get("size", 10)),
+                    order=order, label=label,
+                )
+            )
+        elif a["type"] == "rare_terms":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: rare_terms must be a bucket agg")
+            mdc = int(p.get("max_doc_count", 1))
+            if not 1 <= mdc <= 100:
+                # ES rejects max_doc_count above 100 (precision bound)
+                raise ValueError(
+                    "kibana: rare_terms max_doc_count must be in [1, 100]"
+                )
+            buckets.append(
+                RareTermsBucket(
+                    field=p["field"], max_doc_count=mdc, label=label
                 )
             )
         elif a["type"] == "filters":
@@ -1243,6 +1310,21 @@ class KibanaPlan:
                     b.label,
                     F.timestamp_micros(us - F.pmod(us, F.lit(interval_us))),
                 )
+            elif isinstance(b, MultiTermsBucket):
+                # key_as_string: the '|'-joined field tuple, exactly as
+                # ES renders multi_terms keys; docs missing ANY field
+                # drop first (concat_ws would silently skip the NULL
+                # and alias distinct tuples onto one key)
+                parts = [resolve(f).cast("string") for f in b.fields]
+                keep = parts[0].isNotNull()
+                for prt in parts[1:]:
+                    keep = keep & prt.isNotNull()
+                df = df.filter(keep).withColumn(
+                    b.label, F.concat_ws("|", *parts)
+                )
+            elif isinstance(b, RareTermsBucket):
+                v = resolve(b.field).cast("string")
+                df = df.filter(v.isNotNull()).withColumn(b.label, v)
             elif isinstance(b, FiltersBucket):
                 # a doc lands in EVERY filter bucket it matches; with
                 # other_bucket set, a doc matching NOTHING lands in the
@@ -1427,7 +1509,7 @@ class KibanaPlan:
         # keep the window — its partition spec (the parent bucket keys)
         # is real, so the rank distributes.
         for i, b in enumerate(s.buckets):
-            if not isinstance(b, TermsBucket):
+            if not isinstance(b, (TermsBucket, MultiTermsBucket)):
                 continue
             prefix = key_names[:i]
             direction = (lambda c: c.desc()) if b.order == "desc" else (lambda c: c.asc())
@@ -1583,6 +1665,26 @@ class KibanaPlan:
                 ).cast("int")
                 out = out.withColumn(col_name, F.get(arr, idx))
             return out.drop(*{a for a, _, _ in pb_extract})
+
+        # 3b) rare_terms: keep the keys whose TOTAL doc count within
+        # their parent bucket is ≤ max_doc_count.  The qualifying set
+        # is the LONG TAIL — potentially MOST keys — so unlike the
+        # top-N semi-join above (survivor side provably ≤ size rows)
+        # nothing here may broadcast: the count side joins key-keyed
+        # and the optimizer picks the strategy (AQE-safe at any key
+        # cardinality).
+        for i, b in enumerate(s.buckets):
+            if not isinstance(b, RareTermsBucket):
+                continue
+            prefix = key_names[:i]
+            lvl = df.groupBy(*[F.col(c) for c in prefix + [b.label]]).agg(
+                F.count(F.lit(1)).alias("__rt")
+            )
+            out = (
+                out.join(lvl, prefix + [b.label], "left")
+                .filter(F.col("__rt") <= b.max_doc_count)
+                .drop("__rt")
+            )
 
         # 4) same-level pipeline reduction in REQUEST order (round
         # 11.5 — previously a fixed parents → siblings → scripts →

@@ -72,6 +72,10 @@ NEW_THIS_ROUND: list[str] = [
     # per-dim mean thresholds, Hamming prefilter + exact rerank) —
     # round 11.5, completes the ANN family's cheap-index end
     "embed_binary_topk",
+    # ES rare_terms (long-tail complement of terms; exact where ES
+    # approximates with a CuckooFilter) + multi_terms ('|'-joined
+    # key_as_string field tuples, terms-ranked) — round 11.5
+    "kibana_rare_multi_terms",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -114,9 +118,9 @@ CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r9-latest queries the 50-slot arithmetic cannot fit once round-11
 # registrations + changes + the r6-debt promotions claimed their slots
-# (47 r9-latest promotions + 3 r6-debt promotions + 3 new + 4 changed
+# (47 r9-latest candidates + 3 r6-debt promotions + 4 new + 4 changed
 # — one of the changed rows, promql_at_offset, is itself an r6-debt
-# promotion — = 57 candidates for 50 slots → 7 demotions).  Selection: code
+# promotion — = 58 candidates for 50 slots → 8 demotions).  Selection: code
 # untouched since their green r9 row AND an in-window sibling
 # exercising the same machinery; every one is replayed against its
 # DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
@@ -160,6 +164,13 @@ STALE_OUT_OF_WINDOW: list[str] = [
     # demoted for promql_at_offset (changed + r6-debt promotion,
     # round 11.5)
     "j3_union_byname",
+    # multi-key hash aggregation with a ranked cut, code untouched
+    # since its green r9 row; the same machinery runs in-window via
+    # kibana_rare_multi_terms (multi_terms IS a ranked multi-key agg,
+    # driver-verified this round) and w11_rollup_cascade's
+    # hierarchical multi-key aggs — demoted for kibana_rare_multi_terms
+    # (new, round 11.5)
+    "a7_multikey_drilldown",
 ]
 
 WINDOW_PRIORITY = [
@@ -173,7 +184,6 @@ WINDOW_PRIORITY = [
     # -- latest driver row is r9 (2 gate-runs old): the 48 promotions -----
     # reference-surface pivots/joins/set-ops/aggregations/windows
     "p1_objectname_pivot",
-    "a7_multikey_drilldown",
     "a11_percentile",
     "j1_cross_join",
     "j2_broadcast_lookup",

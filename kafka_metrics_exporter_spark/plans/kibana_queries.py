@@ -754,6 +754,104 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kibana_rare_multi_terms",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    -- rare_terms over floor(value²): if value is ~uniform the key
+    -- density thins as 1/(2·√k), so the high keys form a genuine long
+    -- tail at every SF (800 / 4.1k / 7.5k rare keys at the gate SFs)
+    rare AS (
+      SELECT 'rare' AS branch,
+             CAST(CAST(floor(value * value) AS BIGINT) AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(value_i) AS DOUBLE) AS total
+      FROM d GROUP BY 2 HAVING COUNT(*) <= 2
+    ),
+    mt AS (
+      SELECT event_type || '|' || CAST(CAST(user_id AS BIGINT) % 5 AS VARCHAR)
+               AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(value_i) AS DOUBLE) AS total
+      FROM d GROUP BY 1
+    ),
+    -- multi_terms size cut = orderBy(count desc, key asc).limit —
+    -- row_number semantics, exactly the engine's top-level rank path
+    multi AS (
+      SELECT 'multi' AS branch, key, n_docs, total FROM mt
+      QUALIFY row_number() OVER (ORDER BY n_docs DESC, key ASC) <= 10
+    )
+    SELECT * FROM rare UNION ALL SELECT * FROM multi
+    """,
+)
+def kibana_rare_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` + ``multi_terms`` (round 11.5), one branch
+    each through the real visState front end: rare_terms keeps the
+    long-tail keys (doc count ≤ 2) of a synthesized zipf-ish key
+    (floor(value²) — density thins as 1/(2√k) under a ~uniform value),
+    the exact form of what ES computes with a CuckooFilter
+    approximation; multi_terms buckets the (event_type, user_id % 5)
+    tuple under ES's '|'-joined key_as_string, doc-count-ordered with
+    the size-10 cut.
+
+    Scale shape: rare_terms joins the key-count frame back KEY-KEYED —
+    never a broadcast (the qualifying set is the long tail, i.e. MOST
+    keys; the optimizer/AQE picks the join strategy) — unlike terms'
+    top-N semi-join whose survivor side is provably small; multi_terms
+    reuses the terms ranking machinery verbatim (one hash agg +
+    TakeOrdered + broadcast semi-join).  Exact integral sums and
+    counts → bit-identical twins."""
+    docs = (
+        _es_docs(spark, sf_dir)
+        .withColumn(
+            "vkey",
+            F.floor(F.col("value") * F.col("value"))
+            .cast("long")
+            .cast("string"),
+        )
+        .withColumn(
+            "ubucket", (F.col("user_id").cast("long") % 5).cast("string")
+        )
+    )
+    rare = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "rare_terms", "schema": "bucket",
+                 "params": {"field": "vkey", "max_doc_count": 2,
+                             "customLabel": "key"}},
+                {"id": "2", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n_docs"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+            ]
+        )
+    ).evaluate(docs)
+    multi = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "multi_terms", "schema": "bucket",
+                 "params": {"terms": [{"field": "event_type"},
+                                       {"field": "ubucket"}],
+                             "size": 10, "customLabel": "key"}},
+                {"id": "2", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n_docs"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+            ]
+        )
+    ).evaluate(docs)
+
+    def shape(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("branch"),
+            "key",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total").cast("double").alias("total"),
+        )
+
+    return shape(rare, "rare").unionByName(shape(multi, "multi"))
+
+
+@query(
     "kibana_query_string",
     r"""
     WITH d AS (SELECT * FROM documents),

@@ -944,6 +944,47 @@ def test_date_range_bucket(docs):
         ])["visState"])
 
 
+def test_multi_terms_and_rare_terms(docs):
+    """ES multi_terms (round 11.5): a terms bucket over a field TUPLE,
+    keyed by the '|'-joined key_as_string, doc-count-ordered with a
+    size cut; rare_terms: the long-tail complement — keys whose doc
+    count is ≤ max_doc_count."""
+    mt = [
+        {"id": "1", "type": "multi_terms", "schema": "bucket",
+         "params": {"terms": [{"field": "host"}, {"field": "status"}],
+                    "size": 2, "customLabel": "hs"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    got = {r["hs"]: r["n"] for r in
+           compile_visualization(_vis8(mt)).evaluate(docs).collect()}
+    # tuples: h1|RUNNING 2, h2|RUNNING 2, h1|PAUSED 1, h2|FAILED 1 —
+    # size 2 keeps the two count-2 tuples (key tiebreak ascending)
+    assert got == {"h1|RUNNING": 2, "h2|RUNNING": 2}
+    with pytest.raises(ValueError, match="two fields"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "multi_terms", "schema": "bucket",
+             "params": {"terms": [{"field": "host"}]}},
+        ])["visState"])
+
+    rt = [
+        {"id": "1", "type": "rare_terms", "schema": "bucket",
+         "params": {"field": "component", "max_doc_count": 2,
+                    "customLabel": "comp"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    got_rt = {r["comp"]: r["total"] for r in
+              compile_visualization(_vis8(rt)).evaluate(docs).collect()}
+    # component counts: broker 3, connect 1, zk 2 — rare(≤2) drops broker
+    assert got_rt == {"connect": 20.0, "zk": 12.0}
+    with pytest.raises(ValueError, match=r"\[1, 100\]"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "rare_terms", "schema": "bucket",
+             "params": {"field": "component", "max_doc_count": 500}},
+        ])["visState"])
+
+
 def test_filters_other_bucket(docs):
     """ES filters other_bucket (round 11.5): documents matching NO
     filter land in the other bucket instead of dropping; a doc

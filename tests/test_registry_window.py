@@ -161,7 +161,7 @@ def test_out_of_window_exemptions_have_fresh_golden():
     )
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 11: 50 slots vs 47
-    # r9-latest promotions + 3 r6-debt promotions + 3 new + 4 changed
-    # (one itself an r6-debt promotion) = 57 candidates, forcing 7
+    # r9-latest candidates + 3 r6-debt promotions + 4 new + 4 changed
+    # (one itself an r6-debt promotion) = 58 candidates, forcing 8
     # demotions)
-    assert len(exempt) <= 7, exempt
+    assert len(exempt) <= 8, exempt
