@@ -692,6 +692,15 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             order = str(p.get("order", "desc"))
             if order not in ("asc", "desc"):
                 raise ValueError("kibana: multi_terms order must be asc|desc")
+            if p.get("orderBy") not in (None, "_count"):
+                # the terms branch resolves metric ordering; this one
+                # supports doc-count only — silently ordering by count
+                # would return a differently-cut bucket set than the
+                # request asked for (code-review 11.5)
+                raise ValueError(
+                    "kibana: multi_terms supports doc-count ordering only "
+                    "(orderBy _count)"
+                )
             buckets.append(
                 MultiTermsBucket(
                     fields=flds, size=int(p.get("size", 10)),
@@ -1278,6 +1287,12 @@ class KibanaPlan:
 
         # 1) bucket key columns (+ filters explode)
         key_names: list[str] = []
+        # doc-frame snapshots taken AT each rare_terms bucket's level:
+        # inner buckets below it may EXPLODE rows (overlapping ranges,
+        # multi-match filters) or DROP them (null-key filters), which
+        # would corrupt the rare doc count if taken afterwards
+        # (code-review 11.5)
+        rare_src: dict[str, DataFrame] = {}
         for b in s.buckets:
             if isinstance(b, TermsBucket):
                 df = df.withColumn(b.label, resolve(b.field).cast("string"))
@@ -1311,13 +1326,24 @@ class KibanaPlan:
                     F.timestamp_micros(us - F.pmod(us, F.lit(interval_us))),
                 )
             elif isinstance(b, MultiTermsBucket):
-                # key_as_string: the '|'-joined field tuple, exactly as
-                # ES renders multi_terms keys; docs missing ANY field
-                # drop first (concat_ws would silently skip the NULL
-                # and alias distinct tuples onto one key)
-                parts = [resolve(f).cast("string") for f in b.fields]
-                keep = parts[0].isNotNull()
-                for prt in parts[1:]:
+                # key_as_string: the '|'-joined field tuple as ES
+                # renders multi_terms keys — with embedded separators
+                # ESCAPED (backslash doubles, '|' → '\|') so the join stays a
+                # BIJECTION of the tuple: ES keys on the value array,
+                # and a plain join would collapse ('a|b','c') with
+                # ('a','b|c') into one bucket (code-review 11.5).  For
+                # separator-free data the key renders exactly like ES.
+                # Docs missing ANY field drop first (concat_ws would
+                # silently skip the NULL and alias distinct tuples).
+                parts = [
+                    F.regexp_replace(
+                        resolve(f).cast("string"), r"([\\|])", r"\\$1"
+                    )
+                    for f in b.fields
+                ]
+                raw = [resolve(f).cast("string") for f in b.fields]
+                keep = raw[0].isNotNull()
+                for prt in raw[1:]:
                     keep = keep & prt.isNotNull()
                 df = df.filter(keep).withColumn(
                     b.label, F.concat_ws("|", *parts)
@@ -1325,6 +1351,7 @@ class KibanaPlan:
             elif isinstance(b, RareTermsBucket):
                 v = resolve(b.field).cast("string")
                 df = df.filter(v.isNotNull()).withColumn(b.label, v)
+                rare_src[b.label] = df
             elif isinstance(b, FiltersBucket):
                 # a doc lands in EVERY filter bucket it matches; with
                 # other_bucket set, a doc matching NOTHING lands in the
@@ -1479,6 +1506,14 @@ class KibanaPlan:
                 if m.aggregate in ("average", "sum", "max"):
                     val = val.cast("double")
                 agg_exprs.append(pick(val, order).alias(m.label))
+        # an INNERMOST rare_terms bucket's doc count rides the main
+        # aggregation as a hidden column — its groups ARE the rare
+        # level, so no second scan/shuffle/join is needed (step 3b
+        # filters and drops it; code-review 11.5)
+        if s.buckets and isinstance(s.buckets[-1], RareTermsBucket):
+            agg_exprs.append(
+                F.count(F.lit(1)).alias(f"__rt_{s.buckets[-1].label}")
+            )
         out = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_exprs)
         for m in metrics:
             if isinstance(m, StatsAgg) and m.extended:
@@ -1667,19 +1702,29 @@ class KibanaPlan:
             return out.drop(*{a for a, _, _ in pb_extract})
 
         # 3b) rare_terms: keep the keys whose TOTAL doc count within
-        # their parent bucket is ≤ max_doc_count.  The qualifying set
-        # is the LONG TAIL — potentially MOST keys — so unlike the
-        # top-N semi-join above (survivor side provably ≤ size rows)
-        # nothing here may broadcast: the count side joins key-keyed
-        # and the optimizer picks the strategy (AQE-safe at any key
-        # cardinality).
+        # their parent bucket is ≤ max_doc_count.  An INNERMOST rare
+        # bucket needs no extra pass: the main aggregation's groups ARE
+        # the rare level, so its doc count rode along as a hidden
+        # column (see step 2).  A rare bucket with buckets nested
+        # BELOW it counts its own-level snapshot frame instead (inner
+        # explodes/filters must not distort the count) and joins back
+        # KEY-KEYED: the qualifying set is the LONG TAIL — potentially
+        # MOST keys — so unlike the top-N semi-join above (survivor
+        # side provably ≤ size rows) nothing here may broadcast; the
+        # optimizer picks the strategy (AQE-safe at any cardinality).
         for i, b in enumerate(s.buckets):
             if not isinstance(b, RareTermsBucket):
                 continue
+            rt_col = f"__rt_{b.label}"
+            if rt_col in out.columns:
+                out = out.filter(
+                    F.col(rt_col) <= b.max_doc_count
+                ).drop(rt_col)
+                continue
             prefix = key_names[:i]
-            lvl = df.groupBy(*[F.col(c) for c in prefix + [b.label]]).agg(
-                F.count(F.lit(1)).alias("__rt")
-            )
+            lvl = rare_src[b.label].groupBy(
+                *[F.col(c) for c in prefix + [b.label]]
+            ).agg(F.count(F.lit(1)).alias("__rt"))
             out = (
                 out.join(lvl, prefix + [b.label], "left")
                 .filter(F.col("__rt") <= b.max_doc_count)

@@ -983,6 +983,67 @@ def test_multi_terms_and_rare_terms(docs):
             {"id": "1", "type": "rare_terms", "schema": "bucket",
              "params": {"field": "component", "max_doc_count": 500}},
         ])["visState"])
+    # metric ordering is rejected loudly, not silently count-ordered
+    with pytest.raises(ValueError, match="doc-count"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "multi_terms", "schema": "bucket",
+             "params": {"terms": [{"field": "host"}, {"field": "status"}],
+                        "orderBy": "2"}},
+        ])["visState"])
+
+
+def test_multi_terms_separator_in_values(spark):
+    """Code-review 11.5: ES multi_terms keys on the value TUPLE —
+    ('a|b','c') and ('a','b|c') are DISTINCT buckets even though their
+    plain '|'-joins collide.  The engine escapes embedded separators
+    so the joined key stays a bijection of the tuple."""
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a", "b|c"), (r"x\y", "z")],
+        "f1 string, f2 string",
+    )
+    aggs = [
+        {"id": "1", "type": "multi_terms", "schema": "bucket",
+         "params": {"terms": [{"field": "f1"}, {"field": "f2"}],
+                    "size": 10, "customLabel": "k"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    got = {r["k"]: r["n"] for r in
+           compile_visualization(_vis8(aggs)).evaluate(df).collect()}
+    assert got == {r"a\|b|c": 1, r"a|b\|c": 2, "x\\\\y|z": 1}
+
+
+def test_rare_terms_count_at_its_own_level(spark):
+    """Code-review 11.5: rare_terms doc counts are taken AT the rare
+    bucket's level — an inner bucket that EXPLODES rows (overlapping
+    ranges) or DROPS them (null-key filter) must not distort rare
+    membership."""
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 6.0), ("b", 7.0),
+         ("c", None)],
+        "g string, v double",
+    )
+    aggs = [
+        {"id": "1", "type": "rare_terms", "schema": "bucket",
+         "params": {"field": "g", "max_doc_count": 2,
+                    "customLabel": "g"}},
+        # overlapping ranges: every non-null doc explodes into 2 rows
+        {"id": "2", "type": "range", "schema": "bucket",
+         "params": {"field": "v",
+                    "ranges": [{"from": 0, "to": 10},
+                               {"from": 3, "to": 10}]}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df).collect()
+    keys = {r["g"] for r in out}
+    # 'a' has TRUE doc count 2 (qualifies) even though it explodes to
+    # 4 rows; 'b' (3 docs) stays out even though the null-dropping
+    # inner bucket could deflate a post-transform count; 'c' has a
+    # null range key (dropped rows) but its rare count is its own
+    assert "a" in keys and "b" not in keys
+    # and the exploded inner buckets are still per-range rows for 'a'
+    assert sum(1 for r in out if r["g"] == "a") == 2  # two range buckets
 
 
 def test_filters_other_bucket(docs):
