@@ -145,16 +145,18 @@ class FiltersBucket:
 class MultiTermsBucket:
     """ES ``multi_terms`` (round 11.5): a terms bucket over a TUPLE of
     fields, keyed by the '|'-joined key_as_string exactly as ES renders
-    it; ordered by doc count with the joined key as tiebreak, size-cut
-    like terms.  Docs missing ANY of the fields drop (ES ignores
-    them).  ``order_by``/``order_metric`` mirror TermsBucket so the
-    shared ranking loop handles both."""
+    it; ordered by doc count (default), the joined key (``_key``), or —
+    round 12, like terms — a sub-aggregation metric / custom orderAgg,
+    with the joined key as tiebreak, size-cut like terms.  Docs missing
+    ANY of the fields drop (ES ignores them).  ``order_by``/
+    ``order_metric`` mirror TermsBucket so the shared ranking loop
+    handles both."""
 
     fields: tuple[str, ...]
     size: int
-    order: str  # asc | desc (by doc count)
+    order: str  # asc | desc
     label: str
-    order_by: str = "1"  # ranking loop: metric path
+    order_by: str = "_count"  # ranking loop: any non-_term = metric path
     order_metric: tuple[str, str] = ("count", "")
 
 
@@ -224,11 +226,20 @@ class PercentileRanksAgg:
 
 @dataclass(frozen=True)
 class TopHitsAgg:
+    """Kibana's Top Hit metric: the top ``size`` documents by
+    ``sort_field`` folded into one cell with ``aggregate``.  size 1
+    (28 of the corpus's 33 top_hits aggs) rides the main hash
+    aggregation as max_by/min_by; size > 1 (round 12) ranks the
+    deterministic-tiebreak order with ``row_number() <= size`` and
+    folds the survivors — concat joins them ", "-separated in sort
+    order, exactly how Kibana renders the hit list."""
+
     field: str
-    aggregate: str  # average | concat | sum | max
+    aggregate: str  # average | concat | sum | max | min
     sort_field: str
     sort_order: str  # 'desc' | 'asc'
     label: str
+    size: int = 1
 
 
 @dataclass(frozen=True)
@@ -692,19 +703,37 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             order = str(p.get("order", "desc"))
             if order not in ("asc", "desc"):
                 raise ValueError("kibana: multi_terms order must be asc|desc")
-            if p.get("orderBy") not in (None, "_count"):
-                # the terms branch resolves metric ordering; this one
-                # supports doc-count only — silently ordering by count
-                # would return a differently-cut bucket set than the
-                # request asked for (code-review 11.5)
-                raise ValueError(
-                    "kibana: multi_terms supports doc-count ordering only "
-                    "(orderBy _count)"
+            # ES orders multi_terms buckets exactly like terms: by doc
+            # count (default), by the key tuple (_key), or by a
+            # sub-aggregation metric / custom orderAgg — resolved here
+            # the same way as the terms branch so the shared ranking
+            # loop (step 3) handles both (round 12; metric ordering
+            # previously raised).
+            order_by = str(p.get("orderBy", "_count"))
+            order_metric: "tuple[str, str] | None" = ("count", "")
+            if order_by in ("_key", "_term"):
+                order_by = "_term"  # ranking loop: key path (joined)
+            elif order_by == "custom":
+                oa = p.get("orderAgg", {})
+                order_metric = (
+                    oa.get("type", "avg"), oa.get("params", {}).get("field")
                 )
+            elif order_by != "_count":
+                tgt = by_id.get(order_by)
+                if tgt is None or tgt["type"] in (
+                    "top_hits", "median", "percentiles"
+                ):
+                    raise ValueError(
+                        f"kibana: multi_terms orderBy={order_by!r} must "
+                        f"reference a simple metric agg "
+                        f"(avg/min/max/sum/cardinality)"
+                    )
+                order_metric = (tgt["type"], tgt["params"].get("field"))
             buckets.append(
                 MultiTermsBucket(
                     fields=flds, size=int(p.get("size", 10)),
                     order=order, label=label,
+                    order_by=order_by, order_metric=order_metric,
                 )
             )
         elif a["type"] == "rare_terms":
@@ -788,15 +817,22 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
             )
         elif a["type"] == "top_hits":
-            if int(p.get("size", 1)) != 1:
-                raise ValueError("kibana: top_hits size != 1 is not supported")
+            th_size = int(p.get("size", 1))
+            if th_size < 1:
+                raise ValueError("kibana: top_hits size must be >= 1")
+            th_agg = p.get("aggregate", "average")
+            if th_agg not in ("average", "concat", "sum", "max", "min"):
+                raise ValueError(
+                    f"kibana: top_hits aggregate {th_agg!r} not supported"
+                )
             metrics.append(
                 TopHitsAgg(
                     field=p["field"],
-                    aggregate=p.get("aggregate", "average"),
+                    aggregate=th_agg,
                     sort_field=p.get("sortField", "createdDateTime"),
                     sort_order=p.get("sortOrder", "desc"),
                     label=label,
+                    size=th_size,
                 )
             )
         elif a["type"] == "histogram":
@@ -1436,6 +1472,7 @@ class KibanaPlan:
         # implicit doc-count metric ("Count" in the UI).
         metrics = s.metrics or (MetricAgg(op="count", field="", label="count"),)
         agg_exprs = []
+        multi_hits: list[TopHitsAgg] = []
         for m in metrics:
             if isinstance(m, PercentilesAgg):
                 # one exact interpolated percentile sketch per agg; the
@@ -1495,7 +1532,11 @@ class KibanaPlan:
                     "cardinality": count_distinct,
                 }[m.op]
                 agg_exprs.append(fn(val).alias(m.label))
-            else:  # TopHitsAgg, size == 1
+            else:  # TopHitsAgg
+                if m.size > 1:
+                    # ranked + joined after the main hash agg (below)
+                    multi_hits.append(m)
+                    continue
                 sort_col = resolve(m.sort_field)
                 order = F.struct(
                     sort_col.alias("s"),
@@ -1514,7 +1555,82 @@ class KibanaPlan:
             agg_exprs.append(
                 F.count(F.lit(1)).alias(f"__rt_{s.buckets[-1].label}")
             )
+        if not agg_exprs:
+            # every metric deferred to the multi-hit join below — the
+            # bucket frame still needs one aggregate to exist
+            agg_exprs.append(F.count(F.lit(1)).alias("__th_docs"))
         out = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_exprs)
+        # top_hits with size > 1 (round 12): ES's top_hits returns the
+        # top-N documents by sort order and Kibana's Top Hit metric
+        # folds them with the chosen aggregate.  The N survivors per
+        # bucket come from the deterministic-tiebreak rank
+        # (row_number() <= size) — nested under buckets the window
+        # partitions by the full bucket-key tuple, so the rank
+        # distributes; a bucketless panel takes orderBy().limit(size)
+        # (TakeOrderedAndProject) instead of an unpartitioned window —
+        # the same global-sort-free argument as the top-level terms
+        # cut.  The fold then joins back on the bucket keys (broadcast-
+        # sized per bucket: <= size rows contribute).
+        for m in multi_hits:
+            sort_col = resolve(m.sort_field)
+            # the tiebreak inherits the sort direction — exactly the
+            # size-1 path's max_by/min_by struct comparison, so the
+            # first of N hits is always the size-1 answer
+            d = (lambda c: c.desc()) if m.sort_order == "desc" else (
+                lambda c: c.asc()
+            )
+            order_cols = [
+                d(sort_col),
+                *([d(resolve(tiebreak))] if tiebreak else []),
+            ]
+            if key_names:
+                thw = Window.partitionBy(
+                    *[F.col(k) for k in key_names]
+                ).orderBy(*order_cols)
+                ranked = df.withColumn("__rn", F.row_number().over(thw))
+                ranked = ranked.filter(F.col("__rn") <= m.size)
+            else:
+                ranked = (
+                    df.orderBy(*order_cols)
+                    .limit(m.size)
+                    # <= size rows by construction, so the rank that
+                    # orders the concat fold is bounded (the
+                    # pipe_dsir_resample argument)
+                    .withColumn(
+                        "__rn", F.row_number().over(Window.orderBy(*order_cols))
+                    )
+                )
+            val = resolve(m.field)
+            if m.aggregate == "concat":
+                # sort-order-stable ", "-join, exactly Kibana's render
+                fold = F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__rn").alias("r"),
+                                    val.cast("string").alias("v"),
+                                )
+                            )
+                        ),
+                        lambda h: h["v"],
+                    ),
+                    ", ",
+                )
+            else:
+                fold = {
+                    "average": F.avg, "sum": F.sum,
+                    "max": F.max, "min": F.min,
+                }[m.aggregate](val.cast("double"))
+            per = ranked.groupBy(*[F.col(k) for k in key_names]).agg(
+                fold.alias(m.label)
+            )
+            if key_names:
+                out = out.join(per, key_names, "left")
+            else:
+                out = out.crossJoin(F.broadcast(per))
+        if "__th_docs" in out.columns:
+            out = out.drop("__th_docs")
         for m in metrics:
             if isinstance(m, StatsAgg) and m.extended:
                 # ES's DOCUMENTED definition: variance =

@@ -30,202 +30,170 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
-# Explicit first-window ordering for ROUND 11.
+# Explicit first-window ordering for ROUND 12.
 #
-# The r10 gate RAN (CORRECTNESS_r10.json: 50/50 green), so the rotation
-# planned at round 10 executes exactly as documented there:
-#   - the 48 queries whose latest driver row is r9 (two gate-runs old,
-#     enumerated by test_rotation_promotes_stale_rows as r09-minus-r10)
-#     all PROMOTE into the window;
-#   - the 50 queries verified fresh in r10 all DEMOTE (their rows are
-#     one gate-run old — the youngest debt in the ledger);
-#   - the 2 remaining free slots (50 - 48) go to the oldest-debt r6
-#     embedding-sketch rows embed_near_dup_lsh / embed_ivf_topk
-#     (latest row r6, four gate-runs old — VERDICT r10 item 2 names
-#     exactly these).
-# Round-11 registrations and semantic changes claim window slots as
-# they land, each trading one demotion of an r9-latest query into
-# STALE_OUT_OF_WINDOW with a per-query justification (the cap in
-# test_registry_window.py tracks the arithmetic).
+# The r11 gate RAN (CORRECTNESS_r11.json: 50/50 green), so the rotation
+# executes as the r11 verdict ordered (items 1-2):
+#   - of the 48 queries whose latest driver row is r10 (two gate-runs
+#     old, enumerated by test_rotation_promotes_stale_rows as
+#     r10-minus-r11), 40 PROMOTE into the window and 8 demote into
+#     STALE_OUT_OF_WINDOW, each with an in-window sibling pinning the
+#     same machinery (justifications below);
+#   - the 8 freed slots + the 2 natural free slots (50 - 48) go to the
+#     round-12 registration (1 new), the 4 semantic changes (one of
+#     them, kibana_top_hits_latest, itself an r6-debt promotion — the
+#     oldest rows in the ledger at 5 gate-runs), and 5 more r6-debt
+#     promotions (a8_having, promql_histogram_quantile,
+#     promql_topk_rate, multimodal_resize, pipe_decontaminate) —
+#     burning 6 of the 19 r6-latest rows (VERDICT r11 item 2).
 #
-# Out-of-window debt after this rotation: the 50 r10-verified (1 run
-# old), the 8 r7-latest (3 runs old) and the 21 remaining r6-latest
-# (4 runs old) — every one re-attested this round via
-# tools/check_oracle.py at sf0.1 (see BASELINE.md round-11 addendum)
+# Out-of-window debt after this rotation: the 50 r11-verified (1 run
+# old), the 8 demoted r10 rows, 13 remaining r6-latest, 8 r7-latest
+# and 8 r9-latest — every one re-attested this round via
+# tools/check_oracle.py at sf0.1 (see BASELINE.md round-12 addendum)
 # and carrying a per-session pytest oracle replay at sf0.001 plus a
-# GOLDEN.json hash pin recorded from this round's code.
+# GOLDEN.json hash pin.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
-# file — must be in-window.  Round-11 registrations append here as
-# they land.
+# file — must be in-window.
 NEW_THIS_ROUND: list[str] = [
-    # streaming alert-rule replay (pending→firing across micro-batch
-    # evaluation cycles, driver-verified vs a gaps-and-islands twin
-    # that reconstructs the cycles from the slice function)
-    "streaming_alerts_replay",
-    # IVF-PQ composed ANN (coarse cells + shared residual codebooks,
-    # Jégou et al. 2011 / FAISS IVFPQ layout), SQL-replayable training
-    "embed_ivfpq_topk",
-    # binary-quantization ANN (sign-bit codes vs exact-arithmetic
-    # per-dim mean thresholds, Hamming prefilter + exact rerank) —
-    # round 11.5, completes the ANN family's cheap-index end
-    "embed_binary_topk",
-    # ES rare_terms (long-tail complement of terms; exact where ES
-    # approximates with a CuckooFilter) + multi_terms ('|'-joined
-    # key_as_string field tuples, terms-ranked) — round 11.5
-    "kibana_rare_multi_terms",
+    # instant-mode extrapolated rate (VERDICT r11 item 6): the opt-in
+    # extrapolatedRate kernel at SAMPLE instants, closing the last
+    # documented PromQL batch-mode divergence
+    "promql_rate_instant",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r11: native-histogram schema completed with negative-observation
-    # buckets (builder + every hist_* consumer walks ONE unified
-    # value-ascending span list with the promql/quantile.go
-    # zero-bucket bound adjustment, now applied to fraction too), and
-    # mixed scalar+histogram frames drop non-histogram samples from
-    # hist_* functions (ADVICE r10) — values change; the registry
-    # query negates every third user's observations so all three
-    # bucket regions populate, and gains a negative-range fraction.
+    # r12: info()'s fail-closed conflict check folded into the single
+    # catalog-sized job that materializes the broadcast join side
+    # (VERDICT r11 What's-wrong #3) — same results, new plan shape
+    "promql_info_join",
+    # r12: METRIC-ordered multi_terms (orderBy a sub-agg / custom
+    # orderAgg / _key, VERDICT r11 item 4) — the registry row gains a
+    # sum-ordered size-4 branch
+    "kibana_rare_multi_terms",
+    # r12: schema-3 native histograms hash-attested (VERDICT r11 item
+    # 5) — the registry row evaluates all six functions over BOTH a
+    # schema-0 and a schema-3 sketch (documented float stance in
+    # _nh_sql)
     "promql_native_histogram",
-    # r11: fuzzy ~N upgraded plain-Levenshtein → restricted
-    # Damerau-Levenshtein (transposition credit, Lucene's metric),
-    # 3+-word proximity gained Lucene's unordered-permutation slop
-    # budget, and phrase/proximity matching now enforces token
-    # boundaries (ADVICE r10) — matches change; two new filter
-    # branches (fuzzy_transposed, prox3) exercise exactly the new
-    # machinery.
-    "kibana_query_string",
-    # r11.5: exact @-anchoring — a numeric @ t now evaluates the inner
-    # expression on a one-instant grid pinned at EXACTLY t (removing
-    # the ADVICE-r6 documented divergence); the registry query gains a
-    # grid-mode branch anchored 30 minutes off the step grid whose
-    # window excludes the t_max hour the old snap-to-grid included.
-    # Also an r6-debt promotion (latest driver row r6, 4 gate-runs
-    # old) — the CHANGED slot burns the oldest ledger debt.
-    "promql_at_offset",
-    # r11.5: same-level pipeline aggs now reduce in REQUEST order
-    # (removing the ADVICE-r9 documented divergence — a
-    # bucket_selector declared before a sibling filters that
-    # sibling's input); the registry query gains a selector → sibling
-    # tail whose avg_bucket sees only the surviving buckets.
-    "kibana_pipeline",
+    # r12: top_hits size > 1 (VERDICT r11 item 7) — row_number()<=size
+    # rank + aggregate fold; the registry row gains avg-of-top-3 and
+    # concat-of-top-2 metrics.  Also an r6-debt promotion (latest
+    # driver row r6, 5 gate-runs old)
+    "kibana_top_hits_latest",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r9-latest queries the 50-slot arithmetic cannot fit once round-11
-# registrations + changes + the r6-debt promotions claimed their slots
-# (47 r9-latest candidates + 3 r6-debt promotions + 4 new + 4 changed
-# — one of the changed rows, promql_at_offset, is itself an r6-debt
-# promotion — = 58 candidates for 50 slots → 8 demotions).  Selection: code
-# untouched since their green r9 row AND an in-window sibling
-# exercising the same machinery; every one is replayed against its
-# DuckDB oracle at sf0.001 by tests/test_queries_oracle.py EVERY
-# session, re-attested at sf0.1 via tools/check_oracle.py this round,
-# and hash-pinned by the round-11 GOLDEN re-record.
+# r10-latest queries the 50-slot arithmetic cannot fit once the
+# round-12 registration + changes + the r6-debt promotions claimed
+# their slots (48 r10-latest candidates + 6 r6-debt promotions + 1 new
+# + 4 changed — one changed row is itself an r6-debt promotion — = 58
+# candidates for 50 slots → 8 demotions).  Selection: code untouched
+# since their green r10 row AND an in-window sibling exercising the
+# same machinery; every one is replayed against its DuckDB oracle at
+# sf0.001 by tests/test_queries_oracle.py EVERY session, re-attested
+# at sf0.1 via tools/check_oracle.py this round, and hash-pinned by
+# the round-12 GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # rolling-hash fingerprint, pure scan-local column algebra
-    # untouched since its green r9 row; the text column-algebra family
-    # is in-window (text_langid, text_gopher_quality, text_repetition)
-    # — demoted for pipe_fuzzy_decontaminate (r6-debt promotion, the
-    # oldest driver row in the ledger at 4 gate-runs)
-    "doc_fingerprint",
-    # clamp/sort_desc scalar ops, untouched since their green r9 row;
-    # sort machinery exercised in-window by promql_limit_sample
-    # (topk/limitk) and clamp is pure column algebra pinned by
-    # test_promql compiled-expression tests — demoted for
-    # embed_ivfpq_topk (new)
-    "promql_clamp_sort",
-    # pure deterministic time()/calendar macro pack, untouched since
-    # its green r9 row; compiled-expression pins in test_promql.py and
-    # the same scalar-macro machinery feeds promql_deriv_predict
-    # (in-window) — demoted for streaming_alerts_replay (new)
-    "promql_time_macros",
-    # single distinct(); the same HashAggregate-dedup exchange shape
-    # runs in-window via dedup_url (distinct-based) and o5_intersect —
-    # demoted for promql_native_histogram (changed)
-    "o1_distinct",
-    # single TakeOrderedAndProject (plan-pinned since r9), code
-    # untouched since its green r9 row; the same sort+limit machinery
-    # runs in-window via kibana_sibling_sort and promql_limit_sample —
-    # demoted for kibana_query_string (changed)
-    "o4_sort_limit",
-    # md5-residue deterministic split, code untouched since its green
-    # r9 row; the same residue machinery runs in-window via
-    # pipe_weighted_sample and the dedup family — demoted for
-    # embed_binary_topk (new, round 11.5)
-    "pipe_split",
-    # unionByName — a zero-exchange concatenation, code untouched
-    # since its green r9 row and exercised in-window by
-    # promql_at_offset's two-branch union (changed this round) —
-    # demoted for promql_at_offset (changed + r6-debt promotion,
-    # round 11.5)
-    "j3_union_byname",
-    # multi-key hash aggregation with a ranked cut, code untouched
-    # since its green r9 row; the same machinery runs in-window via
-    # kibana_rare_multi_terms (multi_terms IS a ranked multi-key agg,
-    # driver-verified this round) and w11_rollup_cascade's
-    # hierarchical multi-key aggs — demoted for kibana_rare_multi_terms
-    # (new, round 11.5)
-    "a7_multikey_drilldown",
+    # same histogram_quantile bucket-walk kernel pinned in-window by
+    # promql_histogram_quantile (the r6-debt promotion it trades for);
+    # grid machinery pinned by promql_rate_extrapolated +
+    # promql_subquery (both in-window)
+    "promql_histogram_quantile_grid",
+    # same topk-of-rate composite: the sample-instant twin
+    # promql_topk_rate is promoted (r6 debt); the grid extrapolation
+    # kernel is pinned by promql_rate_extrapolated (in-window) and the
+    # per-instant ranking by w3_topk_per_group (in-window)
+    "promql_topk_rate_grid",
+    # same Arrow mapInPandas decode plumbing pinned by
+    # multimodal_resize (the r6-debt promotion it trades for) and
+    # multimodal_audio machinery verified r11
+    "multimodal_channel_stats",
+    # agg-of-agg machinery pinned in-window by a9_topk_of_avg (the
+    # other direction) and the rank cut by w3_topk_per_group — demoted
+    # for a8_having (r6-debt promotion)
+    "a9b_sum_of_topk",
+    # connected-components machinery pinned by dedup_components
+    # (in-window); the star variant's code is untouched since its
+    # green r10 row — demoted for pipe_decontaminate (r6 debt)
+    "dedup_components_star",
+    # set-op join machinery pinned by o6_semi_join (in-window);
+    # multiset except is its inverse join — demoted for
+    # promql_rate_instant (new)
+    "o7_except_all",
+    # window-agg family pinned by w1_tumbling_window + w8_frame_specs
+    # (both in-window) — demoted for the promql_native_histogram
+    # CHANGED slot
+    "w7b_sliding_window",
+    # vector-binop join machinery pinned by promql_vector_matching +
+    # promql_vector_math (both in-window); the comparison filter is a
+    # compiled-expression variant pinned by test_promql — demoted for
+    # the promql_info_join CHANGED slot
+    "promql_vector_compare",
 ]
 
 WINDOW_PRIORITY = [
-    # -- round-11 registrations + semantic changes claim slots here -------
+    # -- round-12 registration + semantic changes claim slots here -------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r6 (4 gate-runs old): oldest-debt rows (3) --
-    "embed_near_dup_lsh",
-    "embed_ivf_topk",
-    "pipe_fuzzy_decontaminate",
-    # -- latest driver row is r9 (2 gate-runs old): the 48 promotions -----
-    # reference-surface pivots/joins/set-ops/aggregations/windows
-    "p1_objectname_pivot",
-    "a11_percentile",
-    "j1_cross_join",
-    "j2_broadcast_lookup",
-    "j5_explode_parent_child",
-    "j7_range_join",
-    "o3_anti_join",
-    "o5_intersect",
-    "w7_session_window",
-    "w11_rollup_cascade",
-    "w12_window_time_cascade",
-    "qtj_series_arith",
-    "rules_rewrite",
-    "scale_salted_agg",
-    "openmetrics_roundtrip",
+    # -- latest driver row is r6 (5 gate-runs old): oldest-debt rows (5) --
+    "a8_having",
+    "promql_histogram_quantile",
+    "promql_topk_rate",
+    "multimodal_resize",
+    "pipe_decontaminate",
+    # -- latest driver row is r10 (2 gate-runs old): the 40 promotions ----
+    # aggregations / windows / joins
+    "a1_a4_grouped_metrics",
+    "a5_approx_count_distinct",
+    "a6_latest_value",
+    "a9_topk_of_avg",
+    "a11b_approx_percentile",
+    "a12_rollup",
+    "j6_asof_join",
+    "o6_semi_join",
+    "w1_tumbling_window",
+    "w2_rate",
+    "w3_topk_per_group",
+    "w4_latest_per_user",
+    "w8_frame_specs",
+    "w9_regex_label_rate_sum",
+    "p2_normalize_pipeline",
+    "p_scalar_pack",
     # dedup / embedding family
-    "dedup_url",
-    "dedup_minhash_components",
-    "embed_decontaminate",
-    "embed_quantize",
-    # text + multimodal + pipeline
-    "text_gopher_quality",
-    "text_langid",
-    "text_repetition",
-    "multimodal_audio",
-    "multimodal_features",
-    "pipe_domain_mix",
-    "pipe_dsir_resample",
-    "pipe_global_shuffle",
-    "pipe_sliding_chunks",
-    "pipe_weighted_sample",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_passage",
+    "dedup_simhash",
+    "dedup_substring",
+    "embed_cosine_topk",
+    "embed_near_dup_cosine",
+    "embed_pq_topk",
+    # text + streaming
+    "text_corpus_report",
+    "streaming_session_replay",
+    "streaming_state_replay",
     # PromQL surface
-    "promql_deriv_predict",
-    "promql_info_join",
-    "promql_label_functions",
-    "promql_limit_sample",
-    "promql_over_time_pack",
-    "promql_rules_group",
+    "promql_count_values",
+    "promql_holt_winters",
+    "promql_quantile_last_over_time",
+    "promql_rate_extrapolated",
+    "promql_subquery",
+    "promql_vector_matching",
+    "promql_vector_math",
     # Kibana surface
-    "kibana_bucket_script",
-    "kibana_composite",
-    "kibana_histogram_stats",
-    "kibana_sibling_sort",
+    "kibana_date_histogram",
+    "kibana_median",
+    "kibana_serial_stats",
+    "kibana_significant_terms",
 ]
 
 

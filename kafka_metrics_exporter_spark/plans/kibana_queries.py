@@ -169,18 +169,42 @@ def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kibana_top_hits_latest",
     f"""
-    WITH d AS ({_ES_DOCS_SQL})
-    SELECT event_type, value AS last_value, user_id AS last_user
-    FROM d
-    QUALIFY row_number() OVER (
-      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+    WITH d AS ({_ES_DOCS_SQL}),
+    r AS (
+      SELECT event_type, value, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM d
+    ),
+    base AS (
+      SELECT event_type, value AS last_value, user_id AS last_user
+      FROM r WHERE rn = 1
+    ),
+    a3 AS (
+      SELECT event_type, AVG(value) AS avg_top3
+      FROM r WHERE rn <= 3 GROUP BY 1
+    ),
+    u2 AS (
+      SELECT event_type,
+             string_agg(user_id, ', ' ORDER BY rn) AS users_top2
+      FROM r WHERE rn <= 2 GROUP BY 1
+    )
+    SELECT base.event_type, last_value, last_user, avg_top3, users_top2
+    FROM base JOIN a3 USING (event_type) JOIN u2 USING (event_type)
     """,
 )
 def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top_hits(size=1, sort createdDateTime desc) — Kibana's
     latest-value metric (28 of the corpus's 33 top_hits aggs are this
     exact shape) over a terms bucket, compiled from visState; ties on
-    the sort timestamp break by event_id via the ``tiebreak=`` hook."""
+    the sort timestamp break by event_id via the ``tiebreak=`` hook —
+    plus, round 12 (VERDICT r11 item 7), two size>1 Top Hit metrics:
+    the top-3 values averaged and the top-2 user_ids ", "-concatenated
+    in sort order, folding the row_number()<=size rank the engine now
+    compiles for multi-hit panels.  The tiebreak inherits the sort
+    direction (event_id DESC under ts DESC), so hit 1 of N is always
+    the size-1 answer."""
     plan = compile_visualization(
         _vis(
             [
@@ -196,6 +220,14 @@ def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "params": {"field": "user_id.keyword", "aggregate": "concat",
                              "size": 1, "sortField": "ts",
                              "sortOrder": "desc", "customLabel": "last_user"}},
+                {"id": "4", "type": "top_hits", "schema": "metric",
+                 "params": {"field": "value", "aggregate": "average",
+                             "size": 3, "sortField": "ts",
+                             "sortOrder": "desc", "customLabel": "avg_top3"}},
+                {"id": "5", "type": "top_hits", "schema": "metric",
+                 "params": {"field": "user_id.keyword", "aggregate": "concat",
+                             "size": 2, "sortField": "ts",
+                             "sortOrder": "desc", "customLabel": "users_top2"}},
             ]
         )
     )
@@ -779,8 +811,15 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi AS (
       SELECT 'multi' AS branch, key, n_docs, total FROM mt
       QUALIFY row_number() OVER (ORDER BY n_docs DESC, key ASC) <= 10
+    ),
+    -- round 12: METRIC-ordered multi_terms (orderBy a sum sub-agg) —
+    -- the cut ranks by the ordering metric, key tiebreak, like terms
+    multi_sum AS (
+      SELECT 'multi_sum' AS branch, key, n_docs, total FROM mt
+      QUALIFY row_number() OVER (ORDER BY total DESC, key ASC) <= 4
     )
     SELECT * FROM rare UNION ALL SELECT * FROM multi
+    UNION ALL SELECT * FROM multi_sum
     """,
 )
 def kibana_rare_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,7 +830,9 @@ def kibana_rare_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form of what ES computes with a CuckooFilter
     approximation; multi_terms buckets the (event_type, user_id % 5)
     tuple under ES's '|'-joined key_as_string, doc-count-ordered with
-    the size-10 cut.
+    the size-10 cut, plus — round 12 — a METRIC-ordered branch (orderBy
+    the sum sub-agg, size 4) exercising the terms rank path over the
+    tuple key.
 
     Scale shape: rare_terms joins the key-count frame back KEY-KEYED —
     never a broadcast (the qualifying set is the long tail, i.e. MOST
@@ -848,7 +889,27 @@ def kibana_rare_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double").alias("total"),
         )
 
-    return shape(rare, "rare").unionByName(shape(multi, "multi"))
+    multi_sum = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "multi_terms", "schema": "bucket",
+                 "params": {"terms": [{"field": "event_type"},
+                                       {"field": "ubucket"}],
+                             "size": 4, "orderBy": "3", "order": "desc",
+                             "customLabel": "key"}},
+                {"id": "2", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n_docs"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+            ]
+        )
+    ).evaluate(docs)
+
+    return (
+        shape(rare, "rare")
+        .unionByName(shape(multi, "multi"))
+        .unionByName(shape(multi_sum, "multi_sum"))
+    )
 
 
 @query(

@@ -1659,9 +1659,25 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Round 10: Prometheus 3.x native histograms
 # ---------------------------------------------------------------------------
-@query(
-    "promql_native_histogram",
-    r"""
+def _nh_sql(factor: float, hschema: int) -> str:
+    """One complete native-histogram DuckDB-twin block for a given
+    schema (``factor`` = 2^schema): the long-attested schema-0 text
+    with every bucket-index (``ceil(log2(v) * factor)``) and
+    bucket-bound (``power(2.0, idx / factor)``) expression
+    parameterized.  factor 1.0 leaves the schema-0 doubles bit-for-bit
+    (``x * 1.0`` and ``x / 1.0`` are exact), so the original hashes
+    are unchanged; factor 8.0 is schema 3, the Prometheus 3.x default
+    (VERDICT r11 item 5).  Float stance, documented: schema-0 bounds
+    are pow(2, int) — exact; schema-3 bounds evaluate fractional
+    pow/log2 in each engine's libm, which agree to <= 1 ulp on this
+    platform and are absorbed by the comparison layer's 4-decimal
+    rounding — hash-attested empirically at sf0.001/0.01/0.1."""
+    f = repr(float(factor))
+    body = _NH_BLOCK.replace("{f}", f).replace("{hschema}", str(int(hschema)))
+    return "( " + body + " )"
+
+
+_NH_BLOCK = r"""
     WITH b AS (
       -- NaN first: a user hit by both arms (user_id % 291 = 0) is a
       -- NaN observation, mirroring the engine's when-chain order
@@ -1678,8 +1694,8 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN isnan(v) THEN 2
                   WHEN v > 0.1 THEN 1 WHEN v >= -0.1 THEN 0 ELSE -1 END AS sgn,
              CASE WHEN isnan(v) THEN NULL
-                  WHEN v > 0.1 THEN CAST(ceil(log2(v)) AS INT)
-                  WHEN v < -0.1 THEN CAST(ceil(log2(-v)) AS INT) END AS idx
+                  WHEN v > 0.1 THEN CAST(ceil(log2(v) * {f}) AS INT)
+                  WHEN v < -0.1 THEN CAST(ceil(log2(-v) * {f}) AS INT) END AS idx
       FROM b
     ),
     per AS (
@@ -1706,16 +1722,16 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans AS (
       SELECT p.etype, p.ts, p.c, p.sgn,
              CASE WHEN p.sgn = -1 THEN -p.idx ELSE COALESCE(p.idx, 0) END AS ok,
-             CASE WHEN p.sgn = -1 THEN -power(2.0, p.idx)
+             CASE WHEN p.sgn = -1 THEN -power(2.0, p.idx / {f})
                   WHEN p.sgn = 0 THEN
                     CASE WHEN NOT cell.has_neg AND cell.has_pos
                          THEN 0.0 ELSE -0.1 END
-                  ELSE greatest(power(2.0, p.idx - 1), 0.1) END AS lo,
-             CASE WHEN p.sgn = -1 THEN least(-power(2.0, p.idx - 1), -0.1)
+                  ELSE greatest(power(2.0, (p.idx - 1) / {f}), 0.1) END AS lo,
+             CASE WHEN p.sgn = -1 THEN least(-power(2.0, (p.idx - 1) / {f}), -0.1)
                   WHEN p.sgn = 0 THEN
                     CASE WHEN NOT cell.has_pos AND cell.has_neg
                          THEN 0.0 ELSE 0.1 END
-                  ELSE power(2.0, p.idx) END AS hi
+                  ELSE power(2.0, p.idx / {f}) END AS hi
       FROM per p JOIN cell USING (etype, ts)
       WHERE p.sgn != 2  -- NaN observations occupy no bucket
     ),
@@ -1773,7 +1789,7 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spans s JOIN cell USING (etype, ts)
       GROUP BY s.etype, s.ts, cell.vsum, cell.cnt
     )
-    SELECT cell.etype,
+    SELECT {hschema} AS hschema, cell.etype,
            strftime(cell.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            cell.cnt AS n_obs,
            cell.vsum / cell.cnt AS avg_v,
@@ -1791,7 +1807,12 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN lastb USING (etype, ts)
     LEFT JOIN frac USING (etype, ts)
     LEFT JOIN stdv USING (etype, ts)
-    """,
+    """
+
+
+@query(
+    "promql_native_histogram",
+    _nh_sql(1.0, 0) + "\n    UNION ALL\n" + _nh_sql(8.0, 3),
 )
 def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus 3.x native histograms end-to-end, FULL schema
@@ -1841,9 +1862,6 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("ts"),
         signed.alias("value"),
     )
-    ht = native_histogram_table(
-        samples, ["name", "etype"], zero_threshold=0.1
-    ).persist()
     exprs = {
         "n_obs": "histogram_count(jmx_latency)",
         "avg_v": "histogram_avg(jmx_latency)",
@@ -1852,17 +1870,29 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_neg": "histogram_fraction(-64, -1, jmx_latency)",
         "stddev_v": "histogram_stddev(jmx_latency)",
     }
-    out = None
-    for alias, text in exprs.items():
-        part = (
-            compile_promql(text)
-            .evaluate(ht)
-            .withColumnRenamed("value", alias)
-        )
-        out = part if out is None else out.join(part, ["etype", "ts"])
-    out = out.select(
+    # round 12 (VERDICT r11 item 5): the SAME six functions evaluate
+    # over TWO sketch resolutions — schema 0 (pow-of-2 buckets, exact
+    # bounds) and schema 3 (Prometheus 3.x's default, 8 buckets per
+    # octave, fractional-pow bounds; see _nh_sql for the float stance)
+    parts, sketches = [], []
+    for hschema in (0, 3):
+        ht = native_histogram_table(
+            samples, ["name", "etype"], schema=hschema, zero_threshold=0.1
+        ).persist()
+        sketches.append(ht)
+        out = None
+        for alias, text in exprs.items():
+            part = (
+                compile_promql(text)
+                .evaluate(ht)
+                .withColumnRenamed("value", alias)
+            )
+            out = part if out is None else out.join(part, ["etype", "ts"])
+        parts.append(out.withColumn("hschema", F.lit(hschema)))
+    out = parts[0].unionByName(parts[1]).select(
+        "hschema",
         "etype",
         F.date_format("ts", _TS_FMT).alias("ts_s"),
         "n_obs", "avg_v", "q90", "frac_1_64", "frac_neg", "stddev_v",
     )
-    return _finish_cached(out, ht)
+    return _finish_cached(out, *sketches)

