@@ -2299,3 +2299,94 @@ def test_top_hits_size_validation():
             {"id": "1", "type": "top_hits", "schema": "metric",
              "params": {"field": "v", "aggregate": "median", "size": 2}},
         ])["visState"])
+
+
+def test_multi_terms_metric_order_parity_with_terms(spark):
+    """Parity pin (VERDICT r11 item 4 'ordering parity pinned against
+    the terms implementation'): a metric-ordered multi_terms over
+    (f1, f2) must select and rank EXACTLY the buckets a metric-ordered
+    terms over the pre-joined key column selects — both flow through
+    the shared ranking loop, so any drift between the two paths fails
+    here.  Seeded random frame: 60 docs over a 4x3 tuple space with
+    skewed sums, size cut 5 by sum desc."""
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        (f"a{rng.randint(0, 3)}", f"b{rng.randint(0, 2)}",
+         float(rng.randint(1, 100)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, v double")
+    mt = [
+        {"id": "1", "type": "multi_terms", "schema": "bucket",
+         "params": {"terms": [{"field": "f1"}, {"field": "f2"}],
+                    "size": 5, "orderBy": "2", "order": "desc",
+                    "customLabel": "k"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    got_mt = {(r["k"], r["total"]) for r in
+              compile_visualization(_vis8(mt)).evaluate(df).collect()}
+    # the same cut through the TERMS path over the pre-joined key
+    joined = df.withColumn("k", F.concat_ws("|", "f1", "f2"))
+    t = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "k", "size": 5, "orderBy": "2",
+                    "order": "desc", "customLabel": "k"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    got_t = {(r["k"], r["total"]) for r in
+             compile_visualization(_vis8(t)).evaluate(joined).collect()}
+    assert got_mt == got_t and len(got_mt) == 5
+
+
+def test_top_hits_size_n_reference_property(spark):
+    """Randomized reference check: multi-hit top_hits folds must equal
+    a pandas groupby/sort reference on a seeded frame with sort-value
+    ties (ts collisions resolved by the tiebreak, which inherits the
+    sort direction)."""
+    import random
+
+    rng = random.Random(34)
+    rows = [
+        (f"g{rng.randint(0, 4)}", rng.randint(0, 9),  # ts with ties
+         float(rng.randint(-50, 50)), f"id{i:03d}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double, id string")
+    for size, order in ((3, "desc"), (2, "asc")):
+        aggs = [
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "g", "size": 100, "order": "asc",
+                        "orderBy": "_term", "customLabel": "g"}},
+            {"id": "2", "type": "top_hits", "schema": "metric",
+             "params": {"field": "v", "aggregate": "sum", "size": size,
+                        "sortField": "t", "sortOrder": order,
+                        "customLabel": "s"}},
+            {"id": "3", "type": "top_hits", "schema": "metric",
+             "params": {"field": "id", "aggregate": "concat", "size": size,
+                        "sortField": "t", "sortOrder": order,
+                        "customLabel": "c"}},
+        ]
+        out = compile_visualization(_vis8(aggs)).evaluate(df, tiebreak="id")
+        got = {r["g"]: (r["s"], r["c"]) for r in out.collect()}
+        expect = {}
+        for g in {r[0] for r in rows}:
+            # the tiebreak inherits the sort direction: asc -> (t, id)
+            # asc; desc -> stable two-pass (id desc, then t desc)
+            grp = [r for r in rows if r[0] == g]
+            if order == "asc":
+                docs = sorted(grp, key=lambda r: (r[1], r[3]))
+            else:
+                docs = sorted(grp, key=lambda r: r[3], reverse=True)
+                docs = sorted(docs, key=lambda r: r[1], reverse=True)
+            top = docs[:size]
+            expect[g] = (
+                sum(r[2] for r in top),
+                ", ".join(r[3] for r in top),
+            )
+        for g, (s_sum, s_cat) in expect.items():
+            assert got[g][0] == pytest.approx(s_sum), (g, order)
+            assert got[g][1] == s_cat, (g, order)
