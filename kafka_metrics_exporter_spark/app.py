@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "selectors, extrapolated rate)")
     q.add_argument("--query-lookback", type=float, default=300.0,
                    metavar="SECS", help="range-mode lookback delta")
+    q.add_argument("--query-extrapolated-rate", action="store_true",
+                   help="instant mode only: swap the pinned "
+                        "successive-delta rate/increase/delta kernel "
+                        "for Prometheus's window-extrapolated one at "
+                        "the same sample instants (round 12)")
     q.add_argument("--query-start", type=float, default=None, metavar="EPOCH",
                    help="range-mode request start (epoch seconds; "
                         "with --query-end pins the grid to the request "
@@ -203,7 +208,9 @@ def run_query(args: argparse.Namespace, spark) -> int:
                     end=args.query_end,
                 )
             else:
-                out = plan.evaluate(df)
+                out = plan.evaluate(
+                    df, extrapolated_rate=args.query_extrapolated_rate
+                )
             out.show(args.query_limit, truncate=False)
         return 0
     if args.query_promql:
@@ -220,7 +227,9 @@ def run_query(args: argparse.Namespace, spark) -> int:
                 end=args.query_end,
             )
         else:
-            out = plan.evaluate(df)
+            out = plan.evaluate(
+                df, extrapolated_rate=args.query_extrapolated_rate
+            )
     else:
         import json
 

@@ -80,6 +80,9 @@ class TermsBucket:
     # for order_by == 'custom' (orderAgg) or a metric agg id: the
     # ordering metric, resolved at parse time
     order_metric: tuple[str, str] | None = None  # (op, field)
+    # ES `missing`: docs without the field land in THIS bucket value
+    # instead of dropping (round 12; None = drop, ES's default)
+    missing: str | None = None
 
 
 @dataclass(frozen=True)
@@ -124,6 +127,19 @@ class DateHistogramBucket:
     field: str
     interval_us: int
     label: str
+    # ES min_doc_count (round 12): 1 (default here) emits populated
+    # buckets only — the natural relational shape; 0 ZERO-FILLS the
+    # empty buckets between each parent bucket's first and last
+    # populated key (ES's own agg default), supported for the
+    # INNERMOST histogram (an empty OUTER bucket has no child rows, so
+    # the flattened relation cannot represent it — loud error); >= 2
+    # filters buckets by their own-level doc count.
+    min_doc_count: int = 1
+    # ES extended_bounds (round 12): widen the min_doc_count=0 fill
+    # grid beyond the populated span — (min_us, max_us) epoch micros;
+    # only meaningful with min_doc_count=0 (like ES, where the docs
+    # call it out explicitly)
+    extended_bounds: "tuple[int, int] | None" = None
     # the panel declared ``interval: "auto"`` — interval_us holds the
     # customInterval/1h fallback.  Since round 7 evaluate() derives the
     # interval from the time range BY DEFAULT (real ES/Kibana
@@ -252,6 +268,8 @@ class HistogramBucket:
     field: str
     interval: float
     label: str
+    min_doc_count: int = 1  # same contract as DateHistogramBucket
+    extended_bounds: "tuple[float, float] | None" = None
 
 
 @dataclass(frozen=True)
@@ -518,6 +536,18 @@ def _slug(s: str) -> str:
     return s or "col"
 
 
+def _bound_us(v) -> int:
+    """extended_bounds endpoint → epoch micros: ES accepts epoch
+    MILLIS numbers or date strings; ISO strings parse here."""
+    if isinstance(v, (int, float)):
+        return int(v) * 1000
+    import datetime as _dt
+
+    return int(
+        _dt.datetime.fromisoformat(str(v)).timestamp() * 1_000_000
+    )
+
+
 def _parse_interval_us(params: dict) -> tuple[int, bool]:
     interval = params.get("interval", "auto")
     auto = interval == "auto"
@@ -605,6 +635,10 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     order_by=order_by,
                     label=label,
                     order_metric=order_metric,
+                    missing=(
+                        str(p["missing"]) if p.get("missing") is not None
+                        else None
+                    ),
                 )
             )
         elif a["type"] == "composite":
@@ -680,11 +714,32 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             )
         elif a["type"] == "date_histogram":
             interval_us, auto = _parse_interval_us(p)
+            mdc = int(p.get("min_doc_count", 1))
+            if mdc < 0:
+                raise ValueError("kibana: min_doc_count must be >= 0")
+            eb = p.get("extended_bounds")
+            # Kibana writes an EMPTY extended_bounds stub ({}) on every
+            # date_histogram (the corpus's six all do) — only a dict
+            # carrying BOTH endpoints means the user set bounds
+            if not eb or eb.get("min") is None or eb.get("max") is None:
+                eb = None
+            if eb is not None:
+                if mdc != 0:
+                    raise ValueError(
+                        "kibana: extended_bounds needs min_doc_count=0 "
+                        "(without zero-fill it changes nothing — ES docs "
+                        "make the same pairing explicit)"
+                    )
+                eb = (_bound_us(eb["min"]), _bound_us(eb["max"]))
+                if eb[0] > eb[1]:
+                    raise ValueError("kibana: extended_bounds min > max")
             buckets.append(
                 DateHistogramBucket(
                     field=p["field"],
                     interval_us=interval_us,
                     label=label,
+                    min_doc_count=mdc,
+                    extended_bounds=eb,
                     auto=auto,
                 )
             )
@@ -841,8 +896,27 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             interval = float(p.get("interval", 1))
             if interval <= 0:
                 raise ValueError("kibana: histogram interval must be > 0")
+            mdc = int(p.get("min_doc_count", 1))
+            if mdc < 0:
+                raise ValueError("kibana: min_doc_count must be >= 0")
+            eb = p.get("extended_bounds")
+            if not eb or eb.get("min") is None or eb.get("max") is None:
+                eb = None  # empty Kibana stub (see date_histogram above)
+            if eb is not None:
+                if mdc != 0:
+                    raise ValueError(
+                        "kibana: extended_bounds needs min_doc_count=0 "
+                        "(without zero-fill it changes nothing — ES docs "
+                        "make the same pairing explicit)"
+                    )
+                eb = (float(eb["min"]), float(eb["max"]))
+                if eb[0] > eb[1]:
+                    raise ValueError("kibana: extended_bounds min > max")
             buckets.append(
-                HistogramBucket(field=p["field"], interval=interval, label=label)
+                HistogramBucket(
+                    field=p["field"], interval=interval, label=label,
+                    min_doc_count=mdc, extended_bounds=eb,
+                )
             )
         elif a["type"] == "range":
             if schema not in _BUCKET_SCHEMAS:
@@ -1329,9 +1403,23 @@ class KibanaPlan:
         # would corrupt the rare doc count if taken afterwards
         # (code-review 11.5)
         rare_src: dict[str, DataFrame] = {}
+        # auto mode resolves a date_histogram's interval at evaluate
+        # time — the zero-fill grid (min_doc_count 0) must step by the
+        # RESOLVED interval, captured here per bucket label
+        resolved_interval_us: dict[str, int] = {}
         for b in s.buckets:
             if isinstance(b, TermsBucket):
-                df = df.withColumn(b.label, resolve(b.field).cast("string"))
+                v = resolve(b.field).cast("string")
+                if b.missing is not None:
+                    # ES `missing`: docs without the field land in this
+                    # bucket value instead of dropping (round 12)
+                    v = F.coalesce(v, F.lit(b.missing))
+                # ES drops docs missing the field from terms buckets
+                # (it never emits a null-keyed bucket) — round 12;
+                # previously a NULL key survived into a bucket row
+                df = df.withColumn(b.label, v).filter(
+                    F.col(b.label).isNotNull()
+                )
             elif isinstance(b, DateHistogramBucket):
                 # fixed-interval bucketing on epoch micros (date_trunc
                 # can't express "2h"); pmod keeps it exact integer math
@@ -1357,6 +1445,7 @@ class KibanaPlan:
                         lo, hi = row["lo"], row["hi"]
                     span = max(0, (hi or 0) - (lo or 0))
                     interval_us = auto_interval_us(span, auto_interval_buckets)
+                resolved_interval_us[b.label] = interval_us
                 df = df.withColumn(
                     b.label,
                     F.timestamp_micros(us - F.pmod(us, F.lit(interval_us))),
@@ -1555,6 +1644,41 @@ class KibanaPlan:
             agg_exprs.append(
                 F.count(F.lit(1)).alias(f"__rt_{s.buckets[-1].label}")
             )
+        # (date_)histogram min_doc_count != 1 (round 12): each needs
+        # its own-level doc count — a hidden leaf count rolled up by a
+        # keys[:i+1] window at step 3c.  Validated here, loudly:
+        # an explode-type bucket nested BELOW the histogram would
+        # inflate the level count (a doc lands in several range/filter
+        # buckets), and a zero-filled EMPTY bucket above other buckets
+        # has no child rows — the flattened relation cannot represent
+        # it, so min_doc_count=0 requires the histogram innermost.
+        mdc_buckets = [
+            (i, b)
+            for i, b in enumerate(s.buckets)
+            if isinstance(b, (DateHistogramBucket, HistogramBucket))
+            and b.min_doc_count != 1
+        ]
+        for i, b in mdc_buckets:
+            exploding = [
+                inner.label
+                for inner in s.buckets[i + 1:]
+                if isinstance(
+                    inner, (FiltersBucket, RangeBucket, DateRangeBucket)
+                )
+            ]
+            if exploding:
+                raise ValueError(
+                    f"kibana: min_doc_count on {b.label!r} cannot sit above "
+                    f"row-exploding buckets {exploding} — the level doc "
+                    f"count would be inflated"
+                )
+            if b.min_doc_count == 0 and i != len(s.buckets) - 1:
+                raise ValueError(
+                    f"kibana: min_doc_count=0 needs {b.label!r} to be the "
+                    f"innermost bucket — an empty bucket above other "
+                    f"buckets has no child rows in the flattened result"
+                )
+            agg_exprs.append(F.count(F.lit(1)).alias(f"__mdc_{b.label}"))
         if not agg_exprs:
             # every metric deferred to the multi-hit join below — the
             # bucket frame still needs one aggregate to exist
@@ -1846,6 +1970,116 @@ class KibanaPlan:
                 .filter(F.col("__rt") <= b.max_doc_count)
                 .drop("__rt")
             )
+
+        # 3c) (date_)histogram min_doc_count (round 12).  >= 2: keep
+        # buckets whose OWN-LEVEL doc count (window-sum of leaf counts
+        # over the keys up to this bucket — exact: no exploding bucket
+        # sits below, validated at step 2) reaches the threshold, ES's
+        # filter applied before pipeline aggs see the frame.  == 0:
+        # ZERO-FILL the innermost histogram — per parent bucket,
+        # generate the full key grid between the first and last
+        # populated key (exactly ES's fill span without
+        # extended_bounds), left-join the real rows on, and give empty
+        # buckets doc_count/cardinality/sum 0 with every other metric
+        # null (ES's empty-bucket values).  The grid is bounded by
+        # span/interval per parent — bucket-table-sized, never
+        # doc-sized; pipelines below then run over the filled grid,
+        # deriving the same values ES derives across empty buckets.
+        for i, b in mdc_buckets:
+            cnt_col = f"__mdc_{b.label}"
+            if b.min_doc_count >= 2:
+                lvl_keys = key_names[: i + 1]
+                lvl_cnt = (
+                    F.col(cnt_col)
+                    if lvl_keys == key_names
+                    else F.sum(cnt_col).over(
+                        Window.partitionBy(*[F.col(k) for k in lvl_keys])
+                    )
+                )
+                out = out.withColumn("__lvl", lvl_cnt).filter(
+                    F.col("__lvl") >= b.min_doc_count
+                ).drop("__lvl", cnt_col)
+                continue
+            # min_doc_count == 0: zero-fill (b is innermost)
+            out = out.drop(cnt_col)
+            prefix = key_names[:-1]
+            gb = (
+                out.groupBy(*[F.col(k) for k in prefix])
+                if prefix
+                else out.groupBy()
+            )
+            if isinstance(b, DateHistogramBucket):
+                step = resolved_interval_us[b.label]
+                lo_agg = F.unix_micros(F.min(b.label))
+                hi_agg = F.unix_micros(F.max(b.label))
+                if b.extended_bounds is not None:
+                    # ES: buckets cover the union of the populated span
+                    # and the (interval-floored) extended bounds
+                    eb_lo, eb_hi = (
+                        (x // step) * step for x in b.extended_bounds
+                    )
+                    lo_agg = F.least(lo_agg, F.lit(eb_lo))
+                    hi_agg = F.greatest(hi_agg, F.lit(eb_hi))
+                bounds = gb.agg(
+                    lo_agg.alias("__lo"), hi_agg.alias("__hi")
+                )
+                grid = bounds.select(
+                    *prefix,
+                    F.explode(
+                        F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+                    ).alias("__g"),
+                ).select(
+                    *prefix, F.timestamp_micros(F.col("__g")).alias(b.label)
+                )
+            else:
+                iv = float(b.interval)
+                # reconstruct keys with the SAME double op as the
+                # bucketing formula (ordinal · interval), so the join
+                # hits populated keys bit-for-bit
+                m0_agg = F.round(F.min(b.label) / F.lit(iv)).cast("long")
+                m1_agg = F.round(F.max(b.label) / F.lit(iv)).cast("long")
+                if b.extended_bounds is not None:
+                    import math as _math
+
+                    m0_agg = F.least(
+                        m0_agg,
+                        F.lit(int(_math.floor(b.extended_bounds[0] / iv))),
+                    )
+                    m1_agg = F.greatest(
+                        m1_agg,
+                        F.lit(int(_math.floor(b.extended_bounds[1] / iv))),
+                    )
+                bounds = gb.agg(
+                    m0_agg.alias("__m0"), m1_agg.alias("__m1")
+                )
+                grid = bounds.select(
+                    *prefix,
+                    F.explode(
+                        F.sequence(F.col("__m0"), F.col("__m1"))
+                    ).alias("__m"),
+                ).select(
+                    *prefix,
+                    (F.col("__m").cast("double") * F.lit(iv)).alias(b.label),
+                )
+            out_cols = out.columns
+            filled = grid.join(out, prefix + [b.label], "left")
+            dtypes = dict(filled.dtypes)
+            zero_names: list[str] = []
+            for m in metrics:
+                if isinstance(m, MetricAgg) and m.op in (
+                    "count", "cardinality", "sum"
+                ):
+                    zero_names.append(m.label)
+                elif isinstance(m, StatsAgg):
+                    cn = m.column_names()
+                    zero_names += [cn[0], cn[4]] + (
+                        [cn[5]] if m.extended else []
+                    )
+            for n_ in zero_names:
+                filled = filled.withColumn(
+                    n_, F.coalesce(F.col(n_), F.lit(0).cast(dtypes[n_]))
+                )
+            out = filled.select(*[F.col(c) for c in out_cols])
 
         # 4) same-level pipeline reduction in REQUEST order (round
         # 11.5 — previously a fixed parents → siblings → scripts →

@@ -86,6 +86,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # concat-of-top-2 metrics.  Also an r6-debt promotion (latest
     # driver row r6, 5 gate-runs old)
     "kibana_top_hits_latest",
+    # r12.5: ES min_doc_count on (date_)histogram buckets (0 =
+    # zero-fill the innermost histogram's empty buckets, ES's agg
+    # default; >= 2 = own-level count filter) and the terms `missing`
+    # param + null-key drop — the registry row gains fill/mdc2
+    # branches over a sparse hourly subset with real gaps.  Already an
+    # r10→r12 promotion, so the CHANGED declaration costs no slot.
+    "kibana_date_histogram",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
@@ -190,7 +197,6 @@ WINDOW_PRIORITY = [
     "promql_vector_matching",
     "promql_vector_math",
     # Kibana surface
-    "kibana_date_histogram",
     "kibana_median",
     "kibana_serial_stats",
     "kibana_significant_terms",

@@ -126,11 +126,66 @@ def kibana_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT bucket, user_id, AVG(value_i) AS avg_v
       FROM b GROUP BY bucket, user_id
+    ),
+    series AS (
+      SELECT 'series' AS branch,
+             strftime(bucket, '%Y-%m-%d %H:%M:%S') AS when_s,
+             user_id AS key, CAST(NULL AS BIGINT) AS n, avg_v AS val
+      FROM agg
+      QUALIFY row_number() OVER (
+        PARTITION BY bucket ORDER BY avg_v DESC, user_id ASC) <= 5
+    ),
+    -- round 12: min_doc_count branches over a SPARSE subset (hourly
+    -- buckets with real gaps at every SF)
+    sparse AS (
+      SELECT * FROM d WHERE CAST(user_id AS BIGINT) % 97 = 0
+    ),
+    hb AS (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS hb, user_id, value_i
+      FROM sparse
+    ),
+    hagg AS (
+      SELECT hb, CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS total
+      FROM hb GROUP BY 1
+    ),
+    bounds AS (
+      -- extended_bounds widen the fill span beyond the data (both
+      -- endpoints are exact hour multiples): 2023-12-31T12:00Z ..
+      -- 2024-01-31T06:00Z
+      SELECT LEAST(MIN(epoch_us(hb)), 1704024000000000) AS lo,
+             GREATEST(MAX(epoch_us(hb)), 1706680800000000) AS hi
+      FROM hagg
+    ),
+    grid AS (
+      SELECT make_timestamp(CAST(unnest(range(lo, hi + 1, 3600000000))
+               AS BIGINT)) AS hb
+      FROM bounds
+    ),
+    -- min_doc_count=0: zero-fill between first and last populated key
+    -- (count 0, sum 0.0 on empty buckets — ES's empty-bucket values)
+    fillb AS (
+      SELECT 'fill' AS branch,
+             strftime(grid.hb, '%Y-%m-%d %H:%M:%S') AS when_s,
+             '' AS key, COALESCE(hagg.n, 0) AS n,
+             COALESCE(hagg.total, 0.0) AS val
+      FROM grid LEFT JOIN hagg ON grid.hb = hagg.hb
+    ),
+    -- min_doc_count=2 on the OUTER histogram above a terms series:
+    -- the filter is the bucket's OWN-LEVEL count across terms
+    hu AS (
+      SELECT hb, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hb GROUP BY 1, 2
+    ),
+    mdc2 AS (
+      SELECT 'mdc2' AS branch,
+             strftime(hb, '%Y-%m-%d %H:%M:%S') AS when_s,
+             user_id AS key, n, CAST(NULL AS DOUBLE) AS val
+      FROM (SELECT *, SUM(n) OVER (PARTITION BY hb) AS lvl FROM hu)
+      WHERE lvl >= 2
     )
-    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS when_s, user_id, avg_v
-    FROM agg
-    QUALIFY row_number() OVER (
-      PARTITION BY bucket ORDER BY avg_v DESC, user_id ASC) <= 5
+    SELECT * FROM series UNION ALL SELECT * FROM fillb
+    UNION ALL SELECT * FROM mdc2
     """,
 )
 def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +197,18 @@ def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested terms series bucket ordered by the avg metric — the
     "ZooKeeper - Heap Usage" line-chart shape, compiled from visState.
     The oracle derives the interval from the same span with the same
-    ladder (one 1-row min/max agg on each side)."""
+    ladder (one 1-row min/max agg on each side).
+
+    Round 12 adds ES ``min_doc_count`` over a sparse subset whose
+    hourly buckets have REAL gaps at every SF: ``fill`` (=0) ZERO-FILLS
+    the empty buckets between the first and last populated key — count
+    0, sum 0.0, ES's empty-bucket values — via a span/interval-bounded
+    grid per parent (bucket-table-sized, never doc-sized); ``mdc2``
+    (=2, on the OUTER histogram above a terms series) filters buckets
+    by their own-level doc count summed across the inner terms; the
+    fill branch also pins ``extended_bounds`` (the ES param a time
+    picker uses to force chart-range buckets), widening the grid half
+    a day before and six hours past the data span."""
     plan = compile_visualization(
         _vis(
             [
@@ -160,10 +226,67 @@ def kibana_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             vis_type="line",
         )
     )
-    out = plan.evaluate(_es_docs(spark, sf_dir))
-    return out.select(
-        F.date_format("when", _TS_FMT).alias("when_s"), "user_id", "avg_v"
+    docs = _es_docs(spark, sf_dir)
+    out = plan.evaluate(docs)
+    series = out.select(
+        F.lit("series").alias("branch"),
+        F.date_format("when", _TS_FMT).alias("when_s"),
+        F.col("user_id").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("avg_v").alias("val"),
     )
+    # round 12 (min_doc_count): a sparse subset gives hourly buckets
+    # REAL gaps at every SF — min_doc_count=0 zero-fills them (count 0,
+    # sum 0.0, ES's empty-bucket values), and min_doc_count=2 above a
+    # terms series filters by the bucket's own-level count
+    sparse = docs.filter(F.col("user_id").cast("long") % 97 == 0)
+    fill = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "date_histogram", "schema": "segment",
+                 "params": {"field": "ts", "customInterval": "1h",
+                             "min_doc_count": 0, "customLabel": "when",
+                             "extended_bounds": {
+                                 "min": 1704024000000,   # 2023-12-31T12:00Z
+                                 "max": 1706680800000,   # 2024-01-31T06:00Z
+                             }}},
+                {"id": "1", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+                {"id": "3", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+            ]
+        )
+    ).evaluate(sparse, auto_interval_buckets=None)
+    fill = fill.select(
+        F.lit("fill").alias("branch"),
+        F.date_format("when", _TS_FMT).alias("when_s"),
+        F.lit("").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("val"),
+    )
+    mdc2 = compile_visualization(
+        _vis(
+            [
+                {"id": "2", "type": "date_histogram", "schema": "segment",
+                 "params": {"field": "ts", "customInterval": "1h",
+                             "min_doc_count": 2, "customLabel": "when"}},
+                {"id": "4", "type": "terms", "schema": "group",
+                 "params": {"field": "user_id.keyword", "size": 10000,
+                             "order": "asc", "orderBy": "_term",
+                             "customLabel": "uid"}},
+                {"id": "1", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+            ]
+        )
+    ).evaluate(sparse, auto_interval_buckets=None)
+    mdc2 = mdc2.select(
+        F.lit("mdc2").alias("branch"),
+        F.date_format("when", _TS_FMT).alias("when_s"),
+        F.col("uid").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return series.unionByName(fill).unionByName(mdc2)
 
 
 @query(

@@ -85,6 +85,20 @@ def test_query_mode_promql_instant_and_range(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "u1" in out
 
+    # round 12: opt-in instant-mode extrapolation — at t=2m the (0,2m]
+    # window holds samples 1m/2m only (0m is excluded by the half-open
+    # window), rawDelta=60 over 60 s sampled with a zero-capped start
+    # extension -> 120/120 = 1.0; the flag must not error and must
+    # emit points
+    rc = main(
+        ["--query-metrics", path, "--query-promql",
+         "rate(click[2m])", "--query-extrapolated-rate"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "u1" in out and "1.0" in out
+
 
 def test_query_mode_kibana_vis(spark, tmp_path, capsys):
     import json as _json

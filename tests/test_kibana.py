@@ -2390,3 +2390,206 @@ def test_top_hits_size_n_reference_property(spark):
         for g, (s_sum, s_cat) in expect.items():
             assert got[g][0] == pytest.approx(s_sum), (g, order)
             assert got[g][1] == s_cat, (g, order)
+
+
+def test_terms_missing_param_and_null_drop(spark):
+    """Round 12: ES terms drops docs missing the field (it never emits
+    a null-keyed bucket); with `missing` set they land in that bucket
+    instead."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 7.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    base = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+    ]
+    got = {r["g"]: r["total"] for r in
+           compile_visualization(_vis8(base)).evaluate(df).collect()}
+    assert got == {"a": 3.0, "b": 3.0}  # null-keyed doc dropped
+    withm = [dict(base[0], params=dict(base[0]["params"], missing="N/A")),
+             base[1]]
+    got_m = {r["g"]: r["total"] for r in
+             compile_visualization(_vis8(withm)).evaluate(df).collect()}
+    assert got_m == {"a": 3.0, "b": 3.0, "N/A": 7.0}
+
+
+def test_date_histogram_zero_fill(spark):
+    """Round 12: min_doc_count=0 zero-fills the innermost
+    date_histogram between each parent's first and last populated
+    bucket — count 0, sum 0, avg null on the filled rows (ES's
+    empty-bucket values)."""
+    rows = [
+        ("x", "2024-01-01 00:05:00", 10.0),
+        ("x", "2024-01-01 03:10:00", 30.0),   # gap: hours 1, 2 empty
+        ("y", "2024-01-01 01:00:00", 5.0),
+        ("y", "2024-01-01 02:30:00", 7.0),    # no gap
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 0, "customLabel": "h"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "total"}},
+        {"id": "5", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "mean"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {(r["g"], str(r["h"])): (r["n"], r["total"], r["mean"])
+           for r in out.collect()}
+    assert got[("x", "2024-01-01 00:00:00")] == (1, 10.0, 10.0)
+    assert got[("x", "2024-01-01 01:00:00")] == (0, 0.0, None)  # filled
+    assert got[("x", "2024-01-01 02:00:00")] == (0, 0.0, None)  # filled
+    assert got[("x", "2024-01-01 03:00:00")] == (1, 30.0, 30.0)
+    # y spans 01..02 with both populated: nothing filled
+    assert len([k for k in got if k[0] == "y"]) == 2
+
+
+def test_histogram_zero_fill_and_pipeline_over_grid(spark):
+    """Numeric histogram zero-fill reconstructs keys with the same
+    ordinal-times-interval double op as the bucketing formula, and a
+    derivative pipeline runs over the FILLED grid (lag sees the empty
+    bucket, like ES)."""
+    df = spark.createDataFrame(
+        [(0.05,), (0.05,), (0.35,)], "v double"
+    )
+    aggs = [
+        {"id": "1", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 0.1, "min_doc_count": 0,
+                    "customLabel": "b"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "derivative", "schema": "metric",
+         "params": {"metricAgg": "2", "customLabel": "dn"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    got = {round(r["b"], 6): (r["n"], r["dn"]) for r in out.collect()}
+    # buckets 0.0(2), 0.1(0), 0.2(0), 0.3(1); derivative over the grid
+    assert got[0.0] == (2, None)
+    assert got[0.1] == (0, -2)
+    assert got[0.2] == (0, 0)
+    assert got[0.3] == (1, 1)
+
+
+def test_min_doc_count_filter_at_level(spark):
+    """min_doc_count >= 2 on an OUTER date_histogram filters by the
+    histogram's OWN-LEVEL doc count (summed across the inner terms),
+    not the leaf count."""
+    rows = [
+        ("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "b"),
+        ("2024-01-01 01:10:00", "a"),  # hour 01 has only 1 doc
+    ]
+    df = spark.createDataFrame(rows, "ts string, g string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 2, "customLabel": "h"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {(str(r["h"]), r["g"]): r["n"] for r in out.collect()}
+    # hour 00 (2 docs across terms a,b) survives with BOTH term rows
+    # at leaf count 1; hour 01 (1 doc) drops entirely
+    assert got == {("2024-01-01 00:00:00", "a"): 1,
+                   ("2024-01-01 00:00:00", "b"): 1}
+
+
+def test_min_doc_count_validation(spark):
+    df = spark.createDataFrame([(1.0, "2024-01-01 00:00:00")],
+                               "v double, ts string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # zero-fill needs the histogram innermost (terms inner here, so
+    # the explode check cannot mask the innermost one)
+    with pytest.raises(ValueError, match="innermost"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "min_doc_count": 0, "customLabel": "h"}},
+            {"id": "2", "type": "terms", "schema": "bucket",
+             "params": {"field": "v", "size": 5, "order": "asc",
+                        "orderBy": "_term", "customLabel": "g"}},
+        ])).evaluate(df, auto_interval_buckets=None)
+    # a row-exploding bucket below inflates the level count
+    with pytest.raises(ValueError, match="exploding"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "min_doc_count": 2, "customLabel": "h"}},
+            {"id": "2", "type": "range", "schema": "bucket",
+             "params": {"field": "v",
+                        "ranges": [{"from": 0, "to": 100}],
+                        "customLabel": "r"}},
+        ])).evaluate(df, auto_interval_buckets=None)
+    with pytest.raises(ValueError, match=">= 0"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "min_doc_count": -1}},
+        ])["visState"])
+
+
+def test_extended_bounds_widen_fill(spark):
+    """Round 12: extended_bounds + min_doc_count=0 — the fill grid
+    covers the union of the populated span and the interval-floored
+    bounds, exactly ES's chart-range pinning."""
+    df = spark.createDataFrame(
+        [("2024-01-01 02:30:00", 5.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base_ms = 1704067200000  # 2024-01-01T00:00:00Z epoch millis
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 0, "customLabel": "h",
+                    "extended_bounds": {"min": base_ms + 3_600_000,
+                                        "max": base_ms + 4 * 3_600_000}}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {str(r["h"]): r["n"] for r in out.collect()}
+    # buckets 01..04 (bounds) ∪ 02 (populated): 01,02,03,04
+    assert len(got) == 4
+    assert got["2024-01-01 02:00:00"] == 1
+    assert got["2024-01-01 01:00:00"] == 0
+    assert got["2024-01-01 04:00:00"] == 0
+    # numeric histogram: bounds floor to bucket ordinals
+    aggs_n = [
+        {"id": "1", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 2.0, "min_doc_count": 0,
+                    "customLabel": "b",
+                    "extended_bounds": {"min": 0, "max": 9}}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out_n = compile_visualization(_vis8(aggs_n)).evaluate(df)
+    got_n = {r["b"]: r["n"] for r in out_n.collect()}
+    # v=5 -> bucket 4; bounds 0..9 -> ordinals 0..4 -> keys 0,2,4,6,8
+    assert got_n == {0.0: 0, 2.0: 0, 4.0: 1, 6.0: 0, 8.0: 0}
+    # without zero-fill the param is inert -> loud error
+    with pytest.raises(ValueError, match="extended_bounds"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "extended_bounds": {"min": 0, "max": 1}}},
+        ])["visState"])
