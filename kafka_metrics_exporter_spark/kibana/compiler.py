@@ -193,8 +193,20 @@ class RareTermsBucket:
 
 @dataclass(frozen=True)
 class MetricAgg:
-    op: str  # avg | max | sum | cardinality
+    op: str  # avg | min | max | sum | cardinality | count | value_count
     field: str
+    label: str
+
+
+@dataclass(frozen=True)
+class WeightedAvgAgg:
+    """ES ``weighted_avg`` (round 12): sum(value·weight) / sum(weight)
+    over the docs carrying BOTH fields (ES skips a doc missing either
+    one unless a ``missing`` default is configured — the defaults are
+    not modelled; absent fields drop the doc, loudly documented)."""
+
+    value_field: str
+    weight_field: str
     label: str
 
 
@@ -517,7 +529,8 @@ class BucketSortAgg:
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket)
-Metric = MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg | StatsAgg
+Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
+          | StatsAgg | WeightedAvgAgg)
 
 
 @dataclass(frozen=True)
@@ -865,11 +878,36 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 PercentilesAgg(field=p["field"], percents=(50.0,), label=label)
             )
-        elif a["type"] in ("avg", "min", "max", "sum", "cardinality", "count"):
+        elif a["type"] in (
+            "avg", "min", "max", "sum", "cardinality", "count", "value_count"
+        ):
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(f"kibana: {a['type']} cannot be a bucket agg")
+            if a["type"] == "value_count" and not p.get("field"):
+                raise ValueError("kibana: value_count needs a field")
             metrics.append(
                 MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
+            )
+        elif a["type"] == "weighted_avg":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: weighted_avg cannot be a bucket agg")
+            try:
+                vf = p["value"]["field"]
+                wf = p["weight"]["field"]
+            except (KeyError, TypeError):
+                raise ValueError(
+                    "kibana: weighted_avg needs value.field and "
+                    "weight.field"
+                ) from None
+            if "missing" in p.get("value", {}) or "missing" in p.get(
+                "weight", {}
+            ):
+                raise ValueError(
+                    "kibana: weighted_avg missing-defaults are not "
+                    "modelled — docs lacking either field drop"
+                )
+            metrics.append(
+                WeightedAvgAgg(value_field=vf, weight_field=wf, label=label)
             )
         elif a["type"] == "top_hits":
             th_size = int(p.get("size", 1))
@@ -1608,9 +1646,29 @@ class KibanaPlan:
                     e.alias(n) for e, n in zip(exprs, names)
                 )
                 continue
+            if isinstance(m, WeightedAvgAgg):
+                v = resolve(m.value_field).cast("double")
+                w = resolve(m.weight_field).cast("double")
+                both = v.isNotNull() & w.isNotNull()
+                wsum = F.sum(F.when(both, w))
+                agg_exprs.append(
+                    # ANSI guard: an all-missing bucket has weight-sum
+                    # null/0 — ES emits null there, never a div error
+                    F.when(
+                        wsum > 0,
+                        F.sum(F.when(both, v * w)) / wsum,
+                    ).alias(m.label)
+                )
+                continue
             if isinstance(m, MetricAgg):
                 if m.op == "count":
                     agg_exprs.append(F.count(F.lit(1)).alias(m.label))
+                    continue
+                if m.op == "value_count":
+                    # ES value_count: non-null field VALUES, not docs
+                    agg_exprs.append(
+                        F.count(resolve(m.field)).alias(m.label)
+                    )
                     continue
                 val = resolve(m.field)
                 fn = {

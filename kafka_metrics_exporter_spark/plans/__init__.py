@@ -93,6 +93,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # branches over a sparse hourly subset with real gaps.  Already an
     # r10→r12 promotion, so the CHANGED declaration costs no slot.
     "kibana_date_histogram",
+    # r12.5: ES value_count (non-null field values) + weighted_avg
+    # (sum(v·w)/sum(w), fail-null on zero weight) — the registry row
+    # gains both columns.  Already an r10→r12 promotion: no slot cost.
+    "kibana_median",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
@@ -197,7 +201,6 @@ WINDOW_PRIORITY = [
     "promql_vector_matching",
     "promql_vector_math",
     # Kibana surface
-    "kibana_median",
     "kibana_serial_stats",
     "kibana_significant_terms",
 ]

@@ -365,7 +365,13 @@ def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(value_i, 0.5), 4) AS med_p50,
            round(quantile_cont(value, 0.25), 4) AS pct_p25,
            round(quantile_cont(value, 0.75), 4) AS pct_p75,
-           round(quantile_cont(value, 0.95), 4) AS pct_p95
+           round(quantile_cont(value, 0.95), 4) AS pct_p95,
+           -- round 12: value_count (non-null field values) and
+           -- weighted_avg (integral value x integral weight products
+           -- sum exactly -> bit-identical ratio)
+           CAST(COUNT(user_id) AS BIGINT) AS n_users,
+           SUM(value_i * CAST(user_id AS DOUBLE))
+             / SUM(CAST(user_id AS DOUBLE)) AS wavg_v
     FROM d GROUP BY event_type
     """,
 )
@@ -376,7 +382,12 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine computes exact interpolated percentiles in ONE
     F.percentile array pass per agg (matching DuckDB quantile_cont);
     ES itself would t-digest — the approx_percentile swap is the
-    documented 100 TB path, same plan shape (a11/a11b pattern)."""
+    documented 100 TB path, same plan shape (a11/a11b pattern).
+    Round 12 adds ES ``value_count`` (non-null field values — here the
+    user_id, so it differs from doc count only via nulls, which the
+    unit test pins) and ``weighted_avg`` (sum(v·w)/sum(w), value_i
+    weighted by the numeric user_id — integral products sum exactly,
+    so the ratio is bit-identical across engines)."""
     plan = compile_visualization(
         _vis(
             [
@@ -389,6 +400,13 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": "3", "type": "percentiles", "schema": "metric",
                  "params": {"field": "value", "percents": [25, 75, 95],
                              "customLabel": "pct"}},
+                {"id": "4", "type": "value_count", "schema": "metric",
+                 "params": {"field": "user_id.keyword",
+                             "customLabel": "n_users"}},
+                {"id": "5", "type": "weighted_avg", "schema": "metric",
+                 "params": {"value": {"field": "value_i"},
+                             "weight": {"field": "user_id.keyword"},
+                             "customLabel": "wavg_v"}},
             ]
         )
     )
@@ -399,6 +417,8 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pct_p25"), 4).alias("pct_p25"),
         F.round(F.col("pct_p75"), 4).alias("pct_p75"),
         F.round(F.col("pct_p95"), 4).alias("pct_p95"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("wavg_v").cast("double").alias("wavg_v"),
     )
 
 

@@ -2593,3 +2593,48 @@ def test_extended_bounds_widen_fill(spark):
              "params": {"field": "ts", "customInterval": "1h",
                         "extended_bounds": {"min": 0, "max": 1}}},
         ])["visState"])
+
+
+def test_value_count_and_weighted_avg(spark):
+    """Round 12: ES value_count counts non-null field VALUES (not
+    docs); weighted_avg = sum(v*w)/sum(w) over docs carrying BOTH
+    fields, null when no doc qualifies (never a divide error)."""
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("a", None, 5.0),
+         ("a", 7.0, None), ("b", None, 2.0)],
+        "g string, v double, w double",
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "value_count", "schema": "metric",
+         "params": {"field": "v", "customLabel": "nv"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "nd"}},
+        {"id": "4", "type": "weighted_avg", "schema": "metric",
+         "params": {"value": {"field": "v"}, "weight": {"field": "w"},
+                    "customLabel": "wavg"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    got = {r["g"]: (r["nv"], r["nd"], r["wavg"]) for r in out.collect()}
+    # a: 3 non-null v of 4 docs; weighted pairs (10,1),(20,3) -> 70/4
+    assert got["a"] == (3, 4, pytest.approx(17.5))
+    # b: no doc carries both fields -> null, not a division error
+    assert got["b"] == (0, 1, None)
+    with pytest.raises(ValueError, match="value_count needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "value_count", "schema": "metric",
+             "params": {}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="weighted_avg needs"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "weighted_avg", "schema": "metric",
+             "params": {"value": {"field": "v"}}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="missing-defaults"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "weighted_avg", "schema": "metric",
+             "params": {"value": {"field": "v", "missing": 0},
+                        "weight": {"field": "w"}}},
+        ])["visState"])
