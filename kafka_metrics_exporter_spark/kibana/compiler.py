@@ -199,6 +199,21 @@ class MetricAgg:
 
 
 @dataclass(frozen=True)
+class MadAgg:
+    """ES ``median_absolute_deviation`` (round 12): median(|v −
+    median(v)|) per bucket.  ES computes both medians on a TDigest;
+    this engine is exact interpolated percentiles — the same
+    documented exact-vs-approx stance as median/percentiles (DuckDB's
+    ``mad()`` replays it exactly).  Two grouped percentile passes over
+    the SAME bucket keys (the second reuses the first shuffle's
+    partitioning) + a bucket-keyed join-back — never doc-sized state
+    per group."""
+
+    field: str
+    label: str
+
+
+@dataclass(frozen=True)
 class WeightedAvgAgg:
     """ES ``weighted_avg`` (round 12): sum(value·weight) / sum(weight)
     over the docs carrying BOTH fields (ES skips a doc missing either
@@ -530,7 +545,7 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
-          | StatsAgg | WeightedAvgAgg)
+          | StatsAgg | WeightedAvgAgg | MadAgg)
 
 
 @dataclass(frozen=True)
@@ -888,6 +903,17 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
             )
+        elif a["type"] == "median_absolute_deviation":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: median_absolute_deviation cannot be a "
+                    "bucket agg"
+                )
+            if not p.get("field"):
+                raise ValueError(
+                    "kibana: median_absolute_deviation needs a field"
+                )
+            metrics.append(MadAgg(field=p["field"], label=label))
         elif a["type"] == "weighted_avg":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError("kibana: weighted_avg cannot be a bucket agg")
@@ -1600,6 +1626,7 @@ class KibanaPlan:
         metrics = s.metrics or (MetricAgg(op="count", field="", label="count"),)
         agg_exprs = []
         multi_hits: list[TopHitsAgg] = []
+        mad_aggs: list[MadAgg] = []
         for m in metrics:
             if isinstance(m, PercentilesAgg):
                 # one exact interpolated percentile sketch per agg; the
@@ -1645,6 +1672,11 @@ class KibanaPlan:
                 agg_exprs.extend(
                     e.alias(n) for e, n in zip(exprs, names)
                 )
+                continue
+            if isinstance(m, MadAgg):
+                # needs the per-bucket median FIRST — two grouped
+                # passes joined back after the main hash agg (below)
+                mad_aggs.append(m)
                 continue
             if isinstance(m, WeightedAvgAgg):
                 v = resolve(m.value_field).cast("double")
@@ -1811,6 +1843,35 @@ class KibanaPlan:
                 out = out.join(per, key_names, "left")
             else:
                 out = out.crossJoin(F.broadcast(per))
+        # median_absolute_deviation (round 12): pass 1 computes each
+        # bucket's median, pass 2 the median of absolute deviations —
+        # both grouped on the SAME keys (the second groupBy reuses the
+        # first shuffle's partitioning; the median join-back is
+        # bucket-table-sized) — then a bucket-keyed join onto the main
+        # frame.  A bucketless panel folds to one row via global aggs
+        # + one-row broadcasts.
+        for m in mad_aggs:
+            v = resolve(m.field).cast("double")
+            if key_names:
+                med = df.groupBy(*[F.col(k) for k in key_names]).agg(
+                    F.percentile(v, F.lit(0.5)).alias("__med")
+                )
+                dev = df.join(med, key_names)
+                madf = dev.groupBy(*[F.col(k) for k in key_names]).agg(
+                    F.percentile(
+                        F.abs(v - F.col("__med")), F.lit(0.5)
+                    ).alias(m.label)
+                )
+                out = out.join(madf, key_names, "left")
+            else:
+                med = df.agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+                dev = df.crossJoin(F.broadcast(med))
+                madf = dev.agg(
+                    F.percentile(
+                        F.abs(v - F.col("__med")), F.lit(0.5)
+                    ).alias(m.label)
+                )
+                out = out.crossJoin(F.broadcast(madf))
         if "__th_docs" in out.columns:
             out = out.drop("__th_docs")
         for m in metrics:

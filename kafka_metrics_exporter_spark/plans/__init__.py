@@ -94,8 +94,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # r10→r12 promotion, so the CHANGED declaration costs no slot.
     "kibana_date_histogram",
     # r12.5: ES value_count (non-null field values) + weighted_avg
-    # (sum(v·w)/sum(w), fail-null on zero weight) — the registry row
-    # gains both columns.  Already an r10→r12 promotion: no slot cost.
+    # (sum(v·w)/sum(w), fail-null on zero weight) +
+    # median_absolute_deviation (two exact grouped percentile passes;
+    # DuckDB mad() twin) — the registry row gains all three columns.
+    # Already an r10→r12 promotion: no slot cost.
     "kibana_median",
 ]
 

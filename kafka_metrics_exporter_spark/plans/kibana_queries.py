@@ -371,7 +371,8 @@ def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- sum exactly -> bit-identical ratio)
            CAST(COUNT(user_id) AS BIGINT) AS n_users,
            SUM(value_i * CAST(user_id AS DOUBLE))
-             / SUM(CAST(user_id AS DOUBLE)) AS wavg_v
+             / SUM(CAST(user_id AS DOUBLE)) AS wavg_v,
+           CAST(mad(value_i) AS DOUBLE) AS mad_v
     FROM d GROUP BY event_type
     """,
 )
@@ -387,7 +388,10 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, so it differs from doc count only via nulls, which the
     unit test pins) and ``weighted_avg`` (sum(v·w)/sum(w), value_i
     weighted by the numeric user_id — integral products sum exactly,
-    so the ratio is bit-identical across engines)."""
+    so the ratio is bit-identical across engines) and
+    ``median_absolute_deviation`` (median(|v − median|), two exact
+    grouped percentile passes on the same keys; DuckDB's mad() is the
+    literal twin — ES itself t-digests both medians)."""
     plan = compile_visualization(
         _vis(
             [
@@ -407,6 +411,9 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "params": {"value": {"field": "value_i"},
                              "weight": {"field": "user_id.keyword"},
                              "customLabel": "wavg_v"}},
+                {"id": "6", "type": "median_absolute_deviation",
+                 "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "mad_v"}},
             ]
         )
     )
@@ -419,6 +426,7 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pct_p95"), 4).alias("pct_p95"),
         F.col("n_users").cast("long").alias("n_users"),
         F.col("wavg_v").cast("double").alias("wavg_v"),
+        F.col("mad_v").cast("double").alias("mad_v"),
     )
 
 

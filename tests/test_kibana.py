@@ -2638,3 +2638,37 @@ def test_value_count_and_weighted_avg(spark):
              "params": {"value": {"field": "v", "missing": 0},
                         "weight": {"field": "w"}}},
         ])["visState"])
+
+
+def test_median_absolute_deviation(spark):
+    """Round 12: ES median_absolute_deviation = median(|v - median|),
+    exact interpolated percentiles here (ES t-digests — the documented
+    exact-vs-approx stance).  [1,2,4,9]: median 3, deviations
+    [2,1,1,6] -> MAD 1.5."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 9.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "median_absolute_deviation", "schema": "metric",
+         "params": {"field": "v", "customLabel": "mad"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    got = {r["g"]: (r["mad"], r["n"]) for r in out.collect()}
+    assert got["a"] == (1.5, 4)
+    assert got["b"] == (0.0, 1)  # single value: MAD 0
+    # bucketless: one row, global MAD
+    out2 = compile_visualization(_vis8([aggs[1]])).evaluate(df)
+    rows = out2.collect()
+    # all values [1,2,4,5,9]: median 4, deviations [3,2,0,1,5] -> 2
+    assert len(rows) == 1 and rows[0]["mad"] == 2.0
+    with pytest.raises(ValueError, match="needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "median_absolute_deviation",
+             "schema": "metric", "params": {}},
+        ])["visState"])
