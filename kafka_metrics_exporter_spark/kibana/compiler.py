@@ -199,6 +199,19 @@ class MetricAgg:
 
 
 @dataclass(frozen=True)
+class BoxplotAgg:
+    """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
+    aggregation pass (exact interpolated quartiles where ES t-digests
+    — the documented exact-vs-approx stance)."""
+
+    field: str
+    label: str
+
+    def column_names(self) -> list[str]:
+        return [f"{self.label}_{k}" for k in ("min", "q1", "q2", "q3", "max")]
+
+
+@dataclass(frozen=True)
 class MadAgg:
     """ES ``median_absolute_deviation`` (round 12): median(|v −
     median(v)|) per bucket.  ES computes both medians on a TDigest;
@@ -545,7 +558,7 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
-          | StatsAgg | WeightedAvgAgg | MadAgg)
+          | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg)
 
 
 @dataclass(frozen=True)
@@ -903,6 +916,12 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
             )
+        elif a["type"] == "boxplot":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: boxplot cannot be a bucket agg")
+            if not p.get("field"):
+                raise ValueError("kibana: boxplot needs a field")
+            metrics.append(BoxplotAgg(field=p["field"], label=label))
         elif a["type"] == "median_absolute_deviation":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(
@@ -1673,6 +1692,17 @@ class KibanaPlan:
                     e.alias(n) for e, n in zip(exprs, names)
                 )
                 continue
+            if isinstance(m, BoxplotAgg):
+                v = resolve(m.field).cast("double")
+                names = m.column_names()
+                agg_exprs.append(F.min(v).alias(names[0]))
+                agg_exprs.append(
+                    F.percentile(
+                        v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                    ).alias(f"__bp_{m.label}")
+                )
+                agg_exprs.append(F.max(v).alias(names[4]))
+                continue
             if isinstance(m, MadAgg):
                 # needs the per-bucket median FIRST — two grouped
                 # passes joined back after the main hash agg (below)
@@ -1875,6 +1905,15 @@ class KibanaPlan:
         if "__th_docs" in out.columns:
             out = out.drop("__th_docs")
         for m in metrics:
+            if isinstance(m, BoxplotAgg):
+                names = m.column_names()
+                arr = F.col(f"__bp_{m.label}")
+                out = (
+                    out.withColumn(names[1], arr.getItem(0))
+                    .withColumn(names[2], arr.getItem(1))
+                    .withColumn(names[3], arr.getItem(2))
+                    .drop(f"__bp_{m.label}")
+                )
             if isinstance(m, StatsAgg) and m.extended:
                 # ES's DOCUMENTED definition: variance =
                 # sum_of_squares/count − mean² (population), std = √var
@@ -2302,7 +2341,7 @@ class KibanaPlan:
                     F.col(m.label).getItem(i).alias(name)
                     for i, name in enumerate(m.column_names())
                 )
-            elif isinstance(m, (StatsAgg, PercentileRanksAgg)):
+            elif isinstance(m, (StatsAgg, PercentileRanksAgg, BoxplotAgg)):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:
                 final_cols.append(F.col(m.label))

@@ -96,7 +96,8 @@ CHANGED_THIS_ROUND: list[str] = [
     # r12.5: ES value_count (non-null field values) + weighted_avg
     # (sum(v·w)/sum(w), fail-null on zero weight) +
     # median_absolute_deviation (two exact grouped percentile passes;
-    # DuckDB mad() twin) — the registry row gains all three columns.
+    # DuckDB mad() twin) + boxplot (min/q1/q2/q3/max, one pass) — the
+    # registry row gains all the new columns.
     # Already an r10→r12 promotion: no slot cost.
     "kibana_median",
 ]

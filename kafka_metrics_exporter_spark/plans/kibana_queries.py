@@ -372,7 +372,12 @@ def kibana_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(user_id) AS BIGINT) AS n_users,
            SUM(value_i * CAST(user_id AS DOUBLE))
              / SUM(CAST(user_id AS DOUBLE)) AS wavg_v,
-           CAST(mad(value_i) AS DOUBLE) AS mad_v
+           CAST(mad(value_i) AS DOUBLE) AS mad_v,
+           round(MIN(value), 4) AS bp_min,
+           round(quantile_cont(value, 0.25), 4) AS bp_q1,
+           round(quantile_cont(value, 0.5), 4) AS bp_q2,
+           round(quantile_cont(value, 0.75), 4) AS bp_q3,
+           round(MAX(value), 4) AS bp_max
     FROM d GROUP BY event_type
     """,
 )
@@ -391,7 +396,8 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the ratio is bit-identical across engines) and
     ``median_absolute_deviation`` (median(|v − median|), two exact
     grouped percentile passes on the same keys; DuckDB's mad() is the
-    literal twin — ES itself t-digests both medians)."""
+    literal twin — ES itself t-digests both medians) and ``boxplot``
+    (min/q1/q2/q3/max in the same single hash-agg pass)."""
     plan = compile_visualization(
         _vis(
             [
@@ -414,6 +420,8 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": "6", "type": "median_absolute_deviation",
                  "schema": "metric",
                  "params": {"field": "value_i", "customLabel": "mad_v"}},
+                {"id": "7", "type": "boxplot", "schema": "metric",
+                 "params": {"field": "value", "customLabel": "bp"}},
             ]
         )
     )
@@ -427,6 +435,11 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         F.col("wavg_v").cast("double").alias("wavg_v"),
         F.col("mad_v").cast("double").alias("mad_v"),
+        F.round(F.col("bp_min"), 4).alias("bp_min"),
+        F.round(F.col("bp_q1"), 4).alias("bp_q1"),
+        F.round(F.col("bp_q2"), 4).alias("bp_q2"),
+        F.round(F.col("bp_q3"), 4).alias("bp_q3"),
+        F.round(F.col("bp_max"), 4).alias("bp_max"),
     )
 
 

@@ -2672,3 +2672,31 @@ def test_median_absolute_deviation(spark):
             {"id": "1", "type": "median_absolute_deviation",
              "schema": "metric", "params": {}},
         ])["visState"])
+
+
+def test_boxplot(spark):
+    """Round 12: ES boxplot — min/q1/q2/q3/max in one aggregation
+    pass, exact interpolated quartiles (ES t-digests)."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", 10.0)],
+        "g string, v double",
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "boxplot", "schema": "metric",
+         "params": {"field": "v", "customLabel": "box"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    got = {r["g"]: (r["box_min"], r["box_q1"], r["box_q2"],
+                    r["box_q3"], r["box_max"]) for r in out.collect()}
+    assert got["a"] == (1.0, 2.0, 3.0, 4.0, 5.0)
+    assert got["b"] == (10.0, 10.0, 10.0, 10.0, 10.0)
+    assert out.columns == ["g", "box_min", "box_q1", "box_q2",
+                           "box_q3", "box_max"]
+    with pytest.raises(ValueError, match="boxplot needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "boxplot", "schema": "metric",
+             "params": {}},
+        ])["visState"])
