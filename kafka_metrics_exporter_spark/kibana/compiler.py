@@ -579,14 +579,18 @@ def _slug(s: str) -> str:
 
 def _bound_us(v) -> int:
     """extended_bounds endpoint → epoch micros: ES accepts epoch
-    MILLIS numbers or date strings; ISO strings parse here."""
+    MILLIS numbers or date strings; ISO strings parse here.  ES treats
+    tz-naive date strings as UTC (no per-request timezone here), so a
+    naive ``fromisoformat`` result is pinned to UTC before ``.timestamp()``
+    — mirroring ``_to_us`` — rather than inheriting the host's zone."""
     if isinstance(v, (int, float)):
         return int(v) * 1000
     import datetime as _dt
 
-    return int(
-        _dt.datetime.fromisoformat(str(v)).timestamp() * 1_000_000
-    )
+    parsed = _dt.datetime.fromisoformat(str(v))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    return int(parsed.timestamp() * 1_000_000)
 
 
 def _parse_interval_us(params: dict) -> tuple[int, bool]:
@@ -637,6 +641,32 @@ def auto_interval_us(span_us: int, target_buckets: int) -> int:
     return _AUTO_LADDER_US[-1]
 
 
+# The only metric ops the terms/multi_terms ranking loop (step 3 of
+# _evaluate) can order by — an ALLOWLIST, not a denylist: any other op
+# (top_hits, median, percentiles, stats, and the round-12 additions
+# value_count / weighted_avg / median_absolute_deviation / boxplot)
+# must fail here at parse time with a clean error, not a KeyError deep
+# in the ranking loop (ADVICE r12).
+_ORDERABLE_METRIC_OPS = ("count", "avg", "min", "max", "sum", "cardinality")
+
+
+def _order_metric_checked(
+    bucket_kind: str, order_by: str, op: str, field
+) -> tuple[str, str]:
+    if op not in _ORDERABLE_METRIC_OPS:
+        raise ValueError(
+            f"kibana: {bucket_kind} orderBy={order_by!r} must reference a "
+            f"simple metric agg ({'/'.join(_ORDERABLE_METRIC_OPS)}), "
+            f"got {op!r}"
+        )
+    if op != "count" and not field:
+        raise ValueError(
+            f"kibana: {bucket_kind} orderBy={order_by!r} metric {op!r} "
+            f"needs a field"
+        )
+    return (op, field)
+
+
 def parse_vis_state(vis_state: str | dict) -> VisState:
     """Parse a Kibana ``visState`` (JSON string or dict) into the agg
     AST.  Disabled aggs are skipped, bucket order is preserved (it
@@ -659,15 +689,20 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             order_metric = None
             if order_by == "custom":
                 oa = p.get("orderAgg", {})
-                order_metric = (oa.get("type", "avg"), oa.get("params", {}).get("field"))
+                order_metric = _order_metric_checked(
+                    "terms", order_by,
+                    oa.get("type", "avg"), oa.get("params", {}).get("field"),
+                )
             elif order_by != "_term":
                 tgt = by_id.get(order_by)
-                if tgt is None or tgt["type"] in ("top_hits", "median", "percentiles"):
+                if tgt is None:
                     raise ValueError(
                         f"kibana: terms orderBy={order_by!r} must reference a "
-                        f"simple metric agg (avg/min/max/sum/cardinality)"
+                        f"simple metric agg (count/avg/min/max/sum/cardinality)"
                     )
-                order_metric = (tgt["type"], tgt["params"].get("field"))
+                order_metric = _order_metric_checked(
+                    "terms", order_by, tgt["type"], tgt["params"].get("field")
+                )
             buckets.append(
                 TermsBucket(
                     field=p["field"],
@@ -811,20 +846,22 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 order_by = "_term"  # ranking loop: key path (joined)
             elif order_by == "custom":
                 oa = p.get("orderAgg", {})
-                order_metric = (
-                    oa.get("type", "avg"), oa.get("params", {}).get("field")
+                order_metric = _order_metric_checked(
+                    "multi_terms", order_by,
+                    oa.get("type", "avg"), oa.get("params", {}).get("field"),
                 )
             elif order_by != "_count":
                 tgt = by_id.get(order_by)
-                if tgt is None or tgt["type"] in (
-                    "top_hits", "median", "percentiles"
-                ):
+                if tgt is None:
                     raise ValueError(
                         f"kibana: multi_terms orderBy={order_by!r} must "
                         f"reference a simple metric agg "
-                        f"(avg/min/max/sum/cardinality)"
+                        f"(count/avg/min/max/sum/cardinality)"
                     )
-                order_metric = (tgt["type"], tgt["params"].get("field"))
+                order_metric = _order_metric_checked(
+                    "multi_terms", order_by,
+                    tgt["type"], tgt["params"].get("field"),
+                )
             buckets.append(
                 MultiTermsBucket(
                     fields=flds, size=int(p.get("size", 10)),
@@ -1486,6 +1523,32 @@ class KibanaPlan:
         # would corrupt the rare doc count if taken afterwards
         # (code-review 11.5)
         rare_src: dict[str, DataFrame] = {}
+        # (date_)histogram min_doc_count >= 2 counts the bucket's FULL
+        # own-level doc count in ES — including docs that later vanish
+        # from the flattened relation because an INNER terms/multi_terms
+        # size cut pruned their bucket tuple, an inner rare_terms
+        # long-tail filter removed it, or an inner null-key filter
+        # (terms / multi_terms / histogram) dropped the doc outright.
+        # The cheap path (window-sum of leaf counts at step 3c) is only
+        # exact when nothing below the histogram can drop rows; when
+        # something can, snapshot the doc frame AT the histogram's
+        # level — keys[:i+1] materialized, no inner filter applied yet —
+        # and step 3c counts that frame instead (ADVICE r12).
+        mdc_precut: set[str] = {
+            b.label
+            for i, b in enumerate(s.buckets)
+            if isinstance(b, (DateHistogramBucket, HistogramBucket))
+            and b.min_doc_count >= 2
+            and any(
+                isinstance(
+                    inner,
+                    (TermsBucket, MultiTermsBucket, RareTermsBucket,
+                     HistogramBucket),
+                )
+                for inner in s.buckets[i + 1:]
+            )
+        }
+        mdc_src: dict[str, DataFrame] = {}
         # auto mode resolves a date_histogram's interval at evaluate
         # time — the zero-fill grid (min_doc_count 0) must step by the
         # RESOLVED interval, captured here per bucket label
@@ -1638,6 +1701,8 @@ class KibanaPlan:
                 )
                 df = df.withColumn(b.label, F.explode(dmatches))
             key_names.append(b.label)
+            if b.label in mdc_precut:
+                mdc_src[b.label] = df
 
         # 2) one hash aggregation over the full bucket-key tuple.
         # A visualization with bucket aggs only carries Kibana's
@@ -2130,10 +2195,14 @@ class KibanaPlan:
             )
 
         # 3c) (date_)histogram min_doc_count (round 12).  >= 2: keep
-        # buckets whose OWN-LEVEL doc count (window-sum of leaf counts
-        # over the keys up to this bucket — exact: no exploding bucket
-        # sits below, validated at step 2) reaches the threshold, ES's
-        # filter applied before pipeline aggs see the frame.  == 0:
+        # buckets whose OWN-LEVEL doc count reaches the threshold,
+        # ES's filter applied before pipeline aggs see the frame.  The
+        # count is the window-sum of leaf counts over the keys up to
+        # this bucket when nothing below can drop rows (exact: no
+        # exploding bucket sits below, validated at step 2), else a
+        # pre-cut level count joined from the mdc_src snapshot
+        # (ADVICE r12: inner size cuts / null drops must not shrink
+        # the histogram's own doc count).  == 0:
         # ZERO-FILL the innermost histogram — per parent bucket,
         # generate the full key grid between the first and last
         # populated key (exactly ES's fill span without
@@ -2147,6 +2216,25 @@ class KibanaPlan:
             cnt_col = f"__mdc_{b.label}"
             if b.min_doc_count >= 2:
                 lvl_keys = key_names[: i + 1]
+                if b.label in mdc_src:
+                    # inner buckets can DROP rows (terms/multi_terms
+                    # size cut or null-key filter, rare_terms long
+                    # tail, histogram null drop) — the leaf window-sum
+                    # would undercount, so the level count comes from
+                    # the pre-cut snapshot taken at this bucket's
+                    # level (ADVICE r12).  Level-bucket-sized relation
+                    # joined on the level keys; like rare_terms, the
+                    # qualifying side is unbounded (a time axis), so
+                    # no forced broadcast — AQE picks the strategy.
+                    lvl = mdc_src[b.label].groupBy(
+                        *[F.col(k) for k in lvl_keys]
+                    ).agg(F.count(F.lit(1)).alias("__lvl"))
+                    out = (
+                        out.join(lvl, lvl_keys, "left")
+                        .filter(F.col("__lvl") >= b.min_doc_count)
+                        .drop("__lvl", cnt_col)
+                    )
+                    continue
                 lvl_cnt = (
                     F.col(cnt_col)
                     if lvl_keys == key_names
@@ -2225,7 +2313,9 @@ class KibanaPlan:
             zero_names: list[str] = []
             for m in metrics:
                 if isinstance(m, MetricAgg) and m.op in (
-                    "count", "cardinality", "sum"
+                    # count-family aggs: ES returns 0 (not null) on an
+                    # empty bucket — value_count included (ADVICE r12)
+                    "count", "cardinality", "sum", "value_count"
                 ):
                     zero_names.append(m.label)
                 elif isinstance(m, StatsAgg):

@@ -2700,3 +2700,186 @@ def test_boxplot(spark):
             {"id": "1", "type": "boxplot", "schema": "metric",
              "params": {}},
         ])["visState"])
+
+
+# ---------------------------------------------------------------- round 13:
+# ADVICE r12 fixes — pre-cut min_doc_count level counts, UTC
+# extended-bounds date strings, value_count zero-fill, orderBy
+# allowlist guard.
+
+
+def test_min_doc_count_precut_survives_inner_terms_cut(spark):
+    """ADVICE r12: a date_histogram(min_doc_count=2) above
+    terms(size=1) must filter by the histogram's FULL own-level doc
+    count — an inner size cut (or null-key drop) must not shrink it.
+    ES computes the histogram's doc_count before nested terms prune."""
+    rows = [
+        # hour 00: 2 docs across 2 terms — terms size=1 keeps only one
+        # term, but the HOUR has 2 docs and must survive
+        ("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "b"),
+        # hour 01: 2 docs, one with a NULL term key (dropped from the
+        # terms buckets but still counted by the histogram)
+        ("2024-01-01 01:10:00", "a"), ("2024-01-01 01:20:00", None),
+        # hour 02: 1 doc — genuinely below the threshold, drops
+        ("2024-01-01 02:10:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, g string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 2, "customLabel": "h"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 1, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {(str(r["h"]), r["g"]): r["n"] for r in out.collect()}
+    # hours 00 and 01 survive (full counts 2); terms size=1 then keeps
+    # the first term by key within each hour; hour 02 drops
+    assert got == {("2024-01-01 00:00:00", "a"): 1,
+                   ("2024-01-01 01:00:00", "a"): 1}
+
+
+def test_min_doc_count_precut_survives_inner_rare_terms(spark):
+    """Same pre-cut rule for a rare_terms long-tail filter below the
+    histogram: a common term's docs leave the flattened relation but
+    still count toward the histogram's own doc count."""
+    rows = (
+        [("2024-01-01 00:%02d:00" % i, "common") for i in range(5)]
+        + [("2024-01-01 00:55:00", "rare")]
+        + [("2024-01-01 01:30:00", "common2"),
+           ("2024-01-01 01:40:00", "common2")]
+    )
+    df = spark.createDataFrame(rows, "ts string, g string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 3, "customLabel": "h"}},
+        {"id": "2", "type": "rare_terms", "schema": "bucket",
+         "params": {"field": "g", "max_doc_count": 1,
+                    "customLabel": "g"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {(str(r["h"]), r["g"]): r["n"] for r in out.collect()}
+    # hour 00 has 6 docs (>= 3) so it survives; within it only the
+    # rare term remains.  hour 01 has 2 docs (< 3): dropped even
+    # though nothing inside it was cut.
+    assert got == {("2024-01-01 00:00:00", "rare"): 1}
+
+
+def test_min_doc_count_window_sum_path_still_used_when_exact(spark):
+    """The cheap window-sum path must remain for histogram-only
+    nests (nothing below can drop rows) — pinned by plan shape: no
+    extra join on the level keys."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00",), ("2024-01-01 00:20:00",),
+         ("2024-01-01 01:10:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 2, "customLabel": "h"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    assert [(str(r["h"]), r["n"]) for r in out.collect()] == [
+        ("2024-01-01 00:00:00", 2)
+    ]
+    # one aggregation, no level-count join in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_extended_bounds_date_string_is_utc(monkeypatch):
+    """ADVICE r12: a tz-naive ISO date string in extended_bounds is
+    UTC (like ES and _to_us), never the host's local timezone."""
+    import time as _time
+
+    from kafka_metrics_exporter_spark.kibana.compiler import _bound_us
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    _time.tzset()
+    try:
+        assert _bound_us("2024-01-01T00:00:00") == 1704067200_000_000
+        # explicit offsets are honored as given
+        assert _bound_us("2024-01-01T00:00:00+01:00") == (
+            1704067200_000_000 - 3600_000_000
+        )
+        # epoch millis pass through
+        assert _bound_us(1704067200000) == 1704067200_000_000
+    finally:
+        monkeypatch.setenv("TZ", "UTC")
+        _time.tzset()
+
+
+def test_value_count_zero_filled_in_empty_buckets(spark):
+    """ADVICE r12: value_count is a count-family agg — ES returns 0,
+    not null, for an empty zero-filled bucket."""
+    rows = [("2024-01-01 00:05:00", 1.0),
+            ("2024-01-01 02:05:00", None),  # hour 1 empty; null value
+            ]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    aggs = [
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 0, "customLabel": "h"}},
+        {"id": "2", "type": "value_count", "schema": "metric",
+         "params": {"field": "v", "customLabel": "vc"}},
+        {"id": "3", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "mean"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {str(r["h"]): (r["vc"], r["mean"]) for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == (1, 1.0)
+    assert got["2024-01-01 01:00:00"] == (0, None)   # filled: vc 0
+    assert got["2024-01-01 02:00:00"] == (0, None)   # null value: vc 0
+
+
+def test_order_by_guard_is_an_allowlist():
+    """ADVICE r12: terms/multi_terms orderBy referencing a
+    non-orderable metric (boxplot, weighted_avg, value_count, ...)
+    fails at parse time with a clean ValueError — never a KeyError in
+    the ranking loop — and a custom orderAgg missing its field fails
+    the same way."""
+    box = {"id": "9", "type": "boxplot", "schema": "metric",
+           "params": {"field": "v", "customLabel": "box"}}
+    for bucket_type, extra in (("terms", {"field": "g"}),
+                               ("multi_terms", {"fields": ["g", "h"]})):
+        with pytest.raises(ValueError, match="simple metric agg"):
+            parse_vis_state(_vis8([
+                {"id": "1", "type": bucket_type, "schema": "bucket",
+                 "params": {**extra, "size": 3, "orderBy": "9"}},
+                box,
+            ])["visState"])
+        with pytest.raises(ValueError, match="simple metric agg"):
+            parse_vis_state(_vis8([
+                {"id": "1", "type": bucket_type, "schema": "bucket",
+                 "params": {**extra, "size": 3, "orderBy": "custom",
+                            "orderAgg": {"type": "weighted_avg",
+                                         "params": {"field": "v"}}}},
+            ])["visState"])
+        with pytest.raises(ValueError, match="needs a field"):
+            parse_vis_state(_vis8([
+                {"id": "1", "type": bucket_type, "schema": "bucket",
+                 "params": {**extra, "size": 3, "orderBy": "custom",
+                            "orderAgg": {"type": "avg", "params": {}}}},
+            ])["visState"])
