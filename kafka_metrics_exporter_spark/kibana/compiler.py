@@ -146,6 +146,12 @@ class DateHistogramBucket:
     # semantics, ~50 target buckets); auto_interval_buckets=None
     # restores the legacy customInterval pin.
     auto: bool = False
+    # ES ``auto_date_histogram`` (round 13): pick the interval from
+    # ES's OWN rounding ladder so the populated span yields at most
+    # this many buckets (ES default 10).  Orthogonal to Kibana's
+    # auto-interval (different ladder, data-span-driven, no override
+    # from evaluate()); None = a plain date_histogram.
+    auto_buckets: "int | None" = None
 
 
 @dataclass(frozen=True)
@@ -189,6 +195,65 @@ class RareTermsBucket:
     field: str
     max_doc_count: int
     label: str
+
+
+@dataclass(frozen=True)
+class FilterBucket:
+    """ES single ``filter`` agg (round 13): one named bucket holding
+    the documents that match a query_string — the narrowing wrapper ES
+    users put around sub-aggs.  The flattened relation keeps a constant
+    key column (the bucket's name) so the output shape matches every
+    other bucket level; docs not matching drop (ES: they are simply
+    outside the bucket)."""
+
+    query: str
+    label: str
+
+
+@dataclass(frozen=True)
+class MissingBucket:
+    """ES ``missing`` bucket agg (round 13): the single bucket of
+    documents that LACK the field — the complement of every
+    field-keyed bucket's null-drop.  Constant key column like
+    :class:`FilterBucket`."""
+
+    field: str
+    label: str
+
+
+@dataclass(frozen=True)
+class RateAgg:
+    """ES ``rate`` metric agg (round 13): per-``unit`` rate of a sum
+    (``mode="sum"``), of the number of field values
+    (``mode="value_count"``), or of documents (no field) inside each
+    date_histogram bucket: ``bucket_value * unit / bucket_interval``.
+    Valid only nested under a (auto_)date_histogram, like ES; the
+    interval is the innermost date_histogram's RESOLVED interval, so
+    auto mode scales correctly.  Count-family: zero-fills to 0."""
+
+    field: str  # "" = doc-count rate
+    unit_us: int
+    mode: str  # "sum" | "value_count"
+    label: str
+
+
+@dataclass(frozen=True)
+class TopMetricsAgg:
+    """ES ``top_metrics`` (round 13): the metric field values of the
+    top ``size`` documents by ``sort_field`` — what Kibana's "last
+    value" reads.  size 1 rides the main hash aggregation as
+    max_by/min_by per field (one scalar column ``label_field`` each);
+    size > 1 ranks with the same deterministic-tiebreak window as
+    top_hits and emits one ARRAY column per field, sort-ordered."""
+
+    fields: tuple[str, ...]
+    sort_field: str
+    sort_order: str  # 'desc' | 'asc'
+    label: str
+    size: int = 1
+
+    def column_names(self) -> list[str]:
+        return [f"{self.label}_{_slug(f)}" for f in self.fields]
 
 
 @dataclass(frozen=True)
@@ -556,9 +621,11 @@ class BucketSortAgg:
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
-          | CompositeBucket | MultiTermsBucket | RareTermsBucket)
+          | CompositeBucket | MultiTermsBucket | RareTermsBucket
+          | FilterBucket | MissingBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
-          | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg)
+          | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg
+          | RateAgg | TopMetricsAgg)
 
 
 @dataclass(frozen=True)
@@ -639,6 +706,53 @@ def auto_interval_us(span_us: int, target_buckets: int) -> int:
         if span_us <= iv * target_buckets:
             return iv
     return _AUTO_LADDER_US[-1]
+
+
+# ES auto_date_histogram's rounding ladder (AutoDateHistogramAggregation
+# Builder.buildRoundings): unit × innerIntervals, FIXED units only —
+# the calendar roundings (months, years) cannot be expressed as epoch
+# arithmetic, so a span that needs them raises instead of silently
+# bucketing wrong (same stance as the Kibana auto ladder above).
+_ES_AUTO_LADDER_US = [
+    n * u
+    for u, inners in (
+        (1_000_000, (1, 5, 10, 30)),             # seconds
+        (60_000_000, (1, 5, 10, 30)),            # minutes
+        (3_600_000_000, (1, 3, 12)),             # hours
+        (86_400_000_000, (1, 7)),                # days (7d = ES "week")
+    )
+    for n in inners
+]
+
+
+# ES rate-agg units (fixed-length only: month/quarter/year are
+# calendar units — rejected at parse, same stance as the ladders).
+_RATE_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def es_auto_date_interval_us(span_us: int, target_buckets: int) -> int:
+    """ES ``auto_date_histogram`` interval choice: the smallest ladder
+    interval whose bucket count over the populated span stays within
+    ``target_buckets``.  ES counts buckets inclusively (first and last
+    populated keys both get one), hence the ``+ 1``."""
+    if target_buckets < 1:
+        raise ValueError(
+            "kibana: auto_date_histogram needs buckets >= 1"
+        )
+    for iv in _ES_AUTO_LADDER_US:
+        if span_us // iv + 1 <= target_buckets:
+            return iv
+    raise ValueError(
+        "kibana: auto_date_histogram span needs calendar intervals "
+        "(months/years), which fixed-interval epoch bucketing cannot "
+        "express — raise 'buckets' or use a date_histogram"
+    )
 
 
 # The only metric ops the terms/multi_terms ranking loop (step 3 of
@@ -907,6 +1021,104 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     )
             buckets.append(
                 FiltersBucket(filters=flt, label=label, other_key=other_key)
+            )
+        elif a["type"] == "filter":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: filter must be a bucket agg")
+            q = p.get("query")
+            if q is None and isinstance(p.get("filter"), dict):
+                # ES-request shape: {"filter": {"query_string": {...}}}
+                # / Kibana's {"filter": {"query": ..., "language": ..}}
+                q = p["filter"].get("query")
+            if not isinstance(q, str) or not q.strip():
+                raise ValueError("kibana: filter agg needs a query string")
+            buckets.append(FilterBucket(query=q, label=label))
+        elif a["type"] == "missing":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: missing must be a bucket agg")
+            if not p.get("field"):
+                raise ValueError("kibana: missing agg needs a field")
+            buckets.append(MissingBucket(field=p["field"], label=label))
+        elif a["type"] == "auto_date_histogram":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: auto_date_histogram must be a bucket agg"
+                )
+            nb = int(p.get("buckets", 10))
+            if nb < 1:
+                raise ValueError(
+                    "kibana: auto_date_histogram buckets must be >= 1"
+                )
+            buckets.append(
+                DateHistogramBucket(
+                    field=p["field"],
+                    interval_us=_INTERVAL_UNITS_US["h"],  # pre-resolve stub
+                    label=label,
+                    auto_buckets=nb,
+                )
+            )
+        elif a["type"] == "rate":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: rate cannot be a bucket agg")
+            unit = str(p.get("unit", "")) or None
+            if unit is not None and unit not in _RATE_UNIT_US:
+                raise ValueError(
+                    f"kibana: rate unit must be one of "
+                    f"{sorted(_RATE_UNIT_US)}, got {unit!r}"
+                )
+            mode = str(p.get("mode", "sum"))
+            if mode not in ("sum", "value_count"):
+                raise ValueError(
+                    "kibana: rate mode must be sum|value_count"
+                )
+            if mode == "value_count" and not p.get("field"):
+                raise ValueError(
+                    "kibana: rate mode=value_count needs a field"
+                )
+            metrics.append(
+                RateAgg(
+                    field=p.get("field", "") or "",
+                    # unit omitted: ES rates per the histogram's own
+                    # interval — factor 1, marked with unit_us=0
+                    unit_us=_RATE_UNIT_US[unit] if unit else 0,
+                    mode=mode,
+                    label=label,
+                )
+            )
+        elif a["type"] == "top_metrics":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: top_metrics cannot be a bucket agg")
+            raw_fields = p.get("fields") or (
+                [p["field"]] if p.get("field") else []
+            )
+            if isinstance(raw_fields, (str, dict)):
+                raw_fields = [raw_fields]
+            flds2 = tuple(
+                f["field"] if isinstance(f, dict) else str(f)
+                for f in raw_fields
+            )
+            if not flds2:
+                raise ValueError("kibana: top_metrics needs metric fields")
+            tm_size = int(p.get("size", 1))
+            if not 1 <= tm_size <= 100:
+                # ES caps top_metrics size at 10 by default (index
+                # setting raises it); keep a hard sanity bound
+                raise ValueError(
+                    "kibana: top_metrics size must be in [1, 100]"
+                )
+            sort_p = p.get("sort")
+            if isinstance(sort_p, dict):
+                (tm_sf, tm_so), = sort_p.items()
+            else:
+                tm_sf = p.get("sortField", "createdDateTime")
+                tm_so = p.get("sortOrder", "desc")
+            if tm_so not in ("asc", "desc"):
+                raise ValueError("kibana: top_metrics sort must be asc|desc")
+            metrics.append(
+                TopMetricsAgg(
+                    fields=flds2, sort_field=tm_sf, sort_order=tm_so,
+                    label=label, size=tm_size,
+                )
             )
         elif a["type"] == "percentiles":
             if schema in _BUCKET_SCHEMAS:
@@ -1543,12 +1755,33 @@ class KibanaPlan:
                 isinstance(
                     inner,
                     (TermsBucket, MultiTermsBucket, RareTermsBucket,
-                     HistogramBucket),
+                     HistogramBucket, FilterBucket, MissingBucket),
                 )
                 for inner in s.buckets[i + 1:]
             )
         }
         mdc_src: dict[str, DataFrame] = {}
+        # filter/missing buckets DROP docs from the flattened relation;
+        # a terms/multi_terms ABOVE them ordered by doc count or a
+        # metric would then rank on the narrowed set, while ES ranks on
+        # the terms bucket's own (pre-sub-agg) doc count — reject the
+        # combination loudly rather than rank differently (round 13;
+        # key-ordered terms are unaffected: the key is drop-invariant)
+        for bi, bb in enumerate(s.buckets):
+            if isinstance(bb, TermsBucket) and bb.order_by == "_term":
+                continue
+            if isinstance(bb, MultiTermsBucket) and bb.order_by == "_term":
+                continue
+            if isinstance(bb, (TermsBucket, MultiTermsBucket)) and any(
+                isinstance(inner, (FilterBucket, MissingBucket))
+                for inner in s.buckets[bi + 1:]
+            ):
+                raise ValueError(
+                    f"kibana: a filter/missing bucket below the "
+                    f"count/metric-ordered terms bucket {bb.label!r} "
+                    f"would distort its ranking doc counts — order by "
+                    f"_key or move the filter above it"
+                )
         # auto mode resolves a date_histogram's interval at evaluate
         # time — the zero-fill grid (min_doc_count 0) must step by the
         # RESOLVED interval, captured here per bucket label
@@ -1571,7 +1804,19 @@ class KibanaPlan:
                 # can't express "2h"); pmod keeps it exact integer math
                 us = F.unix_micros(resolve(b.field).cast("timestamp"))
                 interval_us = b.interval_us
-                if b.auto and auto_interval_buckets is not None:
+                if b.auto_buckets is not None:
+                    # ES auto_date_histogram: the interval comes from
+                    # the POPULATED span via ES's own rounding ladder
+                    # (one 1-row min/max aggregation, the same probe
+                    # shape as Kibana auto mode below)
+                    row = df.agg(
+                        F.min(us).alias("lo"), F.max(us).alias("hi")
+                    ).first()
+                    span = max(0, (row["hi"] or 0) - (row["lo"] or 0))
+                    interval_us = es_auto_date_interval_us(
+                        span, b.auto_buckets
+                    )
+                elif b.auto and auto_interval_buckets is not None:
                     # real ES auto-interval semantics (the DEFAULT
                     # since round 7 — the corpus's six date_histograms
                     # all say interval:"auto", which real Kibana
@@ -1618,6 +1863,16 @@ class KibanaPlan:
                     keep = keep & prt.isNotNull()
                 df = df.filter(keep).withColumn(
                     b.label, F.concat_ws("|", *parts)
+                )
+            elif isinstance(b, FilterBucket):
+                df = df.filter(
+                    _query_string_pred(
+                        b.query, resolve, df, default_search_field
+                    )
+                ).withColumn(b.label, F.lit(b.label))
+            elif isinstance(b, MissingBucket):
+                df = df.filter(resolve(b.field).isNull()).withColumn(
+                    b.label, F.lit(b.label)
                 )
             elif isinstance(b, RareTermsBucket):
                 v = resolve(b.field).cast("string")
@@ -1710,6 +1965,7 @@ class KibanaPlan:
         metrics = s.metrics or (MetricAgg(op="count", field="", label="count"),)
         agg_exprs = []
         multi_hits: list[TopHitsAgg] = []
+        multi_tms: list[TopMetricsAgg] = []
         mad_aggs: list[MadAgg] = []
         for m in metrics:
             if isinstance(m, PercentilesAgg):
@@ -1785,6 +2041,49 @@ class KibanaPlan:
                         wsum > 0,
                         F.sum(F.when(both, v * w)) / wsum,
                     ).alias(m.label)
+                )
+                continue
+            if isinstance(m, RateAgg):
+                # rate = bucket value · unit / interval, against the
+                # INNERMOST (auto_)date_histogram's resolved interval
+                # (ES: rate must sit under a date_histogram)
+                dhs = [
+                    bb for bb in s.buckets
+                    if isinstance(bb, DateHistogramBucket)
+                ]
+                if not dhs:
+                    raise ValueError(
+                        "kibana: rate agg requires an enclosing "
+                        "(auto_)date_histogram bucket"
+                    )
+                iv_us = resolved_interval_us[dhs[-1].label]
+                factor = (m.unit_us / iv_us) if m.unit_us else 1.0
+                if not m.field:
+                    base = F.count(F.lit(1)).cast("double")
+                elif m.mode == "value_count":
+                    base = F.count(resolve(m.field)).cast("double")
+                else:
+                    # sum-family: an all-null bucket rates 0, like ES
+                    base = F.coalesce(
+                        F.sum(resolve(m.field).cast("double")), F.lit(0.0)
+                    )
+                agg_exprs.append((base * F.lit(factor)).alias(m.label))
+                continue
+            if isinstance(m, TopMetricsAgg):
+                if m.size > 1:
+                    # ranked + joined after the main hash agg (below,
+                    # sharing the top_hits window shape)
+                    multi_tms.append(m)
+                    continue
+                sort_col = resolve(m.sort_field)
+                order = F.struct(
+                    sort_col.alias("s"),
+                    *([resolve(tiebreak).alias("t")] if tiebreak else []),
+                )
+                pick = F.max_by if m.sort_order == "desc" else F.min_by
+                agg_exprs.extend(
+                    pick(resolve(f_), order).alias(n_)
+                    for f_, n_ in zip(m.fields, m.column_names())
                 )
                 continue
             if isinstance(m, MetricAgg):
@@ -1934,6 +2233,56 @@ class KibanaPlan:
             per = ranked.groupBy(*[F.col(k) for k in key_names]).agg(
                 fold.alias(m.label)
             )
+            if key_names:
+                out = out.join(per, key_names, "left")
+            else:
+                out = out.crossJoin(F.broadcast(per))
+        # top_metrics with size > 1 (round 13): the same
+        # deterministic-tiebreak rank window as top_hits, but instead
+        # of folding, each metric field becomes a sort-ordered ARRAY
+        # of the top-N documents' values — exactly the `top` list ES
+        # returns.  Join-back is bucket-keyed; <= size rows contribute
+        # per bucket.
+        for m in multi_tms:
+            sort_col = resolve(m.sort_field)
+            d = (lambda c: c.desc()) if m.sort_order == "desc" else (
+                lambda c: c.asc()
+            )
+            order_cols = [
+                d(sort_col),
+                *([d(resolve(tiebreak))] if tiebreak else []),
+            ]
+            if key_names:
+                tmw = Window.partitionBy(
+                    *[F.col(k) for k in key_names]
+                ).orderBy(*order_cols)
+                ranked = df.withColumn("__rn", F.row_number().over(tmw))
+                ranked = ranked.filter(F.col("__rn") <= m.size)
+            else:
+                ranked = (
+                    df.orderBy(*order_cols)
+                    .limit(m.size)
+                    # <= size rows by construction: bounded window
+                    .withColumn(
+                        "__rn",
+                        F.row_number().over(Window.orderBy(*order_cols)),
+                    )
+                )
+            folds = [
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__rn").alias("r"),
+                                resolve(f_).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda h: h["v"],
+                ).alias(n_)
+                for f_, n_ in zip(m.fields, m.column_names())
+            ]
+            per = ranked.groupBy(*[F.col(k) for k in key_names]).agg(*folds)
             if key_names:
                 out = out.join(per, key_names, "left")
             else:
@@ -2318,6 +2667,9 @@ class KibanaPlan:
                     "count", "cardinality", "sum", "value_count"
                 ):
                     zero_names.append(m.label)
+                elif isinstance(m, RateAgg):
+                    # count/sum-family: an empty bucket rates 0 (ES)
+                    zero_names.append(m.label)
                 elif isinstance(m, StatsAgg):
                     cn = m.column_names()
                     zero_names += [cn[0], cn[4]] + (
@@ -2431,7 +2783,9 @@ class KibanaPlan:
                     F.col(m.label).getItem(i).alias(name)
                     for i, name in enumerate(m.column_names())
                 )
-            elif isinstance(m, (StatsAgg, PercentileRanksAgg, BoxplotAgg)):
+            elif isinstance(
+                m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg)
+            ):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:
                 final_cols.append(F.col(m.label))

@@ -30,182 +30,199 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
-# Explicit first-window ordering for ROUND 12.
+# Explicit first-window ordering for ROUND 13.
 #
-# The r11 gate RAN (CORRECTNESS_r11.json: 50/50 green), so the rotation
-# executes as the r11 verdict ordered (items 1-2):
-#   - of the 48 queries whose latest driver row is r10 (two gate-runs
+# The r12 gate RAN (CORRECTNESS_r12.json: 50/50 green), so the rotation
+# executes as the r12 verdict ordered (items 1-2):
+#   - of the 47 queries whose latest driver row is r11 (two gate-runs
 #     old, enumerated by test_rotation_promotes_stale_rows as
-#     r10-minus-r11), 40 PROMOTE into the window and 8 demote into
+#     r11-minus-r12), 26 PROMOTE into the window and 21 demote into
 #     STALE_OUT_OF_WINDOW, each with an in-window sibling pinning the
 #     same machinery (justifications below);
-#   - the 8 freed slots + the 2 natural free slots (50 - 48) go to the
-#     round-12 registration (1 new), the 4 semantic changes (one of
-#     them, kibana_top_hits_latest, itself an r6-debt promotion — the
-#     oldest rows in the ledger at 5 gate-runs), and 5 more r6-debt
-#     promotions (a8_having, promql_histogram_quantile,
-#     promql_topk_rate, multimodal_resize, pipe_decontaminate) —
-#     burning 6 of the 19 r6-latest rows (VERDICT r11 item 2).
+#   - the freed slots burn the ENTIRE r6/r7 staleness debt: all 13
+#     r6-latest and all 8 r7-latest rows promote, leaving the 8
+#     r9-latest rows (plus last round's r10 demotions) as the only
+#     ledger debt — "no row older than r9-latest", VERDICT r12 item 2.
+#   - 2 new registrations (the round-13 ES vocabulary tier) and 1
+#     semantic change (kibana_date_histogram, carrying the ADVICE r12
+#     min_doc_count fix) claim the remaining 3 slots.
 #
-# Out-of-window debt after this rotation: the 50 r11-verified (1 run
-# old), the 8 demoted r10 rows, 13 remaining r6-latest, 8 r7-latest
-# and 8 r9-latest — every one re-attested this round via
-# tools/check_oracle.py at sf0.1 (see BASELINE.md round-12 addendum)
-# and carrying a per-session pytest oracle replay at sf0.001 plus a
-# GOLDEN.json hash pin.
+# Slot arithmetic: 21 debt + 2 new + 1 changed + 26 promotions = 50.
+# Out-of-window debt after this rotation: the 50 r12-verified (1 run
+# old), the 21 demoted r11 rows (2 runs), last round's 8 r10
+# demotions (3 runs) and 8 r9-latest rows (4 runs) — debt(>=3 runs)
+# = 16 < 25, and every out-of-window row is re-attested this round via
+# tools/check_oracle.py at sf0.01 AND sf0.1 (BASELINE.md round-13
+# addendum), replayed against its DuckDB oracle at sf0.001 by
+# tests/test_queries_oracle.py every session, and hash-pinned by the
+# round-13 FULL GOLDEN re-record.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.
 NEW_THIS_ROUND: list[str] = [
-    # instant-mode extrapolated rate (VERDICT r11 item 6): the opt-in
-    # extrapolatedRate kernel at SAMPLE instants, closing the last
-    # documented PromQL batch-mode divergence
-    "promql_rate_instant",
+    # round-13 ES bucket-vocabulary tier: single `filter` agg,
+    # `missing` bucket, auto_date_histogram (ES's own rounding ladder)
+    "kibana_filter_missing_auto",
+    # round-13 ES metric-vocabulary tier: `rate` agg under a
+    # date_histogram (sum/value_count/doc-count modes, resolved-
+    # interval scaling) and `top_metrics` (size 1 scalar + size 2
+    # sort-ordered array)
+    "kibana_rate_top_metrics",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r12: info()'s fail-closed conflict check folded into the single
-    # catalog-sized job that materializes the broadcast join side
-    # (VERDICT r11 What's-wrong #3) — same results, new plan shape
-    "promql_info_join",
-    # r12: METRIC-ordered multi_terms (orderBy a sub-agg / custom
-    # orderAgg / _key, VERDICT r11 item 4) — the registry row gains a
-    # sum-ordered size-4 branch
-    "kibana_rare_multi_terms",
-    # r12: schema-3 native histograms hash-attested (VERDICT r11 item
-    # 5) — the registry row evaluates all six functions over BOTH a
-    # schema-0 and a schema-3 sketch (documented float stance in
-    # _nh_sql)
-    "promql_native_histogram",
-    # r12: top_hits size > 1 (VERDICT r11 item 7) — row_number()<=size
-    # rank + aggregate fold; the registry row gains avg-of-top-3 and
-    # concat-of-top-2 metrics.  Also an r6-debt promotion (latest
-    # driver row r6, 5 gate-runs old)
-    "kibana_top_hits_latest",
-    # r12.5: ES min_doc_count on (date_)histogram buckets (0 =
-    # zero-fill the innermost histogram's empty buckets, ES's agg
-    # default; >= 2 = own-level count filter) and the terms `missing`
-    # param + null-key drop — the registry row gains fill/mdc2
-    # branches over a sparse hourly subset with real gaps.  Already an
-    # r10→r12 promotion, so the CHANGED declaration costs no slot.
+    # r13 (ADVICE r12): min_doc_count >= 2 above row-dropping inner
+    # buckets now counts a PRE-CUT level snapshot (groupBy + join)
+    # instead of the post-size-cut leaf window-sum — this row's mdc2
+    # branch (terms below the histogram) compiles to the new plan
+    # shape; value_count joined the zero-fill family and
+    # extended_bounds date strings pinned to UTC in the same change.
     "kibana_date_histogram",
-    # r12.5: ES value_count (non-null field values) + weighted_avg
-    # (sum(v·w)/sum(w), fail-null on zero weight) +
-    # median_absolute_deviation (two exact grouped percentile passes;
-    # DuckDB mad() twin) + boxplot (min/q1/q2/q3/max, one pass) — the
-    # registry row gains all the new columns.
-    # Already an r10→r12 promotion: no slot cost.
-    "kibana_median",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r10-latest queries the 50-slot arithmetic cannot fit once the
-# round-12 registration + changes + the r6-debt promotions claimed
-# their slots (48 r10-latest candidates + 6 r6-debt promotions + 1 new
-# + 4 changed — one changed row is itself an r6-debt promotion — = 58
-# candidates for 50 slots → 8 demotions).  Selection: code untouched
-# since their green r10 row AND an in-window sibling exercising the
-# same machinery; every one is replayed against its DuckDB oracle at
-# sf0.001 by tests/test_queries_oracle.py EVERY session, re-attested
-# at sf0.1 via tools/check_oracle.py this round, and hash-pinned by
-# the round-12 GOLDEN re-record.
+# r11-latest queries the 50-slot arithmetic cannot fit once the full
+# r6/r7 debt burn-down (21 rows, VERDICT r12 item 2 "no row older
+# than r9-latest") + 2 new + 1 changed claimed their slots (47
+# r11-latest candidates + 21 debt + 3 = 71 candidates for 50 slots →
+# 21 demotions).  Selection: code untouched since their green r11 row
+# AND an in-window sibling exercising the same machinery; every one is
+# replayed against its DuckDB oracle at sf0.001 by
+# tests/test_queries_oracle.py EVERY session, re-attested at sf0.01
+# and sf0.1 via tools/check_oracle.py this round, and hash-pinned by
+# the round-13 FULL GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # same histogram_quantile bucket-walk kernel pinned in-window by
-    # promql_histogram_quantile (the r6-debt promotion it trades for);
-    # grid machinery pinned by promql_rate_extrapolated +
-    # promql_subquery (both in-window)
-    "promql_histogram_quantile_grid",
-    # same topk-of-rate composite: the sample-instant twin
-    # promql_topk_rate is promoted (r6 debt); the grid extrapolation
-    # kernel is pinned by promql_rate_extrapolated (in-window) and the
-    # per-instant ranking by w3_topk_per_group (in-window)
-    "promql_topk_rate_grid",
-    # same Arrow mapInPandas decode plumbing pinned by
-    # multimodal_resize (the r6-debt promotion it trades for) and
-    # multimodal_audio machinery verified r11
-    "multimodal_channel_stats",
-    # agg-of-agg machinery pinned in-window by a9_topk_of_avg (the
-    # other direction) and the rank cut by w3_topk_per_group — demoted
-    # for a8_having (r6-debt promotion)
-    "a9b_sum_of_topk",
-    # connected-components machinery pinned by dedup_components
-    # (in-window); the star variant's code is untouched since its
-    # green r10 row — demoted for pipe_decontaminate (r6 debt)
-    "dedup_components_star",
-    # set-op join machinery pinned by o6_semi_join (in-window);
-    # multiset except is its inverse join — demoted for
-    # promql_rate_instant (new)
-    "o7_except_all",
-    # window-agg family pinned by w1_tumbling_window + w8_frame_specs
-    # (both in-window) — demoted for the promql_native_histogram
-    # CHANGED slot
-    "w7b_sliding_window",
-    # vector-binop join machinery pinned by promql_vector_matching +
-    # promql_vector_math (both in-window); the comparison filter is a
-    # compiled-expression variant pinned by test_promql — demoted for
-    # the promql_info_join CHANGED slot
-    "promql_vector_compare",
+    # IVF coarse-cell pruning + deterministic md5-residue training
+    # pinned by embed_ivfpq_topk (in-window, the IVF+PQ composite)
+    "embed_ivf_topk",
+    # scalar/binary quantization kernel pinned by embed_binary_topk
+    # (in-window: sign-bit signatures + Hamming heaps)
+    "embed_quantize",
+    # hyperplane sign-bit signatures pinned by embed_binary_topk and
+    # the LSH band→bucket-join machinery by dedup_minhash_components
+    # (both in-window)
+    "embed_near_dup_lsh",
+    # decontamination gate machinery (broadcast benchmark side +
+    # n-gram overlap) pinned by pipe_bloom_decontaminate (in-window
+    # r6-debt promotion)
+    "pipe_fuzzy_decontaminate",
+    # chunking/packing window machinery pinned by pipe_pack_chunks
+    # (in-window r6-debt promotion)
+    "pipe_sliding_chunks",
+    # deterministic hash-ordered sampling pinned by
+    # pipe_stratified_sample (in-window r6-debt promotion)
+    "pipe_weighted_sample",
+    # deterministic md5-order machinery pinned by
+    # pipe_stratified_sample + pipe_corpus_build's deterministic
+    # split (both in-window)
+    "pipe_global_shuffle",
+    # per-stratum deterministic sampling (domain mixing IS stratified
+    # sampling by domain weight) pinned by pipe_stratified_sample
+    "pipe_domain_mix",
+    # quality-scoring scan-local column algebra pinned by
+    # text_quality_gate (in-window r6-debt promotion)
+    "text_gopher_quality",
+    # n-gram tokenization machinery pinned by text_tfidf_topk
+    # (in-window r6-debt promotion)
+    "text_repetition",
+    # scan-local text column algebra pinned by text_metrics +
+    # text_tfidf_topk (both in-window debt promotions)
+    "text_langid",
+    # Arrow mapInPandas decode plumbing pinned by multimodal_frames
+    # (in-window r6-debt promotion)
+    "multimodal_audio",
+    # same mapInPandas plumbing pinned by multimodal_frames
+    "multimodal_features",
+    # same-level pipeline reduction loop (step-4 request-order
+    # batching) + sibling aggs pinned by kibana_pipeline (in-window);
+    # bucket_sort semantics pinned by pytest
+    "kibana_sibling_sort",
+    # same step-4 reduction loop pinned by kibana_pipeline; the
+    # bucket_script kernel is property-tested against a python eval
+    # every session
+    "kibana_bucket_script",
+    # exact grouped-percentile kernel pinned by promql_quantile_agg
+    # (in-window r6-debt promotion)
+    "a11_percentile",
+    # label-matched series binop join machinery pinned by
+    # promql_set_ops (in-window r7-debt promotion)
+    "qtj_series_arith",
+    # anti join = promql_set_ops' `unless` leg (in-window)
+    "o3_anti_join",
+    # intersect = promql_set_ops' `and` leg (in-window)
+    "o5_intersect",
+    # explicit broadcast-hash lookup join pinned by
+    # pipe_bloom_decontaminate's broadcast benchmark side (in-window)
+    "j2_broadcast_lookup",
+    # range-window fold kernel (deriv/predict_linear share the
+    # over_time fold family) pinned by promql_resets_changes
+    # (in-window r6-debt promotion)
+    "promql_deriv_predict",
 ]
 
 WINDOW_PRIORITY = [
-    # -- round-12 registration + semantic changes claim slots here -------
+    # -- round-13 registration + semantic change claim slots here --------
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r6 (5 gate-runs old): oldest-debt rows (5) --
-    "a8_having",
-    "promql_histogram_quantile",
-    "promql_topk_rate",
-    "multimodal_resize",
-    "pipe_decontaminate",
-    # -- latest driver row is r10 (2 gate-runs old): the 40 promotions ----
-    # aggregations / windows / joins
-    "a1_a4_grouped_metrics",
-    "a5_approx_count_distinct",
-    "a6_latest_value",
-    "a9_topk_of_avg",
-    "a11b_approx_percentile",
-    "a12_rollup",
-    "j6_asof_join",
-    "o6_semi_join",
-    "w1_tumbling_window",
-    "w2_rate",
-    "w3_topk_per_group",
-    "w4_latest_per_user",
-    "w8_frame_specs",
-    "w9_regex_label_rate_sum",
-    "p2_normalize_pipeline",
-    "p_scalar_pack",
+    # -- latest driver row is r6 (5 gate-runs old): full burn-down (13) --
+    "embed_cluster_dedup",
+    "kibana_terms_metrics",
+    "multimodal_frames",
+    "pipe_bloom_decontaminate",
+    "pipe_corpus_build",
+    "pipe_pack_chunks",
+    "pipe_stratified_sample",
+    "promql_quantile_agg",
+    "promql_resets_changes",
+    "text_quality_gate",
+    "text_redact",
+    "text_tfidf_topk",
+    "text_token_rarity",
+    # -- latest driver row is r7 (4 gate-runs old): full burn-down (8) ---
+    "a10_sum_without",
+    "a5_count_distinct",
+    "promql_calendar",
+    "promql_round_scalar",
+    "promql_set_ops",
+    "promql_trig_group",
+    "text_metrics",
+    "w10_topk_rate_nonempty",
+    # -- latest driver row is r11 (2 gate-runs old): the 26 promotions ---
+    # joins / relational / scale
+    "j1_cross_join",
+    "j5_explode_parent_child",
+    "j7_range_join",
+    "p1_objectname_pivot",
+    "scale_salted_agg",
+    "w7_session_window",
+    "w11_rollup_cascade",
+    "w12_window_time_cascade",
     # dedup / embedding family
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_passage",
-    "dedup_simhash",
-    "dedup_substring",
-    "embed_cosine_topk",
-    "embed_near_dup_cosine",
-    "embed_pq_topk",
-    # text + streaming
-    "text_corpus_report",
-    "streaming_session_replay",
-    "streaming_state_replay",
+    "dedup_minhash_components",
+    "dedup_url",
+    "embed_binary_topk",
+    "embed_decontaminate",
+    "embed_ivfpq_topk",
+    "pipe_dsir_resample",
     # PromQL surface
-    "promql_count_values",
-    "promql_holt_winters",
-    "promql_quantile_last_over_time",
-    "promql_rate_extrapolated",
-    "promql_subquery",
-    "promql_vector_matching",
-    "promql_vector_math",
+    "promql_at_offset",
+    "promql_label_functions",
+    "promql_limit_sample",
+    "promql_over_time_pack",
+    "promql_rules_group",
+    "rules_rewrite",
+    "openmetrics_roundtrip",
+    "streaming_alerts_replay",
     # Kibana surface
-    "kibana_serial_stats",
-    "kibana_significant_terms",
+    "kibana_composite",
+    "kibana_histogram_stats",
+    "kibana_pipeline",
+    "kibana_query_string",
 ]
 
 

@@ -1258,3 +1258,230 @@ def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = plan.evaluate(docs)
     return out.select("qs", "n_docs", F.col("sum_chars").cast("long").alias("sum_chars"))
+
+
+# ES auto_date_histogram ladder as SQL — imported from the compiler so
+# the oracle can never drift from the engine's ladder (same pattern as
+# _LADDER_CASE above).  Mirrors es_auto_date_interval_us(span, 40):
+# the smallest rounding whose INCLUSIVE bucket count fits.
+from kafka_metrics_exporter_spark.kibana.compiler import (  # noqa: E402
+    _ES_AUTO_LADDER_US,
+)
+
+_ES_LADDER_CASE_40 = (
+    "CASE "
+    + " ".join(
+        f"WHEN sp // {iv} + 1 <= 40 THEN {iv}"
+        for iv in _ES_AUTO_LADDER_US
+    )
+    + " END"
+)
+
+
+@query(
+    "kibana_filter_missing_auto",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    flt AS (
+      SELECT 'filter' AS branch, 'big' AS key,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
+      FROM d WHERE value_i > 200
+      HAVING COUNT(*) > 0
+    ),
+    dm AS (
+      SELECT CASE WHEN CAST(user_id AS BIGINT) % 3 = 0 THEN NULL
+                  ELSE event_type END AS opt_src, value_i
+      FROM d
+    ),
+    miss AS (
+      SELECT 'missing' AS branch, 'nosrc' AS key,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
+      FROM dm WHERE opt_src IS NULL
+      HAVING COUNT(*) > 0
+    ),
+    span AS (
+      SELECT MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS sp FROM d
+    ),
+    iv AS (SELECT {_ES_LADDER_CASE_40} AS iv FROM span),
+    auto AS (
+      SELECT 'auto' AS branch,
+             strftime(make_timestamp((epoch_us(d.ts) // i.iv) * i.iv),
+                      '%Y-%m-%d %H:%M:%S') AS key,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
+      FROM d, iv i GROUP BY 2
+    )
+    SELECT * FROM flt UNION ALL SELECT * FROM miss
+    UNION ALL SELECT * FROM auto
+    """,
+)
+def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 bucket-vocabulary tier: the ES single ``filter`` agg
+    (one named bucket of query-matching docs — the narrowing wrapper
+    around sub-aggs), the ``missing`` bucket (docs LACKING a field,
+    the complement of the terms null-drop), and ``auto_date_histogram``
+    (ES picks the interval from its OWN rounding ladder so the
+    populated span fits ``buckets`` inclusively — distinct from
+    Kibana's auto-interval ladder).  One branch each over the events
+    documents; the oracle re-derives the interval from the same span
+    with the same imported ladder.
+
+    Scale: filter/missing are scan-local predicates fused into the
+    single hash aggregation (no extra shuffle); auto interval needs
+    one 1-row min/max probe — identical cost shape to the corpus's
+    auto-interval date_histograms."""
+    docs = _es_docs(spark, sf_dir)
+    flt = compile_visualization(_vis([
+        {"id": "1", "type": "filter", "schema": "bucket",
+         "params": {"query": "value_i:>200", "customLabel": "big"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    flt = flt.select(
+        F.lit("filter").alias("branch"), F.col("big").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+    # `missing` needs a field with real gaps: derive one (docs of every
+    # third user lack it) — deterministic in both engines
+    dm = docs.withColumn(
+        "opt_src",
+        F.when(
+            F.col("user_id").cast("long") % 3 == 0,
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("event_type")),
+    )
+    miss = compile_visualization(_vis([
+        {"id": "1", "type": "missing", "schema": "bucket",
+         "params": {"field": "opt_src", "customLabel": "nosrc"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(dm)
+    miss = miss.select(
+        F.lit("missing").alias("branch"), F.col("nosrc").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+    auto = compile_visualization(_vis([
+        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "buckets": 40, "customLabel": "when"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    auto = auto.select(
+        F.lit("auto").alias("branch"),
+        F.date_format("when", _TS_FMT).alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return flt.unionByName(miss).unionByName(auto)
+
+
+@query(
+    "kibana_rate_top_metrics",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    db AS (
+      SELECT make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS day, value_i
+      FROM d
+    ),
+    rates AS (
+      -- rate factors chosen exact-in-binary: week/day = 7, day/day =
+      -- 1, unit-omitted = 1 (rates per the histogram's own interval)
+      SELECT 'rate' AS branch, strftime(day, '%Y-%m-%d %H:%M:%S') AS key,
+             SUM(value_i) * 7.0 AS sum_rate,
+             CAST(COUNT(*) AS DOUBLE) AS doc_rate,
+             CAST(COUNT(value_i) AS DOUBLE) AS vc_rate,
+             CAST(NULL AS VARCHAR) AS last_v,
+             CAST(NULL AS VARCHAR) AS top2
+      FROM db GROUP BY day
+    ),
+    ranked AS (
+      SELECT event_type, value_i, row_number() OVER (
+        PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM d
+    ),
+    tm AS (
+      SELECT 'top_metrics' AS branch, event_type AS key,
+             CAST(NULL AS DOUBLE) AS sum_rate,
+             CAST(NULL AS DOUBLE) AS doc_rate,
+             CAST(NULL AS DOUBLE) AS vc_rate,
+             CAST(CAST(MAX(CASE WHEN rn = 1 THEN value_i END) AS BIGINT)
+                  AS VARCHAR) AS last_v,
+             string_agg(CAST(CAST(value_i AS BIGINT) AS VARCHAR), ','
+                        ORDER BY rn) AS top2
+      FROM ranked WHERE rn <= 2 GROUP BY event_type
+    )
+    SELECT * FROM rates UNION ALL SELECT * FROM tm
+    """,
+)
+def kibana_rate_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 metric-vocabulary tier: the ES ``rate`` agg (per-unit
+    rate of a sum / value count / doc count inside each date_histogram
+    bucket, scaled by unit/interval against the histogram's RESOLVED
+    interval) and ``top_metrics`` (the metric field values of the
+    top-N docs by sort — size 1 rides the main aggregation as
+    max_by/min_by, size 2 emits a sort-ordered array, rendered here as
+    a ','-join for the SQL twin).  Rate units are chosen so every
+    factor is exact in binary (week/day = 7, day/day = 1), keeping the
+    hashes bit-identical.
+
+    Scale: rate is pure column algebra on the existing hash
+    aggregation; top_metrics size>1 is the top_hits bounded rank
+    window (row_number <= size per bucket) — no global sort, join-back
+    bucket-keyed."""
+    docs = _es_docs(spark, sf_dir)
+    rates = compile_visualization(_vis([
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1d",
+                    "customLabel": "day"}},
+        {"id": "2", "type": "rate", "schema": "metric",
+         "params": {"field": "value_i", "unit": "week",
+                    "customLabel": "sum_rate"}},
+        {"id": "3", "type": "rate", "schema": "metric",
+         "params": {"unit": "day", "customLabel": "doc_rate"}},
+        {"id": "4", "type": "rate", "schema": "metric",
+         "params": {"field": "value_i", "mode": "value_count",
+                    "customLabel": "vc_rate"}},
+    ])).evaluate(docs, auto_interval_buckets=None)
+    rates = rates.select(
+        F.lit("rate").alias("branch"),
+        F.date_format("day", _TS_FMT).alias("key"),
+        F.col("sum_rate").cast("double").alias("sum_rate"),
+        F.col("doc_rate").cast("double").alias("doc_rate"),
+        F.col("vc_rate").cast("double").alias("vc_rate"),
+        F.lit(None).cast("string").alias("last_v"),
+        F.lit(None).cast("string").alias("top2"),
+    )
+    tm = compile_visualization(_vis([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "etype"}},
+        {"id": "2", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["value_i"], "sortField": "ts",
+                    "sortOrder": "desc", "customLabel": "last"}},
+        {"id": "3", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["value_i"], "sortField": "ts",
+                    "sortOrder": "desc", "size": 2,
+                    "customLabel": "top"}},
+    ])).evaluate(docs, tiebreak="event_id")
+    tm = tm.select(
+        F.lit("top_metrics").alias("branch"),
+        F.col("etype").alias("key"),
+        F.lit(None).cast("double").alias("sum_rate"),
+        F.lit(None).cast("double").alias("doc_rate"),
+        F.lit(None).cast("double").alias("vc_rate"),
+        F.col("last_value_i").cast("string").alias("last_v"),
+        F.concat_ws(
+            ",", F.transform(F.col("top_value_i"),
+                             lambda v: v.cast("string"))
+        ).alias("top2"),
+    )
+    return rates.unionByName(tm)

@@ -2883,3 +2883,234 @@ def test_order_by_guard_is_an_allowlist():
                  "params": {**extra, "size": 3, "orderBy": "custom",
                             "orderAgg": {"type": "avg", "params": {}}}},
             ])["visState"])
+
+
+# ---------------------------------------------------------------- round 13:
+# new ES vocabulary tier — single filter bucket, missing bucket,
+# auto_date_histogram, rate agg, top_metrics.
+
+
+@pytest.fixture(scope="module")
+def vocab_df(spark):
+    rows = [
+        ("2024-01-01 00:05:00", "a", 10.0, "web"),
+        ("2024-01-01 00:25:00", "a", 20.0, None),
+        ("2024-01-01 01:05:00", "b", 30.0, "db"),
+        ("2024-01-01 02:05:00", "b", None, "db"),
+    ]
+    return spark.createDataFrame(
+        rows, "ts string, g string, v double, src string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_filter_bucket(vocab_df):
+    """ES single `filter` agg: one named bucket of query-matching
+    docs; the flattened relation keys it with a constant label
+    column.  Accepts both the flat `query` param and the ES-request
+    {"filter": {"query": ...}} shape."""
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "filter", "schema": "bucket",
+         "params": {"query": "g:a", "customLabel": "fa"}},
+        {"id": "2", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "s"}},
+    ])).evaluate(vocab_df)
+    assert [(r["fa"], r["s"]) for r in out.collect()] == [("fa", 30.0)]
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "filter", "schema": "bucket",
+         "params": {"filter": {"query": "v:>15", "language": "lucene"},
+                    "customLabel": "big"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(vocab_df)
+    assert [(r["big"], r["n"]) for r in out2.collect()] == [("big", 2)]
+    with pytest.raises(ValueError, match="query string"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "filter", "schema": "bucket", "params": {}},
+        ])["visState"])
+
+
+def test_missing_bucket(vocab_df):
+    """ES `missing` bucket: docs LACKING the field — the complement
+    of the terms null-drop — under an outer terms bucket too."""
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "missing", "schema": "bucket",
+         "params": {"field": "src", "customLabel": "nosrc"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(vocab_df)
+    assert [(r["nosrc"], r["n"]) for r in out.collect()] == [("nosrc", 1)]
+    # nested under a KEY-ordered terms bucket (count-ordered rejects)
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "missing", "schema": "bucket",
+         "params": {"field": "src", "customLabel": "nosrc"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(vocab_df)
+    assert [(r["g"], r["n"]) for r in out2.collect()] == [("a", 1)]
+    with pytest.raises(ValueError, match="needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "missing", "schema": "bucket", "params": {}},
+        ])["visState"])
+
+
+def test_filter_below_count_ordered_terms_rejected(vocab_df):
+    """A filter/missing bucket below a count- or metric-ordered terms
+    bucket would distort the ranking doc counts vs ES — loud error."""
+    with pytest.raises(ValueError, match="distort its ranking"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "g", "size": 5, "orderBy": "2",
+                        "customLabel": "g"}},
+            {"id": "3", "type": "filter", "schema": "bucket",
+             "params": {"query": "g:a", "customLabel": "f"}},
+            {"id": "2", "type": "sum", "schema": "metric",
+             "params": {"field": "v", "customLabel": "s"}},
+        ])).evaluate(vocab_df)
+
+
+def test_auto_date_histogram(vocab_df):
+    """ES auto_date_histogram picks from ES's OWN rounding ladder so
+    the populated span fits the target bucket count (inclusive)."""
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "buckets": 3, "customLabel": "h"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(vocab_df)
+    # span 2h / buckets 3 -> 1h intervals (3 buckets, inclusive)
+    assert sorted((str(r["h"]), r["n"]) for r in out.collect()) == [
+        ("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 02:00:00", 1),
+    ]
+    # buckets=2 cannot fit 1h (3 buckets); next ladder step = 3h
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "buckets": 2, "customLabel": "h"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(vocab_df)
+    assert sorted((str(r["h"]), r["n"]) for r in out2.collect()) == [
+        ("2024-01-01 00:00:00", 4),
+    ]
+
+
+def test_es_auto_ladder_function():
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        es_auto_date_interval_us,
+    )
+    hour = 3_600_000_000
+    assert es_auto_date_interval_us(2 * hour, 3) == hour
+    assert es_auto_date_interval_us(2 * hour, 2) == 3 * hour
+    assert es_auto_date_interval_us(0, 1) == 1_000_000
+    # 30 days / 10 buckets -> 7d (ES "week" rounding)
+    assert es_auto_date_interval_us(30 * 24 * hour, 10) == 7 * 24 * hour
+    with pytest.raises(ValueError, match="calendar intervals"):
+        es_auto_date_interval_us(100 * 365 * 24 * hour, 10)
+
+
+def test_rate_agg(vocab_df):
+    """ES rate agg: bucket value x unit / interval — sum mode,
+    value_count mode, and doc-count (no field) mode; all-null buckets
+    rate 0 (sum-family)."""
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "customLabel": "h"}},
+        {"id": "2", "type": "rate", "schema": "metric",
+         "params": {"field": "v", "unit": "minute", "customLabel": "r"}},
+        {"id": "3", "type": "rate", "schema": "metric",
+         "params": {"unit": "hour", "customLabel": "dr"}},
+        {"id": "4", "type": "rate", "schema": "metric",
+         "params": {"field": "v", "mode": "value_count",
+                    "unit": "hour", "customLabel": "vr"}},
+    ])).evaluate(vocab_df, auto_interval_buckets=None)
+    got = {str(r["h"]): (r["r"], r["dr"], r["vr"]) for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == (0.5, 2.0, 2.0)   # 30/60
+    assert got["2024-01-01 01:00:00"] == (0.5, 1.0, 1.0)
+    assert got["2024-01-01 02:00:00"] == (0.0, 1.0, 0.0)   # null v
+    # rate scales by the RESOLVED interval under auto_date_histogram
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "buckets": 2, "customLabel": "h"}},
+        {"id": "2", "type": "rate", "schema": "metric",
+         "params": {"field": "v", "unit": "hour", "customLabel": "r"}},
+    ])).evaluate(vocab_df)
+    # one 3h bucket, sum 60 -> 20/hour
+    assert [r["r"] for r in out2.collect()] == [20.0]
+    # zero-fill: an empty bucket rates 0, not null
+    out3 = compile_visualization(_vis8([
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 0, "customLabel": "h"}},
+        {"id": "2", "type": "rate", "schema": "metric",
+         "params": {"field": "v", "unit": "minute", "customLabel": "r"}},
+    ])).evaluate(
+        vocab_df.filter("ts < '2024-01-01 00:30:00' "
+                        "or ts > '2024-01-01 01:30:00'"),
+        auto_interval_buckets=None,
+    )
+    got3 = {str(r["h"]): r["r"] for r in out3.collect()}
+    assert got3["2024-01-01 01:00:00"] == 0.0  # filled bucket
+    # validation: rate outside a date_histogram
+    with pytest.raises(ValueError, match="date_histogram"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "g", "size": 5, "order": "asc",
+                        "orderBy": "_term", "customLabel": "g"}},
+            {"id": "2", "type": "rate", "schema": "metric",
+             "params": {"field": "v", "unit": "minute",
+                        "customLabel": "r"}},
+        ])).evaluate(vocab_df)
+    with pytest.raises(ValueError, match="unit"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "rate", "schema": "metric",
+             "params": {"field": "v", "unit": "month"}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "rate", "schema": "metric",
+             "params": {"mode": "value_count"}},
+        ])["visState"])
+
+
+def test_top_metrics(vocab_df):
+    """ES top_metrics: metric field values of the top-N docs by sort.
+    size 1 -> scalar columns via max_by/min_by; size > 1 -> one
+    sort-ordered array column per field."""
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["v"], "sortField": "ts",
+                    "sortOrder": "desc", "customLabel": "last"}},
+        {"id": "3", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["v", "src"], "sortField": "ts",
+                    "sortOrder": "desc", "size": 2,
+                    "customLabel": "top2"}},
+    ])).evaluate(vocab_df)
+    got = {r["g"]: (r["last_v"], r["top2_v"], r["top2_src"])
+           for r in out.collect()}
+    assert got["a"] == (20.0, [20.0, 10.0], [None, "web"])
+    assert got["b"] == (None, [None, 30.0], ["db", "db"])
+    assert out.columns == ["g", "last_v", "top2_v", "top2_src"]
+    # ES-request sort shape {"sort": {"ts": "asc"}}; bucketless panel
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": [{"field": "v"}], "sort": {"ts": "asc"},
+                    "customLabel": "first"}},
+    ])).evaluate(vocab_df)
+    assert [r["first_v"] for r in out2.collect()] == [10.0]
+    with pytest.raises(ValueError, match="metric fields"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "top_metrics", "schema": "metric",
+             "params": {"sortField": "ts"}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="size"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "top_metrics", "schema": "metric",
+             "params": {"fields": ["v"], "size": 0}},
+        ])["visState"])
