@@ -55,14 +55,75 @@ def build_parser() -> argparse.ArgumentParser:
     )
     src.add_argument("--fetcher", default=None, help="module:attr fetcher override")
     src.add_argument("--jmx-poll-timeout", type=float, default=10.0)
+    # per-server-type MBean pattern overrides (reference
+    # Code/main.py:144-151; defaults live in jolokia.DEFAULT_MBEANS)
+    src.add_argument("--jmx-zk-poll-mbean", action="append", default=None,
+                     dest="zk_mbeans", metavar="org.apache.ZooKeeperService:*")
+    src.add_argument("--jmx-kafka-poll-mbean", action="append", default=None,
+                     dest="kafka_mbeans", metavar="kafka.*:*")
+    src.add_argument("--jmx-connect-poll-mbean", action="append", default=None,
+                     dest="connect_mbeans", metavar="kafka.*:*")
+    src.add_argument("--jmx-ksql-poll-mbean", action="append", default=None,
+                     dest="ksql_mbeans", metavar="kafka.*:*")
+    # Connect REST basic auth + TLS (reference Code/main.py:159-163)
+    src.add_argument("--enable-connect-rest-auth", action="store_true",
+                     help="send basic auth on Connect REST / Jolokia polls")
+    src.add_argument("--connect-rest-auth-user", default=None)
+    src.add_argument("--connect-rest-auth-pass", default=None)
+    src.add_argument("--connect-tls-verify", action="store_true",
+                     help="verify TLS certs (reference default: off)")
+
+    k8s = p.add_argument_group("kubernetes discovery")
+    k8s.add_argument("--jmx-enable-k8s-discovery", action="store_true",
+                     help="re-discover Jolokia-annotated pods EVERY poll "
+                          "cycle and merge them into the scrape catalog "
+                          "(reference Code/main.py:120-133,274-282)")
+    k8s.add_argument("--jmx-k8s-context", default=None,
+                     metavar="gke_project_region_cluster",
+                     help="kube-config context (ignored in-cluster)")
+    k8s.add_argument("--jmx-k8s-jolokia-enabled-annotation",
+                     default="jolokia/is_enabled", dest="k8s_ann_enabled")
+    k8s.add_argument("--jmx-k8s-jolokia-server-type-annotation",
+                     default="jolokia/server_type", dest="k8s_ann_server_type")
+    k8s.add_argument("--jmx-k8s-jolokia-port-annotation",
+                     default="jolokia/port", dest="k8s_ann_port",
+                     help="annotation holding the Jolokia port (the "
+                          "reference matches a pod-spec port NAME via "
+                          "--jmx-k8s-jolokia-port-name-matcher; the pod "
+                          "spec is not in this engine's catalog shape, so "
+                          "the port rides an annotation — documented "
+                          "divergence)")
+    k8s.add_argument("--jmx-k8s-label-filter", action="append", default=[],
+                     dest="k8s_label_filters", metavar="key1=value1,key2=value2")
+    k8s.add_argument("--jmx-k8s-field-filter", action="append", default=[],
+                     dest="k8s_field_filters", metavar="key1=value1,key2=value2",
+                     help="status.phase=Running is always appended and "
+                          "cannot be removed (like the reference)")
+    k8s.add_argument("--jmx-k8s-provider",
+                     default="kafka_metrics_exporter_spark.sources."
+                             "k8s_catalog:discover_pods_k8s",
+                     metavar="module:attr",
+                     help="pod-lister override (tests / fake clusters)")
 
     sink = p.add_argument_group("sinks")
     sink.add_argument("--kafka-bootstrap-servers", default=None)
     sink.add_argument("--kafka-topic", default="jmx_data_ingestion_pipeline")
     sink.add_argument("--es-url", default=None)
+    sink.add_argument("--kibana-url", default=None,
+                      help="with --es-url: run the one-time sink DDL "
+                           "bootstrap (index template + Kibana index "
+                           "pattern) before streaming starts (reference "
+                           "Code/ElasticSearchAppender.py:43-79)")
     sink.add_argument("--es-bulk-chunks", type=int, default=32,
                       help="hash chunks per daily index so one bulk POST "
                            "stays in the 5-15 MB ES sweet spot")
+    sink.add_argument("--es-bulk-url-timeout", type=float, default=30.0,
+                      help="bulk POST timeout secs (reference "
+                           "Code/main.py:170-171)")
+    sink.add_argument("--kafka-conn-props", action="append", default=[],
+                      metavar="key=value",
+                      help="extra Kafka producer properties, one per "
+                           "switch (reference Code/main.py:177-178)")
     sink.add_argument("--sink-parquet", default=None, metavar="PATH",
                       help="date-partitioned parquet sink (offline ES stand-in)")
 
@@ -263,6 +324,72 @@ def run_query(args: argparse.Namespace, spark) -> int:
     return 0
 
 
+MBEAN_ARG_TO_TYPE = {
+    "zk_mbeans": "ZooKeeper",
+    "kafka_mbeans": "KafkaBroker",
+    "connect_mbeans": "KafkaConnect",
+    "ksql_mbeans": "KSQL",
+}
+
+
+def mbean_overrides(args: argparse.Namespace) -> dict[str, list[str]] | None:
+    """--jmx-*-poll-mbean → build_url_catalog's per-type mbeans dict
+    (reference Code/main.py:144-151); None = library defaults."""
+    out = {
+        stype: getattr(args, attr)
+        for attr, stype in MBEAN_ARG_TO_TYPE.items()
+        if getattr(args, attr)
+    }
+    return out or None
+
+
+def parse_selector_filters(items: list[str]) -> dict[str, str]:
+    """--jmx-k8s-{label,field}-filter values ("k1=v1, k2=v2", may
+    repeat) → selector dict (reference Code/main.py:130-133)."""
+    out: dict[str, str] = {}
+    for item in items:
+        for pair in item.split(","):
+            pair = pair.strip()
+            if not pair:
+                continue
+            if "=" not in pair:
+                raise SystemExit(
+                    f"--jmx-k8s-*-filter needs key=value, got {pair!r}"
+                )
+            k, v = pair.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def discovery_options(args: argparse.Namespace) -> dict:
+    """kwargs for streaming_metrics() wiring K8s discovery + auth; the
+    discovery entries are empty when --jmx-enable-k8s-discovery is off."""
+    opts: dict = {
+        "user": (args.connect_rest_auth_user
+                 if args.enable_connect_rest_auth else None),
+        "password": (args.connect_rest_auth_pass
+                     if args.enable_connect_rest_auth else None),
+        "tls_verify": args.connect_tls_verify,
+        "mbeans": mbean_overrides(args),
+        "common_mbeans": args.common_mbeans,
+    }
+    if args.jmx_enable_k8s_discovery:
+        kwargs: dict = {
+            "label_selectors": parse_selector_filters(args.k8s_label_filters),
+            "field_selectors": parse_selector_filters(args.k8s_field_filters),
+        }
+        if args.jmx_k8s_context:
+            kwargs["context"] = args.jmx_k8s_context
+        opts["discovery"] = args.jmx_k8s_provider
+        opts["discovery_kwargs"] = kwargs
+        opts["discovery_annotations"] = {
+            "enabled_annotation": args.k8s_ann_enabled,
+            "port_annotation": args.k8s_ann_port,
+            "server_type_annotation": args.k8s_ann_server_type,
+        }
+    return opts
+
+
 def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
     from kafka_metrics_exporter_spark.sources.jolokia import build_url_catalog
 
@@ -271,14 +398,19 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
         for attr, stype in SERVER_ARG_TO_TYPE.items()
         if getattr(args, attr)
     }
-    if not servers and not args.connect_endpoints:
+    if (not servers and not args.connect_endpoints
+            and not args.jmx_enable_k8s_discovery):
         raise SystemExit(
-            "at least one source is required "
-            "(--jmx-*-server / --connect-rest-endpoint)"
+            "at least one source is required (--jmx-*-server / "
+            "--connect-rest-endpoint / --jmx-enable-k8s-discovery)"
         )
     if not servers:
         return []
-    return build_url_catalog(servers, common_mbeans=args.common_mbeans)
+    return build_url_catalog(
+        servers,
+        mbeans=mbean_overrides(args),
+        common_mbeans=args.common_mbeans,
+    )
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -313,6 +445,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         fetcher=args.fetcher,
         timeout=args.jmx_poll_timeout,
         connect_endpoints=args.connect_endpoints or None,
+        **discovery_options(args),
     )
 
     interval = max(args.poll_interval, JMX_POLL_FLOOR_SECS)
@@ -333,10 +466,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     args.kafka_bootstrap_servers,
                     topic=args.kafka_topic,
                     checkpoint=f"{args.checkpoint}/kafka",
+                    extra=dict(
+                        kv.split("=", 1) for kv in args.kafka_conn_props
+                    ),
                 )
             ).start()
         )
     if args.es_url:
+        if args.kibana_url:
+            # one-time sink DDL bootstrap before streaming starts
+            # (reference Code/ElasticSearchAppender.py:43-79 runs the
+            # template + index-pattern + dashboard setup on startup;
+            # here the saved objects go through the ES .kibana index —
+            # the kibana URL gates the step and is recorded for parity)
+            from kafka_metrics_exporter_spark.sinks.es_setup import (
+                bootstrap_elasticsearch,
+                http_put,
+            )
+
+            flags = bootstrap_elasticsearch(http_put(args.es_url))
+            print(f"elasticsearch bootstrap ({args.kibana_url}): {flags}")
         from kafka_metrics_exporter_spark.sinks.es_bulk import (
             es_bulk_foreach_batch,
             http_bulk_poster,
@@ -345,7 +494,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         writer = (
             metrics.writeStream.foreachBatch(
                 es_bulk_foreach_batch(
-                    http_bulk_poster(args.es_url), n_chunks=args.es_bulk_chunks
+                    http_bulk_poster(
+                        args.es_url, timeout=args.es_bulk_url_timeout
+                    ),
+                    n_chunks=args.es_bulk_chunks
                 )
             ).option("checkpointLocation", f"{args.checkpoint}/es")
         )

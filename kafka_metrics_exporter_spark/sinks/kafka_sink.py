@@ -27,16 +27,24 @@ def kafka_sink_options(
     compression: str = "snappy",
     retries: int = 10,
     linger_ms: int = 50,
+    extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """writeStream.format("kafka") options mirroring the reference's
-    producer tuning (Code/KafkaAppender.py:23-25)."""
-    return {
+    producer tuning (Code/KafkaAppender.py:23-25).  ``extra`` carries
+    arbitrary producer properties (the reference's --kafka-conn-props,
+    Code/main.py:177-178), prefixed ``kafka.`` for the Spark
+    connector."""
+    out = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,
         "kafka.compression.type": compression,
         "kafka.retries": str(retries),
         "kafka.linger.ms": str(linger_ms),
     }
+    for k, v in (extra or {}).items():
+        key = k if k.startswith("kafka.") or k == "topic" else f"kafka.{k}"
+        out[key] = str(v)
+    return out
 
 
 def to_kafka_records(metrics: DataFrame) -> DataFrame:

@@ -138,9 +138,52 @@ class _JolokiaReaderMixin:
             self.fetcher_opts["password"] = options.get("auth_password", "")
         if options.get("tls_verify", "false").lower() in ("true", "1"):
             self.fetcher_opts["tls_verify"] = True
+        # K8s pod discovery (S4, reference Code/main.py:120-133):
+        # `discovery` is a module:attr ref to a pod lister called with
+        # `discovery_kwargs` — the default CLI wiring points it at
+        # k8s_catalog.discover_pods_k8s.  Resolution happens in
+        # _partitions, i.e. ON EVERY TRIGGER, reproducing the
+        # reference's per-cycle pod-list refresh (Code/main.py:274-282):
+        # a pod added mid-stream joins the next micro-batch's scrape
+        # set.  Catalog-sized, driver-side work, like the reference.
+        self.discovery_ref = options.get("discovery")
+        self.discovery_kwargs: dict = json.loads(
+            options.get("discovery_kwargs", "{}")
+        )
+        self.discovery_annotations: dict = json.loads(
+            options.get("discovery_annotations", "{}")
+        )
+        self.discovery_mbeans: dict = json.loads(options.get("mbeans", "{}"))
+        self.common_mbeans = (
+            json.loads(options["common_mbeans"])
+            if "common_mbeans" in options
+            else None
+        )
+
+    def _discovered_catalog(self) -> list[tuple[str, str]]:
+        from kafka_metrics_exporter_spark.sources.fetchers import resolve_fetcher
+        from kafka_metrics_exporter_spark.sources.k8s_catalog import (
+            pods_to_catalog,
+        )
+
+        lister = resolve_fetcher(self.discovery_ref)
+        pods = lister(**self.discovery_kwargs)
+        discovered = pods_to_catalog(pods, **self.discovery_annotations)
+        return build_url_catalog(
+            discovered,
+            mbeans=self.discovery_mbeans or None,
+            common_mbeans=self.common_mbeans,
+        )
 
     def _partitions(self, execution_ts: int):
-        parts = [_UrlPartition(t, u, execution_ts) for t, u in self.catalog]
+        catalog = list(self.catalog)
+        if self.discovery_ref:
+            # CLI-provided ∪ freshly-discovered, deduped in order
+            # (merge_server_lists semantics at URL granularity)
+            catalog = list(
+                dict.fromkeys([*catalog, *self._discovered_catalog()])
+            )
+        parts = [_UrlPartition(t, u, execution_ts) for t, u in catalog]
         parts += [
             _UrlPartition("KafkaConnect", ep, execution_ts, kind="connect")
             for ep in self.connect_endpoints
@@ -193,6 +236,17 @@ class JolokiaDataSource(DataSource):
       auth_password — basic-auth password
       tls_verify    — "true" to verify TLS certs (default false, like the
                       reference's session.verify)
+      discovery     — "module:attr" pod-lister ref; resolved EVERY trigger
+                      so the scrape set follows the cluster (reference
+                      Code/main.py:274-282 per-cycle refresh)
+      discovery_kwargs      — JSON kwargs for the lister (label/field
+                              selectors, kube context)
+      discovery_annotations — JSON kwargs for pods_to_catalog (annotation
+                              name overrides, Code/main.py:124-129)
+      mbeans        — JSON {server_type: [pattern, ...]} per-type poll
+                      patterns for DISCOVERED servers
+                      (--jmx-*-poll-mbean, Code/main.py:144-151)
+      common_mbeans — JSON [pattern, ...] appended per discovered host
     """
 
     @classmethod
@@ -223,6 +277,11 @@ def read_jolokia(
     user: str | None = None,
     password: str | None = None,
     tls_verify: bool = False,
+    discovery: str | None = None,
+    discovery_kwargs: dict | None = None,
+    discovery_annotations: dict | None = None,
+    mbeans: dict | None = None,
+    common_mbeans: list | None = None,
 ) -> DataFrame:
     register_jolokia_source(spark)
     reader = spark.readStream if streaming else spark.read
@@ -239,4 +298,14 @@ def read_jolokia(
         r = r.option("auth_user", user).option("auth_password", password or "")
     if tls_verify:
         r = r.option("tls_verify", "true")
+    if discovery:
+        r = r.option("discovery", discovery).option(
+            "discovery_kwargs", json.dumps(discovery_kwargs or {})
+        ).option(
+            "discovery_annotations", json.dumps(discovery_annotations or {})
+        )
+        if mbeans:
+            r = r.option("mbeans", json.dumps(mbeans))
+        if common_mbeans is not None:
+            r = r.option("common_mbeans", json.dumps(list(common_mbeans)))
     return r.load()

@@ -37,22 +37,31 @@ def build_selectors(
     return fmt(label_selectors or {}), fmt(fields)
 
 
-def pods_to_catalog(pods: Iterable[dict]) -> dict[str, list[str]]:
+def pods_to_catalog(
+    pods: Iterable[dict],
+    enabled_annotation: str = ANN_ENABLED,
+    port_annotation: str = ANN_PORT,
+    server_type_annotation: str = ANN_SERVER_TYPE,
+) -> dict[str, list[str]]:
     """P6: annotation-gated pod → scrape-target derivation.
 
     pod dict shape (FIXTURES.md §4): {pod_ip, phase, annotations}.
     Returns {server_type: [url, ...]} merged like the reference's
     add_server_to_fetch_list (Code/KubernetesAutomator.py:64-79).
-    """
+    The annotation NAMES are configurable like the reference's
+    ``--jmx-k8s-jolokia-*-annotation`` flags (Code/main.py:124-129);
+    the port rides a ``jolokia/port`` annotation here rather than the
+    reference's pod-spec port-NAME matcher — a documented divergence
+    (the pod spec is not part of the catalog fixture shape)."""
     out: dict[str, list[str]] = {}
     for pod in pods:
         ann = pod.get("annotations") or {}
         if pod.get("phase") != "Running":
             continue
-        if ANN_ENABLED not in ann or ANN_PORT not in ann:
+        if enabled_annotation not in ann or port_annotation not in ann:
             continue
-        server_type = ann.get(ANN_SERVER_TYPE) or DEFAULT_SERVER_TYPE
-        url = f"http://{pod['pod_ip']}:{ann[ANN_PORT]}"
+        server_type = ann.get(server_type_annotation) or DEFAULT_SERVER_TYPE
+        url = f"http://{pod['pod_ip']}:{ann[port_annotation]}"
         out.setdefault(server_type, []).append(url)
     return out
 
@@ -73,11 +82,15 @@ def discover_pods_k8s(
     label_selectors: dict[str, str] | None = None,
     field_selectors: dict[str, str] | None = None,
     page_size: int = 50,
+    context: str | None = None,
 ) -> list[dict]:
     """Live discovery via the kubernetes client, paginated like the
     reference (50/page, ``_continue`` token;
-    Code/KubernetesAutomator.py:98-125).  Degrades to [] when the
-    client or cluster is unavailable (reference README.md:190)."""
+    Code/KubernetesAutomator.py:98-125).  ``context`` picks the
+    kube-config context (``--jmx-k8s-context``, Code/main.py:122-123;
+    ignored in-cluster, where the injected service account wins).
+    Degrades to [] when the client or cluster is unavailable
+    (reference README.md:190)."""
     try:
         from kubernetes import client, config  # type: ignore[import-not-found]
     except ImportError:
@@ -86,7 +99,7 @@ def discover_pods_k8s(
         try:
             config.load_incluster_config()
         except Exception:  # noqa: BLE001
-            config.load_kube_config()
+            config.load_kube_config(context=context)
         v1 = client.CoreV1Api()
     except Exception:  # noqa: BLE001
         return []

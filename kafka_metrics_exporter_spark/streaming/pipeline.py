@@ -28,10 +28,22 @@ def streaming_metrics(
     fetcher: str | None = None,
     timeout: float = 10.0,
     connect_endpoints: list[str] | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    tls_verify: bool = False,
+    discovery: str | None = None,
+    discovery_kwargs: dict | None = None,
+    discovery_annotations: dict | None = None,
+    mbeans: dict | None = None,
+    common_mbeans: list | None = None,
 ) -> DataFrame:
     """Streaming normalized-metrics DataFrame: one poll cycle per
     micro-batch over the scrape catalog; Connect REST endpoints ride
-    as extra source partitions emitting synthetic Jolokia envelopes."""
+    as extra source partitions emitting synthetic Jolokia envelopes.
+    With ``discovery`` set (a module:attr pod-lister ref), the catalog
+    is re-resolved EVERY trigger — the reference's per-cycle K8s pod
+    refresh (Code/main.py:274-282): a pod added mid-stream appears in
+    the next micro-batch's scrape set."""
     raw = read_jolokia(
         spark,
         catalog,
@@ -39,6 +51,14 @@ def streaming_metrics(
         timeout=timeout,
         streaming=True,
         connect_endpoints=connect_endpoints,
+        user=user,
+        password=password,
+        tls_verify=tls_verify,
+        discovery=discovery,
+        discovery_kwargs=discovery_kwargs,
+        discovery_annotations=discovery_annotations,
+        mbeans=mbeans,
+        common_mbeans=common_mbeans,
     )
     return normalize_scrapes(raw)
 

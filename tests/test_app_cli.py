@@ -252,3 +252,215 @@ def test_query_mode_time_macros(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "rate(click[4m])" in out  # max(60+60, 240) = 4m, shown in == line
+
+
+# ---------------------------------------------------------------- round 13:
+# K8s discovery wired into the daemon + CLI parity pack.
+
+import json
+import os
+import re
+import time
+
+
+def test_k8s_discovery_refreshes_per_trigger(spark, tmp_path):
+    """The reference re-discovers pods EVERY poll cycle
+    (Code/main.py:274-282): a pod added mid-stream must appear in the
+    NEXT micro-batch's scrape set, without restarting the query."""
+    from kafka_metrics_exporter_spark.sources.jolokia import build_url_catalog
+    from kafka_metrics_exporter_spark.streaming.pipeline import streaming_metrics
+
+    state = tmp_path / "pods.json"
+    state.write_text("[]")
+    cat = build_url_catalog({"KafkaBroker": ["kafka1:49901"]}, common_mbeans=[])
+    stream = streaming_metrics(
+        spark, cat, fetcher=FAKE,
+        discovery="tests.fake_k8s:list_pods",
+        discovery_kwargs={"state_path": str(state)},
+        common_mbeans=[],
+    )
+    batches: list[set[str]] = []
+
+    def batch_fn(df, bid):
+        batches.append({r["host_name"] for r in df.select("host_name").collect()})
+        if bid == 0:
+            state.write_text(json.dumps([{
+                "pod_ip": "10.9.9.9", "phase": "Running",
+                "annotations": {"jolokia/is_enabled": "true",
+                                "jolokia/port": "8778"},
+            }]))
+
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .trigger(processingTime="1 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(batches) >= 2 and any("10.9.9.9:8778" in b for b in batches[1:]):
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert batches, "no micro-batch completed"
+    assert "10.9.9.9:8778" not in batches[0]
+    assert any("10.9.9.9:8778" in b for b in batches[1:]), (
+        f"discovered pod never joined a later micro-batch: {batches}"
+    )
+    # the static CLI-provided server kept scraping throughout
+    assert all("kafka1:49901" in b for b in batches)
+
+
+def test_k8s_discovery_counts_as_a_source(tmp_path):
+    """--jmx-enable-k8s-discovery alone satisfies the at-least-one-
+    source check (the reference's K8s-only deployment mode)."""
+    args = build_parser().parse_args(
+        ["--jmx-enable-k8s-discovery", "--sink-parquet", "/tmp/x"]
+    )
+    assert build_catalog(args) == []
+
+
+def test_discovery_options_wiring():
+    """CLI flags land in the streaming_metrics kwargs: selectors
+    parsed, annotations forwarded, auth gated by its enable switch."""
+    from kafka_metrics_exporter_spark.app import discovery_options
+
+    args = build_parser().parse_args([
+        "--jmx-enable-k8s-discovery",
+        "--jmx-k8s-context", "ctx1",
+        "--jmx-k8s-label-filter", "app=kafka, tier=broker",
+        "--jmx-k8s-field-filter", "spec.nodeName=n1",
+        "--jmx-k8s-jolokia-enabled-annotation", "custom/enabled",
+        "--jmx-k8s-jolokia-port-annotation", "custom/port",
+        "--jmx-k8s-jolokia-server-type-annotation", "custom/type",
+        "--enable-connect-rest-auth",
+        "--connect-rest-auth-user", "u1",
+        "--connect-rest-auth-pass", "p1",
+        "--jmx-kafka-poll-mbean", "kafka.server:*",
+        "--sink-parquet", "/tmp/x",
+    ])
+    opts = discovery_options(args)
+    assert opts["discovery"].endswith(":discover_pods_k8s")
+    assert opts["discovery_kwargs"] == {
+        "label_selectors": {"app": "kafka", "tier": "broker"},
+        "field_selectors": {"spec.nodeName": "n1"},
+        "context": "ctx1",
+    }
+    assert opts["discovery_annotations"] == {
+        "enabled_annotation": "custom/enabled",
+        "port_annotation": "custom/port",
+        "server_type_annotation": "custom/type",
+    }
+    assert opts["user"] == "u1" and opts["password"] == "p1"
+    assert opts["mbeans"] == {"KafkaBroker": ["kafka.server:*"]}
+    # auth flags are inert without the enable switch (reference
+    # requires --enable-connect-rest-auth, Code/main.py:159-163)
+    args2 = build_parser().parse_args(
+        ["--connect-rest-auth-user", "u1", "--sink-parquet", "/tmp/x",
+         "--jmx-kafka-server", "k:1"]
+    )
+    opts2 = discovery_options(args2)
+    assert opts2["user"] is None and "discovery" not in opts2
+
+
+def test_mbean_override_reaches_catalog():
+    args = build_parser().parse_args([
+        "--jmx-zk-server", "z1:8778",
+        "--jmx-zk-poll-mbean", "org.apache.ZooKeeperService:name0=*",
+        "--jmx-default-bean", "java.lang:type=Threading",
+        "--sink-parquet", "/tmp/x",
+    ])
+    cat = build_catalog(args)
+    urls = [u for _, u in cat]
+    assert any(u.endswith("org.apache.ZooKeeperService:name0=*") for u in urls)
+    assert any(u.endswith("java.lang:type=Threading") for u in urls)
+    # the override REPLACES the default pattern for that type
+    assert not any(u.endswith("org.apache.ZooKeeperService:*") for u in urls)
+
+
+def test_selector_filter_parse_errors():
+    from kafka_metrics_exporter_spark.app import parse_selector_filters
+
+    assert parse_selector_filters(["a=1, b=2", "c=3"]) == {
+        "a": "1", "b": "2", "c": "3"
+    }
+    with pytest.raises(SystemExit):
+        parse_selector_filters(["not-a-pair"])
+
+
+def test_cli_arg_parity_with_reference():
+    """Walk every --flag in the reference's argparse setup
+    (Code/main.py) and require each to be either accepted by our
+    parser verbatim or explicitly mapped/diverged below — so a
+    reference flag can never silently fall off the surface."""
+    ref = open("/root/reference/Code/main.py").read()
+    ref_flags = set(re.findall(r"add_argument\('(--[a-z0-9-]+)'", ref))
+    assert len(ref_flags) >= 25, "reference flag extraction broke"
+
+    parser = build_parser()
+    ours = {s for a in parser._actions for s in a.option_strings}
+
+    # reference flag -> our equivalent (None = intentionally absent,
+    # with the reason)
+    mapped = {
+        # thread pools: Spark's scheduler owns parallelism (the source
+        # fans out one partition per URL; sinks are connector-managed)
+        "--thread-count": None,
+        "--jmx-poll-thread-count": None,
+        "--connect-thread-count": None,
+        # poll cadence: one knob (--poll-interval) + the same 15 s
+        # floor the reference enforces on --jmx-poll-wait-sec
+        "--jmx-poll-wait-sec": "--poll-interval",
+        # sink enable switches are implied by the sink URLs
+        "--enable-elastic-sink": "--es-url",
+        "--enable-kafka-sink": "--kafka-bootstrap-servers",
+        "--enable-connect-rest-source": "--connect-rest-endpoint",
+        # port NAME matcher -> port annotation (pod spec not in the
+        # catalog shape; documented in pods_to_catalog)
+        "--jmx-k8s-jolokia-port-name-matcher":
+            "--jmx-k8s-jolokia-port-annotation",
+        "--kafka-topic-name": "--kafka-topic",
+        "--kafka-conn-props": "--kafka-conn-props",
+    }
+    missing = []
+    for flag in sorted(ref_flags):
+        if flag in ours:
+            continue
+        if flag in mapped:
+            tgt = mapped[flag]
+            assert tgt is None or tgt in ours, (
+                f"mapping target {tgt} for {flag} missing from parser"
+            )
+            continue
+        missing.append(flag)
+    assert not missing, f"reference CLI flags unaccounted for: {missing}"
+
+
+def test_kibana_url_runs_bootstrap(spark, tmp_path, monkeypatch):
+    """--kibana-url + --es-url runs the sink DDL bootstrap before the
+    stream starts (reference Code/ElasticSearchAppender.py:43-79)."""
+    puts: list[str] = []
+
+    def fake_put_factory(es_url, timeout=30.0):
+        assert es_url == "http://es:9200"
+        return lambda path, body: puts.append(path) or True
+
+    import kafka_metrics_exporter_spark.sinks.es_setup as es_setup
+
+    monkeypatch.setattr(es_setup, "http_put", fake_put_factory)
+
+    def fake_poster(es_url, timeout=30.0):
+        return lambda index, payload: True
+
+    import kafka_metrics_exporter_spark.sinks.es_bulk as es_bulk
+
+    monkeypatch.setattr(es_bulk, "http_bulk_poster", fake_poster)
+    rc = main(
+        ["--jmx-kafka-server", "kafka1:49901", "--fetcher", FAKE,
+         "--es-url", "http://es:9200", "--kibana-url", "http://kib:5601",
+         "--checkpoint", str(tmp_path / "ckpt"), "--once"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert any(p.startswith("_template/") for p in puts)
+    assert any("index-pattern" in p for p in puts)
