@@ -133,6 +133,36 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--once", action="store_true",
                      help="one availableNow cycle, then exit")
 
+    c = p.add_argument_group(
+        "curation (LLM training-data pipeline; the batch mode that "
+        "runs gate → dedup → decontaminate → DSIR → domain mix → "
+        "split → pack → sharded write over a documents parquet — the "
+        "composition pinned by test_curation_pipeline_end_to_end and "
+        "the pipe_* registry rows)"
+    )
+    c.add_argument("--curate", default=None, metavar="DIR",
+                   help="directory holding documents.parquet; runs the "
+                        "curation pipeline and exits")
+    c.add_argument("--curate-output", default=None, metavar="DIR",
+                   help="output directory for the training shards "
+                        "(required with --curate)")
+    c.add_argument("--curate-bench-mod", type=int, default=97,
+                   metavar="N", help="benchmark slice = doc_id %% N == 0 "
+                   "(the decontamination holdout)")
+    c.add_argument("--curate-dsir-target", default="src0", metavar="SOURCE",
+                   help="source value whose distribution DSIR selects "
+                        "toward")
+    c.add_argument("--curate-dsir-k", type=int, default=100,
+                   help="DSIR selection size")
+    c.add_argument("--curate-budget", action="append", default=[],
+                   metavar="lang=tokens",
+                   help="per-language token budget for domain mix; "
+                        "repeatable; unlisted languages are unbounded")
+    c.add_argument("--curate-pack-budget", type=int, default=256,
+                   help="tokens per packed training chunk")
+    c.add_argument("--curate-shards", type=int, default=4,
+                   help="output shard count")
+
     q = p.add_argument_group(
         "query", "ad-hoc query mode: run a dashboard expression against a "
         "metrics table and exit (no sources/sinks needed)"
@@ -390,6 +420,97 @@ def discovery_options(args: argparse.Namespace) -> dict:
     return opts
 
 
+def run_curate(args: argparse.Namespace, spark) -> int:
+    """--curate: the full curation pipeline over ``DIR/documents
+    .parquet``, drivable without writing Python (VERDICT r12 item 8).
+    Stage order and semantics match test_curation_pipeline_end_to_end;
+    every selection is content-addressed (no rand(), no partition
+    dependence), so a re-run over the same corpus reproduces the same
+    shards byte-for-byte.  Prints one JSON line of per-stage counts.
+
+    Scale: the gate is scan-local, dedup is one digest-keyed shuffle,
+    decontamination broadcasts only the benchmark n-gram set, DSIR and
+    domain mix run on shard-distributed running sums — the same
+    100 TB arguments as the pipe_* registry rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.llmdata.dedup import exact_dedup
+    from kafka_metrics_exporter_spark.llmdata.pipeline import (
+        decontaminate,
+        deterministic_split,
+        domain_mix,
+        dsir_importance,
+        pack_chunks,
+        write_training_shards,
+    )
+    from kafka_metrics_exporter_spark.llmdata.text import (
+        quality_gate,
+        token_counts,
+    )
+
+    if not args.curate_output:
+        raise SystemExit("--curate needs --curate-output DIR")
+    budgets: dict[str, int] = {}
+    for kv in args.curate_budget:
+        if "=" not in kv:
+            raise SystemExit(f"--curate-budget needs lang=tokens, got {kv!r}")
+        lang, tok = kv.split("=", 1)
+        budgets[lang.strip()] = int(tok)
+
+    docs = spark.read.parquet(f"{args.curate.rstrip('/')}/documents.parquet")
+    counts: dict[str, int] = {"input": docs.count()}
+
+    gated = docs.filter(quality_gate(F.col("text"))["keep"])
+    counts["gated"] = gated.count()
+
+    surv = exact_dedup(gated).select(F.col("survivor_id").alias("doc_id"))
+    kept = gated.join(surv, "doc_id", "left_semi")
+    counts["deduped"] = kept.count()
+
+    bench = docs.filter(F.col("doc_id") % args.curate_bench_mod == 0)
+    flags = decontaminate(kept, bench, n=8)
+    clean = kept.join(
+        flags.filter(~F.col("is_contaminated")), "doc_id", "left_semi"
+    )
+    counts["decontaminated"] = clean.count()
+
+    picked = dsir_importance(
+        clean.filter(F.col("source") != args.curate_dsir_target),
+        clean.filter(F.col("source") == args.curate_dsir_target),
+        n_buckets=512,
+        k=min(args.curate_dsir_k, counts["decontaminated"]),
+    )
+    sel = clean.join(picked.select("doc_id"), "doc_id", "left_semi")
+    counts["dsir_selected"] = sel.count()
+
+    if budgets:
+        langs = [r["lang"] for r in sel.select("lang").distinct().collect()]
+        full = {lang: budgets.get(lang, 10**18) for lang in langs}
+        mixed = domain_mix(sel, budgets=full)
+        sel = sel.join(mixed.select("doc_id"), "doc_id", "left_semi")
+    counts["mixed"] = sel.count()
+
+    final = deterministic_split(sel).withColumn(
+        "n_tokens", token_counts(F.col("text"))["n_ws_tokens"]
+    )
+    packed = pack_chunks(
+        final.select("doc_id", "lang", "n_tokens"),
+        budget=args.curate_pack_budget,
+    )
+    out = args.curate_output.rstrip("/")
+    packed.write.mode("overwrite").parquet(f"{out}/chunks")
+    write_training_shards(
+        final.select("doc_id", "lang", "split", "n_tokens"),
+        f"{out}/shards",
+        n_shards=args.curate_shards,
+    )
+    counts["chunks"] = packed.count()
+    print(_json.dumps(counts))
+    return 0
+
+
 def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
     from kafka_metrics_exporter_spark.sources.jolokia import build_url_catalog
 
@@ -415,6 +536,12 @@ def build_catalog(args: argparse.Namespace) -> list[tuple[str, str]]:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.curate:
+        if spark is None:
+            from kafka_metrics_exporter_spark.session import get_spark
+
+            spark = get_spark(app_name="spark-metrics-engine")
+        return run_curate(args, spark)
     if (args.query_promql or args.query_kibana_vis or args.query_dashboard
             or args.query_kibana_dashboard):
         if spark is None:
