@@ -84,7 +84,15 @@ CHANGED_THIS_ROUND: list[str] = [
     "kibana_date_histogram",
 ]
 
-CHANGED_OUT_OF_WINDOW: list[str] = []
+CHANGED_OUT_OF_WINDOW: list[str] = [
+    # r13 (VERDICT r12 item 6): the two schema legs now share ONE
+    # persisted builder input (scan + sign/NaN classification) instead
+    # of re-deriving it per leg — plan shape only; the result hash is
+    # unchanged at both SFs (check_oracle) and the row re-recorded
+    # under round 13.  The window is exactly full (50), and the row's
+    # r12 driver row verified the identical output values.
+    "promql_native_histogram",
+]
 
 # r11-latest queries the 50-slot arithmetic cannot fit once the full
 # r6/r7 debt burn-down (21 rows, VERDICT r12 item 2 "no row older

@@ -1873,8 +1873,12 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 12 (VERDICT r11 item 5): the SAME six functions evaluate
     # over TWO sketch resolutions — schema 0 (pow-of-2 buckets, exact
     # bounds) and schema 3 (Prometheus 3.x's default, 8 buckets per
-    # octave, fractional-pow bounds; see _nh_sql for the float stance)
-    parts, sketches = [], []
+    # octave, fractional-pow bounds; see _nh_sql for the float stance).
+    # The builder INPUT (scan + sign/NaN classification) is shared:
+    # persisted once, both schema legs aggregate from it (VERDICT r12
+    # item 6 — only the per-schema idx math differs between legs).
+    samples = samples.persist()
+    parts, sketches = [], [samples]
     for hschema in (0, 3):
         ht = native_histogram_table(
             samples, ["name", "etype"], schema=hschema, zero_threshold=0.1

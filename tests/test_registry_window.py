@@ -165,5 +165,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     # slot arithmetic that forced them (round 13: 50 slots vs 47
     # r11-latest candidates + 21 r6/r7-debt promotions — the verdict's
     # full "no row older than r9-latest" burn-down — + 2 new + 1
-    # changed = 71 candidates, forcing 21 demotions)
-    assert len(exempt) <= 21, exempt
+    # changed = 71 candidates, forcing 21 demotions; +1 for the
+    # plan-shape-only CHANGED_OUT_OF_WINDOW exemption)
+    assert len(exempt) <= 22, exempt
