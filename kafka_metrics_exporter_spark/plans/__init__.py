@@ -82,6 +82,11 @@ CHANGED_THIS_ROUND: list[str] = [
     # shape; value_count joined the zero-fill family and
     # extended_bounds date strings pinned to UTC in the same change.
     "kibana_date_histogram",
+    # r13: ts_of_first_over_time (Prometheus 3.5's experimental
+    # timestamp twin of first_over_time) — the row gains a tsfirst_s
+    # column with its min-epoch oracle branch.  Already an r11→r13
+    # promotion, so the CHANGED declaration costs no slot.
+    "promql_over_time_pack",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = [
@@ -221,7 +226,6 @@ WINDOW_PRIORITY = [
     "promql_at_offset",
     "promql_label_functions",
     "promql_limit_sample",
-    "promql_over_time_pack",
     "promql_rules_group",
     "rules_rewrite",
     "openmetrics_roundtrip",

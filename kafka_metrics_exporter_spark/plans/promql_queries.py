@@ -1408,7 +1408,8 @@ def promql_label_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                'u') AS umax,
              struct_extract(
                min(struct_pack(u := epoch_us(ts), v := value)) OVER w2,
-               'v') AS first_v
+               'v') AS first_v,
+             min(epoch_us(ts)) OVER w2 AS ufirst
       FROM c
       WINDOW
         w3 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1417,19 +1418,20 @@ def promql_label_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)
     ),
     med AS (
-      SELECT user_id, ts, ls, umax, first_v,
+      SELECT user_id, ts, ls, umax, first_v, ufirst,
              (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2.0 AS m0
       FROM win
     ),
     dev AS (
-      SELECT user_id, ts, umax, first_v,
+      SELECT user_id, ts, umax, first_v, ufirst,
              list_sort(list_transform(ls, x -> abs(x - m0))) AS ds
       FROM med
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            (ds[(len(ds) + 1) // 2] + ds[len(ds) // 2 + 1]) / 2.0 AS mad_v,
            umax / 1000000.0 AS tsmax_s,
-           first_v
+           first_v,
+           ufirst / 1000000.0 AS tsfirst_s
     FROM dev
     """,
 )
@@ -1439,7 +1441,10 @@ def promql_over_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation — sort_array/transform/element_at codegen, no UDFs),
     ``ts_of_max_over_time(click[3h])`` (float epoch seconds of the
     last sample carrying the window max), and
-    ``first_over_time(click[2h])``, joined on (user_id, ts).
+    ``first_over_time(click[2h])``, and — round 13 —
+    ``ts_of_first_over_time(click[2h])`` (the first sample's float
+    epoch seconds, Prometheus 3.5's experimental timestamp twin of
+    first_over_time), joined on (user_id, ts).
 
     The oracle replays each kernel with DuckDB list/struct windows:
     the same trailing left-open RANGE frame, list_sort + two-middle
@@ -1451,6 +1456,7 @@ def promql_over_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = compile_promql("mad_over_time(click[3h])").evaluate(m)
     tmax = compile_promql("ts_of_max_over_time(click[3h])").evaluate(m)
     fst = compile_promql("first_over_time(click[2h])").evaluate(m)
+    tfst = compile_promql("ts_of_first_over_time(click[2h])").evaluate(m)
     out = (
         mad.select("user_id", "ts", F.col("value").alias("mad_v"))
         .join(
@@ -1461,12 +1467,17 @@ def promql_over_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             fst.select("user_id", "ts", F.col("value").alias("first_v")),
             ["user_id", "ts"],
         )
+        .join(
+            tfst.select("user_id", "ts", F.col("value").alias("tsfirst_s")),
+            ["user_id", "ts"],
+        )
         .select(
             "user_id",
             F.date_format("ts", _TS_FMT).alias("ts_s"),
             "mad_v",
             "tsmax_s",
             "first_v",
+            "tsfirst_s",
         )
     )
     return _finish_cached(out, m)

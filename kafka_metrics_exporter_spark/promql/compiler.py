@@ -1270,6 +1270,11 @@ def _over_time_special(op: str):
         return core, lambda c: c.getField("__o_v").cast("double")
     if op == "ts_of_last":
         return F.max(ts_us), lambda c: (c / F.lit(1e6)).cast("double")
+    if op == "ts_of_first":
+        # Prometheus 3.5 experimental, first_over_time's timestamp
+        # twin: the OLDEST sample's timestamp, value-independent like
+        # ts_of_last
+        return F.min(ts_us), lambda c: (c / F.lit(1e6)).cast("double")
     if op == "ts_of_max":
         core = F.max(F.struct(real, v.alias("__o_v"), ts_us.alias("__o_us")))
         return core, lambda c: (c.getField("__o_us") / F.lit(1e6)).cast("double")

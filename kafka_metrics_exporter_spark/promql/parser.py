@@ -671,7 +671,7 @@ class _Parser:
                 in (_AGG_OPS - {"count_values", "group"})
                 | {
                     "last", "absent", "present", "first", "mad",
-                    "ts_of_max", "ts_of_min", "ts_of_last",
+                    "ts_of_max", "ts_of_min", "ts_of_last", "ts_of_first",
                 }
             ):
                 return self.parse_over_time()

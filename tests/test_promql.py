@@ -2127,6 +2127,11 @@ def test_round8_over_time_family(tiny):
     assert tmin[("a", 2)] == e0 + 120.0  # min 5 @ minute 2
     tlast = vals("ts_of_last_over_time(m[2m])")
     assert tlast[("a", 2)] == e0 + 120.0
+    # round 13: ts_of_first_over_time — first_over_time's timestamp
+    # twin (Prometheus 3.5 experimental), value-independent
+    tfirst = vals("ts_of_first_over_time(m[2m])")
+    assert tfirst[("a", 2)] == e0 + 60.0
+    assert tfirst[("a", 1)] == e0
 
     # grid mode takes the same kernels through the instant expansion
     g = {
