@@ -460,6 +460,16 @@ class PipelineAgg:
 SIBLING_OPS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                "min_bucket": F.min, "max_bucket": F.max}
 
+#: ES ``normalize`` pipeline-agg methods (round 13) — the exact
+#: formula table from the ES docs, applied per OUTER bucket across the
+#: innermost level.  Degenerate denominators (single-value level for
+#: the rescale family, zero stddev, zero sum) emit null — the loud
+#: relational stance, never a fabricated 0.
+_NORMALIZE_METHODS = (
+    "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean",
+    "z-score", "softmax",
+)
+
 #: multi-column sibling ops (round 9): ``stats_bucket`` emits the five
 #: stats columns, ``percentiles_bucket`` one column per percent.  ES
 #: percentiles_bucket is exact but does NOT interpolate — it returns
@@ -1339,6 +1349,20 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if lag < 1:
                 raise ValueError("kibana: serial_diff lag must be >= 1")
             pipelines_raw.append(("serial_diff", path, label, lag, (), _seq))
+        elif a["type"] == "normalize":
+            # ES normalize pipeline agg (round 13): rescale a sibling
+            # metric ACROSS the innermost bucket level, per outer
+            # bucket — the op string carries the method
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            method = str(p.get("method", ""))
+            if method not in _NORMALIZE_METHODS:
+                raise ValueError(
+                    f"kibana: normalize method must be one of "
+                    f"{sorted(_NORMALIZE_METHODS)}, got {method!r}"
+                )
+            pipelines_raw.append(
+                (f"normalize:{method}", path, label, 0, (), _seq)
+            )
         elif a["type"] in SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append((a["type"], path, label, 0, (), _seq))
@@ -2513,6 +2537,76 @@ class KibanaPlan:
                 out = out.withColumn(col_name, F.get(arr, idx))
             return out.drop(*{a for a, _, _ in pb_extract})
 
+        def _apply_normalize(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
+            # ES normalize (round 13): rescale each bucket's metric by
+            # level statistics computed ACROSS the innermost bucket
+            # level per outer bucket.  Same distributed shape as the
+            # sibling aggs — one grouped aggregation over the bucket
+            # table joined back (broadcast-safe: one row per OUTER
+            # bucket), never an unpartitioned window.  Only the
+            # statistics the batched methods need are aggregated;
+            # degenerate denominators emit null.
+            if not key_names:
+                raise ValueError("kibana: normalize needs a bucket agg")
+            outer = key_names[:-1]
+            aggs_ = []
+            for pl in run:
+                src = F.col(pl.source_label).cast("double")
+                method = pl.op.split(":", 1)[1]
+                t = f"__nz_{pl.label}"
+                if method in ("rescale_0_1", "rescale_0_100", "mean"):
+                    aggs_ += [F.min(src).alias(f"{t}_min"),
+                              F.max(src).alias(f"{t}_max")]
+                if method in ("mean", "z-score"):
+                    aggs_.append(F.avg(src).alias(f"{t}_avg"))
+                if method == "z-score":
+                    aggs_.append(F.stddev_pop(src).alias(f"{t}_std"))
+                if method == "percent_of_sum":
+                    aggs_.append(F.sum(src).alias(f"{t}_sum"))
+                if method == "softmax":
+                    aggs_.append(F.sum(F.exp(src)).alias(f"{t}_esum"))
+            if outer:
+                lvl = out.groupBy(*[F.col(c) for c in outer]).agg(*aggs_)
+                out = out.join(F.broadcast(lvl), outer, "left")
+            else:
+                out = out.crossJoin(F.broadcast(out.agg(*aggs_)))
+            drop: set[str] = set()
+            for pl in run:
+                src = F.col(pl.source_label).cast("double")
+                method = pl.op.split(":", 1)[1]
+                t = f"__nz_{pl.label}"
+                if method in ("rescale_0_1", "rescale_0_100", "mean"):
+                    rng = F.col(f"{t}_max") - F.col(f"{t}_min")
+                    num = (
+                        src - F.col(f"{t}_avg")
+                        if method == "mean"
+                        else src - F.col(f"{t}_min")
+                    )
+                    expr = F.when(rng != 0, num / rng)
+                    if method == "rescale_0_100":
+                        expr = expr * F.lit(100.0)
+                    drop |= {f"{t}_min", f"{t}_max"}
+                    if method == "mean":
+                        drop.add(f"{t}_avg")
+                elif method == "z-score":
+                    expr = F.when(
+                        F.col(f"{t}_std") != 0,
+                        (src - F.col(f"{t}_avg")) / F.col(f"{t}_std"),
+                    )
+                    drop |= {f"{t}_avg", f"{t}_std"}
+                elif method == "percent_of_sum":
+                    expr = F.when(
+                        F.col(f"{t}_sum") != 0, src / F.col(f"{t}_sum")
+                    )
+                    drop.add(f"{t}_sum")
+                else:  # softmax
+                    expr = F.when(
+                        F.col(f"{t}_esum") != 0, F.exp(src) / F.col(f"{t}_esum")
+                    )
+                    drop.add(f"{t}_esum")
+                out = out.withColumn(pl.label, expr)
+            return out.drop(*drop)
+
         # 3b) rare_terms: keep the keys whose TOTAL doc count within
         # their parent bucket is ≤ max_doc_count.  An INNERMOST rare
         # bucket needs no extra pass: the main aggregation's groups ARE
@@ -2702,7 +2796,12 @@ class KibanaPlan:
         # grid window.
         stages: list[tuple[str, object]] = sorted(
             [
-                ("sibling" if pl.op in _sib_ops else "parent", pl)
+                (
+                    "sibling" if pl.op in _sib_ops
+                    else "normalize" if pl.op.startswith("normalize:")
+                    else "parent",
+                    pl,
+                )
                 for pl in s.pipelines
             ]
             + [(sc.op, sc) for sc in s.scripts],
@@ -2711,7 +2810,7 @@ class KibanaPlan:
         i = 0
         while i < len(stages):
             kind, stage = stages[i]
-            if kind in ("parent", "sibling"):
+            if kind in ("parent", "sibling", "normalize"):
                 run = [stage]
                 while i + 1 < len(stages) and stages[i + 1][0] == kind:
                     i += 1
@@ -2720,6 +2819,8 @@ class KibanaPlan:
                     _apply_parents(out, run)
                     if kind == "parent"
                     else _apply_siblings(out, run)
+                    if kind == "sibling"
+                    else _apply_normalize(out, run)
                 )
             elif kind == "bucket_script":
                 # per-bucket painless arithmetic over sibling metric

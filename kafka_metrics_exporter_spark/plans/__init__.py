@@ -87,6 +87,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # column with its min-epoch oracle branch.  Already an r11→r13
     # promotion, so the CHANGED declaration costs no slot.
     "promql_over_time_pack",
+    # r13: ES `normalize` pipeline agg (all six documented methods; a
+    # percent_of_sum branch joins this row after its selector, the
+    # other methods are unit-pinned) — grouped level aggregation
+    # broadcast-joined back, never an unpartitioned window.  Already
+    # an r11→r13 promotion: no slot cost.
+    "kibana_pipeline",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = [
@@ -233,7 +239,6 @@ WINDOW_PRIORITY = [
     # Kibana surface
     "kibana_composite",
     "kibana_histogram_stats",
-    "kibana_pipeline",
     "kibana_query_string",
 ]
 

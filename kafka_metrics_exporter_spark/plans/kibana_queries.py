@@ -537,7 +537,10 @@ def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s, count,
            d_count, c_count, m_count,
            AVG(CAST(count AS DOUBLE)) OVER (PARTITION BY event_type)
-             AS sel_avg
+             AS sel_avg,
+           CAST(count AS DOUBLE)
+             / SUM(CAST(count AS DOUBLE)) OVER (PARTITION BY event_type)
+             AS pct
     FROM filt
     """,
 )
@@ -559,7 +562,14 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared after the parent pipelines drops odd-count days, and the
     avg_bucket declared AFTER the selector averages only the
     survivors (the fixed phase order would have fed it every
-    bucket)."""
+    bucket).
+
+    Round 13 adds the ES ``normalize`` pipeline agg
+    (method=percent_of_sum) declared after the selector: each
+    surviving day's share of its type's surviving total — computed as
+    a grouped level aggregation broadcast-joined back (never an
+    unpartitioned window), a single IEEE division of integral sums on
+    both engines."""
     plan = compile_visualization(
         _vis(
             [
@@ -583,6 +593,10 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": "7", "type": "avg_bucket", "schema": "metric",
                  "params": {"metricAgg": "_count",
                              "customLabel": "sel_avg"}},
+                {"id": "8", "type": "normalize", "schema": "metric",
+                 "params": {"metricAgg": "_count",
+                             "method": "percent_of_sum",
+                             "customLabel": "pct"}},
             ]
         )
     )
@@ -595,6 +609,7 @@ def kibana_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_count",
         "m_count",
         "sel_avg",
+        "pct",
     )
 
 

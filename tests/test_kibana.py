@@ -3114,3 +3114,89 @@ def test_top_metrics(vocab_df):
             {"id": "1", "type": "top_metrics", "schema": "metric",
              "params": {"fields": ["v"], "size": 0}},
         ])["visState"])
+
+
+def test_normalize_pipeline_agg(spark):
+    """ES normalize pipeline agg (round 13): the six documented
+    methods rescale a sibling metric across the innermost bucket
+    level per outer bucket; degenerate denominators emit null."""
+    d = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 3.0), ("g2", 2.0), ("g2", 2.0),
+         ("g2", 8.0)], "g string, v double"
+    )
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 1.0, "customLabel": "b"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ] + [
+        {"id": str(i + 4), "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "3", "method": m, "customLabel": lbl}}
+        for i, (m, lbl) in enumerate([
+            ("percent_of_sum", "pct"), ("rescale_0_1", "r01"),
+            ("rescale_0_100", "r100"), ("mean", "mn"),
+            ("z-score", "z"), ("softmax", "sm"),
+        ])
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(d)
+    got = {(r["g"], r["b"]): (r["pct"], r["r01"], r["r100"], r["mn"],
+                              r["z"], r["sm"]) for r in out.collect()}
+    import math
+    e = math.e
+    # g2 counts: bucket 2.0 -> 2 docs, bucket 8.0 -> 1 doc
+    assert got[("g2", 2.0)] == (
+        2 / 3, 1.0, 100.0, 0.5, 1.0, e**2 / (e**2 + e))
+    assert got[("g2", 8.0)] == (
+        1 / 3, 0.0, 0.0, -0.5, -1.0, e / (e**2 + e))
+    # g1: both buckets count 1 -> rescale family degenerate (null),
+    # ratio family well-defined
+    assert got[("g1", 1.0)] == (0.5, None, None, None, None, 0.5)
+    with pytest.raises(ValueError, match="method"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "normalize", "schema": "metric",
+             "params": {"metricAgg": "3", "method": "nope"}},
+        ])["visState"])
+    # bare histogram: global stats via one-row broadcast, not an
+    # unpartitioned window
+    out2 = compile_visualization(_vis8([
+        {"id": "2", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 1.0, "customLabel": "b"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "3", "method": "percent_of_sum",
+                    "customLabel": "pct"}},
+    ])).evaluate(d)
+    got2 = {r["b"]: r["pct"] for r in out2.collect()}
+    assert got2 == {1.0: 0.2, 2.0: 0.4, 3.0: 0.2, 8.0: 0.2}
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_normalize_respects_request_order_with_selector(spark):
+    """A bucket_selector BEFORE the normalize shrinks the level the
+    statistics see (request-order reduction, like the other pipeline
+    kinds)."""
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.5), ("b", 2.0), ("c", 3.0)],
+        "g string, v double")
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "bucket_selector", "schema": "metric",
+         "params": {"buckets_path": {"c": "2"}, "customLabel": "keep",
+                    "script": "params.c < 2"}},
+        {"id": "4", "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "2", "method": "percent_of_sum",
+                    "customLabel": "pct"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(d)
+    got = {r["g"]: r["pct"] for r in out.collect()}
+    # 'a' (count 2) dropped by the selector FIRST; pct over b,c only
+    assert got == {"b": 0.5, "c": 0.5}
