@@ -1349,6 +1349,23 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if lag < 1:
                 raise ValueError("kibana: serial_diff lag must be >= 1")
             pipelines_raw.append(("serial_diff", path, label, lag, (), _seq))
+        elif a["type"] == "cumulative_cardinality":
+            # ES cumulative_cardinality (round 13): the running count
+            # of distinct field values across the histogram's buckets.
+            # buckets_path must name a cardinality agg (like ES, which
+            # merges its HLL sketches cumulatively; this engine is
+            # exact via first-seen buckets — the documented
+            # exact-vs-approx stance).
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "")
+            tgt = by_id.get(path)
+            if tgt is None or tgt["type"] != "cardinality":
+                raise ValueError(
+                    "kibana: cumulative_cardinality buckets_path must "
+                    "reference a cardinality agg"
+                )
+            pipelines_raw.append(
+                ("cumulative_cardinality", path, label, 0, (), _seq)
+            )
         elif a["type"] == "normalize":
             # ES normalize pipeline agg (round 13): rescale a sibling
             # metric ACROSS the innermost bucket level, per outer
@@ -2537,6 +2554,57 @@ class KibanaPlan:
                 out = out.withColumn(col_name, F.get(arr, idx))
             return out.drop(*{a for a, _, _ in pb_extract})
 
+        def _apply_cumcard(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
+            # ES cumulative_cardinality (round 13), exact: a value
+            # contributes +1 in its FIRST-seen innermost bucket per
+            # outer group; the running distinct count is the
+            # cumulative sum of those first-seen counts over the
+            # histogram sequence.  Two value-keyed aggregations (the
+            # same doc-scale cost class as the cardinality agg it
+            # reads) + a bucket-table window — the window relation is
+            # the aggregated bucket table, the _apply_parents
+            # bounded-by-construction argument.
+            if not key_names or not isinstance(
+                s.buckets[-1], (DateHistogramBucket, HistogramBucket)
+            ):
+                raise ValueError(
+                    "kibana: cumulative_cardinality needs an innermost "
+                    "histogram/date_histogram bucket"
+                )
+            if any(
+                sc.op == "bucket_selector" and sc.seq < min(pl.seq for pl in run)
+                for sc in s.scripts
+            ):
+                raise ValueError(
+                    "kibana: cumulative_cardinality after a "
+                    "bucket_selector is not supported — the running "
+                    "count would disagree with the surviving buckets"
+                )
+            seq_label = key_names[-1]
+            outer = key_names[:-1]
+            w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
+                F.col(seq_label).asc()
+            ).rowsBetween(Window.unboundedPreceding, 0)
+            for pl in run:
+                m = next(
+                    mm for mm in s.metrics
+                    if isinstance(mm, MetricAgg)
+                    and mm.label == pl.source_label
+                )
+                val = resolve(m.field)
+                first = df.filter(val.isNotNull()).groupBy(
+                    *[F.col(c) for c in outer], val.alias("__cc_v")
+                ).agg(F.min(F.col(seq_label)).alias(seq_label))
+                news = first.groupBy(
+                    *[F.col(c) for c in outer + [seq_label]]
+                ).agg(F.count(F.lit(1)).alias("__cc_new"))
+                out = out.join(news, outer + [seq_label], "left")
+                out = out.withColumn(
+                    pl.label,
+                    F.sum(F.coalesce(F.col("__cc_new"), F.lit(0))).over(w),
+                ).drop("__cc_new")
+            return out
+
         def _apply_normalize(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
             # ES normalize (round 13): rescale each bucket's metric by
             # level statistics computed ACROSS the innermost bucket
@@ -2799,6 +2867,7 @@ class KibanaPlan:
                 (
                     "sibling" if pl.op in _sib_ops
                     else "normalize" if pl.op.startswith("normalize:")
+                    else "cumcard" if pl.op == "cumulative_cardinality"
                     else "parent",
                     pl,
                 )
@@ -2810,7 +2879,7 @@ class KibanaPlan:
         i = 0
         while i < len(stages):
             kind, stage = stages[i]
-            if kind in ("parent", "sibling", "normalize"):
+            if kind in ("parent", "sibling", "normalize", "cumcard"):
                 run = [stage]
                 while i + 1 < len(stages) and stages[i + 1][0] == kind:
                     i += 1
@@ -2821,6 +2890,8 @@ class KibanaPlan:
                     else _apply_siblings(out, run)
                     if kind == "sibling"
                     else _apply_normalize(out, run)
+                    if kind == "normalize"
+                    else _apply_cumcard(out, run)
                 )
             elif kind == "bucket_script":
                 # per-bucket painless arithmetic over sibling metric

@@ -1404,19 +1404,33 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS ({_ES_DOCS_SQL}),
     db AS (
       SELECT make_timestamp((epoch_us(ts) // 86400000000)
-               * 86400000000) AS day, value_i
+               * 86400000000) AS day, value_i, user_id
       FROM d
     ),
-    rates AS (
+    base AS (
       -- rate factors chosen exact-in-binary: week/day = 7, day/day =
       -- 1, unit-omitted = 1 (rates per the histogram's own interval)
-      SELECT 'rate' AS branch, strftime(day, '%Y-%m-%d %H:%M:%S') AS key,
+      SELECT day,
              SUM(value_i) * 7.0 AS sum_rate,
              CAST(COUNT(*) AS DOUBLE) AS doc_rate,
-             CAST(COUNT(value_i) AS DOUBLE) AS vc_rate,
+             CAST(COUNT(value_i) AS DOUBLE) AS vc_rate
+      FROM db GROUP BY day
+    ),
+    -- exact cumulative_cardinality: a user counts in its FIRST day
+    firstd AS (SELECT user_id, MIN(day) AS day FROM db GROUP BY user_id),
+    news AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM firstd
+             GROUP BY day),
+    rates AS (
+      SELECT 'rate' AS branch,
+             strftime(base.day, '%Y-%m-%d %H:%M:%S') AS key,
+             sum_rate, doc_rate, vc_rate,
+             SUM(COALESCE(news.n, 0))
+               OVER (ORDER BY base.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_users,
              CAST(NULL AS VARCHAR) AS last_v,
              CAST(NULL AS VARCHAR) AS top2
-      FROM db GROUP BY day
+      FROM base LEFT JOIN news ON base.day = news.day
     ),
     ranked AS (
       SELECT event_type, value_i, row_number() OVER (
@@ -1428,6 +1442,7 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(NULL AS DOUBLE) AS sum_rate,
              CAST(NULL AS DOUBLE) AS doc_rate,
              CAST(NULL AS DOUBLE) AS vc_rate,
+             CAST(NULL AS BIGINT) AS cum_users,
              CAST(CAST(MAX(CASE WHEN rn = 1 THEN value_i END) AS BIGINT)
                   AS VARCHAR) AS last_v,
              string_agg(CAST(CAST(value_i AS BIGINT) AS VARCHAR), ','
@@ -1465,6 +1480,10 @@ def kibana_rate_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": "4", "type": "rate", "schema": "metric",
          "params": {"field": "value_i", "mode": "value_count",
                     "customLabel": "vc_rate"}},
+        {"id": "5", "type": "cardinality", "schema": "metric",
+         "params": {"field": "user_id", "customLabel": "day_users"}},
+        {"id": "6", "type": "cumulative_cardinality", "schema": "metric",
+         "params": {"metricAgg": "5", "customLabel": "cum_users"}},
     ])).evaluate(docs, auto_interval_buckets=None)
     rates = rates.select(
         F.lit("rate").alias("branch"),
@@ -1472,6 +1491,7 @@ def kibana_rate_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_rate").cast("double").alias("sum_rate"),
         F.col("doc_rate").cast("double").alias("doc_rate"),
         F.col("vc_rate").cast("double").alias("vc_rate"),
+        F.col("cum_users").cast("long").alias("cum_users"),
         F.lit(None).cast("string").alias("last_v"),
         F.lit(None).cast("string").alias("top2"),
     )
@@ -1493,6 +1513,7 @@ def kibana_rate_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_rate"),
         F.lit(None).cast("double").alias("doc_rate"),
         F.lit(None).cast("double").alias("vc_rate"),
+        F.lit(None).cast("long").alias("cum_users"),
         F.col("last_value_i").cast("string").alias("last_v"),
         F.concat_ws(
             ",", F.transform(F.col("top_value_i"),

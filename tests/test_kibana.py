@@ -3200,3 +3200,78 @@ def test_normalize_respects_request_order_with_selector(spark):
     got = {r["g"]: r["pct"] for r in out.collect()}
     # 'a' (count 2) dropped by the selector FIRST; pct over b,c only
     assert got == {"b": 0.5, "c": 0.5}
+
+
+def test_cumulative_cardinality(spark):
+    """ES cumulative_cardinality (round 13): running distinct count of
+    a field across date_histogram buckets, exact via first-seen
+    buckets (ES merges HLL sketches; documented exact-vs-approx
+    stance).  Nested under an outer terms bucket the running count
+    restarts per term."""
+    rows = [
+        ("g1", "2024-01-01 00:10:00", "u1"),
+        ("g1", "2024-01-01 00:20:00", "u2"),
+        ("g1", "2024-01-01 01:10:00", "u1"),   # u1 already seen
+        ("g1", "2024-01-01 02:10:00", "u3"),
+        ("g2", "2024-01-01 00:10:00", "u1"),   # separate outer group
+        ("g2", "2024-01-01 01:10:00", None),   # null value: no count
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, u string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "customLabel": "h"}},
+        {"id": "3", "type": "cardinality", "schema": "metric",
+         "params": {"field": "u", "customLabel": "card"}},
+        {"id": "4", "type": "cumulative_cardinality", "schema": "metric",
+         "params": {"metricAgg": "3", "customLabel": "cc"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        df, auto_interval_buckets=None
+    )
+    got = {(r["g"], str(r["h"])): (r["card"], r["cc"])
+           for r in out.collect()}
+    assert got[("g1", "2024-01-01 00:00:00")] == (2, 2)
+    assert got[("g1", "2024-01-01 01:00:00")] == (1, 2)   # u1 not new
+    assert got[("g1", "2024-01-01 02:00:00")] == (1, 3)
+    assert got[("g2", "2024-01-01 00:00:00")] == (1, 1)
+    assert got[("g2", "2024-01-01 01:00:00")] == (0, 1)   # null only
+    # validation: path must be a cardinality agg
+    with pytest.raises(ValueError, match="cardinality agg"):
+        parse_vis_state(_vis8([
+            {"id": "2", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h"}},
+            {"id": "3", "type": "count", "schema": "metric",
+             "params": {}},
+            {"id": "4", "type": "cumulative_cardinality",
+             "schema": "metric", "params": {"metricAgg": "3"}},
+        ])["visState"])
+    # innermost must be a histogram
+    with pytest.raises(ValueError, match="innermost"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "g", "size": 5, "order": "asc",
+                        "orderBy": "_term", "customLabel": "g"}},
+            {"id": "3", "type": "cardinality", "schema": "metric",
+             "params": {"field": "u", "customLabel": "card"}},
+            {"id": "4", "type": "cumulative_cardinality",
+             "schema": "metric", "params": {"metricAgg": "3"}},
+        ])).evaluate(df)
+    # a selector BEFORE it is rejected loudly
+    with pytest.raises(ValueError, match="bucket_selector"):
+        compile_visualization(_vis8([
+            {"id": "2", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "customLabel": "h"}},
+            {"id": "3", "type": "cardinality", "schema": "metric",
+             "params": {"field": "u", "customLabel": "card"}},
+            {"id": "5", "type": "bucket_selector", "schema": "metric",
+             "params": {"buckets_path": {"c": "3"},
+                        "script": "params.c > 0"}},
+            {"id": "4", "type": "cumulative_cardinality",
+             "schema": "metric", "params": {"metricAgg": "3"}},
+        ])).evaluate(df, auto_interval_buckets=None)

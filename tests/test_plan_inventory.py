@@ -43,7 +43,14 @@ BNLJ_OK = CROSS_JOIN_OK | {
 #   TakeOrdered limit(k=50), so the windowed relation is k rows by
 #   construction — the corpus-sized relation only ever feeds the
 #   TakeOrdered, never the window.
-UNPARTITIONED_WINDOW_OK = {"promql_subquery", "pipe_dsir_resample"}
+# - kibana_rate_top_metrics: the cumulative_cardinality running sum
+#   over a BARE date_histogram — the windowed relation is the already-
+#   aggregated bucket table (time-span / interval rows, ≤ days-in-
+#   corpus), the same grid-bounded argument as promql_subquery; with
+#   any outer bucket the window partitions by it.
+UNPARTITIONED_WINDOW_OK = {
+    "promql_subquery", "pipe_dsir_resample", "kibana_rate_top_metrics",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
