@@ -105,6 +105,25 @@ class SignificantTermsBucket:
 
 
 @dataclass(frozen=True)
+class SignificantTextBucket:
+    """ES ``significant_text`` (round 13): significant_terms over
+    FREE TEXT — each document contributes its DISTINCT analyzed tokens
+    (doc-frequency semantics), scored with the same JLH against the
+    background corpus.  Tokenization is the standard-analyzer shape:
+    lowercase, split on non-letter/non-digit runs.  Set sizes are DOC
+    counts (one 1-row aggregate over the doc frame), not token counts.
+    ES's ``filter_duplicate_text`` near-dup suppression is not
+    modelled — requesting it raises (corpus-level near-dup handling is
+    llmdata/dedup's job).  Like ES, no sub-aggregations."""
+
+    field: str
+    size: int
+    foreground: str
+    label: str
+    min_doc_count: int = 3
+
+
+@dataclass(frozen=True)
 class CompositeBucket:
     """ES ``composite`` aggregation (round 9): paginate ALL buckets of
     a multi-source key tuple in deterministic key order — the agg ES
@@ -631,6 +650,7 @@ class BucketSortAgg:
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
+          | SignificantTextBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
           | FilterBucket | MissingBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
@@ -905,6 +925,29 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             buckets.append(
                 SignificantTermsBucket(
+                    field=p["field"],
+                    size=int(p.get("size", 5)),
+                    foreground=fg,
+                    label=label,
+                    min_doc_count=int(p.get("min_doc_count", 3)),
+                )
+            )
+        elif a["type"] == "significant_text":
+            fg = p.get("foreground") or p.get("fg")
+            if not isinstance(fg, str) or not fg.strip():
+                raise ValueError(
+                    "kibana: significant_text needs an explicit "
+                    "'foreground' query_string param (same contract as "
+                    "significant_terms)"
+                )
+            if p.get("filter_duplicate_text"):
+                raise ValueError(
+                    "kibana: significant_text filter_duplicate_text is "
+                    "not modelled — run the corpus through "
+                    "llmdata/dedup first"
+                )
+            buckets.append(
+                SignificantTextBucket(
                     field=p["field"],
                     size=int(p.get("size", 5)),
                     foreground=fg,
@@ -1718,6 +1761,56 @@ class KibanaPlan:
             *[m.label for m in s.metrics],
         )
 
+    def _evaluate_significant_text(
+        self, df: DataFrame, b: SignificantTextBucket, resolve,
+        default_search_field,
+    ) -> DataFrame:
+        """significant_text: standard-analyzer tokens (lowercase,
+        non-letter/digit splits), DISTINCT per document — ES's
+        doc-frequency semantics — then the significant_terms JLH over
+        one token-keyed hash aggregation.  Set sizes are DOC counts
+        from a 1-row aggregate over the doc frame (token totals would
+        overcount multi-token docs); the token explode is the same
+        scan-local array algebra as llmdata's shingle passes — the
+        shuffle carries (token, flag) pairs only."""
+        fg = _query_string_pred(
+            b.foreground, resolve, df, default_search_field
+        )
+        base = df.withColumn("__fg", fg)
+        totals = base.agg(
+            F.sum(F.col("__fg").cast("long")).alias("__subset"),
+            F.count(F.lit(1)).alias("__superset"),
+        )
+        tokens = F.array_distinct(
+            F.split(F.lower(resolve(b.field).cast("string")),
+                    r"[^\p{L}\p{N}]+")
+        )
+        per_term = (
+            base.select("__fg", F.explode(tokens).alias(b.label))
+            .filter(F.col(b.label) != "")
+            .groupBy(b.label)
+            .agg(
+                F.sum(F.col("__fg").cast("long")).alias("doc_count"),
+                F.count(F.lit(1)).alias("bg_count"),
+            )
+        )
+        kept = per_term.filter(
+            F.col("doc_count") >= max(int(b.min_doc_count), 1)
+        ).crossJoin(F.broadcast(totals))
+        fgp = (
+            F.col("doc_count").cast("double") / F.col("__subset").cast("double")
+        )
+        bgp = (
+            F.col("bg_count").cast("double") / F.col("__superset").cast("double")
+        )
+        scored = kept.withColumn("score", (fgp - bgp) * (fgp / bgp)).filter(
+            F.col("score") > 0
+        )
+        out = scored.orderBy(
+            F.col("score").desc(), F.col(b.label).asc()
+        ).limit(b.size)
+        return out.select(b.label, "doc_count", "bg_count", "score")
+
     def evaluate(
         self,
         df: DataFrame,
@@ -1766,6 +1859,21 @@ class KibanaPlan:
                 )
             return self._evaluate_significant(
                 df, sig[0], resolve, count_distinct, default_search_field
+            )
+
+        sigt = [b for b in s.buckets if isinstance(b, SignificantTextBucket)]
+        if sigt:
+            if len(s.buckets) != 1:
+                raise ValueError(
+                    "kibana: significant_text must be the only bucket agg"
+                )
+            if s.metrics or s.pipelines or s.scripts or s.bucket_sort:
+                raise ValueError(
+                    "kibana: significant_text supports no sub-aggregations "
+                    "(like ES)"
+                )
+            return self._evaluate_significant_text(
+                df, sigt[0], resolve, default_search_field
             )
 
         # 1) bucket key columns (+ filters explode)

@@ -1324,9 +1324,44 @@ _ES_LADDER_CASE_40 = (
                       '%Y-%m-%d %H:%M:%S') AS key,
              CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
       FROM d, iv i GROUP BY 2
+    ),
+    -- significant_text over the documents corpus: distinct tokens per
+    -- doc (doc frequency), JLH vs the whole corpus, DOC-count sizes
+    docsrc AS (
+      SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS fg,
+             text
+      FROM documents
+    ),
+    tot AS (SELECT SUM(fg) AS subset, COUNT(*) AS superset FROM docsrc),
+    tokd AS (
+      SELECT DISTINCT doc_id, fg, tok
+      FROM (SELECT doc_id, fg,
+                   unnest(regexp_split_to_array(
+                     lower(text), '[^\p{{L}}\p{{N}}]+')) AS tok
+            FROM docsrc)
+      WHERE tok != ''
+    ),
+    pt AS (
+      SELECT tok, CAST(SUM(fg) AS BIGINT) AS doc_count,
+             COUNT(*) AS bg_count
+      FROM tokd GROUP BY tok
+    ),
+    sc AS (
+      SELECT tok, doc_count,
+             (doc_count / CAST(subset AS DOUBLE)
+                - bg_count / CAST(superset AS DOUBLE))
+             * ((doc_count / CAST(subset AS DOUBLE))
+                / (bg_count / CAST(superset AS DOUBLE))) AS score
+      FROM pt, tot WHERE doc_count >= 5
+    ),
+    sigtext AS (
+      SELECT 'sigtext' AS branch, tok AS key, doc_count AS n,
+             score AS val
+      FROM sc WHERE score > 0
+      ORDER BY score DESC, tok ASC LIMIT 10
     )
     SELECT * FROM flt UNION ALL SELECT * FROM miss
-    UNION ALL SELECT * FROM auto
+    UNION ALL SELECT * FROM auto UNION ALL SELECT * FROM sigtext
     """,
 )
 def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,7 +1373,10 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     populated span fits ``buckets`` inclusively — distinct from
     Kibana's auto-interval ladder).  One branch each over the events
     documents; the oracle re-derives the interval from the same span
-    with the same imported ladder.
+    with the same imported ladder.  A fourth branch runs
+    ``significant_text`` over the documents corpus (src0 as the
+    foreground): distinct standard-analyzer tokens per doc, JLH
+    scoring, DOC-count set sizes.
 
     Scale: filter/missing are scan-local predicates fused into the
     single hash aggregation (no extra shuffle); auto interval needs
@@ -1395,7 +1433,20 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("val").cast("double").alias("val"),
     )
-    return flt.unionByName(miss).unionByName(auto)
+    # round-13 significant_text branch over the documents corpus
+    docs2 = _t(spark, sf_dir, "documents")
+    sigtext = compile_visualization(_vis([
+        {"id": "1", "type": "significant_text", "schema": "bucket",
+         "params": {"field": "text", "size": 10, "min_doc_count": 5,
+                    "foreground": "source:src0", "customLabel": "tok"}},
+    ])).evaluate(docs2)
+    sigtext = sigtext.select(
+        F.lit("sigtext").alias("branch"),
+        F.col("tok").alias("key"),
+        F.col("doc_count").cast("long").alias("n"),
+        F.col("score").cast("double").alias("val"),
+    )
+    return flt.unionByName(miss).unionByName(auto).unionByName(sigtext)
 
 
 @query(

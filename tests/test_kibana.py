@@ -3275,3 +3275,54 @@ def test_cumulative_cardinality(spark):
             {"id": "4", "type": "cumulative_cardinality",
              "schema": "metric", "params": {"metricAgg": "3"}},
         ])).evaluate(df, auto_interval_buckets=None)
+
+
+def test_significant_text(spark):
+    """ES significant_text (round 13): JLH-scored tokens of a free-text
+    field, distinct per document (doc frequency), DOC-count set sizes.
+    Hand-computed on a crafted corpus where 'crash' dominates the
+    error foreground."""
+    rows = [
+        (1, "error", "server crash crash dump written"),
+        (2, "error", "server crash on startup"),
+        (3, "error", "disk full on server"),
+        (4, "info", "server started ok"),
+        (5, "info", "server running fine today"),
+        (6, "info", "backup finished ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, level string, text string")
+    aggs = [
+        {"id": "1", "type": "significant_text", "schema": "bucket",
+         "params": {"field": "text", "size": 3, "min_doc_count": 2,
+                    "foreground": "level:error", "customLabel": "tok"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    got = {r["tok"]: (r["doc_count"], r["bg_count"], r["score"])
+           for r in out.collect()}
+    # 'crash' appears in 2 error docs (distinct per doc: doc 1 counts
+    # once despite two occurrences), 0 info docs: fg% = 2/3, bg% = 2/6
+    # -> score (2/3 - 1/3) * (2/3 / 1/3) = 2/3
+    assert got["crash"][0] == 2 and got["crash"][1] == 2
+    assert abs(got["crash"][2] - 2 / 3) < 1e-12
+    # 'server' is everywhere -> fg% 1.0 vs bg% 5/6: positive but small;
+    # 'on' in 2 error docs like crash... 'on' appears docs 2,3 (error)
+    assert set(got) <= {"crash", "on", "server"}
+    assert got["crash"][2] == max(s for _, _, s in got.values())
+    # no sub-aggregations, like ES
+    with pytest.raises(ValueError, match="no sub-aggregations"):
+        compile_visualization(_vis8([
+            aggs[0],
+            {"id": "2", "type": "avg", "schema": "metric",
+             "params": {"field": "id", "customLabel": "a"}},
+        ])).evaluate(df)
+    with pytest.raises(ValueError, match="filter_duplicate_text"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "significant_text", "schema": "bucket",
+             "params": {"field": "text", "foreground": "level:error",
+                        "filter_duplicate_text": True}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="foreground"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "significant_text", "schema": "bucket",
+             "params": {"field": "text"}},
+        ])["visState"])
