@@ -183,6 +183,20 @@ class FiltersBucket:
 
 
 @dataclass(frozen=True)
+class AdjacencyMatrixBucket:
+    """ES ``adjacency_matrix`` (round 13): named query_string filters
+    → one bucket per matching filter plus one per matching PAIR, keyed
+    ``a&b`` (the ``separator`` param) with the names in filter-
+    declaration order, exactly ES's intersection naming.  A document
+    explodes into every singleton and pair bucket it belongs to; ES
+    caps the filter count (default 100) — enforced here."""
+
+    filters: tuple[tuple[str, str], ...]  # (name, query_string)
+    label: str
+    separator: str = "&"
+
+
+@dataclass(frozen=True)
 class MultiTermsBucket:
     """ES ``multi_terms`` (round 11.5): a terms bucket over a TUPLE of
     fields, keyed by the '|'-joined key_as_string exactly as ES renders
@@ -280,6 +294,28 @@ class MetricAgg:
     op: str  # avg | min | max | sum | cardinality | count | value_count
     field: str
     label: str
+
+
+@dataclass(frozen=True)
+class StringStatsAgg:
+    """ES ``string_stats`` (round 13): count of non-null values,
+    min/max/avg byte-..character-length, and the Shannon entropy (log
+    base 2) of the bucket's character distribution.  Lengths ride the
+    main hash aggregation; entropy is one char-keyed aggregation
+    (map-side combine shrinks the shuffle to <= charset x buckets
+    rows) joined back, using the single-pass identity
+    H = log2(T) - (1/T)*sum(c*log2(c)).  ES's ``show_distribution``
+    response option is not modelled (reject loudly)."""
+
+    field: str
+    label: str
+
+    def column_names(self) -> list[str]:
+        return [
+            f"{self.label}_{n}"
+            for n in ("count", "min_length", "max_length", "avg_length",
+                      "entropy")
+        ]
 
 
 @dataclass(frozen=True)
@@ -464,6 +500,12 @@ class PipelineAgg:
             return [
                 f"{self.label}_{n}" for n in ("count", "min", "max", "avg", "sum")
             ]
+        if self.op == "extended_stats_bucket":
+            return [
+                f"{self.label}_{n}"
+                for n in ("count", "min", "max", "avg", "sum",
+                          "sum_of_squares", "variance", "std_deviation")
+            ]
         if self.op == "percentiles_bucket":
             return [
                 f"{self.label}_p{f'{p:g}'.replace('.', '_')}"
@@ -496,7 +538,8 @@ _NORMALIZE_METHODS = (
 #: unlike the t-digest `percentiles` metric, which approximates AND
 #: interpolates).  Same grouped-aggregation-joined-back shape as
 #: SIBLING_OPS, with the sorted value array selected post-join.
-MULTI_SIBLING_OPS = {"stats_bucket", "percentiles_bucket"}
+MULTI_SIBLING_OPS = {"stats_bucket", "percentiles_bucket",
+                     "extended_stats_bucket"}
 
 
 @dataclass(frozen=True)
@@ -652,10 +695,10 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | SignificantTextBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
-          | FilterBucket | MissingBucket)
+          | FilterBucket | MissingBucket | AdjacencyMatrixBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
           | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg
-          | RateAgg | TopMetricsAgg)
+          | RateAgg | TopMetricsAgg | StringStatsAgg)
 
 
 @dataclass(frozen=True)
@@ -930,6 +973,48 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     foreground=fg,
                     label=label,
                     min_doc_count=int(p.get("min_doc_count", 3)),
+                )
+            )
+        elif a["type"] == "adjacency_matrix":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: adjacency_matrix must be a bucket agg"
+                )
+            raw_flt = p.get("filters") or {}
+            if isinstance(raw_flt, dict):
+                pairs = list(raw_flt.items())
+            else:
+                pairs = [
+                    (f.get("label") or f"filter_{i}",
+                     f["input"]["query"]["query_string"]["query"]
+                     if isinstance(f.get("input"), dict) else f["query"])
+                    for i, f in enumerate(raw_flt)
+                ]
+            if not pairs:
+                raise ValueError(
+                    "kibana: adjacency_matrix needs at least one filter"
+                )
+            if len(pairs) > 100:
+                # ES indices.query.bool.max_clause_count-backed default
+                raise ValueError(
+                    "kibana: adjacency_matrix supports at most 100 filters"
+                )
+            sep = str(p.get("separator", "&"))
+            names = [str(k) for k, _ in pairs]
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    "kibana: adjacency_matrix filter names must be unique"
+                )
+            if any(sep in n for n in names):
+                raise ValueError(
+                    "kibana: adjacency_matrix filter names must not "
+                    "contain the separator"
+                )
+            buckets.append(
+                AdjacencyMatrixBucket(
+                    filters=tuple((str(k), str(q)) for k, q in pairs),
+                    label=label,
+                    separator=sep,
                 )
             )
         elif a["type"] == "significant_text":
@@ -1218,6 +1303,19 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             metrics.append(
                 MetricAgg(op=a["type"], field=p.get("field", ""), label=label)
             )
+        elif a["type"] == "string_stats":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: string_stats cannot be a bucket agg"
+                )
+            if not p.get("field"):
+                raise ValueError("kibana: string_stats needs a field")
+            if p.get("show_distribution"):
+                raise ValueError(
+                    "kibana: string_stats show_distribution is not "
+                    "modelled"
+                )
+            metrics.append(StringStatsAgg(field=p["field"], label=label))
         elif a["type"] == "boxplot":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError("kibana: boxplot cannot be a bucket agg")
@@ -2027,6 +2125,42 @@ class KibanaPlan:
                 v = resolve(b.field).cast("string")
                 df = df.filter(v.isNotNull()).withColumn(b.label, v)
                 rare_src[b.label] = df
+            elif isinstance(b, AdjacencyMatrixBucket):
+                # singleton buckets for every matching filter + pair
+                # buckets 'a&b' for every matching pair in declaration
+                # order (i < j) — scan-local array algebra, then one
+                # explode; a doc matching k filters contributes
+                # k + k(k-1)/2 rows, k <= 100 by the parse-time cap
+                matches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                _query_string_pred(
+                                    q, resolve, df, default_search_field
+                                ),
+                                F.lit(name),
+                            )
+                            for name, q in b.filters
+                        ]
+                    )
+                )
+                pair_keys = F.flatten(
+                    F.transform(
+                        matches,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                matches, i + F.lit(2),
+                                F.greatest(
+                                    F.size(matches) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.concat_ws(b.separator, x, y),
+                        ),
+                    )
+                )
+                df = df.withColumn(
+                    b.label, F.explode(F.concat(matches, pair_keys))
+                )
             elif isinstance(b, FiltersBucket):
                 # a doc lands in EVERY filter bucket it matches; with
                 # other_bucket set, a doc matching NOTHING lands in the
@@ -2116,6 +2250,7 @@ class KibanaPlan:
         multi_hits: list[TopHitsAgg] = []
         multi_tms: list[TopMetricsAgg] = []
         mad_aggs: list[MadAgg] = []
+        ss_aggs: list[StringStatsAgg] = []
         for m in metrics:
             if isinstance(m, PercentilesAgg):
                 # one exact interpolated percentile sketch per agg; the
@@ -2191,6 +2326,18 @@ class KibanaPlan:
                         F.sum(F.when(both, v * w)) / wsum,
                     ).alias(m.label)
                 )
+                continue
+            if isinstance(m, StringStatsAgg):
+                v = resolve(m.field).cast("string")
+                ln = F.length(v)
+                names = m.column_names()
+                agg_exprs += [
+                    F.count(v).alias(names[0]),
+                    F.min(ln).alias(names[1]),
+                    F.max(ln).alias(names[2]),
+                    F.avg(ln.cast("double")).alias(names[3]),
+                ]
+                ss_aggs.append(m)  # entropy joined back below
                 continue
             if isinstance(m, RateAgg):
                 # rate = bucket value · unit / interval, against the
@@ -2436,6 +2583,30 @@ class KibanaPlan:
                 out = out.join(per, key_names, "left")
             else:
                 out = out.crossJoin(F.broadcast(per))
+        # string_stats entropy (round 13): one char-keyed aggregation
+        # over the doc frame per agg — H = log2(T) - (1/T)*sum(c*log2 c)
+        # in a single pass — joined back bucket-keyed (one row per
+        # bucket); a bucketless panel folds to one row broadcast.
+        for m in ss_aggs:
+            v = resolve(m.field).cast("string")
+            ent_name = m.column_names()[4]
+            chars = df.filter(v.isNotNull()).select(
+                *[F.col(k) for k in key_names],
+                F.explode(F.split(v, "(?!$)")).alias("__ch"),
+            ).filter(F.col("__ch") != "")
+            cc = chars.groupBy(
+                *[F.col(k) for k in key_names], F.col("__ch")
+            ).agg(F.count(F.lit(1)).alias("__c"))
+            t = F.sum("__c").cast("double")
+            ent_expr = (
+                F.log2(t) - F.sum(F.col("__c") * F.log2("__c")) / t
+            ).alias(ent_name)
+            if key_names:
+                ent = cc.groupBy(*[F.col(k) for k in key_names]).agg(ent_expr)
+                out = out.join(ent, key_names, "left")
+            else:
+                out = out.crossJoin(F.broadcast(cc.agg(ent_expr)))
+
         # median_absolute_deviation (round 12): pass 1 computes each
         # bucket's median, pass 2 the median of absolute deviations —
         # both grouped on the SAME keys (the second groupBy reuses the
@@ -2616,7 +2787,7 @@ class KibanaPlan:
             pb_extract: list[tuple[str, str, float]] = []
             for pl in run:
                 src = F.col(pl.source_label).cast("double")
-                if pl.op == "stats_bucket":
+                if pl.op in ("stats_bucket", "extended_stats_bucket"):
                     names = pl.column_names()
                     aggs_ += [
                         F.count(src).alias(names[0]),
@@ -2625,6 +2796,18 @@ class KibanaPlan:
                         F.avg(src).alias(names[3]),
                         F.sum(src).alias(names[4]),
                     ]
+                    if pl.op == "extended_stats_bucket":
+                        # POPULATION statistics from exact partials,
+                        # the same formulas as the extended_stats
+                        # metric agg (ES's definition)
+                        n_ = F.count(src).cast("double")
+                        ssq = F.sum(src * src)
+                        var = ssq / n_ - (F.sum(src) / n_) * (F.sum(src) / n_)
+                        aggs_ += [
+                            ssq.alias(names[5]),
+                            var.alias(names[6]),
+                            F.sqrt(var).alias(names[7]),
+                        ]
                 elif pl.op == "percentiles_bucket":
                     # ES percentiles_bucket does NOT interpolate: it
                     # returns the nearest input value, picked from the
@@ -2940,6 +3123,8 @@ class KibanaPlan:
                 elif isinstance(m, RateAgg):
                     # count/sum-family: an empty bucket rates 0 (ES)
                     zero_names.append(m.label)
+                elif isinstance(m, StringStatsAgg):
+                    zero_names.append(m.column_names()[0])
                 elif isinstance(m, StatsAgg):
                     cn = m.column_names()
                     zero_names += [cn[0], cn[4]] + (
@@ -3064,7 +3249,8 @@ class KibanaPlan:
                     for i, name in enumerate(m.column_names())
                 )
             elif isinstance(
-                m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg)
+                m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg,
+                    StringStatsAgg)
             ):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:

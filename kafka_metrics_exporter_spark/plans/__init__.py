@@ -93,6 +93,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # broadcast-joined back, never an unpartitioned window.  Already
     # an r11→r13 promotion: no slot cost.
     "kibana_pipeline",
+    # r13: extended_stats_bucket sibling (population variance family
+    # over the inner level's integral counts) joins this row; the
+    # remaining round-13 vocabulary (adjacency_matrix, significant_text,
+    # string_stats, cumulative_cardinality) rides the two NEW rows and
+    # unit tests.  Already an r11→r13 promotion: no slot cost.
+    "kibana_histogram_stats",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = [
@@ -238,7 +244,6 @@ WINDOW_PRIORITY = [
     "streaming_alerts_replay",
     # Kibana surface
     "kibana_composite",
-    "kibana_histogram_stats",
     "kibana_query_string",
 ]
 

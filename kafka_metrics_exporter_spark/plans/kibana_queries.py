@@ -456,20 +456,51 @@ def kibana_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l, r
       WHERE (r.lo IS NULL OR l.l_quantity >= r.lo)
         AND (r.hi IS NULL OR l.l_quantity < r.hi)
+    ),
+    agg AS (
+      SELECT qty_range, price_b,
+             COUNT(q) AS qty_count,
+             MIN(q) AS qty_min,
+             MAX(q) AS qty_max,
+             AVG(q) AS qty_avg,
+             SUM(q) AS qty_sum,
+             SUM(q * q) AS qty_sum_of_squares,
+             SUM(q * q) / COUNT(q) - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q))
+               AS qty_variance,
+             sqrt(SUM(q * q) / COUNT(q)
+                  - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q)))
+               AS qty_std_deviation,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
     )
-    SELECT qty_range, price_b,
-           COUNT(q) AS qty_count,
-           MIN(q) AS qty_min,
-           MAX(q) AS qty_max,
-           AVG(q) AS qty_avg,
-           SUM(q) AS qty_sum,
-           SUM(q * q) AS qty_sum_of_squares,
-           SUM(q * q) / COUNT(q) - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q))
-             AS qty_variance,
-           sqrt(SUM(q * q) / COUNT(q)
-                - (SUM(q) / COUNT(q)) * (SUM(q) / COUNT(q)))
-             AS qty_std_deviation
-    FROM b GROUP BY 1, 2
+    -- extended_stats_bucket of the doc count across the price
+    -- histogram, per range bucket: the same population formulas over
+    -- the integral per-bucket counts
+    SELECT qty_range, price_b, qty_count, qty_min, qty_max, qty_avg,
+           qty_sum, qty_sum_of_squares, qty_variance, qty_std_deviation,
+           n,
+           CAST(COUNT(n) OVER w AS BIGINT) AS esb_count,
+           MIN(CAST(n AS DOUBLE)) OVER w AS esb_min,
+           MAX(CAST(n AS DOUBLE)) OVER w AS esb_max,
+           AVG(CAST(n AS DOUBLE)) OVER w AS esb_avg,
+           SUM(CAST(n AS DOUBLE)) OVER w AS esb_sum,
+           SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w
+             AS esb_sum_of_squares,
+           SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w
+               / CAST(COUNT(n) OVER w AS DOUBLE)
+             - (SUM(CAST(n AS DOUBLE)) OVER w
+                / CAST(COUNT(n) OVER w AS DOUBLE))
+               * (SUM(CAST(n AS DOUBLE)) OVER w
+                  / CAST(COUNT(n) OVER w AS DOUBLE)) AS esb_variance,
+           sqrt(SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w
+                  / CAST(COUNT(n) OVER w AS DOUBLE)
+                - (SUM(CAST(n AS DOUBLE)) OVER w
+                   / CAST(COUNT(n) OVER w AS DOUBLE))
+                  * (SUM(CAST(n AS DOUBLE)) OVER w
+                     / CAST(COUNT(n) OVER w AS DOUBLE)))
+             AS esb_std_deviation
+    FROM agg
+    WINDOW w AS (PARTITION BY qty_range)
     """,
 )
 def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,7 +513,12 @@ def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_of_squares/count − mean² (population) derived from the exact
     partials — l_quantity is integral, so count/min/max/sum/sum_sq are
     exact and the derived avg/variance/stddev divisions are
-    bit-identical to the oracle replaying the same formula."""
+    bit-identical to the oracle replaying the same formula.
+
+    Round 13 adds the ``extended_stats_bucket`` SIBLING over the doc
+    count across the price histogram per range bucket — the same
+    population formulas over the integral per-bucket counts, one
+    grouped aggregation joined back."""
     li = _t(spark, sf_dir, "lineitem")
     plan = compile_visualization(
         _vis(
@@ -498,6 +534,11 @@ def kibana_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "customLabel": "price_b"}},
                 {"id": "3", "type": "extended_stats", "schema": "metric",
                  "params": {"field": "l_quantity", "customLabel": "qty"}},
+                {"id": "4", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+                {"id": "5", "type": "extended_stats_bucket",
+                 "schema": "metric",
+                 "params": {"metricAgg": "4", "customLabel": "esb"}},
             ]
         )
     )
@@ -1359,9 +1400,33 @@ _ES_LADDER_CASE_40 = (
              score AS val
       FROM sc WHERE score > 0
       ORDER BY score DESC, tok ASC LIMIT 10
+    ),
+    -- adjacency_matrix: per-doc filter flags, singleton + pair cells
+    adjf AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS fa,
+             CASE WHEN value_i >= 100 THEN 1 ELSE 0 END AS fb,
+             CASE WHEN value_i < 10 THEN 1 ELSE 0 END AS fc,
+             value_i
+      FROM d
+    ),
+    adj AS (
+      SELECT 'adj' AS branch, cell AS key,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
+      FROM (
+        SELECT 'click' AS cell, value_i FROM adjf WHERE fa = 1
+        UNION ALL SELECT 'big', value_i FROM adjf WHERE fb = 1
+        UNION ALL SELECT 'small', value_i FROM adjf WHERE fc = 1
+        UNION ALL SELECT 'click&big', value_i FROM adjf
+          WHERE fa = 1 AND fb = 1
+        UNION ALL SELECT 'click&small', value_i FROM adjf
+          WHERE fa = 1 AND fc = 1
+        UNION ALL SELECT 'big&small', value_i FROM adjf
+          WHERE fb = 1 AND fc = 1
+      ) GROUP BY cell HAVING COUNT(*) > 0
     )
     SELECT * FROM flt UNION ALL SELECT * FROM miss
     UNION ALL SELECT * FROM auto UNION ALL SELECT * FROM sigtext
+    UNION ALL SELECT * FROM adj
     """,
 )
 def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,7 +1441,9 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same imported ladder.  A fourth branch runs
     ``significant_text`` over the documents corpus (src0 as the
     foreground): distinct standard-analyzer tokens per doc, JLH
-    scoring, DOC-count set sizes.
+    scoring, DOC-count set sizes.  A fifth branch runs
+    ``adjacency_matrix`` (three query_string filters → singleton and
+    '&'-pair cells, explode-and-aggregate like the filters bucket).
 
     Scale: filter/missing are scan-local predicates fused into the
     single hash aggregation (no extra shuffle); auto interval needs
@@ -1446,7 +1513,24 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_count").cast("long").alias("n"),
         F.col("score").cast("double").alias("val"),
     )
-    return flt.unionByName(miss).unionByName(auto).unionByName(sigtext)
+    adj = compile_visualization(_vis([
+        {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+         "params": {"filters": {"click": "event_type:click",
+                                "big": "value_i:>=100",
+                                "small": "value_i:<10"},
+                    "customLabel": "cell"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    adj = adj.select(
+        F.lit("adj").alias("branch"), F.col("cell").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (flt.unionByName(miss).unionByName(auto)
+            .unionByName(sigtext).unionByName(adj))
 
 
 @query(

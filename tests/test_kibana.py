@@ -3326,3 +3326,103 @@ def test_significant_text(spark):
             {"id": "1", "type": "significant_text", "schema": "bucket",
              "params": {"field": "text"}},
         ])["visState"])
+
+
+def test_extended_stats_bucket(spark):
+    """ES extended_stats_bucket sibling (round 13): the five stats
+    columns plus sum_of_squares / variance / std_deviation (POPULATION,
+    exact partials) across the innermost bucket level."""
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "c")],
+        "g string, b string")
+    aggs = [
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "b", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "b"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "extended_stats_bucket", "schema": "metric",
+         "params": {"metricAgg": "3", "customLabel": "es"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(df)
+    r = {(x["g"], x["b"]): x for x in out.collect()}
+    # g1 inner counts [2, 1]: avg 1.5, ssq 5, var 5/2 - 2.25 = 0.25
+    row = r[("g1", "a")]
+    assert (row["es_count"], row["es_min"], row["es_max"], row["es_avg"],
+            row["es_sum"]) == (2, 1.0, 2.0, 1.5, 3.0)
+    assert row["es_sum_of_squares"] == 5.0
+    assert abs(row["es_variance"] - 0.25) < 1e-12
+    assert abs(row["es_std_deviation"] - 0.5) < 1e-12
+
+
+def test_adjacency_matrix(spark):
+    """ES adjacency_matrix (round 13): singleton buckets per matching
+    filter plus 'a&b' pair buckets in declaration order."""
+    d = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "ab", 5.0)],
+        "id long, tag string, v double")
+    aggs = [
+        {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+         "params": {"filters": {"hasA": "tag:a OR tag:ab",
+                                "hasB": "tag:b OR tag:ab",
+                                "big": "v:>=10"},
+                    "customLabel": "cell"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(d)
+    got = {r["cell"]: r["n"] for r in out.collect()}
+    assert got == {"hasA": 2, "hasB": 2, "big": 2,
+                   "hasA&hasB": 1, "hasA&big": 1, "hasB&big": 1}
+    # custom separator + validation
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+         "params": {"filters": {"x": "tag:a", "y": "v:>=5"},
+                    "separator": "|", "customLabel": "cell"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(d)
+    assert {r["cell"] for r in out2.collect()} == {"x", "y", "x|y"}
+    with pytest.raises(ValueError, match="at least one filter"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+             "params": {}}])["visState"])
+    with pytest.raises(ValueError, match="unique"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+             "params": {"filters": [
+                 {"label": "x", "query": "tag:a"},
+                 {"label": "x", "query": "tag:b"}]}}])["visState"])
+
+
+def test_string_stats(spark):
+    """ES string_stats (round 13): non-null count, length min/max/avg,
+    Shannon entropy (log2) over the bucket's character distribution —
+    hand-computed."""
+    import math
+
+    d = spark.createDataFrame(
+        [("g1", "ab"), ("g1", "abb"), ("g2", "aaaa"), ("g2", None)],
+        "g string, t string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "string_stats", "schema": "metric",
+         "params": {"field": "t", "customLabel": "ss"}},
+    ])).evaluate(d)
+    got = {r["g"]: (r["ss_count"], r["ss_min_length"], r["ss_max_length"],
+                    r["ss_avg_length"], r["ss_entropy"])
+           for r in out.collect()}
+    exp = math.log2(5) - (2 * math.log2(2) + 3 * math.log2(3)) / 5
+    assert got["g1"][:4] == (2, 2, 3, 2.5)
+    assert abs(got["g1"][4] - exp) < 1e-12
+    assert got["g2"] == (1, 4, 4, 4.0, 0.0)   # single repeated char
+    with pytest.raises(ValueError, match="show_distribution"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "string_stats", "schema": "metric",
+             "params": {"field": "t", "show_distribution": True}},
+        ])["visState"])
