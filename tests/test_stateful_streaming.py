@@ -681,3 +681,77 @@ def test_replay_empty_emission_returns_empty_frame(spark):
     out = replay_windowed_rollup(spark, ev, n_batches=2, delay="1 hour")
     assert out.count() == 0
     assert out.columns == ["event_type", "window_start", "n", "total"]
+
+
+def test_round13_vocab_on_live_stream(spark, tmp_path):
+    """Round 13: the new vocabulary composes with kibana_panels — a
+    rate agg + top_metrics under a date_histogram and a normalize
+    pipeline evaluated per micro-batch, values pinned across 2
+    batches."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    vis = {
+        "visState": json.dumps({
+            "title": "t", "type": "table",
+            "aggs": [
+                {"id": "1", "type": "date_histogram", "schema": "bucket",
+                 "params": {"field": "ts", "customInterval": "1h",
+                            "customLabel": "h"}},
+                {"id": "2", "type": "rate", "schema": "metric",
+                 "params": {"field": "v", "unit": "minute",
+                            "customLabel": "r"}},
+                {"id": "3", "type": "top_metrics", "schema": "metric",
+                 "params": {"fields": ["v"], "sortField": "ts",
+                            "sortOrder": "desc", "customLabel": "last"}},
+                {"id": "4", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+                {"id": "5", "type": "normalize", "schema": "metric",
+                 "params": {"metricAgg": "4", "method": "percent_of_sum",
+                            "customLabel": "pct"}},
+            ],
+        })
+    }
+    src = tmp_path / "r13stream"
+    src.mkdir()
+    for b in range(2):
+        rows = [
+            (f"2024-01-01 00:1{b}:00", 60.0 * (b + 1)),
+            (f"2024-01-01 00:3{b}:00", 120.0 * (b + 1)),
+            (f"2024-01-01 01:1{b}:00", 60.0),
+        ]
+        df = spark.createDataFrame(rows, "ts string, v double")
+        df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got: list[tuple[int, dict]] = []
+    q = kibana_panels(
+        stream,
+        {"p": vis},
+        lambda name, df, bid: got.append(
+            (bid, {str(r["h"]): (r["r"], r["last_v"], r["pct"])
+                   for r in df.collect()}),
+        ),
+        checkpoint=str(tmp_path / "r13ckpt"),
+        auto_interval_buckets=None,
+    )
+    q.awaitTermination(120)
+    per_batch = dict(got)
+    # batch 0: hour00 sum 180 -> 3/min, last v 120 (ts 00:30), 2/3 of
+    # docs; hour01 sum 60 -> 1/min
+    assert per_batch[0] == {
+        "2024-01-01 00:00:00": (3.0, 120.0, 2 / 3),
+        "2024-01-01 01:00:00": (1.0, 60.0, 1 / 3),
+    }
+    assert per_batch[1] == {
+        "2024-01-01 00:00:00": (6.0, 240.0, 2 / 3),
+        "2024-01-01 01:00:00": (1.0, 60.0, 1 / 3),
+    }
