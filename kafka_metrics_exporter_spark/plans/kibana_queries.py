@@ -1423,10 +1423,28 @@ _ES_LADDER_CASE_40 = (
         UNION ALL SELECT 'big&small', value_i FROM adjf
           WHERE fb = 1 AND fc = 1
       ) GROUP BY cell HAVING COUNT(*) > 0
+    ),
+    -- string_stats entropy of `source` per lang: char-keyed counts,
+    -- H = log2(T) - sum(c*log2 c)/T, ROUNDED to 4 decimals (the ~12
+    -- irrational c*log2 c terms sum in engine-specific order)
+    sschars AS (
+      SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split(source, '')) AS ch
+            FROM documents WHERE source IS NOT NULL)
+      WHERE ch != '' GROUP BY lang, ch
+    ),
+    ss AS (
+      SELECT 'sstats' AS branch, lang AS key,
+             (SELECT CAST(COUNT(source) AS BIGINT) FROM documents dd
+              WHERE dd.lang = sschars.lang) AS n,
+             ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                   - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                     / CAST(SUM(c) AS DOUBLE), 4) AS val
+      FROM sschars GROUP BY lang
     )
     SELECT * FROM flt UNION ALL SELECT * FROM miss
     UNION ALL SELECT * FROM auto UNION ALL SELECT * FROM sigtext
-    UNION ALL SELECT * FROM adj
+    UNION ALL SELECT * FROM adj UNION ALL SELECT * FROM ss
     """,
 )
 def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,7 +1461,10 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreground): distinct standard-analyzer tokens per doc, JLH
     scoring, DOC-count set sizes.  A fifth branch runs
     ``adjacency_matrix`` (three query_string filters → singleton and
-    '&'-pair cells, explode-and-aggregate like the filters bucket).
+    '&'-pair cells, explode-and-aggregate like the filters bucket),
+    and a sixth runs ``string_stats`` over the documents' source field
+    per lang (entropy rounded to 4 decimals — the char-keyed partial
+    products sum in engine-specific order).
 
     Scale: filter/missing are scan-local predicates fused into the
     single hash aggregation (no extra shuffle); auto interval needs
@@ -1529,8 +1550,21 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("val").cast("double").alias("val"),
     )
+    sstats = compile_visualization(_vis([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "lang", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "lang"}},
+        {"id": "2", "type": "string_stats", "schema": "metric",
+         "params": {"field": "source", "customLabel": "ss"}},
+    ])).evaluate(docs2)
+    sstats = sstats.select(
+        F.lit("sstats").alias("branch"), F.col("lang").alias("key"),
+        F.col("ss_count").cast("long").alias("n"),
+        F.round(F.col("ss_entropy"), 4).alias("val"),
+    )
     return (flt.unionByName(miss).unionByName(auto)
-            .unionByName(sigtext).unionByName(adj))
+            .unionByName(sigtext).unionByName(adj)
+            .unionByName(sstats))
 
 
 @query(
