@@ -2443,7 +2443,9 @@ class KibanaPlan:
                 inner.label
                 for inner in s.buckets[i + 1:]
                 if isinstance(
-                    inner, (FiltersBucket, RangeBucket, DateRangeBucket)
+                    inner,
+                    (FiltersBucket, RangeBucket, DateRangeBucket,
+                     AdjacencyMatrixBucket),
                 )
             ]
             if exploding:

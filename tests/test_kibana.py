@@ -3426,3 +3426,20 @@ def test_string_stats(spark):
             {"id": "1", "type": "string_stats", "schema": "metric",
              "params": {"field": "t", "show_distribution": True}},
         ])["visState"])
+
+
+def test_adjacency_below_mdc_histogram_rejected(spark):
+    """adjacency_matrix explodes rows like filters/range — below a
+    min_doc_count histogram it would inflate the level count (round-13
+    self-review)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a")], "ts string, g string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="exploding"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "min_doc_count": 2, "customLabel": "h"}},
+            {"id": "2", "type": "adjacency_matrix", "schema": "bucket",
+             "params": {"filters": {"x": "g:a"}, "customLabel": "cell"}},
+        ])).evaluate(df, auto_interval_buckets=None)
