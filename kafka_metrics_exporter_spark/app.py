@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                            "bootstrap (index template + Kibana index "
                            "pattern) before streaming starts (reference "
                            "Code/ElasticSearchAppender.py:43-79)")
+    sink.add_argument("--kibana-dashboards", default=None, metavar="FILE",
+                      help="saved-objects JSON export (the reference's "
+                           "ELK/jmx_dashboard.json shape) imported during "
+                           "the --kibana-url bootstrap")
     sink.add_argument("--es-bulk-chunks", type=int, default=32,
                       help="hash chunks per daily index so one bulk POST "
                            "stays in the 5-15 MB ES sweet spot")
@@ -606,12 +610,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # template + index-pattern + dashboard setup on startup;
             # here the saved objects go through the ES .kibana index —
             # the kibana URL gates the step and is recorded for parity)
+            import json as _json
+
             from kafka_metrics_exporter_spark.sinks.es_setup import (
                 bootstrap_elasticsearch,
                 http_put,
             )
 
-            flags = bootstrap_elasticsearch(http_put(args.es_url))
+            dash_objs = None
+            if args.kibana_dashboards:
+                with open(args.kibana_dashboards) as fh:
+                    dash_objs = _json.load(fh)
+            flags = bootstrap_elasticsearch(
+                http_put(args.es_url), dashboard_objects=dash_objs
+            )
             print(f"elasticsearch bootstrap ({args.kibana_url}): {flags}")
         from kafka_metrics_exporter_spark.sinks.es_bulk import (
             es_bulk_foreach_batch,

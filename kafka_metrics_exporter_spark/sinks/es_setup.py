@@ -62,7 +62,9 @@ def bootstrap_elasticsearch(
         ),
     }
     for i, obj in enumerate(dashboard_objects or []):
-        obj_id = obj.get("id", f"dashboard-{i}")
+        # saved-objects exports key by `_id` (the reference's
+        # ELK/jmx_dashboard.json shape); programmatic objects by `id`
+        obj_id = obj.get("_id") or obj.get("id") or f"dashboard-{i}"
         results[f"saved_object:{obj_id}"] = put(
             f".kibana/_doc/{obj_id}", json.dumps(obj)
         )

@@ -458,12 +458,19 @@ def test_kibana_url_runs_bootstrap(spark, tmp_path, monkeypatch):
     rc = main(
         ["--jmx-kafka-server", "kafka1:49901", "--fetcher", FAKE,
          "--es-url", "http://es:9200", "--kibana-url", "http://kib:5601",
+         "--kibana-dashboards", "/root/reference/ELK/jmx_dashboard.json",
          "--checkpoint", str(tmp_path / "ckpt"), "--once"],
         spark=spark,
     )
     assert rc == 0
     assert any(p.startswith("_template/") for p in puts)
     assert any("index-pattern" in p for p in puts)
+    # the reference's 32 saved objects imported under their export _ids
+    import json as _json
+
+    objs = _json.load(open("/root/reference/ELK/jmx_dashboard.json"))
+    assert sum(1 for p in puts if p.startswith(".kibana/_doc/")) >= len(objs)
+    assert any(o["_id"] in p for o in objs for p in puts)
 
 
 def test_curate_cli_reproduces_library_composition(spark, sf_dir, tmp_path, capsys):
