@@ -3443,3 +3443,67 @@ def test_adjacency_below_mdc_histogram_rejected(spark):
             {"id": "2", "type": "adjacency_matrix", "schema": "bucket",
              "params": {"filters": {"x": "g:a"}, "customLabel": "cell"}},
         ])).evaluate(df, auto_interval_buckets=None)
+
+
+def test_round13_agg_invariants_property(spark):
+    """Structural invariants of the round-13 aggs on a generated
+    corpus: percent_of_sum sums to 1 per outer bucket, rescale_0_1
+    stays in [0,1] with both endpoints hit, softmax sums to 1,
+    cumulative_cardinality is monotone per group and ends at the
+    group's total distinct count."""
+    import random
+
+    rnd = random.Random(13)
+    rows = [
+        ("g%d" % rnd.randrange(3),
+         "2024-01-01 %02d:%02d:00" % (rnd.randrange(6), rnd.randrange(60)),
+         "u%d" % rnd.randrange(12),
+         float(rnd.randrange(1, 50)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, u string, v double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "customLabel": "h"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "cardinality", "schema": "metric",
+         "params": {"field": "u", "customLabel": "card"}},
+        {"id": "5", "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "3", "method": "percent_of_sum",
+                    "customLabel": "pct"}},
+        {"id": "6", "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "3", "method": "rescale_0_1",
+                    "customLabel": "r01"}},
+        {"id": "7", "type": "normalize", "schema": "metric",
+         "params": {"metricAgg": "3", "method": "softmax",
+                    "customLabel": "sm"}},
+        {"id": "8", "type": "cumulative_cardinality", "schema": "metric",
+         "params": {"metricAgg": "4", "customLabel": "cc"}},
+    ])).evaluate(df, auto_interval_buckets=None)
+    data = out.collect()
+    by_g: dict = {}
+    for r in data:
+        by_g.setdefault(r["g"], []).append(r)
+    truth = {}
+    for g, ts, u, v in rows:
+        truth.setdefault(g, set()).add(u)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: r["h"])
+        assert abs(sum(r["pct"] for r in rs) - 1.0) < 1e-9
+        assert abs(sum(r["sm"] for r in rs) - 1.0) < 1e-9
+        r01 = [r["r01"] for r in rs]
+        if any(x is not None for x in r01):
+            vals = [x for x in r01 if x is not None]
+            assert min(vals) == 0.0 and max(vals) == 1.0
+            assert all(0.0 <= x <= 1.0 for x in vals)
+        ccs = [r["cc"] for r in rs]
+        assert ccs == sorted(ccs)                 # monotone
+        assert ccs[-1] == len(truth[g])           # ends at total distinct
+        assert all(r["cc"] >= r["card"] for r in rs)
