@@ -183,6 +183,29 @@ class FiltersBucket:
 
 
 @dataclass(frozen=True)
+class VariableWidthHistogramBucket:
+    """ES ``variable_width_histogram`` (round 13): dynamically-sized
+    numeric buckets targeting ``buckets`` clusters.  ES's algorithm is
+    a shard-local streaming cluster merge — approximate AND
+    order-dependent; this engine substitutes a DETERMINISTIC
+    quantile-seeded Lloyd iteration (3 rounds, centroids rounded to 6
+    decimals each round so the whole trained clustering is
+    bit-replayable in SQL — the same determinism-over-approximation
+    stance as rare_terms and the md5-residue ANN training).  The
+    bucket key column is the final cluster centroid; nested metrics
+    aggregate per cluster as usual.  Must be the OUTERMOST bucket (the
+    clustering is computed over the whole relation, like ES, which
+    rejects it under other bucketing aggs).  Scale note: the exact
+    quantile seeding is the oracle-parity path; a 100 TB deployment
+    seeds with percentile_approx — every later step is scan-local
+    assignment plus k-row aggregates either way."""
+
+    field: str
+    buckets: int
+    label: str
+
+
+@dataclass(frozen=True)
 class AdjacencyMatrixBucket:
     """ES ``adjacency_matrix`` (round 13): named query_string filters
     → one bucket per matching filter plus one per matching PAIR, keyed
@@ -695,7 +718,8 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | RangeBucket | DateRangeBucket | SignificantTermsBucket
           | SignificantTextBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
-          | FilterBucket | MissingBucket | AdjacencyMatrixBucket)
+          | FilterBucket | MissingBucket | AdjacencyMatrixBucket
+          | VariableWidthHistogramBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
           | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg
           | RateAgg | TopMetricsAgg | StringStatsAgg)
@@ -973,6 +997,22 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     foreground=fg,
                     label=label,
                     min_doc_count=int(p.get("min_doc_count", 3)),
+                )
+            )
+        elif a["type"] == "variable_width_histogram":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: variable_width_histogram must be a bucket agg"
+                )
+            nb = int(p.get("buckets", 10))
+            if not 1 <= nb <= 100:
+                raise ValueError(
+                    "kibana: variable_width_histogram buckets must be "
+                    "in [1, 100]"
+                )
+            buckets.append(
+                VariableWidthHistogramBucket(
+                    field=p["field"], buckets=nb, label=label
                 )
             )
         elif a["type"] == "adjacency_matrix":
@@ -2125,6 +2165,58 @@ class KibanaPlan:
                 v = resolve(b.field).cast("string")
                 df = df.filter(v.isNotNull()).withColumn(b.label, v)
                 rare_src[b.label] = df
+            elif isinstance(b, VariableWidthHistogramBucket):
+                if b is not s.buckets[0]:
+                    raise ValueError(
+                        "kibana: variable_width_histogram must be the "
+                        "outermost bucket (ES rejects it under other "
+                        "bucketing aggs)"
+                    )
+                v = resolve(b.field).cast("double")
+                df = df.filter(v.isNotNull())
+                k = b.buckets
+                probes = [(i + 0.5) / k for i in range(k)]
+                row = df.agg(
+                    F.percentile(
+                        v, F.array(*[F.lit(p_) for p_ in probes])
+                    ).alias("c")
+                ).first()
+                if row["c"] is None:
+                    raise ValueError(
+                        "kibana: variable_width_histogram over an "
+                        "empty relation"
+                    )
+                # centroids round to 6 decimals after seeding and
+                # after every update: the sums are exact (scaled
+                # integral inputs aside, avg = exact-sum / count), so
+                # the rounding pins the one interpolated step and
+                # keeps every assignment bit-replayable in SQL
+                cents = [round(float(c), 6) for c in row["c"]]
+
+                def _assign(cs):
+                    dists = F.array(*[F.abs(v - F.lit(c)) for c in cs])
+                    # argmin, FIRST index on ties (list_position twin)
+                    return F.array_position(dists, F.array_min(dists))
+
+                for _ in range(3):
+                    upd = {
+                        r["__cl"]: r["__c"]
+                        for r in df.groupBy(
+                            _assign(cents).alias("__cl")
+                        ).agg(F.avg(v).alias("__c")).collect()
+                    }
+                    # an emptied cluster keeps its previous centroid
+                    cents = [
+                        round(float(upd.get(i + 1, c)), 6)
+                        for i, c in enumerate(cents)
+                    ]
+                df = df.withColumn(
+                    b.label,
+                    F.element_at(
+                        F.array(*[F.lit(c) for c in cents]),
+                        _assign(cents).cast("int"),
+                    ),
+                )
             elif isinstance(b, AdjacencyMatrixBucket):
                 # singleton buckets for every matching filter + pair
                 # buckets 'a&b' for every matching pair in declaration

@@ -1441,10 +1441,94 @@ _ES_LADDER_CASE_40 = (
                    - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
                      / CAST(SUM(c) AS DOUBLE), 4) AS val
       FROM sschars GROUP BY lang
+    ),
+    -- variable_width_histogram: quantile-seeded deterministic Lloyd
+    -- (3 rounds, centroids rounded to 6 decimals each round) unrolled
+    -- step for step; empty clusters keep their previous centroid
+    vwh_c0 AS (
+      SELECT list_transform(
+               quantile_cont(value_i, [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]),
+               c -> round(c, 6)) AS cents
+      FROM d
+    ),
+    vwh_a1 AS (
+      SELECT value_i,
+             list_position(
+               list_transform(vwh_c0.cents, c -> abs(value_i - c)),
+               list_min(
+                 list_transform(vwh_c0.cents, c -> abs(value_i - c)))
+             ) AS cl
+      FROM d, vwh_c0
+    ),
+    vwh_u1 AS (
+      SELECT cl, round(AVG(value_i), 6) AS c FROM vwh_a1 GROUP BY cl
+    ),
+    vwh_c1 AS (
+      SELECT array_agg(coalesce(u.c, p.cents[g.i]) ORDER BY g.i) AS cents
+      FROM generate_series(1, 8) AS g(i)
+      CROSS JOIN vwh_c0 p
+      LEFT JOIN vwh_u1 u ON u.cl = g.i
+    ),
+    vwh_a2 AS (
+      SELECT value_i,
+             list_position(
+               list_transform(vwh_c1.cents, c -> abs(value_i - c)),
+               list_min(
+                 list_transform(vwh_c1.cents, c -> abs(value_i - c)))
+             ) AS cl
+      FROM d, vwh_c1
+    ),
+    vwh_u2 AS (
+      SELECT cl, round(AVG(value_i), 6) AS c FROM vwh_a2 GROUP BY cl
+    ),
+    vwh_c2 AS (
+      SELECT array_agg(coalesce(u.c, p.cents[g.i]) ORDER BY g.i) AS cents
+      FROM generate_series(1, 8) AS g(i)
+      CROSS JOIN vwh_c1 p
+      LEFT JOIN vwh_u2 u ON u.cl = g.i
+    ),
+    vwh_a3 AS (
+      SELECT value_i,
+             list_position(
+               list_transform(vwh_c2.cents, c -> abs(value_i - c)),
+               list_min(
+                 list_transform(vwh_c2.cents, c -> abs(value_i - c)))
+             ) AS cl
+      FROM d, vwh_c2
+    ),
+    vwh_u3 AS (
+      SELECT cl, round(AVG(value_i), 6) AS c FROM vwh_a3 GROUP BY cl
+    ),
+    vwh_c3 AS (
+      SELECT array_agg(coalesce(u.c, p.cents[g.i]) ORDER BY g.i) AS cents
+      FROM generate_series(1, 8) AS g(i)
+      CROSS JOIN vwh_c2 p
+      LEFT JOIN vwh_u3 u ON u.cl = g.i
+    ),
+    vwh_af AS (
+      SELECT value_i,
+             list_position(
+               list_transform(vwh_c3.cents, c -> abs(value_i - c)),
+               list_min(
+                 list_transform(vwh_c3.cents, c -> abs(value_i - c)))
+             ) AS cl
+      FROM d, vwh_c3
+    ),
+    vwh AS (
+      SELECT 'vwh' AS branch,
+             CAST(CAST(c3.cents[cl] AS DECIMAL(18,6)) AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(value_i) AS val
+      FROM vwh_af, vwh_c3 c3
+      GROUP BY c3.cents[cl]
+    ),
+    all_branches AS (
+      SELECT * FROM flt UNION ALL SELECT * FROM miss
+      UNION ALL SELECT * FROM auto UNION ALL SELECT * FROM sigtext
+      UNION ALL SELECT * FROM adj UNION ALL SELECT * FROM ss
+      UNION ALL SELECT * FROM vwh
     )
-    SELECT * FROM flt UNION ALL SELECT * FROM miss
-    UNION ALL SELECT * FROM auto UNION ALL SELECT * FROM sigtext
-    UNION ALL SELECT * FROM adj UNION ALL SELECT * FROM ss
+    SELECT * FROM all_branches
     """,
 )
 def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,7 +1548,12 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     '&'-pair cells, explode-and-aggregate like the filters bucket),
     and a sixth runs ``string_stats`` over the documents' source field
     per lang (entropy rounded to 4 decimals — the char-keyed partial
-    products sum in engine-specific order).
+    products sum in engine-specific order), and a seventh runs
+    ``variable_width_histogram`` over the event values (quantile-seeded
+    deterministic 3-round Lloyd, centroids 6-decimal-rounded each
+    round so the ENTIRE trained clustering is SQL-replayable — the
+    rare_terms/ANN determinism stance where ES is shard-order
+    approximate).
 
     Scale: filter/missing are scan-local predicates fused into the
     single hash aggregation (no extra shuffle); auto interval needs
@@ -1562,9 +1651,24 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss_count").cast("long").alias("n"),
         F.round(F.col("ss_entropy"), 4).alias("val"),
     )
+    vwh = compile_visualization(_vis([
+        {"id": "1", "type": "variable_width_histogram", "schema": "bucket",
+         "params": {"field": "value_i", "buckets": 8,
+                    "customLabel": "cent"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "max", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    vwh = vwh.select(
+        F.lit("vwh").alias("branch"),
+        F.col("cent").cast("decimal(18,6)").cast("string").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
     return (flt.unionByName(miss).unionByName(auto)
             .unionByName(sigtext).unionByName(adj)
-            .unionByName(sstats))
+            .unionByName(sstats).unionByName(vwh))
 
 
 @query(

@@ -3507,3 +3507,43 @@ def test_round13_agg_invariants_property(spark):
         assert ccs == sorted(ccs)                 # monotone
         assert ccs[-1] == len(truth[g])           # ends at total distinct
         assert all(r["cc"] >= r["card"] for r in rs)
+
+
+def test_variable_width_histogram(spark):
+    """ES variable_width_histogram (round 13): deterministic
+    quantile-seeded Lloyd clustering in place of ES's shard-order-
+    dependent streaming merge — two well-separated value groups land
+    in two clusters with exact centroids; nested metrics aggregate per
+    cluster; re-evaluation reproduces the identical clustering."""
+    d = spark.createDataFrame(
+        [(float(x),) for x in (8, 9, 10, 11, 12, 98, 99, 100, 101, 102)],
+        "v double")
+    aggs = [
+        {"id": "1", "type": "variable_width_histogram", "schema": "bucket",
+         "params": {"field": "v", "buckets": 2, "customLabel": "c"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "min", "schema": "metric",
+         "params": {"field": "v", "customLabel": "lo"}},
+        {"id": "4", "type": "max", "schema": "metric",
+         "params": {"field": "v", "customLabel": "hi"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(d)
+    got = {r["c"]: (r["n"], r["lo"], r["hi"]) for r in out.collect()}
+    assert got == {10.0: (5, 8.0, 12.0), 100.0: (5, 98.0, 102.0)}
+    # deterministic replay
+    again = compile_visualization(_vis8(aggs)).evaluate(d)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+    # must be outermost
+    with pytest.raises(ValueError, match="outermost"):
+        compile_visualization(_vis8([
+            {"id": "0", "type": "terms", "schema": "bucket",
+             "params": {"field": "v", "size": 5, "order": "asc",
+                        "orderBy": "_term", "customLabel": "g"}},
+            aggs[0], aggs[1],
+        ])).evaluate(d)
+    with pytest.raises(ValueError, match=r"\[1, 100\]"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "variable_width_histogram",
+             "schema": "bucket", "params": {"field": "v", "buckets": 0}},
+        ])["visState"])
