@@ -1959,6 +1959,7 @@ class KibanaPlan:
         cardinality_rsd: float = 0.01,
         auto_interval_buckets: int | None = 50,
         auto_range: "tuple | None" = None,
+        vwh_approx_seed: bool = False,
     ) -> DataFrame:
         resolve = resolve or _default_resolver(df)
         s = self.state
@@ -2176,8 +2177,19 @@ class KibanaPlan:
                 df = df.filter(v.isNotNull())
                 k = b.buckets
                 probes = [(i + 0.5) / k for i in range(k)]
+                # exact quantile seeding is the oracle-parity
+                # default; vwh_approx_seed=True switches to
+                # percentile_approx — the 100 TB path (the later
+                # rounds are identical either way: scan-local
+                # assignment + k-row aggregates)
+                seed_fn = (
+                    (lambda c_, ps: F.percentile_approx(
+                        c_, ps, F.lit(10000)))
+                    if vwh_approx_seed
+                    else F.percentile
+                )
                 row = df.agg(
-                    F.percentile(
+                    seed_fn(
                         v, F.array(*[F.lit(p_) for p_ in probes])
                     ).alias("c")
                 ).first()

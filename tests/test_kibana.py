@@ -3547,3 +3547,22 @@ def test_variable_width_histogram(spark):
             {"id": "1", "type": "variable_width_histogram",
              "schema": "bucket", "params": {"field": "v", "buckets": 0}},
         ])["visState"])
+
+
+def test_variable_width_histogram_approx_seed(spark):
+    """vwh_approx_seed=True seeds the clustering with
+    percentile_approx — the 100 TB path; on a small well-separated
+    corpus it converges to the same clusters as the exact seed."""
+    d = spark.createDataFrame(
+        [(float(x),) for x in (8, 9, 10, 11, 12, 98, 99, 100, 101, 102)],
+        "v double")
+    aggs = [
+        {"id": "1", "type": "variable_width_histogram", "schema": "bucket",
+         "params": {"field": "v", "buckets": 2, "customLabel": "c"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]
+    out = compile_visualization(_vis8(aggs)).evaluate(
+        d, vwh_approx_seed=True
+    )
+    assert {r["c"]: r["n"] for r in out.collect()} == {10.0: 5, 100.0: 5}
