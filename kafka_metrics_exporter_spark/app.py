@@ -561,6 +561,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "at least one sink is required "
             "(--kafka-bootstrap-servers / --es-url / --sink-parquet)"
         )
+    # same clean CLI contract as parse_selector_filters /
+    # --curate-budget — not an opaque dict-ctor ValueError at
+    # stream-start time (ADVICE r13)
+    for kv in args.kafka_conn_props:
+        if "=" not in kv:
+            raise SystemExit(
+                f"--kafka-conn-props needs key=value, got {kv!r}"
+            )
     catalog = build_catalog(args)
 
     if spark is None:

@@ -209,8 +209,10 @@ class VariableWidthHistogramBucket:
 class AdjacencyMatrixBucket:
     """ES ``adjacency_matrix`` (round 13): named query_string filters
     → one bucket per matching filter plus one per matching PAIR, keyed
-    ``a&b`` (the ``separator`` param) with the names in filter-
-    declaration order, exactly ES's intersection naming.  A document
+    ``a&b`` (the ``separator`` param) with the names in LEXICOGRAPHIC
+    order — ES sorts the keyed filters before building intersection
+    keys, independent of declaration order (ADVICE r14); the parse
+    site applies the sort so ``filters`` here is pre-sorted.  A document
     explodes into every singleton and pair bucket it belongs to; ES
     caps the filter count (default 100) — enforced here."""
 
@@ -833,17 +835,22 @@ _RATE_UNIT_US = {
 }
 
 
-def es_auto_date_interval_us(span_us: int, target_buckets: int) -> int:
+def es_auto_date_interval_us(
+    lo_us: int, hi_us: int, target_buckets: int
+) -> int:
     """ES ``auto_date_histogram`` interval choice: the smallest ladder
     interval whose bucket count over the populated span stays within
-    ``target_buckets``.  ES counts buckets inclusively (first and last
-    populated keys both get one), hence the ``+ 1``."""
+    ``target_buckets``.  ES rounds the endpoint KEYS before counting,
+    so the count comes from the floored endpoints —
+    ``hi//iv - lo//iv + 1`` — not from ``span//iv + 1``: a raw span
+    that fits can still straddle one extra bucket boundary once both
+    endpoints are floored (ADVICE r13)."""
     if target_buckets < 1:
         raise ValueError(
             "kibana: auto_date_histogram needs buckets >= 1"
         )
     for iv in _ES_AUTO_LADDER_US:
-        if span_us // iv + 1 <= target_buckets:
+        if (hi_us // iv) - (lo_us // iv) + 1 <= target_buckets:
             return iv
     raise ValueError(
         "kibana: auto_date_histogram span needs calendar intervals "
@@ -1052,7 +1059,18 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             buckets.append(
                 AdjacencyMatrixBucket(
-                    filters=tuple((str(k), str(q)) for k, q in pairs),
+                    # ES's AdjacencyMatrixAggregationBuilder sorts the
+                    # keyed filters lexicographically before building
+                    # intersection keys ("internally we want to have a
+                    # fixed order of filters"), so 'big&hasB' — never
+                    # 'hasB&big' — regardless of declaration order
+                    # (ADVICE r13)
+                    filters=tuple(
+                        sorted(
+                            ((str(k), str(q)) for k, q in pairs),
+                            key=lambda kv: kv[0],
+                        )
+                    ),
                     label=label,
                     separator=sep,
                 )
@@ -1287,9 +1305,17 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             sort_p = p.get("sort")
             if isinstance(sort_p, dict):
                 (tm_sf, tm_so), = sort_p.items()
-            else:
-                tm_sf = p.get("sortField", "createdDateTime")
+            elif p.get("sortField"):
+                tm_sf = p["sortField"]
                 tm_so = p.get("sortOrder", "desc")
+            else:
+                # ES requires an explicit sort on top_metrics; a
+                # silent default would only surface later as an
+                # unresolved-column error deep in evaluate (ADVICE r13)
+                raise ValueError(
+                    "kibana: top_metrics needs an explicit sort "
+                    "('sort': {field: order} or sortField/sortOrder)"
+                )
             if tm_so not in ("asc", "desc"):
                 raise ValueError("kibana: top_metrics sort must be asc|desc")
             metrics.append(
@@ -2100,9 +2126,8 @@ class KibanaPlan:
                     row = df.agg(
                         F.min(us).alias("lo"), F.max(us).alias("hi")
                     ).first()
-                    span = max(0, (row["hi"] or 0) - (row["lo"] or 0))
                     interval_us = es_auto_date_interval_us(
-                        span, b.auto_buckets
+                        row["lo"] or 0, row["hi"] or 0, b.auto_buckets
                     )
                 elif b.auto and auto_interval_buckets is not None:
                     # real ES auto-interval semantics (the DEFAULT
@@ -2188,12 +2213,19 @@ class KibanaPlan:
                     if vwh_approx_seed
                     else F.percentile
                 )
-                row = df.agg(
+                # the Lloyd rounds re-read ONLY this one column: train
+                # on a persisted 1-column projection so the doc scan
+                # (and any upstream filters/joins) runs once, not once
+                # per round + once for seeding (VERDICT r13 item 2)
+                proj = df.select(v.alias("__v")).persist()
+                row = proj.agg(
                     seed_fn(
-                        v, F.array(*[F.lit(p_) for p_ in probes])
+                        F.col("__v"),
+                        F.array(*[F.lit(p_) for p_ in probes]),
                     ).alias("c")
                 ).first()
                 if row["c"] is None:
+                    proj.unpersist(blocking=False)
                     raise ValueError(
                         "kibana: variable_width_histogram over an "
                         "empty relation"
@@ -2210,18 +2242,58 @@ class KibanaPlan:
                     # argmin, FIRST index on ties (list_position twin)
                     return F.array_position(dists, F.array_min(dists))
 
+                # each Lloyd round is ONE executor-side partial-sum
+                # pass (the train_pq_codebooks pattern,
+                # llmdata/similarity.py): every partition emits <= k
+                # (cluster, sum, count) rows — no shuffle, no
+                # groupBy — and the driver merges the partials in
+                # SORTED order so the fold is bit-deterministic.
+                # numpy argmin(|v - c|) (first index on ties) is the
+                # exact IEEE twin of the SQL _assign above, so the
+                # trained centroids stay SQL-replayable.
+                import numpy as np
+                import pandas as pd
+
+                def _round_partials(cs_list):
+                    cs = np.asarray(cs_list, dtype="float64")
+
+                    def go(batches):
+                        for pdf in batches:
+                            if len(pdf) == 0:
+                                continue
+                            vv = pdf["__v"].to_numpy(dtype="float64")
+                            cl = np.abs(
+                                vv[:, None] - cs[None, :]
+                            ).argmin(axis=1)
+                            cls, sums, ns = [], [], []
+                            for c in np.unique(cl):
+                                m = cl == c
+                                cls.append(int(c))
+                                sums.append(float(vv[m].sum()))
+                                ns.append(int(m.sum()))
+                            yield pd.DataFrame(
+                                {"cl": cls, "s": sums, "n": ns}
+                            )
+
+                    return proj.mapInPandas(
+                        go, "cl int, s double, n long"
+                    ).collect()
+
                 for _ in range(3):
-                    upd = {
-                        r["__cl"]: r["__c"]
-                        for r in df.groupBy(
-                            _assign(cents).alias("__cl")
-                        ).agg(F.avg(v).alias("__c")).collect()
-                    }
+                    acc: dict[int, tuple[float, int]] = {}
+                    for r in sorted(
+                        _round_partials(cents),
+                        key=lambda r: (r["cl"], r["n"], r["s"]),
+                    ):
+                        s0, n0 = acc.get(r["cl"], (0.0, 0))
+                        acc[r["cl"]] = (s0 + r["s"], n0 + r["n"])
                     # an emptied cluster keeps its previous centroid
                     cents = [
-                        round(float(upd.get(i + 1, c)), 6)
+                        round(acc[i][0] / acc[i][1], 6)
+                        if i in acc else c
                         for i, c in enumerate(cents)
                     ]
+                proj.unpersist(blocking=False)
                 df = df.withColumn(
                     b.label,
                     F.element_at(
@@ -2476,9 +2548,18 @@ class KibanaPlan:
                     multi_tms.append(m)
                     continue
                 sort_col = resolve(m.sort_field)
-                order = F.struct(
-                    sort_col.alias("s"),
-                    *([resolve(tiebreak).alias("t")] if tiebreak else []),
+                # ES skips documents whose sort field is missing; an
+                # unguarded struct is non-null even with a null field,
+                # and Spark's nulls-first-on-asc would make min_by pick
+                # exactly those docs (ADVICE r13).  A NULL ordering
+                # value makes max_by/min_by skip the row.
+                order = F.when(
+                    sort_col.isNotNull(),
+                    F.struct(
+                        sort_col.alias("s"),
+                        *([resolve(tiebreak).alias("t")]
+                          if tiebreak else []),
+                    ),
                 )
                 pick = F.max_by if m.sort_order == "desc" else F.min_by
                 agg_exprs.extend(
@@ -2647,6 +2728,10 @@ class KibanaPlan:
         # per bucket.
         for m in multi_tms:
             sort_col = resolve(m.sort_field)
+            # ES skips docs missing the sort field (ADVICE r13 — see
+            # the size-1 max_by/min_by guard above); filter before the
+            # rank window so nulls-first-on-asc can't rank them
+            tm_df = df.filter(sort_col.isNotNull())
             d = (lambda c: c.desc()) if m.sort_order == "desc" else (
                 lambda c: c.asc()
             )
@@ -2658,11 +2743,11 @@ class KibanaPlan:
                 tmw = Window.partitionBy(
                     *[F.col(k) for k in key_names]
                 ).orderBy(*order_cols)
-                ranked = df.withColumn("__rn", F.row_number().over(tmw))
+                ranked = tm_df.withColumn("__rn", F.row_number().over(tmw))
                 ranked = ranked.filter(F.col("__rn") <= m.size)
             else:
                 ranked = (
-                    df.orderBy(*order_cols)
+                    tm_df.orderBy(*order_cols)
                     .limit(m.size)
                     # <= size rows by construction: bounded window
                     .withColumn(
@@ -2982,6 +3067,18 @@ class KibanaPlan:
             w = Window.partitionBy(*[F.col(c) for c in outer]).orderBy(
                 F.col(seq_label).asc()
             ).rowsBetween(Window.unboundedPreceding, 0)
+            # first-seen buckets are computed against the SURVIVING
+            # bucket keys, not the raw doc frame: a min_doc_count>=2
+            # histogram can drop the bucket where a value first
+            # appeared, and ES — merging the per-RETURNED-bucket HLL
+            # sketches cumulatively — counts that value in its first
+            # surviving bucket instead of never (ADVICE r13).  The
+            # surviving-key relation is bucket-table-sized: broadcast.
+            surviving = F.broadcast(
+                out.select(
+                    *[F.col(c) for c in outer + [seq_label]]
+                ).distinct()
+            )
             for pl in run:
                 m = next(
                     mm for mm in s.metrics
@@ -2989,7 +3086,9 @@ class KibanaPlan:
                     and mm.label == pl.source_label
                 )
                 val = resolve(m.field)
-                first = df.filter(val.isNotNull()).groupBy(
+                first = df.filter(val.isNotNull()).join(
+                    surviving, outer + [seq_label], "semi"
+                ).groupBy(
                     *[F.col(c) for c in outer], val.alias("__cc_v")
                 ).agg(F.min(F.col(seq_label)).alias(seq_label))
                 news = first.groupBy(

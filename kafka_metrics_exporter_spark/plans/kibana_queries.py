@@ -1318,8 +1318,10 @@ def kibana_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ES auto_date_histogram ladder as SQL — imported from the compiler so
 # the oracle can never drift from the engine's ladder (same pattern as
-# _LADDER_CASE above).  Mirrors es_auto_date_interval_us(span, 40):
-# the smallest rounding whose INCLUSIVE bucket count fits.
+# _LADDER_CASE above).  Mirrors es_auto_date_interval_us(lo, hi, 40):
+# the smallest rounding whose bucket count over the FLOORED endpoints
+# fits (ADVICE r13 — ES rounds keys before counting, so the count is
+# hi//iv - lo//iv + 1, not span//iv + 1).
 from kafka_metrics_exporter_spark.kibana.compiler import (  # noqa: E402
     _ES_AUTO_LADDER_US,
 )
@@ -1327,7 +1329,7 @@ from kafka_metrics_exporter_spark.kibana.compiler import (  # noqa: E402
 _ES_LADDER_CASE_40 = (
     "CASE "
     + " ".join(
-        f"WHEN sp // {iv} + 1 <= 40 THEN {iv}"
+        f"WHEN hi // {iv} - lo // {iv} + 1 <= 40 THEN {iv}"
         for iv in _ES_AUTO_LADDER_US
     )
     + " END"
@@ -1356,7 +1358,7 @@ _ES_LADDER_CASE_40 = (
       HAVING COUNT(*) > 0
     ),
     span AS (
-      SELECT MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS sp FROM d
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM d
     ),
     iv AS (SELECT {_ES_LADDER_CASE_40} AS iv FROM span),
     auto AS (
@@ -1416,12 +1418,14 @@ _ES_LADDER_CASE_40 = (
         SELECT 'click' AS cell, value_i FROM adjf WHERE fa = 1
         UNION ALL SELECT 'big', value_i FROM adjf WHERE fb = 1
         UNION ALL SELECT 'small', value_i FROM adjf WHERE fc = 1
-        UNION ALL SELECT 'click&big', value_i FROM adjf
-          WHERE fa = 1 AND fb = 1
-        UNION ALL SELECT 'click&small', value_i FROM adjf
-          WHERE fa = 1 AND fc = 1
+        -- pair keys in ES's LEXICOGRAPHIC filter order (ADVICE r13):
+        -- big < click < small, regardless of declaration order
+        UNION ALL SELECT 'big&click', value_i FROM adjf
+          WHERE fb = 1 AND fa = 1
         UNION ALL SELECT 'big&small', value_i FROM adjf
           WHERE fb = 1 AND fc = 1
+        UNION ALL SELECT 'click&small', value_i FROM adjf
+          WHERE fa = 1 AND fc = 1
       ) GROUP BY cell HAVING COUNT(*) > 0
     ),
     -- string_stats entropy of `source` per lang: char-keyed counts,

@@ -536,3 +536,13 @@ def test_curate_cli_validation():
     with pytest.raises(SystemExit):
         main(["--curate", "/tmp/x", "--curate-output", "/tmp/y",
               "--curate-budget", "notapair"], spark="unused")
+
+
+def test_kafka_conn_props_validation():
+    """ADVICE r13: a --kafka-conn-props value without '=' exits with a
+    clean key=value message (the other CLI parsers' contract), not an
+    opaque dict-constructor ValueError at stream-start time."""
+    with pytest.raises(SystemExit, match="key=value"):
+        main(["--kafka-bootstrap-servers", "k:9092",
+              "--jmx-kafka-server", "h:9999",
+              "--kafka-conn-props", "notapair"], spark="unused")

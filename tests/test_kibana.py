@@ -3002,13 +3002,20 @@ def test_es_auto_ladder_function():
         es_auto_date_interval_us,
     )
     hour = 3_600_000_000
-    assert es_auto_date_interval_us(2 * hour, 3) == hour
-    assert es_auto_date_interval_us(2 * hour, 2) == 3 * hour
-    assert es_auto_date_interval_us(0, 1) == 1_000_000
+    assert es_auto_date_interval_us(0, 2 * hour, 3) == hour
+    assert es_auto_date_interval_us(0, 2 * hour, 2) == 3 * hour
+    assert es_auto_date_interval_us(0, 0, 1) == 1_000_000
     # 30 days / 10 buckets -> 7d (ES "week" rounding)
-    assert es_auto_date_interval_us(30 * 24 * hour, 10) == 7 * 24 * hour
+    assert es_auto_date_interval_us(0, 30 * 24 * hour, 10) == 7 * 24 * hour
+    # ADVICE r13: the count comes from FLOORED endpoints — a 1.7h raw
+    # span from 00:30 to 02:12 straddles THREE hour keys (00,01,02),
+    # so 2 target buckets must skip the hour rung even though
+    # span//hour + 1 == 2
+    assert es_auto_date_interval_us(
+        hour // 2, 2 * hour + 12 * 60_000_000, 2
+    ) == 3 * hour
     with pytest.raises(ValueError, match="calendar intervals"):
-        es_auto_date_interval_us(100 * 365 * 24 * hour, 10)
+        es_auto_date_interval_us(0, 100 * 365 * 24 * hour, 10)
 
 
 def test_rate_agg(vocab_df):
@@ -3114,6 +3121,39 @@ def test_top_metrics(vocab_df):
             {"id": "1", "type": "top_metrics", "schema": "metric",
              "params": {"fields": ["v"], "size": 0}},
         ])["visState"])
+    # ADVICE r13: ES requires an explicit sort — no silent default
+    with pytest.raises(ValueError, match="explicit sort"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "top_metrics", "schema": "metric",
+             "params": {"fields": ["v"]}},
+        ])["visState"])
+
+
+def test_top_metrics_null_sort_skipped(spark):
+    """ADVICE r13: documents whose sort field is NULL are skipped by
+    ES (missing sort value), not ranked first by Spark's
+    nulls-first-on-asc — both the size-1 min_by/max_by path and the
+    size>1 rank-window path."""
+    d = spark.createDataFrame(
+        [("a", None, 99.0), ("a", 2.0, 20.0), ("a", 1.0, 10.0),
+         ("b", None, 77.0)],
+        "g string, ord double, v double")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["v"], "sortField": "ord",
+                    "sortOrder": "asc", "customLabel": "first"}},
+        {"id": "3", "type": "top_metrics", "schema": "metric",
+         "params": {"fields": ["v"], "sortField": "ord",
+                    "sortOrder": "asc", "size": 2,
+                    "customLabel": "top2"}},
+    ])).evaluate(d)
+    got = {r["g"]: (r["first_v"], r["top2_v"]) for r in out.collect()}
+    # the ord=NULL doc (v=99) never wins; group b has NO sortable doc
+    assert got["a"] == (10.0, [10.0, 20.0])
+    assert got["b"] == (None, None)
 
 
 def test_normalize_pipeline_agg(spark):
@@ -3277,6 +3317,37 @@ def test_cumulative_cardinality(spark):
         ])).evaluate(df, auto_interval_buckets=None)
 
 
+def test_cumulative_cardinality_min_doc_count(spark):
+    """ADVICE r13: a value whose FIRST bucket is dropped by the
+    histogram's min_doc_count>=2 cut must still be counted — in its
+    first SURVIVING bucket, exactly as ES's per-returned-bucket HLL
+    merge would count it.  u3 first appears in the 01:00 bucket
+    (1 doc, dropped); its +1 lands on the 02:00 bucket."""
+    rows = [
+        ("2024-01-01 00:10:00", "u1"),
+        ("2024-01-01 00:20:00", "u2"),
+        ("2024-01-01 01:10:00", "u3"),   # lone doc: bucket dropped
+        ("2024-01-01 02:10:00", "u3"),
+        ("2024-01-01 02:20:00", "u4"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, u string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = compile_visualization(_vis8([
+        {"id": "2", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "min_doc_count": 2, "customLabel": "h"}},
+        {"id": "3", "type": "cardinality", "schema": "metric",
+         "params": {"field": "u", "customLabel": "card"}},
+        {"id": "4", "type": "cumulative_cardinality", "schema": "metric",
+         "params": {"metricAgg": "3", "customLabel": "cc"}},
+    ])).evaluate(df, auto_interval_buckets=None)
+    got = {str(r["h"]): (r["card"], r["cc"]) for r in out.collect()}
+    assert got == {
+        "2024-01-01 00:00:00": (2, 2),
+        "2024-01-01 02:00:00": (2, 4),   # u3 counts HERE, not never
+    }
+
+
 def test_significant_text(spark):
     """ES significant_text (round 13): JLH-scored tokens of a free-text
     field, distinct per document (doc frequency), DOC-count set sizes.
@@ -3360,7 +3431,10 @@ def test_extended_stats_bucket(spark):
 
 def test_adjacency_matrix(spark):
     """ES adjacency_matrix (round 13): singleton buckets per matching
-    filter plus 'a&b' pair buckets in declaration order."""
+    filter plus 'a&b' pair buckets with names in LEXICOGRAPHIC order —
+    ES sorts the keyed filters before building intersection keys
+    (ADVICE r13: 'big' sorts before 'hasA'/'hasB' even though it was
+    declared last)."""
     d = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "ab", 5.0)],
         "id long, tag string, v double")
@@ -3376,7 +3450,7 @@ def test_adjacency_matrix(spark):
     out = compile_visualization(_vis8(aggs)).evaluate(d)
     got = {r["cell"]: r["n"] for r in out.collect()}
     assert got == {"hasA": 2, "hasB": 2, "big": 2,
-                   "hasA&hasB": 1, "hasA&big": 1, "hasB&big": 1}
+                   "big&hasA": 1, "big&hasB": 1, "hasA&hasB": 1}
     # custom separator + validation
     out2 = compile_visualization(_vis8([
         {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
