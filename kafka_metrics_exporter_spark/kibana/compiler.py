@@ -124,6 +124,29 @@ class SignificantTextBucket:
 
 
 @dataclass(frozen=True)
+class CategorizeTextBucket:
+    """ES ``categorize_text`` (round 14), the DETERMINISTIC core:
+    log-pattern buckets keyed by the message's token sequence after
+    the categorization tokenizer — lowercase standard-analyzer tokens
+    (significant_text's tokenization) with every token CONTAINING A
+    DIGIT dropped, exactly ES's ML-categorization rule that numbers
+    ('user 4032', latencies, timestamps) never define a category.
+    Buckets order by doc_count desc then key asc, size-cut like terms.
+
+    Documented divergence: ES additionally MERGES near-identical
+    token sequences with a similarity_threshold (default 70%) drain-
+    style; this engine buckets exact post-tokenization patterns —
+    deterministic and SQL-replayable where ES is shard-order
+    sensitive (the rare_terms/ANN determinism stance).  Requesting
+    ``similarity_threshold`` != 100 raises rather than silently
+    diverging."""
+
+    field: str
+    size: int
+    label: str
+
+
+@dataclass(frozen=True)
 class CompositeBucket:
     """ES ``composite`` aggregation (round 9): paginate ALL buckets of
     a multi-source key tuple in deterministic key order — the agg ES
@@ -344,6 +367,50 @@ class StringStatsAgg:
 
 
 @dataclass(frozen=True)
+class MatrixStatsAgg:
+    """ES ``matrix_stats`` (round 14): cross-field numeric statistics
+    over a tuple of fields — per-field mean / variance / skewness /
+    kurtosis plus the pairwise covariance and correlation matrices,
+    with ES's exact formulas (aggs-matrix-stats module,
+    ``MatrixStatsResults``): variance = M2/(n−1), skewness =
+    √n·M3/M2^1.5, kurtosis = n·M4/M2², covariance = C2/(n−1),
+    correlation = C2/√(M2ᵢ·M2ⱼ), where M{2,3,4}/C2 are central
+    moments.  A document missing ANY of the fields is excluded from
+    the whole matrix (ES's default listwise deletion; the ``missing``
+    per-field defaults are not modelled — documented).
+
+    The moments ride the main hash aggregation as power sums
+    Σx/Σx²/Σx³/Σx⁴/Σxy carried in DECIMAL(38,6) fixed point: the
+    per-row powers are computed in double (exact for integral |x| ≲
+    9.7e3 — the row-level product fits 2^53) and the fixed-point SUM
+    is partition-order-independent, so the result survives AQE / task
+    retry re-summation on a real cluster — the repo-wide
+    deterministic-totals stance.  Degenerate cases emit null: n<2 for
+    the (n−1)-normalized stats, M2=0 for skewness/kurtosis/
+    correlation."""
+
+    fields: tuple[str, ...]
+    label: str
+
+    def column_names(self) -> list[str]:
+        cols = [f"{self.label}_doc_count"]
+        for f in self.fields:
+            s = _slug(f)
+            cols += [
+                f"{self.label}_{s}_{n}"
+                for n in ("mean", "variance", "skewness", "kurtosis")
+            ]
+        for i in range(len(self.fields)):
+            for j in range(i + 1, len(self.fields)):
+                si, sj = _slug(self.fields[i]), _slug(self.fields[j])
+                cols += [
+                    f"{self.label}_{si}_{sj}_covariance",
+                    f"{self.label}_{si}_{sj}_correlation",
+                ]
+        return cols
+
+
+@dataclass(frozen=True)
 class BoxplotAgg:
     """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
     aggregation pass (exact interpolated quartiles where ES t-digests
@@ -531,7 +598,9 @@ class PipelineAgg:
                 for n in ("count", "min", "max", "avg", "sum",
                           "sum_of_squares", "variance", "std_deviation")
             ]
-        if self.op == "percentiles_bucket":
+        if self.op == "percentiles_bucket" or self.op.startswith(
+            "moving_percentiles:"
+        ):
             return [
                 f"{self.label}_p{f'{p:g}'.replace('.', '_')}"
                 for p in self.percents
@@ -1098,6 +1167,28 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     min_doc_count=int(p.get("min_doc_count", 3)),
                 )
             )
+        elif a["type"] == "categorize_text":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: categorize_text must be a bucket agg"
+                )
+            if not p.get("field"):
+                raise ValueError("kibana: categorize_text needs a field")
+            sim = p.get("similarity_threshold")
+            if sim is not None and int(sim) != 100:
+                raise ValueError(
+                    "kibana: categorize_text similarity_threshold < 100 "
+                    "(drain-style category merging) is not modelled — "
+                    "this engine buckets exact post-tokenization "
+                    "patterns (deterministic; documented divergence)"
+                )
+            buckets.append(
+                CategorizeTextBucket(
+                    field=p["field"],
+                    size=int(p.get("size", 10)),
+                    label=label,
+                )
+            )
         elif a["type"] == "date_histogram":
             interval_us, auto = _parse_interval_us(p)
             mdc = int(p.get("min_doc_count", 1))
@@ -1382,6 +1473,30 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     "modelled"
                 )
             metrics.append(StringStatsAgg(field=p["field"], label=label))
+        elif a["type"] == "matrix_stats":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: matrix_stats cannot be a bucket agg"
+                )
+            raw_mx = p.get("fields") or []
+            if isinstance(raw_mx, str):
+                raw_mx = [raw_mx]
+            mx_fields = tuple(str(f) for f in raw_mx)
+            if len(mx_fields) < 2:
+                raise ValueError(
+                    "kibana: matrix_stats needs at least two fields"
+                )
+            if len(set(mx_fields)) != len(mx_fields):
+                raise ValueError(
+                    "kibana: matrix_stats fields must be distinct"
+                )
+            if p.get("missing"):
+                raise ValueError(
+                    "kibana: matrix_stats per-field missing defaults "
+                    "are not modelled — documents missing any field "
+                    "drop (ES's default)"
+                )
+            metrics.append(MatrixStatsAgg(fields=mx_fields, label=label))
         elif a["type"] == "boxplot":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError("kibana: boxplot cannot be a bucket agg")
@@ -1573,6 +1688,35 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             pipelines_raw.append(
                 ("cumulative_cardinality", path, label, 0, (), _seq)
             )
+        elif a["type"] == "moving_percentiles":
+            # ES moving_percentiles (round 14): slide a window across
+            # the histogram buckets and report the percentiles of the
+            # merged window.  buckets_path must name a percentiles agg
+            # (like ES); window is REQUIRED (like ES); shift follows
+            # moving_fn (0 = the `window` buckets BEFORE the current
+            # one, exclusive; window = shift includes the current).
+            # The shift rides the op string, normalize:-style.
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "")
+            tgt = by_id.get(path)
+            if tgt is None or tgt["type"] != "percentiles":
+                raise ValueError(
+                    "kibana: moving_percentiles buckets_path must "
+                    "reference a percentiles agg"
+                )
+            if p.get("window") is None:
+                raise ValueError(
+                    "kibana: moving_percentiles needs an explicit "
+                    "window (ES requires it)"
+                )
+            mp_window = int(p["window"])
+            if mp_window < 1:
+                raise ValueError("kibana: moving window must be >= 1")
+            pipelines_raw.append(
+                (
+                    f"moving_percentiles:{int(p.get('shift', 0))}",
+                    path, label, mp_window, (), _seq,
+                )
+            )
         elif a["type"] == "normalize":
             # ES normalize pipeline agg (round 13): rescale a sibling
             # metric ACROSS the innermost bucket level, per outer
@@ -1694,6 +1838,29 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             return src
 
         for op, path, label, window, percents, seq_ in pipelines_raw:
+            if op.startswith("moving_percentiles:"):
+                # references a MULTI-column percentiles agg (ES's own
+                # contract) — bypass the single-column _resolve_path
+                # and carry the source's percents so the output
+                # columns mirror the referenced agg's keys
+                mp_lbl = label_of.get(str(path))
+                mp_src = next(
+                    (m for m in metrics
+                     if isinstance(m, PercentilesAgg) and m.label == mp_lbl),
+                    None,
+                )
+                if mp_src is None:
+                    raise ValueError(
+                        "kibana: moving_percentiles buckets_path must "
+                        "reference a percentiles agg"
+                    )
+                pipelines.append(
+                    PipelineAgg(
+                        op=op, source_label=mp_lbl, label=label,
+                        window=window, percents=mp_src.percents, seq=seq_,
+                    )
+                )
+                continue
             src = _resolve_path(op, path)
             if op.startswith("moving_") and window < 1:
                 raise ValueError("kibana: moving window must be >= 1")
@@ -2040,6 +2207,43 @@ class KibanaPlan:
             return self._evaluate_significant_text(
                 df, sigt[0], resolve, default_search_field
             )
+
+        ct = [b for b in s.buckets if isinstance(b, CategorizeTextBucket)]
+        if ct:
+            if len(s.buckets) != 1:
+                raise ValueError(
+                    "kibana: categorize_text must be the only bucket agg"
+                )
+            if s.metrics or s.pipelines or s.scripts or s.bucket_sort:
+                raise ValueError(
+                    "kibana: categorize_text carries only its doc_count "
+                    "(sub-aggregations are not modelled)"
+                )
+            b = ct[0]
+            # category key: lowercase standard-analyzer tokens with
+            # every digit-bearing token dropped (ES ML categorization:
+            # numbers never define a category) — scan-local column
+            # algebra, then ONE hash aggregation + TakeOrdered limit
+            toks = F.split(
+                F.lower(resolve(b.field).cast("string")),
+                r"[^\p{L}\p{N}]+",
+            )
+            key = F.array_join(
+                F.filter(
+                    toks,
+                    lambda t: (t != "") & ~t.rlike(r"\p{N}"),
+                ),
+                " ",
+            )
+            keyed = df.withColumn(b.label, key).filter(
+                F.col(b.label) != ""
+            )
+            cats = keyed.groupBy(b.label).agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+            return cats.orderBy(
+                F.col("doc_count").desc(), F.col(b.label).asc()
+            ).limit(b.size)
 
         # 1) bucket key columns (+ filters explode)
         key_names: list[str] = []
@@ -2515,6 +2719,44 @@ class KibanaPlan:
                 ]
                 ss_aggs.append(m)  # entropy joined back below
                 continue
+            if isinstance(m, MatrixStatsAgg):
+                # power sums Σx..Σx⁴/Σxy ride the main hash agg in
+                # DECIMAL(38,6) (partition-order-independent totals —
+                # survives AQE/retry re-summation); a doc missing ANY
+                # field is excluded from the whole matrix (ES default)
+                mx_cols = [resolve(f_).cast("double") for f_ in m.fields]
+                mx_ok = mx_cols[0].isNotNull()
+                for c_ in mx_cols[1:]:
+                    mx_ok = mx_ok & c_.isNotNull()
+
+                def _dsum(e, _ok=mx_ok):
+                    return F.sum(F.when(_ok, e).cast("decimal(38,6)"))
+
+                agg_exprs.append(
+                    F.count(F.when(mx_ok, F.lit(1))).alias(
+                        f"{m.label}_doc_count"
+                    )
+                )
+                for f_, c_ in zip(m.fields, mx_cols):
+                    sl = _slug(f_)
+                    agg_exprs += [
+                        _dsum(c_).alias(f"__mx_{m.label}_{sl}_s1"),
+                        _dsum(c_ * c_).alias(f"__mx_{m.label}_{sl}_s2"),
+                        _dsum(c_ * c_ * c_).alias(f"__mx_{m.label}_{sl}_s3"),
+                        _dsum(c_ * c_ * c_ * c_).alias(
+                            f"__mx_{m.label}_{sl}_s4"
+                        ),
+                    ]
+                for i_ in range(len(m.fields)):
+                    for j_ in range(i_ + 1, len(m.fields)):
+                        si = _slug(m.fields[i_])
+                        sj = _slug(m.fields[j_])
+                        agg_exprs.append(
+                            _dsum(mx_cols[i_] * mx_cols[j_]).alias(
+                                f"__mx_{m.label}_{si}_{sj}_p"
+                            )
+                        )
+                continue
             if isinstance(m, RateAgg):
                 # rate = bucket value · unit / interval, against the
                 # INNERMOST (auto_)date_histogram's resolved interval
@@ -2839,6 +3081,62 @@ class KibanaPlan:
                     .withColumn(names[3], arr.getItem(2))
                     .drop(f"__bp_{m.label}")
                 )
+            if isinstance(m, MatrixStatsAgg):
+                # ES MatrixStatsResults formulas from the exact
+                # fixed-point power sums: M2/M3/M4/C2 central moments
+                # derived in double; degenerate cases null (n<2 for
+                # the (n−1)-normalized stats, M2=0 for shape stats)
+                n = F.col(f"{m.label}_doc_count").cast("double")
+                mx_mean: dict[str, Column] = {}
+                mx_m2: dict[str, Column] = {}
+                for f_ in m.fields:
+                    sl = _slug(f_)
+                    s1 = F.col(f"__mx_{m.label}_{sl}_s1").cast("double")
+                    s2 = F.col(f"__mx_{m.label}_{sl}_s2").cast("double")
+                    s3 = F.col(f"__mx_{m.label}_{sl}_s3").cast("double")
+                    s4 = F.col(f"__mx_{m.label}_{sl}_s4").cast("double")
+                    mean = s1 / n
+                    m2 = s2 - n * mean * mean
+                    m3 = s3 - F.lit(3.0) * mean * s2 \
+                        + F.lit(2.0) * n * mean * mean * mean
+                    m4 = s4 - F.lit(4.0) * mean * s3 \
+                        + F.lit(6.0) * mean * mean * s2 \
+                        - F.lit(3.0) * n * mean * mean * mean * mean
+                    mx_mean[f_], mx_m2[f_] = mean, m2
+                    out = out.withColumn(
+                        f"{m.label}_{sl}_mean", F.when(n > 0, mean)
+                    ).withColumn(
+                        f"{m.label}_{sl}_variance",
+                        F.when(n >= 2, m2 / (n - F.lit(1.0))),
+                    ).withColumn(
+                        f"{m.label}_{sl}_skewness",
+                        F.when(m2 > 0, F.sqrt(n) * m3 / F.pow(m2, 1.5)),
+                    ).withColumn(
+                        f"{m.label}_{sl}_kurtosis",
+                        F.when(m2 > 0, n * m4 / (m2 * m2)),
+                    )
+                for i_ in range(len(m.fields)):
+                    for j_ in range(i_ + 1, len(m.fields)):
+                        fi, fj = m.fields[i_], m.fields[j_]
+                        si, sj = _slug(fi), _slug(fj)
+                        p = F.col(
+                            f"__mx_{m.label}_{si}_{sj}_p"
+                        ).cast("double")
+                        c2 = p - n * mx_mean[fi] * mx_mean[fj]
+                        out = out.withColumn(
+                            f"{m.label}_{si}_{sj}_covariance",
+                            F.when(n >= 2, c2 / (n - F.lit(1.0))),
+                        ).withColumn(
+                            f"{m.label}_{si}_{sj}_correlation",
+                            F.when(
+                                (mx_m2[fi] > 0) & (mx_m2[fj] > 0),
+                                c2 / F.sqrt(mx_m2[fi] * mx_m2[fj]),
+                            ),
+                        )
+                out = out.drop(
+                    *[c for c in out.columns
+                      if c.startswith(f"__mx_{m.label}_")]
+                )
             if isinstance(m, StatsAgg) and m.extended:
                 # ES's DOCUMENTED definition: variance =
                 # sum_of_squares/count − mean² (population), std = √var
@@ -3100,6 +3398,84 @@ class KibanaPlan:
                     F.sum(F.coalesce(F.col("__cc_new"), F.lit(0))).over(w),
                 ).drop("__cc_new")
             return out
+
+        def _apply_movperc(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
+            # ES moving_percentiles (round 14): slide a window across
+            # the innermost histogram's RETURNED bucket sequence and
+            # report the window's percentiles.  ES merges the
+            # per-bucket t-digest sketches; this engine is EXACT,
+            # recomputing interpolated percentiles over the raw doc
+            # values of the window's buckets — the documented
+            # exact-vs-approx stance (percentiles / cumulative_
+            # cardinality).  moving_fn shift semantics: shift=0 → the
+            # `window` buckets BEFORE the current one, exclusive;
+            # shift=window includes the current bucket.
+            #
+            # Scale shape: the bucket-index map is bucket-table-sized
+            # (broadcast); each doc explodes into <= window target
+            # indices (bounded fan-out — the window param is the
+            # documented amplification factor), then ONE grouped
+            # percentile per (outer, target) key.  Empty windows emit
+            # null.  Indexing over the SURVIVING bucket table means a
+            # min_doc_count cut or earlier bucket_selector shortens
+            # the sequence exactly as ES's pipeline (which runs on the
+            # returned buckets) sees it.
+            if not key_names or not isinstance(
+                s.buckets[-1], (DateHistogramBucket, HistogramBucket)
+            ):
+                raise ValueError(
+                    "kibana: moving_percentiles needs an innermost "
+                    "histogram/date_histogram bucket"
+                )
+            seq_label = key_names[-1]
+            outer = key_names[:-1]
+            w_idx = Window.partitionBy(
+                *[F.col(c) for c in outer]
+            ).orderBy(F.col(seq_label).asc())
+            out = out.withColumn("__mp_i", F.row_number().over(w_idx))
+            idx = F.broadcast(
+                out.select(
+                    *[F.col(c) for c in outer + [seq_label, "__mp_i"]]
+                )
+            )
+            for pl in run:
+                shift = int(pl.op.split(":", 1)[1])
+                m = next(
+                    mm for mm in s.metrics
+                    if isinstance(mm, PercentilesAgg)
+                    and mm.label == pl.source_label
+                )
+                val = resolve(m.field).cast("double")
+                docs = df.filter(val.isNotNull()).withColumn(
+                    "__mp_v", val
+                ).join(idx, outer + [seq_label])
+                # a doc in bucket index j serves result buckets
+                # i ∈ [j+1-shift, j+window-shift]
+                tgt = docs.withColumn(
+                    "__mp_t",
+                    F.explode(
+                        F.sequence(
+                            F.col("__mp_i") + F.lit(1 - shift),
+                            F.col("__mp_i") + F.lit(pl.window - shift),
+                        )
+                    ),
+                )
+                per = tgt.groupBy(
+                    *[F.col(c) for c in outer],
+                    F.col("__mp_t").alias("__mp_i"),
+                ).agg(
+                    F.percentile(
+                        F.col("__mp_v"),
+                        F.array(*[F.lit(p_ / 100.0) for p_ in m.percents]),
+                    ).alias("__mp_arr")
+                )
+                out = out.join(per, outer + ["__mp_i"], "left")
+                for k_, name in enumerate(pl.column_names()):
+                    out = out.withColumn(
+                        name, F.col("__mp_arr").getItem(k_)
+                    )
+                out = out.drop("__mp_arr")
+            return out.drop("__mp_i")
 
         def _apply_normalize(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
             # ES normalize (round 13): rescale each bucket's metric by
@@ -3366,6 +3742,8 @@ class KibanaPlan:
                     "sibling" if pl.op in _sib_ops
                     else "normalize" if pl.op.startswith("normalize:")
                     else "cumcard" if pl.op == "cumulative_cardinality"
+                    else "movperc"
+                    if pl.op.startswith("moving_percentiles:")
                     else "parent",
                     pl,
                 )
@@ -3377,7 +3755,8 @@ class KibanaPlan:
         i = 0
         while i < len(stages):
             kind, stage = stages[i]
-            if kind in ("parent", "sibling", "normalize", "cumcard"):
+            if kind in ("parent", "sibling", "normalize", "cumcard",
+                        "movperc"):
                 run = [stage]
                 while i + 1 < len(stages) and stages[i + 1][0] == kind:
                     i += 1
@@ -3390,6 +3769,8 @@ class KibanaPlan:
                     else _apply_normalize(out, run)
                     if kind == "normalize"
                     else _apply_cumcard(out, run)
+                    if kind == "cumcard"
+                    else _apply_movperc(out, run)
                 )
             elif kind == "bucket_script":
                 # per-bucket painless arithmetic over sibling metric
@@ -3455,7 +3836,7 @@ class KibanaPlan:
                 )
             elif isinstance(
                 m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg,
-                    StringStatsAgg)
+                    StringStatsAgg, MatrixStatsAgg)
             ):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:

@@ -1798,3 +1798,283 @@ def kibana_rate_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top2"),
     )
     return rates.unionByName(tm)
+
+
+@query(
+    "kibana_matrix_stats",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    -- power sums in DECIMAL(38,6) fixed point — the engine's
+    -- partition-order-independent totals; per-row powers are exact
+    -- doubles (integral inputs < ~9.7e3)
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value_i AS DECIMAL(38,6))) AS x1,
+             SUM(CAST(value_i * value_i AS DECIMAL(38,6))) AS x2,
+             SUM(CAST(value_i * value_i * value_i
+                      AS DECIMAL(38,6))) AS x3,
+             SUM(CAST(value_i * value_i * value_i * value_i
+                      AS DECIMAL(38,6))) AS x4,
+             SUM(CAST(CAST(user_id AS DOUBLE)
+                      AS DECIMAL(38,6))) AS y1,
+             SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                      AS DECIMAL(38,6))) AS y2,
+             SUM(CAST(value_i * CAST(user_id AS DOUBLE)
+                      AS DECIMAL(38,6))) AS xy
+      FROM d
+      WHERE value_i IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(x1 AS DOUBLE) / n AS mx,
+             CAST(x2 AS DOUBLE)
+               - n * (CAST(x1 AS DOUBLE) / n)
+                   * (CAST(x1 AS DOUBLE) / n) AS m2x,
+             CAST(y1 AS DOUBLE) / n AS my,
+             CAST(y2 AS DOUBLE)
+               - n * (CAST(y1 AS DOUBLE) / n)
+                   * (CAST(y1 AS DOUBLE) / n) AS m2y,
+             CAST(xy AS DOUBLE)
+               - n * (CAST(x1 AS DOUBLE) / n)
+                   * (CAST(y1 AS DOUBLE) / n) AS c2
+      FROM s
+    )
+    SELECT event_type, n AS doc_count,
+           round(mx, 6) AS v_mean,
+           round(m2x / (n - 1.0), 6) AS v_variance,
+           round(my, 6) AS u_mean,
+           round(m2y / (n - 1.0), 6) AS u_variance,
+           round(c2 / (n - 1.0), 6) AS vu_covariance,
+           round(c2 / sqrt(m2x * m2y), 6) AS vu_correlation
+    FROM m
+    """,
+)
+def kibana_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``matrix_stats`` (round 14): cross-field covariance /
+    correlation with ES's MatrixStatsResults formulas (variance =
+    M2/(n−1), covariance = C2/(n−1), correlation = C2/√(M2ᵢM2ⱼ))
+    over a terms bucket — the "does consumer lag correlate with
+    request rate" panel a metrics user builds.
+
+    Determinism/scale: the moments ride the main hash aggregation as
+    Σx..Σx⁴/Σxy power sums carried in DECIMAL(38,6) fixed point —
+    per-row powers are exact doubles for these integral fields, and
+    the fixed-point SUM is partition-order-independent (AQE / task
+    retry safe), so the derived doubles are bit-identical in any
+    engine replaying the same formula; outputs additionally rounded
+    to 6 decimals.  One scan, one shuffle, no Python.  Skewness /
+    kurtosis are exercised by the unit pin (test_matrix_stats,
+    hand-computed); this row hashes the covariance family."""
+    docs = _es_docs(spark, sf_dir)
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "event_type"}},
+        {"id": "2", "type": "matrix_stats", "schema": "metric",
+         "params": {"fields": ["value_i", "user_id"],
+                    "customLabel": "mx"}},
+    ])).evaluate(docs)
+    return out.select(
+        "event_type",
+        F.col("mx_doc_count").cast("long").alias("doc_count"),
+        F.round("mx_value_i_mean", 6).alias("v_mean"),
+        F.round("mx_value_i_variance", 6).alias("v_variance"),
+        F.round("mx_user_id_mean", 6).alias("u_mean"),
+        F.round("mx_user_id_variance", 6).alias("u_variance"),
+        F.round("mx_value_i_user_id_covariance", 6).alias("vu_covariance"),
+        F.round("mx_value_i_user_id_correlation", 6).alias("vu_correlation"),
+    )
+
+
+@query(
+    "kibana_moving_percentiles",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS day, value
+      FROM d
+    ),
+    idx AS (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM (SELECT DISTINCT day FROM b)
+    ),
+    bd AS (SELECT idx.i, b.value FROM b JOIN idx USING (day)),
+    cur AS (
+      SELECT i, round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90
+      FROM bd GROUP BY i
+    ),
+    win AS (
+      SELECT t.i, round(quantile_cont(s.value, 0.5), 4) AS mp50,
+             round(quantile_cont(s.value, 0.9), 4) AS mp90
+      FROM idx t LEFT JOIN bd s ON s.i BETWEEN t.i - 3 AND t.i - 1
+      GROUP BY t.i
+    )
+    SELECT strftime(idx.day, '%Y-%m-%d %H:%M:%S') AS day_s,
+           cur.p50, cur.p90, win.mp50, win.mp90
+    FROM idx JOIN cur USING (i) JOIN win USING (i)
+    """,
+)
+def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_percentiles`` (round 14): a 3-bucket window sliding
+    across the daily histogram, reporting the window's p50/p90 next to
+    the per-bucket percentiles — the smoothed-latency-percentile panel.
+    ES merges the per-bucket t-digest sketches; this engine is EXACT
+    over the window's raw doc values (the documented exact-vs-approx
+    stance).  moving_fn shift=0 semantics: the 3 buckets BEFORE the
+    current one; the first bucket's empty window emits null.
+
+    Scale shape: the bucket-index map is bucket-table-sized and
+    broadcast; each doc explodes into <= window(3) target indices —
+    the documented, bounded fan-out — then ONE grouped percentile per
+    target bucket; never a corpus-sized window state."""
+    docs = _es_docs(spark, sf_dir)
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1d",
+                    "customLabel": "day"}},
+        {"id": "2", "type": "percentiles", "schema": "metric",
+         "params": {"field": "value", "percents": [50, 90],
+                    "customLabel": "p"}},
+        {"id": "3", "type": "moving_percentiles", "schema": "metric",
+         "params": {"metricAgg": "2", "window": 3, "customLabel": "mp"}},
+    ])).evaluate(docs, auto_interval_buckets=None)
+    return out.select(
+        F.date_format("day", _TS_FMT).alias("day_s"),
+        F.round("p_p50", 4).alias("p50"),
+        F.round("p_p90", 4).alias("p90"),
+        F.round("mp_p50", 4).alias("mp50"),
+        F.round("mp_p90", 4).alias("mp90"),
+    )
+
+
+@query(
+    "kibana_categorize_text",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    msgs AS (
+      SELECT event_type || ' event ' || CAST(event_id AS VARCHAR)
+               || ' for user ' || user_id || ' took '
+               || CAST(value_i AS VARCHAR) || ' ms' AS msg
+      FROM d
+    ),
+    cats AS (
+      SELECT array_to_string(
+               list_filter(
+                 string_split_regex(lower(msg), '[^a-z0-9]+'),
+                 t -> t <> '' AND NOT regexp_matches(t, '[0-9]')
+               ), ' ') AS cat
+      FROM msgs
+    )
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM cats WHERE cat <> ''
+    GROUP BY cat
+    ORDER BY doc_count DESC, cat ASC LIMIT 10
+    """,
+)
+def kibana_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``categorize_text`` (round 14), the deterministic core: log
+    lines bucket by their token-sequence pattern after dropping every
+    digit-bearing token (ES ML categorization's rule that numbers —
+    ids, latencies, timestamps — never define a category).  The log
+    line is derived from the events table the way the reference's
+    metrics become ES documents; each event_type yields one pattern.
+
+    Documented divergence: ES's drain-style similarity merge
+    (similarity_threshold, default 70) is NOT modelled — the engine
+    buckets exact post-tokenization patterns, deterministic and
+    SQL-replayable where ES is shard-order sensitive (rejecting
+    similarity_threshold != 100 loudly, the rare_terms/ANN stance).
+
+    Scale: scan-local tokenize/filter/join column algebra (zero
+    Python), one hash aggregation keyed by the pattern string, then a
+    TakeOrdered size cut — the exact terms-bucket cost shape."""
+    docs = _es_docs(spark, sf_dir).withColumn(
+        "msg",
+        F.concat(
+            F.col("event_type"), F.lit(" event "),
+            F.col("event_id").cast("string"), F.lit(" for user "),
+            F.col("user_id"), F.lit(" took "),
+            F.col("value_i").cast("long").cast("string"), F.lit(" ms"),
+        ),
+    )
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
+    ])).evaluate(docs)
+    return out.select("cat", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+@query(
+    "kibana_filter_missing_auto_prod",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    span AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM d
+    ),
+    iv AS (SELECT {_ES_LADDER_CASE_40} AS iv FROM span)
+    SELECT strftime(make_timestamp((epoch_us(d.ts) // i.iv) * i.iv),
+                    '%Y-%m-%d %H:%M:%S') AS when_s,
+           CAST(COUNT(*) AS BIGINT) AS n, SUM(value_i) AS val
+    FROM d, iv i GROUP BY 1
+    """,
+)
+def kibana_filter_missing_auto_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the round-13 vocabulary row (VERDICT
+    r13 item 4): ONE auto_date_histogram branch — a single 1-row
+    min/max interval probe + one hash aggregation — split out of the
+    seven-branch ``kibana_filter_missing_auto`` attestation row so the
+    bench attributes each shape separately; the breadth row keeps
+    hashing all seven branches."""
+    docs = _es_docs(spark, sf_dir)
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "buckets": 40, "customLabel": "when"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    return out.select(
+        F.date_format("when", _TS_FMT).alias("when_s"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@query(
+    "kibana_query_string_prod",
+    """
+    SELECT 'complex' AS qs, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (lang = 'en' OR lang = 'de') AND source LIKE 'src1%'
+    HAVING COUNT(*) > 0
+    """,
+)
+def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the ten-clause Lucene query_string
+    attestation row (VERDICT r13 item 4): ONE realistic boolean +
+    wildcard clause compiled to a scan-local predicate fused into a
+    single hash aggregation — the filter-bar query a dashboard user
+    actually types; the breadth row keeps hashing all ten clause
+    classes."""
+    docs = _t(spark, sf_dir, "documents")
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "filters", "schema": "bucket",
+         "params": {"customLabel": "qs", "filters": [
+             {"label": "complex",
+              "input": {"query": {"query_string": {
+                  "query": "(lang: en OR lang: de) AND source: src1*"}}}},
+         ]}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n_docs"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "n_chars", "customLabel": "sum_chars"}},
+    ])).evaluate(docs)
+    return out.select(
+        "qs", "n_docs", F.col("sum_chars").cast("long").alias("sum_chars")
+    )

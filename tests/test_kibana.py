@@ -3317,6 +3317,164 @@ def test_cumulative_cardinality(spark):
         ])).evaluate(df, auto_interval_buckets=None)
 
 
+def test_matrix_stats(spark):
+    """ES matrix_stats (round 14): per-field mean/variance/skewness/
+    kurtosis + pairwise covariance/correlation with ES's
+    MatrixStatsResults formulas, hand-computed.  x=(1,2,3), y=(2,4,7);
+    the row with a null x is excluded from the WHOLE matrix (listwise
+    deletion); a single-doc group nulls every (n-1)/M2-normalized
+    stat."""
+    d = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 7.0),
+         ("g1", None, 9.0), ("g2", 5.0, 5.0)],
+        "g string, x double, y double")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 5, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "matrix_stats", "schema": "metric",
+         "params": {"fields": ["x", "y"], "customLabel": "mx"}},
+    ])).evaluate(d)
+    rows = {r["g"]: r for r in out.collect()}
+    g1 = rows["g1"]
+    assert g1["mx_doc_count"] == 3              # null-x row excluded
+    assert g1["mx_x_mean"] == 2.0
+    assert g1["mx_x_variance"] == 1.0           # M2=2, /(n-1)
+    assert g1["mx_x_skewness"] == 0.0           # symmetric
+    assert g1["mx_x_kurtosis"] == 1.5           # n*M4/M2^2 = 3*2/4
+    # y moments from the same formulas, computed independently here
+    import math
+    n, ys = 3.0, [2.0, 4.0, 7.0]
+    m = sum(ys) / n
+    m2 = sum(y * y for y in ys) - n * m * m
+    m3 = sum(y ** 3 for y in ys) - 3 * m * sum(y * y for y in ys) \
+        + 2 * n * m ** 3
+    assert abs(g1["mx_y_variance"] - m2 / (n - 1)) < 1e-9
+    assert abs(
+        g1["mx_y_skewness"] - math.sqrt(n) * m3 / m2 ** 1.5
+    ) < 1e-9
+    c2 = (1 * 2 + 2 * 4 + 3 * 7) - n * 2.0 * m
+    assert abs(g1["mx_x_y_covariance"] - c2 / (n - 1)) < 1e-9
+    assert abs(
+        g1["mx_x_y_correlation"] - c2 / math.sqrt(2.0 * m2)
+    ) < 1e-9
+    g2 = rows["g2"]
+    assert g2["mx_doc_count"] == 1 and g2["mx_x_mean"] == 5.0
+    assert g2["mx_x_variance"] is None          # n < 2
+    assert g2["mx_x_skewness"] is None          # M2 = 0
+    assert g2["mx_x_y_correlation"] is None
+    # validation: >= 2 distinct fields, no bucket schema, no missing
+    with pytest.raises(ValueError, match="two fields"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "matrix_stats", "schema": "metric",
+             "params": {"fields": ["x"]}}])["visState"])
+    with pytest.raises(ValueError, match="distinct"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "matrix_stats", "schema": "metric",
+             "params": {"fields": ["x", "x"]}}])["visState"])
+    with pytest.raises(ValueError, match="missing"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "matrix_stats", "schema": "metric",
+             "params": {"fields": ["x", "y"],
+                        "missing": {"x": 0}}}])["visState"])
+
+
+def test_moving_percentiles(spark):
+    """ES moving_percentiles (round 14): percentiles of the sliding
+    bucket window, exact over the window's raw doc values.  shift=0
+    excludes the current bucket (moving_fn semantics); shift=window
+    includes it.  Hand-computed on 3 hourly buckets."""
+    rows = [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:20:00", 3.0),
+            ("2024-01-01 01:10:00", 10.0), ("2024-01-01 02:10:00", 5.0),
+            ("2024-01-01 02:20:00", 7.0)]
+    d = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "date_histogram", "schema": "bucket",
+         "params": {"field": "ts", "customInterval": "1h",
+                    "customLabel": "h"}},
+        {"id": "2", "type": "percentiles", "schema": "metric",
+         "params": {"field": "v", "percents": [25, 50],
+                    "customLabel": "p"}},
+        {"id": "3", "type": "moving_percentiles", "schema": "metric",
+         "params": {"metricAgg": "2", "window": 2, "customLabel": "mp"}},
+        {"id": "4", "type": "moving_percentiles", "schema": "metric",
+         "params": {"metricAgg": "2", "window": 2, "shift": 1,
+                    "customLabel": "mpi"}},
+    ])).evaluate(d, auto_interval_buckets=None)
+    got = {str(r["h"]): (r["mp_p50"], r["mpi_p50"]) for r in out.collect()}
+    assert got == {
+        # shift=0: [t-2, t-1]; shift=1: [t-1, t]
+        "2024-01-01 00:00:00": (None, 2.0),   # incl-current: {1,3}
+        "2024-01-01 01:00:00": (2.0, 3.0),    # {1,3} / {1,3,10}
+        "2024-01-01 02:00:00": (3.0, 7.0),    # {1,3,10} / {10,5,7}
+    }
+    assert "mp_p25" in out.columns            # source percents mirrored
+    with pytest.raises(ValueError, match="explicit"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h"}},
+            {"id": "2", "type": "percentiles", "schema": "metric",
+             "params": {"field": "v", "percents": [50]}},
+            {"id": "3", "type": "moving_percentiles", "schema": "metric",
+             "params": {"metricAgg": "2"}}])["visState"])
+    with pytest.raises(ValueError, match="percentiles agg"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h"}},
+            {"id": "2", "type": "avg", "schema": "metric",
+             "params": {"field": "v"}},
+            {"id": "3", "type": "moving_percentiles", "schema": "metric",
+             "params": {"metricAgg": "2", "window": 2}}])["visState"])
+    with pytest.raises(ValueError, match="innermost"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "ts", "size": 5, "order": "asc",
+                        "orderBy": "_term"}},
+            {"id": "2", "type": "percentiles", "schema": "metric",
+             "params": {"field": "v", "percents": [50],
+                        "customLabel": "p"}},
+            {"id": "3", "type": "moving_percentiles", "schema": "metric",
+             "params": {"metricAgg": "2", "window": 2,
+                        "customLabel": "mp"}},
+        ])).evaluate(d)
+
+
+def test_categorize_text(spark):
+    """ES categorize_text (round 14), the deterministic core: category
+    key = lowercased tokens with digit-bearing tokens dropped; ordered
+    by doc_count desc then key asc, size-cut.  The drain-style
+    similarity merge is a documented divergence and similarity_
+    threshold != 100 rejects loudly."""
+    d = spark.createDataFrame(
+        [("User 123 failed to connect",),
+         ("User 456 failed to connect",),
+         ("Disk 9 full",), ("12345",), (None,)],
+        "msg string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
+    ])).evaluate(d)
+    assert [(r["cat"], r["doc_count"]) for r in out.collect()] == [
+        ("user failed to connect", 2), ("disk full", 1),
+    ]
+    # size cut keeps the top pattern only
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 1, "customLabel": "cat"}},
+    ])).evaluate(d)
+    assert [r["cat"] for r in out2.collect()] == ["user failed to connect"]
+    with pytest.raises(ValueError, match="similarity_threshold"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {"field": "msg",
+                        "similarity_threshold": 70}}])["visState"])
+    with pytest.raises(ValueError, match="needs a field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {}}])["visState"])
+
+
 def test_cumulative_cardinality_min_doc_count(spark):
     """ADVICE r13: a value whose FIRST bucket is dropped by the
     histogram's min_doc_count>=2 cut must still be counted — in its
