@@ -2507,8 +2507,10 @@ class KibanaPlan:
                 )
             elif isinstance(b, AdjacencyMatrixBucket):
                 # singleton buckets for every matching filter + pair
-                # buckets 'a&b' for every matching pair in declaration
-                # order (i < j) — scan-local array algebra, then one
+                # buckets 'a&b' for every matching pair — b.filters is
+                # pre-sorted lexicographically at parse time (ES's
+                # fixed filter order, ADVICE r13), so i < j here IS
+                # name order.  Scan-local array algebra, then one
                 # explode; a doc matching k filters contributes
                 # k + k(k-1)/2 rows, k <= 100 by the parse-time cap
                 matches = F.array_compact(

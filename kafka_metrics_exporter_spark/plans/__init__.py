@@ -30,221 +30,178 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
-# Explicit first-window ordering for ROUND 13.
+# Explicit first-window ordering for ROUND 14.
 #
-# The r12 gate RAN (CORRECTNESS_r12.json: 50/50 green), so the rotation
-# executes as the r12 verdict ordered (items 1-2):
-#   - of the 47 queries whose latest driver row is r11 (two gate-runs
+# The r13 gate RAN (CORRECTNESS_r13.json: 50/50 green), so the rotation
+# executes as the r13 verdict ordered (item 1):
+#   - of the 49 queries whose latest driver row is r12 (two gate-runs
 #     old, enumerated by test_rotation_promotes_stale_rows as
-#     r11-minus-r12), 26 PROMOTE into the window and 21 demote into
+#     r12-minus-r13), 35 PROMOTE into the window and 14 demote into
 #     STALE_OUT_OF_WINDOW, each with an in-window sibling pinning the
 #     same machinery (justifications below);
-#   - the freed slots burn the ENTIRE r6/r7 staleness debt: all 13
-#     r6-latest and all 8 r7-latest rows promote, leaving the 8
-#     r9-latest rows (plus last round's r10 demotions) as the only
-#     ledger debt — "no row older than r9-latest", VERDICT r12 item 2.
-#   - 2 new registrations (the round-13 ES vocabulary tier) and 1
-#     semantic change (kibana_date_histogram, carrying the ADVICE r12
-#     min_doc_count fix) claim the remaining 3 slots.
+#   - the 8 r9-latest rows — the entire >=4-gate-run ledger tail —
+#     promote (a7_multikey_drilldown, doc_fingerprint, j3_union_byname,
+#     o1_distinct, o4_sort_limit, pipe_split, promql_clamp_sort,
+#     promql_time_macros), lifting the ledger floor to r10-latest;
+#   - 5 new registrations (the round-14 ES vocabulary tier:
+#     matrix_stats / moving_percentiles / categorize_text, plus the
+#     two production-shape splits the r13 verdict item 4 ordered) and
+#     2 semantic changes (the ADVICE r13 fixes) claim the rest.
 #
-# Slot arithmetic: 21 debt + 2 new + 1 changed + 26 promotions = 50.
-# Out-of-window debt after this rotation: the 50 r12-verified (1 run
-# old), the 21 demoted r11 rows (2 runs), last round's 8 r10
-# demotions (3 runs) and 8 r9-latest rows (4 runs) — debt(>=3 runs)
-# = 16 < 25, and every out-of-window row is re-attested this round via
-# tools/check_oracle.py at sf0.01 AND sf0.1 (BASELINE.md round-13
+# Slot arithmetic: 35 promotions + 8 r9-tail + 5 new + 2 changed = 50.
+# Out-of-window debt after this rotation: the 50 r13-verified rows
+# (1 run old), the 14 demoted r12 rows (2 runs), last round's 21 r11
+# demotions (3 runs) — debt(>=3 runs) = 21, all r11-latest or newer;
+# every out-of-window row is re-attested this round via
+# tools/check_oracle.py at sf0.01 AND sf0.1 (BASELINE.md round-14
 # addendum), replayed against its DuckDB oracle at sf0.001 by
 # tests/test_queries_oracle.py every session, and hash-pinned by the
-# round-13 FULL GOLDEN re-record.
+# round-14 FULL GOLDEN re-record.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.
 NEW_THIS_ROUND: list[str] = [
-    # round-13 ES bucket-vocabulary tier: single `filter` agg,
-    # `missing` bucket, auto_date_histogram (ES's own rounding ladder)
-    "kibana_filter_missing_auto",
-    # round-13 ES metric-vocabulary tier: `rate` agg under a
-    # date_histogram (sum/value_count/doc-count modes, resolved-
-    # interval scaling) and `top_metrics` (size 1 scalar + size 2
-    # sort-ordered array)
-    "kibana_rate_top_metrics",
+    # round-14 ES vocabulary tier (VERDICT r13 item 3): cross-field
+    # covariance/correlation matrices, sliding-window percentiles,
+    # and deterministic log-pattern categorization
+    "kibana_matrix_stats",
+    "kibana_moving_percentiles",
+    "kibana_categorize_text",
+    # round-14 production-shape splits (VERDICT r13 item 4): the
+    # seven-branch filter/missing/auto attestation row and the
+    # ten-clause query_string row each get a one-branch production
+    # twin so the bench attributes per shape
+    "kibana_filter_missing_auto_prod",
+    "kibana_query_string_prod",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r13 (ADVICE r12): min_doc_count >= 2 above row-dropping inner
-    # buckets now counts a PRE-CUT level snapshot (groupBy + join)
-    # instead of the post-size-cut leaf window-sum — this row's mdc2
-    # branch (terms below the histogram) compiles to the new plan
-    # shape; value_count joined the zero-fill family and
-    # extended_bounds date strings pinned to UTC in the same change.
-    "kibana_date_histogram",
-    # r13: ts_of_first_over_time (Prometheus 3.5's experimental
-    # timestamp twin of first_over_time) — the row gains a tsfirst_s
-    # column with its min-epoch oracle branch.  Already an r11→r13
-    # promotion, so the CHANGED declaration costs no slot.
-    "promql_over_time_pack",
-    # r13: ES `normalize` pipeline agg (all six documented methods; a
-    # percent_of_sum branch joins this row after its selector, the
-    # other methods are unit-pinned) — grouped level aggregation
-    # broadcast-joined back, never an unpartitioned window.  Already
-    # an r11→r13 promotion: no slot cost.
-    "kibana_pipeline",
-    # r13: extended_stats_bucket sibling (population variance family
-    # over the inner level's integral counts) joins this row; the
-    # remaining round-13 vocabulary (adjacency_matrix, significant_text,
-    # string_stats, cumulative_cardinality) rides the two NEW rows and
-    # unit tests.  Already an r11→r13 promotion: no slot cost.
-    "kibana_histogram_stats",
+    # r14 (ADVICE r13): adjacency_matrix pair keys now use ES's
+    # LEXICOGRAPHIC filter order (values changed: 'big&click', not
+    # 'click&big'); auto_date_histogram picks its interval from
+    # FLOORED endpoints (hi//iv - lo//iv + 1); the vwh Lloyd rounds
+    # train via one executor-side mapInPandas partial-sum pass per
+    # round (plan shape; hashes unchanged, re-attested at 3 SFs).
+    "kibana_filter_missing_auto",
+    # r14 (ADVICE r13): top_metrics requires an explicit sort and
+    # skips null sort values in both paths; cumulative_cardinality
+    # (this row's cum_users branch) computes first-seen buckets
+    # against the SURVIVING bucket keys (broadcast semi-join).
+    "kibana_rate_top_metrics",
 ]
 
-CHANGED_OUT_OF_WINDOW: list[str] = [
-    # r13 (VERDICT r12 item 6): the two schema legs now share ONE
-    # persisted builder input (scan + sign/NaN classification) instead
-    # of re-deriving it per leg — plan shape only; the result hash is
-    # unchanged at both SFs (check_oracle) and the row re-recorded
-    # under round 13.  The window is exactly full (50), and the row's
-    # r12 driver row verified the identical output values.
-    "promql_native_histogram",
-]
+CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r11-latest queries the 50-slot arithmetic cannot fit once the full
-# r6/r7 debt burn-down (21 rows, VERDICT r12 item 2 "no row older
-# than r9-latest") + 2 new + 1 changed claimed their slots (47
-# r11-latest candidates + 21 debt + 3 = 71 candidates for 50 slots →
-# 21 demotions).  Selection: code untouched since their green r11 row
-# AND an in-window sibling exercising the same machinery; every one is
-# replayed against its DuckDB oracle at sf0.001 by
-# tests/test_queries_oracle.py EVERY session, re-attested at sf0.01
-# and sf0.1 via tools/check_oracle.py this round, and hash-pinned by
-# the round-13 FULL GOLDEN re-record.
+# r12-latest queries the 50-slot arithmetic cannot fit once the 8
+# r9-tail promotions (VERDICT r13 item 1) + 5 new + 2 changed claimed
+# their slots (49 r12-latest candidates + 8 + 5 + 2 = 64 candidates
+# for 50 slots -> 14 demotions).  Selection: code untouched since
+# their green r12 row AND an in-window sibling exercising the same
+# machinery; every one is replayed against its DuckDB oracle at
+# sf0.001 by tests/test_queries_oracle.py EVERY session, re-attested
+# at sf0.01 and sf0.1 via tools/check_oracle.py this round, and
+# hash-pinned by the round-14 FULL GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # IVF coarse-cell pruning + deterministic md5-residue training
-    # pinned by embed_ivfpq_topk (in-window, the IVF+PQ composite)
-    "embed_ivf_topk",
-    # scalar/binary quantization kernel pinned by embed_binary_topk
-    # (in-window: sign-bit signatures + Hamming heaps)
-    "embed_quantize",
-    # hyperplane sign-bit signatures pinned by embed_binary_topk and
-    # the LSH band→bucket-join machinery by dedup_minhash_components
-    # (both in-window)
-    "embed_near_dup_lsh",
-    # decontamination gate machinery (broadcast benchmark side +
-    # n-gram overlap) pinned by pipe_bloom_decontaminate (in-window
-    # r6-debt promotion)
-    "pipe_fuzzy_decontaminate",
-    # chunking/packing window machinery pinned by pipe_pack_chunks
-    # (in-window r6-debt promotion)
-    "pipe_sliding_chunks",
-    # deterministic hash-ordered sampling pinned by
-    # pipe_stratified_sample (in-window r6-debt promotion)
-    "pipe_weighted_sample",
-    # deterministic md5-order machinery pinned by
-    # pipe_stratified_sample + pipe_corpus_build's deterministic
-    # split (both in-window)
-    "pipe_global_shuffle",
-    # per-stratum deterministic sampling (domain mixing IS stratified
-    # sampling by domain weight) pinned by pipe_stratified_sample
-    "pipe_domain_mix",
-    # quality-scoring scan-local column algebra pinned by
-    # text_quality_gate (in-window r6-debt promotion)
-    "text_gopher_quality",
-    # n-gram tokenization machinery pinned by text_tfidf_topk
-    # (in-window r6-debt promotion)
-    "text_repetition",
-    # scan-local text column algebra pinned by text_metrics +
-    # text_tfidf_topk (both in-window debt promotions)
-    "text_langid",
-    # Arrow mapInPandas decode plumbing pinned by multimodal_frames
-    # (in-window r6-debt promotion)
-    "multimodal_audio",
-    # same mapInPandas plumbing pinned by multimodal_frames
-    "multimodal_features",
-    # same-level pipeline reduction loop (step-4 request-order
-    # batching) + sibling aggs pinned by kibana_pipeline (in-window);
-    # bucket_sort semantics pinned by pytest
-    "kibana_sibling_sort",
-    # same step-4 reduction loop pinned by kibana_pipeline; the
-    # bucket_script kernel is property-tested against a python eval
+    # signature->band->bucket-join machinery pinned by
+    # dedup_minhash_lsh (in-window promotion)
+    "dedup_simhash",
+    # n-gram shingling + capped pair-join pinned by dedup_minhash_lsh
+    "dedup_ngram_jaccard",
+    # exact-gram hashing/dedup pinned by dedup_substring (in-window)
+    "dedup_passage",
+    # blocked-matmul cosine kernel pinned by embed_near_dup_cosine
+    # (in-window promotion)
+    "embed_cosine_topk",
+    # same rate-with-resets kernel, instant mode — pinned by
+    # promql_rate_extrapolated (in-window)
+    "promql_rate_instant",
+    # label-matched series binop join pinned by promql_vector_matching
+    # (in-window)
+    "promql_vector_math",
+    # info() IS a vector-matching label join — promql_vector_matching
+    "promql_info_join",
+    # range-window over_time fold family pinned by promql_holt_winters
+    # (in-window)
+    "promql_quantile_last_over_time",
+    # rate kernel pinned by promql_rate_extrapolated; topk window by
+    # w3_topk_per_group (both in-window)
+    "promql_topk_rate",
+    # argmax-by-time kernel pinned by a6_latest_value (in-window)
+    "w4_latest_per_user",
+    # agg-of-agg + topk machinery pinned by a1_a4_grouped_metrics and
+    # w3_topk_per_group (both in-window)
+    "a9_topk_of_avg",
+    # max_by argmax kernel pinned by a6_latest_value; the top_hits/
+    # top_metrics bounded rank-window by kibana_rate_top_metrics
+    # (CHANGED, in-window)
+    "kibana_top_hits_latest",
+    # foreachBatch replay harness pinned by streaming_state_replay
+    # (in-window); the session-window kernel has its green r13
+    # w7_session_window row
+    "streaming_session_replay",
+    # exact percentile kernel pinned by kibana_median (in-window); the
+    # approx t-digest bound is tolerance-pinned by the pytest harness
     # every session
-    "kibana_bucket_script",
-    # exact grouped-percentile kernel pinned by promql_quantile_agg
-    # (in-window r6-debt promotion)
-    "a11_percentile",
-    # label-matched series binop join machinery pinned by
-    # promql_set_ops (in-window r7-debt promotion)
-    "qtj_series_arith",
-    # anti join = promql_set_ops' `unless` leg (in-window)
-    "o3_anti_join",
-    # intersect = promql_set_ops' `and` leg (in-window)
-    "o5_intersect",
-    # explicit broadcast-hash lookup join pinned by
-    # pipe_bloom_decontaminate's broadcast benchmark side (in-window)
-    "j2_broadcast_lookup",
-    # range-window fold kernel (deriv/predict_linear share the
-    # over_time fold family) pinned by promql_resets_changes
-    # (in-window r6-debt promotion)
-    "promql_deriv_predict",
+    "a11b_approx_percentile",
 ]
 
 WINDOW_PRIORITY = [
-    # -- round-13 registration + semantic change claim slots here --------
+    # -- round-14 registrations + semantic changes claim slots here ----
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r6 (5 gate-runs old): full burn-down (13) --
-    "embed_cluster_dedup",
-    "kibana_terms_metrics",
-    "multimodal_frames",
-    "pipe_bloom_decontaminate",
-    "pipe_corpus_build",
-    "pipe_pack_chunks",
-    "pipe_stratified_sample",
-    "promql_quantile_agg",
-    "promql_resets_changes",
-    "text_quality_gate",
-    "text_redact",
-    "text_tfidf_topk",
-    "text_token_rarity",
-    # -- latest driver row is r7 (4 gate-runs old): full burn-down (8) ---
-    "a10_sum_without",
-    "a5_count_distinct",
-    "promql_calendar",
-    "promql_round_scalar",
-    "promql_set_ops",
-    "promql_trig_group",
-    "text_metrics",
-    "w10_topk_rate_nonempty",
-    # -- latest driver row is r11 (2 gate-runs old): the 26 promotions ---
-    # joins / relational / scale
-    "j1_cross_join",
-    "j5_explode_parent_child",
-    "j7_range_join",
-    "p1_objectname_pivot",
-    "scale_salted_agg",
-    "w7_session_window",
-    "w11_rollup_cascade",
-    "w12_window_time_cascade",
-    # dedup / embedding family
-    "dedup_minhash_components",
-    "dedup_url",
-    "embed_binary_topk",
-    "embed_decontaminate",
-    "embed_ivfpq_topk",
-    "pipe_dsir_resample",
+    # -- latest driver row is r9 (4 gate-runs old): full tail burn-down
+    "a7_multikey_drilldown",
+    "doc_fingerprint",
+    "j3_union_byname",
+    "o1_distinct",
+    "o4_sort_limit",
+    "pipe_split",
+    "promql_clamp_sort",
+    "promql_time_macros",
+    # -- latest driver row is r12 (2 gate-runs old): the 35 promotions
+    # aggregation / relational core
+    "a12_rollup",
+    "a1_a4_grouped_metrics",
+    "a5_approx_count_distinct",
+    "a6_latest_value",
+    "a8_having",
+    "j6_asof_join",
+    "o6_semi_join",
+    "p2_normalize_pipeline",
+    "p_scalar_pack",
+    "w1_tumbling_window",
+    "w2_rate",
+    "w3_topk_per_group",
+    "w8_frame_specs",
+    "w9_regex_label_rate_sum",
+    # dedup / embedding / pipeline family
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_substring",
+    "embed_near_dup_cosine",
+    "embed_pq_topk",
+    "pipe_decontaminate",
+    "multimodal_resize",
+    "text_corpus_report",
     # PromQL surface
-    "promql_at_offset",
-    "promql_label_functions",
-    "promql_limit_sample",
-    "promql_rules_group",
-    "rules_rewrite",
-    "openmetrics_roundtrip",
-    "streaming_alerts_replay",
+    "promql_count_values",
+    "promql_histogram_quantile",
+    "promql_holt_winters",
+    "promql_native_histogram",
+    "promql_rate_extrapolated",
+    "promql_subquery",
+    "promql_vector_matching",
+    "streaming_state_replay",
     # Kibana surface
-    "kibana_composite",
-    "kibana_query_string",
+    "kibana_median",
+    "kibana_rare_multi_terms",
+    "kibana_serial_stats",
+    "kibana_significant_terms",
 ]
 
 

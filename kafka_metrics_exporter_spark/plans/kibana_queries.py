@@ -1549,7 +1549,8 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreground): distinct standard-analyzer tokens per doc, JLH
     scoring, DOC-count set sizes.  A fifth branch runs
     ``adjacency_matrix`` (three query_string filters → singleton and
-    '&'-pair cells, explode-and-aggregate like the filters bucket),
+    '&'-pair cells in ES's LEXICOGRAPHIC filter order — ADVICE r13 —
+    explode-and-aggregate like the filters bucket),
     and a sixth runs ``string_stats`` over the documents' source field
     per lang (entropy rounded to 4 decimals — the char-keyed partial
     products sum in engine-specific order), and a seventh runs

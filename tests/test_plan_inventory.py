@@ -48,8 +48,15 @@ BNLJ_OK = CROSS_JOIN_OK | {
 #   aggregated bucket table (time-span / interval rows, ≤ days-in-
 #   corpus), the same grid-bounded argument as promql_subquery; with
 #   any outer bucket the window partitions by it.
+# - kibana_moving_percentiles: the moving-window bucket INDEX
+#   (row_number over the bare daily histogram's bucket table — the
+#   same already-aggregated, grid-bounded relation as
+#   kibana_rate_top_metrics; the doc-scale percentile work is a
+#   grouped aggregation, never this window); with any outer bucket
+#   the window partitions by it.
 UNPARTITIONED_WINDOW_OK = {
     "promql_subquery", "pipe_dsir_resample", "kibana_rate_top_metrics",
+    "kibana_moving_percentiles",
 }
 
 

@@ -537,6 +537,97 @@ def test_kibana_pipeline_aggs_on_live_stream(spark, tmp_path):
     ]
 
 
+def test_kibana_tier3_vocab_on_live_stream(spark, tmp_path):
+    """VERDICT r13 item 6: the round-13 vocabulary beyond the
+    rate/top_metrics/normalize pin — significant_text,
+    adjacency_matrix and string_stats — replayed per micro-batch
+    through kibana_panels, plus round-14's categorize_text; values
+    hand-computed for both batches (the Kibana-refresh semantics:
+    each batch recomputes over its own documents)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    def vis(aggs):
+        return {"visState": json.dumps(
+            {"title": "t", "type": "table", "aggs": aggs})}
+
+    panels = {
+        "sig": vis([
+            {"id": "1", "type": "significant_text", "schema": "bucket",
+             "params": {"field": "msg", "size": 5, "min_doc_count": 1,
+                        "foreground": "tag:err", "customLabel": "tok"}},
+        ]),
+        "adj": vis([
+            {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+             "params": {"filters": {"err": "tag:err", "big": "v:>=10"},
+                        "customLabel": "cell"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+        ]),
+        "ss": vis([
+            {"id": "1", "type": "string_stats", "schema": "metric",
+             "params": {"field": "msg", "customLabel": "ss"}},
+        ]),
+        "cat": vis([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {"field": "msg", "size": 10,
+                        "customLabel": "cat"}},
+        ]),
+    }
+    src = tmp_path / "kibvocab"
+    src.mkdir()
+    batches = [
+        [("err", 12.0, "disk 42 crash"), ("err", 5.0, "disk 7 crash"),
+         ("ok", 20.0, "all good here")],
+        [("err", 3.0, "net 9 crash"), ("ok", 1.0, "all fine")],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "tag string, v double, msg string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("tag string, v double, msg string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got: dict[tuple[str, int], list] = {}
+    q = kibana_panels(
+        stream,
+        panels,
+        lambda name, df, bid: got.__setitem__(
+            (name, bid), [r.asDict() for r in df.collect()]
+        ),
+        checkpoint=str(tmp_path / "kibvocabckpt"),
+    )
+    q.awaitTermination(120)
+    # significant_text: JLH over the batch's own fg/bg split; ties
+    # break token-asc
+    assert [(r["tok"], r["score"]) for r in got[("sig", 0)]] == [
+        ("crash", 0.5), ("disk", 0.5), ("42", 0.25), ("7", 0.25)]
+    assert [(r["tok"], r["score"]) for r in got[("sig", 1)]] == [
+        ("9", 1.0), ("crash", 1.0), ("net", 1.0)]
+    # adjacency_matrix: lexicographic pair keys (ADVICE r13)
+    assert {r["cell"]: r["n"] for r in got[("adj", 0)]} == {
+        "big": 2, "err": 2, "big&err": 1}
+    assert {r["cell"]: r["n"] for r in got[("adj", 1)]} == {"err": 1}
+    # string_stats: bucketless panel folds to one row per batch
+    (s0,), (s1,) = got[("ss", 0)], got[("ss", 1)]
+    assert (s0["ss_count"], s0["ss_min_length"], s0["ss_max_length"]) == (
+        3, 12, 13)
+    assert abs(s0["ss_avg_length"] - 38 / 3) < 1e-12
+    assert (s1["ss_count"], s1["ss_min_length"], s1["ss_max_length"],
+            s1["ss_avg_length"]) == (2, 8, 11, 9.5)
+    assert s0["ss_entropy"] > 0
+    # categorize_text: digit tokens never define a category
+    assert {r["cat"]: r["doc_count"] for r in got[("cat", 0)]} == {
+        "disk crash": 2, "all good here": 1}
+    assert {r["cat"]: r["doc_count"] for r in got[("cat", 1)]} == {
+        "net crash": 1, "all fine": 1}
+
+
 def test_promql_panels_info_enrichment_on_stream(spark, tmp_path):
     """info() (round 9) inside a live panel: each micro-batch's samples
     enrich from the cycle's own target_info scrape — the
