@@ -411,6 +411,56 @@ class MatrixStatsAgg:
 
 
 @dataclass(frozen=True)
+class TTestAgg:
+    """ES ``t_test`` (round 14): Student's t between two populations —
+    ``paired`` (per-doc differences of two fields), ``homoscedastic``
+    (pooled variance) and ``heteroscedastic`` (Welch, ES's default;
+    populations selected by query_string filters).  The moments ride
+    the main hash aggregation as DECIMAL(38,6) power sums like
+    matrix_stats — partition-order-independent totals.
+
+    Documented divergence: ES returns the two-sided P-VALUE, a
+    Student-t CDF evaluation over exactly the (t, df) pair this agg
+    computes; the CDF (an incomplete-beta special function) has no
+    exact SQL twin in either engine and is a scalar client-side
+    transform, so this engine emits ``<label>_t`` and ``<label>_df``
+    — the CDF's exact inputs — unit-pinned against hand-computed
+    values.  Degenerate inputs (n<2 per side, zero variance) emit
+    null."""
+
+    a_field: str
+    b_field: str
+    label: str
+    test_type: str  # paired | homoscedastic | heteroscedastic
+    a_filter: str = ""  # query_string; "" selects all docs
+    b_filter: str = ""
+
+    def column_names(self) -> list[str]:
+        return [f"{self.label}_t", f"{self.label}_df"]
+
+
+@dataclass(frozen=True)
+class RandomSamplerBucket:
+    """ES ``random_sampler`` (round 14): run the sub-aggregations over
+    a random subset of documents — ES's own answer to the 100 TB
+    problem.  ES hashes shard-relative doc ids with an optional seed
+    (NOT reproducible across shard layouts); this engine is strictly
+    more deterministic: the keep-set is the md5 residue of an explicit
+    ``id_field`` mixed with a REQUIRED ``seed`` (``md5(id ':' seed)``
+    — the llmdata deterministic-sampling machinery, exact SQL twin),
+    so the same probability/seed reproduces the same sample on any
+    cluster layout, AQE re-plan, or engine.  ES's probability contract
+    is enforced: 0 < p <= 0.5, or exactly 1.  Must be the FIRST
+    bucket agg (ES requires top level); it adds no key column — a
+    transparent filter the remaining buckets/metrics aggregate over."""
+
+    probability: float
+    seed: int
+    id_field: str
+    label: str
+
+
+@dataclass(frozen=True)
 class BoxplotAgg:
     """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
     aggregation pass (exact interpolated quartiles where ES t-digests
@@ -1189,6 +1239,44 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     label=label,
                 )
             )
+        elif a["type"] == "random_sampler":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: random_sampler must be a bucket agg"
+                )
+            if buckets:
+                raise ValueError(
+                    "kibana: random_sampler must be the first (top-"
+                    "level) bucket agg, like ES"
+                )
+            prob = float(p.get("probability", 0))
+            # ES's own contract: (0, 0.5] or exactly 1
+            if not (0 < prob <= 0.5 or prob == 1.0):
+                raise ValueError(
+                    "kibana: random_sampler probability must be in "
+                    "(0, 0.5] or exactly 1"
+                )
+            if p.get("seed") is None:
+                # ES generates a seed when absent — non-reproducible;
+                # the deterministic stance requires one explicitly
+                raise ValueError(
+                    "kibana: random_sampler needs an explicit seed "
+                    "(deterministic, replayable sampling)"
+                )
+            if not p.get("id_field"):
+                raise ValueError(
+                    "kibana: random_sampler needs id_field — ES hashes "
+                    "shard-relative doc ids (not reproducible); the "
+                    "deterministic twin hashes an explicit doc identity"
+                )
+            buckets.append(
+                RandomSamplerBucket(
+                    probability=prob,
+                    seed=int(p["seed"]),
+                    id_field=str(p["id_field"]),
+                    label=label,
+                )
+            )
         elif a["type"] == "date_histogram":
             interval_us, auto = _parse_interval_us(p)
             mdc = int(p.get("min_doc_count", 1))
@@ -1497,6 +1585,40 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     "drop (ES's default)"
                 )
             metrics.append(MatrixStatsAgg(fields=mx_fields, label=label))
+        elif a["type"] == "t_test":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: t_test cannot be a bucket agg")
+            side_a, side_b = p.get("a") or {}, p.get("b") or {}
+            if not side_a.get("field") or not side_b.get("field"):
+                raise ValueError(
+                    "kibana: t_test needs a.field and b.field"
+                )
+            tt_type = str(p.get("type", "heteroscedastic"))
+            if tt_type not in (
+                "paired", "homoscedastic", "heteroscedastic"
+            ):
+                raise ValueError(
+                    "kibana: t_test type must be paired|homoscedastic|"
+                    "heteroscedastic"
+                )
+            if tt_type == "paired" and (
+                side_a.get("filter") or side_b.get("filter")
+            ):
+                # ES rejects filters on a paired t_test — the pairs
+                # come from the same documents by definition
+                raise ValueError(
+                    "kibana: paired t_test must not have filters"
+                )
+            metrics.append(
+                TTestAgg(
+                    a_field=str(side_a["field"]),
+                    b_field=str(side_b["field"]),
+                    a_filter=str(side_a.get("filter") or ""),
+                    b_filter=str(side_b.get("filter") or ""),
+                    test_type=tt_type,
+                    label=label,
+                )
+            )
         elif a["type"] == "boxplot":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError("kibana: boxplot cannot be a bucket agg")
@@ -2305,6 +2427,25 @@ class KibanaPlan:
         # RESOLVED interval, captured here per bucket label
         resolved_interval_us: dict[str, int] = {}
         for b in s.buckets:
+            if isinstance(b, RandomSamplerBucket):
+                # transparent deterministic filter, no key column: keep
+                # a doc iff md5(id ':' seed) residue falls below the
+                # probability cut — scan-local, reproducible across
+                # cluster layouts / AQE re-plans / engines (the
+                # llmdata md5_residue machinery; exact SQL twin)
+                from kafka_metrics_exporter_spark.llmdata.similarity import (
+                    md5_residue,
+                )
+
+                keep_key = F.concat(
+                    resolve(b.id_field).cast("string"),
+                    F.lit(":"), F.lit(str(b.seed)),
+                )
+                df = df.filter(
+                    md5_residue(keep_key) % F.lit(1_000_000)
+                    < F.lit(int(round(b.probability * 1_000_000)))
+                )
+                continue
             if isinstance(b, TermsBucket):
                 v = resolve(b.field).cast("string")
                 if b.missing is not None:
@@ -2759,6 +2900,49 @@ class KibanaPlan:
                             )
                         )
                 continue
+            if isinstance(m, TTestAgg):
+                # per-side (or per-pair) DECIMAL(38,6) power sums ride
+                # the main hash agg (the matrix_stats determinism
+                # argument); population filters are scan-local
+                # query_string predicates
+                tva = resolve(m.a_field).cast("double")
+                tvb = resolve(m.b_field).cast("double")
+                if m.test_type == "paired":
+                    tok = tva.isNotNull() & tvb.isNotNull()
+                    td = tva - tvb
+                    agg_exprs += [
+                        F.count(F.when(tok, F.lit(1))).alias(
+                            f"__tt_{m.label}_n"),
+                        F.sum(F.when(tok, td).cast("decimal(38,6)"))
+                        .alias(f"__tt_{m.label}_s1"),
+                        F.sum(F.when(tok, td * td).cast("decimal(38,6)"))
+                        .alias(f"__tt_{m.label}_s2"),
+                    ]
+                else:
+                    pa = (
+                        _query_string_pred(
+                            m.a_filter, resolve, df, default_search_field
+                        ) if m.a_filter else F.lit(True)
+                    ) & tva.isNotNull()
+                    pb = (
+                        _query_string_pred(
+                            m.b_filter, resolve, df, default_search_field
+                        ) if m.b_filter else F.lit(True)
+                    ) & tvb.isNotNull()
+                    for side, pred, val in (
+                        ("a", pa, tva), ("b", pb, tvb),
+                    ):
+                        agg_exprs += [
+                            F.count(F.when(pred, F.lit(1))).alias(
+                                f"__tt_{m.label}_n{side}"),
+                            F.sum(F.when(pred, val).cast("decimal(38,6)"))
+                            .alias(f"__tt_{m.label}_s1{side}"),
+                            F.sum(
+                                F.when(pred, val * val)
+                                .cast("decimal(38,6)")
+                            ).alias(f"__tt_{m.label}_s2{side}"),
+                        ]
+                continue
             if isinstance(m, RateAgg):
                 # rate = bucket value · unit / interval, against the
                 # INNERMOST (auto_)date_histogram's resolved interval
@@ -3138,6 +3322,59 @@ class KibanaPlan:
                 out = out.drop(
                     *[c for c in out.columns
                       if c.startswith(f"__mx_{m.label}_")]
+                )
+            if isinstance(m, TTestAgg):
+                # derive (t, df) from the exact fixed-point sums; ES's
+                # p-value is the Student-t CDF of exactly this pair
+                # (see the dataclass docstring for the divergence note)
+                if m.test_type == "paired":
+                    n = F.col(f"__tt_{m.label}_n").cast("double")
+                    s1 = F.col(f"__tt_{m.label}_s1").cast("double")
+                    s2 = F.col(f"__tt_{m.label}_s2").cast("double")
+                    mean = s1 / n
+                    var = (s2 - n * mean * mean) / (n - F.lit(1.0))
+                    ok = (n >= 2) & (var > 0)
+                    t_stat = mean / F.sqrt(var / n)
+                    df_val = n - F.lit(1.0)
+                else:
+                    na = F.col(f"__tt_{m.label}_na").cast("double")
+                    nb = F.col(f"__tt_{m.label}_nb").cast("double")
+                    ma = F.col(f"__tt_{m.label}_s1a").cast("double") / na
+                    mb = F.col(f"__tt_{m.label}_s1b").cast("double") / nb
+                    va_ = (
+                        F.col(f"__tt_{m.label}_s2a").cast("double")
+                        - na * ma * ma
+                    ) / (na - F.lit(1.0))
+                    vb_ = (
+                        F.col(f"__tt_{m.label}_s2b").cast("double")
+                        - nb * mb * mb
+                    ) / (nb - F.lit(1.0))
+                    if m.test_type == "homoscedastic":
+                        sp2 = (
+                            (na - F.lit(1.0)) * va_
+                            + (nb - F.lit(1.0)) * vb_
+                        ) / (na + nb - F.lit(2.0))
+                        ok = (na >= 2) & (nb >= 2) & (sp2 > 0)
+                        t_stat = (ma - mb) / F.sqrt(
+                            sp2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+                        )
+                        df_val = na + nb - F.lit(2.0)
+                    else:  # heteroscedastic (Welch, ES default)
+                        sea = va_ / na
+                        seb = vb_ / nb
+                        se2 = sea + seb
+                        ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+                        t_stat = (ma - mb) / F.sqrt(se2)
+                        df_val = (se2 * se2) / (
+                            sea * sea / (na - F.lit(1.0))
+                            + seb * seb / (nb - F.lit(1.0))
+                        )
+                out = out.withColumn(
+                    f"{m.label}_t", F.when(ok, t_stat)
+                ).withColumn(f"{m.label}_df", F.when(ok, df_val))
+                out = out.drop(
+                    *[c for c in out.columns
+                      if c.startswith(f"__tt_{m.label}_")]
                 )
             if isinstance(m, StatsAgg) and m.extended:
                 # ES's DOCUMENTED definition: variance =
@@ -3838,7 +4075,7 @@ class KibanaPlan:
                 )
             elif isinstance(
                 m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg,
-                    StringStatsAgg, MatrixStatsAgg)
+                    StringStatsAgg, MatrixStatsAgg, TTestAgg)
             ):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:

@@ -45,14 +45,15 @@ CURRENT_ROUND = 14
 #     promote (a7_multikey_drilldown, doc_fingerprint, j3_union_byname,
 #     o1_distinct, o4_sort_limit, pipe_split, promql_clamp_sort,
 #     promql_time_macros), lifting the ledger floor to r10-latest;
-#   - 5 new registrations (the round-14 ES vocabulary tier:
-#     matrix_stats / moving_percentiles / categorize_text, plus the
-#     two production-shape splits the r13 verdict item 4 ordered) and
-#     2 semantic changes (the ADVICE r13 fixes) claim the rest.
+#   - 6 new registrations (the round-14 ES vocabulary tier:
+#     matrix_stats / moving_percentiles / categorize_text /
+#     t_test+random_sampler, plus the two production-shape splits the
+#     r13 verdict item 4 ordered) and 2 semantic changes (the ADVICE
+#     r13 fixes) claim the rest.
 #
-# Slot arithmetic: 35 promotions + 8 r9-tail + 5 new + 2 changed = 50.
+# Slot arithmetic: 34 promotions + 8 r9-tail + 6 new + 2 changed = 50.
 # Out-of-window debt after this rotation: the 50 r13-verified rows
-# (1 run old), the 14 demoted r12 rows (2 runs), last round's 21 r11
+# (1 run old), the 15 demoted r12 rows (2 runs), last round's 21 r11
 # demotions (3 runs) — debt(>=3 runs) = 21, all r11-latest or newer;
 # every out-of-window row is re-attested this round via
 # tools/check_oracle.py at sf0.01 AND sf0.1 (BASELINE.md round-14
@@ -75,6 +76,11 @@ NEW_THIS_ROUND: list[str] = [
     # twin so the bench attributes per shape
     "kibana_filter_missing_auto_prod",
     "kibana_query_string_prod",
+    # round-14b: ES t_test (Welch/pooled/paired — exact (t, df) where
+    # ES CDFs them into a p-value, documented) + random_sampler (ES's
+    # own 100 TB agg, made deterministic via the md5-residue identity
+    # hash)
+    "kibana_stats_tests",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
@@ -97,9 +103,9 @@ CHANGED_THIS_ROUND: list[str] = [
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
 # r12-latest queries the 50-slot arithmetic cannot fit once the 8
-# r9-tail promotions (VERDICT r13 item 1) + 5 new + 2 changed claimed
-# their slots (49 r12-latest candidates + 8 + 5 + 2 = 64 candidates
-# for 50 slots -> 14 demotions).  Selection: code untouched since
+# r9-tail promotions (VERDICT r13 item 1) + 6 new + 2 changed claimed
+# their slots (49 r12-latest candidates + 8 + 6 + 2 = 65 candidates
+# for 50 slots -> 15 demotions).  Selection: code untouched since
 # their green r12 row AND an in-window sibling exercising the same
 # machinery; every one is replayed against its DuckDB oracle at
 # sf0.001 by tests/test_queries_oracle.py EVERY session, re-attested
@@ -147,6 +153,10 @@ STALE_OUT_OF_WINDOW: list[str] = [
     # approx t-digest bound is tolerance-pinned by the pytest harness
     # every session
     "a11b_approx_percentile",
+    # JLH significance scoring over a term-keyed aggregation pinned by
+    # kibana_filter_missing_auto's significant_text branch (CHANGED,
+    # in-window — same scorer, doc-frequency tokens)
+    "kibana_significant_terms",
 ]
 
 WINDOW_PRIORITY = [
@@ -201,7 +211,6 @@ WINDOW_PRIORITY = [
     "kibana_median",
     "kibana_rare_multi_terms",
     "kibana_serial_stats",
-    "kibana_significant_terms",
 ]
 
 

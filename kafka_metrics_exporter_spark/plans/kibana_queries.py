@@ -2079,3 +2079,159 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qs", "n_docs", F.col("sum_chars").cast("long").alias("sum_chars")
     )
+
+
+@query(
+    "kibana_stats_tests",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    -- per-side power sums in DECIMAL(38,6) fixed point (the
+    -- matrix_stats determinism argument)
+    sa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value_i AS DECIMAL(38,6))) AS s1,
+             SUM(CAST(value_i * value_i AS DECIMAL(38,6))) AS s2
+      FROM d WHERE event_type = 'click' AND value_i IS NOT NULL
+    ),
+    sb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value_i AS DECIMAL(38,6))) AS s1,
+             SUM(CAST(value_i * value_i AS DECIMAL(38,6))) AS s2
+      FROM d WHERE event_type = 'error' AND value_i IS NOT NULL
+    ),
+    sp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value_i - CAST(user_id AS DOUBLE)
+                      AS DECIMAL(38,6))) AS s1,
+             SUM(CAST((value_i - CAST(user_id AS DOUBLE))
+                      * (value_i - CAST(user_id AS DOUBLE))
+                      AS DECIMAL(38,6))) AS s2
+      FROM d WHERE value_i IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT sa.n AS na, sb.n AS nb,
+             CAST(sa.s1 AS DOUBLE) / sa.n AS ma,
+             CAST(sb.s1 AS DOUBLE) / sb.n AS mb,
+             (CAST(sa.s2 AS DOUBLE)
+               - sa.n * (CAST(sa.s1 AS DOUBLE) / sa.n)
+                      * (CAST(sa.s1 AS DOUBLE) / sa.n))
+               / (sa.n - 1.0) AS va,
+             (CAST(sb.s2 AS DOUBLE)
+               - sb.n * (CAST(sb.s1 AS DOUBLE) / sb.n)
+                      * (CAST(sb.s1 AS DOUBLE) / sb.n))
+               / (sb.n - 1.0) AS vb
+      FROM sa, sb
+    ),
+    w AS (
+      SELECT na, nb, va / na AS sea, vb / nb AS seb,
+             ma - mb AS dm, va, vb FROM m
+    ),
+    pm AS (
+      SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+             (CAST(s2 AS DOUBLE)
+               - n * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n)) / (n - 1.0) AS var
+      FROM sp
+    ),
+    smp AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value_i) AS val
+      FROM d
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'),
+                                 1, 15)) AS BIGINT) % 1000000 < 100000
+      GROUP BY event_type
+    )
+    SELECT 'ttest' AS branch, 'welch_t' AS key,
+           CAST(NULL AS BIGINT) AS n,
+           round(dm / sqrt(sea + seb), 6) AS val FROM w
+    UNION ALL
+    SELECT 'ttest', 'welch_df', CAST(NULL AS BIGINT),
+           round(((sea + seb) * (sea + seb))
+                 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+    FROM w
+    UNION ALL
+    SELECT 'ttest', 'pooled_t', CAST(NULL AS BIGINT),
+           round(dm / sqrt((((na - 1.0) * va + (nb - 1.0) * vb)
+                            / (na + nb - 2.0))
+                           * (1.0 / na + 1.0 / nb)), 6)
+    FROM w
+    UNION ALL
+    SELECT 'ttest', 'pooled_df', CAST(NULL AS BIGINT), na + nb - 2.0 FROM w
+    UNION ALL
+    SELECT 'ttest', 'paired_t', CAST(NULL AS BIGINT),
+           round(mean / sqrt(var / n), 6) FROM pm
+    UNION ALL
+    SELECT 'ttest', 'paired_df', CAST(NULL AS BIGINT), n - 1.0 FROM pm
+    UNION ALL
+    SELECT 'sampler', event_type, n, CAST(val AS DOUBLE) FROM smp
+    """,
+)
+def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` + ``random_sampler`` (round 14).  Branch 1-6:
+    Welch (ES default), pooled and paired t between the click/error
+    populations' value_i (paired pairs value_i with the numeric
+    user_id) — the engine emits the exact (t, df) pair whose Student-t
+    CDF is ES's p-value (dataclass docstring documents the
+    divergence); moments ride the hash agg as DECIMAL(38,6) power
+    sums, outputs rounded to 6.  Branch 7+: ``random_sampler`` at
+    probability 0.1 / seed 42 over the explicit event_id identity —
+    the md5-residue keep-set is bit-reproducible across cluster
+    layouts and engines where ES's shard-relative doc-id hash is not
+    (the rare_terms/ANN determinism stance); terms + count + sum run
+    over the sample.
+
+    Scale: both are single-scan single-shuffle shapes; random_sampler
+    IS the 100 TB shape — the scan-local residue filter cuts the
+    aggregation's input by 10× before any shuffle."""
+    docs = _es_docs(spark, sf_dir)
+    tt = compile_visualization(_vis([
+        {"id": "1", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "value_i", "filter": "event_type:click"},
+                    "b": {"field": "value_i", "filter": "event_type:error"},
+                    "customLabel": "welch"}},
+        {"id": "2", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "value_i", "filter": "event_type:click"},
+                    "b": {"field": "value_i", "filter": "event_type:error"},
+                    "type": "homoscedastic", "customLabel": "pooled"}},
+        {"id": "3", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "value_i"}, "b": {"field": "user_id"},
+                    "type": "paired", "customLabel": "paired"}},
+    ])).evaluate(docs)
+    rows = []
+    for key, col_, n_expr in (
+        ("welch_t", F.round("welch_t", 6), None),
+        ("welch_df", F.round("welch_df", 6), None),
+        ("pooled_t", F.round("pooled_t", 6), None),
+        ("pooled_df", F.round("pooled_df", 6), None),
+    ):
+        rows.append(tt.select(
+            F.lit("ttest").alias("branch"), F.lit(key).alias("key"),
+            F.lit(None).cast("long").alias("n"), col_.alias("val")))
+    rows.append(tt.select(
+        F.lit("ttest").alias("branch"), F.lit("paired_t").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("paired_t", 6).alias("val")))
+    rows.append(tt.select(
+        F.lit("ttest").alias("branch"), F.lit("paired_df").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("paired_df", 6).alias("val")))
+    smp = compile_visualization(_vis([
+        {"id": "1", "type": "random_sampler", "schema": "bucket",
+         "params": {"probability": 0.1, "seed": 42,
+                    "id_field": "event_id", "customLabel": "s"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "etype"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    rows.append(smp.select(
+        F.lit("sampler").alias("branch"), F.col("etype").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val")))
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out

@@ -3379,6 +3379,123 @@ def test_matrix_stats(spark):
                         "missing": {"x": 0}}}])["visState"])
 
 
+def test_t_test(spark):
+    """ES t_test (round 14): Welch (ES default), pooled and paired t
+    against hand-derived formula values; the engine emits the exact
+    (t, df) pair ES's p-value CDF consumes (documented divergence).
+    Degenerate sides null."""
+    import math
+
+    d = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 4.0),
+         ("y", 2.0), ("y", 4.0), ("y", 6.0), ("z", 9.0)],
+        "tag string, v double")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "v", "filter": "tag:x"},
+                    "b": {"field": "v", "filter": "tag:y"},
+                    "customLabel": "welch"}},
+        {"id": "2", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "v", "filter": "tag:x"},
+                    "b": {"field": "v", "filter": "tag:y"},
+                    "type": "homoscedastic", "customLabel": "pooled"}},
+        {"id": "3", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "v", "filter": "tag:x"},
+                    "b": {"field": "v", "filter": "tag:z"},
+                    "customLabel": "degen"}},
+    ])).evaluate(d)
+    (r,) = out.collect()
+    na, ma, va = 4, 2.5, 5 / 3          # x: 1,2,3,4
+    nb, mb, vb = 3, 4.0, 4.0            # y: 2,4,6
+    se2 = va / na + vb / nb
+    assert abs(r["welch_t"] - (ma - mb) / math.sqrt(se2)) < 1e-12
+    assert abs(
+        r["welch_df"]
+        - se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    ) < 1e-12
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    assert abs(
+        r["pooled_t"] - (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    ) < 1e-12
+    assert r["pooled_df"] == 5.0
+    assert r["degen_t"] is None          # z has a single doc: n<2
+    # paired: per-doc differences (3,5,4) - (1,2,4) = [2,3,0]
+    d2 = spark.createDataFrame(
+        [(3.0, 1.0), (5.0, 2.0), (4.0, 4.0)], "a double, b double")
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "a"}, "b": {"field": "b"},
+                    "type": "paired", "customLabel": "pr"}},
+    ])).evaluate(d2)
+    (r2,) = out2.collect()
+    md, vd = 5 / 3, ((4 + 9 + 0) - 3 * (5 / 3) ** 2) / 2
+    assert abs(r2["pr_t"] - md / math.sqrt(vd / 3)) < 1e-12
+    assert r2["pr_df"] == 2.0
+    with pytest.raises(ValueError, match="must not have filters"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "t_test", "schema": "metric",
+             "params": {"a": {"field": "a", "filter": "tag:x"},
+                        "b": {"field": "b"}, "type": "paired"}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="a.field and b.field"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "t_test", "schema": "metric",
+             "params": {"a": {"field": "a"}}}])["visState"])
+
+
+def test_random_sampler(spark):
+    """ES random_sampler (round 14), the deterministic twin: the
+    md5(id ':' seed) residue keep-set reproduces bit-for-bit against a
+    Python replay; sub-aggregations run over the sample; ES's
+    probability contract ((0, 0.5] or 1) and the explicit-seed /
+    explicit-id determinism requirements are enforced."""
+    import hashlib
+
+    d = spark.range(0, 500).withColumn("v", F.col("id").cast("double"))
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "random_sampler", "schema": "bucket",
+         "params": {"probability": 0.25, "seed": 42, "id_field": "id",
+                    "customLabel": "s"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "av"}},
+    ])).evaluate(d)
+    (r,) = out.collect()
+    keep = [
+        i for i in range(500)
+        if int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+        % 1_000_000 < 250_000
+    ]
+    assert r["n"] == len(keep)
+    assert abs(r["av"] - sum(keep) / len(keep)) < 1e-9
+    # probability 1 keeps everything
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "random_sampler", "schema": "bucket",
+         "params": {"probability": 1, "seed": 7, "id_field": "id"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(d)
+    assert out2.collect()[0]["n"] == 500
+    for bad in (
+        {"probability": 0.6, "seed": 1, "id_field": "id"},
+        {"probability": 0.25, "id_field": "id"},
+        {"probability": 0.25, "seed": 1},
+    ):
+        with pytest.raises(ValueError):
+            parse_vis_state(_vis8([
+                {"id": "1", "type": "random_sampler", "schema": "bucket",
+                 "params": bad}])["visState"])
+    with pytest.raises(ValueError, match="first"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "id", "size": 5, "order": "asc",
+                        "orderBy": "_term"}},
+            {"id": "2", "type": "random_sampler", "schema": "bucket",
+             "params": {"probability": 0.25, "seed": 1,
+                        "id_field": "id"}}])["visState"])
+
+
 def test_moving_percentiles(spark):
     """ES moving_percentiles (round 14): percentiles of the sliding
     bucket window, exact over the window's raw doc values.  shift=0

@@ -165,6 +165,6 @@ def test_out_of_window_exemptions_have_fresh_golden():
     # exemptions are exceptional: they must not silently grow past the
     # slot arithmetic that forced them (round 14: 50 slots vs 49
     # r12-latest candidates + 8 r9-tail promotions — the verdict's
-    # full >=4-run burn-down — + 5 new + 2 changed = 64 candidates,
-    # forcing 14 demotions; no CHANGED_OUT_OF_WINDOW this round)
-    assert len(exempt) <= 14, exempt
+    # full >=4-run burn-down — + 6 new + 2 changed = 65 candidates,
+    # forcing 15 demotions; no CHANGED_OUT_OF_WINDOW this round)
+    assert len(exempt) <= 15, exempt
