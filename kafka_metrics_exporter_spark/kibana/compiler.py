@@ -461,6 +461,28 @@ class RandomSamplerBucket:
 
 
 @dataclass(frozen=True)
+class DiversifiedSamplerBucket:
+    """ES ``diversified_sampler`` (round 14): run the sub-aggregations
+    over a sample capped at ``max_docs_per_value`` documents per
+    de-duplication key — the "don't let one hot user dominate the
+    sample" agg.  ES keeps the top-scored docs per shard (shard-order
+    sensitive, score-dependent); this engine is strictly
+    deterministic: within each key the kept docs are the first
+    ``max_docs_per_value`` by md5(id ':' seed) residue (id tiebreak) —
+    the random_sampler determinism stance, reproducible across
+    cluster layouts and engines, exact SQL twin (QUALIFY row_number).
+    Must be the FIRST bucket agg (ES: sampler aggs cannot be nested);
+    adds no key column.  Cost: one hash-partitioned rank window on the
+    dedup key — the per-key state is a counter, never doc bodies."""
+
+    field: str  # de-duplication key
+    max_docs_per_value: int
+    seed: int
+    id_field: str
+    label: str
+
+
+@dataclass(frozen=True)
 class BoxplotAgg:
     """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
     aggregation pass (exact interpolated quartiles where ES t-digests
@@ -1272,6 +1294,41 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             buckets.append(
                 RandomSamplerBucket(
                     probability=prob,
+                    seed=int(p["seed"]),
+                    id_field=str(p["id_field"]),
+                    label=label,
+                )
+            )
+        elif a["type"] == "diversified_sampler":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: diversified_sampler must be a bucket agg"
+                )
+            if buckets:
+                raise ValueError(
+                    "kibana: diversified_sampler must be the first "
+                    "(top-level) bucket agg, like ES"
+                )
+            if not p.get("field"):
+                raise ValueError(
+                    "kibana: diversified_sampler needs the de-dup field"
+                )
+            mdpv = int(p.get("max_docs_per_value", 1))
+            if mdpv < 1:
+                raise ValueError(
+                    "kibana: diversified_sampler max_docs_per_value "
+                    "must be >= 1"
+                )
+            if p.get("seed") is None or not p.get("id_field"):
+                raise ValueError(
+                    "kibana: diversified_sampler needs an explicit seed "
+                    "and id_field (deterministic, replayable sampling — "
+                    "see random_sampler)"
+                )
+            buckets.append(
+                DiversifiedSamplerBucket(
+                    field=str(p["field"]),
+                    max_docs_per_value=mdpv,
                     seed=int(p["seed"]),
                     id_field=str(p["id_field"]),
                     label=label,
@@ -2444,6 +2501,29 @@ class KibanaPlan:
                 df = df.filter(
                     md5_residue(keep_key) % F.lit(1_000_000)
                     < F.lit(int(round(b.probability * 1_000_000)))
+                )
+                continue
+            if isinstance(b, DiversifiedSamplerBucket):
+                # per-dedup-key cap: keep the first max_docs_per_value
+                # docs by md5(id ':' seed) residue (id tiebreak) —
+                # deterministic where ES is shard-order/score
+                # sensitive.  One hash-partitioned rank window on the
+                # key; per-key state is a counter, never doc bodies.
+                from kafka_metrics_exporter_spark.llmdata.similarity import (
+                    md5_residue,
+                )
+
+                ds_id = resolve(b.id_field).cast("string")
+                ds_res = md5_residue(
+                    F.concat(ds_id, F.lit(":"), F.lit(str(b.seed)))
+                )
+                ds_w = Window.partitionBy(
+                    resolve(b.field).cast("string")
+                ).orderBy(ds_res.asc(), ds_id.asc())
+                df = (
+                    df.withColumn("__ds_rn", F.row_number().over(ds_w))
+                    .filter(F.col("__ds_rn") <= b.max_docs_per_value)
+                    .drop("__ds_rn")
                 )
                 continue
             if isinstance(b, TermsBucket):

@@ -2140,6 +2140,25 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'),
                                  1, 15)) AS BIGINT) % 1000000 < 100000
       GROUP BY event_type
+    ),
+    -- diversified_sampler: <= 3 docs per user, lowest md5(id ':' 7)
+    -- residues first (id tiebreak) — the engine's QUALIFY twin
+    dvs AS (
+      SELECT event_type, value_i FROM (
+        SELECT event_type, value_i,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(('0x' || substr(
+                     md5(CAST(event_id AS VARCHAR) || ':7'), 1, 15))
+                   AS BIGINT) ASC,
+                   CAST(event_id AS VARCHAR) ASC) AS rn
+        FROM d)
+      WHERE rn <= 3
+    ),
+    dsmp AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value_i) AS val
+      FROM dvs GROUP BY event_type
     )
     SELECT 'ttest' AS branch, 'welch_t' AS key,
            CAST(NULL AS BIGINT) AS n,
@@ -2164,6 +2183,8 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ttest', 'paired_df', CAST(NULL AS BIGINT), n - 1.0 FROM pm
     UNION ALL
     SELECT 'sampler', event_type, n, CAST(val AS DOUBLE) FROM smp
+    UNION ALL
+    SELECT 'dsampler', event_type, n, CAST(val AS DOUBLE) FROM dsmp
     """,
 )
 def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2180,9 +2201,17 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the rare_terms/ANN determinism stance); terms + count + sum run
     over the sample.
 
-    Scale: both are single-scan single-shuffle shapes; random_sampler
-    IS the 100 TB shape — the scan-local residue filter cuts the
-    aggregation's input by 10× before any shuffle."""
+    Branch 'dsampler' (r14b, zero-slot extension on this NEW row):
+    ``diversified_sampler`` capping the sample at 3 docs PER USER via
+    the lowest md5(event_id ':' 7) residues — deterministic where ES
+    keeps per-shard top-scored docs; terms + count + sum run over the
+    de-dominated sample (the "one hot user must not dominate" agg).
+
+    Scale: all branches are single-scan shapes; random_sampler IS the
+    100 TB shape — the scan-local residue filter cuts the
+    aggregation's input by 10× before any shuffle — and
+    diversified_sampler adds one hash-partitioned rank window whose
+    per-key state is a counter, never doc bodies."""
     docs = _es_docs(spark, sf_dir)
     tt = compile_visualization(_vis([
         {"id": "1", "type": "t_test", "schema": "metric",
@@ -2229,6 +2258,23 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])).evaluate(docs)
     rows.append(smp.select(
         F.lit("sampler").alias("branch"), F.col("etype").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val")))
+    dsmp = compile_visualization(_vis([
+        {"id": "1", "type": "diversified_sampler", "schema": "bucket",
+         "params": {"field": "user_id", "max_docs_per_value": 3,
+                    "seed": 7, "id_field": "event_id",
+                    "customLabel": "ds"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "etype"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    rows.append(dsmp.select(
+        F.lit("dsampler").alias("branch"), F.col("etype").alias("key"),
         F.col("n").cast("long").alias("n"),
         F.col("val").cast("double").alias("val")))
     out = rows[0]

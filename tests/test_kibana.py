@@ -3496,6 +3496,50 @@ def test_random_sampler(spark):
                         "id_field": "id"}}])["visState"])
 
 
+def test_diversified_sampler(spark):
+    """ES diversified_sampler (round 14), deterministic twin: at most
+    max_docs_per_value docs per de-dup key survive, chosen as the
+    lowest md5(id ':' seed) residues — pinned bit-equal against a
+    Python replay; sub-aggregations run over the sample."""
+    import hashlib
+
+    rows = [("u1", i) for i in range(4)] + [("u2", 10), ("u2", 11),
+                                            ("u3", 20)]
+    d = spark.createDataFrame(rows, "user string, id long").withColumn(
+        "v", F.col("id").cast("double"))
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "diversified_sampler", "schema": "bucket",
+         "params": {"field": "user", "max_docs_per_value": 2,
+                    "seed": 7, "id_field": "id", "customLabel": "ds"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "user", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "user"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "sv"}},
+    ])).evaluate(d)
+    got = {r["user"]: r["sv"] for r in out.collect()}
+
+    def res(i):
+        return int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16) \
+            % (1 << 60)
+
+    u1_kept = sorted(range(4), key=lambda i: (res(i), str(i)))[:2]
+    assert got == {"u1": float(sum(u1_kept)), "u2": 21.0, "u3": 20.0}
+    with pytest.raises(ValueError, match="max_docs_per_value"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "diversified_sampler", "schema": "bucket",
+             "params": {"field": "user", "max_docs_per_value": 0,
+                        "seed": 1, "id_field": "id"}}])["visState"])
+    with pytest.raises(ValueError, match="first"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "user", "size": 5, "order": "asc",
+                        "orderBy": "_term"}},
+            {"id": "2", "type": "diversified_sampler", "schema": "bucket",
+             "params": {"field": "user", "seed": 1,
+                        "id_field": "id"}}])["visState"])
+
+
 def test_moving_percentiles(spark):
     """ES moving_percentiles (round 14): percentiles of the sliding
     bucket window, exact over the window's raw doc values.  shift=0
