@@ -147,6 +147,32 @@ class CategorizeTextBucket:
 
 
 @dataclass(frozen=True)
+class FrequentItemSetsBucket:
+    """ES ``frequent_item_sets`` (round 14): the co-occurring
+    field=value combinations with support >= ``minimum_support`` —
+    "which broker AND which error class fail together".  ES runs a
+    per-shard approximate eclat (shard-order sensitive); this engine
+    is EXACT apriori, deterministic and SQL-replayable (the
+    rare_terms/ANN stance), bounded by construction: each document
+    contributes at most ONE item per scalar field, so per-doc
+    combination fan-out is C(#fields, k) — a constant — and every
+    level is one hash aggregation over item-tuple keys.  Like ES,
+    only CLOSED sets return (a set is dropped when a superset has the
+    SAME doc count); sets order by doc_count desc then key asc,
+    size-cut.  Set size is capped at 3 (and by #fields), loudly.
+
+    Flattening divergence (documented): ES returns the set as a
+    field→values map; the flattened relation keys it as the sorted
+    'field=value' items joined by ', '."""
+
+    fields: tuple[str, ...]
+    min_support: float
+    min_set_size: int
+    size: int
+    label: str
+
+
+@dataclass(frozen=True)
 class CompositeBucket:
     """ES ``composite`` aggregation (round 9): paginate ALL buckets of
     a multi-source key tuple in deterministic key order — the agg ES
@@ -1334,6 +1360,45 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     label=label,
                 )
             )
+        elif a["type"] == "frequent_item_sets":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: frequent_item_sets must be a bucket agg"
+                )
+            raw_ff = p.get("fields") or []
+            fis_fields = tuple(
+                str(f["field"] if isinstance(f, dict) else f)
+                for f in raw_ff
+            )
+            if len(fis_fields) < 2:
+                raise ValueError(
+                    "kibana: frequent_item_sets needs at least two fields"
+                )
+            if len(set(fis_fields)) != len(fis_fields):
+                raise ValueError(
+                    "kibana: frequent_item_sets fields must be distinct"
+                )
+            fis_sup = float(p.get("minimum_support", 0.1))
+            if not 0 < fis_sup <= 1:
+                raise ValueError(
+                    "kibana: frequent_item_sets minimum_support must be "
+                    "in (0, 1]"
+                )
+            fis_mss = int(p.get("minimum_set_size", 1))
+            if not 1 <= fis_mss <= 3:
+                raise ValueError(
+                    "kibana: frequent_item_sets minimum_set_size must "
+                    "be in [1, 3] (set size is capped at 3)"
+                )
+            buckets.append(
+                FrequentItemSetsBucket(
+                    fields=fis_fields,
+                    min_support=fis_sup,
+                    min_set_size=fis_mss,
+                    size=int(p.get("size", 10)),
+                    label=label,
+                )
+            )
         elif a["type"] == "date_histogram":
             interval_us, auto = _parse_interval_us(p)
             mdc = int(p.get("min_doc_count", 1))
@@ -2421,6 +2486,142 @@ class KibanaPlan:
                 F.count(F.lit(1)).alias("doc_count")
             )
             return cats.orderBy(
+                F.col("doc_count").desc(), F.col(b.label).asc()
+            ).limit(b.size)
+
+        fis = [
+            b for b in s.buckets if isinstance(b, FrequentItemSetsBucket)
+        ]
+        if fis:
+            if len(s.buckets) != 1:
+                raise ValueError(
+                    "kibana: frequent_item_sets must be the only bucket "
+                    "agg"
+                )
+            if s.metrics or s.pipelines or s.scripts or s.bucket_sort:
+                raise ValueError(
+                    "kibana: frequent_item_sets carries only its "
+                    "doc_count/support (sub-aggregations are not "
+                    "modelled)"
+                )
+            b = fis[0]
+            # EXACT apriori: per-doc 'field=value' items (<= one per
+            # scalar field, so per-doc combination fan-out is
+            # C(#fields, k) — constant); each level is one hash
+            # aggregation over item-tuple keys, pruned by the frequent
+            # L1 items.  Support compares count/total >= min_support
+            # with the SAME division-then-compare in the SQL twin.
+            base = df.withColumn(
+                "__fi_id", F.monotonically_increasing_id()
+            )
+            total = base.count()
+            if total == 0:
+                raise ValueError(
+                    "kibana: frequent_item_sets over an empty relation"
+                )
+            items = None
+            for f_ in b.fields:
+                v = resolve(f_)
+                one = base.filter(v.isNotNull()).select(
+                    F.col("__fi_id"),
+                    F.concat(
+                        F.lit(f_ + "="), v.cast("string")
+                    ).alias("__it"),
+                )
+                items = one if items is None else items.unionByName(one)
+
+            def _sup(dfx):
+                return dfx.filter(
+                    F.col("__n").cast("double") / F.lit(float(total))
+                    >= F.lit(b.min_support)
+                )
+
+            l1 = _sup(
+                items.groupBy("__it").agg(F.count(F.lit(1)).alias("__n"))
+            )
+            fit = items.join(l1.select("__it"), "__it", "semi")
+            fa = fit.select("__fi_id", F.col("__it").alias("__i1"))
+            fb = fit.select("__fi_id", F.col("__it").alias("__i2"))
+            pairs_doc = fa.join(fb, "__fi_id").filter(
+                F.col("__i1") < F.col("__i2")
+            )
+            l2 = _sup(
+                pairs_doc.groupBy("__i1", "__i2").agg(
+                    F.count(F.lit(1)).alias("__n")
+                )
+            )
+            fc = fit.select("__fi_id", F.col("__it").alias("__i3"))
+            trip_doc = pairs_doc.join(fc, "__fi_id").filter(
+                F.col("__i3") > F.col("__i2")
+            )
+            l3 = _sup(
+                trip_doc.groupBy("__i1", "__i2", "__i3").agg(
+                    F.count(F.lit(1)).alias("__n")
+                )
+            )
+            # closedness (like ES): drop a set when a superset has the
+            # SAME doc count — each level anti-joins its members
+            # against the next level's (member, count) explosion
+            l2m = l2.select(
+                F.explode(F.array("__i1", "__i2")).alias("__mt"),
+                F.col("__n").alias("__sn"),
+            )
+            closed1 = l1.join(
+                l2m,
+                (l1["__it"] == l2m["__mt"]) & (l1["__n"] == l2m["__sn"]),
+                "left_anti",
+            )
+            l3p = l3.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("__i1").alias("a"),
+                            F.col("__i2").alias("b"),
+                        ),
+                        F.struct(
+                            F.col("__i1").alias("a"),
+                            F.col("__i3").alias("b"),
+                        ),
+                        F.struct(
+                            F.col("__i2").alias("a"),
+                            F.col("__i3").alias("b"),
+                        ),
+                    )
+                ).alias("__mp"),
+                F.col("__n").alias("__sn"),
+            )
+            closed2 = l2.join(
+                l3p,
+                (l2["__i1"] == l3p["__mp"]["a"])
+                & (l2["__i2"] == l3p["__mp"]["b"])
+                & (l2["__n"] == l3p["__sn"]),
+                "left_anti",
+            )
+            sets = None
+            for lvl, src in (
+                (1, closed1.select(
+                    F.col("__it").alias(b.label), F.col("__n"))),
+                (2, closed2.select(
+                    F.concat_ws(", ", "__i1", "__i2").alias(b.label),
+                    F.col("__n"))),
+                (3, l3.select(
+                    F.concat_ws(", ", "__i1", "__i2", "__i3").alias(
+                        b.label),
+                    F.col("__n"))),
+            ):
+                if lvl < b.min_set_size:
+                    continue
+                cur = src.withColumn("set_size", F.lit(lvl))
+                sets = cur if sets is None else sets.unionByName(cur)
+            out = sets.select(
+                b.label,
+                "set_size",
+                F.col("__n").alias("doc_count"),
+                (
+                    F.col("__n").cast("double") / F.lit(float(total))
+                ).alias("support"),
+            )
+            return out.orderBy(
                 F.col("doc_count").desc(), F.col(b.label).asc()
             ).limit(b.size)
 

@@ -2159,6 +2159,72 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(value_i) AS val
       FROM dvs GROUP BY event_type
+    ),
+    -- frequent_item_sets: exact apriori over field=value items,
+    -- CLOSED sets only, support = count/total (division-then-compare
+    -- in both engines)
+    fb AS (
+      SELECT row_number() OVER () AS id, event_type,
+             CASE WHEN value_i >= 100 THEN 'big' ELSE 'small' END
+               AS vclass,
+             'u' || CAST(CAST(user_id AS BIGINT) % 3 AS VARCHAR)
+               AS uclass
+      FROM d
+    ),
+    ftot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM fb),
+    fitems AS (
+      SELECT id, 'event_type=' || event_type AS it FROM fb
+        WHERE event_type IS NOT NULL
+      UNION ALL SELECT id, 'vclass=' || vclass FROM fb
+        WHERE vclass IS NOT NULL
+      UNION ALL SELECT id, 'uclass=' || uclass FROM fb
+        WHERE uclass IS NOT NULL
+    ),
+    fl1 AS (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM fitems GROUP BY it
+      HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM ftot) >= 0.05
+    ),
+    ffit AS (SELECT id, it FROM fitems
+             WHERE it IN (SELECT it FROM fl1)),
+    fpr AS (
+      SELECT a.id, a.it AS i1, b2.it AS i2
+      FROM ffit a JOIN ffit b2 USING (id) WHERE a.it < b2.it
+    ),
+    fl2 AS (
+      SELECT i1, i2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fpr GROUP BY i1, i2
+      HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM ftot) >= 0.05
+    ),
+    ftr AS (
+      SELECT p.id, p.i1, p.i2, c.it AS i3
+      FROM fpr p JOIN ffit c USING (id) WHERE c.it > p.i2
+    ),
+    fl3 AS (
+      SELECT i1, i2, i3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ftr GROUP BY i1, i2, i3
+      HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM ftot) >= 0.05
+    ),
+    fc1 AS (
+      SELECT it, n FROM fl1 l WHERE NOT EXISTS (
+        SELECT 1 FROM fl2
+        WHERE (fl2.i1 = l.it OR fl2.i2 = l.it) AND fl2.n = l.n)
+    ),
+    fc2 AS (
+      SELECT i1, i2, n FROM fl2 l WHERE NOT EXISTS (
+        SELECT 1 FROM fl3 WHERE fl3.n = l.n AND
+          ((fl3.i1 = l.i1 AND fl3.i2 = l.i2)
+           OR (fl3.i1 = l.i1 AND fl3.i3 = l.i2)
+           OR (fl3.i2 = l.i1 AND fl3.i3 = l.i2)))
+    ),
+    fsets AS (
+      SELECT it AS key, n FROM fc1
+      UNION ALL SELECT i1 || ', ' || i2, n FROM fc2
+      UNION ALL SELECT i1 || ', ' || i2 || ', ' || i3, n FROM fl3
+    ),
+    fis AS (
+      SELECT 'fis' AS branch, key, n,
+             CAST(n AS DOUBLE) / (SELECT t FROM ftot) AS val
+      FROM fsets ORDER BY n DESC, key ASC LIMIT 20
     )
     SELECT 'ttest' AS branch, 'welch_t' AS key,
            CAST(NULL AS BIGINT) AS n,
@@ -2185,6 +2251,8 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sampler', event_type, n, CAST(val AS DOUBLE) FROM smp
     UNION ALL
     SELECT 'dsampler', event_type, n, CAST(val AS DOUBLE) FROM dsmp
+    UNION ALL
+    SELECT branch, key, n, val FROM fis
     """,
 )
 def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,6 +2345,26 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dsampler").alias("branch"), F.col("etype").alias("key"),
         F.col("n").cast("long").alias("n"),
         F.col("val").cast("double").alias("val")))
+    fdocs = docs.withColumn(
+        "vclass",
+        F.when(F.col("value_i") >= 100, F.lit("big"))
+        .otherwise(F.lit("small")),
+    ).withColumn(
+        "uclass",
+        F.concat(
+            F.lit("u"), (F.col("user_id").cast("long") % 3).cast("string")
+        ),
+    )
+    fis_out = compile_visualization(_vis([
+        {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
+         "params": {"fields": ["event_type", "vclass", "uclass"],
+                    "minimum_support": 0.05, "size": 20,
+                    "customLabel": "set"}},
+    ])).evaluate(fdocs)
+    rows.append(fis_out.select(
+        F.lit("fis").alias("branch"), F.col("set").alias("key"),
+        F.col("doc_count").cast("long").alias("n"),
+        F.col("support").alias("val")))
     out = rows[0]
     for r_ in rows[1:]:
         out = out.unionByName(r_)

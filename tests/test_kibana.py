@@ -3540,6 +3540,63 @@ def test_diversified_sampler(spark):
                         "id_field": "id"}}])["visState"])
 
 
+def test_frequent_item_sets(spark):
+    """ES frequent_item_sets (round 14): exact apriori over per-doc
+    field=value items, CLOSED sets only (a set drops when a superset
+    has the same doc count), support = count/total, ordered
+    doc_count desc / key asc.  Hand-computed: etype=error (2 docs) is
+    NOT closed because {error, big} also has 2 docs."""
+    rows = [("click", "big"), ("click", "big"), ("click", "big"),
+            ("click", "small"), ("error", "big"), ("error", "big"),
+            ("view", "small"), ("view", None)]
+    d = spark.createDataFrame(rows, "etype string, sz string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
+         "params": {"fields": ["etype", "sz"], "minimum_support": 0.25,
+                    "customLabel": "set"}},
+    ])).evaluate(d)
+    got = [(r["set"], r["set_size"], r["doc_count"], r["support"])
+           for r in out.collect()]
+    assert got == [
+        ("sz=big", 1, 5, 0.625),
+        ("etype=click", 1, 4, 0.5),
+        ("etype=click, sz=big", 2, 3, 0.375),
+        ("etype=error, sz=big", 2, 2, 0.25),
+        ("etype=view", 1, 2, 0.25),      # closed: its supersets have 1
+        ("sz=small", 1, 2, 0.25),
+    ]
+    # minimum_set_size=2 keeps pairs only
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
+         "params": {"fields": ["etype", "sz"], "minimum_support": 0.25,
+                    "minimum_set_size": 2, "customLabel": "set"}},
+    ])).evaluate(d)
+    assert [r["set"] for r in out2.collect()] == [
+        "etype=click, sz=big", "etype=error, sz=big"]
+    # triples close their member pairs: three fields, one combination
+    d3 = spark.createDataFrame(
+        [("a", "x", "p")] * 3 + [("b", "y", "q")],
+        "f1 string, f2 string, f3 string")
+    out3 = compile_visualization(_vis8([
+        {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
+         "params": {"fields": ["f1", "f2", "f3"],
+                    "minimum_support": 0.5, "customLabel": "set"}},
+    ])).evaluate(d3)
+    assert [(r["set"], r["set_size"], r["doc_count"])
+            for r in out3.collect()] == [
+        ("f1=a, f2=x, f3=p", 3, 3)]      # all subsets closed away
+    for bad, msg in (
+        ({"fields": ["x"]}, "two fields"),
+        ({"fields": ["x", "x"]}, "distinct"),
+        ({"fields": ["x", "y"], "minimum_support": 0}, "minimum_support"),
+        ({"fields": ["x", "y"], "minimum_set_size": 4}, "minimum_set_size"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            parse_vis_state(_vis8([
+                {"id": "1", "type": "frequent_item_sets",
+                 "schema": "bucket", "params": bad}])["visState"])
+
+
 def test_moving_percentiles(spark):
     """ES moving_percentiles (round 14): percentiles of the sliding
     bucket window, exact over the window's raw doc values.  shift=0
