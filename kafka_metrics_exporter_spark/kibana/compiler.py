@@ -2505,117 +2505,130 @@ class KibanaPlan:
                     "modelled)"
                 )
             b = fis[0]
-            # EXACT apriori: per-doc 'field=value' items (<= one per
-            # scalar field, so per-doc combination fan-out is
-            # C(#fields, k) — constant); each level is one hash
-            # aggregation over item-tuple keys, pruned by the frequent
-            # L1 items.  Support compares count/total >= min_support
-            # with the SAME division-then-compare in the SQL twin.
-            base = df.withColumn(
-                "__fi_id", F.monotonically_increasing_id()
-            )
-            total = base.count()
+            # EXACT apriori, ZERO joins on the doc axis: each document
+            # carries at most one item per scalar field, so ALL its
+            # k<=3 item combinations are generated scan-locally from
+            # the sorted per-doc item array (the adjacency_matrix
+            # slice/transform trick, C(#fields, k) elements — a
+            # constant), then ONE explode + ONE hash aggregation keyed
+            # by the item-set array counts every level at once.
+            # Support compares count/total >= min_support with the
+            # SAME division-then-compare in the SQL twin.
+            total = df.count()
             if total == 0:
                 raise ValueError(
                     "kibana: frequent_item_sets over an empty relation"
                 )
-            items = None
-            for f_ in b.fields:
-                v = resolve(f_)
-                one = base.filter(v.isNotNull()).select(
-                    F.col("__fi_id"),
-                    F.concat(
-                        F.lit(f_ + "="), v.cast("string")
-                    ).alias("__it"),
+            arr = F.array_sort(
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                resolve(f_).isNotNull(),
+                                F.concat(
+                                    F.lit(f_ + "="),
+                                    resolve(f_).cast("string"),
+                                ),
+                            )
+                            for f_ in b.fields
+                        ]
+                    )
                 )
-                items = one if items is None else items.unionByName(one)
-
-            def _sup(dfx):
-                return dfx.filter(
+            )
+            singles = F.transform(arr, lambda x: F.array(x))
+            pairs = F.flatten(
+                F.transform(
+                    arr,
+                    lambda x, i: F.transform(
+                        F.slice(
+                            arr, i + F.lit(2),
+                            F.greatest(F.size(arr) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.array(x, y),
+                    ),
+                )
+            )
+            trips = F.flatten(
+                F.flatten(
+                    F.transform(
+                        arr,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                arr, i + F.lit(2),
+                                F.greatest(
+                                    F.size(arr) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y, j: F.transform(
+                                F.slice(
+                                    arr, i + j + F.lit(3),
+                                    F.greatest(
+                                        F.size(arr) - i - j - 2,
+                                        F.lit(0),
+                                    ),
+                                ),
+                                lambda z: F.array(x, y, z),
+                            ),
+                        ),
+                    )
+                )
+            )
+            ex = df.select(
+                F.explode(F.concat(singles, pairs, trips)).alias("__ks")
+            )
+            c = (
+                ex.groupBy("__ks")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(
                     F.col("__n").cast("double") / F.lit(float(total))
                     >= F.lit(b.min_support)
                 )
-
-            l1 = _sup(
-                items.groupBy("__it").agg(F.count(F.lit(1)).alias("__n"))
+                .withColumn("__sz", F.size("__ks"))
             )
-            fit = items.join(l1.select("__it"), "__it", "semi")
-            fa = fit.select("__fi_id", F.col("__it").alias("__i1"))
-            fb = fit.select("__fi_id", F.col("__it").alias("__i2"))
-            pairs_doc = fa.join(fb, "__fi_id").filter(
-                F.col("__i1") < F.col("__i2")
-            )
-            l2 = _sup(
-                pairs_doc.groupBy("__i1", "__i2").agg(
-                    F.count(F.lit(1)).alias("__n")
-                )
-            )
-            fc = fit.select("__fi_id", F.col("__it").alias("__i3"))
-            trip_doc = pairs_doc.join(fc, "__fi_id").filter(
-                F.col("__i3") > F.col("__i2")
-            )
-            l3 = _sup(
-                trip_doc.groupBy("__i1", "__i2", "__i3").agg(
-                    F.count(F.lit(1)).alias("__n")
-                )
-            )
+            # the closedness pass references this table five times
+            # (three level slices + two subset explosions) — persist
+            # the AGGREGATED relation (<= sum_k C(#fields,k)/
+            # min_support rows, bounded by the support filter) so the
+            # doc-scale explode+aggregate runs once, not five times;
+            # materialized eagerly, the harness clearCache reclaims it
+            c = c.persist()
+            c.count()
             # closedness (like ES): drop a set when a superset has the
-            # SAME doc count — each level anti-joins its members
-            # against the next level's (member, count) explosion
-            l2m = l2.select(
-                F.explode(F.array("__i1", "__i2")).alias("__mt"),
+            # SAME doc count — level k anti-joins the (k-subset, count)
+            # explosion of level k+1; both sides are the already-
+            # aggregated (frequent-set, count) table, never doc-sized
+            k0, k1, k2 = (F.col("__ks").getItem(i) for i in range(3))
+            sub2 = c.filter(F.col("__sz") == 2).select(
+                F.explode(
+                    F.array(F.array(k0), F.array(k1))
+                ).alias("__ks_s"),
                 F.col("__n").alias("__sn"),
             )
-            closed1 = l1.join(
-                l2m,
-                (l1["__it"] == l2m["__mt"]) & (l1["__n"] == l2m["__sn"]),
-                "left_anti",
-            )
-            l3p = l3.select(
+            sub3 = c.filter(F.col("__sz") == 3).select(
                 F.explode(
                     F.array(
-                        F.struct(
-                            F.col("__i1").alias("a"),
-                            F.col("__i2").alias("b"),
-                        ),
-                        F.struct(
-                            F.col("__i1").alias("a"),
-                            F.col("__i3").alias("b"),
-                        ),
-                        F.struct(
-                            F.col("__i2").alias("a"),
-                            F.col("__i3").alias("b"),
-                        ),
+                        F.array(k0, k1), F.array(k0, k2),
+                        F.array(k1, k2),
                     )
-                ).alias("__mp"),
+                ).alias("__ks_s"),
                 F.col("__n").alias("__sn"),
             )
-            closed2 = l2.join(
-                l3p,
-                (l2["__i1"] == l3p["__mp"]["a"])
-                & (l2["__i2"] == l3p["__mp"]["b"])
-                & (l2["__n"] == l3p["__sn"]),
-                "left_anti",
-            )
-            sets = None
-            for lvl, src in (
-                (1, closed1.select(
-                    F.col("__it").alias(b.label), F.col("__n"))),
-                (2, closed2.select(
-                    F.concat_ws(", ", "__i1", "__i2").alias(b.label),
-                    F.col("__n"))),
-                (3, l3.select(
-                    F.concat_ws(", ", "__i1", "__i2", "__i3").alias(
-                        b.label),
-                    F.col("__n"))),
-            ):
-                if lvl < b.min_set_size:
-                    continue
-                cur = src.withColumn("set_size", F.lit(lvl))
-                sets = cur if sets is None else sets.unionByName(cur)
-            out = sets.select(
-                b.label,
-                "set_size",
+            closed = None
+            for lvl, subs in ((1, sub2), (2, sub3), (3, None)):
+                cur = c.filter(F.col("__sz") == lvl)
+                if subs is not None:
+                    cur = cur.join(
+                        subs,
+                        (cur["__ks"] == subs["__ks_s"])
+                        & (cur["__n"] == subs["__sn"]),
+                        "left_anti",
+                    )
+                closed = cur if closed is None else closed.unionByName(cur)
+            out = closed.filter(
+                F.col("__sz") >= b.min_set_size
+            ).select(
+                F.array_join("__ks", ", ").alias(b.label),
+                F.col("__sz").alias("set_size"),
                 F.col("__n").alias("doc_count"),
                 (
                     F.col("__n").cast("double") / F.lit(float(total))
