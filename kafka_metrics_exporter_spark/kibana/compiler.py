@@ -2519,62 +2519,43 @@ class KibanaPlan:
                 raise ValueError(
                     "kibana: frequent_item_sets over an empty relation"
                 )
-            arr = F.array_sort(
-                F.array_compact(
-                    F.array(
-                        *[
-                            F.when(
-                                resolve(f_).isNotNull(),
-                                F.concat(
-                                    F.lit(f_ + "="),
-                                    resolve(f_).cast("string"),
-                                ),
-                            )
-                            for f_ in b.fields
-                        ]
-                    )
+            # the field list is STATIC, so the per-doc combinations are
+            # enumerated at COMPILE time (itertools over field subsets,
+            # k <= 3) into shallow guarded expressions — the nested
+            # slice/transform formulation codegen'd multi-second
+            # first-run compiles; this one is C(#fields, <=3) flat
+            # whens.  array_sort keys each set lexicographically.
+            from itertools import combinations as _combs
+
+            if len(b.fields) > 8:
+                raise ValueError(
+                    "kibana: frequent_item_sets supports at most 8 "
+                    "fields (C(8,3) static combinations)"
                 )
-            )
-            singles = F.transform(arr, lambda x: F.array(x))
-            pairs = F.flatten(
-                F.transform(
-                    arr,
-                    lambda x, i: F.transform(
-                        F.slice(
-                            arr, i + F.lit(2),
-                            F.greatest(F.size(arr) - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.array(x, y),
-                    ),
+            item = {
+                f_: F.concat(
+                    F.lit(f_ + "="), resolve(f_).cast("string")
                 )
-            )
-            trips = F.flatten(
-                F.flatten(
-                    F.transform(
-                        arr,
-                        lambda x, i: F.transform(
-                            F.slice(
-                                arr, i + F.lit(2),
-                                F.greatest(
-                                    F.size(arr) - i - 1, F.lit(0)
-                                ),
+                for f_ in b.fields
+            }
+            combos = []
+            for k_ in (1, 2, 3):
+                for sub in _combs(b.fields, k_):
+                    cond = resolve(sub[0]).isNotNull()
+                    for f_ in sub[1:]:
+                        cond = cond & resolve(f_).isNotNull()
+                    combos.append(
+                        F.when(
+                            cond,
+                            F.array_sort(
+                                F.array(*[item[f_] for f_ in sub])
                             ),
-                            lambda y, j: F.transform(
-                                F.slice(
-                                    arr, i + j + F.lit(3),
-                                    F.greatest(
-                                        F.size(arr) - i - j - 2,
-                                        F.lit(0),
-                                    ),
-                                ),
-                                lambda z: F.array(x, y, z),
-                            ),
-                        ),
+                        )
                     )
-                )
-            )
             ex = df.select(
-                F.explode(F.concat(singles, pairs, trips)).alias("__ks")
+                F.explode(
+                    F.array_compact(F.array(*combos))
+                ).alias("__ks")
             )
             c = (
                 ex.groupBy("__ks")
