@@ -3443,6 +3443,62 @@ def test_t_test(spark):
              "params": {"a": {"field": "a"}}}])["visState"])
 
 
+def test_t_test_randomized_cross_check(spark):
+    """t_test differential pin: six seeded random populations, engine
+    (t, df) for all three modes compared per terms bucket against an
+    independent pure-Python computation of the same formulas — one
+    evaluation, deterministic data."""
+    import math
+    import random
+
+    rows = []
+    pops = {}
+    for g in range(6):
+        rng = random.Random(1000 + g)
+        na, nb = rng.randint(3, 30), rng.randint(3, 30)
+        a = [round(rng.uniform(-50, 50), 3) for _ in range(na)]
+        bvals = [round(rng.uniform(-50, 50), 3) for _ in range(nb)]
+        pops[f"g{g}"] = (a, bvals)
+        rows += [(f"g{g}", "x", v) for v in a]
+        rows += [(f"g{g}", "y", v) for v in bvals]
+    d = spark.createDataFrame(rows, "g string, tag string, v double")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "v", "filter": "tag:x"},
+                    "b": {"field": "v", "filter": "tag:y"},
+                    "customLabel": "w"}},
+        {"id": "3", "type": "t_test", "schema": "metric",
+         "params": {"a": {"field": "v", "filter": "tag:x"},
+                    "b": {"field": "v", "filter": "tag:y"},
+                    "type": "homoscedastic", "customLabel": "p"}},
+    ])).evaluate(d)
+    got = {r["g"]: r for r in out.collect()}
+
+    def moments(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        var = sum((v - m) ** 2 for v in vals) / (n - 1)
+        return n, m, var
+
+    for g, (a, bvals) in pops.items():
+        na, ma, va = moments(a)
+        nb, mb, vb = moments(bvals)
+        se2 = va / na + vb / nb
+        wt = (ma - mb) / math.sqrt(se2)
+        wdf = se2 ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        pt = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+        r = got[g]
+        assert abs(r["w_t"] - wt) < 1e-9, g
+        assert abs(r["w_df"] - wdf) < 1e-9, g
+        assert abs(r["p_t"] - pt) < 1e-9, g
+        assert r["p_df"] == na + nb - 2
+
+
 def test_random_sampler(spark):
     """ES random_sampler (round 14), the deterministic twin: the
     md5(id ':' seed) residue keep-set reproduces bit-for-bit against a

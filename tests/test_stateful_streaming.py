@@ -576,20 +576,41 @@ def test_kibana_tier3_vocab_on_live_stream(spark, tmp_path):
              "params": {"field": "msg", "size": 10,
                         "customLabel": "cat"}},
         ]),
+        # round-14 pipeline machinery per micro-batch: percentiles +
+        # moving_percentiles (window 1 = the previous bucket's p50)
+        "mp": vis([
+            {"id": "1", "type": "date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "customInterval": "1h",
+                        "customLabel": "h"}},
+            {"id": "2", "type": "percentiles", "schema": "metric",
+             "params": {"field": "v", "percents": [50],
+                        "customLabel": "p"}},
+            {"id": "3", "type": "moving_percentiles", "schema": "metric",
+             "params": {"metricAgg": "2", "window": 1,
+                        "customLabel": "mp"}},
+        ]),
     }
     src = tmp_path / "kibvocab"
     src.mkdir()
     batches = [
-        [("err", 12.0, "disk 42 crash"), ("err", 5.0, "disk 7 crash"),
-         ("ok", 20.0, "all good here")],
-        [("err", 3.0, "net 9 crash"), ("ok", 1.0, "all fine")],
+        [("err", 12.0, "disk 42 crash", "2024-01-01 00:10:00"),
+         ("err", 5.0, "disk 7 crash", "2024-01-01 00:20:00"),
+         ("ok", 20.0, "all good here", "2024-01-01 01:10:00")],
+        [("err", 3.0, "net 9 crash", "2024-01-01 00:05:00"),
+         ("ok", 1.0, "all fine", "2024-01-01 01:05:00")],
     ]
+    from pyspark.sql import functions as _F
+
     for b, rows in enumerate(batches):
         spark.createDataFrame(
-            rows, "tag string, v double, msg string"
-        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+            rows, "tag string, v double, msg string, ts string"
+        ).withColumn("ts", _F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{b}"))
     stream = (
-        spark.readStream.schema("tag string, v double, msg string")
+        spark.readStream.schema(
+            "tag string, v double, msg string, ts timestamp"
+        )
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src / "b*"))
     )
@@ -601,6 +622,7 @@ def test_kibana_tier3_vocab_on_live_stream(spark, tmp_path):
             (name, bid), [r.asDict() for r in df.collect()]
         ),
         checkpoint=str(tmp_path / "kibvocabckpt"),
+        auto_interval_buckets=None,  # honor the 1h customInterval
     )
     q.awaitTermination(120)
     # significant_text: JLH over the batch's own fg/bg split; ties
@@ -626,6 +648,15 @@ def test_kibana_tier3_vocab_on_live_stream(spark, tmp_path):
         "disk crash": 2, "all good here": 1}
     assert {r["cat"]: r["doc_count"] for r in got[("cat", 1)]} == {
         "net crash": 1, "all fine": 1}
+    # moving_percentiles per batch: window 1 = previous bucket's p50
+    assert {str(r["h"]): (r["p_p50"], r["mp_p50"])
+            for r in got[("mp", 0)]} == {
+        "2024-01-01 00:00:00": (8.5, None),
+        "2024-01-01 01:00:00": (20.0, 8.5)}
+    assert {str(r["h"]): (r["p_p50"], r["mp_p50"])
+            for r in got[("mp", 1)]} == {
+        "2024-01-01 00:00:00": (3.0, None),
+        "2024-01-01 01:00:00": (1.0, 3.0)}
 
 
 def test_promql_panels_info_enrichment_on_stream(spark, tmp_path):
