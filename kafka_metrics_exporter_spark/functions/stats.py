@@ -1,0 +1,258 @@
+"""Special-function numerics shared by the Kibana statistical aggs —
+Student-t two-sided p-value (ES ``t_test``) and the Kolmogorov
+distribution (ES ``bucket_count_ks_test``) — as BOTH Spark Column
+expression builders and ANSI-SQL text generators emitting the SAME
+formula, so every p-value has an exact DuckDB oracle twin.
+
+Design: the whole stack is closed-form + fixed-depth unrolled series,
+pure Column math over the POST-AGGREGATION table (one row, or one row
+per bucket) — no UDF, no driver loop, no iteration whose depth depends
+on data.  At 100 TB the cost lives in the upstream power-sum
+aggregation; these expressions are O(#buckets) scalar projections.
+
+Numerics (validated against an independent adaptive-Simpson
+integration of the t density in ``tests/test_kibana_stats_math.py``):
+
+- ``lgamma`` via the 9-term Lanczos approximation (g=7) — ~1e-14
+  relative over z >= 0.5, the only range reached (z = df/2 >= 0.5).
+- regularized incomplete beta I_x(a, b) via the standard continued
+  fraction (Numerical Recipes 6.4 coefficients), evaluated BOTTOM-UP
+  at fixed depth ``_CF_DEPTH`` — no Lentz normalization needed because
+  the depth is static; the symmetry branch I_x = 1 - I_{1-x}(b, a)
+  keeps x inside the fast-convergence region x < (a+1)/(a+b+2).
+  Measured worst relative error at p > 1e-8: ~4e-9 (df=1e5 edge);
+  < 1e-10 over the df <= 5000 pin grid.
+- Kolmogorov survival Q(lam) with the classic dual series split at
+  lam = 1.18 (Marsaglia-Tsang-Wang / NR ``probks`` branch point): the
+  Jacobi-theta form for small lam, the alternating exponential series
+  for large — the two agree to 1 ulp in the overlap.
+
+Tail caveat (documented): for p < ~1e-10 the front factor
+exp(a·ln x + b·ln(1-x) - lbeta) loses relative precision at large df;
+absolute error stays ~1e-25, far below the engine-wide 4-decimal
+value-hash contract and any alerting threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lanczos g=7, n=9 (the classic double-precision coefficient set).
+_LANCZOS = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+_HALF_LOG_2PI = 0.9189385332046727  # ln(2*pi)/2
+_LGAMMA_HALF = 0.5723649429247001   # lgamma(0.5) = ln(sqrt(pi))
+
+#: continued-fraction unroll depth — fixed, data-independent.  48
+#: reaches the front-factor precision floor (~1e-10 relative at the
+#: worst moderate-p pin, < 1e-12 at p > 0.01); the expression tree
+#: stays ~1.2k nodes per branch (one projection over an
+#: already-aggregated table).
+_CF_DEPTH = 48
+
+#: Kolmogorov dual-series branch point and truncation depths.
+_KS_SPLIT = 1.18
+_KS_SMALL_TERMS = 8
+_KS_LARGE_TERMS = 32
+_PI2 = 9.869604401089358  # pi^2
+_SQRT_2PI = 2.5066282746310002
+
+
+# --------------------------------------------------------------- Column
+
+
+def lgamma_col(z: Column) -> Column:
+    """Lanczos lgamma as a Column expression (z > 0; callers stay in
+    z >= 0.5).  Identical constant set as :func:`sql_lgamma` so the
+    Spark and DuckDB evaluations agree to ulps."""
+    zp = z - F.lit(1.0)
+    x = F.lit(_LANCZOS[0])
+    for i in range(1, 9):
+        x = x + F.lit(_LANCZOS[i]) / (zp + F.lit(float(i)))
+    t = zp + F.lit(7.5)
+    return (
+        F.lit(_HALF_LOG_2PI) + (zp + F.lit(0.5)) * F.log(t) - t + F.log(x)
+    )
+
+
+def _betacf_col(a: Column, b: Column, x: Column) -> Column:
+    """Bottom-up continued fraction for I_x(a,b) — NR 6.4 d-terms,
+    fixed depth (linear expression growth: g embeds once per level)."""
+    g = F.lit(1.0)
+    for k in range(_CF_DEPTH, 0, -1):
+        if k % 2 == 1:
+            m = float((k - 1) // 2)
+            d = (
+                -(a + F.lit(m)) * (a + b + F.lit(m)) * x
+                / ((a + F.lit(2 * m)) * (a + F.lit(2 * m + 1)))
+            )
+        else:
+            m = float(k // 2)
+            d = (
+                F.lit(m) * (b - F.lit(m)) * x
+                / ((a + F.lit(2 * m - 1)) * (a + F.lit(2 * m)))
+            )
+        g = F.lit(1.0) + d / g
+    return F.lit(1.0) / g
+
+
+def t_two_sided_p_col(t: Column, df: Column) -> Column:
+    """Two-sided Student-t p-value: I_x(df/2, 1/2) with
+    x = df/(df+t²) — exactly the CDF ES applies to its (t, df) pair.
+    Both betainc branches are built; CASE picks the convergent one.
+    1-x is computed EXACTLY as t²/(df+t²) (no 1-x cancellation).
+    Null t/df propagate; t = 0 emits exactly 1."""
+    t2 = t * t
+    denom = df + t2
+    x = df / denom
+    omx = t2 / denom
+    a = df / F.lit(2.0)
+    b = F.lit(0.5)
+    lbeta = lgamma_col(a) + F.lit(_LGAMMA_HALF) - lgamma_col(a + F.lit(0.5))
+    front = F.exp(a * F.log(x) + b * F.log(omx) - lbeta)
+    direct = front * _betacf_col(a, b, x) / a
+    mirrored = F.lit(1.0) - front * _betacf_col(b, a, omx) / b
+    use_direct = x < (a + F.lit(1.0)) / (a + b + F.lit(2.0))
+    p = F.when(t2 == 0, F.lit(1.0)).otherwise(
+        F.when(use_direct, direct).otherwise(mirrored)
+    )
+    return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+
+
+def ks_two_sided_p_col(lam: Column) -> Column:
+    """Kolmogorov survival Q(lam) = P(sup|B(t)| > lam): the two-sided
+    asymptotic KS p-value at lam = sqrt(n)·D.  lam <= 0 emits 1."""
+    small = F.lit(0.0)
+    for k in range(1, _KS_SMALL_TERMS + 1):
+        small = small + F.exp(
+            F.lit(-((2 * k - 1) ** 2) * _PI2 / 8.0) / (lam * lam)
+        )
+    small_p = F.lit(1.0) - F.lit(_SQRT_2PI) / lam * small
+    large = F.lit(0.0)
+    for k in range(1, _KS_LARGE_TERMS + 1):
+        large = large + F.lit(float((-1) ** (k - 1))) * F.exp(
+            F.lit(-2.0 * k * k) * lam * lam
+        )
+    large_p = F.lit(2.0) * large
+    p = F.when(lam <= 0, F.lit(1.0)).otherwise(
+        F.when(lam < F.lit(_KS_SPLIT), small_p).otherwise(large_p)
+    )
+    return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+
+
+# ------------------------------------------------------------------ SQL
+
+
+def sql_lgamma(z: str) -> str:
+    """The SAME Lanczos formula as SQL text (``z`` is a SQL expression,
+    referenced multiple times — pass a plain column name)."""
+    x = repr(_LANCZOS[0])
+    for i in range(1, 9):
+        x = f"({x} + {_LANCZOS[i]!r} / (({z}) - 1.0 + {float(i)!r}))"
+    t = f"(({z}) - 1.0 + 7.5)"
+    return (
+        f"({_HALF_LOG_2PI!r} + (({z}) - 1.0 + 0.5) * ln({t}) - {t}"
+        f" + ln({x}))"
+    )
+
+
+def sql_t_pvalue_ctes(
+    rel: str, t: str, df: str, keys: tuple[str, ...] = (), out: str = "p"
+) -> str:
+    """SQL twin of :func:`t_two_sided_p_col` as a WITH-RECURSIVE CTE
+    chain: DuckDB caps expression NESTING at 128, so the bottom-up
+    continued fraction iterates as a recursive CTE instead of an
+    unrolled expression — the SAME recurrence, depth, and constants as
+    the Column build, so the two agree to ulps.
+
+    ``rel`` is an existing CTE/relation with columns ``t``/``df`` (and
+    ``keys`` passthrough identity columns).  Returns the text of a
+    self-contained parenthesized SELECT (it opens its own
+    WITH RECURSIVE scope) yielding ``keys + [out]`` — embed it as a
+    derived table:  ``SELECT ... FROM {sql_t_pvalue_ctes(...)} q``."""
+    ks = "".join(f"{k}, " for k in keys)
+    a = "(__df / 2.0)"
+    # CF params swap per branch so ONE recursion serves both: the
+    # direct branch runs cf(a, 0.5, x), the mirrored cf(0.5, a, 1-x).
+    # 1-x is computed EXACTLY as t^2/(df+t^2); ln() args are guarded
+    # (DuckDB ln(0) errors) — the t=0 row takes the CASE short-circuit.
+    lbeta = (
+        f"({sql_lgamma('__a')} + {_LGAMMA_HALF!r} - "
+        f"{sql_lgamma('(__a + 0.5)')})"
+    )
+    d_odd = (
+        "(-(__ca + ((__k - 1) // 2)::DOUBLE)"
+        " * (__ca + __cb + ((__k - 1) // 2)::DOUBLE) * __cx"
+        " / ((__ca + 2.0 * ((__k - 1) // 2)::DOUBLE)"
+        " * (__ca + 2.0 * ((__k - 1) // 2)::DOUBLE + 1.0)))"
+    )
+    d_even = (
+        "((__k // 2)::DOUBLE * (__cb - (__k // 2)::DOUBLE) * __cx"
+        " / ((__ca + 2.0 * (__k // 2)::DOUBLE - 1.0)"
+        " * (__ca + 2.0 * (__k // 2)::DOUBLE)))"
+    )
+    return f"""(
+  WITH RECURSIVE __tp_base AS (
+    SELECT {ks}({t})::DOUBLE AS __t, ({df})::DOUBLE AS __df FROM {rel}
+  ),
+  __tp_in AS (
+    SELECT {ks}__t, __df, __a, __x, __omx, __direct,
+           CASE WHEN __direct THEN __a ELSE 0.5 END AS __ca,
+           CASE WHEN __direct THEN 0.5 ELSE __a END AS __cb,
+           CASE WHEN __direct THEN __x ELSE __omx END AS __cx,
+           exp(__a * ln(CASE WHEN __x <= 0 THEN 1.0 ELSE __x END)
+               + 0.5 * ln(CASE WHEN __omx <= 0 THEN 1.0 ELSE __omx END)
+               - {lbeta}) AS __front
+    FROM (
+      SELECT {ks}__t, __df, {a} AS __a,
+             (__df / (__df + __t * __t)) AS __x,
+             ((__t * __t) / (__df + __t * __t)) AS __omx,
+             ((__df / (__df + __t * __t))
+              < ({a} + 1.0) / ({a} + 2.5)) AS __direct
+      FROM __tp_base
+    )
+  ),
+  __tp_cf AS (
+    SELECT {ks}__t, __a, __ca, __cb, __cx, __direct, __front,
+           {_CF_DEPTH} AS __k, 1.0::DOUBLE AS __g
+    FROM __tp_in
+    UNION ALL
+    SELECT {ks}__t, __a, __ca, __cb, __cx, __direct, __front,
+           __k - 1,
+           1.0 + (CASE WHEN __k % 2 = 1 THEN {d_odd}
+                       ELSE {d_even} END) / __g
+    FROM __tp_cf WHERE __k >= 1
+  )
+  SELECT {ks}least(greatest(
+           CASE WHEN __t * __t = 0 THEN 1.0
+                WHEN __direct THEN __front * (1.0 / __g) / __a
+                ELSE 1.0 - __front * (1.0 / __g) / 0.5 END,
+           0.0), 1.0) AS {out}
+  FROM __tp_cf WHERE __k = 0
+)"""
+
+
+def sql_ks_two_sided_p(lam: str) -> str:
+    """SQL twin of :func:`ks_two_sided_p_col` (``lam`` a column ref)."""
+    small = " + ".join(
+        f"exp({-((2 * k - 1) ** 2) * _PI2 / 8.0!r}"
+        f" / (({lam}) * ({lam})))"
+        for k in range(1, _KS_SMALL_TERMS + 1)
+    )
+    small_p = f"(1.0 - {_SQRT_2PI!r} / ({lam}) * ({small}))"
+    large = " + ".join(
+        f"({float((-1) ** (k - 1))!r} * exp({-2.0 * k * k!r}"
+        f" * ({lam}) * ({lam})))"
+        for k in range(1, _KS_LARGE_TERMS + 1)
+    )
+    large_p = f"(2.0 * ({large}))"
+    p = (
+        f"(CASE WHEN ({lam}) <= 0 THEN 1.0"
+        f" WHEN ({lam}) < {_KS_SPLIT!r} THEN {small_p}"
+        f" ELSE {large_p} END)"
+    )
+    return f"least(greatest({p}, 0.0), 1.0)"
