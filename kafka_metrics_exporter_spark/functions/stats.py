@@ -120,7 +120,11 @@ def t_two_sided_p_col(t: Column, df: Column) -> Column:
     p = F.when(t2 == 0, F.lit(1.0)).otherwise(
         F.when(use_direct, direct).otherwise(mirrored)
     )
-    return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    # least/greatest IGNORE nulls (both engines) — propagate them
+    # explicitly so a degenerate (null t) test emits null, not 0
+    return F.when(
+        t.isNull() | df.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)))
 
 
 def ks_two_sided_p_col(lam: Column) -> Column:
@@ -141,7 +145,9 @@ def ks_two_sided_p_col(lam: Column) -> Column:
     p = F.when(lam <= 0, F.lit(1.0)).otherwise(
         F.when(lam < F.lit(_KS_SPLIT), small_p).otherwise(large_p)
     )
-    return F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return F.when(lam.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    )
 
 
 # ------------------------------------------------------------------ SQL
@@ -227,11 +233,12 @@ def sql_t_pvalue_ctes(
                        ELSE {d_even} END) / __g
     FROM __tp_cf WHERE __k >= 1
   )
-  SELECT {ks}least(greatest(
+  SELECT {ks}CASE WHEN __t IS NULL OR __a IS NULL THEN NULL
+         ELSE least(greatest(
            CASE WHEN __t * __t = 0 THEN 1.0
                 WHEN __direct THEN __front * (1.0 / __g) / __a
                 ELSE 1.0 - __front * (1.0 / __g) / 0.5 END,
-           0.0), 1.0) AS {out}
+           0.0), 1.0) END AS {out}
   FROM __tp_cf WHERE __k = 0
 )"""
 

@@ -54,6 +54,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_metrics_exporter_spark.functions.scalars import osa_distance
+from kafka_metrics_exporter_spark.functions.stats import (
+    ks_two_sided_p_col,
+    t_two_sided_p_col,
+)
 
 _BUCKET_SCHEMAS = {"bucket", "segment", "group", "split", "row"}
 
@@ -445,13 +449,15 @@ class TTestAgg:
     the main hash aggregation as DECIMAL(38,6) power sums like
     matrix_stats — partition-order-independent totals.
 
-    Documented divergence: ES returns the two-sided P-VALUE, a
-    Student-t CDF evaluation over exactly the (t, df) pair this agg
-    computes; the CDF (an incomplete-beta special function) has no
-    exact SQL twin in either engine and is a scalar client-side
-    transform, so this engine emits ``<label>_t`` and ``<label>_df``
-    — the CDF's exact inputs — unit-pinned against hand-computed
-    values.  Degenerate inputs (n<2 per side, zero variance) emit
+    Like ES, the agg emits the two-sided P-VALUE (``<label>_p``, round
+    15): the Student-t CDF over the exact (t, df) pair, evaluated as
+    pure Column math — Lanczos lgamma + fixed-depth incomplete-beta
+    continued fraction (``functions/stats.py``), pinned against an
+    independent adaptive-Simpson integration of the t density to ~10
+    significant digits and replayed exactly in SQL via a recursive-CTE
+    twin (``sql_t_pvalue_ctes``).  ``<label>_t`` / ``<label>_df`` stay
+    exposed (ES keeps them internal) so the CDF inputs remain
+    auditable.  Degenerate inputs (n<2 per side, zero variance) emit
     null."""
 
     a_field: str
@@ -462,7 +468,7 @@ class TTestAgg:
     b_filter: str = ""
 
     def column_names(self) -> list[str]:
-        return [f"{self.label}_t", f"{self.label}_df"]
+        return [f"{self.label}_t", f"{self.label}_df", f"{self.label}_p"]
 
 
 @dataclass(frozen=True)
@@ -3647,6 +3653,17 @@ class KibanaPlan:
                 out = out.withColumn(
                     f"{m.label}_t", F.when(ok, t_stat)
                 ).withColumn(f"{m.label}_df", F.when(ok, df_val))
+                # ES's returned value: the two-sided p — the Student-t
+                # CDF of the (t, df) columns just materialized (plain
+                # column refs keep the CF expression compact; null
+                # t/df propagate).  Pure Column math, inside
+                # whole-stage codegen — see functions/stats.py.
+                out = out.withColumn(
+                    f"{m.label}_p",
+                    t_two_sided_p_col(
+                        F.col(f"{m.label}_t"), F.col(f"{m.label}_df")
+                    ),
+                )
                 out = out.drop(
                     *[c for c in out.columns
                       if c.startswith(f"__tt_{m.label}_")]

@@ -23,6 +23,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_metrics_exporter_spark.functions.stats import sql_t_pvalue_ctes
 from kafka_metrics_exporter_spark.kibana import compile_visualization
 from kafka_metrics_exporter_spark.plans.queries import _TS_FMT, _t, query
 
@@ -2248,6 +2249,27 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ttest', 'paired_df', CAST(NULL AS BIGINT), n - 1.0 FROM pm
     UNION ALL
+    -- round 15: ES's actual returned value — the two-sided p-value
+    -- (Student-t CDF of the exact (t, df) pair, recursive-CTE twin of
+    -- the engine's Lanczos + continued-fraction Column math)
+    SELECT 'ttest', 'welch_p', CAST(NULL AS BIGINT), round(q.p, 6)
+    FROM {sql_t_pvalue_ctes(
+        "(SELECT dm / sqrt(sea + seb) AS t,"
+        " ((sea + seb) * (sea + seb))"
+        " / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS df"
+        " FROM w)", "t", "df")} q
+    UNION ALL
+    SELECT 'ttest', 'pooled_p', CAST(NULL AS BIGINT), round(q.p, 6)
+    FROM {sql_t_pvalue_ctes(
+        "(SELECT dm / sqrt((((na - 1.0) * va + (nb - 1.0) * vb)"
+        " / (na + nb - 2.0)) * (1.0 / na + 1.0 / nb)) AS t,"
+        " na + nb - 2.0 AS df FROM w)", "t", "df")} q
+    UNION ALL
+    SELECT 'ttest', 'paired_p', CAST(NULL AS BIGINT), round(q.p, 6)
+    FROM {sql_t_pvalue_ctes(
+        "(SELECT mean / sqrt(var / n) AS t, n - 1.0 AS df FROM pm)",
+        "t", "df")} q
+    UNION ALL
     SELECT 'sampler', event_type, n, CAST(val AS DOUBLE) FROM smp
     UNION ALL
     SELECT 'dsampler', event_type, n, CAST(val AS DOUBLE) FROM dsmp
@@ -2256,13 +2278,16 @@ def kibana_query_string_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``t_test`` + ``random_sampler`` (round 14).  Branch 1-6:
+    """ES ``t_test`` + ``random_sampler`` (round 14).  Branch 1-9:
     Welch (ES default), pooled and paired t between the click/error
     populations' value_i (paired pairs value_i with the numeric
-    user_id) — the engine emits the exact (t, df) pair whose Student-t
-    CDF is ES's p-value (dataclass docstring documents the
-    divergence); moments ride the hash agg as DECIMAL(38,6) power
-    sums, outputs rounded to 6.  Branch 7+: ``random_sampler`` at
+    user_id) — the engine emits (t, df) AND, since round 15, ES's
+    actual returned value: the two-sided p (Student-t CDF as Column
+    math — Lanczos lgamma + incomplete-beta continued fraction,
+    ``functions/stats.py`` — replayed in DuckDB by the recursive-CTE
+    twin ``sql_t_pvalue_ctes``, so the former documented divergence is
+    closed); moments ride the hash agg as DECIMAL(38,6) power
+    sums, outputs rounded to 6.  Branch 10+: ``random_sampler`` at
     probability 0.1 / seed 42 over the explicit event_id identity —
     the md5-residue keep-set is bit-reproducible across cluster
     layouts and engines where ES's shard-relative doc-id hash is not
@@ -2307,8 +2332,9 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit(key).alias("k"), F.round(key, 6).alias("v")
         )
-        for key in ("welch_t", "welch_df", "pooled_t", "pooled_df",
-                    "paired_t", "paired_df")
+        for key in ("welch_t", "welch_df", "welch_p", "pooled_t",
+                    "pooled_df", "pooled_p", "paired_t", "paired_df",
+                    "paired_p")
     ])).alias("kv")).select(
         F.lit("ttest").alias("branch"), F.col("kv.k").alias("key"),
         F.lit(None).cast("long").alias("n"), F.col("kv.v").alias("val"),

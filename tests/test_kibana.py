@@ -3418,7 +3418,14 @@ def test_t_test(spark):
         r["pooled_t"] - (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
     ) < 1e-12
     assert r["pooled_df"] == 5.0
+    # round 15: the agg emits ES's actual returned value — the
+    # two-sided p (Student-t CDF of the (t, df) pair).  Pins are
+    # adaptive-Simpson references (tests/test_kibana_stats_math.py
+    # derivation), independent of the Lanczos/CF implementation.
+    assert abs(r["welch_p"] - 0.33382370007749784) < 1e-10
+    assert abs(r["pooled_p"] - 0.2775605199635167) < 1e-10
     assert r["degen_t"] is None          # z has a single doc: n<2
+    assert r["degen_p"] is None
     # paired: per-doc differences (3,5,4) - (1,2,4) = [2,3,0]
     d2 = spark.createDataFrame(
         [(3.0, 1.0), (5.0, 2.0), (4.0, 4.0)], "a double, b double")
@@ -3431,6 +3438,7 @@ def test_t_test(spark):
     md, vd = 5 / 3, ((4 + 9 + 0) - 3 * (5 / 3) ** 2) / 2
     assert abs(r2["pr_t"] - md / math.sqrt(vd / 3)) < 1e-12
     assert r2["pr_df"] == 2.0
+    assert abs(r2["pr_p"] - 0.1993592309745523) < 1e-10
     with pytest.raises(ValueError, match="must not have filters"):
         parse_vis_state(_vis8([
             {"id": "1", "type": "t_test", "schema": "metric",
