@@ -472,6 +472,64 @@ class TTestAgg:
 
 
 @dataclass(frozen=True)
+class BucketStatsTestAgg:
+    """ES x-pack sibling significance pipelines (round 15):
+    ``bucket_correlation`` (function ``count_correlation``) and
+    ``bucket_count_ks_test`` — the stats-plugin companions to t_test /
+    matrix_stats.  Both read the INNERMOST bucket level's metric
+    sequence per outer bucket and reduce it against a client-provided
+    indicator, via ONE grouped collect of the (key, value) pairs per
+    outer bucket (bucket-table-sized by construction — the sibling-agg
+    shape, never a window) broadcast-joined back; every downstream
+    formula is JVM-side higher-order-array Column math.
+
+    Alignment (documented): indicator entries pair with the RETURNED
+    innermost buckets in ASCENDING KEY order — deterministic and
+    engine-independent where ES pairs by response order (identical for
+    the histogram/date_histogram/range request shapes the ES docs
+    show).  An outer bucket whose returned inner-bucket count differs
+    from the indicator length emits null (ES throws request-wide; a
+    distributed plan can't throw per-row — the loud relational
+    stance).
+
+    bucket_correlation/count_correlation: ES's documented membership
+    reading — the Pearson correlation between the indicator metric x
+    (expectations e_i, population weights f_i = fractions or 1/m, over
+    a population of ``doc_count`` docs) and the per-doc Bernoulli
+    "lands in this outer bucket" variable whose per-inner-bucket counts
+    are the buckets_path values y_i:
+    r = (Σe_i·y_i/N − x̄·ȳ) / sqrt((Σf_i·e_i² − x̄²)·ȳ(1−ȳ)),
+    x̄ = Σf_i·e_i, ȳ = Σy_i/N.  x̄/Σf·e² are compile-time constants
+    (the indicator is a literal); only Σy and Σe·y touch data.
+
+    bucket_count_ks_test: one-sample KS of the doc-count ECDF against
+    the cumulative ``fractions`` (uniform when omitted).  Alternatives
+    follow the scipy one-sample convention, documented: ``greater`` =
+    ECDF above the reference somewhere (D⁺ = max(ECDF−TCDF), p =
+    exp(−2nD⁺²)); ``less`` = ECDF below (D⁻, mirrored); ``two_sided``
+    = Kolmogorov survival at √n·max(D⁺,D⁻) (functions/stats.py dual
+    series).  Only ``sampling_method: "uniform"`` is modelled — ES's
+    default ``upper_tail`` reweighting is an x-pack sampling detail of
+    significant-terms pipelines; requesting it (or omitting the
+    parameter) rejects loudly rather than silently diverging (the
+    categorize_text stance)."""
+
+    op: str  # bucket_correlation | bucket_count_ks_test
+    source_label: str
+    label: str
+    expectations: tuple[float, ...] = ()  # bucket_correlation indicator
+    fractions: tuple[float, ...] = ()     # both aggs; () = uniform
+    doc_count: int = 0                    # bucket_correlation indicator
+    alternatives: tuple[str, ...] = ()    # ks_test output columns
+    seq: int = 0
+
+    def column_names(self) -> list[str]:
+        if self.op == "bucket_correlation":
+            return [self.label]
+        return [f"{self.label}_{alt}" for alt in self.alternatives]
+
+
+@dataclass(frozen=True)
 class RandomSamplerBucket:
     """ES ``random_sampler`` (round 14): run the sub-aggregations over
     a random subset of documents — ES's own answer to the 100 TB
@@ -909,6 +967,7 @@ class VisState:
     pipelines: tuple[PipelineAgg, ...] = ()
     bucket_sort: BucketSortAgg | None = None
     scripts: tuple[BucketScriptAgg, ...] = ()
+    stats_pipelines: tuple[BucketStatsTestAgg, ...] = ()
 
 
 def _slug(s: str) -> str:
@@ -1071,6 +1130,8 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     pipelines_raw: list[tuple[str, str, str, int]] = []  # (op, path, label, window)
     bucket_sort_raw: tuple[str, str, int, int] | None = None  # (path, order, size, from)
     scripts_raw: list[tuple[str, dict, str, str]] = []  # (op, paths, script, label)
+    # (op, path, label, expectations, fractions, doc_count, alts, seq)
+    stats_tests_raw: list[tuple] = []
     for _seq, a in enumerate(aggs):
         p = a.get("params", {})
         schema = a.get("schema", "metric")
@@ -1981,6 +2042,83 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             pipelines_raw.append(
                 (f"normalize:{method}", path, label, 0, (), _seq)
             )
+        elif a["type"] == "bucket_correlation":
+            # ES x-pack bucket_correlation (round 15): the only
+            # function is count_correlation; its indicator carries the
+            # per-bucket metric expectations, optional population
+            # fractions, and the TOTAL doc_count the bucket counts
+            # were drawn from (all literals — validated here, folded
+            # into compile-time constants at evaluation)
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            fn = p.get("function") or {}
+            if set(fn) != {"count_correlation"}:
+                raise ValueError(
+                    "kibana: bucket_correlation supports exactly the "
+                    "count_correlation function (like ES)"
+                )
+            ind = (fn["count_correlation"] or {}).get("indicator") or {}
+            exps = tuple(float(x) for x in ind.get("expectations") or ())
+            if len(exps) < 2:
+                raise ValueError(
+                    "kibana: bucket_correlation indicator needs at "
+                    "least two expectations"
+                )
+            fracs = tuple(float(x) for x in ind.get("fractions") or ())
+            if fracs and len(fracs) != len(exps):
+                raise ValueError(
+                    "kibana: bucket_correlation fractions must match "
+                    "expectations in length"
+                )
+            if fracs and (any(f < 0 for f in fracs) or sum(fracs) <= 0):
+                raise ValueError(
+                    "kibana: bucket_correlation fractions must be "
+                    "non-negative with a positive sum"
+                )
+            bc_n = int(ind.get("doc_count") or 0)
+            if bc_n <= 0:
+                raise ValueError(
+                    "kibana: bucket_correlation indicator needs "
+                    "doc_count > 0 (the population the bucket counts "
+                    "are drawn from)"
+                )
+            stats_tests_raw.append(
+                ("bucket_correlation", path, label, exps, fracs, bc_n,
+                 (), _seq)
+            )
+        elif a["type"] == "bucket_count_ks_test":
+            path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
+            alts = tuple(
+                str(x) for x in p.get("alternative")
+                or ("less", "greater", "two_sided")
+            )
+            bad = [x for x in alts if x not in ("less", "greater",
+                                                "two_sided")]
+            if bad or len(set(alts)) != len(alts):
+                raise ValueError(
+                    "kibana: bucket_count_ks_test alternative must be "
+                    "distinct values from less|greater|two_sided"
+                )
+            if str(p.get("sampling_method") or "") != "uniform":
+                # ES defaults to upper_tail — an x-pack reweighting of
+                # significant-terms sampling this engine does not
+                # model; require the explicit uniform stance
+                raise ValueError(
+                    "kibana: bucket_count_ks_test supports only "
+                    "sampling_method 'uniform' (explicit; ES's default "
+                    "upper_tail reweighting is not modelled)"
+                )
+            ks_fracs = tuple(float(x) for x in p.get("fractions") or ())
+            if ks_fracs and (
+                any(f < 0 for f in ks_fracs) or sum(ks_fracs) <= 0
+            ):
+                raise ValueError(
+                    "kibana: bucket_count_ks_test fractions must be "
+                    "non-negative with a positive sum"
+                )
+            stats_tests_raw.append(
+                ("bucket_count_ks_test", path, label, (), ks_fracs, 0,
+                 alts, _seq)
+            )
         elif a["type"] in SIBLING_OPS:
             path = str(p.get("metricAgg") or p.get("buckets_path") or "_count")
             pipelines_raw.append((a["type"], path, label, 0, (), _seq))
@@ -2026,7 +2164,8 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
     pipelines: list[PipelineAgg] = []
     bucket_sort: BucketSortAgg | None = None
     scripts: list[BucketScriptAgg] = []
-    if pipelines_raw or bucket_sort_raw or scripts_raw:
+    stats_pipelines: list[BucketStatsTestAgg] = []
+    if pipelines_raw or bucket_sort_raw or scripts_raw or stats_tests_raw:
         label_of = {}
         for m in metrics:
             label_of[m.label] = m.label
@@ -2043,6 +2182,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 for _, paths, _, _, _ in scripts_raw
                 for p in paths.values()
             )
+            or any(st[1] == "_count" for st in stats_tests_raw)
         )
         if needs_count:
             # the implicit doc-count metric, materialized only when a
@@ -2120,6 +2260,15 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     percents=percents, seq=seq_,
                 )
             )
+        for (op, path, label, exps, fracs, bc_n, alts,
+             seq_) in stats_tests_raw:
+            stats_pipelines.append(
+                BucketStatsTestAgg(
+                    op=op, source_label=_resolve_path(op, path),
+                    label=label, expectations=exps, fractions=fracs,
+                    doc_count=bc_n, alternatives=alts, seq=seq_,
+                )
+            )
         for op, paths, script, label, seq_ in scripts_raw:
             resolved = [
                 (param, _resolve_path(op, path))
@@ -2160,6 +2309,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
         pipelines=tuple(pipelines),
         bucket_sort=bucket_sort,
         scripts=tuple(scripts),
+        stats_pipelines=tuple(stats_pipelines),
     )
 
 
@@ -3865,6 +4015,152 @@ class KibanaPlan:
                 out = out.withColumn(col_name, F.get(arr, idx))
             return out.drop(*{a for a, _, _ in pb_extract})
 
+        def _apply_statstest(
+            out: DataFrame, run: list[BucketStatsTestAgg]
+        ) -> DataFrame:
+            # sibling significance pipelines (round 15): ONE grouped
+            # collect of the innermost (key, value) pairs per outer
+            # bucket — bucket-table-sized by construction (the
+            # percentiles_bucket collect shape, never a window) —
+            # broadcast-joined back; correlation / KS formulas are
+            # JVM-side higher-order-array Column math over the
+            # collected sequence.  Indicator moments (x̄, Σf·e²,
+            # cumulative reference CDF) fold to Python constants at
+            # compile time: the indicator is a request literal.
+            if not key_names:
+                raise ValueError(
+                    "kibana: bucket_correlation / bucket_count_ks_test "
+                    "need a bucket agg"
+                )
+            seq_label = key_names[-1]
+            outer = key_names[:-1]
+            aggs_ = []
+            for st in run:
+                src = F.col(st.source_label).cast("double")
+                aggs_.append(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(seq_label).alias("k"),
+                                src.alias("v"),
+                            )
+                        )
+                    ).alias(f"__bst_{st.label}_arr")
+                )
+            if outer:
+                sib = out.groupBy(*[F.col(c) for c in outer]).agg(*aggs_)
+                out = out.join(F.broadcast(sib), outer, "left")
+            else:
+                out = out.crossJoin(F.broadcast(out.agg(*aggs_)))
+            drop: list[str] = []
+            for st in run:
+                arr = F.col(f"__bst_{st.label}_arr")
+                drop += [f"__bst_{st.label}_arr", f"__bst_{st.label}_n"]
+                vals = F.transform(arr, lambda s: s["v"])
+                # the total folds over the KEY-SORTED array — a fixed
+                # summation order, so non-integral metric paths stay
+                # bit-deterministic where F.sum would be partition-
+                # order-dependent
+                out = out.withColumn(
+                    f"__bst_{st.label}_n",
+                    F.aggregate(vals, F.lit(0.0), lambda a, v: a + v),
+                )
+                n = F.col(f"__bst_{st.label}_n")
+                if st.op == "bucket_correlation":
+                    mlen = len(st.expectations)
+                    fs = st.fractions or tuple(1.0 / mlen
+                                               for _ in range(mlen))
+                    fsum = sum(fs)
+                    fs = tuple(f_ / fsum for f_ in fs)
+                    xmean = sum(
+                        f_ * e for f_, e in zip(fs, st.expectations)
+                    )
+                    xvar = sum(
+                        f_ * e * e for f_, e in zip(fs, st.expectations)
+                    ) - xmean * xmean
+                    nn = float(st.doc_count)
+                    exp_arr = F.array(
+                        *[F.lit(float(e)) for e in st.expectations]
+                    )
+                    sxy = F.aggregate(
+                        F.zip_with(vals, exp_arr, lambda v, e: v * e),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    )
+                    ymean = n / F.lit(nn)
+                    cov = sxy / F.lit(nn) - F.lit(xmean) * ymean
+                    yvar = ymean * (F.lit(1.0) - ymean)
+                    ok = (
+                        (F.size(arr) == F.lit(mlen))
+                        & F.lit(xvar > 0)
+                        & (n > 0) & (n < F.lit(nn))
+                    )
+                    out = out.withColumn(
+                        st.label,
+                        F.when(ok, cov / F.sqrt(F.lit(xvar) * yvar)),
+                    )
+                    continue
+                # bucket_count_ks_test: running ECDF-vs-reference max
+                # deviations in ONE array fold (acc = index, running
+                # count, D+, D-)
+                if st.fractions:
+                    tot = sum(st.fractions)
+                    cum, tcdf = 0.0, []
+                    for f_ in st.fractions:
+                        cum += f_
+                        tcdf.append(cum / tot)
+                    tcdf_arr = F.array(*[F.lit(x) for x in tcdf])
+                    size_ok = F.size(arr) == F.lit(len(st.fractions))
+
+                    def _tc(j, _ta=tcdf_arr):  # j: 1-based element idx
+                        return F.element_at(_ta, j)
+                else:
+                    size_ok = F.size(arr) > 0
+
+                    def _tc(j, _a=arr):
+                        return j.cast("double") / F.size(_a).cast(
+                            "double"
+                        )
+
+                # acc["i"] = 1-based index of the element being folded
+                zero = F.struct(
+                    F.lit(1).alias("i"), F.lit(0.0).alias("c"),
+                    F.lit(-1.0).alias("dp"), F.lit(-1.0).alias("dm"),
+                )
+
+                def _make_step(_n, _tcf):
+                    # factory binds the total + reference-CDF lookup:
+                    # pyspark counts a lambda's parameters, so default-
+                    # arg closures would mis-arity the HOF callback
+                    def _step(acc, v):
+                        ec = (acc["c"] + v) / _n
+                        tc = _tcf(acc["i"])
+                        return F.struct(
+                            (acc["i"] + 1).alias("i"),
+                            (acc["c"] + v).alias("c"),
+                            F.greatest(acc["dp"], ec - tc).alias("dp"),
+                            F.greatest(acc["dm"], tc - ec).alias("dm"),
+                        )
+
+                    return _step
+
+                res = F.aggregate(vals, zero, _make_step(n, _tc))
+                dp, dm = res["dp"], res["dm"]
+                lam = F.sqrt(n) * F.greatest(dp, dm)
+                ok = size_ok & (n > 0)
+                for alt in st.alternatives:
+                    if alt == "greater":
+                        p = F.exp(F.lit(-2.0) * n * dp * dp)
+                    elif alt == "less":
+                        p = F.exp(F.lit(-2.0) * n * dm * dm)
+                    else:
+                        p = ks_two_sided_p_col(lam)
+                    out = out.withColumn(
+                        f"{st.label}_{alt}",
+                        F.when(ok, F.least(p, F.lit(1.0))),
+                    )
+            return out.drop(*drop)
+
         def _apply_cumcard(out: DataFrame, run: list[PipelineAgg]) -> DataFrame:
             # ES cumulative_cardinality (round 13), exact: a value
             # contributes +1 in its FIRST-seen innermost bucket per
@@ -4280,14 +4576,15 @@ class KibanaPlan:
                 )
                 for pl in s.pipelines
             ]
-            + [(sc.op, sc) for sc in s.scripts],
+            + [(sc.op, sc) for sc in s.scripts]
+            + [("statstest", st) for st in s.stats_pipelines],
             key=lambda t: t[1].seq,
         )
         i = 0
         while i < len(stages):
             kind, stage = stages[i]
             if kind in ("parent", "sibling", "normalize", "cumcard",
-                        "movperc"):
+                        "movperc", "statstest"):
                 run = [stage]
                 while i + 1 < len(stages) and stages[i + 1][0] == kind:
                     i += 1
@@ -4302,6 +4599,8 @@ class KibanaPlan:
                     else _apply_cumcard(out, run)
                     if kind == "cumcard"
                     else _apply_movperc(out, run)
+                    if kind == "movperc"
+                    else _apply_statstest(out, run)
                 )
             elif kind == "bucket_script":
                 # per-bucket painless arithmetic over sibling metric
@@ -4374,6 +4673,11 @@ class KibanaPlan:
                 final_cols.append(F.col(m.label))
         final_cols.extend(
             F.col(n) for pl in s.pipelines for n in pl.column_names()
+        )
+        final_cols.extend(
+            F.col(n)
+            for st in s.stats_pipelines
+            for n in st.column_names()
         )
         final_cols.extend(
             F.col(sc.label) for sc in s.scripts if sc.op == "bucket_script"

@@ -4080,3 +4080,158 @@ def test_variable_width_histogram_approx_seed(spark):
         d, vwh_approx_seed=True
     )
     assert {r["c"]: r["n"] for r in out.collect()} == {10.0: 5, 100.0: 5}
+
+
+def test_bucket_correlation(spark):
+    """ES x-pack bucket_correlation / count_correlation (round 15):
+    per outer term, the membership-Pearson between the indicator and
+    the inner histogram doc counts — engine values against a plain-
+    Python replay of the documented formula; misaligned bucket counts
+    emit null; indicator validation rejects loudly."""
+    import math
+
+    # g=a: counts per v-bucket [2, 3, 5]; g=b: [4, 2, 4]; g=c only
+    # has two populated buckets -> misaligned -> null
+    rows = []
+    for g, counts in (("a", [2, 3, 5]), ("b", [4, 2, 4]),
+                      ("c", [1, 0, 2])):
+        for i, c in enumerate(counts):
+            rows += [(g, float(i * 10))] * c
+    d = spark.createDataFrame(rows, "g string, v double")
+    exps = [1.0, 2.0, 4.0]
+    n_total = 30
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "g", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "g"}},
+        {"id": "2", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 10, "customLabel": "vb"}},
+        {"id": "3", "type": "bucket_correlation", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "function": {"count_correlation": {"indicator": {
+                        "expectations": exps,
+                        "doc_count": n_total}}},
+                    "customLabel": "corr"}},
+    ])).evaluate(d)
+    got = {r["g"]: r["corr"] for r in out.collect()}
+
+    def ref(counts):
+        m = len(exps)
+        fs = [1.0 / m] * m
+        xmean = sum(f * e for f, e in zip(fs, exps))
+        xvar = sum(f * e * e for f, e in zip(fs, exps)) - xmean ** 2
+        nt = sum(counts)
+        ymean = nt / n_total
+        cov = sum(e * y for e, y in zip(exps, counts)) / n_total \
+            - xmean * ymean
+        return cov / math.sqrt(xvar * ymean * (1 - ymean))
+
+    assert got["a"] == pytest.approx(ref([2, 3, 5]), rel=1e-12)
+    assert got["b"] == pytest.approx(ref([4, 2, 4]), rel=1e-12)
+    assert got["c"] is None  # 2 returned buckets vs 3 expectations
+    with pytest.raises(ValueError, match="count_correlation"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "bucket_correlation", "schema": "metric",
+             "params": {"buckets_path": "_count",
+                        "function": {"other": {}}}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="doc_count"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "bucket_correlation", "schema": "metric",
+             "params": {"buckets_path": "_count",
+                        "function": {"count_correlation": {"indicator": {
+                            "expectations": [1, 2]}}}}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="fractions"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "bucket_correlation", "schema": "metric",
+             "params": {"buckets_path": "_count",
+                        "function": {"count_correlation": {"indicator": {
+                            "expectations": [1, 2, 3],
+                            "fractions": [0.5, 0.5],
+                            "doc_count": 10}}}}},
+        ])["visState"])
+
+
+def test_bucket_count_ks_test(spark):
+    """ES x-pack bucket_count_ks_test (round 15): one-sample KS of the
+    inner-bucket doc-count ECDF against cumulative fractions (uniform
+    default) — D+/D-/Kolmogorov p against a plain-Python replay;
+    non-uniform sampling_method rejects loudly (ES's upper_tail
+    reweighting is not modelled)."""
+    import math
+
+    counts = [10, 2, 3, 1]  # mass shifted toward LOW keys
+    rows = [(float(i * 10),) for i, c in enumerate(counts) for _ in
+            range(c)]
+    d = spark.createDataFrame(rows, "v double")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 10, "customLabel": "vb"}},
+        {"id": "2", "type": "bucket_count_ks_test", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "sampling_method": "uniform",
+                    "customLabel": "ks"}},
+    ])).evaluate(d)
+    r = out.collect()[0]
+
+    n = sum(counts)
+    ecdf, cum = [], 0
+    for c in counts:
+        cum += c
+        ecdf.append(cum / n)
+    tcdf = [(i + 1) / len(counts) for i in range(len(counts))]
+    dp = max(e - t for e, t in zip(ecdf, tcdf))
+    dm = max(t - e for e, t in zip(ecdf, tcdf))
+    lam = math.sqrt(n) * max(dp, dm)
+    p_two = 2.0 * sum(
+        (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 200)
+    )
+    assert r["ks_greater"] == pytest.approx(
+        min(1.0, math.exp(-2 * n * dp * dp)), rel=1e-12)
+    assert r["ks_less"] == pytest.approx(
+        min(1.0, math.exp(-2 * n * dm * dm)), rel=1e-12)
+    assert r["ks_two_sided"] == pytest.approx(p_two, rel=1e-9)
+    # mass at low keys => ECDF above reference => "greater" small
+    assert r["ks_greater"] < r["ks_less"]
+
+    # explicit fractions: reference CDF from the literal array
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "histogram", "schema": "bucket",
+         "params": {"field": "v", "interval": 10, "customLabel": "vb"}},
+        {"id": "2", "type": "bucket_count_ks_test", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "sampling_method": "uniform",
+                    "fractions": [0.7, 0.1, 0.1, 0.1],
+                    "alternative": ["two_sided"],
+                    "customLabel": "ks"}},
+    ])).evaluate(d)
+    r2 = out2.collect()[0]
+    tcdf2, cum = [], 0.0
+    for f in [0.7, 0.1, 0.1, 0.1]:
+        cum += f
+        tcdf2.append(cum)
+    d2 = max(abs(e - t) for e, t in zip(ecdf, tcdf2))
+    lam2 = math.sqrt(n) * d2
+    want2 = 2.0 * sum(
+        (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam2 * lam2)
+        for k in range(1, 200)
+    ) if lam2 >= 1.18 else None
+    if want2 is not None:
+        assert r2["ks_two_sided"] == pytest.approx(want2, rel=1e-9)
+    assert "ks_less" not in out2.columns  # only requested alternatives
+    with pytest.raises(ValueError, match="upper_tail"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "bucket_count_ks_test",
+             "schema": "metric",
+             "params": {"buckets_path": "_count"}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="alternative"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "bucket_count_ks_test",
+             "schema": "metric",
+             "params": {"buckets_path": "_count",
+                        "sampling_method": "uniform",
+                        "alternative": ["sideways"]}},
+        ])["visState"])
