@@ -23,7 +23,10 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_metrics_exporter_spark.functions.stats import sql_t_pvalue_ctes
+from kafka_metrics_exporter_spark.functions.stats import (
+    sql_ks_two_sided_p as _SQL_KS_TWO,
+    sql_t_pvalue_ctes,
+)
 from kafka_metrics_exporter_spark.kibana import compile_visualization
 from kafka_metrics_exporter_spark.plans.queries import _TS_FMT, _t, query
 
@@ -2396,3 +2399,248 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in rows[1:]:
         out = out.unionByName(r_)
     return out
+
+
+# cumulative reference CDF for the ks_test row's fractions variant —
+# computed by the SAME Python loop the compiler runs, then injected
+# into the oracle as repr() literals so the two engines share the
+# exact doubles (0.4 + 0.3 is 0.7000000000000001 in IEEE — spelling
+# 0.7 in the SQL would hash-diverge)
+_KS_FRACTIONS = (0.4, 0.3, 0.2, 0.1)
+_KS_TCDF = []
+_cum = 0.0
+for _f in _KS_FRACTIONS:
+    _cum += _f
+    _KS_TCDF.append(_cum / 1.0)
+
+
+@query(
+    "kibana_bucket_correlation",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT event_type,
+             floor(CAST(CAST(user_id AS BIGINT) %4 AS DOUBLE) / 1.0)
+               * 1.0 AS ub,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value_i) AS av
+      FROM d GROUP BY 1, 2
+    ),
+    -- per-outer-bucket pivot in ub order: the oracle twin of the
+    -- engine's key-sorted array fold (sequential left-to-right sums)
+    pv AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CASE WHEN ub = 0.0 THEN CAST(n AS DOUBLE) END) AS c0,
+             SUM(CASE WHEN ub = 1.0 THEN CAST(n AS DOUBLE) END) AS c1,
+             SUM(CASE WHEN ub = 2.0 THEN CAST(n AS DOUBLE) END) AS c2,
+             SUM(CASE WHEN ub = 3.0 THEN CAST(n AS DOUBLE) END) AS c3,
+             SUM(CASE WHEN ub = 0.0 THEN av END) AS a0,
+             SUM(CASE WHEN ub = 1.0 THEN av END) AS a1,
+             SUM(CASE WHEN ub = 2.0 THEN av END) AS a2,
+             SUM(CASE WHEN ub = 3.0 THEN av END) AS a3
+      FROM b GROUP BY 1
+    ),
+    -- count_correlation, the engine's membership-Pearson formula with
+    -- indicator constants x̄ = 37.5, Σf·e² − x̄² = 718.75 folded like
+    -- the compiler folds them (expectations [10,20,40,80], uniform
+    -- fractions, doc_count 1e6)
+    corr AS (
+      SELECT event_type, m,
+             (c0 * 10.0 + c1 * 20.0 + c2 * 40.0 + c3 * 80.0) AS sxy,
+             (c0 + c1 + c2 + c3) AS nt,
+             (a0 * 10.0 + a1 * 20.0 + a2 * 40.0 + a3 * 80.0) AS sxy2,
+             (a0 + a1 + a2 + a3) AS nt2
+      FROM pv
+    ),
+    r AS (
+      SELECT event_type,
+             CASE WHEN m = 4 AND nt > 0 AND nt < 1000000.0 THEN
+               (sxy / 1000000.0 - 37.5 * (nt / 1000000.0))
+               / sqrt(718.75 * ((nt / 1000000.0)
+                                * (1.0 - nt / 1000000.0)))
+             END AS corr_c,
+             CASE WHEN m = 4 AND nt2 > 0 AND nt2 < 1000000.0 THEN
+               (sxy2 / 1000000.0 - 37.5 * (nt2 / 1000000.0))
+               / sqrt(718.75 * ((nt2 / 1000000.0)
+                                * (1.0 - nt2 / 1000000.0)))
+             END AS corr_a
+      FROM corr
+    )
+    SELECT b.event_type, b.ub, b.n, round(b.av, 6) AS av,
+           round(r.corr_c, 9) AS corr_c, round(r.corr_a, 9) AS corr_a
+    FROM b JOIN r ON b.event_type = r.event_type
+    """,
+)
+def kibana_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES x-pack ``bucket_correlation`` / ``count_correlation``
+    (round 15): per event_type, the membership-Pearson between a
+    literal indicator (expectations [10,20,40,80] over a 1e6-doc
+    population) and the user_id%4 histogram's doc counts (corr_c) AND
+    its avg(value_i) metric sequence (corr_a — the non-count
+    buckets_path).
+
+    Scale/determinism: ONE grouped collect of the key-sorted inner
+    (key, value) pairs per outer bucket — bucket-table-sized by
+    construction — broadcast-joined back; Σe·y and Σy fold over the
+    SORTED array (fixed summation order, bit-deterministic for the
+    non-integral avg path where a hash-agg double sum is partition-
+    order-dependent); indicator moments are compile-time constants.
+    The oracle pivots the bucket table and replays the identical
+    left-to-right arithmetic."""
+    docs = _es_docs(spark, sf_dir).withColumn(
+        "ub", (F.col("user_id").cast("long") % 4).cast("double")
+    )
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "event_type"}},
+        {"id": "2", "type": "histogram", "schema": "bucket",
+         "params": {"field": "ub", "interval": 1, "customLabel": "ub"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "avg", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "av"}},
+        {"id": "5", "type": "bucket_correlation", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "function": {"count_correlation": {"indicator": {
+                        "expectations": [10, 20, 40, 80],
+                        "doc_count": 1000000}}},
+                    "customLabel": "corr_c"}},
+        {"id": "6", "type": "bucket_correlation", "schema": "metric",
+         "params": {"buckets_path": "4",
+                    "function": {"count_correlation": {"indicator": {
+                        "expectations": [10, 20, 40, 80],
+                        "doc_count": 1000000}}},
+                    "customLabel": "corr_a"}},
+    ])).evaluate(docs)
+    return out.select(
+        "event_type", "ub", F.col("n").cast("long").alias("n"),
+        F.round("av", 6).alias("av"),
+        F.round("corr_c", 9).alias("corr_c"),
+        F.round("corr_a", 9).alias("corr_a"),
+    )
+
+
+@query(
+    "kibana_ks_test",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    b AS (
+      SELECT event_type,
+             floor(CAST(CAST(user_id AS BIGINT) %4 AS DOUBLE) / 1.0)
+               * 1.0 AS ub,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CASE WHEN ub = 0.0 THEN CAST(n AS DOUBLE) END) AS c0,
+             SUM(CASE WHEN ub = 1.0 THEN CAST(n AS DOUBLE) END) AS c1,
+             SUM(CASE WHEN ub = 2.0 THEN CAST(n AS DOUBLE) END) AS c2,
+             SUM(CASE WHEN ub = 3.0 THEN CAST(n AS DOUBLE) END) AS c3
+      FROM b GROUP BY 1
+    ),
+    -- ECDF vs reference-CDF max deviations, the engine's sorted fold
+    -- replayed: cumulative counts left-to-right, uniform tcdf j/4 and
+    -- the fractions tcdf as the SAME Python-computed doubles
+    dev AS (
+      SELECT event_type, m,
+             (c0 + c1 + c2 + c3) AS n,
+             greatest((c0) / (c0 + c1 + c2 + c3) - 1.0 / 4.0,
+                      (c0 + c1) / (c0 + c1 + c2 + c3) - 2.0 / 4.0,
+                      (c0 + c1 + c2) / (c0 + c1 + c2 + c3) - 3.0 / 4.0,
+                      (c0 + c1 + c2 + c3) / (c0 + c1 + c2 + c3)
+                        - 4.0 / 4.0) AS udp,
+             greatest(1.0 / 4.0 - (c0) / (c0 + c1 + c2 + c3),
+                      2.0 / 4.0 - (c0 + c1) / (c0 + c1 + c2 + c3),
+                      3.0 / 4.0 - (c0 + c1 + c2) / (c0 + c1 + c2 + c3),
+                      4.0 / 4.0 - (c0 + c1 + c2 + c3)
+                        / (c0 + c1 + c2 + c3)) AS udm,
+             greatest((c0) / (c0 + c1 + c2 + c3) - {_KS_TCDF[0]!r},
+                      (c0 + c1) / (c0 + c1 + c2 + c3) - {_KS_TCDF[1]!r},
+                      (c0 + c1 + c2) / (c0 + c1 + c2 + c3)
+                        - {_KS_TCDF[2]!r},
+                      (c0 + c1 + c2 + c3) / (c0 + c1 + c2 + c3)
+                        - {_KS_TCDF[3]!r}) AS fdp,
+             greatest({_KS_TCDF[0]!r} - (c0) / (c0 + c1 + c2 + c3),
+                      {_KS_TCDF[1]!r} - (c0 + c1) / (c0 + c1 + c2 + c3),
+                      {_KS_TCDF[2]!r} - (c0 + c1 + c2)
+                        / (c0 + c1 + c2 + c3),
+                      {_KS_TCDF[3]!r} - (c0 + c1 + c2 + c3)
+                        / (c0 + c1 + c2 + c3)) AS fdm
+      FROM pv
+    ),
+    lamt AS (
+      SELECT event_type, m, n, udp, udm, fdp, fdm,
+             sqrt(n) * greatest(udp, udm) AS lam,
+             sqrt(n) * greatest(fdp, fdm) AS lam2
+      FROM dev
+    ),
+    p2 AS (
+      SELECT event_type,
+             CASE WHEN m = 4 AND n > 0 THEN
+               round(least(exp(-2.0 * n * udp * udp), 1.0), 6)
+             END AS ks_u_greater,
+             CASE WHEN m = 4 AND n > 0 THEN
+               round(least(exp(-2.0 * n * udm * udm), 1.0), 6)
+             END AS ks_u_less,
+             CASE WHEN m = 4 AND n > 0 THEN
+               round({_SQL_KS_TWO("lam")}, 6)
+             END AS ks_u_two_sided,
+             CASE WHEN m = 4 AND n > 0 THEN
+               round(least(exp(-2.0 * n * fdp * fdp), 1.0), 6)
+             END AS ks_f_greater,
+             CASE WHEN m = 4 AND n > 0 THEN
+               round({_SQL_KS_TWO("lam2")}, 6)
+             END AS ks_f_two_sided
+      FROM lamt
+    )
+    SELECT * FROM p2
+    """,
+)
+def kibana_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES x-pack ``bucket_count_ks_test`` (round 15): per event_type,
+    the one-sample KS of the user_id%4 histogram's doc-count ECDF
+    against (a) the uniform reference — less / greater / two_sided —
+    and (b) explicit fractions [0.4,0.3,0.2,0.1] — greater /
+    two_sided.  One-sided p = exp(−2nD²); two-sided = the Kolmogorov
+    dual series (functions/stats.py), SQL twin via
+    ``sql_ks_two_sided_p``.  ``sampling_method: "uniform"`` is
+    explicit — ES's default upper_tail reweighting rejects loudly
+    (documented divergence).
+
+    Scale: the same ONE grouped key-sorted collect per outer bucket as
+    bucket_correlation (bucket-table-sized, broadcast join-back, no
+    window); all p math is post-aggregation Column algebra."""
+    docs = _es_docs(spark, sf_dir).withColumn(
+        "ub", (F.col("user_id").cast("long") % 4).cast("double")
+    )
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "event_type"}},
+        {"id": "2", "type": "histogram", "schema": "bucket",
+         "params": {"field": "ub", "interval": 1, "customLabel": "ub"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "bucket_count_ks_test", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "sampling_method": "uniform",
+                    "customLabel": "ks_u"}},
+        {"id": "5", "type": "bucket_count_ks_test", "schema": "metric",
+         "params": {"buckets_path": "_count",
+                    "sampling_method": "uniform",
+                    "fractions": list(_KS_FRACTIONS),
+                    "alternative": ["greater", "two_sided"],
+                    "customLabel": "ks_f"}},
+    ])).evaluate(docs)
+    return out.select(
+        "event_type",
+        F.round("ks_u_greater", 6).alias("ks_u_greater"),
+        F.round("ks_u_less", 6).alias("ks_u_less"),
+        F.round("ks_u_two_sided", 6).alias("ks_u_two_sided"),
+        F.round("ks_f_greater", 6).alias("ks_f_greater"),
+        F.round("ks_f_two_sided", 6).alias("ks_f_two_sided"),
+    ).distinct()
