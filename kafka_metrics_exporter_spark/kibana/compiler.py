@@ -137,17 +137,37 @@ class CategorizeTextBucket:
     ('user 4032', latencies, timestamps) never define a category.
     Buckets order by doc_count desc then key asc, size-cut like terms.
 
-    Documented divergence: ES additionally MERGES near-identical
-    token sequences with a similarity_threshold (default 70%) drain-
-    style; this engine buckets exact post-tokenization patterns —
-    deterministic and SQL-replayable where ES is shard-order
-    sensitive (the rare_terms/ANN determinism stance).  Requesting
-    ``similarity_threshold`` != 100 raises rather than silently
-    diverging."""
+    ``similarity_threshold < 100`` (round 15) enables category
+    MERGING — deterministic and order-independent where ES's
+    drain-style algorithm is shard/arrival-order sensitive (the
+    rare_terms/ANN determinism stance), so the semantic is this
+    engine's own, precisely documented:
+
+    1. exact token-pattern buckets aggregate first (the threshold=100
+       relation — category-scale, not doc-scale);
+    2. two same-LENGTH patterns are similar when their positionally
+       matching token fraction >= threshold/100 (different lengths
+       never merge; ES's token weighting is not modelled);
+    3. every pattern attaches to its best-ranked similar pattern
+       (doc_count desc, key asc — frequency-seeded, the drain seed
+       rule made deterministic), a rank-decreasing pointer map whose
+       closure is resolved by 6 pointer-jumping rounds (chains up to
+       2^6 = 64 categories; deeper chains would leave intermediates
+       unresolved — far beyond any real log corpus, documented);
+    4. a merged category's key keeps the positionally-UNANIMOUS
+       member tokens and wildcards '*' elsewhere; its doc_count is
+       the member sum.  Distinct roots that collapse to the same
+       wildcard key coalesce (relational output is keyed by the
+       pattern string).
+
+    Cost: the pairwise similarity join is quadratic in CATEGORIES per
+    token-length (the aggregated pattern table), never in documents —
+    the exact-pattern aggregation has already collapsed the corpus."""
 
     field: str
     size: int
     label: str
+    similarity_threshold: int = 100
 
 
 @dataclass(frozen=True)
@@ -1339,19 +1359,18 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                 )
             if not p.get("field"):
                 raise ValueError("kibana: categorize_text needs a field")
-            sim = p.get("similarity_threshold")
-            if sim is not None and int(sim) != 100:
+            sim = int(p.get("similarity_threshold", 100))
+            if not 1 <= sim <= 100:
                 raise ValueError(
-                    "kibana: categorize_text similarity_threshold < 100 "
-                    "(drain-style category merging) is not modelled — "
-                    "this engine buckets exact post-tokenization "
-                    "patterns (deterministic; documented divergence)"
+                    "kibana: categorize_text similarity_threshold "
+                    "must be in [1, 100]"
                 )
             buckets.append(
                 CategorizeTextBucket(
                     field=p["field"],
                     size=int(p.get("size", 10)),
                     label=label,
+                    similarity_threshold=sim,
                 )
             )
         elif a["type"] == "random_sampler":
@@ -2323,6 +2342,108 @@ class KibanaPlan:
         self.state = state
 
     @staticmethod
+    def _merge_categories(
+        cats: DataFrame, label: str, threshold: int
+    ) -> DataFrame:
+        """categorize_text similarity merging (round 15) over the
+        ALREADY-AGGREGATED pattern table — the deterministic semantic
+        documented on :class:`CategorizeTextBucket`: same-length
+        positional similarity, frequency-seeded attachment, 6
+        pointer-jump rounds, unanimity-wildcard keys.  Every operation
+        is category-scale (patterns × patterns per length, patterns ×
+        tokens), never doc-scale."""
+        t = threshold / 100.0
+        pats = cats.select(
+            F.col(label).alias("__ct_p"),
+            F.split(F.col(label), " ").alias("__ct_toks"),
+            F.size(F.split(F.col(label), " ")).alias("__ct_len"),
+            F.col("doc_count").alias("__ct_n"),
+        )
+        left = pats.select(
+            F.col("__ct_p").alias("p"), F.col("__ct_toks").alias("ptoks"),
+            F.col("__ct_len").alias("__ct_len"),
+        )
+        right = pats.select(
+            F.col("__ct_p").alias("q"), F.col("__ct_toks").alias("qtoks"),
+            F.col("__ct_len").alias("__ct_len"),
+            F.col("__ct_n").alias("qc"),
+        )
+        match = F.aggregate(
+            F.zip_with(
+                F.col("ptoks"), F.col("qtoks"),
+                lambda a, b_: F.when(a == b_, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            left.join(right, "__ct_len")
+            .withColumn("__ct_m", match)
+            .filter(
+                F.col("__ct_m").cast("double")
+                / F.col("__ct_len").cast("double")
+                >= F.lit(t)
+            )
+        )
+        # rep(p): best-ranked similar pattern (doc_count desc, key
+        # asc) — min_by over (-count, key); p matches itself, so rep
+        # always exists and rank(rep(p)) <= rank(p): the pointer map
+        # is acyclic and rank-decreasing
+        rep = pairs.groupBy("p").agg(
+            F.min_by(
+                F.col("q"),
+                F.struct(
+                    (-F.col("qc")).alias("nc"), F.col("q").alias("q")
+                ),
+            ).alias("rep")
+        )
+        for _ in range(6):  # closure for chains up to 2^6 = 64
+            hop = rep.select(
+                F.col("p").alias("__ct_hp"), F.col("rep").alias("__ct_hr")
+            )
+            rep = (
+                rep.join(hop, rep["rep"] == hop["__ct_hp"], "left")
+                .select(
+                    "p",
+                    F.coalesce(F.col("__ct_hr"), F.col("rep")).alias("rep"),
+                )
+            )
+        memb = rep.join(
+            pats,
+            rep["p"] == pats["__ct_p"],
+        ).select("rep", "__ct_toks", "__ct_len", "__ct_n")
+        grouped = memb.groupBy("rep").agg(
+            F.collect_list("__ct_toks").alias("tls"),
+            F.max("__ct_len").alias("l"),
+            F.sum("__ct_n").alias("doc_count"),
+        )
+        # unanimity-wildcard key: per position, the member token when
+        # every member agrees, else '*' (collect_list order is
+        # irrelevant — tls[0] is read only under unanimity)
+        merged_key = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.col("l") - 1),
+                lambda i: F.when(
+                    F.size(
+                        F.array_distinct(
+                            F.transform(
+                                F.col("tls"), lambda tk: F.get(tk, i)
+                            )
+                        )
+                    )
+                    == 1,
+                    F.get(F.element_at(F.col("tls"), 1), i),
+                ).otherwise(F.lit("*")),
+            ),
+            " ",
+        )
+        return (
+            grouped.withColumn(label, merged_key)
+            .groupBy(label)
+            .agg(F.sum("doc_count").alias("doc_count"))
+        )
+
+    @staticmethod
     def _simple_metric_expr(m, value_col, count_expr: Column, count_distinct):
         """The simple-metric subset (count/cardinality/avg/sum/min/max)
         shared by the composite and significant_terms paths — ONE place
@@ -2641,6 +2762,10 @@ class KibanaPlan:
             cats = keyed.groupBy(b.label).agg(
                 F.count(F.lit(1)).alias("doc_count")
             )
+            if b.similarity_threshold < 100:
+                cats = self._merge_categories(
+                    cats, b.label, b.similarity_threshold
+                )
             return cats.orderBy(
                 F.col("doc_count").desc(), F.col(b.label).asc()
             ).limit(b.size)

@@ -1966,37 +1966,101 @@ def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                || CAST(value_i AS VARCHAR) || ' ms' AS msg
       FROM d
     ),
-    cats AS (
+    cats0 AS (
       SELECT array_to_string(
                list_filter(
                  string_split_regex(lower(msg), '[^a-z0-9]+'),
                  t -> t <> '' AND NOT regexp_matches(t, '[0-9]')
                ), ' ') AS cat
       FROM msgs
+    ),
+    cats AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count
+      FROM cats0 WHERE cat <> '' GROUP BY cat
+    ),
+    -- merged branch (round 15): the engine's deterministic
+    -- similarity merge replayed — same-length positional similarity
+    -- >= 0.7, frequency-seeded attachment (doc_count desc, key asc),
+    -- 6 pointer-jump self-compositions (depth 64, the engine's
+    -- bound), unanimity-wildcard keys
+    pats AS (
+      SELECT cat, doc_count, string_split(cat, ' ') AS toks,
+             len(string_split(cat, ' ')) AS l
+      FROM cats
+    ),
+    prs AS (
+      SELECT a.cat AS p, b.cat AS q, b.doc_count AS qc
+      FROM pats a JOIN pats b ON a.l = b.l
+      WHERE CAST(len(list_filter(range(1, a.l + 1),
+            i -> a.toks[i] = b.toks[i])) AS DOUBLE)
+            / CAST(a.l AS DOUBLE) >= 0.7
+    ),
+    rp0 AS (SELECT p, q AS rep FROM (
+      SELECT p, q,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY qc DESC, q ASC) AS rn
+      FROM prs) t WHERE rn = 1),
+    rp1 AS (SELECT a.p, b.rep FROM rp0 a JOIN rp0 b ON a.rep = b.p),
+    rp2 AS (SELECT a.p, b.rep FROM rp1 a JOIN rp1 b ON a.rep = b.p),
+    rp3 AS (SELECT a.p, b.rep FROM rp2 a JOIN rp2 b ON a.rep = b.p),
+    rp4 AS (SELECT a.p, b.rep FROM rp3 a JOIN rp3 b ON a.rep = b.p),
+    rp5 AS (SELECT a.p, b.rep FROM rp4 a JOIN rp4 b ON a.rep = b.p),
+    rp6 AS (SELECT a.p, b.rep FROM rp5 a JOIN rp5 b ON a.rep = b.p),
+    memb AS (
+      SELECT r.rep, pt.toks, pt.l, pt.doc_count
+      FROM rp6 r JOIN pats pt ON r.p = pt.cat
+    ),
+    grouped AS (
+      SELECT rep, list(toks) AS tls, max(l) AS l,
+             sum(doc_count) AS n
+      FROM memb GROUP BY rep
+    ),
+    mk AS (
+      SELECT array_to_string(list_transform(range(1, l + 1),
+               i -> CASE WHEN len(list_distinct(
+                              list_transform(tls, tk -> tk[i]))) = 1
+                    THEN tls[1][i] ELSE '*' END), ' ') AS cat,
+             n
+      FROM grouped
+    ),
+    merged AS (
+      SELECT cat, CAST(sum(n) AS BIGINT) AS doc_count
+      FROM mk GROUP BY cat
     )
-    SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count
-    FROM cats WHERE cat <> ''
-    GROUP BY cat
-    ORDER BY doc_count DESC, cat ASC LIMIT 10
+    SELECT * FROM (
+      SELECT 'exact' AS branch, cat, doc_count FROM cats
+      ORDER BY doc_count DESC, cat ASC LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'merged' AS branch, cat, doc_count FROM merged
+      ORDER BY doc_count DESC, cat ASC LIMIT 10
+    )
     """,
 )
 def kibana_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``categorize_text`` (round 14), the deterministic core: log
-    lines bucket by their token-sequence pattern after dropping every
-    digit-bearing token (ES ML categorization's rule that numbers —
-    ids, latencies, timestamps — never define a category).  The log
-    line is derived from the events table the way the reference's
-    metrics become ES documents; each event_type yields one pattern.
+    """ES ``categorize_text`` (rounds 14/15): log lines bucket by
+    their token-sequence pattern after dropping every digit-bearing
+    token (ES ML categorization's rule that numbers — ids, latencies,
+    timestamps — never define a category).  The log line is derived
+    from the events table the way the reference's metrics become ES
+    documents; each event_type yields one pattern.
 
-    Documented divergence: ES's drain-style similarity merge
-    (similarity_threshold, default 70) is NOT modelled — the engine
-    buckets exact post-tokenization patterns, deterministic and
-    SQL-replayable where ES is shard-order sensitive (rejecting
-    similarity_threshold != 100 loudly, the rare_terms/ANN stance).
+    Branch 'exact': threshold-100 patterns (round 14).  Branch
+    'merged' (round 15): ``similarity_threshold: 70`` — the engine's
+    DETERMINISTIC merge semantic (same-length positional similarity,
+    frequency-seeded attachment, pointer-jump closure, unanimity-
+    wildcard keys; see CategorizeTextBucket) where ES's drain-style
+    algorithm is shard/arrival-order sensitive — the former loud
+    rejection is closed with a precisely-documented order-independent
+    semantic, replayed generically by the oracle's self-join +
+    list-lambda SQL.  On this corpus the five per-type patterns agree
+    on 5/6 positions, so they merge into '* event for user took ms'.
 
-    Scale: scan-local tokenize/filter/join column algebra (zero
-    Python), one hash aggregation keyed by the pattern string, then a
-    TakeOrdered size cut — the exact terms-bucket cost shape."""
+    Scale: exact aggregation first collapses the corpus; the merge is
+    quadratic in CATEGORIES per token-length (category-scale, never
+    doc-scale), and the pointer jumps are self-joins of a
+    category-sized relation."""
     docs = _es_docs(spark, sf_dir).withColumn(
         "msg",
         F.concat(
@@ -2006,11 +2070,22 @@ def kibana_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_i").cast("long").cast("string"), F.lit(" ms"),
         ),
     )
-    out = compile_visualization(_vis([
+    exact = compile_visualization(_vis([
         {"id": "1", "type": "categorize_text", "schema": "bucket",
          "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
     ])).evaluate(docs)
-    return out.select("cat", F.col("doc_count").cast("long").alias("doc_count"))
+    merged = compile_visualization(_vis([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10,
+                    "similarity_threshold": 70, "customLabel": "cat"}},
+    ])).evaluate(docs)
+    return exact.select(
+        F.lit("exact").alias("branch"), "cat",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    ).unionByName(merged.select(
+        F.lit("merged").alias("branch"), "cat",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    ))
 
 
 @query(

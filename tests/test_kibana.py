@@ -3746,11 +3746,12 @@ def test_categorize_text(spark):
          "params": {"field": "msg", "size": 1, "customLabel": "cat"}},
     ])).evaluate(d)
     assert [r["cat"] for r in out2.collect()] == ["user failed to connect"]
-    with pytest.raises(ValueError, match="similarity_threshold"):
-        parse_vis_state(_vis8([
-            {"id": "1", "type": "categorize_text", "schema": "bucket",
-             "params": {"field": "msg",
-                        "similarity_threshold": 70}}])["visState"])
+    # round 15: similarity_threshold < 100 now compiles (the
+    # deterministic merge — see test_categorize_text_similarity_merge)
+    parse_vis_state(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg",
+                    "similarity_threshold": 70}}])["visState"])
     with pytest.raises(ValueError, match="needs a field"):
         parse_vis_state(_vis8([
             {"id": "1", "type": "categorize_text", "schema": "bucket",
@@ -4234,4 +4235,47 @@ def test_bucket_count_ks_test(spark):
              "params": {"buckets_path": "_count",
                         "sampling_method": "uniform",
                         "alternative": ["sideways"]}},
+        ])["visState"])
+
+
+def test_categorize_text_similarity_merge(spark):
+    """categorize_text similarity_threshold < 100 (round 15): the
+    deterministic frequency-seeded merge — same-length positional
+    similarity, pointer-jump chain closure, unanimity-wildcard keys —
+    against a hand-traced corpus; threshold=100 path unchanged."""
+    rows = (
+        [("error connecting 1 to host",)] * 5
+        + [("error connecting 2 to server",)] * 3
+        + [("error talking 3 to server",)] * 2
+        + [("warning disk 44 full",)] * 4
+        + [("error connecting 5",)] * 1
+    )
+    d = spark.createDataFrame(rows, "msg string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10,
+                    "similarity_threshold": 70, "customLabel": "cat"}},
+    ])).evaluate(d)
+    got = {r["cat"]: r["doc_count"] for r in out.collect()}
+    # chain: 'error talking to server' -> 'error connecting to server'
+    # -> 'error connecting to host' (rank-decreasing, jump-closed);
+    # unanimity key wildcards positions 1 and 3
+    assert got == {
+        "error * to *": 10,
+        "warning disk full": 4,
+        "error connecting": 1,  # length 2: never merges with length 4
+    }
+    # threshold 100 (default): exact patterns, unchanged
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
+    ])).evaluate(d)
+    got2 = {r["cat"]: r["doc_count"] for r in out2.collect()}
+    assert got2["error connecting to host"] == 5
+    assert got2["error connecting to server"] == 3
+    assert len(got2) == 5
+    with pytest.raises(ValueError, match=r"\[1, 100\]"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {"field": "msg", "similarity_threshold": 0}},
         ])["visState"])
