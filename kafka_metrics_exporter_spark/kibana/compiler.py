@@ -593,6 +593,53 @@ class DiversifiedSamplerBucket:
 
 
 @dataclass(frozen=True)
+class SamplerBucket:
+    """ES plain ``sampler`` (round 15): run the sub-aggregations over
+    the ``shard_size`` "best" documents.  ES keeps the top-SCORED docs
+    per shard (score- and shard-layout-sensitive; with no scoring
+    query the order is arbitrary); this engine is strictly
+    deterministic: the GLOBAL ``shard_size`` docs with the lowest
+    md5(id ':' seed) residues, id tiebreak — the random_/diversified_
+    sampler determinism stance with the same explicit seed + id_field
+    contract, exact SQL twin (ORDER BY residue, id LIMIT shard_size).
+    Must be the FIRST bucket agg (ES: sampler aggs cannot be nested);
+    adds no key column — a transparent filter.
+
+    Cost: ONE TakeOrderedAndProject at k = shard_size — each task
+    keeps a bounded heap, never a full sort; the downstream
+    aggregation then reads <= shard_size rows regardless of corpus
+    size (ES's own "bound the expensive sub-agg" intent)."""
+
+    shard_size: int
+    seed: int
+    id_field: str
+    label: str
+
+
+@dataclass(frozen=True)
+class IpRangeBucket:
+    """ES ``ip_range`` bucket (round 15): half-open [from, to) ranges
+    over an IPv4-string field, plus CIDR ``mask`` entries (a /p mask
+    is the range [network_address, network_address + 2^(32-p))) —
+    both forms normalize to uint32 endpoints at PARSE time (stdlib
+    ``ipaddress``), so evaluation is pure integer Column math: octet
+    split/validate/horner once per doc, then the RangeBucket
+    overlap-explode.  Keys follow ES: the declared ``key``, else the
+    mask string, else ``from-to`` with ``*`` for open ends.
+
+    Documented bounds: IPv4 only (an IPv6 range or mask rejects at
+    parse — the fixtures carry no v6 and ES's v6 keys add nothing to
+    the relational semantics); a malformed address EXCLUDES the doc
+    from every range (ES's ip field type rejects it at index time —
+    an engine reading raw strings can only drop it, loudly documented
+    rather than silently bucketing garbage)."""
+
+    field: str
+    ranges: tuple[tuple[str, int | None, int | None], ...]  # (key, lo, hi)
+    label: str
+
+
+@dataclass(frozen=True)
 class BoxplotAgg:
     """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
     aggregation pass (exact interpolated quartiles where ES t-digests
@@ -968,7 +1015,8 @@ class BucketSortAgg:
 
 
 Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
-          | RangeBucket | DateRangeBucket | SignificantTermsBucket
+          | RangeBucket | DateRangeBucket | IpRangeBucket
+          | SignificantTermsBucket
           | SignificantTextBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
           | FilterBucket | MissingBucket | AdjacencyMatrixBucket
@@ -1409,6 +1457,101 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     seed=int(p["seed"]),
                     id_field=str(p["id_field"]),
                     label=label,
+                )
+            )
+        elif a["type"] == "sampler":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: sampler must be a bucket agg")
+            if buckets:
+                raise ValueError(
+                    "kibana: sampler must be the first (top-level) "
+                    "bucket agg, like ES"
+                )
+            shard_size = int(p.get("shard_size", 100))  # ES default
+            if shard_size < 1:
+                raise ValueError(
+                    "kibana: sampler shard_size must be >= 1"
+                )
+            if p.get("seed") is None or not p.get("id_field"):
+                # ES keeps per-shard top-SCORED docs — score- and
+                # layout-sensitive; the deterministic twin needs an
+                # explicit identity + seed (random_sampler stance)
+                raise ValueError(
+                    "kibana: sampler needs an explicit seed and "
+                    "id_field (deterministic residue top-k where ES "
+                    "keeps per-shard top-scored docs)"
+                )
+            buckets.append(
+                SamplerBucket(
+                    shard_size=shard_size,
+                    seed=int(p["seed"]),
+                    id_field=str(p["id_field"]),
+                    label=label,
+                )
+            )
+        elif a["type"] == "ip_range":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: ip_range must be a bucket agg")
+            if not p.get("field"):
+                raise ValueError("kibana: ip_range needs a field")
+            import ipaddress as _ip
+
+            def _ip_int(s, what):
+                try:
+                    addr = _ip.ip_address(str(s))
+                except ValueError as e:
+                    raise ValueError(
+                        f"kibana: ip_range {what} {s!r} is not a valid "
+                        f"IP address"
+                    ) from e
+                if addr.version != 4:
+                    raise ValueError(
+                        "kibana: ip_range models IPv4 only (documented;"
+                        " the fixtures carry no v6)"
+                    )
+                return int(addr)
+
+            ipranges: list[tuple[str, int | None, int | None]] = []
+            for r in p.get("ranges", []):
+                if r.get("mask"):
+                    try:
+                        net = _ip.ip_network(str(r["mask"]), strict=False)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"kibana: ip_range mask {r['mask']!r} is "
+                            f"not a valid CIDR"
+                        ) from e
+                    if net.version != 4:
+                        raise ValueError(
+                            "kibana: ip_range models IPv4 only "
+                            "(documented; the fixtures carry no v6)"
+                        )
+                    ipranges.append((
+                        str(r.get("key") or r["mask"]),
+                        int(net.network_address),
+                        int(net.network_address) + net.num_addresses,
+                    ))
+                    continue
+                lo = (
+                    _ip_int(r["from"], "from")
+                    if r.get("from") is not None else None
+                )
+                hi = (
+                    _ip_int(r["to"], "to")
+                    if r.get("to") is not None else None
+                )
+                key = str(
+                    r.get("key")
+                    or f"{r.get('from') or '*'}-{r.get('to') or '*'}"
+                )
+                ipranges.append((key, lo, hi))
+            if not ipranges:
+                raise ValueError(
+                    "kibana: ip_range needs at least one range"
+                )
+            buckets.append(
+                IpRangeBucket(
+                    field=p["field"], ranges=tuple(ipranges), label=label
                 )
             )
         elif a["type"] == "diversified_sampler":
@@ -2979,6 +3122,25 @@ class KibanaPlan:
                     < F.lit(int(round(b.probability * 1_000_000)))
                 )
                 continue
+            if isinstance(b, SamplerBucket):
+                # transparent deterministic top-k: the shard_size docs
+                # with the lowest md5(id ':' seed) residues (id
+                # tiebreak) — ONE TakeOrderedAndProject (bounded
+                # per-task heaps), never a full sort; ES keeps
+                # per-shard top-scored docs instead (dataclass
+                # docstring documents the divergence)
+                from kafka_metrics_exporter_spark.llmdata.similarity import (
+                    md5_residue,
+                )
+
+                sp_id = resolve(b.id_field).cast("string")
+                sp_res = md5_residue(
+                    F.concat(sp_id, F.lit(":"), F.lit(str(b.seed)))
+                )
+                df = df.orderBy(sp_res.asc(), sp_id.asc()).limit(
+                    b.shard_size
+                )
+                continue
             if isinstance(b, DiversifiedSamplerBucket):
                 # per-dedup-key cap: keep the first max_docs_per_value
                 # docs by md5(id ':' seed) residue (id tiebreak) —
@@ -3295,6 +3457,39 @@ class KibanaPlan:
                     )
                 )
                 df = df.withColumn(b.label, F.explode(matches))
+            elif isinstance(b, IpRangeBucket):
+                # IPv4 string -> uint32 once (octet split + validate +
+                # horner, scan-local), then the RangeBucket
+                # overlap-explode over integer endpoints; malformed
+                # addresses stay null and match no range
+                ip_s = resolve(b.field).cast("string")
+                octs = F.split(ip_s, r"\.")
+                o = [F.get(octs, i).cast("long") for i in range(4)]
+                ip_ok = ip_s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+                for oc in o:
+                    ip_ok = ip_ok & (oc <= 255)
+                ip_n = F.when(
+                    ip_ok,
+                    ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3],
+                )
+
+                def _in_iprange(lo, hi, _v=ip_n):
+                    pred = _v.isNotNull()
+                    if lo is not None:
+                        pred = pred & (_v >= F.lit(lo))
+                    if hi is not None:
+                        pred = pred & (_v < F.lit(hi))
+                    return pred
+
+                ip_matches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(_in_iprange(lo, hi), F.lit(key))
+                            for key, lo, hi in b.ranges
+                        ]
+                    )
+                )
+                df = df.withColumn(b.label, F.explode(ip_matches))
             elif isinstance(b, DateRangeBucket):
                 # half-open [from, to) over timestamps, overlap-explode
                 # like RangeBucket; endpoints parse once as literals
@@ -3614,7 +3809,7 @@ class KibanaPlan:
                 if isinstance(
                     inner,
                     (FiltersBucket, RangeBucket, DateRangeBucket,
-                     AdjacencyMatrixBucket),
+                     IpRangeBucket, AdjacencyMatrixBucket),
                 )
             ]
             if exploding:

@@ -2719,3 +2719,127 @@ def kibana_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks_f_greater", 6).alias("ks_f_greater"),
         F.round("ks_f_two_sided", 6).alias("ks_f_two_sided"),
     ).distinct()
+
+
+@query(
+    "kibana_sampler",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    -- deterministic sampler twin: the 500 lowest md5(id ':' seed)
+    -- residues, id tiebreak — the engine's TakeOrdered replayed
+    smp AS (
+      SELECT * FROM d
+      ORDER BY CAST(('0x' || substr(
+                 md5(CAST(event_id AS VARCHAR) || ':11'), 1, 15))
+               AS BIGINT) ASC,
+               CAST(event_id AS VARCHAR) ASC
+      LIMIT 500
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(value_i) AS val
+    FROM smp GROUP BY 1
+    """,
+)
+def kibana_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES plain ``sampler`` (round 15): terms + count + sum run over
+    the 500 "best" documents — deterministic residue top-k (lowest
+    md5(event_id ':' 11), id tiebreak) where ES keeps per-shard
+    top-SCORED docs (dataclass docstring documents the divergence;
+    the random_/diversified_sampler determinism stance).
+
+    Scale: ONE TakeOrderedAndProject at k = shard_size — per-task
+    bounded heaps, no full sort, no shuffle of the corpus; the
+    downstream aggregation reads <= 500 rows at any corpus size
+    (ES's own "bound the expensive sub-agg" intent)."""
+    docs = _es_docs(spark, sf_dir)
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "sampler", "schema": "bucket",
+         "params": {"shard_size": 500, "seed": 11,
+                    "id_field": "event_id", "customLabel": "s"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "event_type", "size": 100, "order": "asc",
+                    "orderBy": "_term", "customLabel": "event_type"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@query(
+    "kibana_ip_range",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    -- the engine's uint32 horner replayed on the derived IPv4; the
+    -- integer endpoints are the parse-time ipaddress conversions:
+    -- 10.0.0.0=167772160, 10.100.0.0=174325760, 10.64.0.0/10 =
+    -- [171966464, 176160768), 10.50.0.0=171048960,
+    -- 10.10.0.0=168427520
+    ips AS (
+      SELECT event_type, value_i,
+             167772160
+               + (CAST(user_id AS BIGINT) % 200) * 65536
+               + (CAST(value_i AS BIGINT) % 250) * 256
+               + (CAST(event_id AS BIGINT) % 256) AS ipn
+      FROM d
+    ),
+    m AS (
+      SELECT r.key, i.value_i
+      FROM ips i
+      JOIN (VALUES
+        ('10.0.0.0-10.100.0.0', 167772160, 174325760),
+        ('10.64.0.0/10',        171966464, 176160768),
+        ('low',                 NULL,      171048960),
+        ('10.10.0.0-*',         168427520, NULL)
+      ) r(key, lo, hi)
+      ON i.ipn IS NOT NULL
+         AND (r.lo IS NULL OR i.ipn >= r.lo)
+         AND (r.hi IS NULL OR i.ipn < r.hi)
+    )
+    SELECT key AS r, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(value_i) AS val
+    FROM m GROUP BY 1
+    """,
+)
+def kibana_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ip_range`` (round 15): from/to AND CIDR-mask ranges over a
+    derived IPv4 column (10.{user_id%200}.{value_i%250}.{event_id%256}
+    — the fixtures carry no IP field; the derivation exercises all
+    four octets), half-open endpoints, overlap-explode, ES key
+    conventions (mask string / from-to / custom key).
+
+    Scale: the IPv4 -> uint32 conversion is scan-local integer column
+    math (octet split + validate + horner, once per doc); ranges are
+    parse-time integer literals, so the bucket explode is the exact
+    RangeBucket cost shape — no UDF, no join, one hash aggregation."""
+    docs = _es_docs(spark, sf_dir).withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id").cast("long") % 200).cast("string"),
+            (F.col("value_i").cast("long") % 250).cast("string"),
+            (F.col("event_id").cast("long") % 256).cast("string"),
+        ),
+    )
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "ip_range", "schema": "bucket",
+         "params": {"field": "ip", "ranges": [
+             {"from": "10.0.0.0", "to": "10.100.0.0"},
+             {"mask": "10.64.0.0/10"},
+             {"key": "low", "to": "10.50.0.0"},
+             {"from": "10.10.0.0"},
+         ], "customLabel": "r"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "val"}},
+    ])).evaluate(docs)
+    return out.select(
+        "r", F.col("n").cast("long").alias("n"),
+        F.col("val").cast("double").alias("val"),
+    )

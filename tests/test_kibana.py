@@ -4279,3 +4279,87 @@ def test_categorize_text_similarity_merge(spark):
             {"id": "1", "type": "categorize_text", "schema": "bucket",
              "params": {"field": "msg", "similarity_threshold": 0}},
         ])["visState"])
+
+
+def test_sampler_deterministic_topk(spark):
+    """ES plain sampler (round 15), the deterministic twin: the
+    shard_size lowest md5(id ':' seed) residues survive — verified
+    bit-for-bit against a Python replay; explicit seed/id contract
+    enforced; must be the first bucket agg."""
+    import hashlib
+
+    d = spark.range(0, 300).withColumn(
+        "v", F.col("id").cast("double")
+    ).withColumn("tag", (F.col("id") % 3).cast("string"))
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "sampler", "schema": "bucket",
+         "params": {"shard_size": 40, "seed": 9, "id_field": "id",
+                    "customLabel": "s"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "tag", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "tag"}},
+        {"id": "3", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "sv"}},
+    ])).evaluate(d)
+    got = {r["tag"]: r["sv"] for r in out.collect()}
+
+    def res(i):
+        return int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:15], 16)
+
+    keep = sorted(range(300), key=lambda i: (res(i), str(i)))[:40]
+    want = {}
+    for i in keep:
+        want[str(i % 3)] = want.get(str(i % 3), 0.0) + float(i)
+    assert got == want
+    with pytest.raises(ValueError, match="explicit seed"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "sampler", "schema": "bucket",
+             "params": {"shard_size": 10}}])["visState"])
+    with pytest.raises(ValueError, match="first"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "tag", "size": 5}},
+            {"id": "2", "type": "sampler", "schema": "bucket",
+             "params": {"shard_size": 10, "seed": 1, "id_field": "id"}},
+        ])["visState"])
+
+
+def test_ip_range_bucket(spark):
+    """ES ip_range (round 15): from/to and CIDR-mask ranges over an
+    IPv4 string column — half-open endpoints, overlap-explode, ES key
+    conventions; malformed addresses match nothing; IPv6 rejects at
+    parse."""
+    d = spark.createDataFrame(
+        [("10.0.0.3",), ("10.0.0.130",), ("10.0.1.7",), ("10.0.0.0",),
+         ("not-an-ip",), ("10.0.0.300",), ("192.168.1.1",)],
+        "ip string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "ip_range", "schema": "bucket",
+         "params": {"field": "ip", "ranges": [
+             {"from": "10.0.0.0", "to": "10.0.0.128"},
+             {"mask": "10.0.0.128/25"},
+             {"key": "subnet1", "mask": "10.0.1.0/24"},
+             {"to": "10.0.0.4"},
+         ], "customLabel": "r"}},
+    ])).evaluate(d)
+    got = {r["r"]: r["count"] for r in out.collect()}
+    assert got == {
+        "10.0.0.0-10.0.0.128": 2,   # .3 and .0
+        "10.0.0.128/25": 1,          # .130
+        "subnet1": 1,                # 10.0.1.7
+        "*-10.0.0.4": 2,             # .0 and .3 (overlap with range 1)
+    }
+    with pytest.raises(ValueError, match="IPv4 only"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "ip_range", "schema": "bucket",
+             "params": {"field": "ip",
+                        "ranges": [{"from": "::1"}]}}])["visState"])
+    with pytest.raises(ValueError, match="valid CIDR"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "ip_range", "schema": "bucket",
+             "params": {"field": "ip",
+                        "ranges": [{"mask": "10.0.0.0/xx"}]}}])["visState"])
+    with pytest.raises(ValueError, match="at least one"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "ip_range", "schema": "bucket",
+             "params": {"field": "ip", "ranges": []}}])["visState"])
