@@ -1,0 +1,221 @@
+"""Deterministic merge-table BPE token counting (round 15) — so
+pipeline token budgets (pack_chunks, corpus reports) can be
+denominated the way training data is actually measured, instead of
+the whitespace/regex counts of ``text.token_counts``.
+
+Design, all public knowledge (Sennrich et al. 2016 "Neural Machine
+Translation of Rare Words with Subword Units"; the GPT-2 greedy
+rank-merge encoder):
+
+- Pre-tokenization reuses ``text.BPE_TOKEN_RE`` (letter runs / digit
+  runs / single punctuation) — the same segmentation the regex count
+  uses, so the two denominations differ only by the merge table.
+- Base symbols are CHARACTERS, not UTF-8 bytes (documented divergence
+  from GPT-2's byte-level alphabet: the fixtures are ASCII-dominant
+  and a byte alphabet adds nothing to the counting semantics here).
+- The merge table is TRAINED AT IMPORT from the fixed seed text
+  embedded below, with the standard Sennrich procedure made fully
+  deterministic: each round merges the (count DESC, pair ASC)-first
+  adjacent symbol pair.  Same module, same seed, same table —
+  everywhere, every run, every engine.
+- Encoding is the GPT-2 greedy loop: repeatedly merge every
+  occurrence of the lowest-ranked adjacent pair until none applies.
+  Words repeat Zipf-style, so an LRU cache makes the Arrow pass
+  word-table-bound, not corpus-bound.
+
+Spark surface: :func:`with_bpe_token_count` appends the count via ONE
+``mapInPandas`` pass (an Arrow map boundary — the engine's only
+sanctioned Python surface; the loop is not expressible in Column
+math).  There is NO SQL twin — the DuckDB oracle cannot run the merge
+loop — so registry rows using this column take the rows-only driver
+check and are pinned instead by an independent-reference differential
+test (``tests/test_llmdata_bpe.py``), the documented stance for
+non-SQL-expressible operators.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+from kafka_metrics_exporter_spark.llmdata.text import BPE_TOKEN_RE
+
+_PRETOKEN = re.compile(BPE_TOKEN_RE)
+
+#: fixed public-domain-style seed text for the built-in merge table —
+#: generic English prose with digits and punctuation so the trained
+#: merges cover the letter/digit/punct pre-token classes the fixtures
+#: produce.  Changing this text changes the table: treat it as part of
+#: the tokenizer's identity.
+SEED_TEXT = """
+The quick brown fox jumps over the lazy dog while the patient worker
+records the results of the experiment in the notebook. The system
+reports that the average latency of the service was 125 milliseconds
+and the error rate was 0.25 percent over the last 1000 requests.
+When the request rate increases, the consumer lag grows and the
+broker under replicated partitions metric signals that the cluster
+needs attention. The engineer checks the dashboard, reads the logs,
+and restarts the connector so that the messages in the topic are
+processed again. Training data pipelines deduplicate documents,
+measure quality, count tokens, and pack the remaining text into
+context windows of 2048 or 4096 tokens. the of and to is a in that
+it for was on are with as his they be at one have this from or had
+by word but what some we can out other were all there when up use
+your how said an each she which do their time if will way about many
+then them write would like so these her long make thing see him two
+has look more day could go come did number sound no most people my
+over know water than call first who may down side been now find any
+new work part take get place made live where after back little only
+round man year came show every good me give our under name very
+through just form sentence great think say help low line differ turn
+cause much mean before move right boy old too same tell does set
+three want air well also play small end put home read hand port
+large spell add even land here must big high such follow act why ask
+men change went light kind off need house picture try us again
+animal point mother world near build self earth father head stand
+own page should country found answer school grow study still learn
+plant cover food sun four between state keep eye never last let
+thought city tree cross farm hard start might story saw far sea draw
+left late run don't while press close night real life few north open
+seem together next white children begin got walk example ease paper
+group always music those both mark often letter until mile river car
+feet care second book carry took science eat room friend began idea
+fish mountain stop once base hear horse cut sure watch color face
+wood main enough plain girl usual young ready above ever red list
+though feel talk bird soon body dog family direct pose leave song
+measure door product black short numeral class wind question happen
+complete ship area half rock order fire south problem piece told
+knew pass since top whole king space heard best hour better true
+during hundred five remember step early hold west ground interest
+reach fast verb sing listen six table travel less morning ten simple
+several vowel toward war lay against pattern slow center love person
+money serve appear road map rain rule govern pull cold notice voice
+unit power town fine certain fly fall lead cry dark machine note
+wait plan figure star box noun field rest correct able pound done
+beauty drive stood contain front teach week final gave green oh
+quick develop ocean warm free minute strong special mind behind
+clear tail produce fact street inch multiply nothing course stay
+wheel full force blue object decide surface deep moon island foot
+system busy test record boat common gold possible plane stead dry
+wonder laugh thousand ago ran check game shape equate hot miss
+brought heat snow tire bring yes distant fill east paint language
+among 1 2 3 4 5 6 7 8 9 10 42 100 2024 , . ! ? : ; ' " ( ) - / %
+"""
+
+#: merge-table size — 256 ranks covers the frequent English digraphs
+#: and short function words in the seed without memorizing long rare
+#: words (the count stays a compression measure, not a lookup).
+NUM_MERGES = 256
+
+_INF = float("inf")
+
+
+def train_bpe_merges(
+    word_freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich BPE training, deterministic: per round, merge the
+    (count DESC, pair ASC)-first adjacent symbol pair across the
+    frequency-weighted word table."""
+    words: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in sorted(word_freqs.items())
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for parts, c in words:
+            for i in range(len(parts) - 1):
+                pair = (parts[i], parts[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        for parts, _c in words:
+            i = 0
+            while i < len(parts) - 1:
+                if parts[i] == best[0] and parts[i + 1] == best[1]:
+                    parts[i: i + 2] = [joined]
+                else:
+                    i += 1
+    return merges
+
+
+def _seed_word_freqs(text: str) -> dict[str, int]:
+    freqs: dict[str, int] = {}
+    for w in _PRETOKEN.findall(text):
+        freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+#: the built-in table: rank -> earlier merges apply first
+MERGES: tuple[tuple[str, str], ...] = tuple(
+    train_bpe_merges(_seed_word_freqs(SEED_TEXT), NUM_MERGES)
+)
+RANKS: dict[tuple[str, str], int] = {p: i for i, p in enumerate(MERGES)}
+
+
+@lru_cache(maxsize=65536)
+def encode_len(word: str) -> int:
+    """GPT-2-style greedy encoder, counting only: repeatedly merge
+    every occurrence of the lowest-ranked adjacent pair."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = _INF
+        best_pair = None
+        for i in range(len(parts) - 1):
+            r = RANKS.get((parts[i], parts[i + 1]), _INF)
+            if r < best_rank:
+                best_rank = r
+                best_pair = (parts[i], parts[i + 1])
+        if best_pair is None:
+            break
+        joined = best_pair[0] + best_pair[1]
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if (
+                i < len(parts) - 1
+                and parts[i] == best_pair[0]
+                and parts[i + 1] == best_pair[1]
+            ):
+                out.append(joined)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return len(parts)
+
+
+def count_tokens(text: str) -> int:
+    """Merge-BPE token count of a document (pre-tokenize, encode each
+    word, sum)."""
+    if not text:
+        return 0
+    return sum(encode_len(w) for w in _PRETOKEN.findall(text))
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Append the merge-BPE token count via ONE mapInPandas Arrow pass
+    (all input columns preserved).  Scale: narrow per-document
+    transform, zero shuffle; the per-word LRU cache makes each task
+    word-table-bound."""
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), True)]
+    )
+
+    def _count(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                count_tokens(t) if isinstance(t, str) else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_count, schema=schema)

@@ -2259,3 +2259,111 @@ def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_iters=2,
         rerank=200,
     )
+
+
+# ---------------------------------------------------------------------------
+# merge-table BPE token counting (round 15)
+# ---------------------------------------------------------------------------
+from kafka_metrics_exporter_spark.llmdata import bpe as _bpe  # noqa: E402
+
+#: the built-in merge table as a DuckDB MAP literal ('a|b' -> rank) —
+#: generated from the SAME module constant the engine encodes with, so
+#: the oracle can never drift from the Spark implementation.  Merge
+#: symbols come only from letter/digit runs (single-punct pre-tokens
+#: have no pairs), so neither quotes nor '|' can appear in a key.
+_BPE_RANKS_MAP = "MAP([{}], [{}])".format(
+    ", ".join(f"'{a}|{b}'" for a, b in _bpe.MERGES),
+    ", ".join(str(i) for i in range(len(_bpe.MERGES))),
+)
+
+
+@query(
+    "text_bpe_tokens",
+    f"""
+    WITH RECURSIVE dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+      FROM documents
+    ),
+    wtab AS (SELECT DISTINCT w FROM dw),
+    -- the GPT-2 greedy encoder as a recursion over UNIQUE words: each
+    -- step merges the leftmost occurrence of the lowest-ranked
+    -- adjacent pair.  One-at-a-time is exactly the all-occurrences
+    -- algorithm: a pair containing a just-created token must have a
+    -- HIGHER rank than the merge that created it (training order), so
+    -- the minimum-rank pair stays the same until exhausted, and
+    -- leftmost-first equals the left-to-right sweep.
+    rec AS (
+      SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
+               AS parts
+      FROM wtab
+      UNION ALL
+      SELECT w,
+        list_concat(
+          list_concat(
+            parts[1 : best.i - 1],
+            [parts[best.i] || parts[best.i + 1]]),
+          parts[best.i + 2 : len(parts)]) AS parts
+      FROM (
+        SELECT w, parts,
+          list_sort(list_transform(range(1, len(parts)),
+            i -> {{'r': coalesce(map_extract({_BPE_RANKS_MAP},
+                           parts[i] || '|' || parts[i + 1])[1],
+                         999999),
+                  'i': i}}))[1] AS best
+        FROM rec WHERE len(parts) > 1
+      ) t
+      WHERE best.r < 999999
+    ),
+    -- rows shrink monotonically: the shortest state per word is the
+    -- fixpoint (no applicable merge)
+    wn AS (
+      SELECT w, n FROM (
+        SELECT w, len(parts) AS n,
+               row_number() OVER (PARTITION BY w
+                                  ORDER BY len(parts) ASC) AS rn
+        FROM rec) t
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(wn.n), 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(dw.w) AS BIGINT) AS n_pre_tokens
+    FROM documents d
+    LEFT JOIN dw ON d.doc_id = dw.doc_id
+    LEFT JOIN wn ON dw.w = wn.w
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table BPE token counting (round 15): per-document token
+    counts under the built-in deterministic merge table
+    (``llmdata/bpe.py`` — Sennrich training on the embedded seed,
+    GPT-2 greedy encoding) next to the regex pre-token count, so
+    training-data budgets are denominated the way corpora are actually
+    measured.
+
+    Engine: ONE mapInPandas Arrow pass (the merge loop is not Column
+    math; Python only at the sanctioned Arrow map boundary), per-word
+    LRU cache makes each task word-table-bound.  Oracle: the SAME
+    greedy semantics as a recursive CTE over UNIQUE words (leftmost
+    lowest-rank merge per step — provably identical to the
+    all-occurrences sweep, see the SQL comment), ranks injected from
+    the module's own MERGES constant.  Differential pins against an
+    independent restart-from-rank-0 reference in
+    tests/test_llmdata_bpe.py.
+
+    Scale: the Arrow pass is a narrow zero-shuffle per-document
+    transform; vocabulary grows sublinearly (Heaps' law), so the
+    cache keeps per-task work near O(unique words)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _bpe.with_bpe_token_count(d)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(_bpe.BPE_TOKEN_RE), F.lit(0)
+            )
+        ).cast("long").alias("n_pre_tokens"),
+    )

@@ -1,0 +1,122 @@
+"""Differential pins for llmdata/bpe.py — the merge-BPE token counter
+has no SQL twin (the greedy merge loop is not SQL-expressible), so
+correctness is pinned by an INDEPENDENT reference implementation with
+a different control structure: the reference walks the merge list in
+rank order and restarts from rank 0 after every successful
+application, which is semantically identical to the encoder's
+"always merge the lowest-ranked pair present" greedy loop but shares
+none of its code shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kafka_metrics_exporter_spark.llmdata import bpe
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    parts = list(word)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in merges:  # rank order; restart after a hit
+            out, i, found = [], 0, False
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    found = True
+                else:
+                    out.append(parts[i])
+                    i += 1
+            if found:
+                parts = out
+                changed = True
+                break
+    return parts
+
+
+def ref_count(text: str) -> int:
+    return sum(
+        len(ref_encode(w, bpe.MERGES)) for w in bpe._PRETOKEN.findall(text)
+    )
+
+
+def test_merge_table_snapshot():
+    """The built-in table is part of the tokenizer's identity: seed or
+    training-rule drift must fail loudly, not silently re-tokenize
+    every budget."""
+    assert len(bpe.MERGES) == 256
+    assert bpe.MERGES[:12] == (
+        ("e", "r"), ("t", "h"), ("i", "n"), ("r", "e"), ("s", "t"),
+        ("e", "n"), ("a", "n"), ("o", "u"), ("a", "r"), ("o", "n"),
+        ("a", "t"), ("o", "r"),
+    )
+    # training is deterministic: retraining from the seed reproduces
+    # the table exactly
+    assert (
+        tuple(
+            bpe.train_bpe_merges(
+                bpe._seed_word_freqs(bpe.SEED_TEXT), bpe.NUM_MERGES
+            )
+        )
+        == bpe.MERGES
+    )
+
+
+def test_encoder_differential_seed_words():
+    for w in sorted(bpe._seed_word_freqs(bpe.SEED_TEXT)):
+        assert bpe.encode_len(w) == len(ref_encode(w, bpe.MERGES)), w
+
+
+def test_encoder_differential_random_strings():
+    rng = random.Random(77)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,!?-"
+    for _ in range(300):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 24))
+        )
+        for part in bpe._PRETOKEN.findall(w):
+            assert bpe.encode_len(part) == len(
+                ref_encode(part, bpe.MERGES)
+            ), part
+
+
+def test_count_pins_and_bounds():
+    assert bpe.count_tokens("") == 0
+    assert bpe.count_tokens("the quick brown fox") == 6
+    assert bpe.encode_len("the") == 1  # whole seed word merged
+    for text in (
+        "latency was 125 milliseconds, error rate 0.25 percent!",
+        "The engineer restarts the connector; messages flow again.",
+    ):
+        n = bpe.count_tokens(text)
+        pre = bpe._PRETOKEN.findall(text)
+        assert n == ref_count(text)
+        # merges only shrink within words: between one token per
+        # pre-token and one per character
+        assert len(pre) <= n <= sum(len(w) for w in pre)
+
+
+def test_spark_map_matches_driver_reference(spark_local):
+    d = spark_local.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bpe.with_bpe_token_count(d.select("doc_id", "text")).toPandas()
+    sample = out.sample(n=min(25, len(out)), random_state=5)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in d.select("doc_id", "text").collect()
+    }
+    for _, row in sample.iterrows():
+        assert row["n_bpe_tokens"] == ref_count(texts[row["doc_id"]])
+    assert out["n_bpe_tokens"].notna().all()
+
+
+@pytest.fixture(scope="module")
+def spark_local():
+    from kafka_metrics_exporter_spark.session import get_spark
+
+    return get_spark(
+        app_name="bpe-test", master="local[4]", shuffle_partitions=4
+    )
