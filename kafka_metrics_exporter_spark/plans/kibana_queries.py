@@ -1384,7 +1384,7 @@ _ES_LADDER_CASE_40 = (
       SELECT DISTINCT doc_id, fg, tok
       FROM (SELECT doc_id, fg,
                    unnest(regexp_split_to_array(
-                     lower(text), '[^\p{{L}}\p{{N}}]+')) AS tok
+                     lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS tok
             FROM docsrc)
       WHERE tok != ''
     ),
@@ -2370,7 +2370,10 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-residue keep-set is bit-reproducible across cluster
     layouts and engines where ES's shard-relative doc-id hash is not
     (the rare_terms/ANN determinism stance); terms + count + sum run
-    over the sample.
+    over the sample and emit RAW sample-scale values — the engine
+    never multiplies by 1/probability (the no-scaling stance
+    documented on RandomSamplerBucket, ADVICE r14; population
+    estimates are a client-side scalar).
 
     Branch 'dsampler' (r14b, zero-slot extension on this NEW row):
     ``diversified_sampler`` capping the sample at 3 docs PER USER via
