@@ -30,187 +30,181 @@ CORRECTNESS_WINDOW = 50
 # stamp matches — so every out-of-window exemption below is backed by a
 # GOLDEN re-record from THIS round's code, machine-checked (ADVICE r6:
 # exemptions must not be comment-only).
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
-# Explicit first-window ordering for ROUND 14.
+# Explicit first-window ordering for ROUND 15.
 #
-# The r13 gate RAN (CORRECTNESS_r13.json: 50/50 green), so the rotation
-# executes as the r13 verdict ordered (item 1):
-#   - of the 49 queries whose latest driver row is r12 (two gate-runs
+# The r14 gate RAN (CORRECTNESS_r14.json: 50/50 green), so the rotation
+# executes as the r14 verdict ordered (item 1):
+#   - of the 48 queries whose latest driver row is r13 (two gate-runs
 #     old, enumerated by test_rotation_promotes_stale_rows as
-#     r12-minus-r13), 35 PROMOTE into the window and 14 demote into
+#     r13-minus-r14), 35 PROMOTE into the window and 13 demote into
 #     STALE_OUT_OF_WINDOW, each with an in-window sibling pinning the
 #     same machinery (justifications below);
-#   - the 8 r9-latest rows — the entire >=4-gate-run ledger tail —
-#     promote (a7_multikey_drilldown, doc_fingerprint, j3_union_byname,
-#     o1_distinct, o4_sort_limit, pipe_split, promql_clamp_sort,
-#     promql_time_macros), lifting the ledger floor to r10-latest;
-#   - 6 new registrations (the round-14 ES vocabulary tier:
-#     matrix_stats / moving_percentiles / categorize_text /
-#     t_test+random_sampler, plus the two production-shape splits the
-#     r13 verdict item 4 ordered) and 2 semantic changes (the ADVICE
-#     r13 fixes) claim the rest.
+#   - the 8 r10-latest rows — the entire >=4-gate-run ledger tail —
+#     promote (a9b_sum_of_topk, dedup_components_star,
+#     multimodal_channel_stats, o7_except_all,
+#     promql_histogram_quantile_grid, promql_topk_rate_grid,
+#     promql_vector_compare, w7b_sliding_window), lifting the ledger
+#     floor to r11-latest;
+#   - 5 new registrations (the round-15 vocabulary: bucket_correlation
+#     / bucket_count_ks_test / sampler / ip_range, plus the merge-BPE
+#     token counter) and 2 semantic changes (t_test now emits ES's
+#     p-value; categorize_text merges below threshold 100) claim the
+#     rest.
 #
-# Slot arithmetic: 34 promotions + 8 r9-tail + 6 new + 2 changed = 50.
-# Out-of-window debt after this rotation: the 50 r13-verified rows
-# (1 run old), the 15 demoted r12 rows (2 runs), last round's 21 r11
-# demotions (3 runs) — debt(>=3 runs) = 21, all r11-latest or newer;
-# every out-of-window row is re-attested this round via
-# tools/check_oracle.py at sf0.01 AND sf0.1 (BASELINE.md round-14
-# addendum), replayed against its DuckDB oracle at sf0.001 by
-# tests/test_queries_oracle.py every session, and hash-pinned by the
-# round-14 FULL GOLDEN re-record.
+# Slot arithmetic: 35 promotions + 8 r10-tail + 5 new + 2 changed = 50.
+# Out-of-window debt after this rotation: the 50 r14-verified rows
+# (1 run old), the 13 demoted r13 rows (2 runs), last round's 15 r12
+# demotions (3 runs) and 21 r11 demotions (4 runs); every out-of-window
+# row is re-attested this round via tools/check_oracle.py at sf0.01 AND
+# sf0.1 (BASELINE.md round-15 addendum), replayed against its DuckDB
+# oracle at sf0.001 by tests/test_queries_oracle.py every session, and
+# hash-pinned by the round-15 FULL GOLDEN re-record.
 
 # Queries with no driver CORRECTNESS row in any EXISTING correctness
 # file — must be in-window.
 NEW_THIS_ROUND: list[str] = [
-    # round-14 ES vocabulary tier (VERDICT r13 item 3): cross-field
-    # covariance/correlation matrices, sliding-window percentiles,
-    # and deterministic log-pattern categorization
-    "kibana_matrix_stats",
-    "kibana_moving_percentiles",
-    "kibana_categorize_text",
-    # round-14 production-shape splits (VERDICT r13 item 4): the
-    # seven-branch filter/missing/auto attestation row and the
-    # ten-clause query_string row each get a one-branch production
-    # twin so the bench attributes per shape
-    "kibana_filter_missing_auto_prod",
-    "kibana_query_string_prod",
-    # round-14b: ES t_test (Welch/pooled/paired — exact (t, df) where
-    # ES CDFs them into a p-value, documented) + random_sampler (ES's
-    # own 100 TB agg, made deterministic via the md5-residue identity
-    # hash)
-    "kibana_stats_tests",
+    # round-15 ES x-pack sibling significance pipelines (VERDICT r14
+    # item 2): membership-Pearson bucket_correlation and the one-sample
+    # KS test over bucket doc counts
+    "kibana_bucket_correlation",
+    "kibana_ks_test",
+    # round-15 remaining reachable ES vocabulary (VERDICT r14 item 6):
+    # plain sampler (deterministic residue top-k) and ip_range
+    # (from/to + CIDR masks over IPv4, uint32 Column math)
+    "kibana_sampler",
+    "kibana_ip_range",
+    # round-15 merge-table BPE token counting (VERDICT r14 item 7):
+    # Sennrich-trained table, GPT-2 greedy encoder in one mapInPandas
+    # pass, recursive-CTE DuckDB twin over unique words
+    "text_bpe_tokens",
 ]
 
 # Queries whose engine semantics changed this round — re-verification
 # required even though an older row is green (ADVICE r4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r14 (ADVICE r13): adjacency_matrix pair keys now use ES's
-    # LEXICOGRAPHIC filter order (values changed: 'big&click', not
-    # 'click&big'); auto_date_histogram picks its interval from
-    # FLOORED endpoints (hi//iv - lo//iv + 1); the vwh Lloyd rounds
-    # train via one executor-side mapInPandas partial-sum pass per
-    # round (plan shape; hashes unchanged, re-attested at 3 SFs).
-    "kibana_filter_missing_auto",
-    # r14 (ADVICE r13): top_metrics requires an explicit sort and
-    # skips null sort values in both paths; cumulative_cardinality
-    # (this row's cum_users branch) computes first-seen buckets
-    # against the SURVIVING bucket keys (broadcast semi-join).
-    "kibana_rate_top_metrics",
+    # r15 (VERDICT r14 item 3): t_test now emits ES's actual returned
+    # value — the two-sided p (Lanczos + incomplete-beta CF Column
+    # math, recursive-CTE SQL twin); the row gains welch_p/pooled_p/
+    # paired_p branches.  Also carries the frequent_item_sets plan fold
+    # (support denominator rides the plan; eager-materialize +
+    # unpersist — ADVICE r14).
+    "kibana_stats_tests",
+    # r15 (VERDICT r14 item 4): similarity_threshold < 100 now compiles
+    # to the deterministic frequency-seeded merge (pointer-jump
+    # closure, unanimity-wildcard keys); the row gains the 'merged'
+    # branch and its output schema changed.
+    "kibana_categorize_text",
 ]
 
 CHANGED_OUT_OF_WINDOW: list[str] = []
 
-# r12-latest queries the 50-slot arithmetic cannot fit once the 8
-# r9-tail promotions (VERDICT r13 item 1) + 6 new + 2 changed claimed
-# their slots (49 r12-latest candidates + 8 + 6 + 2 = 65 candidates
-# for 50 slots -> 15 demotions).  Selection: code untouched since
-# their green r12 row AND an in-window sibling exercising the same
+# r13-latest queries the 50-slot arithmetic cannot fit once the 8
+# r10-tail promotions (VERDICT r14 item 1) + 5 new + 2 changed claimed
+# their slots (48 r13-latest candidates + 8 + 5 + 2 = 63 candidates
+# for 50 slots -> 13 demotions).  Selection: code untouched since
+# their green r13 row AND an in-window sibling exercising the same
 # machinery; every one is replayed against its DuckDB oracle at
 # sf0.001 by tests/test_queries_oracle.py EVERY session, re-attested
 # at sf0.01 and sf0.1 via tools/check_oracle.py this round, and
-# hash-pinned by the round-14 FULL GOLDEN re-record.
+# hash-pinned by the round-15 FULL GOLDEN re-record.
 STALE_OUT_OF_WINDOW: list[str] = [
-    # signature->band->bucket-join machinery pinned by
-    # dedup_minhash_lsh (in-window promotion)
-    "dedup_simhash",
-    # n-gram shingling + capped pair-join pinned by dedup_minhash_lsh
-    "dedup_ngram_jaccard",
-    # exact-gram hashing/dedup pinned by dedup_substring (in-window)
-    "dedup_passage",
-    # blocked-matmul cosine kernel pinned by embed_near_dup_cosine
+    # PromQL scalar-function pack compile path pinned by
+    # promql_round_scalar (in-window promotion)
+    "promql_trig_group",
+    # calendar scalars share the same scalar-call compile path
+    # (promql_round_scalar); fixed-timestamp evaluation pinned by
+    # promql_at_offset (in-window promotion)
+    "promql_calendar",
+    # topk-of-rate grid machinery pinned by promql_topk_rate_grid
+    # (r10-tail promotion, in-window)
+    "w10_topk_rate_nonempty",
+    # broadcast-bench blocked-matmul cosine kernel pinned by
+    # embed_cluster_dedup (in-window promotion, same kernel)
+    "embed_decontaminate",
+    # thresholds over the same quality_columns pinned by text_metrics
     # (in-window promotion)
-    "embed_cosine_topk",
-    # same rate-with-resets kernel, instant mode — pinned by
-    # promql_rate_extrapolated (in-window)
-    "promql_rate_instant",
-    # label-matched series binop join pinned by promql_vector_matching
-    # (in-window)
-    "promql_vector_math",
-    # info() IS a vector-matching label join — promql_vector_matching
-    "promql_info_join",
-    # range-window over_time fold family pinned by promql_holt_winters
-    # (in-window)
-    "promql_quantile_last_over_time",
-    # rate kernel pinned by promql_rate_extrapolated; topk window by
-    # w3_topk_per_group (both in-window)
-    "promql_topk_rate",
-    # argmax-by-time kernel pinned by a6_latest_value (in-window)
-    "w4_latest_per_user",
-    # agg-of-agg + topk machinery pinned by a1_a4_grouped_metrics and
-    # w3_topk_per_group (both in-window)
-    "a9_topk_of_avg",
-    # max_by argmax kernel pinned by a6_latest_value; the top_hits/
-    # top_metrics bounded rank-window by kibana_rate_top_metrics
-    # (CHANGED, in-window)
-    "kibana_top_hits_latest",
-    # foreachBatch replay harness pinned by streaming_state_replay
-    # (in-window); the session-window kernel has its green r13
-    # w7_session_window row
-    "streaming_session_replay",
-    # exact percentile kernel pinned by kibana_median (in-window); the
-    # approx t-digest bound is tolerance-pinned by the pytest harness
-    # every session
-    "a11b_approx_percentile",
-    # JLH significance scoring over a term-keyed aggregation pinned by
-    # kibana_filter_missing_auto's significant_text branch (CHANGED,
-    # in-window — same scorer, doc-frequency tokens)
-    "kibana_significant_terms",
+    "text_quality_gate",
+    # scan-local text Column algebra (regexp_replace chain) pinned by
+    # text_metrics (in-window promotion, same module)
+    "text_redact",
+    # two-stage partial->final aggregation shape pinned by
+    # a9b_sum_of_topk (r10-tail promotion, in-window)
+    "scale_salted_agg",
+    # the query_string predicate compiler is exercised in-window by
+    # kibana_stats_tests' t_test population filters (CHANGED)
+    "kibana_query_string",
+    # fixed-interval date bucketing pinned by kibana_pipeline
+    # (in-window promotion — its pipeline aggs ride a date_histogram)
+    "kibana_date_histogram",
+    # terms bucket + metrics machinery pinned by
+    # kibana_bucket_correlation (NEW — terms x histogram x metrics)
+    "kibana_terms_metrics",
+    # numeric histogram bucketing pinned by kibana_ks_test (NEW — the
+    # histogram bucket table is its input relation)
+    "kibana_histogram_stats",
+    # md5-residue deterministic keep-set pinned by kibana_sampler
+    # (NEW, same residue machinery)
+    "pipe_stratified_sample",
+    # array-explode denormalize shape pinned by kibana_ip_range (NEW —
+    # overlap-explode of range matches)
+    "j5_explode_parent_child",
 ]
 
 WINDOW_PRIORITY = [
-    # -- round-14 registrations + semantic changes claim slots here ----
+    # -- round-15 registrations + semantic changes claim slots here ----
     *NEW_THIS_ROUND,
     *CHANGED_THIS_ROUND,
-    # -- latest driver row is r9 (4 gate-runs old): full tail burn-down
-    "a7_multikey_drilldown",
-    "doc_fingerprint",
-    "j3_union_byname",
-    "o1_distinct",
-    "o4_sort_limit",
-    "pipe_split",
-    "promql_clamp_sort",
-    "promql_time_macros",
-    # -- latest driver row is r12 (2 gate-runs old): the 35 promotions
-    # aggregation / relational core
-    "a12_rollup",
-    "a1_a4_grouped_metrics",
-    "a5_approx_count_distinct",
-    "a6_latest_value",
-    "a8_having",
-    "j6_asof_join",
-    "o6_semi_join",
-    "p2_normalize_pipeline",
-    "p_scalar_pack",
-    "w1_tumbling_window",
-    "w2_rate",
-    "w3_topk_per_group",
-    "w8_frame_specs",
-    "w9_regex_label_rate_sum",
+    # -- latest driver row is r10 (4 gate-runs old): full tail burn-down
+    "a9b_sum_of_topk",
+    "dedup_components_star",
+    "multimodal_channel_stats",
+    "o7_except_all",
+    "promql_histogram_quantile_grid",
+    "promql_topk_rate_grid",
+    "promql_vector_compare",
+    "w7b_sliding_window",
+    # -- latest driver row is r13 (2 gate-runs old): the 35 promotions
+    # aggregation / relational / scraper core
+    "a10_sum_without",
+    "a5_count_distinct",
+    "j1_cross_join",
+    "j7_range_join",
+    "openmetrics_roundtrip",
+    "p1_objectname_pivot",
+    "rules_rewrite",
+    "streaming_alerts_replay",
+    "w11_rollup_cascade",
+    "w12_window_time_cascade",
+    "w7_session_window",
     # dedup / embedding / pipeline family
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_substring",
-    "embed_near_dup_cosine",
-    "embed_pq_topk",
-    "pipe_decontaminate",
-    "multimodal_resize",
-    "text_corpus_report",
+    "dedup_minhash_components",
+    "dedup_url",
+    "embed_binary_topk",
+    "embed_cluster_dedup",
+    "embed_ivfpq_topk",
+    "multimodal_frames",
+    "pipe_bloom_decontaminate",
+    "pipe_corpus_build",
+    "pipe_dsir_resample",
+    "pipe_pack_chunks",
+    "text_metrics",
+    "text_tfidf_topk",
+    "text_token_rarity",
     # PromQL surface
-    "promql_count_values",
-    "promql_histogram_quantile",
-    "promql_holt_winters",
-    "promql_native_histogram",
-    "promql_rate_extrapolated",
-    "promql_subquery",
-    "promql_vector_matching",
-    "streaming_state_replay",
+    "promql_at_offset",
+    "promql_label_functions",
+    "promql_limit_sample",
+    "promql_over_time_pack",
+    "promql_quantile_agg",
+    "promql_resets_changes",
+    "promql_round_scalar",
+    "promql_rules_group",
+    "promql_set_ops",
     # Kibana surface
-    "kibana_median",
-    "kibana_rare_multi_terms",
-    "kibana_serial_stats",
+    "kibana_composite",
+    "kibana_pipeline",
 ]
 
 
