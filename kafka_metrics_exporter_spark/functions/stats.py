@@ -81,22 +81,36 @@ def lgamma_col(z: Column) -> Column:
 
 def _betacf_col(a: Column, b: Column, x: Column) -> Column:
     """Bottom-up continued fraction for I_x(a,b) — NR 6.4 d-terms,
-    fixed depth (linear expression growth: g embeds once per level)."""
-    g = F.lit(1.0)
-    for k in range(_CF_DEPTH, 0, -1):
-        if k % 2 == 1:
-            m = float((k - 1) // 2)
-            d = (
-                -(a + F.lit(m)) * (a + b + F.lit(m)) * x
-                / ((a + F.lit(2 * m)) * (a + F.lit(2 * m + 1)))
-            )
-        else:
-            m = float(k // 2)
-            d = (
-                F.lit(m) * (b - F.lit(m)) * x
-                / ((a + F.lit(2 * m - 1)) * (a + F.lit(2 * m)))
-            )
-        g = F.lit(1.0) + d / g
+    fixed depth, evaluated as ONE higher-order fold over the
+    descending index sequence.  An unrolled expression tree (the first
+    implementation) was ~1.5k nodes per branch: with several t_tests
+    in a request the whole-stage method blew janino's limits, and the
+    per-evaluation compile attempt (expression IDs make the generated
+    text uncacheable) cost seconds — the fold is a ~50-node
+    expression whose loop runs at execution time instead.  The
+    arithmetic sequence is identical (m derived from k with exact
+    small-integer doubles), so results are bit-equal to the unroll and
+    to the recursive-CTE SQL twin."""
+
+    def _step(g: Column, k: Column) -> Column:
+        m_odd = ((k - 1) / F.lit(2)).cast("double")
+        m_even = (k / F.lit(2)).cast("double")
+        d = F.when(
+            k % 2 == 1,
+            -(a + m_odd) * (a + b + m_odd) * x
+            / ((a + F.lit(2.0) * m_odd) * (a + F.lit(2.0) * m_odd + F.lit(1.0))),
+        ).otherwise(
+            m_even * (b - m_even) * x
+            / ((a + F.lit(2.0) * m_even - F.lit(1.0))
+               * (a + F.lit(2.0) * m_even))
+        )
+        return F.lit(1.0) + d / g
+
+    g = F.aggregate(
+        F.sequence(F.lit(_CF_DEPTH), F.lit(1), F.lit(-1)),
+        F.lit(1.0),
+        _step,
+    )
     return F.lit(1.0) / g
 
 
