@@ -1049,6 +1049,18 @@ class VisState:
     stats_pipelines: tuple[BucketStatsTestAgg, ...] = ()
 
 
+def _bind1(expr: Column, f) -> Column:
+    """Evaluate ``expr`` ONCE per row and feed it to ``f`` as a lambda
+    leaf: ``get(transform(array(expr), f), 0)``.  Catalyst's project
+    collapsing inlines withColumn intermediates into every consumer —
+    an expression referenced N times is EVALUATED N times (the
+    ip_range horner ran its regex+split ~60x per row before this; the
+    KS fold was embedded in all ~40 Kolmogorov series terms, blowing
+    the codegen tree).  A lambda variable is a real variable: bound
+    once, referenced as a leaf."""
+    return F.get(F.transform(F.array(expr), f), 0)
+
+
 def _slug(s: str) -> str:
     s = re.sub(r"[^A-Za-z0-9]+", "_", s.strip()).strip("_").lower()
     return s or "col"
@@ -2497,7 +2509,7 @@ class KibanaPlan:
 
     @staticmethod
     def _merge_categories(
-        cats: DataFrame, label: str, threshold: int
+        cats: DataFrame, label: str, threshold: int, size: int
     ) -> DataFrame:
         """categorize_text similarity merging (round 15) over the
         ALREADY-AGGREGATED pattern table — the deterministic semantic
@@ -2505,7 +2517,18 @@ class KibanaPlan:
         positional similarity, frequency-seeded attachment, 6
         pointer-jump rounds, unanimity-wildcard keys.  Every operation
         is category-scale (patterns × patterns per length, patterns ×
-        tokens), never doc-scale."""
+        tokens), never doc-scale.
+
+        Execution shape: fully LAZY, one plan, nothing persisted —
+        the pointer-jump self-joins double the LOGICAL lineage per
+        round, but every doubled subtree is the identical exchange and
+        Spark's ReuseExchange/ReuseSubquery executes the doc-scale
+        exact aggregation once (measured: an eager
+        persist-per-round variant paid a fresh AQE compile of the
+        doubled plan each round and ran 4x slower).  ``size`` is
+        accepted for signature stability with the caller's
+        TakeOrdered cut."""
+        del size  # the caller applies the orderBy().limit() cut
         t = threshold / 100.0
         pats = cats.select(
             F.col(label).alias("__ct_p"),
@@ -2918,7 +2941,7 @@ class KibanaPlan:
             )
             if b.similarity_threshold < 100:
                 cats = self._merge_categories(
-                    cats, b.label, b.similarity_threshold
+                    cats, b.label, b.similarity_threshold, b.size
                 )
             return cats.orderBy(
                 F.col("doc_count").desc(), F.col(b.label).asc()
@@ -3483,36 +3506,57 @@ class KibanaPlan:
                 )
                 df = df.withColumn(b.label, F.explode(matches))
             elif isinstance(b, IpRangeBucket):
-                # IPv4 string -> uint32 once (octet split + validate +
-                # horner, scan-local), then the RangeBucket
-                # overlap-explode over integer endpoints; malformed
-                # addresses stay null and match no range
+                # IPv4 string -> uint32 ONCE per row (octet split +
+                # validate + horner bound as lambda leaves — project
+                # collapsing would otherwise re-run the regex and the
+                # split once per range predicate), then the
+                # RangeBucket overlap-explode over integer endpoints;
+                # malformed addresses stay null and match no range
                 ip_s = resolve(b.field).cast("string")
-                octs = F.split(ip_s, r"\.")
-                o = [F.get(octs, i).cast("long") for i in range(4)]
-                ip_ok = ip_s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-                for oc in o:
-                    ip_ok = ip_ok & (oc <= 255)
-                ip_n = F.when(
-                    ip_ok,
-                    ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3],
-                )
 
-                def _in_iprange(lo, hi, _v=ip_n):
-                    pred = _v.isNotNull()
-                    if lo is not None:
-                        pred = pred & (_v >= F.lit(lo))
-                    if hi is not None:
-                        pred = pred & (_v < F.lit(hi))
-                    return pred
+                # factories bind the captured state: pyspark derives a
+                # HOF lambda's arity from the Python signature, so
+                # default-arg closures would mis-arity the callback
+                def _make_ip_horner(_s):
+                    def _ip_horner(ps):
+                        o = [F.get(ps, i).cast("long") for i in range(4)]
+                        ok = _s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+                        for oc in o:
+                            ok = ok & (oc <= 255)
+                        return F.when(
+                            ok,
+                            ((o[0] * 256 + o[1]) * 256 + o[2]) * 256
+                            + o[3],
+                        )
 
-                ip_matches = F.array_compact(
-                    F.array(
-                        *[
-                            F.when(_in_iprange(lo, hi), F.lit(key))
-                            for key, lo, hi in b.ranges
-                        ]
-                    )
+                    return _ip_horner
+
+                def _make_ip_matches(_ranges):
+                    def _ip_matches(v):
+                        def _in_iprange(lo, hi):
+                            pred = v.isNotNull()
+                            if lo is not None:
+                                pred = pred & (v >= F.lit(lo))
+                            if hi is not None:
+                                pred = pred & (v < F.lit(hi))
+                            return pred
+
+                        return F.array_compact(
+                            F.array(
+                                *[
+                                    F.when(_in_iprange(lo, hi), F.lit(key))
+                                    for key, lo, hi in _ranges
+                                ]
+                            )
+                        )
+
+                    return _ip_matches
+
+                _horner = _make_ip_horner(ip_s)
+                _matches = _make_ip_matches(b.ranges)
+                ip_matches = _bind1(
+                    F.split(ip_s, r"\."),
+                    lambda ps: _bind1(_horner(ps), _matches),
                 )
                 df = df.withColumn(b.label, F.explode(ip_matches))
             elif isinstance(b, DateRangeBucket):
@@ -4490,19 +4534,35 @@ class KibanaPlan:
                     return _step
 
                 res = F.aggregate(vals, zero, _make_step(n, _tc))
-                dp, dm = res["dp"], res["dm"]
-                lam = F.sqrt(n) * F.greatest(dp, dm)
                 ok = size_ok & (n > 0)
+
+                # the fold result binds as a lambda leaf: inlined, the
+                # two_sided Kolmogorov series would embed the whole
+                # fold in each of its ~40 terms (codegen-tree blowup —
+                # see _bind1)
+                def _make_ks_p(_n, _alts):
+                    def _ks_p(s):  # arity 1: pyspark HOF callback
+                        dp, dm = s["dp"], s["dm"]
+                        lam = F.sqrt(_n) * F.greatest(dp, dm)
+                        cols = []
+                        for alt in _alts:
+                            if alt == "greater":
+                                p = F.exp(F.lit(-2.0) * _n * dp * dp)
+                            elif alt == "less":
+                                p = F.exp(F.lit(-2.0) * _n * dm * dm)
+                            else:
+                                p = ks_two_sided_p_col(lam)
+                            cols.append(
+                                F.least(p, F.lit(1.0)).alias(alt)
+                            )
+                        return F.struct(*cols)
+
+                    return _ks_p
+
+                ps = _bind1(res, _make_ks_p(n, st.alternatives))
                 for alt in st.alternatives:
-                    if alt == "greater":
-                        p = F.exp(F.lit(-2.0) * n * dp * dp)
-                    elif alt == "less":
-                        p = F.exp(F.lit(-2.0) * n * dm * dm)
-                    else:
-                        p = ks_two_sided_p_col(lam)
                     out = out.withColumn(
-                        f"{st.label}_{alt}",
-                        F.when(ok, F.least(p, F.lit(1.0))),
+                        f"{st.label}_{alt}", F.when(ok, ps[alt])
                     )
             return out.drop(*drop)
 
