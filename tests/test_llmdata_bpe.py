@@ -120,3 +120,35 @@ def spark_local():
     return get_spark(
         app_name="bpe-test", master="local[4]", shuffle_partitions=4
     )
+
+
+def test_pack_chunks_bpe_matches_driver_replay(spark_local):
+    """pack_chunks_bpe: chunk assignment replayed driver-side with the
+    same counter — per lang, docs in id order cut at the running-total
+    boundary."""
+    from kafka_metrics_exporter_spark.llmdata.pipeline import (
+        pack_chunks_bpe,
+    )
+
+    d = spark_local.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    budget = 512
+    out = pack_chunks_bpe(d, budget).toPandas()
+    rows = sorted(
+        ((r["lang"], r["doc_id"], r["text"]) for r in d.collect()),
+    )
+    cum: dict[str, int] = {}
+    want: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for lang, doc_id, text in rows:
+        n = bpe.count_tokens(text)
+        before = cum.get(lang, 0)
+        want[doc_id] = before // budget
+        counts[doc_id] = n
+        cum[lang] = before + n
+    got = {r["doc_id"]: (r["chunk_id"], r["n_bpe_tokens"])
+           for _, r in out.iterrows()}
+    assert len(got) == len(want)
+    for doc_id, chunk in want.items():
+        assert got[doc_id] == (chunk, counts[doc_id]), doc_id

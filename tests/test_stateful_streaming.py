@@ -877,3 +877,125 @@ def test_round13_vocab_on_live_stream(spark, tmp_path):
         "2024-01-01 00:00:00": (6.0, 240.0, 2 / 3),
         "2024-01-01 01:00:00": (1.0, 60.0, 1 / 3),
     }
+
+
+def test_kibana_r15_stats_aggs_on_live_stream(spark, tmp_path):
+    """Round 15: the x-pack sibling significance aggs
+    (bucket_correlation / bucket_count_ks_test) and the ip_range
+    bucket compose with kibana_panels — each micro-batch recomputes
+    the bucket sequence over its own documents, values pinned against
+    a per-batch Python replay of the documented formulas."""
+    import json
+    import math
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    vis = {
+        "visState": json.dumps(
+            {
+                "title": "t", "type": "table",
+                "aggs": [
+                    {"id": "1", "type": "histogram", "schema": "bucket",
+                     "params": {"field": "v", "interval": 10,
+                                 "customLabel": "vb"}},
+                    {"id": "2", "type": "bucket_correlation",
+                     "schema": "metric",
+                     "params": {"buckets_path": "_count",
+                                 "function": {"count_correlation": {
+                                     "indicator": {
+                                         "expectations": [1.0, 2.0, 4.0],
+                                         "doc_count": 100}}},
+                                 "customLabel": "corr"}},
+                    {"id": "3", "type": "bucket_count_ks_test",
+                     "schema": "metric",
+                     "params": {"buckets_path": "_count",
+                                 "sampling_method": "uniform",
+                                 "alternative": ["two_sided"],
+                                 "customLabel": "ks"}},
+                ],
+            }
+        )
+    }
+    ipvis = {
+        "visState": json.dumps(
+            {
+                "title": "t", "type": "table",
+                "aggs": [
+                    {"id": "1", "type": "ip_range", "schema": "bucket",
+                     "params": {"field": "ip", "ranges": [
+                         {"to": "10.0.0.128"},
+                         {"mask": "10.0.0.128/25"},
+                     ], "customLabel": "r"}},
+                    {"id": "2", "type": "count", "schema": "metric",
+                     "params": {"customLabel": "n"}},
+                ],
+            }
+        )
+    }
+    src = tmp_path / "kibr15"
+    src.mkdir()
+    batch_counts = {0: [4, 3, 3], 1: [6, 2, 2]}
+    for b, counts in batch_counts.items():
+        rows = []
+        for i, c in enumerate(counts):
+            for j in range(c):
+                rows.append(
+                    (float(i * 10), f"10.0.0.{(i * 90 + j) % 200}")
+                )
+        spark.createDataFrame(rows, "v double, ip string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("v double, ip string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got: dict[tuple[str, int], list] = {}
+    q = kibana_panels(
+        stream,
+        {"stats": vis, "ips": ipvis},
+        lambda name, df, bid: got.__setitem__((name, bid), df.collect()),
+        checkpoint=str(tmp_path / "kibr15ckpt"),
+    )
+    q.awaitTermination(180)
+
+    def ref_corr(counts):
+        exps, nn = [1.0, 2.0, 4.0], 100.0
+        xmean = sum(e / 3 for e in exps)
+        xvar = sum(e * e / 3 for e in exps) - xmean ** 2
+        nt = sum(counts)
+        ymean = nt / nn
+        cov = sum(e * c for e, c in zip(exps, counts)) / nn - xmean * ymean
+        return cov / math.sqrt(xvar * ymean * (1 - ymean))
+
+    def ref_ks_two(counts):
+        n = sum(counts)
+        cum, dmax = 0, 0.0
+        for i, c in enumerate(counts):
+            cum += c
+            dmax = max(dmax, abs(cum / n - (i + 1) / len(counts)))
+        lam = math.sqrt(n) * dmax
+        return 2.0 * sum(
+            (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+            for k in range(1, 200)
+        )
+
+    for b, counts in batch_counts.items():
+        rows = got[("stats", b)]
+        assert len(rows) == 3
+        r0 = rows[0]
+        assert r0["corr"] == pytest.approx(ref_corr(counts), rel=1e-9)
+        assert r0["ks_two_sided"] == pytest.approx(
+            ref_ks_two(counts), rel=1e-6)
+        ips = {r["r"]: r["n"] for r in got[("ips", b)]}
+        # octets (i*90+j)%200: batch rows split below/at-or-above 128
+        lo = sum(
+            1 for i, c in enumerate(counts) for j in range(c)
+            if (i * 90 + j) % 200 < 128
+        )
+        hi = sum(counts) - lo - sum(
+            1 for i, c in enumerate(counts) for j in range(c)
+            if (i * 90 + j) % 200 > 255
+        )
+        assert ips.get("*-10.0.0.128", 0) == lo
+        assert ips.get("10.0.0.128/25", 0) == hi
