@@ -43,7 +43,12 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from kafka_metrics_exporter_spark.llmdata.text import BPE_TOKEN_RE
 
-_PRETOKEN = re.compile(BPE_TOKEN_RE)
+# re.ASCII pins \s to the ASCII set — Python's default unicode \s
+# would treat NBSP-class characters differently from the Java-regex
+# (Spark n_pre_tokens) and RE2 (DuckDB oracle) evaluations of the SAME
+# pattern, whose \s is ASCII-only (the query_string boundary lesson:
+# spell regex classes so every engine reads them identically)
+_PRETOKEN = re.compile(BPE_TOKEN_RE, re.ASCII)
 
 #: fixed public-domain-style seed text for the built-in merge table —
 #: generic English prose with digits and punctuation so the trained

@@ -152,3 +152,20 @@ def test_pack_chunks_bpe_matches_driver_replay(spark_local):
     assert len(got) == len(want)
     for doc_id, chunk in want.items():
         assert got[doc_id] == (chunk, counts[doc_id]), doc_id
+
+
+def test_pretokenizer_ascii_whitespace_parity():
+    """\\s is pinned to the ASCII set (re.ASCII): Python's unicode \\s
+    would swallow NBSP where the Java-regex/RE2 twins (ASCII \\s) count
+    it as a punctuation token — all three engines must read the same
+    pattern identically."""
+    import duckdb
+
+    text = "a b"  # NBSP between letters
+    py = bpe._PRETOKEN.findall(text)
+    duck = duckdb.connect().execute(
+        "SELECT regexp_extract_all(?, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')",
+        [text],
+    ).fetchone()[0]
+    assert py == duck == ["a", " ", "b"]
+    assert bpe.count_tokens(text) == 3
