@@ -201,14 +201,19 @@ class CompositeBucket:
     """ES ``composite`` aggregation (round 9): paginate ALL buckets of
     a multi-source key tuple in deterministic key order — the agg ES
     users reach for when a terms agg's ``size`` cap makes full exports
-    lossy.  Each source is a (field, kind) pair, kind ``terms`` or
-    ``date_histogram`` (with ``interval``); pages advance with
-    ``after`` = the last key tuple of the previous page, compared
-    lexicographically (every source ascending, ES's default order).
-    This is an ES API-level agg (not exposed in classic visState);
-    the param shape here mirrors the ES request body."""
+    lossy.  Each source is a (field, kind) pair, kind ``terms``,
+    ``date_histogram`` (with ``interval``) or — round 15 — numeric
+    ``histogram`` (fixed ``interval``, the HistogramBucket
+    floor-keyed formula); pages advance with ``after`` = the last key
+    tuple of the previous page, compared lexicographically (every
+    source ascending, ES's default order).  This is an ES API-level
+    agg (not exposed in classic visState); the param shape here
+    mirrors the ES request body."""
 
-    sources: tuple[tuple[str, str, str, int], ...]  # (name, field, kind, interval_us)
+    # (name, field, kind, interval) — interval is epoch-us for
+    # date_histogram, the numeric bucket width for histogram, 0 for
+    # terms
+    sources: tuple[tuple[str, str, str, float], ...]
     size: int
     label: str
     after: tuple | None = None
@@ -1292,6 +1297,16 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                             "fixed interval (no ambient time picker)"
                         )
                     srcs.append((sname, str(spec["field"]), "date_histogram", iv))
+                elif kind == "histogram":
+                    h_iv = float(spec.get("interval", 0))
+                    if h_iv <= 0:
+                        raise ValueError(
+                            "kibana: composite histogram needs a "
+                            "positive numeric interval"
+                        )
+                    srcs.append(
+                        (sname, str(spec["field"]), "histogram", h_iv)
+                    )
                 else:
                     raise ValueError(
                         f"kibana: unsupported composite source kind {kind!r}"
@@ -2658,14 +2673,26 @@ class KibanaPlan:
         key drop (ES ``missing_bucket: false``, the default)."""
         s = self.state
         key_cols: list[tuple[str, Column]] = []
-        for name, field, kind, interval_us in b.sources:
+        for name, field, kind, interval in b.sources:
             col = resolve(field)
             if kind == "terms":
                 key_cols.append((name, col.cast("string")))
+            elif kind == "histogram":
+                # ES's exact histogram key: floor(v / interval) *
+                # interval (negatives bucket DOWNWARD, like
+                # HistogramBucket)
+                v = col.cast("double")
+                key_cols.append(
+                    (
+                        name,
+                        F.floor(v / F.lit(interval)).cast("double")
+                        * F.lit(interval),
+                    )
+                )
             else:
                 us = F.unix_micros(col.cast("timestamp"))
                 key_cols.append(
-                    (name, F.timestamp_micros(us - F.pmod(us, interval_us)))
+                    (name, F.timestamp_micros(us - F.pmod(us, int(interval))))
                 )
         for name, col in key_cols:
             df = df.withColumn(name, col)
@@ -2682,6 +2709,8 @@ class KibanaPlan:
                     if isinstance(val, (int, float)):
                         return F.timestamp_millis(F.lit(int(val)))
                     return F.lit(val).cast("timestamp")
+                if b.sources[i][2] == "histogram":
+                    return F.lit(float(val))
                 return F.lit(val)
 
             # strictly-after, lexicographic over the source order:

@@ -4363,3 +4363,37 @@ def test_ip_range_bucket(spark):
         parse_vis_state(_vis8([
             {"id": "1", "type": "ip_range", "schema": "bucket",
              "params": {"field": "ip", "ranges": []}}])["visState"])
+
+
+def test_composite_histogram_source(spark):
+    """Round 15: composite with a numeric histogram source — ES's
+    floor-keyed buckets paginate with the after cursor like the other
+    source kinds; negatives bucket downward."""
+    d = spark.createDataFrame(
+        [("a", -3.0), ("a", 1.0), ("a", 7.0), ("b", 1.0), ("b", 12.0),
+         ("b", 14.0)],
+        "g string, v double")
+    page1 = compile_visualization(_vis8([
+        {"id": "1", "type": "composite", "schema": "bucket",
+         "params": {"sources": [
+             {"g": {"terms": {"field": "g"}}},
+             {"vb": {"histogram": {"field": "v", "interval": 5}}},
+         ], "size": 3, "customLabel": "c"}},
+    ])).evaluate(d)
+    rows1 = [(r["g"], r["vb"], r["count"]) for r in page1.collect()]
+    assert rows1 == [("a", -5.0, 1), ("a", 0.0, 1), ("a", 5.0, 1)]
+    page2 = compile_visualization(_vis8([
+        {"id": "1", "type": "composite", "schema": "bucket",
+         "params": {"sources": [
+             {"g": {"terms": {"field": "g"}}},
+             {"vb": {"histogram": {"field": "v", "interval": 5}}},
+         ], "size": 3, "after": ["a", 5.0], "customLabel": "c"}},
+    ])).evaluate(d)
+    rows2 = [(r["g"], r["vb"], r["count"]) for r in page2.collect()]
+    assert rows2 == [("b", 0.0, 1), ("b", 10.0, 2)]
+    with pytest.raises(ValueError, match="positive numeric interval"):
+        parse_vis_state(_vis8([
+            {"id": "1", "type": "composite", "schema": "bucket",
+             "params": {"sources": [
+                 {"vb": {"histogram": {"field": "v"}}}]}},
+        ])["visState"])
