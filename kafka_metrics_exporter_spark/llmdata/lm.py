@@ -1,0 +1,184 @@
+"""Corpus-self-trained n-gram language-model perplexity — the CCNet-
+style LM quality filter as a real log-likelihood (the token_rarity row
+documents its integer-frequency statistic as "an intentional
+deterministic stand-in for unigram logprob"; this module removes the
+stand-in with the engine's fixed-point-sum determinism tool).
+
+Model (all public textbook machinery — Jelinek-Mercer interpolation
+over add-k-smoothed counts, trained on the scored corpus itself):
+
+    P(w2 | w1) = lam * (B(w1,w2) + k) / (C(w1) + k*V)
+               + (1 - lam) * (U(w2) + k) / (T + k*V)
+
+with U/T the unigram counts/total, B the adjacent-bigram counts,
+C(w1) = sum_w2 B(w1, w2) the context totals, V the vocabulary size,
+lam = 0.75, k = 1.  A document's score is the perplexity over its
+n-1 bigram positions:  ppl = exp(-(1/n) * sum log P).
+
+Determinism: each position's log P quantizes to 1e-8 fixed point
+(``floor(x*1e8 + 0.5)`` — identical IEEE ops in Spark and DuckDB) and
+the per-document sum accumulates the exact integers, so any
+partitioning/ordering yields the identical total (the plans._lsum
+stance).  Cross-engine ln() may differ by ulps BEFORE quantization; a
+flipped fixed-point unit moves a document's mean log by 1e-8 — far
+below the 4-decimal value-hash contract the oracle gate applies.
+
+Scale shape (the token_rarity cost class, one step up):
+- bigram extraction is SCAN-LOCAL (zip of two array slices, one
+  explode) — no self-join on position;
+- count tables are token-keyed hash aggregations with map-side
+  partials (Zipf-hot words combine before the shuffle);
+- scoring joins the doc-scale pair stream against the aggregated
+  count tables on (w1,w2) / w1 / w2 — the count side of each join is
+  key-unique, so hot probe keys hash-join without build-side skew;
+- T and V ride a one-row broadcast (the keys=[] aggregate shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: interpolation weight on the bigram term and the add-k constant —
+#: fixed model identity, shared with the SQL twin.
+LAMBDA = 0.75
+ADD_K = 1.0
+
+_Q = 100_000_000.0  # 1e-8 fixed point, the plans._lsum scale
+
+
+def _tokens(text):  # lowercased whitespace tokens, empties dropped
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def bigram_perplexity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document interpolated bigram perplexity over the corpus's
+    own counts.  Returns (id_col, n_bigrams, ppl); documents with
+    fewer than two tokens emit a null ppl (no bigram positions — the
+    loud relational stance, never a fabricated score)."""
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__ts"))
+    # adjacent pairs, scan-local: zip(arr[:-1], arr[1:])
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("__ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    tv = uni.agg(
+        F.sum("u").cast("double").alias("__t"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "u"), "w2")
+        .crossJoin(F.broadcast(tv))
+    )
+    p = (
+        F.lit(LAMBDA)
+        * (F.col("b") + F.lit(ADD_K))
+        / (F.col("c") + F.lit(ADD_K) * F.col("__v"))
+        + F.lit(1.0 - LAMBDA)
+        * (F.col("u") + F.lit(ADD_K))
+        / (F.col("__t") + F.lit(ADD_K) * F.col("__v"))
+    )
+    # 1e-8 fixed-point quantization BEFORE the per-doc sum: integer
+    # addition is associative, so the total is partition-order-
+    # independent (plans._lsum)
+    ql = F.floor(F.log(p) * F.lit(_Q) + F.lit(0.5)).cast("decimal(38,0)")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(ql).alias("__qsum"),
+    )
+    ppl = F.exp(
+        -(F.col("__qsum").cast("double") / F.lit(_Q))
+        / F.col("n_bigrams").cast("double")
+    )
+    out = per_doc.select(id_col, "n_bigrams", ppl.alias("ppl"))
+    # docs with < 2 tokens have no pair rows: restore them with null
+    # ppl via a left join from the full id set
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("ppl"),
+        )
+    )
+
+
+def bigram_perplexity_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`bigram_perplexity` — the same counts,
+    interpolation constants and 1e-8 fixed-point log summation."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'),"
+        f" x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (
+      SELECT {id_col}, {toks} AS ts FROM {table}
+    ),
+    pairs AS (
+      SELECT {id_col}, z[1] AS w1, z[2] AS w2 FROM (
+        SELECT {id_col},
+               unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z
+        FROM tk
+      )
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS u FROM (
+        SELECT unnest(ts) AS w FROM tk) GROUP BY w
+    ),
+    tv AS (
+      SELECT CAST(SUM(u) AS DOUBLE) AS t,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM uni
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS b
+      FROM pairs GROUP BY w1, w2
+    ),
+    ctx AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1
+    ),
+    scored AS (
+      SELECT p.{id_col},
+             CAST(floor(ln(
+               {LAMBDA!r} * (bg.b + {ADD_K!r}) / (cx.c + {ADD_K!r} * tv.v)
+               + {1.0 - LAMBDA!r} * (un.u + {ADD_K!r})
+                 / (tv.t + {ADD_K!r} * tv.v)
+             ) * 100000000.0 + 0.5) AS HUGEINT) AS ql
+      FROM pairs p
+      JOIN big bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+      JOIN ctx cx ON p.w1 = cx.w1
+      JOIN uni un ON p.w2 = un.w
+      CROSS JOIN tv
+    ),
+    per_doc AS (
+      SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(ql) AS qsum
+      FROM scored GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           exp(-(CAST(pd.qsum AS DOUBLE) / 100000000.0)
+               / CAST(pd.n_bigrams AS DOUBLE)) AS ppl
+    FROM {table} d
+    LEFT JOIN per_doc pd ON d.{id_col} = pd.{id_col}
+    """
