@@ -121,6 +121,60 @@ def bigram_perplexity(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's actual output shape: head / middle / tail quality
+    buckets by perplexity TERCILES (CCNet trains KenLM on Wikipedia
+    and buckets Common Crawl by the 33/67 percentile cuts; this
+    engine's LM is the corpus-self-trained bigram model above —
+    documented divergence, same bucketing machinery).
+
+    Scale: the tercile thresholds are ONE exact-percentile aggregation
+    over the scored relation (a 1-row result riding a broadcast
+    cross-join — the keys=[] aggregate shape), then a scan-local CASE;
+    no window, no sort of the corpus.  Documents without a score
+    (< 2 tokens) bucket as 'unscored' rather than silently joining a
+    tercile."""
+    scored = bigram_perplexity(docs, text_col=text_col, id_col=id_col)
+    cuts = scored.filter(F.col("ppl").isNotNull()).agg(
+        F.percentile(F.col("ppl"), F.lit(1.0 / 3.0)).alias("__c1"),
+        F.percentile(F.col("ppl"), F.lit(2.0 / 3.0)).alias("__c2"),
+    )
+    out = scored.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("ppl").isNull(), F.lit("unscored"))
+        .when(F.col("ppl") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        id_col, "n_bigrams", "ppl", bucket.alias("bucket")
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`: quantile_cont matches
+    Spark's exact interpolated ``percentile``."""
+    inner = bigram_perplexity_sql(table, text_col, id_col)
+    return f"""
+    WITH scored AS ({inner}),
+    cuts AS (
+      SELECT quantile_cont(ppl, 1.0/3.0) AS c1,
+             quantile_cont(ppl, 2.0/3.0) AS c2
+      FROM scored WHERE ppl IS NOT NULL
+    )
+    SELECT s.{id_col}, s.n_bigrams, s.ppl,
+           CASE WHEN s.ppl IS NULL THEN 'unscored'
+                WHEN s.ppl <= c.c1 THEN 'head'
+                WHEN s.ppl <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s CROSS JOIN cuts c
+    """
+
+
 def bigram_perplexity_sql(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

@@ -111,3 +111,36 @@ def test_bigram_perplexity_engines_and_reference_agree(spark):
     # median (the filter's actual use)
     ppls = sorted(v[1] for v in got.values() if v[1] is not None)
     assert ppls[0] < ppls[len(ppls) // 2]
+
+
+def test_ccnet_buckets(spark):
+    """Tercile bucketing: engine vs DuckDB twin on the fixture corpus,
+    plus a tiny corpus where the cuts are hand-derivable and the
+    unscored path fires."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    got = {r["doc_id"]: r["bucket"]
+           for r in lm.ccnet_buckets(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    sql = {r[0]: r[3] for r in
+           con.execute(lm.ccnet_buckets_sql()).fetchall()}
+    assert got == sql
+    from collections import Counter
+    c = Counter(got.values())
+    n = sum(v for k, v in c.items() if k != "unscored")
+    # terciles: each scored bucket holds about a third
+    for k in ("head", "middle", "tail"):
+        assert abs(c[k] - n / 3) <= max(3, 0.05 * n), c
+    # unscored path: a no-bigram doc never joins a tercile
+    tiny = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z q"), (3, "c")],
+        "doc_id long, text string")
+    tb = {r["doc_id"]: r["bucket"]
+          for r in lm.ccnet_buckets(tiny).collect()}
+    assert tb[3] == "unscored"
+    assert set(tb[d] for d in (1, 2)) <= {"head", "middle", "tail"}
