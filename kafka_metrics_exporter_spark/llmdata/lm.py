@@ -46,9 +46,17 @@ ADD_K = 1.0
 
 _Q = 100_000_000.0  # 1e-8 fixed point, the plans._lsum scale
 
+#: Explicit whitespace class shared by BOTH engines.  Java's ``\s``
+#: includes vertical tab ``\x0B`` while RE2's (the DuckDB twin's
+#: ``string_split_regex``) does not — the exact cross-engine
+#: regex-class hazard ``bpe.py`` documents.  Spelling the class out
+#: (Java's default ``\s`` membership) makes the two tokenizers
+#: byte-identical; ``tests/test_llmdata_lm.py`` pins the parity.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
 
 def _tokens(text):  # lowercased whitespace tokens, empties dropped
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(text), WS_CLASS), lambda t: t != "")
 
 
 def bigram_perplexity(
@@ -59,13 +67,19 @@ def bigram_perplexity(
     fewer than two tokens emit a null ppl (no bigram positions — the
     loud relational stance, never a fabricated score)."""
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__ts"))
-    # adjacent pairs, scan-local: zip(arr[:-1], arr[1:])
+    # adjacent pairs, scan-local: zip(arr[:-1], arr[1:]).  The slice
+    # LENGTH clamps at 0: a zero-token doc (empty / whitespace-only
+    # text) would otherwise hand F.slice a length of -1 and Spark
+    # raises INVALID_PARAMETER_VALUE.LENGTH — the clamp keeps the
+    # documented contract (null ppl for < 2 tokens) for 0-token docs
+    # too, matching the DuckDB twin's graceful empty list slice.
+    bg_len = F.greatest(F.size("__ts") - F.lit(1), F.lit(0))
     pairs = toks.select(
         id_col,
         F.explode(
             F.zip_with(
-                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
-                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                F.slice(F.col("__ts"), 1, bg_len),
+                F.slice(F.col("__ts"), 2, bg_len),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
@@ -180,8 +194,11 @@ def bigram_perplexity_sql(
 ) -> str:
     """DuckDB twin of :func:`bigram_perplexity` — the same counts,
     interpolation constants and 1e-8 fixed-point log summation."""
+    # WS_CLASS verbatim: DuckDB plain string literals pass backslashes
+    # through to RE2 untouched, so the Spark and SQL tokenizers share
+    # one explicit whitespace class (RE2's \s lacks \x0B, Java's has it).
     toks = (
-        f"list_filter(string_split_regex(lower({text_col}), '\\s+'),"
+        f"list_filter(string_split_regex(lower({text_col}), '{WS_CLASS}'),"
         f" x -> x <> '')"
     )
     return f"""

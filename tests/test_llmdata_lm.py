@@ -113,6 +113,45 @@ def test_bigram_perplexity_engines_and_reference_agree(spark):
     assert ppls[0] < ppls[len(ppls) // 2]
 
 
+def test_zero_token_docs_and_ws_class_parity(spark):
+    """ADVICE r15 regressions: (a) empty / whitespace-only documents
+    must emit null ppl, not crash the slice with length -1; (b) the
+    tokenizer's whitespace class is spelled explicitly so a vertical
+    tab splits identically in Spark (Java regex) and the DuckDB twin
+    (RE2, whose \\s excludes \\x0B)."""
+    rows = [
+        (1, ""),                 # zero tokens: empty string
+        (2, "   "),              # zero tokens: spaces only
+        (3, " \t\n\x0b\f\r "),   # zero tokens: every class member
+        (4, "a\x0bb a\x0bb"),    # \x0B splits -> tokens a b a b
+        (5, "a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["ppl"])
+           for r in lm.bigram_perplexity(docs).collect()}
+    for d in (1, 2, 3):
+        assert got[d] == (0, None), (d, got[d])
+    assert got[4][0] == 3  # "a b a b" has 3 bigram positions
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = {r[0]: (r[1], r[2]) for r in
+           con.execute(lm.bigram_perplexity_sql()).fetchall()}
+    ref = ref_ppl(dict(rows))  # Python split() also splits \x0b
+    assert set(got) == set(sql) == set(ref)
+    for d in got:
+        assert got[d][0] == sql[d][0] == ref[d][0], d
+        if ref[d][1] is None:
+            assert got[d][1] is None and sql[d][1] is None, d
+        else:
+            assert got[d][1] == pytest.approx(sql[d][1], rel=1e-9), d
+            assert got[d][1] == pytest.approx(ref[d][1], rel=1e-6), d
+    # ccnet_buckets inherits the fix: zero-token docs bucket unscored
+    tb = {r["doc_id"]: r["bucket"]
+          for r in lm.ccnet_buckets(docs).collect()}
+    assert tb[1] == tb[2] == tb[3] == "unscored"
+
+
 def test_ccnet_buckets(spark):
     """Tercile bucketing: engine vs DuckDB twin on the fixture corpus,
     plus a tiny corpus where the cuts are hand-derivable and the
