@@ -1956,14 +1956,29 @@ def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kibana_categorize_text",
-    f"""
+#: the categorize_text log line (shared by the exact and merged rows):
+#: events become the ES documents the reference's sink writes, rendered
+#: as a log message whose digit-bearing tokens (event id, user id,
+#: latency) must never define a category.
+def _ct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _es_docs(spark, sf_dir).withColumn(
+        "msg",
+        F.concat(
+            F.col("event_type"), F.lit(" event "),
+            F.col("event_id").cast("string"), F.lit(" for user "),
+            F.col("user_id"), F.lit(" took "),
+            F.col("value_i").cast("long").cast("string"), F.lit(" ms"),
+        ),
+    )
+
+
+_CT_CATS0_SQL = f"""
     WITH d AS ({_ES_DOCS_SQL}),
     msgs AS (
       SELECT event_type || ' event ' || CAST(event_id AS VARCHAR)
                || ' for user ' || user_id || ' took '
-               || CAST(value_i AS VARCHAR) || ' ms' AS msg
+               || CAST(value_i AS VARCHAR) || ' ms' AS msg,
+             value_i, user_id
       FROM d
     ),
     cats0 AS (
@@ -1971,20 +1986,75 @@ def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_filter(
                  string_split_regex(lower(msg), '[^a-z0-9]+'),
                  t -> t <> '' AND NOT regexp_matches(t, '[0-9]')
-               ), ' ') AS cat
+               ), ' ') AS cat,
+             value_i, user_id
       FROM msgs
-    ),
+    )
+"""
+
+
+@query(
+    "kibana_categorize_text",
+    f"""
+    {_CT_CATS0_SQL},
     cats AS (
-      SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count,
+             AVG(CAST(value_i AS DOUBLE)) AS avg_vi,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM cats0 WHERE cat <> '' GROUP BY cat
+    )
+    SELECT cat, doc_count, round(avg_vi, 4) AS avg_vi, n_users
+    FROM cats ORDER BY doc_count DESC, cat ASC LIMIT 10
+    """,
+)
+def kibana_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``categorize_text``, EXACT patterns (round 14; split from
+    the merged branch in round 16 per VERDICT r15 item 3 so each
+    workload has its own baseline): log lines bucket by their
+    token-sequence pattern after dropping every digit-bearing token
+    (ES ML categorization's rule that numbers — ids, latencies,
+    timestamps — never define a category); each event_type yields one
+    pattern.  Round 16 adds metric sub-aggs (VERDICT r15 item 4): an
+    avg and an exact cardinality ride the SAME single hash aggregation
+    as the doc_count.
+
+    Scale: scan-local column algebra for the key, ONE hash aggregation,
+    TakeOrdered size cut."""
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "avg_vi"}},
+        {"id": "3", "type": "cardinality", "schema": "metric",
+         "params": {"field": "user_id", "customLabel": "n_users"}},
+    ])).evaluate(_ct_docs(spark, sf_dir))
+    return out.select(
+        "cat",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("avg_vi", 4).alias("avg_vi"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "kibana_categorize_text_merged",
+    f"""
+    {_CT_CATS0_SQL},
+    cats AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS doc_count,
+             SUM(CAST(value_i AS DOUBLE)) AS s_vi,
+             CAST(COUNT(value_i) AS BIGINT) AS c_vi,
+             MAX(CAST(value_i AS DOUBLE)) AS m_vi
       FROM cats0 WHERE cat <> '' GROUP BY cat
     ),
-    -- merged branch (round 15): the engine's deterministic
-    -- similarity merge replayed — same-length positional similarity
-    -- >= 0.7, frequency-seeded attachment (doc_count desc, key asc),
-    -- 6 pointer-jump self-compositions (depth 64, the engine's
-    -- bound), unanimity-wildcard keys
+    -- the engine's deterministic similarity merge replayed —
+    -- same-length positional similarity >= 0.7, frequency-seeded
+    -- attachment (doc_count desc, key asc), 6 pointer-jump
+    -- self-compositions (depth 64, the engine's bound), unanimity-
+    -- wildcard keys; metric partials (sum/count/max) ride every hop
     pats AS (
-      SELECT cat, doc_count, string_split(cat, ' ') AS toks,
+      SELECT cat, doc_count, s_vi, c_vi, m_vi,
+             string_split(cat, ' ') AS toks,
              len(string_split(cat, ' ')) AS l
       FROM cats
     ),
@@ -2007,12 +2077,14 @@ def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp5 AS (SELECT a.p, b.rep FROM rp4 a JOIN rp4 b ON a.rep = b.p),
     rp6 AS (SELECT a.p, b.rep FROM rp5 a JOIN rp5 b ON a.rep = b.p),
     memb AS (
-      SELECT r.rep, pt.toks, pt.l, pt.doc_count
+      SELECT r.rep, pt.toks, pt.l, pt.doc_count,
+             pt.s_vi, pt.c_vi, pt.m_vi
       FROM rp6 r JOIN pats pt ON r.p = pt.cat
     ),
     grouped AS (
       SELECT rep, list(toks) AS tls, max(l) AS l,
-             sum(doc_count) AS n
+             sum(doc_count) AS n,
+             sum(s_vi) AS s_vi, sum(c_vi) AS c_vi, max(m_vi) AS m_vi
       FROM memb GROUP BY rep
     ),
     mk AS (
@@ -2020,72 +2092,54 @@ def kibana_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CASE WHEN len(list_distinct(
                               list_transform(tls, tk -> tk[i]))) = 1
                     THEN tls[1][i] ELSE '*' END), ' ') AS cat,
-             n
+             n, s_vi, c_vi, m_vi
       FROM grouped
     ),
     merged AS (
-      SELECT cat, CAST(sum(n) AS BIGINT) AS doc_count
+      SELECT cat, CAST(sum(n) AS BIGINT) AS doc_count,
+             sum(s_vi) AS s_vi, CAST(sum(c_vi) AS BIGINT) AS c_vi,
+             max(m_vi) AS m_vi
       FROM mk GROUP BY cat
     )
-    SELECT * FROM (
-      SELECT 'exact' AS branch, cat, doc_count FROM cats
-      ORDER BY doc_count DESC, cat ASC LIMIT 10
-    )
-    UNION ALL
-    SELECT * FROM (
-      SELECT 'merged' AS branch, cat, doc_count FROM merged
-      ORDER BY doc_count DESC, cat ASC LIMIT 10
-    )
+    SELECT cat, doc_count,
+           round(CASE WHEN c_vi > 0 THEN s_vi / c_vi END, 4) AS avg_vi,
+           m_vi AS max_vi
+    FROM merged ORDER BY doc_count DESC, cat ASC LIMIT 10
     """,
 )
-def kibana_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``categorize_text`` (rounds 14/15): log lines bucket by
-    their token-sequence pattern after dropping every digit-bearing
-    token (ES ML categorization's rule that numbers — ids, latencies,
-    timestamps — never define a category).  The log line is derived
-    from the events table the way the reference's metrics become ES
-    documents; each event_type yields one pattern.
-
-    Branch 'exact': threshold-100 patterns (round 14).  Branch
-    'merged' (round 15): ``similarity_threshold: 70`` — the engine's
+def kibana_categorize_text_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``categorize_text`` with ``similarity_threshold: 70``
+    (round 15; its own registry row since round 16 per VERDICT r15
+    item 3 — the 2.5× bench step of running a second doc-scale branch
+    was hiding inside the exact row's baseline): the engine's
     DETERMINISTIC merge semantic (same-length positional similarity,
     frequency-seeded attachment, pointer-jump closure, unanimity-
     wildcard keys; see CategorizeTextBucket) where ES's drain-style
-    algorithm is shard/arrival-order sensitive — the former loud
-    rejection is closed with a precisely-documented order-independent
-    semantic, replayed generically by the oracle's self-join +
-    list-lambda SQL.  On this corpus the five per-type patterns agree
-    on 5/6 positions, so they merge into '* event for user took ms'.
+    algorithm is shard/arrival-order sensitive.  On this corpus the
+    five per-type patterns agree on 5/6 positions, so they merge into
+    '* event for user took ms'.  Round 16 adds metric sub-aggs
+    (VERDICT r15 item 4): avg (sum+count partials) and max merge
+    through the rep closure — the oracle replays every partial hop.
 
     Scale: exact aggregation first collapses the corpus; the merge is
     quadratic in CATEGORIES per token-length (category-scale, never
     doc-scale), and the pointer jumps are self-joins of a
     category-sized relation."""
-    docs = _es_docs(spark, sf_dir).withColumn(
-        "msg",
-        F.concat(
-            F.col("event_type"), F.lit(" event "),
-            F.col("event_id").cast("string"), F.lit(" for user "),
-            F.col("user_id"), F.lit(" took "),
-            F.col("value_i").cast("long").cast("string"), F.lit(" ms"),
-        ),
-    )
-    exact = compile_visualization(_vis([
-        {"id": "1", "type": "categorize_text", "schema": "bucket",
-         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
-    ])).evaluate(docs)
-    merged = compile_visualization(_vis([
+    out = compile_visualization(_vis([
         {"id": "1", "type": "categorize_text", "schema": "bucket",
          "params": {"field": "msg", "size": 10,
                     "similarity_threshold": 70, "customLabel": "cat"}},
-    ])).evaluate(docs)
-    return exact.select(
-        F.lit("exact").alias("branch"), "cat",
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "avg_vi"}},
+        {"id": "3", "type": "max", "schema": "metric",
+         "params": {"field": "value_i", "customLabel": "max_vi"}},
+    ])).evaluate(_ct_docs(spark, sf_dir))
+    return out.select(
+        "cat",
         F.col("doc_count").cast("long").alias("doc_count"),
-    ).unionByName(merged.select(
-        F.lit("merged").alias("branch"), "cat",
-        F.col("doc_count").cast("long").alias("doc_count"),
-    ))
+        F.round("avg_vi", 4).alias("avg_vi"),
+        F.col("max_vi").alias("max_vi"),
+    )
 
 
 @query(

@@ -4281,6 +4281,82 @@ def test_categorize_text_similarity_merge(spark):
         ])["visState"])
 
 
+def test_categorize_text_metric_subaggs(spark):
+    """categorize_text metric sub-aggs (round 16, VERDICT r15 item 4):
+    avg/sum/min/max/count nest under pattern buckets in BOTH threshold
+    paths (exact: one hash agg; merged: decomposable partials through
+    the rep closure), cardinality in the exact path only — all values
+    hand-computed.  A null metric value exercises the non-null avg
+    count partial."""
+    rows = (
+        [("error connecting 1 to host", v, u) for v, u in
+         [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"), (5.0, "c")]]
+        + [("error connecting 2 to server", v, u) for v, u in
+           [(10.0, "a"), (20.0, "d"), (30.0, "d")]]
+        + [("error talking 3 to server", v, u) for v, u in
+           [(100.0, "e"), (200.0, "e")]]
+        + [("warning disk 44 full", v, u) for v, u in
+           [(6.0, "a"), (7.0, "b"), (8.0, "a"), (None, "b")]]
+        + [("error connecting 5", 1000.0, "z")]
+    )
+    d = spark.createDataFrame(rows, "msg string, v double, u string")
+    # exact path (threshold 100): finalize in the one aggregation
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10, "customLabel": "cat"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "av"}},
+        {"id": "3", "type": "cardinality", "schema": "metric",
+         "params": {"field": "u", "customLabel": "nu"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "v", "customLabel": "sv"}},
+    ])).evaluate(d)
+    got = {r["cat"]: (r["doc_count"], r["av"], r["nu"], r["sv"])
+           for r in out.collect()}
+    assert got["error connecting to host"] == (5, 3.0, 3, 15.0)
+    assert got["error connecting to server"] == (3, 20.0, 2, 60.0)
+    assert got["error talking to server"] == (2, 150.0, 1, 300.0)
+    assert got["warning disk full"] == (4, 7.0, 2, 21.0)  # null v skipped
+    assert got["error connecting"] == (1, 1000.0, 1, 1000.0)
+    # merged path (threshold 70): partials combine through the closure
+    out2 = compile_visualization(_vis8([
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10,
+                    "similarity_threshold": 70, "customLabel": "cat"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "av"}},
+        {"id": "3", "type": "min", "schema": "metric",
+         "params": {"field": "v", "customLabel": "lo"}},
+        {"id": "4", "type": "max", "schema": "metric",
+         "params": {"field": "v", "customLabel": "hi"}},
+        {"id": "5", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(d)
+    got2 = {r["cat"]: (r["doc_count"], r["av"], r["lo"], r["hi"], r["n"])
+            for r in out2.collect()}
+    assert got2["error * to *"] == (10, 37.5, 1.0, 200.0, 10)
+    assert got2["warning disk full"] == (4, 7.0, 6.0, 8.0, 4)
+    assert got2["error connecting"] == (1, 1000.0, 1000.0, 1000.0, 1)
+    # cardinality is not a decomposable partial: loud under merge
+    with pytest.raises(ValueError, match="not decomposable"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {"field": "msg", "similarity_threshold": 70}},
+            {"id": "2", "type": "cardinality", "schema": "metric",
+             "params": {"field": "u", "customLabel": "nu"}},
+        ])).evaluate(d)
+    # pipeline aggs still reject
+    with pytest.raises(ValueError, match="simple metric sub-aggs"):
+        compile_visualization(_vis8([
+            {"id": "1", "type": "categorize_text", "schema": "bucket",
+             "params": {"field": "msg"}},
+            {"id": "2", "type": "avg", "schema": "metric",
+             "params": {"field": "v", "customLabel": "av"}},
+            {"id": "3", "type": "cumulative_sum", "schema": "metric",
+             "params": {"metricAgg": "2", "customLabel": "cs"}},
+        ])).evaluate(d)
+
+
 def test_sampler_deterministic_topk(spark):
     """ES plain sampler (round 15), the deterministic twin: the
     shard_size lowest md5(id ':' seed) residues survive — verified
