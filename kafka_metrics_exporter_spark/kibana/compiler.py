@@ -647,21 +647,30 @@ class SamplerBucket:
 
 @dataclass(frozen=True)
 class IpRangeBucket:
-    """ES ``ip_range`` bucket (round 15): half-open [from, to) ranges
-    over an IPv4-string field, plus CIDR ``mask`` entries (a /p mask
-    is the range [network_address, network_address + 2^(32-p))) —
-    both forms normalize to uint32 endpoints at PARSE time (stdlib
-    ``ipaddress``), so evaluation is pure integer Column math: octet
-    split/validate/horner once per doc, then the RangeBucket
-    overlap-explode.  Keys follow ES: the declared ``key``, else the
-    mask string, else ``from-to`` with ``*`` for open ends.
+    """ES ``ip_range`` bucket (round 15; IPv6 since round 16): half-open
+    [from, to) ranges over an IP-string field, plus CIDR ``mask``
+    entries (a /p mask is the range [network_address, network_address
+    + 2^(bits-p))).  Both forms normalize at PARSE time (stdlib
+    ``ipaddress``) into Lucene's unified 128-bit space — IPv4
+    addresses and CIDRs map to ``::ffff:a.b.c.d`` (v4-mapped), exactly
+    how ES's ``ip`` field stores and compares both families — so a v6
+    range can cover v4 docs and vice versa, like ES.  Evaluation is
+    pure integer Column math: the doc address parses ONCE per row
+    (dotted-quad horner, or RFC-4291 v6 — compressed ``::`` and
+    embedded v4 tails included — via split/pad/base-16 conv) into two
+    64-bit words each BIASED by −2^63 (signed long order == unsigned
+    word order; the packed-words pattern of the binary-ANN popcount
+    path), then the RangeBucket overlap-explode compares
+    lexicographically over (hi, lo).  Keys follow ES: the declared
+    ``key``, else the mask string, else ``from-to`` with ``*`` for
+    open ends.
 
-    Documented bounds: IPv4 only (an IPv6 range or mask rejects at
-    parse — the fixtures carry no v6 and ES's v6 keys add nothing to
-    the relational semantics); a malformed address EXCLUDES the doc
-    from every range (ES's ip field type rejects it at index time —
-    an engine reading raw strings can only drop it, loudly documented
-    rather than silently bucketing garbage)."""
+    A malformed address EXCLUDES the doc from every range (ES's ip
+    field type rejects it at index time — an engine reading raw
+    strings can only drop it, loudly documented rather than silently
+    bucketing garbage).  ``ranges`` endpoints are 128-bit mapped-space
+    ints; an exclusive end of 2^128 (e.g. ``::/0``) is stored as None
+    (unbounded)."""
 
     field: str
     ranges: tuple[tuple[str, int | None, int | None], ...]  # (key, lo, hi)
@@ -1082,6 +1091,143 @@ def _bind1(expr: Column, f) -> Column:
 def _slug(s: str) -> str:
     s = re.sub(r"[^A-Za-z0-9]+", "_", s.strip()).strip("_").lower()
     return s or "col"
+
+
+# ---------------------------------------------------------------------------
+# ip_range 128-bit address math (round 16: IPv6)
+# ---------------------------------------------------------------------------
+#: Lucene/ES store IPv4 as v4-mapped IPv6 (::ffff:a.b.c.d), making ONE
+#: 128-bit comparison space for both families.
+_V4_MAPPED_BASE = 0xFFFF00000000
+_M64 = (1 << 64) - 1
+#: word bias: unsigned-64 order == signed-64 order after subtracting
+#: 2^63 (the packed-words stance of llmdata/similarity's binary ANN)
+_BIAS64 = 1 << 63
+
+_V4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+#: RFC-4291 textual v6 over hex groups (the embedded v4 tail is
+#: expanded to two hex groups BEFORE this regex applies): the classic
+#: 9-alternative grammar — full 8 groups, or 1-7 leading groups + '::',
+#: '::'-compressed interiors, and the bare/leading-'::' forms.
+_V6_RE = (
+    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+)
+
+
+def _ip128_struct(ip_s: Column) -> Column:
+    """IP string → ``struct(hi, lo)``: the address's 128-bit value in
+    the v4-mapped unified space, split into two 64-bit words, each
+    biased by −2^63 so plain signed-long comparison reproduces
+    unsigned 128-bit order.  NULL for malformed input (the doc then
+    matches no range).  Pure Column math, evaluated by the caller
+    through :func:`_bind1` so the parse runs ONCE per row:
+
+    - dotted-quad: octet split + validate + horner (the round-15 path),
+      landed at ``::ffff:a.b.c.d``;
+    - v6: an embedded v4 tail expands to two hex groups first
+      (format_string, JVM-side), the RFC-4291 grammar validates, then
+      split on '::' / pad with zero groups to 8 / per-group base-16
+      ``conv`` / two biased-horner words.  Group values are ≤ 0xFFFF,
+      so the biased horner ``(((g0−2^15)·2^16+g1)·2^16+g2)·2^16+g3``
+      spans exactly [−2^63, 2^63) — no ANSI overflow."""
+
+    def _v4_words(ps):
+        o = [F.get(ps, i).cast("long") for i in range(4)]
+        ok = F.lit(True)
+        for oc in o:
+            ok = ok & (oc <= 255)
+        u32 = ((o[0] * 256 + o[1]) * 256 + o[2]) * 256 + o[3]
+        return F.when(
+            ok,
+            F.struct(
+                F.lit(-_BIAS64).alias("hi"),
+                (F.lit(_V4_MAPPED_BASE - _BIAS64) + u32).alias("lo"),
+            ),
+        )
+
+    def _v6_words(padded):
+        def g(i):
+            return F.conv(F.get(padded, i), 16, 10).cast("long")
+
+        def word(a, b, c, d_):
+            return (
+                ((a - F.lit(32768)) * 65536 + b) * 65536 + c
+            ) * 65536 + d_
+
+        return F.struct(
+            word(g(0), g(1), g(2), g(3)).alias("hi"),
+            word(g(4), g(5), g(6), g(7)).alias("lo"),
+        )
+
+    def _v6_from_groups(s2):
+        parts = F.split(s2, "::")
+
+        def _with_parts(pa):
+            l_arr = F.filter(
+                F.split(F.get(pa, 0), ":"), lambda x: x != ""
+            )
+            r_arr = F.when(
+                F.size(pa) == 2,
+                F.filter(F.split(F.get(pa, 1), ":"), lambda x: x != ""),
+            ).otherwise(F.array().cast("array<string>"))
+            padded = F.concat(
+                l_arr,
+                F.array_repeat(
+                    F.lit("0"),
+                    F.lit(8) - F.size(l_arr) - F.size(r_arr),
+                ),
+                r_arr,
+            )
+            return _bind1(padded, _v6_words)
+
+        return _bind1(parts, _with_parts)
+
+    def _v4_tail_expand(ps):
+        # a.b.c.d tail -> '%x:%x' of (a*256+b, c*256+d); invalid
+        # octets null the concat, which nulls the whole parse
+        o = [F.get(ps, i).cast("long") for i in range(4)]
+        ok = F.lit(True)
+        for oc in o:
+            ok = ok & (oc <= 255)
+        return F.when(
+            ok,
+            F.format_string(
+                "%x:%x", o[0] * 256 + o[1], o[2] * 256 + o[3]
+            ),
+        )
+
+    tail_re = r"^(.*:)(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$"
+    tail = F.regexp_extract(ip_s, tail_re, 2)
+    s2 = F.when(tail == "", ip_s).otherwise(
+        F.concat(
+            F.regexp_extract(ip_s, tail_re, 1),
+            _bind1(F.split(tail, r"\."), _v4_tail_expand),
+        )
+    )
+    return F.when(
+        ip_s.rlike(_V4_RE), _bind1(F.split(ip_s, r"\."), _v4_words)
+    ).when(
+        ip_s.contains(":"),
+        _bind1(
+            s2,
+            lambda s2b: F.when(
+                s2b.rlike(_V6_RE), _v6_from_groups(s2b)
+            ),
+        ),
+    )
+
+
+def _ip128_bounds(v: int) -> tuple[int, int]:
+    """128-bit endpoint → its two biased signed-64 word literals."""
+    return (v >> 64) - _BIAS64, (v & _M64) - _BIAS64
 
 
 def _bound_us(v) -> int:
@@ -1548,6 +1694,9 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             import ipaddress as _ip
 
             def _ip_int(s, what):
+                # v4 and v6 share Lucene's 128-bit space: v4 maps to
+                # ::ffff:a.b.c.d (how ES's ip field compares both
+                # families), so cross-family ranges work like ES
                 try:
                     addr = _ip.ip_address(str(s))
                 except ValueError as e:
@@ -1555,12 +1704,9 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                         f"kibana: ip_range {what} {s!r} is not a valid "
                         f"IP address"
                     ) from e
-                if addr.version != 4:
-                    raise ValueError(
-                        "kibana: ip_range models IPv4 only (documented;"
-                        " the fixtures carry no v6)"
-                    )
-                return int(addr)
+                return int(addr) + (
+                    _V4_MAPPED_BASE if addr.version == 4 else 0
+                )
 
             ipranges: list[tuple[str, int | None, int | None]] = []
             for r in p.get("ranges", []):
@@ -1572,15 +1718,15 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                             f"kibana: ip_range mask {r['mask']!r} is "
                             f"not a valid CIDR"
                         ) from e
-                    if net.version != 4:
-                        raise ValueError(
-                            "kibana: ip_range models IPv4 only "
-                            "(documented; the fixtures carry no v6)"
-                        )
+                    base = int(net.network_address) + (
+                        _V4_MAPPED_BASE if net.version == 4 else 0
+                    )
+                    end = base + net.num_addresses
                     ipranges.append((
                         str(r.get("key") or r["mask"]),
-                        int(net.network_address),
-                        int(net.network_address) + net.num_addresses,
+                        base,
+                        # ::/0 ends at 2^128: unbounded above
+                        None if end >= (1 << 128) else end,
                     ))
                     continue
                 lo = (
@@ -3637,39 +3783,40 @@ class KibanaPlan:
                 )
                 df = df.withColumn(b.label, F.explode(matches))
             elif isinstance(b, IpRangeBucket):
-                # IPv4 string -> uint32 ONCE per row (octet split +
-                # validate + horner bound as lambda leaves — project
-                # collapsing would otherwise re-run the regex and the
-                # split once per range predicate), then the
-                # RangeBucket overlap-explode over integer endpoints;
-                # malformed addresses stay null and match no range
+                # IP string -> two biased 64-bit words ONCE per row
+                # (the whole parse bound as a lambda leaf — project
+                # collapsing would otherwise re-run it once per range
+                # predicate), then the RangeBucket overlap-explode
+                # comparing (hi, lo) lexicographically against the
+                # parse-time 128-bit endpoints; malformed addresses
+                # stay null and match no range
                 ip_s = resolve(b.field).cast("string")
 
-                # factories bind the captured state: pyspark derives a
+                # factory binds the captured ranges: pyspark derives a
                 # HOF lambda's arity from the Python signature, so
                 # default-arg closures would mis-arity the callback
-                def _make_ip_horner(_s):
-                    def _ip_horner(ps):
-                        o = [F.get(ps, i).cast("long") for i in range(4)]
-                        ok = _s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-                        for oc in o:
-                            ok = ok & (oc <= 255)
-                        return F.when(
-                            ok,
-                            ((o[0] * 256 + o[1]) * 256 + o[2]) * 256
-                            + o[3],
-                        )
-
-                    return _ip_horner
-
                 def _make_ip_matches(_ranges):
-                    def _ip_matches(v):
+                    def _ip_matches(w):
+                        hi_w, lo_w = w["hi"], w["lo"]
+
+                        def _ge(v):  # (hi_w, lo_w) >= v, unsigned-128
+                            h, l_ = _ip128_bounds(v)
+                            return (hi_w > F.lit(h)) | (
+                                (hi_w == F.lit(h)) & (lo_w >= F.lit(l_))
+                            )
+
+                        def _lt(v):
+                            h, l_ = _ip128_bounds(v)
+                            return (hi_w < F.lit(h)) | (
+                                (hi_w == F.lit(h)) & (lo_w < F.lit(l_))
+                            )
+
                         def _in_iprange(lo, hi):
-                            pred = v.isNotNull()
+                            pred = hi_w.isNotNull()
                             if lo is not None:
-                                pred = pred & (v >= F.lit(lo))
+                                pred = pred & _ge(lo)
                             if hi is not None:
-                                pred = pred & (v < F.lit(hi))
+                                pred = pred & _lt(hi)
                             return pred
 
                         return F.array_compact(
@@ -3683,11 +3830,8 @@ class KibanaPlan:
 
                     return _ip_matches
 
-                _horner = _make_ip_horner(ip_s)
-                _matches = _make_ip_matches(b.ranges)
                 ip_matches = _bind1(
-                    F.split(ip_s, r"\."),
-                    lambda ps: _bind1(_horner(ps), _matches),
+                    _ip128_struct(ip_s), _make_ip_matches(b.ranges)
                 )
                 df = df.withColumn(b.label, F.explode(ip_matches))
             elif isinstance(b, DateRangeBucket):

@@ -2827,34 +2827,56 @@ def kibana_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ip_range oracle constants, derived from stdlib ipaddress (the same
+# parse the engine uses) so the twin can never drift: the v4-mapped
+# base ::ffff:0:0 and the 2001:db8:: prefix base.
+import ipaddress as _ipaddress  # noqa: E402
+
+_IP_V4MAP = int(_ipaddress.ip_address("::ffff:0:0"))
+_IP_DB8_BASE = int(_ipaddress.ip_address("2001:db8::"))
+
+
 @query(
     "kibana_ip_range",
     f"""
     WITH d AS ({_ES_DOCS_SQL}),
-    -- the engine's uint32 horner replayed on the derived IPv4; the
-    -- integer endpoints are the parse-time ipaddress conversions:
-    -- 10.0.0.0=167772160, 10.100.0.0=174325760, 10.64.0.0/10 =
-    -- [171966464, 176160768), 10.50.0.0=171048960,
-    -- 10.10.0.0=168427520
+    -- the engine's 128-bit mapped-space conversion replayed (round 16:
+    -- v4 and v6 share Lucene's space, v4 at ::ffff:a.b.c.d =
+    -- {_IP_V4MAP} + u32): docs alternate by event_id % 3 between a
+    -- plain dotted-quad, the SAME address spelled ::ffff:..., and a
+    -- 2001:db8::x:y v6; endpoints are the parse-time ipaddress
+    -- conversions (HUGEINT holds the sub-2^127 constants used here)
     ips AS (
       SELECT event_type, value_i,
-             167772160
-               + (CAST(user_id AS BIGINT) % 200) * 65536
-               + (CAST(value_i AS BIGINT) % 250) * 256
-               + (CAST(event_id AS BIGINT) % 256) AS ipn
+             CASE WHEN CAST(event_id AS BIGINT) % 3 = 2
+               THEN CAST('{_IP_DB8_BASE}' AS HUGEINT)
+                    + (CAST(user_id AS BIGINT) % 65536) * 65536
+                    + (CAST(event_id AS BIGINT) % 65536)
+               ELSE CAST('{_IP_V4MAP}' AS HUGEINT) + 167772160
+                    + (CAST(user_id AS BIGINT) % 200) * 65536
+                    + (CAST(value_i AS BIGINT) % 250) * 256
+                    + (CAST(event_id AS BIGINT) % 256)
+             END AS ipn
       FROM d
     ),
     m AS (
       SELECT r.key, i.value_i
       FROM ips i
       JOIN (VALUES
-        ('10.0.0.0-10.100.0.0', 167772160, 174325760),
-        ('10.64.0.0/10',        171966464, 176160768),
-        ('low',                 NULL,      171048960),
-        ('10.10.0.0-*',         168427520, NULL)
+        ('10.0.0.0-10.100.0.0', CAST('{_IP_V4MAP + 167772160}' AS HUGEINT),
+                                CAST('{_IP_V4MAP + 174325760}' AS HUGEINT)),
+        ('10.64.0.0/10',        CAST('{_IP_V4MAP + 171966464}' AS HUGEINT),
+                                CAST('{_IP_V4MAP + 176160768}' AS HUGEINT)),
+        ('low',                 NULL,
+                                CAST('{_IP_V4MAP + 171048960}' AS HUGEINT)),
+        ('10.10.0.0-*',         CAST('{_IP_V4MAP + 168427520}' AS HUGEINT),
+                                NULL),
+        ('2001:db8::/32',       CAST('{_IP_DB8_BASE}' AS HUGEINT),
+                                CAST('{_IP_DB8_BASE + (1 << 96)}' AS HUGEINT)),
+        ('lower-half-db8',      CAST('{_IP_DB8_BASE}' AS HUGEINT),
+                                CAST('{_IP_DB8_BASE + 0x8000 * 65536}' AS HUGEINT))
       ) r(key, lo, hi)
-      ON i.ipn IS NOT NULL
-         AND (r.lo IS NULL OR i.ipn >= r.lo)
+      ON (r.lo IS NULL OR i.ipn >= r.lo)
          AND (r.hi IS NULL OR i.ipn < r.hi)
     )
     SELECT key AS r, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2863,25 +2885,42 @@ def kibana_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kibana_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``ip_range`` (round 15): from/to AND CIDR-mask ranges over a
-    derived IPv4 column (10.{user_id%200}.{value_i%250}.{event_id%256}
-    — the fixtures carry no IP field; the derivation exercises all
-    four octets), half-open endpoints, overlap-explode, ES key
-    conventions (mask string / from-to / custom key).
+    """ES ``ip_range`` (round 15; IPv6 + cross-family since round 16,
+    VERDICT r15 item 5): from/to AND CIDR-mask ranges over a derived
+    IP column that cycles through THREE spellings by event_id % 3 —
+    plain 10.{user_id%200}.{value_i%250}.{event_id%256}, the same
+    address as v4-mapped ``::ffff:...`` text (must bucket identically:
+    one unified 128-bit space, like ES), and a
+    ``2001:db8::{{user_id%65536:x}}:{{event_id%65536:x}}`` IPv6.
+    Half-open endpoints, overlap-explode, ES key conventions (mask
+    string / from-to / custom key); the open-ended ``10.10.0.0-*``
+    range also captures every v6 doc — the unified-space semantic ES
+    itself has.
 
-    Scale: the IPv4 -> uint32 conversion is scan-local integer column
-    math (octet split + validate + horner, once per doc); ranges are
-    parse-time integer literals, so the bucket explode is the exact
-    RangeBucket cost shape — no UDF, no join, one hash aggregation."""
-    docs = _es_docs(spark, sf_dir).withColumn(
+    Scale: the address parse is scan-local column math ONCE per doc
+    (dotted horner or v6 split/pad/conv into two biased 64-bit words);
+    ranges are parse-time integer literals, so the bucket explode is
+    the exact RangeBucket cost shape — no UDF, no join, one hash
+    aggregation."""
+    docs = _es_docs(spark, sf_dir)
+    v4 = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id").cast("long") % 200).cast("string"),
+        (F.col("value_i").cast("long") % 250).cast("string"),
+        (F.col("event_id").cast("long") % 256).cast("string"),
+    )
+    docs = docs.withColumn(
         "ip",
-        F.concat_ws(
-            ".",
-            F.lit("10"),
-            (F.col("user_id").cast("long") % 200).cast("string"),
-            (F.col("value_i").cast("long") % 250).cast("string"),
-            (F.col("event_id").cast("long") % 256).cast("string"),
-        ),
+        F.when(F.col("event_id").cast("long") % 3 == 2,
+               F.format_string(
+                   "2001:db8::%x:%x",
+                   F.col("user_id").cast("long") % 65536,
+                   F.col("event_id").cast("long") % 65536,
+               ))
+        .when(F.col("event_id").cast("long") % 3 == 1,
+              F.concat(F.lit("::ffff:"), v4))
+        .otherwise(v4),
     )
     out = compile_visualization(_vis([
         {"id": "1", "type": "ip_range", "schema": "bucket",
@@ -2890,6 +2929,9 @@ def kibana_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              {"mask": "10.64.0.0/10"},
              {"key": "low", "to": "10.50.0.0"},
              {"from": "10.10.0.0"},
+             {"mask": "2001:db8::/32"},
+             {"key": "lower-half-db8", "from": "2001:db8::",
+              "to": "2001:db8::8000:0"},
          ], "customLabel": "r"}},
         {"id": "2", "type": "count", "schema": "metric",
          "params": {"customLabel": "n"}},

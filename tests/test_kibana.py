@@ -4403,8 +4403,8 @@ def test_sampler_deterministic_topk(spark):
 def test_ip_range_bucket(spark):
     """ES ip_range (round 15): from/to and CIDR-mask ranges over an
     IPv4 string column — half-open endpoints, overlap-explode, ES key
-    conventions; malformed addresses match nothing; IPv6 rejects at
-    parse."""
+    conventions; malformed addresses match nothing.  (IPv6 support —
+    round 16 — is pinned by test_ip_range_ipv6.)"""
     d = spark.createDataFrame(
         [("10.0.0.3",), ("10.0.0.130",), ("10.0.1.7",), ("10.0.0.0",),
          ("not-an-ip",), ("10.0.0.300",), ("192.168.1.1",)],
@@ -4425,11 +4425,6 @@ def test_ip_range_bucket(spark):
         "subnet1": 1,                # 10.0.1.7
         "*-10.0.0.4": 2,             # .0 and .3 (overlap with range 1)
     }
-    with pytest.raises(ValueError, match="IPv4 only"):
-        parse_vis_state(_vis8([
-            {"id": "1", "type": "ip_range", "schema": "bucket",
-             "params": {"field": "ip",
-                        "ranges": [{"from": "::1"}]}}])["visState"])
     with pytest.raises(ValueError, match="valid CIDR"):
         parse_vis_state(_vis8([
             {"id": "1", "type": "ip_range", "schema": "bucket",
@@ -4439,6 +4434,73 @@ def test_ip_range_bucket(spark):
         parse_vis_state(_vis8([
             {"id": "1", "type": "ip_range", "schema": "bucket",
              "params": {"field": "ip", "ranges": []}}])["visState"])
+
+
+def test_ip_range_ipv6(spark):
+    """ip_range IPv6 (round 16, VERDICT r15 item 5): the doc-side
+    128-bit parse (compressed ::, uncompressed, embedded v4 tails,
+    v4-mapped unification) verified form-by-form against stdlib
+    ipaddress, then bucketing over v6 + cross-family ranges including
+    a top-bit range that exercises the word bias."""
+    import ipaddress
+
+    from kafka_metrics_exporter_spark.kibana.compiler import _ip128_struct
+
+    forms = [
+        "2001:db8::1", "::", "::1", "1:2:3:4:5:6:7:8", "fe80::1",
+        "::ffff:10.0.0.5", "2001:db8:0:0:0:0:0:2", "1:2:3:4:5:6:77:8888",
+        "abcd:ef01:2345:6789:abcd:ef01:2345:6789", "64:ff9b::192.0.2.33",
+        "2001:db8::8:800:200c:417a", "ff01::101", "10.0.0.5", "0.0.0.0",
+        "255.255.255.255", "1:2:3:4:5:6:7::", "::2:3:4:5:6:7:8",
+        "FE80::A:b",  # mixed case hex
+    ]
+    bad = [
+        "", "not-an-ip", "1:2:3:4:5:6:7:8:9", "2001:db8:::1", "gggg::1",
+        "10.0.0.300", "1::2::3", "2001:db8::10.0.0.300", ":", "1:2:3",
+        "1:2:3:4:5:6:7:8::", "12345::1",
+    ]
+    d = spark.createDataFrame([(s,) for s in forms + bad], "ip string")
+    rows = d.select("ip", _ip128_struct(F.col("ip")).alias("w")).collect()
+    got = {
+        r["ip"]: (
+            (r["w"]["hi"], r["w"]["lo"]) if r["w"] is not None else None
+        )
+        for r in rows
+    }
+    B, M = 1 << 63, (1 << 64) - 1
+    for s in forms:
+        a = ipaddress.ip_address(s)
+        v = int(a) + (0xFFFF00000000 if a.version == 4 else 0)
+        assert got[s] == ((v >> 64) - B, (v & M) - B), s
+    for s in bad:
+        assert got[s] is None, s
+    # bucketing: v6 ranges/masks, cross-family coverage, top-bit range
+    docs = [
+        "2001:db8::1", "2001:db8::ffff", "2001:db8:0:0:0:0:0:2",
+        "::ffff:10.0.0.5", "10.0.0.5", "fe80::1", "::1", "::",
+        "1:2:3:4:5:6:7:8", "2001:db8::10.0.0.300", "junk",
+    ]
+    d2 = spark.createDataFrame([(s,) for s in docs], "ip string")
+    out = compile_visualization(_vis8([
+        {"id": "1", "type": "ip_range", "schema": "bucket",
+         "params": {"field": "ip", "ranges": [
+             {"from": "2001:db8::", "to": "2001:db8::100"},
+             {"mask": "2001:db8::/32"},
+             {"mask": "::ffff:10.0.0.0/120"},
+             {"from": "10.0.0.0", "to": "10.0.0.128"},
+             {"key": "all", "mask": "::/0"},
+             {"key": "upper", "from": "8000::"},
+         ], "customLabel": "r"}},
+    ])).evaluate(d2)
+    got2 = {r["r"]: r["count"] for r in out.collect()}
+    assert got2 == {
+        "2001:db8::-2001:db8::100": 2,   # ::1, ::2 (::ffff too high)
+        "2001:db8::/32": 3,
+        "::ffff:10.0.0.0/120": 2,        # both spellings of 10.0.0.5
+        "10.0.0.0-10.0.0.128": 2,        # same two, via the v4 range
+        "all": 9,                        # every valid address, any family
+        "upper": 1,                      # fe80::1 only (top-bit bias)
+    }
 
 
 def test_composite_histogram_source(spark):
