@@ -1010,6 +1010,61 @@ def kibana_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kibana_composite_histogram",
+    f"""
+    WITH d AS ({_ES_DOCS_SQL}),
+    agg AS (
+      SELECT event_type AS etype,
+             floor(value / 25.0) * 25.0 AS vb,
+             SUM(value_i) AS total, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT etype, vb, total, n
+    FROM agg
+    WHERE etype > 'error' OR (etype = 'error' AND vb > 250.0)
+    ORDER BY etype ASC, vb ASC LIMIT 30
+    """,
+)
+def kibana_composite_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` with a NUMERIC ``histogram`` source (built
+    round 15, registered round 16 per VERDICT r15 item 2): one page of
+    the (event_type × 25-wide value bucket) space resumed from an
+    ``after`` cursor landing mid-key ('error', 250.0) so the
+    same-key-later-bucket branch of the lexicographic predicate is
+    exercised — the numeric sibling of kibana_composite's
+    date_histogram source.  Histogram keys are ES-exact
+    floor(v/interval)*interval doubles (negatives bucket downward).
+
+    Scale: the after-predicate is a pure function of the grouping keys
+    so it pushes below the aggregation; the page cut is a TakeOrdered —
+    pagination never materializes more than one page of buckets."""
+    plan = compile_visualization(
+        _vis(
+            [
+                {"id": "1", "type": "composite", "schema": "bucket",
+                 "params": {
+                     "sources": [
+                         {"etype": {"terms": {"field": "event_type"}}},
+                         {"vb": {"histogram": {"field": "value",
+                                               "interval": 25}}},
+                     ],
+                     "size": 30,
+                     "after": ["error", 250.0],
+                 }},
+                {"id": "2", "type": "sum", "schema": "metric",
+                 "params": {"field": "value_i", "customLabel": "total"}},
+                {"id": "3", "type": "count", "schema": "metric",
+                 "params": {"customLabel": "n"}},
+            ]
+        )
+    )
+    out = plan.evaluate(_es_docs(spark, sf_dir))
+    return out.select("etype", "vb", "total", F.col("n").cast("long").alias("n"))
+
+
+@query(
     "kibana_rare_multi_terms",
     f"""
     WITH d AS ({_ES_DOCS_SQL}),

@@ -585,7 +585,12 @@ class _Parser:
             kind, tok = self.next()
             if tok == ",":
                 continue
-            if kind != "ident":
+            if kind == "string":
+                # Prometheus 3.x quoted UTF-8 label names in
+                # by/without/on/ignoring/group_x lists (round 16)
+                tok = _unquote(tok)
+                _check_label_column(tok)
+            elif kind != "ident":
                 raise SyntaxError(f"promql: bad label {tok!r} in label list")
             labels.append(tok)
             self.labels_seen.add(tok)
@@ -989,7 +994,7 @@ class _Parser:
         matchers: tuple[Matcher, ...] = ()
         if self.peek()[1] == ",":
             self.next()
-            matchers = self._matcher_block()
+            _, matchers = self._matcher_block()
             if not matchers:
                 raise SyntaxError(
                     "promql: info() data-label selector needs at least "
@@ -998,16 +1003,40 @@ class _Parser:
         self.expect(")")
         return Info(inner, matchers)
 
-    def _matcher_block(self) -> tuple[Matcher, ...]:
+    def _matcher_block(
+        self, allow_name: bool = False
+    ) -> "tuple[str | None, tuple[Matcher, ...]]":
         """The ``{label op "value", ...}`` block shared by selectors
-        and info()'s data-label selector."""
+        and info()'s data-label selector.  Prometheus 3.x UTF-8 name
+        syntax (round 16): a bare quoted string entry is the METRIC
+        name (``{"my.metric", lbl="v"}`` — at most one, selectors
+        only), and a quoted string before a matcher op is a quoted
+        LABEL name (``{"label name"="v"}``)."""
         matchers: list[Matcher] = []
+        name: str | None = None
         self.expect("{")
         while self.peek()[1] != "}":
             lkind, label = self.next()
             if label == ",":
                 continue
-            if lkind != "ident":
+            if lkind == "string" and self.peek()[1] not in (
+                "=", "!=", "=~", "!~",
+            ):
+                if not allow_name:
+                    raise SyntaxError(
+                        "promql: a quoted metric-name entry is only "
+                        "valid in a vector selector"
+                    )
+                if name is not None:
+                    raise SyntaxError(
+                        "promql: metric name set twice in selector"
+                    )
+                name = _unquote(label)
+                continue
+            if lkind == "string":
+                label = _unquote(label)
+                _check_label_column(label)
+            elif lkind != "ident":
                 raise SyntaxError(f"promql: bad matcher label {label!r}")
             okind, op = self.next()
             if op not in ("=", "!=", "=~", "!~"):
@@ -1018,7 +1047,7 @@ class _Parser:
             matchers.append(Matcher(label, op, _unquote(sval)))
             self.labels_seen.add(label)
         self.expect("}")
-        return tuple(matchers)
+        return name, tuple(matchers)
 
     def parse_selector(self) -> "Selector | At":
         kind, tok = self.peek()
@@ -1027,7 +1056,13 @@ class _Parser:
             name = self.next()[1]
         matchers: tuple[Matcher, ...] = ()
         if self.peek()[1] == "{":
-            matchers = self._matcher_block()
+            qname, matchers = self._matcher_block(allow_name=True)
+            if qname is not None:
+                if name is not None:
+                    raise SyntaxError(
+                        "promql: metric name set twice in selector"
+                    )
+                name = qname
         if name is None and not matchers:
             raise SyntaxError("promql: empty selector")
         offset, at = self._modifiers(0.0, None)
@@ -1038,6 +1073,37 @@ class _Parser:
 def _unquote(s: str) -> str:
     body = s[1:-1]
     return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+#: classic (pre-3.x) PromQL identifier — anything else must render
+#: quoted in to_promql
+_LEGACY_IDENT_RE = re.compile(r"^[A-Za-z_:][A-Za-z0-9_:]*$")
+
+
+def _check_label_column(label: str) -> None:
+    """Engine contract for UTF-8 LABEL names: labels map 1:1 to
+    DataFrame columns, and '.'/'`' are Spark column-reference
+    metacharacters this engine does not escape through its 169
+    column-touching sites — reject loudly at parse rather than
+    mis-resolve at evaluate (METRIC names are values, any UTF-8 is
+    fine there)."""
+    if "." in label or "`" in label:
+        raise SyntaxError(
+            f"promql: label name {label!r} contains '.' or '`' — this "
+            f"engine maps label names to DataFrame columns 1:1 and "
+            f"those are Spark column-reference metacharacters; rename "
+            f"the label column (metric NAMES may contain any UTF-8)"
+        )
+
+
+def _quote_name(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _label_txt(label: str) -> str:
+    """A label name as PromQL text: bare when a classic identifier,
+    quoted (3.x UTF-8 syntax) otherwise."""
+    return label if _LEGACY_IDENT_RE.fullmatch(label) else _quote_name(label)
 
 
 def parse(text: str) -> Expr:
@@ -1056,12 +1122,21 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, Scalar):
         return repr(node.value) if node.value != int(node.value) else str(int(node.value))
     if isinstance(node, Selector):
-        parts = node.name or ""
-        if node.matchers:
-            ms = ", ".join(
-                f'{m.label} {m.op} "{m.value}"' for m in node.matchers
-            )
-            parts += "{" + ms + "}"
+        ms_items = [
+            f'{_label_txt(m.label)} {m.op} "{m.value}"'
+            for m in node.matchers
+        ]
+        if node.name is not None and not _LEGACY_IDENT_RE.fullmatch(
+            node.name
+        ):
+            # 3.x UTF-8 metric name: quoted inside the braces
+            parts = "{" + ", ".join(
+                [_quote_name(node.name)] + ms_items
+            ) + "}"
+        else:
+            parts = node.name or ""
+            if ms_items:
+                parts += "{" + ", ".join(ms_items) + "}"
         if node.offset_seconds:
             parts += f" offset {_fmt_dur(node.offset_seconds)}"
         return parts
@@ -1091,9 +1166,11 @@ def to_promql(node: Expr) -> str:
     if isinstance(node, Agg):
         clause = ""
         if node.by is not None:
-            clause = f" by ({', '.join(node.by)}) "
+            clause = f" by ({', '.join(map(_label_txt, node.by))}) "
         elif node.without is not None:
-            clause = f" without ({', '.join(node.without)}) "
+            clause = (
+                f" without ({', '.join(map(_label_txt, node.without))}) "
+            )
         if node.value_label is not None:
             param = f'"{node.value_label}", '
         elif node.param is not None:
@@ -1228,11 +1305,11 @@ def _fmt_match(m: "VectorMatch | None") -> str:
     if m is None:
         return ""
     if m.on is not None:
-        s = f" on({', '.join(m.on)})"
+        s = f" on({', '.join(map(_label_txt, m.on))})"
     else:
-        s = f" ignoring({', '.join(m.ignoring)})"
+        s = f" ignoring({', '.join(map(_label_txt, m.ignoring))})"
     if m.group is not None:
-        s += f" group_{m.group}({', '.join(m.include)})"
+        s += f" group_{m.group}({', '.join(map(_label_txt, m.include))})"
     return s
 
 

@@ -480,7 +480,7 @@ def test_curate_cli_reproduces_library_composition(spark, sf_dir, tmp_path, caps
     out_dir = tmp_path / "curated"
     rc = main(
         ["--curate", sf_dir, "--curate-output", str(out_dir),
-         "--curate-budget", "en=500"],
+         "--curate-budget", "en=500", "--curate-report"],
         spark=spark,
     )
     assert rc == 0
@@ -528,6 +528,23 @@ def test_curate_cli_reproduces_library_composition(spark, sf_dir, tmp_path, caps
     })
     expected = {r["doc_id"] for r in mixed.select("doc_id").collect()}
     assert {r["doc_id"] for r in shards.collect()} == expected
+
+    # default ONE-PASS mode (round 16, VERDICT r15 item 6): no stage
+    # materialization — only the metadata-derived input/chunks counts
+    # ride the report, and the written selection is identical
+    out2 = tmp_path / "curated_onepass"
+    rc2 = main(
+        ["--curate", sf_dir, "--curate-output", str(out2),
+         "--curate-budget", "en=500"],
+        spark=spark,
+    )
+    assert rc2 == 0
+    counts2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(counts2) == {"input", "chunks"}
+    assert counts2["input"] == counts["input"]
+    assert counts2["chunks"] == counts["chunks"]
+    shards2 = spark.read.format("json").load(str(out2 / "shards"))
+    assert {r["doc_id"] for r in shards2.collect()} == expected
 
 
 def test_curate_cli_validation():

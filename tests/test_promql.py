@@ -581,13 +581,24 @@ try:
         max_size=8,
     )
     _dur = st.sampled_from([1.0, 30.0, 60.0, 300.0, 3600.0])
+    # Prometheus 3.x UTF-8 names (round 16): metric names may carry any
+    # character (they render quoted); label names anything except
+    # '.'/'`' (the engine's label→column contract) — '"' and '\\' stay
+    # out of the alphabet like _str_val's (escaping is pinned by the
+    # explicit tests, the property pins the quoting round-trip)
+    _u_chars = list("abz äöπ漢:-/0!")
+    _u_name = st.text(st.sampled_from(_u_chars + ["."]), min_size=1,
+                      max_size=8)
+    _u_label = st.text(st.sampled_from(_u_chars), min_size=1, max_size=8)
     _matcher = st.builds(
-        pql.Matcher, label=_ident, op=st.sampled_from(["=", "!=", "=~", "!~"]),
+        pql.Matcher,
+        label=st.one_of(_ident, _u_label),
+        op=st.sampled_from(["=", "!=", "=~", "!~"]),
         value=_str_val,
     )
     _selector = st.builds(
         pql.Selector,
-        name=_ident,
+        name=st.one_of(_ident, _u_name),
         matchers=st.lists(_matcher, max_size=3).map(tuple),
         offset_seconds=st.sampled_from([0.0, 60.0, 3600.0, -60.0, -3600.0]),
     )
@@ -2910,3 +2921,47 @@ def test_native_histogram_schema3(spark):
     assert one("histogram_fraction(1, 2, req)") == pytest.approx(0.5)
     # widen the range below the first bucket's lower bound: both count
     assert one("histogram_fraction(0.5, 2, req)") == pytest.approx(1.0)
+
+
+def test_utf8_quoted_names(spark):
+    """Prometheus 3.x UTF-8 name syntax (round 16, VERDICT r15 item 7):
+    quoted metric names in braces (bare entry = __name__), quoted label
+    names in matcher blocks and by/on lists; compile + evaluate over a
+    dotted metric name and a unicode label name; the engine's
+    label→column contract rejects '.'/'`' label names loudly."""
+    import datetime as _dt
+
+    from kafka_metrics_exporter_spark.promql import compile_promql
+    from kafka_metrics_exporter_spark.promql.parser import parse, to_promql
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        ("http.server.req/total", "h1", t0, 3.0),
+        ("http.server.req/total", "h2", t0, 4.0),
+        ("other", "h1", t0, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, `host-name` string, ts timestamp, value double"
+    )
+    # dotted metric name: bare quoted entry selects it
+    got = compile_promql('{"http.server.req/total"}').evaluate(df).collect()
+    assert sorted(r["value"] for r in got) == [3.0, 4.0]
+    # quoted label name in matcher + by clause (dash: not a legacy ident)
+    q = 'sum by ("host-name") ({"http.server.req/total", "host-name"=~"h."})'
+    got2 = {r["host-name"]: r["value"]
+            for r in compile_promql(q).evaluate(df).collect()}
+    assert got2 == {"h1": 3.0, "h2": 4.0}
+    # round-trip renders back the quoted forms
+    assert parse(to_promql(parse(q))) == parse(q)
+    # classic names may also be quoted (3.x allows it)
+    got3 = compile_promql('{"other"}').evaluate(df).collect()
+    assert [r["value"] for r in got3] == [99.0]
+    # label→column contract: '.'/'`' label names reject at parse
+    for bad in ['{"a.b"="v"}', 'sum by ("a.b") (m)', '{"a`b"="v"}']:
+        with pytest.raises(SyntaxError, match="metacharacters"):
+            parse(bad)
+    # a metric name entry is selector-only, and only once
+    with pytest.raises(SyntaxError, match="set twice"):
+        parse('{"m1", "m2"}')
+    with pytest.raises(SyntaxError, match="set twice"):
+        parse('foo{"bar"}')
