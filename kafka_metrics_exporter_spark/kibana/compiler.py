@@ -678,6 +678,91 @@ class IpRangeBucket:
 
 
 @dataclass(frozen=True)
+class GeoGridBucket:
+    """ES ``geohash_grid`` / ``geotile_grid`` (round 16 — the last
+    documented exclusion family): grid-cell buckets over a geo_point
+    field, which this engine models as a ``struct<lat:double,
+    lon:double>`` column (ES's geo_point is exactly that pair; a
+    relational engine makes the pair explicit).  Keys are ES's own:
+    geohash — the precision-length base-32 string (classic Morton
+    interleave of the lon/lat bisection bits, lon first); geotile —
+    ``"z/x/y"`` Web-Mercator slippy-map tiles with ES's ±85.05112878
+    latitude clamp.  Both keys are PURE Column math unrolled at
+    compile time (≤ 60 shift/mask/add terms + base-32 chars — the
+    static-combinatorics stance), bound evaluate-once.  Docs with a
+    missing/out-of-range coordinate drop, like ES rejects them at
+    index time.  Cells rank doc_count desc (key asc tiebreak) with
+    the ``size`` cut through the SAME terms ranking machinery
+    (top-level: TakeOrdered + broadcast semi-join; nested:
+    dense_rank)."""
+
+    field: str
+    precision: int
+    size: int
+    label: str
+    kind: str  # "geohash" | "geotile"
+    # the terms ranking loop's protocol: grids order by doc_count desc
+    order: str = "desc"
+    order_by: str = "_count"
+
+    @property
+    def order_metric(self) -> tuple[str, str]:
+        return ("count", "")
+
+
+@dataclass(frozen=True)
+class GeoDistanceBucket:
+    """ES ``geo_distance`` (round 16): half-open [from, to) rings
+    around an origin point, keyed like range buckets (declared key,
+    else ``from-to`` with ``*``); a doc lands in EVERY matching ring
+    (ES allows overlaps) — the RangeBucket overlap-explode over the
+    haversine arc distance in METERS with Lucene's mean earth radius
+    (6371008.7714 m, what ES's arc distance uses).  The distance is
+    scan-local trig evaluated ONCE per doc (``_bind1``); ranges
+    normalize to meters at parse (``unit: km`` supported)."""
+
+    field: str
+    origin: tuple[float, float]  # (lat, lon)
+    ranges: tuple[tuple[str, float | None, float | None], ...]
+    label: str
+
+
+@dataclass(frozen=True)
+class GeoBoundsAgg:
+    """ES ``geo_bounds`` (round 16): the bucket's bounding box —
+    top = max lat, bottom = min lat, left = min lon, right = max lon,
+    riding the main hash aggregation.  DOCUMENTED DIVERGENCE: ES
+    defaults ``wrap_longitude: true`` (the smallest box may cross the
+    antimeridian, computed from a longitude-gap scan); this engine
+    implements the non-wrapping box only and requires
+    ``wrap_longitude: false`` EXPLICITLY — for data not straddling
+    ±180 the results are identical, and a silent non-wrap default
+    would mis-box Pacific datasets."""
+
+    field: str
+    label: str
+
+    def column_names(self) -> list[str]:
+        return [f"{self.label}_{k}" for k in ("top", "left", "bottom", "right")]
+
+
+@dataclass(frozen=True)
+class GeoCentroidAgg:
+    """ES ``geo_centroid`` (round 16): the arithmetic mean lat/lon of
+    the bucket's valid points plus the contributing-point count —
+    ES's own definition (DocValueFormat GEO centroid is the running
+    mean of the encoded coordinates; this engine averages the decoded
+    doubles, identical up to encoding quantization far below the
+    4-decimal hash contract)."""
+
+    field: str
+    label: str
+
+    def column_names(self) -> list[str]:
+        return [f"{self.label}_{k}" for k in ("lat", "lon", "count")]
+
+
+@dataclass(frozen=True)
 class BoxplotAgg:
     """ES ``boxplot`` (round 12): min / q1 / q2 / q3 / max in ONE hash
     aggregation pass (exact interpolated quartiles where ES t-digests
@@ -1058,10 +1143,12 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | SignificantTextBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
           | FilterBucket | MissingBucket | AdjacencyMatrixBucket
-          | VariableWidthHistogramBucket)
+          | VariableWidthHistogramBucket
+          | GeoGridBucket | GeoDistanceBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
           | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg
-          | RateAgg | TopMetricsAgg | StringStatsAgg)
+          | RateAgg | TopMetricsAgg | StringStatsAgg
+          | GeoBoundsAgg | GeoCentroidAgg)
 
 
 @dataclass(frozen=True)
@@ -1228,6 +1315,135 @@ def _ip128_struct(ip_s: Column) -> Column:
 def _ip128_bounds(v: int) -> tuple[int, int]:
     """128-bit endpoint → its two biased signed-64 word literals."""
     return (v >> 64) - _BIAS64, (v & _M64) - _BIAS64
+
+
+# ---------------------------------------------------------------------------
+# geo column math (round 16)
+# ---------------------------------------------------------------------------
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+#: Lucene GeoUtils.EARTH_MEAN_RADIUS (meters) — what ES arc distance uses
+_EARTH_MEAN_RADIUS_M = 6371008.7714
+#: Web-Mercator latitude bound (ES GeoTileUtils.LATITUDE_MASK)
+_MERCATOR_LAT = 85.0511287798066
+
+
+def _geo_lat_lon(col: Column) -> tuple[Column, Column]:
+    """geo_point contract: a ``struct<lat:double, lon:double>``
+    column (ES's geo_point IS that pair; the relational engine makes
+    it explicit)."""
+    return col.getField("lat").cast("double"), col.getField("lon").cast(
+        "double"
+    )
+
+
+def _geo_valid(lat: Column, lon: Column) -> Column:
+    """ES rejects out-of-range coordinates at index time; an engine
+    reading raw structs drops them (the ip_range malformed-doc
+    stance)."""
+    return (
+        lat.isNotNull() & lon.isNotNull()
+        & (lat >= -90.0) & (lat <= 90.0)
+        & (lon >= -180.0) & (lon <= 180.0)
+    )
+
+
+def geohash_column(lat: Column, lon: Column, precision: int) -> Column:
+    """The textbook geohash: bisect lon/lat alternately (lon takes the
+    first and every odd bit), 5 bits per base-32 character.  Closed
+    form: the cell indices are ``floor((lon+180)/360 · 2^lonbits)``
+    (clamped at the top edge so +90/+180 land in the last cell, as
+    every geohash encoder does) Morton-interleaved to ``5·precision``
+    bits — unrolled at COMPILE time into static shift/mask/add terms
+    and bound evaluate-once before the base-32 rendering."""
+    n = 5 * precision
+    lonbits = (n + 1) // 2
+    latbits = n // 2
+    lonv = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lonbits)))
+        .cast("long"),
+        F.lit((1 << lonbits) - 1),
+    )
+    latv = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << latbits)))
+        .cast("long"),
+        F.lit((1 << latbits) - 1),
+    )
+
+    def _interleave(lonb: Column, latb: Column) -> Column:
+        inter = None
+        for j in range(lonbits):
+            t = F.shiftright(lonb, lonbits - 1 - j).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (n - 1 - 2 * j)
+            )
+            inter = t if inter is None else inter + t
+        for j in range(latbits):
+            t = F.shiftright(latb, latbits - 1 - j).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (n - 2 - 2 * j)
+            )
+            inter = inter + t
+        return inter
+
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+
+    def _chars(iv: Column) -> Column:
+        cs = []
+        for k in range(precision):
+            d = F.shiftright(iv, 5 * (precision - 1 - k)).bitwiseAND(F.lit(31))
+            cs.append(F.element_at(alphabet, (d + F.lit(1)).cast("int")))
+        return F.concat(*cs)
+
+    # bind the cell indices AND the interleave once each — the chars
+    # would otherwise re-evaluate the full bit sum per character
+    return _bind1(
+        F.struct(lonv.alias("lo"), latv.alias("la")),
+        lambda c: _bind1(_interleave(c["lo"], c["la"]), _chars),
+    )
+
+
+def geotile_column(lat: Column, lon: Column, zoom: int) -> Column:
+    """ES ``geotile_grid`` key ``"z/x/y"``: standard Web-Mercator
+    slippy tiles, latitude clamped to ±85.0511287798 like
+    GeoTileUtils; x/y clamp into [0, 2^z) at the edges."""
+    import math as _math
+
+    cells = 1 << zoom
+    lat_c = F.greatest(
+        F.least(lat, F.lit(_MERCATOR_LAT)), F.lit(-_MERCATOR_LAT)
+    )
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(cells))),
+            F.lit(0),
+        ),
+        F.lit(cells - 1),
+    ).cast("long")
+    y = F.least(
+        F.greatest(
+            F.floor(
+                (F.lit(1.0) - F.asinh(F.tan(F.radians(lat_c))) / F.lit(_math.pi))
+                / F.lit(2.0)
+                * F.lit(float(cells))
+            ),
+            F.lit(0),
+        ),
+        F.lit(cells - 1),
+    ).cast("long")
+    return F.concat_ws(
+        "/", F.lit(str(zoom)), x.cast("string"), y.cast("string")
+    )
+
+
+def haversine_meters(lat: Column, lon: Column, olat: float, olon: float) -> Column:
+    """Arc distance to a fixed origin in meters — haversine on
+    Lucene's mean earth radius (ES's arc distance)."""
+    import math as _math
+
+    p1 = F.radians(lat)
+    l1 = F.radians(lon)
+    sp = F.sin((p1 - F.lit(_math.radians(olat))) / F.lit(2.0))
+    sl = F.sin((l1 - F.lit(_math.radians(olon))) / F.lit(2.0))
+    a = sp * sp + F.cos(p1) * F.lit(_math.cos(_math.radians(olat))) * sl * sl
+    return F.lit(2.0 * _EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
 
 
 def _bound_us(v) -> int:
@@ -1751,6 +1967,73 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     field=p["field"], ranges=tuple(ipranges), label=label
                 )
             )
+        elif a["type"] in ("geohash_grid", "geotile_grid"):
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError(f"kibana: {a['type']} must be a bucket agg")
+            if not p.get("field"):
+                raise ValueError(f"kibana: {a['type']} needs a field")
+            kind = "geohash" if a["type"] == "geohash_grid" else "geotile"
+            prec = int(p.get("precision", 5 if kind == "geohash" else 7))
+            lo, hi = (1, 12) if kind == "geohash" else (0, 29)
+            if not lo <= prec <= hi:
+                raise ValueError(
+                    f"kibana: {a['type']} precision must be in "
+                    f"[{lo}, {hi}] (ES's own bound)"
+                )
+            buckets.append(
+                GeoGridBucket(
+                    field=p["field"],
+                    precision=prec,
+                    size=int(p.get("size", 10000)),
+                    label=label,
+                    kind=kind,
+                )
+            )
+        elif a["type"] == "geo_distance":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: geo_distance must be a bucket agg")
+            if not p.get("field"):
+                raise ValueError("kibana: geo_distance needs a field")
+            org = p.get("origin")
+            if isinstance(org, dict) and "lat" in org and "lon" in org:
+                origin = (float(org["lat"]), float(org["lon"]))
+            elif isinstance(org, str) and "," in org:
+                a_, b_ = org.split(",", 1)
+                origin = (float(a_), float(b_))
+            else:
+                raise ValueError(
+                    "kibana: geo_distance needs an origin — "
+                    "{'lat': .., 'lon': ..} or a 'lat,lon' string"
+                )
+            if not (-90 <= origin[0] <= 90 and -180 <= origin[1] <= 180):
+                raise ValueError(
+                    f"kibana: geo_distance origin {origin} out of range"
+                )
+            unit = str(p.get("unit", "m"))
+            if unit not in ("m", "km"):
+                raise ValueError(
+                    "kibana: geo_distance unit must be 'm' or 'km' "
+                    "(other ES suffixes are not modelled)"
+                )
+            scale = 1000.0 if unit == "km" else 1.0
+            granges: list[tuple[str, float | None, float | None]] = []
+            for r in p.get("ranges", []):
+                lo_ = float(r["from"]) * scale if r.get("from") is not None else None
+                hi_ = float(r["to"]) * scale if r.get("to") is not None else None
+                key = str(
+                    r.get("key")
+                    or f"{r.get('from') if r.get('from') is not None else '*'}"
+                       f"-{r.get('to') if r.get('to') is not None else '*'}"
+                )
+                granges.append((key, lo_, hi_))
+            if not granges:
+                raise ValueError("kibana: geo_distance needs at least one range")
+            buckets.append(
+                GeoDistanceBucket(
+                    field=p["field"], origin=origin,
+                    ranges=tuple(granges), label=label,
+                )
+            )
         elif a["type"] == "diversified_sampler":
             if schema not in _BUCKET_SCHEMAS:
                 raise ValueError(
@@ -2173,6 +2456,28 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             if not p.get("field"):
                 raise ValueError("kibana: boxplot needs a field")
             metrics.append(BoxplotAgg(field=p["field"], label=label))
+        elif a["type"] == "geo_bounds":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: geo_bounds cannot be a bucket agg")
+            if not p.get("field"):
+                raise ValueError("kibana: geo_bounds needs a field")
+            if p.get("wrap_longitude", True):
+                raise ValueError(
+                    "kibana: geo_bounds wrap_longitude=true (ES's "
+                    "default antimeridian-crossing box) is not "
+                    "modelled — pass wrap_longitude: false explicitly "
+                    "for the non-wrapping box (identical unless the "
+                    "data straddles ±180)"
+                )
+            metrics.append(GeoBoundsAgg(field=p["field"], label=label))
+        elif a["type"] == "geo_centroid":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: geo_centroid cannot be a bucket agg"
+                )
+            if not p.get("field"):
+                raise ValueError("kibana: geo_centroid needs a field")
+            metrics.append(GeoCentroidAgg(field=p["field"], label=label))
         elif a["type"] == "median_absolute_deviation":
             if schema in _BUCKET_SCHEMAS:
                 raise ValueError(
@@ -3834,6 +4139,52 @@ class KibanaPlan:
                     _ip128_struct(ip_s), _make_ip_matches(b.ranges)
                 )
                 df = df.withColumn(b.label, F.explode(ip_matches))
+            elif isinstance(b, GeoGridBucket):
+                # grid key = pure Column math over the geo_point
+                # struct, unrolled at compile time; invalid/missing
+                # coordinates drop (ES rejects them at index) — the
+                # size/doc_count rank rides the terms loop below
+                g_lat, g_lon = _geo_lat_lon(resolve(b.field))
+                df = df.filter(_geo_valid(g_lat, g_lon)).withColumn(
+                    b.label,
+                    geohash_column(g_lat, g_lon, b.precision)
+                    if b.kind == "geohash"
+                    else geotile_column(g_lat, g_lon, b.precision),
+                )
+            elif isinstance(b, GeoDistanceBucket):
+                # haversine meters to the origin evaluated ONCE per
+                # doc, then the RangeBucket overlap-explode
+                g_lat, g_lon = _geo_lat_lon(resolve(b.field))
+                dist = F.when(
+                    _geo_valid(g_lat, g_lon),
+                    haversine_meters(g_lat, g_lon, *b.origin),
+                )
+
+                def _make_geo_matches(_ranges):
+                    def _geo_matches(dv):
+                        def rng(lo, hi):
+                            pred = dv.isNotNull()
+                            if lo is not None:
+                                pred = pred & (dv >= F.lit(lo))
+                            if hi is not None:
+                                pred = pred & (dv < F.lit(hi))
+                            return pred
+
+                        return F.array_compact(
+                            F.array(
+                                *[
+                                    F.when(rng(lo, hi), F.lit(key))
+                                    for key, lo, hi in _ranges
+                                ]
+                            )
+                        )
+
+                    return _geo_matches
+
+                df = df.withColumn(
+                    b.label,
+                    F.explode(_bind1(dist, _make_geo_matches(b.ranges))),
+                )
             elif isinstance(b, DateRangeBucket):
                 # half-open [from, to) over timestamps, overlap-explode
                 # like RangeBucket; endpoints parse once as literals
@@ -3925,6 +4276,31 @@ class KibanaPlan:
                     ).alias(f"__bp_{m.label}")
                 )
                 agg_exprs.append(F.max(v).alias(names[4]))
+                continue
+            if isinstance(m, GeoBoundsAgg):
+                gb_lat, gb_lon = _geo_lat_lon(resolve(m.field))
+                gb_ok = _geo_valid(gb_lat, gb_lon)
+                gb_lat = F.when(gb_ok, gb_lat)
+                gb_lon = F.when(gb_ok, gb_lon)
+                names = m.column_names()
+                agg_exprs += [
+                    F.max(gb_lat).alias(names[0]),   # top
+                    F.min(gb_lon).alias(names[1]),   # left
+                    F.min(gb_lat).alias(names[2]),   # bottom
+                    F.max(gb_lon).alias(names[3]),   # right
+                ]
+                continue
+            if isinstance(m, GeoCentroidAgg):
+                gc_lat, gc_lon = _geo_lat_lon(resolve(m.field))
+                gc_ok = _geo_valid(gc_lat, gc_lon)
+                gc_lat = F.when(gc_ok, gc_lat)
+                gc_lon = F.when(gc_ok, gc_lon)
+                names = m.column_names()
+                agg_exprs += [
+                    F.avg(gc_lat).alias(names[0]),
+                    F.avg(gc_lon).alias(names[1]),
+                    F.count(gc_lat).alias(names[2]),
+                ]
                 continue
             if isinstance(m, MadAgg):
                 # needs the per-bucket median FIRST — two grouped
@@ -4510,7 +4886,9 @@ class KibanaPlan:
         # keep the window — its partition spec (the parent bucket keys)
         # is real, so the rank distributes.
         for i, b in enumerate(s.buckets):
-            if not isinstance(b, (TermsBucket, MultiTermsBucket)):
+            if not isinstance(
+                b, (TermsBucket, MultiTermsBucket, GeoGridBucket)
+            ):
                 continue
             prefix = key_names[:i]
             direction = (lambda c: c.desc()) if b.order == "desc" else (lambda c: c.asc())
@@ -5346,7 +5724,8 @@ class KibanaPlan:
                 )
             elif isinstance(
                 m, (StatsAgg, PercentileRanksAgg, BoxplotAgg, TopMetricsAgg,
-                    StringStatsAgg, MatrixStatsAgg, TTestAgg)
+                    StringStatsAgg, MatrixStatsAgg, TTestAgg,
+                    GeoBoundsAgg, GeoCentroidAgg)
             ):
                 final_cols.extend(F.col(n) for n in m.column_names())
             else:
