@@ -728,6 +728,48 @@ class GeoDistanceBucket:
 
 
 @dataclass(frozen=True)
+class NestedBucket:
+    """ES ``nested`` (round 16 — with the geo family, the exclusion
+    list's other half): switches the aggregation context to the
+    sub-documents of an ``array<struct>`` column.  Relationally that
+    is ONE explode — the array column is replaced by one struct row
+    per element, so every later agg in the request addresses nested
+    fields as ``path.sub`` through the ordinary struct-path resolver
+    and doc_count means NESTED docs, exactly ES's in-context
+    semantics.  Parent-level fields keep resolving (their values
+    replicate per element, which is also ES's behavior inside a
+    nested context).  Docs with an empty/null array contribute no
+    nested docs (plain explode).
+
+    Bounds (loud): must be the FIRST bucket agg (the sampler
+    precedent — it changes the relation's cardinality for everything
+    after it); one nested context per request (ES's multi-level
+    nesting would be further explodes — not modelled)."""
+
+    path: str
+    label: str
+
+
+@dataclass(frozen=True)
+class ReverseNestedAgg:
+    """ES ``reverse_nested`` (round 16), the metric form: the PARENT
+    doc_count inside a nested context — "how many root documents have
+    at least one element in this bucket" — as an exact
+    countDistinct of an EXPLICIT root-id field (ES tracks root docs
+    through Lucene doc ids; a relational engine needs the key named —
+    the sampler/diversified-sampler determinism contract).
+
+    Scope (documented): ES's reverse_nested is a bucket that can hold
+    parent-level metric sub-aggs; those would double-count over the
+    exploded relation in a single pass and are NOT modelled — this
+    engine emits the bucket's doc_count (the overwhelmingly common
+    use), loudly parse-bound to that shape."""
+
+    id_field: str
+    label: str
+
+
+@dataclass(frozen=True)
 class GeoBoundsAgg:
     """ES ``geo_bounds`` (round 16): the bucket's bounding box —
     top = max lat, bottom = min lat, left = min lon, right = max lon,
@@ -1144,11 +1186,11 @@ Bucket = (TermsBucket | DateHistogramBucket | FiltersBucket | HistogramBucket
           | CompositeBucket | MultiTermsBucket | RareTermsBucket
           | FilterBucket | MissingBucket | AdjacencyMatrixBucket
           | VariableWidthHistogramBucket
-          | GeoGridBucket | GeoDistanceBucket)
+          | GeoGridBucket | GeoDistanceBucket | NestedBucket)
 Metric = (MetricAgg | TopHitsAgg | PercentilesAgg | PercentileRanksAgg
           | StatsAgg | WeightedAvgAgg | MadAgg | BoxplotAgg
           | RateAgg | TopMetricsAgg | StringStatsAgg
-          | GeoBoundsAgg | GeoCentroidAgg)
+          | GeoBoundsAgg | GeoCentroidAgg | ReverseNestedAgg)
 
 
 @dataclass(frozen=True)
@@ -2033,6 +2075,43 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     field=p["field"], origin=origin,
                     ranges=tuple(granges), label=label,
                 )
+            )
+        elif a["type"] == "nested":
+            if schema not in _BUCKET_SCHEMAS:
+                raise ValueError("kibana: nested must be a bucket agg")
+            if not p.get("path"):
+                raise ValueError("kibana: nested needs a path")
+            if "." in str(p["path"]):
+                raise ValueError(
+                    "kibana: nested path must be a top-level "
+                    "array<struct> column (this engine's flattened "
+                    "doc model; deeper paths are further explodes — "
+                    "not modelled)"
+                )
+            if buckets:
+                raise ValueError(
+                    "kibana: nested must be the first bucket agg (it "
+                    "switches the aggregation context for everything "
+                    "after it; ES's deeper nesting is not modelled)"
+                )
+            buckets.append(NestedBucket(path=str(p["path"]), label=label))
+        elif a["type"] == "reverse_nested":
+            if schema in _BUCKET_SCHEMAS:
+                raise ValueError(
+                    "kibana: reverse_nested is modelled as a metric — "
+                    "the parent doc_count (parent-level metric "
+                    "sub-aggs would double-count over the exploded "
+                    "relation and are not modelled)"
+                )
+            if not p.get("id_field"):
+                raise ValueError(
+                    "kibana: reverse_nested needs an explicit "
+                    "'id_field' naming the root-document key (ES "
+                    "tracks root docs via Lucene doc ids; a "
+                    "relational engine needs the key named)"
+                )
+            metrics.append(
+                ReverseNestedAgg(id_field=str(p["id_field"]), label=label)
             )
         elif a["type"] == "diversified_sampler":
             if schema not in _BUCKET_SCHEMAS:
@@ -2965,6 +3044,14 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
             bucket_sort = BucketSortAgg(
                 sort_label=sort_label, order=order, size=size, from_=from_
             )
+    if any(isinstance(m, ReverseNestedAgg) for m in metrics) and not any(
+        isinstance(b, NestedBucket) for b in buckets
+    ):
+        raise ValueError(
+            "kibana: reverse_nested is only meaningful inside a nested "
+            "context — add the nested bucket agg first, like ES "
+            "requires"
+        )
     return VisState(
         title=state.get("title", ""),
         vis_type=state.get("type", ""),
@@ -3794,6 +3881,14 @@ class KibanaPlan:
                     .drop("__ds_rn")
                 )
                 continue
+            if isinstance(b, NestedBucket):
+                # context switch: ONE explode replaces the array
+                # column with a struct per element; later fields
+                # resolve as path.sub via the ordinary struct-path
+                # resolver, doc_count now means NESTED docs (ES's
+                # in-context semantics); empty/null arrays drop
+                df = df.withColumn(b.path, F.explode(resolve(b.path)))
+                continue
             if isinstance(b, TermsBucket):
                 v = resolve(b.field).cast("string")
                 if b.missing is not None:
@@ -4276,6 +4371,14 @@ class KibanaPlan:
                     ).alias(f"__bp_{m.label}")
                 )
                 agg_exprs.append(F.max(v).alias(names[4]))
+                continue
+            if isinstance(m, ReverseNestedAgg):
+                # parent doc_count: exact distinct of the explicit
+                # root key (count_distinct honors approx_cardinality
+                # mode like every cardinality in this compiler)
+                agg_exprs.append(
+                    count_distinct(resolve(m.id_field)).alias(m.label)
+                )
                 continue
             if isinstance(m, GeoBoundsAgg):
                 gb_lat, gb_lon = _geo_lat_lon(resolve(m.field))

@@ -309,3 +309,72 @@ def test_geo_grid_under_date_histogram_and_metrics(spark):
         ref_geotile(10.0, 10.0, 4): (2, 3.0),
         ref_geotile(50.0, 50.0, 4): (1, 10.0),
     }
+
+
+def test_nested_and_reverse_nested(spark):
+    """ES nested/reverse_nested (round 16 — the exclusion list's other
+    half): one explode switches the context to array<struct> elements;
+    doc_count counts NESTED docs, parent fields replicate per element
+    (ES's in-context behavior), and reverse_nested emits the exact
+    parent doc_count via an explicit root key.  All hand-computed."""
+    rows = [
+        (1, 100.0, [("a", 2), ("b", 1)]),
+        (2, 200.0, [("a", 3)]),
+        (3, 300.0, []),        # no nested docs
+        (4, 400.0, None),      # null array: no nested docs
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "order_id long, fee double, "
+        "items array<struct<cat:string, qty:long>>",
+    )
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "nested", "schema": "bucket",
+         "params": {"path": "items", "customLabel": "n"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "items.cat", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "cat"}},
+        {"id": "3", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n_items"}},
+        {"id": "4", "type": "sum", "schema": "metric",
+         "params": {"field": "items.qty", "customLabel": "qty"}},
+        {"id": "5", "type": "reverse_nested", "schema": "metric",
+         "params": {"id_field": "order_id", "customLabel": "n_orders"}},
+        {"id": "6", "type": "sum", "schema": "metric",
+         "params": {"field": "fee", "customLabel": "fee_sum"}},
+    ])).evaluate(d)
+    got = {r["cat"]: (r["n_items"], r["qty"], r["n_orders"], r["fee_sum"])
+           for r in out.collect()}
+    # cat a: nested docs o1#1 + o2#1 -> 2 items, qty 2+3, parents {1,2};
+    # parent fee replicates PER ELEMENT (ES in-context): 100 + 200
+    assert got == {
+        "a": (2, 5.0, 2, 300.0),
+        "b": (1, 1.0, 1, 100.0),
+    }
+    # contract errors, all loud
+    with pytest.raises(ValueError, match="first bucket agg"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "x", "size": 5}},
+            {"id": "2", "type": "nested", "schema": "bucket",
+             "params": {"path": "items"}}])["visState"])
+    with pytest.raises(ValueError, match="top-level"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "nested", "schema": "bucket",
+             "params": {"path": "a.b"}}])["visState"])
+    with pytest.raises(ValueError, match="nested context"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "reverse_nested", "schema": "metric",
+             "params": {"id_field": "order_id"}}])["visState"])
+    with pytest.raises(ValueError, match="id_field"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "nested", "schema": "bucket",
+             "params": {"path": "items"}},
+            {"id": "2", "type": "reverse_nested", "schema": "metric",
+             "params": {}}])["visState"])
+    with pytest.raises(ValueError, match="metric"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "nested", "schema": "bucket",
+             "params": {"path": "items"}},
+            {"id": "2", "type": "reverse_nested", "schema": "bucket",
+             "params": {"id_field": "order_id"}}])["visState"])
