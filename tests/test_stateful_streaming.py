@@ -1074,3 +1074,155 @@ def test_kibana_t_test_pvalue_on_live_stream(spark, tmp_path):
         # see tests/test_kibana_stats_math.py derivation)
         if b == 0:
             assert r["w_p"] == pytest.approx(0.33382370007749784, rel=1e-9)
+
+
+def test_kibana_r16_vocab_on_live_stream(spark, tmp_path):
+    """Round 16: the new vocabulary composes with kibana_panels —
+    categorize_text metric sub-aggs through the similarity merge,
+    ip_range with IPv6/cross-family ranges, a geotile grid with
+    geo_centroid, and nested/reverse_nested — each micro-batch
+    recomputes over its own documents, values pinned per batch by
+    hand replays."""
+    import json as _json
+    import math as _math
+
+    from kafka_metrics_exporter_spark.streaming.pipeline import kibana_panels
+
+    ct_vis = {"visState": _json.dumps({"title": "t", "type": "table", "aggs": [
+        {"id": "1", "type": "categorize_text", "schema": "bucket",
+         "params": {"field": "msg", "size": 10,
+                    "similarity_threshold": 70, "customLabel": "cat"}},
+        {"id": "2", "type": "avg", "schema": "metric",
+         "params": {"field": "v", "customLabel": "av"}},
+    ]})}
+    ip_vis = {"visState": _json.dumps({"title": "t", "type": "table", "aggs": [
+        {"id": "1", "type": "ip_range", "schema": "bucket",
+         "params": {"field": "ip", "ranges": [
+             {"key": "v4low", "to": "10.0.0.128"},
+             {"mask": "2001:db8::/32"},
+         ], "customLabel": "r"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ]})}
+    geo_vis = {"visState": _json.dumps({"title": "t", "type": "table", "aggs": [
+        {"id": "1", "type": "geotile_grid", "schema": "bucket",
+         "params": {"field": "loc", "precision": 3, "customLabel": "t"}},
+        {"id": "2", "type": "geo_centroid", "schema": "metric",
+         "params": {"field": "loc", "customLabel": "c"}},
+    ]})}
+    nest_vis = {"visState": _json.dumps({"title": "t", "type": "table", "aggs": [
+        {"id": "1", "type": "nested", "schema": "bucket",
+         "params": {"path": "items", "customLabel": "nst"}},
+        {"id": "2", "type": "terms", "schema": "bucket",
+         "params": {"field": "items.cat", "size": 10, "order": "asc",
+                    "orderBy": "_term", "customLabel": "cat"}},
+        {"id": "3", "type": "reverse_nested", "schema": "metric",
+         "params": {"id_field": "doc_id", "customLabel": "parents"}},
+    ]})}
+
+    schema = ("doc_id long, msg string, v double, ip string, "
+              "loc struct<lat:double, lon:double>, "
+              "items array<struct<cat:string, qty:long>>")
+    b0 = [
+        (1, "error connecting 1 to host", 1.0, "10.0.0.5",
+         (10.0, 10.0), [("a", 1), ("b", 2)]),
+        (2, "error connecting 2 to host", 2.0, "::ffff:10.0.0.9",
+         (10.0, 10.0), [("a", 3)]),
+        (3, "error connecting 3 to host", 3.0, "2001:db8::1",
+         (50.0, 50.0), []),
+        (4, "error connecting 4 to server", 10.0, "10.0.0.200",
+         (10.0, 10.0), [("b", 1)]),
+        (5, "warning disk 9 full", 7.0, "junk", (50.0, 50.0), None),
+    ]
+    b1 = [
+        (6, "error talking 3 to server", 4.0, "2001:db8::2",
+         (10.0, 10.0), [("a", 5)]),
+        (7, "error talking 4 to server", 6.0, "10.0.0.7",
+         (-20.0, 100.0), [("a", 1), ("a", 2)]),
+        (8, "warning disk 8 full", 1.0, "::ffff:10.0.1.1",
+         (-20.0, 100.0), []),
+        (9, "warning disk 7 full", 3.0, "2001:db9::1",
+         (10.0, 10.0), [("c", 4)]),
+    ]
+    src = tmp_path / "kibr16"
+    src.mkdir()
+    for b, rows in ((0, b0), (1, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    got: dict[tuple[str, int], list] = {}
+    q = kibana_panels(
+        stream,
+        {"ct": ct_vis, "ips": ip_vis, "geo": geo_vis, "nest": nest_vis},
+        lambda name, df, bid: got.__setitem__((name, bid), df.collect()),
+        checkpoint=str(tmp_path / "kibr16ckpt"),
+    )
+    q.awaitTermination(240)
+    # batch ids arrive in file order but may be 0/1 in either panel
+    # call order; key results by their content instead
+    by_batch = {}
+    for (name, bid), rows in got.items():
+        by_batch.setdefault(bid, {})[name] = rows
+    assert len(by_batch) == 2
+    # identify batches by row content (doc_id 1 vs 6 corpus)
+    ct_maps = {
+        bid: {r["cat"]: (r["doc_count"], r["av"]) for r in p["ct"]}
+        for bid, p in by_batch.items()
+    }
+    bid0 = next(b for b, m in ct_maps.items()
+                if "error connecting to *" in m)
+    bid1 = next(b for b in by_batch if b != bid0)
+    # b0: host(3) + server(1) merge on 3/4 positions -> unanimity key
+    # 'error connecting to *', count 4, avg (1+2+3+10)/4
+    assert ct_maps[bid0] == {
+        "error connecting to *": (4, 4.0),
+        "warning disk full": (1, 7.0),
+    }
+    assert ct_maps[bid1] == {
+        "error talking to server": (2, 5.0),
+        "warning disk full": (2, 2.0),
+    }
+    ip_maps = {
+        bid: {r["r"]: r["n"] for r in p["ips"]}
+        for bid, p in by_batch.items()
+    }
+    # b0: v4low = 10.0.0.5 + ::ffff:10.0.0.9 (one unified space);
+    # 2001:db8::/32 = doc 3; 10.0.0.200 and junk match nothing
+    assert ip_maps[bid0] == {"v4low": 2, "2001:db8::/32": 1}
+    # b1: v4low = 10.0.0.7 only (10.0.1.1 is above .0.128? no —
+    # ::ffff:10.0.1.1 > 10.0.0.128, excluded); db8 = doc 6 only
+    # (2001:db9:: is outside the /32)
+    assert ip_maps[bid1] == {"v4low": 1, "2001:db8::/32": 1}
+
+    def ref_tile(lat, lon, z):
+        n = 1 << z
+        x = min(max(int(_math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        y = min(max(int(_math.floor(
+            (1.0 - _math.asinh(_math.tan(_math.radians(lat))) / _math.pi)
+            / 2.0 * n)), 0), n - 1)
+        return f"{z}/{x}/{y}"
+
+    geo_maps = {
+        bid: {r["t"]: (r["c_lat"], r["c_lon"], r["c_count"])
+              for r in p["geo"]}
+        for bid, p in by_batch.items()
+    }
+    assert geo_maps[bid0] == {
+        ref_tile(10.0, 10.0, 3): (10.0, 10.0, 3),
+        ref_tile(50.0, 50.0, 3): (50.0, 50.0, 2),
+    }
+    assert geo_maps[bid1] == {
+        ref_tile(10.0, 10.0, 3): (10.0, 10.0, 2),
+        ref_tile(-20.0, 100.0, 3): (-20.0, 100.0, 2),
+    }
+    nest_maps = {
+        bid: {r["cat"]: r["parents"] for r in p["nest"]}
+        for bid, p in by_batch.items()
+    }
+    assert nest_maps[bid0] == {"a": 2, "b": 2}
+    assert nest_maps[bid1] == {"a": 2, "c": 1}
