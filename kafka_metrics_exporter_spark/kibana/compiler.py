@@ -694,13 +694,17 @@ class GeoGridBucket:
     index time.  Cells rank doc_count desc (key asc tiebreak) with
     the ``size`` cut through the SAME terms ranking machinery
     (top-level: TakeOrdered + broadcast semi-join; nested:
-    dense_rank)."""
+    dense_rank).  ``bounds`` (ES's map-viewport param) restricts the
+    bucketed docs to a top_left/bottom_right box BEFORE keying — a
+    scan-local predicate Catalyst pushes down (antimeridian-crossing
+    boxes, left > right, reject loudly — documented)."""
 
     field: str
     precision: int
     size: int
     label: str
     kind: str  # "geohash" | "geotile"
+    bounds: tuple[float, float, float, float] | None = None  # t, l, b, r
     # the terms ranking loop's protocol: grids order by doc_count desc
     order: str = "desc"
     order_by: str = "_count"
@@ -2022,6 +2026,34 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     f"kibana: {a['type']} precision must be in "
                     f"[{lo}, {hi}] (ES's own bound)"
                 )
+            gbounds = None
+            if p.get("bounds") is not None:
+                bb = p["bounds"]
+                try:
+                    tl, br = bb["top_left"], bb["bottom_right"]
+                    gbounds = (
+                        float(tl["lat"]), float(tl["lon"]),
+                        float(br["lat"]), float(br["lon"]),
+                    )
+                except (TypeError, KeyError) as exc:
+                    raise ValueError(
+                        f"kibana: {a['type']} bounds needs "
+                        "{top_left: {lat, lon}, bottom_right: "
+                        "{lat, lon}}"
+                    ) from exc
+                t_, l_, b_, r_ = gbounds
+                if not (t_ >= b_):
+                    raise ValueError(
+                        f"kibana: {a['type']} bounds top_left.lat must "
+                        "be >= bottom_right.lat"
+                    )
+                if not (l_ <= r_):
+                    raise ValueError(
+                        f"kibana: {a['type']} bounds crossing the "
+                        "antimeridian (left > right) is not modelled "
+                        "(documented; split the viewport into two "
+                        "requests)"
+                    )
             buckets.append(
                 GeoGridBucket(
                     field=p["field"],
@@ -2029,6 +2061,7 @@ def parse_vis_state(vis_state: str | dict) -> VisState:
                     size=int(p.get("size", 10000)),
                     label=label,
                     kind=kind,
+                    bounds=gbounds,
                 )
             )
         elif a["type"] == "geo_distance":
@@ -4240,7 +4273,17 @@ class KibanaPlan:
                 # coordinates drop (ES rejects them at index) — the
                 # size/doc_count rank rides the terms loop below
                 g_lat, g_lon = _geo_lat_lon(resolve(b.field))
-                df = df.filter(_geo_valid(g_lat, g_lon)).withColumn(
+                g_keep = _geo_valid(g_lat, g_lon)
+                if b.bounds is not None:
+                    # viewport restriction BEFORE keying — scan-local,
+                    # pushes into the source like any filter
+                    t_, l_, b_2, r_ = b.bounds
+                    g_keep = (
+                        g_keep
+                        & (g_lat <= F.lit(t_)) & (g_lat >= F.lit(b_2))
+                        & (g_lon >= F.lit(l_)) & (g_lon <= F.lit(r_))
+                    )
+                df = df.filter(g_keep).withColumn(
                     b.label,
                     geohash_column(g_lat, g_lon, b.precision)
                     if b.kind == "geohash"

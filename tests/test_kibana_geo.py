@@ -378,3 +378,73 @@ def test_nested_and_reverse_nested(spark):
              "params": {"path": "items"}},
             {"id": "2", "type": "reverse_nested", "schema": "bucket",
              "params": {"id_field": "order_id"}}])["visState"])
+
+
+def test_geo_grid_bounds_viewport(spark):
+    """ES's map-viewport ``bounds`` param restricts bucketed docs to a
+    top_left/bottom_right box before keying; antimeridian-crossing
+    and inverted boxes reject loudly."""
+    pts = [(10.0, 10.0, 1.0), (20.0, 20.0, 1.0), (50.0, 50.0, 1.0),
+           (-30.0, 10.0, 1.0)]
+    d = _points_df(spark, pts)
+    out = compile_visualization(_vis([
+        {"id": "1", "type": "geohash_grid", "schema": "bucket",
+         "params": {"field": "loc", "precision": 3,
+                    "bounds": {"top_left": {"lat": 25.0, "lon": 5.0},
+                               "bottom_right": {"lat": 5.0, "lon": 25.0}},
+                    "customLabel": "g"}},
+        {"id": "2", "type": "count", "schema": "metric",
+         "params": {"customLabel": "n"}},
+    ])).evaluate(d)
+    got = {r["g"]: r["n"] for r in out.collect()}
+    assert got == {
+        ref_geohash(10.0, 10.0, 3): 1,
+        ref_geohash(20.0, 20.0, 3): 1,
+    }
+    with pytest.raises(ValueError, match="antimeridian"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "geotile_grid", "schema": "bucket",
+             "params": {"field": "loc", "precision": 3,
+                        "bounds": {"top_left": {"lat": 10, "lon": 170},
+                                   "bottom_right": {"lat": -10,
+                                                    "lon": -170}}}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="top_left.lat"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "geohash_grid", "schema": "bucket",
+             "params": {"field": "loc",
+                        "bounds": {"top_left": {"lat": -10, "lon": 0},
+                                   "bottom_right": {"lat": 10,
+                                                    "lon": 10}}}},
+        ])["visState"])
+    with pytest.raises(ValueError, match="bounds needs"):
+        parse_vis_state(_vis([
+            {"id": "1", "type": "geohash_grid", "schema": "bucket",
+             "params": {"field": "loc", "bounds": {"nope": 1}}},
+        ])["visState"])
+
+
+def test_geohash_prefix_property(spark):
+    """Invariant: a precision-p geohash is a PREFIX of the same
+    point's precision-(p+1) geohash — holds for the engine across a
+    coordinate sweep (the bisection refines cells, never moves
+    them)."""
+    pts = [
+        (la, lo)
+        for la in (-89.99, -45.5, -0.01, 0.0, 33.33, 66.6, 89.99)
+        for lo in (-179.99, -90.1, -0.5, 0.0, 45.45, 120.0, 179.99)
+    ]
+    d = _points_df(spark, [(la, lo, 1.0) for la, lo in pts])
+    from kafka_metrics_exporter_spark.kibana.compiler import (
+        geohash_column,
+    )
+    cols = [
+        geohash_column(
+            F.col("loc.lat"), F.col("loc.lon"), p
+        ).alias(f"g{p}")
+        for p in (1, 2, 4, 8, 12)
+    ]
+    for r in d.select(*cols).collect():
+        for a, b in (("g1", "g2"), ("g2", "g4"), ("g4", "g8"),
+                     ("g8", "g12")):
+            assert r[b].startswith(r[a]), (r[a], r[b])
