@@ -3141,6 +3141,19 @@ class KibanaPlan:
         finalizes (e.g. avg = sum/count) AFTER the merge."""
         del size  # the caller applies the orderBy().limit() cut
         t = threshold / 100.0
+        # Truncate the doc-scale lineage ONCE before the pointer-jump
+        # rounds (optimization r16, guide §3.3: very large plans make
+        # planning itself the bottleneck — materialize intermediates).
+        # `cats` is the already-aggregated pattern table
+        # (category-scale, tens-to-thousands of rows), so the eager
+        # localCheckpoint is one tiny job; without it each of the 6
+        # self-join rounds DOUBLES a lineage that bottoms out in the
+        # doc-scale tokenize+aggregate (2^7 copies for Catalyst/AQE to
+        # analyze — ReuseExchange deduped the execution but not the
+        # compile).  The r15 "persist variant 4× slower" measurement
+        # persisted per round against the full doc-scale plan; with the
+        # lineage cut the remaining rounds are category-scale joins.
+        cats = cats.localCheckpoint(eager=True)
         pats = cats.select(
             F.col(label).alias("__ct_p"),
             F.split(F.col(label), " ").alias("__ct_toks"),
@@ -3186,6 +3199,12 @@ class KibanaPlan:
                 ),
             ).alias("rep")
         )
+        # same lineage cut for the pointer map: rep is category-sized
+        # (one row per pattern) and the 6 jump rounds double ITS
+        # lineage too — one more tiny eager job keeps the final plan at
+        # 2^6 checkpoint-leaf scans instead of 2^6 copies of the
+        # pairs-join subtree
+        rep = rep.localCheckpoint(eager=True)
         for _ in range(6):  # closure for chains up to 2^6 = 64
             hop = rep.select(
                 F.col("p").alias("__ct_hp"), F.col("rep").alias("__ct_hr")

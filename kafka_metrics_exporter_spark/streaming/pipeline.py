@@ -538,11 +538,17 @@ def alert_rules(
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        hw = df.agg(F.max(F.unix_micros(F.col("ts"))).alias("hw")).first()["hw"]
-        if hw is None:  # empty cycle: no evaluation, state untouched
-            return
+        # persist FIRST so the 1-row high-water agg doubles as the cache
+        # materialization — every rule evaluation then reads the cached
+        # batch instead of paying a second source scan (optimization
+        # r16, guide §1.2/§5: one pass per cycle over the batch)
         df = df.persist()
         try:
+            hw = df.agg(
+                F.max(F.unix_micros(F.col("ts"))).alias("hw")
+            ).first()["hw"]
+            if hw is None:  # empty cycle: no evaluation, state untouched
+                return
             for g in groups:
                 cur = df
                 for i, rule in enumerate(g.rules):
@@ -639,6 +645,15 @@ def alert_rules(
                             f"annotation_{k}",
                             render_template(v, set(label_cols)),
                         )
+                    # ONE persisted frame + ONE count materializes the
+                    # cycle BEFORE the state rewrite; the emitted result
+                    # and the new state are both narrow projections of
+                    # it (optimization r16: the previous shape persisted
+                    # and counted result and new_state separately — two
+                    # counting jobs and a recomputed snap join per rule
+                    # per cycle for the same rows)
+                    states = states.persist()
+                    n_state = states.count()
                     result = states.select(
                         *label_cols,
                         *[k for k, _ in rule.labels],
@@ -646,18 +661,15 @@ def alert_rules(
                         "value",
                         "alertstate",
                         *[f"annotation_{k}" for k, _ in rule.annotations],
-                    ).persist()
-                    result.count()  # materialize BEFORE state rewrite
+                    )
                     new_state = states.select(
                         *label_cols, "active_since_us"
-                    ).persist()
-                    n_state = new_state.count()
+                    )
                     _write_state(
                         new_state, g.name, rule.alert, batch_id, n_state
                     )
                     emit(g.name, rule.alert, result, batch_id)
-                    new_state.unpersist()
-                    result.unpersist()
+                    states.unpersist()
                     # feed ALERTS back for later rules in the group
                     alert_series = _as_series(
                         states.select(
