@@ -121,10 +121,10 @@ def jaccard_pairs(
         # two equi-joins over the (small, LSH-pruned) pair set — the
         # shuffle volume is candidate-degree × set bytes, not
         # Σ shingle-frequency².
-        cand_docs = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .union(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # no .distinct(): the left-semi join below dedups by
+        # construction (optimization r16, guide §2.4)
+        cand_docs = candidates.select(F.col("doc_a").alias("doc_id")).union(
+            candidates.select(F.col("doc_b").alias("doc_id"))
         )
         doc_sets = (
             sh.join(cand_docs, "doc_id", "left_semi")
@@ -553,10 +553,11 @@ def minhash_lsh_dedup(
         tbl.select("doc_id", "signature"), bands, num_hashes // bands,
         bucket_cap=bucket_cap,
     ).persist()
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no .distinct() on the union: the left-semi join dedups by
+    # construction, so the explicit distinct only added an exchange +
+    # aggregate before the join (optimization r16, guide §2.4)
+    cand_docs = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
     )
     doc_sets = tbl.join(cand_docs, "doc_id", "left_semi").select("doc_id", "hs")
     return verify_jaccard_pairs(cands, doc_sets, threshold)

@@ -2502,7 +2502,9 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     than four column-pruned parquet scans; the one persist that pays
     is fis's tiny aggregated set table (compiler-side)."""
     docs = _es_docs(spark, sf_dir)
-    tt = compile_visualization(_vis([
+
+    def _tt_branch():
+        return compile_visualization(_vis([
         {"id": "1", "type": "t_test", "schema": "metric",
          "params": {"a": {"field": "value_i", "filter": "event_type:click"},
                     "b": {"field": "value_i", "filter": "event_type:error"},
@@ -2515,21 +2517,27 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
          "params": {"a": {"field": "value_i"}, "b": {"field": "user_id"},
                     "type": "paired", "customLabel": "paired"}},
     ])).evaluate(docs)
-    # ONE pass unpivots the six t-test outputs — six separate selects
-    # from `tt` would recompute the aggregation six times (measured
-    # ~3 s of the row's cost before this explode)
-    rows = [tt.select(F.explode(F.array(*[
-        F.struct(
-            F.lit(key).alias("k"), F.round(key, 6).alias("v")
+
+    def _tt_rows():
+        tt = _tt_branch()
+        # ONE pass unpivots the six t-test outputs — six separate
+        # selects from `tt` would recompute the aggregation six times
+        # (measured ~3 s of the row's cost before this explode)
+        return tt.select(F.explode(F.array(*[
+            F.struct(
+                F.lit(key).alias("k"), F.round(key, 6).alias("v")
+            )
+            for key in ("welch_t", "welch_df", "welch_p", "pooled_t",
+                        "pooled_df", "pooled_p", "paired_t", "paired_df",
+                        "paired_p")
+        ])).alias("kv")).select(
+            F.lit("ttest").alias("branch"), F.col("kv.k").alias("key"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("kv.v").alias("val"),
         )
-        for key in ("welch_t", "welch_df", "welch_p", "pooled_t",
-                    "pooled_df", "pooled_p", "paired_t", "paired_df",
-                    "paired_p")
-    ])).alias("kv")).select(
-        F.lit("ttest").alias("branch"), F.col("kv.k").alias("key"),
-        F.lit(None).cast("long").alias("n"), F.col("kv.v").alias("val"),
-    )]
-    smp = compile_visualization(_vis([
+
+    def _smp_rows():
+        smp = compile_visualization(_vis([
         {"id": "1", "type": "random_sampler", "schema": "bucket",
          "params": {"probability": 0.1, "seed": 42,
                     "id_field": "event_id", "customLabel": "s"}},
@@ -2541,11 +2549,13 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": "4", "type": "sum", "schema": "metric",
          "params": {"field": "value_i", "customLabel": "val"}},
     ])).evaluate(docs)
-    rows.append(smp.select(
-        F.lit("sampler").alias("branch"), F.col("etype").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val")))
-    dsmp = compile_visualization(_vis([
+        return smp.select(
+            F.lit("sampler").alias("branch"), F.col("etype").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"))
+
+    def _dsmp_rows():
+        dsmp = compile_visualization(_vis([
         {"id": "1", "type": "diversified_sampler", "schema": "bucket",
          "params": {"field": "user_id", "max_docs_per_value": 3,
                     "seed": 7, "id_field": "event_id",
@@ -2558,30 +2568,48 @@ def kibana_stats_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id": "4", "type": "sum", "schema": "metric",
          "params": {"field": "value_i", "customLabel": "val"}},
     ])).evaluate(docs)
-    rows.append(dsmp.select(
-        F.lit("dsampler").alias("branch"), F.col("etype").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val")))
-    fdocs = docs.withColumn(
-        "vclass",
-        F.when(F.col("value_i") >= 100, F.lit("big"))
-        .otherwise(F.lit("small")),
-    ).withColumn(
-        "uclass",
-        F.concat(
-            F.lit("u"), (F.col("user_id").cast("long") % 3).cast("string")
-        ),
-    )
-    fis_out = compile_visualization(_vis([
-        {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
-         "params": {"fields": ["event_type", "vclass", "uclass"],
-                    "minimum_support": 0.05, "size": 20,
-                    "customLabel": "set"}},
-    ])).evaluate(fdocs)
-    rows.append(fis_out.select(
-        F.lit("fis").alias("branch"), F.col("set").alias("key"),
-        F.col("doc_count").cast("long").alias("n"),
-        F.col("support").alias("val")))
+        return dsmp.select(
+            F.lit("dsampler").alias("branch"), F.col("etype").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"))
+
+    def _fis_rows():
+        fdocs = docs.withColumn(
+            "vclass",
+            F.when(F.col("value_i") >= 100, F.lit("big"))
+            .otherwise(F.lit("small")),
+        ).withColumn(
+            "uclass",
+            F.concat(
+                F.lit("u"),
+                (F.col("user_id").cast("long") % 3).cast("string"),
+            ),
+        )
+        fis_out = compile_visualization(_vis([
+            {"id": "1", "type": "frequent_item_sets", "schema": "bucket",
+             "params": {"fields": ["event_type", "vclass", "uclass"],
+                        "minimum_support": 0.05, "size": 20,
+                        "customLabel": "set"}},
+        ])).evaluate(fdocs)
+        return fis_out.select(
+            F.lit("fis").alias("branch"), F.col("set").alias("key"),
+            F.col("doc_count").cast("long").alias("n"),
+            F.col("support").alias("val"))
+
+    # The four branches are independent plan builds (the fis branch
+    # also runs its two compiler-side jobs) over the same pruned scan
+    # — build them from a thread pool so the driver-side Catalyst
+    # analysis overlaps (optimization r16, guide §2.6; py4j releases
+    # the GIL on socket waits).  Union order is fixed by the list, so
+    # the result is identical to the sequential build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_tt_rows, _smp_rows, _dsmp_rows, _fis_rows)
+        ]
+        rows = [f.result() for f in futs]
     out = rows[0]
     for r_ in rows[1:]:
         out = out.unionByName(r_)

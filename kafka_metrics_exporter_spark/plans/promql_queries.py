@@ -1908,20 +1908,39 @@ def promql_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item 6 — only the per-schema idx math differs between legs).
     samples = samples.persist()
     parts, sketches = [], [samples]
-    for hschema in (0, 3):
-        ht = native_histogram_table(
-            samples, ["name", "etype"], schema=hschema, zero_threshold=0.1
-        ).persist()
-        sketches.append(ht)
-        out = None
-        for alias, text in exprs.items():
-            part = (
-                compile_promql(text)
-                .evaluate(ht)
-                .withColumnRenamed("value", alias)
+    # The 12 per-function evaluations are independent LAZY plan builds
+    # over the two persisted sketch tables — each costs ~0.25 s of
+    # driver-side py4j/Catalyst analysis and zero cluster work, so
+    # build them from a small thread pool (optimization r16, guide
+    # §2.6 applied to plan construction: py4j releases the GIL on the
+    # socket wait, so analysis overlaps).  Join order below is
+    # unchanged, so the final plan — and the result — is identical to
+    # the sequential build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(args):
+        ht_, alias_, text_ = args
+        return alias_, (
+            compile_promql(text_)
+            .evaluate(ht_)
+            .withColumnRenamed("value", alias_)
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for hschema in (0, 3):
+            ht = native_histogram_table(
+                samples, ["name", "etype"], schema=hschema,
+                zero_threshold=0.1,
+            ).persist()
+            sketches.append(ht)
+            built = dict(
+                pool.map(_build, [(ht, a, t) for a, t in exprs.items()])
             )
-            out = part if out is None else out.join(part, ["etype", "ts"])
-        parts.append(out.withColumn("hschema", F.lit(hschema)))
+            out = None
+            for alias in exprs:
+                part = built[alias]
+                out = part if out is None else out.join(part, ["etype", "ts"])
+            parts.append(out.withColumn("hschema", F.lit(hschema)))
     out = parts[0].unionByName(parts[1]).select(
         "hschema",
         "etype",

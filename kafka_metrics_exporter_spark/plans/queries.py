@@ -197,11 +197,22 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_queries_oracle.py::test_a5_approx_within_5pct_of_exact
     keeps the tighter per-group pytest pin."""
     ev = _t(spark, sf_dir, "events")
+    # Dedup the (group, value) pairs FIRST, then sketch (optimization
+    # r16, guide §2.3): mixing countDistinct with approx_count_distinct
+    # in one agg made Spark key the partial aggregate by
+    # (event_type, user_id) and ship a 1639-word HLL++ buffer PER PAIR
+    # through the exchange (plan: Results [1641] at the first
+    # HashAggregate).  Over distinct pairs the HLL estimate is
+    # bit-identical (register updates are max-based, duplicates are
+    # no-ops) and the exact side is a plain count — the exchange now
+    # carries narrow pairs, not sketches.
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-            F.countDistinct("user_id").alias("_exact"),
+            F.count("user_id").alias("_exact"),
         )
         .select(
             "event_type",

@@ -76,17 +76,24 @@ _SENTINEL = "\x00"
 def _unescape(col: Column) -> Column:
     """``\\\\`` → ``\\``, ``\\"`` → ``"``, ``\\n`` → newline — decoded
     through a sentinel so an escaped backslash never re-combines with a
-    following character (``\\\\n`` must yield backslash+n)."""
-    c = F.regexp_replace(col, r"\\\\", _SENTINEL)
-    c = F.regexp_replace(c, r'\\"', '"')
-    c = F.regexp_replace(c, r"\\n", "\n")
-    return F.regexp_replace(c, _SENTINEL, "\\\\")
+    following character (``\\\\n`` must yield backslash+n).
+
+    Every pattern is a LITERAL string, so this is plain ``replace``
+    (StringReplace), not ``regexp_replace`` (optimization r16, guide
+    §1.2 per-task work: the regex engine priced every label value of
+    every line; literal replace is a substring scan).  Replacement
+    order and left-to-right non-overlapping semantics are identical."""
+    c = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    return F.replace(c, F.lit(_SENTINEL), F.lit("\\"))
 
 
 def _escape(col: Column) -> Column:
-    c = F.regexp_replace(col, r"\\", r"\\\\")
-    c = F.regexp_replace(c, '"', '\\\\"')
-    return F.regexp_replace(c, "\n", r"\\n")
+    # literal-pattern replace, same rationale as _unescape
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
 
 
 def _parse_value(v: Column) -> Column:
@@ -143,7 +150,16 @@ def parse_exposition(
             f"timestamp_unit must be 'ms' or 's', got {timestamp_unit!r}"
         )
     line = F.trim(F.col(column))
-    body = lines.select(line.alias("__line")).filter(
+    # Evaluate-once barrier (optimization r16, guide §7.2 duplicated
+    # subtrees): ``shuffle`` of a singleton array is the identity on
+    # values but NON-DETERMINISTIC to the optimizer, so CollapseProject
+    # cannot inline the upstream line expression (for the roundtrip
+    # path, the whole serializer) into every downstream consumer — the
+    # filter + parse projections were re-evaluating it 3+ times per
+    # row before this.
+    body = lines.select(
+        F.get(F.shuffle(F.array(line)), 0).alias("__line")
+    ).filter(
         (F.length("__line") > 0) & ~F.col("__line").startswith("#")
     )
     # ONE evaluation of the (quote-aware, backtracking-priced) line
@@ -168,49 +184,84 @@ def parse_exposition(
     # spoof: no accepted line can both carry the marker and have
     # bypassed the regex.
     replaced = F.regexp_replace("__line", _LINE_RE, "\x02$1\x01$3\x01$4")
-    matched = replaced.startswith("\x02") & ~F.col("__line").startswith(
-        "\x02"
-    )
-    head = F.split(F.substr(replaced, F.lit(2)), "\x01")
-    raw_name = F.get(head, 0)
-    name = F.when(
-        matched
-        & (F.size(head) == 3)
-        & raw_name.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"),
-        raw_name,
-    )
-    block = F.regexp_extract("__line", _LINE_RE, 2)
-    raw_val = F.coalesce(F.get(head, 1), F.lit(""))
-    raw_ts = F.coalesce(F.get(head, 2), F.lit(""))
     if default_ts is None:
         fill_ts = F.lit(None).cast("timestamp")
     elif isinstance(default_ts, Column):
         fill_ts = default_ts.cast("timestamp")
     else:
         fill_ts = F.lit(default_ts).cast("timestamp")
-    parsed = body.select(
-        F.when(name != "", name).alias("name"),
-        # pairs come from the captured label BLOCK, not the whole line:
-        # an exemplar's labelset must not bleed into the sample's map
-        F.map_from_arrays(
-            F.regexp_extract_all(block, F.lit(_PAIR_RE), 1),
-            F.transform(
-                F.regexp_extract_all(block, F.lit(_PAIR_RE), 2), _unescape
-            ),
-        ).alias("labels"),
-        F.when(
-            raw_ts != "",
-            F.timestamp_micros(
-                # round, don't truncate: 0.123s is inexact in binary,
-                # and truncation would turn …123000µs into …122999µs
-                F.round(
-                    raw_ts.try_cast("double") * scale[timestamp_unit]
-                ).cast("long")
-            ),
+
+    def _once(expr: Column, f) -> Column:
+        # lambda-bind: evaluate ``expr`` once per row, reference it as
+        # a variable leaf (optimization r16 — the head/replaced/block
+        # expressions were inlined into every consumer, re-running the
+        # backtracking-priced line regex ~10x per row; now each regex
+        # evaluates exactly once)
+        return F.get(F.transform(F.array(expr), f), 0)
+
+    def _fields(rep: Column) -> Column:
+        matched = rep.startswith("\x02") & ~F.col("__line").startswith(
+            "\x02"
         )
-        .otherwise(fill_ts)
-        .alias("ts"),
-        _parse_value(raw_val).alias("value"),
+
+        def _with_head(head: Column) -> Column:
+            raw_name = F.get(head, 0)
+            name = F.when(
+                matched
+                & (F.size(head) == 3)
+                & raw_name.rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$"),
+                raw_name,
+            )
+            raw_val = F.coalesce(F.get(head, 1), F.lit(""))
+            raw_ts = F.coalesce(F.get(head, 2), F.lit(""))
+
+            def _with_block(block: Column) -> Column:
+                return F.struct(
+                    F.when(name != "", name).alias("name"),
+                    # pairs come from the captured label BLOCK, not the
+                    # whole line: an exemplar's labelset must not bleed
+                    # into the sample's map
+                    F.map_from_arrays(
+                        F.regexp_extract_all(block, F.lit(_PAIR_RE), 1),
+                        F.transform(
+                            F.regexp_extract_all(block, F.lit(_PAIR_RE), 2),
+                            _unescape,
+                        ),
+                    ).alias("labels"),
+                    F.when(
+                        raw_ts != "",
+                        F.timestamp_micros(
+                            # round, don't truncate: 0.123s is inexact
+                            # in binary, and truncation would turn
+                            # …123000µs into …122999µs
+                            F.round(
+                                raw_ts.try_cast("double")
+                                * scale[timestamp_unit]
+                            ).cast("long")
+                        ),
+                    )
+                    .otherwise(fill_ts)
+                    .alias("ts"),
+                    _parse_value(raw_val).alias("value"),
+                )
+
+            return _once(
+                F.regexp_extract("__line", _LINE_RE, 2), _with_block
+            )
+
+        return _once(F.split(F.substr(rep, F.lit(2)), "\x01"), _with_head)
+
+    # second evaluate-once barrier: the parsed struct materializes once
+    # per row; the field-extraction projection above it stays cheap
+    # column references instead of N copies of the parse tree
+    parsed = body.select(
+        F.get(F.shuffle(F.array(_once(replaced, _fields))), 0).alias("__p"),
+        F.col("__line"),
+    ).select(
+        F.col("__p.name").alias("name"),
+        F.col("__p.labels").alias("labels"),
+        F.col("__p.ts").alias("ts"),
+        F.col("__p.value").alias("value"),
         F.col("__line"),
     )
     if strict:
