@@ -151,6 +151,11 @@ def ccnet_buckets(
     (< 2 tokens) bucket as 'unscored' rather than silently joining a
     tercile."""
     scored = bigram_perplexity(docs, text_col=text_col, id_col=id_col)
+    # the scored relation feeds the tercile-cut aggregate AND the
+    # bucketed output — without the persist the ENTIRE perplexity
+    # pipeline (tokenize, three count joins, per-doc sum) executed
+    # twice per run (optimization r16)
+    scored = scored.persist()
     cuts = scored.filter(F.col("ppl").isNotNull()).agg(
         F.percentile(F.col("ppl"), F.lit(1.0 / 3.0)).alias("__c1"),
         F.percentile(F.col("ppl"), F.lit(2.0 / 3.0)).alias("__c2"),

@@ -131,25 +131,37 @@ def train_centroids(
         "cell", (md5_residue(F.col("_id")) % n_cells).cast("int")
     )
 
-    def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # map-side combine: ≤n_cells rows per Arrow batch reach the
-        # driver, replacing a dim-wide sum() agg (64 codegen buffers)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype("float64")
-            cells = pdf["cell"].to_numpy()
-            out_c, out_s, out_n = [], [], []
-            for c in np.unique(cells):
-                m = cells == c
-                out_c.append(int(c))
-                out_s.append(list(V[m].sum(axis=0)))
-                out_n.append(int(m.sum()))
-            yield pd.DataFrame({"cell": out_c, "s": out_s, "n": out_n})
+    def _partials_with(codes_of):
+        """ONE Arrow pass per training round: assign cells and emit
+        per-cell partial sums from the same batch (optimization r16,
+        guide §4 — the previous shape chained assign_cells into a
+        second mapInPandas, paying JVM→PY→JVM→PY per round; fusing
+        halves the Python-boundary crossings).  Per-batch composition
+        is unchanged (assign_cells yielded one output batch per input
+        batch), so the float summation order — the documented k-means
+        freedom — is identical."""
 
-    def mean_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
-        rows = df.select("cell", "v").mapInPandas(
-            partial_sums, "cell int, s array<double>, n long"
+        def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype("float64")
+                cells = codes_of(V, pdf)
+                out_c, out_s, out_n = [], [], []
+                for c in np.unique(cells):
+                    m = cells == c
+                    out_c.append(int(c))
+                    out_s.append(list(V[m].sum(axis=0)))
+                    out_n.append(int(m.sum()))
+                yield pd.DataFrame({"cell": out_c, "s": out_s, "n": out_n})
+
+        return go
+
+    def mean_centroids(codes_of) -> list[tuple[int, list[float]]]:
+        # ship only the vector column across the Arrow boundary —
+        # mapInPandas is opaque to column pruning (guide §4.1)
+        rows = base.select("v").mapInPandas(
+            _partials_with(codes_of), "cell int, s array<double>, n long"
         ).collect()
         acc: dict[int, tuple[np.ndarray, int]] = {}
         for r in rows:
@@ -159,9 +171,28 @@ def train_centroids(
             (cell, [float(x) for x in s / n]) for cell, (s, n) in acc.items()
         ]
 
-    cents = mean_centroids(assigned)
+    # init round: the md5-residue cell column rides the `assigned`
+    # projection; training rounds map over `base` with the centroid
+    # matmul — both through the same fused partial-sum pass
+    rows = assigned.select("v", "cell").mapInPandas(
+        _partials_with(lambda V, pdf: pdf["cell"].to_numpy()),
+        "cell int, s array<double>, n long",
+    ).collect()
+    acc0: dict[int, tuple[np.ndarray, int]] = {}
+    for r in rows:
+        s, n = acc0.get(r["cell"], (0.0, 0))
+        acc0[r["cell"]] = (s + np.asarray(r["s"]), n + r["n"])
+    cents = [
+        (cell, [float(x) for x in s / n]) for cell, (s, n) in acc0.items()
+    ]
     for _ in range(iters):
-        cents = mean_centroids(assign_cells(base, cents, vec_col="v", id_col="_id"))
+        cells_arr = np.array([c for c, _ in cents])
+        C = np.array([c for _, c in cents], dtype="float64")
+        cents = mean_centroids(
+            lambda V, pdf, C=C, cells_arr=cells_arr: _nearest_codes(
+                V, C, cells_arr
+            )
+        )
     base.unpersist()  # centroids are collected; don't leak executor memory
     return sorted(cents)
 
@@ -422,6 +453,49 @@ def binary_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _grouped_apply_sorted(
+    df: DataFrame, key_cols: list[str], fn, schema: str
+) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` without the
+    per-group dispatch (optimization r16, guide §4): applyInPandas
+    pays a separate Arrow round-trip per GROUP — measured ~3.4 ms of
+    pure dispatch per group, ~1.7 s for the LSH path's 2×256 buckets
+    before any math ran.  Same distribution contract, one pass: hash-
+    repartition by the key, sort within partitions so groups are
+    contiguous, and split them inside one ``mapInPandas`` per
+    partition, carrying a group that straddles an Arrow batch boundary
+    into the next batch.  ``fn(key_tuple, pdf)`` and the per-group
+    frames are exactly what applyInPandas hands over (row order within
+    a group is unspecified in both shapes)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    arranged = df.repartition(par, *key_cols).sortWithinPartitions(*key_cols)
+
+    def run(batches):
+        pending = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            last_key = tuple(pdf.iloc[-1][k] for k in key_cols)
+            for key, g in pdf.groupby(key_cols, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                if k == last_key:
+                    pending = g
+                    continue
+                out = fn(k, g.reset_index(drop=True))
+                if len(out):
+                    yield out
+        if pending is not None and len(pending):
+            k = tuple(pending.iloc[0][kc] for kc in key_cols)
+            out = fn(k, pending.reset_index(drop=True))
+            if len(out):
+                yield out
+
+    return arranged.mapInPandas(run, schema)
+
+
 # --- hyperplane LSH ------------------------------------------------------------
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (LCG, no numpy dependency in the
@@ -592,11 +666,12 @@ def embedding_near_dup_lsh(
     # a pair sharing both bands is emitted twice with a bit-identical
     # cosine (same float64 inputs, same per-pair dot) — distinct
     # collapses it
-    return (
-        blocked.groupBy("band", "bucket", "bi", "bj")
-        .applyInPandas(score, "vec_a long, vec_b long, cosine double")
-        .distinct()
-    )
+    return _grouped_apply_sorted(
+        blocked,
+        ["band", "bucket", "bi", "bj"],
+        score,
+        "vec_a long, vec_b long, cosine double",
+    ).distinct()
 
 
 def embedding_near_dup_brute(
@@ -674,8 +749,8 @@ def embedding_near_dup_brute(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     replicated = base.mapInPandas(replicate, in_schema)
-    return replicated.groupBy("pair_key").applyInPandas(
-        score, "vec_a long, vec_b long, cosine double"
+    return _grouped_apply_sorted(
+        replicated, ["pair_key"], score, "vec_a long, vec_b long, cosine double"
     )
 
 
