@@ -4195,9 +4195,16 @@ class KibanaPlan:
                     )
                 )
                 if b.other_key is not None:
-                    matches = F.when(
-                        F.size(matches) == 0, F.array(F.lit(b.other_key))
-                    ).otherwise(matches)
+                    # bind the match array ONCE (optimization r16): the
+                    # when/otherwise referenced it twice, so every
+                    # filter predicate (fuzzy folds, proximity scans)
+                    # evaluated twice per row
+                    matches = _bind1(
+                        matches,
+                        lambda m: F.when(
+                            F.size(m) == 0, F.array(F.lit(b.other_key))
+                        ).otherwise(m),
+                    )
                 df = df.withColumn(b.label, F.explode(matches))
             elif isinstance(b, HistogramBucket):
                 # ES: key = floor(value / interval) * interval (floor,

@@ -1624,115 +1624,141 @@ def kibana_filter_missing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 1-row min/max probe — identical cost shape to the corpus's
     auto-interval date_histograms."""
     docs = _es_docs(spark, sf_dir)
-    flt = compile_visualization(_vis([
-        {"id": "1", "type": "filter", "schema": "bucket",
-         "params": {"query": "value_i:>200", "customLabel": "big"}},
-        {"id": "2", "type": "count", "schema": "metric",
-         "params": {"customLabel": "n"}},
-        {"id": "3", "type": "sum", "schema": "metric",
-         "params": {"field": "value_i", "customLabel": "val"}},
-    ])).evaluate(docs)
-    flt = flt.select(
-        F.lit("filter").alias("branch"), F.col("big").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val"),
-    )
-    # `missing` needs a field with real gaps: derive one (docs of every
-    # third user lack it) — deterministic in both engines
-    dm = docs.withColumn(
-        "opt_src",
-        F.when(
-            F.col("user_id").cast("long") % 3 == 0,
-            F.lit(None).cast("string"),
-        )
-        .otherwise(F.col("event_type")),
-    )
-    miss = compile_visualization(_vis([
-        {"id": "1", "type": "missing", "schema": "bucket",
-         "params": {"field": "opt_src", "customLabel": "nosrc"}},
-        {"id": "2", "type": "count", "schema": "metric",
-         "params": {"customLabel": "n"}},
-        {"id": "3", "type": "sum", "schema": "metric",
-         "params": {"field": "value_i", "customLabel": "val"}},
-    ])).evaluate(dm)
-    miss = miss.select(
-        F.lit("missing").alias("branch"), F.col("nosrc").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val"),
-    )
-    auto = compile_visualization(_vis([
-        {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
-         "params": {"field": "ts", "buckets": 40, "customLabel": "when"}},
-        {"id": "2", "type": "count", "schema": "metric",
-         "params": {"customLabel": "n"}},
-        {"id": "3", "type": "sum", "schema": "metric",
-         "params": {"field": "value_i", "customLabel": "val"}},
-    ])).evaluate(docs)
-    auto = auto.select(
-        F.lit("auto").alias("branch"),
-        F.date_format("when", _TS_FMT).alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val"),
-    )
-    # round-13 significant_text branch over the documents corpus
     docs2 = _t(spark, sf_dir, "documents")
-    sigtext = compile_visualization(_vis([
-        {"id": "1", "type": "significant_text", "schema": "bucket",
-         "params": {"field": "text", "size": 10, "min_doc_count": 5,
-                    "foreground": "source:src0", "customLabel": "tok"}},
-    ])).evaluate(docs2)
-    sigtext = sigtext.select(
-        F.lit("sigtext").alias("branch"),
-        F.col("tok").alias("key"),
-        F.col("doc_count").cast("long").alias("n"),
-        F.col("score").cast("double").alias("val"),
-    )
-    adj = compile_visualization(_vis([
-        {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
-         "params": {"filters": {"click": "event_type:click",
-                                "big": "value_i:>=100",
-                                "small": "value_i:<10"},
-                    "customLabel": "cell"}},
-        {"id": "2", "type": "count", "schema": "metric",
-         "params": {"customLabel": "n"}},
-        {"id": "3", "type": "sum", "schema": "metric",
-         "params": {"field": "value_i", "customLabel": "val"}},
-    ])).evaluate(docs)
-    adj = adj.select(
-        F.lit("adj").alias("branch"), F.col("cell").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val"),
-    )
-    sstats = compile_visualization(_vis([
-        {"id": "1", "type": "terms", "schema": "bucket",
-         "params": {"field": "lang", "size": 100, "order": "asc",
-                    "orderBy": "_term", "customLabel": "lang"}},
-        {"id": "2", "type": "string_stats", "schema": "metric",
-         "params": {"field": "source", "customLabel": "ss"}},
-    ])).evaluate(docs2)
-    sstats = sstats.select(
-        F.lit("sstats").alias("branch"), F.col("lang").alias("key"),
-        F.col("ss_count").cast("long").alias("n"),
-        F.round(F.col("ss_entropy"), 4).alias("val"),
-    )
-    vwh = compile_visualization(_vis([
-        {"id": "1", "type": "variable_width_histogram", "schema": "bucket",
-         "params": {"field": "value_i", "buckets": 8,
-                    "customLabel": "cent"}},
-        {"id": "2", "type": "count", "schema": "metric",
-         "params": {"customLabel": "n"}},
-        {"id": "3", "type": "max", "schema": "metric",
-         "params": {"field": "value_i", "customLabel": "val"}},
-    ])).evaluate(docs)
-    vwh = vwh.select(
-        F.lit("vwh").alias("branch"),
-        F.col("cent").cast("decimal(18,6)").cast("string").alias("key"),
-        F.col("n").cast("long").alias("n"),
-        F.col("val").cast("double").alias("val"),
-    )
-    return (flt.unionByName(miss).unionByName(auto)
-            .unionByName(sigtext).unionByName(adj)
-            .unionByName(sstats).unionByName(vwh))
+
+    def _flt():
+        flt = compile_visualization(_vis([
+            {"id": "1", "type": "filter", "schema": "bucket",
+             "params": {"query": "value_i:>200", "customLabel": "big"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "value_i", "customLabel": "val"}},
+        ])).evaluate(docs)
+        return flt.select(
+            F.lit("filter").alias("branch"), F.col("big").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"),
+        )
+
+    def _miss():
+        # `missing` needs a field with real gaps: derive one (docs of
+        # every third user lack it) — deterministic in both engines
+        dm = docs.withColumn(
+            "opt_src",
+            F.when(
+                F.col("user_id").cast("long") % 3 == 0,
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.col("event_type")),
+        )
+        miss = compile_visualization(_vis([
+            {"id": "1", "type": "missing", "schema": "bucket",
+             "params": {"field": "opt_src", "customLabel": "nosrc"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "value_i", "customLabel": "val"}},
+        ])).evaluate(dm)
+        return miss.select(
+            F.lit("missing").alias("branch"), F.col("nosrc").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"),
+        )
+
+    def _auto():
+        auto = compile_visualization(_vis([
+            {"id": "1", "type": "auto_date_histogram", "schema": "bucket",
+             "params": {"field": "ts", "buckets": 40,
+                        "customLabel": "when"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "value_i", "customLabel": "val"}},
+        ])).evaluate(docs)
+        return auto.select(
+            F.lit("auto").alias("branch"),
+            F.date_format("when", _TS_FMT).alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"),
+        )
+
+    def _sigtext():
+        # round-13 significant_text branch over the documents corpus
+        sigtext = compile_visualization(_vis([
+            {"id": "1", "type": "significant_text", "schema": "bucket",
+             "params": {"field": "text", "size": 10, "min_doc_count": 5,
+                        "foreground": "source:src0",
+                        "customLabel": "tok"}},
+        ])).evaluate(docs2)
+        return sigtext.select(
+            F.lit("sigtext").alias("branch"),
+            F.col("tok").alias("key"),
+            F.col("doc_count").cast("long").alias("n"),
+            F.col("score").cast("double").alias("val"),
+        )
+
+    def _adj():
+        adj = compile_visualization(_vis([
+            {"id": "1", "type": "adjacency_matrix", "schema": "bucket",
+             "params": {"filters": {"click": "event_type:click",
+                                    "big": "value_i:>=100",
+                                    "small": "value_i:<10"},
+                        "customLabel": "cell"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+            {"id": "3", "type": "sum", "schema": "metric",
+             "params": {"field": "value_i", "customLabel": "val"}},
+        ])).evaluate(docs)
+        return adj.select(
+            F.lit("adj").alias("branch"), F.col("cell").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"),
+        )
+
+    def _sstats():
+        sstats = compile_visualization(_vis([
+            {"id": "1", "type": "terms", "schema": "bucket",
+             "params": {"field": "lang", "size": 100, "order": "asc",
+                        "orderBy": "_term", "customLabel": "lang"}},
+            {"id": "2", "type": "string_stats", "schema": "metric",
+             "params": {"field": "source", "customLabel": "ss"}},
+        ])).evaluate(docs2)
+        return sstats.select(
+            F.lit("sstats").alias("branch"), F.col("lang").alias("key"),
+            F.col("ss_count").cast("long").alias("n"),
+            F.round(F.col("ss_entropy"), 4).alias("val"),
+        )
+
+    def _vwh():
+        vwh = compile_visualization(_vis([
+            {"id": "1", "type": "variable_width_histogram",
+             "schema": "bucket",
+             "params": {"field": "value_i", "buckets": 8,
+                        "customLabel": "cent"}},
+            {"id": "2", "type": "count", "schema": "metric",
+             "params": {"customLabel": "n"}},
+            {"id": "3", "type": "max", "schema": "metric",
+             "params": {"field": "value_i", "customLabel": "val"}},
+        ])).evaluate(docs)
+        return vwh.select(
+            F.lit("vwh").alias("branch"),
+            F.col("cent").cast("decimal(18,6)").cast("string").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("val").cast("double").alias("val"),
+        )
+
+    # measured: a thread-pool build (the kibana_stats_tests stance) is
+    # SLOWER here — these branches run eager compiler-side pre-pass
+    # jobs (auto ladder min/max, vwh Lloyd rounds) that contend rather
+    # than overlap — so the branches build sequentially
+    branches = [
+        f() for f in (_flt, _miss, _auto, _sigtext, _adj, _sstats, _vwh)
+    ]
+    out = branches[0]
+    for b_ in branches[1:]:
+        out = out.unionByName(b_)
+    return out
 
 
 @query(
