@@ -1338,12 +1338,17 @@ def _ip128_struct(ip_s: Column) -> Column:
         )
 
     tail_re = r"^(.*:)(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$"
-    tail = F.regexp_extract(ip_s, tail_re, 2)
-    s2 = F.when(tail == "", ip_s).otherwise(
-        F.concat(
-            F.regexp_extract(ip_s, tail_re, 1),
-            _bind1(F.split(tail, r"\."), _v4_tail_expand),
-        )
+    # bind the extracted tail once (optimization r16): the empty check
+    # and the split both referenced it, so the tail regex ran twice on
+    # top of the group-1 extract — 3 evaluations of the same pattern
+    s2 = _bind1(
+        F.regexp_extract(ip_s, tail_re, 2),
+        lambda tail: F.when(tail == "", ip_s).otherwise(
+            F.concat(
+                F.regexp_extract(ip_s, tail_re, 1),
+                _bind1(F.split(tail, r"\."), _v4_tail_expand),
+            )
+        ),
     )
     return F.when(
         ip_s.rlike(_V4_RE), _bind1(F.split(ip_s, r"\."), _v4_words)
