@@ -1612,3 +1612,50 @@ def test_pq_codebook_code_id_validation(embeddings):
         similarity.ivfpq_topk(
             embeddings, q, m_sub=8, n_codes=16, centroids=[(0, [0.0] * 8)]
         )
+
+
+def test_grouped_apply_sorted_carries_groups_across_arrow_batches(spark):
+    """_grouped_apply_sorted (optimization r16) replaces per-group
+    applyInPandas dispatch with sorted-partition splitting inside one
+    mapInPandas; a group that straddles an Arrow batch boundary must be
+    carried into the next batch, not emitted twice.  Forcing 7-row
+    batches over 40-row groups exercises the carry on every group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_metrics_exporter_spark.llmdata.similarity import (
+        _grouped_apply_sorted,
+    )
+
+    df = spark.range(400).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+
+    def per_group(key, pdf):
+        return pd.DataFrame(
+            {"g": [int(key[0])], "n": [len(pdf)], "s": [int(pdf["v"].sum())]}
+        )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["g"]: (r["n"], r["s"])
+            for r in _grouped_apply_sorted(
+                df, ["g"], per_group, "g long, n long, s long"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    expected = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.groupBy("g")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expected
