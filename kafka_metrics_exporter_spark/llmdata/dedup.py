@@ -735,9 +735,15 @@ def connected_components(
             f"connected_components: unknown algorithm {algorithm!r} "
             f"(expected 'label_prop' or 'star')"
         )
-    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     # materialize the (possibly expensive — e.g. an LSH pair join)
-    # edge lineage ONCE; every round re-reads it
+    # edge lineage ONCE, BEFORE the symmetrization union references it
+    # twice (optimization r16: the union's two arms each re-ran the
+    # whole pair-generation pipeline during the old single checkpoint —
+    # the star variant never had the bug because its canonical `e` is
+    # referenced once); every round re-reads the symmetric checkpoint
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
