@@ -40,9 +40,14 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
         },
     )
+    # WARN spam (WindowExec etc.) lands in the driver's combined tail
+    # capture and competes with the final JSON line for window bytes —
+    # silence it so the per-query record below survives intact
+    # (VERDICT r16 item 2)
+    spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    only = set(sys.argv[1:])
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
 
     # Steady-state measurement: pass 1 (untimed) pays JIT/codegen
     # warmup; passes 2-3 are timed and the per-query MIN is recorded —
@@ -80,12 +85,14 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    # The driver tail-captures stdout with a window SMALLER than an
-    # 84-query record: r3 and r4 both recorded `parsed: null` because
-    # the line's head was truncated.  So the stdout line is a SLIM
-    # record guaranteed to fit (totals + sf + pointer), and the full
-    # per-query breakdown goes to BENCH.json in-repo — the
-    # authoritative copy the judge reads against BASELINE.md.
+    # Round-17 measurement fix (VERDICT r16 item 2, documented in
+    # OPTIMIZATION_r17.md): print the FULL per-query record as the one
+    # stdout JSON line — the r16 slim line (totals + pointer) left the
+    # driver's PERF report with an empty per_query table.  The compact
+    # 152-query line is ~4 KB; the tail window demonstrably holds
+    # several KB, and setLogLevel(ERROR) above keeps log noise from
+    # competing for it.  Methodology (queries, noop sink, min-of-2,
+    # cache clearing) is byte-identical to r16.
     full = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -98,20 +105,19 @@ def main() -> None:
         # committed full-suite records — print the subset inline instead
         print(json.dumps(full, separators=(",", ":")), flush=True)
         return
-    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+    # Plain full runs (e.g. the driver's own invocations) land in
+    # BENCH_run.json so they can't clobber the committed BENCH.json
+    # record (VERDICT r16: the driver's 8-core run overwrote the
+    # builder's 32-core record).  `--record` promotes a run to the
+    # committed files.
+    record = "--record" in sys.argv
+    with open(os.path.join(REPO, "BENCH.json" if record else "BENCH_run.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
-    with open(os.path.join(REPO, "PLANS.json"), "w") as f:
-        f.write(json.dumps(plans, separators=(",", ":"), sort_keys=True) + "\n")
-    slim = {
-        "metric": "suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries_in": "BENCH.json",
-    }
+    if record:
+        with open(os.path.join(REPO, "PLANS.json"), "w") as f:
+            f.write(json.dumps(plans, separators=(",", ":"), sort_keys=True) + "\n")
     sys.stdout.flush()
-    print(json.dumps(slim, separators=(",", ":")), flush=True)
+    print(json.dumps(full, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

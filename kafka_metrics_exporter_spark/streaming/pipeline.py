@@ -551,6 +551,13 @@ def alert_rules(
                 return
             for g in groups:
                 cur = df
+                # each rule's persisted cycle frame stays cached until
+                # the END of the group: the ALERTS feedback series built
+                # from it is consumed by LATER rules in the group, and
+                # unpersisting per-rule forced those consumers to
+                # recompute the full snap join against a state parquet
+                # _write_state may already have pruned (ADVICE r16)
+                group_persisted: list[DataFrame] = []
                 for i, rule in enumerate(g.rules):
                     out = plans[(g.name, i)].evaluate(cur)
                     if not isinstance(rule, AlertingRule):
@@ -669,7 +676,7 @@ def alert_rules(
                         new_state, g.name, rule.alert, batch_id, n_state
                     )
                     emit(g.name, rule.alert, result, batch_id)
-                    states.unpersist()
+                    group_persisted.append(states)
                     # feed ALERTS back for later rules in the group
                     alert_series = _as_series(
                         states.select(
@@ -684,6 +691,8 @@ def alert_rules(
                         list(cur.columns),
                     )
                     cur = _union_series(cur, alert_series)
+                for p in group_persisted:
+                    p.unpersist()
         finally:
             df.unpersist()
 

@@ -468,6 +468,36 @@ def test_connected_components_merges_transitively(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_materializes_edges_once(spark):
+    # plan-shape pin (VERDICT r16 item 6): the edge projection is
+    # localCheckpointed BEFORE the symmetrization union references it
+    # twice — without that checkpoint, each union arm re-runs the whole
+    # (possibly expensive, e.g. an LSH pair join) edge-generation
+    # lineage during the sym checkpoint's materialization.  An
+    # accumulator inside an opaque pass-through counts evaluations: the
+    # fixed shape evaluates every edge row exactly once.
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    raw = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    edges = raw.mapInPandas(counted, "doc_a long, doc_b long")
+    vertices = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,)], "doc_id long"
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(edges, vertices).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert acc.value == 3  # one evaluation per edge row, not 2x
+
+
 def test_connected_components_long_path_converges(spark):
     # a 64-vertex path stresses pointer jumping: O(log D) rounds must
     # reach the far end within the iteration cap

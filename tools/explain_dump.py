@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for registry queries to plans/r16/.
+"""Dump .explain("formatted") for registry queries to plans/r17/.
 
 Usage: python tools/explain_dump.py <suffix> [query ...]
-  suffix: "before" or "after" — file becomes plans/r16/<query>_<suffix>.txt
+  suffix: "before" or "after" — file becomes plans/r17/<query>_<suffix>.txt
   with no query names, dumps every registered query.
 
 Plans are captured at sf0.1 with the SAME session conf bench.py uses,
@@ -34,7 +34,7 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
         },
     )
-    out_dir = os.path.join(REPO, "plans", "r16")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("KME_PLANS_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
 
     queries = entry_mod.queries()
