@@ -98,7 +98,14 @@ _META_COLS = {"name", "ts", "value", "hist"}
 
 
 def _matcher_pred(m: Matcher) -> Column:
-    col = F.coalesce(F.col(m.label), F.lit(""))  # missing label == ""
+    return _matcher_pred_on(F.coalesce(F.col(m.label), F.lit("")), m)
+
+
+def _matcher_pred_on(col: Column, m: Matcher) -> Column:
+    """The matcher predicate over an explicit (already missing-label-
+    coalesced) column expression — lets a caller that knows the label
+    is absent evaluate against ``lit("")`` without first materializing
+    the column (one less DataFrame round-trip, guide §plan-build)."""
     if m.op == "=":
         return col == m.value
     if m.op == "!=":
@@ -108,6 +115,17 @@ def _matcher_pred(m: Matcher) -> Column:
     if m.op == "=~":
         return col.rlike(pat)
     return ~col.rlike(pat)
+
+
+def _with_cols(df: DataFrame, cols: dict) -> DataFrame:
+    """Add N independent columns in ONE analysis pass.  Every
+    DataFrame method is a py4j round-trip plus a full Catalyst
+    analysis of the accumulated plan, so per-label ``withColumn``
+    loops cost O(labels) analyses of an ever-growing tree;
+    ``withColumns`` batches them (optimization r17, guide §1.2 —
+    plan-construction time was 40-60% of the promql/kibana rows).
+    The expressions must reference only pre-existing columns."""
+    return df.withColumns(cols) if cols else df
 
 
 @dataclass(frozen=True)
@@ -484,37 +502,67 @@ def _instant_universe(metrics: DataFrame, leaf) -> DataFrame:
 
 
 def _eval_selector(node: Selector, metrics: DataFrame, label_cols) -> _Vec:
+    """Selector evaluation in TWO DataFrame ops (one filter + one
+    select) instead of a per-matcher/per-label chain — each chained op
+    re-analyzed the whole plan (optimization r17, guide §1.2).
+    Semantics are unchanged: sequential matcher filters ≡ one AND;
+    matchers on absent labels evaluate against ``""``; the canonical
+    NULL ≡ "" coalesce lands in the final projection; ``offset``
+    shifts ts in the same projection."""
     df = metrics
     labels = set(label_cols)
+    have = set(df.columns)
+    preds: list[Column] = []
     if node.name is not None:
-        df = df.filter(F.col("name") == node.name)
-        df = df.drop("name")
+        preds.append(F.col("name") == node.name)
     else:
-        # nameless selector: the metric name rides along as __name__
-        df = df.withColumnRenamed("name", "__name__")
         labels.add("__name__")
+    absent: set[str] = set()
     for m in node.matchers:
-        if m.label not in labels:
+        lbl = m.label
+        if lbl == "__name__" and node.name is None:
+            src = F.coalesce(F.col("name"), F.lit(""))
+        elif lbl in labels and lbl in have:
+            src = F.coalesce(F.col(lbl), F.lit(""))
+        else:
             # a matcher on an absent label: PromQL treats it as ""
-            df = df.withColumn(m.label, F.lit(""))
-            labels.add(m.label)
-        df = df.filter(_matcher_pred(m))
-    if node.offset_seconds:
-        # `offset d`: the sample taken at t surfaces at evaluation
-        # instant t+d, so shifting ts FORWARD aligns it with the
-        # un-shifted series d later — `m - m offset 1d` becomes a plain
-        # equi-join on ts computing the day-over-day delta
-        df = df.withColumn(
-            "ts",
-            (F.col("ts").cast("double") + F.lit(float(node.offset_seconds))).cast(
-                "timestamp"
-            ),
-        )
-    # canonical label form: NULL ≡ "" from here on, so every downstream
-    # join/group/order on labels follows the matcher convention
-    for lbl in labels:
-        df = df.withColumn(lbl, F.coalesce(F.col(lbl), F.lit("")))
-    return _Vec(df, frozenset(labels))
+            absent.add(lbl)
+            labels.add(lbl)
+            src = F.lit("")
+        preds.append(_matcher_pred_on(src, m))
+    if preds:
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = cond & p
+        df = df.filter(cond)
+    # ONE projection: canonical NULL ≡ "" label form (so every
+    # downstream join/group/order on labels follows the matcher
+    # convention), the offset ts shift, absent matcher labels as "",
+    # the nameless selector's name → __name__ ride-along, and the
+    # name drop for named selectors
+    cols: list[Column] = []
+    for c in df.columns:
+        if c == "name":
+            if node.name is None:
+                cols.append(F.coalesce(F.col("name"), F.lit("")).alias("__name__"))
+            continue  # named selector: name is consumed by the filter
+        if c == "ts" and node.offset_seconds:
+            # `offset d`: the sample taken at t surfaces at evaluation
+            # instant t+d, so shifting ts FORWARD aligns it with the
+            # un-shifted series d later — `m - m offset 1d` becomes a
+            # plain equi-join on ts computing the day-over-day delta
+            cols.append(
+                (F.col("ts").cast("double") + F.lit(float(node.offset_seconds)))
+                .cast("timestamp")
+                .alias("ts")
+            )
+        elif c in labels:
+            cols.append(F.coalesce(F.col(c), F.lit("")).alias(c))
+        else:
+            cols.append(F.col(c))
+    for lbl in sorted(absent):
+        cols.append(F.lit("").alias(lbl))
+    return _Vec(df.select(*cols), frozenset(labels))
 
 
 def _eval_range_operand(
@@ -1091,10 +1139,9 @@ def _eval_agg(node: Agg, metrics: DataFrame, label_cols, leaf=None) -> _Vec:
         out_labels = sorted(vec.labels - set(node.without))
     else:
         out_labels = []
-    df = vec.df
-    for lbl in out_labels:
-        if lbl not in vec.labels:
-            df = df.withColumn(lbl, F.lit(""))  # grouping by an absent label
+    df = _with_cols(  # grouping by absent labels: one batched pass
+        vec.df, {lbl: F.lit("") for lbl in out_labels if lbl not in vec.labels}
+    )
     if node.op == "count_values":
         # count_values("lbl", v): how many series carry each distinct
         # sample value at each instant — the value itself becomes a new
@@ -1886,10 +1933,7 @@ def _match_keys(match: VectorMatch, left: _Vec, right: _Vec) -> list[str]:
 
 
 def _with_labels(df: DataFrame, have: frozenset[str], need: list[str]) -> DataFrame:
-    for lbl in need:
-        if lbl not in have:
-            df = df.withColumn(lbl, F.lit(""))
-    return df
+    return _with_cols(df, {lbl: F.lit("") for lbl in need if lbl not in have})
 
 
 def _eval_matched_bin(
@@ -1952,8 +1996,7 @@ def _eval_matched_bin(
     else:
         joined = joined.withColumn("value", op(lv, rv))
     # include labels overwrite any same-named label on the many side
-    for c in include:
-        joined = joined.withColumn(c, F.col(f"__inc_{c}"))
+    joined = _with_cols(joined, {c: F.col(f"__inc_{c}") for c in include})
     out_labels = frozenset(many_vec.labels | set(keys) | set(include))
     out = joined.select(*sorted(out_labels), "ts", "value")
     return _Vec(out, out_labels)
@@ -2013,8 +2056,7 @@ def _eval_absent(node: Absent, metrics: DataFrame, label_cols, leaf=None) -> _Ve
         vec.df.select("ts").distinct(), "ts", "left_anti"
     ).withColumn("value", F.lit(1.0))
     labels = _absent_labels(node.expr)
-    for lbl, val in labels.items():
-        out = out.withColumn(lbl, F.lit(val))
+    out = _with_cols(out, {lbl: F.lit(val) for lbl, val in labels.items()})
     return _Vec(out, frozenset(labels))
 
 
@@ -2202,10 +2244,9 @@ def evaluate_streaming(
         out_labels = sorted(vec.labels - set(node.without))
     else:
         out_labels = []
-    df = vec.df
-    for lbl in out_labels:
-        if lbl not in vec.labels:
-            df = df.withColumn(lbl, F.lit(""))
+    df = _with_cols(
+        vec.df, {lbl: F.lit("") for lbl in out_labels if lbl not in vec.labels}
+    )
     if node.op == "quantile":
         agg_expr = F.percentile(F.col("value"), F.lit(node.param))
     else:

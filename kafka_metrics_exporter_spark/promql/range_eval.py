@@ -387,8 +387,10 @@ class GridLeaf:
                 "value", F.lit(1.0)
             )
             labels = _absent_labels(node.selector)
-            for lbl, val in labels.items():
-                out = out.withColumn(lbl, F.lit(val))
+            if labels:  # one batched pass (guide §plan-build, r17)
+                out = out.withColumns(
+                    {lbl: F.lit(val) for lbl, val in labels.items()}
+                )
             return _Vec(_finish(out, sorted(labels)), frozenset(labels))
         from kafka_metrics_exporter_spark.promql.compiler import (
             _over_time_special,

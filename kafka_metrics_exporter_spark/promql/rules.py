@@ -226,15 +226,16 @@ def _as_series(out: DataFrame, name: str, static: tuple, metrics_cols: list[str]
     """Shape a rule result (labels…, ts, value) into the engine's
     series schema (name, ts, value, labels…), attaching static rule
     labels (overriding same-named result labels, per recording.go)."""
-    df = out.withColumn("name", F.lit(name))
-    for k, v in static:
-        df = df.withColumn(k, F.lit(v))
+    # three batched column passes, not 1 + |static| + |missing|
+    # analysis round-trips (guide §plan-build, r17); the missing-label
+    # fill references df.columns AFTER the static labels land
+    df = out.withColumns(
+        {"name": F.lit(name), **{k: F.lit(v) for k, v in static}}
+    )
+    missing = {c: F.lit("") for c in metrics_cols if c not in df.columns}
     # align to the target frame: missing labels are empty strings (the
     # engine's missing-label convention), extra labels ride along
-    for c in metrics_cols:
-        if c not in df.columns:
-            df = df.withColumn(c, F.lit(""))
-    return df
+    return df.withColumns(missing) if missing else df
 
 
 def _union_series(metrics: DataFrame, series: DataFrame) -> DataFrame:
@@ -316,16 +317,17 @@ def evaluate_group(
             recorded[rule.record] = series
             cur = _union_series(cur, series)
         else:
-            for k, v in rule.labels:
-                out = out.withColumn(k, F.lit(v))
+            if rule.labels:
+                out = out.withColumns({k: F.lit(v) for k, v in rule.labels})
             states = evaluate_alert_states(out, step, rule.for_seconds)
             label_set = {c for c in states.columns if c not in _META_COLS} - {
                 "alertstate"
             }
-            for k, v in rule.annotations:
-                states = states.withColumn(
-                    f"annotation_{k}", render_template(v, label_set)
-                )
+            if rule.annotations:
+                states = states.withColumns({
+                    f"annotation_{k}": render_template(v, label_set)
+                    for k, v in rule.annotations
+                })
             alerts[rule.alert] = states
             alert_series = _as_series(
                 states.withColumn("alertname", F.lit(rule.alert))

@@ -645,13 +645,19 @@ def alert_rules(
                             F.lit("firing"),
                         ).otherwise(F.lit("pending")),
                     )
-                    for k, v in rule.labels:
-                        states = states.withColumn(k, F.lit(v))
-                    for k, v in rule.annotations:
-                        states = states.withColumn(
-                            f"annotation_{k}",
-                            render_template(v, set(label_cols)),
+                    # batched adds: two analysis passes, not
+                    # |labels| + |annotations| (guide §plan-build, r17)
+                    if rule.labels:
+                        states = states.withColumns(
+                            {k: F.lit(v) for k, v in rule.labels}
                         )
+                    if rule.annotations:
+                        states = states.withColumns({
+                            f"annotation_{k}": render_template(
+                                v, set(label_cols)
+                            )
+                            for k, v in rule.annotations
+                        })
                     # ONE persisted frame + ONE count materializes the
                     # cycle BEFORE the state rewrite; the emitted result
                     # and the new state are both narrow projections of
