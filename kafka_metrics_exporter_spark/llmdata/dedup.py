@@ -156,9 +156,14 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
+    # sizes is doc-count rows of (long, long) — broadcast both size
+    # attachments instead of shuffling the pair table twice
+    # (optimization r17, VERDICT r16 item 7, guide §3.1: the pair
+    # relation is Σ df(shingle)² rows, orders of magnitude larger than
+    # the doc count; two sort-merge exchanges of it bought nothing)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -612,8 +612,15 @@ def dsir_importance(
     doc_bucket = (
         grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n")).persist()
     )
-    src_counts = doc_bucket.groupBy("b").agg(F.sum("n").alias("c_s"))
-    tgt_counts = tgrams.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    # the two count tables are ≤ n_buckets rows each but BOTH have two
+    # consumers (the per-bucket likelihood join and the 1-row total) —
+    # unpersisted, the target explode+aggregate scanned the target
+    # corpus TWICE and src_counts re-aggregated the cached (doc, b)
+    # relation twice (optimization r17, plan read: two `Scan parquet`
+    # leaves for the target subtree; guide §5).  Bucket-table-sized
+    # cache, never doc-scale.
+    src_counts = doc_bucket.groupBy("b").agg(F.sum("n").alias("c_s")).persist()
+    tgt_counts = tgrams.groupBy("b").agg(F.count(F.lit(1)).alias("c_t")).persist()
     totals = (
         src_counts.agg(F.sum("c_s").alias("t_s"))
         .crossJoin(tgt_counts.agg(F.sum("c_t").alias("t_t")))
