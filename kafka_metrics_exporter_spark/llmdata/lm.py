@@ -154,7 +154,13 @@ def ccnet_buckets(
     # the scored relation feeds the tercile-cut aggregate AND the
     # bucketed output — without the persist the ENTIRE perplexity
     # pipeline (tokenize, three count joins, per-doc sum) executed
-    # twice per run (optimization r16)
+    # twice per run (optimization r16).  INTENTIONALLY not unpersisted
+    # here (ADVICE r16): the returned frame is lazy and still reads
+    # the cache, so an eager unpersist would discard the shared scan
+    # before the caller's action.  Long-lived sessions that call this
+    # repeatedly should spark.catalog.clearCache() between runs (the
+    # bench harness does); the cache is doc-count rows of
+    # (id, ppl, n_tokens), not corpus text.
     scored = scored.persist()
     cuts = scored.filter(F.col("ppl").isNotNull()).agg(
         F.percentile(F.col("ppl"), F.lit(1.0 / 3.0)).alias("__c1"),

@@ -466,7 +466,14 @@ def _grouped_apply_sorted(
     partition, carrying a group that straddles an Arrow batch boundary
     into the next batch.  ``fn(key_tuple, pdf)`` and the per-group
     frames are exactly what applyInPandas hands over (row order within
-    a group is unspecified in both shapes)."""
+    a group is unspecified in both shapes).
+
+    PRECONDITION (ADVICE r16): key columns must be NON-NULL.  pandas
+    ``groupby`` drops null-key rows by default where applyInPandas
+    would pass them through, and a NaN key would also break the
+    tuple-equality carry check (NaN != NaN).  Every current call site
+    keys on derived non-null ints (band/bucket ids, pair keys); the
+    guard below rejects violations loudly instead of dropping rows."""
     par = df.sparkSession.sparkContext.defaultParallelism
     arranged = df.repartition(par, *key_cols).sortWithinPartitions(*key_cols)
 
@@ -478,6 +485,12 @@ def _grouped_apply_sorted(
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
+            if pdf[key_cols].isna().any().any():
+                raise ValueError(
+                    "_grouped_apply_sorted: null/NaN group key "
+                    "(callers must key on non-null columns; pandas "
+                    "groupby would silently drop these rows)"
+                )
             last_key = tuple(pdf.iloc[-1][k] for k in key_cols)
             for key, g in pdf.groupby(key_cols, sort=False):
                 k = key if isinstance(key, tuple) else (key,)
