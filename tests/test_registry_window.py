@@ -41,6 +41,7 @@ _VERIFIED = {
         "CORRECTNESS_r13.json",
         "CORRECTNESS_r14.json",
         "CORRECTNESS_r15.json",
+        "CORRECTNESS_r16.json",
     )
     for json_name in json.load(open(os.path.join(REPO, fname)))
 }
