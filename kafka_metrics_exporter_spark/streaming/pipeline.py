@@ -529,6 +529,16 @@ def alert_rules(
         for bid, _, path in versions:
             if bid == batch_id:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        # size-adaptive file fan-out (optimization r17, guide §6): the
+        # state frame inherits the cycle's shuffle partitioning (cpus-
+        # many), so a handful of active series scattered into a
+        # 32-task write job and as many near-empty files, re-listed
+        # and re-opened every cycle.  The row count is already known
+        # here; below the broadcast threshold (tens of MB of label
+        # strings at most) one file is strictly better — above it,
+        # keep the parallel write.
+        if rows <= max_broadcast_state_rows:
+            df = df.coalesce(1)
         df.write.mode("overwrite").parquet(f"{base}/v{batch_id}-{rows}")
         fs, versions = _list_versions(spark, base)
         keep = {v[0] for v in versions[-keep_state_versions:]}
